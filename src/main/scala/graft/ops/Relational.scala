@@ -1,0 +1,422 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator catalog (SURVEY.md §2.2-§2.4, §2.8) demonstrated as
+  * oracle-checkable queries over the driver fixtures (TESTDATA.md).
+  *
+  * Every pandas dataflow shape the reference exercises (projection, rename,
+  * dedup, equi/left/lookup joins — `/root/reference/transformation.py`
+  * :143-168,191-196,249-269,396-406) appears here re-expressed Spark-first,
+  * plus the group-by/window/set-op serving surface the reference delegated
+  * to DuckDB (`/root/reference/test_sql.py:8-14`).
+  *
+  * Scale notes are attached per query: broadcast the dimension side of every
+  * star join (region/nation/supplier/customer are tiny relative to lineitem
+  * at any sf); aggregations rely on Spark's partial (map-side) aggregation;
+  * sorts are only for oracle determinism and would be dropped or replaced
+  * with cluster-by at 100 TB.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, d: String) = table(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = table(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = table(s, d, "customer")
+  private def supp(s: SparkSession, d: String) = table(s, d, "supplier")
+  private def nat(s: SparkSession, d: String) = table(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = table(s, d, "region")
+  private def prt(s: SparkSession, d: String) = table(s, d, "part")
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1 shape: scan + filter + hash agg (A1). Partial agg means one
+    * shuffle of |groups| rows, independent of input size — safe at 100 TB. */
+  val q01PricingSummary: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + filter pushdown (P1/P7): both the predicate and the
+    * 3-column ReadSchema must reach the parquet scan (verified in
+    * RelationalSpec via the formatted plan). */
+  val q02FilterProject: Q = (s, d) =>
+    li(s, d)
+      .filter(col("l_quantity") > 45 && col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3 shape: selective dim filter -> join -> agg -> top-N (J1, A1,
+    * O5). customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+  val q03RevenueTopN: Q = (s, d) => {
+    val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+    ord(s, d)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join over three broadcast dims (J4 lookup-join shape: the
+    * reference's dict `.map` probe, transformation.py:249,266). */
+  val q04StarJoin: Q = (s, d) =>
+    li(s, d)
+      .join(broadcast(supp(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+
+  /** Left outer join keeping misses as nulls (J3/J5: the reference keeps
+    * NaN datetime_id for reviews/tips, transformation.py:351,436). */
+  val q05LeftJoinMiss: Q = (s, d) => {
+    val bigOrders = ord(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"), col("o_orderkey"))
+    cust(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_big_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join (EXISTS) — Spark left_semi avoids materializing the probe
+    * side's payload; at scale this is a broadcast/shuffled semi, never a
+    * join+distinct. */
+  val q06SemiJoin: Q = (s, d) => {
+    val hot = li(s, d).filter(col("l_quantity") >= 49).select("l_orderkey")
+    ord(s, d).join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti join (NOT EXISTS): customers with no orders. */
+  val q07AntiJoin: Q = (s, d) =>
+    cust(s, d)
+      .join(ord(s, d).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Whole-row dedup on a projection (P4: drop_duplicates(),
+    * transformation.py:145,301). distinct = shuffle on all columns. */
+  val q08DedupRows: Q = (s, d) =>
+    li(s, d).select("l_returnflag", "l_linestatus").dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Subset dedup with deterministic keep-first (P5: drop_duplicates(
+    * subset), transformation.py:129). pandas keeps file order; Spark has no
+    * row order, so "first" is defined by an explicit window order —
+    * SURVEY.md §7.4(1). */
+  val q09DedupSubsetFirst: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  /** Distinct on projection + null-drop (P6: transformation.py:159,187). */
+  val q10DistinctProject: Q = (s, d) =>
+    cust(s, d).select("c_mktsegment").na.drop().distinct()
+      .orderBy("c_mktsegment")
+
+  /** Surrogate keys dense 1..n over a natural-key order (A4:
+    * np.arange(1, len+1), transformation.py:160,188). Global row_number is
+    * a single-partition sort — fine for dimension-sized inputs (categories,
+    * attributes ≤ a few M rows); the 100 TB fact-side variant is
+    * zipWithIndex (graft.dw.Keys.scalableIds). */
+  val q11SurrogateKeys: Q = (s, d) =>
+    prt(s, d).select("p_type").distinct()
+      .withColumn("type_id", row_number().over(Window.orderBy("p_type")))
+      .select("type_id", "p_type")
+      .orderBy("type_id")
+
+  /** Window functions: rank + exact running sum per partition (serving
+    * surface; running sum uses DECIMAL so segment-tree vs streaming window
+    * implementations can't diverge on float order). */
+  val q12WindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast(Dec)).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("running_qty"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** ROLLUP (A3 — grouping-set surface DuckDB provided in the reference). */
+  val q13Rollup: Q = (s, d) =>
+    ord(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** CUBE (A3). */
+  val q14Cube: Q = (s, d) =>
+    li(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct count (A2). countDistinct expands to a two-phase
+    * aggregate; approx_count_distinct (HLL) is the 100 TB variant but is
+    * implementation-defined, so the oracle pins the exact form. */
+  val q15CountDistinct: Q = (s, d) =>
+    li(s, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Conditional aggregation (CASE WHEN inside agg — market-share shape). */
+  val q16ConditionalAgg: Q = (s, d) => {
+    val j = ord(s, d).join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+    j.groupBy("c_mktsegment")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", col("o_totalprice").cast(Dec))
+          .otherwise(lit(0).cast(Dec))).cast(DecOut).cast("double").as("finished_total"),
+        dsum(col("o_totalprice")).as("all_total"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("n_finished"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Date/time scalar functions (D3-D9, transformation.py:100-135). */
+  val q17DateScalars: Q = (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey") <= 200)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_id"),
+        date_format(col("o_orderdate"), "EEEE").as("day_name"),
+        dayofmonth(col("o_orderdate")).as("day_of_month"),
+        month(col("o_orderdate")).as("month"),
+        year(col("o_orderdate")).as("year"),
+        quarter(col("o_orderdate")).as("quarter"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** String scalar functions (F1-F5, §2.7). */
+  val q18StringFuncs: Q = (s, d) =>
+    prt(s, d)
+      .filter(col("p_partkey") <= 100)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        lower(col("p_brand")).as("lower_brand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 6).as("type_prefix"),
+        element_at(split(col("p_type"), " "), 1).as("type_first_word"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded_size"),
+        pmod(col("p_size") + 20, lit(24)).as("wrapped_hour"))
+      .orderBy("p_partkey")
+
+  /** UNION ALL (O3/E8: pd.concat, transformation.py:71,364). */
+  val q19UnionAll: Q = (s, d) => {
+    val c = cust(s, d).select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("src"))
+    val sp = supp(s, d).select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+      lit("supplier").as("src"))
+    c.unionAll(sp).orderBy("src", "name")
+  }
+
+  /** INTERSECT (O4 — set-op serving surface). */
+  val q20Intersect: Q = (s, d) =>
+    cust(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(supp(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT (O4). */
+  val q21Except: Q = (s, d) =>
+    nat(s, d).select(col("n_nationkey").as("nationkey"))
+      .except(supp(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  // ---------------------------------------------------------------- oracle
+
+  private val decQty = "CAST(l_quantity AS DECIMAL(18,6))"
+  private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,6))"
+  private val decDisc = "CAST(l_discount AS DECIMAL(18,6))"
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_revenue_topn" -> q03RevenueTopN,
+    "q04_star_join" -> q04StarJoin,
+    "q05_left_join_miss" -> q05LeftJoinMiss,
+    "q06_semi_join" -> q06SemiJoin,
+    "q07_anti_join" -> q07AntiJoin,
+    "q08_dedup_rows" -> q08DedupRows,
+    "q09_dedup_subset_first" -> q09DedupSubsetFirst,
+    "q10_distinct_project" -> q10DistinctProject,
+    "q11_surrogate_keys" -> q11SurrogateKeys,
+    "q12_window_running" -> q12WindowRunning,
+    "q13_rollup" -> q13Rollup,
+    "q14_cube" -> q14Cube,
+    "q15_count_distinct" -> q15CountDistinct,
+    "q16_conditional_agg" -> q16ConditionalAgg,
+    "q17_date_scalars" -> q17DateScalars,
+    "q18_string_funcs" -> q18StringFuncs,
+    "q19_union_all" -> q19UnionAll,
+    "q20_intersect" -> q20Intersect,
+    "q21_except" -> q21Except)
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(CAST(SUM($decQty) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+         | CAST(CAST(SUM($decPrice) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+         | CAST(CAST(SUM($decPrice * (1 - $decDisc)) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+         | CAST(CAST(SUM($decQty) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         | CAST(CAST(SUM($decDisc) AS DECIMAL(38,4)) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         | COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_revenue_topn" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         | CAST(CAST(SUM($decPrice * (1 - $decDisc)) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_star_join" ->
+      s"""SELECT r_name, n_name,
+         | CAST(CAST(SUM($decPrice * (1 - $decDisc)) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_left_join_miss" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_dedup_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q09_dedup_subset_first" ->
+      """SELECT o_custkey, o_orderkey AS first_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q10_distinct_project" ->
+      """SELECT DISTINCT c_mktsegment FROM customer
+        |WHERE c_mktsegment IS NOT NULL ORDER BY c_mktsegment""".stripMargin,
+    "q11_surrogate_keys" ->
+      """SELECT CAST(row_number() OVER (ORDER BY p_type) AS INT) AS type_id, p_type
+        |FROM (SELECT DISTINCT p_type FROM part) ORDER BY type_id""".stripMargin,
+    "q12_window_running" ->
+      """SELECT l_suppkey,
+        | CAST(row_number() OVER w AS INT) AS rn, l_orderkey, l_linenumber, l_quantity,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+        |   OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_orderkey <= 100
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q13_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q14_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         | CAST(CAST(SUM($decQty) AS DECIMAL(38,4)) AS DOUBLE) AS qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q15_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_conditional_agg" ->
+      """SELECT c_mktsegment,
+        | CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,4)) AS DOUBLE) AS finished_total,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS all_total,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q17_date_scalars" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
+        | dayname(o_orderdate) AS day_name,
+        | CAST(dayofmonth(o_orderdate) AS INT) AS day_of_month,
+        | CAST(month(o_orderdate) AS INT) AS month,
+        | CAST(year(o_orderdate) AS INT) AS year,
+        | CAST(quarter(o_orderdate) AS INT) AS quarter,
+        | strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+    "q18_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS upper_name,
+        | lower(p_brand) AS lower_brand,
+        | CAST(length(p_name) AS INT) AS name_len,
+        | substring(p_type, 1, 6) AS type_prefix,
+        | split_part(p_type, ' ', 1) AS type_first_word,
+        | trim('  ' || p_brand || '  ') AS trimmed,
+        | p_brand || '/' || p_type AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        | lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+        | CAST((p_size + 20) % 24 AS INT) AS wrapped_hour
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
+    "q19_union_all" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier
+        |ORDER BY src, name""".stripMargin,
+    "q20_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q21_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)
+}
