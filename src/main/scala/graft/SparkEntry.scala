@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
+      ops.SemiStructured.queries ++
       dw.DateDimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,5 +27,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++
+      ops.SemiStructured.oracleSql ++
       dw.DateDimQueries.oracleSql
 }

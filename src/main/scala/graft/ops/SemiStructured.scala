@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semi-structured operators (SURVEY.md §2.5 E1-E8 + §2.1 sources/catalog).
+  *
+  * The reference's workhorse transforms are row-wise Python loops over
+  * split/explode/map/JSON shapes (`/root/reference/transformation.py`
+  * :149-155,174-182,201-229,252-256,304-322,389-403). Here each shape is a
+  * single declarative plan: `explode(split(...))`, `explode(MapType col)`,
+  * `from_json` + explode over array-of-struct — all inside whole-stage
+  * codegen, no UDFs (§2.10: zero custom expressions needed for parity).
+  *
+  * Scale: explode is a Generate operator — no shuffle; the only shuffles
+  * here are the final group-bys on exploded keys (bounded cardinality).
+  */
+object SemiStructured {
+
+  /** E1-E4: split + explode + non-empty filter (checkin dates, elite years,
+    * friends, categories — transformation.py:252-256,389-403,149-155). */
+  val q24WordExplode: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  /** E7/D7: JSON scalar extraction with schema (from_json null-on-invalid
+    * matches json.loads try/except at transformation.py:310-314). */
+  val q25JsonScalar: Q = (s, d) =>
+    table(s, d, "events")
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  /** E5: map explode — (key, value) rows from a MapType column, the
+    * attributes/hours shape (transformation.py:174-182,203-225). */
+  val q26JsonMapExplode: Q = (s, d) =>
+    table(s, d, "events")
+      .select(explode(from_json(col("props"), MapType(StringType, LongType))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+      .orderBy("key")
+
+  /** E7: array-of-struct JSON parse + explode + struct field access (covid
+    * highlights, transformation.py:304-322). The array is constructed from
+    * row data so the oracle can state the equivalent flat semantics. */
+  val q27JsonArrayStruct: Q = (s, d) => {
+    val arraySchema = ArrayType(StructType(Seq(
+      StructField("t", StringType), StructField("v", LongType))))
+    table(s, d, "events")
+      .select(from_json(
+        concat(lit("""[{"t":""""), col("event_type"), lit("""","v":"""),
+          round(col("value") * 100).cast("long"), lit("}]")),
+        arraySchema).as("hl"))
+      .select(explode(col("hl")).as("h"))
+      .select(col("h.t").as("t"), col("h.v").as("v"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .orderBy("t")
+  }
+
+  /** E6/F5: the reference's hour-range parse — "H:M-H:M" split on '-' then
+    * ':' with close-hour % 24 wraparound (transformation.py:201-229). The
+    * range string is constructed un-wrapped (close hour may be 24..31) so
+    * pmod does real work, like the reference's "24:0" -> 0. */
+  val q28HourRangeParse: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_id") <= 200)
+      .select(col("event_id"),
+        concat(hour(col("ts")).cast("string"), lit(":"),
+          minute(col("ts")).cast("string"), lit("-"),
+          (hour(col("ts")) + 8).cast("string"), lit(":"),
+          minute(col("ts")).cast("string")).as("time_range"))
+      .select(col("event_id"), col("time_range"),
+        element_at(split(element_at(split(col("time_range"), "-"), 1), ":"), 1)
+          .cast("int").as("open_hour"),
+        pmod(element_at(split(element_at(split(col("time_range"), "-"), 2), ":"), 1)
+          .cast("int"), lit(24)).as("close_hour"))
+      .orderBy("event_id")
+
+  /** S6/S8/S9: DataFrame registration + catalog listing + SQL serving —
+    * the DuckDB role in the reference (con.register + SHOW TABLES,
+    * transformation.py:531, test_sql.py:8-14). */
+  val q29CatalogViews: Q = (s, d) => {
+    table(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_v")
+    table(s, d, "orders").createOrReplaceTempView("graft_orders_v")
+    s.sql("SHOW TABLES")
+      .filter(col("tableName").startsWith("graft_"))
+      .select(col("tableName").as("table_name"))
+      .orderBy("table_name")
+  }
+
+  /** S9: ad-hoc SQL over a registered view (test_sql.py:13-14), the whole
+    * Catalyst SQL lifecycle: parse -> analyze -> optimize -> execute. */
+  val q30SqlServing: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_orders_sql")
+    s.sql(
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM graft_orders_sql
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** S1: schema-enforced NDJSON scan (pd.read_json(lines=True),
+    * transformation.py:53-75). Round-trips a dim through NDJSON on local
+    * disk — at scale this is the partitioned `spark.read.schema(s).json`
+    * path over an object store, chunking subsumed by file splits. */
+  val q31NdjsonSource: Q = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_ndjson_region"
+    table(s, d, "region").write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    s.read.schema(schema).json(tmp)
+      .select("r_regionkey", "r_name")
+      .orderBy("r_regionkey")
+  }
+
+  /** S2: schema-enforced CSV scan with header (pd.read_csv,
+    * transformation.py:77-87). */
+  val q32CsvSource: Q = (s, d) => {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_nation"
+    table(s, d, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("header", "true").csv(tmp)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q24_word_explode" -> q24WordExplode,
+    "q25_json_scalar" -> q25JsonScalar,
+    "q26_json_map_explode" -> q26JsonMapExplode,
+    "q27_json_array_struct" -> q27JsonArrayStruct,
+    "q28_hour_range_parse" -> q28HourRangeParse,
+    "q29_catalog_views" -> q29CatalogViews,
+    "q30_sql_serving" -> q30SqlServing,
+    "q31_ndjson_source" -> q31NdjsonSource,
+    "q32_csv_source" -> q32CsvSource)
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_word_explode" ->
+      """SELECT w AS word, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY w ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "q25_json_scalar" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_json_map_explode" ->
+      """SELECT k AS key, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS total
+        |FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        |GROUP BY k ORDER BY key""".stripMargin,
+    "q27_json_array_struct" ->
+      """SELECT event_type AS t, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_sum
+        |FROM events GROUP BY event_type ORDER BY t""".stripMargin,
+    "q28_hour_range_parse" ->
+      """SELECT event_id,
+        | CAST(hour(ts) AS VARCHAR) || ':' || CAST(minute(ts) AS VARCHAR) || '-' ||
+        |   CAST(hour(ts) + 8 AS VARCHAR) || ':' || CAST(minute(ts) AS VARCHAR) AS time_range,
+        | CAST(hour(ts) AS INT) AS open_hour,
+        | CAST((hour(ts) + 8) % 24 AS INT) AS close_hour
+        |FROM events WHERE event_id <= 200 ORDER BY event_id""".stripMargin,
+    "q29_catalog_views" ->
+      """SELECT * FROM (VALUES ('graft_lineitem_v'), ('graft_orders_v')) t(table_name)
+        |ORDER BY table_name""".stripMargin,
+    "q30_sql_serving" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q31_ndjson_source" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q32_csv_source" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+}

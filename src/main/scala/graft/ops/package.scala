@@ -46,11 +46,25 @@ package object ops {
   def drevenue(price: Column, discount: Column): Column =
     sum(price.cast(Dec) * (lit(1).cast(Dec) - discount.cast(Dec))).cast(DecOut).cast("double")
 
+  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for — read it as long and convert to microsecond
+    * TimestampType (integer division; ns-epoch exceeds 2^53 so float math
+    * would corrupt it).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** Read a driver fixture table (TESTDATA.md) from the round's sf dir. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Spark 4 defaults ANSI on; the reference's semantics (pandas: bad
     // parse -> NaN/NaT, transformation.py:260) need null-on-failure casts.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // events.parquet stores TIMESTAMP(NANOS); schema inference rejects it
+    // outright (even under pruning) unless nanos map to long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 }

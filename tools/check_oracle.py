@@ -33,8 +33,11 @@ def main(sf_dir, out_dir):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted([d for d in os.listdir(out_dir)
-                    if os.path.isdir(os.path.join(out_dir, d))])
+    dirs = set(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that errored in Verify writes no dir — that's a failure, not
+    # a silent skip
+    names = sorted(dirs | set(oracle.keys()))
     n_pass = n_fail = 0
     for name in names:
         spark_df = load_spark(os.path.join(out_dir, name))
