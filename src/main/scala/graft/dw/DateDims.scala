@@ -40,25 +40,27 @@ object DateDims {
         col("datetime_id"),
         col("full_timestamp"),
         date_format(col("full_timestamp"), "yyyyMMdd").cast("int").as("date_id"),
-        date_format(col("full_timestamp"), "EEEE").as("day_name"),
+        date_format(col("full_timestamp"), "EEEE").as("day_of_week"),
         dayofmonth(col("full_timestamp")).as("day_of_month"),
         month(col("full_timestamp")).as("month"),
         year(col("full_timestamp")).as("year"),
-        quarter(col("full_timestamp")).as("quarter"))
+        quarter(col("full_timestamp")).as("quarter"),
+        lit(0).as("hour_id")) // constant default, transformation.py:114 (D11)
   }
 
   /** dim_date (transformation.py:128-137): keyed by date_id, dedup'd. */
   def dimDate(spark: SparkSession): DataFrame =
     dimDatetime(spark)
-      .select(col("date_id"), col("full_timestamp").as("date"), col("day_name"),
-        col("day_of_month"), col("month"), col("year"), col("quarter"))
       .dropDuplicates("date_id")
+      .select(col("date_id"), col("full_timestamp").as("full_date"),
+        col("year"), col("month"), col("day_of_month").as("day"),
+        col("day_of_week"), col("quarter"))
 
   /** dim_hour (transformation.py:118-125): 0-23 with "00".."23" labels. */
   def dimHour(spark: SparkSession): DataFrame =
     spark.range(24)
       .select(col("id").cast("int").as("hour_id"),
-        lpad(col("id").cast("string"), 2, "0").as("hour_label"))
+        lpad(col("id").cast("string"), 2, "0").as("hour_of_day")) // transformation.py:123
 }
 
 /** Oracle-checked queries over the generated dims (no fixture input). */
@@ -70,7 +72,7 @@ object DateDimQueries {
       DateDims.dimDatetime(s)
         .select(col("datetime_id"),
           date_format(col("full_timestamp"), "yyyy-MM-dd").as("full_date"),
-          col("date_id"), col("day_name"), col("day_of_month"),
+          col("date_id"), col("day_of_week").as("day_name"), col("day_of_month"),
           col("month"), col("year"), col("quarter"))
         .orderBy("datetime_id")
     }),
@@ -93,6 +95,6 @@ object DateDimQueries {
         |ORDER BY datetime_id""".stripMargin,
     "q23_hour_dim" ->
       """SELECT CAST(range AS INT) AS hour_id,
-        | lpad(CAST(range AS VARCHAR), 2, '0') AS hour_label
+        | lpad(CAST(range AS VARCHAR), 2, '0') AS hour_of_day
         |FROM range(24) ORDER BY hour_id""".stripMargin)
 }

@@ -1,0 +1,42 @@
+package graft.dw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+
+/** Surrogate-key generation (SURVEY.md §2.4 A4, §7.4.1).
+  *
+  * The reference assigns ids positionally (`np.arange(1, len+1)`,
+  * `/root/reference/transformation.py:160,188,277,395,405,442`), which
+  * depends on pandas file order. Spark has no stable row order, so:
+  *
+  *   - [[denseIds]]: ids 1..n by an explicit natural-key order —
+  *     deterministic and oracle-reproducible. Costs a global sort; correct
+  *     choice for dimension tables (categories, attributes, elite years —
+  *     at most a few million rows even at 100 TB input).
+  *   - [[partitionOffsetIds]]: zipWithIndex-style — one count per
+  *     partition, no global sort; ids are dense but their order follows
+  *     partition layout. Correct choice for fact-table ids (checkin_id,
+  *     tip_id) at scale, where ids are opaque handles; kept deterministic
+  *     here by sorting within the caller first only when needed.
+  */
+object Keys {
+
+  /** Dense 1..n ids ordered by the given natural key. */
+  def denseIds(df: DataFrame, idCol: String, orderBy: Seq[Column]): DataFrame =
+    df.withColumn(idCol, row_number().over(Window.orderBy(orderBy: _*)))
+
+  /** Scalable dense ids: per-partition offsets + local index (no global
+    * sort; one extra job to count partitions — the standard zipWithIndex
+    * trade). Ids are dense 1..n but partition-order dependent.
+    */
+  def partitionOffsetIds(df: DataFrame, idCol: String): DataFrame = {
+    val schema = df.schema
+    val withId = df.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(withId,
+      schema.add(idCol, LongType, nullable = false))
+  }
+}

@@ -37,6 +37,6 @@ class DateDimsSpec extends SparkTestBase {
   test("day_name matches java semantics for a known date") {
     // 1948-09-06 was a Monday
     val r = DateDims.dimDatetime(spark).filter(col("datetime_id") === 0).collect()(0)
-    assert(r.getAs[String]("day_name") === "Monday")
+    assert(r.getAs[String]("day_of_week") === "Monday")
   }
 }
