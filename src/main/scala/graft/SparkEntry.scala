@@ -20,7 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.SemiStructured.queries ++
-      dw.DateDimQueries.queries
+      dw.DateDimQueries.queries ++
+      ext.Dedup.queries ++
+      ext.Similarity.queries ++
+      ext.TextAnalysis.queries ++
+      ext.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +33,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++
       ops.SemiStructured.oracleSql ++
-      dw.DateDimQueries.oracleSql
+      dw.DateDimQueries.oracleSql ++
+      ext.Dedup.oracleSql ++
+      ext.Similarity.oracleSql ++
+      ext.TextAnalysis.oracleSql ++
+      ext.Multimodal.oracleSql ++
+      streaming.Streams.oracleSql
 }

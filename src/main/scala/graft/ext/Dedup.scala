@@ -1,0 +1,254 @@
+package graft.ext
+
+import graft.ops.{table, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, over the
+  * `documents` fixture (builder brief; BASELINE.json north star).
+  *
+  * All hashing is md5 (identical bytes→hex in Spark and DuckDB), so every
+  * stage is cross-engine deterministic and oracle-checkable — no
+  * engine-private hash functions in results.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup: hash-groupBy on a 128-bit digest — one shuffle of
+  *     (digest, doc_id), never the document bodies.
+  *   - n-gram Jaccard: inverted-index self-join on shingles (pairs only
+  *     materialize for docs sharing a shingle) — never a cross join. At
+  *     100 TB add a document-frequency cap on shingles (drop df>k posting
+  *     lists) to bound skew; omitted here because the oracle must see
+  *     exact semantics.
+  *   - MinHash+LSH: 16-hash signatures, 4 bands x 4 rows; candidate pairs
+  *     come from band-bucket joins (cost ~ sum over buckets of k²),
+  *     verified against the full signature. This is the standard
+  *     shingle→minhash→band→bucket-join pipeline.
+  *   - SimHash: 32-bit fingerprints; candidates from 8-bit chunk buckets
+  *     (any pair within hamming distance 3 shares at least one of 4
+  *     chunks — pigeonhole), verified with bit_count(xor).
+  *   - embedding near-dup: cosine within coarse buckets (label = IVF
+  *     cell); brute force inside the bucket only.
+  */
+object Dedup {
+
+  /** Word-level shingles of size 3 over lowercased whitespace tokens. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+      .filter(size(col("toks")) >= 3) // sequence() descends for stop<start
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("sh"))
+      .distinct()
+
+  /** Exact dedup: md5 over normalized text, keep min doc_id per group
+    * (hash-groupBy — the only full pass; no bodies cross the shuffle). */
+  val dedupExact: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("doc_id_kept"), count(lit(1)).as("group_size"))
+      .select("doc_id_kept", "group_size", "h")
+      .orderBy("doc_id_kept")
+
+  /** Exact word-3-gram Jaccard via inverted-index join; top-20 pairs. */
+  val dedupNgramJaccard: Q = (s, d) => {
+    // cached: consumed by the self-join (twice) and the size aggregation
+    val sh = shingles(table(s, d, "documents")).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "n_b"), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** MinHash signatures (16 hashes) + LSH banding (4 bands x 4 rows):
+    * shingle → minhash → band → bucket-join → signature-verified estimate.
+    * Output: candidate pairs with >= 8/16 matching minhashes. */
+  val dedupMinhashLsh: Q = (s, d) => {
+    val sh = shingles(table(s, d, "documents"))
+    // all 16 minhashes in ONE aggregation pass (no j-explosion): partial
+    // (map-side) agg reduces the shuffle to one 16-column row per doc
+    val sigCols = (0 to 15).map(j =>
+      min(md5(concat(col("sh"), lit(s"#$j")))).as(s"h$j"))
+    // one 17-column row per doc; cached because the plan consumes it three
+    // times (bands + both verify sides) and would otherwise recompute the
+    // shingle scan for each
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+    val bandStructs = (0 to 3).map(b =>
+      s"struct(CAST($b AS INT) AS band, concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS band_key)")
+      .mkString("array(", ", ", ")")
+    val bands = sig
+      .select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val matchSum = (0 to 15).map(j => s"IF(a.h$j = b.h$j, 1, 0)").mkString(" + ")
+    candidates
+      .join(sig.as("a"), col("a_id") === col("a.doc_id"))
+      .join(sig.as("b"), col("b_id") === col("b.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        expr(s"CAST($matchSum AS BIGINT)").as("n_match"))
+      .filter(col("n_match") >= 8)
+      .select(col("a_id"), col("b_id"), col("n_match"),
+        (col("n_match").cast("double") / 16).as("est_jaccard"))
+      .orderBy(col("n_match").desc, col("a_id"), col("b_id"))
+  }
+
+  /** SimHash: 32-bit fingerprint from distinct-token hashes; candidate
+    * pairs from 8-bit chunk buckets, verified by hamming distance <= 2. */
+  val dedupSimhash: Q = (s, d) => {
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    // all 32 bit-balances in ONE aggregation pass (no j-explosion; partial
+    // agg ships one 32-column row per doc instead of |tokens| x 32 rows)
+    val balCols = (0 to 31).map(j =>
+      sum(when(substring(md5(concat(col("tok"), lit(s"#$j"))), 1, 1) >= "8", 1)
+        .otherwise(-1)).as(s"bal$j"))
+    val fpExpr = (0 to 31)
+      .map(j => s"IF(bal$j > 0, CAST(shiftleft(CAST(1 AS BIGINT), $j) AS BIGINT), CAST(0 AS BIGINT))")
+      .mkString(" + ")
+    // one row per doc; cached — the self-join would recompute the token
+    // scan + 32 md5 aggregations for each side
+    val fp = toks.groupBy("doc_id").agg(balCols.head, balCols.tail: _*)
+      .select(col("doc_id"), expr(fpExpr).as("simhash")).persist()
+    val chunks = fp.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk_val", expr("shiftright(simhash, c * 8) & 255"))
+    // hamming is evaluated inside the bucket join so only qualifying pairs
+    // reach the dedup shuffle (vocab overlap makes buckets skewed — the
+    // pre-distinct filter is the difference between shuffling ~2M and
+    // ~13M pairs at sf0.1; same result set either way)
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          expr("bit_count(x.simhash ^ y.simhash) <= 2"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hamming"))
+      .distinct()
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+  }
+
+  /** Embedding near-dup: cosine >= threshold inside coarse buckets
+    * (label = IVF cell assignment); top-20. The cosine is an explicit
+    * sequential fold over doubles so both engines sum in index order. */
+  val dedupEmbedding: Q = (s, d) => {
+    val vecs = table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    val pairs = vecs.as("a").join(vecs.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.label").as("label"),
+        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("a.norm") * col("b.norm"))).as("cosine"))
+    pairs
+      .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext01_dedup_exact" -> dedupExact,
+    "ext02_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "ext04_dedup_simhash" -> dedupSimhash,
+    "ext05_dedup_embedding" -> dedupEmbedding)
+
+  private val shinglesSql =
+    """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks)-1)]) AS sh
+      |       FROM tok WHERE len(toks) >= 3)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ext01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id_kept, COUNT(*) AS group_size, h
+        |FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |      FROM documents)
+        |GROUP BY h ORDER BY doc_id_kept""".stripMargin,
+    "ext02_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = a_id
+         |JOIN sz sb ON sb.doc_id = b_id
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "ext03_dedup_minhash_lsh" ->
+      s"""WITH $shinglesSql,
+         |sig AS (
+         |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
+         |  FROM sh, range(16) r(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         |         string_agg(h, '|' ORDER BY j) AS band_key
+         |  FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |m AS (
+         |  SELECT a_id, b_id,
+         |         CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = a_id
+         |  JOIN sig sb ON sb.doc_id = b_id AND sb.j = sa.j
+         |  GROUP BY a_id, b_id)
+         |SELECT a_id, b_id, n_match, CAST(n_match AS DOUBLE) / 16 AS est_jaccard
+         |FROM m WHERE n_match >= 8
+         |ORDER BY n_match DESC, a_id, b_id""".stripMargin,
+    "ext04_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |  FROM documents),
+        |toksf AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         SUM(CASE WHEN substr(md5(tok || '#' || j), 1, 1) >= '8'
+        |             THEN 1 ELSE -1 END) AS bal
+        |  FROM toksf, range(32) r(j) GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN bal > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS chunk_val
+        |  FROM fp, range(4) r(c)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+        |         x.simhash AS sh_a, y.simhash AS sh_b
+        |  FROM chunks x JOIN chunks y
+        |    ON x.c = y.c AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 2
+        |ORDER BY hamming, a_id, b_id""".stripMargin,
+    "ext05_dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |         sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+        |  list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) / (a.norm * b.norm) AS cosine
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, a_id, b_id LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.ops.{table, Q}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary media + typed metadata, with
+  * a decode/feature-extract stage as a distributed partition-wise map.
+  *
+  * Real pipelines carry image/audio/video as parquet `binary` columns and
+  * decode inside `mapPartitions` (Scala) / `mapInPandas` (Python) so the
+  * codec runs data-parallel next to the bytes, never on the driver. No
+  * image/audio codecs exist in this environment, so the decode body is a
+  * clearly-marked DETERMINISTIC STUB over the bytes — the Spark-side
+  * plumbing (binary column, typed row batches through an iterator,
+  * repartition-for-decode, typed output schema) is the real, tested part.
+  * The stub's arithmetic is also expressible in SQL, which is what makes
+  * the pipeline oracle-checkable end to end.
+  */
+object Multimodal {
+
+  /** Input: binary payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, media: Array[Byte], kind: String)
+
+  /** Output of the decode stub. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, fake_width: Int,
+      fake_height: Int, frames: Int)
+
+  /** STUB decoder — stands in for a real image/video codec. Pure function
+    * of the bytes, so results are deterministic and oracle-checkable.
+    */
+  private def decodeStub(m: MediaRow): MediaFeatures = {
+    val n = m.media.length
+    val first = if (n > 0) m.media(0) & 0xff else 0
+    MediaFeatures(m.doc_id, n, 32 + n % 64, 32 + first % 64, 1 + n % 8)
+  }
+
+  /** Binary ingestion + partition-wise decode: documents' text bytes stand
+    * in for media payloads. */
+  val mediaDecode: Q = (s, d) => {
+    import s.implicits._
+    val media = table(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+        lit("image").as("kind"))
+      .as[MediaRow]
+    media
+      .repartition(col("doc_id")) // decode runs where the bytes live
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling shape: expand each media row into its (fake) frames
+    * and fingerprint each — the video-frame-sample access pattern as a
+    * pure Generate plan (no shuffle). */
+  val frameSample: Q = (s, d) => {
+    import s.implicits._
+    val features = table(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+        lit("image").as("kind"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+    features
+      .select(col("doc_id"), col("frames"),
+        explode(expr("sequence(1, frames)")).as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        md5(concat(col("doc_id"), lit(":"), col("frame_no"))).as("frame_digest"))
+      .orderBy("doc_id", "frame_no")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext12_multimodal_decode" -> mediaDecode,
+    "ext13_multimodal_frames" -> frameSample)
+
+  // The oracle re-states the stub arithmetic over the source text (ASCII
+  // fixture: chars == bytes; strlen() counts bytes in DuckDB).
+  val oracleSql: Map[String, String] = Map(
+    "ext12_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(32 + strlen(text) % 64 AS INT) AS fake_width,
+        |  CAST(32 + ascii(substr(text, 1, 1)) % 64 AS INT) AS fake_height,
+        |  CAST(1 + strlen(text) % 8 AS INT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext13_multimodal_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_no,
+        |  md5(doc_id || ':' || f) AS frame_digest
+        |FROM (SELECT doc_id, unnest([i for i in range(1, (1 + strlen(text) % 8) + 1)]) AS f
+        |      FROM documents)
+        |ORDER BY doc_id, frame_no""".stripMargin)
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.ops.{table, Q}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture.
+  *
+  * Two tiers, as a real 100 TB pipeline would ship them:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *     Query set × full corpus; at scale this is only viable for small
+  *     query batches (broadcast the queries, scan the corpus once,
+  *     per-partition top-k then global top-k — no full sort).
+  *   - [[ivfTopK]]: IVF-style probe-1 search — the corpus is bucketed by a
+  *     coarse quantizer (here the `label` column stands in for
+  *     nearest-centroid assignment) and only the query's own cell is
+  *     scanned, cutting scan cost by the number of cells. Recall < 1 by
+  *     construction; the candidate set restriction IS the semantics, so
+  *     the oracle encodes the same restriction.
+  *
+  * The cosine is an explicit sequential fold over doubles (zip_with +
+  * aggregate), so Spark and DuckDB sum in the same order — bit-identical
+  * results, which also makes the float-descending ORDER BY stable across
+  * engines.
+  */
+object Similarity {
+
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+
+  private val dot =
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** Exact top-5 cosine neighbors for every 50th vector. */
+  val bruteForceTopK: Q = (s, d) => {
+    val all = vecs(s, d)
+    val queries = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"))
+    val scored = queries.as("q").join(all.as("c"), col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        (expr(dot) / (col("q.norm") * col("c.norm"))).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF probe-1: same queries, candidates restricted to the query's
+    * coarse cell (label). */
+  val ivfTopK: Q = (s, d) => {
+    val all = vecs(s, d)
+    val queries = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label"), col("v"), col("norm"))
+    val scored = queries.as("q").join(all.as("c"),
+        col("q.label") === col("c.label") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("q.label").as("cell"),
+        col("c.vec_id").as("n_id"),
+        (expr(dot) / (col("q.norm") * col("c.norm"))).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cell"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext06_sim_topk_bruteforce" -> bruteForceTopK,
+    "ext07_sim_topk_ivf" -> ivfTopK)
+
+  private val vSql =
+    """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |        sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS norm
+      |      FROM embeddings)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ext06_sim_topk_bruteforce" ->
+      s"""WITH $vSql,
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.norm) AS cosine
+         |  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |SELECT q_id,
+         |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+         |FROM scored
+         |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+         |QUALIFY row_number() OVER w <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    "ext07_sim_topk_ivf" ->
+      s"""WITH $vSql,
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.label AS cell, c.vec_id AS n_id,
+         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.norm) AS cosine
+         |  FROM v q JOIN v c ON q.label = c.label AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |SELECT q_id, cell,
+         |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+         |FROM scored
+         |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.ops.{table, Q}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd string/regexp/array built-ins — one
+  * narrow projection per document, no shuffle at all except the final
+  * oracle sort. At 100 TB these are embarrassingly parallel map stages;
+  * the regexp count idiom (length minus length-of-removed) avoids any UDF.
+  */
+object TextAnalysis {
+
+  private val langWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  private def inSet(tok: org.apache.spark.sql.Column, words: Seq[String]) =
+    tok.isin(words: _*)
+
+  /** Stopword-profile language ID: count tokens per language stopword set,
+    * argmax with fixed tie order en > es > de > fr. */
+  val langId: Q = (s, d) => {
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val scored = toks.groupBy("doc_id").agg(
+      sum(when(inSet(col("tok"), langWords("en")), 1).otherwise(0)).as("en_score"),
+      sum(when(inSet(col("tok"), langWords("es")), 1).otherwise(0)).as("es_score"),
+      sum(when(inSet(col("tok"), langWords("de")), 1).otherwise(0)).as("de_score"),
+      sum(when(inSet(col("tok"), langWords("fr")), 1).otherwise(0)).as("fr_score"))
+    val g = greatest(col("en_score"), col("es_score"), col("de_score"), col("fr_score"))
+    scored
+      .withColumn("detected_lang",
+        when(col("en_score") === g, "en").when(col("es_score") === g, "es")
+          .when(col("de_score") === g, "de").otherwise("fr"))
+      .select("doc_id", "en_score", "es_score", "de_score", "fr_score", "detected_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length, token stats, punctuation + stopword ratios,
+    * and a keep/drop flag — the standard heuristic pre-filter. */
+  val quality: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("n_chars"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).as("n_tokens"))
+      .withColumn("punct_chars",
+        length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+      .withColumn("stop_tokens",
+        size(expr("filter(split(lower(text), ' '), t -> t in ('the', 'a', 'of', 'and', 'is'))")))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        (col("punct_chars").cast("double") / col("n_chars")).as("punct_ratio"),
+        (col("stop_tokens").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        when(col("n_tokens") >= 10 && col("n_chars") >= 50, "keep")
+          .otherwise("drop").as("quality_flag"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single symbols). */
+  val tokenCount: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_ish_tokens"),
+        length(col("text")).as("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: whole-text digest + min-shingle digest (the
+    * 1-hash minhash — a rolling-hash-style content signature robust to
+    * suffix edits). */
+  val fingerprint: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"),
+        md5(col("t")).as("full_md5"),
+        expr("array_min(transform(sequence(1, greatest(length(t) - 7, 1)), i -> md5(substring(t, i, 8))))")
+          .as("min_shingle_md5"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "ext08_text_langid" -> langId,
+    "ext09_text_quality" -> quality,
+    "ext10_text_tokens" -> tokenCount,
+    "ext11_text_fingerprint" -> fingerprint)
+
+  val oracleSql: Map[String, String] = Map(
+    "ext08_text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS BIGINT) AS en_score,
+        |    CAST(SUM(CASE WHEN tok IN ('el','la','los','de','es') THEN 1 ELSE 0 END) AS BIGINT) AS es_score,
+        |    CAST(SUM(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS de_score,
+        |    CAST(SUM(CASE WHEN tok IN ('le','les','des','et','est') THEN 1 ELSE 0 END) AS BIGINT) AS fr_score
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, en_score, es_score, de_score, fr_score,
+        |  CASE WHEN en_score >= greatest(en_score, es_score, de_score, fr_score) THEN 'en'
+        |       WHEN es_score >= greatest(en_score, es_score, de_score, fr_score) THEN 'es'
+        |       WHEN de_score >= greatest(en_score, es_score, de_score, fr_score) THEN 'de'
+        |       ELSE 'fr' END AS detected_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "ext09_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |       t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |    / len(list_filter(string_split(text, ' '), t -> t <> '')) AS stopword_ratio,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) >= 10
+        |            AND length(text) >= 50 THEN 'keep' ELSE 'drop' END AS quality_flag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext10_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(length(text) AS DOUBLE)
+        |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext11_text_fingerprint" ->
+      """SELECT doc_id, md5(t) AS full_md5,
+        |  list_min([md5(substr(t, i, 8)) for i in range(1, greatest(length(t) - 6, 2))]) AS min_shingle_md5
+        |FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin)
+}

