@@ -71,17 +71,39 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Same search as [[bruteForceTopK]] scored by the native codegen'd
+    * Catalyst expression (graft.functions.CosineSimilarity) — one fused
+    * loop inside whole-stage codegen instead of zip_with+aggregate lambda
+    * interpretation. Identical operation order → bit-identical results,
+    * so it shares the brute-force oracle.
+    */
+  val bruteForceNativeExpr: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val all = vecs(s, d).select(col("vec_id"), col("v"))
+    val queries = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val scored = queries.as("q").join(all.as("c"), col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr("graft_cosine(q.v, c.v)").as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext06_sim_topk_bruteforce" -> bruteForceTopK,
-    "ext07_sim_topk_ivf" -> ivfTopK)
+    "ext07_sim_topk_ivf" -> ivfTopK,
+    "ext16_sim_native_expr" -> bruteForceNativeExpr)
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |        sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS norm
       |      FROM embeddings)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "ext06_sim_topk_bruteforce" ->
+  private val bruteForceOracle =
       s"""WITH $vSql,
          |scored AS (
          |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -94,7 +116,11 @@ object Similarity {
          |FROM scored
          |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
          |QUALIFY row_number() OVER w <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+         |ORDER BY q_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ext06_sim_topk_bruteforce" -> bruteForceOracle,
+    "ext16_sim_native_expr" -> bruteForceOracle,
     "ext07_sim_topk_ivf" ->
       s"""WITH $vSql,
          |scored AS (

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.functions._
+
+class NativeExprSpec extends SparkTestBase {
+
+  test("graft_cosine equals the higher-order-function formulation bit for bit") {
+    CosineSimilarity.register(spark)
+    val vecs = ops.table(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .limit(50)
+    val both = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        expr("graft_cosine(a.v, b.v)").as("native"),
+        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (expr("sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x))") *
+            expr("sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x))"))).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1),
+      "native and HOF cosine diverged"))
+  }
+
+  test("graft_cosine stays inside whole-stage codegen (no fallback)") {
+    CosineSimilarity.register(spark)
+    val vecs = ops.table(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // exchange-free plan so no AQE wrapper hides the codegen spans; the
+    // "*(n)" prefix is how toString marks a WholeStageCodegen member
+    val plan = vecs.select(expr("graft_cosine(v, v)").as("c"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_cosine""".r.findFirstIn(plan).isDefined,
+      s"graft_cosine Project not inside a codegen span:\n$plan")
+  }
+
+  test("graft_cosine nulls propagate, self-similarity is 1") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(1.0, 2.0, 3.0))),
+      (None, Some(Seq(1.0, 2.0, 3.0))))
+      .toDF("a", "b")
+      .select(expr("graft_cosine(a, b)").as("c")).collect()
+    assert(math.abs(df(0).getDouble(0) - 1.0) < 1e-12)
+    assert(df(1).isNullAt(0))
+  }
+
+  test("native-expr search query matches the HOF search query exactly") {
+    val hof = Similarity.bruteForceTopK(spark, sf)
+    val native = Similarity.bruteForceNativeExpr(spark, sf)
+    assert(native.except(hof).count() === 0)
+    assert(hof.except(native).count() === 0)
+  }
+}

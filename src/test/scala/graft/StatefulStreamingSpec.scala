@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions._
+
+/** Custom streaming state via flatMapGroupsWithState (SURVEY.md §7.3 —
+  * built-in session_window covers the oracle path; this demonstrates the
+  * custom-state tier for semantics windows can't express: a running
+  * per-user high-water mark emitting only new records).
+  */
+object StatefulStreamingSpec {
+  // top-level: inner-class case classes can't get encoders
+  case class Event(user_id: Long, value: Double)
+  case class HighWater(user_id: Long, value: Double)
+}
+
+class StatefulStreamingSpec extends SparkTestBase {
+  import StatefulStreamingSpec.{Event, HighWater}
+
+  test("flatMapGroupsWithState: per-user high-water marks over a real stream") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    // drive a MemoryStream so state actually persists across micro-batches
+    implicit val sc = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+
+    val flow = source.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Event], state: GroupState[Double]) =>
+          var hw = state.getOption.getOrElse(Double.NegativeInfinity)
+          val out = events.toSeq.sortBy(_.value).flatMap { e =>
+            if (e.value > hw) { hw = e.value; Some(HighWater(user, e.value)) }
+            else None
+          }
+          state.update(hw)
+          out.iterator
+      }
+
+    val query = flow.writeStream.outputMode("append")
+      .format("memory").queryName("graft_highwater").start()
+    try {
+      source.addData(Event(1, 5.0), Event(1, 3.0), Event(2, 1.0))
+      query.processAllAvailable()
+      source.addData(Event(1, 4.0), Event(1, 9.0), Event(2, 2.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("graft_highwater").as[HighWater].collect()
+      .groupBy(_.user_id).view.mapValues(_.map(_.value).sorted.toSeq).toMap
+    // batch 1: u1 emits 3,5 (sorted within batch); u2 emits 1
+    // batch 2: u1's 4 is below the high-water 5 -> only 9 emitted; u2 emits 2
+    assert(got(1L) === Seq(3.0, 5.0, 9.0))
+    assert(got(2L) === Seq(1.0, 2.0))
+  }
+}
