@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.SemiStructured.queries ++
+      ops.WarehouseDemo.queries ++
       dw.DateDimQueries.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++
       ops.SemiStructured.oracleSql ++
+      ops.WarehouseDemo.oracleSql ++
       dw.DateDimQueries.oracleSql ++
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++

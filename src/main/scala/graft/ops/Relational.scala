@@ -255,6 +255,52 @@ object Relational {
       .except(supp(s, d).select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** Window-function serving suite: lag/lead/rank/dense_rank/ntile +
+    * moving frame (the DuckDB serving surface, SURVEY.md §2.4/A1-A3). */
+  val q36WindowSuite: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord(s, d)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        rank().over(Window.partitionBy("o_custkey").orderBy(col("o_orderstatus"))).as("status_rank"),
+        dense_rank().over(Window.partitionBy("o_custkey").orderBy(col("o_orderstatus"))).as("status_dense_rank"),
+        ntile(4).over(w).as("quartile"),
+        sum(col("o_totalprice").cast(Dec)).over(w.rowsBetween(-1, 1)).cast(DecOut)
+          .cast("double").as("moving_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Skew-resistant two-stage (salted) aggregation: salt the hot key,
+    * partial-aggregate per (key, salt), then final-aggregate per key. At
+    * 100 TB this is the standard fix when one group holds most rows; here
+    * it provably returns the same answer as the direct aggregation, which
+    * is exactly what the oracle states. */
+  val q37SaltedAgg: Q = (s, d) => {
+    val salted = li(s, d)
+      .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(8)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("partial_qty"),
+        count(lit(1)).as("partial_n"))
+    salted
+      .groupBy("l_returnflag")
+      .agg(sum(col("partial_qty")).cast(DecOut).cast("double").as("sum_qty"),
+        sum(col("partial_n")).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HLL approximate distinct (A2 scale path). Sketch results are
+    * implementation-defined, so no cross-engine oracle — the driver
+    * records the rows-only check; the exact counterpart is q15. */
+  val q38ApproxDistinct: Q = (s, d) =>
+    li(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- oracle
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,6))"
@@ -282,7 +328,10 @@ object Relational {
     "q18_string_funcs" -> q18StringFuncs,
     "q19_union_all" -> q19UnionAll,
     "q20_intersect" -> q20Intersect,
-    "q21_except" -> q21Except)
+    "q21_except" -> q21Except,
+    "q36_window_suite" -> q36WindowSuite,
+    "q37_salted_agg" -> q37SaltedAgg,
+    "q38_approx_distinct" -> q38ApproxDistinct)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -418,5 +467,24 @@ object Relational {
       """SELECT n_nationkey AS nationkey FROM nation
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin)
+        |ORDER BY nationkey""".stripMargin,
+    "q36_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        | lead(o_orderkey, 1) OVER w AS next_orderkey,
+        | CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS status_rank,
+        | CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS status_dense_rank,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DECIMAL(38,4)) AS DOUBLE) AS moving_total
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q37_salted_agg" ->
+      s"""SELECT l_returnflag,
+         | CAST(CAST(SUM($decQty) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
+         | COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
