@@ -79,8 +79,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+
+  /** Arity-checked builder shared by both registration paths. */
+  private[functions] def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_cosine(a, b) takes exactly 2 array<double> arguments, got ${exprs.length}")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
   /** Register `graft_cosine(a, b)` for SQL/expr use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "graft_cosine", build, "scala_udf")
 }

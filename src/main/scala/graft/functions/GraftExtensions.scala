@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — the supported injection seam for
+  * custom Catalyst pieces (functions now; rules/strategies if a future
+  * operator needs them). Usable two ways:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * The driver harness builds its own plain session, so query functions also
+  * self-register via CosineSimilarity.register; this class is the
+  * cluster-deployment path where per-query registration isn't available.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimilarity.build(exprs)))
+  }
+}

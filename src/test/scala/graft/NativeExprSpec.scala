@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 
 class NativeExprSpec extends SparkTestBase {
 
+  test("GraftExtensions registers graft_cosine at session build (no manual register)") {
+    // SparkTestBase sets spark.sql.extensions=graft.functions.GraftExtensions;
+    // this must resolve without CosineSimilarity.register having run
+    val r = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("graft_cosine equals the higher-order-function formulation bit for bit") {
     CosineSimilarity.register(spark)
     val vecs = ops.table(spark, sf, "embeddings")
