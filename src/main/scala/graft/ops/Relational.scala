@@ -301,6 +301,31 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** PIVOT (serving surface): status columns per priority. Spark's pivot
+    * leaves empty cells null; coalesce to 0 to match conditional-agg
+    * semantics (which is how the oracle states it). */
+  val q39Pivot: Q = (s, d) =>
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("o_orderpriority")
+
+  /** UNPIVOT/melt (serving surface): wide measures -> long (metric, value). */
+  val q40Unpivot: Q = (s, d) =>
+    prt(s, d)
+      .filter(col("p_partkey") <= 50)
+      .select(col("p_partkey"),
+        col("p_retailprice").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
   // ---------------------------------------------------------------- oracle
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,6))"
@@ -331,7 +356,9 @@ object Relational {
     "q21_except" -> q21Except,
     "q36_window_suite" -> q36WindowSuite,
     "q37_salted_agg" -> q37SaltedAgg,
-    "q38_approx_distinct" -> q38ApproxDistinct)
+    "q38_approx_distinct" -> q38ApproxDistinct,
+    "q39_pivot" -> q39Pivot,
+    "q40_unpivot" -> q40Unpivot)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -486,5 +513,18 @@ object Relational {
       s"""SELECT l_returnflag,
          | CAST(CAST(SUM($decQty) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,
          | COUNT(*) AS n_rows
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q40_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+        |FROM part WHERE p_partkey <= 50
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part WHERE p_partkey <= 50
+        |ORDER BY p_partkey, metric""".stripMargin)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Scale-infrastructure proofs (SURVEY.md §4, the 100 TB design notes):
+  * bucketed tables must eliminate the join shuffle; partitioned writes
+  * must produce partition-pruned scans.
+  */
+class ScaleInfraSpec extends SparkTestBase {
+
+  test("bucketed co-located join runs without a shuffle on either side") {
+    val li = ops.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = ops.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS graft_li_b")
+    spark.sql("DROP TABLE IF EXISTS graft_ord_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_li_b")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_ord_b")
+
+    val joined = spark.table("graft_li_b")
+      .join(spark.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() === li.count()) // every lineitem has its order
+  }
+
+  test("partitionBy write yields partition-pruned scans (PartitionFilters)") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    ops.table(spark, sf, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1995)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*order_year".r.findFirstIn(plan).isDefined,
+      s"no partition pruning:\n$plan")
+    val expected = ops.table(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(pruned.count() === expected)
+  }
+
+  test("AQE coalesces shuffle partitions on small data") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val agg = ops.table(spark, sf, "lineitem")
+      .groupBy("l_returnflag").count()
+    agg.collect()
+    val finalPlan = agg.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("isFinalPlan=true"),
+      s"AQE did not engage:\n$finalPlan")
+  }
+}
