@@ -93,10 +93,44 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Random-hyperplane LSH (SimHash-for-vectors): 8 signed projections →
+    * 8-bit bucket; candidates share the query's bucket (probe-1). The
+    * hyperplanes are pseudo-random but engine-portable: component i of
+    * plane k is ((i*2654435761 + k*40503) % 1000)/1000 - 0.5 — pure
+    * integer arithmetic + one exact-IEEE division, identical in Spark and
+    * DuckDB, so the buckets (and therefore the recall<1 candidate sets,
+    * which ARE the semantics) match the oracle. At 100 TB the bucket id
+    * is the shuffle key: each query probes one bucket instead of the
+    * corpus.
+    */
+  val lshTopK: Q = (s, d) => {
+    val planes = (0 until 8).map { k =>
+      s"""IF(aggregate(sequence(0, 63), 0D, (acc, i) ->
+         |  acc + v[i] * (CAST((i * 2654435761 + $k * 40503) % 1000 AS DOUBLE) / 1000 - 0.5)) > 0,
+         |  CAST(shiftleft(1, $k) AS INT), 0)""".stripMargin
+    }.mkString(" + ")
+    val bucketed = vecs(s, d).withColumn("bucket", expr(s"($planes)"))
+    val queries = bucketed.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("bucket"), col("v"), col("norm"))
+    val scored = queries.as("q").join(bucketed.as("c"),
+        col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("q.bucket").as("bucket"),
+        col("c.vec_id").as("n_id"),
+        (expr(dot) / (col("q.norm") * col("c.norm"))).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("bucket"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext06_sim_topk_bruteforce" -> bruteForceTopK,
     "ext07_sim_topk_ivf" -> ivfTopK,
-    "ext16_sim_native_expr" -> bruteForceNativeExpr)
+    "ext16_sim_native_expr" -> bruteForceNativeExpr,
+    "ext17_sim_topk_lsh" -> lshTopK)
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -118,9 +152,31 @@ object Similarity {
          |QUALIFY row_number() OVER w <= 5
          |ORDER BY q_id, rank""".stripMargin
 
+  // DuckDB lists are 1-indexed (Spark arrays 0-indexed): plane component
+  // for list position i is computed from (i-1)
+  private val bucketSqlExpr: String = (0 until 8).map { k =>
+    s"""(CASE WHEN list_sum([v[i] * (CAST(((i-1) * 2654435761 + $k * 40503) % 1000 AS DOUBLE) / 1000 - 0.5)
+       |  for i in range(1, 65)]) > 0 THEN ${1 << k} ELSE 0 END)""".stripMargin
+  }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
     "ext06_sim_topk_bruteforce" -> bruteForceOracle,
     "ext16_sim_native_expr" -> bruteForceOracle,
+    "ext17_sim_topk_lsh" ->
+      s"""WITH $vSql,
+         |b AS (SELECT vec_id, v, norm, CAST($bucketSqlExpr AS INT) AS bucket FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.bucket AS bucket, c.vec_id AS n_id,
+         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.norm) AS cosine
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |SELECT q_id, bucket,
+         |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+         |FROM scored
+         |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY q_id, rank""".stripMargin,
     "ext07_sim_topk_ivf" ->
       s"""WITH $vSql,
          |scored AS (

@@ -12,8 +12,15 @@ class ScaleInfraSpec extends SparkTestBase {
   test("bucketed co-located join runs without a shuffle on either side") {
     val li = ops.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val ord = ops.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    spark.sql("DROP TABLE IF EXISTS graft_li_b")
-    spark.sql("DROP TABLE IF EXISTS graft_ord_b")
+    // the in-memory catalog forgets tables across JVMs but their
+    // spark-warehouse locations persist — clear both
+    Seq("graft_li_b", "graft_ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("graft_li_b")
     ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
