@@ -95,7 +95,9 @@ object SemiStructured {
     table(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_v")
     table(s, d, "orders").createOrReplaceTempView("graft_orders_v")
     s.sql("SHOW TABLES")
-      .filter(col("tableName").startsWith("graft_"))
+      // exact names, not a prefix filter: other queries in the same session
+      // also register graft_-prefixed views and run in map order
+      .filter(col("tableName").isin("graft_lineitem_v", "graft_orders_v"))
       .select(col("tableName").as("table_name"))
       .orderBy("table_name")
   }
