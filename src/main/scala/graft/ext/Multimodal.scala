@@ -68,9 +68,37 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  /** Output of the resize stub. */
+  final case class ResizedMedia(doc_id: Long, orig_width: Int, orig_height: Int,
+      target_width: Int, target_height: Int, resized_digest: String)
+
+  /** Resize shape: decode → scale dims to a fixed target → re-encode
+    * digest of the (stub-)resampled payload. The real pipeline would call
+    * an image library inside the same partition-wise map; the stub keeps
+    * every output a pure function of the input bytes. */
+  val resize: Q = (s, d) => {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+        lit("image").as("kind"))
+      .as[MediaRow]
+      .mapPartitions(_.map { m =>
+        val f = decodeStub(m)
+        // STUB resample: digest of the truncated payload stands in for the
+        // resized pixel buffer
+        val truncated = m.media.take(256)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(truncated).map("%02x".format(_)).mkString
+        ResizedMedia(m.doc_id, f.fake_width, f.fake_height, 16, 16, digest)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext12_multimodal_decode" -> mediaDecode,
-    "ext13_multimodal_frames" -> frameSample)
+    "ext13_multimodal_frames" -> frameSample,
+    "ext18_multimodal_resize" -> resize)
 
   // The oracle re-states the stub arithmetic over the source text (ASCII
   // fixture: chars == bytes; strlen() counts bytes in DuckDB).
@@ -87,5 +115,13 @@ object Multimodal {
         |  md5(doc_id || ':' || f) AS frame_digest
         |FROM (SELECT doc_id, unnest([i for i in range(1, (1 + strlen(text) % 8) + 1)]) AS f
         |      FROM documents)
-        |ORDER BY doc_id, frame_no""".stripMargin)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "ext18_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(32 + strlen(text) % 64 AS INT) AS orig_width,
+        |  CAST(32 + ascii(substr(text, 1, 1)) % 64 AS INT) AS orig_height,
+        |  CAST(16 AS INT) AS target_width,
+        |  CAST(16 AS INT) AS target_height,
+        |  md5(substr(text, 1, 256)) AS resized_digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -72,16 +72,22 @@ object TextAnalysis {
         col("n_chars").cast("double") / col("bpe_ish_tokens"))
       .orderBy("doc_id")
 
-  /** Document fingerprinting: whole-text digest + min-shingle digest (the
-    * 1-hash minhash — a rolling-hash-style content signature robust to
-    * suffix edits). */
+  /** Document fingerprinting: whole-text digest, min-shingle digest (the
+    * 1-hash minhash, robust to suffix edits), and a polynomial rolling
+    * hash (base-31 mod 1e9+7 — the classic Rabin-Karp-style content
+    * signature, computed as a sequential integer fold identical in both
+    * engines). */
   val fingerprint: Q = (s, d) =>
     table(s, d, "documents")
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"),
         md5(col("t")).as("full_md5"),
         expr("array_min(transform(sequence(1, greatest(length(t) - 7, 1)), i -> md5(substring(t, i, 8))))")
-          .as("min_shingle_md5"))
+          .as("min_shingle_md5"),
+        expr("""IF(length(t) = 0, CAST(0 AS BIGINT),
+                 aggregate(sequence(1, length(t)), CAST(0 AS BIGINT),
+                   (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % 1000000007))""")
+          .as("rolling_hash"))
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
@@ -130,7 +136,10 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ext11_text_fingerprint" ->
       """SELECT doc_id, md5(t) AS full_md5,
-        |  list_min([md5(substr(t, i, 8)) for i in range(1, greatest(length(t) - 6, 2))]) AS min_shingle_md5
+        |  list_min([md5(substr(t, i, 8)) for i in range(1, greatest(length(t) - 6, 2))]) AS min_shingle_md5,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0 ELSE
+        |    list_reduce([CAST(ascii(substr(t, i, 1)) AS BIGINT) for i in range(1, length(t) + 1)],
+        |                (acc, x) -> (acc * 31 + x) % 1000000007) END AS BIGINT) AS rolling_hash
         |FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin)
 }
