@@ -90,11 +90,37 @@ object TextAnalysis {
           .as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** End-to-end curation pipeline — the composite shape a training-data
+    * run executes: quality gate → exact dedup (keep min doc_id per md5
+    * group) → language gate → per-source corpus stats. One narrow scan,
+    * one dedup shuffle, one stats shuffle; at 100 TB each stage stays a
+    * map except the two keyed exchanges. */
+  val curationPipeline: Q = (s, d) => {
+    val scored = table(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("n_chars"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).as("n_tokens"),
+        size(expr("filter(split(lower(text), ' '), t -> t in ('the', 'a', 'of', 'and', 'is'))"))
+          .as("en_hits"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    val kept = scored
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50 && col("en_hits") >= 1)
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext08_text_langid" -> langId,
     "ext09_text_quality" -> quality,
     "ext10_text_tokens" -> tokenCount,
-    "ext11_text_fingerprint" -> fingerprint)
+    "ext11_text_fingerprint" -> fingerprint,
+    "ext19_curation_pipeline" -> curationPipeline)
 
   val oracleSql: Map[String, String] = Map(
     "ext08_text_langid" ->
@@ -141,5 +167,24 @@ object TextAnalysis {
         |    list_reduce([CAST(ascii(substr(t, i, 1)) AS BIGINT) for i in range(1, length(t) + 1)],
         |                (acc, x) -> (acc * 31 + x) % 1000000007) END AS BIGINT) AS rolling_hash
         |FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "ext19_curation_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> t IN ('the','a','of','and','is'))) AS en_hits,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |gated AS (
+        |  SELECT * FROM scored
+        |  WHERE n_tokens >= 10 AND n_chars >= 50 AND en_hits >= 1),
+        |kept AS (
+        |  SELECT * FROM gated
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin)
 }
