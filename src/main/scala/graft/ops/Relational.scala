@@ -326,6 +326,20 @@ object Relational {
         "metric", "value")
       .orderBy("p_partkey", "metric")
 
+  /** Multiset set ops (O4): INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate counts (min / difference of multiplicities). */
+  val q41SetopsAll: Q = (s, d) => {
+    val c = cust(s, d).select(col("c_nationkey").as("nationkey"))
+    val sp = supp(s, d).select(col("s_nationkey").as("nationkey"))
+    val ia = c.intersectAll(sp)
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val ea = c.exceptAll(sp)
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    ia.unionAll(ea).select("op", "nationkey", "n").orderBy("op", "nationkey")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,6))"
@@ -358,7 +372,8 @@ object Relational {
     "q37_salted_agg" -> q37SaltedAgg,
     "q38_approx_distinct" -> q38ApproxDistinct,
     "q39_pivot" -> q39Pivot,
-    "q40_unpivot" -> q40Unpivot)
+    "q40_unpivot" -> q40Unpivot,
+    "q41_setops_all" -> q41SetopsAll)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -526,5 +541,22 @@ object Relational {
         |UNION ALL
         |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
         |FROM part WHERE p_partkey <= 50
-        |ORDER BY p_partkey, metric""".stripMargin)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q41_setops_all" ->
+      """WITH ia AS (
+        |  SELECT nationkey, COUNT(*) AS n FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    INTERSECT ALL
+        |    SELECT s_nationkey AS nationkey FROM supplier)
+        |  GROUP BY nationkey),
+        |ea AS (
+        |  SELECT nationkey, COUNT(*) AS n FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT ALL
+        |    SELECT s_nationkey AS nationkey FROM supplier)
+        |  GROUP BY nationkey)
+        |SELECT 'intersect_all' AS op, nationkey, n FROM ia
+        |UNION ALL
+        |SELECT 'except_all' AS op, nationkey, n FROM ea
+        |ORDER BY op, nationkey""".stripMargin)
 }
