@@ -76,14 +76,19 @@ object Dedup {
     * Output: candidate pairs with >= 8/16 matching minhashes. */
   val dedupMinhashLsh: Q = (s, d) => {
     val sh = shingles(table(s, d, "documents"))
-    // all 16 minhashes in ONE aggregation pass (no j-explosion): partial
-    // (map-side) agg reduces the shuffle to one 16-column row per doc
-    val sigCols = (0 to 15).map(j =>
-      min(md5(concat(col("sh"), lit(s"#$j")))).as(s"h$j"))
-    // one 17-column row per doc; cached because the plan consumes it three
-    // times (bands + both verify sides) and would otherwise recompute the
-    // shingle scan for each
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
+    // hash each DISTINCT shingle once (corpora repeat shingles heavily:
+    // 260k occurrences vs 27k distinct at sf0.1, and the ratio improves
+    // with scale as vocabulary saturates), broadcast the hash table back
+    // onto occurrences, then take all 16 minhashes in ONE aggregation
+    // pass — partial agg ships one 17-column row per doc; cached because
+    // the plan consumes it three times (bands + both verify sides)
+    val hashCols = (0 to 15).map(j =>
+      md5(concat(col("sh"), lit(s"#$j"))).as(s"hv$j"))
+    val shHashes = sh.select("sh").distinct()
+      .select(col("sh") +: hashCols: _*)
+    val sigCols = (0 to 15).map(j => min(col(s"hv$j")).as(s"h$j"))
+    val sig = sh.join(broadcast(shHashes), "sh")
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
     val bandStructs = (0 to 3).map(b =>
       s"struct(CAST($b AS INT) AS band, concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS band_key)")
       .mkString("array(", ", ", ")")
@@ -113,17 +118,22 @@ object Dedup {
     val toks = table(s, d, "documents")
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
-    // all 32 bit-balances in ONE aggregation pass (no j-explosion; partial
-    // agg ships one 32-column row per doc instead of |tokens| x 32 rows)
-    val balCols = (0 to 31).map(j =>
-      sum(when(substring(md5(concat(col("tok"), lit(s"#$j"))), 1, 1) >= "8", 1)
-        .otherwise(-1)).as(s"bal$j"))
+    // hash each DISTINCT token once (the corpus vocabulary is tiny
+    // relative to token occurrences), broadcast the ±1 sign table back,
+    // then take all 32 bit-balances in ONE aggregation pass — partial agg
+    // ships one 32-column row per doc instead of |tokens| x 32 rows;
+    // cached because the self-join consumes it twice
+    val signCols = (0 to 31).map(j =>
+      when(substring(md5(concat(col("tok"), lit(s"#$j"))), 1, 1) >= "8", 1)
+        .otherwise(-1).as(s"s$j"))
+    val tokSigns = toks.select("tok").distinct()
+      .select(col("tok") +: signCols: _*)
+    val balCols = (0 to 31).map(j => sum(col(s"s$j")).as(s"bal$j"))
     val fpExpr = (0 to 31)
       .map(j => s"IF(bal$j > 0, CAST(shiftleft(CAST(1 AS BIGINT), $j) AS BIGINT), CAST(0 AS BIGINT))")
       .mkString(" + ")
-    // one row per doc; cached — the self-join would recompute the token
-    // scan + 32 md5 aggregations for each side
-    val fp = toks.groupBy("doc_id").agg(balCols.head, balCols.tail: _*)
+    val fp = toks.join(broadcast(tokSigns), "tok")
+      .groupBy("doc_id").agg(balCols.head, balCols.tail: _*)
       .select(col("doc_id"), expr(fpExpr).as("simhash")).persist()
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("c"))
