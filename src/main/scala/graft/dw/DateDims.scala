@@ -2,7 +2,6 @@ package graft.dw
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Generated date/hour dimensions (SURVEY.md §2.6).
   *

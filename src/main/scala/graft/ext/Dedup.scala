@@ -1,9 +1,8 @@
 package graft.ext
 
 import graft.ops.{table, Q}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines, over the
   * `documents` fixture (builder brief; BASELINE.json north star).
