@@ -141,7 +141,33 @@ object SemiStructured {
       .orderBy("n_nationkey")
   }
 
+  /** Correlated scalar subquery through real SQL text — exercises
+    * Catalyst's subquery decorrelation (rewrite to aggregate + join).
+    * The threshold uses exact decimal-staged division on both sides so
+    * boundary rows can't flip on float summation order. */
+  val q42CorrelatedSubquery: Q = (s, d) => {
+    table(s, d, "customer").createOrReplaceTempView("graft_cust_sq")
+    s.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM graft_cust_sq c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(x.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x.c_acctbal)
+        |  FROM graft_cust_sq x WHERE x.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Ordinal explode (posexplode): token position travels with the value —
+    * the LATERAL VIEW shape for order-sensitive downstream parsing. */
+  val q43Posexplode: Q = (s, d) =>
+    table(s, d, "documents")
+      .filter(col("doc_id") <= 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .orderBy("doc_id", "pos")
+
   val queries: Map[String, Q] = Map(
+    "q42_correlated_subquery" -> q42CorrelatedSubquery,
+    "q43_posexplode" -> q43Posexplode,
     "q24_word_explode" -> q24WordExplode,
     "q25_json_scalar" -> q25JsonScalar,
     "q26_json_map_explode" -> q26JsonMapExplode,
@@ -153,6 +179,20 @@ object SemiStructured {
     "q32_csv_source" -> q32CsvSource)
 
   val oracleSql: Map[String, String] = Map(
+    "q42_correlated_subquery" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(x.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x.c_acctbal)
+        |  FROM customer x WHERE x.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q43_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w AS word
+        |FROM (SELECT doc_id,
+        |        unnest(string_split(text, ' ')) AS w,
+        |        unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |      FROM documents WHERE doc_id <= 20)
+        |ORDER BY doc_id, pos""".stripMargin,
     "q24_word_explode" ->
       """SELECT w AS word, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
