@@ -40,8 +40,12 @@ object WarehouseMain {
       precipitation = s"$rawDir/precipitation.csv"))
     val registered = Warehouse.register(tables)
     Warehouse.writeParquet(tables.filter(t => registered.contains(t._1)), outDir)
-    tables.foreach { case (name, df) =>
-      val n = if (registered.contains(name)) df.count() else 0L
+    // Count from the freshly written parquet (metadata-only job) instead of
+    // re-executing every pipeline lineage a second time.
+    tables.foreach { case (name, _) =>
+      val n = if (registered.contains(name))
+        spark.read.parquet(s"$outDir/$name").count()
+      else 0L
       println(f"$name%-28s $n%10d rows${if (!registered.contains(name)) "  (empty, skipped)" else ""}")
     }
     println(f"warehouse build took ${(System.nanoTime() - t0) / 1e9}%.1f s " +

@@ -52,18 +52,23 @@ object SemiStructured {
       .orderBy("key")
 
   /** E7: array-of-struct JSON parse + explode + struct field access (covid
-    * highlights, transformation.py:304-322). The array is constructed from
-    * row data so the oracle can state the equivalent flat semantics. */
+    * highlights, transformation.py:304-322). Parses the table's REAL props
+    * JSON wrapped into a one-element array — a single `from_json` per row.
+    *
+    * `explode_outer` is load-bearing: with plain `explode`, Catalyst's
+    * InferFiltersFromGenerate adds `size(parse)>0 AND isnotnull(parse)`
+    * below the Generate, and because `from_json` is a CodegenFallback
+    * expression the inferred filter re-evaluates the parse 3x per row
+    * (observed 27 s vs ~0.5 s at sf0.1). Outer generate infers no filter,
+    * and null-parse rows surface as null structs — matching the oracle's
+    * row-preserving flat semantics exactly. */
   val q27JsonArrayStruct: Q = (s, d) => {
-    val arraySchema = ArrayType(StructType(Seq(
-      StructField("t", StringType), StructField("v", LongType))))
+    val arraySchema = ArrayType(StructType(Seq(StructField("k", LongType))))
     table(s, d, "events")
-      .select(from_json(
-        concat(lit("""[{"t":""""), col("event_type"), lit("""","v":"""),
-          round(col("value") * 100).cast("long"), lit("}]")),
-        arraySchema).as("hl"))
-      .select(explode(col("hl")).as("h"))
-      .select(col("h.t").as("t"), col("h.v").as("v"))
+      .select(col("event_type"),
+        from_json(concat(lit("["), col("props"), lit("]")), arraySchema).as("hl"))
+      .select(col("event_type"), explode_outer(col("hl")).as("h"))
+      .select(col("event_type").as("t"), col("h.k").as("v"))
       .groupBy("t")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
       .orderBy("t")
@@ -210,7 +215,7 @@ object SemiStructured {
         |GROUP BY k ORDER BY key""".stripMargin,
     "q27_json_array_struct" ->
       """SELECT event_type AS t, COUNT(*) AS n,
-        | CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_sum
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS v_sum
         |FROM events GROUP BY event_type ORDER BY t""".stripMargin,
     "q28_hour_range_parse" ->
       """SELECT event_id,
