@@ -39,4 +39,24 @@ object Keys {
     df.sparkSession.createDataFrame(withId,
       schema.add(idCol, LongType, nullable = false))
   }
+
+  /** Scale-safe deterministic dense ids in natural-key order — the fact-
+    * table replacement for [[denseIds]] (whose unpartitioned Window funnels
+    * every row through one task).
+    *
+    * Range-repartition by the key, sort within partitions, then assign
+    * per-partition offsets + local indexes (zipWithIndex). Range partitions
+    * are totally ordered by the key, so (partition, local position)
+    * enumerates rows in global key order: the ids equal
+    * `row_number() OVER (ORDER BY keys)` — including NULLS FIRST semantics —
+    * while both the exchange and the sort stay fully distributed. Sampled
+    * range boundaries only decide where partition cuts fall, never the
+    * global order, so the ids are deterministic for any boundary placement
+    * (ties between rows equal on the whole key are arbitrary, as with any
+    * row_number over a non-unique key).
+    */
+  def rangeIds(df: DataFrame, idCol: String, orderBy: Seq[Column]): DataFrame =
+    partitionOffsetIds(
+      df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*),
+      idCol)
 }

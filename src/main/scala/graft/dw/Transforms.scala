@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *     broadcast (the reference's dict `.map` probe is exactly a
   *     build-side-broadcast hash join, transformation.py:249,266).
   *   - dimension surrogate ids use Keys.denseIds (global sort of the
-  *     DISTINCT key set — small by construction); fact ids would move to
-  *     Keys.partitionOffsetIds at 100 TB.
+  *     DISTINCT key set — small by construction); fact ids (checkin_id,
+  *     tip_id) use Keys.rangeIds — distributed range-sorted assignment,
+  *     same ids, no single-task stage.
   *   - dedup/distinct are the only full-width shuffles; they shuffle the
   *     projected columns only.
   *
@@ -116,7 +117,8 @@ object Transforms {
     val joined = exploded
       .join(broadcast(datetimeLookup(dimDatetime, IsoDate)), Seq("__date_str"))
       .select("business_id", "datetime_id")
-    Keys.denseIds(joined, "checkin_id", Seq(col("business_id"), col("datetime_id")))
+    // fact-sized output: distributed range-sorted ids, not a global Window
+    Keys.rangeIds(joined, "checkin_id", Seq(col("business_id"), col("datetime_id")))
       .select("checkin_id", "business_id", "datetime_id")
   }
 
@@ -179,7 +181,8 @@ object Transforms {
       .withColumn("__date_str", date_format(to_timestamp(col("date")), IsoDate))
       .join(broadcast(datetimeLookup(dimDatetime, IsoDate)), Seq("__date_str"), "left")
       .drop("date", "__date_str")
-    Keys.denseIds(joined, "tip_id",
+    // fact-sized output: distributed range-sorted ids, not a global Window
+    Keys.rangeIds(joined, "tip_id",
       Seq(col("business_id"), col("user_id"), col("datetime_id"), col("text")))
       .select("tip_id", "text", "compliment_count", "business_id", "user_id", "datetime_id")
   }

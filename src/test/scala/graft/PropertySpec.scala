@@ -54,6 +54,48 @@ class PropertySpec extends SparkTestBase {
       }
   }
 
+  test("rangeIds equal global row_number ids and stay distributed") {
+    import spark.implicits._
+    // AQE coalesces the tiny test shuffle to one partition (desired at this
+    // size); disable it here to assert the static multi-partition shape
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try testRangeIds() finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def testRangeIds(): Unit = {
+    // skewed multi-partition input with duplicate keys and nulls
+    val df = spark.range(5000)
+      .select(
+        when(col("id") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("k"), col("id") % 700)).as("k"),
+        col("id").as("payload"))
+      .repartition(7)
+    val got = Keys.rangeIds(df, "rid", Seq(col("k"), col("payload")))
+    // same ids as the single-partition global window (nulls first)
+    val expected = Keys.denseIds(df, "rid", Seq(col("k"), col("payload")))
+    assert(got.select(col("k"), col("payload"), col("rid")).collect().toSet ===
+      expected.select(col("k"), col("payload"), col("rid").cast("long")).collect().toSet)
+    // and the assignment ran across partitions, not through one task
+    assert(got.rdd.getNumPartitions > 1)
+    val perPartition = got.rdd.glom().map(_.length).collect()
+    assert(perPartition.count(_ > 0) > 1, s"all rows in one partition: ${perPartition.toSeq}")
+  }
+
+  test("fact id plans contain no global-window single-partition stage") {
+    import spark.implicits._
+    val dim = DateDims.dimDatetime(spark)
+    val checkins = Seq(
+      ("b1", "2015-04-11 10:00:00, 2015-04-12 11:00:00"),
+      ("b2", "2016-01-01 00:00:00")).toDF("business_id", "date")
+    val fact = dw.Transforms.checkin(checkins, dim)
+    val plan = fact.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // the range exchange + sort happen inside rangeIds' pre-zip stage;
+    // assert the building block itself is distributed
+    val sorted = checkins.repartitionByRange(col("business_id"))
+    assert(sorted.queryExecution.executedPlan.toString.contains("rangepartitioning"))
+  }
+
   test("date spine: date_id strictly increases with datetime_id, one row per day") {
     val dim = DateDims.dimDatetime(spark)
       .select("datetime_id", "date_id").orderBy("datetime_id").collect()

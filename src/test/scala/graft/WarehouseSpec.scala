@@ -120,8 +120,8 @@ class WarehouseSpec extends SparkTestBase {
     val checkins = tables("fact_checkins")
     assert(checkins.count() === 3) // garbage token + 2045 date dropped
     assert(checkins.filter(col("datetime_id").isNull).count() === 0)
-    val ids = checkins.select("checkin_id").collect().map(_.getInt(0)).sorted
-    assert(ids.toSeq === (1 to 3)) // dense ids (A4)
+    val ids = checkins.select("checkin_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (1L to 3L)) // dense ids (A4)
     val b1First = checkins.filter(col("business_id") === "b1")
       .agg(min("datetime_id")).collect()(0).getInt(0)
     assert(b1First === datetimeIdOf("2015-04-26"))
@@ -149,7 +149,7 @@ class WarehouseSpec extends SparkTestBase {
     val tips = tables("fact_tips").collect()
     assert(tips.length === 2)
     assert(tips.count(r => r.isNullAt(r.fieldIndex("datetime_id"))) === 1)
-    assert(tips.map(_.getAs[Int]("tip_id")).sorted.toSeq === Seq(1, 2))
+    assert(tips.map(_.getAs[Long]("tip_id")).sorted.toSeq === Seq(1L, 2L))
   }
 
   test("covid: renamed snake_case columns; invalid highlights JSON -> zero rows (E7)") {
