@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   *   - exact dedup: hash-groupBy on a 128-bit digest — one shuffle of
   *     (digest, doc_id), never the document bodies.
   *   - n-gram Jaccard: inverted-index self-join on shingles (pairs only
-  *     materialize for docs sharing a shingle) — never a cross join. At
-  *     100 TB add a document-frequency cap on shingles (drop df>k posting
-  *     lists) to bound skew; omitted here because the oracle must see
-  *     exact semantics.
+  *     materialize for docs sharing a shingle) — never a cross join. The
+  *     optional `dfCap` parameter drops high-document-frequency posting
+  *     lists to bound skew at corpus scale (the oracle checks the exact
+  *     uncapped semantics).
   *   - MinHash+LSH: 16-hash signatures, 4 bands x 4 rows; candidate pairs
   *     come from band-bucket joins (cost ~ sum over buckets of k²),
   *     verified against the full signature. This is the standard
-  *     shingle→minhash→band→bucket-join pipeline.
+  *     shingle→minhash→band→bucket-join pipeline. Hashes are computed
+  *     inline per occurrence — nothing shingle-keyed is ever broadcast
+  *     (distinct shingles don't saturate; see dedupMinhashLsh).
   *   - SimHash: 32-bit fingerprints; candidates from 8-bit chunk buckets
   *     (any pair within hamming distance 3 shares at least one of 4
   *     chunks — pigeonhole), verified with bit_count(xor).
@@ -52,10 +54,21 @@ object Dedup {
       .select("doc_id_kept", "group_size", "h")
       .orderBy("doc_id_kept")
 
-  /** Exact word-3-gram Jaccard via inverted-index join; top-20 pairs. */
-  val dedupNgramJaccard: Q = (s, d) => {
+  /** Exact word-3-gram Jaccard via inverted-index join; top-20 pairs.
+    * `dfCap`: optional document-frequency cap — shingles appearing in more
+    * than `dfCap` documents are dropped before the self-join, bounding the
+    * worst posting-list from contributing O(df²) pairs (the standard skew
+    * guard at corpus scale). None = exact semantics (what the oracle
+    * checks).
+    */
+  def ngramJaccard(docs: DataFrame, dfCap: Option[Int] = None): DataFrame = {
     // cached: consumed by the self-join (twice) and the size aggregation
-    val sh = shingles(table(s, d, "documents")).persist()
+    val all = shingles(docs)
+    val sh = dfCap.fold(all) { cap =>
+      val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh")
+      all.join(rare, "sh")
+    }.persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -70,23 +83,26 @@ object Dedup {
       .limit(20)
   }
 
+  val dedupNgramJaccard: Q = (s, d) => ngramJaccard(table(s, d, "documents"))
+
   /** MinHash signatures (16 hashes) + LSH banding (4 bands x 4 rows):
     * shingle → minhash → band → bucket-join → signature-verified estimate.
     * Output: candidate pairs with >= 8/16 matching minhashes. */
   val dedupMinhashLsh: Q = (s, d) => {
     val sh = shingles(table(s, d, "documents"))
-    // hash each DISTINCT shingle once (corpora repeat shingles heavily:
-    // 260k occurrences vs 27k distinct at sf0.1, and the ratio improves
-    // with scale as vocabulary saturates), broadcast the hash table back
-    // onto occurrences, then take all 16 minhashes in ONE aggregation
-    // pass — partial agg ships one 17-column row per doc; cached because
-    // the plan consumes it three times (bands + both verify sides)
+    // the 16 hashes are computed INLINE on the occurrence rows — no join.
+    // (A distinct-shingle hash table would have to be broadcast or
+    // shuffle-joined back; distinct word-3-grams grow near-linearly with
+    // corpus size, so at 100 TB that table is billions of rows and a
+    // broadcast OOMs the driver. 16 md5s per occurrence is pure map-side
+    // CPU and scales with the data.) All 16 minhashes are then taken in
+    // ONE aggregation pass — partial agg ships one 17-column row per doc;
+    // cached because the plan consumes it three times (bands + both
+    // verify sides).
     val hashCols = (0 to 15).map(j =>
       md5(concat(col("sh"), lit(s"#$j"))).as(s"hv$j"))
-    val shHashes = sh.select("sh").distinct()
-      .select(col("sh") +: hashCols: _*)
     val sigCols = (0 to 15).map(j => min(col(s"hv$j")).as(s"h$j"))
-    val sig = sh.join(broadcast(shHashes), "sh")
+    val sig = sh.select(col("doc_id") +: hashCols: _*)
       .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).persist()
     val bandStructs = (0 to 3).map(b =>
       s"struct(CAST($b AS INT) AS band, concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS band_key)")
@@ -117,11 +133,14 @@ object Dedup {
     val toks = table(s, d, "documents")
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
-    // hash each DISTINCT token once (the corpus vocabulary is tiny
-    // relative to token occurrences), broadcast the ±1 sign table back,
-    // then take all 32 bit-balances in ONE aggregation pass — partial agg
-    // ships one 32-column row per doc instead of |tokens| x 32 rows;
-    // cached because the self-join consumes it twice
+    // hash each DISTINCT token once and broadcast the ±1 sign table back.
+    // Unlike shingles (see minhash above), the WORD vocabulary saturates
+    // with corpus size (Heaps' law: ~millions of types at 100 TB, a few
+    // hundred MB of signs) — so the broadcast is bounded; if a corpus
+    // breaks that assumption, compute the 32 signs inline like minhash
+    // does. Then take all 32 bit-balances in ONE aggregation pass —
+    // partial agg ships one 32-column row per doc instead of
+    // |tokens| x 32 rows; cached because the self-join consumes it twice
     val signCols = (0 to 31).map(j =>
       when(substring(md5(concat(col("tok"), lit(s"#$j"))), 1, 1) >= "8", 1)
         .otherwise(-1).as(s"s$j"))
