@@ -13,12 +13,17 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + agg + top-N over the fixture schema (SURVEY.md §7.2 step 1).
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    ops.configure(spark)
     ops.Relational.q04StarJoin(spark, "/root/testdata/sf0.001")
+  }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Every query is
+    * wrapped with `ops.configure` — the one documented place the catalog
+    * sets its session confs (ANSI off, parquet nanos-as-long).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++
+    (ops.Relational.queries ++
       ops.SemiStructured.queries ++
       ops.WarehouseDemo.queries ++
       dw.DateDimQueries.queries ++
@@ -26,7 +31,10 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
       ext.Multimodal.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries)
+      .map { case (name, fn) =>
+        name -> { (s: SparkSession, d: String) => ops.configure(s); fn(s, d) }
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -104,8 +104,10 @@ object Similarity {
     * corpus.
     */
   val lshTopK: Q = (s, d) => {
+    // projection bound derives from the vector's own length — a dimension
+    // change can't silently zero the planes via out-of-range nulls
     val planes = (0 until 8).map { k =>
-      s"""IF(aggregate(sequence(0, 63), 0D, (acc, i) ->
+      s"""IF(aggregate(sequence(0, size(v) - 1), 0D, (acc, i) ->
          |  acc + v[i] * (CAST((i * 2654435761 + $k * 40503) % 1000 AS DOUBLE) / 1000 - 0.5)) > 0,
          |  CAST(shiftleft(1, $k) AS INT), 0)""".stripMargin
     }.mkString(" + ")
@@ -126,11 +128,68 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF with a LEARNED coarse quantizer: deterministic k-means-lite
+    * computed entirely in DataFrames, then probe-1 search in the learned
+    * cell — IVF for unlabeled corpora (ext07's `label` stand-in removed).
+    *
+    *   1. seeds: every 64th vector, cid = vec_id/64 (fixed, data-derived);
+    *   2. assign: centroids collected into ONE row and broadcast; the
+    *      nearest-centroid argmin runs inside a row-local `array_min` over
+    *      struct(d2, cid) — NO shuffle, no per-(vec,centroid) join rows;
+    *   3. Lloyd update: per-component mean via posexplode + integer-scaled
+    *      sums (round(x*1e6) as BIGINT) so Spark's partial aggregation and
+    *      DuckDB's sequential scan produce bit-identical centroids in any
+    *      summation order;
+    *   4. re-assign against the updated centroids, then probe-1 top-3.
+    *
+    * At 100 TB: step 2-4 are one broadcast (K centroids) + map-side work
+    * per vector; the only shuffles are the K×dim-sized centroid update and
+    * the per-cell candidate join — the standard IVF build/probe cost.
+    */
+  val kmeansIvfTopK: Q = (s, d) => {
+    val all = vecs(s, d).drop("label")
+    val sqd = "aggregate(zip_with(v, e.c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    def assign(vs: DataFrame, cents: DataFrame): DataFrame =
+      vs.crossJoin(broadcast(cents.groupBy()
+          .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))))
+        .withColumn("cell",
+          expr(s"array_min(transform(cents, e -> struct($sqd AS d2, e.cid AS cid))).cid"))
+        .drop("cents")
+    val seeds = all.filter(col("vec_id") % 64 === 0)
+      .select((col("vec_id") / 64).cast("int").as("cid"), col("v").as("c"))
+    val a0 = assign(all, seeds)
+    val cents1 = a0
+      .select(col("cell").as("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(sum(expr("CAST(round(col * 1000000) AS BIGINT)")).as("sc"),
+        count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(collect_list(struct(col("pos"),
+        (col("sc").cast("double") / 1000000 / col("n")).as("cv"))).as("pc"))
+      .select(col("cid"), expr("transform(array_sort(pc), t -> t.cv)").as("c"))
+    val a1 = assign(all, cents1)
+    val queries = a1.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("cell"), col("v"), col("norm"))
+    val scored = queries.as("q").join(a1.as("c"),
+        col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("q.cell").as("cell"),
+        col("c.vec_id").as("n_id"),
+        (expr(dot) / (col("q.norm") * col("c.norm"))).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cell"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext06_sim_topk_bruteforce" -> bruteForceTopK,
     "ext07_sim_topk_ivf" -> ivfTopK,
     "ext16_sim_native_expr" -> bruteForceNativeExpr,
-    "ext17_sim_topk_lsh" -> lshTopK)
+    "ext17_sim_topk_lsh" -> lshTopK,
+    "ext20_sim_topk_ivf_kmeans" -> kmeansIvfTopK)
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -184,6 +243,46 @@ object Similarity {
          |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
          |      / (q.norm * c.norm) AS cosine
          |  FROM v q JOIN v c ON q.label = c.label AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |SELECT q_id, cell,
+         |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+         |FROM scored
+         |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY q_id, rank""".stripMargin,
+    // the oracle restates the k-means semantics relationally (cross join +
+    // argmin rank); the fixture's 64-dim is spelled out where DuckDB can't
+    // range over a column-derived bound in FROM position
+    "ext20_sim_topk_ivf_kmeans" ->
+      s"""WITH $vSql,
+         |seeds AS (
+         |  SELECT CAST(vec_id // 64 AS INT) AS cid, v AS c FROM v WHERE vec_id % 64 = 0),
+         |a0 AS (
+         |  SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT x.vec_id, x.v, s.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+         |        s.cid) AS rk
+         |    FROM v x CROSS JOIN seeds s) WHERE rk = 1),
+         |comp AS (
+         |  SELECT cell AS cid, i,
+         |    SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
+         |  FROM a0, range(1, 65) r(i) GROUP BY cell, i),
+         |cents AS (
+         |  SELECT cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
+         |  FROM comp GROUP BY cid),
+         |a1 AS (
+         |  SELECT vec_id, v, norm, cid AS cell FROM (
+         |    SELECT x.vec_id, x.v, x.norm, s.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+         |        s.cid) AS rk
+         |    FROM v x CROSS JOIN cents s) WHERE rk = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS n_id,
+         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.norm) AS cosine
+         |  FROM a1 q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id % 50 = 0)
          |SELECT q_id, cell,
          |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine

@@ -124,7 +124,7 @@ object SemiStructured {
     * disk — at scale this is the partitioned `spark.read.schema(s).json`
     * path over an object store, chunking subsumed by file splits. */
   val q31NdjsonSource: Q = (s, d) => {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_ndjson_region"
+    val tmp = scratchDir(s, "ndjson_region")
     table(s, d, "region").write.mode("overwrite").json(tmp)
     val schema = StructType(Seq(
       StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
@@ -136,7 +136,7 @@ object SemiStructured {
   /** S2: schema-enforced CSV scan with header (pd.read_csv,
     * transformation.py:77-87). */
   val q32CsvSource: Q = (s, d) => {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_nation"
+    val tmp = scratchDir(s, "csv_nation")
     table(s, d, "nation").write.mode("overwrite").option("header", "true").csv(tmp)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType), StructField("n_name", StringType),

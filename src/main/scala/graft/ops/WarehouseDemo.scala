@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.dw.{DateDims, Transforms}
+import graft.dw.{DateDims, Transforms, Warehouse}
 import org.apache.spark.sql.functions._
 
 /** Puts the warehouse pipeline code (graft.dw.Transforms) under the
@@ -242,6 +242,61 @@ object WarehouseDemo {
     t.unionAll(p).orderBy(col("measure"), col("datetime_id"), col("v2"))
   }
 
+  /** The full `Warehouse.build` end to end: fixture-derived business and
+    * checkin NDJSON written to disk, read back through the schema-enforced
+    * sources (S1), all 21 tables assembled (X2; the six missing inputs take
+    * the typed empty-fallback path X3), non-empty tables registered as the
+    * SQL serving surface (S6/S7 skip-empty semantics), and an analytical
+    * star join answered across SIX of them — fact_checkins, dim_business,
+    * fact_business_categories, dim_category, dim_datetime and dim_date —
+    * the `test_sql.py:13` serving role over the assembled schema. */
+  val whEndToEnd: Q = (s, d) => {
+    val tmp = scratchDir(s, "wh_e2e")
+    val k = col("p_partkey")
+    val base = table(s, d, "part").filter(k <= 300)
+    base.select(
+        concat(lit("B"), k).as("business_id"),
+        col("p_name").as("name"),
+        lit(null).cast("string").as("address"),
+        lit("Las Vegas").as("city"),
+        lit("NV").as("state"),
+        lit(null).cast("string").as("postal_code"),
+        lit(null).cast("double").as("latitude"),
+        lit(null).cast("double").as("longitude"),
+        (k % 2).cast("int").as("is_open"),
+        (k % 5 + 1).cast("double").as("stars"),
+        (k % 100).cast("int").as("review_count"),
+        regexp_replace(col("p_type"), " ", ", ").as("categories"),
+        lit(null).cast("map<string,string>").as("attributes"),
+        lit(null).cast("map<string,string>").as("hours"))
+      .coalesce(1).write.mode("overwrite").json(s"$tmp/business.json")
+    base.select(
+        concat(lit("B"), k).as("business_id"),
+        concat(
+          date_format(date_add(lit("1995-01-01").cast("date"), (k % 365).cast("int")),
+            "yyyy-MM-dd HH:mm:ss"),
+          lit(", "),
+          date_format(date_add(lit("1996-01-01").cast("date"), ((k * 7) % 365).cast("int")),
+            "yyyy-MM-dd HH:mm:ss")).as("date"))
+      .coalesce(1).write.mode("overwrite").json(s"$tmp/checkin.json")
+    val tables = Warehouse.build(s, Warehouse.Inputs(
+      business = s"$tmp/business.json", checkin = s"$tmp/checkin.json"))
+    Warehouse.register(tables)
+    s.sql(
+      """SELECT c.category_name, dd.year AS year,
+        |  COUNT(*) AS n_checkins,
+        |  CAST(CAST(SUM(CAST(b.stars AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / COUNT(b.stars) AS avg_stars
+        |FROM fact_checkins f
+        |JOIN dim_business b USING (business_id)
+        |JOIN fact_business_categories bc USING (business_id)
+        |JOIN dim_category c USING (category_id)
+        |JOIN dim_datetime dt ON f.datetime_id = dt.datetime_id
+        |JOIN dim_date dd ON dt.date_id = dd.date_id
+        |GROUP BY c.category_name, dd.year
+        |ORDER BY c.category_name, year""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_wh_categories" -> whCategories,
     "q34_wh_checkins" -> whCheckins,
@@ -250,7 +305,8 @@ object WarehouseDemo {
     "q45_wh_user_elite_friends" -> whUserEliteFriends,
     "q46_wh_tips" -> whTips,
     "q47_wh_covid_highlights" -> whCovidHighlights,
-    "q48_wh_climate" -> whClimate)
+    "q48_wh_climate" -> whClimate,
+    "q49_wh_end_to_end" -> whEndToEnd)
 
   val oracleSql: Map[String, String] = Map(
     "q33_wh_categories" ->
@@ -371,5 +427,29 @@ object WarehouseDemo {
         |UNION ALL
         |SELECT datetime_id, 'precipitation' AS measure,
         |  CASE WHEN dom % 7 = 0 THEN NULL ELSE base END AS v1, base AS v2 FROM m
-        |ORDER BY measure, datetime_id NULLS FIRST, v2""".stripMargin)
+        |ORDER BY measure, datetime_id NULLS FIRST, v2""".stripMargin,
+    "q49_wh_end_to_end" ->
+      """WITH biz AS (
+        |  SELECT 'B' || CAST(p_partkey AS VARCHAR) AS business_id,
+        |         regexp_replace(p_type, ' ', ', ', 'g') AS categories,
+        |         CAST(p_partkey % 5 + 1 AS DOUBLE) AS stars,
+        |         p_partkey AS k
+        |  FROM part WHERE p_partkey <= 300),
+        |cats AS (
+        |  SELECT business_id, unnest(string_split(categories, ', ')) AS category_name
+        |  FROM biz),
+        |chk AS (
+        |  SELECT business_id, unnest([
+        |      DATE '1995-01-01' + CAST(k % 365 AS INT),
+        |      DATE '1996-01-01' + CAST((k * 7) % 365 AS INT)]) AS d
+        |  FROM biz)
+        |SELECT ct.category_name, CAST(year(ch.d) AS INT) AS year,
+        |  COUNT(*) AS n_checkins,
+        |  CAST(CAST(SUM(CAST(b.stars AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / COUNT(b.stars) AS avg_stars
+        |FROM chk ch
+        |JOIN biz b USING (business_id)
+        |JOIN cats ct USING (business_id)
+        |GROUP BY ct.category_name, year(ch.d)
+        |ORDER BY ct.category_name, year""".stripMargin)
 }

@@ -46,25 +46,44 @@ package object ops {
   def drevenue(price: Column, discount: Column): Column =
     sum(price.cast(Dec) * (lit(1).cast(Dec) - discount.cast(Dec))).cast(DecOut).cast("double")
 
+  /** Session configuration every catalog query assumes. Applied by
+    * SparkEntry at the single public entry point (each `queries` value is
+    * wrapped with it), and by the session builders in Verify/Bench/
+    * WarehouseMain/SparkTestBase — NOT by the read helpers below, which
+    * are side-effect-free so library users embedding them in a shared
+    * session keep their own ANSI semantics.
+    *
+    *   - ansi.enabled=false: Spark 4 defaults ANSI on; the reference's
+    *     semantics (pandas: bad parse -> NaN/NaT, transformation.py:260)
+    *     need null-on-failure casts.
+    *   - nanosAsLong=true: events.parquet stores TIMESTAMP(NANOS); schema
+    *     inference rejects it outright (even under pruning) unless nanos
+    *     map to long.
+    *
+    * Both values are constants, so concurrent query submission on one
+    * session cannot race to different states.
+    */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
   /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark
     * has no native type for — read it as long and convert to microsecond
     * TimestampType (integer division; ns-epoch exceeds 2^53 so float math
-    * would corrupt it).
+    * would corrupt it). Requires [[configure]] on the session.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
 
-  /** Read a driver fixture table (TESTDATA.md) from the round's sf dir. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Spark 4 defaults ANSI on; the reference's semantics (pandas: bad
-    // parse -> NaN/NaT, transformation.py:260) need null-on-failure casts.
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    // events.parquet stores TIMESTAMP(NANOS); schema inference rejects it
-    // outright (even under pruning) unless nanos map to long.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Read a driver fixture table (TESTDATA.md) from the round's sf dir.
+    * Requires [[configure]] on the session. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
+
+  /** Unique scratch dir for queries that round-trip through local files —
+    * concurrent sessions must not overwrite each other's data. */
+  def scratchDir(spark: SparkSession, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${spark.sparkContext.applicationId}"
 }

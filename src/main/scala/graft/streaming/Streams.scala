@@ -1,8 +1,12 @@
 package graft.streaming
 
-import graft.ops.{dsum, events, Q}
+import graft.ops.{dsum, events, scratchDir, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
 
 /** Structured Streaming over the `events` fixture (SURVEY.md §2.9 — the
   * reference is batch-only; this is the north-star streaming extension).
@@ -25,6 +29,10 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Row type for the stateful stream (top-level in the object — nested
+    * class encoders don't resolve). */
+  case class Ev(event_id: Long, user_id: Long, value: Double, tsu: Long)
+
   /** Parquet-on-disk schema of events (ts is TIMESTAMP(NANOS) → long). */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -33,6 +41,32 @@ object Streams {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  /** Stage `df` as the single parquet file `file` with an explicit modTime —
+    * the file stream source (maxFilesPerTrigger=1) orders batches by
+    * modification time, so explicit stamps make the micro-batch sequence
+    * deterministic regardless of write speed. */
+  private def stageBatch(df: DataFrame, stage: String, file: Path, modTime: Long): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.createDirectories(file.getParent)
+    Files.move(part.toPath, file)
+    file.toFile.setLastModified(modTime)
+  }
+
+  /** Split boundary used by both staged-stream queries: midpoint of the
+    * event-time range in microseconds (integer arithmetic — the oracle
+    * states the same floor division). */
+  private def tsMid(ev: DataFrame): (Long, Long, Long) = {
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (tmin, tmax) = (r.getLong(0), r.getLong(1))
+    (tmin, tmax, (tmin + tmax) / 2)
+  }
 
   /** Tumbling 1-hour windows per event_type via an actual streaming query. */
   val tumbling: Q = (s, d) => {
@@ -75,9 +109,115 @@ object Streams {
         col("n_events"), col("value_sum"))
       .orderBy("user_id", "session_start")
 
+  /** Custom streaming state via flatMapGroupsWithState over a REAL
+    * two-micro-batch file stream: a per-user running high-water mark that
+    * emits only strictly-new maxima. Batch 0 carries the older time half,
+    * batch 1 the newer, so the state built in batch 0 must survive into
+    * batch 1 for the result to match the oracle's global prefix-maxima
+    * window — the memory sink accumulating exactly the batch-1-suppressed
+    * stream IS the proof of state persistence.
+    *
+    * Scale: state is one double per user key, partitioned by the group
+    * key; at 100 TB the file source becomes Kafka and the handler is
+    * unchanged (mapGroupsWithState shuffles each batch by key once).
+    */
+  val statefulHighWater: Q = (s, d) => {
+    import s.implicits._
+    val dir = scratchDir(s, "stream_hw")
+    deleteRec(Paths.get(dir))
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    val (_, _, mid) = tsMid(ev)
+    val now = System.currentTimeMillis()
+    stageBatch(ev.filter(unix_micros(col("ts")) < mid),
+      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
+      s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("ts", TimestampType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[Ev]
+    val flow = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[Double]) =>
+          var hw = state.getOption.getOrElse(Double.NegativeInfinity)
+          // the batch iterator is unordered; impose event-time order so
+          // emissions are the deterministic prefix maxima
+          val out = batch.toSeq.sortBy(e => (e.tsu, e.event_id)).flatMap { e =>
+            if (e.value > hw) { hw = e.value; Some((uid, e.event_id, e.value)) }
+            else None
+          }
+          state.update(hw)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "value")
+    val sinkName = "graft_stream_highwater"
+    val query = flow.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Sliding windows (1 hour every 30 minutes) in APPEND mode with a
+    * 1-hour watermark, fed newest-half first. The OLD half is staged only
+    * after the first `processAllAvailable`, so the batch-0 watermark is
+    * committed (via the no-data propagation batch) before the late file is
+    * discovered — every old-half row then arrives below the watermark and
+    * is dropped by the stateful operator. The final emitted set is exactly
+    * the closed windows (window.end <= watermark) over the new half, which
+    * is what the oracle states, late data excluded. (Staging both files up
+    * front would run the batches back-to-back with the watermark still at
+    * its pre-batch-0 value during batch 1 — Spark only guarantees dropping
+    * once the watermark has been committed.)
+    */
+  val slidingLateDrop: Q = (s, d) => {
+    val dir = scratchDir(s, "stream_late")
+    deleteRec(Paths.get(dir))
+    val ev = events(s, d).select(col("event_type"), col("value"), col("ts"))
+    val (_, _, mid) = tsMid(ev)
+    val now = System.currentTimeMillis()
+    // batch 0 = NEW half (advances the watermark)
+    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
+      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+    val sinkName = "graft_stream_late"
+    val query = agg.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try {
+      query.processAllAvailable() // batch 0 + watermark-propagation batch
+      // batch 1 = OLD half, now entirely below the committed watermark
+      stageBatch(ev.filter(unix_micros(col("ts")) < mid),
+        s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+      query.processAllAvailable()
+    } finally query.stop()
+    s.table(sinkName)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+      .orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext14_stream_tumbling" -> tumbling,
-    "ext15_stream_session" -> session)
+    "ext15_stream_session" -> session,
+    "ext21_stream_stateful" -> statefulHighWater,
+    "ext22_stream_late_drop" -> slidingLateDrop)
 
   val oracleSql: Map[String, String] = Map(
     "ext14_stream_tumbling" ->
@@ -87,6 +227,44 @@ object Streams {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS value_sum
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // state persistence is the thing under test; the oracle states the
+    // equivalent GLOBAL prefix-maxima (batches are time-split and ordered,
+    // so streamed emissions == batch window semantics)
+    "ext21_stream_stateful" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, value,
+        |    MAX(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT user_id, event_id, value FROM m
+        |WHERE pm IS NULL OR value > pm
+        |ORDER BY user_id, event_id""".stripMargin,
+    // the late (old-half) batch is dropped by the watermark; emitted set =
+    // closed sliding windows over the new half only (watermark tracked in
+    // milliseconds like Spark's)
+    "ext22_stream_late_drop" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(ts AS TIMESTAMP) AS t,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |bounds AS (SELECT (MIN(tsu) + MAX(tsu)) // 2 AS mid FROM e),
+        |b0 AS (SELECT e.* FROM e, bounds WHERE tsu >= mid),
+        |wm AS (SELECT MAX(tsu) // 1000 - 3600000 AS w_ms FROM b0),
+        |wins AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL 30 MINUTES, t),
+        |            time_bucket(INTERVAL 30 MINUTES, t) - INTERVAL 30 MINUTES]) AS ws
+        |  FROM b0)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS value_sum
+        |FROM wins, wm
+        |WHERE epoch_us(ws + INTERVAL 1 HOUR) // 1000 <= w_ms
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     "ext15_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |brk AS (

@@ -25,6 +25,9 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // same session confs the catalog entry point applies (ANSI off,
+    // parquet nanos-as-long) — suites call the module queries directly
+    graft.ops.configure(s)
     s
   }
 }
