@@ -31,7 +31,8 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
       ext.Multimodal.queries ++
-      streaming.Streams.queries)
+      streaming.Streams.queries ++
+      plans.AsOfQueries.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) => ops.configure(s); fn(s, d) }
       }
@@ -48,5 +49,6 @@ object SparkEntry {
       ext.Similarity.oracleSql ++
       ext.TextAnalysis.oracleSql ++
       ext.Multimodal.oracleSql ++
-      streaming.Streams.oracleSql
+      streaming.Streams.oracleSql ++
+      plans.AsOfQueries.oracleSql
 }

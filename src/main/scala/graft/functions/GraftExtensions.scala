@@ -5,15 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point — the supported injection seam for
-  * custom Catalyst pieces (functions now; rules/strategies if a future
-  * operator needs them). Usable two ways:
+  * custom Catalyst pieces (the graft_cosine function and the as-of join
+  * planner strategy). Usable two ways:
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions)...
   *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions
   *
   * The driver harness builds its own plain session, so query functions also
-  * self-register via CosineSimilarity.register; this class is the
-  * cluster-deployment path where per-query registration isn't available.
+  * self-register via CosineSimilarity.register / AsOf.register; this class
+  * is the cluster-deployment path where per-query registration isn't
+  * available.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity.build(exprs)))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,51 @@
+package graft.plans
+
+import graft.ops.{events, Q}
+import org.apache.spark.sql.functions._
+
+/** Catalog queries for the as-of join custom operator ([[AsOf]]).
+  *
+  * The oracle is DuckDB's native `ASOF LEFT JOIN` — an independent
+  * implementation of the same point-in-time semantics, which makes this a
+  * genuine cross-engine differential test of the custom SparkPlan.
+  */
+object AsOfQueries {
+
+  /** Every click event picks up the same user's latest signup event at or
+    * before it (classic point-in-time attribution). Right side is deduped
+    * to one row per (user, instant) so ties are impossible on either
+    * engine; clicks before any signup keep a null match (LEFT semantics).
+    */
+  val asofClickSignup: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tsu")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("tsu").as("s_tsu"),
+        col("event_id"))
+      .groupBy("s_user_id", "s_tsu")
+      .agg(min(col("event_id")).as("signup_id"))
+    AsOf.join(clicks, signups, Seq("user_id"), Seq("s_user_id"), "tsu", "s_tsu")
+      .select(col("event_id"), col("user_id"), col("signup_id"),
+        (col("tsu") - col("s_tsu")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext23_asof_join" -> asofClickSignup)
+
+  val oracleSql: Map[String, String] = Map(
+    "ext23_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id AS s_user_id, tsu AS s_tsu, MIN(event_id) AS signup_id
+        |  FROM e WHERE event_type = 'signup' GROUP BY user_id, tsu)
+        |SELECT l.event_id, l.user_id, r.signup_id, l.tsu - r.s_tsu AS gap_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.s_user_id AND l.tsu >= r.s_tsu
+        |ORDER BY l.event_id""".stripMargin)
+}

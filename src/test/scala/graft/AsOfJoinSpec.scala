@@ -1,0 +1,79 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The as-of join custom operator: semantics against the compositional
+  * encoding (theta join + row_number), edge cases, and the physical plan
+  * shape (co-partitioned merge, no pair materialization).
+  */
+class AsOfJoinSpec extends SparkTestBase {
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Reference implementation: all (left, right-at-or-before) pairs, keep
+    * the latest per left row — O(n·m) but obviously correct. */
+  private def reference(l: DataFrame, r: DataFrame): DataFrame = {
+    val pairs = l.join(r,
+      col("k") === col("rk") && col("rts") <= col("ts"), "left")
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("rts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("id", "k", "ts", "rv")
+  }
+
+  private def leftDf(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("id", "k", "ts")
+  }
+
+  private def rightDf(rows: Seq[(String, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("rk", "rts", "rv")
+  }
+
+  test("as-of picks the latest right row at or before each left row") {
+    val l = leftDf(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 50L)))
+    val r = rightDf(Seq(("a", 7L, "a7"), ("a", 10L, "a10"), ("a", 15L, "a15"), ("b", 60L, "b60")))
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts")
+      .select("id", "k", "ts", "rv").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(3)) null else row.getString(3))).toMap
+    // ties included (ts=10 matches rts=10); before-any-right -> null
+    assert(got === Map(1L -> "a10", 2L -> "a15", 3L -> null, 4L -> null))
+  }
+
+  test("as-of equals the compositional reference on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = leftDf(Seq.tabulate(500)(i =>
+      (i.toLong, s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong)))
+    val r = rightDf(
+      Seq.tabulate(300)(i => (s"k${rnd.nextInt(25)}", rnd.nextInt(1000).toLong, s"v$i"))
+        .distinct
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq) // unique (key, ts)
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts")
+      .select("id", "k", "ts", "rv")
+    val want = reference(l, r)
+    assert(got.collect().toSet === want.collect().toSet)
+    assert(got.count() === l.count()) // exactly one output row per left row
+  }
+
+  test("empty right side yields all-null matches, not errors") {
+    val l = leftDf(Seq((1L, "a", 10L)))
+    val r = rightDf(Seq.empty)
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts").collect()
+    assert(got.length === 1 && got(0).isNullAt(4))
+  }
+
+  test("physical plan: AsOfJoinExec with co-partitioned exchanges, no pair join") {
+    val l = leftDf(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    val r = rightDf(Seq(("a", 7L, "a7")))
+    val plan = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
