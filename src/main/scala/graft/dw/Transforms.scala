@@ -106,21 +106,24 @@ object Transforms {
 
   // --------------------------------------------------------------- checkin
 
-  /** transformation.py:240-280: split, explode, trim, lenient parse, inner
-    * datetime join (misses DROPPED — J5 distinction vs review/tip). */
-  def checkin(df: DataFrame, dimDatetime: DataFrame): DataFrame = {
-    val exploded = df
-      .select(col("business_id"), explode(split(col("date"), ",")).as("raw_ts"))
+  /** The id-free checkin rows: split, explode, trim, lenient parse, inner
+    * datetime join (misses DROPPED — J5 distinction vs review/tip).
+    * Factored out so the incremental (foreachBatch) build can run the same
+    * transform per micro-batch; ids are a batch-level concern. */
+  def checkinRows(df: DataFrame, dimDatetime: DataFrame): DataFrame =
+    df.select(col("business_id"), explode(split(col("date"), ",")).as("raw_ts"))
       .withColumn("ts", to_timestamp(trim(col("raw_ts")))) // errors='coerce' → null (D8)
       .filter(col("ts").isNotNull)
       .withColumn("__date_str", date_format(col("ts"), IsoDate))
-    val joined = exploded
       .join(broadcast(datetimeLookup(dimDatetime, IsoDate)), Seq("__date_str"))
       .select("business_id", "datetime_id")
+
+  /** transformation.py:240-280. */
+  def checkin(df: DataFrame, dimDatetime: DataFrame): DataFrame =
     // fact-sized output: distributed range-sorted ids, not a global Window
-    Keys.rangeIds(joined, "checkin_id", Seq(col("business_id"), col("datetime_id")))
+    Keys.rangeIds(checkinRows(df, dimDatetime), "checkin_id",
+      Seq(col("business_id"), col("datetime_id")))
       .select("checkin_id", "business_id", "datetime_id")
-  }
 
   // ---------------------------------------------------------------- review
 

@@ -50,10 +50,11 @@ object Streams {
     * the file stream source (maxFilesPerTrigger=1) orders batches by
     * modification time, so explicit stamps make the micro-batch sequence
     * deterministic regardless of write speed. */
-  private def stageBatch(df: DataFrame, stage: String, file: Path, modTime: Long): Unit = {
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
+  private def stageBatch(df: DataFrame, stage: String, file: Path, modTime: Long,
+      format: String = "parquet"): Unit = {
+    df.coalesce(1).write.mode("overwrite").format(format).save(stage)
     val part = new java.io.File(stage).listFiles
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      .find(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc")).get
     Files.createDirectories(file.getParent)
     Files.move(part.toPath, file)
     file.toFile.setLastModified(modTime)
@@ -213,11 +214,55 @@ object Streams {
       .orderBy("window_start", "event_type")
   }
 
+  /** Incremental warehouse build: checkin NDJSON arrives as a stream and
+    * `foreachBatch` runs the REAL warehouse transform
+    * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
+    * join) per micro-batch, appending to the at-rest fact table. The final
+    * fact contents equal the one-shot batch build — incremental ingestion
+    * is a pure refactoring of the same plan, which is what the oracle
+    * states. At 100 TB/day this is the Kafka→fact-table path; per-batch
+    * work scales with the batch, not the table.
+    */
+  val incrementalWarehouse: Q = (s, d) => {
+    import graft.dw.{DateDims, Schemas, Transforms}
+    val dir = scratchDir(s, "stream_wh")
+    deleteRec(Paths.get(dir))
+    val k = col("o_orderkey")
+    def half(lo: Long, hi: Long): DataFrame = graft.ops.table(s, d, "orders")
+      .filter(k > lo && k <= hi)
+      .select(k.cast("string").as("business_id"),
+        concat(
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"), lit(", "),
+          date_format(date_add(col("o_orderdate").cast("date"), 7), "yyyy-MM-dd"),
+          lit(" 12:00:00, not-a-date")).as("date"))
+    val now = System.currentTimeMillis()
+    stageBatch(half(-1, 250), s"$dir/stage0", Paths.get(s"$dir/in/b0.json"), now - 60000, "json")
+    stageBatch(half(250, 500), s"$dir/stage1", Paths.get(s"$dir/in/b1.json"), now - 30000, "json")
+    val dim = DateDims.dimDatetime(s)
+    val factDir = s"$dir/fact_checkins"
+    val query = s.readStream.schema(Schemas.checkin)
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$dir/in")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Transforms.checkinRows(batch, dim).write.mode("append").parquet(factDir)
+      }
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.read.parquet(factDir)
+      .groupBy("business_id")
+      .agg(count(lit(1)).as("n_checkins"),
+        min(col("datetime_id")).as("first_dt"), max(col("datetime_id")).as("last_dt"))
+      .orderBy(col("business_id").cast("int"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext14_stream_tumbling" -> tumbling,
     "ext15_stream_session" -> session,
     "ext21_stream_stateful" -> statefulHighWater,
-    "ext22_stream_late_drop" -> slidingLateDrop)
+    "ext22_stream_late_drop" -> slidingLateDrop,
+    "ext24_stream_incremental_wh" -> incrementalWarehouse)
 
   val oracleSql: Map[String, String] = Map(
     "ext14_stream_tumbling" ->
@@ -227,6 +272,23 @@ object Streams {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS value_sum
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // incremental build == batch build; the oracle states the one-shot
+    // relational semantics over the same constructed checkin rows
+    "ext24_stream_incremental_wh" ->
+      """WITH exploded AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS business_id,
+        |    unnest([strftime(o_orderdate, '%Y-%m-%d'),
+        |            strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d')]) AS dstr
+        |  FROM orders WHERE o_orderkey <= 500),
+        |mapped AS (
+        |  SELECT business_id,
+        |    CAST(datediff('day', DATE '1948-09-06', CAST(dstr AS DATE)) AS INT) AS datetime_id
+        |  FROM exploded
+        |  WHERE CAST(dstr AS DATE) BETWEEN DATE '1948-09-06' AND DATE '2025-12-31')
+        |SELECT business_id, COUNT(*) AS n_checkins,
+        |  MIN(datetime_id) AS first_dt, MAX(datetime_id) AS last_dt
+        |FROM mapped GROUP BY business_id
+        |ORDER BY CAST(business_id AS INT)""".stripMargin,
     // state persistence is the thing under test; the oracle states the
     // equivalent GLOBAL prefix-maxima (batches are time-split and ordered,
     // so streamed emissions == batch window semantics)
