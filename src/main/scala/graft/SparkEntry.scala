@@ -32,7 +32,8 @@ object SparkEntry {
       ext.TextAnalysis.queries ++
       ext.Multimodal.queries ++
       streaming.Streams.queries ++
-      plans.AsOfQueries.queries)
+      plans.AsOfQueries.queries ++
+      ops.Advanced.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) => ops.configure(s); fn(s, d) }
       }
@@ -50,5 +51,6 @@ object SparkEntry {
       ext.TextAnalysis.oracleSql ++
       ext.Multimodal.oracleSql ++
       streaming.Streams.oracleSql ++
-      plans.AsOfQueries.oracleSql
+      plans.AsOfQueries.oracleSql ++
+      ops.Advanced.oracleSql
 }

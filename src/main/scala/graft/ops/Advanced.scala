@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Serving-surface operators beyond the round-1 catalog: interval (range)
+  * join via bin bucketing, skew-salted join, and exact percentiles.
+  */
+object Advanced {
+
+  /** Range/interval join WITHOUT a nested-loop: Spark plans a raw
+    * `p BETWEEN start AND end` join as BroadcastNestedLoop/Cartesian —
+    * O(n·m). Bin bucketing makes it an equi join: intervals explode to the
+    * fixed-width bins they overlap (≤ 2 here, since spans ≤ 6 days < the
+    * 7-day bin), points map to exactly one bin, the join runs on the bin
+    * key, and the range predicate filters inside the join. Each (point,
+    * interval) pair meets in exactly one bin (the point's), so no dedup is
+    * needed. At 100 TB this is one shuffle on the bin key with per-bucket
+    * work proportional to genuine overlap — the standard spatial-binning
+    * trade (bin width ~ median interval length).
+    */
+  val rangeJoinBinned: Q = (s, d) => {
+    val W = 7
+    val k = col("o_orderkey")
+    val ivals = table(s, d, "orders")
+      .filter(k <= 200)
+      .select(k.as("ival_id"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("start_d"))
+      .withColumn("end_d", (col("start_d") + col("ival_id") % 5 + 1).cast("int"))
+    val points = table(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 3000)
+      .select(datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date")).as("p_d"))
+    val ivalBins = ivals.select(col("ival_id"), col("start_d"), col("end_d"),
+      explode(expr(s"sequence(start_d DIV $W, end_d DIV $W)")).as("bin"))
+    val pointBins = points.withColumn("bin", expr(s"p_d DIV $W"))
+    pointBins.join(ivalBins, Seq("bin"))
+      .filter(col("p_d") >= col("start_d") && col("p_d") <= col("end_d"))
+      .groupBy("ival_id")
+      .agg(count(lit(1)).as("n_points"),
+        min(col("p_d")).as("first_d"), max(col("p_d")).as("last_d"))
+      .orderBy("ival_id")
+  }
+
+  /** Skew-salted equi join: the fact side's 3 hot keys would each funnel
+    * into one task in a plain shuffle join; a deterministic salt
+    * (row-key % 16) fans every hot key across 16 tasks and the dim side is
+    * replicated once per salt (dim × 16 rows — the cheap side pays). The
+    * result is identical to the unsalted join, which is what the oracle
+    * states. (AQE's skew-join split is the automatic variant; explicit
+    * salting is the portable one that also works mid-pipeline on
+    * intermediate data AQE can't see.)
+    */
+  val saltedJoin: Q = (s, d) => {
+    val S = 16
+    val fact = table(s, d, "orders")
+      .select(col("o_orderkey"), (col("o_custkey") % 3).as("hot_key"), col("o_totalprice"))
+    val dim = table(s, d, "region")
+      .filter(col("r_regionkey") < 3)
+      .select(col("r_regionkey").cast("long").as("hot_key"), col("r_name"))
+    val saltedFact = fact.withColumn("salt", (col("o_orderkey") % S).cast("int"))
+    val saltedDim = dim.select(col("hot_key"), col("r_name"),
+      explode(expr(s"sequence(0, ${S - 1})")).as("salt"))
+    saltedFact.join(saltedDim, Seq("hot_key", "salt"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("r_name")
+  }
+
+  /** Exact percentiles (sort-based, no float summation — deterministic
+    * across engines; the quantity domain keeps linear interpolation on
+    * exact dyadic fractions, so Spark's a(1-g)+bg and DuckDB's a+(b-a)g
+    * produce bit-identical doubles).
+    */
+  val percentiles: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, Q] = Map(
+    "ext25_range_join_binned" -> rangeJoinBinned,
+    "q50_salted_join" -> saltedJoin,
+    "q51_percentiles" -> percentiles)
+
+  val oracleSql: Map[String, String] = Map(
+    "ext25_range_join_binned" ->
+      """WITH ivals AS (
+        |  SELECT o_orderkey AS ival_id,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS start_d,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + (o_orderkey % 5 + 1) AS end_d
+        |  FROM orders WHERE o_orderkey <= 200),
+        |pts AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS p_d
+        |  FROM lineitem WHERE l_orderkey <= 3000)
+        |SELECT ival_id, COUNT(*) AS n_points,
+        |  CAST(MIN(p_d) AS INT) AS first_d, CAST(MAX(p_d) AS INT) AS last_d
+        |FROM ivals JOIN pts ON p_d BETWEEN start_d AND end_d
+        |GROUP BY ival_id ORDER BY ival_id""".stripMargin,
+    "q50_salted_join" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders JOIN region ON o_custkey % 3 = r_regionkey AND r_regionkey < 3
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
