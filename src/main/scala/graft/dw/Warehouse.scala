@@ -76,12 +76,47 @@ object Warehouse {
         name
     }
 
-  /** Persist tables as parquet under `dir` (columnar at-rest layer; the
-    * 100 TB variant would partition facts by date and bucket by the join
-    * key before writing).
+  /** Persist tables as parquet under `dir` (columnar at-rest layer; see
+    * [[writeScaled]] for the 100 TB layout variant).
     */
   def writeParquet(tables: Seq[(String, DataFrame)], dir: String): Unit =
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+
+  /** At-rest layout for one table in the scaled sink: hive-style
+    * partition columns (→ partition-pruned scans) and/or a bucket spec
+    * (→ co-located, shuffle-free joins on the bucket key). */
+  final case class TableLayout(
+      partitionBy: Seq[String] = Nil,
+      buckets: Int = 0,
+      bucketCols: Seq[String] = Nil)
+
+  /** The 100 TB variant of [[writeParquet]]: tables with a bucket spec are
+    * written through `saveAsTable` (the only sink that records bucket
+    * metadata) as external tables rooted at `dir`, registered as
+    * `graft_wh_<name>`; plain and partitioned tables go straight to
+    * parquet. Joining two tables bucketed the same way on their join key
+    * plans with NO exchange on either side (asserted in WarehouseSpec);
+    * partition columns turn fact-date filters into partition pruning
+    * (asserted in ScaleInfraSpec).
+    */
+  def writeScaled(tables: Seq[(String, DataFrame)], dir: String,
+      layouts: Map[String, TableLayout]): Unit =
+    tables.foreach { case (name, df) =>
+      val lay = layouts.getOrElse(name, TableLayout())
+      if (lay.buckets > 0) {
+        df.sparkSession.sql(s"DROP TABLE IF EXISTS graft_wh_$name")
+        val w = df.write.mode("overwrite")
+          .option("path", s"$dir/$name")
+          .bucketBy(lay.buckets, lay.bucketCols.head, lay.bucketCols.tail: _*)
+          .sortBy(lay.bucketCols.head, lay.bucketCols.tail: _*)
+        (if (lay.partitionBy.nonEmpty) w.partitionBy(lay.partitionBy: _*) else w)
+          .saveAsTable(s"graft_wh_$name")
+      } else {
+        val w = df.write.mode("overwrite")
+        (if (lay.partitionBy.nonEmpty) w.partitionBy(lay.partitionBy: _*) else w)
+          .parquet(s"$dir/$name")
+      }
     }
 }

@@ -75,20 +75,21 @@ object TextAnalysis {
   /** Document fingerprinting: whole-text digest, min-shingle digest (the
     * 1-hash minhash, robust to suffix edits), and a polynomial rolling
     * hash (base-31 mod 1e9+7 — the classic Rabin-Karp-style content
-    * signature, computed as a sequential integer fold identical in both
-    * engines). */
-  val fingerprint: Q = (s, d) =>
+    * signature). The rolling hash is the native codegen'd
+    * graft.functions.RollingHash — one O(len) pass per document; the HOF
+    * fold it replaces re-seeks the string per character (O(len²)) and is
+    * kept bit-identical in NativeExprSpec. */
+  val fingerprint: Q = (s, d) => {
+    graft.functions.RollingHash.register(s)
     table(s, d, "documents")
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .select(col("doc_id"),
         md5(col("t")).as("full_md5"),
         expr("array_min(transform(sequence(1, greatest(length(t) - 7, 1)), i -> md5(substring(t, i, 8))))")
           .as("min_shingle_md5"),
-        expr("""IF(length(t) = 0, CAST(0 AS BIGINT),
-                 aggregate(sequence(1, length(t)), CAST(0 AS BIGINT),
-                   (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % 1000000007))""")
-          .as("rolling_hash"))
+        expr("graft_rolling_hash(t)").as("rolling_hash"))
       .orderBy("doc_id")
+  }
 
   /** End-to-end curation pipeline — the composite shape a training-data
     * run executes: quality gate → exact dedup (keep min doc_id per md5

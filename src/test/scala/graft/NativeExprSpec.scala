@@ -60,4 +60,27 @@ class NativeExprSpec extends SparkTestBase {
     assert(native.except(hof).count() === 0)
     assert(hof.except(native).count() === 0)
   }
+
+  test("graft_rolling_hash equals the HOF fold and stays in codegen") {
+    graft.functions.RollingHash.register(spark)
+    val docs = ops.table(spark, sf, "documents")
+      .select(lower(trim(col("text"))).as("t"))
+    val both = docs.select(
+        expr("graft_rolling_hash(t)").as("native"),
+        expr("""IF(length(t) = 0, CAST(0 AS BIGINT),
+                 aggregate(sequence(1, length(t)), CAST(0 AS BIGINT),
+                   (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % 1000000007))""").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1), "rolling hash diverged"))
+    // empty and null inputs
+    import spark.implicits._
+    val edge = Seq(Some(""), None).toDF("t")
+      .select(expr("graft_rolling_hash(t)").as("h")).collect()
+    assert(edge(0).getLong(0) === 0L && edge(1).isNullAt(0))
+    val plan = docs.select(expr("graft_rolling_hash(t)").as("h"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"graft_rolling_hash Project not inside a codegen span:\n$plan")
+  }
 }

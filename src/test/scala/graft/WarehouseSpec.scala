@@ -178,6 +178,29 @@ class WarehouseSpec extends SparkTestBase {
     assert(registered.toSet === Set("dim_datetime", "dim_date", "dim_hour"))
   }
 
+  test("writeScaled: same-bucketed fact and dim join with no exchange (S7 at scale)") {
+    // stale catalog entries / warehouse dirs survive across JVMs — clear
+    Seq("graft_wh_fact_checkins", "graft_wh_dim_business").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    val outDir = Files.createTempDirectory("graft_wh_scaled").toString
+    val subset = Seq(
+      "fact_checkins" -> tables("fact_checkins"),
+      "dim_business" -> tables("dim_business"),
+      "dim_hour" -> tables("dim_hour"))
+    Warehouse.writeScaled(subset, outDir, Map(
+      "fact_checkins" -> Warehouse.TableLayout(buckets = 4, bucketCols = Seq("business_id")),
+      "dim_business" -> Warehouse.TableLayout(buckets = 4, bucketCols = Seq("business_id"))))
+    val joined = spark.table("graft_wh_fact_checkins")
+      .join(spark.table("graft_wh_dim_business"), Seq("business_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed warehouse join still shuffles:\n$plan")
+    assert(joined.count() === tables("fact_checkins").count())
+    // the unbucketed table went to plain parquet
+    assert(spark.read.parquet(s"$outDir/dim_hour").count() === 24)
+  }
+
   test("SQL serving over the registered warehouse (S6/S9)") {
     Warehouse.register(Warehouse.build(spark, Warehouse.Inputs(
       business = s"$fixtureDir/business.json",
