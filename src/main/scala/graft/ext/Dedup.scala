@@ -189,12 +189,32 @@ object Dedup {
       .limit(20)
   }
 
+  /** Edit-distance near-dup scoring: prefix-blocked candidate pairs (equal
+    * 12-char prefix — the cheap blocking key), verified with Levenshtein
+    * over the 60-char head. Blocking keeps the self-join linear in block
+    * sizes instead of all-pairs; the O(len²)-per-pair DP is confined to
+    * candidates and a fixed-length head — the standard fuzzy-matching
+    * shape at corpus scale. */
+  val dedupLevenshtein: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), substring(col("t"), 1, 12).as("blk"),
+        substring(col("t"), 1, 60).as("head"))
+    docs.as("a").join(docs.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+      .filter(col("edit_dist") <= 10)
+      .orderBy(col("edit_dist"), col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext01_dedup_exact" -> dedupExact,
     "ext02_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ext04_dedup_simhash" -> dedupSimhash,
-    "ext05_dedup_embedding" -> dedupEmbedding)
+    "ext05_dedup_embedding" -> dedupEmbedding,
+    "ext26_dedup_levenshtein" -> dedupLevenshtein)
 
   private val shinglesSql =
     """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
@@ -270,6 +290,14 @@ object Dedup {
         |SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 2
         |ORDER BY hamming, a_id, b_id""".stripMargin,
+    "ext26_dedup_levenshtein" ->
+      """WITH docs AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |d2 AS (SELECT doc_id, substr(t, 1, 12) AS blk, substr(t, 1, 60) AS head FROM docs)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+        |FROM d2 a JOIN d2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 10
+        |ORDER BY edit_dist, a_id, b_id""".stripMargin,
     "ext05_dedup_embedding" ->
       """WITH v AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,

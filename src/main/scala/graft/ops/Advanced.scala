@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Serving-surface operators beyond the round-1 catalog: interval (range)
@@ -79,10 +80,55 @@ object Advanced {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS with grouping_id — the third A3 shape beyond
+    * rollup (q13) and cube (q14): an arbitrary set list, including the
+    * grand total, disambiguated by grouping_id so null data values can't
+    * be confused with subtotal rows. */
+  val groupingSets: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** RANGE-framed window (trailing 30 days by VALUE, not row count) plus
+    * the distribution functions (percent_rank, cume_dist) and framed
+    * first/last_value — the window shapes q36's ROWS-frame suite doesn't
+    * cover. The order key is an int day so the range frame is exact. */
+  val windowRangeFrame: Q = (s, d) => {
+    val k = col("o_custkey")
+    val base = table(s, d, "orders")
+      .filter(k <= 40)
+      .select(col("o_orderkey"), k,
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+        col("o_totalprice"))
+    val byDay = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+    val range30 = Window.partitionBy("o_custkey").orderBy(col("day")).rangeBetween(-30, 0)
+    base.select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("o_totalprice").cast(Dec)).over(range30).cast(DecOut)
+          .cast("double").as("total_30d"),
+        count(lit(1)).over(range30).as("n_30d"),
+        percent_rank().over(byDay).as("pr"),
+        cume_dist().over(byDay).as("cd"),
+        first(col("o_orderkey")).over(byDay).as("first_key"),
+        last(col("o_orderkey")).over(
+          Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_key"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext25_range_join_binned" -> rangeJoinBinned,
     "q50_salted_join" -> saltedJoin,
-    "q51_percentiles" -> percentiles)
+    "q51_percentiles" -> percentiles,
+    "q52_grouping_sets" -> groupingSets,
+    "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
     "ext25_range_join_binned" ->
@@ -110,5 +156,32 @@ object Advanced {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q52_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q53_window_range_frame" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day,
+        |    o_totalprice
+        |  FROM orders WHERE o_custkey <= 40)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER r30 AS DECIMAL(38,4)) AS DOUBLE) AS total_30d,
+        |  COUNT(*) OVER r30 AS n_30d,
+        |  percent_rank() OVER bd AS pr,
+        |  cume_dist() OVER bd AS cd,
+        |  first_value(o_orderkey) OVER bd AS first_key,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM base
+        |WINDOW bd AS (PARTITION BY o_custkey ORDER BY day, o_orderkey),
+        |  r30 AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin)
 }
