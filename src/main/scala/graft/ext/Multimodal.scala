@@ -95,10 +95,41 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One analysis window over the (stub) sample stream. */
+  final case class AudioWindow(doc_id: Long, window_no: Int, n_samples: Int,
+      sum_amp: Long, peak_amp: Int)
+
+  /** Audio windowing shape: the byte payload is treated as a PCM-ish
+    * sample stream and segmented into overlapping analysis windows
+    * (100 samples, hop 50 — the spectrogram/feature-frame access pattern),
+    * each reduced to per-window statistics inside the same partition-wise
+    * map a real DSP library would run in. Windows never cross rows, so the
+    * stage is a pure flatMap — no shuffle until a downstream aggregate. */
+  val audioWindows: Q = (s, d) => {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+        lit("audio").as("kind"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { m =>
+        val n = m.media.length
+        (0 until math.max(n, 1) by 50).takeWhile(_ < n).zipWithIndex.map {
+          case (st, w) =>
+            val len = math.min(100, n - st)
+            val seg = m.media.slice(st, st + len)
+            AudioWindow(m.doc_id, w, len,
+              seg.map(b => (b & 0xff).toLong).sum, seg.map(_ & 0xff).max)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "window_no")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext12_multimodal_decode" -> mediaDecode,
     "ext13_multimodal_frames" -> frameSample,
-    "ext18_multimodal_resize" -> resize)
+    "ext18_multimodal_resize" -> resize,
+    "ext27_multimodal_audio_windows" -> audioWindows)
 
   // The oracle re-states the stub arithmetic over the source text (ASCII
   // fixture: chars == bytes; strlen() counts bytes in DuckDB).
@@ -123,5 +154,17 @@ object Multimodal {
         |  CAST(16 AS INT) AS target_width,
         |  CAST(16 AS INT) AS target_height,
         |  md5(substr(text, 1, 256)) AS resized_digest
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ext27_multimodal_audio_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, strlen(text) AS n,
+        |    unnest([i for i in range(0, (strlen(text) - 1) // 50 + 1)]) AS wno
+        |  FROM documents WHERE strlen(text) > 0)
+        |SELECT doc_id, CAST(wno AS INT) AS window_no,
+        |  CAST(least(100, n - wno * 50) AS INT) AS n_samples,
+        |  CAST(list_sum([ascii(substr(text, j, 1))
+        |        for j in range(wno * 50 + 1, wno * 50 + least(100, n - wno * 50) + 1)]) AS BIGINT) AS sum_amp,
+        |  CAST(list_max([ascii(substr(text, j, 1))
+        |        for j in range(wno * 50 + 1, wno * 50 + least(100, n - wno * 50) + 1)]) AS INT) AS peak_amp
+        |FROM w ORDER BY doc_id, window_no""".stripMargin)
 }

@@ -49,6 +49,34 @@ class ScaleInfraSpec extends SparkTestBase {
     assert(pruned.count() === expected)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    import spark.implicits._
+    // one key holds ~all rows; thresholds forced down so the tiny test
+    // shuffle still counts as skewed
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(Option(spark.conf.get(k))).toOption.flatten
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(50000)
+        .select(when(col("id") % 100 === 0, col("id")).otherwise(lit(0L)).as("k"),
+          concat(lit("payload_payload_payload_"), col("id")).as("pad"))
+      val other = spark.range(2000).select(col("id").as("k"), lit("x").as("v"))
+      val joined = skewed.join(other, "k")
+      joined.collect() // materialize THIS dataset's plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew-join split in final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val agg = ops.table(spark, sf, "lineitem")
