@@ -116,14 +116,41 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Deterministic stratified sampling for language rebalancing: keep-rate
+    * per stratum is a threshold on md5(doc_id)'s hex prefix (en 75 %,
+    * de/fr 50 %, es 25 %, others 12.5 %). Unlike RNG-based TABLESAMPLE
+    * this is a pure map filter — reproducible across reruns, engines and
+    * partitionings, joinable (the same doc always samples the same way),
+    * and shuffle-free at any scale, which is why hash sampling is the
+    * training-pipeline standard. */
+  val sampleStratified: Q = (s, d) =>
+    table(s, d, "documents")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .filter(col("h") < when(col("lang") === "en", "c")
+        .when(col("lang").isin("de", "fr"), "8")
+        .when(col("lang") === "es", "4")
+        .otherwise("2"))
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "ext08_text_langid" -> langId,
     "ext09_text_quality" -> quality,
     "ext10_text_tokens" -> tokenCount,
     "ext11_text_fingerprint" -> fingerprint,
-    "ext19_curation_pipeline" -> curationPipeline)
+    "ext19_curation_pipeline" -> curationPipeline,
+    "ext28_sample_stratified" -> sampleStratified)
 
   val oracleSql: Map[String, String] = Map(
+    "ext28_sample_stratified" ->
+      """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN lang = 'en' THEN 'c'
+        |       WHEN lang IN ('de', 'fr') THEN '8'
+        |       WHEN lang = 'es' THEN '4'
+        |       ELSE '2' END
+        |ORDER BY doc_id""".stripMargin,
     "ext08_text_langid" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
