@@ -106,6 +106,8 @@ object Warehouse {
     tables.foreach { case (name, df) =>
       val lay = layouts.getOrElse(name, TableLayout())
       if (lay.buckets > 0) {
+        require(lay.bucketCols.nonEmpty,
+          s"bucketed layout for $name needs bucketCols")
         df.sparkSession.sql(s"DROP TABLE IF EXISTS graft_wh_$name")
         val w = df.write.mode("overwrite")
           .option("path", s"$dir/$name")

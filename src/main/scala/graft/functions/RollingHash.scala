@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: base-31 polynomial rolling hash mod 1e9+7
@@ -21,9 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * results to the HOF formulation (and the DuckDB oracle) on BMP text,
   * asserted in NativeExprSpec.
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
+
+  /** Analysis-time type check (+ implicit casts), matching built-in
+    * expression conventions — graft_rolling_hash(non_string) is an
+    * AnalysisException, not a runtime ClassCastException. */
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def prettyName: String = "graft_rolling_hash"
 

@@ -82,8 +82,23 @@ package object ops {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Lazily-assigned random token per SparkSession *instance* — sessions
+    * created with `newSession()` share one applicationId, so the app id
+    * alone cannot isolate their scratch paths or memory-sink names. Weak
+    * keys let closed sessions be collected. */
+  private val sessionTokens =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Short id unique to this SparkSession instance (stable for its life). */
+  def sessionToken(spark: SparkSession): String =
+    sessionTokens.computeIfAbsent(
+      spark, _ => java.util.UUID.randomUUID().toString.take(8))
+
   /** Unique scratch dir for queries that round-trip through local files —
-    * concurrent sessions must not overwrite each other's data. */
+    * concurrent sessions (including `newSession()` twins sharing an
+    * applicationId) must not overwrite each other's data. */
   def scratchDir(spark: SparkSession, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${tag}_${spark.sparkContext.applicationId}"
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"${spark.sparkContext.applicationId}_${sessionToken(spark)}"
 }

@@ -118,7 +118,14 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTs = lTimeBound.eval(l)
-          if (lTs != null) {
+          // SQL equality semantics (DuckDB ASOF LEFT JOIN ON l.k = r.k):
+          // a null join key never matches anything, including a null right
+          // key. Null-keyed left rows emit the null right side without
+          // consuming; null-keyed right rows sort first under the natural
+          // ordering, compare < any non-null left key, and are consumed
+          // with lastMatch cleared — they can never become a candidate.
+          val lKeyMatchable = !lKey.anyNull
+          if (lTs != null && lKeyMatchable) {
             // consume right rows at or before (key, ts); the last equal-key
             // row seen is the as-of candidate. Null right times never match
             // (skipped), mirroring SQL comparison semantics.
@@ -140,7 +147,8 @@ case class AsOfJoinExec(
             }
           }
           val rSide =
-            if (lTs != null && lastMatch != null && lastMatchKey != null &&
+            if (lTs != null && lKeyMatchable && lastMatch != null &&
+                lastMatchKey != null &&
                 keyOrd.compare(lastMatchKey, lKey) == 0) lastMatch
             else nullRight
           resultProj(joined(l, rSide))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ops.{dsum, events, scratchDir, Q}
+import graft.ops.{dsum, events, scratchDir, sessionToken, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -83,7 +83,7 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
-    val sinkName = "graft_stream_tumbling"
+    val sinkName = s"graft_stream_tumbling_${sessionToken(s)}"
     val query = agg.writeStream
       .outputMode("complete")
       .format("memory")
@@ -157,7 +157,7 @@ object Streams {
           out.iterator
       }
       .toDF("user_id", "event_id", "value")
-    val sinkName = "graft_stream_highwater"
+    val sinkName = s"graft_stream_highwater_${sessionToken(s)}"
     val query = flow.writeStream.outputMode("append")
       .format("memory").queryName(sinkName).start()
     try query.processAllAvailable()
@@ -197,7 +197,7 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
-    val sinkName = "graft_stream_late"
+    val sinkName = s"graft_stream_late_${sessionToken(s)}"
     val query = agg.writeStream.outputMode("append")
       .format("memory").queryName(sinkName).start()
     try {

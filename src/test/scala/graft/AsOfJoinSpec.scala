@@ -59,6 +59,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.count() === l.count()) // exactly one output row per left row
   }
 
+  test("null join keys never match — not even a null right key") {
+    import spark.implicits._
+    // DuckDB ASOF LEFT JOIN ON l.k = r.k semantics: SQL equality, so a
+    // null key matches nothing (null = null is not true).
+    val l = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("id", "k", "ts")
+    val r = Seq((Option("a"), 5L, "a5"), (Option.empty[String], 5L, "n5"))
+      .toDF("rk", "rts", "rv")
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts")
+      .select("id", "rv").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) null else row.getString(1))).toMap
+    assert(got === Map(1L -> "a5", 2L -> null))
+  }
+
   test("empty right side yields all-null matches, not errors") {
     val l = leftDf(Seq((1L, "a", 10L)))
     val r = rightDf(Seq.empty)

@@ -83,4 +83,16 @@ class NativeExprSpec extends SparkTestBase {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
       s"graft_rolling_hash Project not inside a codegen span:\n$plan")
   }
+
+  test("graft_rolling_hash rejects non-string input at analysis time") {
+    graft.functions.RollingHash.register(spark)
+    import spark.implicits._
+    // non-string input -> analysis-time DATATYPE_MISMATCH, not a runtime
+    // ClassCastException
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(42).toDF("n")
+        .select(expr("graft_rolling_hash(n)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_rolling_hash"))
+  }
 }
