@@ -20,7 +20,11 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Two timed passes, keep the per-query minimum: a concurrent load
+    // spike on the host (observed inflating single queries 5-10x in
+    // shared-machine runs) has to hit the same query twice to survive
+    // into the reported numbers.
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -29,6 +33,8 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     // The driver captures only a ~2000-char tail of this process's output, so
     // the single contract line must stay well under that: short query keys
     // (the unambiguous "q27"/"ext05" prefix) and 2-decimal seconds. The full

@@ -170,20 +170,25 @@ object Dedup {
       .orderBy(col("hamming"), col("a_id"), col("b_id"))
   }
 
-  /** Embedding near-dup: cosine >= threshold inside coarse buckets
-    * (label = IVF cell assignment); top-20. The cosine is an explicit
-    * sequential fold over doubles so both engines sum in index order. */
+  /** Embedding near-dup: top-20 cosine pairs inside coarse buckets
+    * (label = IVF cell assignment); brute force inside the bucket only.
+    * Scored with the native codegen'd graft_cosine — one fused
+    * allocation-free loop per pair; its left-to-right accumulation order
+    * is identical to the HOF `aggregate(zip_with(...)) / (norm*norm)`
+    * fold, so results stay bit-identical to the DuckDB oracle's
+    * sequential list_sum (the pair join is the hot path: all
+    * within-bucket pairs flow through the kernel before TakeOrdered
+    * keeps 20). */
   val dedupEmbedding: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
     val vecs = table(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
     val pairs = vecs.as("a").join(vecs.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.label").as("label"),
-        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("a.norm") * col("b.norm"))).as("cosine"))
+        expr("graft_cosine(a.v, b.v)").as("cosine"))
     pairs
       .orderBy(col("cosine").desc, col("a_id"), col("b_id"))
       .limit(20)

@@ -147,8 +147,14 @@ object Similarity {
     * the per-cell candidate join — the standard IVF build/probe cost.
     */
   val kmeansIvfTopK: Q = (s, d) => {
+    graft.functions.SquaredDistance.register(s)
+    graft.functions.CosineSimilarity.register(s)
     val all = vecs(s, d).drop("label")
-    val sqd = "aggregate(zip_with(v, e.c, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+    // graft_sqdist: native fused loop with the same left-to-right
+    // accumulation as the HOF aggregate(zip_with(...)) fold — bit-identical
+    // distances (the assignment argmin is the semantics), ~10x less CPU
+    // than interpreting two lambdas per (vector, centroid).
+    val sqd = "graft_sqdist(v, e.c)"
     def assign(vs: DataFrame, cents: DataFrame): DataFrame =
       vs.crossJoin(broadcast(cents.groupBy()
           .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))))
@@ -167,14 +173,17 @@ object Similarity {
       .agg(collect_list(struct(col("pos"),
         (col("sc").cast("double") / 1000000 / col("n")).as("cv"))).as("pc"))
       .select(col("cid"), expr("transform(array_sort(pc), t -> t.cv)").as("c"))
-    val a1 = assign(all, cents1)
+    // consumed by BOTH sides of the probe join — persist so the two-pass
+    // k-means build (seed assign -> Lloyd update -> re-assign) runs once
+    val a1 = assign(all, cents1).persist()
     val queries = a1.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"), col("v"), col("norm"))
     val scored = queries.as("q").join(a1.as("c"),
         col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
       .select(col("q.q_id").as("q_id"), col("q.cell").as("cell"),
         col("c.vec_id").as("n_id"),
-        (expr(dot) / (col("q.norm") * col("c.norm"))).as("cosine"))
+        // same accumulation order as `dot / (norm*norm)` — bit-identical
+        expr("graft_cosine(q.v, c.v)").as("cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))

@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity.build(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "graft_sqdist"),
+      (exprs: Seq[Expression]) => SquaredDistance.build(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash.build(exprs)))
