@@ -340,6 +340,73 @@ object Relational {
     ia.unionAll(ea).select("op", "nationkey", "n").orderBy("op", "nationkey")
   }
 
+  /** TPC-H Q5 shape: two dimension paths (order→customer and
+    * line→supplier) constraining the SAME fact row via the local-supplier
+    * condition c_nationkey = s_nationkey, under a region filter + date
+    * range. Scale plan: the only shuffle is orders⋈lineitem on orderkey;
+    * customer/supplier/nation/region all broadcast, the region filter
+    * prunes the broadcast before it ships, and the date filter pushes to
+    * the orders scan. */
+  val q54LocalSupplier: Q = (s, d) =>
+    li(s, d)
+      .join(ord(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q7 shape: cross-nation shipping volume — the nation dimension
+    * joins TWICE under different roles (supplier's vs customer's nation),
+    * so each broadcast carries a role-renamed projection and the
+    * inequality keeps only cross-border flows. Grouped by both nations
+    * and ship year. */
+  val q55NationVolume: Q = (s, d) => {
+    val n1 = nat(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nat(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q14 shape: ratio of a conditional aggregate to the total — the
+    * promo-revenue share per ship month over one year. Both sums stage
+    * through exact decimals; the ratio divides the two staged doubles, so
+    * the quotient is bit-identical across engines. One broadcast (part),
+    * one shuffle (|months| groups). */
+  val q56PromoShare: Q = (s, d) => {
+    val promo = sum(when(col("p_type") === "PROMO",
+      col("l_extendedprice").cast(Dec) * (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+      .otherwise(lit(0).cast(Dec))).cast(DecOut).cast("double")
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(prt(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg((lit(100) * promo /
+        drevenue(col("l_extendedprice"), col("l_discount"))).as("promo_pct"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("ship_month")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,6))"
@@ -373,9 +440,54 @@ object Relational {
     "q38_approx_distinct" -> q38ApproxDistinct,
     "q39_pivot" -> q39Pivot,
     "q40_unpivot" -> q40Unpivot,
-    "q41_setops_all" -> q41SetopsAll)
+    "q41_setops_all" -> q41SetopsAll,
+    "q54_local_supplier" -> q54LocalSupplier,
+    "q55_nation_volume" -> q55NationVolume,
+    "q56_promo_share" -> q56PromoShare)
 
   val oracleSql: Map[String, String] = Map(
+    "q54_local_supplier" ->
+      s"""SELECT n_name,
+         | CAST(CAST(SUM($decPrice * (1 - $decDisc)) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q55_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS INT) AS l_year,
+         | CAST(CAST(SUM($decPrice * (1 - $decDisc)) AS DECIMAL(38,4)) AS DOUBLE) AS volume
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q56_promo_share" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         | 100 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |     THEN $decPrice * (1 - $decDisc)
+         |     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,4)) AS DOUBLE)
+         |   / CAST(CAST(SUM($decPrice * (1 - $decDisc)) AS DECIMAL(38,4)) AS DOUBLE)
+         |   AS promo_pct,
+         | COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(CAST(SUM($decQty) AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty,

@@ -177,6 +177,16 @@ object AsOf {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String): DataFrame = {
     register(left.sparkSession)
+    viaExtensions(left, right, leftKeys, rightKeys, leftTime, rightTime)
+  }
+
+  /** As [[join]] but without the runtime strategy registration — for
+    * sessions where the planner strategy is already installed via
+    * `spark.sql.extensions=graft.functions.GraftExtensions` (the cluster
+    * deployment path). Planning fails if neither injection happened. */
+  def viaExtensions(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def resolve(plan: LogicalPlan, n: String): Attribute =

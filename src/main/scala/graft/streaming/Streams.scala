@@ -214,6 +214,39 @@ object Streams {
       .orderBy("window_start", "event_type")
   }
 
+  /** Streaming deduplication with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one row per
+    * (user_id, event_type, day) key, holding each key's state only until
+    * the watermark passes its event time + delay — at 100 TB/day the state
+    * store carries a sliding window of keys, not the full history (the
+    * difference between this and plain streaming dropDuplicates, whose
+    * state grows without bound). The 60-day delay here covers the
+    * fixture's whole 30-day span, so exactly one row per key survives and
+    * the emitted KEY SET equals batch DISTINCT — which is what the oracle
+    * states (which physical row won per key is racy; the aggregate over
+    * keys is not). */
+  val streamDedupWatermark: Q = (s, d) => {
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val stream = s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val deduped = stream
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+    val sinkName = s"graft_stream_dedup_${sessionToken(s)}"
+    val query = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type", "day")
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -262,9 +295,20 @@ object Streams {
     "ext15_stream_session" -> session,
     "ext21_stream_stateful" -> statefulHighWater,
     "ext22_stream_late_drop" -> slidingLateDrop,
-    "ext24_stream_incremental_wh" -> incrementalWarehouse)
+    "ext24_stream_incremental_wh" -> incrementalWarehouse,
+    "ext29_stream_dedup_watermark" -> streamDedupWatermark)
 
   val oracleSql: Map[String, String] = Map(
+    // one survivor per (user_id, event_type, day) key -> the per-(type,
+    // day) key counts equal batch DISTINCT counts
+    "ext29_stream_dedup_watermark" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT user_id, event_type,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        |  FROM events)
+        |SELECT event_type, day, COUNT(*) AS n_users
+        |FROM dd GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
     "ext14_stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
         |         '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -80,6 +80,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.length === 1 && got(0).isNullAt(4))
   }
 
+  test("as-of plans through GraftExtensions injection alone (no runtime register)") {
+    // newSession(): fresh SessionState (so no experimental.extraStrategies
+    // left over from other tests) but the same spark.sql.extensions —
+    // planning must succeed on the injected strategy alone
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val l = Seq((1L, "a", 10L)).toDF("id", "k", "ts")
+    val r = Seq(("a", 7L, "a7")).toDF("rk", "rts", "rv")
+    val df = AsOf.viaExtensions(l, r, Seq("k"), Seq("rk"), "ts", "rts")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val row = df.collect().head
+    assert(row.getString(5) === "a7")
+  }
+
   test("physical plan: AsOfJoinExec with co-partitioned exchanges, no pair join") {
     val l = leftDf(Seq((1L, "a", 10L), (2L, "b", 20L)))
     val r = rightDf(Seq(("a", 7L, "a7")))
