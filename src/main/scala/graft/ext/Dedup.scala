@@ -213,7 +213,47 @@ object Dedup {
       .orderBy(col("edit_dist"), col("a_id"), col("b_id"))
   }
 
+  /** Train/eval decontamination — the pretraining-hygiene operator: which
+    * held-out documents leak into the training corpus? Eval docs (here
+    * doc_id % 10 == 0) are scored by how many of their distinct 3-gram
+    * shingles appear ANYWHERE in the train split.
+    *
+    * Scale plan: a LEFT SEMI join on the shingle key — the train side
+    * never multiplies eval rows (no pair blowup, unlike a contamination
+    * *attribution* join), so the cost is one shuffle of the two shingle
+    * sets; at 100 TB this is the standard decontamination sweep with the
+    * train side optionally pre-bucketed by shingle. */
+  val decontamination: Q = (s, d) => {
+    val sh = shingles(table(s, d, "documents"))
+    val evalSh = sh.filter(col("doc_id") % 10 === 0)
+    val trainSh = sh.filter(col("doc_id") % 10 =!= 0)
+    val sizes = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = evalSh.join(trainSh.select("sh"), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    sizes.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id").as("eval_id"), col("n_sh"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_sh"))
+          .as("contamination"))
+      .orderBy("eval_id")
+  }
+
+  /** Vocabulary heavy hitters: top-50 tokens by document frequency — the
+    * vocab-construction pass of a tokenizer-training pipeline. Two keyed
+    * shuffles (distinct doc-token pairs, then token counts) and a
+    * TakeOrdered; no full sort. */
+  val vocabTopDf: Q = (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(50)
+
   val queries: Map[String, Q] = Map(
+    "ext30_decontamination" -> decontamination,
+    "ext31_vocab_topdf" -> vocabTopDf,
     "ext01_dedup_exact" -> dedupExact,
     "ext02_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -229,6 +269,25 @@ object Dedup {
       |       FROM tok WHERE len(toks) >= 3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ext30_decontamination" ->
+      s"""WITH $shinglesSql,
+         |ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0),
+         |sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ev GROUP BY doc_id),
+         |shared AS (
+         |  SELECT doc_id, COUNT(*) AS n_shared FROM ev
+         |  WHERE sh IN (SELECT sh FROM tr) GROUP BY doc_id)
+         |SELECT sz.doc_id AS eval_id, n_sh,
+         |  COALESCE(n_shared, 0) AS n_shared,
+         |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_sh AS contamination
+         |FROM sz LEFT JOIN shared ON sz.doc_id = shared.doc_id
+         |ORDER BY eval_id""".stripMargin,
+    "ext31_vocab_topdf" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |  FROM documents)
+        |SELECT tok, COUNT(*) AS df FROM toks WHERE tok <> ''
+        |GROUP BY tok ORDER BY df DESC, tok LIMIT 50""".stripMargin,
     "ext01_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id_kept, COUNT(*) AS group_size, h
         |FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h

@@ -290,13 +290,54 @@ object Streams {
       .orderBy(col("business_id").cast("int"))
   }
 
+  /** Kafka-shaped ingest through the [[Channel]] abstraction: events are
+    * staged as wire-envelope NDJSON (topic, part_id, offset, key, value)
+    * with the payload as JSON text, read back through [[FileChannel]] —
+    * the tested twin of [[KafkaChannel]] — parsed with an explicit value
+    * schema, and aggregated per (bus partition, event_type). Swapping
+    * FileChannel for KafkaChannel is the only line a cluster deployment
+    * changes. The oracle restates the aggregate over the original rows:
+    * the envelope round-trip must be lossless (Jackson's shortest-repr
+    * doubles parse back bit-identical). */
+  val channelEnvelope: Q = (s, d) => {
+    val dir = scratchDir(s, "channel")
+    deleteRec(Paths.get(dir))
+    val envelope = events(s, d).select(
+      lit("events").as("topic"),
+      (col("event_id") % 4).cast("int").as("part_id"),
+      col("event_id").as("offset"),
+      col("user_id").cast("string").as("key"),
+      to_json(struct(col("event_type"), col("value"))).as("value"),
+      col("ts"))
+    stageBatch(envelope, s"$dir/stage0", Paths.get(s"$dir/in/b0.json"),
+      System.currentTimeMillis() - 60000, "json")
+    val valueSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val parsed = FileChannel(s"$dir/in").read(s)
+      .filter(col("topic") === "events")
+      .select(col("part_id"), from_json(col("value"), valueSchema).as("v"))
+      .select(col("part_id"), col("v.event_type").as("event_type"),
+        col("v.value").as("value"))
+    val agg = parsed.groupBy("part_id", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+    val sinkName = s"graft_stream_channel_${sessionToken(s)}"
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName)
+      .select("part_id", "event_type", "n", "value_sum")
+      .orderBy("part_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext14_stream_tumbling" -> tumbling,
     "ext15_stream_session" -> session,
     "ext21_stream_stateful" -> statefulHighWater,
     "ext22_stream_late_drop" -> slidingLateDrop,
     "ext24_stream_incremental_wh" -> incrementalWarehouse,
-    "ext29_stream_dedup_watermark" -> streamDedupWatermark)
+    "ext29_stream_dedup_watermark" -> streamDedupWatermark,
+    "ext32_channel_envelope" -> channelEnvelope)
 
   val oracleSql: Map[String, String] = Map(
     // one survivor per (user_id, event_type, day) key -> the per-(type,
@@ -309,6 +350,15 @@ object Streams {
         |SELECT event_type, day, COUNT(*) AS n_users
         |FROM dd GROUP BY 1, 2
         |ORDER BY event_type, day""".stripMargin,
+    // the envelope round-trip is lossless, so the per-(bus-partition,
+    // type) aggregate equals the same aggregate over the original rows
+    "ext32_channel_envelope" ->
+      """SELECT CAST(event_id % 4 AS INT) AS part_id, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY part_id, event_type""".stripMargin,
     "ext14_stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
         |         '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -77,6 +77,32 @@ class ScaleInfraSpec extends SparkTestBase {
     }
   }
 
+  test("rank<=k filters plan as WindowGroupLimit (per-group top-k pushdown)") {
+    // the ANN top-k queries filter row_number() <= k; Spark's
+    // WindowGroupLimit rule must turn that into a per-group limit BEFORE
+    // the full Window sort — at scale this keeps k rows per key per
+    // partition flowing into the exchange instead of every scored pair
+    val plan = ext.Similarity.bruteForceTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k rank filter did not plan a WindowGroupLimit:\n$plan")
+  }
+
+  test("ngramJaccard dfCap: no-op cap equals exact; tight cap still answers") {
+    val docs = ops.table(spark, sf, "documents")
+    val nDocs = docs.count().toInt
+    val full = ext.Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // df can't exceed the doc count, so this cap drops nothing
+    val noop = ext.Dedup.ngramJaccard(docs, dfCap = Some(nDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(noop.toSeq === full.toSeq)
+    // a tight cap drops hot posting lists but the pipeline stays well-formed
+    val capped = ext.Dedup.ngramJaccard(docs, dfCap = Some(2)).collect()
+    assert(capped.length <= 20)
+    capped.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1))
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val agg = ops.table(spark, sf, "lineitem")
