@@ -123,7 +123,40 @@ object Advanced {
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
+  /** SCD Type-2 dimension merge — MERGE INTO semantics composed from
+    * Spark-first primitives (no table-format dependency): updated keys
+    * close out the current version (valid_to stamped, is_current=false)
+    * and append a new open version; untouched keys pass through. The
+    * update KEY SET is broadcast for both the close-out semi and the
+    * pass-through anti join — at 100 TB the daily delta is orders of
+    * magnitude smaller than the dimension, so the merge costs one
+    * dimension scan with zero shuffles on the big side (a bucketed dim
+    * keeps even the output co-located). */
+  val scd2Merge: Q = (s, d) => {
+    val dim = table(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit("2024-01-01").as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+    val updates = table(s, d, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100).as("c_acctbal"),
+        lit("2024-06-01").as("valid_from"))
+    val updKeys = updates.select("c_custkey")
+    val closedOut = dim.join(broadcast(updKeys), Seq("c_custkey"), "left_semi")
+      .withColumn("valid_to", lit("2024-06-01"))
+      .withColumn("is_current", lit(false))
+    val untouched = dim.join(broadcast(updKeys), Seq("c_custkey"), "left_anti")
+    val newVersions = updates
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    untouched.unionByName(closedOut).unionByName(newVersions)
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_scd2_merge" -> scd2Merge,
     "ext25_range_join_binned" -> rangeJoinBinned,
     "q50_salted_join" -> saltedJoin,
     "q51_percentiles" -> percentiles,
@@ -131,6 +164,26 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q58_scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+        |    '2024-06-01' AS valid_from
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, is_current
+        |  FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, valid_from, '2024-06-01', FALSE
+        |  FROM dim WHERE c_custkey IN (SELECT c_custkey FROM upd)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, valid_from, CAST(NULL AS VARCHAR), TRUE
+        |  FROM upd)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "ext25_range_join_binned" ->
       """WITH ivals AS (
         |  SELECT o_orderkey AS ival_id,

@@ -146,6 +146,18 @@ object SemiStructured {
       .orderBy("n_nationkey")
   }
 
+  /** Columnar-source coverage beyond parquet: ORC round-trip (Spark ships
+    * the ORC reader/writer natively; predicate pushdown and column
+    * pruning work the same way). Doubles and strings survive the
+    * round-trip bit-exactly, so the original-table oracle applies. */
+  val q57OrcSource: Q = (s, d) => {
+    val tmp = scratchDir(s, "orc_supplier")
+    table(s, d, "supplier").write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
   /** Correlated scalar subquery through real SQL text — exercises
     * Catalyst's subquery decorrelation (rewrite to aggregate + join).
     * The threshold uses exact decimal-staged division on both sides so
@@ -181,7 +193,8 @@ object SemiStructured {
     "q29_catalog_views" -> q29CatalogViews,
     "q30_sql_serving" -> q30SqlServing,
     "q31_ndjson_source" -> q31NdjsonSource,
-    "q32_csv_source" -> q32CsvSource)
+    "q32_csv_source" -> q32CsvSource,
+    "q57_orc_source" -> q57OrcSource)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -234,5 +247,7 @@ object SemiStructured {
     "q31_ndjson_source" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q32_csv_source" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q57_orc_source" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")
 }
