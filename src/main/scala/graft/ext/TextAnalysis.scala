@@ -133,7 +133,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("h"))
       .orderBy("doc_id")
 
+  /** Bottom-k (KMV) sketch per corpus shard via the custom typed
+    * Aggregator [[graft.functions.BottomKAgg]] — O(k) state per group
+    * through partial/final aggregation instead of a per-group sort (see
+    * the Aggregator's doc for why this beats the window formulation at
+    * scale). The oracle restates the semantics with the window (k smallest
+    * distinct token hashes, sorted, '|'-joined) — identical output, very
+    * different physical cost. */
+  val bottomKSketch: Q = (s, d) => {
+    val bk = udaf(new graft.functions.BottomKAgg(8),
+      org.apache.spark.sql.Encoders.STRING)
+    table(s, d, "documents")
+      .select((col("doc_id") % 8).as("shard"),
+        explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("shard"), md5(col("tok")).as("h"))
+      .distinct()
+      .groupBy("shard").agg(bk(col("h")).as("bottomk"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext33_bottomk_sketch" -> bottomKSketch,
     "ext08_text_langid" -> langId,
     "ext09_text_quality" -> quality,
     "ext10_text_tokens" -> tokenCount,
@@ -142,6 +163,20 @@ object TextAnalysis {
     "ext28_sample_stratified" -> sampleStratified)
 
   val oracleSql: Map[String, String] = Map(
+    "ext33_bottomk_sketch" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id % 8 AS shard, md5(tok) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''),
+        |r AS (
+        |  SELECT shard, h,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h) AS rk
+        |  FROM t)
+        |SELECT shard, string_agg(h, '|' ORDER BY h) AS bottomk
+        |FROM r WHERE rk <= 8
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "ext28_sample_stratified" ->
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
         |FROM documents

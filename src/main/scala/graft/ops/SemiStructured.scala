@@ -158,6 +158,33 @@ object SemiStructured {
       .orderBy("s_suppkey")
   }
 
+  /** Malformed-input surface of the NDJSON source: PERMISSIVE mode routes
+    * unparseable lines into the corrupt-record column instead of failing
+    * the scan (the distributed generalization of the reference's per-row
+    * try/except skip, transformation.py:85-93) — at 100 TB a single bad
+    * byte must quarantine one row, not kill a 1000-executor job. Every
+    * 5th nation line is staged broken; the oracle reconstructs both
+    * populations from the clean table. */
+  val q59CorruptRecords: Q = (s, d) => {
+    val tmp = scratchDir(s, "ndjson_corrupt")
+    table(s, d, "nation")
+      .select(when(col("n_nationkey") % 5 === 0,
+          concat(lit("{\"broken\": "), col("n_nationkey")))
+        .otherwise(to_json(struct(col("n_nationkey"), col("n_name"))))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .select(col("n_nationkey"), col("n_name"),
+        col("_corrupt_record").as("corrupt"))
+      .orderBy(col("corrupt").asc_nulls_first, col("n_nationkey"))
+  }
+
   /** Correlated scalar subquery through real SQL text — exercises
     * Catalyst's subquery decorrelation (rewrite to aggregate + join).
     * The threshold uses exact decimal-staged division on both sides so
@@ -194,7 +221,8 @@ object SemiStructured {
     "q30_sql_serving" -> q30SqlServing,
     "q31_ndjson_source" -> q31NdjsonSource,
     "q32_csv_source" -> q32CsvSource,
-    "q57_orc_source" -> q57OrcSource)
+    "q57_orc_source" -> q57OrcSource,
+    "q59_corrupt_records" -> q59CorruptRecords)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -249,5 +277,14 @@ object SemiStructured {
     "q32_csv_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q57_orc_source" ->
-      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey")
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q59_corrupt_records" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS corrupt
+        |  FROM nation WHERE n_nationkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        |    '{"broken": ' || n_nationkey
+        |  FROM nation WHERE n_nationkey % 5 = 0)
+        |ORDER BY corrupt NULLS FIRST, n_nationkey""".stripMargin)
 }
