@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.LongType
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false, tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -48,8 +49,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -57,6 +58,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    forward: Boolean, tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -86,6 +88,8 @@ case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val outAttrs = output
+    val fwd = forward
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -102,6 +106,7 @@ case class AsOfJoinExec(
         private var rHeadTime: Any = _
         private var lastMatch: InternalRow = _
         private var lastMatchKey: InternalRow = _
+        private var lastMatchTime: Long = _
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
@@ -114,6 +119,8 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        private def withinTol(gap: Long): Boolean = tol.forall(gap <= _)
+
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
@@ -125,32 +132,57 @@ case class AsOfJoinExec(
           // ordering, compare < any non-null left key, and are consumed
           // with lastMatch cleared — they can never become a candidate.
           val lKeyMatchable = !lKey.anyNull
+          var rSide: InternalRow = nullRight
           if (lTs != null && lKeyMatchable) {
-            // consume right rows at or before (key, ts); the last equal-key
-            // row seen is the as-of candidate. Null right times never match
-            // (skipped), mirroring SQL comparison semantics.
-            var continue = rHead != null
-            while (continue) {
-              val c = keyOrd.compare(rHeadKey, lKey)
-              if (c < 0 ||
-                  (c == 0 && rHeadTime != null &&
-                    rHeadTime.asInstanceOf[Long] <= lTs.asInstanceOf[Long]) ||
-                  (c == 0 && rHeadTime == null)) {
-                if (c == 0 && rHeadTime != null) {
-                  lastMatch = rHead.copy(); lastMatchKey = rHeadKey
-                } else if (c < 0) {
-                  lastMatch = null; lastMatchKey = null
-                }
-                advanceRight()
-                continue = rHead != null
-              } else continue = false
+            val lTsL = lTs.asInstanceOf[Long]
+            if (!fwd) {
+              // BACKWARD: consume right rows at or before (key, ts); the
+              // last equal-key row seen is the as-of candidate. Null right
+              // times never match (skipped), mirroring SQL comparison
+              // semantics.
+              var continue = rHead != null
+              while (continue) {
+                val c = keyOrd.compare(rHeadKey, lKey)
+                if (c < 0 ||
+                    (c == 0 && rHeadTime != null &&
+                      rHeadTime.asInstanceOf[Long] <= lTsL) ||
+                    (c == 0 && rHeadTime == null)) {
+                  if (c == 0 && rHeadTime != null) {
+                    lastMatch = rHead.copy(); lastMatchKey = rHeadKey
+                    lastMatchTime = rHeadTime.asInstanceOf[Long]
+                  } else if (c < 0) {
+                    lastMatch = null; lastMatchKey = null
+                  }
+                  advanceRight()
+                  continue = rHead != null
+                } else continue = false
+              }
+              // the greatest time <= lTs is the nearest candidate: if IT
+              // is out of tolerance, every earlier row is farther — null
+              if (lastMatch != null && lastMatchKey != null &&
+                  keyOrd.compare(lastMatchKey, lKey) == 0 &&
+                  withinTol(lTsL - lastMatchTime)) rSide = lastMatch
+            } else {
+              // FORWARD: consume right rows strictly before (key, ts) —
+              // left times are nondecreasing per key, so they can never
+              // match a later left row either. The head itself (first
+              // equal-key row with time >= lTs) is the candidate and is
+              // NOT consumed: it may also serve the next left row.
+              var continue = rHead != null
+              while (continue) {
+                val c = keyOrd.compare(rHeadKey, lKey)
+                if (c < 0 ||
+                    (c == 0 && (rHeadTime == null ||
+                      rHeadTime.asInstanceOf[Long] < lTsL))) {
+                  advanceRight()
+                  continue = rHead != null
+                } else continue = false
+              }
+              if (rHead != null && rHeadTime != null &&
+                  keyOrd.compare(rHeadKey, lKey) == 0 &&
+                  withinTol(rHeadTime.asInstanceOf[Long] - lTsL)) rSide = rHead
             }
           }
-          val rSide =
-            if (lTs != null && lKeyMatchable && lastMatch != null &&
-                lastMatchKey != null &&
-                keyOrd.compare(lastMatchKey, lKey) == 0) lastMatch
-            else nullRight
           resultProj(joined(l, rSide))
         }
       }
@@ -168,16 +200,30 @@ object AsOf {
     SqlBridge.addStrategy(spark, AsOfJoinStrategy)
 
   /** LEFT AS-OF join `left` with `right` on equal keys, attaching the
-    * right row with the greatest `rightTime <= leftTime`. Time columns
-    * must be LongType (epoch micros or any monotonic long) — convert
-    * timestamps with `unix_micros` first. Name the right side's columns
-    * distinctly from the left's so the combined output stays unambiguous.
+    * nearest-in-time right row per left row. Time columns must be
+    * LongType (epoch micros or any monotonic long) — convert timestamps
+    * with `unix_micros` first. Name the right side's columns distinctly
+    * from the left's so the combined output stays unambiguous.
+    *
+    * `direction` (the pandas merge_asof vocabulary):
+    *   - "backward" (default): greatest `rightTime <= leftTime` —
+    *     point-in-time lookup (DuckDB `ASOF ... ON l.t >= r.t`);
+    *   - "forward": smallest `rightTime >= leftTime` — next-event
+    *     attribution (DuckDB `ASOF ... ON l.t <= r.t`).
+    *
+    * `tolerance` (same unit as the time columns): a candidate farther
+    * than this from the left time yields a null match instead — the
+    * attribution-window bound. Nearest-first search makes the check O(1):
+    * if the nearest candidate is out of tolerance, every other is too.
     */
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     register(left.sparkSession)
-    viaExtensions(left, right, leftKeys, rightKeys, leftTime, rightTime)
+    viaExtensions(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      direction, tolerance)
   }
 
   /** As [[join]] but without the runtime strategy registration — for
@@ -186,7 +232,12 @@ object AsOf {
     * deployment path). Planning fails if neither injection happened. */
   def viaExtensions(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be 'backward' or 'forward', got '$direction'")
+    require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def resolve(plan: LogicalPlan, n: String): Attribute =
@@ -201,6 +252,8 @@ object AsOf {
     val rk = rightKeys.map(resolve(rPlan, _))
     require(lk.map(_.dataType) == rk.map(_.dataType),
       "as-of join key types must match pairwise")
-    SqlBridge.ofRows(left.sparkSession, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
+    SqlBridge.ofRows(left.sparkSession,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
+        forward = direction == "forward", tolerance = tolerance))
   }
 }

@@ -33,10 +33,51 @@ object AsOfQueries {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of with a tolerance: every click attributes to the same
+    * user's NEXT purchase at or after it, but only within a 48-hour
+    * attribution window — the standard conversion-attribution query.
+    * Clicks whose nearest following purchase is farther than 48 h (or
+    * absent) keep the null match. The oracle is DuckDB's forward ASOF
+    * (`l.t <= r.t`) with the window restated as a post-join CASE — valid
+    * because the nearest candidate being out of window implies all are.
+    */
+  val asofClickNextPurchase: Q = (s, d) => {
+    val winUs = 48L * 3600 * 1000000
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tsu")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("tsu").as("p_tsu"),
+        col("event_id"))
+      .groupBy("p_user_id", "p_tsu")
+      .agg(min(col("event_id")).as("purchase_id"))
+    AsOf.join(clicks, purchases, Seq("user_id"), Seq("p_user_id"),
+        "tsu", "p_tsu", direction = "forward", tolerance = Some(winUs))
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        (col("p_tsu") - col("tsu")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "ext23_asof_join" -> asofClickSignup)
+    "ext23_asof_join" -> asofClickSignup,
+    "ext34_asof_forward_window" -> asofClickNextPurchase)
 
   val oracleSql: Map[String, String] = Map(
+    "ext34_asof_forward_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id AS p_user_id, tsu AS p_tsu, MIN(event_id) AS purchase_id
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN r.p_tsu - l.tsu <= 172800000000 THEN r.purchase_id END AS purchase_id,
+        |  CASE WHEN r.p_tsu - l.tsu <= 172800000000 THEN r.p_tsu - l.tsu END AS gap_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user_id AND l.tsu <= r.p_tsu
+        |ORDER BY l.event_id""".stripMargin,
     "ext23_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu

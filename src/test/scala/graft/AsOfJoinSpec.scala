@@ -59,6 +59,52 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.count() === l.count()) // exactly one output row per left row
   }
 
+  test("forward as-of picks the earliest right row at or after each left row") {
+    val l = leftDf(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 50L)))
+    val r = rightDf(Seq(("a", 7L, "a7"), ("a", 10L, "a10"), ("a", 15L, "a15"), ("b", 40L, "b40")))
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts", direction = "forward")
+      .select("id", "rv").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) null else row.getString(1))).toMap
+    // ties included (ts=10 matches rts=10); after-all-rights -> null
+    assert(got === Map(1L -> "a10", 2L -> null, 3L -> "a7", 4L -> null))
+  }
+
+  test("forward as-of equals the compositional reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val l = leftDf(Seq.tabulate(500)(i =>
+      (i.toLong, s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong)))
+    val r = rightDf(
+      Seq.tabulate(300)(i => (s"k${rnd.nextInt(25)}", rnd.nextInt(1000).toLong, s"v$i"))
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq)
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts", direction = "forward")
+      .select("id", "k", "ts", "rv")
+    val pairs = l.join(r, col("k") === col("rk") && col("rts") >= col("ts"), "left")
+    val want = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("rts").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("id", "k", "ts", "rv")
+    assert(got.collect().toSet === want.collect().toSet)
+    assert(got.count() === l.count())
+  }
+
+  test("tolerance nulls out matches farther than the bound, both directions") {
+    val l = leftDf(Seq((1L, "a", 10L), (2L, "a", 20L)))
+    val r = rightDf(Seq(("a", 7L, "a7"), ("a", 26L, "a26")))
+    val back = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts",
+        tolerance = Some(3L))
+      .select("id", "rv").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) null else row.getString(1))).toMap
+    // id1: a7 at gap 3 (kept); id2: nearest-before a7 at gap 13 (dropped)
+    assert(back === Map(1L -> "a7", 2L -> null))
+    val fwd = AsOf.join(l, r, Seq("k"), Seq("rk"), "ts", "rts",
+        direction = "forward", tolerance = Some(6L))
+      .select("id", "rv").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) null else row.getString(1))).toMap
+    // id1: nearest-after a26 at gap 16 (dropped); id2: a26 at gap 6 (kept)
+    assert(fwd === Map(1L -> null, 2L -> "a26"))
+  }
+
   test("null join keys never match — not even a null right key") {
     import spark.implicits._
     // DuckDB ASOF LEFT JOIN ON l.k = r.k semantics: SQL equality, so a
