@@ -167,6 +167,68 @@ object Streams {
       .orderBy("user_id", "event_id")
   }
 
+  /** Checkpoint-recovery proof — the exactly-once production property:
+    * the SAME stateful flow as [[statefulHighWater]], but the query is
+    * STOPPED after batch 0 and a brand-new StreamingQuery instance
+    * resumes from the checkpointLocation to process batch 1. The batch-1
+    * suppressions are only correct if the per-user high-water state came
+    * back from the checkpointed state store — matching the oracle's
+    * global prefix-maxima across both halves IS the recovery proof.
+    * foreachBatch appends to parquet (the memory sink dies with its
+    * query); committed batches are not re-emitted on restart, so the
+    * at-rest output is exactly-once. At 100 TB this is the
+    * kill-and-reschedule path every long-running job exercises. */
+  val checkpointRestart: Q = (s, d) => {
+    import s.implicits._
+    val dir = scratchDir(s, "stream_ckpt")
+    deleteRec(Paths.get(dir))
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"), col("ts"))
+    val (_, _, mid) = tsMid(ev)
+    val now = System.currentTimeMillis()
+    stageBatch(ev.filter(unix_micros(col("ts")) < mid),
+      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("ts", TimestampType)))
+    val outDir = s"$dir/out"
+    def start() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tsu"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[Double]) =>
+          var hw = state.getOption.getOrElse(Double.NegativeInfinity)
+          val out = batch.toSeq.sortBy(e => (e.tsu, e.event_id)).flatMap { e =>
+            if (e.value > hw) { hw = e.value; Some((uid, e.event_id, e.value)) }
+            else None
+          }
+          state.update(hw)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the late half arrives while no query is running; the restarted
+    // instance discovers it and must resume the state store to suppress
+    // non-maxima correctly
+    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
+      s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Sliding windows (1 hour every 30 minutes) in APPEND mode with a
     * 1-hour watermark, fed newest-half first. The OLD half is staged only
     * after the first `processAllAvailable`, so the batch-0 watermark is
@@ -337,7 +399,24 @@ object Streams {
     "ext22_stream_late_drop" -> slidingLateDrop,
     "ext24_stream_incremental_wh" -> incrementalWarehouse,
     "ext29_stream_dedup_watermark" -> streamDedupWatermark,
-    "ext32_channel_envelope" -> channelEnvelope)
+    "ext32_channel_envelope" -> channelEnvelope,
+    "ext35_stream_checkpoint_restart" -> checkpointRestart)
+
+  /** Global per-user prefix maxima — the batch restatement of the
+    * high-water-mark stream, shared by ext21 (state across micro-batches)
+    * and ext35 (state across a checkpointed query restart). */
+  private val prefixMaximaSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, value,
+      |    MAX(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM e)
+      |SELECT user_id, event_id, value FROM m
+      |WHERE pm IS NULL OR value > pm
+      |ORDER BY user_id, event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // one survivor per (user_id, event_type, day) key -> the per-(type,
@@ -386,18 +465,11 @@ object Streams {
     // state persistence is the thing under test; the oracle states the
     // equivalent GLOBAL prefix-maxima (batches are time-split and ordered,
     // so streamed emissions == batch window semantics)
-    "ext21_stream_stateful" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, event_id, value,
-        |    MAX(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        |  FROM e)
-        |SELECT user_id, event_id, value FROM m
-        |WHERE pm IS NULL OR value > pm
-        |ORDER BY user_id, event_id""".stripMargin,
+    "ext21_stream_stateful" -> prefixMaximaSql,
+    // ext35 = ext21's flow with a query restart between the halves: the
+    // same prefix-maxima oracle passing means the state store came back
+    // from the checkpoint (and committed batches were not re-emitted)
+    "ext35_stream_checkpoint_restart" -> prefixMaximaSql,
     // the late (old-half) batch is dropped by the watermark; emitted set =
     // closed sliding windows over the new half only (watermark tracked in
     // milliseconds like Spark's)
