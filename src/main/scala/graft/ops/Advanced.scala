@@ -155,7 +155,36 @@ object Advanced {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Typed COGROUP — the per-key two-sided custom logic tier (the Scala
+    * analog of pandas-on-Spark's cogroup/applyInPandas): clicks and
+    * purchases are grouped by user and each key's two iterators meet in
+    * one function — here computing purchases attributable to the user's
+    * first click, logic that would otherwise need a join plus windowed
+    * post-processing. Physically both sides shuffle once on the key and
+    * merge — same exchange shape as a shuffled join, with arbitrary
+    * per-key code instead of join semantics. The oracle restates it
+    * relationally (window min + conditional counts). */
+  val cogroupAttribution: Q = (s, d) => {
+    import s.implicits._
+    val e = graft.ops.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsu")).as[(Long, Long)]
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu")).as[(Long, Long)]
+    clicks.groupByKey(_._1).cogroup(purchases.groupByKey(_._1)) {
+      (uid, cs, ps) =>
+        val cl = cs.map(_._2).toArray
+        val pu = ps.map(_._2).toArray
+        val firstClick = if (cl.isEmpty) Long.MaxValue else cl.min
+        val attributed = pu.count(_ >= firstClick).toLong
+        Iterator((uid, cl.length.toLong, pu.length.toLong, attributed))
+    }.toDF("user_id", "n_clicks", "n_purchases", "n_attributed")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext36_cogroup_attribution" -> cogroupAttribution,
     "q58_scd2_merge" -> scd2Merge,
     "ext25_range_join_binned" -> rangeJoinBinned,
     "q50_salted_join" -> saltedJoin,
@@ -164,6 +193,21 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "ext36_cogroup_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT user_id, event_type, tsu,
+        |    MIN(CASE WHEN event_type = 'click' THEN tsu END)
+        |      OVER (PARTITION BY user_id) AS fc
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+        |             AND tsu >= fc THEN 1 END) AS BIGINT) AS n_attributed
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q58_scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, c_name, c_acctbal,

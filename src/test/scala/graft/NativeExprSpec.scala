@@ -84,6 +84,25 @@ class NativeExprSpec extends SparkTestBase {
       s"graft_rolling_hash Project not inside a codegen span:\n$plan")
   }
 
+  test("graft_sqdist equals the HOF fold bit for bit and stays in codegen") {
+    graft.functions.SquaredDistance.register(spark)
+    val vecs = ops.table(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .limit(40)
+    val both = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        expr("graft_sqdist(a.v, b.v)").as("native"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+          .as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1), "sqdist diverged"))
+    val plan = vecs.select(expr("graft_sqdist(v, v)").as("z"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"graft_sqdist Project not inside a codegen span:\n$plan")
+  }
+
   test("graft_rolling_hash rejects non-string input at analysis time") {
     graft.functions.RollingHash.register(spark)
     import spark.implicits._

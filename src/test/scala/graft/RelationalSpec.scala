@@ -39,6 +39,19 @@ class RelationalSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), "dim join fell back to sort-merge")
   }
 
+  test("q54/q55 broadcast every dimension; only the fact join shuffles") {
+    for (q <- Seq(Relational.q54LocalSupplier, Relational.q55NationVolume)) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+        s"expected 4 broadcast dim joins:\n$plan")
+      // the only non-broadcast join allowed is orders⋈lineitem on orderkey
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length <= 1,
+        s"more than one shuffled join:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("q07 anti join: no customer both has and lacks orders") {
     val anti = Relational.q07AntiJoin(spark, sf).select("c_custkey")
     val semi = ops.table(spark, sf, "customer")
