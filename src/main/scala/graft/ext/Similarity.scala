@@ -146,14 +146,18 @@ object Similarity {
     * per vector; the only shuffles are the K×dim-sized centroid update and
     * the per-cell candidate join — the standard IVF build/probe cost.
     */
-  val kmeansIvfTopK: Q = (s, d) => {
+  /** Shared k-means-lite build (steps 1-4 of [[kmeansIvfTopK]]'s doc):
+    * returns (re-assigned corpus — persisted, callers probe it on both
+    * join sides — and the learned centroids). `graft_sqdist` is the
+    * native fused loop with the same left-to-right accumulation as the
+    * HOF `aggregate(zip_with(...))` fold — bit-identical distances (the
+    * assignment argmin is the semantics), ~10x less CPU than
+    * interpreting two lambdas per (vector, centroid). */
+  private def kmeansBuild(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     graft.functions.SquaredDistance.register(s)
     graft.functions.CosineSimilarity.register(s)
     val all = vecs(s, d).drop("label")
-    // graft_sqdist: native fused loop with the same left-to-right
-    // accumulation as the HOF aggregate(zip_with(...)) fold — bit-identical
-    // distances (the assignment argmin is the semantics), ~10x less CPU
-    // than interpreting two lambdas per (vector, centroid).
     val sqd = "graft_sqdist(v, e.c)"
     def assign(vs: DataFrame, cents: DataFrame): DataFrame =
       vs.crossJoin(broadcast(cents.groupBy()
@@ -175,7 +179,11 @@ object Similarity {
       .select(col("cid"), expr("transform(array_sort(pc), t -> t.cv)").as("c"))
     // consumed by BOTH sides of the probe join — persist so the two-pass
     // k-means build (seed assign -> Lloyd update -> re-assign) runs once
-    val a1 = assign(all, cents1).persist()
+    (assign(all, cents1).persist(), cents1)
+  }
+
+  val kmeansIvfTopK: Q = (s, d) => {
+    val (a1, _) = kmeansBuild(s, d)
     val queries = a1.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"), col("v"), col("norm"))
     val scored = queries.as("q").join(a1.as("c"),
@@ -193,17 +201,80 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF probe-2 — the recall knob of IVF search: each query ranks the
+    * learned centroids, scans its TWO nearest cells, and takes the top-3
+    * over the union (disjoint by construction: a corpus vector lives in
+    * exactly one cell). Probe-N trades N× scan cost for recall — the
+    * standard production tuning — and the probed-cell expansion is a
+    * row-local sorted-slice over the broadcast centroid array, so the
+    * only extra distributed cost is the second cell's candidate rows in
+    * the probe join. */
+  val kmeansIvfProbe2: Q = (s, d) => {
+    val (a1, cents) = kmeansBuild(s, d)
+    val centsRow = broadcast(cents.groupBy()
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents")))
+    val qcells = vecs(s, d).drop("label")
+      .filter(col("vec_id") % 50 === 0)
+      .crossJoin(centsRow)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"),
+        explode(expr(
+          "slice(transform(array_sort(transform(cents, " +
+            "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
+            "t -> t.cid), 1, 2)")).as("cell"))
+    val scored = qcells.as("q").join(a1.as("c"),
+        col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr("graft_cosine(q.v, c.v)").as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext06_sim_topk_bruteforce" -> bruteForceTopK,
     "ext07_sim_topk_ivf" -> ivfTopK,
     "ext16_sim_native_expr" -> bruteForceNativeExpr,
     "ext17_sim_topk_lsh" -> lshTopK,
-    "ext20_sim_topk_ivf_kmeans" -> kmeansIvfTopK)
+    "ext20_sim_topk_ivf_kmeans" -> kmeansIvfTopK,
+    "ext37_sim_topk_ivf_probe2" -> kmeansIvfProbe2)
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |        sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS norm
       |      FROM embeddings)""".stripMargin
+
+  /** The k-means-lite build CTEs (seed assign → Lloyd update → re-assign),
+    * shared by the ext20 and ext37 oracles — the SQL restatement of
+    * [[kmeansBuild]]. */
+  private lazy val kmeansCtesSql =
+    s"""$vSql,
+       |seeds AS (
+       |  SELECT CAST(vec_id // 64 AS INT) AS cid, v AS c FROM v WHERE vec_id % 64 = 0),
+       |a0 AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT x.vec_id, x.v, s.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+       |        s.cid) AS rk
+       |    FROM v x CROSS JOIN seeds s) WHERE rk = 1),
+       |comp AS (
+       |  SELECT cell AS cid, i,
+       |    SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
+       |  FROM a0, range(1, 65) r(i) GROUP BY cell, i),
+       |cents AS (
+       |  SELECT cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
+       |  FROM comp GROUP BY cid),
+       |a1 AS (
+       |  SELECT vec_id, v, norm, cid AS cell FROM (
+       |    SELECT x.vec_id, x.v, x.norm, s.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+       |        s.cid) AS rk
+       |    FROM v x CROSS JOIN cents s) WHERE rk = 1)""".stripMargin
 
   private val bruteForceOracle =
       s"""WITH $vSql,
@@ -263,30 +334,7 @@ object Similarity {
     // argmin rank); the fixture's 64-dim is spelled out where DuckDB can't
     // range over a column-derived bound in FROM position
     "ext20_sim_topk_ivf_kmeans" ->
-      s"""WITH $vSql,
-         |seeds AS (
-         |  SELECT CAST(vec_id // 64 AS INT) AS cid, v AS c FROM v WHERE vec_id % 64 = 0),
-         |a0 AS (
-         |  SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT x.vec_id, x.v, s.cid,
-         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-         |        s.cid) AS rk
-         |    FROM v x CROSS JOIN seeds s) WHERE rk = 1),
-         |comp AS (
-         |  SELECT cell AS cid, i,
-         |    SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
-         |  FROM a0, range(1, 65) r(i) GROUP BY cell, i),
-         |cents AS (
-         |  SELECT cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
-         |  FROM comp GROUP BY cid),
-         |a1 AS (
-         |  SELECT vec_id, v, norm, cid AS cell FROM (
-         |    SELECT x.vec_id, x.v, x.norm, s.cid,
-         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-         |        s.cid) AS rk
-         |    FROM v x CROSS JOIN cents s) WHERE rk = 1),
+      s"""WITH $kmeansCtesSql,
          |scored AS (
          |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS n_id,
          |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
@@ -294,6 +342,29 @@ object Similarity {
          |  FROM a1 q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id % 50 = 0)
          |SELECT q_id, cell,
+         |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+         |FROM scored
+         |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY q_id, rank""".stripMargin,
+    // probe-2: each query ranks the learned centroids and scans its TWO
+    // nearest cells (rk <= 2); candidate sets are disjoint because each
+    // corpus vector lives in exactly one cell
+    "ext37_sim_topk_ivf_probe2" ->
+      s"""WITH $kmeansCtesSql,
+         |qc AS (
+         |  SELECT vec_id AS q_id, v, norm, cid AS cell FROM (
+         |    SELECT x.vec_id, x.v, x.norm, s.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+         |        s.cid) AS rk
+         |    FROM v x CROSS JOIN cents s WHERE x.vec_id % 50 = 0) WHERE rk <= 2),
+         |scored AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.norm) AS cosine
+         |  FROM qc q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.q_id)
+         |SELECT q_id,
          |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
          |FROM scored
          |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
