@@ -54,4 +54,62 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got(1L) === Seq(3.0, 5.0, 9.0))
     assert(got(2L) === Seq(1.0, 2.0))
   }
+
+  test("RocksDB state store: same stateful results with disk-backed state") {
+    // the 100 TB state story: HDFSBackedStateStore keeps every key on the
+    // executor heap; RocksDB spills to local disk so state size is bounded
+    // by storage, not memory. Same query, same results, one conf.
+    import spark.implicits._
+    val saved = util.Try(spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass")).toOption
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val flow = source.toDS()
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, events: Iterator[Event], state: GroupState[Double]) =>
+            var hw = state.getOption.getOrElse(Double.NegativeInfinity)
+            val out = events.toSeq.sortBy(_.value).flatMap { e =>
+              if (e.value > hw) { hw = e.value; Some(HighWater(user, e.value)) }
+              else None
+            }
+            state.update(hw)
+            out.iterator
+        }
+      val query = flow.writeStream.outputMode("append")
+        .format("memory").queryName("graft_highwater_rocks").start()
+      try {
+        source.addData(Event(1, 5.0), Event(2, 1.0))
+        query.processAllAvailable()
+        source.addData(Event(1, 4.0), Event(1, 9.0), Event(2, 2.0))
+        query.processAllAvailable()
+      } finally query.stop()
+      val got = spark.table("graft_highwater_rocks").as[HighWater].collect()
+        .groupBy(_.user_id).view.mapValues(_.map(_.value).sorted.toSeq).toMap
+      assert(got(1L) === Seq(5.0, 9.0)) // 4 suppressed by RocksDB-held state
+      assert(got(2L) === Seq(1.0, 2.0))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("observe(): pipeline metrics collected in-flight, no second pass") {
+    // production pipelines need row counts / quality tallies without
+    // re-executing the plan; observe() attaches metric aggregates to the
+    // one materializing pass
+    val obs = new org.apache.spark.sql.Observation("graft_obs")
+    val df = ops.table(spark, sf, "lineitem")
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(when(col("l_quantity") > 45, 1).otherwise(0)).as("hot_rows"))
+      .filter(col("l_quantity") > 45)
+    val filtered = df.count()
+    val metrics = obs.get
+    assert(metrics("rows_seen").asInstanceOf[Long] ===
+      ops.table(spark, sf, "lineitem").count())
+    assert(metrics("hot_rows").asInstanceOf[Long] === filtered)
+  }
 }
