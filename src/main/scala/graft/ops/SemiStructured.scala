@@ -185,6 +185,38 @@ object SemiStructured {
       .orderBy(col("corrupt").asc_nulls_first, col("n_nationkey"))
   }
 
+  /** Spark 4 VARIANT — the open-ended semi-structured type: `parse_json`
+    * once into the binary variant encoding, then typed `variant_get`
+    * extraction by path. Unlike `from_json` this needs NO up-front schema,
+    * and unlike string `get_json_object` the parse cost is paid once per
+    * row, not per extraction — the modern lake-house JSON story. */
+  val q60Variant: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** SQL LATERAL derived table — the correlated per-row subrelation shape:
+    * each customer row drives an aggregate over ITS orders. Catalyst
+    * decorrelates this into an aggregate + join (no per-row re-execution),
+    * which is the plan a hand-written join would get. */
+  val q61Lateral: Q = (s, d) => {
+    table(s, d, "customer").createOrReplaceTempView("graft_cust_lat")
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_lat")
+    s.sql(
+      """SELECT c.c_custkey, t.n_orders, t.total
+        |FROM graft_cust_lat c,
+        |LATERAL (
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |  FROM graft_ord_lat o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey <= 300
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   /** Correlated scalar subquery through real SQL text — exercises
     * Catalyst's subquery decorrelation (rewrite to aggregate + join).
     * The threshold uses exact decimal-staged division on both sides so
@@ -222,7 +254,9 @@ object SemiStructured {
     "q31_ndjson_source" -> q31NdjsonSource,
     "q32_csv_source" -> q32CsvSource,
     "q57_orc_source" -> q57OrcSource,
-    "q59_corrupt_records" -> q59CorruptRecords)
+    "q59_corrupt_records" -> q59CorruptRecords,
+    "q60_variant" -> q60Variant,
+    "q61_lateral" -> q61Lateral)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -278,6 +312,23 @@ object SemiStructured {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q57_orc_source" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q60_variant" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+        |  CAST(MIN(CAST(props->>'k' AS INT)) AS INT) AS k_min,
+        |  CAST(MAX(CAST(props->>'k' AS INT)) AS INT) AS k_max,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q61_lateral" ->
+      """SELECT c.c_custkey, t.n_orders,
+        |  t.total
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey <= 300
+        |ORDER BY c.c_custkey""".stripMargin,
     "q59_corrupt_records" ->
       """SELECT * FROM (
         |  SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS corrupt
