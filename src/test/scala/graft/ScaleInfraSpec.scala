@@ -103,6 +103,57 @@ class ScaleInfraSpec extends SparkTestBase {
     capped.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1))
   }
 
+  test("dynamic partition pruning engages on a partitioned fact join") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    ops.table(spark, sf, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // selective dim: the fact's partition filter is only knowable at
+    // runtime from the dim's surviving rows — exactly what DPP exists
+    // for. The dim must be a real scan with a surviving Filter node (a
+    // local relation constant-folds its filter away and the pruning rule
+    // sees nothing selective to derive).
+    val dim = ops.table(spark, sf, "orders")
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .filter(col("y").isin(1995, 1996))
+    val joined = fact.join(dim, col("order_year") === col("y"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    val expected = ops.table(spark, sf, "orders")
+      .filter(year(col("o_orderdate")).isin(1995, 1996)).count()
+    assert(joined.count() === expected)
+  }
+
+  test("runtime bloom-filter join pruning injects on a selective join") {
+    // row-level runtime filtering: the build side's keys become a bloom
+    // filter applied at the probe side's scan — at 100 TB this skips the
+    // shuffle for rows that can't join. Thresholds forced down so the
+    // small test join qualifies.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> util.Try(Option(spark.conf.get(k))).toOption.flatten
+    }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = ops.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val hot = ops.table(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      val joined = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter in optimized plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val agg = ops.table(spark, sf, "lineitem")
