@@ -251,7 +251,47 @@ object Dedup {
       .orderBy(col("df").desc, col("tok"))
       .limit(50)
 
+  /** Dedup-cluster consolidation: pairwise near-dup hits are only half
+    * the operator — production pipelines then union the pairs into
+    * CONNECTED COMPONENTS and keep one canonical doc per cluster (A~B,
+    * B~C must collapse to one survivor even though A,C never paired).
+    * Min-label propagation over the undirected pair graph, iterated on
+    * the driver until a fixpoint (the standard Pregel-style loop: each
+    * iteration is one distributed join+groupBy; the driver only sees the
+    * converged? count, never the data — at 100 TB the iteration count is
+    * the component diameter, single digits for dedup graphs). The oracle
+    * computes true components with a recursive CTE, so convergence — not
+    * just plausibility — is what hash-matching proves. */
+  val dedupComponents: Q = (s, d) => {
+    val pairs = ngramJaccard(table(s, d, "documents")).select("a_id", "b_id")
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels.select("id", "comp"))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist()
+      val changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist()
+      labels = prop
+      converged = changed == 0
+    }
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext38_dedup_components" -> dedupComponents,
     "ext30_decontamination" -> decontamination,
     "ext31_vocab_topdf" -> vocabTopDf,
     "ext01_dedup_exact" -> dedupExact,
@@ -269,6 +309,33 @@ object Dedup {
       |       FROM tok WHERE len(toks) >= 3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // true components via recursive CTE over the same top-20 pair edges;
+    // matching it proves the Spark label propagation CONVERGED
+    "ext38_dedup_components" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id,
+         |      CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |    FROM inter
+         |    JOIN sz sa ON sa.doc_id = a_id
+         |    JOIN sz sb ON sb.doc_id = b_id
+         |    ORDER BY jaccard DESC, a_id, b_id LIMIT 20)),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster,
+         |  id = MIN(r) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "ext30_decontamination" ->
       s"""WITH $shinglesSql,
          |ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
