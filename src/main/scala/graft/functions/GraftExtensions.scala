@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash.build(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(classOf[graft.plans.AsOfMarker].getName, "graft_asof"),
+      (exprs: Seq[Expression]) => graft.plans.AsOfMarker.build(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL-surface as-of: rewrite marker joins into AsOfJoinPlan during
+    // post-hoc resolution (plain sessions use graft.plans.AsOfSql.sql)
+    ext.injectPostHocResolutionRule(_ => graft.plans.AsOfJoinRewrite)
   }
 }

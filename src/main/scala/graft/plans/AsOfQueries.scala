@@ -60,9 +60,36 @@ object AsOfQueries {
       .orderBy("event_id")
   }
 
+  /** The SAME point-in-time attribution as ext23, but written as SQL
+    * text with the `graft_asof` marker predicate and rewritten into the
+    * custom plan by [[AsOfJoinRewrite]] — proving the Rule tier end to
+    * end under the oracle (identical answer to the DataFrame-API path).
+    */
+  val asofSqlSurface: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tsu")
+      .createOrReplaceTempView("graft_asof_clicks")
+    e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("tsu").as("s_tsu"),
+        col("event_id"))
+      .groupBy("s_user_id", "s_tsu")
+      .agg(min(col("event_id")).as("signup_id"))
+      .createOrReplaceTempView("graft_asof_signups")
+    AsOfSql.sql(s,
+      """SELECT l.event_id, l.user_id, r.signup_id, l.tsu - r.s_tsu AS gap_us
+        |FROM graft_asof_clicks l
+        |LEFT JOIN graft_asof_signups r
+        |  ON l.user_id = r.s_user_id AND graft_asof(l.tsu, r.s_tsu)
+        |ORDER BY l.event_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "ext23_asof_join" -> asofClickSignup,
-    "ext34_asof_forward_window" -> asofClickNextPurchase)
+    "ext34_asof_forward_window" -> asofClickNextPurchase,
+    "ext39_asof_sql_rewrite" -> asofSqlSurface)
 
   val oracleSql: Map[String, String] = Map(
     "ext34_asof_forward_window" ->
@@ -78,15 +105,19 @@ object AsOfQueries {
         |  CASE WHEN r.p_tsu - l.tsu <= 172800000000 THEN r.p_tsu - l.tsu END AS gap_us
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user_id AND l.tsu <= r.p_tsu
         |ORDER BY l.event_id""".stripMargin,
-    "ext23_asof_join" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
-        |  FROM events),
-        |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
-        |r AS (
-        |  SELECT user_id AS s_user_id, tsu AS s_tsu, MIN(event_id) AS signup_id
-        |  FROM e WHERE event_type = 'signup' GROUP BY user_id, tsu)
-        |SELECT l.event_id, l.user_id, r.signup_id, l.tsu - r.s_tsu AS gap_us
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.s_user_id AND l.tsu >= r.s_tsu
-        |ORDER BY l.event_id""".stripMargin)
+    "ext23_asof_join" -> clickSignupOracle,
+    // same answer through the SQL marker + analyzer-rule path
+    "ext39_asof_sql_rewrite" -> clickSignupOracle)
+
+  private lazy val clickSignupOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+      |  FROM events),
+      |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id AS s_user_id, tsu AS s_tsu, MIN(event_id) AS signup_id
+      |  FROM e WHERE event_type = 'signup' GROUP BY user_id, tsu)
+      |SELECT l.event_id, l.user_id, r.signup_id, l.tsu - r.s_tsu AS gap_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.s_user_id AND l.tsu >= r.s_tsu
+      |ORDER BY l.event_id""".stripMargin
 }

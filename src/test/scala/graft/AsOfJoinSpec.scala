@@ -140,6 +140,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.getString(5) === "a7")
   }
 
+  test("graft_asof SQL marker rewrites through the injected analyzer rule alone") {
+    // pure spark.sql on an extensions-built session: no AsOfSql.sql, no
+    // manual rewrite — the injected post-hoc resolution rule must fire
+    val s2 = spark.newSession()
+    import s2.implicits._
+    Seq((1L, "a", 10L), (2L, "a", 4L)).toDF("id", "k", "ts")
+      .createOrReplaceTempView("asof_sql_l")
+    Seq(("a", 7L, "a7")).toDF("rk", "rts", "rv")
+      .createOrReplaceTempView("asof_sql_r")
+    val df = s2.sql(
+      """SELECT id, rv FROM asof_sql_l l
+        |LEFT JOIN asof_sql_r r ON l.k = r.rk AND graft_asof(l.ts, r.rts)
+        |ORDER BY id""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got === Map(1L -> "a7", 2L -> null))
+  }
+
   test("physical plan: AsOfJoinExec with co-partitioned exchanges, no pair join") {
     val l = leftDf(Seq((1L, "a", 10L), (2L, "b", 20L)))
     val r = rightDf(Seq(("a", 7L, "a7")))
