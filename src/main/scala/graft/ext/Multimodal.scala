@@ -125,7 +125,49 @@ object Multimodal {
       .orderBy("doc_id", "window_no")
   }
 
+  /** Perceptual-hash near-dup for media — aHash over the decoded pixel
+    * stream: 64 evenly-sampled "pixels" from the payload, bit i set when
+    * pixel_i is above the mean (spelled integer-exact as px*64 > sum so
+    * both engines compare without division), then the same chunk-LSH
+    * shape as SimHash: 8-bit chunks bucket candidates (pigeonhole:
+    * hamming<=7 pairs share at least one of 8 chunks), hamming verified
+    * inside the join.
+    * The hash runs in the partition-wise decode map where a real codec
+    * would sit; only (doc_id, 64-bit hash) leaves it — at 100 TB the
+    * media bytes never shuffle. */
+  val phashNearDup: Q = (s, d) => {
+    import s.implicits._
+    val hashes = table(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+        lit("image").as("kind"))
+      .as[MediaRow]
+      .mapPartitions(_.map { m =>
+        val n = m.media.length
+        val px = Array.tabulate(64)(i =>
+          if (n == 0) 0 else m.media((i * n) / 64) & 0xff)
+        val sum = px.sum
+        var h = 0L
+        var i = 0
+        while (i < 64) { if (px(i) * 64 > sum) h |= 1L << i; i += 1 }
+        (m.doc_id, h)
+      })
+      .toDF("doc_id", "phash")
+      .persist()
+    val chunks = hashes
+      .select(col("doc_id"), col("phash"), explode(expr("sequence(0, 7)")).as("c"))
+      .withColumn("chunk_val", expr("shiftright(phash, c * 8) & 255"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          expr("bit_count(x.phash ^ y.phash) <= 7"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("CAST(bit_count(x.phash ^ y.phash) AS INT)").as("hamming"))
+      .distinct()
+      .orderBy("hamming", "a_id", "b_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext40_multimodal_phash" -> phashNearDup,
     "ext12_multimodal_decode" -> mediaDecode,
     "ext13_multimodal_frames" -> frameSample,
     "ext18_multimodal_resize" -> resize,
@@ -134,6 +176,34 @@ object Multimodal {
   // The oracle re-states the stub arithmetic over the source text (ASCII
   // fixture: chars == bytes; strlen() counts bytes in DuckDB).
   val oracleSql: Map[String, String] = Map(
+    // bit 63's term is negative in signed-64; DuckDB sums in int128 and
+    // the mathematical total equals the signed interpretation, so the
+    // BIGINT cast is exact. Arithmetic >> plus & 65535 extracts the same
+    // 16 bits in both engines regardless of sign.
+    "ext40_multimodal_phash" ->
+      """WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+        |px AS (
+        |  SELECT doc_id, i, ascii(substring(text, 1 + (i * n) // 64, 1)) AS p
+        |  FROM t, range(0, 64) r(i)),
+        |hs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN p * 64 <= s THEN 0
+        |             WHEN i = 63 THEN (-9223372036854775807 - 1)
+        |             ELSE (CAST(1 AS BIGINT) << i) END) AS BIGINT) AS phash
+        |  FROM (SELECT doc_id, i, p,
+        |          SUM(p) OVER (PARTITION BY doc_id) AS s FROM px)
+        |  GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, phash, c, (phash >> (c * 8)) & 255 AS cv
+        |  FROM hs, range(8) r(c)),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    x.phash AS pa, y.phash AS pb
+        |  FROM chunks x JOIN chunks y
+        |    ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+        |FROM pairs WHERE bit_count(xor(pa, pb)) <= 7
+        |ORDER BY hamming, a_id, b_id""".stripMargin,
     "ext12_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS n_bytes,
