@@ -309,6 +309,52 @@ object Streams {
       .orderBy("event_type", "day")
   }
 
+  /** STREAM-STREAM inner join — the two-sided stateful operator: clicks
+    * and purchases arrive as independent streams and join on user within
+    * a time bound (purchase at or after the click, within 2 hours).
+    * Both sides carry watermarks and the range condition bounds how long
+    * each side's state is retained — without it a stream-stream join
+    * buffers forever (the planner enforces this for outer joins; inner
+    * joins degrade silently, so the bound is the difference between O(2h
+    * of traffic) and O(entire history) state at 100 TB/day). The oracle
+    * is the equivalent batch join. */
+  val streamStreamJoin: Q = (s, d) => {
+    val dir = scratchDir(s, "stream_ssj")
+    deleteRec(Paths.get(dir))
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val now = System.currentTimeMillis()
+    stageBatch(e.filter(col("event_type") === "click"),
+      s"$dir/clicks_stage", Paths.get(s"$dir/clicks/b0.parquet"), now - 60000)
+    stageBatch(e.filter(col("event_type") === "purchase"),
+      s"$dir/purch_stage", Paths.get(s"$dir/purch/b0.parquet"), now - 60000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def src(sub: String) = s.readStream.schema(schema).parquet(s"$dir/$sub")
+    val clicks = src("clicks")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src("purch")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+    val sinkName = s"graft_stream_ssj_${sessionToken(s)}"
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName)
+      .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+        unix_micros(col("p_ts")).minus(unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("c_id", "p_id")
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -400,7 +446,8 @@ object Streams {
     "ext24_stream_incremental_wh" -> incrementalWarehouse,
     "ext29_stream_dedup_watermark" -> streamDedupWatermark,
     "ext32_channel_envelope" -> channelEnvelope,
-    "ext35_stream_checkpoint_restart" -> checkpointRestart)
+    "ext35_stream_checkpoint_restart" -> checkpointRestart,
+    "ext41_stream_stream_join" -> streamStreamJoin)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -429,6 +476,19 @@ object Streams {
         |SELECT event_type, day, COUNT(*) AS n_users
         |FROM dd GROUP BY 1, 2
         |ORDER BY event_type, day""".stripMargin,
+    // the stream-stream join's emitted set equals the batch join under
+    // the same key + time-range condition
+    "ext41_stream_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |c AS (SELECT event_id AS c_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id, tsu FROM e WHERE event_type = 'purchase')
+        |SELECT c.c_id, p.p_id, c.user_id, p.tsu - c.tsu AS gap_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 7200000000
+        |ORDER BY c_id, p_id""".stripMargin,
     // the envelope round-trip is lossless, so the per-(bus-partition,
     // type) aggregate equals the same aggregate over the original rows
     "ext32_channel_envelope" ->
