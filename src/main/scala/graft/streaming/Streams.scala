@@ -355,6 +355,43 @@ object Streams {
       .orderBy("c_id", "p_id")
   }
 
+  /** UPDATE output mode — the third output contract (complete: ext14,
+    * append: ext22): after each micro-batch the aggregation emits ONLY
+    * the keys whose value changed in that batch. Two time-half batches →
+    * the sink accumulates (batch-0 partial counts) ∪ (batch-1 final
+    * counts for keys with second-half rows) — the oracle restates exactly
+    * that union, so the per-batch change-detection semantics (not just
+    * the final totals) are what hash-matching pins. Update mode is the
+    * changelog contract a downstream upsert sink (JDBC/key-value store)
+    * consumes at scale. */
+  val streamUpdateMode: Q = (s, d) => {
+    val dir = scratchDir(s, "stream_upd")
+    deleteRec(Paths.get(dir))
+    val ev = events(s, d).select(col("event_type"), col("value"), col("ts"))
+    val (_, _, mid) = tsMid(ev)
+    val now = System.currentTimeMillis()
+    stageBatch(ev.filter(unix_micros(col("ts")) < mid),
+      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
+      s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+    val sinkName = s"graft_stream_update_${sessionToken(s)}"
+    val query = agg.writeStream.outputMode("update")
+      .format("memory").queryName(sinkName).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName)
+      .select(col("event_type"), col("n"), col("value_sum"))
+      .orderBy("event_type", "n")
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -447,7 +484,8 @@ object Streams {
     "ext29_stream_dedup_watermark" -> streamDedupWatermark,
     "ext32_channel_envelope" -> channelEnvelope,
     "ext35_stream_checkpoint_restart" -> checkpointRestart,
-    "ext41_stream_stream_join" -> streamStreamJoin)
+    "ext41_stream_stream_join" -> streamStreamJoin,
+    "ext42_stream_update_mode" -> streamUpdateMode)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -476,6 +514,26 @@ object Streams {
         |SELECT event_type, day, COUNT(*) AS n_users
         |FROM dd GROUP BY 1, 2
         |ORDER BY event_type, day""".stripMargin,
+    // update mode = changelog: batch-0 partial counts for every key,
+    // then batch-1 FINAL counts only for keys with second-half rows
+    "ext42_stream_update_mode" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |bounds AS (SELECT (MIN(tsu) + MAX(tsu)) // 2 AS mid FROM e),
+        |b0 AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS value_sum
+        |  FROM e, bounds WHERE tsu < mid GROUP BY event_type),
+        |b1 AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS value_sum
+        |  FROM e GROUP BY event_type
+        |  HAVING event_type IN (SELECT DISTINCT event_type FROM e, bounds WHERE tsu >= mid))
+        |SELECT event_type, n, value_sum FROM b0
+        |UNION ALL
+        |SELECT event_type, n, value_sum FROM b1
+        |ORDER BY event_type, n""".stripMargin,
     // the stream-stream join's emitted set equals the batch join under
     // the same key + time-range condition
     "ext41_stream_stream_join" ->
