@@ -154,6 +154,25 @@ class ScaleInfraSpec extends SparkTestBase {
     }
   }
 
+  test("ANALYZE TABLE feeds CBO: stats visible to the planner") {
+    spark.sql("DROP TABLE IF EXISTS graft_stats_t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_stats_t")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    ops.table(spark, sf, "nation").write.saveAsTable("graft_stats_t")
+    spark.sql("ANALYZE TABLE graft_stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    // rowCount/column stats reach the planner only under CBO
+    val saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft_stats_t").queryExecution.optimizedPlan.stats
+      // row count + per-column stats are what cost-based join reordering
+      // and broadcast decisions consume on a real warehouse
+      assert(stats.rowCount.contains(BigInt(25)), s"stats: $stats")
+      assert(stats.attributeStats.nonEmpty, "no column-level stats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", saved)
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val agg = ops.table(spark, sf, "lineitem")
