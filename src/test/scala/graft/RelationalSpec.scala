@@ -52,6 +52,19 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q58 SCD2 merge: broadcast semi/anti passes, dimension never shuffle-joins") {
+    val plan = ops.Advanced.scd2Merge(spark, sf).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined, plan)
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim side shuffle-joined:\n$plan")
+    // every updated key contributes exactly 2 rows (closed + new), others 1
+    val out = ops.Advanced.scd2Merge(spark, sf)
+    val perKey = out.groupBy("c_custkey").count()
+    import org.apache.spark.sql.functions.col
+    assert(perKey.filter(col("count") === 2).count() ===
+      ops.table(spark, sf, "customer").filter(col("c_custkey") % 7 === 0).count())
+  }
+
   test("q07 anti join: no customer both has and lacks orders") {
     val anti = Relational.q07AntiJoin(spark, sf).select("c_custkey")
     val semi = ops.table(spark, sf, "customer")
