@@ -153,7 +153,37 @@ object TextAnalysis {
       .orderBy("shard")
   }
 
+  /** PII scrubbing — the redaction pass every training corpus runs:
+    * email-shaped and long-digit-run tokens are replaced with fixed
+    * sentinels. Pure map stage (no shuffle; the aggregate below is only
+    * the oracle-visible summary). The regexes stay in the dialect subset
+    * Java and RE2 share (character classes, +, alternation — no
+    * backrefs/lookarounds), so both engines redact identically. The
+    * fixture text is clean, so deterministic synthetic PII is appended
+    * to every 5th document first — the redaction itself is what's under
+    * test. */
+  val piiRedaction: Q = (s, d) => {
+    val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+"
+    val digitsRe = "[0-9][0-9][0-9][0-9]+"
+    val seeded = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555123"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+    seeded
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(regexp_replace(lower(col("text")), emailRe, "<EMAIL>"),
+          digitsRe, "<NUM>").as("clean"))
+      .select(col("doc_id"), col("lang"),
+        md5(col("clean")).as("clean_digest"),
+        (size(split(col("clean"), "<EMAIL>", -1)) - 1).as("n_emails"),
+        (size(split(col("clean"), "<NUM>", -1)) - 1).as("n_nums"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext43_pii_redaction" -> piiRedaction,
     "ext33_bottomk_sketch" -> bottomKSketch,
     "ext08_text_langid" -> langId,
     "ext09_text_quality" -> quality,
@@ -163,6 +193,24 @@ object TextAnalysis {
     "ext28_sample_stratified" -> sampleStratified)
 
   val oracleSql: Map[String, String] = Map(
+    "ext43_pii_redaction" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact user' || doc_id ||
+        |           '@example.com or call 555123' || doc_id
+        |      ELSE text END AS text
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(
+        |      regexp_replace(lower(text), '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS clean
+        |  FROM seeded)
+        |SELECT doc_id, lang, md5(clean) AS clean_digest,
+        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS INT) AS n_emails,
+        |  CAST(len(string_split(clean, '<NUM>')) - 1 AS INT) AS n_nums
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
     "ext33_bottomk_sketch" ->
       """WITH t AS (
         |  SELECT DISTINCT doc_id % 8 AS shard, md5(tok) AS h
