@@ -267,23 +267,34 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
+    edges.count() // materialize the WIDE pair pipeline at full parallelism
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
-    var converged = false
-    while (!converged) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("comp"))
-        .union(labels.select("id", "comp"))
-        .groupBy("id").agg(min("comp").as("comp"))
-        .persist()
-      val changed = prop.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist()
-      labels = prop
-      converged = changed == 0
-    }
+    // the pair graph is tiny after the LSH cut (top-20 pairs), but each
+    // loop iteration still pays one shuffle per join/groupBy — scope the
+    // parallelism to the graph size for the loop instead of the session's
+    // fact-table width (the heavy jaccard pipeline above is already
+    // cached, so only the per-iteration micro-shuffles see this)
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("comp"))
+          .union(labels.select("id", "comp"))
+          .groupBy("id").agg(min("comp").as("comp"))
+          .persist()
+        val changed = prop.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.comp") =!= col("o.comp")).count()
+        labels.unpersist()
+        labels = prop
+        converged = changed == 0
+      }
+      labels.count() // materialize under the scoped conf
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
     labels
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
         (col("id") === col("comp")).as("is_canonical"))

@@ -345,10 +345,22 @@ object Streams {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
     val sinkName = s"graft_stream_ssj_${sessionToken(s)}"
+    // a stream-stream join maintains FOUR state stores per shuffle
+    // partition (2 sides x 2 maps); the session's 32 partitions mean 128
+    // stores of per-batch maintenance for this data volume. 8 is plenty
+    // here; a cluster deployment sizes this to executor count — the value
+    // is pinned into the checkpoint at first start either way.
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val query = joined.writeStream.outputMode("append")
       .format("memory").queryName(sinkName).start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      // restored only after the stream is done: micro-batch planning reads
+      // the conf asynchronously after start()
+      s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    }
     s.table(sinkName)
       .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
         unix_micros(col("p_ts")).minus(unix_micros(col("c_ts"))).as("gap_us"))
