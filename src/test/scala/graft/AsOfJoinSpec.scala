@@ -159,6 +159,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Map(1L -> "a7", 2L -> null))
   }
 
+  test("unsupported marker joins are left untouched and fail loudly at eval") {
+    // extra non-equi predicate -> the rewrite must NOT fire (it can't
+    // express the residual), and the surviving marker must explain itself
+    val s2 = spark.newSession()
+    import s2.implicits._
+    Seq((1L, "a", 10L, 5L)).toDF("id", "k", "ts", "w")
+      .createOrReplaceTempView("asof_bad_l")
+    Seq(("a", 7L, "a7", 3L)).toDF("rk", "rts", "rv", "rw")
+      .createOrReplaceTempView("asof_bad_r")
+    val err = intercept[Exception] {
+      s2.sql(
+        """SELECT id, rv FROM asof_bad_l l
+          |LEFT JOIN asof_bad_r r
+          |  ON l.k = r.rk AND graft_asof(l.ts, r.rts) AND l.w > r.rw
+          |ORDER BY id""".stripMargin).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m => m != null && m.contains("graft_asof")),
+      s"unexpected error: $err")
+  }
+
   test("physical plan: AsOfJoinExec with co-partitioned exchanges, no pair join") {
     val l = leftDf(Seq((1L, "a", 10L), (2L, "b", 20L)))
     val r = rightDf(Seq(("a", 7L, "a7")))

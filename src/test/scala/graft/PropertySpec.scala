@@ -107,6 +107,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("BottomKAgg: any partitioning + merge order yields the k smallest distinct") {
+    val agg = new graft.functions.BottomKAgg(5)
+    samples(Gen.listOfN(60, Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)), 5)
+      .zipWithIndex.foreach { case (values, i) =>
+        val expected = values.distinct.sorted.take(5).mkString("|")
+        // sequential fold
+        val seq = agg.finish(values.foldLeft(agg.zero)(agg.reduce))
+        assert(seq === expected)
+        // random chunking, partial buffers merged in shuffled order —
+        // exactly what partial aggregation does across partitions
+        val rnd = new scala.util.Random(7 + i)
+        val chunks = values.grouped(1 + rnd.nextInt(7)).toSeq
+        val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge)
+        assert(agg.finish(merged) === expected)
+      }
+  }
+
   test("hour parse: pmod(h, 24) lands in [0, 24) for any int hour") {
     import spark.implicits._
     samples(Gen.listOfN(50, Gen.chooseNum(-100, 100)), 5).foreach { hours =>
