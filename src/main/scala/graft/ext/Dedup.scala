@@ -279,6 +279,12 @@ object Dedup {
     val savedSp = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      // labels only ever DECREASE under min-propagation, so the label sum
+      // strictly decreases until the fixpoint — one aggregate per
+      // iteration detects convergence without a compare join
+      def signature(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum("comp")).head().getLong(0)
+      var sig = signature(labels)
       var converged = false
       while (!converged) {
         val prop = edges.join(labels, col("src") === col("id"))
@@ -286,14 +292,12 @@ object Dedup {
           .union(labels.select("id", "comp"))
           .groupBy("id").agg(min("comp").as("comp"))
           .persist()
-        val changed = prop.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.comp") =!= col("o.comp")).count()
+        val newSig = signature(prop)
         labels.unpersist()
         labels = prop
-        converged = changed == 0
+        converged = newSig == sig
+        sig = newSig
       }
-      labels.count() // materialize under the scoped conf
     } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
     labels
       .select(col("id").as("doc_id"), col("comp").as("cluster"),

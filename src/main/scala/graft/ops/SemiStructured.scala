@@ -217,6 +217,24 @@ object SemiStructured {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
+    * each customer climbs its parent chain, parent(k) = k DIV 4, until
+    * the root). Spark 4 executes the recursion as a loop of unions with
+    * the same distributed plan per step; depth and root per start node
+    * are the classic org-chart/bill-of-materials outputs. */
+  val q62RecursiveCte: Q = (s, d) => {
+    table(s, d, "customer").createOrReplaceTempView("graft_cust_rec")
+    s.sql(
+      """WITH RECURSIVE up(start, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM graft_cust_rec WHERE c_custkey <= 100
+        |  UNION ALL
+        |  SELECT start, cur DIV 4, depth + 1 FROM up WHERE cur >= 4
+        |)
+        |SELECT start AS c_custkey, CAST(MAX(depth) AS INT) AS depth,
+        |  MIN(cur) AS root
+        |FROM up GROUP BY start ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Correlated scalar subquery through real SQL text — exercises
     * Catalyst's subquery decorrelation (rewrite to aggregate + join).
     * The threshold uses exact decimal-staged division on both sides so
@@ -256,7 +274,8 @@ object SemiStructured {
     "q57_orc_source" -> q57OrcSource,
     "q59_corrupt_records" -> q59CorruptRecords,
     "q60_variant" -> q60Variant,
-    "q61_lateral" -> q61Lateral)
+    "q61_lateral" -> q61Lateral,
+    "q62_recursive_cte" -> q62RecursiveCte)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -312,6 +331,15 @@ object SemiStructured {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q57_orc_source" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q62_recursive_cte" ->
+      """WITH RECURSIVE up(start, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 100
+        |  UNION ALL
+        |  SELECT start, cur // 4, depth + 1 FROM up WHERE cur >= 4
+        |)
+        |SELECT start AS c_custkey, CAST(MAX(depth) AS INT) AS depth,
+        |  MIN(cur) AS root
+        |FROM up GROUP BY start ORDER BY c_custkey""".stripMargin,
     "q60_variant" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
