@@ -217,6 +217,19 @@ object SemiStructured {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** Query over the custom DataSource V2 connector
+    * ([[graft.sources.SeqSourceProvider]]): the full third-party-source
+    * lifecycle — provider → table → pruned scan → 8 planned splits →
+    * per-partition readers — under the oracle. Column pruning reaches
+    * the reader (SourcesSpec asserts the scan description). */
+  val q63CustomSource: Q = (s, _) =>
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("parts", "8").load()
+      .filter(col("v") < 500)
+      .groupBy((col("id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .orderBy("bucket")
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -275,7 +288,8 @@ object SemiStructured {
     "q59_corrupt_records" -> q59CorruptRecords,
     "q60_variant" -> q60Variant,
     "q61_lateral" -> q61Lateral,
-    "q62_recursive_cte" -> q62RecursiveCte)
+    "q62_recursive_cte" -> q62RecursiveCte,
+    "q63_custom_source" -> q63CustomSource)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -331,6 +345,12 @@ object SemiStructured {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q57_orc_source" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q63_custom_source" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(20000) r)
+        |SELECT id % 10 AS bucket, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t WHERE v < 500 GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q62_recursive_cte" ->
       """WITH RECURSIVE up(start, cur, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 100

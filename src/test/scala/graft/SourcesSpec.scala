@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom DataSource V2 connector: split planning, column pruning
+  * reaching the reader, and value correctness.
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private def seq(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", rows.toString).option("parts", parts.toString).load()
+
+  test("planInputPartitions exposes the configured parallelism") {
+    assert(seq(1000, 8).rdd.getNumPartitions === 8)
+    assert(seq(3, 8).rdd.getNumPartitions === 3) // never more splits than rows
+  }
+
+  test("column pruning reaches the reader (scan description shows the pruned set)") {
+    val plan = seq(100, 2).select(col("v")).queryExecution.executedPlan.toString
+    assert(plan.contains("pruned=[v]"), s"pruning did not reach the source:\n$plan")
+    val both = seq(100, 2).queryExecution.executedPlan.toString
+    assert(both.contains("pruned=[id,v]"), both)
+  }
+
+  test("values are the documented function of id, exactly once each") {
+    val rows = seq(257, 4).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 257)
+    assert(rows.map(_._1).sorted.toSeq === (0L until 257L))
+    rows.foreach { case (id, v) => assert(v === (id * 2654435761L) % 1000L) }
+  }
+}
