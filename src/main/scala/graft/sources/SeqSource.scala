@@ -58,30 +58,68 @@ class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class SeqScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = SeqSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // [lo, hi)
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(rows, parts, required)
+  /** Range predicates on the ordered `id` column narrow the planned
+    * splits — the DSv2 analog of partition elimination / zone-map
+    * skipping. Conservative contract: every filter is ALSO returned for
+    * Spark-side re-evaluation (like parquet row-group skipping), so the
+    * bounds only have to be sound, not exact. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    filters.foreach {
+      case LessThan("id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case EqualTo("id", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    filters // all re-evaluated by Spark — pruning is an optimization only
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new SeqScan(rows, parts, required, lo, math.max(lo, hi))
 }
 
-class SeqScan(rows: Long, parts: Int, required: StructType)
+class SeqScan(rows: Long, parts: Int, required: StructType, lo: Long, hi: Long)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft_seq rows=$rows parts=$parts pruned=[${required.fieldNames.mkString(",")}]"
+    s"graft_seq rows=$rows parts=$parts bounds=[$lo,$hi) " +
+      s"pruned=[${required.fieldNames.mkString(",")}]"
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // split the ORIGINAL range, then clip to the pushed bounds — splits
+    // entirely outside the bounds are never planned (no task, no read)
     val per = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by per).map(st =>
-      SeqInputPartition(st, math.min(st + per, rows)): InputPartition).toArray
+    (0L until rows by per).flatMap { st =>
+      val s0 = math.max(st, lo)
+      val e0 = math.min(st + per, math.min(rows, hi))
+      if (s0 < e0) Some(SeqInputPartition(s0, e0): InputPartition) else None
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -23,6 +23,20 @@ class SourcesSpec extends SparkTestBase {
     assert(both.contains("pruned=[id,v]"), both)
   }
 
+  test("id-range filters eliminate splits at the source") {
+    // 1000 rows / 8 parts = 125-row splits; id < 250 must plan only 2
+    val narrowed = seq(1000, 8).filter(col("id") < 250)
+    assert(narrowed.rdd.getNumPartitions === 2,
+      narrowed.queryExecution.executedPlan.toString)
+    assert(narrowed.count() === 250)
+    val plan = narrowed.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[0,250)"), plan)
+    // two-sided bound, crossing split edges
+    val band = seq(1000, 8).filter(col("id") >= 200 && col("id") <= 700)
+    assert(band.rdd.getNumPartitions === 5)
+    assert(band.count() === 501)
+  }
+
   test("values are the documented function of id, exactly once each") {
     val rows = seq(257, 4).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.length === 257)
