@@ -230,6 +230,26 @@ object SemiStructured {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
       .orderBy("bucket")
 
+  /** Round trip through the custom DSv2 SINK
+    * ([[graft.sources.NdjsonSinkProvider]]): rows from the custom source
+    * stream through per-task writers, the two-phase commit publishes a
+    * manifest, and the standard JSON reader consumes only the committed
+    * part files — the oracle over the generated relation pins losslessness
+    * of the whole write/commit/read cycle. */
+  val q64CustomSink: Q = (s, _) => {
+    val dir = scratchDir(s, "dsv2_sink")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "5000").option("parts", "4").load()
+      .write.format("graft.sources.NdjsonSinkProvider")
+      .option("path", dir).mode("overwrite").save()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    s.read.schema(schema).json(s"$dir/part-*.json")
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .orderBy("g")
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -289,7 +309,8 @@ object SemiStructured {
     "q60_variant" -> q60Variant,
     "q61_lateral" -> q61Lateral,
     "q62_recursive_cte" -> q62RecursiveCte,
-    "q63_custom_source" -> q63CustomSource)
+    "q63_custom_source" -> q63CustomSource,
+    "q64_custom_sink" -> q64CustomSink)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -345,6 +366,12 @@ object SemiStructured {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q57_orc_source" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q64_custom_sink" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(5000) r)
+        |SELECT id % 7 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
     "q63_custom_source" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
