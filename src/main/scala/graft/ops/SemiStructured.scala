@@ -268,6 +268,24 @@ object SemiStructured {
         |FROM up GROUP BY start ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Raw-layer object-store ingest under the oracle (S3-S5): NDJSON bytes
+    * land in a staging dir, `Ingest.ingest` copies them into the
+    * "bucket" through the Hadoop FileSystem API (the same calls run
+    * against s3a:// on a cluster — this is the load.py replacement), and
+    * the schema-enforced source reads them back. */
+  val q65ObjectStoreIngest: Q = (s, d) => {
+    val src = scratchDir(s, "ingest_src")
+    val bucket = scratchDir(s, "ingest_bucket")
+    table(s, d, "region").coalesce(1).write.mode("overwrite").json(src)
+    val copied = graft.dw.Ingest.ingest(s, src, bucket)
+    require(copied.nonEmpty, "ingest copied no files")
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+    graft.dw.Sources.ndjson(s, bucket, schema)
+      .select("r_regionkey", "r_name")
+      .orderBy("r_regionkey")
+  }
+
   /** Correlated scalar subquery through real SQL text — exercises
     * Catalyst's subquery decorrelation (rewrite to aggregate + join).
     * The threshold uses exact decimal-staged division on both sides so
@@ -310,7 +328,8 @@ object SemiStructured {
     "q61_lateral" -> q61Lateral,
     "q62_recursive_cte" -> q62RecursiveCte,
     "q63_custom_source" -> q63CustomSource,
-    "q64_custom_sink" -> q64CustomSink)
+    "q64_custom_sink" -> q64CustomSink,
+    "q65_object_store_ingest" -> q65ObjectStoreIngest)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -361,6 +380,8 @@ object SemiStructured {
         | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q31_ndjson_source" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q65_object_store_ingest" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q32_csv_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
