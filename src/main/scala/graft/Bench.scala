@@ -46,7 +46,8 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
+      val w = new java.io.PrintWriter(
+        s"${sys.props("user.dir")}/BENCH_LOCAL.json")
       try w.println(s"""{"total":${r2(total)},"sf":"$sfDir","queries":$detail}""")
       finally w.close()
     } catch { case _: Throwable => () }

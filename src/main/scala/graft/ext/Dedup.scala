@@ -283,7 +283,10 @@ object Dedup {
       // strictly decreases until the fixpoint — one aggregate per
       // iteration detects convergence without a compare join
       def signature(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(sum("comp")).head().getLong(0)
+        // coalesce: sum over ZERO rows is null (empty pair graph — e.g. a
+        // corpus with no qualifying shingle pairs) and must read as a
+        // stable signature, not an NPE
+        df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
       var sig = signature(labels)
       var converged = false
       while (!converged) {

@@ -26,9 +26,10 @@ case class RollingHash(child: Expression)
 
   override def dataType: DataType = LongType
 
-  /** Analysis-time type check (+ implicit casts), matching built-in
-    * expression conventions — graft_rolling_hash(non_string) is an
-    * AnalysisException, not a runtime ClassCastException. */
+  /** Analysis-time type check (strict — ExpectsInputTypes validates but,
+    * unlike ImplicitCastInputTypes, inserts no coercions):
+    * graft_rolling_hash(non_string) is an AnalysisException, not a
+    * runtime ClassCastException. */
   override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def prettyName: String = "graft_rolling_hash"

@@ -244,7 +244,14 @@ object SemiStructured {
       .option("path", dir).mode("overwrite").save()
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("v", LongType)))
-    s.read.schema(schema).json(s"$dir/part-*.json")
+    // read through the MANIFEST — the committed-snapshot contract: only
+    // files the driver-side commit published are visible, never stale
+    // parts from an earlier wider write or an aborted attempt
+    val committed = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_MANIFEST"))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map(f => s"$dir/$f")
+    s.read.schema(schema).json(committed: _*)
       .groupBy((col("id") % 7).as("g"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
       .orderBy("g")

@@ -51,20 +51,31 @@ class NdjsonTable(writeSchema: StructType, path: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this // fresh dir per run
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new NdjsonBatchWrite(path, info.schema())
+          new NdjsonBatchWrite(path, info.schema(), truncateFirst)
       }
     }
 }
 
 case class NdjsonCommit(fileName: String) extends WriterCommitMessage
 
-class NdjsonBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class NdjsonBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(Paths.get(path))
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (truncateFirst) {
+      // overwrite semantics: stale part files from a previous (possibly
+      // wider) write must not survive next to the new ones
+      val old = dir.toFile.listFiles()
+      if (old != null) old.filter(f =>
+        f.getName.startsWith("part-") || f.getName == "_MANIFEST")
+        .foreach(_.delete())
+    }
     new NdjsonWriterFactory(path, schema)
   }
 
@@ -86,6 +97,10 @@ class NdjsonWriterFactory(path: String, schema: StructType)
     new DataWriter[InternalRow] {
       private val tempPath = Paths.get(path, s"_temp_p${partitionId}_a$taskId")
       private val finalName = f"part-$partitionId%05d.json"
+      // executor-side too: in any deployment where the writer does not
+      // share the driver's filesystem, the factory's mkdir didn't happen
+      // here (a shared/object store is what a real deployment points at)
+      Files.createDirectories(tempPath.getParent)
       private val out = Files.newBufferedWriter(tempPath)
       private val fields = schema.fields
 

@@ -77,13 +77,17 @@ class SeqScanBuilder(rows: Long, parts: Int)
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
+    // the exclusive/inclusive conversions need v±1 — saturate at the Long
+    // extremes or the bound wraps and soundness ("never drop a matching
+    // row") breaks for id <= Long.MaxValue / id > Long.MinValue
+    def incl2excl(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     filters.foreach {
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, incl2excl(v))
+      case GreaterThan("id", v: Long) => lo = math.max(lo, incl2excl(v))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+        lo = math.max(lo, v); hi = math.min(hi, incl2excl(v))
       case _ => ()
     }
     pushed = filters.filter {

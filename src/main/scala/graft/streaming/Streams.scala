@@ -352,15 +352,16 @@ object Streams {
     // is pinned into the checkpoint at first start either way.
     val savedSp = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query = joined.writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try query.processAllAvailable()
-    finally {
-      query.stop()
-      // restored only after the stream is done: micro-batch planning reads
-      // the conf asynchronously after start()
-      s.conf.set("spark.sql.shuffle.partitions", savedSp)
-    }
+    // restore happens in the OUTER finally — after stop() (micro-batch
+    // planning reads the conf asynchronously after start()), and also if
+    // start() itself throws, so a failure can't leak the narrowed conf
+    // into the shared session
+    try {
+      val query = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
     s.table(sinkName)
       .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
         unix_micros(col("p_ts")).minus(unix_micros(col("c_ts"))).as("gap_us"))

@@ -37,6 +37,24 @@ class SourcesSpec extends SparkTestBase {
     assert(band.count() === 501)
   }
 
+  test("sink overwrite truncates stale parts; reader sees only the manifest") {
+    val dir = ops.scratchDir(spark, "sink_overwrite_spec")
+    def write(rows: Int, parts: Int): Unit =
+      seq(rows, parts).write.format("graft.sources.NdjsonSinkProvider")
+        .option("path", dir).mode("overwrite").save()
+    write(800, 8)
+    write(100, 2) // narrower overwrite: part-00002..7 must NOT survive
+    val manifest = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_MANIFEST"))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+    assert(manifest.length === 2, manifest.toSeq)
+    val back = spark.read
+      .schema(graft.sources.SeqSource.schema)
+      .json(manifest.map(f => s"$dir/$f"): _*)
+    assert(back.count() === 100)
+    assert(back.agg(max(col("id"))).head().getLong(0) === 99L)
+  }
+
   test("values are the documented function of id, exactly once each") {
     val rows = seq(257, 4).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.length === 257)
