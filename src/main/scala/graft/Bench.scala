@@ -33,8 +33,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val benchStart = System.nanoTime()
+    val p1 = timedPass()
+    // the second pass exists to shrug off load spikes; skip it when the
+    // run is already long so the whole bench stays inside a caller's
+    // timeout (budget in seconds, env-overridable)
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toLong
+    val elapsed = (System.nanoTime() - benchStart) / 1e9
+    val results =
+      if (elapsed * 2 < budget) {
+        val p2 = timedPass()
+        p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+      } else p1
     // The driver captures only a ~2000-char tail of this process's output, so
     // the single contract line must stay well under that: short query keys
     // (the unambiguous "q27"/"ext05" prefix) and 2-decimal seconds. The full
