@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,7 +38,8 @@ class SeqSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SeqTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("parts")).map(_.toInt).getOrElse(4))
+      Option(properties.get("parts")).map(_.toInt).getOrElse(4),
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(0L))
 }
 
 object SeqSource {
@@ -48,16 +50,17 @@ object SeqSource {
   def valueOf(id: Long): Long = (id * 2654435761L) % 1000L
 }
 
-class SeqTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class SeqTable(rows: Long, parts: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, parts)
+    new SeqScanBuilder(rows, parts, batchRows)
 }
 
-class SeqScanBuilder(rows: Long, parts: Int)
+class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -101,10 +104,12 @@ class SeqScanBuilder(rows: Long, parts: Int)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new SeqScan(rows, parts, required, lo, math.max(lo, hi))
+  override def build(): Scan =
+    new SeqScan(rows, parts, required, lo, math.max(lo, hi), batchRows)
 }
 
-class SeqScan(rows: Long, parts: Int, required: StructType, lo: Long, hi: Long)
+class SeqScan(rows: Long, parts: Int, required: StructType, lo: Long, hi: Long,
+    batchRows: Long = 0L)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -128,6 +133,51 @@ class SeqScan(rows: Long, parts: Int, required: StructType, lo: Long, hi: Long)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required)
+
+  /** Streaming face of the same relation — a custom `MicroBatchStream`:
+    * offsets are row positions, each trigger admits the next `batchRows`
+    * chunk (latestOffset advances until the relation is exhausted, so
+    * `processAllAvailable` drives a REAL multi-batch run), and
+    * `planInputPartitions(start, end)` splits each admitted range — the
+    * offset-tracked, replayable contract every streaming connector
+    * (Kafka, queue, CDC feed) implements. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SeqMicroBatchStream(rows, parts,
+      if (batchRows > 0) batchRows else math.max(1L, rows / 4), required)
+}
+
+case class SeqOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class SeqMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
+    required: StructType) extends MicroBatchStream {
+
+  private var available = 0L
+
+  override def initialOffset(): Offset = SeqOffset(0L)
+
+  override def latestOffset(): Offset = {
+    available = math.min(rows, available + batchRows)
+    SeqOffset(available)
+  }
+
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[SeqOffset].pos
+    val e0 = end.asInstanceOf[SeqOffset].pos
+    val per = math.max(1L, (e0 - s0 + parts - 1) / math.max(1, parts))
+    (s0 until e0 by per).map(st =>
+      SeqInputPartition(st, math.min(st + per, e0)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 case class SeqInputPartition(start: Long, end: Long) extends InputPartition

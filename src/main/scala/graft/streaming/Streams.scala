@@ -405,6 +405,28 @@ object Streams {
       .orderBy("event_type", "n")
   }
 
+  /** Streaming read through the CUSTOM DSv2 connector
+    * ([[graft.sources.SeqSourceProvider]] exposing `MicroBatchStream`):
+    * 20k rows admitted 5k per trigger — four real micro-batches with
+    * offset tracking — aggregated in complete mode. The custom-connector
+    * story closed end to end: batch read, batch write, and now the
+    * streaming contract (initial/latest/deserialize offsets + per-range
+    * split planning) a Kafka-class source implements. */
+  val dsv2StreamSource: Q = (s, _) => {
+    val stream = s.readStream.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("parts", "4")
+      .option("batchRows", "5000").load()
+    val agg = stream
+      .groupBy((col("id") % 5).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+    val sinkName = s"graft_stream_dsv2_${sessionToken(s)}"
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName).select("g", "n", "v_sum").orderBy("g")
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -498,7 +520,8 @@ object Streams {
     "ext32_channel_envelope" -> channelEnvelope,
     "ext35_stream_checkpoint_restart" -> checkpointRestart,
     "ext41_stream_stream_join" -> streamStreamJoin,
-    "ext42_stream_update_mode" -> streamUpdateMode)
+    "ext42_stream_update_mode" -> streamUpdateMode,
+    "ext44_dsv2_stream_source" -> dsv2StreamSource)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -527,6 +550,14 @@ object Streams {
         |SELECT event_type, day, COUNT(*) AS n_users
         |FROM dd GROUP BY 1, 2
         |ORDER BY event_type, day""".stripMargin,
+    // four offset-tracked micro-batches must together cover the relation
+    // exactly once — the complete-mode result equals the batch aggregate
+    "ext44_dsv2_stream_source" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(20000) r)
+        |SELECT id % 5 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
     // update mode = changelog: batch-0 partial counts for every key,
     // then batch-1 FINAL counts only for keys with second-half rows
     "ext42_stream_update_mode" ->
