@@ -97,6 +97,33 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("StreamingQueryProgress exposes state-store size (the ops dashboard feed)") {
+    // capacity planning at scale runs off these numbers: rows held per
+    // stateful operator and their memory footprint, per micro-batch
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val flow = source.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Event], state: GroupState[Double]) =>
+          val hw = math.max(state.getOption.getOrElse(Double.NegativeInfinity),
+            events.map(_.value).max)
+          state.update(hw)
+          Iterator.single(HighWater(user, hw))
+      }
+    val query = flow.writeStream.outputMode("append")
+      .format("memory").queryName("graft_state_metrics").start()
+    try {
+      source.addData(Event(1, 5.0), Event(2, 1.0), Event(3, 2.0))
+      query.processAllAvailable()
+      val state = query.lastProgress.stateOperators
+      assert(state.nonEmpty, "no state operators reported")
+      assert(state.head.numRowsTotal === 3, state.head.json)
+      assert(state.head.memoryUsedBytes > 0, state.head.json)
+    } finally query.stop()
+  }
+
   test("observe(): pipeline metrics collected in-flight, no second pass") {
     // production pipelines need row counts / quality tallies without
     // re-executing the plan; observe() attaches metric aggregates to the
