@@ -62,7 +62,7 @@ class SeqTable(rows: Long, parts: Int, batchRows: Long)
 
 class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var required: StructType = SeqSource.schema
   private var lo: Long = 0L
@@ -103,6 +103,18 @@ class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
   }
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  /** LIMIT n truncates the scan to the first n ids — but ONLY when no
+    * filter bounds were pushed: our pushed filters are re-evaluated by
+    * Spark, so rows admitted by the scan may still be dropped above it,
+    * and a pre-filter limit would under-produce. (Spark only offers the
+    * limit when it sits directly on the scan, but the no-filters guard
+    * keeps the source safe regardless of planner behavior.) */
+  override def pushLimit(limit: Int): Boolean =
+    if (pushed.isEmpty && lo == 0L && hi == rows) {
+      hi = math.min(hi, limit.toLong)
+      true // fully handled: exactly the first `limit` rows are produced
+    } else false
 
   override def build(): Scan =
     new SeqScan(rows, parts, required, lo, math.max(lo, hi), batchRows)

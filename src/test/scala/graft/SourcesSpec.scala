@@ -37,6 +37,19 @@ class SourcesSpec extends SparkTestBase {
     assert(band.count() === 501)
   }
 
+  test("limit pushdown truncates the scan; declined when filters are pushed") {
+    val limited = seq(1000, 8).limit(100)
+    assert(limited.count() === 100)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[0,100)"), s"limit did not reach the scan:\n$plan")
+    assert(limited.rdd.getNumPartitions === 1) // one 125-row split, clipped
+    // with a pushed filter the limit must NOT truncate the scan (Spark
+    // re-evaluates the filter above it) — result still correct
+    val both = seq(1000, 8).filter(col("id") >= 500).limit(100)
+    assert(both.count() === 100)
+    assert(both.queryExecution.executedPlan.toString.contains("bounds=[500,1000)"))
+  }
+
   test("sink overwrite truncates stale parts; reader sees only the manifest") {
     val dir = ops.scratchDir(spark, "sink_overwrite_spec")
     def write(rows: Int, parts: Int): Unit =
