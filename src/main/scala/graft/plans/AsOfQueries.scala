@@ -86,28 +86,61 @@ object AsOfQueries {
         |ORDER BY l.event_id""".stripMargin)
   }
 
+  /** ext34's forward-within-window attribution written as SQL: the
+    * marker carries direction and tolerance as literals —
+    * `graft_asof(t1, t2, 'forward', <us>)` — and the rewrite maps them
+    * onto the same custom plan. Shares ext34's oracle (DuckDB forward
+    * ASOF + window CASE). */
+  val asofSqlForward: Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tsu")
+      .createOrReplaceTempView("graft_asof_clicks_f")
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("tsu").as("p_tsu"),
+        col("event_id"))
+      .groupBy("p_user_id", "p_tsu")
+      .agg(min(col("event_id")).as("purchase_id"))
+      .createOrReplaceTempView("graft_asof_purch_f")
+    AsOfSql.sql(s,
+      """SELECT l.event_id, l.user_id, r.purchase_id,
+        |  r.p_tsu - l.tsu AS gap_us
+        |FROM graft_asof_clicks_f l
+        |LEFT JOIN graft_asof_purch_f r
+        |  ON l.user_id = r.p_user_id
+        |  AND graft_asof(l.tsu, r.p_tsu, 'forward', 172800000000)
+        |ORDER BY l.event_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "ext23_asof_join" -> asofClickSignup,
     "ext34_asof_forward_window" -> asofClickNextPurchase,
-    "ext39_asof_sql_rewrite" -> asofSqlSurface)
+    "ext39_asof_sql_rewrite" -> asofSqlSurface,
+    "ext45_asof_sql_forward" -> asofSqlForward)
 
   val oracleSql: Map[String, String] = Map(
-    "ext34_asof_forward_window" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
-        |  FROM events),
-        |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
-        |r AS (
-        |  SELECT user_id AS p_user_id, tsu AS p_tsu, MIN(event_id) AS purchase_id
-        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
-        |SELECT l.event_id, l.user_id,
-        |  CASE WHEN r.p_tsu - l.tsu <= 172800000000 THEN r.purchase_id END AS purchase_id,
-        |  CASE WHEN r.p_tsu - l.tsu <= 172800000000 THEN r.p_tsu - l.tsu END AS gap_us
-        |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user_id AND l.tsu <= r.p_tsu
-        |ORDER BY l.event_id""".stripMargin,
+    "ext34_asof_forward_window" -> clickPurchaseForwardOracle,
+    // same answer through the SQL marker path with direction + tolerance
+    "ext45_asof_sql_forward" -> clickPurchaseForwardOracle,
     "ext23_asof_join" -> clickSignupOracle,
     // same answer through the SQL marker + analyzer-rule path
     "ext39_asof_sql_rewrite" -> clickSignupOracle)
+
+  private lazy val clickPurchaseForwardOracle =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+      |  FROM events),
+      |l AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id AS p_user_id, tsu AS p_tsu, MIN(event_id) AS purchase_id
+      |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, tsu)
+      |SELECT l.event_id, l.user_id,
+      |  CASE WHEN r.p_tsu - l.tsu <= 172800000000 THEN r.purchase_id END AS purchase_id,
+      |  CASE WHEN r.p_tsu - l.tsu <= 172800000000 THEN r.p_tsu - l.tsu END AS gap_us
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user_id AND l.tsu <= r.p_tsu
+      |ORDER BY l.event_id""".stripMargin
 
   private lazy val clickSignupOracle =
     """WITH e AS (

@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * for extension-built sessions; [[AsOf.sql]] applies the same rewrite
   * explicitly for plain sessions.
   */
-case class AsOfMarker(left: Expression, right: Expression)
+case class AsOfMarker(left: Expression, right: Expression,
+    forward: Boolean = false, tolerance: Option[Long] = None)
     extends BinaryExpression with CodegenFallback {
   // NOT Unevaluable: it must survive CheckAnalysis as a plain boolean
   // predicate; reaching eval (or its CodegenFallback) means the rewrite
@@ -43,10 +44,34 @@ case class AsOfMarker(left: Expression, right: Expression)
 }
 
 object AsOfMarker {
+
+  /** graft_asof(t1, t2[, direction[, tolerance]]) — direction is the
+    * literal 'backward' (default) or 'forward'; tolerance is a literal
+    * non-negative long in the time columns' unit. */
   private[graft] def build(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2,
-      s"graft_asof(leftTime, rightTime) takes exactly 2 arguments, got ${exprs.length}")
-    AsOfMarker(exprs.head, exprs(1))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(exprs.length >= 2 && exprs.length <= 4,
+      s"graft_asof(t1, t2[, direction[, tolerance]]) takes 2-4 arguments, got ${exprs.length}")
+    val forward = exprs.lift(2) match {
+      case None => false
+      case Some(Literal(s, StringType)) if s != null => s.toString match {
+        case "backward" => false
+        case "forward" => true
+        case other => throw new IllegalArgumentException(
+          s"graft_asof direction must be 'backward' or 'forward', got '$other'")
+      }
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft_asof direction must be a string literal, got $other")
+    }
+    val tol = exprs.lift(3).map {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_asof tolerance must be an integer literal, got $other")
+    }
+    require(tol.forall(_ >= 0), "graft_asof tolerance must be >= 0")
+    AsOfMarker(exprs.head, exprs(1), forward, tol)
   }
 
   def register(spark: SparkSession): Unit =
@@ -74,7 +99,7 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }
       markers match {
-        case Seq(AsOfMarker(t1, t2)) if oriented.forall(_.isDefined) =>
+        case Seq(m @ AsOfMarker(t1, t2, _, _)) if oriented.forall(_.isDefined) =>
           val times =
             if (t1.references.subsetOf(l.outputSet) &&
               t2.references.subsetOf(r.outputSet)) Some((t1, t2))
@@ -84,7 +109,8 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           times match {
             case Some((lt, rt)) =>
               val pairs = oriented.flatten
-              AsOfJoinPlan(l, r, pairs.map(_._1), pairs.map(_._2), lt, rt)
+              AsOfJoinPlan(l, r, pairs.map(_._1), pairs.map(_._2), lt, rt,
+                forward = m.forward, tolerance = m.tolerance)
             case None => j
           }
         case _ => j
