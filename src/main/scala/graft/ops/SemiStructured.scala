@@ -257,6 +257,18 @@ object SemiStructured {
       .orderBy("g")
   }
 
+  /** Aggregate pushdown into the custom source: COUNT(*)/MIN(id)/MAX(id)
+    * with no grouping are metadata on an ordered range — the scan returns
+    * ONE pre-aggregated row and Spark plans no aggregate at all (the
+    * parquet-footer-count trick, generalized; declined under pushed
+    * filters, see SourcesSpec). */
+  val q66AggPushdown: Q = (s, _) => {
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "50000").option("parts", "8").load()
+      .createOrReplaceTempView("graft_seq_agg")
+    s.sql("SELECT COUNT(*) AS n, MIN(id) AS id_min, MAX(id) AS id_max FROM graft_seq_agg")
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -336,7 +348,8 @@ object SemiStructured {
     "q62_recursive_cte" -> q62RecursiveCte,
     "q63_custom_source" -> q63CustomSource,
     "q64_custom_sink" -> q64CustomSink,
-    "q65_object_store_ingest" -> q65ObjectStoreIngest)
+    "q65_object_store_ingest" -> q65ObjectStoreIngest,
+    "q66_agg_pushdown" -> q66AggPushdown)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -400,6 +413,9 @@ object SemiStructured {
         |  FROM range(5000) r)
         |SELECT id % 7 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    "q66_agg_pushdown" ->
+      """SELECT COUNT(*) AS n, MIN(r.range) AS id_min, MAX(r.range) AS id_max
+        |FROM range(50000) r""".stripMargin,
     "q63_custom_source" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -62,12 +62,49 @@ class SeqTable(rows: Long, parts: Int, batchRows: Long)
 
 class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = SeqSource.schema
   private var lo: Long = 0L
   private var hi: Long = rows // [lo, hi)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var aggValues: Option[Seq[Long]] = None
+
+  /** COUNT(*)/MIN(id)/MAX(id) with no grouping are pure metadata on an
+    * ordered range — answered WITHOUT scanning (the parquet-footer-count
+    * trick, source-side). Declined whenever filters were pushed (they are
+    * re-evaluated above the scan, so scan-level answers would overcount)
+    * or any other aggregate/grouping appears. Complete pushdown: the scan
+    * returns ONE pre-aggregated row and Spark plans no aggregate at all.
+    */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushAggregation(aggregation)
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (aggValues.isDefined) return true // idempotent re-offer
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty ||
+      hi <= lo) return false
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case n: NamedReference => n.fieldNames.toSeq == Seq("id")
+        case _ => false
+      }
+    val values = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(hi - lo)
+      case m: Min if isId(m.column) => Some(lo)
+      case m: Max if isId(m.column) => Some(hi - 1)
+      case _ => None
+    }
+    if (values.forall(_.isDefined)) {
+      aggValues = Some(values.flatten)
+      true
+    } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -116,8 +153,37 @@ class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
       true // fully handled: exactly the first `limit` rows are produced
     } else false
 
-  override def build(): Scan =
-    new SeqScan(rows, parts, required, lo, math.max(lo, hi), batchRows)
+  override def build(): Scan = aggValues match {
+    case Some(vals) => new SeqAggScan(vals)
+    case None => new SeqScan(rows, parts, required, lo, math.max(lo, hi), batchRows)
+  }
+}
+
+/** Scan for a completely-pushed aggregation: one split, one row, the
+  * metadata-derived values — zero data rows ever read. */
+class SeqAggScan(values: Seq[Long]) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(values.indices.map(i =>
+      StructField(s"agg_$i", LongType, nullable = false)))
+
+  override def description(): String =
+    s"graft_seq AGG-PUSHED values=[${values.mkString(",")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqInputPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val vals = values.toArray
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(vals.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SeqScan(rows: Long, parts: Int, required: StructType, lo: Long, hi: Long,

@@ -50,6 +50,22 @@ class SourcesSpec extends SparkTestBase {
     assert(both.queryExecution.executedPlan.toString.contains("bounds=[500,1000)"))
   }
 
+  test("count/min/max push to the source: answered from metadata, no scan") {
+    seq(50000, 8).createOrReplaceTempView("graft_seq_agg_spec")
+    val agg = spark.sql(
+      "SELECT COUNT(*) AS n, MIN(id) AS id_min, MAX(id) AS id_max FROM graft_seq_agg_spec")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHED"), s"aggregate did not push:\n$plan")
+    val row = agg.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === (50000L, 0L, 49999L))
+    // with a pushed filter the aggregate must NOT push (scan-level answers
+    // would ignore the re-evaluated filter) — result stays correct
+    val filtered = spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_seq_agg_spec WHERE id >= 49000")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("AGG-PUSHED"))
+    assert(filtered.collect().head.getLong(0) === 1000L)
+  }
+
   test("sink overwrite truncates stale parts; reader sees only the manifest") {
     val dir = ops.scratchDir(spark, "sink_overwrite_spec")
     def write(rows: Int, parts: Int): Unit =
