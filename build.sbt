@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the one-line JSON contract from Bench/Verify stdout.
+// sbt's default LoggedOutput prefixes every forked line with "[info] ",
+// which breaks a per-line json.loads. StdoutOutput makes the forked JVM
+// inherit this process's stdout/stderr so the contract line prints raw.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
