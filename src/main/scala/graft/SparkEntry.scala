@@ -30,6 +30,7 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
+      ext.TrainingPrep.queries ++
       ext.Multimodal.queries ++
       streaming.Streams.queries ++
       plans.AsOfQueries.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++
       ext.TextAnalysis.oracleSql ++
+      ext.TrainingPrep.oracleSql ++
       ext.Multimodal.oracleSql ++
       streaming.Streams.oracleSql ++
       plans.AsOfQueries.oracleSql ++

@@ -1,0 +1,166 @@
+package graft.ext
+
+import graft.ops.{table, Q}
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators — the last mile of an LLM/multimodal
+  * data pipeline, after curation (TextAnalysis) and dedup (Dedup): pair
+  * construction for contrastive training, sequence packing to a token
+  * budget, per-class capping, and deterministic dataset splits.
+  *
+  * Everything is hash- or arithmetic-deterministic (no RNG): the same row
+  * always lands in the same pair/bin/split regardless of partitioning,
+  * cluster size or rerun — the property that makes 100 TB pipelines
+  * resumable and their experiments reproducible. All built-ins, no UDFs.
+  */
+object TrainingPrep {
+
+  /** Contrastive caption-pair construction (the CLIP-style prep step):
+    * each caption (documents row) joins its positive image embedding on
+    * the shared id, and a deterministic pseudo-random NEGATIVE is drawn
+    * with a multiplicative hash over the corpus size — collision with the
+    * anchor bumps to the next id, so anchor != negative always. The
+    * `hard` flag marks negatives from the same coarse class (same IVF
+    * label) — the pairs a contrastive loss learns most from.
+    *
+    * Scale: corpus size enters the plan as a 1-row crossJoin (broadcast
+    * NestedLoop over a scalar — free), then two shuffle equi-joins on id;
+    * nothing driver-side, nothing all-pairs. */
+  val captionPairs: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"))
+    val embs = table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val cnt = embs.agg(count(lit(1)).as("cnt"))
+    val withNeg = docs
+      .join(embs, col("doc_id") === col("vec_id"))
+      .withColumnRenamed("label", "pos_label")
+      .drop("vec_id")
+      .crossJoin(cnt)
+      .withColumn("neg_raw", (col("doc_id") * 2654435761L + 17L) % col("cnt"))
+      .withColumn("neg_id",
+        when(col("neg_raw") === col("doc_id"),
+          (col("neg_raw") + 1L) % col("cnt")).otherwise(col("neg_raw")))
+    withNeg
+      .join(embs.withColumnRenamed("vec_id", "nv")
+        .withColumnRenamed("label", "neg_label"), col("neg_id") === col("nv"))
+      .select(col("doc_id"), col("lang"), col("pos_label"),
+        col("neg_id"), col("neg_label"),
+        (col("pos_label") === col("neg_label")).cast("int").as("hard"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: stream documents (per source shard, in id order)
+    * into fixed token-budget bins — the step that turns ragged documents
+    * into dense training sequences. The bin of a document is the number
+    * of full budgets its PRECEDING cumulative token count fills
+    * (`(cum - own) DIV budget`), a pure running-sum window — greedy
+    * contiguous packing, deterministic and O(n log n).
+    *
+    * Scale: the window partitions by source shard, so no global sort;
+    * shard count bounds the parallelism, which is why real pipelines key
+    * packing by (shard, worker) — the per-shard stream here is that unit. */
+  val sequencePacking: Q = (s, d) => {
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    table(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("source", "bin")
+  }
+
+  /** Per-class cap (balanced subsampling): keep at most K=40 documents
+    * per language, chosen by md5-hash order — deterministic, unbiased by
+    * ingestion order, and stable under reruns. The window partitions by
+    * class, so state is K rows per class; Spark plans a WindowGroupLimit
+    * (partial top-K on the map side) rather than a full per-class sort
+    * at scale. */
+  val groupCap: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    table(s, d, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 40)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Deterministic train/val/test split on the md5 of the document id:
+    * first hex nibble < 'd' → train (13/16), 'd'/'e' → val (2/16), 'f' →
+    * test (1/16). A pure map-side label — the same document lands in the
+    * same split on any engine, any partitioning, any day; splits stay
+    * disjoint under incremental ingestion (the property RNG splits lose).
+    * Output is the per-split manifest summary. */
+  val hashSplit: Q = (s, d) =>
+    table(s, d, "documents")
+      .withColumn("nib", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("nib") < "d", "train")
+          .when(col("nib") < "f", "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+
+  val queries: Map[String, Q] = Map(
+    "ext47_caption_pairs" -> captionPairs,
+    "ext48_sequence_packing" -> sequencePacking,
+    "ext49_group_cap" -> groupCap,
+    "ext50_hash_split" -> hashSplit)
+
+  val oracleSql: Map[String, String] = Map(
+    "ext47_caption_pairs" ->
+      """WITH cnt AS (SELECT COUNT(*) AS cnt FROM embeddings),
+        |pos AS (
+        |  SELECT d.doc_id, d.lang, e.label AS pos_label, c.cnt
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |  CROSS JOIN cnt c),
+        |neg AS (
+        |  SELECT doc_id, lang, pos_label,
+        |    CASE WHEN (doc_id * 2654435761 + 17) % cnt = doc_id
+        |         THEN ((doc_id * 2654435761 + 17) % cnt + 1) % cnt
+        |         ELSE (doc_id * 2654435761 + 17) % cnt END AS neg_id
+        |  FROM pos)
+        |SELECT n.doc_id, n.lang, n.pos_label, n.neg_id, e.label AS neg_label,
+        |  CAST(n.pos_label = e.label AS INT) AS hard
+        |FROM neg n JOIN embeddings e ON n.neg_id = e.vec_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "ext48_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, (cum - n_tokens) // 512 AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "ext49_group_cap" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |FROM documents
+        |QUALIFY rk <= 40
+        |ORDER BY lang, rk""".stripMargin,
+    "ext50_hash_split" ->
+      """WITH t AS (
+        |  SELECT n_chars,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1 ORDER BY split""".stripMargin)
+}

@@ -183,7 +183,110 @@ object Advanced {
       .orderBy("user_id")
   }
 
+  /** GROUP BY ALL — group by every non-aggregate select item (the
+    * modern-SQL ergonomics both Spark 4 and DuckDB ship); semantics
+    * identical to listing the keys. */
+  val groupByAll: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_gba")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM graft_ord_gba
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q9-shaped profit rollup (nation × year): a 5-table star join
+    * (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ nation) with a computed
+    * per-row measure. The fixture schema has no partsupp, so supply cost
+    * is modeled as 10 % of retail price — the join/aggregation shape (the
+    * point of Q9) is unchanged. part/supplier/nation broadcast; the only
+    * real shuffle is lineitem ⋈ orders on orderkey, then the tiny
+    * (nation, year) aggregate. */
+  val profitByNationYear: Q = (s, d) => {
+    val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.1) * col("p_retailprice") * col("l_quantity")).as("profit")
+    table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "part").filter(col("p_name").contains("a"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(table(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate").cast("date")).as("o_year"), profit)
+      .groupBy("nation", "o_year")
+      .agg(dsum(col("profit")).as("sum_profit"), count(lit(1)).as("n"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer, top 20. The orders⋈lineitem shuffle carries only returned
+    * rows (filter pushed below the join); customer and nation broadcast;
+    * TakeOrderedAndProject caps the result without a global sort. */
+  val returnedTopCustomers: Q = (s, d) => {
+    val revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev")
+    table(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(table(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), revenue)
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Higher-order array functions (transform/filter/aggregate/array_max)
+    * — per-row collection processing entirely inside codegen, the Spark
+    * idiom that replaces row-wise Python loops over lists. The token
+    * stats here (count, summed length, longest token) stay in one narrow
+    * projection; DuckDB's list_* lambdas restate the same semantics. */
+  val hofArrays: Q = (s, d) =>
+    table(s, d, "documents")
+      .filter(col("doc_id") <= 60)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+          .as("total_len"),
+        expr("array_max(transform(toks, t -> length(t)))").as("longest"),
+        expr("size(filter(toks, t -> length(t) >= 6))").as("n_long"))
+      .orderBy("doc_id")
+
+  /** Time-series gap fill + forward fill (the as-of cousin every metrics
+    * pipeline needs): a shared day spine (distinct order days) crosses
+    * the tracked customers, daily totals left-join onto it, and
+    * `last(value, ignoreNulls)` over an ordered running frame carries the
+    * last observation forward across the gaps. Spine × keys is a
+    * broadcast cross of two small distinct sets; the fill is one
+    * partitioned window, no self-join chains. */
+  val gapFill: Q = (s, d) => {
+    val orders = table(s, d, "orders").filter(col("o_custkey") <= 8)
+    val days = orders.select(
+      date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("day")).distinct()
+    val custs = orders.select(col("o_custkey")).distinct()
+    val daily = orders
+      .groupBy(col("o_custkey"),
+        date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd").as("day"))
+      .agg(dsum(col("o_totalprice")).as("day_total"))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    custs.crossJoin(days)
+      .join(daily, Seq("o_custkey", "day"), "left")
+      .withColumn("filled", last(col("day_total"), ignoreNulls = true).over(w))
+      .withColumn("observed", col("day_total").isNotNull.cast("int"))
+      .select(col("o_custkey"), col("day"), col("filled"), col("observed"))
+      .orderBy("o_custkey", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_group_by_all" -> groupByAll,
+    "q70_profit_rollup" -> profitByNationYear,
+    "q71_returned_topn" -> returnedTopCustomers,
+    "q72_hof_arrays" -> hofArrays,
+    "q73_gap_fill" -> gapFill,
     "ext36_cogroup_attribution" -> cogroupAttribution,
     "q58_scd2_merge" -> scd2Merge,
     "ext25_range_join_binned" -> rangeJoinBinned,
@@ -193,6 +296,67 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q69_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q70_profit_rollup" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+        |  CAST(CAST(SUM(CAST(
+        |    l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity
+        |    AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin,
+    "q71_returned_topn" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q72_hof_arrays" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id <= 60)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+        |  CAST(list_max(list_transform(toks, t -> length(t))) AS INT) AS longest,
+        |  CAST(len(list_filter(toks, t -> length(t) >= 6)) AS INT) AS n_long
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q73_gap_fill" ->
+      """WITH o AS (
+        |  SELECT o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |    o_totalprice
+        |  FROM orders WHERE o_custkey <= 8),
+        |days AS (SELECT DISTINCT day FROM o),
+        |custs AS (SELECT DISTINCT o_custkey FROM o),
+        |daily AS (
+        |  SELECT o_custkey, day,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS day_total
+        |  FROM o GROUP BY 1, 2)
+        |SELECT c.o_custkey, s.day,
+        |  last_value(d.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY c.o_custkey ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  CAST(d.day_total IS NOT NULL AS INT) AS observed
+        |FROM custs c CROSS JOIN days s
+        |LEFT JOIN daily d ON d.o_custkey = c.o_custkey AND d.day = s.day
+        |ORDER BY c.o_custkey, s.day""".stripMargin,
     "ext36_cogroup_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu

@@ -247,10 +247,7 @@ object SemiStructured {
     // read through the MANIFEST — the committed-snapshot contract: only
     // files the driver-side commit published are visible, never stale
     // parts from an earlier wider write or an aborted attempt
-    val committed = java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(dir, "_MANIFEST"))
-      .toArray(Array.empty[String]).filter(_.nonEmpty)
-      .map(f => s"$dir/$f")
+    val committed = graft.sources.NdjsonManifest.committedFiles(dir)
     s.read.schema(schema).json(committed: _*)
       .groupBy((col("id") % 7).as("g"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
@@ -267,6 +264,45 @@ object SemiStructured {
       .option("rows", "50000").option("parts", "8").load()
       .createOrReplaceTempView("graft_seq_agg")
     s.sql("SELECT COUNT(*) AS n, MIN(id) AS id_min, MAX(id) AS id_max FROM graft_seq_agg")
+  }
+
+  /** Source-reported statistics driving the join strategy: the custom
+    * source implements `SupportsReportStatistics`, so its post-pushdown
+    * size estimate (500 rows × 16 B) reaches Catalyst and the planner
+    * picks BroadcastHashJoin for the orders⋈seq join with NO explicit
+    * `broadcast()` hint — exactly how a parquet scan's footer stats make
+    * small-dim broadcasts automatic. Without the interface a v2 relation
+    * costs `spark.sql.defaultSizeInBytes` (Long.MaxValue) and this plan
+    * would shuffle 100 TB of fact rows instead (plan asserted in
+    * SourcesSpec). */
+  val q67SourceStatsJoin: Q = (s, d) => {
+    val dim = s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "500").option("parts", "2").load()
+    table(s, d, "orders")
+      .join(dim, col("o_orderkey") % 500 === col("id"))
+      .groupBy((col("id") % 5).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("g")
+  }
+
+  /** Runtime (DPP-style) filtering into the custom source: the filtered
+    * nation dimension executes first, its distinct join keys flow into
+    * `SeqScan.filter` as an IN predicate, and the source narrows its
+    * planned id-range BEFORE any task launches — splits outside the
+    * surviving [min,max) are never read (observed via
+    * `SeqSource.lastRuntimeFilter` in SourcesSpec). The dim keys are
+    * spread with a prime stride so the narrowed range is a strict subset
+    * of the 16 planned splits. */
+  val q68SourceRuntimeFilter: Q = (s, d) => {
+    val fact = s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "200000").option("parts", "16").load()
+    val dim = table(s, d, "nation")
+      .filter(col("n_regionkey") < 2)
+      .select((col("n_nationkey") * lit(7919L)).as("k"), col("n_name"))
+    fact.join(dim, col("id") === col("k"))
+      .select(col("n_name"), col("id"), col("v"))
+      .orderBy("id")
   }
 
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
@@ -349,7 +385,9 @@ object SemiStructured {
     "q63_custom_source" -> q63CustomSource,
     "q64_custom_sink" -> q64CustomSink,
     "q65_object_store_ingest" -> q65ObjectStoreIngest,
-    "q66_agg_pushdown" -> q66AggPushdown)
+    "q66_agg_pushdown" -> q66AggPushdown,
+    "q67_source_stats_join" -> q67SourceStatsJoin,
+    "q68_source_runtime_filter" -> q68SourceRuntimeFilter)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -416,6 +454,18 @@ object SemiStructured {
     "q66_agg_pushdown" ->
       """SELECT COUNT(*) AS n, MIN(r.range) AS id_min, MAX(r.range) AS id_max
         |FROM range(50000) r""".stripMargin,
+    "q67_source_stats_join" ->
+      """WITH dim AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(500) r)
+        |SELECT id % 5 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN dim ON o_orderkey % 500 = id
+        |GROUP BY 1 ORDER BY g""".stripMargin,
+    "q68_source_runtime_filter" ->
+      """SELECT n_name, CAST(n_nationkey * 7919 AS BIGINT) AS id,
+        |  CAST((n_nationkey * 7919 * 2654435761) % 1000 AS BIGINT) AS v
+        |FROM nation WHERE n_regionkey < 2 ORDER BY id""".stripMargin,
     "q63_custom_source" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -47,7 +48,8 @@ class NdjsonTable(writeSchema: StructType, path: String)
   override def name(): String = s"graft_ndjson_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -56,8 +58,98 @@ class NdjsonTable(writeSchema: StructType, path: String)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new NdjsonBatchWrite(path, info.schema(), truncateFirst)
+        override def toStreaming: StreamingWrite =
+          new NdjsonStreamingWrite(path, info.schema())
       }
     }
+}
+
+/** Streaming face of the sink (`StreamingWrite`) — the epoch-aware commit
+  * protocol a streaming table sink implements:
+  *
+  *   - files carry the epoch in their name (`part-e<epoch>-p<part>.json`),
+  *     so concurrent epochs and retried tasks never collide;
+  *   - driver `commit(epochId, messages)` APPENDS the epoch's committed
+  *     files to the `_MANIFEST`, tagged `e<epoch>:` — the reader-visible
+  *     snapshot grows atomically per micro-batch (rewrite + atomic move);
+  *   - the commit is IDEMPOTENT per epoch: a replayed micro-batch (crash
+  *     between sink-commit and offset-log-commit — the failure window
+  *     Structured Streaming's exactly-once contract covers) finds its
+  *     epoch already in the manifest and drops the duplicate attempt's
+  *     files instead of double-publishing them.
+  *
+  * State is one manifest file; no driver memory grows with stream length.
+  */
+class NdjsonStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new NdjsonStreamingWriterFactory(path, schema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val manifest = Paths.get(path, "_MANIFEST")
+    val existing: Seq[String] =
+      if (Files.exists(manifest))
+        Files.readAllLines(manifest).toArray(Array.empty[String])
+          .toSeq.filter(_.nonEmpty)
+      else Nil
+    val tag = s"e$epochId:"
+    val names = messages.collect { case NdjsonCommit(f) => f }.sorted
+    if (existing.exists(_.startsWith(tag))) {
+      // epoch replay: the snapshot already includes this epoch. The
+      // re-attempt's files carry the SAME (epoch, partition) names, so
+      // their renames already replaced the published files byte-for-byte
+      // (deterministic re-execution) — the manifest must not change, and
+      // nothing may be deleted. Commit is a no-op.
+      ()
+    } else {
+      val next = existing ++ names.map(tag + _)
+      val tmp = Paths.get(path, s"_MANIFEST.tmp$epochId")
+      Files.write(tmp, (next.mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Failed epoch: remove its task-committed files — but never one the
+    * manifest already lists (an aborted REPLAY of a committed epoch uses
+    * the same file names; deleting them would destroy published data). */
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val manifest = Paths.get(path, "_MANIFEST")
+    val published: Set[String] =
+      if (Files.exists(manifest))
+        Files.readAllLines(manifest).toArray(Array.empty[String])
+          .toSeq.filter(_.nonEmpty)
+          .map(l => l.substring(l.indexOf(':') + 1)).toSet
+      else Set.empty
+    messages.collect { case NdjsonCommit(f) => f }
+      .filterNot(published)
+      .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+  }
+}
+
+class NdjsonStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    NdjsonWriters.create(path, schema,
+      tempName = s"_temp_e${epochId}_p${partitionId}_a$taskId",
+      finalName = f"part-e$epochId%d-p$partitionId%05d.json")
+}
+
+/** Manifest-aware read-back helper shared by the batch and streaming
+  * round-trip queries: lists exactly the committed files (stripping any
+  * `e<epoch>:` tags), never stale or aborted parts. */
+object NdjsonManifest {
+  def committedFiles(path: String): Seq[String] =
+    Files.readAllLines(Paths.get(path, "_MANIFEST"))
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty)
+      .map(l => if (l.contains(':')) l.substring(l.indexOf(':') + 1) else l)
+      .map(f => s"$path/$f")
 }
 
 case class NdjsonCommit(fileName: String) extends WriterCommitMessage
@@ -94,9 +186,20 @@ class NdjsonWriterFactory(path: String, schema: StructType)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    NdjsonWriters.create(path, schema,
+      tempName = s"_temp_p${partitionId}_a$taskId",
+      finalName = f"part-$partitionId%05d.json")
+}
+
+/** The task-side writer shared by the batch and streaming factories:
+  * stream to a task-private temp file, `commit()` atomically renames it
+  * to its final name, `abort()` leaves nothing behind. */
+object NdjsonWriters {
+
+  def create(path: String, schema: StructType,
+      tempName: String, finalName: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val tempPath = Paths.get(path, s"_temp_p${partitionId}_a$taskId")
-      private val finalName = f"part-$partitionId%05d.json"
+      private val tempPath = Paths.get(path, tempName)
       // executor-side too: in any deployment where the writer does not
       // share the driver's filesystem, the factory's mkdir didn't happen
       // here (a shared/object store is what a real deployment points at)

@@ -427,6 +427,40 @@ object Streams {
     s.table(sinkName).select("g", "n", "v_sum").orderBy("g")
   }
 
+  /** Streaming write through the custom DSv2 SINK
+    * ([[graft.sources.NdjsonSinkProvider]]'s `StreamingWrite` face): the
+    * custom micro-batch SOURCE feeds four offset-tracked epochs into the
+    * sink, each epoch publishing its part files into the `_MANIFEST`
+    * with an idempotent, epoch-tagged commit (a replayed micro-batch
+    * cannot double-publish). The read-back goes through the manifest —
+    * only committed files — and the oracle pins that four epoch-commits
+    * together equal the one-shot batch relation: end-to-end exactly-once
+    * over the whole custom source → stream → custom sink path. */
+  val streamCustomSink: Q = (s, _) => {
+    val dir = scratchDir(s, "dsv2_stream_sink")
+    val chk = scratchDir(s, "dsv2_stream_sink_chk")
+    deleteRec(Paths.get(dir))
+    deleteRec(Paths.get(chk))
+    val stream = s.readStream.format("graft.sources.SeqSourceProvider")
+      .option("rows", "8000").option("parts", "4")
+      .option("batchRows", "2000").load()
+    val query = stream.writeStream
+      .format("graft.sources.NdjsonSinkProvider")
+      .option("path", dir)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val files = graft.sources.NdjsonManifest.committedFiles(dir)
+    s.read.schema(schema).json(files: _*)
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+      .orderBy("g")
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -521,7 +555,8 @@ object Streams {
     "ext35_stream_checkpoint_restart" -> checkpointRestart,
     "ext41_stream_stream_join" -> streamStreamJoin,
     "ext42_stream_update_mode" -> streamUpdateMode,
-    "ext44_dsv2_stream_source" -> dsv2StreamSource)
+    "ext44_dsv2_stream_source" -> dsv2StreamSource,
+    "ext46_stream_custom_sink" -> streamCustomSink)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -557,6 +592,14 @@ object Streams {
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
         |  FROM range(20000) r)
         |SELECT id % 5 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    // four epoch-commits through the custom streaming sink's manifest
+    // must together equal the one-shot batch relation (exactly-once)
+    "ext46_stream_custom_sink" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(8000) r)
+        |SELECT id % 7 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
     // update mode = changelog: batch-0 partial counts for every key,
     // then batch-1 FINAL counts only for keys with second-half rows

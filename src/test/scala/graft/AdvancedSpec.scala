@@ -43,4 +43,60 @@ class AdvancedSpec extends SparkTestBase {
       .head()
     assert(r.getDouble(0) === 1.75 && r.getDouble(1) === 2.5 && r.getDouble(2) === 3.25)
   }
+
+  test("GROUP BY ALL equals explicit grouping keys") {
+    val all = Advanced.groupByAll(spark, sf).collect()
+    val explicit = graft.ops.table(spark, sf, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), graft.ops.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority").collect()
+    assert(all.toSeq === explicit.toSeq)
+  }
+
+  test("profit rollup broadcasts the three small dims; only one big shuffle join") {
+    val plan = Advanced.profitByNationYear(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = Advanced.profitByNationYear(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (nation, year) keys are unique and sorted
+    val keys = rows.map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(keys === keys.distinct.sorted)
+  }
+
+  test("returned-items top-N caps without a global sort (TakeOrdered)") {
+    val q = Advanced.returnedTopCustomers(spark, sf)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = q.collect()
+    assert(rows.length <= 20)
+    val revs = rows.map(_.getDouble(3)).toSeq
+    assert(revs === revs.sortBy(-_), "not revenue-descending")
+  }
+
+  test("HOF array stats match a hand computation") {
+    val r = Advanced.hofArrays(spark, sf).filter(col("doc_id") === 0).head()
+    val text = graft.ops.table(spark, sf, "documents")
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val toks = text.split(" ").filter(_.nonEmpty)
+    assert(r.getInt(1) === toks.length)
+    assert(r.getLong(2) === toks.map(_.length.toLong).sum)
+    assert(r.getInt(3) === toks.map(_.length).max)
+    assert(r.getInt(4) === toks.count(_.length >= 6))
+  }
+
+  test("gap fill: every (cust, day) cell present; fill carries last observation") {
+    val rows = Advanced.gapFill(spark, sf).collect()
+    val custs = rows.map(_.getLong(0)).distinct
+    val days = rows.map(_.getString(1)).distinct
+    assert(rows.length === custs.length * days.length) // dense grid
+    custs.foreach { c =>
+      var lastSeen: Option[Double] = None
+      rows.filter(_.getLong(0) == c).sortBy(_.getString(1)).foreach { r =>
+        if (r.getInt(3) == 1) lastSeen = Some(r.getDouble(2))
+        else if (lastSeen.isEmpty) assert(r.isNullAt(2), s"fill before first obs: $r")
+        else assert(r.getDouble(2) === lastSeen.get, s"fill mismatch: $r")
+      }
+    }
+  }
 }

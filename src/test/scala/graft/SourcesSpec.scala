@@ -90,4 +90,71 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.map(_._1).sorted.toSeq === (0L until 257L))
     rows.foreach { case (id, v) => assert(v === (id * 2654435761L) % 1000L) }
   }
+
+  test("reported statistics make the small source the broadcast side") {
+    // SupportsReportStatistics: the post-pushdown estimate reaches the
+    // optimizer (without it a v2 relation costs defaultSizeInBytes =
+    // Long.MaxValue and can never auto-broadcast)
+    val small = seq(500, 2)
+    assert(small.queryExecution.optimizedPlan.stats.sizeInBytes
+      < BigInt(10L * 1024 * 1024))
+    val q67 = ops.SemiStructured.q67SourceStatsJoin(spark, sf)
+    val plan = q67.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"source stats did not trigger a broadcast join:\n$plan")
+    assert(q67.collect().length === 5) // groups 0..4 all populated
+    // pushed filters shrink the estimate: stats reflect the planned range
+    val narrowed = seq(100000, 8).filter(col("id") < 100)
+    assert(narrowed.queryExecution.optimizedPlan.stats.sizeInBytes
+      < BigInt(100000L * 16))
+  }
+
+  test("runtime (DPP-style) filtering narrows the planned splits") {
+    graft.sources.SeqSource.lastRuntimeFilter.set(null)
+    val q68 = ops.SemiStructured.q68SourceRuntimeFilter(spark, sf)
+    val rows = q68.collect()
+    // nation regions 0/1 at sf0.001: every surviving id is nationkey*7919
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(1)
+      assert(id % 7919L === 0L)
+      assert(r.getLong(2) === (id * 2654435761L) % 1000L)
+    }
+    val trace = graft.sources.SeqSource.lastRuntimeFilter.get()
+    assert(trace != null, "runtime filter never reached the source")
+    val (lo, hi, splits) = trace
+    // nationkey 0 is in region 0, so lo legitimately stays 0; the upper
+    // bound (max surviving nationkey * 7919 + 1) must have narrowed
+    assert(hi < 200000L, s"upper bound not narrowed: [$lo,$hi)")
+    assert(splits < 16, s"no split eliminated: $splits of 16 planned")
+  }
+
+  test("streaming sink: epoch-tagged manifest commits are idempotent") {
+    val res = streaming.Streams.streamCustomSink(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = (0L until 8000L).map(id => (id % 7, (id * 2654435761L) % 1000L))
+      .groupBy(_._1).map { case (g, xs) => g -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(res === expect)
+    // the manifest must show multiple epoch tags (a real multi-batch run)
+    val dir = ops.scratchDir(spark, "dsv2_stream_sink")
+    def manifest(): Seq[String] = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, "_MANIFEST"))
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+    val before = manifest()
+    val epochs = before.map(_.takeWhile(_ != ':')).distinct
+    assert(epochs.length >= 2, s"expected multiple epochs, got $epochs")
+    // replaying a committed epoch must not double-publish: manifest
+    // unchanged, published file left in place
+    val firstEpoch = epochs.head.drop(1).toLong
+    val firstFile = before.head.drop(epochs.head.length + 1)
+    val w = new graft.sources.NdjsonStreamingWrite(dir,
+      graft.sources.SeqSource.schema)
+    w.commit(firstEpoch, Array(graft.sources.NdjsonCommit(firstFile)))
+    assert(manifest() === before, "replayed epoch commit changed the manifest")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, firstFile)))
+    // an aborted replay of a committed epoch must also leave it intact
+    w.abort(firstEpoch, Array(graft.sources.NdjsonCommit(firstFile)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, firstFile)),
+      "abort of a replayed epoch deleted published data")
+  }
 }

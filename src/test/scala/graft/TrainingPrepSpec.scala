@@ -1,0 +1,69 @@
+package graft
+
+import graft.ext.TrainingPrep
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly: pair construction, packing, capping, splits. */
+class TrainingPrepSpec extends SparkTestBase {
+
+  test("caption pairs: anchor never equals its negative; positives align by id") {
+    val rows = TrainingPrep.captionPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = 500L // corpus size at every fixture sf
+    rows.foreach { r =>
+      val doc = r.getLong(0)
+      val neg = r.getLong(3)
+      assert(neg !== doc, s"self-negative for doc $doc")
+      val expected = {
+        val raw = (doc * 2654435761L + 17L) % n
+        if (raw == doc) (raw + 1L) % n else raw
+      }
+      assert(neg === expected)
+      assert(r.getInt(5) === (if (r.getInt(2) == r.getInt(4)) 1 else 0))
+    }
+  }
+
+  test("sequence packing: bins fill to the budget in doc order per source") {
+    val budget = 512L
+    val perDoc = graft.ops.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("t"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val binned: Seq[(String, Long, Long)] =
+      perDoc.groupBy(_._1).toSeq.flatMap { case (src, docs) =>
+        var cum = 0L
+        docs.sortBy(_._2).toSeq.map { case (_, _, t) =>
+          val bin = cum / budget; cum += t; (src, bin, t)
+        }
+      }
+    val expected = binned.groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => k -> ((xs.size.toLong, xs.map(_._3).sum)) }
+    val got = TrainingPrep.sequencePacking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+
+  test("group cap keeps at most K per class, hash-ordered, as a WindowGroupLimit") {
+    val q = TrainingPrep.groupCap(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not become a group limit:\n$plan")
+    val rows = q.collect()
+    val perLang = rows.groupBy(_.getString(1))
+    perLang.foreach { case (lang, xs) =>
+      assert(xs.length <= 40, s"$lang over cap")
+      assert(xs.map(_.getInt(2)).sorted.toSeq === (1 to xs.length))
+    }
+  }
+
+  test("hash split partitions every document exactly once, ~13/2/1 ratio") {
+    val rows = TrainingPrep.hashSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.ops.table(spark, sf, "documents").count()
+    assert(rows.values.sum === total)
+    assert(rows.keySet === Set("train", "val", "test"))
+    // 13/16 expectation with generous tolerance at 500 docs
+    assert(rows("train") > total * 6 / 10, rows.toString)
+    assert(rows("test") < total * 2 / 10, rows.toString)
+  }
+}
