@@ -31,6 +31,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
       ext.TrainingPrep.queries ++
+      ext.GraphRank.queries ++
       ext.Multimodal.queries ++
       streaming.Streams.queries ++
       plans.AsOfQueries.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       ext.Similarity.oracleSql ++
       ext.TextAnalysis.oracleSql ++
       ext.TrainingPrep.oracleSql ++
+      ext.GraphRank.oracleSql ++
       ext.Multimodal.oracleSql ++
       streaming.Streams.oracleSql ++
       plans.AsOfQueries.oracleSql ++

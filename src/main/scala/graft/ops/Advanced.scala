@@ -281,7 +281,23 @@ object Advanced {
       .orderBy("o_custkey", "day")
   }
 
+  /** SQL pipe syntax (Spark 4's `|>` operator chain) — the linear
+    * FROM → WHERE → AGGREGATE → ORDER BY dataflow form; Catalyst
+    * eliminates the pipe operators into the ordinary plan, so this is
+    * pure surface — the oracle states the classic formulation. */
+  val sqlPipe: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_pipe")
+    s.sql(
+      """FROM graft_ord_pipe
+        ||> WHERE o_orderstatus = 'O'
+        ||> AGGREGATE COUNT(*) AS n,
+        |     CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |   GROUP BY o_orderpriority
+        ||> ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_sql_pipe" -> sqlPipe,
     "q69_group_by_all" -> groupByAll,
     "q70_profit_rollup" -> profitByNationYear,
     "q71_returned_topn" -> returnedTopCustomers,
@@ -296,6 +312,11 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q75_sql_pipe" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q69_group_by_all" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total

@@ -305,6 +305,32 @@ object SemiStructured {
       .orderBy("id")
   }
 
+  /** Write-side layout contract (`RequiresDistributionAndOrdering`): the
+    * SINK declares clustering (`g`), in-task ordering (`id`) and an exact
+    * partition count, and Spark plans the exchange + sort before the
+    * write — no user-side repartition/sortWithinPartitions. The files
+    * come out bucketed (every `g` wholly inside one file) and sorted,
+    * i.e. skippable and merge-joinable downstream; SourcesSpec asserts
+    * the physical layout, the oracle pins losslessness. */
+  val q74SinkDistribution: Q = (s, _) => {
+    val dir = scratchDir(s, "dsv2_sink_clustered")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "5000").option("parts", "4").load()
+      .withColumn("g", col("id") % 10)
+      .write.format("graft.sources.NdjsonSinkProvider")
+      .option("path", dir).option("clusterBy", "g").option("sortBy", "id")
+      .option("numParts", "5")
+      .mode("overwrite").save()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("g", LongType)))
+    s.read.schema(schema)
+      .json(graft.sources.NdjsonManifest.committedFiles(dir): _*)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"),
+        min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+      .orderBy("g")
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -387,7 +413,8 @@ object SemiStructured {
     "q65_object_store_ingest" -> q65ObjectStoreIngest,
     "q66_agg_pushdown" -> q66AggPushdown,
     "q67_source_stats_join" -> q67SourceStatsJoin,
-    "q68_source_runtime_filter" -> q68SourceRuntimeFilter)
+    "q68_source_runtime_filter" -> q68SourceRuntimeFilter,
+    "q74_sink_distribution" -> q74SinkDistribution)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -466,6 +493,14 @@ object SemiStructured {
       """SELECT n_name, CAST(n_nationkey * 7919 AS BIGINT) AS id,
         |  CAST((n_nationkey * 7919 * 2654435761) % 1000 AS BIGINT) AS v
         |FROM nation WHERE n_regionkey < 2 ORDER BY id""".stripMargin,
+    "q74_sink_distribution" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v,
+        |    r.range % 10 AS g
+        |  FROM range(5000) r)
+        |SELECT g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  MIN(id) AS id_min, MAX(id) AS id_max
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
     "q63_custom_source" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -38,10 +38,15 @@ class NdjsonSinkProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new NdjsonTable(schema, properties.get("path"))
+    new NdjsonTable(schema, properties.get("path"),
+      clusterBy = Option(properties.get("clusterBy")).filter(_.nonEmpty),
+      sortBy = Option(properties.get("sortBy")).filter(_.nonEmpty),
+      numParts = Option(properties.get("numParts")).map(_.toInt).getOrElse(0))
 }
 
-class NdjsonTable(writeSchema: StructType, path: String)
+class NdjsonTable(writeSchema: StructType, path: String,
+    clusterBy: Option[String] = None, sortBy: Option[String] = None,
+    numParts: Int = 0)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "ndjson sink needs a path option")
 
@@ -55,12 +60,39 @@ class NdjsonTable(writeSchema: StructType, path: String)
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new NdjsonBatchWrite(path, info.schema(), truncateFirst)
-        override def toStreaming: StreamingWrite =
-          new NdjsonStreamingWrite(path, info.schema())
-      }
+      override def build(): Write =
+        if (clusterBy.isEmpty && sortBy.isEmpty) new Write {
+          override def toBatch: BatchWrite =
+            new NdjsonBatchWrite(path, info.schema(), truncateFirst)
+          override def toStreaming: StreamingWrite =
+            new NdjsonStreamingWrite(path, info.schema())
+        } else
+          /** `RequiresDistributionAndOrdering` — the write-side layout
+            * contract: the SINK declares how incoming data must be
+            * clustered and ordered, and SPARK plans the exchange + sort
+            * before the write (exactly how table formats get bucketed /
+            * sorted files without the user hand-repartitioning). Here:
+            * clustered on `clusterBy` (each key's rows land wholly in one
+            * task → one file), sorted by `sortBy` within tasks, optional
+            * exact partition count. At 100 TB this is what makes the
+            * written layout joinable/skippable downstream — the sort and
+            * shuffle happen once, at write time, declared by the sink. */
+          new Write with RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.distributions.{Distribution => WDist, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => WSort}
+            override def requiredDistribution(): WDist =
+              clusterBy.map(c => Distributions.clustered(
+                Array(Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression)))
+                .getOrElse(Distributions.unspecified())
+            override def requiredOrdering(): Array[WSort] =
+              sortBy.toArray.map(c =>
+                Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+            override def requiredNumPartitions(): Int = numParts
+            override def toBatch: BatchWrite =
+              new NdjsonBatchWrite(path, info.schema(), truncateFirst)
+            override def toStreaming: StreamingWrite =
+              new NdjsonStreamingWrite(path, info.schema())
+          }
     }
 }
 
@@ -144,12 +176,24 @@ class NdjsonStreamingWriterFactory(path: String, schema: StructType)
   * round-trip queries: lists exactly the committed files (stripping any
   * `e<epoch>:` tags), never stale or aborted parts. */
 object NdjsonManifest {
-  def committedFiles(path: String): Seq[String] =
+  def committedFiles(path: String): Seq[String] = committedFiles(path, None)
+
+  /** Snapshot (time-travel) listing: with `asOfEpoch = Some(e)`, only
+    * files committed by epochs <= e are visible — the append-only,
+    * epoch-tagged manifest doubles as the snapshot log a table format
+    * keeps, so any historical micro-batch boundary is a consistent
+    * readable state. Untagged (batch-write) lines count as epoch 0. */
+  def committedFiles(path: String, asOfEpoch: Option[Long]): Seq[String] =
     Files.readAllLines(Paths.get(path, "_MANIFEST"))
       .toArray(Array.empty[String]).toSeq
       .filter(_.nonEmpty)
-      .map(l => if (l.contains(':')) l.substring(l.indexOf(':') + 1) else l)
-      .map(f => s"$path/$f")
+      .map { l =>
+        val i = l.indexOf(':')
+        if (i > 0 && l.startsWith("e")) (l.substring(1, i).toLong, l.substring(i + 1))
+        else (0L, l)
+      }
+      .filter { case (ep, _) => asOfEpoch.forall(ep <= _) }
+      .map { case (_, f) => s"$path/$f" }
 }
 
 case class NdjsonCommit(fileName: String) extends WriterCommitMessage

@@ -461,6 +461,43 @@ object Streams {
       .orderBy("g")
   }
 
+  /** Snapshot (time-travel) reads off the streaming sink's epoch-tagged
+    * manifest: the append-only `e<epoch>:file` log doubles as a snapshot
+    * history, so "the table as of micro-batch 1" is a consistent readable
+    * state long after later epochs landed — the table-format time-travel
+    * contract, demonstrated end-to-end on the custom source → custom sink
+    * path. The oracle pins both snapshots: epoch ≤ 1 sees exactly the
+    * first two admitted ranges, latest sees the whole relation. */
+  val sinkTimeTravel: Q = (s, _) => {
+    val dir = scratchDir(s, "dsv2_time_travel")
+    val chk = scratchDir(s, "dsv2_time_travel_chk")
+    deleteRec(Paths.get(dir))
+    deleteRec(Paths.get(chk))
+    val stream = s.readStream.format("graft.sources.SeqSourceProvider")
+      .option("rows", "8000").option("parts", "4")
+      .option("batchRows", "2000").load()
+    val query = stream.writeStream
+      .format("graft.sources.NdjsonSinkProvider")
+      .option("path", dir)
+      .option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    def snap(files: Seq[String], label: String) =
+      s.read.schema(schema).json(files: _*)
+        .groupBy((col("id") % 3).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+        .withColumn("snap", lit(label))
+    snap(graft.sources.NdjsonManifest.committedFiles(dir, Some(1L)), "epoch1")
+      .unionByName(
+        snap(graft.sources.NdjsonManifest.committedFiles(dir, None), "latest"))
+      .select(col("snap"), col("g"), col("n"), col("v_sum"))
+      .orderBy("snap", "g")
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -556,7 +593,8 @@ object Streams {
     "ext41_stream_stream_join" -> streamStreamJoin,
     "ext42_stream_update_mode" -> streamUpdateMode,
     "ext44_dsv2_stream_source" -> dsv2StreamSource,
-    "ext46_stream_custom_sink" -> streamCustomSink)
+    "ext46_stream_custom_sink" -> streamCustomSink,
+    "ext51_sink_time_travel" -> sinkTimeTravel)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -601,6 +639,23 @@ object Streams {
         |  FROM range(8000) r)
         |SELECT id % 7 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    // snapshot as-of epoch 1 = the first two admitted 2000-row ranges;
+    // latest = the whole relation — both consistent, from one manifest
+    "ext51_sink_time_travel" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(8000) r),
+        |s1 AS (
+        |  SELECT 'epoch1' AS snap, id % 3 AS g, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS v_sum
+        |  FROM t WHERE id < 4000 GROUP BY 2),
+        |s2 AS (
+        |  SELECT 'latest' AS snap, id % 3 AS g, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS v_sum
+        |  FROM t GROUP BY 2)
+        |SELECT snap, g, n, v_sum FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY snap, g""".stripMargin,
     // update mode = changelog: batch-0 partial counts for every key,
     // then batch-1 FINAL counts only for keys with second-half rows
     "ext42_stream_update_mode" ->

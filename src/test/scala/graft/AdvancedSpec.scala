@@ -85,6 +85,37 @@ class AdvancedSpec extends SparkTestBase {
     assert(r.getInt(4) === toks.count(_.length >= 6))
   }
 
+  test("SQL pipe chain equals the classic formulation") {
+    val pipe = Advanced.sqlPipe(spark, sf).collect()
+    val classic = graft.ops.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), graft.ops.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority").collect()
+    assert(pipe.map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n"),
+      r.getAs[Double]("total"))).toSeq ===
+      classic.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
+  test("pagerank: ranks are a probability-ish distribution, hubs rank higher") {
+    val rows = graft.ext.GraphRank.pageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ranks.values.foreach(p => assert(p > 0.0 && p < 1.0))
+    // teleport contributes exactly 0.15; dangling nodes (common in the
+    // sparse sf0.001 graph) lose their mass in this defined variant, so
+    // the bound is [teleport, 1]
+    val total = ranks.values.sum
+    assert(total >= 0.15 - 1e-9 && total < 1.0 + 1e-9, s"mass $total")
+    // a node with no in-edges gets exactly the teleport floor
+    val edges = graft.ops.table(spark, sf, "events")
+      .select((col("user_id") % 50).as("src"), (col("event_id") % 50).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.length
+    val noIn = ranks.keySet -- edges.map(_._2).toSet
+    noIn.foreach(v => assert(math.abs(ranks(v) - 0.15 / n) < 1e-6))
+  }
+
   test("gap fill: every (cust, day) cell present; fill carries last observation") {
     val rows = Advanced.gapFill(spark, sf).collect()
     val custs = rows.map(_.getLong(0)).distinct

@@ -157,4 +157,36 @@ class SourcesSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, firstFile)),
       "abort of a replayed epoch deleted published data")
   }
+
+  test("sink-required distribution: files come out clustered and sorted") {
+    assert(ops.SemiStructured.q74SinkDistribution(spark, sf).collect().length === 10)
+    val dir = ops.scratchDir(spark, "dsv2_sink_clustered")
+    val files = graft.sources.NdjsonManifest.committedFiles(dir)
+    assert(files.length === 5, files) // requiredNumPartitions honored
+    val gRe = """"g":(\d+)""".r
+    val idRe = """"id":(\d+)""".r
+    val perFileGs = files.map { f =>
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+      val ids = lines.map(l => idRe.findFirstMatchIn(l).get.group(1).toLong)
+      assert(ids === ids.sorted, s"ids not sorted within $f") // sortBy honored
+      lines.map(l => gRe.findFirstMatchIn(l).get.group(1).toLong).toSet
+    }
+    // clustering: every g lives wholly in ONE file (sets are disjoint)
+    val all = perFileGs.flatten
+    assert(all.size === all.toSet.size, s"a cluster key spans files: $perFileGs")
+  }
+
+  test("time travel: epoch snapshots are consistent prefixes of the manifest") {
+    streaming.Streams.sinkTimeTravel(spark, sf).collect() // drives the stream
+    val dir = ops.scratchDir(spark, "dsv2_time_travel")
+    val snap0 = graft.sources.NdjsonManifest.committedFiles(dir, Some(0L))
+    val snap1 = graft.sources.NdjsonManifest.committedFiles(dir, Some(1L))
+    val all = graft.sources.NdjsonManifest.committedFiles(dir, None)
+    assert(snap0.nonEmpty && snap0.toSet.subsetOf(snap1.toSet))
+    assert(snap1.toSet.subsetOf(all.toSet) && snap1.length < all.length)
+    val s0 = spark.read.schema(graft.sources.SeqSource.schema).json(snap0: _*)
+    assert(s0.count() === 2000) // exactly the first admitted range
+    assert(s0.agg(max(col("id"))).head().getLong(0) === 1999L)
+  }
 }
