@@ -166,12 +166,39 @@ object Multimodal {
       .orderBy("hamming", "a_id", "b_id")
   }
 
+  /** Training-batch assembly — the collate step that turns curated
+    * (media, caption) rows into fixed-size padded batches: items are
+    * keyed to a deterministic batch (`doc_id DIV 8`), and each batch's
+    * members meet in ONE `mapGroups` call that computes the padded
+    * tensor shape (max caption length × items), padding waste, and
+    * payload bytes — exactly where a real collator would build the
+    * tensors. Typed groupByKey → one shuffle on batch_id, per-batch
+    * state only; the oracle restates the shape arithmetic relationally. */
+  val batchAssembly: Q = (s, d) => {
+    import s.implicits._
+    val items = table(s, d, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).as("n_tokens"),
+        length(col("text")).as("n_chars"))
+      .as[(Long, Int, Int)]
+    items.groupByKey(_._1 / 8).mapGroups { (bid, it) =>
+      val xs = it.toArray.sortBy(_._1)
+      val maxLen = xs.map(_._2).max
+      val total = xs.map(_._2.toLong).sum
+      (bid, xs.length, maxLen, total,
+        xs.length.toLong * maxLen - total, xs.map(_._3.toLong).sum)
+    }.toDF("batch_id", "n_items", "max_len", "total_tokens",
+      "pad_tokens", "total_chars")
+      .orderBy("batch_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext40_multimodal_phash" -> phashNearDup,
     "ext12_multimodal_decode" -> mediaDecode,
     "ext13_multimodal_frames" -> frameSample,
     "ext18_multimodal_resize" -> resize,
-    "ext27_multimodal_audio_windows" -> audioWindows)
+    "ext27_multimodal_audio_windows" -> audioWindows,
+    "ext54_multimodal_batch_assembly" -> batchAssembly)
 
   // The oracle re-states the stub arithmetic over the source text (ASCII
   // fixture: chars == bytes; strlen() counts bytes in DuckDB).
@@ -204,6 +231,20 @@ object Multimodal {
         |SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
         |FROM pairs WHERE bit_count(xor(pa, pb)) <= 7
         |ORDER BY hamming, a_id, b_id""".stripMargin,
+    "ext54_multimodal_batch_assembly" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 8 AS batch_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+        |      AS n_tokens,
+        |    CAST(length(text) AS INT) AS n_chars
+        |  FROM documents)
+        |SELECT batch_id,
+        |  CAST(COUNT(*) AS INT) AS n_items,
+        |  CAST(MAX(n_tokens) AS INT) AS max_len,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1 ORDER BY batch_id""".stripMargin,
     "ext12_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS n_bytes,

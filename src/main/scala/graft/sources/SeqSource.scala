@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -317,9 +317,14 @@ case class SeqOffset(pos: Long) extends Offset {
 }
 
 class SeqMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
-    required: StructType) extends MicroBatchStream {
+    required: StructType) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
   private var available = 0L
+  // set by prepareForTriggerAvailableNow: the end-of-data fixed at query
+  // start — Trigger.AvailableNow drains up to here in rate-limited
+  // batches, then the query terminates on its own
+  private var availableNowTarget: Option[Long] = None
 
   override def initialOffset(): Offset = SeqOffset(0L)
 
@@ -327,6 +332,30 @@ class SeqMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
     available = math.min(rows, available + batchRows)
     SeqOffset(available)
   }
+
+  /** Trigger.AvailableNow contract (`SupportsTriggerAvailableNow` —
+    * admission control + a fixed end): the engine asks the source to pin
+    * "all data as of now", then drives rate-limited batches
+    * (`latestOffset(start, limit)`) until `reportLatestOffset` is
+    * reached and shuts the query down — the run-to-completion batch mode
+    * every backfill pipeline wants from a streaming source. */
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(rows)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = availableNowTarget.getOrElse(rows)
+    val step = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => batchRows
+    }
+    available = math.min(cap, start.asInstanceOf[SeqOffset].pos + step)
+    SeqOffset(available)
+  }
+
+  override def reportLatestOffset(): Offset =
+    SeqOffset(availableNowTarget.getOrElse(available))
 
   override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
 

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.ops.{dsum, events, scratchDir, sessionToken, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
@@ -461,6 +461,33 @@ object Streams {
       .orderBy("g")
   }
 
+  /** Trigger.AvailableNow over the custom source
+    * (`SupportsTriggerAvailableNow`): the source pins end-of-data at
+    * query start, the engine drains it in rate-limited micro-batches
+    * (admission control via `ReadLimit.maxRows`), and the query
+    * TERMINATES ON ITS OWN — no processAllAvailable/stop choreography.
+    * This is the backfill mode: batch-complete semantics with streaming
+    * checkpoints, the standard way to run a catch-up of a 100 TB backlog
+    * with bounded per-batch memory. */
+  val availableNowDrain: Q = (s, _) => {
+    val stream = s.readStream.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("parts", "4")
+      .option("batchRows", "5000").load()
+    val agg = stream
+      .groupBy((col("id") % 4).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+    val sinkName = s"graft_stream_anow_${sessionToken(s)}"
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      val done = query.awaitTermination(120000)
+      require(done, "AvailableNow query did not self-terminate")
+    } finally if (query.isActive) query.stop()
+    s.table(sinkName).select("g", "n", "v_sum").orderBy("g")
+  }
+
   /** Snapshot (time-travel) reads off the streaming sink's epoch-tagged
     * manifest: the append-only `e<epoch>:file` log doubles as a snapshot
     * history, so "the table as of micro-batch 1" is a consistent readable
@@ -594,7 +621,8 @@ object Streams {
     "ext42_stream_update_mode" -> streamUpdateMode,
     "ext44_dsv2_stream_source" -> dsv2StreamSource,
     "ext46_stream_custom_sink" -> streamCustomSink,
-    "ext51_sink_time_travel" -> sinkTimeTravel)
+    "ext51_sink_time_travel" -> sinkTimeTravel,
+    "ext53_trigger_available_now" -> availableNowDrain)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -638,6 +666,13 @@ object Streams {
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
         |  FROM range(8000) r)
         |SELECT id % 7 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    // rate-limited AvailableNow drain must equal the batch aggregate
+    "ext53_trigger_available_now" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(20000) r)
+        |SELECT id % 4 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
     // snapshot as-of epoch 1 = the first two admitted 2000-row ranges;
     // latest = the whole relation — both consistent, from one manifest

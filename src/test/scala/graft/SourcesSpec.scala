@@ -177,6 +177,14 @@ class SourcesSpec extends SparkTestBase {
     assert(all.size === all.toSet.size, s"a cluster key spans files: $perFileGs")
   }
 
+  test("Trigger.AvailableNow drains the source in rate-limited batches and stops") {
+    val rows = streaming.Streams.availableNowDrain(spark, sf).collect()
+    val expect = (0L until 20000L).map(id => (id % 4, (id * 2654435761L) % 1000L))
+      .groupBy(_._1).map { case (g, xs) => g -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect)
+  }
+
   test("time travel: epoch snapshots are consistent prefixes of the manifest") {
     streaming.Streams.sinkTimeTravel(spark, sf).collect() // drives the stream
     val dir = ops.scratchDir(spark, "dsv2_time_travel")

@@ -56,6 +56,19 @@ class TrainingPrepSpec extends SparkTestBase {
     }
   }
 
+  test("batch assembly: padded shape accounts for every token") {
+    val rows = graft.ext.Multimodal.batchAssembly(spark, sf).collect()
+    val total = graft.ops.table(spark, sf, "documents").count()
+    assert(rows.map(_.getInt(1).toLong).sum === total) // every doc in a batch
+    rows.foreach { r =>
+      val (nItems, maxLen, totalToks, pad) =
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))
+      assert(nItems <= 8)
+      assert(pad === nItems.toLong * maxLen - totalToks)
+      assert(pad >= 0L && totalToks <= nItems.toLong * maxLen)
+    }
+  }
+
   test("hash split partitions every document exactly once, ~13/2/1 ratio") {
     val rows = TrainingPrep.hashSplit(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
