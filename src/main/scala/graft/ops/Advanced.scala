@@ -296,7 +296,63 @@ object Advanced {
         ||> ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Arg-max/arg-min aggregates (`max_by`/`min_by` ⇔ DuckDB
+    * `arg_max`/`arg_min`): the "row attribute at the extremum" shape that
+    * otherwise needs a window + filter; one partial-aggregable pass, no
+    * per-group sort. The ordering key is a fixed-width string packing
+    * (quantity, orderkey, linenumber) — unique per row, so ties are
+    * impossible and both engines pick the same row; lexicographic order
+    * on the padded key equals numeric order on the tuple. */
+  val argExtremes: Q = (s, d) => {
+    table(s, d, "lineitem").createOrReplaceTempView("graft_li_argx")
+    s.sql(
+      """SELECT l_returnflag,
+        |  max_by(l_orderkey, lpad(CAST(CAST(l_quantity AS INT) AS STRING), 3, '0')
+        |    || lpad(CAST(l_orderkey AS STRING), 12, '0')
+        |    || lpad(CAST(l_linenumber AS STRING), 2, '0')) AS max_qty_order,
+        |  min_by(l_orderkey, lpad(CAST(CAST(l_quantity AS INT) AS STRING), 3, '0')
+        |    || lpad(CAST(l_orderkey AS STRING), 12, '0')
+        |    || lpad(CAST(l_linenumber AS STRING), 2, '0')) AS min_qty_order,
+        |  MAX(l_quantity) AS max_qty, MIN(l_quantity) AS min_qty
+        |FROM graft_li_argx
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Schema-evolution union (`unionByName` with `allowMissingColumns`):
+    * two snapshots of a table with drifted schemas (a dropped column, an
+    * added column) union by NAME, null-filling the gaps — the
+    * heterogeneous-batch append every long-lived warehouse needs. The
+    * oracle states the null-padded UNION ALL. */
+  val unionEvolved: Q = (s, d) => {
+    val v1 = table(s, d, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val v2 = table(s, d, "customer")
+      .filter(col("c_custkey") > 200 && col("c_custkey") <= 400)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("c_custkey")
+  }
+
+  /** Aggregate FILTER clause — per-aggregate predicates in one pass over
+    * the data (the tidy form of q16's CASE-WHEN conditional aggregation);
+    * identical syntax in DuckDB. */
+  val aggFilterClause: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_filt")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    FILTER (WHERE o_totalprice > 100000) AS DECIMAL(38,4)) AS DOUBLE) AS big_total
+        |FROM graft_ord_filt
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q76_arg_extremes" -> argExtremes,
+    "q77_union_evolved" -> unionEvolved,
+    "q78_agg_filter" -> aggFilterClause,
     "q75_sql_pipe" -> sqlPipe,
     "q69_group_by_all" -> groupByAll,
     "q70_profit_rollup" -> profitByNationYear,
@@ -312,6 +368,33 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q76_arg_extremes" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 3, '0')
+        |    || lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+        |    || lpad(CAST(l_linenumber AS VARCHAR), 2, '0')) AS max_qty_order,
+        |  arg_min(l_orderkey, lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 3, '0')
+        |    || lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+        |    || lpad(CAST(l_linenumber AS VARCHAR), 2, '0')) AS min_qty_order,
+        |  MAX(l_quantity) AS max_qty, MIN(l_quantity) AS min_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q77_union_evolved" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer WHERE c_custkey <= 200
+        |UNION ALL
+        |SELECT c_custkey, c_name, CAST(NULL AS DOUBLE), c_mktsegment
+        |FROM customer WHERE c_custkey > 200 AND c_custkey <= 400
+        |ORDER BY c_custkey""".stripMargin,
+    "q78_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    FILTER (WHERE o_totalprice > 100000) AS DECIMAL(38,4)) AS DOUBLE) AS big_total
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q75_sql_pipe" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total

@@ -116,6 +116,30 @@ class AdvancedSpec extends SparkTestBase {
     noIn.foreach(v => assert(math.abs(ranks(v) - 0.15 / n) < 1e-6))
   }
 
+  test("arg extremes pick the row the window formulation picks") {
+    val viaAgg = Advanced.argExtremes(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = graft.ops.table(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val viaSort = rows.groupBy(_._1).map { case (f, xs) =>
+      val sorted = xs.sortBy(x => (x._4, x._2, x._3.toLong))
+      f -> ((sorted.last._2, sorted.head._2))
+    }
+    assert(viaAgg === viaSort)
+  }
+
+  test("union of evolved schemas null-fills missing columns by name") {
+    val rows = Advanced.unionEvolved(spark, sf).collect()
+    assert(rows.map(_.schema.fieldNames.toSeq).head ===
+      Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+    rows.foreach { r =>
+      if (r.getLong(0) <= 200) assert(!r.isNullAt(2) && r.isNullAt(3))
+      else assert(r.isNullAt(2) && !r.isNullAt(3))
+    }
+  }
+
   test("gap fill: every (cust, day) cell present; fill carries last observation") {
     val rows = Advanced.gapFill(spark, sf).collect()
     val custs = rows.map(_.getLong(0)).distinct
