@@ -349,7 +349,68 @@ object Advanced {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Calendar arithmetic suite: month truncation, month addition,
+    * end-of-month, ISO weekday, quarter, and integer month spans — the
+    * date-dimension derivations (reference `transformation.py:89-137`)
+    * beyond q17/q22's day-level scalars. All emitted as ISO strings/ints
+    * (never raw DATE — the cross-engine rule). */
+  val dateArithmetic: Q = (s, d) =>
+    table(s, d, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("dt"))
+      .select(col("o_orderkey"),
+        date_format(col("dt"), "yyyy-MM-dd").as("day"),
+        date_format(date_trunc("MONTH", col("dt")), "yyyy-MM-dd").as("month_start"),
+        date_format(add_months(col("dt"), 3), "yyyy-MM-dd").as("plus_3m"),
+        date_format(last_day(col("dt")), "yyyy-MM-dd").as("month_end"),
+        (expr("weekday(dt)") + 1).as("iso_dow"),
+        quarter(col("dt")).as("qtr"),
+        ((lit(1998) - year(col("dt"))) * 12 + (lit(1) - month(col("dt"))))
+          .as("months_to_1998"))
+      .orderBy("o_orderkey")
+
+  /** Null-safe equality join (`<=>` ⇔ `IS NOT DISTINCT FROM`): NULL keys
+    * MATCH each other — the dedup/merge semantics SQL equality can't
+    * express (a plain join drops every null-keyed row; q68's as-of and
+    * SMJ treat them unmatchable). Still a hash join: null-safe equality
+    * is hashable, so no nested loop appears (spec asserts). */
+  val nullSafeJoin: Q = (s, d) => {
+    def keyed = table(s, d, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_custkey") % 5).as("k"))
+    val a = keyed.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey").as("a_key"), col("k").as("ak"))
+    val b = keyed.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("b_key"), col("k").as("bk"))
+    a.join(b, col("ak") <=> col("bk"))
+      .groupBy(coalesce(col("ak"), lit(-1L)).as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_key")).as("n_left"),
+        countDistinct(col("b_key")).as("n_right"))
+      .orderBy("k")
+  }
+
+  /** SQL join hints: `/*+ BROADCAST(d) */` forces the replicate-the-small-
+    * side plan, `/*+ MERGE(o2) */` forces sort-merge where stats would
+    * broadcast — the operational escape hatch when the optimizer's size
+    * estimates are wrong mid-pipeline (plan shapes asserted in spec;
+    * results are hint-invariant, which is what the oracle states). */
+  val joinHints: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_hint")
+    table(s, d, "nation").createOrReplaceTempView("graft_nat_hint")
+    s.sql(
+      """SELECT /*+ BROADCAST(d) */ d.n_name, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM graft_ord_hint o JOIN graft_nat_hint d
+        |  ON o.o_custkey % 25 = d.n_nationkey
+        |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q79_date_arithmetic" -> dateArithmetic,
+    "q80_nullsafe_join" -> nullSafeJoin,
+    "q81_join_hints" -> joinHints,
     "q76_arg_extremes" -> argExtremes,
     "q77_union_evolved" -> unionEvolved,
     "q78_agg_filter" -> aggFilterClause,
@@ -368,6 +429,33 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q79_date_arithmetic" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+        |  CAST((1998 - year(CAST(o_orderdate AS DATE))) * 12
+        |    + (1 - month(CAST(o_orderdate AS DATE))) AS INT) AS months_to_1998
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+    "q80_nullsafe_join" ->
+      """WITH keyed AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 5 END AS k
+        |  FROM customer),
+        |a AS (SELECT c_custkey AS a_key, k AS ak FROM keyed WHERE c_custkey % 2 = 1),
+        |b AS (SELECT c_custkey AS b_key, k AS bk FROM keyed WHERE c_custkey % 2 = 0)
+        |SELECT COALESCE(ak, -1) AS k, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT a_key) AS n_left, COUNT(DISTINCT b_key) AS n_right
+        |FROM a JOIN b ON ak IS NOT DISTINCT FROM bk
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+    "q81_join_hints" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders JOIN nation ON o_custkey % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q76_arg_extremes" ->
       """SELECT l_returnflag,
         |  arg_max(l_orderkey, lpad(CAST(CAST(l_quantity AS INT) AS VARCHAR), 3, '0')

@@ -488,6 +488,31 @@ object Streams {
     s.table(sinkName).select("g", "n", "v_sum").orderBy("g")
   }
 
+  /** Stream-static join — the enrichment shape every event pipeline runs:
+    * each micro-batch of the unbounded side joins the bounded dimension
+    * (broadcast: replicated once per executor, re-used across batches,
+    * NO state store — only the downstream aggregate keeps state). The
+    * complete-mode result must equal the batch join, which is what the
+    * oracle states. At 100 TB/day this is Kafka ⋈ dim-table; the static
+    * side refreshes by plan re-resolution, not by streaming it. */
+  val streamStaticJoin: Q = (s, d) => {
+    val stream = s.readStream.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("parts", "4")
+      .option("batchRows", "5000").load()
+    val dim = graft.ops.table(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    val agg = stream
+      .join(broadcast(dim), col("id") % 25 === col("nk"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
+    val sinkName = s"graft_stream_static_${sessionToken(s)}"
+    val query = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(sinkName).start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(sinkName).select("n_name", "n", "v_sum").orderBy("n_name")
+  }
+
   /** Snapshot (time-travel) reads off the streaming sink's epoch-tagged
     * manifest: the append-only `e<epoch>:file` log doubles as a snapshot
     * history, so "the table as of micro-batch 1" is a consistent readable
@@ -622,7 +647,8 @@ object Streams {
     "ext44_dsv2_stream_source" -> dsv2StreamSource,
     "ext46_stream_custom_sink" -> streamCustomSink,
     "ext51_sink_time_travel" -> sinkTimeTravel,
-    "ext53_trigger_available_now" -> availableNowDrain)
+    "ext53_trigger_available_now" -> availableNowDrain,
+    "ext55_stream_static_join" -> streamStaticJoin)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -667,6 +693,14 @@ object Streams {
         |  FROM range(8000) r)
         |SELECT id % 7 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    // per-batch broadcast enrichment must equal the one-shot batch join
+    "ext55_stream_static_join" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(20000) r)
+        |SELECT n_name, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t JOIN nation ON id % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // rate-limited AvailableNow drain must equal the batch aggregate
     "ext53_trigger_available_now" ->
       """WITH t AS (

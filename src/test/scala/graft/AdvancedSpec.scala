@@ -140,6 +140,35 @@ class AdvancedSpec extends SparkTestBase {
     }
   }
 
+  test("null-safe join matches null keys to each other, still a hash join") {
+    val q = Advanced.nullSafeJoin(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"null-safe equality fell back to a nested loop:\n$plan")
+    val rows = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the null bucket (k = -1): odd-multiples-of-7 x even-multiples-of-7
+    val custs = graft.ops.table(spark, sf, "customer")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val leftNulls = custs.count(k => k % 2 == 1 && k % 7 == 0).toLong
+    val rightNulls = custs.count(k => k % 2 == 0 && k % 7 == 0).toLong
+    assert(rows(-1L) === leftNulls * rightNulls)
+  }
+
+  test("join hints force the declared physical strategies") {
+    val broadcastPlan = Advanced.joinHints(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(broadcastPlan.contains("BroadcastHashJoin"), broadcastPlan)
+    // MERGE hint on the same join forces sort-merge despite tiny stats
+    graft.ops.table(spark, sf, "orders").createOrReplaceTempView("graft_ord_hint2")
+    graft.ops.table(spark, sf, "nation").createOrReplaceTempView("graft_nat_hint2")
+    val merged = spark.sql(
+      """SELECT /*+ MERGE(d) */ d.n_name, COUNT(*) AS n
+        |FROM graft_ord_hint2 o JOIN graft_nat_hint2 d
+        |  ON o.o_custkey % 25 = d.n_nationkey
+        |GROUP BY d.n_name""".stripMargin)
+    assert(merged.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+  }
+
   test("gap fill: every (cust, day) cell present; fill carries last observation") {
     val rows = Advanced.gapFill(spark, sf).collect()
     val custs = rows.map(_.getLong(0)).distinct
