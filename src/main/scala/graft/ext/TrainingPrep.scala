@@ -110,13 +110,85 @@ object TrainingPrep {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("split")
 
+  /** The assembled training-data pipeline — every stage a verified
+    * primitive, composed into ONE lazy plan: quality gate (ext09's
+    * thresholds) → exact near-dup removal (ext01's md5 keep-min) → hash
+    * split (ext50's md5 nibble) → per-(split, source) sequence-packing
+    * stats (ext48's budget bins). Catalyst sees the whole chain, so
+    * column pruning and predicate pushdown cross stage boundaries — the
+    * gate's filter reaches the scan, and only the surviving rows pay the
+    * dedup shuffle. Two keyed exchanges total (dedup hash, packing
+    * window); everything else is map-side. This is the end-to-end shape a
+    * 100 TB corpus actually runs nightly. */
+  val fullPipeline: Q = (s, d) => {
+    val budget = 512L
+    val scored = table(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("n_chars"),
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long").as("n_tokens"),
+        size(expr("filter(split(lower(text), ' '), t -> t in ('the', 'a', 'of', 'and', 'is'))"))
+          .as("en_hits"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    val kept = scored
+      .filter(col("n_tokens") >= 10 && col("n_chars") >= 50 && col("en_hits") >= 1)
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("doc_id") === col("keeper"))
+    val split = kept.withColumn("nib", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("nib") < "d", "train").when(col("nib") < "f", "val")
+          .otherwise("test"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    split
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("bin")).as("n_bins"))
+      .orderBy("split", "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext56_full_training_pipeline" -> fullPipeline,
     "ext47_caption_pairs" -> captionPairs,
     "ext48_sequence_packing" -> sequencePacking,
     "ext49_group_cap" -> groupCap,
     "ext50_hash_split" -> hashSplit)
 
   val oracleSql: Map[String, String] = Map(
+    "ext56_full_training_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    length(text) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_hits,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper
+        |    FROM scored
+        |    WHERE n_tokens >= 10 AND n_chars >= 50 AND en_hits >= 1)
+        |  WHERE doc_id = keeper),
+        |labeled AS (
+        |  SELECT *,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM kept),
+        |binned AS (
+        |  SELECT split, source, n_tokens,
+        |    (SUM(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS bin
+        |  FROM labeled)
+        |SELECT split, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT bin) AS n_bins
+        |FROM binned GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
     "ext47_caption_pairs" ->
       """WITH cnt AS (SELECT COUNT(*) AS cnt FROM embeddings),
         |pos AS (

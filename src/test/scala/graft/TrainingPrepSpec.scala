@@ -69,6 +69,26 @@ class TrainingPrepSpec extends SparkTestBase {
     }
   }
 
+  test("full pipeline: gate and dedup only shrink; bins cover kept tokens") {
+    val rows = TrainingPrep.fullPipeline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = graft.ops.table(spark, sf, "documents").count()
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept <= total)
+    rows.foreach { r =>
+      val (nDocs, bins) = (r.getLong(2), r.getLong(4))
+      // contiguous packing: at least one bin, never more than one per doc
+      // (oversized docs SKIP bin indices, so no tight lower bound exists)
+      assert(bins >= 1 && bins <= nDocs, r.toString)
+    }
+    // the gate's filter must reach the parquet scan (pushdown across the
+    // composed stages) — at minimum the scan must not read `lang`
+    val scan = TrainingPrep.fullPipeline(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("lang"),
+      "unpruned scan in composed pipeline")
+  }
+
   test("hash split partitions every document exactly once, ~13/2/1 ratio") {
     val rows = TrainingPrep.hashSplit(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
