@@ -130,29 +130,22 @@ object Dedup {
   /** SimHash: 32-bit fingerprint from distinct-token hashes; candidate
     * pairs from 8-bit chunk buckets, verified by hamming distance <= 2. */
   val dedupSimhash: Q = (s, d) => {
-    val toks = table(s, d, "documents")
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .filter(col("tok") =!= "").distinct()
-    // hash each DISTINCT token once and broadcast the ±1 sign table back.
-    // Unlike shingles (see minhash above), the WORD vocabulary saturates
-    // with corpus size (Heaps' law: ~millions of types at 100 TB, a few
-    // hundred MB of signs) — so the broadcast is bounded; if a corpus
-    // breaks that assumption, compute the 32 signs inline like minhash
-    // does. Then take all 32 bit-balances in ONE aggregation pass —
-    // partial agg ships one 32-column row per doc instead of
-    // |tokens| x 32 rows; cached because the self-join consumes it twice
-    val signCols = (0 to 31).map(j =>
-      when(substring(md5(concat(col("tok"), lit(s"#$j"))), 1, 1) >= "8", 1)
-        .otherwise(-1).as(s"s$j"))
-    val tokSigns = toks.select("tok").distinct()
-      .select(col("tok") +: signCols: _*)
-    val balCols = (0 to 31).map(j => sum(col(s"s$j")).as(s"bal$j"))
-    val fpExpr = (0 to 31)
-      .map(j => s"IF(bal$j > 0, CAST(shiftleft(CAST(1 AS BIGINT), $j) AS BIGINT), CAST(0 AS BIGINT))")
-      .mkString(" + ")
-    val fp = toks.join(broadcast(tokSigns), "tok")
-      .groupBy("doc_id").agg(balCols.head, balCols.tail: _*)
-      .select(col("doc_id"), expr(fpExpr).as("simhash")).persist()
+    // one-pass native kernel (graft.functions.SimHash64): the per-doc
+    // distinct-token array is fingerprinted inside whole-stage codegen —
+    // no explode, no distinct shuffle, no sign-table broadcast, no
+    // 32-column aggregation exchange (the relational formulation this
+    // replaced is restated by the oracle and differentially checked in
+    // NativeExprSpec). The empty-token filter preserves the original
+    // semantics: docs with no tokens produced no aggregate row there, so
+    // they must not enter the pair search here either.
+    graft.functions.SimHash64.register(s)
+    val fp = table(s, d, "documents")
+      .select(col("doc_id"),
+        expr("array_distinct(filter(split(lower(trim(text)), ' '), t -> t <> ''))")
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
+      .persist()
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk_val", expr("shiftright(simhash, c * 8) & 255"))

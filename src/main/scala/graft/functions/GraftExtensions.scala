@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash.build(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash64.build(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_asof"),
       new ExpressionInfo(classOf[graft.plans.AsOfMarker].getName, "graft_asof"),
       (exprs: Seq[Expression]) => graft.plans.AsOfMarker.build(exprs)))

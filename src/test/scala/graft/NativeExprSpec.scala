@@ -103,6 +103,44 @@ class NativeExprSpec extends SparkTestBase {
       s"graft_sqdist Project not inside a codegen span:\n$plan")
   }
 
+  test("graft_simhash equals the relational sign-table formulation bit for bit") {
+    graft.functions.SimHash64.register(spark)
+    val toks = ops.table(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val signCols = (0 to 31).map(j =>
+      when(substring(md5(concat(col("tok"), lit(s"#$j"))), 1, 1) >= "8", 1)
+        .otherwise(-1).as(s"s$j"))
+    val balCols = (0 to 31).map(j => sum(col(s"s$j")).as(s"bal$j"))
+    val fpExpr = (0 to 31)
+      .map(j => s"IF(bal$j > 0, CAST(shiftleft(CAST(1 AS BIGINT), $j) AS BIGINT), CAST(0 AS BIGINT))")
+      .mkString(" + ")
+    val relational = toks.select(col("doc_id") +: col("tok") +: signCols: _*)
+      .groupBy("doc_id").agg(balCols.head, balCols.tail: _*)
+      .select(col("doc_id"), expr(fpExpr).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = ops.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        expr("array_distinct(filter(split(lower(trim(text)), ' '), t -> t <> ''))").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr("graft_simhash(toks)").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === relational, "native simhash diverged from sign-table formulation")
+  }
+
+  test("graft_simhash stays inside whole-stage codegen; empty array -> 0") {
+    graft.functions.SimHash64.register(spark)
+    val plan = ops.table(spark, sf, "documents")
+      .select(expr("graft_simhash(split(text, ' '))").as("h"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_simhash""".r.findFirstIn(plan).isDefined,
+      s"graft_simhash Project not inside a codegen span:\n$plan")
+    import spark.implicits._
+    val r = Seq(Seq.empty[String]).toDF("t")
+      .select(expr("graft_simhash(t)")).collect()
+    assert(r(0).getLong(0) === 0L)
+  }
+
   test("graft_rolling_hash rejects non-string input at analysis time") {
     graft.functions.RollingHash.register(spark)
     import spark.implicits._
