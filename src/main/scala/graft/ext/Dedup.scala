@@ -139,12 +139,20 @@ object Dedup {
     // semantics: docs with no tokens produced no aggregate row there, so
     // they must not enter the pair search here either.
     graft.functions.SimHash64.register(s)
+    // the token-presence gate runs on the RAW text (trim non-empty ⇔ at
+    // least one token), not on size(toks): a filter on the derived array
+    // would make CollapseProject inline — and so evaluate — the
+    // array_distinct build twice per row
+    // repartition first: the fixture corpus is one small parquet split, so
+    // without it the whole hashing pass runs on one core (at real scale
+    // the scan has thousands of splits and this shuffle is unnecessary —
+    // it moves only the raw text, ~300 B/doc, and buys full parallelism)
     val fp = table(s, d, "documents")
+      .filter(trim(col("text")) =!= "")
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        expr("array_distinct(filter(split(lower(trim(text)), ' '), t -> t <> ''))")
-          .as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), expr("graft_simhash(toks)").as("simhash"))
+        expr("graft_simhash(array_distinct(filter(split(lower(trim(text)), ' '), t -> t <> '')))")
+          .as("simhash"))
       .persist()
     val chunks = fp.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("c"))

@@ -331,6 +331,34 @@ object SemiStructured {
       .orderBy("g")
   }
 
+  /** Storage-partitioned join (`SupportsReportPartitioning` +
+    * `HasPartitionKey` + `spark.sql.sources.v2.bucketing.enabled`): both
+    * sides report `KeyGroupedPartitioning([b], 8)` with the bucket value
+    * on every split, and Spark plans the join with NO exchange on either
+    * side — bucket i zips with bucket i straight off the scan (asserted
+    * in SourcesSpec). This is the co-located bucket join as a DSv2
+    * contract: at 100 TB the nightly fact-fact join moves zero rows over
+    * the network. */
+  val q82StoragePartitionedJoin: Q = (s, _) => {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // join keys (id, b) are a SUPERSET of the partition keys (b); the
+    // strict co-partition check wants them identical — the subset check
+    // (partition-key positions align on both sides) is what SPJ needs
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    def src(rows: Long) = s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", rows.toString).option("buckets", "8").load()
+    // both sides above the broadcast threshold (reported stats ≈ 19/13 MB)
+    // so the planner faces the shuffle-vs-storage-partitioned choice the
+    // feature exists for — and takes the exchange-free zip
+    val a = src(1200000).select(col("id"), col("b"), col("v").as("va"))
+    val c = src(800000).select(col("id").as("id2"), col("b").as("b2"),
+      col("v").as("vb"))
+    a.join(c, col("id") === col("id2") && col("b") === col("b2"))
+      .groupBy((col("id") % 4).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("va") + col("vb")).as("v_sum"))
+      .orderBy("g")
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -414,7 +442,8 @@ object SemiStructured {
     "q66_agg_pushdown" -> q66AggPushdown,
     "q67_source_stats_join" -> q67SourceStatsJoin,
     "q68_source_runtime_filter" -> q68SourceRuntimeFilter,
-    "q74_sink_distribution" -> q74SinkDistribution)
+    "q74_sink_distribution" -> q74SinkDistribution,
+    "q82_storage_partitioned_join" -> q82StoragePartitionedJoin)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -493,6 +522,16 @@ object SemiStructured {
       """SELECT n_name, CAST(n_nationkey * 7919 AS BIGINT) AS id,
         |  CAST((n_nationkey * 7919 * 2654435761) % 1000 AS BIGINT) AS v
         |FROM nation WHERE n_regionkey < 2 ORDER BY id""".stripMargin,
+    "q82_storage_partitioned_join" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1200000) r),
+        |u AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(800000) r)
+        |SELECT id % 4 AS g, COUNT(*) AS n,
+        |  CAST(SUM(t.v + u.v) AS BIGINT) AS v_sum
+        |FROM t JOIN u USING (id) GROUP BY 1 ORDER BY g""".stripMargin,
     "q74_sink_distribution" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v,

@@ -34,20 +34,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class SeqSourceProvider extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SeqSource.schema
+    SeqSource.schemaFor(options.getInt("buckets", 0))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SeqTable(
       Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       Option(properties.get("parts")).map(_.toInt).getOrElse(4),
-      Option(properties.get("batchRows")).map(_.toLong).getOrElse(0L))
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(0L),
+      Option(properties.get("buckets")).map(_.toInt).getOrElse(0))
 }
 
 object SeqSource {
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("v", LongType, nullable = false)))
+
+  /** Bucketed layout exposes the bucket id as a real column `b = id %
+    * buckets` — the portable (Hive-partition-column) flavor of storage
+    * partitioning, resolvable without a FunctionCatalog. */
+  def schemaFor(buckets: Int): StructType =
+    if (buckets > 0) schema.add(StructField("b", LongType, nullable = false))
+    else schema
 
   def valueOf(id: Long): Long = (id * 2654435761L) % 1000L
 
@@ -61,22 +69,22 @@ object SeqSource {
     new java.util.concurrent.atomic.AtomicReference[(Long, Long, Int)](null)
 }
 
-class SeqTable(rows: Long, parts: Int, batchRows: Long)
+class SeqTable(rows: Long, parts: Int, batchRows: Long, buckets: Int = 0)
     extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
-  override def schema(): StructType = SeqSource.schema
+  override def schema(): StructType = SeqSource.schemaFor(buckets)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, parts, batchRows)
+    new SeqScanBuilder(rows, parts, batchRows, buckets)
 }
 
-class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
+class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L, buckets: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
 
-  private var required: StructType = SeqSource.schema
+  private var required: StructType = SeqSource.schemaFor(buckets)
   private var lo: Long = 0L
   private var hi: Long = rows // [lo, hi)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -99,7 +107,7 @@ class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (aggValues.isDefined) return true // idempotent re-offer
     if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty ||
-      hi <= lo) return false
+      buckets > 0 || hi <= lo) return false
     def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case n: NamedReference => n.fieldNames.toSeq == Seq("id")
@@ -159,14 +167,15 @@ class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L)
     * limit when it sits directly on the scan, but the no-filters guard
     * keeps the source safe regardless of planner behavior.) */
   override def pushLimit(limit: Int): Boolean =
-    if (pushed.isEmpty && lo == 0L && hi == rows) {
+    if (pushed.isEmpty && buckets == 0 && lo == 0L && hi == rows) {
       hi = math.min(hi, limit.toLong)
       true // fully handled: exactly the first `limit` rows are produced
-    } else false
+    } else false // bucketed scans emit in bucket order, not id order
 
   override def build(): Scan = aggValues match {
     case Some(vals) => new SeqAggScan(vals)
-    case None => new SeqScan(rows, parts, required, lo, math.max(lo, hi), batchRows)
+    case None =>
+      new SeqScan(rows, parts, required, lo, math.max(lo, hi), batchRows, buckets)
   }
 }
 
@@ -198,9 +207,10 @@ class SeqAggScan(values: Seq[Long]) extends Scan with Batch {
 }
 
 class SeqScan(rows: Long, parts: Int, required: StructType, lo0: Long, hi0: Long,
-    batchRows: Long = 0L)
+    batchRows: Long = 0L, buckets: Int = 0)
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   // planned bounds [lo, hi): start at the compile-time pushed-filter
   // bounds, further narrowed at execution time by runtime filtering
@@ -286,16 +296,54 @@ class SeqScan(rows: Long, parts: Int, required: StructType, lo0: Long, hi0: Long
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // split the ORIGINAL range, then clip to the pushed bounds — splits
-    // entirely outside the bounds are never planned (no task, no read)
-    val per = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by per).flatMap { st =>
-      val s0 = math.max(st, lo)
-      val e0 = math.min(st + per, math.min(rows, hi))
-      if (s0 < e0) Some(SeqInputPartition(s0, e0): InputPartition) else None
-    }.toArray
-  }
+  /** Storage-partitioned layout (`SupportsReportPartitioning`): when
+    * bucketed, the scan reports `KeyGroupedPartitioning([b], buckets)`
+    * and every split carries its bucket value (`HasPartitionKey`). Two
+    * such sources joined with `b` among the join keys (and
+    * `spark.sql.sources.v2.bucketing.enabled=true`) get the
+    * storage-partitioned join: Spark aligns equal bucket keys and plans
+    * NO exchange on either side — the DSv2 form of the co-located
+    * bucket join (what Iceberg does with its bucket transform; the
+    * explicit bucket COLUMN here is the portable flavor that needs no
+    * FunctionCatalog). At 100 TB this turns the nightly fact-fact join
+    * into a shuffle-free zip of bucket pairs. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (buckets > 0)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.identity("b")), buckets)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(parts)
+
+  /** Per-partition ordering (`SupportsReportOrdering`): every split —
+    * range or bucket — emits ids ascending, so a sort-merge join on id
+    * (bucketed: on (id, b), where b is constant per split, so id order
+    * IS (id, b) order) needs no Sort operator either: with the reported
+    * partitioning above, the bucketed join is scan → merge, nothing
+    * else. */
+  override def outputOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(Expressions.sort(Expressions.column("id"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (buckets > 0)
+      // one split per bucket, ALL buckets always planned (empty ones
+      // included) — the reported partitioning must match the planned
+      // splits or the co-partition alignment breaks
+      (0 until buckets).map(b =>
+        SeqBucketPartition(b, buckets, lo, math.min(rows, hi)): InputPartition)
+        .toArray
+    else {
+      // split the ORIGINAL range, then clip to the pushed bounds — splits
+      // entirely outside the bounds are never planned (no task, no read)
+      val per = math.max(1L, (rows + parts - 1) / parts)
+      (0L until rows by per).flatMap { st =>
+        val s0 = math.max(st, lo)
+        val e0 = math.min(st + per, math.min(rows, hi))
+        if (s0 < e0) Some(SeqInputPartition(s0, e0): InputPartition) else None
+      }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required)
@@ -377,22 +425,47 @@ class SeqMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
 
 case class SeqInputPartition(start: Long, end: Long) extends InputPartition
 
+/** One bucket's split: ids in [lo, hi) with id % buckets == bucket. The
+  * partition key is the bucket value — what the SPJ alignment groups on. */
+case class SeqBucketPartition(bucket: Int, buckets: Int, lo: Long, hi: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket.toLong)
+}
+
 class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[SeqInputPartition]
-    // one writer per pruned column — a column the query never asked for
-    // is never computed, which is what pushed-down pruning means
-    val writers: Array[Long => Long] = required.fieldNames.map {
+
+  // one writer per pruned column — a column the query never asked for
+  // is never computed, which is what pushed-down pruning means
+  private def writers(buckets: Int): Array[Long => Long] =
+    required.fieldNames.map {
       case "id" => (id: Long) => id
       case "v" => (id: Long) => SeqSource.valueOf(id)
+      case "b" => (id: Long) => id % math.max(1, buckets)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
-    new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
-      override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(writers.map(w => w(cur)).toIndexedSeq)
-      override def close(): Unit = ()
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: SeqInputPartition =>
+        val ws = writers(0)
+        new PartitionReader[InternalRow] {
+          private var cur = p.start - 1
+          override def next(): Boolean = { cur += 1; cur < p.end }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(ws.map(w => w(cur)).toIndexedSeq)
+          override def close(): Unit = ()
+        }
+      case p: SeqBucketPartition =>
+        val ws = writers(p.buckets)
+        // first id >= lo in this bucket's residue class, then stride by
+        // the bucket count — contiguous in key space, zero wasted reads
+        val first = p.lo + ((p.bucket - p.lo % p.buckets + p.buckets) % p.buckets)
+        new PartitionReader[InternalRow] {
+          private var cur = first - p.buckets
+          override def next(): Boolean = { cur += p.buckets; cur < p.hi }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(ws.map(w => w(cur)).toIndexedSeq)
+          override def close(): Unit = ()
+        }
     }
-  }
 }

@@ -177,6 +177,62 @@ class SourcesSpec extends SparkTestBase {
     assert(all.size === all.toSet.size, s"a cluster key spans files: $perFileGs")
   }
 
+  test("storage-partitioned join: no exchange on either side of the join") {
+    val q = ops.SemiStructured.q82StoragePartitionedJoin(spark, sf)
+    val rows = q.collect()
+    // values correct: inner join keeps ids 0..799999, 200k per id%4 group
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 200000L)
+      val g = r.getLong(0)
+      val expect = (0L until 800000L).filter(_ % 4 == g)
+        .map(id => 2L * ((id * 2654435761L) % 1000L)).sum
+      assert(r.getLong(2) === expect)
+    }
+    // the executed (post-AQE) join must have no shuffle beneath it.
+    // QueryStageExec is a LEAF node, so a plain collect stops at stage
+    // boundaries — recurse through them explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case qs: QueryStageExec => qs +: allNodes(qs.plan)
+        case n => Seq(n)
+      }
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = allNodes(plan)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"no shuffled join found:\n$plan")
+    joins.foreach { j =>
+      val shuffles = allNodes(j).collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"storage-partitioned join still shuffled:\n$j")
+    }
+  }
+
+  test("bucketed scan: every id exactly once, b column consistent") {
+    val df = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("buckets", "8").load()
+    assert(df.rdd.getNumPartitions === 8)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 1000)
+    assert(rows.map(_._1).sorted.toSeq === (0L until 1000L))
+    rows.foreach { case (id, v, b) =>
+      assert(v === (id * 2654435761L) % 1000L)
+      assert(b === id % 8)
+    }
+    // pushed range filters still prune inside buckets
+    val narrowed = df.filter(col("id") < 100)
+    assert(narrowed.count() === 100)
+  }
+
   test("Trigger.AvailableNow drains the source in rate-limited batches and stops") {
     val rows = streaming.Streams.availableNowDrain(spark, sf).collect()
     val expect = (0L until 20000L).map(id => (id % 4, (id * 2654435761L) % 1000L))
