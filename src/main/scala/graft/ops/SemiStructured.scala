@@ -359,6 +359,46 @@ object SemiStructured {
       .orderBy("g")
   }
 
+  /** Custom catalog plugin ([[graft.sources.GraftCatalog]], the catalog
+    * tier of the DSv2 ladder): CREATE TABLE / INSERT INTO / SELECT run
+    * entirely against OUR `TableCatalog` — no Hive, no session catalog,
+    * no temp views. The INSERT's rows flow executor → commit message →
+    * atomic driver publish (the v2 batch-write protocol); the oracle pins
+    * the round trip. */
+  val q83CustomCatalog: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.seq_copy")
+    s.sql("CREATE TABLE graft_cat.db.seq_copy (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "3000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_for_cat")
+    s.sql("INSERT INTO graft_cat.db.seq_copy SELECT id, v FROM graft_seq_for_cat")
+    s.sql(
+      """SELECT id % 6 AS g, COUNT(*) AS n, SUM(v) AS v_sum
+        |FROM graft_cat.db.seq_copy GROUP BY 1 ORDER BY g""".stripMargin)
+  }
+
+  /** DELETE pushed to the catalog table (`SupportsDeleteV2`): the WHERE
+    * tree (comparisons + OR) crosses the connector boundary as v2
+    * predicates and the TABLE evaluates them — a metadata/storage-side
+    * delete, no rewrite job, no read-modify-write plan. Unsupported
+    * predicate shapes are refused at analysis (canDeleteWhere), never
+    * silently misapplied. */
+  val q84CatalogDelete: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.del_t")
+    s.sql("CREATE TABLE graft_cat.db.del_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_for_del")
+    s.sql("INSERT INTO graft_cat.db.del_t SELECT id, v FROM graft_seq_for_del")
+    s.sql("DELETE FROM graft_cat.db.del_t WHERE id >= 1500 OR v < 100")
+    s.sql(
+      """SELECT COUNT(*) AS n, SUM(v) AS v_sum, MIN(id) AS id_min,
+        |  MAX(id) AS id_max
+        |FROM graft_cat.db.del_t""".stripMargin)
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -443,7 +483,9 @@ object SemiStructured {
     "q67_source_stats_join" -> q67SourceStatsJoin,
     "q68_source_runtime_filter" -> q68SourceRuntimeFilter,
     "q74_sink_distribution" -> q74SinkDistribution,
-    "q82_storage_partitioned_join" -> q82StoragePartitionedJoin)
+    "q82_storage_partitioned_join" -> q82StoragePartitionedJoin,
+    "q83_custom_catalog" -> q83CustomCatalog,
+    "q84_catalog_delete" -> q84CatalogDelete)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -522,6 +564,19 @@ object SemiStructured {
       """SELECT n_name, CAST(n_nationkey * 7919 AS BIGINT) AS id,
         |  CAST((n_nationkey * 7919 * 2654435761) % 1000 AS BIGINT) AS v
         |FROM nation WHERE n_regionkey < 2 ORDER BY id""".stripMargin,
+    "q83_custom_catalog" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r)
+        |SELECT id % 6 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    "q84_catalog_delete" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  MIN(id) AS id_min, MAX(id) AS id_max
+        |FROM t WHERE NOT (id >= 1500 OR v < 100)""".stripMargin,
     "q82_storage_partitioned_join" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -1,0 +1,257 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And, Not, Or, Predicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom catalog plugin (`TableCatalog` + `SupportsNamespaces`) — the
+  * catalog tier of the DSv2 ladder: SQL DDL/DML runs against OUR
+  * metadata and storage with no Hive/session-catalog involvement:
+  *
+  *   spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+  *   CREATE TABLE graft_cat.db.t (id BIGINT, v BIGINT)
+  *   INSERT INTO graft_cat.db.t SELECT ...
+  *   DELETE FROM graft_cat.db.t WHERE id >= 500   -- pushed to the table
+  *   SELECT ... FROM graft_cat.db.t
+  *
+  * Tables are driver-memory row stores (the standard demo/test backing —
+  * a real deployment swaps the store for files/object storage; the
+  * catalog/analysis surface is identical): reads ship the rows inside the
+  * InputPartition, writes collect per-task rows into commit messages and
+  * publish atomically on driver commit, and DELETE evaluates the pushed
+  * predicate tree (=, <>, <, <=, >, >=, AND, OR, NOT on long columns)
+  * row by row — the `SupportsDeleteV2` metadata-delete contract.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft_cat"
+  private val tables = new ConcurrentHashMap[Identifier, MemTable]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    tables.keySet().asScala.filter(_.namespace().sameElements(namespace)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    t
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val t = new MemTable(ident.toString, schema)
+    if (tables.putIfAbsent(ident, t) != null)
+      throw new TableAlreadyExistsException(ident)
+    t
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft_cat tables are not alterable")
+
+  override def dropTable(ident: Identifier): Boolean = tables.remove(ident) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val t = tables.remove(oldIdent)
+    if (t == null) throw new NoSuchTableException(oldIdent)
+    if (tables.putIfAbsent(newIdent, t) != null) {
+      tables.put(oldIdent, t)
+      throw new TableAlreadyExistsException(newIdent)
+    }
+  }
+
+  // single-level namespaces, implicitly existing once referenced
+  override def listNamespaces(): Array[Array[String]] =
+    tables.keySet().asScala.map(_.namespace().toSeq).toSet
+      .map((ns: Seq[String]) => ns.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    new util.HashMap[String, String]()
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = ()
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = ()
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val doomed = tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
+    if (doomed.nonEmpty && !cascade) false
+    else { doomed.foreach(tables.remove); true }
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = true
+}
+
+/** Driver-memory table: append/truncate/delete-where, rows replayed to
+  * executors through the planned split. */
+class MemTable(tableName: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  // rows are UnsafeRow copies (self-contained buffers, serializable)
+  private val rows = ArrayBuffer.empty[InternalRow]
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  private[sources] def snapshot(): Array[InternalRow] =
+    synchronized { rows.toArray }
+
+  private[sources] def append(batch: Seq[InternalRow]): Unit =
+    synchronized { rows ++= batch }
+
+  private[sources] def clear(): Unit = synchronized { rows.clear() }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def description(): String = s"graft_cat mem table $tableName"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(MemRowsPartition(snapshot()))
+        override def createReaderFactory(): PartitionReaderFactory =
+          (partition: InputPartition) => {
+            val data = partition.asInstanceOf[MemRowsPartition].rows
+            new PartitionReader[InternalRow] {
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < data.length }
+              override def get(): InternalRow = data(i)
+              override def close(): Unit = ()
+            }
+          }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              info: PhysicalWriteInfo): DataWriterFactory = {
+            val schema = tableSchema
+            (_: Int, _: Long) => new DataWriter[InternalRow] {
+              private val proj = UnsafeProjection.create(schema)
+              private val buf = ArrayBuffer.empty[InternalRow]
+              override def write(row: InternalRow): Unit =
+                buf += proj(row).copy() // detach from the reused buffer
+              override def commit(): WriterCommitMessage = MemRowsCommit(buf.toArray)
+              override def abort(): Unit = buf.clear()
+              override def close(): Unit = ()
+            }
+          }
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            // atomic publish on the driver: nothing visible until here
+            if (truncateFirst) clear()
+            append(messages.toSeq.flatMap {
+              case MemRowsCommit(rs) => rs.toSeq
+              case _ => Nil
+            })
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+
+  /** Pushed metadata delete: evaluate the predicate tree over the stored
+    * rows. Only claim it (canDeleteWhere) when every leaf is a supported
+    * comparison on a long column — anything else must fail analysis, not
+    * silently delete the wrong rows. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => MemTable.compile(p, tableSchema).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val fns = predicates.flatMap(p => MemTable.compile(p, tableSchema))
+    require(fns.length == predicates.length, "unsupported delete predicate")
+    synchronized {
+      // predicates are implicitly AND-ed; keep rows where any is false
+      val keep = rows.filterNot(r => fns.forall(f => f(r)))
+      rows.clear()
+      rows ++= keep
+    }
+  }
+
+  override def truncateTable(): Boolean = { clear(); true }
+}
+
+case class MemRowsPartition(rows: Array[InternalRow]) extends InputPartition
+case class MemRowsCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+
+object MemTable {
+
+  /** Compile a v2 Predicate to a row filter; None = unsupported shape. */
+  private[sources] def compile(p: Predicate,
+      schema: StructType): Option[InternalRow => Boolean] = {
+    def ordinalOf(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[Int] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        val i = schema.fieldIndex(f.fieldNames.head)
+        if (schema.fields(i).dataType == LongType) Some(i) else None
+      case _ => None
+    }
+    def longOf(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[Long] = e match {
+      case l: Literal[_] => l.value match {
+        case v: java.lang.Long => Some(v.longValue())
+        case v: java.lang.Integer => Some(v.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
+    def cmp(op: String, children: Array[org.apache.spark.sql.connector.expressions.Expression],
+        f: (Long, Long) => Boolean): Option[InternalRow => Boolean] =
+      (ordinalOf(children(0)), longOf(children(1))) match {
+        case (Some(i), Some(v)) => Some(r => !r.isNullAt(i) && f(r.getLong(i), v))
+        case _ => (longOf(children(0)), ordinalOf(children(1))) match {
+          case (Some(v), Some(i)) => Some(r => !r.isNullAt(i) && f(v, r.getLong(i)))
+          case _ => None
+        }
+      }
+    p match {
+      case _: AlwaysTrue => Some(_ => true)
+      case a: And =>
+        for (l <- compile(a.left(), schema); r <- compile(a.right(), schema))
+          yield (row: InternalRow) => l(row) && r(row)
+      case o: Or =>
+        for (l <- compile(o.left(), schema); r <- compile(o.right(), schema))
+          yield (row: InternalRow) => l(row) || r(row)
+      case n: Not =>
+        compile(n.child(), schema).map(f => (row: InternalRow) => !f(row))
+      case _ if p.children().length == 2 =>
+        val c = p.children()
+        p.name() match {
+          case "=" => cmp("=", c, _ == _)
+          case "<>" => cmp("<>", c, _ != _)
+          case "<" => cmp("<", c, _ < _)
+          case "<=" => cmp("<=", c, _ <= _)
+          case ">" => cmp(">", c, _ > _)
+          case ">=" => cmp(">=", c, _ >= _)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+}

@@ -233,6 +233,30 @@ class SourcesSpec extends SparkTestBase {
     assert(narrowed.count() === 100)
   }
 
+  test("custom catalog: DDL + insert round trip, delete-where pushed and guarded") {
+    val r83 = ops.SemiStructured.q83CustomCatalog(spark, sf).collect()
+    assert(r83.length === 6)
+    assert(r83.map(_.getLong(1)).sum === 3000L)
+    val kept = (0L until 2000L).map(id => (id, (id * 2654435761L) % 1000L))
+      .filterNot { case (id, v) => id >= 1500 || v < 100 }
+    val r84 = ops.SemiStructured.q84CatalogDelete(spark, sf).head()
+    assert(r84.getLong(0) === kept.length.toLong)
+    assert(r84.getLong(1) === kept.map(_._2).sum)
+    // an untranslatable predicate must be refused, not misapplied
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_cat.db.del_t WHERE id % 2 = 0")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.del_t")
+      .head().getLong(0) === kept.length.toLong)
+    // rerun builds from scratch (DROP + CREATE) — idempotent catalog DDL
+    assert(ops.SemiStructured.q84CatalogDelete(spark, sf).head().getLong(0)
+      === kept.length.toLong)
+    // catalog listing sees the tables
+    val listed = spark.sql("SHOW TABLES IN graft_cat.db").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("seq_copy") && listed.contains("del_t"))
+  }
+
   test("Trigger.AvailableNow drains the source in rate-limited batches and stops") {
     val rows = streaming.Streams.availableNowDrain(spark, sf).collect()
     val expect = (0L until 20000L).map(id => (id % 4, (id * 2654435761L) % 1000L))
