@@ -399,6 +399,32 @@ object SemiStructured {
         |FROM graft_cat.db.del_t""".stripMargin)
   }
 
+  /** Metadata column (`SupportsMetadataColumns`): `_split` — the split a
+    * row came from — is requested like any column and materialized ONLY
+    * then (pruning applies); per-split row counts and id ranges are the
+    * connector analog of per-file lineage via `_metadata.file_path`. */
+  val q85MetadataColumns: Q = (s, _) =>
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "20000").option("parts", "8").load()
+      .select(col("_split"), col("id"))
+      .groupBy("_split")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("id_min"),
+        max(col("id")).as("id_max"))
+      .orderBy("_split")
+
+  /** Catalog-resolved scalar function (v2 `FunctionCatalog`):
+    * `graft_cat.db.mulmod(x)` resolves through OUR catalog to a
+    * connector-defined `ScalarFunction` with the codegen-friendly magic
+    * `invoke` — no session-level registration anywhere. */
+  val q86CatalogFunction: Q = (s, d) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    table(s, d, "customer").createOrReplaceTempView("graft_cust_fn")
+    s.sql(
+      """SELECT c_custkey, graft_cat.db.mulmod(c_custkey) AS h
+        |FROM graft_cust_fn WHERE c_custkey <= 400
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -485,7 +511,9 @@ object SemiStructured {
     "q74_sink_distribution" -> q74SinkDistribution,
     "q82_storage_partitioned_join" -> q82StoragePartitionedJoin,
     "q83_custom_catalog" -> q83CustomCatalog,
-    "q84_catalog_delete" -> q84CatalogDelete)
+    "q84_catalog_delete" -> q84CatalogDelete,
+    "q85_metadata_columns" -> q85MetadataColumns,
+    "q86_catalog_function" -> q86CatalogFunction)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -564,6 +592,13 @@ object SemiStructured {
       """SELECT n_name, CAST(n_nationkey * 7919 AS BIGINT) AS id,
         |  CAST((n_nationkey * 7919 * 2654435761) % 1000 AS BIGINT) AS v
         |FROM nation WHERE n_regionkey < 2 ORDER BY id""".stripMargin,
+    "q85_metadata_columns" ->
+      """SELECT r.range // 2500 AS _split, COUNT(*) AS n,
+        |  MIN(r.range) AS id_min, MAX(r.range) AS id_max
+        |FROM range(20000) r GROUP BY 1 ORDER BY _split""".stripMargin,
+    "q86_catalog_function" ->
+      """SELECT c_custkey, (c_custkey * 2654435761) % 1000 AS h
+        |FROM customer WHERE c_custkey <= 400 ORDER BY c_custkey""".stripMargin,
     "q83_custom_catalog" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * predicate tree (=, <>, <, <=, >, >=, AND, OR, NOT on long columns)
   * row by row — the `SupportsDeleteV2` metadata-delete contract.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = "graft_cat"
   private val tables = new ConcurrentHashMap[Identifier, MemTable]()
@@ -42,6 +43,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
 
   override def name(): String = catalogName
+
+  /** v2 FunctionCatalog: SQL resolves `graft_cat.db.mulmod(x)` through
+    * the catalog to a connector-defined `ScalarFunction` — how a storage
+    * engine exposes ITS functions (bucket transforms, partition hashes)
+    * to Spark SQL without any session-level registration. `mulmod` is the
+    * same multiplicative hash the generated relation uses for `v`, so
+    * `mulmod(id) = v` — oracle-checkable by construction. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "mulmod"))
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "mulmod" => MulModFunction
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     tables.keySet().asScala.filter(_.namespace().sameElements(namespace)).toArray
@@ -199,6 +217,38 @@ class MemTable(tableName: String, tableSchema: StructType)
 
 case class MemRowsPartition(rows: Array[InternalRow]) extends InputPartition
 case class MemRowsCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+
+/** `(x * 2654435761) % 1000` as a connector-defined scalar function: the
+  * `invoke(Long)` magic method gives Spark the direct (codegen-friendly)
+  * call path; `produceResult` is the interpreted fallback the contract
+  * requires. */
+object MulModFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+
+  override def name(): String = "mulmod"
+  override def description(): String =
+    "mulmod(x BIGINT): (x * 2654435761) % 1000"
+
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == LongType,
+      s"mulmod takes one BIGINT argument, got $inputType")
+    Bound
+  }
+
+  object Bound extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[java.lang.Long] {
+    override def name(): String = "mulmod"
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(LongType)
+    override def resultType(): org.apache.spark.sql.types.DataType = LongType
+    override def isResultNullable: Boolean = false
+    def invoke(x: Long): Long = (x * 2654435761L) % 1000L
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getLong(0))
+  }
+}
 
 object MemTable {
 

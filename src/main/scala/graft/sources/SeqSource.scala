@@ -70,13 +70,28 @@ object SeqSource {
 }
 
 class SeqTable(rows: Long, parts: Int, batchRows: Long, buckets: Int = 0)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.schemaFor(buckets)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(rows, parts, batchRows, buckets)
+
+  /** Metadata column (`SupportsMetadataColumns`): `_split` is the ordinal
+    * of the split a row came from — the connector analog of the file
+    * sources' `_metadata.file_path` lineage column. Only materialized
+    * when a query references it (it arrives through column pruning like
+    * any other column). */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_split"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "ordinal of the planned split"
+    })
 }
 
 class SeqScanBuilder(rows: Long, parts: Int, batchRows: Long = 0L, buckets: Int = 0)
@@ -336,12 +351,14 @@ class SeqScan(rows: Long, parts: Int, required: StructType, lo0: Long, hi0: Long
         .toArray
     else {
       // split the ORIGINAL range, then clip to the pushed bounds — splits
-      // entirely outside the bounds are never planned (no task, no read)
+      // entirely outside the bounds are never planned (no task, no read).
+      // `_split` ordinals stay those of the ORIGINAL layout, so lineage
+      // is stable under pushed filters (like file names under pruning)
       val per = math.max(1L, (rows + parts - 1) / parts)
-      (0L until rows by per).flatMap { st =>
+      (0L until rows by per).zipWithIndex.flatMap { case (st, ord) =>
         val s0 = math.max(st, lo)
         val e0 = math.min(st + per, math.min(rows, hi))
-        if (s0 < e0) Some(SeqInputPartition(s0, e0): InputPartition) else None
+        if (s0 < e0) Some(SeqInputPartition(s0, e0, ord): InputPartition) else None
       }.toArray
     }
 
@@ -423,7 +440,8 @@ class SeqMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
   override def stop(): Unit = ()
 }
 
-case class SeqInputPartition(start: Long, end: Long) extends InputPartition
+case class SeqInputPartition(start: Long, end: Long, ordinal: Int = 0)
+    extends InputPartition
 
 /** One bucket's split: ids in [lo, hi) with id % buckets == bucket. The
   * partition key is the bucket value — what the SPJ alignment groups on. */
@@ -435,19 +453,21 @@ case class SeqBucketPartition(bucket: Int, buckets: Int, lo: Long, hi: Long)
 class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
 
   // one writer per pruned column — a column the query never asked for
-  // is never computed, which is what pushed-down pruning means
-  private def writers(buckets: Int): Array[Long => Long] =
+  // is never computed, which is what pushed-down pruning means; `_split`
+  // (the metadata column) is a per-partition constant
+  private def writers(buckets: Int, ordinal: Int): Array[Long => Long] =
     required.fieldNames.map {
       case "id" => (id: Long) => id
       case "v" => (id: Long) => SeqSource.valueOf(id)
       case "b" => (id: Long) => id % math.max(1, buckets)
+      case "_split" => (_: Long) => ordinal.toLong
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: SeqInputPartition =>
-        val ws = writers(0)
+        val ws = writers(0, p.ordinal)
         new PartitionReader[InternalRow] {
           private var cur = p.start - 1
           override def next(): Boolean = { cur += 1; cur < p.end }
@@ -456,7 +476,7 @@ class SeqReaderFactory(required: StructType) extends PartitionReaderFactory {
           override def close(): Unit = ()
         }
       case p: SeqBucketPartition =>
-        val ws = writers(p.buckets)
+        val ws = writers(p.buckets, p.bucket)
         // first id >= lo in this bucket's residue class, then stride by
         // the bucket count — contiguous in key space, zero wasted reads
         val first = p.lo + ((p.bucket - p.lo % p.buckets + p.buckets) % p.buckets)

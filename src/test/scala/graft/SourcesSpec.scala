@@ -257,6 +257,27 @@ class SourcesSpec extends SparkTestBase {
     assert(listed.contains("seq_copy") && listed.contains("del_t"))
   }
 
+  test("metadata column _split materializes per-split lineage on demand") {
+    val rows = ops.SemiStructured.q85MetadataColumns(spark, sf).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val (split, n, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === 2500L)
+      assert(lo === split * 2500L && hi === split * 2500L + 2499L)
+    }
+    // unreferenced -> not in the scan (still a 2-column read)
+    val plain = seq(100, 2)
+    assert(plain.queryExecution.executedPlan.toString.contains("pruned=[id,v]"))
+  }
+
+  test("catalog function resolves and computes through the v2 FunctionCatalog") {
+    val rows = ops.SemiStructured.q86CatalogFunction(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === (r.getLong(0) * 2654435761L) % 1000L)
+    }
+  }
+
   test("Trigger.AvailableNow drains the source in rate-limited batches and stops") {
     val rows = streaming.Streams.availableNowDrain(spark, sf).collect()
     val expect = (0L until 20000L).map(id => (id % 4, (id * 2654435761L) % 1000L))
