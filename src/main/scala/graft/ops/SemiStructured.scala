@@ -425,6 +425,31 @@ object SemiStructured {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Catalog time travel (`VERSION AS OF`): every committed mutation
+    * archives its post-image under a bumped version, so v1 (first load),
+    * v2 (second load) and v3 (after DELETE) are all consistent frozen
+    * reads of the SAME table — the catalog-level twin of ext51's
+    * epoch-manifest snapshots. One query reads all three histories plus
+    * latest and proves them pairwise-consistent under the oracle. */
+  val q87CatalogTimeTravel: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.tt")
+    s.sql("CREATE TABLE graft_cat.db.tt (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_tt")
+    s.sql("INSERT INTO graft_cat.db.tt SELECT id, v FROM graft_seq_tt WHERE id < 600")
+    s.sql("INSERT INTO graft_cat.db.tt SELECT id, v FROM graft_seq_tt WHERE id >= 600")
+    s.sql("DELETE FROM graft_cat.db.tt WHERE id >= 800")
+    s.sql(
+      """SELECT ver, COUNT(*) AS n, SUM(v) AS v_sum, MAX(id) AS id_max FROM (
+        |  SELECT 'v1' AS ver, * FROM graft_cat.db.tt VERSION AS OF 1
+        |  UNION ALL SELECT 'v2', * FROM graft_cat.db.tt VERSION AS OF 2
+        |  UNION ALL SELECT 'v3', * FROM graft_cat.db.tt VERSION AS OF 3
+        |  UNION ALL SELECT 'latest', * FROM graft_cat.db.tt)
+        |GROUP BY ver ORDER BY ver""".stripMargin)
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -513,7 +538,8 @@ object SemiStructured {
     "q83_custom_catalog" -> q83CustomCatalog,
     "q84_catalog_delete" -> q84CatalogDelete,
     "q85_metadata_columns" -> q85MetadataColumns,
-    "q86_catalog_function" -> q86CatalogFunction)
+    "q86_catalog_function" -> q86CatalogFunction,
+    "q87_catalog_time_travel" -> q87CatalogTimeTravel)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -592,6 +618,18 @@ object SemiStructured {
       """SELECT n_name, CAST(n_nationkey * 7919 AS BIGINT) AS id,
         |  CAST((n_nationkey * 7919 * 2654435761) % 1000 AS BIGINT) AS v
         |FROM nation WHERE n_regionkey < 2 ORDER BY id""".stripMargin,
+    "q87_catalog_time_travel" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1000) r),
+        |snap AS (
+        |  SELECT 'v1' AS ver, * FROM t WHERE id < 600
+        |  UNION ALL SELECT 'v2', * FROM t
+        |  UNION ALL SELECT 'v3', * FROM t WHERE id < 800
+        |  UNION ALL SELECT 'latest', * FROM t WHERE id < 800)
+        |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  MAX(id) AS id_max
+        |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     "q85_metadata_columns" ->
       """SELECT r.range // 2500 AS _split, COUNT(*) AS n,
         |  MIN(r.range) AS id_min, MAX(r.range) AS id_max

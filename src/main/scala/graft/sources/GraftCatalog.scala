@@ -70,6 +70,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     t
   }
 
+  /** Catalog time travel (`VERSION AS OF v`): every committed write bumps
+    * the table version and archives the pre-image, so any historical
+    * version is a consistent frozen read — the catalog-level twin of the
+    * streaming sink's epoch-manifest snapshots (ext51). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tables.get(ident)
+    if (t == null) throw new NoSuchTableException(ident)
+    t.versionAt(version.toLong)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val t = new MemTable(ident.toString, schema)
@@ -126,6 +136,11 @@ class MemTable(tableName: String, tableSchema: StructType)
 
   // rows are UnsafeRow copies (self-contained buffers, serializable)
   private val rows = ArrayBuffer.empty[InternalRow]
+  // version v = state after the v-th committed mutation; 0 = creation
+  // (named `ver` — Table itself has a default version() method)
+  private var ver = 0L
+  private val history =
+    scala.collection.mutable.Map[Long, Array[InternalRow]](0L -> Array.empty)
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -136,31 +151,28 @@ class MemTable(tableName: String, tableSchema: StructType)
   private[sources] def snapshot(): Array[InternalRow] =
     synchronized { rows.toArray }
 
-  private[sources] def append(batch: Seq[InternalRow]): Unit =
-    synchronized { rows ++= batch }
+  /** Every committed mutation archives its post-image under a new
+    * version — the time-travel log. */
+  private def bumpVersion(): Unit = {
+    ver += 1
+    history(ver) = rows.toArray
+  }
 
-  private[sources] def clear(): Unit = synchronized { rows.clear() }
+  private[sources] def currentVersion: Long = synchronized { ver }
+
+  private[sources] def versionAt(v: Long): Table = synchronized {
+    val snap = history.getOrElse(v,
+      throw new IllegalArgumentException(
+        s"$tableName has no version $v (latest: $ver)"))
+    new MemSnapshotTable(s"$tableName@v$v", tableSchema, snap)
+  }
+
+  /** Apply one mutation atomically and archive its post-image. */
+  private[sources] def mutate(f: ArrayBuffer[InternalRow] => Unit): Unit =
+    synchronized { f(rows); bumpVersion() }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan with Batch {
-        override def readSchema(): StructType = tableSchema
-        override def toBatch: Batch = this
-        override def description(): String = s"graft_cat mem table $tableName"
-        override def planInputPartitions(): Array[InputPartition] =
-          Array(MemRowsPartition(snapshot()))
-        override def createReaderFactory(): PartitionReaderFactory =
-          (partition: InputPartition) => {
-            val data = partition.asInstanceOf[MemRowsPartition].rows
-            new PartitionReader[InternalRow] {
-              private var i = -1
-              override def next(): Boolean = { i += 1; i < data.length }
-              override def get(): InternalRow = data(i)
-              override def close(): Unit = ()
-            }
-          }
-      }
-    }
+    MemTable.scanBuilder(tableName, tableSchema, () => snapshot())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -182,12 +194,16 @@ class MemTable(tableName: String, tableSchema: StructType)
             }
           }
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            // atomic publish on the driver: nothing visible until here
-            if (truncateFirst) clear()
-            append(messages.toSeq.flatMap {
+            // atomic publish on the driver: nothing visible until here,
+            // and truncate+load is ONE version step
+            val incoming = messages.toSeq.flatMap {
               case MemRowsCommit(rs) => rs.toSeq
               case _ => Nil
-            })
+            }
+            mutate { b =>
+              if (truncateFirst) b.clear()
+              b ++= incoming
+            }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
@@ -204,15 +220,15 @@ class MemTable(tableName: String, tableSchema: StructType)
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     val fns = predicates.flatMap(p => MemTable.compile(p, tableSchema))
     require(fns.length == predicates.length, "unsupported delete predicate")
-    synchronized {
-      // predicates are implicitly AND-ed; keep rows where any is false
-      val keep = rows.filterNot(r => fns.forall(f => f(r)))
-      rows.clear()
-      rows ++= keep
+    // predicates are implicitly AND-ed; keep rows where any is false
+    mutate { b =>
+      val keep = b.filterNot(r => fns.forall(f => f(r)))
+      b.clear()
+      b ++= keep
     }
   }
 
-  override def truncateTable(): Boolean = { clear(); true }
+  override def truncateTable(): Boolean = { mutate(_.clear()); true }
 }
 
 case class MemRowsPartition(rows: Array[InternalRow]) extends InputPartition
@@ -250,7 +266,43 @@ object MulModFunction
   }
 }
 
+/** A frozen historical version of a [[MemTable]] — read-only by
+  * construction (no SupportsWrite, no delete). */
+class MemSnapshotTable(snapName: String, snapSchema: StructType,
+    snap: Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = snapName
+  override def schema(): StructType = snapSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    MemTable.scanBuilder(snapName, snapSchema, () => snap)
+}
+
 object MemTable {
+
+  /** Scan over a row snapshot, shared by the live table and its frozen
+    * versions. */
+  private[sources] def scanBuilder(tableName: String, tableSchema: StructType,
+      rowsNow: () => Array[InternalRow]): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def description(): String = s"graft_cat mem table $tableName"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(MemRowsPartition(rowsNow()))
+        override def createReaderFactory(): PartitionReaderFactory =
+          (partition: InputPartition) => {
+            val data = partition.asInstanceOf[MemRowsPartition].rows
+            new PartitionReader[InternalRow] {
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < data.length }
+              override def get(): InternalRow = data(i)
+              override def close(): Unit = ()
+            }
+          }
+      }
+    }
 
   /** Compile a v2 Predicate to a row filter; None = unsupported shape. */
   private[sources] def compile(p: Predicate,

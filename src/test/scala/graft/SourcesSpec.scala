@@ -278,6 +278,19 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("catalog time travel: every committed mutation is a readable version") {
+    val rows = ops.SemiStructured.q87CatalogTimeTravel(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(rows("v1") === ((600L, 599L)))
+    assert(rows("v2") === ((1000L, 999L)))
+    assert(rows("v3") === ((800L, 799L)))
+    assert(rows("latest") === rows("v3"))
+    // a version that never existed is refused
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.db.tt VERSION AS OF 99").collect()
+    }
+  }
+
   test("Trigger.AvailableNow drains the source in rate-limited batches and stops") {
     val rows = streaming.Streams.availableNowDrain(spark, sf).collect()
     val expect = (0L until 20000L).map(id => (id % 4, (id * 2654435761L) % 1000L))
