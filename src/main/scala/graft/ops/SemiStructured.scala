@@ -450,6 +450,49 @@ object SemiStructured {
         |GROUP BY ver ORDER BY ver""".stripMargin)
   }
 
+  /** UPDATE through the catalog table (`SupportsRowLevelOperations`,
+    * group-based): Spark rewrites the statement into scan → compute
+    * replacement rows (updated ∪ untouched) → the operation's write,
+    * which commits atomically — copy-on-write DML, the strategy file
+    * formats use at file granularity. Original `v < 1000` always, so
+    * updated rows are detectable by `v >= 1000`. */
+  val q88CatalogUpdate: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.upd_t")
+    s.sql("CREATE TABLE graft_cat.db.upd_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_upd")
+    s.sql("INSERT INTO graft_cat.db.upd_t SELECT id, v FROM graft_seq_upd")
+    s.sql("UPDATE graft_cat.db.upd_t SET v = v + 1000 WHERE id % 10 < 3")
+    s.sql(
+      """SELECT COUNT(*) AS n, SUM(v) AS v_sum,
+        |  SUM(CASE WHEN v >= 1000 THEN 1 ELSE 0 END) AS n_updated
+        |FROM graft_cat.db.upd_t""".stripMargin)
+  }
+
+  /** MERGE INTO the catalog table — the full upsert statement: matched
+    * target rows take the source's value, unmatched source rows insert;
+    * one group-based rewrite, one atomic commit. */
+  val q89CatalogMerge: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.mrg_t")
+    s.sql("CREATE TABLE graft_cat.db.mrg_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1500").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_mrg")
+    s.sql("INSERT INTO graft_cat.db.mrg_t SELECT id, v FROM graft_seq_mrg WHERE id < 1000")
+    s.sql(
+      """MERGE INTO graft_cat.db.mrg_t t
+        |USING (SELECT id, v + 5000 AS w FROM graft_seq_mrg WHERE id >= 500) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.w
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.w)""".stripMargin)
+    s.sql(
+      """SELECT id DIV 500 AS band, COUNT(*) AS n, SUM(v) AS v_sum
+        |FROM graft_cat.db.mrg_t GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -539,7 +582,9 @@ object SemiStructured {
     "q84_catalog_delete" -> q84CatalogDelete,
     "q85_metadata_columns" -> q85MetadataColumns,
     "q86_catalog_function" -> q86CatalogFunction,
-    "q87_catalog_time_travel" -> q87CatalogTimeTravel)
+    "q87_catalog_time_travel" -> q87CatalogTimeTravel,
+    "q88_catalog_update" -> q88CatalogUpdate,
+    "q89_catalog_merge" -> q89CatalogMerge)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -618,6 +663,25 @@ object SemiStructured {
       """SELECT n_name, CAST(n_nationkey * 7919 AS BIGINT) AS id,
         |  CAST((n_nationkey * 7919 * 2654435761) % 1000 AS BIGINT) AS v
         |FROM nation WHERE n_regionkey < 2 ORDER BY id""".stripMargin,
+    "q88_catalog_update" ->
+      """WITH t AS (
+        |  SELECT r.range AS id,
+        |    CASE WHEN r.range % 10 < 3
+        |      THEN (r.range * 2654435761) % 1000 + 1000
+        |      ELSE (r.range * 2654435761) % 1000 END AS v
+        |  FROM range(1000) r)
+        |SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(SUM(CASE WHEN v >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+        |FROM t""".stripMargin,
+    "q89_catalog_merge" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1500) r),
+        |merged AS (
+        |  SELECT id, CASE WHEN id >= 500 THEN v + 5000 ELSE v END AS v
+        |  FROM seq)
+        |SELECT id // 500 AS band, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM merged GROUP BY 1 ORDER BY band""".stripMargin,
     "q87_catalog_time_travel" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -132,7 +132,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 /** Driver-memory table: append/truncate/delete-where, rows replayed to
   * executors through the planned split. */
 class MemTable(tableName: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
 
   // rows are UnsafeRow copies (self-contained buffers, serializable)
   private val rows = ArrayBuffer.empty[InternalRow]
@@ -181,33 +182,54 @@ class MemTable(tableName: String, tableSchema: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
-              info: PhysicalWriteInfo): DataWriterFactory = {
-            val schema = tableSchema
-            (_: Int, _: Long) => new DataWriter[InternalRow] {
-              private val proj = UnsafeProjection.create(schema)
-              private val buf = ArrayBuffer.empty[InternalRow]
-              override def write(row: InternalRow): Unit =
-                buf += proj(row).copy() // detach from the reused buffer
-              override def commit(): WriterCommitMessage = MemRowsCommit(buf.toArray)
-              override def abort(): Unit = buf.clear()
-              override def close(): Unit = ()
-            }
-          }
-          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              pwInfo: PhysicalWriteInfo): DataWriterFactory =
+            MemTable.collectingWriterFactory(tableSchema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
             // atomic publish on the driver: nothing visible until here,
             // and truncate+load is ONE version step
-            val incoming = messages.toSeq.flatMap {
-              case MemRowsCommit(rs) => rs.toSeq
-              case _ => Nil
-            }
             mutate { b =>
               if (truncateFirst) b.clear()
-              b ++= incoming
+              b ++= MemTable.rowsOf(messages)
             }
-          }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
       }
+    }
+
+  /** Row-level operations (`SupportsRowLevelOperations`, group-based):
+    * UPDATE / MERGE INTO rewrite "groups" of rows — Spark scans the
+    * affected groups through the operation's scan, computes each group's
+    * REPLACEMENT rows (updated ∪ untouched, or merged ∪ inserted), and
+    * hands them to the operation's write. This table is one group (no
+    * partitions), so the commit atomically replaces the whole content —
+    * the copy-on-write strategy every file-format v2 source uses at
+    * file/partition granularity, here at table granularity. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String =
+        s"graft_cat group-based ${info.command()} on $tableName"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        MemTable.scanBuilder(tableName, tableSchema, () => snapshot())
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite = new BatchWrite {
+              override def createBatchWriterFactory(
+                  pinfo: PhysicalWriteInfo): DataWriterFactory =
+                MemTable.collectingWriterFactory(tableSchema)
+              override def commit(messages: Array[WriterCommitMessage]): Unit =
+                // the scanned group = the whole table → the replacement
+                // set IS the new table content
+                mutate { b =>
+                  b.clear()
+                  b ++= MemTable.rowsOf(messages)
+                }
+              override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+            }
+          }
+        }
     }
 
   /** Pushed metadata delete: evaluate the predicate tree over the stored
@@ -279,6 +301,42 @@ class MemSnapshotTable(snapName: String, snapSchema: StructType,
 }
 
 object MemTable {
+
+  /** Task-side writer collecting rows into the commit message — shared by
+    * the append write and the row-level replacement write. ReplaceData
+    * PREPENDS an operation-marker column (`__row_operation`) to the
+    * physical rows without surfacing it in `LogicalWriteInfo.schema()`,
+    * so the table columns are taken from the TAIL of each incoming row
+    * (offset = row arity − table arity, decided on the first row). */
+  private[sources] def collectingWriterFactory(
+      tableSchema: StructType): DataWriterFactory =
+    (_: Int, _: Long) => new DataWriter[InternalRow] {
+      private var proj: UnsafeProjection = _
+      private val buf = ArrayBuffer.empty[InternalRow]
+      override def write(row: InternalRow): Unit = {
+        if (proj == null) {
+          val offset = row.numFields - tableSchema.length
+          require(offset >= 0,
+            s"write row has ${row.numFields} fields for ${tableSchema.length} columns")
+          val refs = tableSchema.fields.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(offset + i, f.dataType, f.nullable)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          }
+          proj = UnsafeProjection.create(refs.toSeq)
+        }
+        buf += proj(row).copy() // detach from the reused buffer
+      }
+      override def commit(): WriterCommitMessage = MemRowsCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+
+  private[sources] def rowsOf(messages: Array[WriterCommitMessage]): Seq[InternalRow] =
+    messages.toSeq.flatMap {
+      case MemRowsCommit(rs) => rs.toSeq
+      case _ => Nil
+    }
 
   /** Scan over a row snapshot, shared by the live table and its frozen
     * versions. */

@@ -242,12 +242,13 @@ class SourcesSpec extends SparkTestBase {
     val r84 = ops.SemiStructured.q84CatalogDelete(spark, sf).head()
     assert(r84.getLong(0) === kept.length.toLong)
     assert(r84.getLong(1) === kept.map(_._2).sum)
-    // an untranslatable predicate must be refused, not misapplied
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_cat.db.del_t WHERE id % 2 = 0")
-    }
+    // an untranslatable predicate can't push as a metadata delete — with
+    // SupportsRowLevelOperations it falls back to the group-based rewrite
+    // and still deletes exactly the matching rows
+    spark.sql("DELETE FROM graft_cat.db.del_t WHERE id % 2 = 0")
+    val keptOdd = kept.filterNot(_._1 % 2 == 0)
     assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.del_t")
-      .head().getLong(0) === kept.length.toLong)
+      .head().getLong(0) === keptOdd.length.toLong)
     // rerun builds from scratch (DROP + CREATE) — idempotent catalog DDL
     assert(ops.SemiStructured.q84CatalogDelete(spark, sf).head().getLong(0)
       === kept.length.toLong)
@@ -289,6 +290,24 @@ class SourcesSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("SELECT * FROM graft_cat.db.tt VERSION AS OF 99").collect()
     }
+  }
+
+  test("row-level UPDATE and MERGE rewrite and commit atomically") {
+    val upd = ops.SemiStructured.q88CatalogUpdate(spark, sf).head()
+    assert(upd.getLong(0) === 1000L)
+    assert(upd.getLong(2) === 300L) // id % 10 in {0,1,2}
+    val expectedSum = (0L until 1000L).map { id =>
+      val v = (id * 2654435761L) % 1000L
+      if (id % 10 < 3) v + 1000L else v
+    }.sum
+    assert(upd.getLong(1) === expectedSum)
+    val mrg = ops.SemiStructured.q89CatalogMerge(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def bandSum(lo: Long, hi: Long, bump: Long) =
+      (lo until hi).map(id => (id * 2654435761L) % 1000L + bump).sum
+    assert(mrg(0L) === ((500L, bandSum(0, 500, 0))))       // untouched
+    assert(mrg(1L) === ((500L, bandSum(500, 1000, 5000)))) // matched-updated
+    assert(mrg(2L) === ((500L, bandSum(1000, 1500, 5000))))// inserted
   }
 
   test("Trigger.AvailableNow drains the source in rate-limited batches and stops") {
