@@ -216,7 +216,7 @@ object TrainingPrep {
         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t)
-        |SELECT source, (cum - n_tokens) // 512 AS bin,
+        |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "ext49_group_cap" ->

@@ -339,7 +339,15 @@ object SemiStructured {
     * in SourcesSpec). This is the co-located bucket join as a DSv2
     * contract: at 100 TB the nightly fact-fact join moves zero rows over
     * the network. */
-  val q82StoragePartitionedJoin: Q = (s, _) => {
+  val q82StoragePartitionedJoin: Q = (s0, _) => {
+    // SPJ needs two non-default confs at PLANNING time (which is action
+    // time — the returned frame is lazy), so run it in an isolated
+    // session (own SQLConf, shared SparkContext) instead of mutating the
+    // caller's session and leaking relaxed co-partition checks into
+    // every later query
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      s0.conf.get("spark.sql.shuffle.partitions"))
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     // join keys (id, b) are a SUPERSET of the partition keys (b); the
     // strict co-partition check wants them identical — the subset check

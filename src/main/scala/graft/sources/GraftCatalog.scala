@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
@@ -122,8 +122,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val doomed = tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
-    if (doomed.nonEmpty && !cascade) false
-    else { doomed.foreach(tables.remove); true }
+    // contract: `false` is reserved for "namespace did not exist";
+    // a non-empty namespace without CASCADE is an error, not a false
+    if (doomed.nonEmpty && !cascade)
+      throw new NonEmptyNamespaceException(namespace,
+        s"${doomed.size} table(s) exist; use DROP NAMESPACE ... CASCADE", None)
+    doomed.foreach(tables.remove)
+    true
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = true
@@ -362,14 +367,28 @@ object MemTable {
       }
     }
 
-  /** Compile a v2 Predicate to a row filter; None = unsupported shape. */
+  /** Compile a v2 Predicate to a row filter; None = unsupported shape.
+    * The returned function answers "predicate IS TRUE" — the DELETE
+    * semantics — but the evaluation inside is THREE-VALUED: a comparison
+    * on a NULL column is UNKNOWN (not false), so `NOT (x = 1)` over a
+    * NULL x stays not-true and the row is KEPT, exactly as SQL requires.
+    * (Two-valued compilation here silently deleted NULL-keyed rows under
+    * NOT — the classic 3VL trap.) */
   private[sources] def compile(p: Predicate,
-      schema: StructType): Option[InternalRow => Boolean] = {
+      schema: StructType): Option[InternalRow => Boolean] =
+    compile3(p, schema).map(f => (row: InternalRow) => f(row).contains(true))
+
+  /** Kleene-logic evaluator: Some(true/false) = known, None = UNKNOWN. */
+  private def compile3(p: Predicate,
+      schema: StructType): Option[InternalRow => Option[Boolean]] = {
     def ordinalOf(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[Int] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
-        val i = schema.fieldIndex(f.fieldNames.head)
-        if (schema.fields(i).dataType == LongType) Some(i) else None
+        // unknown / case-mismatched field => refuse (None), never throw:
+        // canDeleteWhere's contract is a boolean answer
+        Some(schema.fields.indexWhere(_.name == f.fieldNames.head))
+          .filter(_ >= 0)
+          .filter(i => schema.fields(i).dataType == LongType)
       case _ => None
     }
     def longOf(e: org.apache.spark.sql.connector.expressions.Expression):
@@ -381,34 +400,44 @@ object MemTable {
       }
       case _ => None
     }
-    def cmp(op: String, children: Array[org.apache.spark.sql.connector.expressions.Expression],
-        f: (Long, Long) => Boolean): Option[InternalRow => Boolean] =
+    def cmp(children: Array[org.apache.spark.sql.connector.expressions.Expression],
+        f: (Long, Long) => Boolean): Option[InternalRow => Option[Boolean]] =
       (ordinalOf(children(0)), longOf(children(1))) match {
-        case (Some(i), Some(v)) => Some(r => !r.isNullAt(i) && f(r.getLong(i), v))
+        case (Some(i), Some(v)) =>
+          Some(r => if (r.isNullAt(i)) None else Some(f(r.getLong(i), v)))
         case _ => (longOf(children(0)), ordinalOf(children(1))) match {
-          case (Some(v), Some(i)) => Some(r => !r.isNullAt(i) && f(v, r.getLong(i)))
+          case (Some(v), Some(i)) =>
+            Some(r => if (r.isNullAt(i)) None else Some(f(v, r.getLong(i))))
           case _ => None
         }
       }
     p match {
-      case _: AlwaysTrue => Some(_ => true)
+      case _: AlwaysTrue => Some(_ => Some(true))
       case a: And =>
-        for (l <- compile(a.left(), schema); r <- compile(a.right(), schema))
-          yield (row: InternalRow) => l(row) && r(row)
+        for (l <- compile3(a.left(), schema); r <- compile3(a.right(), schema))
+          yield (row: InternalRow) => (l(row), r(row)) match {
+            case (Some(false), _) | (_, Some(false)) => Some(false)
+            case (Some(true), Some(true)) => Some(true)
+            case _ => None
+          }
       case o: Or =>
-        for (l <- compile(o.left(), schema); r <- compile(o.right(), schema))
-          yield (row: InternalRow) => l(row) || r(row)
+        for (l <- compile3(o.left(), schema); r <- compile3(o.right(), schema))
+          yield (row: InternalRow) => (l(row), r(row)) match {
+            case (Some(true), _) | (_, Some(true)) => Some(true)
+            case (Some(false), Some(false)) => Some(false)
+            case _ => None
+          }
       case n: Not =>
-        compile(n.child(), schema).map(f => (row: InternalRow) => !f(row))
+        compile3(n.child(), schema).map(f => (row: InternalRow) => f(row).map(!_))
       case _ if p.children().length == 2 =>
         val c = p.children()
         p.name() match {
-          case "=" => cmp("=", c, _ == _)
-          case "<>" => cmp("<>", c, _ != _)
-          case "<" => cmp("<", c, _ < _)
-          case "<=" => cmp("<=", c, _ <= _)
-          case ">" => cmp(">", c, _ > _)
-          case ">=" => cmp(">=", c, _ >= _)
+          case "=" => cmp(c, _ == _)
+          case "<>" => cmp(c, _ != _)
+          case "<" => cmp(c, _ < _)
+          case "<=" => cmp(c, _ <= _)
+          case ">" => cmp(c, _ > _)
+          case ">=" => cmp(c, _ >= _)
           case _ => None
         }
       case _ => None

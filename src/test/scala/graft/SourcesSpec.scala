@@ -258,6 +258,39 @@ class SourcesSpec extends SparkTestBase {
     assert(listed.contains("seq_copy") && listed.contains("del_t"))
   }
 
+  test("pushed DELETE honors SQL three-valued logic on NULL keys") {
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.null3vl")
+    spark.sql("CREATE TABLE graft_cat.db.null3vl (id BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft_cat.db.null3vl VALUES (1, 1), (2, 2), (3, NULL)")
+    // NOT (v = 1): for the NULL row the comparison is UNKNOWN, NOT keeps
+    // it UNKNOWN (not-true) => SQL retains the row. Two-valued compile
+    // would delete it.
+    spark.sql("DELETE FROM graft_cat.db.null3vl WHERE NOT (v = 1)")
+    val left = spark.sql("SELECT id FROM graft_cat.db.null3vl ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left === Seq(1L, 3L), s"NULL-keyed row must survive NOT-delete: $left")
+    // a predicate over an unknown column is refused, not thrown:
+    // analysis fails cleanly or the rewrite path handles it — either way
+    // no IllegalArgumentException escapes canDeleteWhere
+    spark.sql("DELETE FROM graft_cat.db.null3vl WHERE v IS NULL")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.null3vl")
+      .head().getLong(0) >= 1L)
+    spark.sql("DROP TABLE graft_cat.db.null3vl")
+  }
+
+  test("DROP NAMESPACE without CASCADE on a non-empty namespace errors") {
+    spark.sql("DROP TABLE IF EXISTS graft_cat.nsx.t1")
+    spark.sql("CREATE TABLE graft_cat.nsx.t1 (id BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft_cat.nsx")
+    }
+    assert(e.getMessage.toLowerCase.contains("cascade")
+      || e.getClass.getName.contains("NonEmptyNamespace"), e.toString)
+    spark.sql("DROP NAMESPACE graft_cat.nsx CASCADE")
+    assert(spark.sql("SHOW TABLES IN graft_cat.nsx").collect().isEmpty)
+  }
+
   test("metadata column _split materializes per-split lineage on demand") {
     val rows = ops.SemiStructured.q85MetadataColumns(spark, sf).collect()
     assert(rows.length === 8)
