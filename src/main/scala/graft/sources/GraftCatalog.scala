@@ -1,48 +1,108 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util
+import java.util.OptionalLong
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicReference
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression => CatalystExpr, Literal => CatalystLiteral, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And, Not, Or, Predicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Custom catalog plugin (`TableCatalog` + `SupportsNamespaces`) — the
-  * catalog tier of the DSv2 ladder: SQL DDL/DML runs against OUR
-  * metadata and storage with no Hive/session-catalog involvement:
+/** Custom catalog plugin (`TableCatalog` + `SupportsNamespaces` +
+  * `FunctionCatalog`) — the catalog tier of the DSv2 ladder: SQL DDL/DML
+  * runs against OUR metadata and storage with no Hive/session-catalog
+  * involvement:
   *
   *   spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
-  *   CREATE TABLE graft_cat.db.t (id BIGINT, v BIGINT)
+  *   CREATE TABLE graft_cat.db.t (id BIGINT, v BIGINT) PARTITIONED BY (g)
   *   INSERT INTO graft_cat.db.t SELECT ...
-  *   DELETE FROM graft_cat.db.t WHERE id >= 500   -- pushed to the table
-  *   SELECT ... FROM graft_cat.db.t
+  *   ALTER TABLE graft_cat.db.t ADD COLUMN w BIGINT
+  *   DELETE FROM graft_cat.db.t WHERE id >= 500
+  *   SELECT ... FROM graft_cat.db.t VERSION AS OF 2
   *
-  * Tables are driver-memory row stores (the standard demo/test backing —
-  * a real deployment swaps the store for files/object storage; the
-  * catalog/analysis surface is identical): reads ship the rows inside the
-  * InputPartition, writes collect per-task rows into commit messages and
-  * publish atomically on driver commit, and DELETE evaluates the pushed
-  * predicate tree (=, <>, <, <=, >, >=, AND, OR, NOT on long columns)
-  * row by row — the `SupportsDeleteV2` metadata-delete contract.
+  * Tables are FILE-backed (the design every warehouse table format uses,
+  * mirroring the reference's DuckDB file `transformation.py:521-526` that
+  * persists the warehouse across processes):
+  *
+  *   - INSERT: each task streams UnsafeRow bytes to a task-private temp
+  *     segment, atomically renames it on task commit, and reports only
+  *     the segment's NAME + zone-map stats in its commit message; the
+  *     driver publishes a new manifest version — no row ever crosses the
+  *     driver (the NdjsonSink two-phase protocol, with binary rows).
+  *   - Versions are manifest SNAPSHOTS (file lists + schema), appended to
+  *     `_meta.json` — `VERSION AS OF v` reads any historical manifest;
+  *     data files are immutable and shared across versions.
+  *   - DELETE pushes as a METADATA delete only when every segment's
+  *     zone-map (min/max/has-null per long column, Kleene three-valued:
+  *     a NULL comparison is UNKNOWN, so `NOT (v = 1)` never classifies a
+  *     null-keyed segment as droppable) decides it whole-file; anything
+  *     finer is refused and Spark falls back to the DISTRIBUTED
+  *     group-based row-level rewrite — exactly Iceberg's split between
+  *     metadata deletes and copy-on-write.
+  *   - Identity `PARTITIONED BY (col)` routes each task's rows into
+  *     per-partition-value segments, so the same zone-maps give exact
+  *     partition pruning at scan planning AND runtime (DPP-style
+  *     `SupportsRuntimeV2Filtering`).
+  *   - ALTER TABLE ADD/RENAME/DROP COLUMN is metadata-only via stable
+  *     column IDS (the Iceberg trick): each segment header records the
+  *     column ids it physically contains, and the scan projects by id —
+  *     old segments never rewrite; missing columns read as NULL or their
+  *     declared `DEFAULT` (existence default).
+  *
+  * A second catalog instance (or process) pointed at the same
+  * `warehouse` dir reopens every table from its `_meta.json` — the
+  * durable-storage twin of `test_sql.py:5` reopening `yelp_dw.db`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
 
   private var catalogName: String = "graft_cat"
-  private val tables = new ConcurrentHashMap[Identifier, MemTable]()
+  private var warehouse: Path = _
+  private val tables = new ConcurrentHashMap[Identifier, SegTable]()
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      sys.props("java.io.tmpdir") + s"/graft_warehouse/$name"))
+    Files.createDirectories(warehouse)
+  }
 
   override def name(): String = catalogName
+
+  /** Declaring default-value support makes Spark resolve `DEFAULT`
+    * clauses in CREATE/ALTER/INSERT against this catalog (the defaults
+    * arrive encoded in `StructField` metadata). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  private def dirFor(ident: Identifier): Path =
+    warehouse.resolve((ident.namespace() :+ ident.name()).mkString("."))
+
+  private def identOf(dirName: String): Identifier = {
+    val parts = dirName.split('.')
+    Identifier.of(parts.init, parts.last)
+  }
+
+  /** Disk is the source of truth for existence; the map is a cache. */
+  private def onDisk(): Seq[Identifier] =
+    if (!Files.isDirectory(warehouse)) Nil
+    else Files.list(warehouse).iterator().asScala
+      .filter(p => Files.exists(p.resolve(SegStore.MetaFile)))
+      .map(p => identOf(p.getFileName.toString)).toSeq
 
   /** v2 FunctionCatalog: SQL resolves `graft_cat.db.mulmod(x)` through
     * the catalog to a connector-defined `ScalarFunction` — how a storage
@@ -62,50 +122,90 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    tables.keySet().asScala.filter(_.namespace().sameElements(namespace)).toArray
+    (tables.keySet().asScala.toSet ++ onDisk())
+      .filter(_.namespace().sameElements(namespace)).toArray
 
   override def loadTable(ident: Identifier): Table = {
-    val t = tables.get(ident)
-    if (t == null) throw new NoSuchTableException(ident)
-    t
+    val cached = tables.get(ident)
+    if (cached != null) return cached
+    val dir = dirFor(ident)
+    if (!Files.exists(dir.resolve(SegStore.MetaFile)))
+      throw new NoSuchTableException(ident)
+    // durable reopen: a fresh catalog instance (new session, new process)
+    // rebuilds the table from its on-disk manifest log
+    val reopened = SegTable.open(ident.toString, dir)
+    val prior = tables.putIfAbsent(ident, reopened)
+    if (prior != null) prior else reopened
   }
 
-  /** Catalog time travel (`VERSION AS OF v`): every committed write bumps
-    * the table version and archives the pre-image, so any historical
-    * version is a consistent frozen read — the catalog-level twin of the
-    * streaming sink's epoch-manifest snapshots (ext51). */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val t = tables.get(ident)
-    if (t == null) throw new NoSuchTableException(ident)
-    t.versionAt(version.toLong)
-  }
+  /** Catalog time travel (`VERSION AS OF v`): every committed mutation
+    * appends a manifest snapshot, so any historical version is a
+    * consistent frozen read over the immutable segment files. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTable(ident) match {
+      case t: SegTable => t.versionAt(version.toLong)
+      case t => t
+    }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val t = new MemTable(ident.toString, schema)
+    val dir = dirFor(ident)
+    if (tables.containsKey(ident) || Files.exists(dir.resolve(SegStore.MetaFile)))
+      throw new TableAlreadyExistsException(ident)
+    val partCol = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        val f = schema.fields.find(_.name == c).getOrElse(throw new
+          IllegalArgumentException(s"partition column $c not in schema"))
+        require(f.dataType == LongType,
+          s"graft_cat supports identity partitioning on BIGINT columns, got ${f.dataType}")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        s"graft_cat supports a single identity partition transform, got ${other.mkString(",")}")
+    }
+    val t = SegTable.create(ident.toString, dir, schema, partCol)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft_cat tables are not alterable")
+  /** ALTER TABLE ADD/RENAME/DROP COLUMN (+ default-value updates) —
+    * metadata-only: publishes a new manifest version with the evolved
+    * schema and column-id list; no segment is touched. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident).asInstanceOf[SegTable]
+    t.alter(changes)
+    t
+  }
 
-  override def dropTable(ident: Identifier): Boolean = tables.remove(ident) != null
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = tables.remove(ident) != null
+    val dir = dirFor(ident)
+    if (Files.isDirectory(dir)) {
+      Files.list(dir).iterator().asScala.toSeq.foreach(Files.deleteIfExists)
+      Files.deleteIfExists(dir)
+      true
+    } else existed
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val t = tables.remove(oldIdent)
-    if (t == null) throw new NoSuchTableException(oldIdent)
-    if (tables.putIfAbsent(newIdent, t) != null) {
-      tables.put(oldIdent, t)
+    val oldDir = dirFor(oldIdent)
+    if (!Files.exists(oldDir.resolve(SegStore.MetaFile)))
+      throw new NoSuchTableException(oldIdent)
+    val newDir = dirFor(newIdent)
+    if (tables.containsKey(newIdent) || Files.exists(newDir))
       throw new TableAlreadyExistsException(newIdent)
-    }
+    tables.remove(oldIdent)
+    Files.move(oldDir, newDir)
+    tables.put(newIdent, SegTable.open(newIdent.toString, newDir))
   }
 
   // single-level namespaces, implicitly existing once referenced
   override def listNamespaces(): Array[Array[String]] =
-    tables.keySet().asScala.map(_.namespace().toSeq).toSet
-      .map((ns: Seq[String]) => ns.toArray).toArray
+    (tables.keySet().asScala.toSet ++ onDisk())
+      .map(_.namespace().toSeq).map(_.toArray).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -121,64 +221,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       changes: NamespaceChange*): Unit = ()
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val doomed = tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
+    val doomed = listTables(namespace)
     // contract: `false` is reserved for "namespace did not exist";
     // a non-empty namespace without CASCADE is an error, not a false
     if (doomed.nonEmpty && !cascade)
       throw new NonEmptyNamespaceException(namespace,
-        s"${doomed.size} table(s) exist; use DROP NAMESPACE ... CASCADE", None)
-    doomed.foreach(tables.remove)
+        s"${doomed.length} table(s) exist; use DROP NAMESPACE ... CASCADE", None)
+    doomed.foreach(dropTable)
     true
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = true
 }
 
-/** Driver-memory table: append/truncate/delete-where, rows replayed to
-  * executors through the planned split. */
-class MemTable(tableName: String, tableSchema: StructType)
+/** One immutable segment file's manifest entry: name, row/byte counts,
+  * the column IDS it physically contains, and a zone-map (min/max over
+  * non-null values + has-null flag) per contained column — `hasStats(i)`
+  * is true only for BIGINT columns that saw at least one non-null value. */
+case class Seg(file: String, rows: Long, bytes: Long, colIds: Array[Int],
+    mins: Array[Long], maxs: Array[Long], hasNull: Array[Boolean],
+    hasStats: Array[Boolean])
+
+/** One committed table version: schema + column ids + segment list.
+  * Versions are append-only; segment files are immutable and shared. */
+case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
+    partCol: Option[String], segs: Seq[Seg])
+
+/** Observation hooks for specs: (table, surviving segments, total). */
+object SegHooks {
+  val lastPlanned = new AtomicReference[(String, Int, Int)](("", 0, 0))
+  val lastRuntimeFiltered = new AtomicReference[(String, Int, Int)](("", 0, 0))
+  /** (table, segments dropped, segments kept) of the last metadata DELETE. */
+  val lastMetadataDelete = new AtomicReference[(String, Int, Int)](("", 0, 0))
+}
+
+/** File-backed catalog table (see [[GraftCatalog]] for the design). */
+class SegTable private (ident: String, dir: Path,
+    @volatile private var versions: Vector[SegVersion])
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
 
-  // rows are UnsafeRow copies (self-contained buffers, serializable)
-  private val rows = ArrayBuffer.empty[InternalRow]
-  // version v = state after the v-th committed mutation; 0 = creation
-  // (named `ver` — Table itself has a default version() method)
-  private var ver = 0L
-  private val history =
-    scala.collection.mutable.Map[Long, Array[InternalRow]](0L -> Array.empty)
+  private def cur: SegVersion = versions.last
 
-  override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  override def name(): String = ident
+  override def schema(): StructType = cur.schema
+  override def partitioning(): Array[Transform] =
+    cur.partCol.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  private[sources] def snapshot(): Array[InternalRow] =
-    synchronized { rows.toArray }
+  private[sources] def currentVersion: Long = cur.v
+  private[sources] def currentSegs: Seq[Seg] = cur.segs
 
-  /** Every committed mutation archives its post-image under a new
-    * version — the time-travel log. */
-  private def bumpVersion(): Unit = {
-    ver += 1
-    history(ver) = rows.toArray
+  /** Append one manifest version atomically (in memory + on disk). */
+  private def publish(f: SegVersion => SegVersion): Unit = synchronized {
+    val next = f(cur).copy(v = cur.v + 1)
+    SegStore.appendVersion(dir, next)
+    versions :+= next
   }
 
-  private[sources] def currentVersion: Long = synchronized { ver }
-
-  private[sources] def versionAt(v: Long): Table = synchronized {
-    val snap = history.getOrElse(v,
+  private[sources] def versionAt(v: Long): Table = {
+    val snap = versions.find(_.v == v).getOrElse(
       throw new IllegalArgumentException(
-        s"$tableName has no version $v (latest: $ver)"))
-    new MemSnapshotTable(s"$tableName@v$v", tableSchema, snap)
+        s"$ident has no version $v (latest: ${cur.v})"))
+    new SegSnapshotTable(s"$ident@v$v", dir, snap)
   }
-
-  /** Apply one mutation atomically and archive its post-image. */
-  private[sources] def mutate(f: ArrayBuffer[InternalRow] => Unit): Unit =
-    synchronized { f(rows); bumpVersion() }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    MemTable.scanBuilder(tableName, tableSchema, () => snapshot())
+    new SegScanBuilder(ident, dir, cur)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -188,78 +299,653 @@ class MemTable(tableName: String, tableSchema: StructType)
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
               pwInfo: PhysicalWriteInfo): DataWriterFactory =
-            MemTable.collectingWriterFactory(tableSchema)
-          override def commit(messages: Array[WriterCommitMessage]): Unit =
-            // atomic publish on the driver: nothing visible until here,
-            // and truncate+load is ONE version step
-            mutate { b =>
-              if (truncateFirst) b.clear()
-              b ++= MemTable.rowsOf(messages)
-            }
-          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+            SegTable.writerFactory(dir.toString, cur)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            // atomic publish: commit messages carry segment NAMES + stats,
+            // never rows; truncate+load is ONE version step
+            val segs = SegTable.segsOf(messages)
+            publish(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs))
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            SegTable.segsOf(messages)
+              .foreach(s => Files.deleteIfExists(dir.resolve(s.file)))
         }
       }
     }
 
   /** Row-level operations (`SupportsRowLevelOperations`, group-based):
-    * UPDATE / MERGE INTO rewrite "groups" of rows — Spark scans the
-    * affected groups through the operation's scan, computes each group's
-    * REPLACEMENT rows (updated ∪ untouched, or merged ∪ inserted), and
-    * hands them to the operation's write. This table is one group (no
-    * partitions), so the commit atomically replaces the whole content —
-    * the copy-on-write strategy every file-format v2 source uses at
-    * file/partition granularity, here at table granularity. */
+    * UPDATE / MERGE INTO / unpushable DELETE rewrite "groups" of rows —
+    * Spark scans the affected groups through the operation's scan,
+    * computes each group's REPLACEMENT rows distributed, and hands them
+    * to the operation's write. A group here is one SEGMENT FILE: the
+    * operation's scan zone-map-prunes to the segments that might contain
+    * matching rows, and the commit swaps exactly those segments for the
+    * replacement set — copy-on-write at file granularity, the Iceberg
+    * strategy. Untouched segments survive by reference; old versions keep
+    * referencing the replaced ones. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      // the scan this operation plans — its post-pruning segment list is
+      // the group set the replacement write supersedes
+      @volatile private var opScan: SegScan = _
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String =
-        s"graft_cat group-based ${info.command()} on $tableName"
+        s"graft_cat group-based ${info.command()} on $ident"
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        MemTable.scanBuilder(tableName, tableSchema, () => snapshot())
+        new SegScanBuilder(ident, dir, cur) {
+          override def build(): Scan = {
+            val s = super.build().asInstanceOf[SegScan]
+            opScan = s
+            s
+          }
+        }
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite = new BatchWrite {
               override def createBatchWriterFactory(
                   pinfo: PhysicalWriteInfo): DataWriterFactory =
-                MemTable.collectingWriterFactory(tableSchema)
-              override def commit(messages: Array[WriterCommitMessage]): Unit =
-                // the scanned group = the whole table → the replacement
-                // set IS the new table content
-                mutate { b =>
-                  b.clear()
-                  b ++= MemTable.rowsOf(messages)
+                SegTable.writerFactory(dir.toString, cur)
+              override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                // replace only the groups the scan actually read; a
+                // missing scan (defensive) means the whole table was read
+                val read: Seg => Boolean = Option(opScan) match {
+                  case Some(s) => val f = s.plannedFiles; seg => f(seg.file)
+                  case None => _ => true
                 }
-              override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+                publish(v => v.copy(
+                  segs = v.segs.filterNot(read) ++ SegTable.segsOf(messages)))
+              }
+              override def abort(messages: Array[WriterCommitMessage]): Unit =
+                SegTable.segsOf(messages)
+                  .foreach(s => Files.deleteIfExists(dir.resolve(s.file)))
             }
           }
         }
     }
 
-  /** Pushed metadata delete: evaluate the predicate tree over the stored
-    * rows. Only claim it (canDeleteWhere) when every leaf is a supported
-    * comparison on a long column — anything else must fail analysis, not
-    * silently delete the wrong rows. */
-  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    predicates.forall(p => MemTable.compile(p, tableSchema).isDefined)
-
-  override def deleteWhere(predicates: Array[Predicate]): Unit = {
-    val fns = predicates.flatMap(p => MemTable.compile(p, tableSchema))
-    require(fns.length == predicates.length, "unsupported delete predicate")
-    // predicates are implicitly AND-ed; keep rows where any is false
-    mutate { b =>
-      val keep = b.filterNot(r => fns.forall(f => f(r)))
-      b.clear()
-      b ++= keep
+  /** Metadata delete: claim the predicate ONLY when every segment's
+    * zone-map classifies it definitively — all rows match (drop the file
+    * from the manifest) or no row can match (keep it). Kleene logic makes
+    * null-keyed segments indefinite under NOT, so they fall back to the
+    * distributed row-level rewrite instead of being deleted wrongly. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean = {
+    val fns = predicates.map(p => SegPrune.compile(p, cur))
+    fns.forall(_.isDefined) && cur.segs.forall { s =>
+      val tri = fns.flatten.map(_(s)).foldLeft(SegPrune.TRUE)(SegPrune.triAnd)
+      SegPrune.definiteDrop(tri) || SegPrune.definiteKeep(tri)
     }
   }
 
-  override def truncateTable(): Boolean = { mutate(_.clear()); true }
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val fns = predicates.flatMap(p => SegPrune.compile(p, cur))
+    require(fns.length == predicates.length, "unsupported delete predicate")
+    val (dropped, kept) = cur.segs.partition { s =>
+      SegPrune.definiteDrop(fns.map(_(s)).foldLeft(SegPrune.TRUE)(SegPrune.triAnd))
+    }
+    SegHooks.lastMetadataDelete.set((ident, dropped.size, kept.size))
+    publish(v => v.copy(segs = kept))
+  }
+
+  override def truncateTable(): Boolean = { publish(_.copy(segs = Nil)); true }
+
+  /** Schema evolution without rewriting data: each change is applied to
+    * the (column-id, field) list, so old segments keep projecting
+    * correctly by id; ADD COLUMN defaults land in field metadata as
+    * Spark's CURRENT_DEFAULT (future inserts) and EXISTS_DEFAULT (what
+    * pre-existing rows read back). */
+  private[sources] def alter(changes: Seq[TableChange]): Unit = synchronized {
+    import org.apache.spark.sql.types.MetadataBuilder
+    // Spark's documented StructField metadata keys for column defaults
+    val CURRENT_DEFAULT_COLUMN_METADATA_KEY = "CURRENT_DEFAULT"
+    val EXISTS_DEFAULT_COLUMN_METADATA_KEY = "EXISTS_DEFAULT"
+    var fields: Vector[(Int, StructField)] =
+      cur.colIds.zip(cur.schema.fields).toVector
+    var nextId = versions.flatMap(_.colIds).max + 1
+    var partCol = cur.partCol
+    def updateField(nm: String)(f: StructField => StructField): Unit = {
+      require(fields.exists(_._2.name == nm), s"no such column $nm")
+      fields = fields.map { case (id, fl) =>
+        if (fl.name == nm) (id, f(fl)) else (id, fl)
+      }
+    }
+    changes.foreach {
+      case c: TableChange.ColumnChange if c.fieldNames().length > 1 =>
+        throw new UnsupportedOperationException("nested column changes unsupported")
+      case _: TableChange.UpdateColumnType =>
+        throw new UnsupportedOperationException(
+          "graft_cat does not support ALTER COLUMN TYPE (stored rows are typed by column id)")
+      case a: TableChange.AddColumn =>
+        val nm = a.fieldNames()(0)
+        require(!fields.exists(_._2.name == nm), s"column $nm already exists")
+        var f = StructField(nm, a.dataType(), nullable = true)
+        if (a.comment() != null) f = f.withComment(a.comment())
+        Option(a.defaultValue()).foreach { dv =>
+          val lit = dv.getValue()
+          val existsSql = CatalystLiteral(lit.value, lit.dataType).sql
+          val md = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              Option(dv.getSql()).getOrElse(existsSql))
+            .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, existsSql)
+            .build()
+          f = f.copy(metadata = md)
+        }
+        require(a.isNullable || a.defaultValue() != null || cur.segs.isEmpty,
+          s"non-nullable column $nm without DEFAULT over existing rows")
+        val entry = (nextId, f)
+        nextId += 1
+        fields = a.position() match {
+          case null => fields :+ entry
+          case _: TableChange.First => entry +: fields
+          case p: TableChange.After =>
+            val i = fields.indexWhere(_._2.name == p.column())
+            require(i >= 0, s"AFTER ${p.column()}: no such column")
+            (fields.take(i + 1) :+ entry) ++ fields.drop(i + 1)
+          case p => throw new UnsupportedOperationException(s"position $p")
+        }
+      case r: TableChange.RenameColumn =>
+        val from = r.fieldNames()(0)
+        if (partCol.contains(from)) partCol = Some(r.newName())
+        updateField(from)(_.copy(name = r.newName()))
+      case d: TableChange.DeleteColumn =>
+        val nm = d.fieldNames()(0)
+        require(!partCol.contains(nm), s"cannot drop partition column $nm")
+        val before = fields.size
+        fields = fields.filterNot(_._2.name == nm)
+        require(fields.size < before || java.lang.Boolean.TRUE.equals(d.ifExists()),
+          s"no such column $nm")
+      case u: TableChange.UpdateColumnDefaultValue =>
+        // future inserts take the new default; EXISTS_DEFAULT is frozen —
+        // rows written before the column had a default keep reading theirs
+        updateField(u.fieldNames()(0)) { f =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              u.newCurrentDefault().getSql())
+            .build())
+        }
+      case cm: TableChange.UpdateColumnComment =>
+        updateField(cm.fieldNames()(0))(_.withComment(cm.newComment()))
+      case n: TableChange.UpdateColumnNullability =>
+        updateField(n.fieldNames()(0))(_.copy(nullable = n.nullable()))
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case other =>
+        throw new UnsupportedOperationException(s"table change $other")
+    }
+    publish(v => v.copy(colIds = fields.map(_._1).toArray,
+      schema = StructType(fields.map(_._2)), partCol = partCol))
+  }
 }
 
-case class MemRowsPartition(rows: Array[InternalRow]) extends InputPartition
-case class MemRowsCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+/** A frozen historical version — read-only by construction. */
+class SegSnapshotTable(snapName: String, dir: Path, snap: SegVersion)
+    extends Table with SupportsRead {
+  override def name(): String = snapName
+  override def schema(): StructType = snap.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SegScanBuilder(snapName, dir, snap)
+}
+
+object SegTable {
+
+  private[sources] def create(ident: String, dir: Path, schema: StructType,
+      partCol: Option[String]): SegTable = {
+    Files.createDirectories(dir)
+    val v0 = SegVersion(0L, schema.fields.indices.toArray, schema, partCol, Nil)
+    SegStore.appendVersion(dir, v0)
+    new SegTable(ident, dir, Vector(v0))
+  }
+
+  private[sources] def open(ident: String, dir: Path): SegTable =
+    new SegTable(ident, dir, SegStore.readVersions(dir))
+
+  private[sources] def segsOf(messages: Array[WriterCommitMessage]): Seq[Seg] =
+    messages.toSeq.flatMap {
+      case SegCommit(segs) => segs.toSeq
+      case _ => Nil
+    }
+
+  /** Task-side writer factory shared by INSERT and the row-level
+    * replacement write. ReplaceData PREPENDS an operation-marker column
+    * (`__row_operation`) to the physical rows without surfacing it in
+    * `LogicalWriteInfo.schema()`, so the table columns are taken from the
+    * TAIL of each incoming row (offset = row arity − table arity, decided
+    * on the first row). Rows stream to task-private temp segments
+    * (renamed on task commit, deleted on abort — the two-phase protocol);
+    * identity-partitioned tables route rows to one segment per partition
+    * value, which is what makes the zone-maps exact partition pruning. */
+  private[sources] def writerFactory(dirStr: String,
+      ver: SegVersion): DataWriterFactory = {
+    val cols = ver.schema
+    val colIds = ver.colIds
+    val partOrd = ver.partCol.map(c => cols.fieldNames.indexOf(c)).getOrElse(-1)
+    (partitionId: Int, taskId: Long) => new DataWriter[InternalRow] {
+      private var proj: UnsafeProjection = _
+      private val open = mutable.HashMap.empty[Any, SegFileWriter]
+      private var fileSeq = 0
+
+      private def writerFor(key: Any): SegFileWriter =
+        open.getOrElseUpdate(key, {
+          val n = fileSeq
+          fileSeq += 1
+          new SegFileWriter(Paths.get(dirStr),
+            tempName = s"_temp-p$partitionId-t$taskId-$n.bin",
+            finalName = s"seg-p$partitionId-t$taskId-$n.bin",
+            cols, colIds)
+        })
+
+      override def write(row: InternalRow): Unit = {
+        if (proj == null) {
+          val offset = row.numFields - cols.length
+          require(offset >= 0,
+            s"write row has ${row.numFields} fields for ${cols.length} columns")
+          val refs = cols.fields.zipWithIndex.map { case (f, i) =>
+            BoundReference(offset + i, f.dataType, f.nullable): CatalystExpr
+          }
+          proj = UnsafeProjection.create(refs.toSeq)
+        }
+        val ur = proj(row)
+        val key: Any =
+          if (partOrd < 0) ()
+          else if (ur.isNullAt(partOrd)) null
+          else ur.getLong(partOrd)
+        writerFor(key).add(ur)
+      }
+      override def commit(): WriterCommitMessage =
+        SegCommit(open.values.toArray.map(_.finish()))
+      override def abort(): Unit = open.values.foreach(_.dispose())
+      override def close(): Unit = ()
+    }
+  }
+}
+
+case class SegCommit(segs: Array[Seg]) extends WriterCommitMessage
+
+/** Streams UnsafeRow bytes to one temp segment file and tracks the
+  * zone-map; `finish()` renames it to its final name and returns the
+  * manifest entry. File layout: magic, numCols, colIds…, then per row
+  * (int length, row bytes), terminated by length −1. */
+private[sources] class SegFileWriter(dir: Path, tempName: String,
+    finalName: String, cols: StructType, colIds: Array[Int]) {
+  private val tempPath = dir.resolve(tempName)
+  // executor-side too: in a deployment where the writer does not share
+  // the driver's filesystem, the driver-side mkdir didn't happen here
+  Files.createDirectories(dir)
+  private val out = new DataOutputStream(new BufferedOutputStream(
+    Files.newOutputStream(tempPath)))
+  out.writeInt(SegStore.Magic)
+  out.writeInt(colIds.length)
+  colIds.foreach(out.writeInt)
+
+  private val isLong = cols.fields.map(_.dataType == LongType)
+  private val mins = Array.fill(cols.length)(Long.MaxValue)
+  private val maxs = Array.fill(cols.length)(Long.MinValue)
+  private val nulls = Array.fill(cols.length)(false)
+  private val seen = Array.fill(cols.length)(false)
+  private var rows = 0L
+  private var writeBuffer = new Array[Byte](4096)
+
+  def add(ur: UnsafeRow): Unit = {
+    out.writeInt(ur.getSizeInBytes)
+    if (writeBuffer.length < ur.getSizeInBytes)
+      writeBuffer = new Array[Byte](ur.getSizeInBytes * 2)
+    ur.writeToStream(out, writeBuffer)
+    rows += 1
+    var i = 0
+    while (i < cols.length) {
+      if (ur.isNullAt(i)) nulls(i) = true
+      else if (isLong(i)) {
+        val v = ur.getLong(i)
+        if (v < mins(i)) mins(i) = v
+        if (v > maxs(i)) maxs(i) = v
+        seen(i) = true
+      }
+      i += 1
+    }
+  }
+
+  def finish(): Seg = {
+    out.writeInt(-1)
+    out.close()
+    Files.move(tempPath, dir.resolve(finalName),
+      StandardCopyOption.REPLACE_EXISTING)
+    Seg(finalName, rows, Files.size(dir.resolve(finalName)), colIds,
+      mins, maxs, nulls, seen)
+  }
+
+  def dispose(): Unit = { out.close(); Files.deleteIfExists(tempPath) }
+}
+
+/** Scan over a manifest snapshot: one InputPartition per segment file,
+  * zone-map pruning from pushed predicates (planning time) and runtime
+  * filters (DPP), post-pruning statistics, and column pruning by id. */
+class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion)
+    extends ScanBuilder
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = ver.schema
+  private var pushed: Array[Predicate] = Array.empty
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    pushed = predicates.filter(p => SegPrune.compile(p, ver).isDefined)
+    // zone-maps prune FILES, not rows — Spark re-evaluates everything
+    predicates
+  }
+  override def pushedPredicates(): Array[Predicate] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SegScan(tableName, dir, ver, required, pushed)
+}
+
+class SegScan(tableName: String, dir: Path, ver: SegVersion,
+    required: StructType, pushed: Array[Predicate])
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  private var segs: Seq[Seg] = {
+    val fns = pushed.flatMap(p => SegPrune.compile(p, ver))
+    val live = ver.segs.filter(s => fns.forall(f => SegPrune.canBeTrue(f(s))))
+    SegHooks.lastPlanned.set((tableName, live.size, ver.segs.size))
+    live
+  }
+
+  override def readSchema(): StructType = required
+
+  /** Post-pruning statistics: byte/row totals of exactly the surviving
+    * segments — what lets Catalyst broadcast a small catalog table. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(16L, segs.map(_.bytes).sum))
+    override def numRows(): OptionalLong = OptionalLong.of(segs.map(_.rows).sum)
+  }
+
+  /** Runtime (DPP-style) filtering on the partition column: join-key
+    * values arrive as an IN predicate before split planning; segments
+    * whose partition value can't match are never planned. */
+  override def filterAttributes(): Array[NamedReference] =
+    ver.partCol.toArray.map(Expressions.column)
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val fns = predicates.flatMap(p =>
+      SegPrune.compile(p, ver).orElse(SegPrune.compileIn(p, ver)))
+    if (fns.nonEmpty) {
+      segs = segs.filter(s => fns.forall(f => SegPrune.canBeTrue(f(s))))
+      SegHooks.lastRuntimeFiltered.set((tableName, segs.size, ver.segs.size))
+    }
+  }
+
+  /** Segment files this scan will read after all pruning — the group
+    * set a row-level operation's commit replaces. */
+  private[sources] def plannedFiles: Set[String] = segs.map(_.file).toSet
+
+  override def description(): String =
+    s"graft_cat segs=${segs.size}/${ver.segs.size} " +
+      s"pruned=[${required.fieldNames.mkString(",")}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // existence defaults (ALTER ADD COLUMN ... DEFAULT) evaluated on the
+    // driver; missing columns in old segments read as these constants
+    val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
+    val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
+    segs.toArray.map { s =>
+      val segIdx = required.fields.map(f => s.colIds.indexOf(idOf(f.name)))
+      SegPartition(dir.resolve(s.file).toString, s.colIds.length,
+        required, segIdx, defaults)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[SegPartition]
+      new PartitionReader[InternalRow] {
+        private val in = new DataInputStream(new BufferedInputStream(
+          Files.newInputStream(Paths.get(p.file))))
+        require(in.readInt() == SegStore.Magic, s"bad segment ${p.file}")
+        locally {
+          val n = in.readInt()
+          var i = 0
+          while (i < n) { in.readInt(); i += 1 }
+        }
+        // project segment rows (by physical position) to the required
+        // schema; columns the segment predates read as their existence
+        // default (or null)
+        private val exprs: Seq[CatalystExpr] =
+          p.required.fields.zipWithIndex.map { case (f, i) =>
+            if (p.segIdx(i) >= 0)
+              BoundReference(p.segIdx(i), f.dataType, nullable = true)
+            else CatalystLiteral(p.defaults(i), f.dataType)
+          }.toSeq
+        private val proj = UnsafeProjection.create(exprs)
+        private val segRow = new UnsafeRow(p.segArity)
+        private var buf = new Array[Byte](4096)
+        private var current: InternalRow = _
+
+        override def next(): Boolean = {
+          val len = in.readInt()
+          if (len < 0) { current = null; false }
+          else {
+            if (buf.length < len) buf = new Array[Byte](len * 2)
+            in.readFully(buf, 0, len)
+            segRow.pointTo(buf, len)
+            current = proj(segRow)
+            true
+          }
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = in.close()
+      }
+    }
+}
+
+case class SegPartition(file: String, segArity: Int, required: StructType,
+    segIdx: Array[Int], defaults: Array[Any]) extends InputPartition
+
+/** Zone-map predicate evaluation in Kleene (three-valued) logic over the
+  * POSSIBLE outcomes of a predicate across a segment's rows: a bitmask of
+  * {can-be-TRUE, can-be-FALSE, can-be-UNKNOWN}. `{T}` ⇒ every row matches
+  * (whole file droppable); `T ∉ set` ⇒ no row matches (file skippable —
+  * UNKNOWN rows are kept by DELETE and rejected by filters/joins alike).
+  * NULLs make comparisons UNKNOWN, never false — so NOT over a null-keyed
+  * segment is indefinite rather than wrongly definite (SQL 3VL). */
+object SegPrune {
+  // bitmask: 1 = can be TRUE, 2 = can be FALSE, 4 = can be UNKNOWN
+  val TRUE = 1
+  type Tri = Int
+
+  def canBeTrue(t: Tri): Boolean = (t & 1) != 0 || t == 0 // 0 = empty seg
+  def definiteDrop(t: Tri): Boolean = t == 1 || t == 0
+  def definiteKeep(t: Tri): Boolean = t != 0 && (t & 1) == 0
+
+  def triNot(a: Tri): Tri = (if ((a & 1) != 0) 2 else 0) |
+    (if ((a & 2) != 0) 1 else 0) | (a & 4)
+
+  def triAnd(a: Tri, b: Tri): Tri = {
+    if (a == 0 || b == 0) return 0
+    var r = 0
+    if ((a & 2) != 0 || (b & 2) != 0) r |= 2
+    if ((a & 1) != 0 && (b & 1) != 0) r |= 1
+    if (((a & 4) != 0 && (b & (1 | 4)) != 0) ||
+        ((b & 4) != 0 && (a & (1 | 4)) != 0)) r |= 4
+    r
+  }
+
+  def triOr(a: Tri, b: Tri): Tri = triNot(triAnd(triNot(a), triNot(b)))
+
+  /** Per-column facts a comparison needs from a segment: value bounds
+    * over non-null rows (None = no non-null values) + null presence. */
+  private def colFacts(s: Seg, colId: Int,
+      default: Option[Option[Long]]): (Option[(Long, Long)], Boolean) = {
+    val idx = s.colIds.indexOf(colId)
+    if (idx >= 0)
+      (if (s.hasStats(idx)) Some((s.mins(idx), s.maxs(idx))) else None,
+        s.hasNull(idx))
+    else default match {
+      // column predates the segment: every row reads the existence
+      // default — a constant zone [d, d], or pure nulls
+      case Some(Some(d)) => (Some((d, d)), false)
+      case _ => (None, true)
+    }
+  }
+
+  private def cmpTri(op: String, bounds: Option[(Long, Long)],
+      hasNull: Boolean, lit: Long): Tri = {
+    var t = if (hasNull) 4 else 0
+    bounds.foreach { case (mn, mx) =>
+      val (canT, canF) = op match {
+        case "=" => (lit >= mn && lit <= mx, !(mn == lit && mx == lit))
+        case "<>" => (!(mn == lit && mx == lit), lit >= mn && lit <= mx)
+        case "<" => (mn < lit, mx >= lit)
+        case "<=" => (mn <= lit, mx > lit)
+        case ">" => (mx > lit, mn <= lit)
+        case ">=" => (mx >= lit, mn < lit)
+      }
+      if (canT) t |= 1
+      if (canF) t |= 2
+    }
+    t
+  }
+
+  private def flip(op: String): String = op match {
+    case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
+    case other => other
+  }
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression,
+      ver: SegVersion): Option[(Int, Option[Option[Long]])] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      val i = ver.schema.fieldNames.indexOf(f.fieldNames.head)
+      if (i < 0 || ver.schema.fields(i).dataType != LongType) None
+      else {
+        val d = ResolveDefaultColumns.existenceDefaultValues(
+          StructType(Seq(ver.schema.fields(i))))(0) match {
+          case null => None
+          case v: java.lang.Long => Some(v.longValue())
+          case v: java.lang.Integer => Some(v.longValue())
+          case _ => return None // non-long default: refuse
+        }
+        Some((ver.colIds(i), Some(d)))
+      }
+    case _ => None
+  }
+
+  private def litOf(e: org.apache.spark.sql.connector.expressions.Expression):
+      Option[Long] = e match {
+    case l: Literal[_] => l.value match {
+      case v: java.lang.Long => Some(v.longValue())
+      case v: java.lang.Integer => Some(v.longValue())
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Compile a v2 predicate (comparisons on BIGINT columns, AND/OR/NOT)
+    * to a per-segment possibility evaluator; None = unsupported shape. */
+  def compile(p: Predicate, ver: SegVersion): Option[Seg => Tri] = p match {
+    case _: AlwaysTrue => Some(_ => 1)
+    case a: And =>
+      for (l <- compile(a.left(), ver); r <- compile(a.right(), ver))
+        yield (s: Seg) => triAnd(l(s), r(s))
+    case o: Or =>
+      for (l <- compile(o.left(), ver); r <- compile(o.right(), ver))
+        yield (s: Seg) => triOr(l(s), r(s))
+    case n: Not => compile(n.child(), ver).map(f => (s: Seg) => triNot(f(s)))
+    case _ if p.children().length == 2 &&
+        Set("=", "<>", "<", "<=", ">", ">=").contains(p.name()) =>
+      val c = p.children()
+      (colOf(c(0), ver), litOf(c(1))) match {
+        case (Some((id, d)), Some(v)) => Some { (s: Seg) =>
+          if (s.rows == 0) 0
+          else { val (b, nl) = colFacts(s, id, d); cmpTri(p.name(), b, nl, v) }
+        }
+        case _ => (litOf(c(0)), colOf(c(1), ver)) match {
+          case (Some(v), Some((id, d))) => Some { (s: Seg) =>
+            if (s.rows == 0) 0
+            else { val (b, nl) = colFacts(s, id, d)
+              cmpTri(flip(p.name()), b, nl, v) }
+          }
+          case _ => None
+        }
+      }
+    case _ => None
+  }
+
+  /** Runtime IN over a column (the DPP shape): a segment can match only
+    * if some candidate value falls in its zone. */
+  def compileIn(p: Predicate, ver: SegVersion): Option[Seg => Tri] =
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        colOf(p.children()(0), ver).flatMap { case (id, d) =>
+          val lits = p.children().drop(1).toSeq.map(litOf)
+          if (!lits.forall(_.isDefined)) None
+          else {
+            val vals = lits.flatten
+            Some { (s: Seg) =>
+              if (s.rows == 0) 0
+              else {
+                val (b, nl) = colFacts(s, id, d)
+                vals.map(v => cmpTri("=", b, nl, v)).foldLeft(2: Tri)(triOr)
+              }
+            }
+          }
+        }
+      case _ => None
+    }
+}
+
+/** Manifest-log IO: `_meta.json` holds one JSON line per committed
+  * version (schema as Spark's own StructType JSON, so field metadata —
+  * including DEFAULT values — round-trips); segment files are immutable
+  * binary row logs. */
+object SegStore {
+  val Magic = 0x47524654 // "GRFT"
+  val MetaFile = "_meta.json"
+
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+
+  private def segJson(s: Seg): JValue =
+    ("f" -> s.file) ~ ("r" -> s.rows) ~ ("b" -> s.bytes) ~
+      ("ids" -> s.colIds.toList) ~ ("mins" -> s.mins.toList) ~
+      ("maxs" -> s.maxs.toList) ~ ("nulls" -> s.hasNull.toList) ~
+      ("stats" -> s.hasStats.toList)
+
+  def appendVersion(dir: Path, v: SegVersion): Unit = {
+    val json: JValue = ("v" -> v.v) ~ ("ids" -> v.colIds.toList) ~
+      ("schema" -> v.schema.json) ~ ("part" -> v.partCol) ~
+      ("segs" -> v.segs.map(segJson).toList)
+    Files.write(dir.resolve(MetaFile),
+      (JsonMethods.compact(JsonMethods.render(json)) + "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def readVersions(dir: Path): Vector[SegVersion] = {
+    implicit val fmts: Formats = DefaultFormats
+    Files.readAllLines(dir.resolve(MetaFile)).asScala.toVector
+      .filter(_.nonEmpty).map { line =>
+        val j = JsonMethods.parse(line)
+        val segs = (j \ "segs").children.map { sj =>
+          Seg((sj \ "f").extract[String], (sj \ "r").extract[Long],
+            (sj \ "b").extract[Long], (sj \ "ids").extract[List[Int]].toArray,
+            (sj \ "mins").extract[List[Long]].toArray,
+            (sj \ "maxs").extract[List[Long]].toArray,
+            (sj \ "nulls").extract[List[Boolean]].toArray,
+            (sj \ "stats").extract[List[Boolean]].toArray)
+        }
+        SegVersion((j \ "v").extract[Long],
+          (j \ "ids").extract[List[Int]].toArray,
+          DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
+          (j \ "part").extractOpt[String], segs)
+      }
+  }
+}
 
 /** `(x * 2654435761) % 1000` as a connector-defined scalar function: the
   * `invoke(Long)` magic method gives Spark the direct (codegen-friendly)
@@ -290,157 +976,5 @@ object MulModFunction
     def invoke(x: Long): Long = (x * 2654435761L) % 1000L
     override def produceResult(input: InternalRow): java.lang.Long =
       invoke(input.getLong(0))
-  }
-}
-
-/** A frozen historical version of a [[MemTable]] — read-only by
-  * construction (no SupportsWrite, no delete). */
-class MemSnapshotTable(snapName: String, snapSchema: StructType,
-    snap: Array[InternalRow]) extends Table with SupportsRead {
-  override def name(): String = snapName
-  override def schema(): StructType = snapSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    MemTable.scanBuilder(snapName, snapSchema, () => snap)
-}
-
-object MemTable {
-
-  /** Task-side writer collecting rows into the commit message — shared by
-    * the append write and the row-level replacement write. ReplaceData
-    * PREPENDS an operation-marker column (`__row_operation`) to the
-    * physical rows without surfacing it in `LogicalWriteInfo.schema()`,
-    * so the table columns are taken from the TAIL of each incoming row
-    * (offset = row arity − table arity, decided on the first row). */
-  private[sources] def collectingWriterFactory(
-      tableSchema: StructType): DataWriterFactory =
-    (_: Int, _: Long) => new DataWriter[InternalRow] {
-      private var proj: UnsafeProjection = _
-      private val buf = ArrayBuffer.empty[InternalRow]
-      override def write(row: InternalRow): Unit = {
-        if (proj == null) {
-          val offset = row.numFields - tableSchema.length
-          require(offset >= 0,
-            s"write row has ${row.numFields} fields for ${tableSchema.length} columns")
-          val refs = tableSchema.fields.zipWithIndex.map { case (f, i) =>
-            org.apache.spark.sql.catalyst.expressions
-              .BoundReference(offset + i, f.dataType, f.nullable)
-              : org.apache.spark.sql.catalyst.expressions.Expression
-          }
-          proj = UnsafeProjection.create(refs.toSeq)
-        }
-        buf += proj(row).copy() // detach from the reused buffer
-      }
-      override def commit(): WriterCommitMessage = MemRowsCommit(buf.toArray)
-      override def abort(): Unit = buf.clear()
-      override def close(): Unit = ()
-    }
-
-  private[sources] def rowsOf(messages: Array[WriterCommitMessage]): Seq[InternalRow] =
-    messages.toSeq.flatMap {
-      case MemRowsCommit(rs) => rs.toSeq
-      case _ => Nil
-    }
-
-  /** Scan over a row snapshot, shared by the live table and its frozen
-    * versions. */
-  private[sources] def scanBuilder(tableName: String, tableSchema: StructType,
-      rowsNow: () => Array[InternalRow]): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan with Batch {
-        override def readSchema(): StructType = tableSchema
-        override def toBatch: Batch = this
-        override def description(): String = s"graft_cat mem table $tableName"
-        override def planInputPartitions(): Array[InputPartition] =
-          Array(MemRowsPartition(rowsNow()))
-        override def createReaderFactory(): PartitionReaderFactory =
-          (partition: InputPartition) => {
-            val data = partition.asInstanceOf[MemRowsPartition].rows
-            new PartitionReader[InternalRow] {
-              private var i = -1
-              override def next(): Boolean = { i += 1; i < data.length }
-              override def get(): InternalRow = data(i)
-              override def close(): Unit = ()
-            }
-          }
-      }
-    }
-
-  /** Compile a v2 Predicate to a row filter; None = unsupported shape.
-    * The returned function answers "predicate IS TRUE" — the DELETE
-    * semantics — but the evaluation inside is THREE-VALUED: a comparison
-    * on a NULL column is UNKNOWN (not false), so `NOT (x = 1)` over a
-    * NULL x stays not-true and the row is KEPT, exactly as SQL requires.
-    * (Two-valued compilation here silently deleted NULL-keyed rows under
-    * NOT — the classic 3VL trap.) */
-  private[sources] def compile(p: Predicate,
-      schema: StructType): Option[InternalRow => Boolean] =
-    compile3(p, schema).map(f => (row: InternalRow) => f(row).contains(true))
-
-  /** Kleene-logic evaluator: Some(true/false) = known, None = UNKNOWN. */
-  private def compile3(p: Predicate,
-      schema: StructType): Option[InternalRow => Option[Boolean]] = {
-    def ordinalOf(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[Int] = e match {
-      case f: NamedReference if f.fieldNames.length == 1 =>
-        // unknown / case-mismatched field => refuse (None), never throw:
-        // canDeleteWhere's contract is a boolean answer
-        Some(schema.fields.indexWhere(_.name == f.fieldNames.head))
-          .filter(_ >= 0)
-          .filter(i => schema.fields(i).dataType == LongType)
-      case _ => None
-    }
-    def longOf(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[Long] = e match {
-      case l: Literal[_] => l.value match {
-        case v: java.lang.Long => Some(v.longValue())
-        case v: java.lang.Integer => Some(v.longValue())
-        case _ => None
-      }
-      case _ => None
-    }
-    def cmp(children: Array[org.apache.spark.sql.connector.expressions.Expression],
-        f: (Long, Long) => Boolean): Option[InternalRow => Option[Boolean]] =
-      (ordinalOf(children(0)), longOf(children(1))) match {
-        case (Some(i), Some(v)) =>
-          Some(r => if (r.isNullAt(i)) None else Some(f(r.getLong(i), v)))
-        case _ => (longOf(children(0)), ordinalOf(children(1))) match {
-          case (Some(v), Some(i)) =>
-            Some(r => if (r.isNullAt(i)) None else Some(f(v, r.getLong(i))))
-          case _ => None
-        }
-      }
-    p match {
-      case _: AlwaysTrue => Some(_ => Some(true))
-      case a: And =>
-        for (l <- compile3(a.left(), schema); r <- compile3(a.right(), schema))
-          yield (row: InternalRow) => (l(row), r(row)) match {
-            case (Some(false), _) | (_, Some(false)) => Some(false)
-            case (Some(true), Some(true)) => Some(true)
-            case _ => None
-          }
-      case o: Or =>
-        for (l <- compile3(o.left(), schema); r <- compile3(o.right(), schema))
-          yield (row: InternalRow) => (l(row), r(row)) match {
-            case (Some(true), _) | (_, Some(true)) => Some(true)
-            case (Some(false), Some(false)) => Some(false)
-            case _ => None
-          }
-      case n: Not =>
-        compile3(n.child(), schema).map(f => (row: InternalRow) => f(row).map(!_))
-      case _ if p.children().length == 2 =>
-        val c = p.children()
-        p.name() match {
-          case "=" => cmp(c, _ == _)
-          case "<>" => cmp(c, _ != _)
-          case "<" => cmp(c, _ < _)
-          case "<=" => cmp(c, _ <= _)
-          case ">" => cmp(c, _ > _)
-          case ">=" => cmp(c, _ >= _)
-          case _ => None
-        }
-      case _ => None
-    }
   }
 }
