@@ -501,6 +501,95 @@ object SemiStructured {
         |FROM graft_cat.db.mrg_t GROUP BY 1 ORDER BY band""".stripMargin)
   }
 
+  /** ALTER TABLE schema evolution on the catalog table — metadata-only
+    * (the Iceberg column-id strategy, [[graft.sources.GraftCatalog]]):
+    * ADD COLUMN publishes a new manifest version, old segments never
+    * rewrite; rows written before a column existed read NULL — or the
+    * column's existence DEFAULT when one is declared; RENAME is a pure
+    * metadata swap (stored rows are keyed by column id, not name).
+    * Catalog twin of q77's read-side `unionByName` evolution. */
+  val q90CatalogAlter: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.alt_t")
+    s.sql("CREATE TABLE graft_cat.db.alt_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2500").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_alt")
+    s.sql("INSERT INTO graft_cat.db.alt_t SELECT id, v FROM graft_seq_alt WHERE id < 1000")
+    s.sql("ALTER TABLE graft_cat.db.alt_t ADD COLUMN w BIGINT")
+    s.sql("ALTER TABLE graft_cat.db.alt_t RENAME COLUMN v TO val")
+    s.sql(
+      """INSERT INTO graft_cat.db.alt_t
+        |SELECT id, v, id * 3 FROM graft_seq_alt WHERE id >= 1000 AND id < 2000""".stripMargin)
+    s.sql("ALTER TABLE graft_cat.db.alt_t ADD COLUMN d BIGINT DEFAULT 7")
+    s.sql(
+      """INSERT INTO graft_cat.db.alt_t (id, val, w)
+        |SELECT id, v, id * 3 FROM graft_seq_alt WHERE id >= 2000""".stripMargin)
+    s.sql(
+      """SELECT id DIV 500 AS band, COUNT(*) AS n, SUM(val) AS val_sum,
+        |  SUM(w) AS w_sum, SUM(d) AS d_sum
+        |FROM graft_cat.db.alt_t GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
+  /** Identity-partitioned catalog table: INSERT routes each task's rows
+    * into one segment per partition value, so the pushed `g IN (…)`
+    * prunes whole segments at scan PLANNING (SourcesSpec asserts the
+    * survivor count via SegHooks) — partition pruning as a pure
+    * consequence of the zone-maps, no separate partition metadata. */
+  val q91CatalogPartitioned: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.part_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.part_t (id BIGINT, v BIGINT, g BIGINT)
+        |PARTITIONED BY (g)""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_part")
+    s.sql("INSERT INTO graft_cat.db.part_t SELECT id, v, id % 8 FROM graft_seq_part")
+    s.sql(
+      """SELECT g, COUNT(*) AS n, SUM(v) AS v_sum
+        |FROM graft_cat.db.part_t WHERE g IN (2, 5) GROUP BY g ORDER BY g""".stripMargin)
+  }
+
+  /** Table-valued functions in FROM: `range()` generates the relation and
+    * a LATERAL `explode()` expands a per-row sequence — the generator
+    * side of modern SQL (DuckDB gives the reference range/unnest for
+    * free; Spark plans Range + Generate, no table scan at all). */
+  val q92Tvf: Q = (s, _) =>
+    s.sql(
+      """SELECT t.id, e.x
+        |FROM range(0, 200) t,
+        |LATERAL explode(sequence(0, t.id % 4)) AS e(x)
+        |ORDER BY t.id, e.x""".stripMargin)
+
+  /** Column DEFAULT values on the catalog table
+    * (`TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`): INSERTs
+    * that omit a column take its CURRENT default at write time, and
+    * `ALTER COLUMN … SET DEFAULT` changes only future inserts — rows
+    * already written keep the value they were filled with. */
+  val q93CatalogDefault: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.def_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.def_t (
+        |  id BIGINT, v BIGINT DEFAULT 100, tag BIGINT DEFAULT 42)""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1200").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_def")
+    s.sql("INSERT INTO graft_cat.db.def_t (id) SELECT id FROM graft_seq_def WHERE id < 400")
+    s.sql(
+      """INSERT INTO graft_cat.db.def_t (id, v)
+        |SELECT id, v FROM graft_seq_def WHERE id >= 400 AND id < 800""".stripMargin)
+    s.sql("ALTER TABLE graft_cat.db.def_t ALTER COLUMN tag SET DEFAULT 9")
+    s.sql(
+      """INSERT INTO graft_cat.db.def_t (id, v)
+        |SELECT id, v FROM graft_seq_def WHERE id >= 800""".stripMargin)
+    s.sql(
+      """SELECT id DIV 400 AS band, COUNT(*) AS n, SUM(v) AS v_sum,
+        |  SUM(tag) AS tag_sum
+        |FROM graft_cat.db.def_t GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -592,7 +681,11 @@ object SemiStructured {
     "q86_catalog_function" -> q86CatalogFunction,
     "q87_catalog_time_travel" -> q87CatalogTimeTravel,
     "q88_catalog_update" -> q88CatalogUpdate,
-    "q89_catalog_merge" -> q89CatalogMerge)
+    "q89_catalog_merge" -> q89CatalogMerge,
+    "q90_catalog_alter" -> q90CatalogAlter,
+    "q91_catalog_partitioned" -> q91CatalogPartitioned,
+    "q92_tvf" -> q92Tvf,
+    "q93_catalog_default" -> q93CatalogDefault)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -715,6 +808,36 @@ object SemiStructured {
         |  FROM range(3000) r)
         |SELECT id % 6 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    "q90_catalog_alter" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS val,
+        |    CASE WHEN r.range >= 1000 THEN r.range * 3 END AS w, 7 AS d
+        |  FROM range(2500) r)
+        |SELECT CAST(id // 500 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(val) AS BIGINT) AS val_sum, CAST(SUM(w) AS BIGINT) AS w_sum,
+        |  CAST(SUM(d) AS BIGINT) AS d_sum
+        |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
+    "q91_catalog_partitioned" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v,
+        |    r.range % 8 AS g
+        |  FROM range(4000) r)
+        |SELECT g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t WHERE g IN (2, 5) GROUP BY g ORDER BY g""".stripMargin,
+    "q92_tvf" ->
+      """SELECT r.range AS id, u.x
+        |FROM range(0, 200) r, unnest(range(0, r.range % 4 + 1)) AS u(x)
+        |ORDER BY id, x""".stripMargin,
+    "q93_catalog_default" ->
+      """WITH t AS (
+        |  SELECT r.range AS id,
+        |    CASE WHEN r.range < 400 THEN 100
+        |         ELSE (r.range * 2654435761) % 1000 END AS v,
+        |    CASE WHEN r.range >= 800 THEN 9 ELSE 42 END AS tag
+        |  FROM range(1200) r)
+        |SELECT CAST(id // 400 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum, CAST(SUM(tag) AS BIGINT) AS tag_sum
+        |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
     "q84_catalog_delete" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

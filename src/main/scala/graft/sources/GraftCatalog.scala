@@ -271,8 +271,8 @@ class SegTable private (ident: String, dir: Path,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  private[sources] def currentVersion: Long = cur.v
-  private[sources] def currentSegs: Seq[Seg] = cur.segs
+  private[graft] def currentVersion: Long = cur.v
+  private[graft] def currentSegs: Seq[Seg] = cur.segs
 
   /** Append one manifest version atomically (in memory + on disk). */
   private def publish(f: SegVersion => SegVersion): Unit = synchronized {
@@ -872,6 +872,9 @@ object SegPrune {
           case _ => None
         }
       }
+    // IN = disjunction of equalities — the pushed shape of `g IN (…)`
+    // filters AND the DPP runtime-filter shape alike
+    case _ if p.name() == "IN" => compileIn(p, ver)
     case _ => None
   }
 

@@ -363,4 +363,56 @@ class SourcesSpec extends SparkTestBase {
     assert(s0.count() === 2000) // exactly the first admitted range
     assert(s0.agg(max(col("id"))).head().getLong(0) === 1999L)
   }
+
+  test("ALTER TABLE evolves schema without rewriting a single segment") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val rows = ops.SemiStructured.q90CatalogAlter(spark, sf).collect()
+    assert(rows.length === 5)
+    def mm(lo: Long, hi: Long) = (lo until hi).map(id => (id * 2654435761L) % 1000L).sum
+    rows.foreach { r =>
+      val band = r.getLong(0)
+      assert(r.getLong(1) === 500L)
+      assert(r.getLong(2) === mm(band * 500, band * 500 + 500))
+      // w: NULL for pre-evolution rows, id*3 after
+      if (band < 2) assert(r.isNullAt(3))
+      else assert(r.getLong(3) === (band * 500 until band * 500 + 500).map(_ * 3L).sum)
+      assert(r.getLong(4) === 500L * 7) // existence default everywhere
+    }
+    // metadata-only: every segment that existed before the ALTERs is
+    // still referenced, byte-identical, in the final version
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[TableCatalog]
+    val t = cat.loadTable(Identifier.of(Array("db"), "alt_t"))
+      .asInstanceOf[graft.sources.SegTable]
+    assert(t.currentVersion === 6L) // 3 inserts + 3 alters after create(v0)
+    // source split pruning means single-split inserts write ONE segment:
+    // insert1 (id<1000) → 1, insert2 (1000..1999 spans splits) → 2,
+    // insert3 (id>=2000) → 1; all three schema generations coexist
+    assert(t.currentSegs.map(_.colIds.length).sorted === Seq(2, 3, 3, 4))
+  }
+
+  test("partitioned catalog table: IN-filter prunes whole segments at planning") {
+    val rows = ops.SemiStructured.q91CatalogPartitioned(spark, sf).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val g = r.getLong(0)
+      assert(r.getLong(1) === 500L)
+      assert(r.getLong(2) === (0L until 4000L).filter(_ % 8 == g)
+        .map(id => (id * 2654435761L) % 1000L).sum)
+    }
+    // 4 write tasks x 8 partition values = 32 segments; g IN (2,5) keeps 8
+    val (tbl, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(tbl.contains("part_t"), tbl)
+    assert(total === 32 && kept === 8, s"planned $kept/$total")
+  }
+
+  test("catalog DEFAULT columns fill omitted INSERT values; SET DEFAULT is prospective") {
+    val rows = ops.SemiStructured.q93CatalogDefault(spark, sf).collect()
+    assert(rows.length === 3)
+    def mm(lo: Long, hi: Long) = (lo until hi).map(id => (id * 2654435761L) % 1000L).sum
+    val byBand = rows.map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(byBand(0L) === ((400L * 100, 400L * 42)))   // both defaults
+    assert(byBand(1L) === ((mm(400, 800), 400L * 42))) // v explicit, old default
+    assert(byBand(2L) === ((mm(800, 1200), 400L * 9))) // after SET DEFAULT 9
+  }
 }
