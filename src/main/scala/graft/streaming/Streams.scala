@@ -69,6 +69,76 @@ object Streams {
     (tmin, tmax, (tmin + tmax) / 2)
   }
 
+  // ---- shared fixture staging -------------------------------------------
+  // Staging a micro-batch fixture is a Spark write job; the staged
+  // content is a pure function of (session, source dir). Memoize it so a
+  // full bench/verify run pays each staging job ONCE — queries then COPY
+  // the local file into their private source dirs with their own
+  // modification stamps (a local copy keeps per-query batch ordering
+  // without re-running the job). Hard links would be wrong here:
+  // setLastModified mutates the shared inode.
+
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private val midCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Event-time midpoint of the events fixture, computed once per
+    * (session, dir). */
+  private def eventsMid(s: SparkSession, d: String): Long =
+    midCache.computeIfAbsent(s"${sessionToken(s)}|$d",
+      _ => tsMid(events(s, d).select(col("ts")))._3).longValue()
+
+  /** Materialize `df` once per (session, dir, tag) as one local file;
+    * later calls return the cached path. */
+  private def stagedOnce(s: SparkSession, d: String, tag: String,
+      format: String = "parquet")(df: => DataFrame): Path =
+    stagedCache.computeIfAbsent(s"${sessionToken(s)}|$d|$tag", { _ =>
+      val dir = scratchDir(s,
+        s"staged_${tag}_${(d.hashCode & 0x7fffffff).toHexString}")
+      deleteRec(Paths.get(dir))
+      val ext = if (format == "json") "json" else "parquet"
+      val p = Paths.get(s"$dir/data.$ext")
+      stageBatch(df, s"$dir/stage", p, System.currentTimeMillis(), format)
+      p
+    })
+
+  /** Canonical columns every staged events-stream query reads a subset
+    * of (the parquet reader projects by name). */
+  private def evAll(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts"))
+
+  /** The two event-time halves, staged once. */
+  private def stagedHalves(s: SparkSession, d: String): (Path, Path) = {
+    val mid = eventsMid(s, d)
+    (stagedOnce(s, d, "half_lo")(evAll(s, d).filter(unix_micros(col("ts")) < mid)),
+      stagedOnce(s, d, "half_hi")(evAll(s, d).filter(unix_micros(col("ts")) >= mid)))
+  }
+
+  /** Place a staged file into a query's private source dir under its own
+    * modification time (file-source batch order follows mod time). */
+  private def copyAs(src: Path, dst: Path, modTime: Long): Unit = {
+    Files.createDirectories(dst.getParent)
+    Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(modTime)
+  }
+
+  /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
+    * 8: stateful operators keep one state store PER shuffle partition and
+    * every micro-batch commits every store, so the session's 32 bench
+    * partitions mean 4x the checkpoint I/O for identical results at this
+    * fixture volume (a cluster sizes this to executor count; the value is
+    * captured into the checkpoint at first start either way). Restored in
+    * a finally that runs AFTER the query stops — micro-batch planning
+    * reads the conf asynchronously after start(), and a start() failure
+    * must not leak the narrowed conf into the shared session. */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Tumbling 1-hour windows per event_type via an actual streaming query. */
   val tumbling: Q = (s, d) => {
     s.conf.set("spark.sql.ansi.enabled", "false")
@@ -84,13 +154,15 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
     val sinkName = s"graft_stream_tumbling_${sessionToken(s)}"
-    val query = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(sinkName)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -126,13 +198,10 @@ object Streams {
     import s.implicits._
     val dir = scratchDir(s, "stream_hw")
     deleteRec(Paths.get(dir))
-    val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"), col("ts"))
-    val (_, _, mid) = tsMid(ev)
+    val (lo, hi) = stagedHalves(s, d)
     val now = System.currentTimeMillis()
-    stageBatch(ev.filter(unix_micros(col("ts")) < mid),
-      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
-    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
-      s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    copyAs(lo, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(hi, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType), StructField("ts", TimestampType)))
@@ -158,10 +227,12 @@ object Streams {
       }
       .toDF("user_id", "event_id", "value")
     val sinkName = s"graft_stream_highwater_${sessionToken(s)}"
-    val query = flow.writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = flow.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(sinkName)
       .select(col("user_id"), col("event_id"), col("value"))
       .orderBy("user_id", "event_id")
@@ -182,11 +253,9 @@ object Streams {
     import s.implicits._
     val dir = scratchDir(s, "stream_ckpt")
     deleteRec(Paths.get(dir))
-    val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"), col("ts"))
-    val (_, _, mid) = tsMid(ev)
+    val (lo, hi) = stagedHalves(s, d)
     val now = System.currentTimeMillis()
-    stageBatch(ev.filter(unix_micros(col("ts")) < mid),
-      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(lo, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("value", DoubleType), StructField("ts", TimestampType)))
@@ -215,15 +284,16 @@ object Streams {
         batch.write.mode("append").parquet(outDir)
       }
       .start()
-    val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
-    // the late half arrives while no query is running; the restarted
-    // instance discovers it and must resume the state store to suppress
-    // non-maxima correctly
-    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
-      s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
+    withStreamShuffle(s) {
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      // the late half arrives while no query is running; the restarted
+      // instance discovers it and must resume the state store to suppress
+      // non-maxima correctly
+      copyAs(hi, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
     s.read.parquet(outDir)
       .select(col("user_id"), col("event_id"), col("value"))
       .orderBy("user_id", "event_id")
@@ -244,12 +314,10 @@ object Streams {
   val slidingLateDrop: Q = (s, d) => {
     val dir = scratchDir(s, "stream_late")
     deleteRec(Paths.get(dir))
-    val ev = events(s, d).select(col("event_type"), col("value"), col("ts"))
-    val (_, _, mid) = tsMid(ev)
+    val (lo, hi) = stagedHalves(s, d)
     val now = System.currentTimeMillis()
     // batch 0 = NEW half (advances the watermark)
-    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
-      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(hi, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
     val schema = StructType(Seq(
       StructField("event_type", StringType), StructField("value", DoubleType),
       StructField("ts", TimestampType)))
@@ -260,15 +328,16 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
     val sinkName = s"graft_stream_late_${sessionToken(s)}"
-    val query = agg.writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try {
-      query.processAllAvailable() // batch 0 + watermark-propagation batch
-      // batch 1 = OLD half, now entirely below the committed watermark
-      stageBatch(ev.filter(unix_micros(col("ts")) < mid),
-        s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
-      query.processAllAvailable()
-    } finally query.stop()
+    withStreamShuffle(s) {
+      val query = agg.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try {
+        query.processAllAvailable() // batch 0 + watermark-propagation batch
+        // batch 1 = OLD half, now entirely below the committed watermark
+        copyAs(lo, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+        query.processAllAvailable()
+      } finally query.stop()
+    }
     s.table(sinkName)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -299,10 +368,12 @@ object Streams {
       .withWatermark("ts", "60 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
     val sinkName = s"graft_stream_dedup_${sessionToken(s)}"
-    val query = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(sinkName).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(sinkName)
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_users"))
@@ -321,13 +392,14 @@ object Streams {
   val streamStreamJoin: Q = (s, d) => {
     val dir = scratchDir(s, "stream_ssj")
     deleteRec(Paths.get(dir))
-    val e = events(s, d)
+    def typed(t: String) = events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type") === t)
     val now = System.currentTimeMillis()
-    stageBatch(e.filter(col("event_type") === "click"),
-      s"$dir/clicks_stage", Paths.get(s"$dir/clicks/b0.parquet"), now - 60000)
-    stageBatch(e.filter(col("event_type") === "purchase"),
-      s"$dir/purch_stage", Paths.get(s"$dir/purch/b0.parquet"), now - 60000)
+    copyAs(stagedOnce(s, d, "clicks")(typed("click")),
+      Paths.get(s"$dir/clicks/b0.parquet"), now - 60000)
+    copyAs(stagedOnce(s, d, "purchases")(typed("purchase")),
+      Paths.get(s"$dir/purch/b0.parquet"), now - 60000)
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("ts", TimestampType)))
@@ -346,22 +418,14 @@ object Streams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
     val sinkName = s"graft_stream_ssj_${sessionToken(s)}"
     // a stream-stream join maintains FOUR state stores per shuffle
-    // partition (2 sides x 2 maps); the session's 32 partitions mean 128
-    // stores of per-batch maintenance for this data volume. 8 is plenty
-    // here; a cluster deployment sizes this to executor count — the value
-    // is pinned into the checkpoint at first start either way.
-    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    // restore happens in the OUTER finally — after stop() (micro-batch
-    // planning reads the conf asynchronously after start()), and also if
-    // start() itself throws, so a failure can't leak the narrowed conf
-    // into the shared session
-    try {
+    // partition (2 sides x 2 maps) — the canonical case for the shared
+    // withStreamShuffle pin
+    withStreamShuffle(s) {
       val query = joined.writeStream.outputMode("append")
         .format("memory").queryName(sinkName).start()
       try query.processAllAvailable()
       finally query.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
+    }
     s.table(sinkName)
       .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
         unix_micros(col("p_ts")).minus(unix_micros(col("c_ts"))).as("gap_us"))
@@ -380,13 +444,10 @@ object Streams {
   val streamUpdateMode: Q = (s, d) => {
     val dir = scratchDir(s, "stream_upd")
     deleteRec(Paths.get(dir))
-    val ev = events(s, d).select(col("event_type"), col("value"), col("ts"))
-    val (_, _, mid) = tsMid(ev)
+    val (lo, hi) = stagedHalves(s, d)
     val now = System.currentTimeMillis()
-    stageBatch(ev.filter(unix_micros(col("ts")) < mid),
-      s"$dir/stage0", Paths.get(s"$dir/in/b0.parquet"), now - 60000)
-    stageBatch(ev.filter(unix_micros(col("ts")) >= mid),
-      s"$dir/stage1", Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    copyAs(lo, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(hi, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
     val schema = StructType(Seq(
       StructField("event_type", StringType), StructField("value", DoubleType),
       StructField("ts", TimestampType)))
@@ -396,10 +457,12 @@ object Streams {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
     val sinkName = s"graft_stream_update_${sessionToken(s)}"
-    val query = agg.writeStream.outputMode("update")
-      .format("memory").queryName(sinkName).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = agg.writeStream.outputMode("update")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(sinkName)
       .select(col("event_type"), col("n"), col("value_sum"))
       .orderBy("event_type", "n")
@@ -420,10 +483,12 @@ object Streams {
       .groupBy((col("id") % 5).as("g"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
     val sinkName = s"graft_stream_dsv2_${sessionToken(s)}"
-    val query = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(sinkName).select("g", "n", "v_sum").orderBy("g")
   }
 
@@ -477,14 +542,16 @@ object Streams {
       .groupBy((col("id") % 4).as("g"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
     val sinkName = s"graft_stream_anow_${sessionToken(s)}"
-    val query = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try {
-      val done = query.awaitTermination(120000)
-      require(done, "AvailableNow query did not self-terminate")
-    } finally if (query.isActive) query.stop()
+    withStreamShuffle(s) {
+      val query = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        val done = query.awaitTermination(120000)
+        require(done, "AvailableNow query did not self-terminate")
+      } finally if (query.isActive) query.stop()
+    }
     s.table(sinkName).select("g", "n", "v_sum").orderBy("g")
   }
 
@@ -506,10 +573,12 @@ object Streams {
       .groupBy("n_name")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"))
     val sinkName = s"graft_stream_static_${sessionToken(s)}"
-    val query = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(sinkName).select("n_name", "n", "v_sum").orderBy("n_name")
   }
 
@@ -572,20 +641,24 @@ object Streams {
           date_format(date_add(col("o_orderdate").cast("date"), 7), "yyyy-MM-dd"),
           lit(" 12:00:00, not-a-date")).as("date"))
     val now = System.currentTimeMillis()
-    stageBatch(half(-1, 250), s"$dir/stage0", Paths.get(s"$dir/in/b0.json"), now - 60000, "json")
-    stageBatch(half(250, 500), s"$dir/stage1", Paths.get(s"$dir/in/b1.json"), now - 30000, "json")
+    copyAs(stagedOnce(s, d, "wh_lo", "json")(half(-1, 250)),
+      Paths.get(s"$dir/in/b0.json"), now - 60000)
+    copyAs(stagedOnce(s, d, "wh_hi", "json")(half(250, 500)),
+      Paths.get(s"$dir/in/b1.json"), now - 30000)
     val dim = DateDims.dimDatetime(s)
     val factDir = s"$dir/fact_checkins"
-    val query = s.readStream.schema(Schemas.checkin)
-      .option("maxFilesPerTrigger", "1")
-      .json(s"$dir/in")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Transforms.checkinRows(batch, dim).write.mode("append").parquet(factDir)
-      }
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = s.readStream.schema(Schemas.checkin)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$dir/in")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Transforms.checkinRows(batch, dim).write.mode("append").parquet(factDir)
+        }
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.read.parquet(factDir)
       .groupBy("business_id")
       .agg(count(lit(1)).as("n_checkins"),
@@ -605,15 +678,15 @@ object Streams {
   val channelEnvelope: Q = (s, d) => {
     val dir = scratchDir(s, "channel")
     deleteRec(Paths.get(dir))
-    val envelope = events(s, d).select(
+    def envelope = events(s, d).select(
       lit("events").as("topic"),
       (col("event_id") % 4).cast("int").as("part_id"),
       col("event_id").as("offset"),
       col("user_id").cast("string").as("key"),
       to_json(struct(col("event_type"), col("value"))).as("value"),
       col("ts"))
-    stageBatch(envelope, s"$dir/stage0", Paths.get(s"$dir/in/b0.json"),
-      System.currentTimeMillis() - 60000, "json")
+    copyAs(stagedOnce(s, d, "envelope", "json")(envelope),
+      Paths.get(s"$dir/in/b0.json"), System.currentTimeMillis() - 60000)
     val valueSchema = StructType(Seq(
       StructField("event_type", StringType), StructField("value", DoubleType)))
     val parsed = FileChannel(s"$dir/in").read(s)
@@ -624,10 +697,12 @@ object Streams {
     val agg = parsed.groupBy("part_id", "event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
     val sinkName = s"graft_stream_channel_${sessionToken(s)}"
-    val query = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName).start()
-    try query.processAllAvailable()
-    finally query.stop()
+    withStreamShuffle(s) {
+      val query = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
     s.table(sinkName)
       .select("part_id", "event_type", "n", "value_sum")
       .orderBy("part_id", "event_type")
