@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.ops.{table, Q}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, over the
@@ -269,16 +269,39 @@ object Dedup {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
     edges.count() // materialize the WIDE pair pipeline at full parallelism
+    val (labels, _) = connectedComponents(s, edges)
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected edge set (`src`,`dst`, both
+    * directions present) by min-label propagation WITH pointer jumping:
+    * each iteration first propagates the min label across edges, then
+    * shortcuts `comp ← min(comp, comp-of-comp)` — so label chains halve
+    * every round and convergence is O(log diameter) instead of
+    * O(diameter). Checkpoint-free: only the per-iteration label frame is
+    * persisted; the driver sees one aggregate scalar per iteration (the
+    * label-sum signature, strictly decreasing until the fixpoint), never
+    * the data. Returns the converged labels and the iteration count (the
+    * count is asserted logarithmic on a chain graph in ExtensionsSpec).
+    */
+  private[graft] def connectedComponents(
+      s: SparkSession,
+      edges: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Int) = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
     // the pair graph is tiny after the LSH cut (top-20 pairs), but each
     // loop iteration still pays one shuffle per join/groupBy — scope the
     // parallelism to the graph size for the loop instead of the session's
-    // fact-table width (the heavy jaccard pipeline above is already
-    // cached, so only the per-iteration micro-shuffles see this)
+    // fact-table width (any heavy upstream pair pipeline is expected to
+    // be cached by the caller, so only the micro-shuffles see this)
     val savedSp = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    var iters = 0
     try {
       // labels only ever DECREASE under min-propagation, so the label sum
       // strictly decreases until the fixpoint — one aggregate per
@@ -291,22 +314,35 @@ object Dedup {
       var sig = signature(labels)
       var converged = false
       while (!converged) {
+        iters += 1
         val prop = edges.join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("comp"))
           .union(labels.select("id", "comp"))
           .groupBy("id").agg(min("comp").as("comp"))
           .persist()
-        val newSig = signature(prop)
+        // pointer jump: every comp value is itself an id present in the
+        // label frame, so a self-join rewrites comp to its own label —
+        // the left join is belt-and-braces for labels mid-convergence
+        val parents = prop.select(col("id").as("p_id"), col("comp").as("p_comp"))
+        // localCheckpoint, NOT persist: the self-join doubles the LOGICAL
+        // plan every round, so without lineage truncation analysis cost is
+        // 2^iterations (observed as an analyzer OOM on a 64-chain).
+        // Eager local checkpoint caches partitions executor-locally and
+        // cuts the plan to a leaf; on a real cluster with executor churn
+        // use checkpoint(reliable dir) instead — same shape, same cost.
+        val jumped = prop.join(parents, col("comp") === col("p_id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
+          .localCheckpoint(true)
+        val newSig = signature(jumped)
+        prop.unpersist()
         labels.unpersist()
-        labels = prop
+        labels = jumped
         converged = newSig == sig
         sig = newSig
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
-    labels
-      .select(col("id").as("doc_id"), col("comp").as("cluster"),
-        (col("id") === col("comp")).as("is_canonical"))
-      .orderBy("doc_id")
+    (labels, iters)
   }
 
   val queries: Map[String, Q] = Map(

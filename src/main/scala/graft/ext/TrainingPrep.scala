@@ -182,8 +182,9 @@ object TrainingPrep {
         |  FROM kept),
         |binned AS (
         |  SELECT split, source, n_tokens,
-        |    (SUM(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS bin
+        |    CAST((SUM(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512
+        |      AS BIGINT) AS bin
         |  FROM labeled)
         |SELECT split, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

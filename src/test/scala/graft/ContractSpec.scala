@@ -46,4 +46,83 @@ class ContractSpec extends AnyFunSuite {
     assert(rowsOnly === Set("q38_approx_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
+
+  // --- window-sum cast hardening (the ext48 bug class) -------------------
+  //
+  // DuckDB returns HUGEINT for SUM(BIGINT) — including windowed sums — so
+  // any oracle column derived from a window SUM hashes differently from
+  // Spark's LONG unless explicitly CAST. Statically enforce: every
+  // `SUM(...) OVER (...)` in an oracle is either wrapped in CAST at the
+  // definition site, or its alias only ever appears in later projections
+  // inside a type-resetting call (CAST, COUNT).
+
+  /** Index of the close paren matching the open paren at `open`. */
+  private def closeOf(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Enclosing function-call names (innermost first) at position `pos`. */
+  private def enclosingCalls(s: String, pos: Int): Seq[String] = {
+    val callRe = "(?i)\\b([a-z_][a-z0-9_]*)\\s*\\(".r
+    callRe.findAllMatchIn(s).toSeq.flatMap { m =>
+      val open = m.end - 1
+      val close = closeOf(s, open)
+      if (open < pos && pos < close) Some(m.group(1).toLowerCase) else None
+    }.reverse
+  }
+
+  /** True when the alias occurrence at `pos` sits in a SELECT projection
+    * list (vs GROUP BY / ORDER BY / ON / WHERE / PARTITION BY, where the
+    * output type is irrelevant).
+    */
+  private def inProjection(s: String, pos: Int): Boolean = {
+    val kwRe = "(?i)\\b(select|from|where|group|order|on|partition|qualify|having|join|when|then)\\b".r
+    kwRe.findAllMatchIn(s.substring(0, pos)).toSeq.lastOption
+      .exists(_.group(1).toLowerCase == "select")
+  }
+
+  test("windowed SUMs in oracle SQL are cast (DuckDB HUGEINT vs Spark LONG)") {
+    val sumOverRe = "(?i)\\bsum\\s*\\(".r
+    val violations = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      sumOverRe.findAllMatchIn(sql).toSeq.flatMap { m =>
+        val close = closeOf(sql, m.end - 1)
+        val isWindow = close > 0 &&
+          sql.substring(close + 1).matches("(?is)\\s*over\\b.*")
+        if (!isWindow) None
+        else if (enclosingCalls(sql, m.start).headOption.contains("cast")) None
+        else {
+          // un-cast window sum: find its alias and audit every later
+          // projection use of that alias
+          val overOpen = sql.indexOf('(', sql.toLowerCase.indexOf("over", close))
+          val afterWindow = sql.substring(closeOf(sql, overOpen) + 1)
+          val aliasRe = "(?is)^\\s*as\\s+([a-z_][a-z0-9_]*)".r
+          aliasRe.findFirstMatchIn(afterWindow) match {
+            case None =>
+              Some(s"$name: anonymous un-cast window SUM at offset ${m.start}")
+            case Some(am) =>
+              val alias = am.group(1)
+              val tail = sql.substring(closeOf(sql, overOpen) + 1 + am.end)
+              val aliasUse = s"(?i)\\b$alias\\b".r
+              val bad = aliasUse.findAllMatchIn(tail).toSeq.filter { u =>
+                inProjection(tail, u.start) &&
+                  !enclosingCalls(tail, u.start).exists(c => c == "cast" || c == "count")
+              }
+              if (bad.isEmpty) None
+              else Some(s"$name: window-sum alias `$alias` projected without CAST " +
+                s"(${bad.length} site(s)) — DuckDB HUGEINT will hash-mismatch Spark LONG")
+          }
+        }
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
 }

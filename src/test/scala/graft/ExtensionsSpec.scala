@@ -12,6 +12,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(total === ops.table(spark, sf, "documents").count())
   }
 
+  test("connected components: pointer jumping converges logarithmically on a chain") {
+    import spark.implicits._
+    // a 64-node path graph: diameter 63. Plain min-label propagation
+    // needs ~63 iterations; pointer jumping must stay logarithmic.
+    val n = 64
+    val fwd = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val (labels, iters) = Dedup.connectedComponents(spark, edges)
+    val rows = labels.collect()
+    assert(rows.length === n)
+    assert(rows.forall(_.getLong(1) == 0L), "single chain must collapse to comp 0")
+    assert(iters <= 8, s"expected O(log diameter) iterations on a 64-chain, got $iters")
+  }
+
   test("ngram jaccard: values bounded by (0,1], pairs ordered a<b") {
     val rows = Dedup.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)
