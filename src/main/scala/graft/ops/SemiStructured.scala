@@ -590,6 +590,58 @@ object SemiStructured {
         |FROM graft_cat.db.def_t GROUP BY 1 ORDER BY band""".stripMargin)
   }
 
+  /** Stored-procedure maintenance (`ProcedureCatalog`, the Iceberg
+    * `CALL catalog.system.rewrite_data_files` shape): three small
+    * INSERTs leave 12 task-sized segments; `CALL system.compact` merges
+    * them distributed (byte-level row-log concatenation, one task per
+    * merge group, manifest-only driver traffic) and the scan afterwards
+    * reads the SAME rows from far fewer files — the small-file fix a
+    * 100 TB ingest pipeline runs nightly. The aggregate pins content
+    * equality; SourcesSpec pins the file-count drop and time-travel to
+    * the pre-compaction version. */
+  val q94CatalogCompact: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cmp_t")
+    s.sql("CREATE TABLE graft_cat.db.cmp_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2400").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_for_cmp")
+    Seq(0, 800, 1600).foreach { lo =>
+      s.sql(
+        s"""INSERT INTO graft_cat.db.cmp_t
+           |SELECT id, v FROM graft_seq_for_cmp
+           |WHERE id >= $lo AND id < ${lo + 800}""".stripMargin)
+    }
+    s.sql("CALL graft_cat.system.compact('db.cmp_t', 1048576)")
+    s.sql(
+      """SELECT id % 7 AS g, COUNT(*) AS n, SUM(v) AS v_sum
+        |FROM graft_cat.db.cmp_t GROUP BY 1 ORDER BY g""".stripMargin)
+  }
+
+  /** Snapshot expiration (`CALL system.expire_versions`): INSERT
+    * OVERWRITE leaves the first load's segments referenced only by old
+    * manifest versions; expiring to the last version garbage-collects
+    * those files and bounds history — unbounded manifest growth is the
+    * other half of the small-file problem at 100 TB. SourcesSpec pins
+    * the physical deletes and that expired time travel now errors. */
+  val q95CatalogExpire: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.exp_t")
+    s.sql("CREATE TABLE graft_cat.db.exp_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_for_exp")
+    s.sql("INSERT INTO graft_cat.db.exp_t SELECT id, v FROM graft_seq_for_exp WHERE id < 1000")
+    s.sql(
+      """INSERT OVERWRITE graft_cat.db.exp_t
+        |SELECT id, v FROM graft_seq_for_exp WHERE id >= 1000""".stripMargin)
+    s.sql("CALL graft_cat.system.expire_versions('db.exp_t', 1)")
+    s.sql(
+      """SELECT COUNT(*) AS n, SUM(v) AS v_sum, MIN(id) AS id_min,
+        |  MAX(id) AS id_max
+        |FROM graft_cat.db.exp_t""".stripMargin)
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -685,7 +737,9 @@ object SemiStructured {
     "q90_catalog_alter" -> q90CatalogAlter,
     "q91_catalog_partitioned" -> q91CatalogPartitioned,
     "q92_tvf" -> q92Tvf,
-    "q93_catalog_default" -> q93CatalogDefault)
+    "q93_catalog_default" -> q93CatalogDefault,
+    "q94_catalog_compact" -> q94CatalogCompact,
+    "q95_catalog_expire" -> q95CatalogExpire)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -838,6 +892,19 @@ object SemiStructured {
         |SELECT CAST(id // 400 AS BIGINT) AS band, COUNT(*) AS n,
         |  CAST(SUM(v) AS BIGINT) AS v_sum, CAST(SUM(tag) AS BIGINT) AS tag_sum
         |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
+    "q94_catalog_compact" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2400) r)
+        |SELECT id % 7 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    "q95_catalog_expire" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  MIN(id) AS id_min, MAX(id) AS id_max
+        |FROM t WHERE id >= 1000""".stripMargin,
     "q84_catalog_delete" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

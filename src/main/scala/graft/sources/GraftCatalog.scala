@@ -10,16 +10,18 @@ import java.util.concurrent.atomic.AtomicReference
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression => CatalystExpr, Literal => CatalystLiteral, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression => CatalystExpr, GenericInternalRow, Literal => CatalystLiteral, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And, Not, Or, Predicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Custom catalog plugin (`TableCatalog` + `SupportsNamespaces` +
@@ -68,7 +70,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * durable-storage twin of `test_sql.py:5` reopening `yelp_dw.db`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft_cat"
   private var warehouse: Path = _
@@ -120,6 +122,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
+
+  /** v2 `ProcedureCatalog`: table-maintenance operations a real lakehouse
+    * catalog ships as stored procedures (Iceberg's
+    * `CALL catalog.system.rewrite_data_files` shape):
+    *
+    *   CALL graft_cat.system.compact('db.t' [, target_bytes])
+    *   CALL graft_cat.system.expire_versions('db.t', keep_last)
+    *
+    * `compact` fixes the small-file problem — at 100 TB, tables ingested
+    * by many tasks/micro-batches accumulate segments far below the ideal
+    * scan granularity, and scan parallelism degenerates into per-tiny-file
+    * scheduling overhead. `expire_versions` bounds manifest history and
+    * garbage-collects segment files no retained version references. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "compact"),
+      Identifier.of(namespace, "expire_versions"))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ident.name().toLowerCase match {
+      case "compact" => new CompactProcedure(this)
+      case "expire_versions" => new ExpireVersionsProcedure(this)
+      case other => throw new IllegalArgumentException(
+        s"catalog $catalogName has no procedure `$other` " +
+          "(available: compact, expire_versions)")
+    }
+
+  /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
+  private[graft] def segTable(name: String): SegTable = {
+    val parts = name.split('.')
+    require(parts.length >= 2, s"expected `namespace.table`, got `$name`")
+    loadTable(Identifier.of(parts.init, parts.last)) match {
+      case t: SegTable => t
+      case other => throw new IllegalArgumentException(
+        s"$name is not a segment table: ${other.getClass.getName}")
+    }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     (tables.keySet().asScala.toSet ++ onDisk())
@@ -286,6 +324,69 @@ class SegTable private (ident: String, dir: Path,
       throw new IllegalArgumentException(
         s"$ident has no version $v (latest: ${cur.v})"))
     new SegSnapshotTable(s"$ident@v$v", dir, snap)
+  }
+
+  /** Merge segment files smaller than `targetBytes` (the small-file
+    * problem: many-task ingest leaves segments far below ideal scan
+    * granularity). Merging is BYTE-LEVEL — segments are length-prefixed
+    * UnsafeRow logs, so a group concatenates without decoding a single
+    * row — and DISTRIBUTED: one task per merge group; the driver sees
+    * only the returned manifest entries (name + combined zone-map),
+    * never data. Only segments with identical physical column ids merge
+    * (schema generations stay separate), and on an identity-partitioned
+    * table only segments of the SAME partition value merge, so zone-maps
+    * remain exact partition pruning. Old versions keep referencing the
+    * pre-compaction files (compaction never deletes — that is
+    * [[expire]]'s job). Returns (groupsMerged, segsBefore, segsAfter). */
+  private[graft] def compact(targetBytes: Long): (Long, Long, Long) = synchronized {
+    val v = cur
+    val partOrd = v.partCol.map(v.schema.fieldNames.indexOf(_)).getOrElse(-1)
+    // a partitioned table's segments are single-valued on the partition
+    // column (the writer routes per value); merge only within a value —
+    // the all-null partition merges too (hasNull, no stats)
+    def eligible(s: Seg): Boolean = s.bytes < targetBytes &&
+      (partOrd < 0 ||
+        (s.hasStats(partOrd) && !s.hasNull(partOrd) &&
+          s.mins(partOrd) == s.maxs(partOrd)) ||
+        (!s.hasStats(partOrd) && s.hasNull(partOrd)))
+    val groups = v.segs.filter(eligible)
+      .groupBy(s => (s.colIds.toSeq,
+        partOrd >= 0 && s.hasStats(partOrd),
+        if (partOrd >= 0 && s.hasStats(partOrd)) s.mins(partOrd) else 0L))
+      .values.toSeq.filter(_.size >= 2)
+      // deterministic group order → deterministic output file names
+      .sortBy(_.head.file)
+    if (groups.isEmpty) return (0L, v.segs.size.toLong, v.segs.size.toLong)
+    val mergedIn = groups.flatten.map(_.file).toSet
+    val untouched = v.segs.filterNot(s => mergedIn.contains(s.file))
+    val dirStr = dir.toString
+    val newV = v.v + 1
+    val merged = SparkSession.active.sparkContext
+      .parallelize(groups.zipWithIndex, groups.size)
+      .map { case (g, i) =>
+        SegCompactor.merge(dirStr, s"seg-compact-v$newV-g$i.bin", g)
+      }
+      .collect() // manifest entries only (name + stats), never rows
+    publish(x => x.copy(segs = untouched ++ merged))
+    (groups.size.toLong, v.segs.size.toLong, (untouched.size + merged.length).toLong)
+  }
+
+  /** Retain only the last `keepLast` manifest versions and delete segment
+    * files no retained version references — snapshot expiration, the GC
+    * half of the compaction story. Time travel to an expired version
+    * fails with the existing "no version" error. Returns
+    * (versionsExpired, filesDeleted). */
+  private[graft] def expire(keepLast: Int): (Long, Long) = synchronized {
+    val k = math.max(keepLast, 1)
+    val keep = versions.takeRight(k)
+    val dropped = versions.dropRight(k)
+    if (dropped.isEmpty) return (0L, 0L)
+    val live = keep.flatMap(_.segs.map(_.file)).toSet
+    val dead = dropped.flatMap(_.segs.map(_.file)).distinct.filterNot(live.contains)
+    SegStore.rewriteVersions(dir, keep) // manifest first: crash-safe order
+    versions = keep
+    dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    (dropped.size.toLong, dead.size.toLong)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -919,14 +1020,27 @@ object SegStore {
       ("maxs" -> s.maxs.toList) ~ ("nulls" -> s.hasNull.toList) ~
       ("stats" -> s.hasStats.toList)
 
-  def appendVersion(dir: Path, v: SegVersion): Unit = {
+  private def versionLine(v: SegVersion): String = {
     val json: JValue = ("v" -> v.v) ~ ("ids" -> v.colIds.toList) ~
       ("schema" -> v.schema.json) ~ ("part" -> v.partCol) ~
       ("segs" -> v.segs.map(segJson).toList)
+    JsonMethods.compact(JsonMethods.render(json)) + "\n"
+  }
+
+  def appendVersion(dir: Path, v: SegVersion): Unit =
     Files.write(dir.resolve(MetaFile),
-      (JsonMethods.compact(JsonMethods.render(json)) + "\n")
-        .getBytes(StandardCharsets.UTF_8),
+      versionLine(v).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  /** Replace the manifest log wholesale (snapshot expiration): write to a
+    * temp file, then atomically move over `_meta.json`. */
+  def rewriteVersions(dir: Path, vs: Seq[SegVersion]): Unit = {
+    val tmp = dir.resolve(MetaFile + ".tmp")
+    Files.write(tmp, vs.map(versionLine).mkString.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+    Files.move(tmp, dir.resolve(MetaFile), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   def readVersions(dir: Path): Vector[SegVersion] = {
@@ -947,6 +1061,130 @@ object SegStore {
           DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
           (j \ "part").extractOpt[String], segs)
       }
+  }
+}
+
+/** Executor-side segment merge. The segment format is
+  * `magic, numCols, colIds…, (len, rowBytes)*, −1`, so merging segments
+  * with identical colIds is pure byte concatenation of the row regions —
+  * no row decode, no projection, no shuffle. Zone-maps combine
+  * elementwise from the MANIFEST entries (min of mins over segments with
+  * stats, max of maxs, OR of null/stats flags), so the merged entry is as
+  * exact as its inputs. */
+object SegCompactor {
+  def merge(dirStr: String, finalName: String, segs: Seq[Seg]): Seg = {
+    val dir = Paths.get(dirStr)
+    val colIds = segs.head.colIds
+    val headerLen = 8L + 4L * colIds.length
+    val tempPath = dir.resolve("_" + finalName)
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tempPath)))
+    out.writeInt(SegStore.Magic)
+    out.writeInt(colIds.length)
+    colIds.foreach(out.writeInt)
+    val buf = new Array[Byte](1 << 16)
+    segs.foreach { s =>
+      val p = dir.resolve(s.file)
+      val payload = Files.size(p) - headerLen - 4 // strip header + terminator
+      val in = Files.newInputStream(p)
+      try {
+        var skipped = 0L
+        while (skipped < headerLen) {
+          val n = in.skip(headerLen - skipped)
+          require(n > 0, s"cannot skip header of ${s.file}")
+          skipped += n
+        }
+        var copied = 0L
+        while (copied < payload) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, payload - copied).toInt)
+          require(n > 0, s"truncated segment ${s.file}")
+          out.write(buf, 0, n)
+          copied += n
+        }
+      } finally in.close()
+    }
+    out.writeInt(-1)
+    out.close()
+    Files.move(tempPath, dir.resolve(finalName), StandardCopyOption.REPLACE_EXISTING)
+    val nCols = segs.head.mins.length
+    val mins = Array.fill(nCols)(Long.MaxValue)
+    val maxs = Array.fill(nCols)(Long.MinValue)
+    val hasNull = Array.fill(nCols)(false)
+    val hasStats = Array.fill(nCols)(false)
+    segs.foreach { s =>
+      var i = 0
+      while (i < nCols) {
+        if (s.hasNull(i)) hasNull(i) = true
+        if (s.hasStats(i)) {
+          hasStats(i) = true
+          if (s.mins(i) < mins(i)) mins(i) = s.mins(i)
+          if (s.maxs(i) > maxs(i)) maxs(i) = s.maxs(i)
+        }
+        i += 1
+      }
+    }
+    Seg(finalName, segs.map(_.rows).sum, Files.size(dir.resolve(finalName)),
+      colIds, mins, maxs, hasNull, hasStats)
+  }
+}
+
+/** Single-row procedure result, surfaced to SQL through `LocalScan`. */
+private class ProcResultScan(schema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = schema
+}
+
+/** `CALL graft_cat.system.compact('db.t' [, target_bytes])`. */
+class CompactProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge segment files smaller than target_bytes (small-file compaction)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String = CompactProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue((128L * 1024 * 1024).toString)
+        .comment("segments below this size are merge candidates").build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val (g, before, after) =
+        catalog.segTable(input.getUTF8String(0).toString)
+          .compact(input.getLong(1))
+      val schema = StructType(Seq(
+        StructField("merged_groups", LongType, nullable = false),
+        StructField("segments_before", LongType, nullable = false),
+        StructField("segments_after", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](g, before, after)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.expire_versions('db.t', keep_last)`. */
+class ExpireVersionsProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "expire_versions"
+  override def description(): String =
+    "retain only the last keep_last manifest versions; GC unreferenced segments"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "expire_versions"
+    override def description(): String = ExpireVersionsProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", LongType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val (expired, deleted) =
+        catalog.segTable(input.getUTF8String(0).toString)
+          .expire(input.getLong(1).toInt)
+      val schema = StructType(Seq(
+        StructField("versions_expired", LongType, nullable = false),
+        StructField("files_deleted", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](expired, deleted)))).iterator()
+    }
   }
 }
 

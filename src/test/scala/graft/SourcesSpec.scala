@@ -415,4 +415,61 @@ class SourcesSpec extends SparkTestBase {
     assert(byBand(1L) === ((mm(400, 800), 400L * 42))) // v explicit, old default
     assert(byBand(2L) === ((mm(800, 1200), 400L * 9))) // after SET DEFAULT 9
   }
+
+  test("CALL compact: segments merge byte-level; pre-compaction version intact") {
+    val out = ops.SemiStructured.q94CatalogCompact(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum === 2400L)
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val t = cat.segTable("db.cmp_t")
+    // 3 inserts × 2 surviving splits each = 6 small segments, one merge
+    // group (same colIds, unpartitioned) → exactly 1 after compaction
+    assert(t.currentSegs.size === 1)
+    val seg = t.currentSegs.head
+    assert(seg.rows === 2400L)
+    // merged zone-map is the elementwise combine of the inputs
+    val idOrd = 0
+    assert(seg.mins(idOrd) === 0L && seg.maxs(idOrd) === 2399L)
+    // compaction NEVER deletes: time travel to the last pre-compaction
+    // version (v0 create + 3 inserts = v3) reads the original 6 segments
+    val pre = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(v) AS s FROM graft_cat.db.cmp_t VERSION AS OF 3")
+      .collect().head
+    val post = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(v) AS s FROM graft_cat.db.cmp_t")
+      .collect().head
+    assert(pre === post)
+    // idempotent: a second CALL finds nothing to merge
+    val again = spark.sql("CALL graft_cat.system.compact('db.cmp_t', 1048576)")
+      .collect().head
+    assert(again.getLong(0) === 0L)
+  }
+
+  test("CALL expire_versions: unreferenced files GCed, expired travel errors") {
+    val out = ops.SemiStructured.q95CatalogExpire(spark, sf).collect().head
+    assert(out.getLong(0) === 1000L)
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val t = cat.segTable("db.exp_t")
+    // create(v0) + insert(v1) + overwrite(v2); keep_last=1 leaves only v2
+    assert(t.currentVersion === 2L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.db.exp_t VERSION AS OF 1").collect()
+    }
+    assert(err.getMessage.contains("no version"))
+    // the overwritten first-load segments are physically gone: the table
+    // dir holds exactly the live segments plus the manifest
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse", "graft_cat", "db.exp_t")
+    val onDisk = java.nio.file.Files.list(dir).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(onDisk)
+      .asScala.map(_.getFileName.toString).toSet
+    assert(names === t.currentSegs.map(_.file).toSet + "_meta.json")
+    // a FRESH catalog instance reopens the rewritten manifest (durable)
+    val reopened = new graft.sources.GraftCatalog
+    reopened.initialize("graft_cat",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    assert(reopened.segTable("db.exp_t").currentVersion === 2L)
+  }
 }
