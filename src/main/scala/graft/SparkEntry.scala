@@ -33,6 +33,7 @@ object SparkEntry {
       ext.TrainingPrep.queries ++
       ext.GraphRank.queries ++
       ext.Multimodal.queries ++
+      ext.Layout.queries ++
       streaming.Streams.queries ++
       plans.AsOfQueries.queries ++
       ops.Advanced.queries)
@@ -54,6 +55,7 @@ object SparkEntry {
       ext.TrainingPrep.oracleSql ++
       ext.GraphRank.oracleSql ++
       ext.Multimodal.oracleSql ++
+      ext.Layout.oracleSql ++
       streaming.Streams.oracleSql ++
       plans.AsOfQueries.oracleSql ++
       ops.Advanced.oracleSql

@@ -176,6 +176,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (prior != null) prior else reopened
   }
 
+  /** `REFRESH TABLE graft_cat.db.t`: drop the cached handle so the next
+    * load reopens the manifest log from disk — how a reader observes
+    * versions published by ANOTHER catalog instance against the same
+    * warehouse (a streaming query's cloned session, a second process).
+    * Disk is the commit point; the cache is only a handle. */
+  override def invalidateTable(ident: Identifier): Unit = tables.remove(ident)
+
   /** Catalog time travel (`VERSION AS OF v`): every committed mutation
     * appends a manifest snapshot, so any historical version is a
     * consistent frozen read over the immutable segment files. */

@@ -619,6 +619,62 @@ object Streams {
       .orderBy("snap", "g")
   }
 
+  /** CDC upsert INTO THE CATALOG from a stream: micro-batches of keyed
+    * changes arrive as files and `foreachBatch` MERGEs each batch into a
+    * `graft_cat` segment table — the streaming half of the lakehouse
+    * story (Kafka → MERGE INTO warehouse table). Each batch lands as one
+    * atomic manifest version; the MERGE's row-level rewrite only touches
+    * segments whose zone-maps intersect the batch's keys, so per-batch
+    * cost scales with the batch, not the table. Batch 0 loads ids
+    * 0..999 at ver 1; batch 1 upserts 500..1499 at ver 2 with bumped
+    * values — final state: 0..499 untouched, 500..1499 updated or
+    * inserted, exactly what the oracle states. The MERGE runs in the
+    * stream's CLONED session (its own catalog instance), so the final
+    * read goes through REFRESH TABLE — the documented way a reader
+    * observes another instance's commits against the same warehouse. */
+  val streamMergeCatalog: Q = (s, d) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_t")
+    s.sql("CREATE TABLE graft_cat.db.cdc_t (id BIGINT, v BIGINT, ver BIGINT)")
+    val dir = scratchDir(s, "stream_cdc")
+    deleteRec(Paths.get(dir))
+    def batchDf(lo: Long, hi: Long, ver: Long, bump: Long): DataFrame =
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "1500").option("parts", "2").load()
+        .filter(col("id") >= lo && col("id") < hi)
+        .select(col("id"), (col("v") + bump).as("v"), lit(ver).as("ver"))
+    val now = System.currentTimeMillis()
+    copyAs(stagedOnce(s, d, "cdc_b0", "json")(batchDf(0, 1000, 1, 0)),
+      Paths.get(s"$dir/in/b0.json"), now - 60000)
+    copyAs(stagedOnce(s, d, "cdc_b1", "json")(batchDf(500, 1500, 2, 1)),
+      Paths.get(s"$dir/in/b1.json"), now - 30000)
+    val cdcSchema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("ver", LongType)))
+    withStreamShuffle(s) {
+      val query = s.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$dir/in")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.createOrReplaceTempView("graft_cdc_batch")
+          batch.sparkSession.sql(
+            """MERGE INTO graft_cat.db.cdc_t t
+              |USING graft_cdc_batch u ON t.id = u.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ()
+        }
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    s.sql("REFRESH TABLE graft_cat.db.cdc_t")
+    s.sql(
+      """SELECT id DIV 500 AS band, COUNT(*) AS n, SUM(v) AS v_sum,
+        |  SUM(ver) AS ver_sum
+        |FROM graft_cat.db.cdc_t GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -723,7 +779,8 @@ object Streams {
     "ext46_stream_custom_sink" -> streamCustomSink,
     "ext51_sink_time_travel" -> sinkTimeTravel,
     "ext53_trigger_available_now" -> availableNowDrain,
-    "ext55_stream_static_join" -> streamStaticJoin)
+    "ext55_stream_static_join" -> streamStaticJoin,
+    "ext58_stream_merge_catalog" -> streamMergeCatalog)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -783,6 +840,18 @@ object Streams {
         |  FROM range(20000) r)
         |SELECT id % 4 AS g, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
+    // batch 0 inserts ids 0..999 (ver 1); batch 1 upserts 500..1499
+    // (ver 2, v+1) — update-wins on the overlap, insert on the rest
+    "ext58_stream_merge_catalog" ->
+      """WITH t AS (
+        |  SELECT r.range AS id,
+        |    CASE WHEN r.range < 500 THEN (r.range * 2654435761) % 1000
+        |         ELSE (r.range * 2654435761) % 1000 + 1 END AS v,
+        |    CASE WHEN r.range < 500 THEN 1 ELSE 2 END AS ver
+        |  FROM range(1500) r)
+        |SELECT id // 500 AS band, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(SUM(ver) AS BIGINT) AS ver_sum
+        |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
     // snapshot as-of epoch 1 = the first two admitted 2000-row ranges;
     // latest = the whole relation — both consistent, from one manifest
     "ext51_sink_time_travel" ->

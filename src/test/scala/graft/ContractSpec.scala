@@ -19,6 +19,7 @@ class ContractSpec extends AnyFunSuite {
     "TrainingPrep" -> ext.TrainingPrep.queries,
     "GraphRank" -> ext.GraphRank.queries,
     "Multimodal" -> ext.Multimodal.queries,
+    "Layout" -> ext.Layout.queries,
     "Streams" -> streaming.Streams.queries,
     "AsOfQueries" -> plans.AsOfQueries.queries,
     "Advanced" -> ops.Advanced.queries)

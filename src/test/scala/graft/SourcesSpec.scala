@@ -445,6 +445,55 @@ class SourcesSpec extends SparkTestBase {
     assert(again.getLong(0) === 0L)
   }
 
+  test("z-ordered layout makes a two-column box predicate prune segments") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.z_t")
+    spark.sql("CREATE TABLE graft_cat.db.z_t (event_id BIGINT, x BIGINT, y BIGINT, zkey BIGINT)")
+    // z-order layout rewrite: range-partition on the Morton key → each of
+    // the 16 write tasks covers a contiguous z range → every segment's
+    // (x, y) zone-map is a ~64×64 bounding box, not a full-width slab
+    graft.ext.Layout.zEvents(ops.table(spark, sf, "events"))
+      .repartitionByRange(16, col("zkey"))
+      .createOrReplaceTempView("graft_z_events")
+    spark.sql("INSERT INTO graft_cat.db.z_t SELECT * FROM graft_z_events")
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val total = cat.segTable("db.z_t").currentSegs.size
+    assert(total >= 8, s"expected many segments, got $total")
+    val box = spark.sql(
+      """SELECT COUNT(*) AS n FROM graft_cat.db.z_t
+        |WHERE x >= 0 AND x < 64 AND y >= 64 AND y < 128""".stripMargin)
+      .collect().head.getLong(0)
+    val (tbl, kept, planned) = graft.sources.SegHooks.lastPlanned.get()
+    assert(tbl.contains("z_t"), tbl)
+    // the 64×64 box is ONE z bucket of 16; only quantile-boundary
+    // segments straddle it
+    assert(kept <= planned / 2, s"box predicate planned $kept/$planned")
+    // pruning lost no rows: recompute without the catalog
+    val expect = graft.ext.Layout.zEvents(ops.table(spark, sf, "events"))
+      .filter(col("x") < 64 && col("y") >= 64 && col("y") < 128).count()
+    assert(box === expect)
+    // the decisive property: the SAME layout also prunes a y-ONLY
+    // predicate (4 of 16 buckets), which no single-column sort can do —
+    // an x-sorted control table keeps every segment for it
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.z_t WHERE y >= 64 AND y < 128")
+      .collect()
+    val (_, keptY, _) = graft.sources.SegHooks.lastPlanned.get()
+    assert(keptY <= planned * 2 / 3, s"y-only predicate planned $keptY/$planned")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.x_t")
+    spark.sql("CREATE TABLE graft_cat.db.x_t (event_id BIGINT, x BIGINT, y BIGINT, zkey BIGINT)")
+    graft.ext.Layout.zEvents(ops.table(spark, sf, "events"))
+      .repartitionByRange(16, col("x"))
+      .createOrReplaceTempView("graft_x_events")
+    spark.sql("INSERT INTO graft_cat.db.x_t SELECT * FROM graft_x_events")
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.x_t WHERE y >= 64 AND y < 128")
+      .collect()
+    val (tblX, keptX, plannedX) = graft.sources.SegHooks.lastPlanned.get()
+    assert(tblX.contains("x_t"), tblX)
+    assert(keptX === plannedX,
+      s"x-sorted layout should not prune a y predicate ($keptX/$plannedX)")
+  }
+
   test("CALL expire_versions: unreferenced files GCed, expired travel errors") {
     val out = ops.SemiStructured.q95CatalogExpire(spark, sf).collect().head
     assert(out.getLong(0) === 1000L)
