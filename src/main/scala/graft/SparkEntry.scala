@@ -31,6 +31,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.TextAnalysis.queries ++
       ext.TrainingPrep.queries ++
+      ext.CorpusOps.queries ++
       ext.GraphRank.queries ++
       ext.Multimodal.queries ++
       ext.Layout.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       ext.Similarity.oracleSql ++
       ext.TextAnalysis.oracleSql ++
       ext.TrainingPrep.oracleSql ++
+      ext.CorpusOps.oracleSql ++
       ext.GraphRank.oracleSql ++
       ext.Multimodal.oracleSql ++
       ext.Layout.oracleSql ++

@@ -1,0 +1,410 @@
+package graft.ext
+
+import graft.dw.Keys
+import graft.ops.{table, Dec, Q}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production LLM training-data pipeline runs
+  * after the per-document scoring tier (TextAnalysis) and alongside the
+  * dedup tier (Dedup): span-level exact dedup, repetition-based quality
+  * rules, temperature-weighted domain mixing, length-bucketed batch
+  * packing, count-based bigram-LM scoring, and the deterministic global
+  * shuffle that fixes the final training order.
+  *
+  * Determinism discipline (the driver hash-compares against DuckDB):
+  * pseudo-randomness is the Lehmer-style integer hash
+  * `(id * 2654435761) mod 2^31` (same idiom as TrainingPrep's negatives),
+  * cross-partition double sums are staged through DECIMAL (see
+  * `ops.dsum`), and every output ends in a total-order sort.
+  */
+object CorpusOps {
+
+  /** Tokens of the lowered text, empty strings dropped — the shared
+    * front-end of every operator here. */
+  private val toksExpr = "filter(split(lower(text), ' '), t -> t <> '')"
+
+  /** C4-style span-level exact dedup: split each document into
+    * non-overlapping 8-token spans, keep only the globally FIRST
+    * occurrence (min (doc_id, span_idx)) of each distinct span, and
+    * reassemble the surviving text per document in original span order.
+    *
+    * Scale: span construction is array-local inside the projection (no
+    * explode until the span rows exist); the winner pick is one keyed
+    * shuffle on the span digest; reassembly is one keyed shuffle on
+    * doc_id. Nothing is broadcast, nothing is all-pairs — at 100 TB the
+    * digest shuffle would carry (digest, packed-position) only and
+    * semi-join the span text back, the same two-exchange shape.
+    */
+  val spanDedup: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+    val spans = docs.select(
+      col("doc_id"),
+      posexplode(expr(
+        "if(size(toks) = 0, array()," +
+          " transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1)," +
+          "           i -> array_join(slice(toks, i * 8 + 1, 8), ' ')))"))
+        .as(Seq("span_idx", "span")))
+    // packed (doc_id, span_idx) — span_idx < 100000 by construction, so
+    // the pack preserves lexicographic order of the pair
+    val keyed = spans
+      .withColumn("h", md5(col("span")))
+      .withColumn("pk", col("doc_id") * 100000L + col("span_idx"))
+    val kept = keyed
+      .withColumn("keeper", min("pk").over(Window.partitionBy("h")))
+      .filter(col("pk") === col("keeper"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        expr("transform(array_sort(collect_list(struct(span_idx, span)))," +
+          " x -> x.span)"), " ").as("dedup_text"))
+    docs
+      .select(col("doc_id"),
+        expr("cast(ceil(size(toks) / 8.0) as bigint)").as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher/MassiveText-style repetition + shape rules: per-document word
+    * stats, top-unigram fraction, duplicate-bigram fraction, stopword
+    * fraction, and the resulting keep/drop flag.
+    *
+    * Scale: unigram stats are explode → two-level hash agg keyed by
+    * (doc_id, token) then doc_id — both benefit from map-side partial
+    * aggregation; bigram distinctness is computed array-locally inside
+    * the projection (no shuffle). Every ratio is a single division of two
+    * per-doc integers, so Spark and DuckDB produce bit-identical doubles.
+    */
+  val gopherRules: Q = (s, d) => {
+    val uni = table(s, d, "documents")
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val perDoc = uni.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"),
+      sum(length(col("tok")) * col("c")).as("n_word_chars"),
+      max("c").as("top_unigram"),
+      sum(when(col("tok").isin("the", "a", "of", "and", "is"), col("c"))
+        .otherwise(0L)).as("n_stop"))
+    val big = table(s, d, "documents")
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .select(col("doc_id"),
+        expr("if(size(toks) < 2, array()," +
+          " transform(sequence(1, size(toks) - 1)," +
+          "           i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))")
+          .as("bigrams"))
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))
+    perDoc.join(big, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_word_chars").cast("double") / col("n_tokens")).as("mean_word_len"),
+        (col("top_unigram").cast("double") / col("n_tokens")).as("top_unigram_frac"),
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+            col("n_bigrams")).as("dup_bigram_frac"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_frac"))
+      .withColumn("quality_flag",
+        when(col("n_tokens").between(20L, 200L) &&
+          col("mean_word_len").between(2.0, 10.0) &&
+          col("top_unigram_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.6 &&
+          col("stopword_frac") >= 0.01, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-weighted domain mixture (the multilingual/multi-source
+    * t=0.5 sampling rule): per-source budget share ∝ sqrt(n_source),
+    * overall budget = half the corpus, acceptance by deterministic
+    * per-doc uniform u < rate.
+    *
+    * Scale: per-source stats are one tiny keyed agg (≤ #sources rows) —
+    * broadcast back to the corpus, so selection is a map-side filter.
+    * The sqrt-weight normalizer sums ≤ #sources doubles staged through
+    * DECIMAL so both engines add exactly.
+    */
+  val domainMixture: Q = (s, d) => {
+    val docs = table(s, d, "documents").select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(sqrt(col("n_docs").cast("double")).cast(Dec)).as("sum_sqrt"),
+      sum("n_docs").as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"),
+      least(lit(1.0),
+        (col("n_total") / lit(2)) *
+          (sqrt(col("n_docs").cast("double")).cast(Dec).cast("double") /
+            col("sum_sqrt").cast("double")) / col("n_docs")).as("rate"))
+    val selected = docs
+      .join(broadcast(rates), Seq("source"))
+      .filter(
+        ((col("doc_id") * lit(2654435761L)) % lit(2147483648L)).cast("double") /
+          lit(2147483648.0) < col("rate"))
+      .groupBy("source").agg(count(lit(1)).as("n_selected"))
+    rates.join(selected, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        col("rate").cast(Dec).cast("double").as("rate"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"))
+      .orderBy("source")
+  }
+
+  /** Length-grouped batch packing: bucket documents by token count
+    * (width-16 buckets), fill batches of 8 in doc_id order within each
+    * bucket, and report per-batch padding waste — the measure
+    * length-grouped batching exists to minimize.
+    *
+    * Scale: one keyed window per bucket (batch fill is sequential within
+    * a bucket by definition); buckets are independent, so parallelism =
+    * #buckets × #batches. At 100 TB the in-bucket row_number becomes
+    * Keys.rangeIds on (bucket, doc_id) — same ids, no single-task window.
+    */
+  val lengthBatching: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"))
+      .withColumn("bucket", expr("n_tokens div 16"))
+    val batched = docs.withColumn("rn",
+      row_number().over(Window.partitionBy("bucket").orderBy("doc_id")))
+      .withColumn("batch_id", expr("(rn - 1) div 8"))
+    batched.groupBy("bucket", "batch_id").agg(
+      count(lit(1)).as("n_docs"),
+      max("n_tokens").as("max_tokens"),
+      (max("n_tokens") * count(lit(1)) - sum("n_tokens")).as("padding_tokens"))
+      .orderBy("bucket", "batch_id")
+  }
+
+  /** Cross-engine-deterministic log2 of a positive integer expression.
+    *
+    * libm `ln`/`log2` are NOT correctly-rounded IEEE ops, so the JVM and
+    * DuckDB can differ by an ulp — enough to flip a DECIMAL cast and fail
+    * the driver's hash compare (observed: 1e-4 drift on summed scores).
+    * This evaluates log2 with ONLY correctly-rounded operations, so both
+    * engines produce bit-identical doubles: the integer exponent comes
+    * from the binary digit count (`length(bin(n)) - 1`, exact), the
+    * mantissa m = n / 2^e ∈ [1,2) from one correctly-rounded division
+    * (2^e is exact for e ≤ 62), and log2(m) from a fixed degree-5
+    * least-squares polynomial (max abs err 3.2e-5 — a scoring signal,
+    * not a math library) evaluated in identical Horner order from
+    * identical literals. The SQL text is shared verbatim between the
+    * Spark plan (`expr`) and the DuckDB oracle.
+    */
+  private def detLog2(n: String): String = {
+    val m = s"(CAST($n AS DOUBLE) / power(2.0, length(bin($n)) - 1))"
+    s"((length(bin($n)) - 1) + (((((0.043428363 * $m - 0.404862309) * $m + " +
+      s"1.593884548) * $m - 3.492466043) * $m + 5.046852936) * $m - 2.786805564))"
+  }
+
+  /** Per-bigram smoothed negative log-likelihood in nats, as shared SQL:
+    * p = (c2 + 0.5) / (c1 + 0.5 v) = num / den with num = 2 c2 + 1,
+    * den = 2 c1 + v, so -ln p = (log2 den - log2 num) · ln 2. */
+  private val nllStepSql: String =
+    s"CAST((${detLog2("den")} - ${detLog2("num")}) * 0.6931471805599453" +
+      " AS DECIMAL(18, 6))"
+
+  /** Count-based bigram language-model scoring (add-half smoothing):
+    * train the LM on the corpus itself (bigram + unigram-prefix counts,
+    * vocabulary size), then score every document by its summed negative
+    * log-likelihood — the classic perplexity-flavored quality signal.
+    *
+    * Scale: bigrams are built array-locally, counts are two map-side-
+    * combining keyed aggs whose results are vocabulary-sized (≪ corpus),
+    * the score join is keyed on the bigram, and the per-doc sum is
+    * DECIMAL-staged so partial-aggregation order cannot change the
+    * result. Nothing driver-side; V is a broadcast scalar. The log is
+    * [[detLog2]] — bit-identical across engines by construction.
+    */
+  val bigramNll: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+    val bi = docs.select(col("doc_id"),
+      explode(expr(
+        "if(size(toks) < 2, array()," +
+          " transform(sequence(1, size(toks) - 1)," +
+          "           i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2)))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .withColumn("num", lit(2L) * col("c2") + lit(1L))
+      .withColumn("den", lit(2L) * col("c1") + col("v"))
+      .withColumn("nll_step", expr(nllStepSql))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        // no DecOut re-rounding: these sums use all 6 decimals, and a
+        // scale-4 tie rounds HALF_UP in Spark but half-even in DuckDB.
+        // Unscaled values stay < 2^53, so decimal(·,6) → double is exact
+        // (hence identical) in both engines.
+        sum("nll_step").cast("double").as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic distributed global shuffle — the final fix of training
+    * order: rank every document by a salted digest of its id, assign the
+    * dense global sample index with the scale-safe two-phase range-id
+    * scheme (never a partitionless window), and derive the microbatch.
+    *
+    * Scale: repartitionByRange on the digest + per-partition offsets is
+    * exactly how a 100 TB corpus gets a reproducible global permutation;
+    * the only driver traffic is one count per partition.
+    */
+  val globalShuffle: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    Keys.rangeIds(docs, "sample_idx", Seq(col("k")))
+      .select(col("sample_idx"), col("doc_id"), col("source"),
+        expr("(sample_idx - 1) div 256").as("microbatch"))
+      .orderBy("sample_idx")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext59_span_dedup" -> spanDedup,
+    "ext60_gopher_rules" -> gopherRules,
+    "ext61_domain_mixture" -> domainMixture,
+    "ext62_length_batching" -> lengthBatching,
+    "ext63_bigram_nll" -> bigramNll,
+    "ext64_global_shuffle" -> globalShuffle)
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "ext59_span_dedup" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |spans AS (
+         |  SELECT doc_id, i AS span_idx,
+         |    array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS span
+         |  FROM docs, UNNEST(range(0, CAST(ceil(len(toks) / 8.0) AS INT))) AS u(i)),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, span_idx, span,
+         |      doc_id * 100000 + span_idx AS pk,
+         |      MIN(doc_id * 100000 + span_idx) OVER (PARTITION BY md5(span)) AS keeper
+         |    FROM spans)
+         |  WHERE pk = keeper),
+         |rebuilt AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(span, ' ' ORDER BY span_idx) AS dedup_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(ceil(len(d.toks) / 8.0) AS BIGINT) AS n_spans,
+         |  COALESCE(r.n_kept, 0) AS n_kept,
+         |  COALESCE(r.dedup_text, '') AS dedup_text
+         |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "ext60_gopher_rules" ->
+      s"""WITH uni AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |per_doc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(length(tok) * c) AS BIGINT) AS n_word_chars,
+         |    MAX(c) AS top_unigram,
+         |    CAST(SUM(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'is')
+         |             THEN c ELSE 0 END) AS BIGINT) AS n_stop
+         |  FROM uni GROUP BY doc_id),
+         |big AS (
+         |  SELECT doc_id,
+         |    CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+         |    CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(toks) < 2 THEN []
+         |           ELSE list_transform(range(1, len(toks)),
+         |                               i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
+         |m AS (
+         |  SELECT p.doc_id, p.n_tokens,
+         |    CAST(p.n_word_chars AS DOUBLE) / p.n_tokens AS mean_word_len,
+         |    CAST(p.top_unigram AS DOUBLE) / p.n_tokens AS top_unigram_frac,
+         |    CASE WHEN b.n_bigrams = 0 THEN 0.0
+         |         ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+         |    END AS dup_bigram_frac,
+         |    CAST(p.n_stop AS DOUBLE) / p.n_tokens AS stopword_frac
+         |  FROM per_doc p JOIN big b ON p.doc_id = b.doc_id)
+         |SELECT *,
+         |  CASE WHEN n_tokens BETWEEN 20 AND 200
+         |        AND mean_word_len BETWEEN 2.0 AND 10.0
+         |        AND top_unigram_frac <= 0.2
+         |        AND dup_bigram_frac <= 0.6
+         |        AND stopword_frac >= 0.01 THEN 'keep' ELSE 'drop' END AS quality_flag
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "ext61_domain_mixture" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18, 6))) AS sum_sqrt,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_total
+        |  FROM counts),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |    least(1.0,
+        |      (n_total / 2) *
+        |      (CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18, 6)) AS DOUBLE) /
+        |       CAST(sum_sqrt AS DOUBLE)) / n_docs) AS rate
+        |  FROM counts, tot),
+        |sel AS (
+        |  SELECT d.source, COUNT(*) AS n_selected
+        |  FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE CAST((d.doc_id * 2654435761) % 2147483648 AS DOUBLE) / 2147483648.0
+        |        < r.rate
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs,
+        |  CAST(CAST(r.rate AS DECIMAL(18, 6)) AS DOUBLE) AS rate,
+        |  COALESCE(s.n_selected, 0) AS n_selected
+        |FROM rates r LEFT JOIN sel s ON r.source = s.source
+        |ORDER BY r.source""".stripMargin,
+    "ext62_length_batching" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |batched AS (
+         |  SELECT *, n_tokens // 16 AS bucket,
+         |    (ROW_NUMBER() OVER (PARTITION BY n_tokens // 16 ORDER BY doc_id) - 1) // 8
+         |      AS batch_id
+         |  FROM docs)
+         |SELECT bucket, batch_id, COUNT(*) AS n_docs,
+         |  MAX(n_tokens) AS max_tokens,
+         |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padding_tokens
+         |FROM batched GROUP BY bucket, batch_id
+         |ORDER BY bucket, batch_id""".stripMargin,
+    "ext63_bigram_nll" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |bi AS (
+         |  SELECT doc_id,
+         |    unnest(toks[1 : len(toks) - 1]) AS w1,
+         |    unnest(toks[2 : len(toks)]) AS w2
+         |  FROM docs WHERE len(toks) >= 2),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+         |vocab AS (
+         |  SELECT COUNT(DISTINCT t) AS v FROM (
+         |    SELECT unnest(toks) AS t FROM docs)),
+         |scored AS (
+         |  SELECT b.doc_id, 2 * c2.c2 + 1 AS num, 2 * c1.c1 + v AS den
+         |  FROM bi b
+         |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+         |  JOIN c1 ON b.w1 = c1.w1
+         |  CROSS JOIN vocab)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM($nllStepSql) AS DOUBLE) AS nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ext64_global_shuffle" ->
+      """SELECT
+        |  ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)))
+        |    AS sample_idx,
+        |  doc_id, source,
+        |  (ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR))) - 1)
+        |    // 256 AS microbatch
+        |FROM documents ORDER BY sample_idx""".stripMargin)
+}

