@@ -79,7 +79,11 @@ object CorpusOps {
     * the projection (no shuffle). Every ratio is a single division of two
     * per-doc integers, so Spark and DuckDB produce bit-identical doubles.
     */
-  val gopherRules: Q = (s, d) => {
+  val gopherRules: Q = (s, d) => gopherCore(s, d).orderBy("doc_id")
+
+  /** Unsorted [[gopherRules]] — reused by the ensemble (ext66) without
+    * burying a pointless total-order sort inside a join input. */
+  private def gopherCore(s: org.apache.spark.sql.SparkSession, d: String) = {
     val uni = table(s, d, "documents")
       .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -114,7 +118,6 @@ object CorpusOps {
           col("top_unigram_frac") <= 0.2 &&
           col("dup_bigram_frac") <= 0.6 &&
           col("stopword_frac") >= 0.01, "keep").otherwise("drop"))
-      .orderBy("doc_id")
   }
 
   /** Temperature-weighted domain mixture (the multilingual/multi-source
@@ -217,7 +220,10 @@ object CorpusOps {
     * result. Nothing driver-side; V is a broadcast scalar. The log is
     * [[detLog2]] — bit-identical across engines by construction.
     */
-  val bigramNll: Q = (s, d) => {
+  val bigramNll: Q = (s, d) => nllCore(s, d).orderBy("doc_id")
+
+  /** Unsorted [[bigramNll]] — reused by the ensemble (ext66). */
+  private def nllCore(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = table(s, d, "documents")
       .select(col("doc_id"), expr(toksExpr).as("toks"))
     val bi = docs.select(col("doc_id"),
@@ -242,7 +248,6 @@ object CorpusOps {
         // Unscaled values stay < 2^53, so decimal(·,6) → double is exact
         // (hence identical) in both engines.
         sum("nll_step").cast("double").as("nll"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic distributed global shuffle — the final fix of training
@@ -264,7 +269,68 @@ object CorpusOps {
       .orderBy("sample_idx")
   }
 
+  /** Incremental dedup — the production shape: an incoming batch is
+    * checked against the ALREADY-INDEXED corpus digest index instead of
+    * recomputing the full corpus self-join. Docs with id < 400 stand in
+    * for the indexed corpus, id ≥ 400 for the incoming batch; each batch
+    * doc is classified `dup_of_corpus` (digest already indexed),
+    * `dup_in_batch` (an earlier batch doc has it), or `new`.
+    *
+    * Scale: the index side projects to digests only (bodies never read
+    * past the scan), the membership check is one digest-keyed left-semi-
+    * shaped join, and the within-batch pick is a keyed min — the
+    * steady-state cost is proportional to the BATCH, not the corpus,
+    * which is the whole point of incremental dedup at 100 TB.
+    */
+  val incrementalDedup: Q = (s, d) => {
+    val digested = table(s, d, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    val corpusIdx = digested.filter(col("doc_id") < 400).select("h").distinct()
+    val batch = digested.filter(col("doc_id") >= 400)
+    val inCorpus = batch
+      .join(corpusIdx.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+    val firstInBatch = batch.groupBy("h").agg(min("doc_id").as("first_id"))
+    inCorpus.join(firstInBatch, Seq("h"))
+      .select(col("doc_id"), col("h").as("digest"),
+        when(col("in_corpus"), "dup_of_corpus")
+          .when(col("doc_id") > col("first_id"), "dup_in_batch")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-signal ensemble — the tiers composed into ONE lazy plan:
+    * Gopher shape rules (ext60) join bigram-LM scores (ext63), the NLL
+    * percentile comes from the scale-safe range-partitioned rank (never
+    * a partitionless window), and the final keep decision combines the
+    * rule flag with a 90th-percentile perplexity cut.
+    *
+    * Scale: both signal frames are keyed on doc_id; the percentile rank
+    * is Keys.rangeIds over (nll, doc_id) — a range exchange plus
+    * per-partition offsets — and n arrives as a broadcast scalar, so no
+    * stage sees a single-task funnel.
+    */
+  val qualityEnsemble: Q = (s, d) => {
+    val signals = gopherCore(s, d)
+      .select("doc_id", "n_tokens", "quality_flag")
+      .join(nllCore(s, d).select("doc_id", "nll"), Seq("doc_id"))
+    val ranked = Keys.rangeIds(signals, "nll_rank",
+      Seq(col("nll"), col("doc_id")))
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("nll_pct",
+        (col("nll_rank") - 1).cast("double") / (col("n_docs") - 1))
+      .select(col("doc_id"), col("n_tokens"), col("quality_flag"), col("nll"),
+        col("nll_pct"),
+        expr("cast(floor(nll_pct * 10) as bigint)").as("nll_decile"),
+        when(col("quality_flag") === "keep" && col("nll_pct") <= 0.9, "keep")
+          .otherwise("drop").as("decision"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext65_incremental_dedup" -> incrementalDedup,
+    "ext66_quality_ensemble" -> qualityEnsemble,
     "ext59_span_dedup" -> spanDedup,
     "ext60_gopher_rules" -> gopherRules,
     "ext61_domain_mixture" -> domainMixture,
@@ -275,7 +341,110 @@ object CorpusOps {
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  /** Gopher-rule CTEs shared by the ext60 oracle and the ext66 ensemble
+    * oracle (final CTE `m` carries the metrics, flag via [[gopherFlagSql]]). */
+  private val gopherCtesSql: String =
+    s"""uni AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(length(tok) * c) AS BIGINT) AS n_word_chars,
+       |    MAX(c) AS top_unigram,
+       |    CAST(SUM(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'is')
+       |             THEN c ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM uni GROUP BY doc_id),
+       |big AS (
+       |  SELECT doc_id,
+       |    CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       |    CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(toks) < 2 THEN []
+       |           ELSE list_transform(range(1, len(toks)),
+       |                               i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
+       |m AS (
+       |  SELECT p.doc_id, p.n_tokens,
+       |    CAST(p.n_word_chars AS DOUBLE) / p.n_tokens AS mean_word_len,
+       |    CAST(p.top_unigram AS DOUBLE) / p.n_tokens AS top_unigram_frac,
+       |    CASE WHEN b.n_bigrams = 0 THEN 0.0
+       |         ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
+       |    END AS dup_bigram_frac,
+       |    CAST(p.n_stop AS DOUBLE) / p.n_tokens AS stopword_frac
+       |  FROM per_doc p JOIN big b ON p.doc_id = b.doc_id)""".stripMargin
+
+  private val gopherFlagSql: String =
+    """CASE WHEN n_tokens BETWEEN 20 AND 200
+      |        AND mean_word_len BETWEEN 2.0 AND 10.0
+      |        AND top_unigram_frac <= 0.2
+      |        AND dup_bigram_frac <= 0.6
+      |        AND stopword_frac >= 0.01 THEN 'keep' ELSE 'drop' END""".stripMargin
+
+  /** Bigram-LM CTEs shared by the ext63 oracle and the ext66 ensemble
+    * oracle (final CTE `nllagg`: doc_id, n_bigrams, nll). */
+  private val nllCtesSql: String =
+    s"""nlldocs AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(toks[1 : len(toks) - 1]) AS w1,
+       |    unnest(toks[2 : len(toks)]) AS w2
+       |  FROM nlldocs WHERE len(toks) >= 2),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+       |vocab AS (
+       |  SELECT COUNT(DISTINCT t) AS v FROM (
+       |    SELECT unnest(toks) AS t FROM nlldocs)),
+       |scored AS (
+       |  SELECT b.doc_id, 2 * c2.c2 + 1 AS num, 2 * c1.c1 + v AS den
+       |  FROM bi b
+       |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+       |  JOIN c1 ON b.w1 = c1.w1
+       |  CROSS JOIN vocab),
+       |nllagg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM($nllStepSql) AS DOUBLE) AS nll
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ext65_incremental_dedup" ->
+      """WITH digested AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT h FROM digested WHERE doc_id < 400),
+        |batch AS (SELECT * FROM digested WHERE doc_id >= 400),
+        |firsts AS (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY h)
+        |SELECT b.doc_id, b.h AS digest,
+        |  CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.doc_id > f.first_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS status
+        |FROM batch b
+        |LEFT JOIN corpus c ON b.h = c.h
+        |JOIN firsts f ON b.h = f.h
+        |ORDER BY b.doc_id""".stripMargin,
+    "ext66_quality_ensemble" ->
+      s"""WITH $gopherCtesSql,
+         |$nllCtesSql,
+         |sig AS (
+         |  SELECT m.doc_id, m.n_tokens, $gopherFlagSql AS quality_flag, a.nll
+         |  FROM m JOIN nllagg a ON m.doc_id = a.doc_id),
+         |ranked AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (ORDER BY nll, doc_id) AS nll_rank,
+         |    COUNT(*) OVER () AS n_docs
+         |  FROM sig)
+         |SELECT doc_id, n_tokens, quality_flag, nll,
+         |  CAST(nll_rank - 1 AS DOUBLE) / (n_docs - 1) AS nll_pct,
+         |  CAST(floor((CAST(nll_rank - 1 AS DOUBLE) / (n_docs - 1)) * 10)
+         |       AS BIGINT) AS nll_decile,
+         |  CASE WHEN quality_flag = 'keep'
+         |        AND CAST(nll_rank - 1 AS DOUBLE) / (n_docs - 1) <= 0.9
+         |       THEN 'keep' ELSE 'drop' END AS decision
+         |FROM ranked ORDER BY doc_id""".stripMargin,
     "ext59_span_dedup" ->
       s"""WITH docs AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),
@@ -300,43 +469,8 @@ object CorpusOps {
          |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "ext60_gopher_rules" ->
-      s"""WITH uni AS (
-         |  SELECT doc_id, tok, COUNT(*) AS c FROM (
-         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
-         |  GROUP BY doc_id, tok),
-         |per_doc AS (
-         |  SELECT doc_id,
-         |    CAST(SUM(c) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(length(tok) * c) AS BIGINT) AS n_word_chars,
-         |    MAX(c) AS top_unigram,
-         |    CAST(SUM(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'is')
-         |             THEN c ELSE 0 END) AS BIGINT) AS n_stop
-         |  FROM uni GROUP BY doc_id),
-         |big AS (
-         |  SELECT doc_id,
-         |    CAST(len(bigrams) AS BIGINT) AS n_bigrams,
-         |    CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
-         |  FROM (
-         |    SELECT doc_id,
-         |      CASE WHEN len(toks) < 2 THEN []
-         |           ELSE list_transform(range(1, len(toks)),
-         |                               i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
-         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
-         |m AS (
-         |  SELECT p.doc_id, p.n_tokens,
-         |    CAST(p.n_word_chars AS DOUBLE) / p.n_tokens AS mean_word_len,
-         |    CAST(p.top_unigram AS DOUBLE) / p.n_tokens AS top_unigram_frac,
-         |    CASE WHEN b.n_bigrams = 0 THEN 0.0
-         |         ELSE CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams
-         |    END AS dup_bigram_frac,
-         |    CAST(p.n_stop AS DOUBLE) / p.n_tokens AS stopword_frac
-         |  FROM per_doc p JOIN big b ON p.doc_id = b.doc_id)
-         |SELECT *,
-         |  CASE WHEN n_tokens BETWEEN 20 AND 200
-         |        AND mean_word_len BETWEEN 2.0 AND 10.0
-         |        AND top_unigram_frac <= 0.2
-         |        AND dup_bigram_frac <= 0.6
-         |        AND stopword_frac >= 0.01 THEN 'keep' ELSE 'drop' END AS quality_flag
+      s"""WITH $gopherCtesSql
+         |SELECT *, $gopherFlagSql AS quality_flag
          |FROM m ORDER BY doc_id""".stripMargin,
     "ext61_domain_mixture" ->
       """WITH counts AS (
@@ -378,27 +512,9 @@ object CorpusOps {
          |FROM batched GROUP BY bucket, batch_id
          |ORDER BY bucket, batch_id""".stripMargin,
     "ext63_bigram_nll" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents),
-         |bi AS (
-         |  SELECT doc_id,
-         |    unnest(toks[1 : len(toks) - 1]) AS w1,
-         |    unnest(toks[2 : len(toks)]) AS w2
-         |  FROM docs WHERE len(toks) >= 2),
-         |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
-         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
-         |vocab AS (
-         |  SELECT COUNT(DISTINCT t) AS v FROM (
-         |    SELECT unnest(toks) AS t FROM docs)),
-         |scored AS (
-         |  SELECT b.doc_id, 2 * c2.c2 + 1 AS num, 2 * c1.c1 + v AS den
-         |  FROM bi b
-         |  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-         |  JOIN c1 ON b.w1 = c1.w1
-         |  CROSS JOIN vocab)
-         |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  CAST(SUM($nllStepSql) AS DOUBLE) AS nll
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $nllCtesSql
+         |SELECT doc_id, n_bigrams, nll
+         |FROM nllagg ORDER BY doc_id""".stripMargin,
     "ext64_global_shuffle" ->
       """SELECT
         |  ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)))

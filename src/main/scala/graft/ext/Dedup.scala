@@ -265,8 +265,15 @@ object Dedup {
     * just plausibility — is what hash-matching proves. */
   val dedupComponents: Q = (s, d) => {
     val pairs = ngramJaccard(table(s, d, "documents")).select("a_id", "b_id")
+    // repartition(4), matching the loop's scoped shuffle width: the cached
+    // edge frame otherwise keeps the WIDE pair pipeline's partitioning, and
+    // every micro-iteration join then launches a task per upstream
+    // partition. (repartition, not coalesce — coalesce would propagate the
+    // narrow width UP into the pair build and serialize it.) The post-cut
+    // graph is ≤ 2×top-20 rows; at 100 TB size this to the edge count.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .repartition(4)
       .persist()
     edges.count() // materialize the WIDE pair pipeline at full parallelism
     val (labels, _) = connectedComponents(s, edges)

@@ -93,6 +93,36 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ext65 incremental dedup: statuses are consistent with the digest sets") {
+    val rows = CorpusOps.incrementalDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = graft.ops.table(spark, sf, "documents")
+      .filter(col("doc_id") < 400)
+      .selectExpr("md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS h")
+      .collect().map(_.getString(0)).toSet
+    val newDigests = rows.filter(_.getString(2) == "new").map(_.getString(1))
+    // 'new' digests are unique in the batch and absent from the corpus index
+    assert(newDigests.distinct.length === newDigests.length)
+    newDigests.foreach(h => assert(!corpus.contains(h)))
+    rows.filter(_.getString(2) == "dup_of_corpus")
+      .foreach(r => assert(corpus.contains(r.getString(1))))
+  }
+
+  test("ext66 quality ensemble: decision composes the flag and the percentile") {
+    val out = CorpusOps.qualityEnsemble(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pct = r.getDouble(4)
+      assert(pct >= 0.0 && pct <= 1.0)
+      val expect = r.getString(2) == "keep" && pct <= 0.9
+      assert(r.getString(6) === (if (expect) "keep" else "drop"))
+    }
+    // percentile rank must come from rangeIds, not a global window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "ensemble percentile fell back to a window")
+  }
+
   test("ext64 global shuffle: ids dense 1..n with no single-task window") {
     val out = CorpusOps.globalShuffle(spark, sf)
     val ids = out.select("sample_idx").as[Long](org.apache.spark.sql.Encoders.scalaLong)
