@@ -32,6 +32,8 @@ object SparkEntry {
       ext.TextAnalysis.queries ++
       ext.TrainingPrep.queries ++
       ext.CorpusOps.queries ++
+      ext.Behavior.queries ++
+      ext.Search.queries ++
       ext.GraphRank.queries ++
       ext.Multimodal.queries ++
       ext.Layout.queries ++
@@ -55,6 +57,8 @@ object SparkEntry {
       ext.TextAnalysis.oracleSql ++
       ext.TrainingPrep.oracleSql ++
       ext.CorpusOps.oracleSql ++
+      ext.Behavior.oracleSql ++
+      ext.Search.oracleSql ++
       ext.GraphRank.oracleSql ++
       ext.Multimodal.oracleSql ++
       ext.Layout.oracleSql ++

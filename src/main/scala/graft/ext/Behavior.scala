@@ -1,0 +1,182 @@
+package graft.ext
+
+import graft.ops.{events, Q}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the `events` fixture — the batch twins of the
+  * streaming tier (ext15 computes gap-sessions with
+  * `session_window`; these run the same class of analysis as plain
+  * relational plans): gap-based sessionization, ordered funnel
+  * conversion, and weekly cohort retention.
+  *
+  * The reference delegates all post-warehouse analysis to SQL
+  * (`test_sql.py:8-14`); these are the event-log queries such a warehouse
+  * serves in practice, expressed so every derived value is integer
+  * arithmetic (epoch micros, day indexes) — no float, no engine-specific
+  * date semantics — and hash-compares bit-for-bit against DuckDB.
+  *
+  * Scale: each query is keyed on `user_id` — one hash exchange carries
+  * window + aggregation (150 users at sf0.01, millions at 100 TB: the
+  * key space grows with the data, so parallelism scales and no key is a
+  * hotspot by construction). Nothing is collected, broadcast frames are
+  * single-row scalars.
+  */
+object Behavior {
+
+  /** 30 minutes in epoch micros — the session gap threshold. */
+  private val GapUs = 1800000000L
+
+  /** Gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds 30 minutes. Output: one row per session with
+    * event count, span, and purchase count.
+    *
+    * Plan shape: ONE hash exchange on user_id feeds the lag window, the
+    * running-sum window (same partitioning + ordering — Spark fuses the
+    * two into one Window node), and the (user_id, session_seq) hash agg
+    * (partial aggregation runs map-side). At 100 TB this is the canonical
+    * shape: shuffle by user once, everything else is per-partition.
+    */
+  val sessionize: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      expr("unix_micros(ts)").as("tsu"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val sess = ev
+      .withColumn("new_sess",
+        when(lag("tsu", 1).over(w).isNull ||
+          col("tsu") - lag("tsu", 1).over(w) > GapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_seq").agg(
+      count(lit(1)).as("n_events"),
+      min("tsu").as("start_us"),
+      max("tsu").as("end_us"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purchases"))
+      .withColumn("duration_s", expr("(end_us - start_us) div 1000000"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_s"), col("n_purchases"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Ordered funnel view → click → purchase: a user converts a stage only
+    * with an event STRICTLY AFTER their previous stage's earliest
+    * conversion. Output: 3 rows (stage, n_users).
+    *
+    * Plan shape: three conditional-min aggregations chained by keyed
+    * joins — all on user_id, so AQE coalesces them onto one exchange
+    * footprint; the final counts are single-row aggregates unioned
+    * together. No window over the full event log, no driver loop.
+    */
+  val funnel: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"),
+      expr("unix_micros(ts)").as("tsu"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tsu") > col("v_ts"))
+      .groupBy("user_id").agg(min("tsu").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tsu") > col("c_ts"))
+      .groupBy("user_id").agg(min("tsu").as("p_ts"))
+    v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(
+        c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionByName(
+        p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active week, cell
+    * (cohort_week, offset) = distinct users of that cohort active
+    * `offset` weeks later. Week index is pure integer arithmetic
+    * (days-since-epoch div 7 anchored to 2024-01-01, a Monday) — no
+    * engine week-truncation semantics involved.
+    *
+    * Plan shape: per-user first-week agg (keyed on user), join back on
+    * user (same key, exchange reused), then the cohort-cell agg — whose
+    * key count is weeks², i.e. tiny; its COUNT(DISTINCT user) expands to
+    * a two-phase agg keyed by (cohort, offset, user), which carries
+    * full user-level parallelism at any scale.
+    */
+  val retention: Q = (s, d) => {
+    // 19723 = days from 1970-01-01 to 2024-01-01 (fixture start, a Monday)
+    val ev = events(s, d).select(col("user_id"),
+      expr("(unix_micros(ts) div 86400000000 - 19723) div 7").as("week_idx"))
+    val cohorts = ev.groupBy("user_id").agg(min("week_idx").as("cohort_week"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week_idx") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext67_sessionize" -> sessionize,
+    "ext68_funnel" -> funnel,
+    "ext69_retention_cohorts" -> retention)
+
+  val oracleSql: Map[String, String] = Map(
+    "ext67_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |         event_type
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |sess AS (
+        |  SELECT *,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(tsu) AS start_us, MAX(tsu) AS end_us,
+        |  (MAX(tsu) - MIN(tsu)) // 1000000 AS duration_s,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_purchases
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "ext68_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, MIN(tsu) AS v_ts FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.tsu) AS c_ts
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.tsu > v.v_ts
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.tsu) AS p_ts
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.tsu > c.c_ts
+        |      GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT '2_click', COUNT(*) FROM c
+        |  UNION ALL
+        |  SELECT '3_purchase', COUNT(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "ext69_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - 19723) // 7
+        |      AS week_idx
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(week_idx) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT c.cohort_week, e.week_idx - c.cohort_week AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |GROUP BY c.cohort_week, e.week_idx - c.cohort_week
+        |ORDER BY cohort_week, week_offset""".stripMargin)
+}

@@ -1,0 +1,254 @@
+package graft.ext
+
+import graft.functions.BloomFilterAgg
+import graft.ops.{drevenue, table, Q}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-tier operators for a training-data pipeline: BM25 keyword
+  * search (the lexical side of data curation — sourcing topic-relevant
+  * documents from a web-scale corpus), overlapping chunking (the RAG /
+  * context-window preprocessing step), embedding hard-negative mining
+  * (contrastive training-pair construction), and an explicit bloom-filter
+  * pruned join (the runtime-filter pattern spelled out as library code).
+  *
+  * Determinism: BM25's per-term score is one shared SQL expression
+  * ([[bm25StepSql]]) over exact integers with every promotion to DOUBLE
+  * explicit, summed through DECIMAL(18,6) so partial-aggregation order
+  * cannot change the result (see `ops.dsum`); chunk boundaries are pure
+  * integer arithmetic; cosine ranking reuses the `graft_cosine` kernel
+  * whose fold order matches the DuckDB oracle's `list_sum`.
+  */
+object Search {
+
+  /** Tokens of the lowered text, empty strings dropped (same front-end as
+    * CorpusOps/TextAnalysis). */
+  private val toksExpr = "filter(split(lower(text), ' '), t -> t <> '')"
+
+  /** The fixed query of the BM25 demo — three corpus terms with distinct
+    * document frequencies. */
+  private val bm25Terms = Seq("spark", "merge", "vector")
+
+  /** Okapi BM25 per-(doc, term) score with k1=1.2, b=0.75 and the RAW
+    * Robertson idf ratio (N - df + 0.5)/(df + 0.5) — deliberately NOT
+    * log-damped: libm `ln` is not correctly rounded and differs across
+    * engines by ulps (see CorpusOps.detLog2), while this rational form
+    * uses only IEEE-exact operations, so the scores (and therefore the
+    * top-k ORDER BY) are bit-identical in Spark and DuckDB. The ranking
+    * it induces per term is the same (x ↦ ln x is monotone).
+    *
+    * Shared verbatim between the Spark plan (`expr`) and the oracle;
+    * column contract: tf, df, dl, n_docs, sum_dl (all integral).
+    */
+  private val bm25StepSql: String =
+    "CAST(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.2) / " +
+      "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * " +
+      "(CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))))" +
+      " AS DECIMAL(18, 6))"
+
+  /** BM25 top-20 for a fixed 3-term query.
+    *
+    * Scale: the corpus-wide stats (n_docs, sum_dl) are ONE broadcast row;
+    * term postings shrink to the query's terms BEFORE any shuffle (the
+    * `isin` filter sits under the explode output, so only matching
+    * (doc, term) rows reach the tf agg); df is a 3-row broadcast. The
+    * only data-sized exchanges are the tf agg and the per-doc score agg,
+    * both keyed on doc_id — at 100 TB this is the inverted-index probe
+    * shape: cost ∝ postings of the query terms, not the corpus.
+    */
+  val bm25TopK: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("step", expr(bm25StepSql))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_terms"),
+        // all 6 decimals used; unscaled < 2^53 so decimal→double is exact
+        sum("step").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "n_terms", "score")
+  }
+
+  /** Overlapping chunking: 30-token windows, stride 15 — the RAG /
+    * context-assembly preprocessing step. One row per chunk with its
+    * index, token count, and text.
+    *
+    * Scale: chunk construction is array-local inside the projection
+    * (sequence + slice before the posexplode), so the scan→explode is
+    * pipelined map-side work with no shuffle at all; the output order-by
+    * is the driver-compare requirement, not part of the operator.
+    */
+  val chunkOverlap: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+    docs
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        posexplode(expr(
+          "if(size(toks) = 0, array()," +
+            " transform(sequence(0, cast(floor((size(toks) - 1) / 15) as int))," +
+            "           i -> array_join(slice(toks, i * 15 + 1, 30), ' ')))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(30), col("n_toks") - col("chunk_idx") * 15).cast("long")
+          .as("n_tokens"),
+        col("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Hard-negative mining for contrastive training: for every 25th vector
+    * (the anchors), the top-5 most-cosine-similar vectors with a
+    * DIFFERENT label — maximally confusing negatives.
+    *
+    * Scale: this is ANN search plus a metadata predicate. The fixture
+    * runs the exact form (anchor × corpus with a label-mismatch join
+    * condition, per-anchor top-k window); a 100 TB corpus swaps the
+    * candidate generator for the IVF/LSH bucket probes of ext17/ext20
+    * and keeps the same predicate + rank tail — recall becomes the knob,
+    * the semantics of "closest wrong-label neighbor" are unchanged.
+    * Scoring is the native `graft_cosine` codegen kernel.
+    */
+  val hardNegatives: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val all = table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val anchors = all.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v"))
+    val scored = anchors.as("q")
+      .join(all.as("c"), col("c.label") =!= col("q.q_label"))
+      .select(col("q.q_id").as("q_id"), col("q.q_label").as("q_label"),
+        col("c.vec_id").as("n_id"), col("c.label").as("n_label"),
+        expr("graft_cosine(q.v, c.v)").as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("q_label"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("n_label"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** SQL probe of [[BloomFilterAgg]]'s bit set (column contract: h1, h2,
+    * bits) — same double-hashed positions the Aggregator set, tested with
+    * codegen'd array/bit ops. */
+  private val bloomProbeSql: String = (0 until BloomFilterAgg.K).map { i =>
+    s"(element_at(bits, CAST(((h1 + $i * h2) & ${BloomFilterAgg.NumBits - 1})" +
+      s" div 64 AS INT) + 1) & " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST((h1 + $i * h2) & 63 AS INT))) <> 0"
+  }.mkString(" AND ")
+
+  /** Join with an explicit broadcast bloom runtime filter: revenue of
+    * lineitems belonging to URGENT orders, by order month. The build side
+    * (filtered orders) aggregates its join keys into a 2 KiB bloom; the
+    * probe side (lineitem) is pruned MAP-SIDE by the broadcast bits before
+    * the exact join — the pattern Spark's InjectRuntimeFilter applies to
+    * shuffle joins, here as first-class library code so it composes with
+    * any downstream plan.
+    *
+    * The bloom is semantically transparent (false positives are removed
+    * by the exact join that follows), so the oracle is the plain join —
+    * and the pruning mechanism itself is asserted in BehaviorSearchSpec.
+    *
+    * Scale: at 100 TB the pruned rows never enter the join exchange —
+    * the bloom trades a 2 KiB broadcast for shuffling the ~80% of the
+    * fact table that cannot match. Geometry vs build cardinality is the
+    * production knob (see BloomFilterAgg).
+    */
+  val bloomPruneJoin: Q = (s, d) => {
+    import s.implicits._
+    val urgent = table(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bits = urgent
+      .select(xxhash64(col("o_orderkey")).as("h1"),
+        xxhash64(col("o_orderkey"), lit(7)).as("h2"))
+      .as[(Long, Long)]
+      .select(new BloomFilterAgg.Agg().toColumn.name("bits"))
+      .toDF("bits")
+    val pruned = table(s, d, "lineitem")
+      .withColumn("h1", xxhash64(col("l_orderkey")))
+      .withColumn("h2", xxhash64(col("l_orderkey"), lit(7)))
+      .crossJoin(broadcast(bits))
+      .filter(expr(bloomProbeSql))
+      .drop("h1", "h2", "bits")
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("month")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext70_bm25_topk" -> bm25TopK,
+    "ext71_chunk_overlap" -> chunkOverlap,
+    "ext72_hard_negatives" -> hardNegatives,
+    "ext73_bloom_prune_join" -> bloomPruneJoin)
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "ext70_bm25_topk" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM docs)
+         |  WHERE tok IN ('spark', 'merge', 'vector')
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+         |SELECT doc_id, COUNT(*) AS n_terms,
+         |  CAST(SUM($bm25StepSql) AS DOUBLE) AS score
+         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    "ext71_chunk_overlap" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |  CAST(least(30, len(toks) - i * 15) AS BIGINT) AS n_tokens,
+         |  array_to_string(toks[i * 15 + 1 : i * 15 + 30], ' ') AS chunk
+         |FROM docs,
+         |  UNNEST(range(0, CAST(floor((len(toks) - 1) / 15) AS INT) + 1)) AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "ext72_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |         sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS n_id, c.label AS n_label,
+        |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+        |      / (q.norm * c.norm) AS cosine
+        |  FROM v q JOIN v c ON c.label <> q.label
+        |  WHERE q.vec_id % 25 = 0)
+        |SELECT q_id, q_label,
+        |  CAST(row_number() OVER w AS INT) AS rank, n_id, n_label, cosine
+        |FROM scored
+        |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+        |QUALIFY row_number() OVER w <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "ext73_bloom_prune_join" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+        |  COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                 (1 - CAST(l_discount AS DECIMAL(18,6))))
+        |            AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY month
+        |ORDER BY month""".stripMargin)
+}

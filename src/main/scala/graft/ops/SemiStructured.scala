@@ -642,6 +642,41 @@ object SemiStructured {
         |FROM graft_cat.db.exp_t""".stripMargin)
   }
 
+  /** Table lifecycle DDL on the custom catalog: `ALTER TABLE … RENAME TO`
+    * routes to `TableCatalog.renameTable` (a pure manifest-pointer move —
+    * segments never copy, history travels with the table) and `TRUNCATE
+    * TABLE` to `TruncatableTable.truncateTable` (one manifest version
+    * with zero segments — the data files are garbage-collectible, not
+    * rewritten). Both are metadata-cost operations regardless of table
+    * size — the property that matters at 100 TB. */
+  val q96CatalogRenameTruncate: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.rn_src")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.rn_dst")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.tr_t")
+    s.sql("CREATE TABLE graft_cat.db.rn_src (id BIGINT, v BIGINT)")
+    s.sql("CREATE TABLE graft_cat.db.tr_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_rt")
+    s.sql("INSERT INTO graft_cat.db.rn_src SELECT id, v FROM graft_seq_rt WHERE id < 1200")
+    s.sql("INSERT INTO graft_cat.db.tr_t SELECT id, v FROM graft_seq_rt")
+    // the new name is catalog-relative (Spark passes it to renameTable
+    // as an identifier WITHIN the old table's catalog)
+    s.sql("ALTER TABLE graft_cat.db.rn_src RENAME TO db.rn_dst")
+    s.sql("TRUNCATE TABLE graft_cat.db.tr_t")
+    s.sql("INSERT INTO graft_cat.db.tr_t SELECT id, v FROM graft_seq_rt WHERE id >= 1500")
+    s.sql(
+      """SELECT part, n, v_sum, id_max FROM (
+        |  SELECT 'renamed' AS part, COUNT(*) AS n, SUM(v) AS v_sum,
+        |    MAX(id) AS id_max
+        |  FROM graft_cat.db.rn_dst
+        |  UNION ALL
+        |  SELECT 'truncated', COUNT(*), SUM(v), MAX(id)
+        |  FROM graft_cat.db.tr_t)
+        |ORDER BY part""".stripMargin)
+  }
+
   /** WITH RECURSIVE — iterative SQL inside one statement (hierarchy walk:
     * each customer climbs its parent chain, parent(k) = k DIV 4, until
     * the root). Spark 4 executes the recursion as a loop of unions with
@@ -739,7 +774,8 @@ object SemiStructured {
     "q92_tvf" -> q92Tvf,
     "q93_catalog_default" -> q93CatalogDefault,
     "q94_catalog_compact" -> q94CatalogCompact,
-    "q95_catalog_expire" -> q95CatalogExpire)
+    "q95_catalog_expire" -> q95CatalogExpire,
+    "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate)
 
   val oracleSql: Map[String, String] = Map(
     "q42_correlated_subquery" ->
@@ -837,6 +873,18 @@ object SemiStructured {
         |  FROM seq)
         |SELECT id // 500 AS band, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM merged GROUP BY 1 ORDER BY band""".stripMargin,
+    "q96_catalog_rename_truncate" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT part, n, v_sum, id_max FROM (
+        |  SELECT 'renamed' AS part, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |    MAX(id) AS id_max
+        |  FROM t WHERE id < 1200
+        |  UNION ALL
+        |  SELECT 'truncated', COUNT(*), CAST(SUM(v) AS BIGINT), MAX(id)
+        |  FROM t WHERE id >= 1500)
+        |ORDER BY part""".stripMargin,
     "q87_catalog_time_travel" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

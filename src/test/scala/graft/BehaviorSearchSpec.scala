@@ -1,0 +1,151 @@
+package graft
+
+import graft.ext.{Behavior, Search}
+import graft.functions.BloomFilterAgg
+import org.apache.spark.sql.functions._
+
+/** Mechanism assertions for the behavioral-analytics (ext67-ext69) and
+  * retrieval (ext70-ext73) tiers — value-level equivalence vs DuckDB is
+  * the driver's oracle gate; these pin the properties the oracle can't
+  * see (pruning actually pruning, session gaps actually bounding).
+  */
+class BehaviorSearchSpec extends SparkTestBase {
+
+  test("ext67 sessionize: events partition into sessions; gaps bound spans") {
+    val sess = Behavior.sessionize(spark, sf).cache()
+    try {
+      val ev = graft.ops.events(spark, sf)
+      // every event lands in exactly one session
+      assert(sess.agg(sum("n_events")).head.getLong(0) === ev.count())
+      // within a session the span is consistent with its event count:
+      // n-1 gaps of at most 30 minutes each
+      val bad = sess.filter(
+        col("duration_s") > (col("n_events") - 1) * 1800L).count()
+      assert(bad === 0)
+      // session_seq is dense per user starting at 1
+      val perUser = sess.groupBy("user_id")
+        .agg(min("session_seq").as("lo"), max("session_seq").as("hi"),
+          count(lit(1)).as("n"))
+        .filter(col("lo") =!= 1L || col("hi") =!= col("n"))
+      assert(perUser.count() === 0)
+    } finally sess.unpersist()
+  }
+
+  test("ext68 funnel: stage populations are monotonically non-increasing") {
+    val rows = Behavior.funnel(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+    assert(counts(0) > 0)
+  }
+
+  test("ext69 retention: offset-0 cell equals cohort size; offsets non-negative") {
+    val ret = Behavior.retention(spark, sf).cache()
+    try {
+      assert(ret.filter(col("week_offset") < 0).count() === 0)
+      // every user is active in their own cohort week, so the offset-0
+      // diagonal must cover every user exactly once across cohorts
+      val users = graft.ops.events(spark, sf)
+        .select(countDistinct("user_id")).head.getLong(0)
+      val diag = ret.filter(col("week_offset") === 0)
+        .agg(sum("n_users")).head.getLong(0)
+      assert(diag === users)
+    } finally ret.unpersist()
+  }
+
+  test("ext70 bm25: scores positive, rarer term outscores a commoner one at equal tf") {
+    val out = Search.bm25TopK(spark, sf).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) > 0.0)
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 3L)
+    }
+    // descending by score with doc_id tiebreak
+    val scores = out.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+  }
+
+  test("ext71 chunking: stride-15 windows cover every token of every doc") {
+    val chunks = Search.chunkOverlap(spark, sf).cache()
+    try {
+      // token conservation: sum over chunks of n_tokens equals
+      // sum over docs of (len + overlap), overlap = 15*(n_chunks-1) capped
+      // by the tail — easier exact check: last chunk of each doc ends at
+      // the doc's final token
+      val docs = graft.ops.table(spark, sf, "documents")
+        .select(col("doc_id"),
+          expr("size(filter(split(lower(text), ' '), t -> t <> ''))").as("len"))
+      val lastEnd = chunks.groupBy("doc_id")
+        .agg(max(col("chunk_idx") * 15 + col("n_tokens")).as("covered"))
+      val uncovered = lastEnd.join(docs, Seq("doc_id"))
+        .filter(col("covered") =!= col("len")).count()
+      assert(uncovered === 0)
+      // chunk count matches the stride formula and sizes are in (0, 30]
+      val badCount = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .join(docs, Seq("doc_id"))
+        .filter(col("n") =!= floor((col("len") - 1) / 15) + 1)
+      assert(badCount.count() === 0)
+      assert(chunks.filter(col("n_tokens") < 1 || col("n_tokens") > 30).count() === 0)
+    } finally chunks.unpersist()
+  }
+
+  test("ext72 hard negatives: no anchor-label matches, ranks dense 1..5") {
+    val out = Search.hardNegatives(spark, sf).cache()
+    try {
+      assert(out.filter(col("q_label") === col("n_label")).count() === 0)
+      val badRank = out.groupBy("q_id")
+        .agg(collect_list("rank").as("rs"))
+        .filter(expr("sort_array(rs) <> sequence(1, size(rs))"))
+      assert(badRank.count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("ext74 triangles: oriented wedge count equals the naive 3-way join") {
+    val out = graft.ext.GraphRank.triangleCount(spark, sf).head()
+    val und = graft.ops.events(spark, sf)
+      .select((col("user_id") % 120).as("a"), (col("event_id") % 120).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    // u<v in every row, so the ordered 3-join counts each triangle once
+    val naive = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .count()
+    assert(out.getLong(3) === naive)
+    assert(out.getLong(2) >= out.getLong(3)) // wedges ⊇ closed wedges
+  }
+
+  test("ext73 bloom: probe prunes most non-matching rows, keeps all matches") {
+    import spark.implicits._
+    val urgent = graft.ops.table(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bits = urgent
+      .select(xxhash64(col("o_orderkey")).as("h1"),
+        xxhash64(col("o_orderkey"), lit(7)).as("h2"))
+      .as[(Long, Long)]
+      .select(new BloomFilterAgg.Agg().toColumn.name("bits"))
+      .toDF("bits")
+    val probeSql = (0 until BloomFilterAgg.K).map { i =>
+      s"(element_at(bits, CAST(((h1 + $i * h2) & ${BloomFilterAgg.NumBits - 1})" +
+        s" div 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST((h1 + $i * h2) & 63 AS INT))) <> 0"
+    }.mkString(" AND ")
+    val li = graft.ops.table(spark, sf, "lineitem")
+      .withColumn("h1", xxhash64(col("l_orderkey")))
+      .withColumn("h2", xxhash64(col("l_orderkey"), lit(7)))
+      .crossJoin(broadcast(bits))
+    val total = li.count()
+    val kept = li.filter(expr(probeSql)).count()
+    val trueMatches = graft.ops.table(spark, sf, "lineitem")
+      .join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    // no false negatives: every true match survives the bloom
+    assert(kept >= trueMatches)
+    // real pruning: the bloom removes a majority of the non-matching rows
+    // (selectivity ~20%, fp rate ~8% at this geometry)
+    assert(kept < total * 2 / 5, s"kept=$kept of $total — bloom not pruning")
+  }
+}
