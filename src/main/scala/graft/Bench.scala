@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local iteration only (the driver sets no filter): comma-separated
+    // name prefixes restrict the run to matching queries
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pfx) => val ps = pfx.split(','); n => ps.exists(n.startsWith)
+      case None => _ => true
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,7 +22,7 @@ object Bench {
     // 20+ s of one-time cost — observed on q27 in round 1).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
@@ -24,7 +30,7 @@ object Bench {
     // spike on the host (observed inflating single queries 5-10x in
     // shared-machine runs) has to hit the same query twice to survive
     // into the reported numbers.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = SparkEntry.queries.filter(kv => only(kv._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

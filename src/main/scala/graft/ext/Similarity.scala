@@ -234,7 +234,77 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Product quantization (PQ) ANN with asymmetric distance computation
+    * (ADC) — the FINE quantizer of a production IVF-PQ index (Jégou et
+    * al.): split each 64-dim vector into 8 subspaces of 8 dims, learn a
+    * small per-subspace codebook (same deterministic k-means-lite as
+    * ext20: fixed seeds, one integer-scaled Lloyd round), encode every
+    * corpus vector as 8 codebook ids, and answer queries from the CODES
+    * ONLY — per query, precompute the query-to-centroid distance table
+    * (LUT) per subspace, then a vector's approximate distance is the sum
+    * of 8 LUT entries. The approximation IS the semantics (like the
+    * IVF/LSH candidate restriction), so the oracle restates the same
+    * quantization.
+    *
+    * Scale: this is the memory story of billion-vector search — the scan
+    * side touches 8 bytes of codes per vector instead of 256 bytes of
+    * floats. The codebooks are (8 subspaces × cells × 8 floats) — KBs,
+    * broadcast; the LUT is queries × 8 × cells rows — broadcast; so the
+    * distance evaluation is ONE map-side join over the code table
+    * followed by a (query, vector)-keyed 8-row sum. No all-pairs float
+    * work anywhere after encoding.
+    */
+  val pqTopK: Q = (s, d) => {
+    graft.functions.SquaredDistance.register(s)
+    val all = vecs(s, d).drop("label", "norm")
+    // (vec_id, j, subv): the 8-dim subvectors, built array-locally
+    val sub = all.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
+      .as(Seq("j", "subv")))
+    val seeds = sub.filter(col("vec_id") % 64 === 0)
+      .select(col("j"), (col("vec_id") / 64).cast("int").as("cid"),
+        col("subv").as("c"))
+    def assign(cents: org.apache.spark.sql.DataFrame) = sub
+      .join(broadcast(cents.groupBy("j")
+        .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))), Seq("j"))
+      .withColumn("code", expr(
+        "array_min(transform(cents, e -> struct(graft_sqdist(subv, e.c) AS d2, e.cid AS cid))).cid"))
+      .drop("cents")
+    // one integer-scaled Lloyd round per subspace (ext20's discipline:
+    // summation order cannot change the learned centroids)
+    val cents1 = assign(seeds)
+      .select(col("j"), col("code").as("cid"), posexplode(col("subv")))
+      .groupBy("j", "cid", "pos")
+      .agg(sum(expr("CAST(round(col * 1000000) AS BIGINT)")).as("sc"),
+        count(lit(1)).as("n"))
+      .groupBy("j", "cid")
+      .agg(collect_list(struct(col("pos"),
+        (col("sc").cast("double") / 1000000 / col("n")).as("cv"))).as("pc"))
+      .select(col("j"), col("cid"),
+        expr("transform(array_sort(pc), t -> t.cv)").as("c"))
+    val codes = assign(cents1).select(col("vec_id"), col("j"), col("code"))
+    // per-query LUT: distance from each query subvector to each centroid
+    val lut = sub.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("j").as("qj"), col("subv"))
+      .join(broadcast(cents1), col("qj") === cents1("j"))
+      .select(col("q_id"), col("qj"), col("cid"),
+        expr("CAST(graft_sqdist(subv, c) AS DECIMAL(18, 6))").as("pd2"))
+    codes
+      .join(broadcast(lut),
+        col("j") === col("qj") && col("code") === col("cid") &&
+          col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pd2")).cast("double").as("adc2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc2"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("n_id"), col("adc2"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext75_sim_topk_ivfpq" -> pqTopK,
     "ext06_sim_topk_bruteforce" -> bruteForceTopK,
     "ext07_sim_topk_ivf" -> ivfTopK,
     "ext16_sim_native_expr" -> bruteForceNativeExpr,
@@ -298,7 +368,51 @@ object Similarity {
        |  for i in range(1, 65)]) > 0 THEN ${1 << k} ELSE 0 END)""".stripMargin
   }.mkString(" + ")
 
+  /** Shared argmin-encode CTE body for the PQ oracle: assigns every
+    * (vector, subspace) row to its nearest centroid from `tbl`. */
+  private def pqAssignSql(tbl: String): String =
+    s"""SELECT vec_id, j, subv, cid FROM (
+       |    SELECT s.vec_id, s.j, s.subv, sd.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |        list_sum([(s.subv[i] - sd.c[i]) * (s.subv[i] - sd.c[i]) for i in range(1, 9)]),
+       |        sd.cid) AS rk
+       |    FROM sub s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ext75_sim_topk_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, j, v[j * 8 + 1 : j * 8 + 8] AS subv
+         |  FROM v, range(0, 8) r(j)),
+         |seeds AS (
+         |  SELECT j, CAST(vec_id // 64 AS INT) AS cid, subv AS c
+         |  FROM sub WHERE vec_id % 64 = 0),
+         |a0 AS (${pqAssignSql("seeds")}),
+         |comp AS (
+         |  SELECT j, cid, i,
+         |    SUM(CAST(round(subv[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
+         |  FROM a0, range(1, 9) r(i) GROUP BY j, cid, i),
+         |cents AS (
+         |  SELECT j, cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
+         |  FROM comp GROUP BY j, cid),
+         |codes AS (${pqAssignSql("cents")}),
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.j, c.cid,
+         |    CAST(list_sum([(s.subv[i] - c.c[i]) * (s.subv[i] - c.c[i]) for i in range(1, 9)])
+         |         AS DECIMAL(18, 6)) AS pd2
+         |  FROM sub s JOIN cents c ON s.j = c.j
+         |  WHERE s.vec_id % 50 = 0),
+         |adc AS (
+         |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.pd2) AS DOUBLE) AS adc2
+         |  FROM codes cd
+         |  JOIN lut l ON cd.j = l.j AND cd.cid = l.cid AND cd.vec_id <> l.q_id
+         |  GROUP BY l.q_id, cd.vec_id)
+         |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank,
+         |  vec_id AS n_id, adc2
+         |FROM adc
+         |WINDOW w AS (PARTITION BY q_id ORDER BY adc2, vec_id)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY q_id, rank""".stripMargin,
     "ext06_sim_topk_bruteforce" -> bruteForceOracle,
     "ext16_sim_native_expr" -> bruteForceOracle,
     "ext17_sim_topk_lsh" ->

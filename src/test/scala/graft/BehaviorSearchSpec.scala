@@ -101,6 +101,20 @@ class BehaviorSearchSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("ext75 ivf-pq: approximate distances non-negative, ranks dense per query") {
+    val out = graft.ext.Similarity.pqTopK(spark, sf).cache()
+    try {
+      assert(out.filter(col("adc2") < 0.0).count() === 0)
+      val badRank = out.groupBy("q_id")
+        .agg(collect_list("rank").as("rs"))
+        .filter(expr("sort_array(rs) <> sequence(1, size(rs))"))
+      assert(badRank.count() === 0)
+      // ADC of a vector against itself would be the quantization error
+      // floor; self-matches are excluded by construction
+      assert(out.filter(col("q_id") === col("n_id")).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("ext74 triangles: oriented wedge count equals the naive 3-way join") {
     val out = graft.ext.GraphRank.triangleCount(spark, sf).head()
     val und = graft.ops.events(spark, sf)
