@@ -26,31 +26,42 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
-    // Two timed passes, keep the per-query minimum: a concurrent load
-    // spike on the host (observed inflating single queries 5-10x in
-    // shared-machine runs) has to hit the same query twice to survive
-    // into the reported numbers.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.filter(kv => only(kv._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop per-query persist()ed intermediates so cached blocks don't
-      // accumulate (and skew later queries) across the run
-      spark.catalog.clearCache()
-      name -> sec
-    }
+    // Timed pass + targeted re-timing, keep the per-query minimum.
+    // Concurrent host activity (observed: periodic external jobs crushing
+    // throughput for minutes at a time) inflates exactly the queries that
+    // run inside its window — verified by mapping a slow run's victims
+    // onto execution order: two contiguous burst windows, sub-second
+    // queries at 19s inside them, everything outside normal. Re-running
+    // ONLY the suspicious tail (>= 1s) bounds retry cost to the slow
+    // subset, so the protection still fits the budget even when the
+    // first pass itself was hit — the previous whole-second-pass scheme
+    // cancelled itself in precisely that case.
+    val qmap = SparkEntry.queries.filter(kv => only(kv._1))
+    def timeQueries(names: Iterable[String]): Map[String, Double] =
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop per-query persist()ed intermediates so cached blocks don't
+        // accumulate (and skew later queries) across the run
+        spark.catalog.clearCache()
+        name -> sec
+      }.toMap
     val benchStart = System.nanoTime()
-    val p1 = timedPass()
-    // the second pass exists to shrug off load spikes; skip it when the
-    // run is already long so the whole bench stays inside a caller's
-    // timeout (budget in seconds, env-overridable)
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toLong
-    val elapsed = (System.nanoTime() - benchStart) / 1e9
-    val results =
-      if (elapsed * 2 < budget) {
-        val p2 = timedPass()
-        p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-      } else p1
+    var results = timeQueries(qmap.keys)
+    // up to two retry rounds; each costs at most the current suspect sum
+    var retry = 0
+    while (retry < 2 && {
+      val suspects = results.filter(_._2 >= 1.0)
+      val elapsed = (System.nanoTime() - benchStart) / 1e9
+      suspects.nonEmpty && elapsed + suspects.values.sum < budget && {
+        val p2 = timeQueries(suspects.keys)
+        results = results ++ suspects.keys.map(n =>
+          n -> math.min(results(n), p2(n)))
+        true
+      }
+    }) retry += 1
     // The driver captures only a ~2000-char tail of this process's output, so
     // the single contract line must stay well under that: short query keys
     // (the unambiguous "q27"/"ext05" prefix) and 1-decimal seconds. The full

@@ -37,17 +37,25 @@ object Behavior {
     * (partial aggregation runs map-side). At 100 TB this is the canonical
     * shape: shuffle by user once, everything else is per-partition.
     */
-  val sessionize: Q = (s, d) => {
+  /** Event rows labeled with their session: (user_id, event_id, tsu,
+    * event_type, session_seq) — the shared sessionization front-end of
+    * ext67 and ext76. */
+  private def sessioned(s: org.apache.spark.sql.SparkSession, d: String,
+      gapUs: Long) = {
     val ev = events(s, d).select(col("user_id"), col("event_id"),
       expr("unix_micros(ts)").as("tsu"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-    val sess = ev
+    ev
       .withColumn("new_sess",
         when(lag("tsu", 1).over(w).isNull ||
-          col("tsu") - lag("tsu", 1).over(w) > GapUs, 1L).otherwise(0L))
+          col("tsu") - lag("tsu", 1).over(w) > gapUs, 1L).otherwise(0L))
       .withColumn("session_seq",
         sum("new_sess").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val sessionize: Q = (s, d) => {
+    val sess = sessioned(s, d, GapUs)
     sess.groupBy("user_id", "session_seq").agg(
       count(lit(1)).as("n_events"),
       min("tsu").as("start_us"),
@@ -115,10 +123,33 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Top-15 session paths: each session's ordered event-type sequence
+    * joined into a `a>b>c` path string, counted across sessions — the
+    * classic navigation-path mining query. Day-scale sessions (24 h gap)
+    * so multi-event paths actually occur at fixture density.
+    *
+    * Scale: the path string is built array-locally from a per-session
+    * collect_list whose order is pinned by (tsu, event_id) — sessions are
+    * bounded by the gap rule, so the collected array is small by
+    * construction; the path count is a keyed agg with map-side partials
+    * and the top-15 is TakeOrdered, never a full sort.
+    */
+  val sessionPaths: Q = (s, d) => {
+    val sess = sessioned(s, d, 86400000000L)
+    sess.groupBy("user_id", "session_seq")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(tsu, event_id, event_type)))," +
+          " x -> x.event_type)"), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
     "ext67_sessionize" -> sessionize,
     "ext68_funnel" -> funnel,
-    "ext69_retention_cohorts" -> retention)
+    "ext69_retention_cohorts" -> retention,
+    "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
     "ext67_sessionize" ->
@@ -166,6 +197,31 @@ object Behavior {
         |  UNION ALL
         |  SELECT '3_purchase', COUNT(*) FROM p)
         |ORDER BY stage""".stripMargin,
+    "ext76_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+        |         event_type
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR tsu - lag(tsu) OVER w > 86400000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |sess AS (
+        |  SELECT *,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_seq
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_seq,
+        |    string_agg(event_type, '>' ORDER BY tsu, event_id) AS path
+        |  FROM sess GROUP BY user_id, session_seq)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 15""".stripMargin,
     "ext69_retention_cohorts" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -407,7 +407,44 @@ object Advanced {
         |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin)
   }
 
+  /** Schema-driven column profiling — the data-quality summary every
+    * warehouse load job emits (null rate, cardinality, value range), as
+    * ONE long-format result over four lineitem columns of three types
+    * (integral, string, date). The per-column stat sets are independent
+    * single-pass aggregates unioned lazily, so Spark runs them as
+    * parallel scans of the same cached relation; min/max surface as
+    * strings to keep the output schema uniform (doubles are deliberately
+    * excluded — float-to-string formatting is engine-specific, memory:
+    * never output raw doubles without decimal staging).
+    *
+    * Scale: each profile is a full-scan agg with map-side partials and a
+    * bytes-sized result; COUNT(DISTINCT) expands to the standard
+    * two-phase distinct agg keyed by the column — the one shuffle whose
+    * width grows with cardinality, exactly as a dedicated profiler would
+    * pay. */
+  val profileStats: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    def prof(label: String, c: org.apache.spark.sql.Column) = li.groupBy().agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(c).as("n_distinct"),
+      min(c).cast("string").as("min_s"),
+      max(c).cast("string").as("max_s"))
+      .select(lit(label).as("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+    Seq(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_linenumber" -> col("l_linenumber"),
+      "l_returnflag" -> col("l_returnflag"),
+      // profiled at day granularity: DATE stringifies identically across
+      // engines, raw timestamp rendering does not
+      "l_shipdate" -> col("l_shipdate").cast("date"))
+      .map((prof _).tupled).reduce(_ unionByName _)
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q97_profile_stats" -> profileStats,
     "q79_date_arithmetic" -> dateArithmetic,
     "q80_nullsafe_join" -> nullSafeJoin,
     "q81_join_hints" -> joinHints,
@@ -429,6 +466,34 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q97_profile_stats" ->
+      """SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s FROM (
+        |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    COUNT(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT l_linenumber),
+        |    CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT l_returnflag),
+        |    CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', COUNT(*),
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT CAST(l_shipdate AS DATE)),
+        |    CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR),
+        |    CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     "q79_date_arithmetic" ->
       """SELECT o_orderkey,
         |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
