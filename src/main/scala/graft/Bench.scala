@@ -25,6 +25,8 @@ object Bench {
       SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     // Timed pass + targeted re-timing, keep the per-query minimum.
     // Concurrent host activity (observed: periodic external jobs crushing
@@ -43,25 +45,40 @@ object Bench {
         try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop per-query persist()ed intermediates so cached blocks don't
-        // accumulate (and skew later queries) across the run
+        // accumulate (and skew later queries) across the run; ALSO drop
+        // leftover RDD-level storage — localCheckpoint blocks are not in
+        // the SQL cache and otherwise pin block-manager memory for the
+        // life of the ~170-query JVM
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> sec
       }.toMap
     val benchStart = System.nanoTime()
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toLong
     var results = timeQueries(qmap.keys)
-    // up to two retry rounds; each costs at most the current suspect sum
+    // up to two retry rounds, worst-first, spending only what the budget
+    // allows (each suspect's cost is bounded by its previous time): when
+    // an interference window inflates the first pass past the budget, a
+    // partial rescue of the worst victims still beats no retries at all —
+    // and two spaced rounds give a multi-minute burst time to end
     var retry = 0
-    while (retry < 2 && {
-      val suspects = results.filter(_._2 >= 1.0)
+    while (retry < 2) {
       val elapsed = (System.nanoTime() - benchStart) / 1e9
-      suspects.nonEmpty && elapsed + suspects.values.sum < budget && {
-        val p2 = timeQueries(suspects.keys)
-        results = results ++ suspects.keys.map(n =>
-          n -> math.min(results(n), p2(n)))
-        true
+      val suspects = results.filter(_._2 >= 1.0).toSeq.sortBy(-_._2)
+      var spent = elapsed
+      val chosen = suspects.takeWhile { case (_, t) =>
+        spent += t; spent < budget
       }
-    }) retry += 1
+      if (chosen.isEmpty) retry = 2
+      else {
+        val p2 = timeQueries(chosen.map(_._1))
+        results = results ++ chosen.map { case (n, t) =>
+          n -> math.min(t, p2(n))
+        }
+        retry += 1
+      }
+    }
     // The driver captures only a ~2000-char tail of this process's output, so
     // the single contract line must stay well under that: short query keys
     // (the unambiguous "q27"/"ext05" prefix) and 1-decimal seconds. The full

@@ -28,8 +28,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may persist() intermediates they consume more than once;
-      // drop them once the consuming write is done
+      // drop them once the consuming write is done (RDD-level too:
+      // localCheckpoint storage is invisible to the SQL cache)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -320,6 +320,12 @@ object Dedup {
         df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
       var sig = signature(labels)
       var converged = false
+      // the checkpoint RDD backing the previous round's label frame:
+      // Dataset.unpersist only clears the SQL cache, it does NOT release
+      // localCheckpoint storage, so without explicit RDD unpersist every
+      // iteration pins its label frame in the block manager for the life
+      // of the JVM (observed as cross-query slowdown in long bench runs)
+      var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
       while (!converged) {
         iters += 1
         val prop = edges.join(labels, col("src") === col("id"))
@@ -344,6 +350,12 @@ object Dedup {
         val newSig = signature(jumped)
         prop.unpersist()
         labels.unpersist()
+        // jumped is eagerly materialized, so the previous round's
+        // checkpoint blocks are no longer referenced — free them now
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = jumped.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
         labels = jumped
         converged = newSig == sig
         sig = newSig

@@ -303,7 +303,51 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** k-NN label-noise detection — the label-QA pass a training-data
+    * pipeline runs before fitting anything: for every labeled vector,
+    * take its 5 nearest neighbors (cosine, self excluded), vote their
+    * labels (majority, ties to the smaller label id), and flag the
+    * vector when the vote disagrees with its own label. Output is the
+    * per-label audit summary (population, flagged count, flagged rate).
+    *
+    * Scale: the neighbor generation is the ANN tier's problem (ext17/
+    * ext20 buckets at 100 TB; exact form here = the semantics the
+    * buckets approximate); voting adds two keyed aggs on (vec, label)
+    * and vec — map-side combining, no new data-sized state. Scoring uses
+    * the native `graft_cosine` kernel.
+    */
+  val labelNoiseKnn: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val all = table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val neigh = all.as("q").join(all.as("c"),
+        col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("q.label").as("label"),
+        col("c.vec_id").as("n_id"), col("c.label").as("n_label"),
+        expr("graft_cosine(q.v, c.v)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+    val votes = neigh.groupBy("vec_id", "label", "n_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val majority = votes
+      .withColumn("vote_rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("n_votes").desc, col("n_label"))))
+      .filter(col("vote_rank") === 1)
+      .select(col("vec_id"), col("label"), col("n_label").as("knn_label"))
+    majority.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("knn_label") =!= col("label"), 1L).otherwise(0L))
+        .as("n_flagged"))
+      .withColumn("flagged_rate",
+        col("n_flagged").cast("double") / col("n_vecs"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext77_label_noise_knn" -> labelNoiseKnn,
     "ext75_sim_topk_ivfpq" -> pqTopK,
     "ext06_sim_topk_bruteforce" -> bruteForceTopK,
     "ext07_sim_topk_ivf" -> ivfTopK,
@@ -379,6 +423,33 @@ object Similarity {
        |    FROM sub s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ext77_label_noise_knn" ->
+      s"""WITH $vSql,
+         |neigh AS (
+         |  SELECT q_id AS vec_id, label, n_label FROM (
+         |    SELECT q.vec_id AS q_id, q.label AS label,
+         |      c.vec_id AS n_id, c.label AS n_label,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |          / (q.norm * c.norm) DESC, c.vec_id) AS rank
+         |    FROM v q JOIN v c ON c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT vec_id, label, n_label, COUNT(*) AS n_votes
+         |  FROM neigh GROUP BY vec_id, label, n_label),
+         |majority AS (
+         |  SELECT vec_id, label, n_label AS knn_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY n_votes DESC, n_label) AS vote_rank
+         |    FROM votes)
+         |  WHERE vote_rank = 1)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN knn_label <> label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(CAST(SUM(CASE WHEN knn_label <> label THEN 1 ELSE 0 END) AS BIGINT)
+         |       AS DOUBLE) / COUNT(*) AS flagged_rate
+         |FROM majority GROUP BY label
+         |ORDER BY label""".stripMargin,
     "ext75_sim_topk_ivfpq" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sub AS (
