@@ -328,7 +328,38 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Priority expression of [[weightedSample]] — shared verbatim with the
+    * oracle. A-ES key: -ln(u)/w with u = (hash+1)/2^31 rational, so
+    * -ln(u) = (31 - log2(hash+1)) · ln 2 — integer-exact inputs, the
+    * engine-portable [[detLog2]], and only correctly-rounded IEEE ops. */
+  private val samplePrioritySql: String =
+    s"(31 - ${detLog2("num")}) * 0.6931471805599453 / n_chars"
+
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    * draw 50 documents with inclusion probability proportional to length
+    * (n_chars) by ranking on -ln(u)/w and keeping the smallest keys.
+    *
+    * Scale: the priority is a map-side scalar per row and the draw is a
+    * TakeOrdered top-k — ONE scan, no shuffle, no sequential sampler
+    * state, at any corpus size; this is the standard distributed
+    * formulation of weighted reservoir sampling. Determinism: u comes
+    * from the Lehmer hash (no RNG) and the log is [[detLog2]], so both
+    * engines rank identically bit-for-bit.
+    */
+  val weightedSample: Q = (s, d) => {
+    table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("n_chars") > 0)
+      .withColumn("num",
+        (col("doc_id") * lit(2654435761L)) % lit(2147483648L) + lit(1L))
+      .withColumn("priority", expr(samplePrioritySql))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext79_weighted_sample" -> weightedSample,
     "ext65_incremental_dedup" -> incrementalDedup,
     "ext66_quality_ensemble" -> qualityEnsemble,
     "ext59_span_dedup" -> spanDedup,
@@ -410,6 +441,16 @@ object CorpusOps {
        |  FROM scored GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ext79_weighted_sample" ->
+      s"""WITH sdocs AS (
+         |  SELECT doc_id, n_chars,
+         |    (doc_id * 2654435761) % 2147483648 + 1 AS num
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars,
+         |  $samplePrioritySql AS priority
+         |FROM sdocs
+         |ORDER BY priority, doc_id
+         |LIMIT 50""".stripMargin,
     "ext65_incremental_dedup" ->
       """WITH digested AS (
         |  SELECT doc_id,

@@ -443,7 +443,44 @@ object Advanced {
       .orderBy("col_name")
   }
 
+  /** Single-pass histogram quantiles — the streaming/distributed
+    * alternative to exact percentiles (q51): bin every price into fixed
+    * width-50 buckets, then read p50/p95 off the cumulative histogram
+    * with linear interpolation inside the crossing bin. The binning (not
+    * sampling) makes the approximation DETERMINISTIC, so unlike a sketch
+    * the oracle can restate it exactly.
+    *
+    * Scale: one map-side-combining agg keyed by (group, bin) — state is
+    * #groups × #bins regardless of row count — then a window over the
+    * tiny histogram. This is how a 100 TB percentile dashboard actually
+    * gets computed; q51's exact sort-based form is the correctness
+    * baseline. */
+  val histogramQuantiles: Q = (s, d) => {
+    val hist = table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"),
+        floor(col("l_extendedprice") / 50).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("l_returnflag").orderBy("bin")
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+    val quantiles = s.range(1).select(
+      explode(array(lit(0.5), lit(0.95))).as("q"))
+    cum.join(broadcast(quantiles),
+        col("cum") >= ceil(col("n") * col("q")) &&
+          col("cum") - col("c") < ceil(col("n") * col("q")))
+      .select(col("l_returnflag"),
+        concat(lit("p"), (col("q") * 100).cast("int")).as("quantile"),
+        col("n"),
+        (col("bin") * 50 + lit(50) *
+          (ceil(col("n") * col("q")) - (col("cum") - col("c"))).cast("double") /
+          col("c")).as("estimate"))
+      .orderBy("l_returnflag", "quantile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext78_histogram_quantiles" -> histogramQuantiles,
     "q97_profile_stats" -> profileStats,
     "q79_date_arithmetic" -> dateArithmetic,
     "q80_nullsafe_join" -> nullSafeJoin,
@@ -466,6 +503,28 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "ext78_histogram_quantiles" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice / 50) AS BIGINT) AS bin,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM hist),
+        |qs AS (SELECT CAST(0.5 AS DOUBLE) AS q UNION ALL SELECT CAST(0.95 AS DOUBLE))
+        |SELECT l_returnflag,
+        |  'p' || CAST(CAST(q * 100 AS INT) AS VARCHAR) AS quantile,
+        |  n,
+        |  bin * 50 + 50 * CAST(CAST(ceil(n * q) AS BIGINT) - (cum - c) AS DOUBLE) / c
+        |    AS estimate
+        |FROM cum JOIN qs
+        |  ON cum >= CAST(ceil(n * q) AS BIGINT)
+        | AND cum - c < CAST(ceil(n * q) AS BIGINT)
+        |ORDER BY l_returnflag, quantile""".stripMargin,
     "q97_profile_stats" ->
       """SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s FROM (
         |  SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,

@@ -18,6 +18,8 @@ class ContractSpec extends AnyFunSuite {
     "TextAnalysis" -> ext.TextAnalysis.queries,
     "TrainingPrep" -> ext.TrainingPrep.queries,
     "CorpusOps" -> ext.CorpusOps.queries,
+    "Behavior" -> ext.Behavior.queries,
+    "Search" -> ext.Search.queries,
     "GraphRank" -> ext.GraphRank.queries,
     "Multimodal" -> ext.Multimodal.queries,
     "Layout" -> ext.Layout.queries,
