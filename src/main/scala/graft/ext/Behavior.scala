@@ -145,13 +145,54 @@ object Behavior {
       .limit(15)
   }
 
+  /** Incremental materialized-view maintenance — the pattern that keeps a
+    * 100 TB rollup fresh without full recompute: the standing MV (events
+    * with event_id % 10 != 0 stand in for "already aggregated") merges
+    * with a delta batch's partial aggregate by RE-AGGREGATING the partial
+    * states (counts add; DECIMAL partial sums add exactly, so the merged
+    * result is bit-identical to a from-scratch rebuild — which is exactly
+    * what the oracle computes).
+    *
+    * Scale: the merge touches MV rows + delta rows (both aggregate-sized,
+    * ≪ raw), one keyed exchange; the raw events of the base are never
+    * rescanned. This is the batch twin of ext24's streaming incremental
+    * warehouse.
+    */
+  val incrementalMv: Q = (s, d) => {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("hour_id"), col("value"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type", "hour_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(graft.ops.Dec)).as("vs"))
+    val mv = partial(ev.filter(col("event_id") % 10 =!= 0))
+    val delta = partial(ev.filter(col("event_id") % 10 === 0))
+    mv.unionByName(delta)
+      .groupBy("event_type", "hour_id")
+      .agg(sum("n").as("n"),
+        sum("vs").cast(graft.ops.DecOut).cast("double").as("value_sum"))
+      .orderBy("event_type", "hour_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext81_incremental_mv" -> incrementalMv,
     "ext67_sessionize" -> sessionize,
     "ext68_funnel" -> funnel,
     "ext69_retention_cohorts" -> retention,
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle rebuilds the rollup from scratch — equality with the
+    // merged partial states IS the incremental-maintenance claim
+    "ext81_incremental_mv" ->
+      """SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |       AS DOUBLE) AS value_sum
+        |FROM events
+        |GROUP BY event_type, hour_id
+        |ORDER BY event_type, hour_id""".stripMargin,
     "ext67_sessionize" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,

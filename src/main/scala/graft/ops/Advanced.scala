@@ -479,7 +479,46 @@ object Advanced {
       .orderBy("l_returnflag", "quantile")
   }
 
+  /** Data-quality expectations — the dbt-test / Deequ-style validation
+    * suite a warehouse load runs before publishing: primary-key
+    * uniqueness, referential integrity, range, domain, and null checks,
+    * emitted as ONE violations report.
+    *
+    * Scale: each check is an independent aggregate (the FK check a LEFT
+    * ANTI join that broadcasts nothing data-sized); Spark runs the lazy
+    * union as parallel scans. Reports counts, not violating rows — the
+    * report stays bytes-sized at any input scale (drill-down is a
+    * follow-up filter query on the named check).
+    */
+  val dataQualityChecks: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val ord = table(s, d, "orders")
+    def report(name: String, violations: org.apache.spark.sql.DataFrame) =
+      violations.select(lit(name).as("check_name"),
+        col("n_violations"),
+        when(col("n_violations") === 0L, "pass").otherwise("fail")
+          .as("status"))
+    val pkUnique = ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(count(lit(1)).as("n_violations"))
+    val fkOrders = li.join(ord, col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val qtyRange = li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+      .agg(count(lit(1)).as("n_violations"))
+    val flagDomain = li.filter(!col("l_returnflag").isin("A", "N", "R"))
+      .agg(count(lit(1)).as("n_violations"))
+    val shipNotNull = li.filter(col("l_shipdate").isNull)
+      .agg(count(lit(1)).as("n_violations"))
+    report("1_orders_pk_unique", pkUnique)
+      .unionByName(report("2_lineitem_fk_orders", fkOrders))
+      .unionByName(report("3_quantity_range", qtyRange))
+      .unionByName(report("4_returnflag_domain", flagDomain))
+      .unionByName(report("5_shipdate_not_null", shipNotNull))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_data_quality" -> dataQualityChecks,
     "ext78_histogram_quantiles" -> histogramQuantiles,
     "q97_profile_stats" -> profileStats,
     "q79_date_arithmetic" -> dateArithmetic,
@@ -503,6 +542,26 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q98_data_quality" ->
+      """SELECT check_name, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM (
+        |  SELECT '1_orders_pk_unique' AS check_name, COUNT(*) AS n_violations
+        |  FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        |  UNION ALL
+        |  SELECT '2_lineitem_fk_orders', COUNT(*)
+        |  FROM lineitem l WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT '3_quantity_range', COUNT(*)
+        |  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+        |  UNION ALL
+        |  SELECT '4_returnflag_domain', COUNT(*)
+        |  FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')
+        |  UNION ALL
+        |  SELECT '5_shipdate_not_null', COUNT(*)
+        |  FROM lineitem WHERE l_shipdate IS NULL)
+        |ORDER BY check_name""".stripMargin,
     "ext78_histogram_quantiles" ->
       """WITH hist AS (
         |  SELECT l_returnflag,

@@ -389,6 +389,62 @@ object Streams {
     * joins degrade silently, so the bound is the difference between O(2h
     * of traffic) and O(entire history) state at 100 TB/day). The oracle
     * is the equivalent batch join. */
+  /** LEFT OUTER stream-stream join — the half of the streaming join
+    * matrix ext41 doesn't cover: unmatched clicks surface with NULL
+    * purchase columns, but only once the global watermark proves no
+    * match can still arrive (wm = min of the two sources' max event time
+    * minus the 1 h delay; a click is released when its entire 2 h match
+    * window is below it). `processAllAvailable` runs the trailing
+    * no-data micro-batch that advances the watermark and flushes those
+    * state rows, so the final multiset is deterministic and the oracle
+    * can restate it: inner matches ∪ unmatched clicks old enough that
+    * `c_ts + 2h < wm`. Clicks still inside the horizon when the stream
+    * ends are correctly ABSENT — retention semantics, not data loss.
+    *
+    * Scale: same four state stores per shuffle partition as ext41; the
+    * outer flush adds no state, only the eviction-time null emission.
+    */
+  val streamOuterJoin: Q = (s, d) => {
+    val dir = scratchDir(s, "stream_soj")
+    deleteRec(Paths.get(dir))
+    def typed(t: String) = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type") === t)
+    val now = System.currentTimeMillis()
+    copyAs(stagedOnce(s, d, "clicks")(typed("click")),
+      Paths.get(s"$dir/clicks/b0.parquet"), now - 60000)
+    copyAs(stagedOnce(s, d, "purchases")(typed("purchase")),
+      Paths.get(s"$dir/purch/b0.parquet"), now - 60000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def src(sub: String) = s.readStream.schema(schema).parquet(s"$dir/$sub")
+    val clicks = src("clicks")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = src("purch")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+    val sinkName = s"graft_stream_soj_${sessionToken(s)}"
+    withStreamShuffle(s) {
+      val query = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    s.table(sinkName)
+      .select(col("c_id"), col("p_id"), col("c_user").as("user_id"),
+        unix_micros(col("p_ts")).minus(unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy(col("c_id"), coalesce(col("p_id"), lit(-1L)))
+  }
+
   val streamStreamJoin: Q = (s, d) => {
     val dir = scratchDir(s, "stream_ssj")
     deleteRec(Paths.get(dir))
@@ -774,6 +830,7 @@ object Streams {
     "ext32_channel_envelope" -> channelEnvelope,
     "ext35_stream_checkpoint_restart" -> checkpointRestart,
     "ext41_stream_stream_join" -> streamStreamJoin,
+    "ext80_stream_outer_join" -> streamOuterJoin,
     "ext42_stream_update_mode" -> streamUpdateMode,
     "ext44_dsv2_stream_source" -> dsv2StreamSource,
     "ext46_stream_custom_sink" -> streamCustomSink,
@@ -902,6 +959,27 @@ object Streams {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 7200000000
         |ORDER BY c_id, p_id""".stripMargin,
+    // outer results exist only for clicks whose whole 2h match window is
+    // below the final global watermark = min(max click ts, max purchase
+    // ts) - 1h; younger unmatched clicks are retained state, not output
+    "ext80_stream_outer_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |c AS (SELECT event_id AS c_id, user_id, tsu FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id, tsu FROM e WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT MAX(tsu) FROM c), (SELECT MAX(tsu) FROM p))
+        |         - 3600000000 AS w),
+        |j AS (
+        |  SELECT c.c_id, p.p_id, c.user_id, p.tsu - c.tsu AS gap_us, c.tsu AS c_tsu
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |    AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 7200000000)
+        |SELECT c_id, p_id, user_id, gap_us
+        |FROM j
+        |WHERE p_id IS NOT NULL OR c_tsu + 7200000000 < (SELECT w FROM wm)
+        |ORDER BY c_id, COALESCE(p_id, -1)""".stripMargin,
     // the envelope round-trip is lossless, so the per-(bus-partition,
     // type) aggregate equals the same aggregate over the original rows
     "ext32_channel_envelope" ->
