@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Contract-line key for a catalog query name: the prefix before the
+    * first underscore, with "ext" compressed to "x" ("ext38_…" -> "x38",
+    * "q03_…" -> "q03"). Uniqueness is asserted in ContractSpec. */
+  def shortKey(name: String): String = {
+    val p = name.takeWhile(_ != '_')
+    if (p.startsWith("ext")) "x" + p.drop(3) else p
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,13 +88,19 @@ object Bench {
       }
     }
     // The driver captures only a ~2000-char tail of this process's output, so
-    // the single contract line must stay well under that: short query keys
-    // (the unambiguous "q27"/"ext05" prefix) and 1-decimal seconds. The full
-    // 2-decimal long-name map goes to a local file for in-repo analysis.
-    def r1(v: Double): String = f"$v%.1f"
+    // the single contract line must stay well under that: compressed query
+    // keys ("q27" stays; "ext05" becomes "x05" — at 179 queries the "ext"
+    // spelling alone pushed the line to ~2100 chars and truncation breaks
+    // the driver's JSON parse) and 1-decimal seconds with a trailing .0
+    // dropped. The full 2-decimal long-name map goes to a local file.
+    def r1(v: Double): String = {
+      if (v >= 10) v.round.toString // whole seconds past 10s — width cap
+      else { val s = f"$v%.1f"; if (s.endsWith(".0")) s.dropRight(2) else s }
+    }
     def r2(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r1(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + Bench.shortKey(k) + "\":" + r1(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
@@ -99,6 +113,8 @@ object Bench {
     // stop BEFORE printing: Spark's shutdown logging must not land between
     // the contract line and the end of the driver's captured tail
     spark.stop()
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // sf as basename: the full path cost 15 chars of the ~2000-char tail
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
   }
 }

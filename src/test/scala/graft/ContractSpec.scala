@@ -39,10 +39,17 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("bench short keys (prefix before first underscore) stay unique") {
-    val shorts = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+  test("bench short keys stay unique and the contract line fits the tail") {
+    val shorts = SparkEntry.queries.keys.toSeq.map(Bench.shortKey)
     assert(shorts.distinct.length === shorts.length,
       s"duplicate short keys: ${shorts.groupBy(identity).filter(_._2.length > 1).keys}")
+    // the driver parses the contract line from a ~2000-char captured tail;
+    // estimate the line pessimistically (every value 3 chars wide — r1
+    // caps values at "999" even in interference-inflated runs) and fail
+    // BEFORE the driver does
+    val overhead = 75 // {"metric":"total","value":...,"unit":"sec",...,"sf":"sf0.1"}
+    val est = overhead + shorts.map(_.length + 7).sum
+    assert(est < 1950, s"bench contract line estimate $est chars — shrink keys")
   }
 
   test("rows-only queries (no oracle) are the documented exceptions") {
