@@ -3,7 +3,7 @@ package graft.streaming
 import graft.ops.{dsum, events, scratchDir, sessionToken, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, Trigger}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
@@ -297,6 +297,98 @@ object Streams {
     s.read.parquet(outDir)
       .select(col("user_id"), col("event_id"), col("value"))
       .orderBy("user_id", "event_id")
+  }
+
+  /** Input/output rows for the transformWithState query (top-level for
+    * encoder resolution, like [[Ev]]). */
+  case class EvT(event_id: Long, user_id: Long, event_type: String, tsu: Long)
+  case class SeqOut(user_id: Long, event_id: Long, seq: Long, new_type: Int)
+
+  /** Spark 4 arbitrary-state processor: per-user event sequence numbers
+    * (ValueState counter) plus a first-seen flag per event_type (MapState
+    * set). Unlike [Group]StateTimeout-era flatMapGroupsWithState, a
+    * processor composes MULTIPLE named state variables per key, each its
+    * own column family in the RocksDB store — the API Spark 4 positions
+    * for production stateful pipelines (TTL, timers, initial state).
+    * State per user is one long + one bool per distinct type: watermark-
+    * free but naturally bounded by the type vocabulary.
+    */
+  class SeqNoProcessor extends StatefulProcessor[Long, EvT, SeqOut] {
+    @transient private var nSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var seenTypes: org.apache.spark.sql.streaming.MapState[String, Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nSeen = getHandle.getValueState[Long]("nSeen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      seenTypes = getHandle.getMapState[String, Boolean]("seenTypes",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[EvT],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SeqOut] = {
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      // batch iterators are unordered; impose event-time order so the
+      // sequence is the deterministic arrival index
+      val out = rows.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+        n += 1
+        val isNew = !seenTypes.containsKey(e.event_type)
+        if (isNew) seenTypes.updateValue(e.event_type, true)
+        SeqOut(uid, e.event_id, n, if (isNew) 1 else 0)
+      }
+      nSeen.update(n)
+      out.iterator
+    }
+  }
+
+  /** Per-user sequence numbering + first-seen-type detection via the
+    * Spark 4 `transformWithState` API over the same REAL two-micro-batch
+    * file stream as ext21. Batch 0 carries the older event-time half, so
+    * sequence numbers continuing (not restarting) in batch 1 and types
+    * first seen in batch 0 NOT flagging again in batch 1 together prove
+    * both state variables persisted across micro-batches. The operator
+    * requires the RocksDB state store provider (scoped + restored here).
+    *
+    * Scale: state is one counter and one small type-set per user key in
+    * RocksDB (disk-backed, so state size is bounded by local disk, not
+    * executor heap); each batch shuffles once on the group key.
+    */
+  val transformWithStateSeq: Q = (s, d) => {
+    import s.implicits._
+    val dir = scratchDir(s, "stream_tws")
+    deleteRec(Paths.get(dir))
+    val (lo, hi) = stagedHalves(s, d)
+    val now = System.currentTimeMillis()
+    copyAs(lo, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(hi, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val savedProvider = scala.util.Try(
+      s.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+        .as[EvT]
+      val flow = stream.groupByKey(_.user_id)
+        .transformWithState(new SeqNoProcessor, TimeMode.None(), OutputMode.Append())
+      val sinkName = s"graft_stream_tws_${sessionToken(s)}"
+      withStreamShuffle(s) {
+        val query = flow.toDF.writeStream.outputMode("append")
+          .format("memory").queryName(sinkName).start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      s.table(sinkName)
+        .select(col("user_id"), col("event_id"), col("seq"), col("new_type"))
+        .orderBy("user_id", "event_id")
+    } finally savedProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   /** Sliding windows (1 hour every 30 minutes) in APPEND mode with a
@@ -837,7 +929,8 @@ object Streams {
     "ext51_sink_time_travel" -> sinkTimeTravel,
     "ext53_trigger_available_now" -> availableNowDrain,
     "ext55_stream_static_join" -> streamStaticJoin,
-    "ext58_stream_merge_catalog" -> streamMergeCatalog)
+    "ext58_stream_merge_catalog" -> streamMergeCatalog,
+    "ext82_stream_transform_state" -> transformWithStateSeq)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -856,6 +949,22 @@ object Streams {
       |ORDER BY user_id, event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ext82: the per-user arrival index and first-seen-type flag restated
+    // as batch window functions over global (event-time, id) order —
+    // matching across the batch boundary proves BOTH named state
+    // variables (counter + type set) survived into batch 1
+    "ext82_stream_transform_state" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events WHERE user_id % 5 = 0)
+        |SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                          ORDER BY tsu, event_id) AS BIGINT) AS seq,
+        |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY tsu, event_id) = 1
+        |       THEN 1 ELSE 0 END AS new_type
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
     // one survivor per (user_id, event_type, day) key -> the per-(type,
     // day) key counts equal batch DISTINCT counts
     "ext29_stream_dedup_watermark" ->

@@ -13,6 +13,41 @@ class AdvancedSpec extends SparkTestBase {
     assert(plan.contains("Join"), plan) // a real (hash/merge) equi join on the bin
   }
 
+  test("bucketed join: sort-merge with zero exchange beneath it") {
+    val q = Advanced.bucketedJoin(spark, sf)
+    // execute first — AQE finalizes the physical plan lazily
+    val rows = q.collect()
+    // cross-check against the plain (unbucketed) join
+    val plain = graft.ops.table(spark, sf, "orders")
+      .join(graft.ops.table(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.ops.dsum(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment").collect()
+    assert(rows.toSeq === plain.toSeq)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case qs: QueryStageExec => qs +: allNodes(qs.plan)
+        case n => Seq(n)
+      }
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smj = allNodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s"no sort-merge join in bucketed plan:\n$plan")
+    smj.foreach { j =>
+      val shuffles = allNodes(j).collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty, s"bucketed join still shuffled:\n$j")
+    }
+  }
+
   test("the naive BETWEEN join DOES nested-loop — the bin rewrite is the fix") {
     import spark.implicits._
     val ivals = Seq((1L, 10, 20)).toDF("ival_id", "start_d", "end_d")

@@ -97,6 +97,44 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState: both named state variables persist across batches") {
+    // the Spark 4 arbitrary-state API behind ext82 — a ValueState counter
+    // and a MapState type-set on the same key must BOTH survive into the
+    // second micro-batch for the expected output
+    import spark.implicits._
+    import graft.streaming.Streams.{EvT, SeqOut}
+    val saved = util.Try(spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass")).toOption
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EvT]
+      val flow = source.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.Streams.SeqNoProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      val query = flow.writeStream.outputMode("append")
+        .format("memory").queryName("graft_tws_spec").start()
+      try {
+        source.addData(EvT(1, 7, "a", 10), EvT(2, 7, "b", 20))
+        query.processAllAvailable()
+        // batch 2: counter must continue at 3; "a" must NOT flag again
+        source.addData(EvT(3, 7, "a", 30), EvT(4, 7, "c", 40))
+        query.processAllAvailable()
+      } finally query.stop()
+      val got = spark.table("graft_tws_spec").as[SeqOut].collect()
+        .sortBy(_.event_id).toSeq
+      assert(got === Seq(
+        SeqOut(7, 1, 1, 1), SeqOut(7, 2, 2, 1),
+        SeqOut(7, 3, 3, 0), SeqOut(7, 4, 4, 1)))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("StreamingQueryProgress exposes state-store size (the ops dashboard feed)") {
     // capacity planning at scale runs off these numbers: rows held per
     // stateful operator and their memory footprint, per micro-batch
