@@ -98,9 +98,41 @@ object GraphRank {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Multi-source BFS hop levels (depth-capped at 8) — the reachability /
+    * shortest-hop primitive behind link-graph crawl-depth features and
+    * contamination-spread audits. Classic frontier expansion expressed
+    * relationally: round i joins the lvl==i-1 frontier to the edge list
+    * and folds new nodes in with a min-label groupBy, so a node keeps its
+    * FIRST (= shortest) level and each node's neighborhood is expanded
+    * exactly once. The oracle recomputes the same levels as a DuckDB
+    * recursive CTE over depth-capped walks — matching proves the frontier
+    * iteration equals the declarative fixpoint.
+    *
+    * Scale: per round one keyed join (frontier ⋈ edges) + one min-combine
+    * shuffle; the frontier filter keeps the join input to newly-reached
+    * nodes only. Edges are persisted across rounds (8 rescans otherwise);
+    * at 100 TB you also checkpoint `dist` every few rounds to cut lineage
+    * — same loop as ext52/ext38.
+    */
+  val bfsLevels: Q = (s, d) => {
+    val edges = table(s, d, "events")
+      .select((col("user_id") % 50).as("src"), (col("event_id") % 50).as("dst"))
+      .distinct().persist()
+    var dist = s.range(3).select(col("id").as("node"), lit(0L).as("lvl"))
+    for (i <- 1 to 8) {
+      val reached = dist.filter(col("lvl") === (i - 1))
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("lvl"))
+      dist = dist.unionByName(reached)
+        .groupBy("node").agg(min("lvl").as("lvl"))
+    }
+    dist.orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext52_pagerank" -> pageRank,
-    "ext74_triangle_count" -> triangleCount)
+    "ext74_triangle_count" -> triangleCount,
+    "ext83_bfs_levels" -> bfsLevels)
 
   /** The oracle unrolls the same three damped rounds as CTEs with the
     * identical decimal staging — the two engines must agree bit-for-bit
@@ -117,6 +149,20 @@ object GraphRank {
        |  GROUP BY n.node)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // depth-capped recursive walk; MIN(lvl) per node = BFS level. UNION
+    // (distinct) recursion terminates because (node, lvl) pairs are
+    // bounded by the lvl < 8 cap — the same cap the Spark loop runs.
+    "ext83_bfs_levels" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst FROM events),
+        |walk(node, lvl) AS (
+        |  SELECT CAST(x AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (VALUES (0), (1), (2)) t(x)
+        |  UNION
+        |  SELECT e.dst, w.lvl + 1 FROM walk w
+        |  JOIN e ON e.src = w.node WHERE w.lvl < 8)
+        |SELECT node, MIN(lvl) AS lvl FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin,
     "ext52_pagerank" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst FROM events),

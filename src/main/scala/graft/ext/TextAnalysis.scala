@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.ops.{table, Q}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over `documents`:
@@ -182,7 +183,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 TF-IDF terms — the classic relevance weighting a
+    * retrieval/curation pipeline derives per corpus (BM25's ext70 cousin
+    * with the simpler rational idf = N/df). The document-frequency table
+    * is computed over the WHOLE corpus, then the scored join is filtered
+    * to the sampled docs — df must never be computed on the sample.
+    *
+    * Determinism: tfidf = (tf * N) / df as an IEEE double division of two
+    * exactly-representable integers — correctly rounded, hence identical,
+    * in both engines (the same trick as ext70's rational idf; libm logs
+    * are NOT bit-portable). Ties rank by term text.
+    *
+    * Scale: tf is one (doc, term)-keyed shuffle, df one term-keyed
+    * map-side-combining agg on the already-aggregated tf table, N a
+    * broadcast scalar; the per-doc top-3 is a WindowGroupLimit pushdown,
+    * never a full sort of the scored table.
+    */
+  val tfidfTopTerms: Q = (s, d) => {
+    val tf = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+    tf.filter(col("doc_id") % 10 === 0)
+      .join(df, Seq("tok")).crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "tok", "tf", "df", "tfidf", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext84_tfidf_topterms" -> tfidfTopTerms,
     "ext43_pii_redaction" -> piiRedaction,
     "ext33_bottomk_sketch" -> bottomKSketch,
     "ext08_text_langid" -> langId,
@@ -193,6 +228,23 @@ object TextAnalysis {
     "ext28_sample_stratified" -> sampleStratified)
 
   val oracleSql: Map[String, String] = Map(
+    "ext84_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |       WHERE tok <> '' GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |    CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS tfidf
+        |  FROM tf t JOIN df d USING (tok), n
+        |  WHERE t.doc_id % 10 = 0),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY tfidf DESC, tok) AS rk FROM scored)
+        |SELECT doc_id, tok, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "ext43_pii_redaction" ->
       """WITH seeded AS (
         |  SELECT doc_id, lang,

@@ -562,6 +562,26 @@ object SemiStructured {
         |LATERAL explode(sequence(0, t.id % 4)) AS e(x)
         |ORDER BY t.id, e.x""".stripMargin)
 
+  /** SQL session variables + EXECUTE IMMEDIATE — the parameterized-query
+    * serving surface (DuckDB gives the reference prepared statements; the
+    * Spark-4 twins are `DECLARE VARIABLE`, `SET VAR`, and dynamic SQL with
+    * `?` markers bound via USING). The variable flows through the dynamic
+    * statement at ANALYSIS time, so the executed plan is the ordinary
+    * pushed-filter scan — no re-parse per row, no literal injection.
+    */
+  val q100SqlVariables: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_var")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_status STRING DEFAULT 'O'")
+    s.sql("SET VARIABLE graft_status = 'F'")
+    s.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT o_orderpriority, COUNT(*) AS n,
+        |     CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |   FROM graft_ord_var WHERE o_orderstatus = ?
+        |   GROUP BY o_orderpriority ORDER BY o_orderpriority'
+        |  USING graft_status""".stripMargin)
+  }
+
   /** Column DEFAULT values on the catalog table
     * (`TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`): INSERTs
     * that omit a column take its CURRENT default at write time, and
@@ -775,9 +795,15 @@ object SemiStructured {
     "q93_catalog_default" -> q93CatalogDefault,
     "q94_catalog_compact" -> q94CatalogCompact,
     "q95_catalog_expire" -> q95CatalogExpire,
-    "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate)
+    "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
+    "q100_sql_variables" -> q100SqlVariables)
 
   val oracleSql: Map[String, String] = Map(
+    "q100_sql_variables" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q42_correlated_subquery" ->
       """SELECT c_custkey, c_acctbal
         |FROM customer c
