@@ -110,22 +110,42 @@ object GraphRank {
     *
     * Scale: per round one keyed join (frontier ⋈ edges) + one min-combine
     * shuffle; the frontier filter keeps the join input to newly-reached
-    * nodes only. Edges are persisted across rounds (8 rescans otherwise);
-    * at 100 TB you also checkpoint `dist` every few rounds to cut lineage
-    * — same loop as ext52/ext38.
+    * nodes only. Edges are persisted across rounds (8 rescans otherwise),
+    * and each round's level frame is EAGERLY localCheckpoint-ed — the
+    * union+groupBy chain doubles the logical plan every round, so without
+    * lineage truncation analysis cost is 2^rounds (first measured here as
+    * a 48 s fixture run; 1.5 s with the checkpoint — ext38 hit the same
+    * wall). Previous rounds' checkpoint blocks are freed as soon as the
+    * next round materializes; on a real cluster use checkpoint(reliable
+    * dir) against executor churn — same shape, same cost.
     */
   val bfsLevels: Q = (s, d) => {
     val edges = table(s, d, "events")
       .select((col("user_id") % 50).as("src"), (col("event_id") % 50).as("dst"))
       .distinct().persist()
+    // loop micro-shuffles sized to the 50-node graph, not the session's
+    // fact-table width (ext38's convention)
+    val savedSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var dist = s.range(3).select(col("id").as("node"), lit(0L).as("lvl"))
-    for (i <- 1 to 8) {
-      val reached = dist.filter(col("lvl") === (i - 1))
-        .join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), lit(i.toLong).as("lvl"))
-      dist = dist.unionByName(reached)
-        .groupBy("node").agg(min("lvl").as("lvl"))
-    }
+    try {
+      for (i <- 1 to 8) {
+        val reached = dist.filter(col("lvl") === (i - 1))
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(i.toLong).as("lvl"))
+        val next = dist.unionByName(reached)
+          .groupBy("node").agg(min("lvl").as("lvl"))
+          .localCheckpoint(true)
+        // Dataset.unpersist does not free checkpoint storage; drop the
+        // superseded round's blocks explicitly (ext38's pattern)
+        prevCkpt.foreach(_.unpersist(blocking = false))
+        prevCkpt = next.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+        dist = next
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedSp)
     dist.orderBy("node")
   }
 

@@ -479,6 +479,36 @@ object Advanced {
       .orderBy("l_returnflag", "quantile")
   }
 
+  /** Winsorized group statistics — the outlier-clipping normalization a
+    * training pipeline applies before loss-weighting or feature scaling:
+    * clip every value into its group's [p01, p99] and report the clipped
+    * mean. Quantile bounds are RANK-BASED (the value at row ceil(n*q) in
+    * group order — quantile_disc semantics), so both engines select the
+    * same stored double and no interpolation arithmetic is compared; the
+    * clipped mean goes through the usual exact-decimal staging.
+    *
+    * Scale: the bounds pass is q51's exact per-group sort (fixture-exact
+    * baseline; a 100 TB deployment swaps in ext78's deterministic
+    * histogram bounds — the clip stage is unchanged); bounds are a
+    * per-group scalar broadcast and the clip+mean is one map-side-
+    * combining agg over the fact scan. */
+  val winsorizedStats: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val ranked = li.select(col("g"), col("v"),
+      row_number().over(Window.partitionBy("g").orderBy("v")).as("rn"),
+      count(lit(1)).over(Window.partitionBy("g")).as("n"))
+    val bounds = ranked.groupBy("g").agg(
+      min("n").as("n"),
+      min(when(col("rn") === ceil(col("n") * 0.01), col("v"))).as("lo"),
+      min(when(col("rn") === ceil(col("n") * 0.99), col("v"))).as("hi"))
+    li.join(broadcast(bounds), Seq("g"))
+      .groupBy("g", "n", "lo", "hi")
+      .agg(davg(greatest(col("lo"), least(col("hi"), col("v"))))
+        .as("wins_mean"))
+      .orderBy("g")
+  }
+
   /** Data-quality expectations — the dbt-test / Deequ-style validation
     * suite a warehouse load runs before publishing: primary-key
     * uniqueness, referential integrity, range, domain, and null checks,
@@ -552,6 +582,7 @@ object Advanced {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext85_winsorized_stats" -> winsorizedStats,
     "q99_bucketed_join" -> bucketedJoin,
     "q98_data_quality" -> dataQualityChecks,
     "ext78_histogram_quantiles" -> histogramQuantiles,
@@ -577,6 +608,24 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "ext85_winsorized_stats" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_extendedprice) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT g, MIN(n) AS n,
+        |    MIN(CASE WHEN rn = CAST(ceil(n * 0.01) AS BIGINT) THEN v END) AS lo,
+        |    MIN(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN v END) AS hi
+        |  FROM r GROUP BY g)
+        |SELECT b.g, b.n, b.lo, b.hi,
+        |  CAST(CAST(SUM(CAST(greatest(b.lo, least(b.hi, l.v)) AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) / COUNT(*) AS wins_mean
+        |FROM b JOIN (SELECT l_returnflag AS g, l_extendedprice AS v
+        |             FROM lineitem) l USING (g)
+        |GROUP BY b.g, b.n, b.lo, b.hi ORDER BY g""".stripMargin,
     "q99_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total

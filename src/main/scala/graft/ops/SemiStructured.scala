@@ -501,6 +501,36 @@ object SemiStructured {
         |FROM graft_cat.db.mrg_t GROUP BY 1 ORDER BY band""".stripMargin)
   }
 
+  /** The FULL MERGE surface: conditional multi-WHEN clauses plus the
+    * Spark-4 `WHEN NOT MATCHED BY SOURCE` branches, which act on TARGET
+    * rows the source never mentions — the piece that turns MERGE into a
+    * complete snapshot-reconciliation primitive (retire stale rows,
+    * touch-up survivors) in one statement. The planner rewrites this as a
+    * single FULL OUTER join over the row-level-operation scan; the
+    * group-based copy-on-write machinery is the same as q89's.
+    */
+  val q101MergeBySource: Q = (s, _) => {
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.mrgsrc_t")
+    s.sql("CREATE TABLE graft_cat.db.mrgsrc_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1500").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_mrgsrc")
+    s.sql("INSERT INTO graft_cat.db.mrgsrc_t SELECT id, v FROM graft_seq_mrgsrc WHERE id < 1000")
+    s.sql(
+      """MERGE INTO graft_cat.db.mrgsrc_t t
+        |USING (SELECT id, v + 5000 AS w FROM graft_seq_mrgsrc WHERE id >= 500) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.w % 2 = 0 THEN UPDATE SET v = s.w
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.w)
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 100 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1""".stripMargin)
+    s.sql(
+      """SELECT id DIV 250 AS band, COUNT(*) AS n, SUM(v) AS v_sum
+        |FROM graft_cat.db.mrgsrc_t GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
   /** ALTER TABLE schema evolution on the catalog table — metadata-only
     * (the Iceberg column-id strategy, [[graft.sources.GraftCatalog]]):
     * ADD COLUMN publishes a new manifest version, old segments never
@@ -796,9 +826,27 @@ object SemiStructured {
     "q94_catalog_compact" -> q94CatalogCompact,
     "q95_catalog_expire" -> q95CatalogExpire,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
-    "q100_sql_variables" -> q100SqlVariables)
+    "q100_sql_variables" -> q100SqlVariables,
+    "q101_merge_by_source" -> q101MergeBySource)
 
   val oracleSql: Map[String, String] = Map(
+    // final table state by branch: target-only rows (id<500) are deleted
+    // below 100 and incremented otherwise; matched rows (500..999) keep
+    // v+5000 when even, are deleted when odd; source-only rows
+    // (1000..1499) insert v+5000
+    "q101_merge_by_source" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1500) r),
+        |final AS (
+        |  SELECT id, v + 1 AS v FROM seq WHERE id >= 100 AND id < 500
+        |  UNION ALL
+        |  SELECT id, v + 5000 FROM seq
+        |  WHERE id >= 500 AND id < 1000 AND (v + 5000) % 2 = 0
+        |  UNION ALL
+        |  SELECT id, v + 5000 FROM seq WHERE id >= 1000)
+        |SELECT id // 250 AS band, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM final GROUP BY 1 ORDER BY band""".stripMargin,
     "q100_sql_variables" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total
