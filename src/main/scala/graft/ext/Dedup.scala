@@ -85,6 +85,41 @@ object Dedup {
 
   val dedupNgramJaccard: Q = (s, d) => ngramJaccard(table(s, d, "documents"))
 
+  /** ASYMMETRIC containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over the
+    * same shingle inverted index as ext02 — the quote/boilerplate
+    * detector: a short doc fully embedded in a longer one scores ~1.0
+    * here while its Jaccard stays low (size mismatch drowns the
+    * intersection). Broder's containment companion to resemblance; the
+    * direction matters, so both (A→B) and (B→A) are emitted per pair.
+    *
+    * Scale: identical shape to ext02 — inverted-index self-join keyed on
+    * the shingle, never all-pairs; the per-direction division is a
+    * row-local map over the joined pair counts, and the top-20 is a
+    * TakeOrdered, not a sort.
+    */
+  val dedupContainment: Q = (s, d) => {
+    val sh = shingles(table(s, d, "documents")).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "n_b"), "b_id")
+    // both directions: containment of the SMALLER shingle set in the pair
+    // is the signal; emit each direction explicitly so the consumer can
+    // pick per-direction thresholds
+    sized.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        col("inter"), col("n_a").as("n_src"),
+        (col("inter").cast("double") / col("n_a")).as("containment"))
+      .unionByName(sized.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+        col("inter"), col("n_b").as("n_src"),
+        (col("inter").cast("double") / col("n_b")).as("containment")))
+      .orderBy(col("containment").desc, col("src_id"), col("dst_id"))
+      .limit(20)
+  }
+
   /** MinHash signatures (16 hashes) + LSH banding (4 bands x 4 rows):
     * shingle → minhash → band → bucket-join → signature-verified estimate.
     * Output: candidate pairs with >= 8/16 matching minhashes. */
@@ -370,6 +405,7 @@ object Dedup {
     "ext31_vocab_topdf" -> vocabTopDf,
     "ext01_dedup_exact" -> dedupExact,
     "ext02_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "ext86_dedup_containment" -> dedupContainment,
     "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ext04_dedup_simhash" -> dedupSimhash,
     "ext05_dedup_embedding" -> dedupEmbedding,
@@ -434,6 +470,28 @@ object Dedup {
         |FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
         |      FROM documents)
         |GROUP BY h ORDER BY doc_id_kept""".stripMargin,
+    "ext86_dedup_containment" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sized AS (
+         |  SELECT i.a_id, i.b_id, i.inter, sa.n AS n_a, sb.n AS n_b
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a_id
+         |  JOIN sz sb ON sb.doc_id = i.b_id),
+         |bidir AS (
+         |  SELECT a_id AS src_id, b_id AS dst_id, inter, n_a AS n_src,
+         |    CAST(inter AS DOUBLE) / n_a AS containment
+         |  FROM sized
+         |  UNION ALL
+         |  SELECT b_id, a_id, inter, n_b,
+         |    CAST(inter AS DOUBLE) / n_b
+         |  FROM sized)
+         |SELECT * FROM bidir
+         |ORDER BY containment DESC, src_id, dst_id LIMIT 20""".stripMargin,
     "ext02_dedup_ngram_jaccard" ->
       s"""WITH $shinglesSql,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
