@@ -151,7 +151,42 @@ object TrainingPrep {
       .orderBy("split", "source")
   }
 
+  /** Class-balanced oversampling to the majority-class count — the
+    * deterministic up-sampler a multilingual/multiclass training mix
+    * uses instead of RNG resampling: every class is brought to exactly
+    * `t = max(n)` rows by floor(t/n) full copies of each row plus the
+    * `t - floor(t/n)*n` lowest-id rows once more. Same row set on every
+    * rerun at any parallelism.
+    *
+    * Scale: per-class counts broadcast as scalars; full copies are a
+    * row-local `sequence` explode (no shuffle); the remainder is a
+    * per-class top-k by id — a WindowGroupLimit pushdown, not a global
+    * sort. Output is the per-class audit (counts + id checksum), bytes-
+    * sized at any corpus scale. */
+  val balancedOversample: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("lang"), col("doc_id"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val target = counts.agg(max("n").as("t"))
+    val rep = docs.join(broadcast(counts), "lang").crossJoin(broadcast(target))
+      .withColumn("reps", floor(col("t") / col("n")))
+    val fullCopies = rep
+      .withColumn("i", explode(expr("sequence(1, reps)")))
+      .select("lang", "doc_id")
+    val extra = rep
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang").orderBy("doc_id")))
+      .filter(col("rk") <= col("t") - col("reps") * col("n"))
+      .select("lang", "doc_id")
+    fullCopies.unionByName(extra)
+      .join(broadcast(counts), "lang").crossJoin(broadcast(target))
+      .groupBy("lang")
+      .agg(min("n").as("n_orig"), min("t").as("n_target"),
+        count(lit(1)).as("n_sampled"), sum("doc_id").as("id_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext87_balanced_oversample" -> balancedOversample,
     "ext56_full_training_pipeline" -> fullPipeline,
     "ext47_caption_pairs" -> captionPairs,
     "ext48_sequence_packing" -> sequencePacking,
@@ -159,6 +194,32 @@ object TrainingPrep {
     "ext50_hash_split" -> hashSplit)
 
   val oracleSql: Map[String, String] = Map(
+    // floor(t/n) is a true-division double floor in BOTH engines; the
+    // unnest(range(reps)) duplicates each row reps times, the window
+    // picks the remainder
+    "ext87_balanced_oversample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT MAX(n) AS t FROM c),
+        |rep AS (
+        |  SELECT d.lang, d.doc_id, c.n, t.t,
+        |    CAST(floor(CAST(t.t AS DOUBLE) / c.n) AS BIGINT) AS reps
+        |  FROM documents d JOIN c USING (lang) CROSS JOIN t),
+        |fullc AS (
+        |  SELECT lang, doc_id FROM (
+        |    SELECT lang, doc_id, unnest(range(reps)) AS i FROM rep)),
+        |extra AS (
+        |  SELECT lang, doc_id FROM (
+        |    SELECT lang, doc_id, t - reps * n AS r,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        |    FROM rep)
+        |  WHERE rk <= r),
+        |sampled AS (
+        |  SELECT lang, doc_id FROM fullc
+        |  UNION ALL SELECT lang, doc_id FROM extra)
+        |SELECT s.lang, MIN(c.n) AS n_orig, MIN(t.t) AS n_target,
+        |  COUNT(*) AS n_sampled, CAST(SUM(s.doc_id) AS BIGINT) AS id_sum
+        |FROM sampled s JOIN c ON c.lang = s.lang CROSS JOIN t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext56_full_training_pipeline" ->
       """WITH scored AS (
         |  SELECT doc_id, source, text,

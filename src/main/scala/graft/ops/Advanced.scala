@@ -479,6 +479,31 @@ object Advanced {
       .orderBy("l_returnflag", "quantile")
   }
 
+  /** Ordered-set / positional aggregates new in Spark 4 — LISTAGG with
+    * WITHIN GROUP ordering (the ISO ordered-set form; unordered LISTAGG
+    * is nondeterministic by definition and never leaves this library),
+    * exact interpolated MEDIAN, and MODE with the deterministic
+    * lowest-value tie-break. The oracle restates mode as min-of-argmax
+    * over the (group, value) count table — the only portable definition —
+    * and median stays bit-exact here because the quantity domain (small
+    * integers ± .5 midpoints) is closed under interpolation arithmetic.
+    *
+    * Scale: all three are single-exchange aggregates; LISTAGG's state is
+    * bounded by the DISTINCT value domain (2 statuses), never row count —
+    * the guard that keeps string aggregation usable at 100 TB. */
+  val orderedSetAggs: Q = (s, d) => {
+    table(s, d, "lineitem").createOrReplaceTempView("graft_li_osa")
+    s.sql(
+      """SELECT l_returnflag,
+        |  listagg(DISTINCT l_linestatus, ',')
+        |    WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+        |  median(l_quantity) AS med_qty,
+        |  mode(l_quantity, true) AS mode_qty,
+        |  COUNT(*) AS n
+        |FROM graft_li_osa
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Winsorized group statistics — the outlier-clipping normalization a
     * training pipeline applies before loss-weighting or feature scaling:
     * clip every value into its group's [p01, p99] and report the clipped
@@ -582,6 +607,7 @@ object Advanced {
   }
 
   val queries: Map[String, Q] = Map(
+    "q102_ordered_set_aggs" -> orderedSetAggs,
     "ext85_winsorized_stats" -> winsorizedStats,
     "q99_bucketed_join" -> bucketedJoin,
     "q98_data_quality" -> dataQualityChecks,
@@ -608,6 +634,22 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q102_ordered_set_aggs" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |md AS (
+        |  SELECT l_returnflag, MIN(l_quantity) AS mode_qty FROM (
+        |    SELECT *, RANK() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY c DESC) AS rk FROM m)
+        |  WHERE rk = 1 GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  string_agg(DISTINCT l.l_linestatus, ',' ORDER BY l.l_linestatus) AS statuses,
+        |  median(l.l_quantity) AS med_qty,
+        |  MIN(md.mode_qty) AS mode_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem l JOIN md ON md.l_returnflag = l.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ext85_winsorized_stats" ->
       """WITH r AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,
