@@ -391,6 +391,111 @@ object Streams {
     }
   }
 
+  /** State/output rows for the timer-session processor. */
+  case class SessAgg(n: Long, min_tsu: Long, max_tsu: Long)
+  case class SessOut(user_id: Long, n_events: Long, first_tsu: Long, last_tsu: Long)
+
+  /** EVENT-TIME TIMERS — the transformWithState capability ext82 doesn't
+    * touch: a per-user inactivity session that is closed by the STATE
+    * STORE's timer firing when the query watermark passes
+    * last-activity + gap, not by any input row. Each input batch folds
+    * events into the running session and MOVES the inactivity timer
+    * (deleting the previously registered one — tracked in its own
+    * ValueState) to last_event + gap; `handleExpiredTimer` emits the
+    * closed session and clears state. Input rows are processed before
+    * expired timers within a micro-batch, so a moved timer never fires
+    * at its stale expiry.
+    *
+    * Scale: state per user is one 3-field struct + one timer in RocksDB;
+    * timers are range-scanned by expiry per micro-batch — the mechanism
+    * a 100 TB clickstream uses for session-close emission without
+    * re-scanning state.
+    */
+  class TimerSessionProcessor(gapMs: Long) extends StatefulProcessor[Long, EvT, SessOut] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[SessAgg] = _
+    @transient private var timerAt: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[SessAgg]("sess",
+        org.apache.spark.sql.Encoders.product[SessAgg], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[EvT],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessOut] = {
+      val tsus = rows.map(_.tsu).toSeq
+      val (lo, hi, n) = (tsus.min, tsus.max, tsus.size.toLong)
+      val cur =
+        if (sess.exists()) {
+          val c = sess.get()
+          SessAgg(c.n + n, math.min(c.min_tsu, lo), math.max(c.max_tsu, hi))
+        } else SessAgg(n, lo, hi)
+      sess.update(cur)
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val at = cur.max_tsu / 1000 + gapMs
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessOut] = {
+      if (sess.exists()) {
+        val c = sess.get()
+        sess.clear(); timerAt.clear()
+        Iterator.single(SessOut(uid, c.n, c.min_tsu, c.max_tsu))
+      } else Iterator.empty
+    }
+  }
+
+  /** Inactivity sessions closed by event-time timers over the two-batch
+    * file stream: only sessions whose owner has been idle for 24 h by
+    * the time the FINAL watermark (global max event time − 1 h) lands
+    * are emitted; recent users' sessions stay open in state. The oracle
+    * restates that cut analytically (last_tsu ms + 24 h ≤ final
+    * watermark), which only matches if timers persisted, moved with new
+    * input, and fired against the committed watermark.
+    */
+  val timerSessions: Q = (s, d) => {
+    import s.implicits._
+    val dir = scratchDir(s, "stream_timer")
+    deleteRec(Paths.get(dir))
+    val (lo, hi) = stagedHalves(s, d)
+    val now = System.currentTimeMillis()
+    copyAs(lo, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(hi, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val savedProvider = scala.util.Try(
+      s.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+        .as[EvT]
+      val flow = stream.groupByKey(_.user_id)
+        .transformWithState(new TimerSessionProcessor(86400000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val sinkName = s"graft_stream_timer_${sessionToken(s)}"
+      withStreamShuffle(s) {
+        val query = flow.toDF.writeStream.outputMode("append")
+          .format("memory").queryName(sinkName).start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      s.table(sinkName)
+        .select(col("user_id"), col("n_events"), col("first_tsu"), col("last_tsu"))
+        .orderBy("user_id")
+    } finally savedProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** Sliding windows (1 hour every 30 minutes) in APPEND mode with a
     * 1-hour watermark, fed newest-half first. The OLD half is staged only
     * after the first `processAllAvailable`, so the batch-0 watermark is
@@ -930,7 +1035,8 @@ object Streams {
     "ext53_trigger_available_now" -> availableNowDrain,
     "ext55_stream_static_join" -> streamStaticJoin,
     "ext58_stream_merge_catalog" -> streamMergeCatalog,
-    "ext82_stream_transform_state" -> transformWithStateSeq)
+    "ext82_stream_transform_state" -> transformWithStateSeq,
+    "ext88_stream_timer_sessions" -> timerSessions)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -949,6 +1055,20 @@ object Streams {
       |ORDER BY user_id, event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ext88: sessions the timer machinery must have closed = users idle
+    // for >= gap by the final watermark (global max event-time ms - 1 h);
+    // open sessions are withheld in state and must NOT appear
+    "ext88_stream_timer_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    MIN(tsu) AS first_tsu, MAX(tsu) AS last_tsu
+        |  FROM e GROUP BY 1),
+        |wm AS (SELECT MAX(tsu) // 1000 - 3600000 AS w FROM e)
+        |SELECT user_id, n_events, first_tsu, last_tsu
+        |FROM agg, wm WHERE last_tsu // 1000 + 86400000 <= w
+        |ORDER BY user_id""".stripMargin,
     // ext82: the per-user arrival index and first-seen-type flag restated
     // as batch window functions over global (event-time, id) order —
     // matching across the batch boundary proves BOTH named state
