@@ -391,6 +391,92 @@ object Streams {
     }
   }
 
+  case class SeqOut2(user_id: Long, event_id: Long, seq: Long)
+
+  /** INITIAL STATE — the third transformWithState capability (after
+    * ext82's multiple state variables and ext88's timers): the processor
+    * is warm-started from a BATCH dataset before the first micro-batch,
+    * the lambda-architecture handoff (nightly backfill computes state,
+    * the stream continues from it). `handleInitialState` seeds the
+    * per-user counter; the stream then numbers only NEW events on top.
+    */
+  class SeqInitProcessor extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, EvT, SeqOut2, Long] {
+    @transient private var nSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nSeen = getHandle.getValueState[Long]("nSeen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInitialState(uid: Long, count: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+      nSeen.update(count)
+    override def handleInputRows(uid: Long, rows: Iterator[EvT],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SeqOut2] = {
+      var n = if (nSeen.exists()) nSeen.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+        n += 1; SeqOut2(uid, e.event_id, n)
+      }
+      nSeen.update(n)
+      out.iterator
+    }
+  }
+
+  /** Warm-start sequence numbering: a BATCH aggregate over the older
+    * event-time half seeds per-user counters as transformWithState
+    * initial state, then ONLY the newer half streams. Emitted sequence
+    * numbers must equal the global arrival index over BOTH halves
+    * restricted to new events — exactly what the oracle's window states —
+    * which holds only if the batch handoff landed in the state store
+    * before the first micro-batch.
+    *
+    * Scale: the backfill is an ordinary distributed aggregate co-keyed
+    * with the stream's grouping (one shuffle to seed); nothing is
+    * collected or broadcast.
+    */
+  val transformWithInitialState: Q = (s, d) => {
+    import s.implicits._
+    val dir = scratchDir(s, "stream_init")
+    deleteRec(Paths.get(dir))
+    val mid = eventsMid(s, d)
+    val (_, hi) = stagedHalves(s, d)
+    val now = System.currentTimeMillis()
+    copyAs(hi, Paths.get(s"$dir/in/b0.parquet"), now - 30000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val savedProvider = scala.util.Try(
+      s.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val initState = events(s, d)
+        .filter(unix_micros(col("ts")) < mid && col("user_id") % 5 === 0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .as[(Long, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+        .filter(col("user_id") % 5 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+        .as[EvT]
+      val flow = stream.groupByKey(_.user_id)
+        .transformWithState(new SeqInitProcessor,
+          TimeMode.None(), OutputMode.Append(), initState)
+      val sinkName = s"graft_stream_init_${sessionToken(s)}"
+      withStreamShuffle(s) {
+        val query = flow.toDF.writeStream.outputMode("append")
+          .format("memory").queryName(sinkName).start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      s.table(sinkName)
+        .select(col("user_id"), col("event_id"), col("seq"))
+        .orderBy("user_id", "event_id")
+    } finally savedProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** State/output rows for the timer-session processor. */
   case class SessAgg(n: Long, min_tsu: Long, max_tsu: Long)
   case class SessOut(user_id: Long, n_events: Long, first_tsu: Long, last_tsu: Long)
@@ -1036,7 +1122,8 @@ object Streams {
     "ext55_stream_static_join" -> streamStaticJoin,
     "ext58_stream_merge_catalog" -> streamMergeCatalog,
     "ext82_stream_transform_state" -> transformWithStateSeq,
-    "ext88_stream_timer_sessions" -> timerSessions)
+    "ext88_stream_timer_sessions" -> timerSessions,
+    "ext89_stream_initial_state" -> transformWithInitialState)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -1055,6 +1142,24 @@ object Streams {
       |ORDER BY user_id, event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ext89: the streamed (newer-half) events numbered by the GLOBAL
+    // per-user arrival index — correct only if the batch backfill counts
+    // seeded the state store before the first micro-batch
+    "ext89_stream_initial_state" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events WHERE user_id % 5 = 0),
+        |b AS (
+        |  SELECT (MIN(epoch_us(CAST(ts AS TIMESTAMP))) +
+        |          MAX(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, tsu,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY tsu, event_id) AS BIGINT) AS seq
+        |  FROM e)
+        |SELECT user_id, event_id, seq FROM r, b WHERE tsu >= mid
+        |ORDER BY user_id, event_id""".stripMargin,
     // ext88: sessions the timer machinery must have closed = users idle
     // for >= gap by the final watermark (global max event-time ms - 1 h);
     // open sessions are withheld in state and must NOT appear
