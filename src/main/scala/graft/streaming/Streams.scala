@@ -477,6 +477,52 @@ object Streams {
     }
   }
 
+  /** CHAINED STATEFUL OPERATORS — two windowed aggregations in ONE
+    * streaming query (hourly counts per type, then the daily MAX of
+    * those hourly counts), the multi-stateful-operator support Spark
+    * gained in 3.5+: the second aggregate windows on `window_time` of
+    * the first, watermarks propagate through, and a daily row emits only
+    * when the watermark passes its day end — by which point every hourly
+    * window inside it has closed, so the emitted max is complete. The
+    * oracle restates both layers in batch plus the analytic watermark
+    * cut (days fully closed under global-max − 1 h).
+    *
+    * Scale: two keyed state stores, each bounded by (watermark window ×
+    * key cardinality); the hourly layer compacts the raw stream ~3600×
+    * before the daily layer sees it — the standard streaming rollup
+    * cascade.
+    */
+  val chainedWindowAggs: Q = (s, d) => {
+    val dir = scratchDir(s, "stream_chain")
+    deleteRec(Paths.get(dir))
+    val (lo, hi) = stagedHalves(s, d)
+    val now = System.currentTimeMillis()
+    copyAs(lo, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(hi, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val hourly = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val daily = hourly
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(max(col("n")).as("max_hourly"))
+    val sinkName = s"graft_stream_chain_${sessionToken(s)}"
+    withStreamShuffle(s) {
+      val query = daily.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    s.table(sinkName)
+      .select(col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("max_hourly"))
+      .orderBy("event_type", "day")
+  }
+
   /** State/output rows for the timer-session processor. */
   case class SessAgg(n: Long, min_tsu: Long, max_tsu: Long)
   case class SessOut(user_id: Long, n_events: Long, first_tsu: Long, last_tsu: Long)
@@ -1123,7 +1169,8 @@ object Streams {
     "ext58_stream_merge_catalog" -> streamMergeCatalog,
     "ext82_stream_transform_state" -> transformWithStateSeq,
     "ext88_stream_timer_sessions" -> timerSessions,
-    "ext89_stream_initial_state" -> transformWithInitialState)
+    "ext89_stream_initial_state" -> transformWithInitialState,
+    "ext90_stream_chained_aggs" -> chainedWindowAggs)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -1142,6 +1189,21 @@ object Streams {
       |ORDER BY user_id, event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // ext90: both rollup layers restated in batch; a day emits iff the
+    // final watermark (global max - 1h) passed its end
+    "ext90_stream_chained_aggs" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |hr AS (
+        |  SELECT event_type, date_trunc('hour', t) AS h, COUNT(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |dy AS (
+        |  SELECT event_type, date_trunc('day', h) AS day, MAX(n) AS max_hourly
+        |  FROM hr GROUP BY 1, 2),
+        |wm AS (SELECT MAX(t) - INTERVAL 1 HOUR AS w FROM e)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, max_hourly
+        |FROM dy, wm WHERE day + INTERVAL 1 DAY <= w
+        |ORDER BY event_type, day""".stripMargin,
     // ext89: the streamed (newer-half) events numbered by the GLOBAL
     // per-user arrival index — correct only if the batch backfill counts
     // seeded the state store before the first micro-batch
