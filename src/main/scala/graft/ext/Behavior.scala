@@ -174,7 +174,35 @@ object Behavior {
       .orderBy("event_type", "hour_id")
   }
 
+  /** Rolling 7-day distinct actives (MAU-style) per observed day — the
+    * dashboard rollup that tempts a COUNT(DISTINCT) OVER a range frame
+    * (unsupported, and a per-day rescan at scale) or a BETWEEN self-join
+    * (nested-loop, ext25's lesson). Instead each (day, user) observation
+    * CONTRIBUTES itself to the 7 trailing window ends via a row-local
+    * `sequence` explode, the pairs are deduped, and one keyed count per
+    * day remains — shuffle-only, no join wider than the observed-day
+    * filter.
+    *
+    * Scale: the daily-distinct projection compacts the raw stream first
+    * (events → |users|x|days| pairs); the explode is a constant 7x on
+    * that compacted table, keyed by day — the standard rolling-distinct
+    * contribution pattern at any corpus size. */
+  val rollingMau: Q = (s, d) => {
+    val du = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val contrib = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("d"),
+        col("user_id"))
+    val days = du.select(col("day")).distinct()
+    contrib.join(days, contrib("d") === days("day")).drop("day")
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("mau7"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("mau7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext91_rolling_mau" -> rollingMau,
     "ext81_incremental_mv" -> incrementalMv,
     "ext67_sessionize" -> sessionize,
     "ext68_funnel" -> funnel,
@@ -182,6 +210,19 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    // each (day, user) contributes to 7 trailing window ends; only
+    // observed days survive — the same contribution semantics, declared
+    "ext91_rolling_mau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        |  FROM events),
+        |contrib AS (
+        |  SELECT DISTINCT CAST(day + x * INTERVAL 1 DAY AS DATE) AS d, user_id
+        |  FROM (SELECT day, user_id, unnest(range(7)) AS x FROM du)),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT strftime(c.d, '%Y-%m-%d') AS day, COUNT(*) AS mau7
+        |FROM contrib c JOIN days ON days.day = c.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle rebuilds the rollup from scratch — equality with the
     // merged partial states IS the incremental-maintenance claim
     "ext81_incremental_mv" ->

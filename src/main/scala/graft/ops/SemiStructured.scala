@@ -612,6 +612,27 @@ object SemiStructured {
         |  USING graft_status""".stripMargin)
   }
 
+  /** Error-safe TRY_ functions — the ANSI-mode companion surface: with
+    * ANSI semantics on, a bad cast or division-by-zero fails the whole
+    * job at 100 TB; `try_cast`/`try_divide` degrade row-local errors to
+    * NULL so the pipeline quantifies them instead (the per-row error-
+    * skip discipline X4 applies at the reference's load stage, expressed
+    * in plain SQL). DuckDB has no try_divide — the oracle restates it as
+    * the NULLIF guard, the same null-on-zero semantics.
+    */
+  val q103TryFunctions: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_try")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n,
+        |  COUNT(try_divide(o_totalprice, o_custkey % 2)) AS n_div0_ok,
+        |  MIN(try_divide(o_totalprice, o_custkey % 3)) AS min_ratio,
+        |  COUNT(try_cast(substr(o_orderpriority, 1, 1) AS INT)) AS n_prio_ids,
+        |  COUNT(try_cast(o_orderstatus AS INT)) AS n_status_ints
+        |FROM graft_ord_try
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Column DEFAULT values on the catalog table
     * (`TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`): INSERTs
     * that omit a column take its CURRENT default at write time, and
@@ -827,9 +848,19 @@ object SemiStructured {
     "q95_catalog_expire" -> q95CatalogExpire,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
-    "q101_merge_by_source" -> q101MergeBySource)
+    "q101_merge_by_source" -> q101MergeBySource,
+    "q103_try_functions" -> q103TryFunctions)
 
   val oracleSql: Map[String, String] = Map(
+    "q103_try_functions" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n,
+        |  COUNT(o_totalprice / NULLIF(o_custkey % 2, 0)) AS n_div0_ok,
+        |  MIN(o_totalprice / NULLIF(o_custkey % 3, 0)) AS min_ratio,
+        |  COUNT(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS n_prio_ids,
+        |  COUNT(TRY_CAST(o_orderstatus AS INT)) AS n_status_ints
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // final table state by branch: target-only rows (id<500) are deleted
     // below 100 and incremented otherwise; matched rows (500..999) keep
     // v+5000 when even, are deleted when odd; source-only rows
