@@ -18,14 +18,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // local iteration only (the driver sets no filter): comma-separated
-    // name prefixes restrict the run to matching queries
+    // selectors, each matching a full name ("ext03_dedup_minhash_lsh"), an
+    // underscore-delimited prefix ("ext03", "q10"), or a shortKey ("x03",
+    // "10"). Token equality, not startsWith: "q10" must not drag in
+    // q100-q103 during local iteration.
+    val filtered = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(pfx) => val ps = pfx.split(','); n => ps.exists(n.startsWith)
+      case Some(pfx) =>
+        val ps = pfx.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        n => ps(n) || ps(n.takeWhile(_ != '_')) || ps(shortKey(n))
       case None => _ => true
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Verify/SparkTestBase: date-bucketed queries (ext90/ext91)
+      // must group on the same calendar the correctness gate verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -52,6 +61,10 @@ object Bench {
     // first pass itself was hit — the previous whole-second-pass scheme
     // cancelled itself in precisely that case.
     val qmap = SparkEntry.queries.filter(kv => only(kv._1))
+    // deterministic execution order: burst detection below maps suspect
+    // times back onto this sequence
+    val order = qmap.keys.toSeq.sorted
+    val idxOf = order.zipWithIndex.toMap
     def timeQueries(names: Iterable[String]): Map[String, Double] =
       names.map { name =>
         val t0 = System.nanoTime()
@@ -68,28 +81,89 @@ object Bench {
         name -> sec
       }.toMap
     val benchStart = System.nanoTime()
+    def elapsedS = (System.nanoTime() - benchStart) / 1e9
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toLong
-    var results = timeQueries(qmap.keys)
-    // up to two retry rounds, worst-first, spending only what the budget
-    // allows (each suspect's cost is bounded by its previous time): when
-    // an interference window inflates the first pass past the budget, a
-    // partial rescue of the worst victims still beats no retries at all —
-    // and two spaced rounds give a multi-minute burst time to end
-    var retry = 0
-    while (retry < 2) {
-      val elapsed = (System.nanoTime() - benchStart) / 1e9
-      val suspects = results.filter(_._2 >= 1.0).toSeq.sortBy(-_._2)
-      var spent = elapsed
-      val chosen = suspects.takeWhile { case (_, t) =>
-        spent += t; spent < budget
+    var results = timeQueries(order)
+    // This host exhibits multi-minute external CPU-starvation windows that
+    // inflate exactly the queries running inside them (r5: a 119 s clean
+    // workload captured at 2042 s). Protection = same-run minimums over up
+    // to THREE worst-first retry rounds, with three honest mechanics:
+    //  1. interference detection — first-pass total wildly above
+    //     n × median(per-query) means the pass itself was hit, so the
+    //     retry allowance is raised (the old fixed 420 s total budget
+    //     self-cancelled precisely when the first pass was inflated);
+    //  2. burst-first ordering — victims are contiguous in execution
+    //     order (the interference signature), so suspects inside the
+    //     longest contiguous runs are re-timed first;
+    //  3. evidence-gated later rounds — a round-k retime that did NOT
+    //     materially improve marks the query as legitimately slow and it
+    //     is not retried again (extreme >10×-median outliers excepted:
+    //     those may have been hit in both passes).
+    val med = {
+      val s = results.values.toSeq.sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val floor = math.max(med, 0.15)
+    val firstTotal = results.values.sum
+    val interference = firstTotal > 3.0 * order.size * floor
+    // retry allowance measured from NOW (not from bench start): on a clean
+    // first pass this reduces to the remaining share of the base budget;
+    // on a corrupted pass it grants up to the corrupted total (capped) so
+    // the rescue can actually run
+    val allowance =
+      if (interference)
+        math.max(budget - elapsedS, math.min(900.0, firstTotal))
+      else budget - elapsedS
+    val deadline = elapsedS + math.max(0.0, allowance)
+    // queries whose latest retime materially improved — evidence the prior
+    // measurement was interference, so a further retry may land cleaner
+    var improved = Set.empty[String]
+    var round = 0
+    var done = false
+    while (round < 3 && !done) {
+      val suspects = results.filter { case (n, t) =>
+        t >= 1.0 && (round == 0 || improved(n) || t > 10.0 * floor)
       }
-      if (chosen.isEmpty) retry = 2
+      if (suspects.isEmpty) done = true
       else {
-        val p2 = timeQueries(chosen.map(_._1))
-        results = results ++ chosen.map { case (n, t) =>
-          n -> math.min(t, p2(n))
+        // burst-first: group suspect indices into contiguous runs in
+        // execution order; longer runs are likelier interference victims
+        val sIdx = suspects.keys.map(idxOf).toSeq.sorted
+        val runLen = {
+          val m = scala.collection.mutable.Map.empty[Int, Int]
+          var i = 0
+          while (i < sIdx.length) {
+            var j = i
+            while (j + 1 < sIdx.length && sIdx(j + 1) == sIdx(j) + 1) j += 1
+            val len = j - i + 1
+            (i to j).foreach(k => m(sIdx(k)) = len)
+            i = j + 1
+          }
+          m.toMap
         }
-        retry += 1
+        val prioritized = suspects.toSeq.sortBy { case (n, t) =>
+          (-runLen(idxOf(n)), -t)
+        }
+        var projected = elapsedS
+        val chosen = prioritized.takeWhile { case (_, t) =>
+          projected += t; projected < deadline
+        }
+        if (chosen.isEmpty) done = true
+        else {
+          // space later rounds out so a still-active multi-minute burst
+          // has time to end before the re-measure (bounded, and only when
+          // the pass showed interference — never on a clean run)
+          if (round > 0 && interference && deadline - elapsedS > 60.0)
+            Thread.sleep(20000L)
+          val p2 = timeQueries(chosen.map(_._1))
+          improved = chosen.collect {
+            case (n, t) if p2(n) < t * 0.75 => n
+          }.toSet
+          results = results ++ chosen.map { case (n, t) =>
+            n -> math.min(t, p2(n))
+          }
+          round += 1
+        }
       }
     }
     // The driver captures only a ~2000-char tail of this process's output, so
@@ -109,9 +183,14 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
+    // a SPARK_GRAFT_BENCH_ONLY-filtered debug run must never overwrite the
+    // full-suite record (r5 post-mortem: a 2-query 1.69 s partial clobbered
+    // the committed 192-query 119 s record)
+    val localFile =
+      if (filtered) "BENCH_LOCAL.partial.json" else "BENCH_LOCAL.json"
     try {
       val w = new java.io.PrintWriter(
-        s"${sys.props("user.dir")}/BENCH_LOCAL.json")
+        s"${sys.props("user.dir")}/$localFile")
       try w.println(s"""{"total":${r2(total)},"sf":"$sfDir","queries":$detail}""")
       finally w.close()
     } catch { case _: Throwable => () }

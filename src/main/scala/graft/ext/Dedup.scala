@@ -95,10 +95,19 @@ object Dedup {
     * Scale: identical shape to ext02 — inverted-index self-join keyed on
     * the shingle, never all-pairs; the per-direction division is a
     * row-local map over the joined pair counts, and the top-20 is a
-    * TakeOrdered, not a sort.
+    * TakeOrdered, not a sort. `dfCap` is the same document-frequency skew
+    * guard as [[ngramJaccard]]: a boilerplate shingle appearing in df
+    * documents contributes O(df²) join pairs, so at corpus scale hot
+    * posting lists MUST be dropped before the self-join (None = exact
+    * semantics, what the oracle checks).
     */
-  val dedupContainment: Q = (s, d) => {
-    val sh = shingles(table(s, d, "documents")).persist()
+  def containment(docs: DataFrame, dfCap: Option[Int] = None): DataFrame = {
+    val all = shingles(docs)
+    val sh = dfCap.fold(all) { cap =>
+      val rare = all.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("sh")
+      all.join(rare, "sh")
+    }.persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -119,6 +128,8 @@ object Dedup {
       .orderBy(col("containment").desc, col("src_id"), col("dst_id"))
       .limit(20)
   }
+
+  val dedupContainment: Q = (s, d) => containment(table(s, d, "documents"))
 
   /** MinHash signatures (16 hashes) + LSH banding (4 bands x 4 rows):
     * shingle → minhash → band → bucket-join → signature-verified estimate.

@@ -75,8 +75,15 @@ object GraphRank {
     val raw = table(s, d, "events")
       .select((col("user_id") % 120).as("a"), (col("event_id") % 120).as("b"))
       .filter(col("a") =!= col("b"))
+    // und and e are each consumed by several of the four count branches
+    // below (the final result is a 1-row crossJoin of four aggregates) —
+    // without persist every branch re-derives the whole edge pipeline, so
+    // the scan+distinct ran ~4× (observed 2.0 s at sf0.1 for a plan whose
+    // single execution is sub-second). Both are node/edge-proportional,
+    // far smaller than the raw event scan, so caching them is the same
+    // bounded-artifact rule the CC/containment queries already apply.
     val und = raw.select(least(col("a"), col("b")).as("u"),
-      greatest(col("a"), col("b")).as("v")).distinct()
+      greatest(col("a"), col("b")).as("v")).distinct().persist()
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val lowFirst = col("du") < col("dv") ||
@@ -86,6 +93,7 @@ object GraphRank {
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
       .select(when(lowFirst, col("u")).otherwise(col("v")).as("src"),
         when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+      .persist()
     val wedges = e.as("e1").join(e.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("b"), col("e2.dst").as("c"))

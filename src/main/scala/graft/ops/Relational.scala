@@ -292,9 +292,14 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** HLL approximate distinct (A2 scale path). Sketch results are
-    * implementation-defined, so no cross-engine oracle — the driver
-    * records the rows-only check; the exact counterpart is q15. */
+  /** HLL approximate distinct (A2 scale path). ROWS-ONLY BY DESIGN, not a
+    * gap: HLL register layout/hashing is implementation-defined, so
+    * Spark's `approx_count_distinct` and DuckDB's `approx_count_distinct`
+    * legitimately disagree on the estimate — no cross-engine value oracle
+    * can exist for any sketch. The driver therefore records the weaker
+    * rows-only check here; the EXACT twin of this query (q15, same
+    * grouping, `countDistinct`) is fully hash-verified, which pins the
+    * grouping/pipeline correctness this entry shares. */
   val q38ApproxDistinct: Q = (s, d) =>
     li(s, d).groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),

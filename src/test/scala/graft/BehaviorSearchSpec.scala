@@ -133,6 +133,33 @@ class BehaviorSearchSpec extends SparkTestBase {
     assert(out.getLong(2) >= out.getLong(3)) // wedges ⊇ closed wedges
   }
 
+  test("ext74 triangles: shared subplans execute once (cached, one scan)") {
+    // the four-way count crossJoin consumes und/e from several branches;
+    // persist() must collapse them so the events scan + distinct runs
+    // once, not once per branch (the r5 4× re-derivation). Programmatic
+    // traversal, not string matching: AQE's toString interleaves initial
+    // plans and cached-relation dumps that double-count FileScan lines.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = graft.ext.GraphRank.triangleCount(spark, sf)
+    df.collect()
+    var fileScans = 0
+    var cacheReads = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: InMemoryTableScanExec => cacheReads += 1 // shared, not re-run
+      case _: FileSourceScanExec => fileScans += 1
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(cacheReads >= 2,
+      s"expected und/e cache reuse across branches, saw $cacheReads reads")
+    assert(fileScans === 0,
+      s"expected every branch to read the cache, saw $fileScans raw scans")
+  }
+
   test("ext73 bloom: probe prunes most non-matching rows, keeps all matches") {
     import spark.implicits._
     val urgent = graft.ops.table(spark, sf, "orders")

@@ -103,6 +103,22 @@ class ScaleInfraSpec extends SparkTestBase {
     capped.foreach(r => assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1))
   }
 
+  test("containment dfCap: no-op cap equals exact; tight cap bounds fan-out") {
+    val docs = ops.table(spark, sf, "documents")
+    val nDocs = docs.count().toInt
+    val full = ext.Dedup.containment(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // df can't exceed the doc count, so this cap drops nothing
+    val noop = ext.Dedup.containment(docs, dfCap = Some(nDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(noop.toSeq === full.toSeq)
+    // a tight cap drops hot posting lists but the pipeline stays
+    // well-formed, and every emitted containment is a valid ratio
+    val capped = ext.Dedup.containment(docs, dfCap = Some(2)).collect()
+    assert(capped.length <= 20)
+    capped.foreach(r => assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1))
+  }
+
   test("dynamic partition pruning engages on a partitioned fact join") {
     val dir = Files.createTempDirectory("graft_dpp").toString
     ops.table(spark, sf, "orders")
