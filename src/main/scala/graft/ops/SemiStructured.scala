@@ -374,7 +374,7 @@ object SemiStructured {
     * atomic driver publish (the v2 batch-write protocol); the oracle pins
     * the round trip. */
   val q83CustomCatalog: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.seq_copy")
     s.sql("CREATE TABLE graft_cat.db.seq_copy (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -393,7 +393,7 @@ object SemiStructured {
     * predicate shapes are refused at analysis (canDeleteWhere), never
     * silently misapplied. */
   val q84CatalogDelete: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.del_t")
     s.sql("CREATE TABLE graft_cat.db.del_t (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -425,7 +425,7 @@ object SemiStructured {
     * connector-defined `ScalarFunction` with the codegen-friendly magic
     * `invoke` — no session-level registration anywhere. */
   val q86CatalogFunction: Q = (s, d) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     table(s, d, "customer").createOrReplaceTempView("graft_cust_fn")
     s.sql(
       """SELECT c_custkey, graft_cat.db.mulmod(c_custkey) AS h
@@ -440,7 +440,7 @@ object SemiStructured {
     * epoch-manifest snapshots. One query reads all three histories plus
     * latest and proves them pairwise-consistent under the oracle. */
   val q87CatalogTimeTravel: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.tt")
     s.sql("CREATE TABLE graft_cat.db.tt (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -465,7 +465,7 @@ object SemiStructured {
     * formats use at file granularity. Original `v < 1000` always, so
     * updated rows are detectable by `v >= 1000`. */
   val q88CatalogUpdate: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.upd_t")
     s.sql("CREATE TABLE graft_cat.db.upd_t (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -483,7 +483,7 @@ object SemiStructured {
     * target rows take the source's value, unmatched source rows insert;
     * one group-based rewrite, one atomic commit. */
   val q89CatalogMerge: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.mrg_t")
     s.sql("CREATE TABLE graft_cat.db.mrg_t (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -510,7 +510,7 @@ object SemiStructured {
     * group-based copy-on-write machinery is the same as q89's.
     */
   val q101MergeBySource: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.mrgsrc_t")
     s.sql("CREATE TABLE graft_cat.db.mrgsrc_t (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -539,7 +539,7 @@ object SemiStructured {
     * metadata swap (stored rows are keyed by column id, not name).
     * Catalog twin of q77's read-side `unionByName` evolution. */
   val q90CatalogAlter: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.alt_t")
     s.sql("CREATE TABLE graft_cat.db.alt_t (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -567,7 +567,7 @@ object SemiStructured {
     * survivor count via SegHooks) — partition pruning as a pure
     * consequence of the zone-maps, no separate partition metadata. */
   val q91CatalogPartitioned: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.part_t")
     s.sql(
       """CREATE TABLE graft_cat.db.part_t (id BIGINT, v BIGINT, g BIGINT)
@@ -639,7 +639,7 @@ object SemiStructured {
     * `ALTER COLUMN … SET DEFAULT` changes only future inserts — rows
     * already written keep the value they were filled with. */
   val q93CatalogDefault: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.def_t")
     s.sql(
       """CREATE TABLE graft_cat.db.def_t (
@@ -671,7 +671,7 @@ object SemiStructured {
     * equality; SourcesSpec pins the file-count drop and time-travel to
     * the pre-compaction version. */
   val q94CatalogCompact: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cmp_t")
     s.sql("CREATE TABLE graft_cat.db.cmp_t (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -696,7 +696,7 @@ object SemiStructured {
     * other half of the small-file problem at 100 TB. SourcesSpec pins
     * the physical deletes and that expired time travel now errors. */
   val q95CatalogExpire: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.exp_t")
     s.sql("CREATE TABLE graft_cat.db.exp_t (id BIGINT, v BIGINT)")
     s.read.format("graft.sources.SeqSourceProvider")
@@ -721,7 +721,7 @@ object SemiStructured {
     * rewritten). Both are metadata-cost operations regardless of table
     * size — the property that matters at 100 TB. */
   val q96CatalogRenameTruncate: Q = (s, _) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.rn_src")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.rn_dst")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.tr_t")

@@ -68,6 +68,27 @@ package object ops {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
+  /** Register the `graft_cat` DSv2 catalog WITHOUT leaking a conf entry
+    * into the shared session (ConfLeakSpec: no query may mutate the
+    * session's SQLConf). Mechanics: CatalogManager resolves catalog names
+    * cache-first (`catalogs.getOrElseUpdate(name, Catalogs.load(...))`),
+    * so the conf key is only consulted on the FIRST lookup — set it,
+    * force the load, then restore the key exactly (unset if it was
+    * unset). Every later `graft_cat.…` resolution in this session hits
+    * the cached plugin instance, which is also what preserves the
+    * catalog's in-memory table state across catalog queries.
+    */
+  def ensureGraftCatalog(spark: SparkSession): Unit = {
+    val key = "spark.sql.catalog.graft_cat"
+    val saved = spark.conf.getAll.get(key) // explicit entries only
+    spark.conf.set(key, "graft.sources.GraftCatalog")
+    spark.sessionState.catalogManager.catalog("graft_cat")
+    saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark
     * has no native type for — read it as long and convert to microsecond
     * TimestampType (integer division; ns-epoch exceeds 2^53 so float math

@@ -142,7 +142,6 @@ object Streams {
   /** Tumbling 1-hour windows per event_type via an actual streaming query. */
   val tumbling: Q = (s, d) => {
     s.conf.set("spark.sql.ansi.enabled", "false")
-    s.conf.set("spark.sql.streaming.schemaInference", "false")
     // the file stream source wants a directory; glob-filter to the one table
     val stream = s.readStream
       .schema(eventsRawSchema)
@@ -362,8 +361,12 @@ object Streams {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("ts", TimestampType)))
-    val savedProvider = scala.util.Try(
-      s.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    // getAll holds only EXPLICITLY-set entries; conf.get would return the
+    // class default for an unset key and the restore below would then
+    // "restore" an explicit value onto a previously-unset conf (the r6
+    // ConfLeakSpec catch)
+    val savedProvider =
+      s.conf.getAll.get("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -442,8 +445,12 @@ object Streams {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("ts", TimestampType)))
-    val savedProvider = scala.util.Try(
-      s.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    // getAll holds only EXPLICITLY-set entries; conf.get would return the
+    // class default for an unset key and the restore below would then
+    // "restore" an explicit value onto a previously-unset conf (the r6
+    // ConfLeakSpec catch)
+    val savedProvider =
+      s.conf.getAll.get("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -598,8 +605,12 @@ object Streams {
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("event_type", StringType), StructField("ts", TimestampType)))
-    val savedProvider = scala.util.Try(
-      s.conf.get("spark.sql.streaming.stateStore.providerClass")).toOption
+    // getAll holds only EXPLICITLY-set entries; conf.get would return the
+    // class default for an unset key and the restore below would then
+    // "restore" an explicit value onto a previously-unset conf (the r6
+    // ConfLeakSpec catch)
+    val savedProvider =
+      s.conf.getAll.get("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -686,7 +697,6 @@ object Streams {
     * states (which physical row won per key is racy; the aggregate over
     * keys is not). */
   val streamDedupWatermark: Q = (s, d) => {
-    s.conf.set("spark.sql.streaming.schemaInference", "false")
     val stream = s.readStream
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -1018,7 +1028,7 @@ object Streams {
     * read goes through REFRESH TABLE — the documented way a reader
     * observes another instance's commits against the same warehouse. */
   val streamMergeCatalog: Q = (s, d) => {
-    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_t")
     s.sql("CREATE TABLE graft_cat.db.cdc_t (id BIGINT, v BIGINT, ver BIGINT)")
     val dir = scratchDir(s, "stream_cdc")
@@ -1041,6 +1051,11 @@ object Streams {
         .json(s"$dir/in")
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the stream's CLONED session no longer inherits the catalog
+          // via session conf (registration is conf-hygienic, see
+          // ensureGraftCatalog) — register on the clone explicitly; its
+          // commits reach the parent through the shared warehouse dir
+          graft.ops.ensureGraftCatalog(batch.sparkSession)
           batch.createOrReplaceTempView("graft_cdc_batch")
           batch.sparkSession.sql(
             """MERGE INTO graft_cat.db.cdc_t t
