@@ -633,6 +633,43 @@ object SemiStructured {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Non-identity partition transforms on the catalog (q104): a
+    * `days(ts)`-partitioned fact (epoch-micros BIGINT — order-preserving
+    * routing, so plain zone-map range pruning IS day pruning) and a
+    * `bucket(8, id)`-partitioned table (hash routing; equality/IN
+    * literals prune by bucket membership — SegPrune.bucketEqTri). The
+    * shapes every real table format serves: date-keyed facts pruned by a
+    * day range, key-bucketed tables pruned by point lookups. The
+    * partition-count assertions live in SourcesSpec ("days/bucket
+    * transform pruning"); this entry pins VALUE correctness through the
+    * oracle. 4000 rows at one per 30 minutes span ~83 days; the filters
+    * touch 2 days resp. 3 point ids. */
+  val q104CatalogTransforms: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.days_t")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.buck_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.days_t (ts BIGINT, v BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    s.sql(
+      """CREATE TABLE graft_cat.db.buck_t (id BIGINT, v BIGINT)
+        |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_tf")
+    s.sql("INSERT INTO graft_cat.db.days_t SELECT id * 1800000000, v FROM graft_seq_tf")
+    s.sql("INSERT INTO graft_cat.db.buck_t SELECT id, v FROM graft_seq_tf")
+    s.sql(
+      """SELECT part, n, v_sum FROM (
+        |  SELECT 'days' AS part, COUNT(*) AS n, SUM(v) AS v_sum
+        |  FROM graft_cat.db.days_t
+        |  WHERE ts >= 10 * 86400000000 AND ts < 12 * 86400000000
+        |  UNION ALL
+        |  SELECT 'bucket' AS part, COUNT(*) AS n, SUM(v) AS v_sum
+        |  FROM graft_cat.db.buck_t WHERE id IN (100, 2075, 3999)
+        |) ORDER BY part""".stripMargin)
+  }
+
   /** Column DEFAULT values on the catalog table
     * (`TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`): INSERTs
     * that omit a column take its CURRENT default at write time, and
@@ -849,7 +886,8 @@ object SemiStructured {
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
-    "q103_try_functions" -> q103TryFunctions)
+    "q103_try_functions" -> q103TryFunctions,
+    "q104_catalog_transforms" -> q104CatalogTransforms)
 
   val oracleSql: Map[String, String] = Map(
     "q103_try_functions" ->
@@ -878,6 +916,21 @@ object SemiStructured {
         |  SELECT id, v + 5000 FROM seq WHERE id >= 1000)
         |SELECT id // 250 AS band, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM final GROUP BY 1 ORDER BY band""".stripMargin,
+    // days_t: ts = id*1800000000 (30-min grid); the 2-day window
+    // [day 10, day 12) is ids 480..575. buck_t: 3 point ids.
+    "q104_catalog_transforms" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT part, n, v_sum FROM (
+        |  SELECT 'days' AS part, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS v_sum
+        |  FROM t WHERE id >= 480 AND id < 576
+        |  UNION ALL
+        |  SELECT 'bucket' AS part, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS v_sum
+        |  FROM t WHERE id IN (100, 2075, 3999))
+        |ORDER BY part""".stripMargin,
     "q100_sql_variables" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total

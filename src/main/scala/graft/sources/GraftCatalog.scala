@@ -197,18 +197,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirFor(ident)
     if (tables.containsKey(ident) || Files.exists(dir.resolve(SegStore.MetaFile)))
       throw new TableAlreadyExistsException(ident)
+    // a single identity / days / bucket transform over one BIGINT column
+    // (the zone-mapped type); see [[PartSpec]] for each transform's
+    // routing + pruning contract
+    def checkedCol(t: Transform): String = {
+      require(t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1,
+        s"graft_cat partition transforms take one top-level column, got $t")
+      val c = t.references()(0).fieldNames()(0)
+      val f = schema.fields.find(_.name == c).getOrElse(throw new
+        IllegalArgumentException(s"partition column $c not in schema"))
+      require(f.dataType == LongType,
+        s"graft_cat partitions on BIGINT columns, got ${f.dataType} for $c")
+      c
+    }
     val partCol = partitions.toSeq match {
       case Nil => None
-      case Seq(t) if t.name == "identity" && t.references().length == 1 &&
-          t.references()(0).fieldNames().length == 1 =>
-        val c = t.references()(0).fieldNames()(0)
-        val f = schema.fields.find(_.name == c).getOrElse(throw new
-          IllegalArgumentException(s"partition column $c not in schema"))
-        require(f.dataType == LongType,
-          s"graft_cat supports identity partitioning on BIGINT columns, got ${f.dataType}")
-        Some(c)
+      case Seq(t) => t.name match {
+        case "identity" => Some(IdentityPart(checkedCol(t)).encoded)
+        case "days" => Some(DaysPart(checkedCol(t)).encoded)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: Literal[_] => l.value match {
+              case v: java.lang.Integer => v.intValue()
+              case v: java.lang.Long => v.intValue()
+            }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform without a bucket count: $t"))
+          require(n > 0, s"bucket count must be positive, got $n")
+          Some(BucketPart(checkedCol(t), n).encoded)
+        case other => throw new UnsupportedOperationException(
+          s"graft_cat supports identity/days/bucket partitioning, got $other")
+      }
       case other => throw new UnsupportedOperationException(
-        s"graft_cat supports a single identity partition transform, got ${other.mkString(",")}")
+        s"graft_cat supports a single partition transform, got ${other.mkString(",")}")
     }
     val t = SegTable.create(ident.toString, dir, schema, partCol)
     if (tables.putIfAbsent(ident, t) != null)
@@ -279,6 +301,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def namespaceExists(namespace: Array[String]): Boolean = true
 }
 
+/** Partition transform spec, encoded into the manifest's "part" string:
+  * a bare column name = identity (round-5 manifest compatibility),
+  * `days:c`, `bucket:N:c`. All source columns are BIGINT — the only
+  * zone-mapped type. Segments are single-valued on the TRANSFORMED value
+  * (the writer routes rows by `key`), which is what each transform's
+  * pruning rests on:
+  *   - identity: min==max==value; equality/range/IN prune via zone-maps.
+  *   - days: epoch-micros DIV one day. Order-preserving, so a segment's
+  *     RAW min/max stay within one day and the existing zone-map range
+  *     pruning on the timestamp column is already exact day pruning — no
+  *     extra pruning code needed (reference analog: the date-keyed fact
+  *     tables, transformation.py:643-685).
+  *   - bucket: fmix64 hash mod N. NOT order-preserving — raw zone-maps
+  *     are useless across a hash bucket — but every row of a segment
+  *     shares one bucket, so `key(min)` IS the segment's bucket and an
+  *     equality/IN literal prunes by bucket membership (SegPrune).
+  */
+sealed trait PartSpec extends Serializable {
+  def col: String
+  /** Transformed partition value of a raw column value. */
+  def key(v: Long): Long
+  /** Order-preserving? (key(min)==key(max) ⇔ segment single-valued.) */
+  def monotone: Boolean
+  def withCol(c: String): PartSpec
+  def encoded: String
+}
+case class IdentityPart(col: String) extends PartSpec {
+  def key(v: Long): Long = v
+  def monotone = true
+  def withCol(c: String): PartSpec = copy(col = c)
+  def encoded: String = col
+}
+case class DaysPart(col: String) extends PartSpec {
+  def key(v: Long): Long = Math.floorDiv(v, PartSpec.MicrosPerDay)
+  def monotone = true
+  def withCol(c: String): PartSpec = copy(col = c)
+  def encoded: String = s"days:$col"
+}
+case class BucketPart(col: String, n: Int) extends PartSpec {
+  def key(v: Long): Long = PartSpec.bucketOf(v, n)
+  def monotone = false
+  def withCol(c: String): PartSpec = copy(col = c)
+  def encoded: String = s"bucket:$n:$col"
+}
+object PartSpec {
+  val MicrosPerDay: Long = 86400000000L
+  /** Murmur3's fmix64 finalizer mod n — engine-internal: the writer's
+    * router and SegPrune must agree, nothing else depends on the choice. */
+  def bucketOf(v: Long, n: Int): Long = {
+    var x = v
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    Math.floorMod(x, n.toLong)
+  }
+  def decode(s: String): PartSpec = s.split(':') match {
+    case Array("days", c) => DaysPart(c)
+    case Array("bucket", n, c) => BucketPart(c, n.toInt)
+    case Array(c) => IdentityPart(c)
+    case _ => throw new IllegalArgumentException(s"bad partition spec: $s")
+  }
+}
+
 /** One immutable segment file's manifest entry: name, row/byte counts,
   * the column IDS it physically contains, and a zone-map (min/max over
   * non-null values + has-null flag) per contained column — `hasStats(i)`
@@ -290,7 +375,11 @@ case class Seg(file: String, rows: Long, bytes: Long, colIds: Array[Int],
 /** One committed table version: schema + column ids + segment list.
   * Versions are append-only; segment files are immutable and shared. */
 case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
-    partCol: Option[String], segs: Seq[Seg])
+    partCol: Option[String], segs: Seq[Seg]) {
+  /** Decoded partition transform ([[PartSpec]]); `partCol` is its
+    * manifest encoding. */
+  def partSpec: Option[PartSpec] = partCol.map(PartSpec.decode)
+}
 
 /** Observation hooks for specs: (table, surviving segments, total). */
 object SegHooks {
@@ -311,7 +400,11 @@ class SegTable private (ident: String, dir: Path,
   override def name(): String = ident
   override def schema(): StructType = cur.schema
   override def partitioning(): Array[Transform] =
-    cur.partCol.map(c => Expressions.identity(c)).toArray
+    cur.partSpec.map {
+      case IdentityPart(c) => Expressions.identity(c)
+      case DaysPart(c) => Expressions.days(c)
+      case BucketPart(c, n) => Expressions.bucket(n, c)
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -347,19 +440,26 @@ class SegTable private (ident: String, dir: Path,
     * [[expire]]'s job). Returns (groupsMerged, segsBefore, segsAfter). */
   private[graft] def compact(targetBytes: Long): (Long, Long, Long) = synchronized {
     val v = cur
-    val partOrd = v.partCol.map(v.schema.fieldNames.indexOf(_)).getOrElse(-1)
-    // a partitioned table's segments are single-valued on the partition
-    // column (the writer routes per value); merge only within a value —
-    // the all-null partition merges too (hasNull, no stats)
+    val spec = v.partSpec
+    val partOrd = spec.map(p => v.schema.fieldNames.indexOf(p.col)).getOrElse(-1)
+    // a partitioned table's segments are single-valued on the TRANSFORMED
+    // partition value (the writer routes per key); merge only within a
+    // key — the all-null partition merges too (hasNull, no stats). For
+    // order-preserving transforms key(min)==key(max) verifies
+    // single-valuedness; a hash bucket can't be verified from bounds, but
+    // the writer + this very grouping are the only segment producers, so
+    // the invariant holds inductively.
     def eligible(s: Seg): Boolean = s.bytes < targetBytes &&
       (partOrd < 0 ||
         (s.hasStats(partOrd) && !s.hasNull(partOrd) &&
-          s.mins(partOrd) == s.maxs(partOrd)) ||
+          (!spec.get.monotone ||
+            spec.get.key(s.mins(partOrd)) == spec.get.key(s.maxs(partOrd)))) ||
         (!s.hasStats(partOrd) && s.hasNull(partOrd)))
     val groups = v.segs.filter(eligible)
       .groupBy(s => (s.colIds.toSeq,
         partOrd >= 0 && s.hasStats(partOrd),
-        if (partOrd >= 0 && s.hasStats(partOrd)) s.mins(partOrd) else 0L))
+        if (partOrd >= 0 && s.hasStats(partOrd)) spec.get.key(s.mins(partOrd))
+        else 0L))
       .values.toSeq.filter(_.size >= 2)
       // deterministic group order → deterministic output file names
       .sortBy(_.head.file)
@@ -511,7 +611,7 @@ class SegTable private (ident: String, dir: Path,
     var fields: Vector[(Int, StructField)] =
       cur.colIds.zip(cur.schema.fields).toVector
     var nextId = versions.flatMap(_.colIds).max + 1
-    var partCol = cur.partCol
+    var partSpec = cur.partSpec
     def updateField(nm: String)(f: StructField => StructField): Unit = {
       require(fields.exists(_._2.name == nm), s"no such column $nm")
       fields = fields.map { case (id, fl) =>
@@ -554,11 +654,13 @@ class SegTable private (ident: String, dir: Path,
         }
       case r: TableChange.RenameColumn =>
         val from = r.fieldNames()(0)
-        if (partCol.contains(from)) partCol = Some(r.newName())
+        if (partSpec.exists(_.col == from))
+          partSpec = partSpec.map(_.withCol(r.newName()))
         updateField(from)(_.copy(name = r.newName()))
       case d: TableChange.DeleteColumn =>
         val nm = d.fieldNames()(0)
-        require(!partCol.contains(nm), s"cannot drop partition column $nm")
+        require(!partSpec.exists(_.col == nm),
+          s"cannot drop partition column $nm")
         val before = fields.size
         fields = fields.filterNot(_._2.name == nm)
         require(fields.size < before || java.lang.Boolean.TRUE.equals(d.ifExists()),
@@ -581,7 +683,8 @@ class SegTable private (ident: String, dir: Path,
         throw new UnsupportedOperationException(s"table change $other")
     }
     publish(v => v.copy(colIds = fields.map(_._1).toArray,
-      schema = StructType(fields.map(_._2)), partCol = partCol))
+      schema = StructType(fields.map(_._2)),
+      partCol = partSpec.map(_.encoded)))
   }
 }
 
@@ -628,7 +731,8 @@ object SegTable {
       ver: SegVersion): DataWriterFactory = {
     val cols = ver.schema
     val colIds = ver.colIds
-    val partOrd = ver.partCol.map(c => cols.fieldNames.indexOf(c)).getOrElse(-1)
+    val spec = ver.partSpec
+    val partOrd = spec.map(p => cols.fieldNames.indexOf(p.col)).getOrElse(-1)
     (partitionId: Int, taskId: Long) => new DataWriter[InternalRow] {
       private var proj: UnsafeProjection = _
       private val open = mutable.HashMap.empty[Any, SegFileWriter]
@@ -658,7 +762,7 @@ object SegTable {
         val key: Any =
           if (partOrd < 0) ()
           else if (ur.isNullAt(partOrd)) null
-          else ur.getLong(partOrd)
+          else spec.get.key(ur.getLong(partOrd))
         writerFor(key).add(ur)
       }
       override def commit(): WriterCommitMessage =
@@ -775,7 +879,7 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     * values arrive as an IN predicate before split planning; segments
     * whose partition value can't match are never planned. */
   override def filterAttributes(): Array[NamedReference] =
-    ver.partCol.toArray.map(Expressions.column)
+    ver.partSpec.map(_.col).toArray.map(Expressions.column)
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val fns = predicates.flatMap(p =>
@@ -952,6 +1056,41 @@ object SegPrune {
     case _ => None
   }
 
+  /** For a bucket-partitioned table: (colId, spec) of the bucket column.
+    * Raw zone-maps can't prune a hash bucket, but every row of a segment
+    * shares one bucket value, so `key(min)` IS the segment's bucket and
+    * equality/IN literals prune by membership. */
+  private def bucketCol(ver: SegVersion): Option[(Int, BucketPart)] =
+    ver.partSpec.collect {
+      case b: BucketPart if ver.schema.fieldNames.indexOf(b.col) >= 0 =>
+        (ver.colIds(ver.schema.fieldNames.indexOf(b.col)), b)
+    }
+
+  /** Tri refinement of `col = lit` from bucket membership: 1 = no
+    * information (the AND identity), wrong bucket = no non-null row can
+    * match (F, + U for null rows). Never claims T, so it only ever
+    * SHARPENS the zone-map verdict under [[triAnd]]. */
+  private def bucketEqTri(s: Seg, colId: Int, b: BucketPart, lit: Long): Tri = {
+    val idx = s.colIds.indexOf(colId)
+    if (idx < 0 || !s.hasStats(idx)) 1
+    else if (b.key(lit) == b.key(s.mins(idx))) 1
+    else (if (s.hasNull(idx)) 4 else 0) | 2
+  }
+
+  /** Zone-map + (for the bucket partition column) bucket-membership
+    * verdict of `op(colId, lit)` on one segment. */
+  private def zoneTri(s: Seg, id: Int, d: Option[Option[Long]], op: String,
+      v: Long, bc: Option[(Int, BucketPart)]): Tri = {
+    if (s.rows == 0) return 0
+    val (b, nl) = colFacts(s, id, d)
+    val z = cmpTri(op, b, nl, v)
+    bc match {
+      case Some((bid, bp)) if bid == id && op == "=" =>
+        triAnd(z, bucketEqTri(s, bid, bp, v))
+      case _ => z
+    }
+  }
+
   /** Compile a v2 predicate (comparisons on BIGINT columns, AND/OR/NOT)
     * to a per-segment possibility evaluator; None = unsupported shape. */
   def compile(p: Predicate, ver: SegVersion): Option[Seg => Tri] = p match {
@@ -966,17 +1105,13 @@ object SegPrune {
     case _ if p.children().length == 2 &&
         Set("=", "<>", "<", "<=", ">", ">=").contains(p.name()) =>
       val c = p.children()
+      val bc = bucketCol(ver)
       (colOf(c(0), ver), litOf(c(1))) match {
-        case (Some((id, d)), Some(v)) => Some { (s: Seg) =>
-          if (s.rows == 0) 0
-          else { val (b, nl) = colFacts(s, id, d); cmpTri(p.name(), b, nl, v) }
-        }
+        case (Some((id, d)), Some(v)) =>
+          Some((s: Seg) => zoneTri(s, id, d, p.name(), v, bc))
         case _ => (litOf(c(0)), colOf(c(1), ver)) match {
-          case (Some(v), Some((id, d))) => Some { (s: Seg) =>
-            if (s.rows == 0) 0
-            else { val (b, nl) = colFacts(s, id, d)
-              cmpTri(flip(p.name()), b, nl, v) }
-          }
+          case (Some(v), Some((id, d))) =>
+            Some((s: Seg) => zoneTri(s, id, d, flip(p.name()), v, bc))
           case _ => None
         }
       }
@@ -996,12 +1131,12 @@ object SegPrune {
           if (!lits.forall(_.isDefined)) None
           else {
             val vals = lits.flatten
+            val bc = bucketCol(ver)
             Some { (s: Seg) =>
               if (s.rows == 0) 0
-              else {
-                val (b, nl) = colFacts(s, id, d)
-                vals.map(v => cmpTri("=", b, nl, v)).foldLeft(2: Tri)(triOr)
-              }
+              else
+                vals.map(v => zoneTri(s, id, d, "=", v, bc))
+                  .foldLeft(2: Tri)(triOr)
             }
           }
         }

@@ -406,6 +406,41 @@ class SourcesSpec extends SparkTestBase {
     assert(total === 32 && kept === 8, s"planned $kept/$total")
   }
 
+  test("days/bucket partition transforms route and prune (q104)") {
+    val rows = ops.SemiStructured.q104CatalogTransforms(spark, sf).collect()
+    assert(rows.length === 2)
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val byPart = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byPart("days") === ((96L, (480L until 576L).map(v).sum)))
+    assert(byPart("bucket") === ((3L, Seq(100L, 2075L, 3999L).map(v).sum)))
+
+    // days(ts): the 2-day window keeps exactly its 2 day-segments out of
+    // 84 days + 3 task-boundary splits (4 contiguous write tasks over a
+    // 30-min grid, 48 rows/day)
+    spark.sql(
+      """SELECT COUNT(*) FROM graft_cat.db.days_t
+        |WHERE ts >= 10 * 86400000000 AND ts < 12 * 86400000000""".stripMargin
+    ).collect()
+    val (t1, kept1, total1) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t1.contains("days_t"), t1)
+    assert(total1 === 87 && kept1 === 2, s"planned $kept1/$total1")
+
+    // bucket(8, id): 4 tasks x 8 buckets = 32 segments; each IN value
+    // lives in one task's id-zone AND one bucket, so bucket-membership
+    // ∧ zone-map keeps exactly 3
+    spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.buck_t WHERE id IN (100, 2075, 3999)"
+    ).collect()
+    val (t2, kept2, total2) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t2.contains("buck_t"), t2)
+    assert(total2 === 32 && kept2 === 3, s"planned $kept2/$total2")
+
+    // point equality: one bucket in one task zone
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.buck_t WHERE id = 2075").collect()
+    val (_, kept3, _) = graft.sources.SegHooks.lastPlanned.get()
+    assert(kept3 === 1, s"expected single-segment point lookup, got $kept3")
+  }
+
   test("catalog DEFAULT columns fill omitted INSERT values; SET DEFAULT is prospective") {
     val rows = ops.SemiStructured.q93CatalogDefault(spark, sf).collect()
     assert(rows.length === 3)
