@@ -125,17 +125,19 @@ object Streams {
   }
 
   /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
-    * 8: stateful operators keep one state store PER shuffle partition and
+    * 4: stateful operators keep one state store PER shuffle partition and
     * every micro-batch commits every store, so the session's 32 bench
-    * partitions mean 4x the checkpoint I/O for identical results at this
+    * partitions mean 8x the checkpoint I/O for identical results at this
     * fixture volume (a cluster sizes this to executor count; the value is
-    * captured into the checkpoint at first start either way). Restored in
-    * a finally that runs AFTER the query stops — micro-batch planning
-    * reads the conf asynchronously after start(), and a start() failure
-    * must not leak the narrowed conf into the shared session. */
+    * captured into the checkpoint at first start either way — state
+    * partitioning is keyed-hash, so the RESULT is partition-count
+    * independent). Restored in a finally that runs AFTER the query
+    * stops — micro-batch planning reads the conf asynchronously after
+    * start(), and a start() failure must not leak the narrowed conf into
+    * the shared session. */
   private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
