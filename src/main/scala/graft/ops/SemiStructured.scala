@@ -670,6 +670,61 @@ object SemiStructured {
         |) ORDER BY part""".stripMargin)
   }
 
+  /** Set confs for `body`, then restore EXACTLY (unset what was unset) —
+    * the ConfLeakSpec discipline for queries that need a non-default
+    * session conf. */
+  private def withConfs[T](s: SparkSession, kv: (String, String)*)
+      (body: => T): T = {
+    val saved = kv.map { case (k, _) => k -> s.conf.getAll.get(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Storage-partitioned join on co-bucketed catalog tables (q105): both
+    * sides are `bucket(8, id)`-partitioned, the scans report
+    * `KeyGroupedPartitioning` (SegScan), and under
+    * `spark.sql.sources.v2.bucketing.enabled` Spark matches the two
+    * reports through the catalog's [[graft.sources.BucketFunction]] and
+    * plans the equi-join with NO exchange on either side — the
+    * co-located fact-fact join that at 100 TB replaces two full shuffles
+    * with zero data movement. Broadcast is disabled inside the scope so
+    * the demo exercises the SPJ path, not a broadcast shortcut; the
+    * result is materialized INSIDE the conf scope (physical planning is
+    * lazy — restoring the conf first would silently fall back to
+    * shuffles). The no-exchange plan shape is spec-asserted in
+    * SourcesSpec; this entry pins the values through the oracle. */
+  val q105CatalogSpj: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.spj_a")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.spj_b")
+    s.sql(
+      """CREATE TABLE graft_cat.db.spj_a (id BIGINT, v BIGINT)
+        |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    s.sql(
+      """CREATE TABLE graft_cat.db.spj_b (id BIGINT, w BIGINT)
+        |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_spj")
+    s.sql("INSERT INTO graft_cat.db.spj_a SELECT id, v FROM graft_seq_spj")
+    s.sql(
+      """INSERT INTO graft_cat.db.spj_b
+        |SELECT id, v + id % 7 FROM graft_seq_spj WHERE id % 3 <> 0""".stripMargin)
+    withConfs(s,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = s.sql(
+        """SELECT a.id DIV 500 AS band, COUNT(*) AS n,
+          |  SUM(a.v + b.w) AS vw_sum
+          |FROM graft_cat.db.spj_a a JOIN graft_cat.db.spj_b b ON a.id = b.id
+          |GROUP BY a.id DIV 500 ORDER BY band""".stripMargin)
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    }
+  }
+
   /** Column DEFAULT values on the catalog table
     * (`TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`): INSERTs
     * that omit a column take its CURRENT default at write time, and
@@ -887,7 +942,8 @@ object SemiStructured {
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
     "q103_try_functions" -> q103TryFunctions,
-    "q104_catalog_transforms" -> q104CatalogTransforms)
+    "q104_catalog_transforms" -> q104CatalogTransforms,
+    "q105_catalog_spj" -> q105CatalogSpj)
 
   val oracleSql: Map[String, String] = Map(
     "q103_try_functions" ->
@@ -931,6 +987,16 @@ object SemiStructured {
         |    CAST(SUM(v) AS BIGINT) AS v_sum
         |  FROM t WHERE id IN (100, 2075, 3999))
         |ORDER BY part""".stripMargin,
+    // spj_b drops ids divisible by 3; w = v + id%7
+    "q105_catalog_spj" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r),
+        |b AS (SELECT id, v + id % 7 AS w FROM t WHERE id % 3 <> 0)
+        |SELECT CAST(t.id // 500 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(t.v + b.w) AS BIGINT) AS vw_sum
+        |FROM t JOIN b ON t.id = b.id
+        |GROUP BY 1 ORDER BY band""".stripMargin,
     "q100_sql_variables" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,4)) AS DOUBLE) AS total

@@ -21,7 +21,8 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And, Not, Or, Predicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Custom catalog plugin (`TableCatalog` + `SupportsNamespaces` +
@@ -119,6 +120,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "mulmod" => MulModFunction
+      // resolved at the EMPTY namespace by V2ExpressionUtils when Spark
+      // maps a reported bucket(...) partition transform to a concrete
+      // function — the hook that makes storage-partitioned joins work
+      case "bucket" => BucketFunction
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
@@ -856,7 +861,8 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion)
 class SegScan(tableName: String, dir: Path, ver: SegVersion,
     required: StructType, pushed: Array[Predicate])
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   private var segs: Seq[Seg] = {
     val fns = pushed.flatMap(p => SegPrune.compile(p, ver))
@@ -894,6 +900,46 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     * set a row-level operation's commit replaces. */
   private[sources] def plannedFiles: Set[String] = segs.map(_.file).toSet
 
+  /** Bucket key of a segment, when derivable: every row of a segment
+    * shares one bucket (the writer routes by transformed value, and
+    * compaction merges within a key), so `key(min)` IS the bucket. */
+  private def segBucket(s: Seg): Option[Long] = ver.partSpec match {
+    case Some(b: BucketPart) =>
+      val ord = ver.schema.fieldNames.indexOf(b.col)
+      if (ord < 0) None
+      else {
+        val idx = s.colIds.indexOf(ver.colIds(ord))
+        if (idx >= 0 && s.hasStats(idx) && !s.hasNull(idx))
+          Some(b.key(s.mins(idx)))
+        else None
+      }
+    case _ => None
+  }
+
+  /** Storage-partitioned joins: a bucket-partitioned table whose planned
+    * segments are all cleanly keyed reports `KeyGroupedPartitioning` over
+    * its bucket transform. Spark resolves the transform through the
+    * catalog's FunctionCatalog ([[BucketFunction]], empty namespace),
+    * groups the `HasPartitionKey` input partitions per bucket, and —
+    * when the other join side reports a COMPATIBLE partitioning (same
+    * canonical function, same bucket count) — plans the join with no
+    * exchange on either side. At 100 TB that turns a co-bucketed
+    * fact-fact equi-join from two full shuffles into a zero-movement
+    * co-located join. Guarded behind
+    * `spark.sql.sources.v2.bucketing.enabled`, which Spark checks before
+    * honoring the report; anything un-keyable (null partition rows,
+    * pre-transform segments) degrades to UnknownPartitioning. */
+  override def outputPartitioning(): Partitioning = {
+    val keys = segs.map(segBucket)
+    ver.partSpec match {
+      case Some(b: BucketPart) if segs.nonEmpty && keys.forall(_.isDefined) =>
+        new KeyGroupedPartitioning(
+          Array(Expressions.bucket(b.n, b.col)),
+          keys.flatten.distinct.size)
+      case _ => new UnknownPartitioning(segs.size)
+    }
+  }
+
   override def description(): String =
     s"graft_cat segs=${segs.size}/${ver.segs.size} " +
       s"pruned=[${required.fieldNames.mkString(",")}]"
@@ -907,14 +953,20 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
     segs.toArray.map { s =>
       val segIdx = required.fields.map(f => s.colIds.indexOf(idOf(f.name)))
-      SegPartition(dir.resolve(s.file).toString, s.colIds.length,
+      val p = SegPartition(dir.resolve(s.file).toString, s.colIds.length,
         required, segIdx, defaults)
+      // carry the bucket key when known so Spark can group per bucket
+      // (required of EVERY partition for a KeyGroupedPartitioning report)
+      segBucket(s).fold(p: InputPartition)(KeyedSegPartition(p, _))
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val p = partition.asInstanceOf[SegPartition]
+      val p = partition match {
+        case k: KeyedSegPartition => k.seg
+        case s: SegPartition => s
+      }
       new PartitionReader[InternalRow] {
         private val in = new DataInputStream(new BufferedInputStream(
           Files.newInputStream(Paths.get(p.file))))
@@ -957,6 +1009,15 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
 
 case class SegPartition(file: String, segArity: Int, required: StructType,
     segIdx: Array[Int], defaults: Array[Any]) extends InputPartition
+
+/** A segment split carrying its bucket value — what lets Spark group a
+  * bucket-partitioned scan's splits per bucket for storage-partitioned
+  * joins ([[SegScan.outputPartitioning]]). */
+case class KeyedSegPartition(seg: SegPartition, bucket: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Zone-map predicate evaluation in Kleene (three-valued) logic over the
   * POSSIBLE outcomes of a predicate across a segment's rows: a bitmask of
@@ -1327,6 +1388,45 @@ class ExpireVersionsProcedure(catalog: GraftCatalog) extends UnboundProcedure {
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](expired, deleted)))).iterator()
     }
+  }
+}
+
+/** The catalog's `bucket(n, col)` partition transform as a connector
+  * function ([[PartSpec.bucketOf]] — fmix64 mod n). Spark's
+  * storage-partitioned-join machinery resolves a scan's reported
+  * `bucket(...)` transform through the table catalog's FunctionCatalog
+  * (empty namespace) and matches both join sides by the bound function's
+  * `canonicalName` — same name + same bucket count ⇒ co-partitioned ⇒
+  * no exchange. The function is also directly callable from SQL
+  * (`graft_cat.db.bucket(8, id)` resolves the db namespace too). */
+object BucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n INT, x BIGINT): fmix64(x) mod n — the graft_cat partition hash"
+
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      (inputType.fields(0).dataType == IntegerType ||
+        inputType.fields(0).dataType == LongType) &&
+      inputType.fields(1).dataType == LongType,
+      s"bucket takes (INT n, BIGINT x), got $inputType")
+    Bound
+  }
+
+  object Bound extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[java.lang.Long] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(IntegerType, LongType)
+    override def resultType(): org.apache.spark.sql.types.DataType = LongType
+    override def isResultNullable: Boolean = false
+    def invoke(n: Int, x: Long): Long = PartSpec.bucketOf(x, n)
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getInt(0), input.getLong(1))
   }
 }
 

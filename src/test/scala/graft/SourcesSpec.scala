@@ -441,6 +441,54 @@ class SourcesSpec extends SparkTestBase {
     assert(kept3 === 1, s"expected single-segment point lookup, got $kept3")
   }
 
+  test("storage-partitioned join: co-bucketed tables join with no exchange (q105)") {
+    val rows = ops.SemiStructured.q105CatalogSpj(spark, sf).collect()
+    // values: the oracle's statement, recomputed here
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val expect = (0L until 4000L).filter(_ % 3 != 0)
+      .groupBy(_ / 500)
+      .map { case (b, ids) =>
+        b -> ((ids.length.toLong, ids.map(id => 2 * v(id) + id % 7).sum))
+      }
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) === ((r.getLong(1), r.getLong(2))))
+    }
+    // plan shape: under v2 bucketing the join must sit directly on the
+    // grouped scans — no ShuffleExchange anywhere BELOW the join (the
+    // post-join aggregation may shuffle; that one is fine)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        """SELECT COUNT(*) AS n, SUM(a.v + b.w) AS vw
+          |FROM graft_cat.db.spj_a a JOIN graft_cat.db.spj_b b
+          |ON a.id = b.id""".stripMargin)
+      df.collect()
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(df.queryExecution.executedPlan)
+      val join = all.collectFirst {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"no shuffle-family join planned:\n${all.head}")
+      val below = join.get.children.flatMap(flatten)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"exchange below the join — SPJ did not engage:\n${join.get}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("catalog DEFAULT columns fill omitted INSERT values; SET DEFAULT is prospective") {
     val rows = ops.SemiStructured.q93CatalogDefault(spark, sf).collect()
     assert(rows.length === 3)
