@@ -725,6 +725,29 @@ object SemiStructured {
     }
   }
 
+  /** Incremental changes read (q106): two INSERT commits, then
+    * `VERSION AS OF '1..'` reads ONLY the segments committed after
+    * version 1 — manifest arithmetic, no table diff, and the read is a
+    * normal distributed DSv2 scan (pushdown, pruning). The polling
+    * pattern every downstream incremental pipeline needs ("process what
+    * landed since my last run") priced at the new data, not the table.
+    * Append-only strictness (refusing ranges that compacted or rewrote
+    * segments) is spec-asserted in SourcesSpec. */
+  val q106CatalogChanges: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.chg_t")
+    s.sql("CREATE TABLE graft_cat.db.chg_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_chg")
+    s.sql("INSERT INTO graft_cat.db.chg_t SELECT id, v FROM graft_seq_chg WHERE id < 2000")
+    s.sql("INSERT INTO graft_cat.db.chg_t SELECT id, v FROM graft_seq_chg WHERE id >= 2000")
+    s.sql(
+      """SELECT id DIV 500 AS band, COUNT(*) AS n, SUM(v) AS v_sum
+        |FROM graft_cat.db.chg_t VERSION AS OF '1..'
+        |GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
   /** Column DEFAULT values on the catalog table
     * (`TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`): INSERTs
     * that omit a column take its CURRENT default at write time, and
@@ -943,7 +966,8 @@ object SemiStructured {
     "q101_merge_by_source" -> q101MergeBySource,
     "q103_try_functions" -> q103TryFunctions,
     "q104_catalog_transforms" -> q104CatalogTransforms,
-    "q105_catalog_spj" -> q105CatalogSpj)
+    "q105_catalog_spj" -> q105CatalogSpj,
+    "q106_catalog_changes" -> q106CatalogChanges)
 
   val oracleSql: Map[String, String] = Map(
     "q103_try_functions" ->
@@ -987,6 +1011,14 @@ object SemiStructured {
         |    CAST(SUM(v) AS BIGINT) AS v_sum
         |  FROM t WHERE id IN (100, 2075, 3999))
         |ORDER BY part""".stripMargin,
+    // changes since v1 = the second insert (ids >= 2000)
+    "q106_catalog_changes" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT CAST(id // 500 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t WHERE id >= 2000 GROUP BY 1 ORDER BY band""".stripMargin,
     // spj_b drops ids divisible by 3; w = v + id%7
     "q105_catalog_spj" ->
       """WITH t AS (

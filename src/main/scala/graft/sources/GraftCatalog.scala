@@ -193,6 +193,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * consistent frozen read over the immutable segment files. */
   override def loadTable(ident: Identifier, version: String): Table =
     loadTable(ident) match {
+      case t: SegTable if version.contains("..") =>
+        // incremental read: VERSION AS OF 'from..to' ('from..' = latest)
+        val Array(lo, hi) = version.split("\\.\\.", 2)
+        t.changesTable(lo.trim.toLong,
+          if (hi.trim.isEmpty) -1L else hi.trim.toLong)
       case t: SegTable => t.versionAt(version.toLong)
       case t => t
     }
@@ -422,6 +427,37 @@ class SegTable private (ident: String, dir: Path,
     val next = f(cur).copy(v = cur.v + 1)
     SegStore.appendVersion(dir, next)
     versions :+= next
+  }
+
+  /** Incremental read (the Iceberg incremental-append-scan primitive):
+    * a frozen table over ONLY the segments committed after `fromV`
+    * (exclusive) up to `toV` (−1 = latest) — pure manifest arithmetic,
+    * no data read to compute the diff, so at 100 TB "process what's new
+    * since the last run" costs the new data, not a table diff. Exposed
+    * through version-range time travel (`VERSION AS OF 'a..b'` /
+    * `'a..'`) so the read stays a fully distributed DSv2 scan with
+    * pushdown and pruning (Spark 4 procedures only return LOCAL scans —
+    * a CALL surface would have collected the diff to the driver).
+    * Strictly append-only: if any `fromV` segment is gone by `toV`
+    * (compaction or a row-level rewrite between them), the diff would
+    * misattribute rewritten rows as new — refuse loudly instead, the
+    * same contract Iceberg's incremental scan enforces. */
+  private[sources] def changesTable(fromV: Long, toV: Long): Table = synchronized {
+    def at(v: Long): SegVersion = versions.find(_.v == v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no version $v (latest: ${cur.v})"))
+    val from = at(fromV)
+    val to = if (toV < 0) cur else at(toV)
+    require(from.v <= to.v,
+      s"from version ${from.v} is after to version ${to.v}")
+    val fromFiles = from.segs.map(_.file).toSet
+    require(fromFiles.subsetOf(to.segs.map(_.file).toSet),
+      s"$ident history v${from.v}..v${to.v} is not append-only " +
+        "(segments were replaced by compaction or a row-level operation); " +
+        "incremental read supports append-only ranges")
+    val added = to.segs.filterNot(s => fromFiles(s.file))
+    new SegSnapshotTable(s"$ident@v${from.v}..${to.v}", dir,
+      to.copy(segs = added))
   }
 
   private[sources] def versionAt(v: Long): Table = {

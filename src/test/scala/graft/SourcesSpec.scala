@@ -489,6 +489,35 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("incremental changes read: segment diff only, append-only enforced (q106)") {
+    val rows = ops.SemiStructured.q106CatalogChanges(spark, sf).collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    assert(rows.length === 4) // bands 4..7 (ids 2000..3999)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 4 && b < 8, s"band $b leaked from the v1 insert")
+      assert(r.getLong(1) === 500L)
+      assert(r.getLong(2) === (b * 500 until (b + 1) * 500).map(v).sum)
+    }
+    // the scan planned ONLY the second commit's segments (ids >= 2000
+    // live in seq parts 2..3 → 2 segment files), not the whole table
+    val (tbl, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(tbl.contains("chg_t@v1.."), tbl)
+    assert(total === 2 && kept === 2, s"planned $kept/$total")
+    // compaction between versions breaks append-only lineage: the range
+    // crossing it must refuse (misattributing rewritten rows as new is
+    // worse than failing), while a post-compaction range still works
+    spark.sql("CALL graft_cat.system.compact('db.chg_t', 1048576)")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_cat.db.chg_t VERSION AS OF '1..'").collect()
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    val after = spark.sql(
+      "SELECT * FROM graft_cat.db.chg_t VERSION AS OF '3..'")
+    assert(after.count() === 0L) // nothing landed after the compaction
+  }
+
   test("catalog DEFAULT columns fill omitted INSERT values; SET DEFAULT is prospective") {
     val rows = ops.SemiStructured.q93CatalogDefault(spark, sf).collect()
     assert(rows.length === 3)
