@@ -2,15 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** Contract-line key for a catalog query name: the prefix before the
-    * first underscore, with "ext" compressed to "x" ("ext38_…" -> "x38")
-    * and the "q" prefix dropped ("q03_…" -> "03") — at 187+ queries the
-    * q-spelling alone costs ~100 chars of the driver's ~2000-char capture
-    * tail. No collision is possible ("x…" vs bare digits); uniqueness is
-    * asserted in ContractSpec. */
+    * first underscore, with "ext" compressed to "x" ("ext38_…" -> "x38"),
+    * the "q" prefix dropped ("q03_…" -> "3") and leading zeros stripped —
+    * at 198 queries every spare character counts against the driver's
+    * ~2000-char capture tail. No collision is possible ("x…" vs bare
+    * digits; zero-padded and 3-digit numbers stay distinct once
+    * de-padded); uniqueness is asserted in ContractSpec. */
   def shortKey(name: String): String = {
     val p = name.takeWhile(_ != '_')
-    if (p.startsWith("ext")) "x" + p.drop(3)
-    else if (p.startsWith("q")) p.drop(1)
+    def depad(d: String): String = {
+      val t = d.dropWhile(_ == '0')
+      if (t.isEmpty) "0" else t
+    }
+    if (p.startsWith("ext")) "x" + depad(p.drop(3))
+    else if (p.startsWith("q")) depad(p.drop(1))
     else p
   }
 

@@ -20,6 +20,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And, Not, Or, Predicate}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
@@ -417,7 +418,7 @@ class SegTable private (ident: String, dir: Path,
     }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   private[graft] def currentVersion: Long = cur.v
   private[graft] def currentSegs: Seq[Seg] = cur.segs
@@ -982,12 +983,21 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Streaming read of the SAME scan: micro-batches are manifest-version
+    * diffs ([[SegMicroBatchStream]]) — the lakehouse streaming-source
+    * pattern (Delta/Iceberg): each trigger reads only the segments
+    * committed since the last processed version, exactly once. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SegMicroBatchStream(tableName, dir, this)
+
+  /** Input partitions over `ss` with this scan's projection (shared by
+    * the batch path and the micro-batch version-diff path). */
+  private[sources] def partitionsFor(ss: Seq[Seg]): Array[InputPartition] = {
     // existence defaults (ALTER ADD COLUMN ... DEFAULT) evaluated on the
     // driver; missing columns in old segments read as these constants
     val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
     val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
-    segs.toArray.map { s =>
+    ss.toArray.map { s =>
       val segIdx = required.fields.map(f => s.colIds.indexOf(idOf(f.name)))
       val p = SegPartition(dir.resolve(s.file).toString, s.colIds.length,
         required, segIdx, defaults)
@@ -997,8 +1007,55 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
+  override def planInputPartitions(): Array[InputPartition] = partitionsFor(segs)
+
+  override def createReaderFactory(): PartitionReaderFactory = SegReaderFactory
+}
+
+/** Manifest version as a streaming offset. */
+case class SegOffset(v: Long) extends StreamOffset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch stream over a segment table: offsets are manifest
+  * versions, a batch is the segment diff `(start, end]` — computed from
+  * the manifest alone, re-read from disk each trigger so commits from
+  * OTHER catalog instances (another session, another process) are
+  * observed. Each segment is delivered in exactly one batch; non-append
+  * history mid-stream (compaction / row-level rewrite) is refused the
+  * same way the version-range travel read refuses it. */
+class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan)
+    extends MicroBatchStream {
+  private def versions: Vector[SegVersion] = SegStore.readVersions(dir)
+  override def initialOffset(): StreamOffset = SegOffset(versions.head.v)
+  override def latestOffset(): StreamOffset = SegOffset(versions.last.v)
+  override def deserializeOffset(json: String): StreamOffset =
+    SegOffset(json.toLong)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: StreamOffset,
+      end: StreamOffset): Array[InputPartition] = {
+    val vs = versions
+    def at(v: Long): SegVersion = vs.find(_.v == v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no version $v (latest: ${vs.last.v})"))
+    val from = at(start.asInstanceOf[SegOffset].v)
+    val to = at(end.asInstanceOf[SegOffset].v)
+    val fromFiles = from.segs.map(_.file).toSet
+    require(fromFiles.subsetOf(to.segs.map(_.file).toSet),
+      s"$tableName history v${from.v}..v${to.v} is not append-only " +
+        "(segments were replaced by compaction or a row-level operation); " +
+        "streaming read supports append-only history")
+    scan.partitionsFor(to.segs.filterNot(s => fromFiles(s.file)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = SegReaderFactory
+}
+
+/** Executor-side segment reader (shared by batch and streaming reads). */
+object SegReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition match {
         case k: KeyedSegPartition => k.seg
         case s: SegPartition => s

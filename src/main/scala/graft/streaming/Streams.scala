@@ -501,6 +501,41 @@ object Streams {
     * before the daily layer sees it — the standard streaming rollup
     * cascade.
     */
+  /** STREAMING READ OF A CATALOG TABLE (ext92): `readStream.table` over
+    * a `graft_cat` segment table — the lakehouse streaming-source
+    * pattern (Delta/Iceberg): offsets are manifest versions, each
+    * micro-batch is the segment diff since the last processed version
+    * (`sources.SegMicroBatchStream`), so a downstream pipeline tails the
+    * warehouse table exactly once per row with no full re-scan. The
+    * query starts against the first commit, a SECOND insert lands while
+    * the stream is live, and the appended memory sink must hold each
+    * row exactly once — a stream that re-read the table per trigger
+    * would double-count the first commit and fail the oracle. */
+  val streamCatalogSource: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cs_t")
+    s.sql("CREATE TABLE graft_cat.db.cs_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_cs")
+    s.sql("INSERT INTO graft_cat.db.cs_t SELECT id, v FROM graft_seq_cs WHERE id < 1500")
+    val sinkName = s"graft_stream_cs_${sessionToken(s)}"
+    withStreamShuffle(s) {
+      val query = s.readStream.table("graft_cat.db.cs_t")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try {
+        query.processAllAvailable()
+        s.sql("INSERT INTO graft_cat.db.cs_t SELECT id, v FROM graft_seq_cs WHERE id >= 1500")
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    s.table(sinkName)
+      .groupBy(expr("id DIV 500").as("band"))
+      .agg(count(lit(1)).as("n"), sum("v").as("v_sum"))
+      .orderBy("band")
+  }
+
   val chainedWindowAggs: Q = (s, d) => {
     val dir = scratchDir(s, "stream_chain")
     deleteRec(Paths.get(dir))
@@ -1187,7 +1222,8 @@ object Streams {
     "ext82_stream_transform_state" -> transformWithStateSeq,
     "ext88_stream_timer_sessions" -> timerSessions,
     "ext89_stream_initial_state" -> transformWithInitialState,
-    "ext90_stream_chained_aggs" -> chainedWindowAggs)
+    "ext90_stream_chained_aggs" -> chainedWindowAggs,
+    "ext92_stream_catalog_source" -> streamCatalogSource)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -1208,6 +1244,13 @@ object Streams {
   val oracleSql: Map[String, String] = Map(
     // ext90: both rollup layers restated in batch; a day emits iff the
     // final watermark (global max - 1h) passed its end
+    "ext92_stream_catalog_source" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT CAST(id // 500 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
     "ext90_stream_chained_aggs" ->
       """WITH e AS (
         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -135,6 +135,23 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("catalog table as streaming source: version-diff batches, exactly once (ext92)") {
+    val rows = streaming.Streams.queries("ext92_stream_catalog_source")(spark, sf)
+      .collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    assert(rows.length === 8) // bands 0..7, each exactly once
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) === 500L,
+        s"band $b counted ${r.getLong(1)} rows — a re-read would double-count")
+      assert(r.getLong(2) === (b * 500 until (b + 1) * 500).map(v).sum)
+    }
+    // the exactly-once totals above ARE the diff-batch proof: the first
+    // commit (bands 0..2) was already drained before the second insert,
+    // so a source that re-planned the whole table per trigger would have
+    // appended those rows twice and failed the n===500 assertion
+  }
+
   test("StreamingQueryProgress exposes state-store size (the ops dashboard feed)") {
     // capacity planning at scale runs off these numbers: rows held per
     // stateful operator and their memory footprint, per micro-batch
