@@ -125,6 +125,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // maps a reported bucket(...) partition transform to a concrete
       // function — the hook that makes storage-partitioned joins work
       case "bucket" => BucketFunction
+      case "days" => DaysFunction
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
@@ -937,41 +938,49 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     * set a row-level operation's commit replaces. */
   private[sources] def plannedFiles: Set[String] = segs.map(_.file).toSet
 
-  /** Bucket key of a segment, when derivable: every row of a segment
-    * shares one bucket (the writer routes by transformed value, and
-    * compaction merges within a key), so `key(min)` IS the bucket. */
-  private def segBucket(s: Seg): Option[Long] = ver.partSpec match {
-    case Some(b: BucketPart) =>
-      val ord = ver.schema.fieldNames.indexOf(b.col)
-      if (ord < 0) None
+  /** Partition key of a segment, when derivable. Every segment is
+    * single-valued on the TRANSFORMED partition value (the writer routes
+    * by it; compaction merges within it): for order-preserving
+    * transforms `key(min)==key(max)` verifies that from the zone-map
+    * alone, and for bucket (hash) the writer invariant guarantees it, so
+    * `key(min)` IS the segment's partition value. */
+  private def segKey(s: Seg): Option[Long] = ver.partSpec.flatMap { p =>
+    val ord = ver.schema.fieldNames.indexOf(p.col)
+    if (ord < 0) None
+    else {
+      val idx = s.colIds.indexOf(ver.colIds(ord))
+      if (idx < 0 || !s.hasStats(idx) || s.hasNull(idx)) None
       else {
-        val idx = s.colIds.indexOf(ver.colIds(ord))
-        if (idx >= 0 && s.hasStats(idx) && !s.hasNull(idx))
-          Some(b.key(s.mins(idx)))
-        else None
+        val lo = p.key(s.mins(idx))
+        if (!p.monotone || lo == p.key(s.maxs(idx))) Some(lo) else None
       }
-    case _ => None
+    }
   }
 
-  /** Storage-partitioned joins: a bucket-partitioned table whose planned
-    * segments are all cleanly keyed reports `KeyGroupedPartitioning` over
-    * its bucket transform. Spark resolves the transform through the
-    * catalog's FunctionCatalog ([[BucketFunction]], empty namespace),
-    * groups the `HasPartitionKey` input partitions per bucket, and —
-    * when the other join side reports a COMPATIBLE partitioning (same
-    * canonical function, same bucket count) — plans the join with no
-    * exchange on either side. At 100 TB that turns a co-bucketed
-    * fact-fact equi-join from two full shuffles into a zero-movement
-    * co-located join. Guarded behind
-    * `spark.sql.sources.v2.bucketing.enabled`, which Spark checks before
-    * honoring the report; anything un-keyable (null partition rows,
-    * pre-transform segments) degrades to UnknownPartitioning. */
+  /** Storage-partitioned joins: a partitioned table whose planned
+    * segments are all cleanly keyed reports `KeyGroupedPartitioning`
+    * over its transform — identity resolves natively in Spark;
+    * days/bucket resolve through the catalog's FunctionCatalog
+    * ([[DaysFunction]]/[[BucketFunction]], empty namespace). Spark
+    * groups the `HasPartitionKey` input partitions per key and — when
+    * the other join side reports a COMPATIBLE partitioning (same
+    * canonical function and arguments) — plans the join with no
+    * exchange on either side. At 100 TB that turns a co-partitioned
+    * fact-fact equi-join (same-day joins, co-bucketed key joins) from
+    * two full shuffles into a zero-movement co-located join. Guarded
+    * behind `spark.sql.sources.v2.bucketing.enabled`, which Spark checks
+    * before honoring the report; anything un-keyable (null partition
+    * rows, multi-day segments) degrades to UnknownPartitioning. */
   override def outputPartitioning(): Partitioning = {
-    val keys = segs.map(segBucket)
+    val keys = segs.map(segKey)
     ver.partSpec match {
-      case Some(b: BucketPart) if segs.nonEmpty && keys.forall(_.isDefined) =>
-        new KeyGroupedPartitioning(
-          Array(Expressions.bucket(b.n, b.col)),
+      case Some(p) if segs.nonEmpty && keys.forall(_.isDefined) =>
+        val transform = p match {
+          case IdentityPart(c) => Expressions.identity(c)
+          case DaysPart(c) => Expressions.days(c)
+          case BucketPart(c, n) => Expressions.bucket(n, c)
+        }
+        new KeyGroupedPartitioning(Array(transform),
           keys.flatten.distinct.size)
       case _ => new UnknownPartitioning(segs.size)
     }
@@ -1001,9 +1010,9 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
       val segIdx = required.fields.map(f => s.colIds.indexOf(idOf(f.name)))
       val p = SegPartition(dir.resolve(s.file).toString, s.colIds.length,
         required, segIdx, defaults)
-      // carry the bucket key when known so Spark can group per bucket
+      // carry the partition key when known so Spark can group per key
       // (required of EVERY partition for a KeyGroupedPartitioning report)
-      segBucket(s).fold(p: InputPartition)(KeyedSegPartition(p, _))
+      segKey(s).fold(p: InputPartition)(KeyedSegPartition(p, _))
     }
   }
 
@@ -1481,6 +1490,39 @@ class ExpireVersionsProcedure(catalog: GraftCatalog) extends UnboundProcedure {
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](expired, deleted)))).iterator()
     }
+  }
+}
+
+/** The catalog's `days(col)` partition transform as a connector function
+  * (epoch-micros BIGINT → epoch day, [[DaysPart.key]]) — resolved at the
+  * empty namespace when Spark maps a reported `days(...)` partition
+  * transform for storage-partitioned joins. */
+object DaysFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+
+  override def name(): String = "days"
+  override def description(): String =
+    "days(x BIGINT): floor(x / 86_400_000_000) — epoch-micros to epoch day"
+
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == LongType,
+      s"days takes one BIGINT argument, got $inputType")
+    Bound
+  }
+
+  object Bound extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[java.lang.Long] {
+    override def name(): String = "days"
+    override def canonicalName(): String = "graft.days"
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(LongType)
+    override def resultType(): org.apache.spark.sql.types.DataType = LongType
+    override def isResultNullable: Boolean = false
+    def invoke(x: Long): Long = Math.floorDiv(x, PartSpec.MicrosPerDay)
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getLong(0))
   }
 }
 

@@ -518,6 +518,67 @@ class SourcesSpec extends SparkTestBase {
     assert(after.count() === 0L) // nothing landed after the compaction
   }
 
+  test("SPJ generalizes to days/identity transforms: same-day join, no exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def assertNoShuffleBelowJoin(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.collect()
+      val all = flatten(df.queryExecution.executedPlan)
+      val join = all.collectFirst {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"no shuffle-family join planned:\n${all.head}")
+      assert(!join.get.children.flatMap(flatten)
+          .exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"exchange below the join — SPJ did not engage:\n${join.get}")
+    }
+    ops.ensureGraftCatalog(spark)
+    for (t <- Seq("spjd_a", "spjd_b", "spji_a", "spji_b"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.spjd_a (ts BIGINT, v BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft_cat.db.spjd_b (ts BIGINT, w BIGINT)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft_cat.db.spji_a (g BIGINT, v BIGINT)
+        |PARTITIONED BY (g)""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft_cat.db.spji_b (g BIGINT, w BIGINT)
+        |PARTITIONED BY (g)""".stripMargin)
+    spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_spjx")
+    spark.sql("INSERT INTO graft_cat.db.spjd_a SELECT id * 1800000000, v FROM graft_seq_spjx")
+    spark.sql("INSERT INTO graft_cat.db.spjd_b SELECT id * 1800000000, v + 1 FROM graft_seq_spjx")
+    spark.sql("INSERT INTO graft_cat.db.spji_a SELECT id % 8, v FROM graft_seq_spjx")
+    spark.sql("INSERT INTO graft_cat.db.spji_b SELECT id % 8, v + 1 FROM graft_seq_spjx")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assertNoShuffleBelowJoin(spark.sql(
+        """SELECT COUNT(*) AS n, SUM(a.v + b.w) AS vw
+          |FROM graft_cat.db.spjd_a a JOIN graft_cat.db.spjd_b b
+          |ON a.ts = b.ts""".stripMargin))
+      assertNoShuffleBelowJoin(spark.sql(
+        """SELECT COUNT(*) AS n, SUM(a.v + b.w) AS vw
+          |FROM graft_cat.db.spji_a a JOIN graft_cat.db.spji_b b
+          |ON a.g = b.g""".stripMargin))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("catalog DEFAULT columns fill omitted INSERT values; SET DEFAULT is prospective") {
     val rows = ops.SemiStructured.q93CatalogDefault(spark, sf).collect()
     assert(rows.length === 3)
