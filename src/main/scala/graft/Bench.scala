@@ -19,6 +19,50 @@ object Bench {
     else p
   }
 
+  /** Pure retry-selection policy (unit-tested in BenchPolicySpec): which
+    * suspects to re-time in retry round `round`, burst-first, within the
+    * remaining time allowance.
+    *   - round 0 considers every query ≥ 1 s;
+    *   - later rounds only carry queries whose previous retime materially
+    *     improved (`improved` — evidence of interference; a retime that
+    *     stayed put means legitimately slow) or extreme >10×-median
+    *     outliers (possibly hit in BOTH passes);
+    *   - suspects inside longer contiguous runs of execution order come
+    *     first (interference inflates whoever ran inside its window, so
+    *     victims are contiguous), ties broken by time descending;
+    *   - the prefix whose prior times fit `remaining` is selected (each
+    *     retry costs at most about its previous measurement). */
+  private[graft] def chooseRetries(results: Map[String, Double],
+      idxOf: Map[String, Int], round: Int, improved: Set[String],
+      floor: Double, remaining: Double): Seq[String] = {
+    val suspects = results.filter { case (n, t) =>
+      t >= 1.0 && (round == 0 || improved(n) || t > 10.0 * floor)
+    }
+    if (suspects.isEmpty) Nil
+    else {
+      val sIdx = suspects.keys.map(idxOf).toSeq.sorted
+      val runLen = {
+        val m = scala.collection.mutable.Map.empty[Int, Int]
+        var i = 0
+        while (i < sIdx.length) {
+          var j = i
+          while (j + 1 < sIdx.length && sIdx(j + 1) == sIdx(j) + 1) j += 1
+          val len = j - i + 1
+          (i to j).foreach(k => m(sIdx(k)) = len)
+          i = j + 1
+        }
+        m.toMap
+      }
+      val prioritized = suspects.toSeq.sortBy { case (n, t) =>
+        (-runLen(idxOf(n)), -t)
+      }
+      var projected = 0.0
+      prioritized.takeWhile { case (_, t) =>
+        projected += t; projected < remaining
+      }.map(_._1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -126,49 +170,21 @@ object Bench {
     var round = 0
     var done = false
     while (round < 3 && !done) {
-      val suspects = results.filter { case (n, t) =>
-        t >= 1.0 && (round == 0 || improved(n) || t > 10.0 * floor)
-      }
-      if (suspects.isEmpty) done = true
+      val chosen = chooseRetries(results, idxOf, round, improved, floor,
+        deadline - elapsedS)
+      if (chosen.isEmpty) done = true
       else {
-        // burst-first: group suspect indices into contiguous runs in
-        // execution order; longer runs are likelier interference victims
-        val sIdx = suspects.keys.map(idxOf).toSeq.sorted
-        val runLen = {
-          val m = scala.collection.mutable.Map.empty[Int, Int]
-          var i = 0
-          while (i < sIdx.length) {
-            var j = i
-            while (j + 1 < sIdx.length && sIdx(j + 1) == sIdx(j) + 1) j += 1
-            val len = j - i + 1
-            (i to j).foreach(k => m(sIdx(k)) = len)
-            i = j + 1
-          }
-          m.toMap
+        // space later rounds out so a still-active multi-minute burst
+        // has time to end before the re-measure (bounded, and only when
+        // the pass showed interference — never on a clean run)
+        if (round > 0 && interference && deadline - elapsedS > 60.0)
+          Thread.sleep(20000L)
+        val p2 = timeQueries(chosen)
+        improved = chosen.filter(n => p2(n) < results(n) * 0.75).toSet
+        results = results ++ chosen.map { n =>
+          n -> math.min(results(n), p2(n))
         }
-        val prioritized = suspects.toSeq.sortBy { case (n, t) =>
-          (-runLen(idxOf(n)), -t)
-        }
-        var projected = elapsedS
-        val chosen = prioritized.takeWhile { case (_, t) =>
-          projected += t; projected < deadline
-        }
-        if (chosen.isEmpty) done = true
-        else {
-          // space later rounds out so a still-active multi-minute burst
-          // has time to end before the re-measure (bounded, and only when
-          // the pass showed interference — never on a clean run)
-          if (round > 0 && interference && deadline - elapsedS > 60.0)
-            Thread.sleep(20000L)
-          val p2 = timeQueries(chosen.map(_._1))
-          improved = chosen.collect {
-            case (n, t) if p2(n) < t * 0.75 => n
-          }.toSet
-          results = results ++ chosen.map { case (n, t) =>
-            n -> math.min(t, p2(n))
-          }
-          round += 1
-        }
+        round += 1
       }
     }
     // The driver captures only a ~2000-char tail of this process's output, so

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench retry policy, unit-tested against the interference
+  * signatures observed on this host (round-5 post-mortem: a 119 s clean
+  * workload captured at 2042 s because the fixed total budget
+  * self-cancelled exactly when the first pass was inflated).
+  */
+class BenchPolicySpec extends AnyFunSuite {
+
+  private val names = ('a' to 'j').map(_.toString)
+  private val idxOf = names.zipWithIndex.toMap
+  private def times(pairs: (String, Double)*): Map[String, Double] =
+    names.map(_ -> 0.3).toMap ++ pairs
+
+  test("burst victims are retried before a slower isolated suspect") {
+    // c,d,e contiguous at 20 s each (a burst window); h isolated at 30 s:
+    // the burst goes first despite the isolated query being slower
+    val r = times("c" -> 20, "d" -> 20, "e" -> 20, "h" -> 30)
+    val chosen = Bench.chooseRetries(r, idxOf, round = 0,
+      improved = Set.empty, floor = 0.3, remaining = 1e9)
+    assert(chosen.take(3).toSet === Set("c", "d", "e"))
+    assert(chosen(3) === "h")
+  }
+
+  test("within a run, worst-first; sub-second queries never retried") {
+    val r = times("b" -> 5, "c" -> 9, "f" -> 0.9)
+    val chosen = Bench.chooseRetries(r, idxOf, 0, Set.empty, 0.3, 1e9)
+    assert(chosen === Seq("c", "b")) // both runs length 1 → by time
+  }
+
+  test("later rounds drop legitimately-slow queries (retime didn't improve)") {
+    // b improved last round (interference evidence) → carried; c did not
+    // and sits below 10× median → accepted as legitimately slow
+    val r = times("b" -> 3, "c" -> 2.5)
+    val chosen = Bench.chooseRetries(r, idxOf, round = 1,
+      improved = Set("b"), floor = 0.3, remaining = 1e9)
+    assert(chosen === Seq("b"))
+  }
+
+  test("extreme outliers are carried even without improvement evidence") {
+    // c never improved but is > 10× the median — may have been hit in
+    // BOTH passes, so it stays eligible
+    val r = times("c" -> 50)
+    val chosen = Bench.chooseRetries(r, idxOf, round = 2,
+      improved = Set.empty, floor = 0.3, remaining = 1e9)
+    assert(chosen === Seq("c"))
+  }
+
+  test("selection stops at the remaining allowance (prefix by prior cost)") {
+    val r = times("b" -> 20, "c" -> 20, "d" -> 20)
+    val chosen = Bench.chooseRetries(r, idxOf, 0, Set.empty, 0.3,
+      remaining = 45.0)
+    assert(chosen.length === 2) // 20 + 20 fit, the third would pass 45
+  }
+
+  test("clean pass selects nothing") {
+    assert(Bench.chooseRetries(times(), idxOf, 0, Set.empty, 0.3, 1e9).isEmpty)
+  }
+}
