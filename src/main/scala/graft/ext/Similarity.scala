@@ -234,6 +234,43 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** SemDeDup — semantic deduplication for training corpora (public
+    * recipe: cluster the embedding space, then prune near-duplicates
+    * within clusters only; Abbas et al. 2023, arXiv:2303.09540). Reuses
+    * ext20's deterministic k-means-lite quantizer, then drops every
+    * vector that has an earlier (lower vec_id) same-cell neighbor with
+    * cosine above `minCosine`. "Dominated by ANY earlier vector" (rather
+    * than the paper's greedy keep-chain) keeps the drop decision a pure
+    * pairwise predicate — one join + one aggregation, independent of
+    * visit order, restatable by the SQL oracle.
+    *
+    * Output is the DROP LIST: dominated vec_id, its cell, the earliest
+    * dominator, the strongest similarity, and the dominator count.
+    *
+    * Scale: the cluster restriction is what makes semantic dedup
+    * tractable at 100 TB — pair work is quadratic only in CELL size, and
+    * cell count grows with the corpus (seeds are every 64th vector), so
+    * per-cell pair cost stays ~bounded; the self-join shuffles on the
+    * cell id exactly like ext20's probe join. No all-pairs stage exists
+    * anywhere; the drop list is grouped per vector, so output is O(n),
+    * never O(pairs). */
+  def semanticDedup(s: org.apache.spark.sql.SparkSession, d: String,
+      minCosine: Double): DataFrame = {
+    val (a1, _) = kmeansBuild(s, d)
+    a1.as("u").join(a1.as("w"),
+        col("u.cell") === col("w.cell") && col("u.vec_id") < col("w.vec_id"))
+      .select(col("w.vec_id").as("vec_id"), col("w.cell").as("cell"),
+        col("u.vec_id").as("u_id"),
+        // same left-to-right accumulation as the oracle's sequential
+        // list_sum — the > threshold decision is bit-identical
+        expr("graft_cosine(u.v, w.v)").as("cosine"))
+      .filter(col("cosine") > minCosine)
+      .groupBy("vec_id", "cell")
+      .agg(min("u_id").as("dup_of"), max("cosine").as("max_cosine"),
+        count(lit(1)).as("n_dominators"))
+      .orderBy("vec_id")
+  }
+
   /** Product quantization (PQ) ANN with asymmetric distance computation
     * (ADC) — the FINE quantizer of a production IVF-PQ index (Jégou et
     * al.): split each 64-dim vector into 8 subspaces of 8 dims, learn a
@@ -354,7 +391,8 @@ object Similarity {
     "ext16_sim_native_expr" -> bruteForceNativeExpr,
     "ext17_sim_topk_lsh" -> lshTopK,
     "ext20_sim_topk_ivf_kmeans" -> kmeansIvfTopK,
-    "ext37_sim_topk_ivf_probe2" -> kmeansIvfProbe2)
+    "ext37_sim_topk_ivf_probe2" -> kmeansIvfProbe2,
+    "ext93_semantic_dedup" -> ((s, d) => semanticDedup(s, d, 0.4)))
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -554,5 +592,19 @@ object Similarity {
          |FROM scored
          |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
          |QUALIFY row_number() OVER w <= 3
-         |ORDER BY q_id, rank""".stripMargin)
+         |ORDER BY q_id, rank""".stripMargin,
+    // SemDeDup drop list: dominated = has an earlier same-cell neighbor
+    // above the threshold; grouped per dominated vector
+    "ext93_semantic_dedup" ->
+      s"""WITH $kmeansCtesSql,
+         |dom AS (
+         |  SELECT w.vec_id AS vec_id, w.cell AS cell, u.vec_id AS u_id,
+         |    list_sum([u.v[i] * w.v[i] for i in range(1, len(u.v) + 1)])
+         |      / (u.norm * w.norm) AS cosine
+         |  FROM a1 u JOIN a1 w ON u.cell = w.cell AND u.vec_id < w.vec_id)
+         |SELECT vec_id, cell, min(u_id) AS dup_of, max(cosine) AS max_cosine,
+         |  COUNT(*) AS n_dominators
+         |FROM dom WHERE cosine > CAST(0.4 AS DOUBLE)
+         |GROUP BY vec_id, cell
+         |ORDER BY vec_id""".stripMargin)
 }

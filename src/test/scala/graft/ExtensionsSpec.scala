@@ -66,6 +66,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(ivf.nonEmpty)
   }
 
+  test("semantic dedup: dominators are earlier; raising the threshold shrinks the drop list") {
+    val loose = Similarity.semanticDedup(spark, sf, 0.2).collect()
+    assert(loose.nonEmpty)
+    loose.foreach { r =>
+      assert(r.getLong(r.fieldIndex("dup_of")) < r.getLong(r.fieldIndex("vec_id")))
+      assert(r.getLong(r.fieldIndex("n_dominators")) >= 1L)
+      assert(r.getDouble(r.fieldIndex("max_cosine")) > 0.2)
+    }
+    // the drop list never contains the whole corpus: each cell keeps at
+    // least its earliest vector (which has no earlier neighbor)
+    val n = ops.table(spark, sf, "embeddings").count()
+    assert(loose.length < n)
+    val tight = Similarity.semanticDedup(spark, sf, 0.4).collect()
+    assert(tight.length <= loose.length)
+    val looseIds = loose.map(_.getLong(0)).toSet
+    assert(tight.forall(r => looseIds(r.getLong(0))),
+      "a vector dropped at 0.4 must also be dropped at 0.2")
+  }
+
   test("langid scores sum to <= token count; detected lang is argmax") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     rows.foreach { r =>
