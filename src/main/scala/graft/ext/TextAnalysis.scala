@@ -154,6 +154,47 @@ object TextAnalysis {
       .orderBy("shard")
   }
 
+  /** Exact heavy hitters by two-pass Misra-Gries — "which keys dominate
+    * the stream" without a full-vocabulary groupBy. Pass 1 runs
+    * [[graft.functions.MisraGriesAgg]] (k=64 counters) over the items:
+    * map-side partial sketches of ≤ k entries merge to ONE candidate row
+    * (every item with freq > N/(k+1) is guaranteed present — see the
+    * Aggregator's doc). Pass 2 broadcast-semi-joins the ≤ k candidates
+    * back onto the stream and exact-counts ONLY them, so the final
+    * filter cnt·32 > N is exact — sketch nondeterminism below the
+    * guarantee line never reaches the output. Threshold 1/32 > 1/65
+    * keeps the guarantee with a 2× margin.
+    *
+    * The fixtures are uniform by construction, so the stream is made
+    * skewed deterministically (same move as ext43's seeded PII): even
+    * event_ids contribute their bare event_type (5 hot keys sharing
+    * half the stream at ~10% each), odd ones contribute
+    * event_type#user_id (~750 cold keys sharing the rest at ~0.07%
+    * each). Vocabulary ≈ 755 ≫ k = 64, so the sketch's eviction path
+    * genuinely churns — this is the regime MG exists for.
+    *
+    * Scale: two scans, zero wide exchanges. Pass 1's aggregation ships
+    * ≤ k counters per task; pass 2's groupBy carries ≤ k distinct keys
+    * after the broadcast filter. A direct groupBy(item) instead would
+    * shuffle one row per distinct key — vocabulary-sized, unbounded. */
+  val heavyHitters: Q = (s, d) => {
+    val mg = udaf(new graft.functions.MisraGriesAgg(64),
+      org.apache.spark.sql.Encoders.STRING)
+    val items = table(s, d, "events").select(
+      when(col("event_id") % 2 === 0, col("event_type"))
+        .otherwise(concat(col("event_type"), lit("#"), col("user_id")))
+        .as("item"))
+    val sketch = items.agg(mg(col("item")).as("cands"),
+      count(lit(1)).as("n_items"))
+    val cands = sketch.select(explode(col("cands")).as("item"), col("n_items"))
+    items.join(broadcast(cands), Seq("item"))
+      .groupBy("item", "n_items").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 32 > col("n_items"))
+      .select(col("item"), col("cnt"),
+        (col("cnt").cast("double") / col("n_items")).as("freq"))
+      .orderBy("item")
+  }
+
   /** PII scrubbing — the redaction pass every training corpus runs:
     * email-shaped and long-digit-run tokens are replaced with fixed
     * sentinels. Pure map stage (no shuffle; the aggregate below is only
@@ -220,6 +261,7 @@ object TextAnalysis {
     "ext84_tfidf_topterms" -> tfidfTopTerms,
     "ext43_pii_redaction" -> piiRedaction,
     "ext33_bottomk_sketch" -> bottomKSketch,
+    "ext94_heavy_hitters" -> heavyHitters,
     "ext08_text_langid" -> langId,
     "ext09_text_quality" -> quality,
     "ext10_text_tokens" -> tokenCount,
@@ -277,6 +319,18 @@ object TextAnalysis {
         |SELECT shard, string_agg(h, '|' ORDER BY h) AS bottomk
         |FROM r WHERE rk <= 8
         |GROUP BY shard ORDER BY shard""".stripMargin,
+    // exact heavy hitters: the sketch is a pass-1 pruning device only,
+    // so the oracle is the plain exact formulation
+    "ext94_heavy_hitters" ->
+      """WITH items AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN event_type
+        |              ELSE event_type || '#' || user_id END AS item
+        |  FROM events),
+        |n AS (SELECT COUNT(*) AS n_items FROM items),
+        |c AS (SELECT item, COUNT(*) AS cnt FROM items GROUP BY item)
+        |SELECT c.item, c.cnt, CAST(c.cnt AS DOUBLE) / n.n_items AS freq
+        |FROM c, n WHERE c.cnt * 32 > n.n_items
+        |ORDER BY item""".stripMargin,
     "ext28_sample_stratified" ->
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
         |FROM documents

@@ -85,6 +85,33 @@ class ExtensionsSpec extends SparkTestBase {
       "a vector dropped at 0.4 must also be dropped at 0.2")
   }
 
+  test("misra-gries sketch: guarantee holds under any merge order; heavy hitters are exact") {
+    // pure sketch property: a stream where 'hot' has freq 1/3 > N/(k+1)
+    // must keep 'hot' in the candidates however the stream is chunked
+    // and merged
+    val agg = new graft.functions.MisraGriesAgg(4)
+    val stream = (0 until 300).map(i =>
+      if (i % 3 == 0) "hot" else s"cold${i % 97}")
+    val chunks = stream.grouped(30).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    val leftFold = chunks.reduceLeft(agg.merge)
+    val rightFold = chunks.reduceRight(agg.merge)
+    assert(agg.finish(leftFold).contains("hot"))
+    assert(agg.finish(rightFold).contains("hot"))
+    assert(leftFold.size <= 4 && rightFold.size <= 4)
+
+    // end-to-end: the exact pass-2 output is precisely the 5 hot event
+    // types (cold type#user keys are ~0.07% each, far below 1/32)
+    val rows = TextAnalysis.heavyHitters(spark, sf).collect()
+    val types = ops.table(spark, sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet === types)
+    rows.foreach { r =>
+      val freq = r.getDouble(r.fieldIndex("freq"))
+      assert(freq > 1.0 / 32 && freq < 0.2)
+    }
+  }
+
   test("langid scores sum to <= token count; detected lang is argmax") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     rows.foreach { r =>
