@@ -271,6 +271,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** ANN index-quality evaluation: recall@3 of the IVF probe-1 search
+    * ([[ivfTopK]]) against the exact baseline ([[bruteForceTopK]]) on the
+    * same sampled query set — the metric that tunes every production ANN
+    * deployment (probe count, cell count, PQ bits are all recall knobs;
+    * ext37's probe-2 exists precisely to move this number). Composes the
+    * two catalog operators as-is and left-joins exact (3 rows/query)
+    * against approx hits, so n_hits counts the overlap and queries whose
+    * cell search missed everything still appear with recall 0.
+    *
+    * Scale: the exact side is the expensive leg — which is exactly why
+    * recall is evaluated on a SAMPLED query set (every 50th vector) while
+    * the index serves the rest; the evaluation join itself is tiny
+    * (queries × k rows). The recall division is an exact-integer IEEE
+    * divide — bit-identical across engines. */
+  val annRecall: Q = (s, d) => {
+    val exact = bruteForceTopK(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = ivfTopK(s, d)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+        count(lit(1)).as("k"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k")).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Product quantization (PQ) ANN with asymmetric distance computation
     * (ADC) — the FINE quantizer of a production IVF-PQ index (Jégou et
     * al.): split each 64-dim vector into 8 subspaces of 8 dims, learn a
@@ -392,7 +420,8 @@ object Similarity {
     "ext17_sim_topk_lsh" -> lshTopK,
     "ext20_sim_topk_ivf_kmeans" -> kmeansIvfTopK,
     "ext37_sim_topk_ivf_probe2" -> kmeansIvfProbe2,
-    "ext93_semantic_dedup" -> ((s, d) => semanticDedup(s, d, 0.4)))
+    "ext93_semantic_dedup" -> ((s, d) => semanticDedup(s, d, 0.4)),
+    "ext95_ann_recall" -> annRecall)
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -606,5 +635,30 @@ object Similarity {
          |  COUNT(*) AS n_dominators
          |FROM dom WHERE cosine > CAST(0.4 AS DOUBLE)
          |GROUP BY vec_id, cell
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+    // recall@3 of label-cell probe-1 IVF vs the exact baseline, per query
+    "ext95_ann_recall" ->
+      s"""WITH $vSql,
+         |ex AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |        / (q.norm * c.norm) AS cosine
+         |    FROM v q JOIN v c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 3),
+         |ap AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |        / (q.norm * c.norm) AS cosine
+         |    FROM v q JOIN v c ON q.label = c.label AND c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 3)
+         |SELECT ex.q_id,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS recall
+         |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
 }

@@ -112,6 +112,22 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("ann recall: one row per sampled query, recall in [0,1], hits bounded by k") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+    val nQueries = ops.table(spark, sf, "embeddings")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length === nQueries)
+    rows.foreach { r =>
+      val hits = r.getLong(r.fieldIndex("n_hits"))
+      val recall = r.getDouble(r.fieldIndex("recall"))
+      assert(hits >= 0L && hits <= 3L)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - hits / 3.0) < 1e-12)
+    }
+    // probe-1 must find SOMETHING on this fixture (labels are real cells)
+    assert(rows.map(_.getLong(1)).sum > 0L)
+  }
+
   test("langid scores sum to <= token count; detected lang is argmax") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     rows.foreach { r =>
