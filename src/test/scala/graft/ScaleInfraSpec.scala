@@ -34,6 +34,18 @@ class ScaleInfraSpec extends SparkTestBase {
     assert(joined.count() === li.count()) // every lineitem has its order
   }
 
+  test("heavy hitters: sketch aggregates object-hash-side; candidates broadcast") {
+    val df = graft.ext.TextAnalysis.heavyHitters(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // pass 1: the MG Aggregator must run through partial/final
+    // ObjectHashAggregate (map-side sketches, ≤ k counters per task)
+    assert(plan.contains("ObjectHashAggregate"), s"no object-hash agg:\n$plan")
+    // pass 2: the ≤ k candidates join back via broadcast, never a
+    // vocabulary-sized shuffle of the stream
+    assert(plan.contains("BroadcastExchange"), s"candidates not broadcast:\n$plan")
+    assert(df.count() <= 64) // output is capped by sketch capacity
+  }
+
   test("partitionBy write yields partition-pruned scans (PartitionFilters)") {
     val dir = Files.createTempDirectory("graft_part").toString
     ops.table(spark, sf, "orders")
