@@ -63,6 +63,44 @@ object Bench {
     }
   }
 
+  /** 1-decimal seconds, trailing ".0" dropped; whole seconds past 10 s
+    * (width cap for the contract line). */
+  private[graft] def r1(v: Double): String = {
+    if (v >= 10) v.round.toString
+    else { val s = f"$v%.1f"; if (s.endsWith(".0")) s.dropRight(2) else s }
+  }
+  private[graft] def r2(v: Double): String = f"$v%.2f"
+
+  /** The single driver-parsed contract line. The driver captures only a
+    * ~2000-char tail of this process's output, so the line SELF-LIMITS to
+    * `maxLen`: entries are packed slowest-first (the queries a performance
+    * judge must see) and the fastest ones that no longer fit are omitted —
+    * the catalog grows every round, and a line that grows with it would
+    * eventually truncate mid-JSON and break the driver's parse. `value` is
+    * always the full-suite total and `nq` the full query count, so omission
+    * never under-reports; the complete per-query map is written to
+    * BENCH_LOCAL.json alongside. */
+  private[graft] def contractLine(results: Map[String, Double], sfTag: String,
+      maxLen: Int = 1900): String = {
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val prefix =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","nq":${results.size},"queries":{"""
+    val suffix = s"""},"sf":"$sfTag"}"""
+    val entries = results.toSeq.sortBy { case (n, t) => (-t, n) }
+      .map { case (n, t) => "\"" + shortKey(n) + "\":" + r1(t) }
+    val sb = new StringBuilder(prefix)
+    var n = 0
+    var len = prefix.length + suffix.length
+    entries.foreach { e =>
+      val add = e.length + (if (n > 0) 1 else 0)
+      if (len + add <= maxLen) {
+        if (n > 0) sb.append(',')
+        sb.append(e); len += add; n += 1
+      }
+    }
+    sb.append(suffix).toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -187,20 +225,6 @@ object Bench {
         round += 1
       }
     }
-    // The driver captures only a ~2000-char tail of this process's output, so
-    // the single contract line must stay well under that: compressed query
-    // keys ("q27" stays; "ext05" becomes "x05" — at 179 queries the "ext"
-    // spelling alone pushed the line to ~2100 chars and truncation breaks
-    // the driver's JSON parse) and 1-decimal seconds with a trailing .0
-    // dropped. The full 2-decimal long-name map goes to a local file.
-    def r1(v: Double): String = {
-      if (v >= 10) v.round.toString // whole seconds past 10s — width cap
-      else { val s = f"$v%.1f"; if (s.endsWith(".0")) s.dropRight(2) else s }
-    }
-    def r2(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v) =>
-      "\"" + Bench.shortKey(k) + "\":" + r1(v)
-    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
@@ -220,6 +244,6 @@ object Bench {
     spark.stop()
     // sf as basename: the full path cost 15 chars of the ~2000-char tail
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    println(contractLine(results, sfTag))
   }
 }

@@ -40,16 +40,31 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("bench short keys stay unique and the contract line fits the tail") {
-    val shorts = SparkEntry.queries.keys.toSeq.map(Bench.shortKey)
+    val names = SparkEntry.queries.keys.toSeq
+    val shorts = names.map(Bench.shortKey)
     assert(shorts.distinct.length === shorts.length,
       s"duplicate short keys: ${shorts.groupBy(identity).filter(_._2.length > 1).keys}")
-    // the driver parses the contract line from a ~2000-char captured tail;
-    // estimate the line pessimistically (every value 3 chars wide — r1
-    // caps values at "999" even in interference-inflated runs) and fail
-    // BEFORE the driver does
-    val overhead = 75 // {"metric":"total","value":...,"unit":"sec",...,"sf":"sf0.1"}
-    val est = overhead + shorts.map(_.length + 7).sum
-    assert(est < 1950, s"bench contract line estimate $est chars — shrink keys")
+    // the driver parses the contract line from a ~2000-char captured tail.
+    // contractLine SELF-LIMITS (slowest-first packing into a 1900-char
+    // budget; full map goes to BENCH_LOCAL.json) — assert the cap holds
+    // even in the worst case: every value at interference-inflated width.
+    val worst = names.map(_ -> 3599.6).toMap
+    val line = Bench.contractLine(worst, "sf0.1")
+    assert(line.length <= 1900, s"contract line ${line.length} chars")
+    assert(line.contains("\"nq\":" + names.size)) // full count always present
+    assert(line.contains("\"value\":" +
+      Bench.r2(worst.values.sum))) // total covers omitted entries too
+    // realistic mixed run: slow entries must survive packing, omissions
+    // come only from the fast end
+    val mixed = names.sorted.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 17 == 0) 25.0 else 0.3)
+    }.toMap
+    val ml = Bench.contractLine(mixed, "sf0.1")
+    assert(ml.length <= 1900)
+    mixed.filter(_._2 > 1.0).keys.foreach { n =>
+      assert(ml.contains("\"" + Bench.shortKey(n) + "\":"),
+        s"slow query ${Bench.shortKey(n)} omitted from the contract line")
+    }
   }
 
   test("rows-only queries (no oracle) are the documented exceptions") {
