@@ -33,7 +33,12 @@ object ScaleRehearsal {
     "ext02_dedup_ngram_jaccard", "ext03_dedup_minhash_lsh",
     "ext38_dedup_components", "ext75_sim_topk_ivfpq",
     "ext77_label_noise_knn", "ext86_dedup_containment",
-    "ext56_full_training_pipeline")
+    "ext56_full_training_pipeline",
+    // round-6 late adds: cell-restricted semantic dedup and the two-pass
+    // sketch (ext95 recall eval is excluded like ext06: its exact
+    // brute-force leg is quadratic BY DESIGN — production evaluates a
+    // fixed-size query sample, not a corpus-proportional one)
+    "ext93_semantic_dedup", "ext94_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -606,7 +606,37 @@ object Advanced {
       .orderBy("c_mktsegment")
   }
 
+  /** Full-outer snapshot reconciliation — the audit query every warehouse
+    * runs after a reload: diff two keyed snapshots (here per-customer 1995
+    * vs 1996 order counts — both years present in the generated data, so
+    * all four outcomes occur) and classify every key as added / removed /
+    * changed / same. Completes the join matrix (inner, left, semi, anti,
+    * full) as a first-class entry; previously full-outer appeared only
+    * inside q101's MERGE rewrite.
+    *
+    * Scale: both snapshots aggregate on o_custkey and the full-outer join
+    * keys on the SAME column, so Catalyst reuses the aggregation's hash
+    * partitioning — one shuffle per snapshot, none for the join. The
+    * classification is a row-local projection. */
+  val fullOuterDiff: Q = (s, d) => {
+    val o = table(s, d, "orders").withColumn("yr", year(col("o_orderdate")))
+    def snap(y: Int, as: String) = o.filter(col("yr") === y)
+      .groupBy("o_custkey").agg(count(lit(1)).as(as))
+    snap(1995, "n_prev").as("a").join(snap(1996, "n_curr").as("b"),
+        col("a.o_custkey") === col("b.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("a.o_custkey"), col("b.o_custkey")).as("custkey"),
+        when(col("a.o_custkey").isNull, "added")
+          .when(col("b.o_custkey").isNull, "removed")
+          .when(col("n_prev") === col("n_curr"), "same")
+          .otherwise("changed").as("status"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_curr"), lit(0L)).as("n_curr"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q107_full_outer_diff" -> fullOuterDiff,
     "q102_ordered_set_aggs" -> orderedSetAggs,
     "ext85_winsorized_stats" -> winsorizedStats,
     "q99_bucketed_join" -> bucketedJoin,
@@ -634,6 +664,22 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q107_full_outer_diff" ->
+      """WITH a AS (
+        |  SELECT o_custkey, COUNT(*) AS n_prev FROM orders
+        |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey, COUNT(*) AS n_curr FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+        |  CASE WHEN a.o_custkey IS NULL THEN 'added'
+        |       WHEN b.o_custkey IS NULL THEN 'removed'
+        |       WHEN a.n_prev = b.n_curr THEN 'same'
+        |       ELSE 'changed' END AS status,
+        |  COALESCE(a.n_prev, 0) AS n_prev,
+        |  COALESCE(b.n_curr, 0) AS n_curr
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q102_ordered_set_aggs" ->
       """WITH m AS (
         |  SELECT l_returnflag, l_quantity, COUNT(*) AS c

@@ -46,6 +46,15 @@ class ScaleInfraSpec extends SparkTestBase {
     assert(df.count() <= 64) // output is capped by sketch capacity
   }
 
+  test("full-outer diff: join reuses the snapshots' aggregation partitioning") {
+    val plan = graft.ops.Advanced.fullOuterDiff(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one exchange per snapshot aggregate; the full-outer join keys on
+    // the same column and must NOT add a third
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 2, s"expected 2 hash exchanges, got $n:\n$plan")
+  }
+
   test("partitionBy write yields partition-pruned scans (PartitionFilters)") {
     val dir = Files.createTempDirectory("graft_part").toString
     ops.table(spark, sf, "orders")
