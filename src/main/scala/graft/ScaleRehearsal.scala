@@ -38,7 +38,11 @@ object ScaleRehearsal {
     // sketch (ext95 recall eval is excluded like ext06: its exact
     // brute-force leg is quadratic BY DESIGN — production evaluates a
     // fixed-size query sample, not a corpus-proportional one)
-    "ext93_semantic_dedup", "ext94_heavy_hitters")
+    "ext93_semantic_dedup", "ext94_heavy_hitters",
+    // sketch-rollup and basket-local pair mining: both designed to be
+    // scan-bound (ext96) / basket-bounded (ext97) — rehearsed to prove it
+    "ext96_bitmap_distinct", "ext97_basket_pairs",
+    "ext98_repeat_customers")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,6 +1,7 @@
 package graft.ext
 
-import graft.ops.{events, Q}
+import graft.ops.{events, table, Q}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,7 +202,114 @@ object Behavior {
       .orderBy("day")
   }
 
+  /** Exact distinct-count rollup via mergeable bitmaps
+    * ([[graft.functions.BitmapAgg]]) — the Druid/ClickHouse/Kylin
+    * accelerator pattern: materialize one exact customer bitmap per order
+    * month, then answer the year rollup (or any coarser slice) by
+    * OR-merging the 12 sketch rows instead of rescanning orders. The
+    * output also carries max/sum of the monthly distincts — sum ≠ union
+    * is exactly why distinct counts can't be rolled up without a
+    * mergeable sketch.
+    *
+    * Plan shape: orders scanned ONCE; (yr, mo) bitmap agg is a standard
+    * two-phase hash agg (partial ~2 KiB bitmaps map-side, OR
+    * reduce-side); the year rollup shuffles only the ~84 sketch rows.
+    * Popcount runs in codegen'd SQL (`aggregate` + `bit_count`) — the
+    * JVM boundary is confined to the bit-set writes inside the two
+    * Aggregators. At 100 TB the month bitmaps are a materialized table
+    * and every ad-hoc range/rollup distinct is sketch-rows-only. */
+  val bitmapDistinct: Q = (s, d) => {
+    val bmBuild = udaf(new graft.functions.BitmapAgg.Build,
+      ExpressionEncoder[Long]())
+    val bmUnion = udaf(new graft.functions.BitmapAgg.Union,
+      ExpressionEncoder[Array[Long]]())
+    def pop(bm: String) =
+      expr(s"aggregate($bm, 0L, (a, w) -> a + CAST(bit_count(w) AS BIGINT))")
+    val monthly = table(s, d, "orders")
+      .select(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"), col("o_custkey"))
+      .groupBy("yr", "mo")
+      .agg(bmBuild(col("o_custkey")).as("bm"))
+      .withColumn("mc", pop("bm"))
+    monthly.groupBy("yr")
+      .agg(bmUnion(col("bm")).as("ybm"),
+        max("mc").as("max_month_custs"),
+        sum("mc").as("sum_month_custs"))
+      .select(col("yr").cast("long").as("yr"), pop("ybm").as("active_custs"),
+        col("max_month_custs"), col("sum_month_custs"))
+      .orderBy("yr")
+  }
+
+  /** Within-order product co-occurrence (market-basket pair mining) —
+    * the support-counting core of association rules / "bought together"
+    * recommenders. Pairs are generated INSIDE each basket: one shuffle
+    * of lineitem by order key builds the sorted distinct-part basket,
+    * then nested `transform` + `flatten` emit the ordered pairs in
+    * codegen — no self-join (the naive formulation shuffles the fact
+    * twice and hits the join), no UDF. The only other exchange carries
+    * (p1, p2) partial counts.
+    *
+    * Scale: per-basket work is quadratic in basket size, so the basket
+    * is capped at [[BasketCap]] items after sort_array (deterministic;
+    * a no-op on this data where baskets hold ≤ 7 lines — same guard
+    * pattern as ext02/ext86's dfCap). TakeOrdered serves the top-k;
+    * support ≥ 2 prunes the singleton-pair tail before the sort. */
+  val BasketCap = 64
+
+  val basketPairs: Q = (s, d) => {
+    val baskets = table(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok")
+      .agg(expr(s"slice(sort_array(collect_set(pk)), 1, $BasketCap)")
+        .as("ps"))
+    baskets
+      .select(expr(
+        """explode(flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |    y -> struct(x AS p1, y AS p2))))) AS pair""".stripMargin))
+      .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 2)
+      .orderBy(desc("pair_n"), col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  /** Month-over-month repeat customers via bitmap set algebra — the
+    * second half of the ext96 pattern: once per-month customer bitmaps
+    * exist, set INTERSECTION is `zip_with(a, b, (x, y) -> x & y)` +
+    * popcount, entirely in codegen'd SQL over sketch rows. Output per
+    * consecutive month pair: both audience sizes and the exact overlap
+    * (the retention numerator). `zip_with` pads the shorter bitmap with
+    * NULL words, hence the coalesce.
+    *
+    * Plan shape: one fact scan builds the ~84 month bitmaps (two-phase
+    * ObjectHashAggregate); the adjacent-month self-join runs over sketch
+    * rows only (auto-broadcast — single-digit KiB), so at 100 TB the
+    * fact table is still touched once and the set algebra is free. */
+  val repeatCustomers: Q = (s, d) => {
+    val bmBuild = udaf(new graft.functions.BitmapAgg.Build,
+      ExpressionEncoder[Long]())
+    def pop(bm: String) =
+      expr(s"aggregate($bm, 0L, (a, w) -> a + CAST(bit_count(w) AS BIGINT))")
+    val monthly = table(s, d, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mid"), col("o_custkey"))
+      .groupBy("mid").agg(bmBuild(col("o_custkey")).as("bm"))
+    monthly.as("a").join(monthly.as("b"), col("b.mid") === col("a.mid") + 1)
+      .select(col("a.mid").as("mid"),
+        pop("a.bm").as("custs"),
+        pop("b.bm").as("next_custs"),
+        expr("""aggregate(
+          |  zip_with(a.bm, b.bm, (x, y) -> coalesce(x, 0L) & coalesce(y, 0L)),
+          |  0L, (a, w) -> a + CAST(bit_count(w) AS BIGINT))""".stripMargin)
+          .as("repeat_n"))
+      .orderBy("mid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext98_repeat_customers" -> repeatCustomers,
+    "ext97_basket_pairs" -> basketPairs,
+    "ext96_bitmap_distinct" -> bitmapDistinct,
     "ext91_rolling_mau" -> rollingMau,
     "ext81_incremental_mv" -> incrementalMv,
     "ext67_sessionize" -> sessionize,
@@ -210,6 +318,50 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle recomputes overlap from the base table with a distinct
+    // self-join — equality proves the bitmap AND path
+    "ext98_repeat_customers" ->
+      """WITH mu AS (
+        |  SELECT DISTINCT (year(o_orderdate) * 12 + month(o_orderdate)) AS mid,
+        |         o_custkey AS ck
+        |  FROM orders),
+        |s AS (SELECT mid, COUNT(*) AS n FROM mu GROUP BY 1),
+        |i AS (
+        |  SELECT a.mid, COUNT(*) AS repeat_n
+        |  FROM mu a JOIN mu b ON b.mid = a.mid + 1 AND b.ck = a.ck
+        |  GROUP BY 1)
+        |SELECT s.mid, s.n AS custs, s2.n AS next_custs,
+        |       COALESCE(i.repeat_n, 0) AS repeat_n
+        |FROM s JOIN s s2 ON s2.mid = s.mid + 1
+        |LEFT JOIN i ON i.mid = s.mid
+        |ORDER BY s.mid""".stripMargin,
+    // the oracle uses the naive self-join formulation — equality with
+    // the basket-local pair generation IS the rewrite's correctness
+    // claim (the cap is a no-op at ≤7-line baskets, like ext02's dfCap)
+    "ext97_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS pair_n
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY pair_n DESC, p1, p2 LIMIT 50""".stripMargin,
+    // the oracle recomputes every level from the base table — equality
+    // with the sketch-rollup path IS the mergeability claim
+    "ext96_bitmap_distinct" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |         COUNT(DISTINCT o_custkey) AS mc
+        |  FROM orders GROUP BY 1, 2),
+        |y AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |         COUNT(DISTINCT o_custkey) AS active_custs
+        |  FROM orders GROUP BY 1)
+        |SELECT y.yr, y.active_custs,
+        |  MAX(m.mc) AS max_month_custs,
+        |  CAST(SUM(m.mc) AS BIGINT) AS sum_month_custs
+        |FROM y JOIN m ON y.yr = m.yr
+        |GROUP BY y.yr, y.active_custs
+        |ORDER BY y.yr""".stripMargin,
     // each (day, user) contributes to 7 trailing window ends; only
     // observed days survive — the same contribution semantics, declared
     "ext91_rolling_mau" ->

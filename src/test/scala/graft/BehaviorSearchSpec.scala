@@ -11,6 +11,99 @@ import org.apache.spark.sql.functions._
   */
 class BehaviorSearchSpec extends SparkTestBase {
 
+  test("ext96 bitmap distinct: rollup equals recompute; one fact scan; no aliasing") {
+    // unit level: Union.reduce must never mutate its INPUT bitmap (rows
+    // can be shared buffers), and Build must fail fast past MaxBits
+    val u = new graft.functions.BitmapAgg.Union
+    val shared = Array(1L, 2L)
+    val merged = u.reduce(u.zero, shared)
+    merged(0) |= 4L
+    assert(shared(0) == 1L, "Union.reduce aliased its input array")
+    val b = new graft.functions.BitmapAgg.Build
+    intercept[IllegalArgumentException] {
+      b.reduce(b.zero, graft.functions.BitmapAgg.MaxBits)
+    }
+    // value level: the sketch rollup equals Spark's own exact recompute
+    val df = Behavior.bitmapDistinct(spark, sf)
+    val rows = df.collect()
+    val exact = graft.ops.table(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(countDistinct(col("o_custkey")).as("ac"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getLong(0)),
+        s"year ${r.getLong(0)}: bitmap ${r.getLong(1)} != exact recompute")
+      // sum of month distincts over-counts repeat customers; max is a
+      // single month's — union must sit between them
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(3))
+    }
+    // plan level: orders is scanned ONCE — the year rollup runs over
+    // sketch rows, not the fact table (AQE's toString repeats the scan
+    // in its "Initial Plan" echo; count the final plan only)
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(planStr).length
+    assert(scans == 1, s"expected 1 fact scan, got $scans")
+  }
+
+  test("ext98 repeat customers: bitmap AND equals distinct-join; sketch join broadcasts") {
+    val df = Behavior.repeatCustomers(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // exact overlap recomputed from the base table in-engine
+    val mu = graft.ops.table(spark, sf, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mid"), col("o_custkey").as("ck")).distinct()
+    val inter = mu.as("a").join(mu.as("b"),
+        col("b.mid") === col("a.mid") + 1 && col("b.ck") === col("a.ck"))
+      .groupBy(col("a.mid")).agg(count(lit(1)).as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (mid, c, nc, rep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rep == inter.getOrElse(mid, 0L), s"month $mid overlap")
+      assert(rep <= math.min(c, nc), s"month $mid: overlap exceeds a side")
+    }
+    // plan: one fact scan; the adjacent-month sketch join broadcasts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length <= 2, // self-join reads twice at most
+      s"fact rescan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$plan")
+  }
+
+  test("ext97 basket pairs: basket-local generation equals naive self-join; no join in plan") {
+    // full unfiltered pair distribution must equal the naive self-join
+    // (the oracle proves this at sf0.01 through DuckDB; this pins it
+    // in-engine, including the empty/low-support tail the top-k hides)
+    val li = graft.ops.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val naive = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("pair_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val baskets = graft.ops.table(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok")
+      .agg(expr(s"slice(sort_array(collect_set(pk)), 1, ${Behavior.BasketCap})").as("ps"))
+      .select(expr(
+        """explode(flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |    y -> struct(x AS p1, y AS p2))))) AS pair""".stripMargin))
+      .groupBy(col("pair.p1"), col("pair.p2")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(baskets == naive,
+      s"basket-local pairs diverge from self-join (${baskets.size} vs ${naive.size})")
+    assert(naive.nonEmpty)
+    // plan: no join operator anywhere — pairs are generated inside the
+    // basket rows; the ordered top-k serves via TakeOrdered
+    val plan = Behavior.basketPairs(spark, sf)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$plan")
+  }
+
   test("ext67 sessionize: events partition into sessions; gaps bound spans") {
     val sess = Behavior.sessionize(spark, sf).cache()
     try {
