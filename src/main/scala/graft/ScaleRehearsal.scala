@@ -56,7 +56,9 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.configure(spark)
-    if (!new java.io.File(s"$out/documents.parquet").exists())
+    // orders.parquet is the newest fixture table — its absence means the
+    // fixture predates the ext96-98 adds and must be regenerated
+    if (!new java.io.File(s"$out/orders.parquet").exists())
       generate(spark, src, out, k)
 
     def time(name: String, dir: String): Double = {
@@ -106,6 +108,26 @@ object ScaleRehearsal {
         vec.as("embedding"), col("label"))
     }.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+
+    // orders/lineitem ×K for the sketch-rollup and basket tiers: key
+    // spaces (order, customer, part) all grow K× — months keep their
+    // calendar but hold K× the customers (bitmap width must scale),
+    // baskets keep their size (pair work must stay linear), cross-copy
+    // baskets never share parts (pair cardinality grows K×, not K²)
+    val ords = spark.read.parquet(s"$src/orders.parquet")
+    val maxOrd = ords.agg(max("o_orderkey")).head().getLong(0) + 1
+    val maxCust = ords.agg(max("o_custkey")).head().getLong(0) + 1
+    copies(ords) { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * maxCust))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxPart = li.agg(max("l_partkey")).head().getLong(0) + 1
+    copies(li) { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     val ev = spark.read.parquet(s"$src/events.parquet") // ts nanos-as-long
     val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1

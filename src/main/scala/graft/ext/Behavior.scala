@@ -306,7 +306,41 @@ object Behavior {
       .orderBy("mid")
   }
 
+  /** Incremental bitmap maintenance — the ext81 pattern applied to the
+    * ext96 sketch: a STANDING per-month bitmap table (orders with
+    * o_orderkey % 10 != 0 stand in for "already materialized") absorbs a
+    * delta batch by re-aggregating the partial states with bitmap OR —
+    * never touching the already-ingested rows. Equality with the
+    * full-recompute oracle is the associativity-over-real-state-splits
+    * claim that makes the sketch table a persistent accelerator: at
+    * 100 TB the standing sketch rows live in the catalog and each
+    * micro-batch contributes its partial bitmaps only.
+    *
+    * Plan shape: both partials are two-phase bitmap aggs over disjoint
+    * row sets of ONE scan lineage each; the merge is a groupBy over
+    * ~168 sketch rows. */
+  val incrementalBitmap: Q = (s, d) => {
+    val bmBuild = udaf(new graft.functions.BitmapAgg.Build,
+      ExpressionEncoder[Long]())
+    val bmUnion = udaf(new graft.functions.BitmapAgg.Union,
+      ExpressionEncoder[Array[Long]]())
+    def pop(bm: String) =
+      expr(s"aggregate($bm, 0L, (a, w) -> a + CAST(bit_count(w) AS BIGINT))")
+    val o = table(s, d, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mid"), col("o_orderkey"), col("o_custkey"))
+    def part(standing: Boolean) = o
+      .filter(if (standing) pmod(col("o_orderkey"), lit(10)) =!= 0
+        else pmod(col("o_orderkey"), lit(10)) === 0)
+      .groupBy("mid").agg(bmBuild(col("o_custkey")).as("bm"))
+    part(standing = true).unionByName(part(standing = false))
+      .groupBy("mid").agg(bmUnion(col("bm")).as("bm"))
+      .select(col("mid"), pop("bm").as("active_custs"))
+      .orderBy("mid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext99_incremental_bitmap" -> incrementalBitmap,
     "ext98_repeat_customers" -> repeatCustomers,
     "ext97_basket_pairs" -> basketPairs,
     "ext96_bitmap_distinct" -> bitmapDistinct,
@@ -318,6 +352,12 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle rebuilds from scratch — equality with the merged
+    // standing+delta partial bitmaps IS the incremental-maintenance claim
+    "ext99_incremental_bitmap" ->
+      """SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mid,
+        |       COUNT(DISTINCT o_custkey) AS active_custs
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle recomputes overlap from the base table with a distinct
     // self-join — equality proves the bitmap AND path
     "ext98_repeat_customers" ->

@@ -46,6 +46,22 @@ class BehaviorSearchSpec extends SparkTestBase {
     assert(scans == 1, s"expected 1 fact scan, got $scans")
   }
 
+  test("ext99 incremental bitmap: merged partials equal one-pass build; split non-trivial") {
+    val merged = Behavior.incrementalBitmap(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val onePass = graft.ops.table(spark, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mid"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == onePass, "standing+delta merge diverges from one-pass build")
+    // the associativity claim is vacuous if either side of the split is
+    // empty — both partials must carry rows
+    val o = graft.ops.table(spark, sf, "orders")
+    assert(o.filter(pmod(col("o_orderkey"), lit(10)) === 0).limit(1).count() == 1)
+    assert(o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0).limit(1).count() == 1)
+  }
+
   test("ext98 repeat customers: bitmap AND equals distinct-join; sketch join broadcasts") {
     val df = Behavior.repeatCustomers(spark, sf)
     val rows = df.collect()
