@@ -635,7 +635,41 @@ object Advanced {
       .orderBy("custkey")
   }
 
+  /** TPC-H Q21-shaped "sole late supplier": late lines (ship lag > 90
+    * days vs order date) on multi-supplier orders where NO other
+    * supplier was also late — the classic dual-correlated-subquery shape
+    * (EXISTS + NOT EXISTS), expressed directly as the semi + anti join
+    * plan Catalyst's RewritePredicateSubquery would decorrelate to.
+    * (The fixture lacks receipt/commit dates, so lateness is ship lag —
+    * same structure, same plan class as the original.)
+    *
+    * Scale: all three legs key on l_orderkey — the late build, the
+    * multi-supplier semi probe, and the sole-late anti probe share one
+    * hash partitioning, so Catalyst reuses the exchange instead of
+    * re-shuffling the fact table per subquery; the supplier ≠ predicates
+    * ride along as join residuals. Top-k serves via TakeOrdered. */
+  val soleLateSupplier: Q = (s, d) => {
+    val l = table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = table(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")) > 90)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val multi = late.as("l1").join(l.as("l2"),
+      col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+    val sole = multi.as("l1").join(late.as("l3"),
+      col("l1.l_orderkey") === col("l3.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    sole.groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("suppkey"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_sole_late_supplier" -> soleLateSupplier,
     "q107_full_outer_diff" -> fullOuterDiff,
     "q102_ordered_set_aggs" -> orderedSetAggs,
     "ext85_winsorized_stats" -> winsorizedStats,
@@ -664,6 +698,25 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle keeps the EXISTS / NOT EXISTS spelling — equality with
+    // the explicit semi+anti plan is the decorrelation-correctness claim
+    "q108_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE date_diff('day', CAST(o_orderdate AS DATE),
+        |                  CAST(l_shipdate AS DATE)) > 90)
+        |SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numwait
+        |FROM late l1
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 25""".stripMargin,
     "q107_full_outer_diff" ->
       """WITH a AS (
         |  SELECT o_custkey, COUNT(*) AS n_prev FROM orders

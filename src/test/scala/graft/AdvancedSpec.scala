@@ -6,6 +6,43 @@ import org.apache.spark.sql.functions._
 /** Plan-shape and equivalence tests for the advanced serving operators. */
 class AdvancedSpec extends SparkTestBase {
 
+  test("q108 sole-late supplier: explicit semi+anti equals Catalyst-decorrelated EXISTS") {
+    val df = Advanced.soleLateSupplier(spark, sf)
+    val rows = df.collect()
+    // the same query spelled with correlated EXISTS / NOT EXISTS, run
+    // through Spark's own decorrelation (RewritePredicateSubquery)
+    graft.ops.table(spark, sf, "lineitem").createOrReplaceTempView("q108_l")
+    graft.ops.table(spark, sf, "orders").createOrReplaceTempView("q108_o")
+    val sql = spark.sql(
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM q108_l l JOIN q108_o o ON l.l_orderkey = o.o_orderkey
+        |  WHERE datediff(CAST(l_shipdate AS DATE),
+        |                 CAST(o_orderdate AS DATE)) > 90)
+        |SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numwait
+        |FROM late l1
+        |WHERE EXISTS (
+        |    SELECT 1 FROM q108_l l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 25""".stripMargin)
+      .collect()
+    assert(rows.toSeq === sql.toSeq)
+    assert(rows.nonEmpty)
+    // plan: one semi, one anti, no cartesian/nested-loop, top-k served
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("binned range join plans as an equi join — no nested loop, no cartesian") {
     val plan = Advanced.rangeJoinBinned(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
