@@ -644,10 +644,13 @@ object Advanced {
     * same structure, same plan class as the original.)
     *
     * Scale: all three legs key on l_orderkey — the late build, the
-    * multi-supplier semi probe, and the sole-late anti probe share one
-    * hash partitioning, so Catalyst reuses the exchange instead of
-    * re-shuffling the fact table per subquery; the supplier ≠ predicates
-    * ride along as join residuals. Top-k serves via TakeOrdered. */
+    * multi-supplier semi probe, and the sole-late anti probe — so the
+    * supplier ≠ predicates ride along as join residuals on one join key.
+    * At test SF Catalyst broadcasts every leg and reuses the broadcast
+    * exchange (observed: 4 BHJ, 1 ReusedExchange); past the broadcast
+    * threshold the same key means co-partitioned shuffle joins that
+    * share the fact table's hash partitioning instead of re-shuffling
+    * per subquery. Top-k serves via TakeOrdered. */
   val soleLateSupplier: Q = (s, d) => {
     val l = table(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))

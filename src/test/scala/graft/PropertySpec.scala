@@ -18,6 +18,35 @@ class PropertySpec extends SparkTestBase {
   private val token: Gen[String] =
     Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
 
+  test("bitmap aggregators: any reduce/merge tree equals set semantics") {
+    val b = new graft.functions.BitmapAgg.Build
+    val u = new graft.functions.BitmapAgg.Union
+    def popcount(bm: Array[Long]): Long = bm.map(java.lang.Long.bitCount(_).toLong).sum
+    val ids: Gen[List[Long]] =
+      Gen.listOf(Gen.chooseNum(0L, 4096L))
+    samples(Gen.zip(ids, Gen.chooseNum(1, 5)), 20).foreach { case (xs, nSplit) =>
+      // arbitrary split into partial states (the shuffle's partition
+      // assignment), each reduced independently, then merged pairwise in
+      // a different order than reduction — must equal the distinct count
+      val parts = xs.zipWithIndex.groupBy(_._2 % nSplit).values
+        .map(_.map(_._1).foldLeft(b.zero)(b.reduce)).toList
+      val viaBuild = parts match {
+        case Nil => b.zero
+        case h :: t => t.foldLeft(h)(b.merge)
+      }
+      assert(popcount(viaBuild) === xs.distinct.size.toLong)
+      // Union over the SAME partial bitmaps (the rollup path) agrees
+      val viaUnion = parts.foldLeft(u.zero)(u.reduce)
+      assert(popcount(u.merge(viaUnion, u.zero)) === xs.distinct.size.toLong)
+      // every set bit corresponds to an input id
+      val setBits = for {
+        w <- viaBuild.indices; bit <- 0 until 64
+        if (viaBuild(w) & (1L << bit)) != 0L
+      } yield w.toLong * 64 + bit
+      assert(setBits.toSet === xs.toSet)
+    }
+  }
+
   test("split+explode row count equals token count for any token lists") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.listOf(token)), 10).foreach { docs =>
