@@ -396,6 +396,92 @@ object Streams {
     }
   }
 
+  /** Rows for the streaming bitmap-distinct query. */
+  case class BmIn(user_id: Long, event_type: String)
+  case class BmOut(event_type: String, emit_idx: Long, distinct_users: Long)
+
+  /** Streaming EXACT distinct-count via bitmap state: one
+    * `ValueState[Array[Long]]` bitmap per event_type accumulates user ids
+    * across micro-batches; after each batch the key emits its cumulative
+    * exact distinct count. The streaming-native alternative
+    * (dropDuplicates + agg) keeps one state-store ROW per (type, user)
+    * pair; here state is ONE value per type whose size is the id-space
+    * bitmap ([[graft.functions.BitmapAgg]] semantics — dense surrogate
+    * ids; a production engine swaps in a compressed bitmap for sparse
+    * ids), so RocksDB holds |types| values instead of |types|×|users|
+    * rows. Popcount runs once per (key, batch) on the driver-side-free
+    * state path. */
+  class BitmapDistinctProcessor extends StatefulProcessor[String, BmIn, BmOut] {
+    @transient private var bm:
+      org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    @transient private var emits:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    private val build = new graft.functions.BitmapAgg.Build
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      bm = getHandle.getValueState[Array[Long]]("bm",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+      emits = getHandle.getValueState[Long]("emits",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[BmIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[BmOut] = {
+      var cur = if (bm.exists()) bm.get() else build.zero
+      rows.foreach(r => cur = build.reduce(cur, r.user_id))
+      bm.update(cur)
+      val idx = (if (emits.exists()) emits.get() else 0L) + 1L
+      emits.update(idx)
+      val n = cur.map(java.lang.Long.bitCount(_).toLong).sum
+      Iterator.single(BmOut(key, idx, n))
+    }
+  }
+
+  /** Per-type cumulative exact distinct users over the same REAL
+    * two-micro-batch file stream as ext82, via bitmap state
+    * ([[BitmapDistinctProcessor]]): batch 0 (older event-time half) emits
+    * each type's lower-half distinct count, batch 1 the all-data count —
+    * the second emission exceeding the first proves the bitmap persisted
+    * and kept absorbing across micro-batches. Requires the RocksDB state
+    * store provider (scoped + restored like ext82). */
+  val streamBitmapDistinct: Q = (s, d) => {
+    import s.implicits._
+    val dir = scratchDir(s, "stream_bmd")
+    deleteRec(Paths.get(dir))
+    val (lo, hi) = stagedHalves(s, d)
+    val now = System.currentTimeMillis()
+    copyAs(lo, Paths.get(s"$dir/in/b0.parquet"), now - 60000)
+    copyAs(hi, Paths.get(s"$dir/in/b1.parquet"), now - 30000)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    val savedProvider =
+      s.conf.getAll.get("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+        .select(col("user_id"), col("event_type"))
+        .as[BmIn]
+      val flow = stream.groupByKey(_.event_type)
+        .transformWithState(new BitmapDistinctProcessor, TimeMode.None(),
+          OutputMode.Append())
+      val sinkName = s"graft_stream_bmd_${sessionToken(s)}"
+      withStreamShuffle(s) {
+        val query = flow.toDF.writeStream.outputMode("append")
+          .format("memory").queryName(sinkName).start()
+        try query.processAllAvailable() finally query.stop()
+      }
+      s.table(sinkName)
+        .select(col("event_type"), col("emit_idx"), col("distinct_users"))
+        .orderBy("event_type", "emit_idx")
+    } finally savedProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   case class SeqOut2(user_id: Long, event_id: Long, seq: Long)
 
   /** INITIAL STATE — the third transformWithState capability (after
@@ -1220,6 +1306,7 @@ object Streams {
     "ext55_stream_static_join" -> streamStaticJoin,
     "ext58_stream_merge_catalog" -> streamMergeCatalog,
     "ext82_stream_transform_state" -> transformWithStateSeq,
+    "ext100_stream_bitmap_distinct" -> streamBitmapDistinct,
     "ext88_stream_timer_sessions" -> timerSessions,
     "ext89_stream_initial_state" -> transformWithInitialState,
     "ext90_stream_chained_aggs" -> chainedWindowAggs,
@@ -1242,6 +1329,24 @@ object Streams {
       |ORDER BY user_id, event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // emission 1 = lower event-time half, emission 2 = cumulative all —
+    // the second exceeding the first is the state-persistence claim
+    "ext100_stream_bitmap_distinct" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |bounds AS (SELECT (MIN(tsu) + MAX(tsu)) // 2 AS mid FROM e),
+        |b0 AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n
+        |  FROM e, bounds WHERE tsu < mid GROUP BY 1),
+        |cum AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n FROM e GROUP BY 1)
+        |SELECT event_type, CAST(1 AS BIGINT) AS emit_idx, n AS distinct_users
+        |FROM b0
+        |UNION ALL
+        |SELECT event_type, CAST(2 AS BIGINT) AS emit_idx, n AS distinct_users
+        |FROM cum
+        |ORDER BY event_type, emit_idx""".stripMargin,
     // ext90: both rollup layers restated in batch; a day emits iff the
     // final watermark (global max - 1h) passed its end
     "ext92_stream_catalog_source" ->

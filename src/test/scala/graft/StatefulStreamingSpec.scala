@@ -17,6 +17,25 @@ object StatefulStreamingSpec {
 class StatefulStreamingSpec extends SparkTestBase {
   import StatefulStreamingSpec.{Event, HighWater}
 
+  test("streaming bitmap distinct: emissions monotone, final equals batch recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.Streams.streamBitmapDistinct(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    byType.foreach { case (t, rs) =>
+      val emits = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(emits.length == 2, s"$t: expected 2 emissions")
+      assert(emits(0) <= emits(1), s"$t: bitmap shrank across batches")
+    }
+    // final emission per type equals a batch COUNT(DISTINCT)
+    val batch = graft.ops.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (t, rs) =>
+      assert(rs.maxBy(_.getLong(1)).getLong(2) == batch(t), s"$t: final count")
+    }
+  }
+
   test("flatMapGroupsWithState: per-user high-water marks over a real stream") {
     import spark.implicits._
     spark.conf.set("spark.sql.shuffle.partitions", "4")
