@@ -339,7 +339,34 @@ object Behavior {
       .orderBy("mid")
   }
 
+  /** Event-transition matrix (first-order Markov counts): for each user's
+    * time-ordered event sequence, count (current type → next type)
+    * transitions corpus-wide — the "what do users do next" staple behind
+    * next-action prediction and funnel design; the row-normalized counts
+    * ARE the Markov transition probabilities. Complements ext76 (full
+    * path strings): this is the edge histogram, not the path census.
+    *
+    * Plan shape: ONE hash exchange on user_id feeds the lead() window;
+    * the (src, dst) aggregation is partial (map-side) over a key space
+    * bounded by |types|², and the top-k serves via TakeOrdered.
+    * Determinism: the window orders by (tsu, event_id) — unique per row —
+    * so both engines see identical successors. */
+  val markovTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsu"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("src"), col("dst"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext101_markov_transitions" -> markovTransitions,
     "ext99_incremental_bitmap" -> incrementalBitmap,
     "ext98_repeat_customers" -> repeatCustomers,
     "ext97_basket_pairs" -> basketPairs,
@@ -352,6 +379,18 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    "ext101_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS src,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY tsu, event_id) AS dst
+        |  FROM e)
+        |SELECT src, dst, COUNT(*) AS n FROM t WHERE dst IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, src, dst LIMIT 20""".stripMargin,
     // the oracle rebuilds from scratch — equality with the merged
     // standing+delta partial bitmaps IS the incremental-maintenance claim
     "ext99_incremental_bitmap" ->

@@ -46,6 +46,29 @@ class BehaviorSearchSpec extends SparkTestBase {
     assert(scans == 1, s"expected 1 fact scan, got $scans")
   }
 
+  test("ext101 markov transitions: totals conserve events minus per-user lasts; top-k plan") {
+    val df = Behavior.markovTransitions(spark, sf)
+    // conservation: total transitions (unfiltered by top-k) = events - users
+    val ev = graft.ops.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+    val total = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsu"))
+      .withColumn("dst", lead("event_type", 1).over(w))
+      .filter(col("dst").isNotNull).count()
+    assert(total == nEvents - nUsers)
+    // plan: partial (map-side) aggregation over the bounded pair space,
+    // top-k via TakeOrdered — never a global sort
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(df.collect().nonEmpty)
+  }
+
   test("ext99 incremental bitmap: merged partials equal one-pass build; split non-trivial") {
     val merged = Behavior.incrementalBitmap(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
