@@ -671,7 +671,31 @@ object Advanced {
       .limit(25)
   }
 
+  /** Table reconciliation checksums — the cross-replica verification
+    * pattern (pt-table-checksum, warehouse-to-lake audit): per partition
+    * group, a COUNT plus an order-independent content checksum
+    * (SUM of 60-bit md5-derived row hashes mod 1e9+7). Two sides each
+    * compute locally and compare the tiny per-group summaries; a
+    * mismatched group pinpoints where to diff rows. SUM commutes and
+    * merges across partitions, so the checksum is a standard two-phase
+    * agg — no row ever leaves its executor. The double column is
+    * excluded (float formatting is engine-specific; checksums hash the
+    * exactly-representable columns). md5 is the repo-wide cross-engine
+    * hash (see package scaladoc). */
+  val tableChecksum: Q = (s, d) => {
+    table(s, d, "customer")
+      .select(col("c_nationkey").cast("long").as("nk"),
+        expr("""CAST(conv(substring(md5(concat_ws('|',
+          |  CAST(c_custkey AS STRING), c_name,
+          |  CAST(c_nationkey AS STRING), c_mktsegment)), 1, 15), 16, 10)
+          |AS BIGINT) % 1000000007""".stripMargin).as("h"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+      .orderBy("nk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_table_checksum" -> tableChecksum,
     "q108_sole_late_supplier" -> soleLateSupplier,
     "q107_full_outer_diff" -> fullOuterDiff,
     "q102_ordered_set_aggs" -> orderedSetAggs,
@@ -701,6 +725,16 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    // both engines derive the 60-bit row hash from the same md5 hex
+    // prefix (Spark conv(..,16,10); DuckDB '0x' cast) — checksum equality
+    // IS the reconciliation claim
+    "q109_table_checksum" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(concat('0x', substr(md5(concat_ws('|',
+        |    CAST(c_custkey AS VARCHAR), c_name,
+        |    CAST(c_nationkey AS VARCHAR), c_mktsegment)), 1, 15)) AS BIGINT)
+        |    % 1000000007) AS BIGINT) AS checksum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle keeps the EXISTS / NOT EXISTS spelling — equality with
     // the explicit semi+anti plan is the decorrelation-correctness claim
     "q108_sole_late_supplier" ->

@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
 /** Plan-shape and equivalence tests for the advanced serving operators. */
 class AdvancedSpec extends SparkTestBase {
 
+  test("q109 table checksum: detects a one-row perturbation, only in its group") {
+    val base = Advanced.tableChecksum(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // perturb exactly one row's content (not its group key) and recompute
+    val perturbed = graft.ops.table(spark, sf, "customer")
+      .withColumn("c_name",
+        when(col("c_custkey") === 1L, concat(col("c_name"), lit("~")))
+          .otherwise(col("c_name")))
+    perturbed.createOrReplaceTempView("q109_perturbed")
+    val hit = graft.ops.table(spark, sf, "customer")
+      .filter(col("c_custkey") === 1L).select("c_nationkey")
+      .head().getInt(0).toLong
+    val after = spark.sql(
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n_rows,
+        |  SUM(CAST(conv(substring(md5(concat_ws('|',
+        |    CAST(c_custkey AS STRING), c_name,
+        |    CAST(c_nationkey AS STRING), c_mktsegment)), 1, 15), 16, 10)
+        |  AS BIGINT) % 1000000007) AS checksum
+        |FROM q109_perturbed GROUP BY 1""".stripMargin).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after(hit)._2 != base(hit)._2, "perturbed group checksum unchanged")
+    assert(after(hit)._1 == base(hit)._1, "row count must not change")
+    (base.keySet - hit).foreach { nk =>
+      assert(after(nk) == base(nk), s"untouched group $nk changed")
+    }
+  }
+
   test("q108 sole-late supplier: explicit semi+anti equals Catalyst-decorrelated EXISTS") {
     val df = Advanced.soleLateSupplier(spark, sf)
     val rows = df.collect()
