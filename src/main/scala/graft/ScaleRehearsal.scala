@@ -42,7 +42,8 @@ object ScaleRehearsal {
     // sketch-rollup and basket-local pair mining: both designed to be
     // scan-bound (ext96) / basket-bounded (ext97) — rehearsed to prove it
     "ext96_bitmap_distinct", "ext97_basket_pairs",
-    "ext98_repeat_customers")
+    "ext98_repeat_customers", "ext99_incremental_bitmap",
+    "ext101_markov_transitions")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
