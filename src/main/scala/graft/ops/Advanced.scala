@@ -694,7 +694,27 @@ object Advanced {
       .orderBy("nk")
   }
 
+  /** Multiple DISTINCT aggregates in one pass — COUNT(DISTINCT a),
+    * COUNT(DISTINCT b) and a plain aggregate together. Catalyst plans
+    * this with one Expand (row replicated per distinct group, gid-tagged)
+    * + two aggregate phases instead of N self-joins — the planner surface
+    * every BI dashboard query hits.
+    *
+    * Scale: Expand multiplies rows by the distinct-column count BEFORE
+    * the shuffle, but each replica carries only its own distinct column
+    * (others nulled), so shuffled bytes stay ~one column per replica;
+    * partial aggregation then dedups map-side. One shuffle, no join. */
+  val multiDistinct: Q = (s, d) => {
+    table(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q110_multi_distinct" -> multiDistinct,
     "q109_table_checksum" -> tableChecksum,
     "q108_sole_late_supplier" -> soleLateSupplier,
     "q107_full_outer_diff" -> fullOuterDiff,
@@ -725,6 +745,12 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q110_multi_distinct" ->
+      """SELECT o_orderpriority AS prio,
+        |  COUNT(DISTINCT o_custkey) AS n_custs,
+        |  COUNT(DISTINCT year(o_orderdate)) AS n_years,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // both engines derive the 60-bit row hash from the same md5 hex
     // prefix (Spark conv(..,16,10); DuckDB '0x' cast) — checksum equality
     // IS the reconciliation claim

@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 /** Plan-shape and equivalence tests for the advanced serving operators. */
 class AdvancedSpec extends SparkTestBase {
 
+  test("q110 multi-distinct: planned as Expand + two-phase agg, no self-join") {
+    val df = Advanced.multiDistinct(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("q109 table checksum: detects a one-row perturbation, only in its group") {
     val base = Advanced.tableChecksum(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
