@@ -365,7 +365,35 @@ object Behavior {
       .limit(20)
   }
 
+  /** Trending top-k: for every observed day, the top-3 event types by
+    * trailing-7-day event count — the "what's hot" dashboard staple.
+    * Daily (day, type) counts contribute to the next 7 window ends
+    * (ext91's contribution-explode — a constant 7× on the COMPACTED
+    * daily table, never on raw events); per-day ranking is row_number
+    * with a deterministic (count desc, type) tiebreak, filtered ≤ 3 so
+    * Spark plans the per-group top-k as WindowGroupLimit (rank pushdown,
+    * no full per-day sort of the type space at scale). */
+  val trendingTopk: Q = (s, d) => {
+    val daily = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val contrib = daily
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("d"),
+        col("event_type"), col("n"))
+    val days = daily.select(col("day")).distinct()
+    val win7 = contrib.join(days, contrib("d") === days("day")).drop("day")
+      .groupBy("d", "event_type").agg(sum("n").as("cnt7"))
+    val w = Window.partitionBy("d")
+      .orderBy(col("cnt7").desc, col("event_type"))
+    win7.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt7"), col("rnk").cast("long").as("rnk"))
+      .orderBy("day", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext102_trending_topk" -> trendingTopk,
     "ext101_markov_transitions" -> markovTransitions,
     "ext99_incremental_bitmap" -> incrementalBitmap,
     "ext98_repeat_customers" -> repeatCustomers,
@@ -379,6 +407,29 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    // same contribution-explode restatement as ext91, plus QUALIFY-style
+    // ranking; observed-days join keeps the window ends real
+    "ext102_trending_topk" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT CAST(day + x * INTERVAL 1 DAY AS DATE) AS d, event_type, n
+        |  FROM (SELECT day, event_type, n, unnest(range(7)) AS x FROM daily)),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |win7 AS (
+        |  SELECT c.d, c.event_type, CAST(SUM(c.n) AS BIGINT) AS cnt7
+        |  FROM contrib c JOIN days ON days.day = c.d
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT d, event_type, cnt7,
+        |    row_number() OVER (PARTITION BY d
+        |                       ORDER BY cnt7 DESC, event_type) AS rnk
+        |  FROM win7)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, event_type, cnt7,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin,
     "ext101_markov_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

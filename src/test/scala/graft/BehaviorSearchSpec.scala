@@ -46,6 +46,27 @@ class BehaviorSearchSpec extends SparkTestBase {
     assert(scans == 1, s"expected 1 fact scan, got $scans")
   }
 
+  test("ext102 trending top-k: 3 ranked rows per observed day; WindowGroupLimit plan") {
+    val df = Behavior.trendingTopk(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every observed day emits at most 3 rows, dense ranks from 1, counts
+    // non-increasing within a day
+    rows.groupBy(_.getString(0)).foreach { case (day, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.length <= 3, s"$day emits ${sorted.length} rows")
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.length),
+        s"$day: ranks not dense")
+      val cnts = sorted.map(_.getLong(2))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+        s"$day: counts not non-increasing")
+    }
+    // rank<=k over a window plans as the per-group top-k pushdown
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("ext101 markov transitions: totals conserve events minus per-user lasts; top-k plan") {
     val df = Behavior.markovTransitions(spark, sf)
     // conservation: total transitions (unfiltered by top-k) = events - users
