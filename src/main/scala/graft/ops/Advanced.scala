@@ -713,7 +713,26 @@ object Advanced {
       .orderBy("prio")
   }
 
+  /** Relative-standing window functions — percent_rank and cume_dist
+    * over per-(priority, year) order counts, completing the rank family
+    * (q36 covers lag/lead/rank/dense_rank/ntile). The window orders by
+    * (n, yr) — unique within each partition — so both engines rank
+    * identically; the emitted doubles are the same small-integer IEEE
+    * divisions on both sides, hence hash-stable. */
+  val windowRelativeRanks: Q = (s, d) => {
+    val byYear = table(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("prio"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("prio").orderBy(col("n"), col("yr"))
+    byYear
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy("prio", "yr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q111_window_relative_ranks" -> windowRelativeRanks,
     "q110_multi_distinct" -> multiDistinct,
     "q109_table_checksum" -> tableChecksum,
     "q108_sole_late_supplier" -> soleLateSupplier,
@@ -745,6 +764,15 @@ object Advanced {
     "q53_window_range_frame" -> windowRangeFrame)
 
   val oracleSql: Map[String, String] = Map(
+    "q111_window_relative_ranks" ->
+      """WITH y AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio, yr, n,
+        |  percent_rank() OVER (PARTITION BY prio ORDER BY n, yr) AS pr,
+        |  cume_dist() OVER (PARTITION BY prio ORDER BY n, yr) AS cd
+        |FROM y ORDER BY prio, yr""".stripMargin,
     "q110_multi_distinct" ->
       """SELECT o_orderpriority AS prio,
         |  COUNT(DISTINCT o_custkey) AS n_custs,
