@@ -130,12 +130,21 @@ object ScaleRehearsal {
         .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    val ev = spark.read.parquet(s"$src/events.parquet") // ts nanos-as-long
+    val ev = spark.read.parquet(s"$src/events.parquet")
     val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1
     val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    // day-shift per copy; ts is nanos-as-long in older testdata
+    // generations, native timestamp in newer ones (cf. ops.events)
+    val tsShifted: Int => org.apache.spark.sql.Column =
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          i => col("ts") + lit(i * 86400L * 1000000000L)
+        case _ =>
+          i => expr(s"timestampadd(DAY, $i, ts)")
+      }
     copies(ev) { (e, i) =>
       e.select((col("event_id") + lit(i * maxEv)).as("event_id"),
-        (col("ts") + lit(i * 86400L * 1000000000L)).as("ts"),
+        tsShifted(i).as("ts"),
         (col("user_id") + lit(i * maxUser)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.repartition(32).write.mode("overwrite")

@@ -89,14 +89,24 @@ package object ops {
     }
   }
 
-  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for — read it as long and convert to microsecond
-    * TimestampType (integer division; ns-epoch exceeds 2^53 so float math
-    * would corrupt it). Requires [[configure]] on the session.
+  /** The events fixture's `ts` physical type has varied across driver
+    * testdata generations: TIMESTAMP(NANOS) (no native Spark type — read
+    * as long under nanosAsLong and integer-divide to micros; float math
+    * would corrupt the >2^53 ns epoch) vs TIMESTAMP(MICROS)
+    * (isAdjustedToUTC=false → TIMESTAMP_NTZ natively). Dispatch on the
+    * footer schema so both eras land on session-zone TimestampType (the
+    * session pins UTC, so NTZ→LTZ is the identity on wall-clock values).
+    * Requires [[configure]] on the session.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Read a driver fixture table (TESTDATA.md) from the round's sf dir.
     * Requires [[configure]] on the session. */

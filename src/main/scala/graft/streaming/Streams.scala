@@ -33,14 +33,29 @@ object Streams {
     * class encoders don't resolve). */
   case class Ev(event_id: Long, user_id: Long, value: Double, tsu: Long)
 
-  /** Parquet-on-disk schema of events (ts is TIMESTAMP(NANOS) → long). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Parquet-on-disk schema of events. `ts` has been TIMESTAMP(NANOS)
+    * (→ long under nanosAsLong) in some driver testdata generations and
+    * TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ) in others — a streaming read
+    * needs the schema up front, so sniff the footer with a batch read and
+    * normalize to session-zone TimestampType after (UTC session ⇒ NTZ→LTZ
+    * is the wall-clock identity, same dispatch as `ops.events`). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val raw = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", tsType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p))
@@ -145,11 +160,7 @@ object Streams {
   val tumbling: Q = (s, d) => {
     s.conf.set("spark.sql.ansi.enabled", "false")
     // the file stream source wants a directory; glob-filter to the one table
-    val stream = s.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = eventsStream(s, d)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -820,11 +831,7 @@ object Streams {
     * states (which physical row won per key is racy; the aggregate over
     * keys is not). */
   val streamDedupWatermark: Q = (s, d) => {
-    val stream = s.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = eventsStream(s, d)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     val deduped = stream
       .withWatermark("ts", "60 days")
