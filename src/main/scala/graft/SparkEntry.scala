@@ -39,7 +39,8 @@ object SparkEntry {
       ext.Layout.queries ++
       streaming.Streams.queries ++
       plans.AsOfQueries.queries ++
-      ops.Advanced.queries)
+      ops.Advanced.queries ++
+      ops.DecisionSupport.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) => ops.configure(s); fn(s, d) }
       }
@@ -64,5 +65,6 @@ object SparkEntry {
       ext.Layout.oracleSql ++
       streaming.Streams.oracleSql ++
       plans.AsOfQueries.oracleSql ++
-      ops.Advanced.oracleSql
+      ops.Advanced.oracleSql ++
+      ops.DecisionSupport.oracleSql
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.ops.{events, table, Q}
+import graft.ops.{dsum, events, table, Q}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -392,7 +392,59 @@ object Behavior {
       .orderBy("day", "rnk")
   }
 
+  /** ext104 — linear interpolation of gaps in a daily series, the
+    * complement to q73's forward-fill: missing days get
+    * `prev + (next − prev)·(elapsed/gap)` from the SURROUNDING observed
+    * points, not just the last one — the standard sensor-dropout /
+    * sparse-metric repair before a model consumes the series. Dropout is
+    * simulated deterministically (days ≡ 1,2 mod 5 removed), then the
+    * spine is rebuilt per type and interior holes are interpolated;
+    * edge rows with no bracketing observation stay null.
+    *
+    * Determinism: observed daily values go through exact-decimal
+    * summation (dsum); day indexes are integers; the interpolation
+    * expression is the same double arithmetic on both engines over those
+    * exact inputs — bit-identical, no rounding fudge.
+    *
+    * Scale: one exchange keyed by (type, day) for the aggregate, one
+    * window pass per direction keyed by type. The spine explode is
+    * |types| × |days| — metadata-sized relative to the event log. The
+    * two ignore-nulls window scans are the O(n) way to find bracketing
+    * neighbours; a self-join ("nearest observed day per missing day")
+    * would be quadratic per gap.
+    */
+  val interpolateGaps: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type").as("etype"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(dsum(col("value")).as("v"))
+    val thin = daily.filter(!(col("day") % 5).isin(1, 2))
+    val spine = thin.groupBy("etype")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("etype"), explode(expr("sequence(d0, d1)")).as("day"))
+    val joined = spine.join(thin, Seq("etype", "day"), "left")
+    val wPrev = Window.partitionBy("etype").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("etype").orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .select(col("etype"), col("day"),
+        when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("day") - col("pd")).cast("double") /
+              (col("nd") - col("pd")).cast("double"))).as("filled"),
+        col("v").isNull.and(col("pv").isNotNull).and(col("nv").isNotNull)
+          .cast("int").as("interpolated"))
+      .orderBy("etype", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext104_interpolate_gaps" -> interpolateGaps,
     "ext102_trending_topk" -> trendingTopk,
     "ext101_markov_transitions" -> markovTransitions,
     "ext99_incremental_bitmap" -> incrementalBitmap,
@@ -407,6 +459,46 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    // same dropout simulation, spine, and bracketing ignore-nulls windows;
+    // the interpolation arithmetic is the identical double expression
+    "ext104_interpolate_gaps" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype,
+        |    CAST(date_diff('day', DATE '2024-01-01',
+        |         CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+        |         AS DECIMAL(38,4)) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |thin AS (SELECT * FROM daily WHERE day % 5 NOT IN (1, 2)),
+        |spine AS (
+        |  SELECT etype, CAST(unnest(generate_series(d0, d1)) AS BIGINT) AS day
+        |  FROM (SELECT etype, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM thin GROUP BY 1)),
+        |j AS (
+        |  SELECT s.etype, s.day, t.v
+        |  FROM spine s LEFT JOIN thin t USING (etype, day)),
+        |w AS (
+        |  SELECT etype, day, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY etype ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    last_value(v IGNORE NULLS)
+        |      OVER (PARTITION BY etype ORDER BY day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY etype ORDER BY day
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+        |    first_value(v IGNORE NULLS)
+        |      OVER (PARTITION BY etype ORDER BY day
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM j)
+        |SELECT etype, day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+        |                              / CAST(nd - pd AS DOUBLE)) END AS filled,
+        |  CAST(v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+        |       AS INT) AS interpolated
+        |FROM w ORDER BY etype, day""".stripMargin,
     // same contribution-explode restatement as ext91, plus QUALIFY-style
     // ranking; observed-days join keeps the window ends real
     "ext102_trending_topk" ->

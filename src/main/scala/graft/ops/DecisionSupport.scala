@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped decision-support classics the round-6 catalog still lacked:
+  * the four canonical decorrelation surfaces (Q17 correlated scalar
+  * aggregate, Q13 outer-join count distribution, Q18 IN-over-HAVING,
+  * Q22 global-scalar threshold + NOT EXISTS), expressed as the explicit
+  * join/aggregate plans Spark should decorrelate them into. The oracle
+  * keeps the subquery spelling, so hash equality IS the decorrelation-
+  * correctness claim (same pattern as q108 / TPC-H Q21).
+  *
+  * Determinism: every avg-threshold comparison is restated in exact
+  * DECIMAL cross-multiplied form (`2·n·q < Σq` instead of
+  * `q < 0.5·Σq/n`) — a double average differs between Spark's parallel
+  * partial sums and DuckDB's sequential scan by ulps, and a row sitting
+  * on the boundary would flip. Cross-multiplied decimals are exact on
+  * both engines, so the predicate is bit-stable by construction.
+  */
+object DecisionSupport {
+
+  /** q112 — TPC-H Q17 shape: revenue of lineitems whose quantity is below
+    * half their part's average. The correlated scalar aggregate becomes
+    * one per-part aggregate (2k rows at sf0.01; bounded by |part| at any
+    * SF) broadcast back onto lineitem — no shuffle of the fact, one scan
+    * per side. At 100 TB the per-part aggregate is the classic map-side-
+    * combinable reduction; the broadcast is |part|-sized, not fact-sized.
+    */
+  val smallQtyRevenue: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val perPart = li
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("part_qty"),
+        count(lit(1)).as("part_n"))
+    val brands = table(s, d, "part").select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity").cast(Dec) * lit(2) * col("part_n") < col("part_qty"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_small"),
+        dsum(col("l_extendedprice")).as("small_rev"))
+      .orderBy("brand")
+  }
+
+  /** q113 — TPC-H Q13 shape: the distribution of per-customer order
+    * counts (excluding one order class), customers with zero qualifying
+    * orders included via the left outer join. Two aggregations: count per
+    * customer, then histogram over counts — the second input is
+    * |customer|-sized, so the expensive exchange happens once.
+    */
+  val orderCountDistribution: Q = (s, d) => {
+    val nonUrgent = table(s, d, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    val perCust = table(s, d, "customer")
+      .select(col("c_custkey"))
+      .join(nonUrgent, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col): nulls (no match) excluded
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q114 — TPC-H Q18 shape: large-volume orders (`o_orderkey IN (… GROUP
+    * BY … HAVING SUM(qty) > t)`). The IN-over-HAVING subquery is the
+    * aggregate itself here — aggregating lineitem once yields both the
+    * filter and the output `sum_qty`, so the fact is scanned and shuffled
+    * exactly once; orders joins the ~1% survivor set, customer (dim)
+    * broadcasts. The HAVING threshold compares in DECIMAL (exact), only
+    * the output column is cast to double.
+    */
+  val largeVolumeCustomers: Q = (s, d) => {
+    val liAgg = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("lk"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("qty_dec"))
+      .filter(col("qty_dec") > lit(250))
+      .select(col("lk"), col("qty_dec").cast(DecOut).cast("double").as("sum_qty"))
+    val orders = table(s, d, "orders")
+    val cust = table(s, d, "customer").select(col("c_custkey"), col("c_name"))
+    orders.join(liAgg, col("o_orderkey") === col("lk"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q115 — TPC-H Q22 shape: customers above the global positive-balance
+    * average with no urgent orders. The global scalar subquery is a 1-row
+    * aggregate crossJoined back (planned as a broadcast — the house
+    * 1-row-statistics pattern, cf. q67/ext85); "has no urgent order" is a
+    * left anti join, Spark's decorrelation target for NOT EXISTS. The
+    * average threshold is cross-multiplied into exact DECIMAL
+    * (`bal·n > Σbal`), never divided.
+    */
+  val idleRichCustomers: Q = (s, d) => {
+    val cust = table(s, d, "customer")
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast(Dec)).as("tot_bal"),
+        count(lit(1)).as("n_pos"))
+    val urgent = table(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(stats))
+      .filter(col("c_acctbal").cast(Dec) * col("n_pos") > col("tot_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nk"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("nk")
+  }
+
+  /** q116 — per-group Pearson correlation and OLS regression
+    * (slope/intercept), the `corr`/`regr_*` aggregate family — computed
+    * from EXACT integer sufficient statistics rather than the built-in
+    * one-pass double aggregates. Rationale: Spark's `corr` accumulates
+    * co-moments in doubles whose partial-merge order differs from
+    * DuckDB's sequential scan, so the low bits are engine-dependent and
+    * never hash-stable. Here both inputs are exact small integers
+    * (quantity 1–50; discount×100 ∈ 0–10), the six sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) and their cross products stay exact in
+    * BIGINT (< 2⁵³ through sf0.1 and far beyond), and the final
+    * corr/slope/intercept are the SAME correctly-rounded double
+    * expressions on both engines — bit-identical by construction.
+    * Scale: one map-side-combinable aggregate over the fact, six longs
+    * per group — the textbook mergeable-statistics pattern (same shape
+    * Spark itself uses, minus the double drift).
+    */
+  val corrRegression: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * 100, 0).cast("long").as("y"))
+    val sums = li.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    sums
+      .withColumn("cov_n", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("var_x", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("var_y", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .select(col("flag"), col("n"),
+        (col("cov_n") / (sqrt(col("var_x")) * sqrt(col("var_y")))).as("corr_xy"),
+        (col("cov_n") / col("var_x")).as("slope"),
+        ((col("sy").cast("double") - (col("cov_n") / col("var_x")) * col("sx").cast("double")) / col("n").cast("double")).as("intercept"))
+      .orderBy("flag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q112_small_qty_revenue" -> smallQtyRevenue,
+    "q113_order_count_distribution" -> orderCountDistribution,
+    "q114_large_volume_customers" -> largeVolumeCustomers,
+    "q115_idle_rich_customers" -> idleRichCustomers,
+    "q116_corr_regression" -> corrRegression)
+
+  val oracleSql: Map[String, String] = Map(
+    // correlated scalar aggregates kept (COUNT + SUM per part) — DuckDB
+    // decorrelates them; equality with the explicit broadcast-agg plan is
+    // the claim. Cross-multiplied decimal predicate, see class doc.
+    "q112_small_qty_revenue" ->
+      """SELECT p_brand AS brand, COUNT(*) AS n_small,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS small_rev
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,6)) * 2 *
+        |      (SELECT COUNT(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,6)))
+        |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q113_order_count_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q114_large_volume_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem GROUP BY 1
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q115_idle_rich_customers" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS numcust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) *
+        |      (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+        |       FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical expression tree over exact BIGINT sufficient statistics —
+    // see corrRegression scaladoc for why the builtins can't hash-match
+    "q116_corr_regression" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM (
+        |    SELECT l_returnflag,
+        |      CAST(l_quantity AS BIGINT) AS x,
+        |      CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+        |    FROM lineitem)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT flag, n,
+        |    CAST(n*sxy - sx*sy AS DOUBLE) AS cov_n,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) AS var_x,
+        |    CAST(n*syy - sy*sy AS DOUBLE) AS var_y,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT flag, n,
+        |  cov_n / (sqrt(var_x) * sqrt(var_y)) AS corr_xy,
+        |  cov_n / var_x AS slope,
+        |  (syd - (cov_n / var_x) * sxd) / CAST(n AS DOUBLE) AS intercept
+        |FROM m ORDER BY flag""".stripMargin)
+}

@@ -25,7 +25,8 @@ class ContractSpec extends AnyFunSuite {
     "Layout" -> ext.Layout.queries,
     "Streams" -> streaming.Streams.queries,
     "AsOfQueries" -> plans.AsOfQueries.queries,
-    "Advanced" -> ops.Advanced.queries)
+    "Advanced" -> ops.Advanced.queries,
+    "DecisionSupport" -> ops.DecisionSupport.queries)
 
   test("no query name collides across modules (++ would silently drop one)") {
     val perModule = moduleQueryMaps.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

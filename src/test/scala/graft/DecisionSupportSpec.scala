@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.DecisionSupport
+
+/** q112–q115: the four TPC-H decorrelation shapes, checked for result
+  * sanity and — more importantly — for the physical plans the explicit
+  * rewrites were chosen to produce (broadcast dims, anti join for NOT
+  * EXISTS, no cartesian anywhere).
+  */
+class DecisionSupportSpec extends SparkTestBase {
+
+  test("q112 small-qty revenue: per-part agg broadcasts, no cartesian") {
+    val df = DecisionSupport.smallQtyRevenue(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // brands are distinct and sorted
+    val brands = rows.map(_.getString(0)).toSeq
+    assert(brands == brands.sorted && brands.distinct.size == brands.size)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q112 threshold agrees with the double-avg spelling off-boundary") {
+    // the decimal cross-multiplication must select the same rows the
+    // textbook 0.5*avg predicate selects when no row sits on a ulp
+    // boundary (true of the integer-quantity fixture)
+    import org.apache.spark.sql.functions._
+    import graft.ops.{table, Dec}
+    val li = table(spark, sf, "lineitem")
+    val viaAvg = li.groupBy("l_partkey").agg(avg("l_quantity").as("a"))
+      .join(li, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("a") * 0.5)
+      .count()
+    val viaDec = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("sq"), count(lit(1)).as("n"))
+      .join(li, col("pk") === col("l_partkey"))
+      .filter(col("l_quantity").cast(Dec) * lit(2) * col("n") < col("sq"))
+      .count()
+    assert(viaAvg == viaDec)
+  }
+
+  test("q113 order-count distribution covers zero-order customers") {
+    val df = DecisionSupport.orderCountDistribution(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // histogram masses must add back up to |customer|
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+  }
+
+  test("q114 large-volume: single lineitem aggregation feeds filter and output") {
+    val df = DecisionSupport.largeVolumeCustomers(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // every emitted sum_qty exceeds the HAVING threshold
+    assert(rows.forall(_.getDouble(5) > 250.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // exactly one scan of lineitem: the HAVING subquery IS the aggregate
+    // (AQE's toString appends an "== Initial Plan ==" duplicate — count
+    // only the executed section)
+    val executedSection = plan.split("== Initial Plan ==")(0)
+    val nLiScans = "lineitem\\.parquet".r.findAllIn(executedSection).size
+    assert(nLiScans == 1, s"expected 1 lineitem scan, plan:\n$plan")
+  }
+
+  test("q116 exact-sums corr/slope agree with Spark's builtin aggregates") {
+    import org.apache.spark.sql.functions._
+    val df = DecisionSupport.corrRegression(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the exact-integer-sums formulation must agree with the one-pass
+    // double builtins to far beyond statistical noise
+    val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").as("x"), (col("l_discount") * 100).as("y"))
+      .groupBy("flag").agg(corr(col("x"), col("y")).as("c"),
+        regr_slope(col("y"), col("x")).as("sl"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (c, sl) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(2) - c) < 1e-9, s"corr ${r.getDouble(2)} vs $c")
+      assert(math.abs(r.getDouble(3) - sl) < 1e-9, s"slope ${r.getDouble(3)} vs $sl")
+    }
+    // correlations are genuine (finite, within [-1, 1])
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    // one scan, two-phase aggregation, no join
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("q115 idle-rich: NOT EXISTS plans as anti join, stats join broadcasts") {
+    val df = DecisionSupport.idleRichCustomers(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.toLowerCase.contains("leftanti"), plan)
+    // numcust per nation ≤ customers with positive acctbal
+    assert(rows.map(_.getLong(1)).sum <= spark.read.parquet(s"$sf/customer.parquet").count())
+  }
+}
