@@ -158,6 +158,48 @@ object SemiStructured {
       .orderBy("s_suppkey")
   }
 
+  /** q117 — XML source (Spark 4 ships the former spark-xml in core): the
+    * nation dim round-trips through `rowTag` XML and re-aggregates. XML
+    * is the one semi-structured wire format the catalog still lacked
+    * (NDJSON q31, CSV q32, ORC q57, variant q60); the scan distributes
+    * like any FileFormat — each file splits on row-tag boundaries, so a
+    * 100 TB XML drop parallelizes without a preprocessing pass. */
+  val q117XmlSource: Q = (s, d) => {
+    val tmp = scratchDir(s, "xml_nation")
+    table(s, d, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(tmp)
+    s.read.option("rowTag", "nation").format("xml").load(tmp)
+      .groupBy(col("n_regionkey").cast("long").as("rk"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+      .orderBy("rk")
+  }
+
+  /** q118 — whole-file binary ingestion (`binaryFile`), the entry point of
+    * every multimodal pipeline (ext12/ext13 consume such bytes): documents
+    * are staged as partitioned UTF-8 text files, re-read as opaque
+    * (path, content: binary) rows, and reconciled byte-for-byte against
+    * the table they came from (text bytes + 1 newline per row — the text
+    * sink's framing). Per-file rows never shuffle here: the byte length is
+    * projected out before the aggregate, so at 100 TB the exchange carries
+    * (source, long) pairs, not payloads. */
+  val q118BinaryFile: Q = (s, d) => {
+    val tmp = scratchDir(s, "binfile_docs")
+    table(s, d, "documents").select(col("text"), col("source"))
+      .write.mode("overwrite").partitionBy("source").text(tmp)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(tmp)
+      .select(regexp_extract(col("path"), "source=([^/]+)/", 1).as("source"),
+        length(col("content")).cast("long").as("len"))
+      .groupBy("source")
+      .agg(sum(col("len")).as("total_bytes"))
+      .orderBy("source")
+  }
+
   /** Malformed-input surface of the NDJSON source: PERMISSIVE mode routes
     * unparseable lines into the corrupt-record column instead of failing
     * the scan (the distributed generalization of the reference's per-row
@@ -581,6 +623,36 @@ object SemiStructured {
         |FROM graft_cat.db.part_t WHERE g IN (2, 5) GROUP BY g ORDER BY g""".stripMargin)
   }
 
+  /** q119 — bloom-filter data skipping on a NON-layout column: orders
+    * lands in graft_cat hash-scattered by customer, so every segment's
+    * o_orderkey zone spans the whole key domain and zone maps alone keep
+    * all segments for a point lookup. The per-segment column blooms
+    * ([[graft.sources.SegBloom]]) answer the point question instead —
+    * the IN probe plans only the segments whose blooms admit one of the
+    * keys (BloomSpec pins the planned-segment count). This is the
+    * secondary-key needle-lookup pattern (Parquet column blooms /
+    * ClickHouse bloom skip indexes): at 100 TB it's the difference
+    * between scanning every file of a customer-laid-out fact and
+    * touching the handful that can hold the wanted order ids. */
+  val q119CatalogBloomPrune: Q = (s, d) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.bloom_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.bloom_t
+        |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_bloom")
+    s.sql(
+      """INSERT INTO graft_cat.db.bloom_t
+        |SELECT /*+ REPARTITION(8, o_custkey) */
+        |  o_orderkey, o_custkey, o_totalprice
+        |FROM graft_ord_bloom""".stripMargin)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_cat.db.bloom_t
+        |WHERE o_orderkey IN (3, 700, 1300)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Table-valued functions in FROM: `range()` generates the relation and
     * a LATERAL `explode()` expands a per-row sequence — the generator
     * side of modern SQL (DuckDB gives the reference range/unnest for
@@ -936,6 +1008,8 @@ object SemiStructured {
     "q31_ndjson_source" -> q31NdjsonSource,
     "q32_csv_source" -> q32CsvSource,
     "q57_orc_source" -> q57OrcSource,
+    "q117_xml_source" -> q117XmlSource,
+    "q118_binary_file" -> q118BinaryFile,
     "q59_corrupt_records" -> q59CorruptRecords,
     "q60_variant" -> q60Variant,
     "q61_lateral" -> q61Lateral,
@@ -966,6 +1040,7 @@ object SemiStructured {
     "q101_merge_by_source" -> q101MergeBySource,
     "q103_try_functions" -> q103TryFunctions,
     "q104_catalog_transforms" -> q104CatalogTransforms,
+    "q119_catalog_bloom_prune" -> q119CatalogBloomPrune,
     "q105_catalog_spj" -> q105CatalogSpj,
     "q106_catalog_changes" -> q106CatalogChanges)
 
@@ -1011,6 +1086,10 @@ object SemiStructured {
         |    CAST(SUM(v) AS BIGINT) AS v_sum
         |  FROM t WHERE id IN (100, 2075, 3999))
         |ORDER BY part""".stripMargin,
+    // point-lookup rows straight from the staged orders table
+    "q119_catalog_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (3, 700, 1300) ORDER BY o_orderkey""".stripMargin,
     // changes since v1 = the second insert (ids >= 2000)
     "q106_catalog_changes" ->
       """WITH t AS (
@@ -1089,6 +1168,15 @@ object SemiStructured {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q57_orc_source" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "q117_xml_source" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    // text-sink framing: each row is its UTF-8 bytes plus one newline
+    // (DuckDB strlen = BYTE length of a VARCHAR)
+    "q118_binary_file" ->
+      """SELECT source, CAST(SUM(strlen(text) + 1) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q64_custom_sink" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

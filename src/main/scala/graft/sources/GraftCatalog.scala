@@ -379,10 +379,102 @@ object PartSpec {
 /** One immutable segment file's manifest entry: name, row/byte counts,
   * the column IDS it physically contains, and a zone-map (min/max over
   * non-null values + has-null flag) per contained column — `hasStats(i)`
-  * is true only for BIGINT columns that saw at least one non-null value. */
+  * is true only for BIGINT columns that saw at least one non-null value.
+  * `blooms(i)` is an optional [[SegBloom]] bit array per column (empty =
+  * absent; whole array may be empty for pre-bloom manifests). */
 case class Seg(file: String, rows: Long, bytes: Long, colIds: Array[Int],
     mins: Array[Long], maxs: Array[Long], hasNull: Array[Boolean],
-    hasStats: Array[Boolean])
+    hasStats: Array[Boolean], blooms: Array[Array[Long]] = Array.empty) {
+  /** Bloom bits for the column at physical index `idx`, when present and
+    * well-formed. Pre-bloom manifest entries (round ≤6) have no `blooms`
+    * key and decode to an empty outer array — every lookup degrades to
+    * zone-map-only pruning, never an error. */
+  def bloomAt(idx: Int): Option[Array[Long]] =
+    if (idx >= 0 && idx < blooms.length && blooms(idx).length == SegBloom.Words)
+      Some(blooms(idx))
+    else None
+}
+
+/** Per-segment per-column bloom filter for data skipping on point
+  * predicates — the segment-level analog of Parquet's column bloom
+  * filters (SPARK-34562) and ClickHouse/Delta bloom skip indexes. Zone
+  * maps prune RANGES; on a high-cardinality column whose values are
+  * scattered (any layout not sorted by that column), every segment's
+  * [min,max] spans the whole domain and zone maps keep everything — the
+  * bloom answers the point question "is this VALUE possibly here".
+  *
+  * Fixed geometry: 16384 bits (2 KiB) per column per segment, 3 probes
+  * via seeded fmix64 double-hashing — at ~2k distinct values/segment
+  * (compaction-target-sized segments) fpp ≈ 2%; beyond ~8k values the
+  * filter saturates and [[saturated]] tells the pruner to ignore it, so
+  * an over-full bloom degrades to no-op, never to wrong answers. A
+  * production variant sizes bits per expected rows (as Parquet does);
+  * the manifest format (base64 words) and the pruning contract are
+  * unchanged by that swap. */
+object SegBloom {
+  val Words = 256 // longs; 16384 bits = 2 KiB per column per segment
+  private val Bits = Words * 64
+  private val Probes = 3
+  private val SeedStep = 0x9e3779b97f4a7c15L // golden-ratio odd step
+
+  private def fmix(v: Long, seed: Long): Long = {
+    var x = v ^ seed
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  def add(bits: Array[Long], v: Long): Unit = {
+    var i = 0
+    while (i < Probes) {
+      val h = Math.floorMod(fmix(v, i * SeedStep), Bits.toLong).toInt
+      bits(h >> 6) |= 1L << (h & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(bits: Array[Long], v: Long): Boolean = {
+    var i = 0
+    while (i < Probes) {
+      val h = Math.floorMod(fmix(v, i * SeedStep), Bits.toLong).toInt
+      if ((bits(h >> 6) & (1L << (h & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** More than half the bits set: fpp is so high the filter carries no
+    * skipping power — callers treat it as absent. */
+  def saturated(bits: Array[Long]): Boolean = {
+    var pop = 0
+    var i = 0
+    while (i < bits.length) { pop += java.lang.Long.bitCount(bits(i)); i += 1 }
+    pop * 2 > Bits
+  }
+
+  /** Bitwise-OR union (compaction): exact — the union filter answers for
+    * exactly the union of the inputs' value sets. */
+  def union(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val r = new Array[Long](a.length)
+    var i = 0
+    while (i < r.length) { r(i) = a(i) | b(i); i += 1 }
+    r
+  }
+
+  def toBase64(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def fromBase64(s: String): Array[Long] = {
+    if (s.isEmpty) return Array.empty
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+}
 
 /** One committed table version: schema + column ids + segment list.
   * Versions are append-only; segment files are immutable and shared. */
@@ -839,6 +931,8 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
   private val maxs = Array.fill(cols.length)(Long.MinValue)
   private val nulls = Array.fill(cols.length)(false)
   private val seen = Array.fill(cols.length)(false)
+  private val blooms = cols.indices.map(i =>
+    if (isLong(i)) new Array[Long](SegBloom.Words) else Array.empty[Long]).toArray
   private var rows = 0L
   private var writeBuffer = new Array[Byte](4096)
 
@@ -856,6 +950,7 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
         if (v < mins(i)) mins(i) = v
         if (v > maxs(i)) maxs(i) = v
         seen(i) = true
+        SegBloom.add(blooms(i), v)
       }
       i += 1
     }
@@ -867,7 +962,9 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
     Files.move(tempPath, dir.resolve(finalName),
       StandardCopyOption.REPLACE_EXISTING)
     Seg(finalName, rows, Files.size(dir.resolve(finalName)), colIds,
-      mins, maxs, nulls, seen)
+      mins, maxs, nulls, seen,
+      blooms.zipWithIndex.map { case (b, i) =>
+        if (seen(i)) b else Array.empty[Long] })
   }
 
   def dispose(): Unit = { out.close(); Files.deleteIfExists(tempPath) }
@@ -1240,13 +1337,32 @@ object SegPrune {
     else (if (s.hasNull(idx)) 4 else 0) | 2
   }
 
-  /** Zone-map + (for the bucket partition column) bucket-membership
-    * verdict of `op(colId, lit)` on one segment. */
+  /** Tri refinement of `col = lit` from the segment's column bloom
+    * ([[SegBloom]]): bits absent ⇒ no non-null row holds the value
+    * (F, + U for null rows); bits present or bloom absent/saturated ⇒ no
+    * information (1, the AND identity). Like [[bucketEqTri]] it never
+    * claims T, so it only ever SHARPENS the zone-map verdict — and it is
+    * the piece that prunes point lookups on columns the layout is NOT
+    * sorted or partitioned by, where every zone spans the domain. */
+  private def bloomEqTri(s: Seg, colId: Int, lit: Long): Tri = {
+    val idx = s.colIds.indexOf(colId)
+    if (idx < 0) return 1
+    s.bloomAt(idx) match {
+      case Some(b) if !SegBloom.saturated(b) =>
+        if (SegBloom.mightContain(b, lit)) 1
+        else (if (s.hasNull(idx)) 4 else 0) | 2
+      case _ => 1
+    }
+  }
+
+  /** Zone-map + bloom + (for the bucket partition column)
+    * bucket-membership verdict of `op(colId, lit)` on one segment. */
   private def zoneTri(s: Seg, id: Int, d: Option[Option[Long]], op: String,
       v: Long, bc: Option[(Int, BucketPart)]): Tri = {
     if (s.rows == 0) return 0
     val (b, nl) = colFacts(s, id, d)
-    val z = cmpTri(op, b, nl, v)
+    val zoneOnly = cmpTri(op, b, nl, v)
+    val z = if (op == "=") triAnd(zoneOnly, bloomEqTri(s, id, v)) else zoneOnly
     bc match {
       case Some((bid, bp)) if bid == id && op == "=" =>
         triAnd(z, bucketEqTri(s, bid, bp, v))
@@ -1319,11 +1435,17 @@ object SegStore {
   import org.json4s.JsonDSL._
   import org.json4s.jackson.JsonMethods
 
-  private def segJson(s: Seg): JValue =
-    ("f" -> s.file) ~ ("r" -> s.rows) ~ ("b" -> s.bytes) ~
+  private def segJson(s: Seg): JValue = {
+    val base = ("f" -> s.file) ~ ("r" -> s.rows) ~ ("b" -> s.bytes) ~
       ("ids" -> s.colIds.toList) ~ ("mins" -> s.mins.toList) ~
       ("maxs" -> s.maxs.toList) ~ ("nulls" -> s.hasNull.toList) ~
       ("stats" -> s.hasStats.toList)
+    // blooms key omitted when none present — round-≤6 manifest lines stay
+    // byte-identical in shape and old readers ignore unknown keys anyway
+    if (s.blooms.exists(_.nonEmpty))
+      base ~ ("blooms" -> s.blooms.map(SegBloom.toBase64).toList)
+    else base
+  }
 
   private def versionLine(v: SegVersion): String = {
     val json: JValue = ("v" -> v.v) ~ ("ids" -> v.colIds.toList) ~
@@ -1359,7 +1481,10 @@ object SegStore {
             (sj \ "mins").extract[List[Long]].toArray,
             (sj \ "maxs").extract[List[Long]].toArray,
             (sj \ "nulls").extract[List[Boolean]].toArray,
-            (sj \ "stats").extract[List[Boolean]].toArray)
+            (sj \ "stats").extract[List[Boolean]].toArray,
+            (sj \ "blooms").extractOpt[List[String]]
+              .map(_.map(SegBloom.fromBase64).toArray)
+              .getOrElse(Array.empty))
         }
         SegVersion((j \ "v").extract[Long],
           (j \ "ids").extract[List[Int]].toArray,
@@ -1428,8 +1553,21 @@ object SegCompactor {
         i += 1
       }
     }
+    // bloom union is exact (bitwise OR); a merged column keeps its bloom
+    // only if EVERY input that saw values carries one (else the union
+    // would under-approximate and wrongly prune)
+    val blooms = Array.tabulate(nCols) { i =>
+      if (!hasStats(i)) Array.empty[Long]
+      else {
+        val contributing = segs.filter(_.hasStats(i))
+        val parts = contributing.flatMap(_.bloomAt(i))
+        if (parts.length == contributing.length && parts.nonEmpty)
+          parts.reduce(SegBloom.union)
+        else Array.empty[Long]
+      }
+    }
     Seg(finalName, segs.map(_.rows).sum, Files.size(dir.resolve(finalName)),
-      colIds, mins, maxs, hasNull, hasStats)
+      colIds, mins, maxs, hasNull, hasStats, blooms)
   }
 }
 

@@ -694,4 +694,47 @@ class SourcesSpec extends SparkTestBase {
         java.util.Collections.emptyMap()))
     assert(reopened.segTable("db.exp_t").currentVersion === 2L)
   }
+
+  test("SegBloom: no false negatives, exact union, saturation, base64") {
+    import graft.sources.SegBloom
+    val a = new Array[Long](SegBloom.Words)
+    val vals = (0L until 2000L).map(v => v * 2654435761L % 100000L)
+    vals.foreach(SegBloom.add(a, _))
+    // no false negatives, ever
+    assert(vals.forall(SegBloom.mightContain(a, _)))
+    // useful rejection power at this load factor
+    val misses = (1000000L until 1002000L).count(SegBloom.mightContain(a, _))
+    assert(misses < 400, s"fpp too high: $misses/2000")
+    assert(!SegBloom.saturated(a))
+    // union answers for the union of value sets
+    val b = new Array[Long](SegBloom.Words)
+    (5000000L until 5002000L).foreach(SegBloom.add(b, _))
+    val u = SegBloom.union(a, b)
+    assert(vals.forall(SegBloom.mightContain(u, _)))
+    assert((5000000L until 5002000L).forall(SegBloom.mightContain(u, _)))
+    // manifest codec round-trips bit-exactly
+    assert(SegBloom.fromBase64(SegBloom.toBase64(a)).sameElements(a))
+    assert(SegBloom.fromBase64("").isEmpty)
+    // saturation flips once most bits are set
+    val s = new Array[Long](SegBloom.Words)
+    (0L until 50000L).foreach(SegBloom.add(s, _))
+    assert(SegBloom.saturated(s))
+  }
+
+  test("q119: blooms prune point lookups the zone maps cannot") {
+    val rows = ops.SemiStructured.q119CatalogBloomPrune(spark, sf).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 700L, 1300L))
+    val (tbl, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(tbl.contains("bloom_t"), tbl)
+    // hash-scattered layout: every segment's o_orderkey zone spans the
+    // domain, so any pruning below total is bloom work; 3 keys live in at
+    // most 3 segments, fpp adds a few — well under half survives
+    assert(total === 8, s"planned $kept/$total")
+    assert(kept <= 5, s"bloom pruned too little: $kept/$total")
+    // values actually present are never pruned away: full-scan equality
+    val full = spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.bloom_t").collect()(0).getLong(0)
+    assert(full === spark.read.parquet(s"$sf/orders.parquet").count())
+  }
 }
