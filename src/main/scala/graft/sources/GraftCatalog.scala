@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysTrue, And, Not, Or, Predicate}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamOffset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
@@ -632,7 +632,8 @@ class SegTable private (ident: String, dir: Path,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SegScanBuilder(ident, dir, cur)
+    new SegScanBuilder(ident, dir, cur,
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -973,7 +974,8 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
 /** Scan over a manifest snapshot: one InputPartition per segment file,
   * zone-map pruning from pushed predicates (planning time) and runtime
   * filters (DPP), post-pruning statistics, and column pruning by id. */
-class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion)
+class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
+    maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
 
@@ -990,11 +992,13 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SegScan(tableName, dir, ver, required, pushed)
+  override def build(): Scan =
+    new SegScan(tableName, dir, ver, required, pushed, maxSegsPerTrigger)
 }
 
 class SegScan(tableName: String, dir: Path, ver: SegVersion,
-    required: StructType, pushed: Array[Predicate])
+    required: StructType, pushed: Array[Predicate],
+    maxSegsPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
@@ -1094,7 +1098,7 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     * pattern (Delta/Iceberg): each trigger reads only the segments
     * committed since the last processed version, exactly once. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SegMicroBatchStream(tableName, dir, this)
+    new SegMicroBatchStream(tableName, dir, this, maxSegsPerTrigger)
 
   /** Input partitions over `ss` with this scan's projection (shared by
     * the batch path and the micro-batch version-diff path). */
@@ -1130,8 +1134,9 @@ case class SegOffset(v: Long) extends StreamOffset {
   * observed. Each segment is delivered in exactly one batch; non-append
   * history mid-stream (compaction / row-level rewrite) is refused the
   * same way the version-range travel read refuses it. */
-class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan)
-    extends MicroBatchStream {
+class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
+    maxSegsPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private def versions: Vector[SegVersion] = SegStore.readVersions(dir)
   override def initialOffset(): StreamOffset = SegOffset(versions.head.v)
   override def latestOffset(): StreamOffset = SegOffset(versions.last.v)
@@ -1139,6 +1144,38 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan)
     SegOffset(json.toLong)
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
+
+  /** Admission control (`maxSegmentsPerTrigger` read option): each
+    * trigger admits the furthest version whose cumulative new-segment
+    * count since the start offset stays within the cap — the lakehouse
+    * `maxFilesPerTrigger` backpressure pattern. Offsets stay version-
+    * granular (a version's segments are one atomic commit), so a single
+    * over-cap commit is admitted whole rather than stalling the stream.
+    * At 100 TB this is what keeps a catch-up read from planning months
+    * of segments into one micro-batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val startV = start.asInstanceOf[SegOffset].v
+    limit match {
+      case m: ReadMaxFiles =>
+        val vs = versions
+        val startFiles = vs.find(_.v == startV)
+          .map(_.segs.map(_.file).toSet).getOrElse(Set.empty)
+        val later = vs.filter(_.v > startV)
+        if (later.isEmpty) SegOffset(startV)
+        else {
+          val within = later.filter(
+            _.segs.count(s => !startFiles(s.file)) <= m.maxFiles)
+          if (within.isEmpty) SegOffset(later.map(_.v).min) // progress guarantee
+          else SegOffset(within.map(_.v).max)
+        }
+      case _ => SegOffset(versions.last.v)
+    }
+  }
+
+  override def reportLatestOffset(): StreamOffset = SegOffset(versions.last.v)
 
   override def planInputPartitions(start: StreamOffset,
       end: StreamOffset): Array[InputPartition] = {

@@ -633,6 +633,48 @@ object Streams {
       .orderBy("band")
   }
 
+  /** ext103 — admission-controlled catalog streaming: the ext92 source
+    * with `maxSegmentsPerTrigger`, the backpressure half of a lakehouse
+    * streaming read. Four committed versions (4 segments each) are
+    * drained under a 4-segment cap, so the runner MUST take four
+    * one-version micro-batches where an uncapped read would take one —
+    * `n_batches` is part of the hash-checked output, so the oracle pins
+    * the admission schedule itself, not just the data. Exactly-once
+    * composes with the cap: the per-band totals equal the batch
+    * restatement. At 100 TB the cap is what keeps a catch-up read from
+    * planning months of commits into a single giant micro-batch. */
+  val streamRateLimit: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.rl_t")
+    s.sql("CREATE TABLE graft_cat.db.rl_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_rl")
+    (0 until 4).foreach { i =>
+      s.sql("INSERT INTO graft_cat.db.rl_t " +
+        s"SELECT /*+ REPARTITION(4) */ id, v FROM graft_seq_rl " +
+        s"WHERE id DIV 1000 = $i") // 4 write tasks -> 4 segments per commit
+    }
+    val sinkName = s"graft_stream_rl_${sessionToken(s)}"
+    var nBatches = 0L
+    withStreamShuffle(s) {
+      val query = s.readStream
+        .option("maxSegmentsPerTrigger", "4")
+        .table("graft_cat.db.rl_t")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      try {
+        query.processAllAvailable()
+        nBatches = query.recentProgress.count(_.numInputRows > 0).toLong
+      } finally query.stop()
+    }
+    s.table(sinkName)
+      .groupBy(expr("id DIV 1000").as("band"))
+      .agg(count(lit(1)).as("n"), sum("v").as("v_sum"))
+      .withColumn("n_batches", lit(nBatches))
+      .orderBy("band")
+  }
+
   val chainedWindowAggs: Q = (s, d) => {
     val dir = scratchDir(s, "stream_chain")
     deleteRec(Paths.get(dir))
@@ -1317,7 +1359,8 @@ object Streams {
     "ext88_stream_timer_sessions" -> timerSessions,
     "ext89_stream_initial_state" -> transformWithInitialState,
     "ext90_stream_chained_aggs" -> chainedWindowAggs,
-    "ext92_stream_catalog_source" -> streamCatalogSource)
+    "ext92_stream_catalog_source" -> streamCatalogSource,
+    "ext103_stream_rate_limit" -> streamRateLimit)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -1362,6 +1405,15 @@ object Streams {
         |  FROM range(4000) r)
         |SELECT CAST(id // 500 AS BIGINT) AS band, COUNT(*) AS n,
         |  CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
+    // ext103: the 4-version commit history drained under a 4-segment cap
+    // must schedule exactly four data micro-batches (n_batches pins it)
+    "ext103_stream_rate_limit" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT CAST(id // 1000 AS BIGINT) AS band, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum, CAST(4 AS BIGINT) AS n_batches
         |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
     "ext90_stream_chained_aggs" ->
       """WITH e AS (

@@ -171,6 +171,21 @@ class StatefulStreamingSpec extends SparkTestBase {
     // appended those rows twice and failed the n===500 assertion
   }
 
+  test("admission control schedules one commit per trigger under the cap (ext103)") {
+    val rows = streaming.Streams.queries("ext103_stream_rate_limit")(spark, sf)
+      .collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    assert(rows.length === 4) // bands 0..3
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) === 1000L)
+      assert(r.getLong(2) === (b * 1000 until (b + 1) * 1000).map(v).sum)
+      // 4 versions x 4 segments, cap 4 -> exactly 4 data micro-batches;
+      // an uncapped source would drain everything in one
+      assert(r.getLong(3) === 4L, s"n_batches = ${r.getLong(3)}")
+    }
+  }
+
   test("StreamingQueryProgress exposes state-store size (the ops dashboard feed)") {
     // capacity planning at scale runs off these numbers: rows held per
     // stateful operator and their memory footprint, per micro-batch
