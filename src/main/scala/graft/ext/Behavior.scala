@@ -443,7 +443,50 @@ object Behavior {
       .orderBy("etype", "day")
   }
 
+  /** ext105 — CUPED variance reduction (Deng et al., WSDM 2013), the
+    * standard experimentation-platform adjustment: a pre-period covariate
+    * absorbs between-user variance from the experiment metric,
+    * `adj = post − θ·(pre − mean(pre))` with `θ = cov(pre,post)/var(pre)`
+    * pooled over all users. Same determinism discipline as q116: per-user
+    * pre/post are exact integer counts, every co-moment is a product of
+    * exact BIGINT sums, and θ / the adjusted means are the identical
+    * final double expressions on both engines — bit-stable, no rounding.
+    *
+    * Scale: one exchange keyed by user for the per-user counts; the
+    * global sufficient statistics are a 1-row broadcast (the house
+    * scalar-stats pattern); variant-level sums are |variants| rows. No
+    * second pass over raw events, nothing user-cardinality-sized moves.
+    */
+  val cuped: Q = (s, d) => {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    val byUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(day < 15, 1L).otherwise(0L)).as("pre"),
+        sum(when(day >= 15, 1L).otherwise(0L)).as("post"))
+    val g = byUser.agg(
+      count(lit(1)).as("n"), sum("pre").as("sp"), sum("post").as("so"),
+      sum(col("pre") * col("post")).as("spo"),
+      sum(col("pre") * col("pre")).as("spp"))
+    val v = byUser.groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum("pre").as("sp_v"), sum("post").as("so_v"))
+    v.crossJoin(broadcast(g))
+      .withColumn("theta",
+        (col("n") * col("spo") - col("sp") * col("so")).cast("double") /
+          (col("n") * col("spp") - col("sp") * col("sp")).cast("double"))
+      .select(col("variant"), col("n_users"),
+        (col("so_v").cast("double") / col("n_users").cast("double")).as("mean_post"),
+        ((col("so_v").cast("double") / col("n_users").cast("double")) -
+          col("theta") *
+            ((col("sp_v").cast("double") / col("n_users").cast("double")) -
+              (col("sp").cast("double") / col("n").cast("double")))).as("adj_mean"),
+        col("theta"))
+      .orderBy("variant")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext105_cuped" -> cuped,
     "ext104_interpolate_gaps" -> interpolateGaps,
     "ext102_trending_topk" -> trendingTopk,
     "ext101_markov_transitions" -> markovTransitions,
@@ -459,6 +502,34 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    // identical co-moment arithmetic over exact BIGINT sums (q116 pattern)
+    "ext105_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |        CAST(CAST(ts AS TIMESTAMP) AS DATE)) < 15
+        |        THEN 1 ELSE 0 END) AS pre,
+        |    SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+        |        CAST(CAST(ts AS TIMESTAMP) AS DATE)) >= 15
+        |        THEN 1 ELSE 0 END) AS post
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT COUNT(*) AS n, SUM(pre) AS sp, SUM(post) AS so,
+        |    SUM(pre * post) AS spo, SUM(pre * pre) AS spp
+        |  FROM u),
+        |v AS (
+        |  SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
+        |    SUM(pre) AS sp_v, SUM(post) AS so_v
+        |  FROM u GROUP BY 1)
+        |SELECT CAST(variant AS BIGINT) AS variant,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(so_v AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
+        |  (CAST(so_v AS DOUBLE) / CAST(n_users AS DOUBLE)) -
+        |    (CAST(n*spo - sp*so AS DOUBLE) / CAST(n*spp - sp*sp AS DOUBLE)) *
+        |    ((CAST(sp_v AS DOUBLE) / CAST(n_users AS DOUBLE)) -
+        |     (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) AS adj_mean,
+        |  CAST(n*spo - sp*so AS DOUBLE) / CAST(n*spp - sp*sp AS DOUBLE) AS theta
+        |FROM v CROSS JOIN g ORDER BY variant""".stripMargin,
     // same dropout simulation, spine, and bracketing ignore-nulls windows;
     // the interpolation arithmetic is the identical double expression
     "ext104_interpolate_gaps" ->

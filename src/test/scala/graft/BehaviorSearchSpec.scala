@@ -342,4 +342,41 @@ class BehaviorSearchSpec extends SparkTestBase {
     // (selectivity ~20%, fp rate ~8% at this geometry)
     assert(kept < total * 2 / 5, s"kept=$kept of $total — bloom not pruning")
   }
+
+  test("ext105 CUPED: theta well-formed, mean preserved across variants") {
+    val rows = ext.Behavior.cuped(spark, sf).collect()
+    assert(rows.length === 2) // variants 0, 1
+    val theta = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == theta)) // pooled, same everywhere
+    assert(!theta.isNaN && !theta.isInfinite)
+    // variants partition users, so the n-weighted adjustments cancel:
+    // Σ n_v·adj_v == Σ n_v·mean_post_v (CUPED shifts variance, not means)
+    val wAdj = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    val wRaw = rows.map(r => r.getLong(1) * r.getDouble(2)).sum
+    assert(math.abs(wAdj - wRaw) < 1e-6, s"$wAdj vs $wRaw")
+    // the adjustment actually moved the per-variant means (theta != 0)
+    assert(rows.exists(r => math.abs(r.getDouble(3) - r.getDouble(2)) > 1e-12))
+  }
+
+  test("ext104 interpolation: observed days pass through, gaps bracketed") {
+    val rows = ext.Behavior.interpolateGaps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val interp = rows.filter(_.getInt(3) == 1)
+    assert(interp.nonEmpty, "dropout simulation produced no gaps")
+    // interpolated values sit within the bracketing observed values
+    // per (etype): check each gap value lies between its neighbours
+    val byType = rows.groupBy(_.getString(0))
+    byType.values.foreach { ts =>
+      val sorted = ts.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (r.getInt(3) == 1) {
+          val prevObs = sorted.take(i).reverse.find(_.getInt(3) == 0).get.getDouble(2)
+          val nextObs = sorted.drop(i + 1).find(_.getInt(3) == 0).get.getDouble(2)
+          val v = r.getDouble(2)
+          assert(v >= math.min(prevObs, nextObs) - 1e-9 &&
+            v <= math.max(prevObs, nextObs) + 1e-9, s"$v outside [$prevObs,$nextObs]")
+        }
+      }
+    }
+  }
 }

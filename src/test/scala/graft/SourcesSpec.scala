@@ -721,6 +721,29 @@ class SourcesSpec extends SparkTestBase {
     assert(SegBloom.saturated(s))
   }
 
+  test("compaction OR-merges blooms: point lookups keep pruning after merge") {
+    // q119 leaves bloom_t with 8 hash-scattered segments; compact them
+    // down and prove the unioned blooms still answer (and never lie)
+    ops.SemiStructured.q119CatalogBloomPrune(spark, sf).collect()
+    spark.sql("CALL graft_cat.system.compact('db.bloom_t', " + (1L << 40) + ")")
+    val t = {
+      val c = new graft.sources.GraftCatalog
+      c.initialize("graft_cat",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+      c.segTable("db.bloom_t")
+    }
+    assert(t.currentSegs.size < 8, "compaction merged nothing")
+    // merged segment carries a unioned bloom for the key column
+    val keyIdx = 0 // o_orderkey is physical column 0
+    assert(t.currentSegs.forall(_.bloomAt(keyIdx).isDefined))
+    // no false negatives through the union: the point rows still come back
+    val rows = spark.sql(
+      """SELECT o_orderkey FROM graft_cat.db.bloom_t
+        |WHERE o_orderkey IN (3, 700, 1300) ORDER BY 1""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 700L, 1300L))
+  }
+
   test("q119: blooms prune point lookups the zone maps cannot") {
     val rows = ops.SemiStructured.q119CatalogBloomPrune(spark, sf).collect()
     assert(rows.length === 3)
