@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.AsOfMarker].getName, "graft_asof"),
       (exprs: Seq[Expression]) => graft.plans.AsOfMarker.build(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // MV rollup rewrite (inert unless an MvRegistry entry matches the
+    // scanned path; plain sessions use graft.plans.MvRewrite.register)
+    ext.injectOptimizerRule(graft.plans.MvRollupRewrite(_))
     // SQL-surface as-of: rewrite marker joins into AsOfJoinPlan during
     // post-hoc resolution (plain sessions use graft.plans.AsOfSql.sql)
     ext.injectPostHocResolutionRule(_ => graft.plans.AsOfJoinRewrite)

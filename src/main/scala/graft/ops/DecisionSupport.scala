@@ -151,7 +151,40 @@ object DecisionSupport {
       .orderBy("flag")
   }
 
+  /** q120 — transparent materialized-view rollup rewrite
+    * ([[graft.plans.MvRollupRewrite]]): a (priority, year) summary of an
+    * exact-cents orders fact is registered as the MV; the catalog query
+    * then aggregates THE FACT by priority alone, and the optimizer rule
+    * rewrites it to re-aggregate the summary's mergeable partials
+    * (SUM→SUM of partial sums, COUNT→SUM of partial counts) — the spec
+    * pins that the executed plan scans the MV parquet, not the fact.
+    * The oracle computes from the raw table, so the hash match proves
+    * the rewrite is semantics-preserving, not just plausible. Money is
+    * staged as exact BIGINT cents so every sum is integer arithmetic. */
+  val mvRewriteRollup: Q = (s, d) => {
+    val factDir = scratchDir(s, "mv_fact")
+    val mvDir = scratchDir(s, "mv_summary")
+    table(s, d, "orders").select(
+        col("o_orderpriority").as("prio"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(factDir)
+    s.read.parquet(factDir)
+      .groupBy("prio", "yr")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      .write.mode("overwrite").parquet(mvDir)
+    graft.plans.MvRegistry.register(graft.plans.MvRegistry.MvDef(
+      factDir, mvDir, Set("prio", "yr"),
+      Map("cents" -> "sum_cents"), "cnt"))
+    graft.plans.MvRewrite.register(s)
+    s.read.parquet(factDir)
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q120_mv_rewrite" -> mvRewriteRollup,
     "q112_small_qty_revenue" -> smallQtyRevenue,
     "q113_order_count_distribution" -> orderCountDistribution,
     "q114_large_volume_customers" -> largeVolumeCustomers,
@@ -159,6 +192,12 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // computed from the RAW table — equality proves the MV rewrite
+    "q120_mv_rewrite" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |       AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // correlated scalar aggregates kept (COUNT + SUM per part) — DuckDB
     // decorrelates them; equality with the explicit broadcast-agg plan is
     // the claim. Cross-multiplied decimal predicate, see class doc.

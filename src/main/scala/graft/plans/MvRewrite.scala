@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, sum}
+
+/** Materialized-view rollup rewrite — the warehouse-accelerator surface
+  * the reference delegates to its serving engine (DuckDB has no MV
+  * either; real deployments hand-route dashboards at summary tables,
+  * exactly what `transformation.py`'s pre-aggregated dims are for).
+  * Spark ships no MV machinery, so this is a genuine engine extension:
+  * a `Rule[LogicalPlan]` that notices an Aggregate over a registered
+  * fact relation whose grouping is a COARSENING of a registered summary
+  * table and rewrites it to re-aggregate the summary instead —
+  * SUM(x) → SUM(mv.sum_x), COUNT(1) → SUM(mv.cnt) (count/sum partials
+  * are mergeable; that is what makes the rollup sound).
+  *
+  * Injection: `MvRewrite.register(spark)` appends the rule to
+  * `spark.experimental.extraOptimizations` (idempotent; the supported
+  * runtime seam for an already-built session), and [[graft.functions
+  * .GraftExtensions]] injects it at session build for cluster deploys.
+  * The rule is inert unless the scanned path is in [[MvRegistry]], so a
+  * registered rule never perturbs unrelated queries.
+  *
+  * Scale: this is the difference between re-scanning a 100 TB fact for
+  * every dashboard refresh and re-aggregating a few thousand summary
+  * rows — the MV is maintained incrementally (ext81/ext99 show the
+  * partial-merge mechanics), the rewrite makes readers hit it
+  * transparently.
+  */
+object MvRegistry {
+  /** One registered summary: fact path → MV parquet path, the MV's
+    * grouping columns, fact-sum-column → MV-partial-sum-column, and the
+    * MV's COUNT(*) partial column. */
+  case class MvDef(factPath: String, mvPath: String, groupCols: Set[String],
+      sumMap: Map[String, String], countCol: String)
+
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  /** Strip the filesystem scheme so `file:/x` (relation rootPath) and
+    * `/x` (user-supplied) key identically. */
+  def normalize(p: String): String = p.stripPrefix("file:")
+
+  def register(d: MvDef): Unit = defs.put(normalize(d.factPath), d)
+  def lookup(path: String): Option[MvDef] = Option(defs.get(normalize(path)))
+}
+
+case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(groups, aggs, child, _) =>
+      (for {
+        path <- pathOf(child)
+        mv <- MvRegistry.lookup(path)
+        rewritten <- tryRewrite(agg, groups, aggs, mv)
+      } yield rewritten).getOrElse(agg)
+  }
+
+  /** Scan path under the aggregate, looking through column-pruning
+    * Projects only (a Filter would need predicate subsumption proofs —
+    * out of scope, so no rewrite). */
+  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      pathOf(child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate, groups: Seq[_],
+      aggs: Seq[NamedExpression], mv: MvRegistry.MvDef): Option[LogicalPlan] = {
+    // grouping must be a subset of the MV's grouping (a coarsening)
+    val groupNames = groups.map {
+      case ar: AttributeReference => ar.name
+      case _ => return None
+    }
+    if (!groupNames.toSet.subsetOf(mv.groupCols)) return None
+
+    // each output is a group column or a mergeable aggregate we can
+    // restate over the MV's partials
+    val mvAggCols = aggs.flatMap {
+      case ar: AttributeReference if groupNames.contains(ar.name) => None
+      case al @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
+        ae.aggregateFunction match {
+          case s: Sum => s.child match {
+            case ar: AttributeReference if mv.sumMap.contains(ar.name) =>
+              Some(sum(col(mv.sumMap(ar.name))).as(name))
+            case _ => return None
+          }
+          case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+            Some(sum(col(mv.countCol)).as(name))
+          case _ => return None
+        }
+      case _ => return None
+    }
+    if (mvAggCols.isEmpty) return None
+
+    // build the replacement with the Dataset API and splice its ANALYZED
+    // plan — resolution (including the MV schema) comes for free
+    val grouped = spark.read.parquet(mv.mvPath)
+      .groupBy(groupNames.map(col): _*)
+      .agg(mvAggCols.head, mvAggCols.tail: _*)
+    val analyzed = grouped.queryExecution.analyzed
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+
+    // splice only if every original output resolves by name with the
+    // same type; alias back to the ORIGINAL exprIds so parents are
+    // untouched
+    val out: Seq[Attribute] = agg.output
+    if (!out.forall(o => byName.get(o.name).exists(_.dataType == o.dataType)))
+      return None
+    Some(Project(
+      out.map(o => Alias(byName(o.name), o.name)(exprId = o.exprId)),
+      analyzed))
+  }
+}
+
+object MvRewrite {
+  /** Idempotently append the rewrite rule to an existing session's
+    * experimental optimizer hooks (the runtime path; cluster deploys get
+    * it from GraftExtensions at build time). */
+  def register(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[MvRollupRewrite]))
+      spark.experimental.extraOptimizations = cur :+ MvRollupRewrite(spark)
+  }
+}

@@ -92,6 +92,42 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("q120 MV rewrite: plan reads the summary, results match the fact") {
+    import org.apache.spark.sql.functions._
+    val df = DecisionSupport.mvRewriteRollup(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the executed plan must scan the MV parquet, never the fact
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_summary"), plan)
+    assert(!plan.contains("graft_mv_fact"), plan)
+    // rewrite is semantics-preserving: equal to the direct computation
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .orderBy("prio").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("q120 MV rewrite declines filters and unregistered aggregates") {
+    import org.apache.spark.sql.functions._
+    // registration happened in the previous test (order-dependent is fine:
+    // re-run the catalog entry to be self-sufficient)
+    DecisionSupport.mvRewriteRollup(spark, sf).collect()
+    val factDir = graft.ops.scratchDir(spark, "mv_fact")
+    // a Filter between Aggregate and scan → no rewrite (no subsumption proof)
+    val filtered = spark.read.parquet(factDir)
+      .filter(col("yr") > 1995)
+      .groupBy("prio").agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("graft_mv_fact"))
+    // an aggregate the MV has no partial for → no rewrite
+    val minAgg = spark.read.parquet(factDir)
+      .groupBy("prio").agg(min(col("cents")).as("m"))
+    assert(minAgg.queryExecution.executedPlan.toString.contains("graft_mv_fact"))
+  }
+
   test("q115 idle-rich: NOT EXISTS plans as anti join, stats join broadcasts") {
     val df = DecisionSupport.idleRichCustomers(spark, sf)
     val rows = df.collect()
