@@ -183,7 +183,33 @@ object DecisionSupport {
       .orderBy("prio")
   }
 
+  /** q122 — dynamic partition pruning over hive-layout parquet: the fact
+    * lands partitioned by year, the filter lives only on the DIM side,
+    * and Spark derives the fact's partition filter AT RUNTIME from the
+    * broadcast build (`dynamicpruningexpression` in the scan's
+    * PartitionFilters — spec-pinned). This is the disk-layout twin of
+    * q68's DSv2 runtime filtering and q91's catalog partition pruning:
+    * at 100 TB the star-join dashboard touches only the year directories
+    * the dim filter selects, without the user ever writing a fact
+    * predicate. */
+  val dynamicPartitionPruning: Q = (s, d) => {
+    val dir = scratchDir(s, "dpp_orders")
+    table(s, d, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("yr").parquet(dir)
+    // directory-name inference types the partition column INT — the dim
+    // joins at that type so the runtime filter lands on the raw column
+    val dim = s.range(1990, 2000)
+      .select(col("id").cast("int").as("yr"), (col("id") % 3).as("cls"))
+    s.read.parquet(dir)
+      .join(dim.filter(col("cls") === 1), Seq("yr"))
+      .groupBy(col("yr").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_dynamic_partition_pruning" -> dynamicPartitionPruning,
     "q120_mv_rewrite" -> mvRewriteRollup,
     "q112_small_qty_revenue" -> smallQtyRevenue,
     "q113_order_count_distribution" -> orderCountDistribution,
@@ -192,6 +218,13 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // the dim filter restated as a direct fact predicate
+    "q122_dynamic_partition_pruning" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders WHERE year(o_orderdate) % 3 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // computed from the RAW table — equality proves the MV rewrite
     "q120_mv_rewrite" ->
       """SELECT o_orderpriority AS prio, COUNT(*) AS n,

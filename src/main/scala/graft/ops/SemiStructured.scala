@@ -653,6 +653,29 @@ object SemiStructured {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q121 — aggregate pushdown to the catalog MANIFEST: ungrouped
+    * COUNT(*)/MIN/MAX over a graft_cat table fold row counts and
+    * zone-maps instead of opening a single segment file (complete DSv2
+    * aggregate pushdown; `SegAggScan`). The spec pins the hook and the
+    * plan shape; the oracle recomputes from the raw table, proving the
+    * manifest arithmetic. The q66 twin answers from an ordered range
+    * SOURCE; this answers from committed table METADATA — the "SELECT
+    * COUNT(*) in milliseconds on a petabyte table" lakehouse property. */
+  val q121CatalogAggPushdown: Q = (s, d) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.agg_t")
+    s.sql("CREATE TABLE graft_cat.db.agg_t (k BIGINT, c BIGINT, p DOUBLE)")
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_agg")
+    s.sql(
+      """INSERT INTO graft_cat.db.agg_t
+        |SELECT /*+ REPARTITION(4) */ o_orderkey, o_custkey, o_totalprice
+        |FROM graft_ord_agg""".stripMargin)
+    s.sql(
+      """SELECT COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+        |  MIN(c) AS min_c, MAX(c) AS max_c
+        |FROM graft_cat.db.agg_t""".stripMargin)
+  }
+
   /** Table-valued functions in FROM: `range()` generates the relation and
     * a LATERAL `explode()` expands a per-row sequence — the generator
     * side of modern SQL (DuckDB gives the reference range/unnest for
@@ -1041,6 +1064,7 @@ object SemiStructured {
     "q103_try_functions" -> q103TryFunctions,
     "q104_catalog_transforms" -> q104CatalogTransforms,
     "q119_catalog_bloom_prune" -> q119CatalogBloomPrune,
+    "q121_catalog_agg_pushdown" -> q121CatalogAggPushdown,
     "q105_catalog_spj" -> q105CatalogSpj,
     "q106_catalog_changes" -> q106CatalogChanges)
 
@@ -1086,6 +1110,12 @@ object SemiStructured {
         |    CAST(SUM(v) AS BIGINT) AS v_sum
         |  FROM t WHERE id IN (100, 2075, 3999))
         |ORDER BY part""".stripMargin,
+    // manifest-folded aggregates recomputed from the raw table
+    "q121_catalog_agg_pushdown" ->
+      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_k,
+        |  MAX(o_orderkey) AS max_k, MIN(o_custkey) AS min_c,
+        |  MAX(o_custkey) AS max_c
+        |FROM orders""".stripMargin,
     // point-lookup rows straight from the staged orders table
     "q119_catalog_bloom_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -491,6 +491,9 @@ object SegHooks {
   val lastRuntimeFiltered = new AtomicReference[(String, Int, Int)](("", 0, 0))
   /** (table, segments dropped, segments kept) of the last metadata DELETE. */
   val lastMetadataDelete = new AtomicReference[(String, Int, Int)](("", 0, 0))
+  /** (table, answered values) of the last manifest-answered aggregation. */
+  val lastAggPushdown =
+    new AtomicReference[(String, Seq[Option[Long]])](("", Nil))
 }
 
 /** File-backed catalog table (see [[GraftCatalog]] for the design). */
@@ -977,10 +980,13 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
 class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
     maxSegsPerTrigger: Option[Int] = None)
     extends ScanBuilder
-    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = ver.schema
   private var pushed: Array[Predicate] = Array.empty
+  /** (value, nullable) per aggregate, when the manifest can answer. */
+  private var aggAnswers: Option[Seq[(Option[Long], Boolean)]] = None
 
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     pushed = predicates.filter(p => SegPrune.compile(p, ver).isDefined)
@@ -989,11 +995,101 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
   }
   override def pushedPredicates(): Array[Predicate] = pushed
 
+  /** Ungrouped COUNT(*)/MIN/MAX over BIGINT columns are pure manifest
+    * arithmetic — row counts sum, zone-maps fold (the parquet-footer
+    * trick at table scope). At 100 TB the dashboard "how many rows, what
+    * key range" query touches ZERO segment files. Declined whenever a
+    * predicate was pushed (filters re-evaluate above the scan, so a
+    * scan-level answer would overcount), any grouping appears, any other
+    * aggregate appears, or a column is not physically present in every
+    * segment (a schema-evolution default would contribute rows the
+    * zone-maps never saw). MIN/MAX fold only stats-bearing segments —
+    * all-null segments contribute nothing, exactly MIN/MAX's null
+    * semantics — and answer NULL when no segment has stats. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushAggregation(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (aggAnswers.isDefined) return true // idempotent re-offer
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    def ordOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 =>
+          val i = ver.schema.fieldNames.indexOf(n.fieldNames.head)
+          if (i >= 0 && ver.schema.fields(i).dataType == LongType &&
+            ver.segs.forall(_.colIds.contains(ver.colIds(i)))) Some(i)
+          else None
+        case _ => None
+      }
+    def fold(i: Int, isMin: Boolean): Option[Long] = {
+      val vals = ver.segs.flatMap { s =>
+        val idx = s.colIds.indexOf(ver.colIds(i))
+        if (s.hasStats(idx)) Some(if (isMin) s.mins(idx) else s.maxs(idx))
+        else None
+      }
+      if (vals.isEmpty) None else Some(if (isMin) vals.min else vals.max)
+    }
+    val answers = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((Some(ver.segs.map(_.rows).sum), false))
+      case m: Min => ordOf(m.column).map(i => (fold(i, isMin = true), true))
+      case m: Max => ordOf(m.column).map(i => (fold(i, isMin = false), true))
+      case _ => None
+    }
+    if (answers.forall(_.isDefined)) {
+      aggAnswers = Some(answers.flatten)
+      true
+    } else false
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SegScan(tableName, dir, ver, required, pushed, maxSegsPerTrigger)
+  override def build(): Scan = aggAnswers match {
+    case Some(answers) =>
+      SegHooks.lastAggPushdown.set((tableName, answers.map(_._1)))
+      new SegAggScan(tableName, answers)
+    case None =>
+      new SegScan(tableName, dir, ver, required, pushed, maxSegsPerTrigger)
+  }
+}
+
+/** Scan for a completely-pushed aggregation over a catalog table: one
+  * split, one row, values folded from the manifest — zero segment files
+  * opened (cf. [[SeqAggScan]]'s range variant). */
+class SegAggScan(tableName: String,
+    answers: Seq[(Option[Long], Boolean)]) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(answers.zipWithIndex.map { case ((_, nullable), i) =>
+      StructField(s"agg_$i", LongType, nullable)
+    })
+
+  override def description(): String =
+    s"graft_cat MANIFEST-AGG $tableName " +
+      s"values=[${answers.map(_._1.map(_.toString).getOrElse("null")).mkString(",")}]"
+
+  override def toBatch: Batch = this
+
+  private case object AggPartition extends InputPartition
+
+  override def planInputPartitions(): Array[InputPartition] = Array(AggPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val vals: Array[Any] = answers.map(_._1.map(Long.box).orNull).toArray
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        vals.toIndexedSeq.map {
+          case null => null
+          case b: java.lang.Long => b.longValue()
+        })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SegScan(tableName: String, dir: Path, ver: SegVersion,

@@ -92,6 +92,15 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("q122 DPP: the dim filter reaches the fact scan as a runtime partition filter") {
+    val df = DecisionSupport.dynamicPartitionPruning(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 3 == 1)) // only dim-selected years
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("q120 MV rewrite: plan reads the summary, results match the fact") {
     import org.apache.spark.sql.functions._
     val df = DecisionSupport.mvRewriteRollup(spark, sf)

@@ -695,6 +695,30 @@ class SourcesSpec extends SparkTestBase {
     assert(reopened.segTable("db.exp_t").currentVersion === 2L)
   }
 
+  test("q121: ungrouped COUNT/MIN/MAX answered from the manifest, zero reads") {
+    import org.apache.spark.sql.functions._
+    val df = ops.SemiStructured.q121CatalogAggPushdown(spark, sf)
+    val r = df.collect()(0)
+    val d = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"),
+        min("o_custkey"), max("o_custkey")).collect()(0)
+    (0 to 4).foreach(i => assert(r.getLong(i) === d.getLong(i), s"col $i"))
+    val (tbl, vals) = graft.sources.SegHooks.lastAggPushdown.get()
+    assert(tbl.contains("agg_t") && vals.length === 5)
+    // complete pushdown: the plan carries the manifest-agg scan and NO
+    // aggregate operator at all
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MANIFEST-AGG"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // a predicate disables the answer (filters re-evaluate above the scan)
+    val filtered = spark.sql(
+      "SELECT COUNT(*) AS n FROM graft_cat.db.agg_t WHERE k > 100")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("MANIFEST-AGG"))
+    assert(filtered.collect()(0).getLong(0) ===
+      spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderkey") > 100).count())
+  }
+
   test("SegBloom: no false negatives, exact union, saturation, base64") {
     import graft.sources.SegBloom
     val a = new Array[Long](SegBloom.Words)
