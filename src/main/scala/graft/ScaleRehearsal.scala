@@ -43,7 +43,9 @@ object ScaleRehearsal {
     // scan-bound (ext96) / basket-bounded (ext97) — rehearsed to prove it
     "ext96_bitmap_distinct", "ext97_basket_pairs",
     "ext98_repeat_customers", "ext99_incremental_bitmap",
-    "ext101_markov_transitions")
+    "ext101_markov_transitions",
+    // round-7 adds: window-pass interpolation and the one-exchange CUPED
+    "ext104_interpolate_gaps", "ext105_cuped")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
