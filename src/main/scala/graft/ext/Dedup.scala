@@ -173,6 +173,64 @@ object Dedup {
       .orderBy(col("n_match").desc, col("a_id"), col("b_id"))
   }
 
+  /** ext106 — LSH candidate recall against the exact ground truth: every
+    * exact n-gram-Jaccard pair (ext02's machinery, un-truncated) is
+    * checked for membership in ext03's band-bucket candidate set, and
+    * recall is reported per similarity tier (J ≥ 0.5 / 0.7 / 0.9). This
+    * is the dedup twin of ext95's ANN recall eval — the metric that
+    * tunes (bands × rows) in production: banding theory (Leskovec et
+    * al., MMDS ch.3) predicts P(candidate) = 1−(1−J^r)^b, so recall
+    * must rise steeply with the tier, which the spec asserts.
+    *
+    * Scale: ONE shingle index feeds both legs (persisted); the exact leg
+    * is the inverted-index join (never all-pairs), the LSH leg is the
+    * band-bucket join, and the tier explode multiplies only the
+    * PAIR-level rows (thousands), not shingles. The exact leg is the
+    * expensive half at corpus scale — production evaluates on a fixed
+    * document sample, same as ext95's query sample; the operator shape
+    * is unchanged by that narrowing.
+    */
+  val lshRecallEval: Q = (s, d) => {
+    val sh = shingles(table(s, d, "documents")).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "n_b"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+    val hashCols = (0 to 15).map(j =>
+      md5(concat(col("sh"), lit(s"#$j"))).as(s"hv$j"))
+    val sigCols = (0 to 15).map(j => min(col(s"hv$j")).as(s"h$j"))
+    val sig = sh.select(col("doc_id") +: hashCols: _*)
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 to 3).map(b =>
+      s"struct(CAST($b AS INT) AS band, concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS band_key)")
+      .mkString("array(", ", ", ")")
+    val bands = sig
+      .select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    truth.join(candidates, Seq("a_id", "b_id"), "left")
+      .select(col("jaccard"), coalesce(col("hit"), lit(0)).as("hit"))
+      .select(explode(array(lit(0.5), lit(0.7), lit(0.9))).as("t"),
+        col("jaccard"), col("hit"))
+      .filter(col("jaccard") >= col("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
+      .select(col("t"), col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"))
+      .orderBy("t")
+  }
+
   /** SimHash: 32-bit fingerprint from distinct-token hashes; candidate
     * pairs from 8-bit chunk buckets, verified by hamming distance <= 2. */
   val dedupSimhash: Q = (s, d) => {
@@ -418,6 +476,7 @@ object Dedup {
     "ext02_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ext86_dedup_containment" -> dedupContainment,
     "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "ext106_lsh_recall_eval" -> lshRecallEval,
     "ext04_dedup_simhash" -> dedupSimhash,
     "ext05_dedup_embedding" -> dedupEmbedding,
     "ext26_dedup_levenshtein" -> dedupLevenshtein)
@@ -539,6 +598,44 @@ object Dedup {
          |SELECT a_id, b_id, n_match, CAST(n_match AS DOUBLE) / 16 AS est_jaccard
          |FROM m WHERE n_match >= 8
          |ORDER BY n_match DESC, a_id, b_id""".stripMargin,
+    // both legs restated over the shared shingle CTE; the tier explode is
+    // a values-join so each tier row re-filters the marked pairs
+    "ext106_lsh_recall_eval" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT a_id, b_id,
+         |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id),
+         |sig AS (
+         |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
+         |  FROM sh, range(16) r(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         |         string_agg(h, '|' ORDER BY j) AS band_key
+         |  FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id),
+         |marked AS (
+         |  SELECT t.jaccard,
+         |    CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM truth t LEFT JOIN cand c
+         |    ON c.a_id = t.a_id AND c.b_id = t.b_id),
+         |tiers AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE),
+         |                         CAST(0.9 AS DOUBLE)]) AS t)
+         |SELECT t, COUNT(*) AS n_true, CAST(SUM(hit) AS BIGINT) AS n_hit,
+         |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM tiers JOIN marked ON marked.jaccard >= t
+         |GROUP BY t ORDER BY t""".stripMargin,
     "ext04_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok

@@ -128,6 +128,24 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum > 0L)
   }
 
+  test("lsh recall eval: tiers nest, recall non-decreasing with similarity") {
+    val rows = ext.Dedup.lshRecallEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byTier = rows.map(r =>
+      (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // higher tier = subset of pairs, so n_true is non-increasing
+    assert(byTier.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // banding theory: P(candidate) = 1-(1-J^4)^4 rises with J, so recall
+    // must not fall as the tier rises
+    assert(byTier.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    // hits never exceed truths; recall in [0,1]
+    assert(byTier.forall { case (_, t, h, r) => h <= t && r >= 0.0 && r <= 1.0 })
+    // at J >= 0.9 the 4x4 banding admits ~99.8% of pairs — demand >= 0.9
+    byTier.find(_._1 == 0.9).foreach { case (_, t, _, r) =>
+      if (t > 0) assert(r >= 0.9, s"recall at 0.9 tier: $r")
+    }
+  }
+
   test("langid scores sum to <= token count; detected lang is argmax") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     rows.foreach { r =>

@@ -47,6 +47,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("SegBloom: membership complete, union exact, codec bijective on any input") {
+    import graft.sources.SegBloom
+    val vals: Gen[List[Long]] =
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    samples(Gen.zip(vals, vals), 30).foreach { case (xs, ys) =>
+      val a = new Array[Long](SegBloom.Words)
+      val b = new Array[Long](SegBloom.Words)
+      xs.foreach(SegBloom.add(a, _))
+      ys.foreach(SegBloom.add(b, _))
+      // completeness: a bloom NEVER forgets an added value
+      assert(xs.forall(SegBloom.mightContain(a, _)))
+      // union answers for the union — both input sets fully present
+      val u = SegBloom.union(a, b)
+      assert((xs ++ ys).forall(SegBloom.mightContain(u, _)))
+      // union is monotone: u admits everything a admits (bitwise superset)
+      assert(a.zip(u).forall { case (x, y) => (x & ~y) == 0L })
+      // manifest codec round-trips bit-exactly for any bit pattern
+      assert(SegBloom.fromBase64(SegBloom.toBase64(u)).sameElements(u))
+    }
+  }
+
   test("split+explode row count equals token count for any token lists") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.listOf(token)), 10).foreach { docs =>
