@@ -676,6 +676,32 @@ object SemiStructured {
         |FROM graft_cat.db.agg_t""".stripMargin)
   }
 
+  /** q123 — CHECK constraints on the catalog write path
+    * ([[graft.sources.SegCheck]]): the `graft.check` table property is
+    * validated at DDL time, persisted in the manifest, and enforced on
+    * EVERY writer task (INSERT, streaming, row-level replacement) with
+    * SQL CHECK semantics (NULL passes, only definite FALSE rejects) —
+    * the Delta-style write contract that keeps a 1000-writer ingest from
+    * ever committing a bad row. The catalog entry loads customer under
+    * the constraint and serves an aggregate; the spec drives the
+    * rejection, NULL-pass, and bad-DDL paths. */
+  val q123CatalogCheckConstraint: Q = (s, d) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.chk_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.chk_t (k BIGINT, bal DOUBLE)
+        |TBLPROPERTIES ('graft.check' = 'k >= 0 AND bal > -1000.0')""".stripMargin)
+    table(s, d, "customer").createOrReplaceTempView("graft_cust_chk")
+    s.sql(
+      """INSERT INTO graft_cat.db.chk_t
+        |SELECT c_custkey, c_acctbal FROM graft_cust_chk""".stripMargin)
+    s.sql(
+      """SELECT COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(bal AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS total_bal
+        |FROM graft_cat.db.chk_t""".stripMargin)
+  }
+
   /** Table-valued functions in FROM: `range()` generates the relation and
     * a LATERAL `explode()` expands a per-row sequence — the generator
     * side of modern SQL (DuckDB gives the reference range/unnest for
@@ -1065,6 +1091,7 @@ object SemiStructured {
     "q104_catalog_transforms" -> q104CatalogTransforms,
     "q119_catalog_bloom_prune" -> q119CatalogBloomPrune,
     "q121_catalog_agg_pushdown" -> q121CatalogAggPushdown,
+    "q123_catalog_check_constraint" -> q123CatalogCheckConstraint,
     "q105_catalog_spj" -> q105CatalogSpj,
     "q106_catalog_changes" -> q106CatalogChanges)
 
@@ -1110,6 +1137,13 @@ object SemiStructured {
         |    CAST(SUM(v) AS BIGINT) AS v_sum
         |  FROM t WHERE id IN (100, 2075, 3999))
         |ORDER BY part""".stripMargin,
+    // every staged row satisfies the constraint, so the aggregate equals
+    // the raw-table computation
+    "q123_catalog_check_constraint" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS total_bal
+        |FROM customer""".stripMargin,
     // manifest-folded aggregates recomputed from the raw table
     "q121_catalog_agg_pushdown" ->
       """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_k,

@@ -244,7 +244,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft_cat supports a single partition transform, got ${other.mkString(",")}")
     }
-    val t = SegTable.create(ident.toString, dir, schema, partCol)
+    // engine-owned properties only (Spark adds provider/owner/etc.);
+    // the write constraint is validated now — bad DDL fails the CREATE
+    val props = properties.asScala.filter(_._1.startsWith("graft.")).toMap
+    props.get(SegCheck.PropKey).foreach(SegCheck.compile(_, schema))
+    val t = SegTable.create(ident.toString, dir, schema, partCol, props)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
     t
@@ -476,10 +480,12 @@ object SegBloom {
   }
 }
 
-/** One committed table version: schema + column ids + segment list.
+/** One committed table version: schema + column ids + segment list +
+  * table properties (e.g. the `graft.check` write constraint).
   * Versions are append-only; segment files are immutable and shared. */
 case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
-    partCol: Option[String], segs: Seq[Seg]) {
+    partCol: Option[String], segs: Seq[Seg],
+    props: Map[String, String] = Map.empty) {
   /** Decoded partition transform ([[PartSpec]]); `partCol` is its
     * manifest encoding. */
   def partSpec: Option[PartSpec] = partCol.map(PartSpec.decode)
@@ -506,6 +512,11 @@ class SegTable private (ident: String, dir: Path,
 
   override def name(): String = ident
   override def schema(): StructType = cur.schema
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    cur.props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def partitioning(): Array[Transform] =
     cur.partSpec.map {
       case IdentityPart(c) => Expressions.identity(c)
@@ -751,6 +762,7 @@ class SegTable private (ident: String, dir: Path,
       cur.colIds.zip(cur.schema.fields).toVector
     var nextId = versions.flatMap(_.colIds).max + 1
     var partSpec = cur.partSpec
+    var newProps: Option[Map[String, String]] = None
     def updateField(nm: String)(f: StructField => StructField): Unit = {
       require(fields.exists(_._2.name == nm), s"no such column $nm")
       fields = fields.map { case (id, fl) =>
@@ -817,13 +829,66 @@ class SegTable private (ident: String, dir: Path,
         updateField(cm.fieldNames()(0))(_.withComment(cm.newComment()))
       case n: TableChange.UpdateColumnNullability =>
         updateField(n.fieldNames()(0))(_.copy(nullable = n.nullable()))
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case p: TableChange.SetProperty =>
+        // the write-constraint property is validated at DDL time: a bad
+        // expression must fail the ALTER, not every subsequent INSERT
+        if (p.property == SegCheck.PropKey)
+          SegCheck.compile(p.value, StructType(fields.map(_._2)))
+        newProps = Some(newProps.getOrElse(cur.props) + (p.property -> p.value))
+      case r: TableChange.RemoveProperty =>
+        newProps = Some(newProps.getOrElse(cur.props) - r.property)
       case other =>
         throw new UnsupportedOperationException(s"table change $other")
     }
     publish(v => v.copy(colIds = fields.map(_._1).toArray,
       schema = StructType(fields.map(_._2)),
-      partCol = partSpec.map(_.encoded)))
+      partCol = partSpec.map(_.encoded),
+      props = newProps.getOrElse(v.props)))
+  }
+}
+
+/** CHECK-constraint support (`'graft.check'` table property, enforced on
+  * every write path — INSERT, streaming foreachBatch, row-level
+  * replacement): the standard warehouse write contract (Delta CHECK
+  * constraints / ANSI `CHECK`). The expression is parsed and analyzed
+  * ONCE at DDL time against the table schema (bad SQL fails the ALTER,
+  * not every later INSERT), bound to row positions, and shipped to
+  * writer tasks as a serializable Catalyst expression; each task
+  * compiles it to a codegen'd Predicate. SQL CHECK semantics: only a
+  * definite FALSE violates — NULL passes (`IsNull(e) OR e`). */
+object SegCheck {
+  val PropKey = "graft.check"
+
+  /** Parse, analyze (type-coerce), and bind `sql` against `schema`.
+    * Returns a BoundReference-only boolean expression (serializable). */
+  def compile(sql: String, schema: StructType): CatalystExpr = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      Seq(Alias(parsed, "c")()),
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
+    val analyzed = spark.sessionState.analyzer.execute(plan)
+    val expr = analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head.asInstanceOf[Alias].child
+    // execute() does not run checkAnalysis, and comparison nodes report
+    // BooleanType even over unresolved children — demand full resolution
+    // explicitly or a typo'd column surfaces at WRITE time instead of DDL
+    require(expr.resolved,
+      s"$PropKey does not resolve against the table schema: $sql")
+    require(expr.dataType == org.apache.spark.sql.types.BooleanType,
+      s"$PropKey must be a boolean expression, got ${expr.dataType}: $sql")
+    val bound = expr.transformUp {
+      case a: AttributeReference =>
+        val i = attrs.indexWhere(_.exprId == a.exprId)
+        require(i >= 0, s"$PropKey references unknown column ${a.name}")
+        BoundReference(i, a.dataType, a.nullable)
+    }
+    org.apache.spark.sql.catalyst.expressions.Or(
+      org.apache.spark.sql.catalyst.expressions.IsNull(bound), bound)
   }
 }
 
@@ -841,9 +906,11 @@ class SegSnapshotTable(snapName: String, dir: Path, snap: SegVersion)
 object SegTable {
 
   private[sources] def create(ident: String, dir: Path, schema: StructType,
-      partCol: Option[String]): SegTable = {
+      partCol: Option[String],
+      props: Map[String, String] = Map.empty): SegTable = {
     Files.createDirectories(dir)
-    val v0 = SegVersion(0L, schema.fields.indices.toArray, schema, partCol, Nil)
+    val v0 = SegVersion(0L, schema.fields.indices.toArray, schema, partCol,
+      Nil, props)
     SegStore.appendVersion(dir, v0)
     new SegTable(ident, dir, Vector(v0))
   }
@@ -872,10 +939,18 @@ object SegTable {
     val colIds = ver.colIds
     val spec = ver.partSpec
     val partOrd = spec.map(p => cols.fieldNames.indexOf(p.col)).getOrElse(-1)
+    // compiled DRIVER-side (analyzer access); the bound expression is
+    // serializable and each task builds its own codegen'd predicate
+    val check: Option[(String, CatalystExpr)] =
+      ver.props.get(SegCheck.PropKey).map(sql =>
+        (sql, SegCheck.compile(sql, ver.schema)))
     (partitionId: Int, taskId: Long) => new DataWriter[InternalRow] {
       private var proj: UnsafeProjection = _
       private val open = mutable.HashMap.empty[Any, SegFileWriter]
       private var fileSeq = 0
+      private val checkPred = check.map { case (sql, e) =>
+        (sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+      }
 
       private def writerFor(key: Any): SegFileWriter =
         open.getOrElseUpdate(key, {
@@ -898,6 +973,11 @@ object SegTable {
           proj = UnsafeProjection.create(refs.toSeq)
         }
         val ur = proj(row)
+        checkPred.foreach { case (sql, p) =>
+          if (!p.eval(ur))
+            throw new IllegalArgumentException(
+              s"CHECK constraint violated ($sql): ${ur.toSeq(cols).mkString("[", ",", "]")}")
+        }
         val key: Any =
           if (partOrd < 0) ()
           else if (ur.isNullAt(partOrd)) null
@@ -1581,9 +1661,12 @@ object SegStore {
   }
 
   private def versionLine(v: SegVersion): String = {
-    val json: JValue = ("v" -> v.v) ~ ("ids" -> v.colIds.toList) ~
+    val base = ("v" -> v.v) ~ ("ids" -> v.colIds.toList) ~
       ("schema" -> v.schema.json) ~ ("part" -> v.partCol) ~
       ("segs" -> v.segs.map(segJson).toList)
+    // props key omitted when empty — older manifest lines stay identical
+    val json: JValue =
+      if (v.props.nonEmpty) base ~ ("props" -> v.props) else base
     JsonMethods.compact(JsonMethods.render(json)) + "\n"
   }
 
@@ -1622,7 +1705,8 @@ object SegStore {
         SegVersion((j \ "v").extract[Long],
           (j \ "ids").extract[List[Int]].toArray,
           DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
-          (j \ "part").extractOpt[String], segs)
+          (j \ "part").extractOpt[String], segs,
+          (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty))
       }
   }
 }

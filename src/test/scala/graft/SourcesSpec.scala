@@ -719,6 +719,43 @@ class SourcesSpec extends SparkTestBase {
         .filter(col("o_orderkey") > 100).count())
   }
 
+  test("q123: CHECK constraint rejects, passes NULL, fails bad DDL, persists") {
+    val rows = ops.SemiStructured.q123CatalogCheckConstraint(spark, sf).collect()
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(rows(0).getLong(0) === nCust)
+    // a definite-FALSE row is rejected by the writer task
+    val err = intercept[Exception] {
+      spark.sql("INSERT INTO graft_cat.db.chk_t VALUES (-1, 0.0)")
+    }
+    def rootMsg(t: Throwable): String = {
+      var cur: Throwable = t
+      val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    assert(rootMsg(err).contains("CHECK constraint violated"), rootMsg(err))
+    // rejected writes commit nothing
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.chk_t")
+      .collect()(0).getLong(0) === nCust)
+    // SQL CHECK semantics: NULL is not a violation
+    spark.sql("INSERT INTO graft_cat.db.chk_t VALUES (7, CAST(NULL AS DOUBLE))")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.chk_t")
+      .collect()(0).getLong(0) === nCust + 1)
+    // a bad expression fails the DDL, not later inserts
+    val ddlErr = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.db.chk_t " +
+        "SET TBLPROPERTIES ('graft.check' = 'no_such_col > 0')")
+    }
+    assert(ddlErr != null)
+    // the constraint is manifest-persisted: a fresh catalog sees it
+    val reopened = new graft.sources.GraftCatalog
+    reopened.initialize("graft_cat",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    assert(reopened.segTable("db.chk_t").properties()
+      .get("graft.check") === "k >= 0 AND bal > -1000.0")
+  }
+
   test("SegBloom: no false negatives, exact union, saturation, base64") {
     import graft.sources.SegBloom
     val a = new Array[Long](SegBloom.Words)
