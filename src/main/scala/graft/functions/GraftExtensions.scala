@@ -39,9 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.AsOfMarker].getName, "graft_asof"),
       (exprs: Seq[Expression]) => graft.plans.AsOfMarker.build(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // MV rollup rewrite (inert unless an MvRegistry entry matches the
-    // scanned path; plain sessions use graft.plans.MvRewrite.register)
+    // MV rollup rewrite + unique-key join elimination (inert unless an
+    // MvRegistry / UniqueKeyRegistry entry matches the scanned path;
+    // plain sessions use graft.plans.{MvRewrite,JoinElimination}.register)
     ext.injectOptimizerRule(graft.plans.MvRollupRewrite(_))
+    ext.injectOptimizerRule(graft.plans.JoinEliminationRewrite(_))
     // SQL-surface as-of: rewrite marker joins into AsOfJoinPlan during
     // post-hoc resolution (plain sessions use graft.plans.AsOfSql.sql)
     ext.injectPostHocResolutionRule(_ => graft.plans.AsOfJoinRewrite)

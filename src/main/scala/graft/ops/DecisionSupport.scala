@@ -208,7 +208,32 @@ object DecisionSupport {
       .orderBy("yr")
   }
 
+  /** q124 — left-join elimination on a declared unique key
+    * ([[graft.plans.JoinEliminationRewrite]]): the query left-joins the
+    * customer dim "just in case" but only consumes order columns; with
+    * `c_custkey` declared unique, the optimizer removes the join AND the
+    * dim scan entirely (pk-unique ⇒ no row multiplication; outer ⇒ no
+    * row loss). The oracle keeps the join spelling, so the hash match
+    * proves the elimination preserves semantics; the spec pins a
+    * join-free plan and that the inner-join / dim-referencing variants
+    * keep their joins. */
+  val joinElimination: Q = (s, d) => {
+    val factDir = scratchDir(s, "je_orders")
+    val dimDir = scratchDir(s, "je_customer")
+    table(s, d, "orders").write.mode("overwrite").parquet(factDir)
+    table(s, d, "customer").write.mode("overwrite").parquet(dimDir)
+    graft.plans.UniqueKeyRegistry.register(dimDir, "c_custkey")
+    graft.plans.JoinElimination.register(s)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir)
+    fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_join_elimination" -> joinElimination,
     "q122_dynamic_partition_pruning" -> dynamicPartitionPruning,
     "q120_mv_rewrite" -> mvRewriteRollup,
     "q112_small_qty_revenue" -> smallQtyRevenue,
@@ -218,6 +243,13 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // the join SPELLING is kept — equality proves the elimination
+    "q124_join_elimination" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       AS DECIMAL(38,4)) AS DOUBLE) AS total
+        |FROM orders LEFT OUTER JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the dim filter restated as a direct fact predicate
     "q122_dynamic_partition_pruning" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n,

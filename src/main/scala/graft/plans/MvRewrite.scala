@@ -131,3 +131,90 @@ object MvRewrite {
       spark.experimental.extraOptimizations = cur :+ MvRollupRewrite(spark)
   }
 }
+
+/** Declared unique keys for join elimination: relation path → the column
+  * that is unique in that relation (the SQL UNIQUE/PK constraint
+  * metadata Spark's file relations don't carry). Correctness of the
+  * elimination rests on the declaration being true — exactly the
+  * contract a database PK gives its optimizer. */
+object UniqueKeyRegistry {
+  private val keys = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def register(path: String, uniqueCol: String): Unit =
+    keys.put(MvRegistry.normalize(path), uniqueCol)
+  def lookup(path: String): Option[String] =
+    Option(keys.get(MvRegistry.normalize(path)))
+}
+
+/** Left-outer-join elimination on declared unique keys — the classic
+  * redundant-join removal every mature optimizer performs off PK/FK
+  * metadata: `fact LEFT JOIN dim ON fact.fk = dim.pk` where the parent
+  * references NO dim column adds no rows (pk unique ⇒ at most one
+  * match) and drops none (outer ⇒ misses survive), so the join — and
+  * the entire dim scan — can vanish. Inner joins are NOT eliminated
+  * (they filter to matching rows; that needs declared referential
+  * integrity, not just uniqueness). At 100 TB this is what saves a
+  * dashboard that joins a wide dim "just in case" from scanning and
+  * shuffling it for queries that never touch its columns.
+  *
+  * Sound by construction: the spliced child is the ORIGINAL left
+  * subtree (same exprIds), so parents are untouched; elimination only
+  * fires when every referenced attribute comes from the left side.
+  */
+case class JoinEliminationRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeSet, EqualTo}
+  import org.apache.spark.sql.catalyst.plans.LeftOuter
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p: Project => p.child match {
+      case j: Join if eliminable(j, p.references) => p.withNewChildren(Seq(j.left))
+      case _ => p
+    }
+    case a: Aggregate => a.child match {
+      case j: Join if eliminable(j, a.references) => a.withNewChildren(Seq(j.left))
+      case _ => a
+    }
+  }
+
+  /** Relation path under `plan`, looking through attribute-only Projects
+    * (column pruning) and Filters on the DIM side are NOT looked through
+    * — a filtered dim can drop left rows' matches only in inner joins,
+    * but a filter also means the scan does real work we cannot prove
+    * redundant. */
+  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      pathOf(child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def eliminable(j: Join, parentRefs: AttributeSet): Boolean = {
+    if (j.joinType != LeftOuter) return false
+    // every referenced attribute must come from the LEFT subtree
+    if (!parentRefs.subsetOf(j.left.outputSet)) return false
+    (for {
+      path <- pathOf(j.right)
+      unique <- UniqueKeyRegistry.lookup(path)
+    } yield j.condition match {
+      // single equi-condition on the right side's declared unique column
+      case Some(EqualTo(l: AttributeReference, r: AttributeReference)) =>
+        (j.right.outputSet.contains(r) && r.name == unique &&
+          j.left.outputSet.contains(l)) ||
+          (j.right.outputSet.contains(l) && l.name == unique &&
+            j.left.outputSet.contains(r))
+      case _ => false
+    }).getOrElse(false)
+  }
+}
+
+object JoinElimination {
+  /** Runtime registration twin of [[MvRewrite.register]]. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[JoinEliminationRewrite]))
+      spark.experimental.extraOptimizations = cur :+ JoinEliminationRewrite(spark)
+  }
+}

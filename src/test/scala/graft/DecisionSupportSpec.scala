@@ -92,6 +92,38 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("q124 join elimination: dim scan vanishes; unsafe variants keep the join") {
+    import org.apache.spark.sql.functions._
+    val df = DecisionSupport.joinElimination(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(!plan.contains("je_customer"), plan)
+    // semantics preserved vs the un-eliminated computation
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === direct(r.getString(0))))
+    // variant 1: referencing a dim column keeps the join
+    val factDir = graft.ops.scratchDir(spark, "je_orders")
+    val dimDir = graft.ops.scratchDir(spark, "je_customer")
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir)
+    val refDim = fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assert(refDim.queryExecution.executedPlan.toString.contains("je_customer"))
+    // variant 2: INNER join is never eliminated (it filters rows)
+    val inner = fact.join(dim, fact("o_custkey") === dim("c_custkey"), "inner")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(inner.queryExecution.executedPlan.toString.contains("je_customer"))
+    // variant 3: joining on a NON-unique dim column keeps the join
+    val nonUnique = fact.join(dim, fact("o_custkey") === dim("c_nationkey"), "left")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(nonUnique.queryExecution.executedPlan.toString.contains("je_customer"))
+  }
+
   test("q122 DPP: the dim filter reaches the fact scan as a runtime partition filter") {
     val df = DecisionSupport.dynamicPartitionPruning(spark, sf)
     val rows = df.collect()
