@@ -702,6 +702,29 @@ object SemiStructured {
         |FROM graft_cat.db.chk_t""".stripMargin)
   }
 
+  /** q125 — GROUPED aggregate pushdown to the manifest: on an
+    * identity-partitioned table every segment is single-valued on the
+    * partition column (the writer routes rows by it), so `GROUP BY g`
+    * with COUNT/MIN/MAX is a manifest fold per segment cluster — one
+    * metadata row per partition value, zero segment files opened. The
+    * per-partition row-count dashboard ("how big is each day/tenant")
+    * answered without touching data; days/bucket transforms and null
+    * partition rows decline to a real scan. */
+  val q125CatalogGroupAggPushdown: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.gagg_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.gagg_t (id BIGINT, v BIGINT, g BIGINT)
+        |PARTITIONED BY (g)""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_gagg")
+    s.sql("INSERT INTO graft_cat.db.gagg_t SELECT id, v, id % 8 FROM graft_seq_gagg")
+    s.sql(
+      """SELECT g, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM graft_cat.db.gagg_t GROUP BY g ORDER BY g""".stripMargin)
+  }
+
   /** Table-valued functions in FROM: `range()` generates the relation and
     * a LATERAL `explode()` expands a per-row sequence — the generator
     * side of modern SQL (DuckDB gives the reference range/unnest for
@@ -1092,6 +1115,7 @@ object SemiStructured {
     "q119_catalog_bloom_prune" -> q119CatalogBloomPrune,
     "q121_catalog_agg_pushdown" -> q121CatalogAggPushdown,
     "q123_catalog_check_constraint" -> q123CatalogCheckConstraint,
+    "q125_catalog_group_agg_pushdown" -> q125CatalogGroupAggPushdown,
     "q105_catalog_spj" -> q105CatalogSpj,
     "q106_catalog_changes" -> q106CatalogChanges)
 
@@ -1144,6 +1168,14 @@ object SemiStructured {
         |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
         |       AS DECIMAL(38,4)) AS DOUBLE) AS total_bal
         |FROM customer""".stripMargin,
+    // per-partition manifest folds recomputed from the generator formula
+    "q125_catalog_group_agg_pushdown" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT id % 8 AS g, COUNT(*) AS n, MIN(id) AS min_id,
+        |  MAX(id) AS max_id
+        |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
     // manifest-folded aggregates recomputed from the raw table
     "q121_catalog_agg_pushdown" ->
       """SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_k,

@@ -1065,8 +1065,8 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
 
   private var required: StructType = ver.schema
   private var pushed: Array[Predicate] = Array.empty
-  /** (value, nullable) per aggregate, when the manifest can answer. */
-  private var aggAnswers: Option[Seq[(Option[Long], Boolean)]] = None
+  /** (output schema, folded rows), when the manifest can answer. */
+  private var aggAnswers: Option[(StructType, Seq[Array[Any]])] = None
 
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     pushed = predicates.filter(p => SegPrune.compile(p, ver).isDefined)
@@ -1094,7 +1094,7 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (aggAnswers.isDefined) return true // idempotent re-offer
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    if (pushed.nonEmpty) return false
     def ordOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
       e match {
         case n: NamedReference if n.fieldNames.length == 1 =>
@@ -1104,52 +1104,100 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
           else None
         case _ => None
       }
-    def fold(i: Int, isMin: Boolean): Option[Long] = {
-      val vals = ver.segs.flatMap { s =>
+    // fold min/max zone stats over a segment subset (None = all-null)
+    def fold(segs: Seq[Seg], i: Int, isMin: Boolean): Option[Long] = {
+      val vals = segs.flatMap { s =>
         val idx = s.colIds.indexOf(ver.colIds(i))
         if (s.hasStats(idx)) Some(if (isMin) s.mins(idx) else s.maxs(idx))
         else None
       }
       if (vals.isEmpty) None else Some(if (isMin) vals.min else vals.max)
     }
-    val answers = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some((Some(ver.segs.map(_.rows).sum), false))
-      case m: Min => ordOf(m.column).map(i => (fold(i, isMin = true), true))
-      case m: Max => ordOf(m.column).map(i => (fold(i, isMin = false), true))
-      case _ => None
-    }
-    if (answers.forall(_.isDefined)) {
-      aggAnswers = Some(answers.flatten)
+    // per-aggregate folder over a segment subset, or None = unanswerable
+    def answerers: Seq[Option[(Seq[Seg] => Any, StructField)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) => Some((
+          (segs: Seq[Seg]) => java.lang.Long.valueOf(segs.map(_.rows).sum),
+          StructField(s"agg_$i", LongType, nullable = false)))
+        case (m: Min, i) => ordOf(m.column).map(ord => (
+          (segs: Seq[Seg]) => fold(segs, ord, isMin = true).map(Long.box).orNull: Any,
+          StructField(s"agg_$i", LongType, nullable = true)))
+        case (m: Max, i) => ordOf(m.column).map(ord => (
+          (segs: Seq[Seg]) => fold(segs, ord, isMin = false).map(Long.box).orNull: Any,
+          StructField(s"agg_$i", LongType, nullable = true)))
+        case _ => None
+      }
+    val groupCols = agg.groupByExpressions
+    if (groupCols.isEmpty) {
+      val as = answerers
+      if (!as.forall(_.isDefined)) return false
+      val fs = as.flatten
+      aggAnswers = Some((StructType(fs.map(_._2)),
+        Seq(fs.map(_._1(ver.segs)).toArray)))
       true
-    } else false
+    } else {
+      // grouped form: ONE group column that IS the identity partition
+      // column — every segment is single-valued on it (writer-routed),
+      // so groups = segment clusters and per-group aggregates fold the
+      // same manifest stats. Declined for days/bucket (the raw column is
+      // multi-valued per segment) and for null partition rows.
+      if (groupCols.length != 1) return false
+      val gname = groupCols(0) match {
+        case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames.head
+        case _ => return false
+      }
+      val gOrd = ver.partSpec match {
+        case Some(IdentityPart(c)) if c == gname =>
+          ver.schema.fieldNames.indexOf(c)
+        case _ => return false
+      }
+      def keyOf(s: Seg): Option[Long] = {
+        val idx = s.colIds.indexOf(ver.colIds(gOrd))
+        if (idx >= 0 && s.hasStats(idx) && !s.hasNull(idx) &&
+          s.mins(idx) == s.maxs(idx)) Some(s.mins(idx))
+        else None
+      }
+      val live = ver.segs.filter(_.rows > 0)
+      if (!live.forall(keyOf(_).isDefined)) return false
+      val as = answerers
+      if (!as.forall(_.isDefined)) return false
+      val fs = as.flatten
+      val gField = StructField(gname, LongType, nullable = false)
+      val rows = live.groupBy(keyOf(_).get).toSeq.sortBy(_._1).map {
+        case (k, segs) =>
+          (java.lang.Long.valueOf(k) +: fs.map(_._1(segs))).toArray[Any]
+      }
+      aggAnswers = Some((StructType(gField +: fs.map(_._2)), rows))
+      true
+    }
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan = aggAnswers match {
-    case Some(answers) =>
-      SegHooks.lastAggPushdown.set((tableName, answers.map(_._1)))
-      new SegAggScan(tableName, answers)
+    case Some((schema, rows)) =>
+      // hook carries the first answered row (global = the only row)
+      SegHooks.lastAggPushdown.set((tableName,
+        rows.headOption.toSeq.flatMap(_.toSeq)
+          .map(v => Option(v).map(_.asInstanceOf[java.lang.Long].longValue()))))
+      new SegAggScan(tableName, schema, rows)
     case None =>
       new SegScan(tableName, dir, ver, required, pushed, maxSegsPerTrigger)
   }
 }
 
 /** Scan for a completely-pushed aggregation over a catalog table: one
-  * split, one row, values folded from the manifest — zero segment files
-  * opened (cf. [[SeqAggScan]]'s range variant). */
-class SegAggScan(tableName: String,
-    answers: Seq[(Option[Long], Boolean)]) extends Scan with Batch {
+  * split, manifest-folded rows — zero segment files opened (cf.
+  * [[SeqAggScan]]'s range variant). One row for global aggregates; one
+  * row per partition value for the grouped form. */
+class SegAggScan(tableName: String, outSchema: StructType,
+    rows: Seq[Array[Any]]) extends Scan with Batch {
 
-  override def readSchema(): StructType =
-    StructType(answers.zipWithIndex.map { case ((_, nullable), i) =>
-      StructField(s"agg_$i", LongType, nullable)
-    })
+  override def readSchema(): StructType = outSchema
 
   override def description(): String =
-    s"graft_cat MANIFEST-AGG $tableName " +
-      s"values=[${answers.map(_._1.map(_.toString).getOrElse("null")).mkString(",")}]"
+    s"graft_cat MANIFEST-AGG $tableName rows=${rows.size}"
 
   override def toBatch: Batch = this
 
@@ -1158,15 +1206,18 @@ class SegAggScan(tableName: String,
   override def planInputPartitions(): Array[InputPartition] = Array(AggPartition)
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val vals: Array[Any] = answers.map(_._1.map(Long.box).orNull).toArray
+    val data = rows.map(_.toIndexedSeq.map {
+      case null => null
+      case b: java.lang.Long => b.longValue()
+      case v => v
+    })
     (_: InputPartition) => new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = InternalRow.fromSeq(
-        vals.toIndexedSeq.map {
-          case null => null
-          case b: java.lang.Long => b.longValue()
-        })
+      private val it = data.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = InternalRow.fromSeq(it.next()); true }
+        else { current = null; false }
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }

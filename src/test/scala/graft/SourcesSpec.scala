@@ -756,6 +756,26 @@ class SourcesSpec extends SparkTestBase {
       .get("graft.check") === "k >= 0 AND bal > -1000.0")
   }
 
+  test("q125: grouped COUNT/MIN/MAX on the partition column folds the manifest") {
+    val df = ops.SemiStructured.q125CatalogGroupAggPushdown(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val g = r.getLong(0)
+      assert(r.getLong(1) === 500L)
+      // ids congruent to g mod 8: min = g, max = 4000 - 8 + g
+      assert(r.getLong(2) === g)
+      assert(r.getLong(3) === 3992L + g)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("MANIFEST-AGG"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // grouping on a NON-partition column falls back to a real scan
+    val byV = spark.sql(
+      "SELECT v, COUNT(*) AS n FROM graft_cat.db.gagg_t GROUP BY v")
+    assert(!byV.queryExecution.executedPlan.toString.contains("MANIFEST-AGG"))
+  }
+
   test("SegBloom: no false negatives, exact union, saturation, base64") {
     import graft.sources.SegBloom
     val a = new Array[Long](SegBloom.Words)
