@@ -725,6 +725,44 @@ object SemiStructured {
         |FROM graft_cat.db.gagg_t GROUP BY g ORDER BY g""".stripMargin)
   }
 
+  /** q126 — SQL-defined scalar UDFs (`CREATE FUNCTION … RETURN expr`,
+    * Spark 4's SQL UDF surface): business logic declared ONCE in SQL and
+    * reused across queries, analyzed and inlined into the calling plan —
+    * codegen-friendly, no JVM closure, no serialization, unlike a Scala
+    * UDF. The discount arithmetic rounds to exact integer cents inside
+    * the UDF so the aggregate stays hash-stable cross-engine. */
+  val q126SqlUdf: Q = (s, d) => {
+    table(s, d, "lineitem").createOrReplaceTempView("graft_li_udf")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cents(p DOUBLE, d DOUBLE)
+        |RETURNS BIGINT RETURN CAST(round(p * (1.0 - d) * 100, 0) AS BIGINT)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE)
+        |RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low'
+        |  WHEN q < 30 THEN 'mid' ELSE 'high' END""".stripMargin)
+    s.sql(
+      """SELECT graft_qty_band(l_quantity) AS band, COUNT(*) AS n,
+        |  CAST(SUM(graft_disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+        |    AS disc_cents
+        |FROM graft_li_udf GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** q127 — SQL table functions (`CREATE FUNCTION … RETURNS TABLE`): a
+    * declared relation-producing function joins like any table — the
+    * parameterized-view surface (DuckDB gives the reference table macros;
+    * this is the Spark 4 twin). */
+  val q127SqlTableFunction: Q = (s, d) => {
+    table(s, d, "orders").createOrReplaceTempView("graft_ord_tvf")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_buckets(n INT)
+        |RETURNS TABLE (x INT) RETURN SELECT explode(sequence(1, n)) AS x""".stripMargin)
+    s.sql(
+      """SELECT f.x, COUNT(*) AS n_orders
+        |FROM graft_ord_tvf o JOIN graft_buckets(5) f
+        |  ON CAST((o.o_orderkey % 5) + 1 AS INT) = f.x
+        |GROUP BY f.x ORDER BY f.x""".stripMargin)
+  }
+
   /** Table-valued functions in FROM: `range()` generates the relation and
     * a LATERAL `explode()` expands a per-row sequence — the generator
     * side of modern SQL (DuckDB gives the reference range/unnest for
@@ -1116,6 +1154,8 @@ object SemiStructured {
     "q121_catalog_agg_pushdown" -> q121CatalogAggPushdown,
     "q123_catalog_check_constraint" -> q123CatalogCheckConstraint,
     "q125_catalog_group_agg_pushdown" -> q125CatalogGroupAggPushdown,
+    "q126_sql_udf" -> q126SqlUdf,
+    "q127_sql_table_function" -> q127SqlTableFunction,
     "q105_catalog_spj" -> q105CatalogSpj,
     "q106_catalog_changes" -> q106CatalogChanges)
 
@@ -1168,6 +1208,20 @@ object SemiStructured {
         |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
         |       AS DECIMAL(38,4)) AS DOUBLE) AS total_bal
         |FROM customer""".stripMargin,
+    // the UDF bodies inlined; round() is half-away-from-zero on positive
+    // doubles in both engines and the product is the same double
+    "q126_sql_udf" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |       AS BIGINT)) AS BIGINT) AS disc_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the TVF join keeps every bucket (all residues occur), so it folds
+    // to the direct grouping
+    "q127_sql_table_function" ->
+      """SELECT CAST((o_orderkey % 5) + 1 AS INT) AS x, COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-partition manifest folds recomputed from the generator formula
     "q125_catalog_group_agg_pushdown" ->
       """WITH t AS (

@@ -66,4 +66,21 @@ class SemiStructuredSpec extends SparkTestBase {
     assert(viaCsv.count() === nation.count())
     assert(viaCsv.except(nation.select("n_nationkey", "n_name", "n_regionkey")).count() === 0)
   }
+
+  test("q126/q127: SQL UDFs inline into the plan — no opaque call sites") {
+    val scalar = SemiStructured.q126SqlUdf(spark, sf)
+    assert(scalar.collect().length === 3) // low/mid/high
+    val plan = scalar.queryExecution.executedPlan.toString
+    // the SQL UDF body is inlined; a Scala UDF would show ScalaUDF and
+    // break whole-stage codegen
+    assert(!plan.contains("ScalaUDF"), plan)
+    // "*(n)" is the WholeStageCodegen marker in the plan string — the
+    // inlined UDF body stays inside codegen stages
+    assert(plan.contains("*("), plan)
+    val tvf = SemiStructured.q127SqlTableFunction(spark, sf)
+    val rows = tvf.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 5))
+    assert(rows.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+  }
 }
