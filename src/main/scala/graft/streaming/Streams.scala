@@ -1199,6 +1199,73 @@ object Streams {
     * stream's CLONED session (its own catalog instance), so the final
     * read goes through REFRESH TABLE — the documented way a reader
     * observes another instance's commits against the same warehouse. */
+  /** ext107 — streaming expectations with a dead-letter quarantine: each
+    * micro-batch is split by the TARGET TABLE'S OWN declared CHECK
+    * constraint (q123's `graft.check`, read from the live catalog at
+    * batch time, so tightening the DDL immediately re-routes traffic) —
+    * passing rows append to the table (whose writer re-verifies them),
+    * violating rows land in a quarantine table with full fidelity
+    * instead of failing the stream. The Delta-Live-Tables "expect or
+    * quarantine" pattern: at 100 TB a poison record must neither kill a
+    * 1000-writer ingest (X4's lesson) nor be silently dropped. The
+    * summary output pins BOTH populations, so the oracle proves the
+    * split is exactly the constraint. */
+  val streamQuarantine: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.qr_t")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.qr_dead")
+    s.sql(
+      """CREATE TABLE graft_cat.db.qr_t (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.check' = 'v < 900')""".stripMargin)
+    s.sql("CREATE TABLE graft_cat.db.qr_dead (id BIGINT, v BIGINT)")
+    val dir = scratchDir(s, "stream_qr")
+    deleteRec(Paths.get(dir))
+    def batchDf(lo: Long, hi: Long): DataFrame =
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "1500").option("parts", "2").load()
+        .filter(col("id") >= lo && col("id") < hi)
+        .select(col("id"), col("v"))
+    val now = System.currentTimeMillis()
+    copyAs(stagedOnce(s, d, "qr_b0", "json")(batchDf(0, 1000)),
+      Paths.get(s"$dir/in/b0.json"), now - 60000)
+    copyAs(stagedOnce(s, d, "qr_b1", "json")(batchDf(1000, 1500)),
+      Paths.get(s"$dir/in/b1.json"), now - 30000)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    withStreamShuffle(s) {
+      val query = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$dir/in")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.ops.ensureGraftCatalog(bs)
+          // the constraint comes from the TABLE, not the pipeline code
+          val check = bs.sessionState.catalogManager.catalog("graft_cat")
+            .asInstanceOf[graft.sources.GraftCatalog]
+            .segTable("db.qr_t").properties().get(graft.sources.SegCheck.PropKey)
+          val pass = coalesce(expr(check), lit(true)) // SQL CHECK: NULL passes
+          batch.filter(pass).writeTo("graft_cat.db.qr_t").append()
+          batch.filter(!pass).writeTo("graft_cat.db.qr_dead").append()
+          ()
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    // the stream's cloned session committed through ITS catalog instance;
+    // disk is the commit point — refresh drops this session's cached
+    // handles so the reads reopen the advanced manifests
+    s.sql("REFRESH TABLE graft_cat.db.qr_t")
+    s.sql("REFRESH TABLE graft_cat.db.qr_dead")
+    s.sql(
+      """SELECT 'kept' AS bucket, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM graft_cat.db.qr_t
+        |UNION ALL
+        |SELECT 'quarantined', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |FROM graft_cat.db.qr_dead
+        |ORDER BY bucket""".stripMargin)
+  }
+
   val streamMergeCatalog: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_t")
@@ -1360,7 +1427,8 @@ object Streams {
     "ext89_stream_initial_state" -> transformWithInitialState,
     "ext90_stream_chained_aggs" -> chainedWindowAggs,
     "ext92_stream_catalog_source" -> streamCatalogSource,
-    "ext103_stream_rate_limit" -> streamRateLimit)
+    "ext103_stream_rate_limit" -> streamRateLimit,
+    "ext107_stream_quarantine" -> streamQuarantine)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -1406,6 +1474,18 @@ object Streams {
         |SELECT CAST(id // 500 AS BIGINT) AS band, COUNT(*) AS n,
         |  CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
+    // ext107: the split is exactly the declared constraint over the
+    // generator formula
+    "ext107_stream_quarantine" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1500) r)
+        |SELECT 'kept' AS bucket, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |FROM t WHERE v < 900
+        |UNION ALL
+        |SELECT 'quarantined', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |FROM t WHERE v >= 900
+        |ORDER BY bucket""".stripMargin,
     // ext103: the 4-version commit history drained under a 4-segment cap
     // must schedule exactly four data micro-batches (n_batches pins it)
     "ext103_stream_rate_limit" ->

@@ -186,6 +186,21 @@ class StatefulStreamingSpec extends SparkTestBase {
     }
   }
 
+  test("quarantine split is exactly the declared constraint (ext107)") {
+    val rows = streaming.Streams.queries("ext107_stream_quarantine")(spark, sf)
+      .collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val all = (0L until 1500L).map(v)
+    val kept = rows.find(_.getString(0) == "kept").get
+    val dead = rows.find(_.getString(0) == "quarantined").get
+    assert(kept.getLong(1) === all.count(_ < 900).toLong)
+    assert(dead.getLong(1) === all.count(_ >= 900).toLong)
+    assert(kept.getLong(2) === all.filter(_ < 900).sum)
+    assert(dead.getLong(2) === all.filter(_ >= 900).sum)
+    // nothing lost, nothing duplicated: the split partitions the input
+    assert(kept.getLong(1) + dead.getLong(1) === 1500L)
+  }
+
   test("StreamingQueryProgress exposes state-store size (the ops dashboard feed)") {
     // capacity planning at scale runs off these numbers: rows held per
     // stateful operator and their memory footprint, per micro-batch
