@@ -189,11 +189,14 @@ object SemiStructured {
     val tmp = scratchDir(s, "binfile_docs")
     table(s, d, "documents").select(col("text"), col("source"))
       .write.mode("overwrite").partitionBy("source").text(tmp)
+    // partition INFERENCE (not recursiveFileLookup + path parsing)
+    // recovers `source`: directory names are Hive-escaped on write
+    // ('a b' → a%20b), and inference unescapes them — a regexp over the
+    // raw path would diverge from the oracle for any escapable value
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.txt")
-      .option("recursiveFileLookup", "true")
       .load(tmp)
-      .select(regexp_extract(col("path"), "source=([^/]+)/", 1).as("source"),
+      .select(col("source"),
         length(col("content")).cast("long").as("len"))
       .groupBy("source")
       .agg(sum(col("len")).as("total_bytes"))

@@ -49,21 +49,18 @@ object MvRegistry {
   def lookup(path: String): Option[MvDef] = Option(defs.get(normalize(path)))
 }
 
-case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+/** Shared plumbing for the optimizer-rule pair below: one scan-path
+  * resolver (kept in ONE place so the look-through rules cannot diverge)
+  * and one registration lock (both rules read-modify-write the same
+  * `extraOptimizations` array — a shared lock or concurrent registration
+  * drops a rule). */
+private[plans] object RuleReg {
+  private val lock = new Object
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg @ Aggregate(groups, aggs, child, _) =>
-      (for {
-        path <- pathOf(child)
-        mv <- MvRegistry.lookup(path)
-        rewritten <- tryRewrite(agg, groups, aggs, mv)
-      } yield rewritten).getOrElse(agg)
-  }
-
-  /** Scan path under the aggregate, looking through column-pruning
-    * Projects only (a Filter would need predicate subsumption proofs —
-    * out of scope, so no rewrite). */
-  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+  /** Scan path under `plan`, looking through column-pruning Projects
+    * only (a Filter would need predicate subsumption proofs — out of
+    * scope for both rules, so no rewrite). */
+  def pathOf(plan: LogicalPlan): Option[String] = plan match {
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       pathOf(child)
     case l: LogicalRelation => l.relation match {
@@ -73,14 +70,40 @@ case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Idempotently append `mk` to the session's experimental optimizer
+    * hooks under the one shared lock. */
+  def register(spark: SparkSession, cls: Class[_],
+      mk: => Rule[LogicalPlan]): Unit = lock.synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(cls.isInstance(_)))
+      spark.experimental.extraOptimizations = cur :+ mk
+  }
+}
+
+case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(groups, aggs, child, _) =>
+      (for {
+        path <- RuleReg.pathOf(child)
+        mv <- MvRegistry.lookup(path)
+        rewritten <- tryRewrite(agg, groups, aggs, mv)
+      } yield rewritten).getOrElse(agg)
+  }
+
   private def tryRewrite(agg: Aggregate, groups: Seq[_],
       aggs: Seq[NamedExpression], mv: MvRegistry.MvDef): Option[LogicalPlan] = {
-    // grouping must be a subset of the MV's grouping (a coarsening)
+    // grouping must be a STRICT coarsening of the MV's grouping. Equality
+    // is excluded deliberately: the MV's own rebuild aggregates the fact
+    // at exactly the MV granularity while OVERWRITING the MV path — a
+    // same-granularity rewrite would read the file being replaced (stale
+    // data or a mid-overwrite listing failure), and gains nothing anyway.
     val groupNames = groups.map {
       case ar: AttributeReference => ar.name
       case _ => return None
     }
-    if (!groupNames.toSet.subsetOf(mv.groupCols)) return None
+    if (!groupNames.toSet.subsetOf(mv.groupCols) ||
+      groupNames.toSet == mv.groupCols) return None
 
     // each output is a group column or a mergeable aggregate we can
     // restate over the MV's partials
@@ -93,8 +116,17 @@ case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
               Some(sum(col(mv.sumMap(ar.name))).as(name))
             case _ => return None
           }
-          case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-            Some(sum(col(mv.countCol)).as(name))
+          // only COUNT over non-null literals (count(*) / count(1)) is
+          // row counting; COUNT(NULL) is constantly 0 and must not
+          // rewrite. coalesce covers the empty-fact edge: SUM over no
+          // rows is NULL where COUNT is 0.
+          case c: Count if c.children.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          } =>
+            Some(org.apache.spark.sql.functions.coalesce(
+              sum(col(mv.countCol)),
+              org.apache.spark.sql.functions.lit(0L)).as(name))
           case _ => return None
         }
       case _ => return None
@@ -125,11 +157,8 @@ object MvRewrite {
   /** Idempotently append the rewrite rule to an existing session's
     * experimental optimizer hooks (the runtime path; cluster deploys get
     * it from GraftExtensions at build time). */
-  def register(spark: SparkSession): Unit = synchronized {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_.isInstanceOf[MvRollupRewrite]))
-      spark.experimental.extraOptimizations = cur :+ MvRollupRewrite(spark)
-  }
+  def register(spark: SparkSession): Unit =
+    RuleReg.register(spark, classOf[MvRollupRewrite], MvRollupRewrite(spark))
 }
 
 /** Declared unique keys for join elimination: relation path → the column
@@ -176,27 +205,15 @@ case class JoinEliminationRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Relation path under `plan`, looking through attribute-only Projects
-    * (column pruning) and Filters on the DIM side are NOT looked through
-    * — a filtered dim can drop left rows' matches only in inner joins,
-    * but a filter also means the scan does real work we cannot prove
-    * redundant. */
-  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      pathOf(child)
-    case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
-      case _ => None
-    }
-    case _ => None
-  }
-
   private def eliminable(j: Join, parentRefs: AttributeSet): Boolean = {
     if (j.joinType != LeftOuter) return false
-    // every referenced attribute must come from the LEFT subtree
+    // every referenced attribute must come from the LEFT subtree.
+    // Filters on the dim side are NOT looked through by RuleReg.pathOf —
+    // a filtered dim means the scan does real work we cannot prove
+    // redundant.
     if (!parentRefs.subsetOf(j.left.outputSet)) return false
     (for {
-      path <- pathOf(j.right)
+      path <- RuleReg.pathOf(j.right)
       unique <- UniqueKeyRegistry.lookup(path)
     } yield j.condition match {
       // single equi-condition on the right side's declared unique column
@@ -211,10 +228,8 @@ case class JoinEliminationRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 }
 
 object JoinElimination {
-  /** Runtime registration twin of [[MvRewrite.register]]. */
-  def register(spark: SparkSession): Unit = synchronized {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_.isInstanceOf[JoinEliminationRewrite]))
-      spark.experimental.extraOptimizations = cur :+ JoinEliminationRewrite(spark)
-  }
+  /** Runtime registration twin of [[MvRewrite.register]] (same lock). */
+  def register(spark: SparkSession): Unit =
+    RuleReg.register(spark, classOf[JoinEliminationRewrite],
+      JoinEliminationRewrite(spark))
 }

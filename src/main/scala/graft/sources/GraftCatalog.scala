@@ -244,9 +244,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft_cat supports a single partition transform, got ${other.mkString(",")}")
     }
-    // engine-owned properties only (Spark adds provider/owner/etc.);
+    // persist user TBLPROPERTIES (matching ALTER ... SET TBLPROPERTIES,
+    // which persists anything), excluding the keys Spark itself injects;
     // the write constraint is validated now — bad DDL fails the CREATE
-    val props = properties.asScala.filter(_._1.startsWith("graft.")).toMap
+    val sparkReserved = Set("provider", "location", "owner", "comment", "external")
+    val props = properties.asScala.filterNot(kv => sparkReserved(kv._1)).toMap
     props.get(SegCheck.PropKey).foreach(SegCheck.compile(_, schema))
     val t = SegTable.create(ident.toString, dir, schema, partCol, props)
     if (tables.putIfAbsent(ident, t) != null)

@@ -1245,8 +1245,21 @@ object Streams {
             .asInstanceOf[graft.sources.GraftCatalog]
             .segTable("db.qr_t").properties().get(graft.sources.SegCheck.PropKey)
           val pass = coalesce(expr(check), lit(true)) // SQL CHECK: NULL passes
-          batch.filter(pass).writeTo("graft_cat.db.qr_t").append()
-          batch.filter(!pass).writeTo("graft_cat.db.qr_dead").append()
+          // insert-only MERGEs keyed on id, NOT blind appends: foreachBatch
+          // re-runs the WHOLE batch on failure, and with two independent
+          // commits a crash between them would double-append the first
+          // table's rows on retry. Keyed merges are idempotent, so the
+          // retry converges instead of double-counting.
+          batch.filter(pass).createOrReplaceTempView("graft_qr_pass")
+          bs.sql(
+            """MERGE INTO graft_cat.db.qr_t t USING graft_qr_pass u
+              |ON t.id = u.id
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          batch.filter(!pass).createOrReplaceTempView("graft_qr_fail")
+          bs.sql(
+            """MERGE INTO graft_cat.db.qr_dead t USING graft_qr_fail u
+              |ON t.id = u.id
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
           ()
         }
         .start()

@@ -167,6 +167,13 @@ class DecisionSupportSpec extends SparkTestBase {
     val minAgg = spark.read.parquet(factDir)
       .groupBy("prio").agg(min(col("cents")).as("m"))
     assert(minAgg.queryExecution.executedPlan.toString.contains("graft_mv_fact"))
+    // grouping at EXACTLY the MV granularity → no rewrite: that is the
+    // MV's own rebuild shape, which must read the fact, not the MV it
+    // is overwriting
+    val fullGran = spark.read.parquet(factDir)
+      .groupBy("prio", "yr")
+      .agg(count(lit(1)).as("cnt2"), sum(col("cents")).as("sc2"))
+    assert(fullGran.queryExecution.executedPlan.toString.contains("graft_mv_fact"))
   }
 
   test("q115 idle-rich: NOT EXISTS plans as anti join, stats join broadcasts") {
