@@ -233,10 +233,44 @@ object Bench {
     // the committed 192-query 119 s record)
     val localFile =
       if (filtered) "BENCH_LOCAL.partial.json" else "BENCH_LOCAL.json"
+    // per-query regression report vs the committed baseline
+    // (BASELINE_LOCAL.json: per-query MEDIANS of idle runs on the CURRENT
+    // fixtures — re-pin it whenever the driver regenerates testdata;
+    // round-7 post-mortem: cross-fixture comparisons hid real deltas
+    // inside a 1.58× fixture-content drift). Written into BENCH_LOCAL
+    // and summarized on stderr — never stdout, the driver's captured
+    // tail belongs to the contract line alone.
+    val vsBaseline: String = (try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val f = new java.io.File(s"${sys.props("user.dir")}/BASELINE_LOCAL.json")
+      if (!f.isFile) None
+      else {
+        val base = (JsonMethods.parse(f) \ "queries").extract[Map[String, Double]]
+        val joint = results.toSeq.collect {
+          case (n, t) if base.get(n).exists(_ > 0.05) && t > 0 =>
+            (n, t / base(n))
+        }
+        if (joint.isEmpty) None
+        else {
+          val rs = joint.map(_._2).sorted
+          val medR = rs(rs.size / 2)
+          val worst = joint.sortBy(-_._2).take(5)
+            .map { case (n, r) => "[\"" + shortKey(n) + "\"," + r2(r) + "]" }
+            .mkString("[", ",", "]")
+          System.err.println(
+            f"[bench] vs baseline: n=${joint.size} median_ratio=$medR%.2f " +
+              s"worst=$worst")
+          Some(s""","vs_baseline":{"n":${joint.size},"median_ratio":${r2(medR)},"worst":$worst}""")
+        }
+      }
+    } catch { case _: Throwable => None }).getOrElse("")
     try {
       val w = new java.io.PrintWriter(
         s"${sys.props("user.dir")}/$localFile")
-      try w.println(s"""{"total":${r2(total)},"sf":"$sfDir","queries":$detail}""")
+      try w.println(
+        s"""{"total":${r2(total)},"sf":"$sfDir","queries":$detail$vsBaseline}""")
       finally w.close()
     } catch { case _: Throwable => () }
     // stop BEFORE printing: Spark's shutdown logging must not land between

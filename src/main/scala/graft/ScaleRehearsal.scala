@@ -59,9 +59,9 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.configure(spark)
-    // orders.parquet is the newest fixture table — its absence means the
-    // fixture predates the ext96-98 adds and must be regenerated
-    if (!new java.io.File(s"$out/orders.parquet").exists())
+    // part.parquet is the newest fixture table (round-8 warehouse probe)
+    // — its absence means the fixture predates it and must be regenerated
+    if (!new java.io.File(s"$out/part.parquet").exists())
       generate(spark, src, out, k)
 
     def time(name: String, dir: String): Double = {
@@ -81,9 +81,92 @@ object ScaleRehearsal {
       println(f"""{"q":"$q","base_s":$base%.2f,"scaled_s":$scaled%.2f,"ratio":$r%.1f}""")
       (q, base, scaled, r)
     }
+    // round-8 probe (VERDICT r7 #5): the 21-table warehouse ETL itself —
+    // the one tier the rehearsal table lacked. Warm once at base scale
+    // (first build pays dim-spine codegen), then time base vs 10×.
+    whBuild(spark, src, "/tmp/graft_scale_wh_warm")
+    val wbBase = whBuild(spark, src, "/tmp/graft_scale_wh_base")
+    val wbScaled = whBuild(spark, out, "/tmp/graft_scale_wh_10x")
+    val wbR = wbScaled / wbBase
+    println(f"""{"q":"wh_build_21_tables","base_s":$wbBase%.2f,"scaled_s":$wbScaled%.2f,"ratio":$wbR%.1f}""")
     val worst = rows.maxBy(_._4)
     println(f"""{"k":$k,"worst":"${worst._1}","worst_ratio":${worst._4}%.1f}""")
     spark.stop()
+  }
+
+  /** The full warehouse build at fixture scale: business + checkin NDJSON
+    * staged UNCAPPED from `part`, user NDJSON from `customer`, review
+    * NDJSON from `orders` (staging is untimed — the probe measures the
+    * ETL, not the JSON sink), then ONE `Warehouse.build` with every one
+    * of the 21 tables materialized. At 10× the business/user/review key
+    * spaces all grow 10× — exactly the denseIds-dim cardinality growth
+    * the rehearsal must cover. */
+  private def whBuild(spark: SparkSession, dir: String, stage: String): Double = {
+    import graft.dw.Warehouse
+    val pk = col("p_partkey")
+    spark.read.parquet(s"$dir/part.parquet").select(
+        concat(lit("B"), pk).as("business_id"),
+        col("p_name").as("name"),
+        lit(null).cast("string").as("address"),
+        lit("Las Vegas").as("city"),
+        lit("NV").as("state"),
+        lit(null).cast("string").as("postal_code"),
+        lit(null).cast("double").as("latitude"),
+        lit(null).cast("double").as("longitude"),
+        (pk % 2).cast("int").as("is_open"),
+        (pk % 5 + 1).cast("double").as("stars"),
+        (pk % 100).cast("int").as("review_count"),
+        regexp_replace(col("p_type"), " ", ", ").as("categories"),
+        lit(null).cast("map<string,string>").as("attributes"),
+        map(lit("Monday"),
+          concat((pk % 12).cast("string"), lit(":0-"), (pk % 24).cast("string"), lit(":0")))
+          .as("hours"))
+      .write.mode("overwrite").json(s"$stage/business.json")
+    spark.read.parquet(s"$dir/part.parquet").select(
+        concat(lit("B"), pk).as("business_id"),
+        concat(
+          date_format(date_add(lit("1995-01-01").cast("date"), (pk % 365).cast("int")),
+            "yyyy-MM-dd HH:mm:ss"),
+          lit(", "),
+          date_format(date_add(lit("1996-01-01").cast("date"), ((pk * 7) % 365).cast("int")),
+            "yyyy-MM-dd HH:mm:ss")).as("date"))
+      .write.mode("overwrite").json(s"$stage/checkin.json")
+    val ck = col("c_custkey")
+    spark.read.parquet(s"$dir/customer.parquet").select(
+        concat(lit("U"), ck).as("user_id"),
+        col("c_name").as("name"),
+        lit(null).cast("int").as("review_count"),
+        concat(lit("2010-01-"), lpad((ck % 28 + 1).cast("string"), 2, "0"),
+          lit(" 08:30:00")).as("yelping_since"),
+        when(ck % 4 === 0, lit(""))
+          .otherwise(concat(lit("20"), lpad((ck % 10).cast("string"), 2, "0"), lit(","),
+            lit("20"), lpad(((ck + 3) % 10).cast("string"), 2, "0"))).as("elite"),
+        when(ck % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("F"), ck % 7, lit(", F"), ck % 11)).as("friends"))
+      .write.mode("overwrite").json(s"$stage/user.json")
+    val ok = col("o_orderkey")
+    spark.read.parquet(s"$dir/orders.parquet").select(
+        concat(lit("R"), ok).as("review_id"),
+        col("o_custkey").cast("string").as("business_id"),
+        concat(lit("U"), col("o_custkey") % 50).as("user_id"),
+        (ok % 5 + 1).cast("double").as("stars"),
+        (ok % 7).cast("int").as("useful"),
+        (ok % 3).cast("int").as("funny"),
+        (ok % 2).cast("int").as("cool"),
+        concat(lit("review of order "), ok).as("text"),
+        when(ok % 10 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("date"))
+      .write.mode("overwrite").json(s"$stage/review.json")
+    val t0 = System.nanoTime()
+    val tables = Warehouse.build(spark, Warehouse.Inputs(
+      business = s"$stage/business.json", checkin = s"$stage/checkin.json",
+      user = s"$stage/user.json", review = s"$stage/review.json"))
+    val total = tables.map(_._2.count()).sum
+    require(total > 0, "warehouse build produced no rows")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    (System.nanoTime() - t0) / 1e9
   }
 
   private def generate(spark: SparkSession, src: String, out: String,
@@ -131,6 +214,20 @@ object ScaleRehearsal {
       l.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrd))
         .withColumn("l_partkey", col("l_partkey") + lit(i * maxPart))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // part/customer ×K for the warehouse-build probe: the business and
+    // user key spaces (and so the denseIds dim cardinalities) grow K×
+    val pt = spark.read.parquet(s"$src/part.parquet")
+    val maxPk = pt.agg(max("p_partkey")).head().getLong(0) + 1
+    copies(pt) { (p, i) =>
+      p.withColumn("p_partkey", col("p_partkey") + lit(i * maxPk))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    val cu = spark.read.parquet(s"$src/customer.parquet")
+    val maxCk = cu.agg(max("c_custkey")).head().getLong(0) + 1
+    copies(cu) { (c, i) =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(i * maxCk))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     val ev = spark.read.parquet(s"$src/events.parquet")
     val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1

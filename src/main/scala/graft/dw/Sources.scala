@@ -29,7 +29,8 @@ object Sources {
 
   private def readOrEmpty(spark: SparkSession, path: String, schema: StructType)(
       read: String => DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // conf is owned by ops.configure at the entry boundary — a read
+    // helper must not write session state (round-2 hygiene rule).
     val exists = path.nonEmpty && {
       val fsPath = new org.apache.hadoop.fs.Path(path)
       fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fsPath)

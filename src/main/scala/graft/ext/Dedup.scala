@@ -85,6 +85,15 @@ object Dedup {
 
   val dedupNgramJaccard: Q = (s, d) => ngramJaccard(table(s, d, "documents"))
 
+  /** ext02b — the CAPPED configuration of [[ngramJaccard]], driver-checked:
+    * at 100 TB the df cap is mandatory (a boilerplate shingle in df docs
+    * contributes O(df²) join pairs), so the scale-safe path needs its own
+    * oracle row, not just the spec's no-op-cap equality. df ≤ 8 drops hot
+    * posting lists BEFORE the self-join; doc shingle-set sizes are
+    * measured on the capped index (both legs restate that). */
+  val dedupNgramJaccardCapped: Q = (s, d) =>
+    ngramJaccard(table(s, d, "documents"), dfCap = Some(8))
+
   /** ASYMMETRIC containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| over the
     * same shingle inverted index as ext02 — the quote/boilerplate
     * detector: a short doc fully embedded in a longer one scores ~1.0
@@ -130,6 +139,11 @@ object Dedup {
   }
 
   val dedupContainment: Q = (s, d) => containment(table(s, d, "documents"))
+
+  /** ext86b — capped twin of [[containment]] (see [[dedupNgramJaccardCapped]]
+    * for why the capped path gets its own driver-checked row). */
+  val dedupContainmentCapped: Q = (s, d) =>
+    containment(table(s, d, "documents"), dfCap = Some(8))
 
   /** MinHash signatures (16 hashes) + LSH banding (4 bands x 4 rows):
     * shingle → minhash → band → bucket-join → signature-verified estimate.
@@ -474,7 +488,9 @@ object Dedup {
     "ext31_vocab_topdf" -> vocabTopDf,
     "ext01_dedup_exact" -> dedupExact,
     "ext02_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "ext02b_dedup_ngram_jaccard_capped" -> dedupNgramJaccardCapped,
     "ext86_dedup_containment" -> dedupContainment,
+    "ext86b_dedup_containment_capped" -> dedupContainmentCapped,
     "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ext106_lsh_recall_eval" -> lshRecallEval,
     "ext04_dedup_simhash" -> dedupSimhash,
@@ -487,6 +503,17 @@ object Dedup {
       |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                 for i in range(1, len(toks)-1)]) AS sh
       |       FROM tok WHERE len(toks) >= 3)""".stripMargin
+
+  /** The df-capped inverted index: shingles kept only when their document
+    * frequency is ≤ cap — the SQL restatement of the `dfCap` guard. Doc
+    * sizes downstream are measured on THIS capped set, matching the Spark
+    * side. */
+  private def cappedShinglesSql(cap: Int) =
+    s"""$shinglesSql,
+       |shc AS (
+       |  SELECT s.doc_id, s.sh FROM sh s
+       |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $cap) r
+       |    USING (sh))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // true components via recursive CTE over the same top-20 pair edges;
@@ -546,6 +573,41 @@ object Dedup {
          |inter AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sized AS (
+         |  SELECT i.a_id, i.b_id, i.inter, sa.n AS n_a, sb.n AS n_b
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a_id
+         |  JOIN sz sb ON sb.doc_id = i.b_id),
+         |bidir AS (
+         |  SELECT a_id AS src_id, b_id AS dst_id, inter, n_a AS n_src,
+         |    CAST(inter AS DOUBLE) / n_a AS containment
+         |  FROM sized
+         |  UNION ALL
+         |  SELECT b_id, a_id, inter, n_b,
+         |    CAST(inter AS DOUBLE) / n_b
+         |  FROM sized)
+         |SELECT * FROM bidir
+         |ORDER BY containment DESC, src_id, dst_id LIMIT 20""".stripMargin,
+    "ext02b_dedup_ngram_jaccard_capped" ->
+      s"""WITH ${cappedShinglesSql(8)},
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = a_id
+         |JOIN sz sb ON sb.doc_id = b_id
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "ext86b_dedup_containment_capped" ->
+      s"""WITH ${cappedShinglesSql(8)},
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |sized AS (
          |  SELECT i.a_id, i.b_id, i.inter, sa.n AS n_a, sb.n AS n_b

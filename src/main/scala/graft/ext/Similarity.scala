@@ -369,26 +369,47 @@ object Similarity {
   }
 
   /** k-NN label-noise detection — the label-QA pass a training-data
-    * pipeline runs before fitting anything: for every labeled vector,
-    * take its 5 nearest neighbors (cosine, self excluded), vote their
-    * labels (majority, ties to the smaller label id), and flag the
-    * vector when the vote disagrees with its own label. Output is the
+    * pipeline runs before fitting anything — with candidates bounded to
+    * IVF probe-2 cells (ext37's machinery), never all pairs: for every
+    * labeled vector, candidates are the vectors in its TWO nearest
+    * learned k-means cells (a row-local expansion over the broadcast
+    * centroid array), its 5 nearest candidates by cosine vote their
+    * labels (majority, ties to the smaller label id), and the vector is
+    * flagged when the vote disagrees with its own label. Output is the
     * per-label audit summary (population, flagged count, flagged rate).
+    * The cell restriction IS the semantics, exactly as in ext07/ext17/
+    * ext20/ext37 — the oracle restates the same probe-2 bound, and
+    * ext95 is the catalog's measurement of what such bounds cost in
+    * recall.
     *
-    * Scale: the neighbor generation is the ANN tier's problem (ext17/
-    * ext20 buckets at 100 TB; exact form here = the semantics the
-    * buckets approximate); voting adds two keyed aggs on (vec, label)
-    * and vec — map-side combining, no new data-sized state. Scoring uses
-    * the native `graft_cosine` kernel.
+    * Scale: this is the audit that survives 100 TB — pair work is
+    * quadratic only in CELL size (cell count grows with the corpus:
+    * seeds are every 64th vector), the candidate join shuffles on the
+    * cell id like ext20's probe join, and voting adds two keyed aggs
+    * with map-side combine. The only quadratic legs left in the catalog
+    * are the documented sampled baselines (ext06/ext16, ext95's exact
+    * leg). Scoring uses the native `graft_cosine` kernel.
     */
   val labelNoiseKnn: Q = (s, d) => {
-    graft.functions.CosineSimilarity.register(s)
-    val all = table(s, d, "embeddings")
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val neigh = all.as("q").join(all.as("c"),
-        col("c.vec_id") =!= col("q.vec_id"))
-      .select(col("q.vec_id").as("vec_id"), col("q.label").as("label"),
+    val (a1, cents) = kmeansBuild(s, d)
+    // labels re-attach via a keyed equi-join on vec_id (kmeansBuild is
+    // label-agnostic); feeds BOTH sides of the probe join
+    val a1l = a1.join(
+      table(s, d, "embeddings").select(col("vec_id"), col("label")),
+      Seq("vec_id"))
+    val centsRow = broadcast(cents.groupBy()
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents")))
+    // every vector is a query: the probe-2 expansion is row-local over
+    // the broadcast centroid array — 2 rows out per vector, no shuffle
+    val qcells = a1l.crossJoin(centsRow)
+      .select(col("vec_id").as("q_id"), col("label"), col("v"),
+        explode(expr(
+          "slice(transform(array_sort(transform(cents, " +
+            "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
+            "t -> t.cid), 1, 2)")).as("cell"))
+    val neigh = qcells.as("q").join(a1l.as("c"),
+        col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("vec_id"), col("q.label").as("label"),
         col("c.vec_id").as("n_id"), col("c.label").as("n_label"),
         expr("graft_cosine(q.v, c.v)").as("cosine"))
       .withColumn("rank", row_number().over(
@@ -490,16 +511,29 @@ object Similarity {
        |    FROM sub s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // probe-2 cell-bounded kNN: every vector is a query; its candidates
+    // are the vectors assigned to its two nearest learned centroids
+    // (rk <= 2) — the same bound ext37 proves for sampled queries
     "ext77_label_noise_knn" ->
-      s"""WITH $vSql,
+      s"""WITH $kmeansCtesSql,
+         |a1l AS (
+         |  SELECT a1.vec_id, a1.v, a1.norm, a1.cell, x.label
+         |  FROM a1 JOIN v x USING (vec_id)),
+         |qc AS (
+         |  SELECT vec_id AS q_id, label, v, norm, cid AS cell FROM (
+         |    SELECT x.vec_id, x.label, x.v, x.norm, s.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+         |        s.cid) AS rk
+         |    FROM a1l x CROSS JOIN cents s) WHERE rk <= 2),
          |neigh AS (
          |  SELECT q_id AS vec_id, label, n_label FROM (
-         |    SELECT q.vec_id AS q_id, q.label AS label,
+         |    SELECT q.q_id, q.label AS label,
          |      c.vec_id AS n_id, c.label AS n_label,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
          |        list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
          |          / (q.norm * c.norm) DESC, c.vec_id) AS rank
-         |    FROM v q JOIN v c ON c.vec_id <> q.vec_id)
+         |    FROM qc q JOIN a1l c ON q.cell = c.cell AND c.vec_id <> q.q_id)
          |  WHERE rank <= 5),
          |votes AS (
          |  SELECT vec_id, label, n_label, COUNT(*) AS n_votes

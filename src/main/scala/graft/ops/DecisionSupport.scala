@@ -232,7 +232,51 @@ object DecisionSupport {
       .orderBy("prio")
   }
 
+  /** q128 — TPC-H Q20 shape, the last classic decorrelation surface: a
+    * semi join into `IN (… GROUP BY pair HAVING agg > correlated scalar
+    * agg)` — suppliers shipping more than 1/6 of a hot part's total
+    * quantity. The nested IN-over-correlated-agg decorrelates into two
+    * aggregates of the SAME fact: per-(part,supplier) quantities
+    * (restricted to hot parts), and per-part totals (over ALL lineitem —
+    * the correlation is per part, not per hot pair), joined on the part
+    * key; qualifying supplier keys then semi-join the supplier dim.
+    *
+    * Scale: the fact is scanned twice but shuffled only on its join/agg
+    * keys (both aggregates are map-side combinable); per-part totals are
+    * bounded by |part| (broadcast, the q112 discipline); the final semi
+    * join carries distinct supplier keys only. Both thresholds are
+    * cross-multiplied DECIMAL (`6·pair > part_total`; `price·n > Σprice`)
+    * — exact on both engines, so boundary rows cannot flip (class doc).
+    * "Hot" parts are those priced above the part table's own mean (a
+    * second, global scalar subquery in the oracle — q115's 1-row-stats
+    * broadcast here), which keeps the filter meaningful at every SF
+    * (fixture price ranges scale with SF, a fixed cut does not). */
+  val soleSupplierShare: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val part = table(s, d, "part")
+    val priceStats = part.agg(
+      sum(col("p_retailprice").cast(Dec)).as("tot_price"),
+      count(lit(1)).as("n_parts"))
+    val hotParts = part.crossJoin(broadcast(priceStats))
+      .filter(col("p_retailprice").cast(Dec) * col("n_parts") > col("tot_price"))
+      .select(col("p_partkey"))
+    val pairAgg = li.join(broadcast(hotParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("pair_qty"))
+    val partAgg = li
+      .groupBy(col("l_partkey").as("pk2"))
+      .agg(sum(col("l_quantity").cast(Dec)).as("part_qty"))
+    val qualifying = pairAgg.join(broadcast(partAgg), col("pk") === col("pk2"))
+      .filter(col("pair_qty") * lit(6) > col("part_qty"))
+      .select(col("sk")).distinct()
+    table(s, d, "supplier")
+      .join(qualifying, col("s_suppkey") === col("sk"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q128_sole_supplier_share" -> soleSupplierShare,
     "q124_join_elimination" -> joinElimination,
     "q122_dynamic_partition_pruning" -> dynamicPartitionPruning,
     "q120_mv_rewrite" -> mvRewriteRollup,
@@ -243,6 +287,24 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // the Q20 subquery SPELLING is kept — nested IN over a grouped HAVING
+    // with a correlated per-part scalar aggregate; equality with the
+    // explicit two-aggregate semi-join plan is the decorrelation claim
+    "q128_sole_supplier_share" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l.l_suppkey FROM lineitem l
+        |  WHERE l.l_partkey IN (
+        |      SELECT p_partkey FROM part
+        |      WHERE CAST(p_retailprice AS DECIMAL(18,6)) *
+        |            (SELECT COUNT(*) FROM part)
+        |          > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,6)))
+        |             FROM part))
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,6))) * 6 >
+        |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+        |     FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
     // the join SPELLING is kept — equality proves the elimination
     "q124_join_elimination" ->
       """SELECT o_orderpriority AS prio, COUNT(*) AS n,

@@ -187,7 +187,11 @@ object SemiStructured {
     * (source, long) pairs, not payloads. */
   val q118BinaryFile: Q = (s, d) => {
     val tmp = scratchDir(s, "binfile_docs")
+    // pin the non-null contract explicitly on BOTH legs: the text sink
+    // cannot write a null row, and a null `source` partition becomes
+    // __HIVE_DEFAULT_PARTITION__ here while the oracle keeps a NULL group
     table(s, d, "documents").select(col("text"), col("source"))
+      .filter(col("text").isNotNull && col("source").isNotNull)
       .write.mode("overwrite").partitionBy("source").text(tmp)
     // partition INFERENCE (not recursiveFileLookup + path parsing)
     // recovers `source`: directory names are Hive-escaped on write
@@ -500,6 +504,59 @@ object SemiStructured {
         |  UNION ALL SELECT 'v2', * FROM graft_cat.db.tt VERSION AS OF 2
         |  UNION ALL SELECT 'v3', * FROM graft_cat.db.tt VERSION AS OF 3
         |  UNION ALL SELECT 'latest', * FROM graft_cat.db.tt)
+        |GROUP BY ver ORDER BY ver""".stripMargin)
+  }
+
+  /** q129 — optimistic concurrency on the manifest log: TWO independent
+    * catalog instances (a second catalog name over the SAME warehouse
+    * dir — i.e. a second writer with its own cached table handle) commit
+    * interleaved INSERTs. The second writer's handle still believes v0
+    * when it commits; its conditional append (expected-version check
+    * under the manifest lock, `SegStore.commitVersion`) loses the race,
+    * re-reads the log, rebases onto the winner's head, and lands as v2 —
+    * BOTH writers' rows survive, which is exactly the lost-update test.
+    * `VERSION AS OF 2` appearing with the full row population in the
+    * hash-checked output IS the proof the rebase happened (without it
+    * the log would hold two v1 lines and the reopened read would miss
+    * writer A's segments).
+    *
+    * Scale: the commit races on the MANIFEST only (a few KB of names +
+    * stats) — data files are immutable and land before the commit, so
+    * contention cost is a re-read of the version log, never data IO; at
+    * 1000 concurrent writers this is the same bounded-retry conditional
+    * append Iceberg/Delta run against their object stores. */
+  val q129ConcurrentCommits: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    // resolve writer B's catalog once (the manager caches the instance),
+    // then restore the conf — same no-leak discipline as
+    // ensureGraftCatalog; SQL keeps resolving graft_cat2 from the cache
+    val wh = sys.props("java.io.tmpdir") + "/graft_warehouse/graft_cat"
+    val keys = Seq("spark.sql.catalog.graft_cat2" -> "graft.sources.GraftCatalog",
+      "spark.sql.catalog.graft_cat2.warehouse" -> wh)
+    val saved = keys.map { case (k, _) => k -> s.conf.getAll.get(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    s.sessionState.catalogManager.catalog("graft_cat2")
+    saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cc_t")
+    s.sql("CREATE TABLE graft_cat.db.cc_t (id BIGINT, v BIGINT)")
+    // writer B caches its OWN handle at v0 (refresh drops any cross-run
+    // stale handle first, then the load below re-opens from disk)
+    s.sql("REFRESH TABLE graft_cat2.db.cc_t")
+    s.sql("SELECT COUNT(*) FROM graft_cat2.db.cc_t").collect()
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_cc")
+    s.sql("INSERT INTO graft_cat.db.cc_t SELECT id, v FROM graft_seq_cc WHERE id < 1000")
+    // stale-handle commit: expected v0, disk head v1 → rebase → v2
+    s.sql("INSERT INTO graft_cat2.db.cc_t SELECT id, v FROM graft_seq_cc WHERE id >= 1000")
+    s.sql("REFRESH TABLE graft_cat.db.cc_t") // adopt the converged log
+    s.sql(
+      """SELECT ver, COUNT(*) AS n, SUM(v) AS v_sum FROM (
+        |  SELECT 'v2_both' AS ver, * FROM graft_cat.db.cc_t VERSION AS OF 2
+        |  UNION ALL SELECT 'latest', * FROM graft_cat.db.cc_t)
         |GROUP BY ver ORDER BY ver""".stripMargin)
   }
 
@@ -1140,6 +1197,7 @@ object SemiStructured {
     "q85_metadata_columns" -> q85MetadataColumns,
     "q86_catalog_function" -> q86CatalogFunction,
     "q87_catalog_time_travel" -> q87CatalogTimeTravel,
+    "q129_concurrent_commits" -> q129ConcurrentCommits,
     "q88_catalog_update" -> q88CatalogUpdate,
     "q89_catalog_merge" -> q89CatalogMerge,
     "q90_catalog_alter" -> q90CatalogAlter,
@@ -1329,7 +1387,9 @@ object SemiStructured {
     // (DuckDB strlen = BYTE length of a VARCHAR)
     "q118_binary_file" ->
       """SELECT source, CAST(SUM(strlen(text) + 1) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM documents
+        |WHERE text IS NOT NULL AND source IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q64_custom_sink" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
@@ -1394,6 +1454,15 @@ object SemiStructured {
         |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
         |  MAX(id) AS id_max
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
+    // both versions hold BOTH writers' rows — the lost-update proof
+    "q129_concurrent_commits" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum FROM (
+        |  SELECT 'v2_both' AS ver, * FROM t
+        |  UNION ALL SELECT 'latest', * FROM t)
+        |GROUP BY ver ORDER BY ver""".stripMargin,
     "q85_metadata_columns" ->
       """SELECT r.range // 2500 AS _split, COUNT(*) AS n,
         |  MIN(r.range) AS id_min, MAX(r.range) AS id_max

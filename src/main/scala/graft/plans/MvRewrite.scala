@@ -109,7 +109,10 @@ case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // restate over the MV's partials
     val mvAggCols = aggs.flatMap {
       case ar: AttributeReference if groupNames.contains(ar.name) => None
-      case al @ Alias(ae: AggregateExpression, name) if !ae.isDistinct =>
+      // DISTINCT partials are not mergeable; a FILTER clause predicates
+      // per-fact-row and cannot be restated over pre-aggregated partials
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case s: Sum => s.child match {
             case ar: AttributeReference if mv.sumMap.contains(ar.name) =>
@@ -143,8 +146,13 @@ case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // splice only if every original output resolves by name with the
     // same type; alias back to the ORIGINAL exprIds so parents are
-    // untouched
+    // untouched. Spark permits duplicate output names (e.g.
+    // groupBy(c).agg(sum(x).as(c.name))) — a by-name map would silently
+    // collapse them, so decline the rewrite in that case.
     val out: Seq[Attribute] = agg.output
+    if (out.map(_.name).distinct.size != out.size ||
+      analyzed.output.map(_.name).distinct.size != analyzed.output.size)
+      return None
     if (!out.forall(o => byName.get(o.name).exists(_.dataType == o.dataType)))
       return None
     Some(Project(

@@ -532,11 +532,31 @@ class SegTable private (ident: String, dir: Path,
   private[graft] def currentVersion: Long = cur.v
   private[graft] def currentSegs: Seq[Seg] = cur.segs
 
-  /** Append one manifest version atomically (in memory + on disk). */
+  /** Commit one manifest version with OPTIMISTIC CONCURRENCY (the
+    * lakehouse commit contract): the append lands only if the on-disk
+    * log's head is still the version this handle built against; on a
+    * conflict (another catalog instance — a second session, process, or
+    * a stream's cloned-session catalog — published first) the handle
+    * re-reads the manifest, REBASES by re-applying `f` to the winner's
+    * head, and retries, bounded. Lost updates are impossible: every
+    * surviving version line was derived from the line before it. `f`
+    * must therefore be a pure function of the current version — every
+    * caller builds "append these segments / swap these segments / evolve
+    * this schema" exactly that way. */
   private def publish(f: SegVersion => SegVersion): Unit = synchronized {
-    val next = f(cur).copy(v = cur.v + 1)
-    SegStore.appendVersion(dir, next)
-    versions :+= next
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val next = f(cur).copy(v = cur.v + 1)
+      done = SegStore.commitVersion(dir, cur.v, next)
+      if (done) versions :+= next
+      else {
+        attempts += 1
+        if (attempts > 5) throw new java.util.ConcurrentModificationException(
+          s"$ident: lost the commit race $attempts times (last seen v=${cur.v})")
+        versions = SegStore.readVersions(dir) // rebase on the winner's head
+      }
+    }
   }
 
   /** Incremental read (the Iceberg incremental-append-scan primitive):
@@ -635,16 +655,23 @@ class SegTable private (ident: String, dir: Path,
     * fails with the existing "no version" error. Returns
     * (versionsExpired, filesDeleted). */
   private[graft] def expire(keepLast: Int): (Long, Long) = synchronized {
-    val k = math.max(keepLast, 1)
-    val keep = versions.takeRight(k)
-    val dropped = versions.dropRight(k)
-    if (dropped.isEmpty) return (0L, 0L)
-    val live = keep.flatMap(_.segs.map(_.file)).toSet
-    val dead = dropped.flatMap(_.segs.map(_.file)).distinct.filterNot(live.contains)
-    SegStore.rewriteVersions(dir, keep) // manifest first: crash-safe order
-    versions = keep
-    dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-    (dropped.size.toLong, dead.size.toLong)
+    // whole read-truncate-rewrite under the manifest's dir lock: a
+    // concurrent writer's conditional append serializes against the
+    // rewrite instead of landing between read and move (where truncation
+    // would silently drop the winner's committed version)
+    SegStore.withDirLock(dir) {
+      versions = SegStore.readVersions(dir) // adopt concurrent commits first
+      val k = math.max(keepLast, 1)
+      val keep = versions.takeRight(k)
+      val dropped = versions.dropRight(k)
+      if (dropped.isEmpty) return (0L, 0L)
+      val live = keep.flatMap(_.segs.map(_.file)).toSet
+      val dead = dropped.flatMap(_.segs.map(_.file)).distinct.filterNot(live.contains)
+      SegStore.rewriteVersions(dir, keep) // manifest first: crash-safe order
+      versions = keep
+      dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      (dropped.size.toLong, dead.size.toLong)
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1727,6 +1754,41 @@ object SegStore {
     Files.write(dir.resolve(MetaFile),
       versionLine(v).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  /** In-JVM stripe for the cross-process file lock below: two catalog
+    * instances in ONE JVM (a stream's cloned session, a second
+    * SparkSession) would otherwise hit OverlappingFileLockException —
+    * the JVM owns a file lock once, so same-JVM writers serialize here
+    * first. */
+  private val dirLocks = new ConcurrentHashMap[String, Object]()
+  def withDirLock[T](dir: Path)(body: => T): T =
+    dirLocks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
+      .synchronized(body)
+
+  /** Conditional append — the optimistic-concurrency primitive: under an
+    * exclusive manifest lock (JVM stripe + OS file lock, so writers in
+    * other processes serialize too), append `v` iff the log's current
+    * head is still `expectedV`. Returns false on a stale expectation;
+    * the caller re-reads and rebases ([[SegTable]]'s publish loop). */
+  def commitVersion(dir: Path, expectedV: Long, v: SegVersion): Boolean =
+    withDirLock(dir) {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(MetaFile),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.READ)
+      try {
+        val lock = ch.lock()
+        try {
+          val head = readVersions(dir).lastOption.map(_.v).getOrElse(-1L)
+          if (head != expectedV) false
+          else {
+            ch.position(ch.size())
+            ch.write(java.nio.ByteBuffer.wrap(
+              versionLine(v).getBytes(StandardCharsets.UTF_8)))
+            true
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
 
   /** Replace the manifest log wholesale (snapshot expiration): write to a
     * temp file, then atomically move over `_meta.json`. */

@@ -1241,10 +1241,12 @@ object Streams {
           val bs = batch.sparkSession
           graft.ops.ensureGraftCatalog(bs)
           // the constraint comes from the TABLE, not the pipeline code
-          val check = bs.sessionState.catalogManager.catalog("graft_cat")
+          val check = Option(bs.sessionState.catalogManager.catalog("graft_cat")
             .asInstanceOf[graft.sources.GraftCatalog]
-            .segTable("db.qr_t").properties().get(graft.sources.SegCheck.PropKey)
-          val pass = coalesce(expr(check), lit(true)) // SQL CHECK: NULL passes
+            .segTable("db.qr_t").properties().get(graft.sources.SegCheck.PropKey))
+          // constraint dropped mid-stream ⇒ everything passes, stream lives
+          val pass = check.map(c => coalesce(expr(c), lit(true))) // SQL CHECK: NULL passes
+            .getOrElse(lit(true))
           // insert-only MERGEs keyed on id, NOT blind appends: foreachBatch
           // re-runs the WHOLE batch on failure, and with two independent
           // commits a crash between them would double-append the first

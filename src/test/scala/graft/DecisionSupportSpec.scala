@@ -40,6 +40,19 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(viaAvg == viaDec)
   }
 
+  test("q128 sole-supplier share: semi join, broadcast per-part agg, no cartesian") {
+    val df = DecisionSupport.soleSupplierShare(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // supplier keys distinct and sorted — the semi join cannot multiply rows
+    val keys = rows.map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted && keys.distinct.size == keys.size)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q113 order-count distribution covers zero-order customers") {
     val df = DecisionSupport.orderCountDistribution(spark, sf)
     val rows = df.collect()

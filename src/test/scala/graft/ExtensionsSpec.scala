@@ -112,6 +112,28 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("label-noise kNN: candidates cell-bounded — no all-pairs join in the plan") {
+    val df = Similarity.labelNoiseKnn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins allowed are the Cross joins against the
+    // ONE-ROW broadcast centroid aggregate; an Inner BNLJ would be the
+    // old all-pairs shape (corpus × corpus on vec_id <>)
+    assert("BroadcastNestedLoopJoin[^\n]*Inner".r.findFirstIn(plan).isEmpty, plan)
+    // the candidate join keys on the cell id — a hash-partitioned equi join
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_vecs"))
+      val f = r.getLong(r.fieldIndex("n_flagged"))
+      assert(f >= 0 && f <= n)
+      val rate = r.getDouble(r.fieldIndex("flagged_rate"))
+      assert(math.abs(rate - f.toDouble / n) < 1e-12)
+    }
+  }
+
   test("ann recall: one row per sampled query, recall in [0,1], hits bounded by k") {
     val rows = Similarity.annRecall(spark, sf).collect()
     val nQueries = ops.table(spark, sf, "embeddings")

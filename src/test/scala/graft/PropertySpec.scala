@@ -184,4 +184,62 @@ class PropertySpec extends SparkTestBase {
       assert(got.forall(m => m >= 0 && m < 24))
     }
   }
+
+  test("catalog DML fuzz: random insert/delete/compact under CHECK equals a model") {
+    // the three newest catalog features COMPOSE: CHECK re-verify on every
+    // write (violating batches abort atomically), DELETE via metadata drop
+    // when zone maps decide whole segments — row-level rewrite otherwise,
+    // and compaction OR-merging segment blooms. A random op sequence must
+    // leave the table row-equal to a driver-side model, and bloom-pruned
+    // point reads must agree after any number of compactions.
+    ops.ensureGraftCatalog(spark)
+    sealed trait Op
+    case class Ins(rows: List[(Long, Long)]) extends Op
+    case class Del(lo: Long, hi: Long) extends Op
+    case object Compact extends Op
+
+    val genRow = Gen.zip(Gen.chooseNum(0L, 499L), Gen.chooseNum(-50L, 1000L))
+    val genIns: Gen[Op] = Gen.nonEmptyListOf(genRow).map(l => Ins(l.take(40)))
+    val genDel: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 200L))
+      .map { case (lo, w) => Del(lo, lo + w) }
+    val genOp: Gen[Op] = Gen.frequency(5 -> genIns, 3 -> genDel, 2 -> Gen.const(Compact))
+
+    samples(Gen.listOfN(8, genOp), 5).zipWithIndex.foreach { case (opsSeq, i) =>
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.fuzz_t")
+      spark.sql(
+        """CREATE TABLE graft_cat.db.fuzz_t (id BIGINT, v BIGINT)
+          |TBLPROPERTIES ('graft.check' = 'v >= 0')""".stripMargin)
+      val model = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      opsSeq.foreach {
+        case Ins(rows) =>
+          val vals = rows.map { case (id, v) => s"($id, $v)" }.mkString(", ")
+          if (rows.forall(_._2 >= 0)) {
+            spark.sql(s"INSERT INTO graft_cat.db.fuzz_t VALUES $vals")
+            model ++= rows
+          } else {
+            // CHECK violation aborts the WHOLE batch: no partial state
+            intercept[Exception](
+              spark.sql(s"INSERT INTO graft_cat.db.fuzz_t VALUES $vals"))
+          }
+        case Del(lo, hi) =>
+          spark.sql(
+            s"DELETE FROM graft_cat.db.fuzz_t WHERE id >= $lo AND id < $hi")
+          val keep = model.filterNot(r => r._1 >= lo && r._1 < hi)
+          model.clear(); model ++= keep
+        case Compact =>
+          spark.sql("CALL graft_cat.system.compact('db.fuzz_t', 1048576)")
+      }
+      val got = spark.sql("SELECT id, v FROM graft_cat.db.fuzz_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === model.sorted.toSeq, s"scan diverged from model, seq#$i: $opsSeq")
+      // point reads drive the (possibly OR-merged) blooms; counts must be
+      // exact — a bloom can admit a dead segment, never hide a live row
+      Seq(0L, 123L, 499L).foreach { k =>
+        val n = spark.sql(
+          s"SELECT COUNT(*) AS n FROM graft_cat.db.fuzz_t WHERE id = $k")
+          .collect()(0).getLong(0)
+        assert(n === model.count(_._1 == k).toLong, s"point read id=$k, seq#$i")
+      }
+    }
+  }
 }

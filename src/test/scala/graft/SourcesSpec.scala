@@ -841,4 +841,26 @@ class SourcesSpec extends SparkTestBase {
       "SELECT COUNT(*) FROM graft_cat.db.bloom_t").collect()(0).getLong(0)
     assert(full === spark.read.parquet(s"$sf/orders.parquet").count())
   }
+
+  test("optimistic commit: stale second writer rebases; both inserts survive (q129)") {
+    // end-to-end: two catalog INSTANCES over one warehouse dir commit
+    // interleaved INSERTs; the stale handle's conditional append must
+    // rebase, so v2 (and latest) hold BOTH writers' 2000 rows
+    val rows = ops.SemiStructured.q129ConcurrentCommits(spark, sf).collect()
+    assert(rows.length === 2)
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("n")) === 2000L, r))
+
+    // low-level contract: a conditional append against a stale expected
+    // version is refused and leaves the log untouched
+    import graft.sources.{SegStore, SegVersion}
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    val v0 = SegVersion(0L, Array(0), schema, None, Nil)
+    SegStore.appendVersion(dir, v0)
+    assert(SegStore.commitVersion(dir, 0L, v0.copy(v = 1L)))
+    assert(!SegStore.commitVersion(dir, 0L, v0.copy(v = 2L)),
+      "stale expected version must be refused")
+    assert(SegStore.readVersions(dir).map(_.v) === Vector(0L, 1L))
+  }
 }
