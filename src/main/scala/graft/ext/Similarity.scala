@@ -412,17 +412,7 @@ object Similarity {
       .select(col("q.q_id").as("vec_id"), col("q.label").as("label"),
         col("c.vec_id").as("n_id"), col("c.label").as("n_label"),
         expr("graft_cosine(q.v, c.v)").as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("n_id"))))
-      .filter(col("rank") <= 5)
-    val votes = neigh.groupBy("vec_id", "label", "n_label")
-      .agg(count(lit(1)).as("n_votes"))
-    val majority = votes
-      .withColumn("vote_rank", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("n_votes").desc, col("n_label"))))
-      .filter(col("vote_rank") === 1)
-      .select(col("vec_id"), col("label"), col("n_label").as("knn_label"))
+    val majority = knnVote(neigh)
     majority.groupBy("label").agg(
       count(lit(1)).as("n_vecs"),
       sum(when(col("knn_label") =!= col("label"), 1L).otherwise(0L))
@@ -432,8 +422,77 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** k=5 cosine-kNN majority vote (ties to the smaller label id) over
+    * scored candidate rows (vec_id, label, n_id, n_label, cosine) —
+    * shared by ext77 and its ext108 quality eval so the two legs vote
+    * IDENTICALLY. Returns (vec_id, label, knn_label). */
+  private def knnVote(scored: DataFrame): DataFrame = {
+    val neigh = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+    neigh.groupBy("vec_id", "label", "n_label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vote_rank", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("n_votes").desc, col("n_label"))))
+      .filter(col("vote_rank") === 1)
+      .select(col("vec_id"), col("label"), col("n_label").as("knn_label"))
+  }
+
+  /** ext108 — quality eval of the CELL-BOUNDED label-noise audit: on a
+    * sampled query set (every 20th vector; the exact leg must stay
+    * sample-sized, the ext06/ext95 discipline), run the k=5 vote twice —
+    * candidates bounded to the query's probe-2 cells (ext77's production
+    * semantics) vs the exact all-corpus candidates — and report per-label
+    * vote agreement. This is the downstream-task answer to "what does the
+    * IVF bound cost?": ext95 measures neighbor-set recall, ext108 whether
+    * the AUDIT VERDICT changes. Both legs share [[knnVote]], so any
+    * disagreement is candidate-set restriction, never vote mechanics.
+    *
+    * Scale: the bounded leg is ext77's plan on a 5% sample; the exact leg
+    * is sample × corpus — fixed query batch against one corpus scan, the
+    * documented evaluation cost every production ANN deployment pays
+    * offline. */
+  val labelNoiseRecall: Q = (s, d) => {
+    val (a1, cents) = kmeansBuild(s, d)
+    val a1l = a1.join(
+      table(s, d, "embeddings").select(col("vec_id"), col("label")),
+      Seq("vec_id"))
+    val centsRow = broadcast(cents.groupBy()
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents")))
+    val sample = a1l.filter(col("vec_id") % 20 === 0)
+    val qcells = sample.crossJoin(centsRow)
+      .select(col("vec_id").as("q_id"), col("label"), col("v"),
+        explode(expr(
+          "slice(transform(array_sort(transform(cents, " +
+            "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
+            "t -> t.cid), 1, 2)")).as("cell"))
+    val bounded = knnVote(qcells.as("q").join(a1l.as("c"),
+        col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("vec_id"), col("q.label").as("label"),
+        col("c.vec_id").as("n_id"), col("c.label").as("n_label"),
+        expr("graft_cosine(q.v, c.v)").as("cosine")))
+      .withColumnRenamed("knn_label", "bounded_label")
+    val exact = knnVote(sample.as("q").join(a1l.as("c"),
+        col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("q.label").as("label"),
+        col("c.vec_id").as("n_id"), col("c.label").as("n_label"),
+        expr("graft_cosine(q.v, c.v)").as("cosine")))
+      .withColumnRenamed("knn_label", "exact_label")
+    exact.join(bounded, Seq("vec_id", "label"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("bounded_label") === col("exact_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_rate",
+        col("n_agree").cast("double") / col("n_sampled"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext77_label_noise_knn" -> labelNoiseKnn,
+    "ext108_label_noise_recall" -> labelNoiseRecall,
     "ext75_sim_topk_ivfpq" -> pqTopK,
     "ext06_sim_topk_bruteforce" -> bruteForceTopK,
     "ext07_sim_topk_ivf" -> ivfTopK,
@@ -511,6 +570,56 @@ object Similarity {
        |    FROM sub s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // sampled queries, both candidate policies, same k=5 vote: per-label
+    // agreement between the probe-2-bounded audit and the exact audit
+    "ext108_label_noise_recall" ->
+      s"""WITH $kmeansCtesSql,
+         |a1l AS (
+         |  SELECT a1.vec_id, a1.v, a1.norm, a1.cell, x.label
+         |  FROM a1 JOIN v x USING (vec_id)),
+         |qs AS (SELECT * FROM a1l WHERE vec_id % 20 = 0),
+         |qc AS (
+         |  SELECT vec_id AS q_id, label, v, norm, cid AS cell FROM (
+         |    SELECT x.vec_id, x.label, x.v, x.norm, s.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+         |        s.cid) AS rk
+         |    FROM qs x CROSS JOIN cents s) WHERE rk <= 2),
+         |bn AS (
+         |  SELECT q_id AS vec_id, label, n_label FROM (
+         |    SELECT q.q_id, q.label, c.vec_id AS n_id, c.label AS n_label,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |          / (q.norm * c.norm) DESC, c.vec_id) AS rank
+         |    FROM qc q JOIN a1l c ON q.cell = c.cell AND c.vec_id <> q.q_id)
+         |  WHERE rank <= 5),
+         |bv AS (
+         |  SELECT vec_id, label, n_label AS bounded_label FROM (
+         |    SELECT vec_id, label, n_label, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY COUNT(*) DESC, n_label) AS vote_rank
+         |    FROM bn GROUP BY vec_id, label, n_label)
+         |  WHERE vote_rank = 1),
+         |en AS (
+         |  SELECT q_id AS vec_id, label, n_label FROM (
+         |    SELECT q.vec_id AS q_id, q.label, c.vec_id AS n_id, c.label AS n_label,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |          / (q.norm * c.norm) DESC, c.vec_id) AS rank
+         |    FROM qs q JOIN a1l c ON c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |ev AS (
+         |  SELECT vec_id, label, n_label AS exact_label FROM (
+         |    SELECT vec_id, label, n_label, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY COUNT(*) DESC, n_label) AS vote_rank
+         |    FROM en GROUP BY vec_id, label, n_label)
+         |  WHERE vote_rank = 1)
+         |SELECT label, COUNT(*) AS n_sampled,
+         |  CAST(SUM(CASE WHEN bounded_label = exact_label THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_agree,
+         |  CAST(CAST(SUM(CASE WHEN bounded_label = exact_label THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS DOUBLE) / COUNT(*) AS agree_rate
+         |FROM ev JOIN bv USING (vec_id, label)
+         |GROUP BY label ORDER BY label""".stripMargin,
     // probe-2 cell-bounded kNN: every vector is a query; its candidates
     // are the vectors assigned to its two nearest learned centroids
     // (rk <= 2) — the same bound ext37 proves for sampled queries

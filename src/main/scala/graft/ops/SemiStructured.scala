@@ -1070,6 +1070,39 @@ object SemiStructured {
         |FROM graft_cat.db.exp_t""".stripMargin)
   }
 
+  /** q130 — orphan-file GC (`CALL system.vacuum`): two files planted in
+    * the table dir simulate a writer that crashed between staging its
+    * segment files and committing (the abort hook never ran — the one
+    * leak the commit protocol cannot clean up by itself). Vacuum deletes
+    * exactly the unreferenced files (grace period 0 — single-writer
+    * setting; production default is 1 h so in-flight writers' staged
+    * files survive), committed data is untouched, and a second pass
+    * deletes nothing — both counts and the table content land in the
+    * hash-checked output. */
+  val q130CatalogVacuum: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.vac_t")
+    s.sql("CREATE TABLE graft_cat.db.vac_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_vac")
+    s.sql("INSERT INTO graft_cat.db.vac_t SELECT id, v FROM graft_seq_vac WHERE id < 1000")
+    s.sql("INSERT INTO graft_cat.db.vac_t SELECT id, v FROM graft_seq_vac WHERE id >= 1000")
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_warehouse", "graft_cat", "db.vac_t")
+    java.nio.file.Files.write(dir.resolve("orphan_a.seg"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("orphan_b.seg"), Array[Byte](4, 5))
+    val first = s.sql("CALL graft_cat.system.vacuum('db.vac_t', 0)")
+      .collect()(0).getLong(0)
+    val second = s.sql("CALL graft_cat.system.vacuum('db.vac_t', 0)")
+      .collect()(0).getLong(0)
+    s.sql(
+      s"""SELECT COUNT(*) AS n, SUM(v) AS v_sum,
+         |  CAST($first AS BIGINT) AS n_orphans_deleted,
+         |  CAST($second AS BIGINT) AS n_second_pass
+         |FROM graft_cat.db.vac_t""".stripMargin)
+  }
+
   /** Table lifecycle DDL on the custom catalog: `ALTER TABLE … RENAME TO`
     * routes to `TableCatalog.renameTable` (a pure manifest-pointer move —
     * segments never copy, history travels with the table) and `TRUNCATE
@@ -1206,6 +1239,7 @@ object SemiStructured {
     "q93_catalog_default" -> q93CatalogDefault,
     "q94_catalog_compact" -> q94CatalogCompact,
     "q95_catalog_expire" -> q95CatalogExpire,
+    "q130_catalog_vacuum" -> q130CatalogVacuum,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1454,6 +1488,16 @@ object SemiStructured {
         |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
         |  MAX(id) AS id_max
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
+    // exactly the two planted orphans deleted, committed rows untouched,
+    // second pass a no-op
+    "q130_catalog_vacuum" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |  CAST(2 AS BIGINT) AS n_orphans_deleted,
+        |  CAST(0 AS BIGINT) AS n_second_pass
+        |FROM t""".stripMargin,
     // both versions hold BOTH writers' rows — the lost-update proof
     "q129_concurrent_commits" ->
       """WITH t AS (

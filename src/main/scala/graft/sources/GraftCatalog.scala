@@ -144,15 +144,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * garbage-collects segment files no retained version references. */
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "compact"),
-      Identifier.of(namespace, "expire_versions"))
+      Identifier.of(namespace, "expire_versions"),
+      Identifier.of(namespace, "vacuum"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
       case "compact" => new CompactProcedure(this)
       case "expire_versions" => new ExpireVersionsProcedure(this)
+      case "vacuum" => new VacuumProcedure(this)
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure `$other` " +
-          "(available: compact, expire_versions)")
+          "(available: compact, expire_versions, vacuum)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -671,6 +673,33 @@ class SegTable private (ident: String, dir: Path,
       versions = keep
       dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
       (dropped.size.toLong, dead.size.toLong)
+    }
+  }
+
+  /** Orphan-file GC (`CALL system.vacuum`): delete table-dir files that
+    * no retained manifest version references — the leftovers of a writer
+    * that crashed BETWEEN staging its segments and committing (the abort
+    * hook never ran). Committed data is never touched: the live set is
+    * re-read from disk under the manifest lock, so files committed by a
+    * concurrent catalog instance are seen. `maxAgeMs` is the standard
+    * lakehouse grace period — an IN-FLIGHT write's staged-but-uncommitted
+    * segments look exactly like orphans, so production vacuums only
+    * reclaim files older than any plausible write (default 1 h); tests
+    * pass 0 in single-writer settings. Returns (orphans deleted, live
+    * files kept). */
+  private[graft] def vacuum(maxAgeMs: Long): (Long, Long) = synchronized {
+    SegStore.withDirLock(dir) {
+      versions = SegStore.readVersions(dir)
+      val live = versions.flatMap(_.segs.map(_.file)).toSet
+      val cutoff = System.currentTimeMillis() - math.max(maxAgeMs, 0L)
+      val orphans = Files.list(dir).iterator().asScala.toSeq
+        .filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString)
+        .filterNot(_.startsWith(SegStore.MetaFile)) // manifest + its .tmp
+        .filterNot(live.contains)
+        .filter(n => Files.getLastModifiedTime(dir.resolve(n)).toMillis <= cutoff)
+      orphans.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      (orphans.size.toLong, live.size.toLong)
     }
   }
 
@@ -1959,6 +1988,34 @@ class ExpireVersionsProcedure(catalog: GraftCatalog) extends UnboundProcedure {
         StructField("files_deleted", LongType, nullable = false)))
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](expired, deleted)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.vacuum('db.t' [, max_age_ms])`. */
+class VacuumProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "delete unreferenced table-dir files older than max_age_ms (orphan GC)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String = VacuumProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_age_ms", LongType)
+        .defaultValue((60L * 60 * 1000).toString)
+        .comment("grace period protecting in-flight writers' staged files")
+        .build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val (deleted, kept) =
+        catalog.segTable(input.getUTF8String(0).toString)
+          .vacuum(input.getLong(1))
+      val schema = StructType(Seq(
+        StructField("orphans_deleted", LongType, nullable = false),
+        StructField("live_files", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](deleted, kept)))).iterator()
     }
   }
 }

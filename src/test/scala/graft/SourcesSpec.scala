@@ -842,6 +842,32 @@ class SourcesSpec extends SparkTestBase {
     assert(full === spark.read.parquet(s"$sf/orders.parquet").count())
   }
 
+  test("vacuum: grace period protects fresh files; live segments never deleted") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.vacspec_t")
+    spark.sql("CREATE TABLE graft_cat.db.vacspec_t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_cat.db.vacspec_t VALUES (1, 10), (2, 20)")
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_warehouse", "graft_cat", "db.vacspec_t")
+    java.nio.file.Files.write(dir.resolve("stale_orphan.seg"), Array[Byte](9))
+    // a fresh orphan inside the grace period is an IN-FLIGHT writer's
+    // staged file — vacuum must not touch it
+    val protectedRun = spark.sql(
+      "CALL graft_cat.system.vacuum('db.vacspec_t', 3600000)").collect()(0)
+    assert(protectedRun.getLong(0) === 0L, "grace period ignored")
+    assert(java.nio.file.Files.exists(dir.resolve("stale_orphan.seg")))
+    // past the grace period it is a crash leftover — reclaimed
+    val gc = spark.sql(
+      "CALL graft_cat.system.vacuum('db.vacspec_t', 0)").collect()(0)
+    assert(gc.getLong(0) === 1L)
+    assert(!java.nio.file.Files.exists(dir.resolve("stale_orphan.seg")))
+    // committed data intact through both passes
+    val rows = spark.sql(
+      "SELECT id, v FROM graft_cat.db.vacspec_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("optimistic commit: stale second writer rebases; both inserts survive (q129)") {
     // end-to-end: two catalog INSTANCES over one warehouse dir commit
     // interleaved INSERTs; the stale handle's conditional append must
