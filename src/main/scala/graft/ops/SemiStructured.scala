@@ -1103,6 +1103,52 @@ object SemiStructured {
          |FROM graft_cat.db.vac_t""".stripMargin)
   }
 
+  /** q131 — zero-copy SHALLOW CLONE (`CALL system.clone`): the clone's
+    * first manifest version references the source's segment files by
+    * absolute path, so cloning costs one manifest write regardless of
+    * table size — at 100 TB this is the difference between an instant
+    * dev/test/WAP sandbox and a day-long copy job. The proof pinned in
+    * the hash-checked output: (1) `n_copied_files = 0` — the clone's
+    * directory holds no data file right after the clone, only the
+    * manifest; (2) the clone then DIVERGES (an INSERT lands local
+    * segments, a DELETE copy-on-writes the FOREIGN segments into local
+    * replacements) while (3) the source's row population is untouched —
+    * the divergence never wrote into the source's files
+    * ([[graft.sources.Seg.isExternal]] keeps clone GC off them). */
+  val q131ShallowClone: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cl_dst")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cl_src")
+    s.sql("CREATE TABLE graft_cat.db.cl_src (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "3000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_cl")
+    s.sql("INSERT INTO graft_cat.db.cl_src SELECT id, v FROM graft_seq_cl WHERE id < 1000")
+    s.sql("INSERT INTO graft_cat.db.cl_src SELECT id, v FROM graft_seq_cl WHERE id >= 1000 AND id < 2000")
+    s.sql("CALL graft_cat.system.clone('db.cl_src', 'db.cl_dst')")
+    val dstDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_warehouse", "graft_cat", "db.cl_dst")
+    val copied = {
+      val st = java.nio.file.Files.list(dstDir)
+      try st.filter(p => !p.getFileName.toString.startsWith("_meta")).count()
+      finally st.close()
+    }
+    s.sql("INSERT INTO graft_cat.db.cl_dst SELECT id, v FROM graft_seq_cl WHERE id >= 2000")
+    // v spans ~the full [0,1000) domain in every segment, so the zone maps
+    // cannot answer this definitively → the row-level copy-on-write path
+    // rewrites the affected (foreign!) segments into local replacements
+    s.sql("DELETE FROM graft_cat.db.cl_dst WHERE v < 100")
+    s.sql(
+      s"""SELECT part, n, v_sum, n_copied_files FROM (
+         |  SELECT 'src' AS part, COUNT(*) AS n, SUM(v) AS v_sum,
+         |    CAST($copied AS BIGINT) AS n_copied_files
+         |  FROM graft_cat.db.cl_src
+         |  UNION ALL
+         |  SELECT 'dst', COUNT(*), SUM(v), CAST($copied AS BIGINT)
+         |  FROM graft_cat.db.cl_dst)
+         |ORDER BY part""".stripMargin)
+  }
+
   /** Table lifecycle DDL on the custom catalog: `ALTER TABLE … RENAME TO`
     * routes to `TableCatalog.renameTable` (a pure manifest-pointer move —
     * segments never copy, history travels with the table) and `TRUNCATE
@@ -1240,6 +1286,7 @@ object SemiStructured {
     "q94_catalog_compact" -> q94CatalogCompact,
     "q95_catalog_expire" -> q95CatalogExpire,
     "q130_catalog_vacuum" -> q130CatalogVacuum,
+    "q131_shallow_clone" -> q131ShallowClone,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1488,6 +1535,21 @@ object SemiStructured {
         |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
         |  MAX(id) AS id_max
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
+    // src keeps its full 2000-row population (the clone's divergence
+    // never touched it); dst = clone + inserted tail minus the deleted
+    // band; zero data files copied at clone time
+    "q131_shallow_clone" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r)
+        |SELECT part, n, v_sum, n_copied_files FROM (
+        |  SELECT 'src' AS part, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
+        |    CAST(0 AS BIGINT) AS n_copied_files
+        |  FROM t WHERE id < 2000
+        |  UNION ALL
+        |  SELECT 'dst', COUNT(*), CAST(SUM(v) AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM t WHERE NOT (v < 100))
+        |ORDER BY part""".stripMargin,
     // exactly the two planted orphans deleted, committed rows untouched,
     // second pass a no-op
     "q130_catalog_vacuum" ->

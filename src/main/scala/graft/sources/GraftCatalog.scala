@@ -145,16 +145,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "compact"),
       Identifier.of(namespace, "expire_versions"),
-      Identifier.of(namespace, "vacuum"))
+      Identifier.of(namespace, "vacuum"),
+      Identifier.of(namespace, "clone"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
       case "compact" => new CompactProcedure(this)
       case "expire_versions" => new ExpireVersionsProcedure(this)
       case "vacuum" => new VacuumProcedure(this)
+      case "clone" => new CloneProcedure(this)
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure `$other` " +
-          "(available: compact, expire_versions, vacuum)")
+          "(available: compact, expire_versions, vacuum, clone)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -166,6 +168,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new IllegalArgumentException(
         s"$name is not a segment table: ${other.getClass.getName}")
     }
+  }
+
+  /** SHALLOW CLONE (`CALL system.clone('db.src', 'db.dst')`): create a
+    * new table whose first manifest version references the source's
+    * CURRENT segment files by absolute path — Delta's `CREATE TABLE …
+    * SHALLOW CLONE` / Iceberg snapshot-ref semantics. Pure metadata: no
+    * data file is read or copied, so cloning a 100 TB table costs one
+    * manifest write (KBs) regardless of size. The clone then diverges
+    * independently — its own INSERTs land as local segments, row-level
+    * rewrites copy-on-write affected FOREIGN segments into local
+    * replacements (never touching the originals — [[Seg.isExternal]]),
+    * and `compact` naturally MATERIALIZES cloned data by merging foreign
+    * refs into local files. Caveats (Delta-parity, documented not
+    * hidden): the source's own `expire`/`vacuum` can delete files a
+    * clone still references, and renaming the source breaks the clone's
+    * absolute refs — production deployments vacuum with retention ≥
+    * clone lifetime, exactly the Delta operating rule.
+    * Returns (segmentsReferenced, bytesReferenced, sourceVersion). */
+  private[graft] def cloneTable(src: String, dst: String): (Long, Long, Long) = {
+    val (snap, srcDir) = segTable(src).snapshotForClone
+    val parts = dst.split('.')
+    require(parts.length >= 2, s"expected `namespace.table`, got `$dst`")
+    val dstIdent = Identifier.of(parts.init, parts.last)
+    val dir = dirFor(dstIdent)
+    if (tables.containsKey(dstIdent) || Files.exists(dir.resolve(SegStore.MetaFile)))
+      throw new TableAlreadyExistsException(dstIdent)
+    val refs = snap.segs.map { s =>
+      if (Seg.isExternal(s.file)) s // clone-of-clone: keep the original ref
+      else s.copy(file = srcDir.resolve(s.file).toAbsolutePath.toString)
+    }
+    Files.createDirectories(dir)
+    val v1 = SegVersion(1L, snap.colIds, snap.schema, snap.partCol, refs, snap.props)
+    SegStore.appendVersion(dir, v1)
+    tables.putIfAbsent(dstIdent, SegTable.open(dstIdent.toString, dir))
+    (refs.size.toLong, refs.map(_.bytes).sum, snap.v)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -403,6 +440,17 @@ case class Seg(file: String, rows: Long, bytes: Long, colIds: Array[Int],
     else None
 }
 
+object Seg {
+  /** A path-qualified ref points into ANOTHER table's directory — the
+    * shallow-clone mechanism ([[GraftCatalog.cloneTable]]). Locally
+    * written segments are always bare names, so one separator check
+    * classifies ownership: external refs resolve for READING (compaction,
+    * scans, row-level rewrites all go through `dir.resolve`, which yields
+    * the absolute path unchanged) but are never DELETED by this table's
+    * GC. */
+  def isExternal(file: String): Boolean = file.contains('/')
+}
+
 /** Per-segment per-column bloom filter for data skipping on point
   * predicates — the segment-level analog of Parquet's column bloom
   * filters (SPARK-34562) and ClickHouse/Delta bloom skip indexes. Zone
@@ -533,6 +581,8 @@ class SegTable private (ident: String, dir: Path,
 
   private[graft] def currentVersion: Long = cur.v
   private[graft] def currentSegs: Seq[Seg] = cur.segs
+  /** One consistent (version, table-dir) snapshot — the clone source. */
+  private[sources] def snapshotForClone: (SegVersion, Path) = (cur, dir)
 
   /** Commit one manifest version with OPTIMISTIC CONCURRENCY (the
     * lakehouse commit contract): the append lands only if the on-disk
@@ -668,7 +718,12 @@ class SegTable private (ident: String, dir: Path,
       val dropped = versions.dropRight(k)
       if (dropped.isEmpty) return (0L, 0L)
       val live = keep.flatMap(_.segs.map(_.file)).toSet
-      val dead = dropped.flatMap(_.segs.map(_.file)).distinct.filterNot(live.contains)
+      // path-qualified refs are ANOTHER table's files (shallow clone —
+      // [[GraftCatalog.cloneTable]]): this table's GC never deletes them,
+      // only drops its references; the owning table's own expire/vacuum
+      // governs their lifetime
+      val dead = dropped.flatMap(_.segs.map(_.file)).distinct
+        .filterNot(live.contains).filterNot(Seg.isExternal)
       SegStore.rewriteVersions(dir, keep) // manifest first: crash-safe order
       versions = keep
       dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
@@ -2016,6 +2071,32 @@ class VacuumProcedure(catalog: GraftCatalog) extends UnboundProcedure {
         StructField("live_files", LongType, nullable = false)))
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](deleted, kept)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.clone('db.src', 'db.dst')` — zero-copy shallow
+  * clone ([[GraftCatalog.cloneTable]]). */
+class CloneProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "clone"
+  override def description(): String =
+    "zero-copy shallow clone: new table referencing the source's current segments"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String = CloneProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val (segs, bytes, srcV) = catalog.cloneTable(
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+      val schema = StructType(Seq(
+        StructField("segments_referenced", LongType, nullable = false),
+        StructField("bytes_referenced", LongType, nullable = false),
+        StructField("source_version", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](segs, bytes, srcV)))).iterator()
     }
   }
 }

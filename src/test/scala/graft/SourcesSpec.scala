@@ -868,6 +868,70 @@ class SourcesSpec extends SparkTestBase {
       Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("shallow clone: zero-copy, CoW divergence, source files never deleted (q131)") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.{GraftCatalog, Seg}
+    ops.ensureGraftCatalog(spark)
+    Seq("clspec_dst2", "clspec_dst", "clspec_src").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+    spark.sql("CREATE TABLE graft_cat.db.clspec_src (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_cat.db.clspec_src VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO graft_cat.db.clspec_src VALUES (3, 30), (4, 40)")
+    val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_warehouse", "graft_cat")
+    def dataFiles(t: String): Set[String] = {
+      val st = java.nio.file.Files.list(wh.resolve(t))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_.startsWith("_meta")).toSet
+      finally st.close()
+    }
+    val srcFiles = dataFiles("db.clspec_src")
+    assert(srcFiles.nonEmpty)
+
+    // 1. the clone is pure metadata: references, no copies
+    val res = spark.sql(
+      "CALL graft_cat.system.clone('db.clspec_src', 'db.clspec_dst')").collect()(0)
+    assert(res.getLong(0) === srcFiles.size.toLong, "segments_referenced")
+    assert(dataFiles("db.clspec_dst").isEmpty, "clone copied data files")
+    def ids(t: String): Seq[Long] = spark.sql(
+      s"SELECT id FROM graft_cat.db.$t ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids("clspec_dst") === Seq(1L, 2L, 3L, 4L))
+
+    // 2. a DELETE on the clone copy-on-writes the FOREIGN segments into
+    // local replacements — the source's files and rows must not move
+    spark.sql("DELETE FROM graft_cat.db.clspec_dst WHERE id IN (1, 3)")
+    assert(ids("clspec_dst") === Seq(2L, 4L))
+    assert(ids("clspec_src") === Seq(1L, 2L, 3L, 4L))
+    assert(dataFiles("db.clspec_src") === srcFiles, "clone CoW touched source files")
+
+    // 3. expiring the clone's pre-delete version drops its foreign refs —
+    // the GC must drop the REFERENCES, never the source's files
+    spark.sql("CALL graft_cat.system.expire_versions('db.clspec_dst', 1)")
+    assert(srcFiles.forall(f =>
+      java.nio.file.Files.exists(wh.resolve("db.clspec_src").resolve(f))),
+      "clone expire deleted source files")
+    assert(ids("clspec_dst") === Seq(2L, 4L))
+
+    // 4. compact MATERIALIZES a clone: foreign refs merge into local files
+    spark.sql("CALL graft_cat.system.clone('db.clspec_src', 'db.clspec_dst2')")
+    spark.sql("CALL graft_cat.system.compact('db.clspec_dst2')")
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[GraftCatalog]
+    val segs = cat.segTable("db.clspec_dst2").currentSegs
+    assert(segs.nonEmpty && segs.forall(s => !Seg.isExternal(s.file)),
+      s"compact left foreign refs: ${segs.map(_.file)}")
+    assert(ids("clspec_dst2") === Seq(1L, 2L, 3L, 4L))
+    assert(dataFiles("db.clspec_src") === srcFiles)
+
+    // 5. end-to-end catalog entry
+    val rows = ops.SemiStructured.q131ShallowClone(spark, sf).collect()
+    val byPart = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(3))).toMap
+    assert(byPart("src")._1 === 2000L)
+    assert(byPart("src")._2 === 0L, "clone copied files in q131")
+    assert(byPart("dst")._1 > 2000L, "clone did not diverge")
+  }
+
   test("optimistic commit: stale second writer rebases; both inserts survive (q129)") {
     // end-to-end: two catalog INSTANCES over one warehouse dir commit
     // interleaved INSERTs; the stale handle's conditional append must
