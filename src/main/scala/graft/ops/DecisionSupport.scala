@@ -275,7 +275,77 @@ object DecisionSupport {
       .orderBy("s_suppkey")
   }
 
+  /** q132 — TPC-H Q2 shape: the minimum-cost supplier. The fixtures carry
+    * no `partsupp`, so lineitem plays the part-supplier cost table (the
+    * correlated-MIN-across-a-multi-table-subquery shape is what's under
+    * test, not the table name): for each small part, the European
+    * supplier rows whose price equals the minimum European price for
+    * that part — and the correlated subquery re-states the WHOLE
+    * region-restricted join, Q2's defining subtlety.
+    *
+    * Decorrelated plan: region/nation/supplier collapse to one broadcast
+    * dim (|supplier|-sized); the per-part MIN over European lineitems is
+    * one map-side-combinable aggregate bounded by |part| and broadcast
+    * back; the equality `price = min_price` joins on (partkey, price).
+    * MIN of stored doubles is pure selection — no accumulation, so the
+    * equality is bit-stable on both engines (class doc: only COMPUTED
+    * doubles drift). The fact shuffles once (the MIN aggregate);
+    * everything else is broadcast. */
+  val minCostSupplier: Q = (s, d) => {
+    val nation = table(s, d, "nation")
+      .join(broadcast(table(s, d, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = table(s, d, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val euLi = table(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val minPerPart = euLi.groupBy(col("l_partkey").as("mpk"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    val parts = table(s, d, "part").filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    euLi.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(minPerPart),
+        col("l_partkey") === col("mpk") &&
+          col("l_extendedprice") === col("min_price"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("l_extendedprice").as("price"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"),
+        col("price"))
+      .limit(100)
+  }
+
+  /** q133 — TPC-H Q15 shape: the top-revenue supplier(s) of a quarter,
+    * `revenue = (SELECT MAX(revenue) FROM revenue)` over a derived
+    * aggregate view — the argmax-over-aggregate surface the catalog
+    * lacked. Revenue accumulates in exact DECIMAL
+    * (`Σ price·(1−disc)`, the q03 discipline) so the MAX-equality cannot
+    * flip on summation order; only the output column is cast to double.
+    * Scale: one map-side-combinable aggregate over the (date-pruned)
+    * fact, bounded by |supplier|; the 1-row MAX broadcasts back (q115's
+    * global-scalar pattern); supplier is a broadcast dim. */
+  val topRevenueSupplier: Q = (s, d) => {
+    val revenue = table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1995-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(col("l_extendedprice").cast(Dec) *
+        (lit(1).cast(Dec) - col("l_discount").cast(Dec))).as("rev_dec"))
+    val maxRev = revenue.agg(max(col("rev_dec")).as("max_rev"))
+    table(s, d, "supplier")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("rev_dec") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast(DecOut).cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_min_cost_supplier" -> minCostSupplier,
+    "q133_top_revenue_supplier" -> topRevenueSupplier,
     "q128_sole_supplier_share" -> soleSupplierShare,
     "q124_join_elimination" -> joinElimination,
     "q122_dynamic_partition_pruning" -> dynamicPartitionPruning,
@@ -287,6 +357,43 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // the Q2 correlated-MIN subquery SPELLING is kept, re-stating the
+    // full region-restricted join inside the subquery — equality with
+    // the broadcast-min plan is the decorrelation claim
+    "q132_min_cost_supplier" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  l_extendedprice AS price
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size <= 5
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, s_name, p_partkey, price
+        |LIMIT 100""".stripMargin,
+    // the Q15 view + MAX-scalar-subquery SPELLING is kept; revenue stays
+    // DECIMAL through the MAX equality (class doc)
+    "q133_top_revenue_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |        (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(CAST(rev AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND rev = (SELECT MAX(rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     // the Q20 subquery SPELLING is kept — nested IN over a grouped HAVING
     // with a correlated per-part scalar aggregate; equality with the
     // explicit two-aggregate semi-join plan is the decorrelation claim

@@ -53,6 +53,53 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q132 min-cost supplier: every row is its part's EU minimum, all broadcast") {
+    import org.apache.spark.sql.functions._
+    val df = DecisionSupport.minCostSupplier(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // each surviving row's price equals the true min over the same
+    // restricted population, recomputed independently
+    val mins = graft.ops.table(spark, sf, "lineitem")
+      .join(graft.ops.table(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.ops.table(spark, sf, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.ops.table(spark, sf, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("l_partkey").agg(min("l_extendedprice").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val pk = r.getLong(r.fieldIndex("p_partkey"))
+      assert(r.getDouble(r.fieldIndex("price")) === mins(pk), s"part $pk")
+    }
+    // the only shuffle is the per-part MIN; every join is a broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q133 top-revenue supplier: argmax ties kept, decimal equality exact") {
+    import org.apache.spark.sql.functions._
+    val df = DecisionSupport.topRevenueSupplier(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // winners all share the maximum revenue
+    val revs = rows.map(r => r.getDouble(r.fieldIndex("total_revenue"))).toSeq
+    assert(revs.distinct.size === 1)
+    // and it IS the max of the independently recomputed per-supplier revenue
+    val expected = graft.ops.table(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1995-04-01"))
+      .groupBy("l_suppkey")
+      .agg(graft.ops.drevenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .agg(max("rev")).collect()(0).getDouble(0)
+    assert(revs.head === expected)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q113 order-count distribution covers zero-order customers") {
     val df = DecisionSupport.orderCountDistribution(spark, sf)
     val rows = df.collect()
