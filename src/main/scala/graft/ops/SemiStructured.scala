@@ -1149,6 +1149,35 @@ object SemiStructured {
          |ORDER BY part""".stripMargin)
   }
 
+  /** q134 — declared write SORT ORDER (`TBLPROPERTIES ('graft.sort' =
+    * 'v:8')`, Iceberg's write.sort-order): the table's batch write
+    * declares a range distribution + ordering on `v`, Spark plans the
+    * exchange + external sort before the writer sees a row, and each of
+    * the 8 write tasks receives a disjoint `v` range — so the segment
+    * zone maps are disjoint and the point query `v = 123` plans exactly
+    * ONE of the 8 segments (pinned in the hash-checked output, captured
+    * from the scan hook). At 100 TB this is how a dimension column the
+    * table is NOT partitioned by still gets sharp data skipping: pay one
+    * sort at write time, prune forever after. */
+  val q134SortedWrite: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.srt_t")
+    s.sql("""CREATE TABLE graft_cat.db.srt_t (id BIGINT, v BIGINT)
+            |TBLPROPERTIES ('graft.sort' = 'v:8')""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_srt")
+    s.sql("INSERT INTO graft_cat.db.srt_t SELECT id, v FROM graft_seq_srt")
+    // eager point read; the scan hook records (planned, total) segments
+    s.sql("SELECT COUNT(*) FROM graft_cat.db.srt_t WHERE v = 123").collect()
+    val (_, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    s.sql(
+      s"""SELECT v % 4 AS band, COUNT(*) AS n, SUM(id) AS id_sum,
+         |  CAST($kept AS BIGINT) AS n_segs_scanned,
+         |  CAST($total AS BIGINT) AS n_segs_total
+         |FROM graft_cat.db.srt_t GROUP BY v % 4 ORDER BY band""".stripMargin)
+  }
+
   /** Table lifecycle DDL on the custom catalog: `ALTER TABLE … RENAME TO`
     * routes to `TableCatalog.renameTable` (a pure manifest-pointer move —
     * segments never copy, history travels with the table) and `TRUNCATE
@@ -1287,6 +1316,7 @@ object SemiStructured {
     "q95_catalog_expire" -> q95CatalogExpire,
     "q130_catalog_vacuum" -> q130CatalogVacuum,
     "q131_shallow_clone" -> q131ShallowClone,
+    "q134_sorted_write" -> q134SortedWrite,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1535,6 +1565,16 @@ object SemiStructured {
         |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
         |  MAX(id) AS id_max
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
+    // content unchanged by the sorted layout; the write-time range
+    // exchange makes the point query plan exactly 1 of the 8 segments
+    "q134_sorted_write" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT v % 4 AS band, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+        |  CAST(1 AS BIGINT) AS n_segs_scanned,
+        |  CAST(8 AS BIGINT) AS n_segs_total
+        |FROM t GROUP BY v % 4 ORDER BY band""".stripMargin,
     // src keeps its full 2000-row population (the clone's divergence
     // never touched it); dst = clone + inserted tail minus the deleted
     // band; zero data files copied at clone time

@@ -289,6 +289,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val sparkReserved = Set("provider", "location", "owner", "comment", "external")
     val props = properties.asScala.filterNot(kv => sparkReserved(kv._1)).toMap
     props.get(SegCheck.PropKey).foreach(SegCheck.compile(_, schema))
+    props.get(SegSort.PropKey).foreach(SegSort.parse(_, schema))
     val t = SegTable.create(ident.toString, dir, schema, partCol, props)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
@@ -762,25 +763,52 @@ class SegTable private (ident: String, dir: Path,
     new SegScanBuilder(ident, dir, cur,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
 
+  private def segBatchWrite(truncateFirst: Boolean): BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(
+        pwInfo: PhysicalWriteInfo): DataWriterFactory =
+      SegTable.writerFactory(dir.toString, cur)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      // atomic publish: commit messages carry segment NAMES + stats,
+      // never rows; truncate+load is ONE version step
+      val segs = SegTable.segsOf(messages)
+      publish(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs))
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      SegTable.segsOf(messages)
+        .foreach(s => Files.deleteIfExists(dir.resolve(s.file)))
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new BatchWrite {
-          override def createBatchWriterFactory(
-              pwInfo: PhysicalWriteInfo): DataWriterFactory =
-            SegTable.writerFactory(dir.toString, cur)
-          override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            // atomic publish: commit messages carry segment NAMES + stats,
-            // never rows; truncate+load is ONE version step
-            val segs = SegTable.segsOf(messages)
-            publish(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs))
-          }
-          override def abort(messages: Array[WriterCommitMessage]): Unit =
-            SegTable.segsOf(messages)
-              .foreach(s => Files.deleteIfExists(dir.resolve(s.file)))
+      override def build(): Write = cur.props.get(SegSort.PropKey) match {
+        case None => new Write {
+          override def toBatch: BatchWrite = segBatchWrite(truncateFirst)
         }
+        // declared write sort order (`TBLPROPERTIES ('graft.sort' =
+        // 'col[:n]')` — Iceberg's write.sort-order): the WRITE declares a
+        // range distribution + within-partition ordering on the column
+        // and SPARK plans the exchange + (external, spill-safe) sort
+        // before the writer ever sees a row. Each task then receives a
+        // DISJOINT key range, so segment zone-maps are disjoint and a
+        // point/range predicate prunes to the one segment that can hold
+        // it — the clustering that makes zone maps sharp on a column the
+        // table is not partitioned by. Applies to INSERT/CTAS; row-level
+        // rewrites keep their group granularity untouched.
+        case Some(spec) =>
+          val (c, n) = SegSort.parse(spec, cur.schema)
+          new Write with RequiresDistributionAndOrdering {
+            import org.apache.spark.sql.connector.distributions.{Distribution => WDist, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => WSort}
+            private def sortOrder: WSort =
+              Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)
+            override def requiredDistribution(): WDist =
+              Distributions.ordered(Array(sortOrder))
+            override def requiredOrdering(): Array[WSort] = Array(sortOrder)
+            override def requiredNumPartitions(): Int = n
+            override def toBatch: BatchWrite = segBatchWrite(truncateFirst)
+          }
       }
     }
 
@@ -969,6 +997,31 @@ class SegTable private (ident: String, dir: Path,
   * writer tasks as a serializable Catalyst expression; each task
   * compiles it to a codegen'd Predicate. SQL CHECK semantics: only a
   * definite FALSE violates — NULL passes (`IsNull(e) OR e`). */
+/** Declared write sort order (`TBLPROPERTIES ('graft.sort' =
+  * 'col[:numPartitions]')`) — validation + parse. The column must be
+  * BIGINT (the zone-mapped type: sorting anything else cannot sharpen
+  * pruning); the optional partition count pins the range-exchange width
+  * (0 = let Spark choose). */
+object SegSort {
+  val PropKey = "graft.sort"
+
+  def parse(spec: String, schema: StructType): (String, Int) = {
+    val (c, n) = spec.split(':') match {
+      case Array(col) => (col, 0)
+      case Array(col, np) if np.forall(_.isDigit) && np.nonEmpty => (col, np.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"bad $PropKey `$spec` (expected col or col:numPartitions)")
+    }
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(
+        s"$PropKey column `$c` not in schema ${schema.fieldNames.mkString(",")}"))
+    require(f.dataType == LongType,
+      s"$PropKey orders on BIGINT columns (the zone-mapped type), " +
+        s"got ${f.dataType} for `$c`")
+    (c, n)
+  }
+}
+
 object SegCheck {
   val PropKey = "graft.check"
 

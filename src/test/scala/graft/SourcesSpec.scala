@@ -932,6 +932,36 @@ class SourcesSpec extends SparkTestBase {
     assert(byPart("dst")._1 > 2000L, "clone did not diverge")
   }
 
+  test("declared sort order: disjoint zone maps, 1-of-8 point scan, typed DDL (q134)") {
+    import graft.sources.GraftCatalog
+    // end-to-end: the catalog entry pins (scanned=1, total=8) in its output
+    val rows = ops.SemiStructured.q134SortedWrite(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val r0 = rows(0)
+    assert(r0.getLong(r0.fieldIndex("n_segs_scanned")) === 1L, r0)
+    assert(r0.getLong(r0.fieldIndex("n_segs_total")) === 8L, r0)
+    // the mechanism: 8 segments whose v zone maps are strictly disjoint
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[GraftCatalog]
+    val segs = cat.segTable("db.srt_t").currentSegs
+    assert(segs.size === 8)
+    val vOrd = 1 // (id, v) — v is physical column 1
+    assert(segs.forall(_.hasStats(vOrd)))
+    val ranges = segs.map(s => (s.mins(vOrd), s.maxs(vOrd))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping sorted ranges: $ranges")
+      case _ =>
+    }
+    // DDL validation: non-BIGINT sort column refused at CREATE
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.srtbad_t")
+    val err = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_cat.db.srtbad_t (a STRING, v BIGINT)
+                  |TBLPROPERTIES ('graft.sort' = 'a')""".stripMargin)
+    }
+    assert(err.getMessage.contains("graft.sort"), err.getMessage)
+  }
+
   test("optimistic commit: stale second writer rebases; both inserts survive (q129)") {
     // end-to-end: two catalog INSTANCES over one warehouse dir commit
     // interleaved INSERTs; the stale handle's conditional append must
