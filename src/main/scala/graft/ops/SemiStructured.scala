@@ -1178,6 +1178,41 @@ object SemiStructured {
          |FROM graft_cat.db.srt_t GROUP BY v % 4 ORDER BY band""".stripMargin)
   }
 
+  /** q135 — metadata tables (`SELECT … FROM cat.db.t.versions` /
+    * `.files`, Iceberg's snapshot/files inspection surface): the
+    * manifest rendered as a queryable relation — version history with
+    * per-version segment/row/byte/external counts, and the current
+    * file list with ownership (`external` = shallow-clone refs). The
+    * relation is driver-local by design: its rows ARE the manifest,
+    * which every catalog operation already materializes — at 100 TB
+    * this query never touches a data file. The clone's `.files` rows
+    * all reporting `external = true` is the zero-copy proof made
+    * SQL-visible. */
+  val q135MetadataTables: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.mt_cl")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.mt_t")
+    s.sql("CREATE TABLE graft_cat.db.mt_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_mt")
+    // the id bounds push to the source, so each INSERT plans ONE split
+    // and writes ONE segment — the version rows below are deterministic
+    s.sql("INSERT INTO graft_cat.db.mt_t SELECT id, v FROM graft_seq_mt WHERE id < 1000")
+    s.sql("INSERT INTO graft_cat.db.mt_t SELECT id, v FROM graft_seq_mt WHERE id >= 1000")
+    s.sql("CALL graft_cat.system.clone('db.mt_t', 'db.mt_cl')")
+    s.sql(
+      """SELECT part, n_segs, n_rows, n_ext FROM (
+        |  SELECT concat('v', CAST(v AS STRING)) AS part,
+        |    n_segments AS n_segs, n_rows, n_external AS n_ext
+        |  FROM graft_cat.db.mt_t.versions
+        |  UNION ALL
+        |  SELECT 'clone_files', COUNT(*), SUM(rows),
+        |    SUM(CAST(external AS BIGINT))
+        |  FROM graft_cat.db.mt_cl.files)
+        |ORDER BY part""".stripMargin)
+  }
+
   /** Table lifecycle DDL on the custom catalog: `ALTER TABLE … RENAME TO`
     * routes to `TableCatalog.renameTable` (a pure manifest-pointer move —
     * segments never copy, history travels with the table) and `TRUNCATE
@@ -1317,6 +1352,7 @@ object SemiStructured {
     "q130_catalog_vacuum" -> q130CatalogVacuum,
     "q131_shallow_clone" -> q131ShallowClone,
     "q134_sorted_write" -> q134SortedWrite,
+    "q135_metadata_tables" -> q135MetadataTables,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1565,6 +1601,15 @@ object SemiStructured {
         |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
         |  MAX(id) AS id_max
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
+    // the manifest's version ledger: empty v0, one 1000-row segment per
+    // insert, and the clone's current files all external (borrowed)
+    "q135_metadata_tables" ->
+      """SELECT part, n_segs, n_rows, n_ext FROM (VALUES
+        |  ('v0', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('v1', 1, 1000, 0),
+        |  ('v2', 2, 2000, 0),
+        |  ('clone_files', 2, 2000, 2)) AS t(part, n_segs, n_rows, n_ext)
+        |ORDER BY part""".stripMargin,
     // content unchanged by the sorted layout; the write-time range
     // exchange makes the point query plan exactly 1 of the 8 segments
     "q134_sorted_write" ->

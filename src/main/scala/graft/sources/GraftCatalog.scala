@@ -213,8 +213,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val cached = tables.get(ident)
     if (cached != null) return cached
     val dir = dirFor(ident)
-    if (!Files.exists(dir.resolve(SegStore.MetaFile)))
+    if (!Files.exists(dir.resolve(SegStore.MetaFile))) {
+      // Iceberg-style metadata tables: `cat.db.t.versions` parses as
+      // Identifier(ns=[db, t], name=versions) — when no real table owns
+      // that identifier but the namespace TAIL does, serve its manifest
+      // as a relation ([[SegTable.metadataTable]])
+      if (MetaTable.Kinds(ident.name()) && ident.namespace().length >= 2) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        if (Files.exists(dirFor(base).resolve(SegStore.MetaFile)))
+          return loadTable(base).asInstanceOf[SegTable].metadataTable(ident.name())
+      }
       throw new NoSuchTableException(ident)
+    }
     // durable reopen: a fresh catalog instance (new session, new process)
     // rebuilds the table from its on-disk manifest log
     val reopened = SegTable.open(ident.toString, dir)
@@ -584,6 +594,46 @@ class SegTable private (ident: String, dir: Path,
   private[graft] def currentSegs: Seq[Seg] = cur.segs
   /** One consistent (version, table-dir) snapshot — the clone source. */
   private[sources] def snapshotForClone: (SegVersion, Path) = (cur, dir)
+
+  /** Inspection metadata tables (`SELECT * FROM cat.db.t.versions` /
+    * `.files` — Iceberg's snapshot/files metadata-table surface): the
+    * manifest rendered as a queryable relation. Metadata-sized by
+    * construction (one row per version / per current segment — the
+    * manifest already fits on the driver at any data scale), served as a
+    * LocalScan exactly like procedure results. `external` marks
+    * shallow-clone refs ([[Seg.isExternal]]), so "how much of this table
+    * is borrowed vs owned" is one GROUP BY away. */
+  private[sources] def metadataTable(kind: String): Table = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val vs = versions
+    kind match {
+      case "versions" =>
+        val schema = StructType(Seq(
+          StructField("v", LongType, nullable = false),
+          StructField("n_segments", LongType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("n_bytes", LongType, nullable = false),
+          StructField("n_external", LongType, nullable = false)))
+        new MetaTable(s"$ident.versions", schema, vs.map { v =>
+          new GenericInternalRow(Array[Any](v.v, v.segs.size.toLong,
+            v.segs.map(_.rows).sum, v.segs.map(_.bytes).sum,
+            v.segs.count(s => Seg.isExternal(s.file)).toLong))
+        })
+      case "files" =>
+        val schema = StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("bytes", LongType, nullable = false),
+          StructField("external", org.apache.spark.sql.types.BooleanType,
+            nullable = false)))
+        new MetaTable(s"$ident.files", schema, cur.segs.map { s =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(s.file),
+            s.rows, s.bytes, Seg.isExternal(s.file)))
+        })
+      case other => throw new IllegalArgumentException(
+        s"$ident has no metadata table `$other` (available: versions, files)")
+    }
+  }
 
   /** Commit one manifest version with OPTIMISTIC CONCURRENCY (the
     * lakehouse commit contract): the append lands only if the on-disk
@@ -2045,6 +2095,26 @@ private class ProcResultScan(schema: StructType, row: InternalRow)
     extends LocalScan {
   override def rows(): Array[InternalRow] = Array(row)
   override def readSchema(): StructType = schema
+}
+
+/** Read-only manifest-backed relation ([[SegTable.metadataTable]]) —
+  * driver-local by design: its rows ARE the manifest, which every
+  * catalog operation already materializes on the driver. */
+private[sources] object MetaTable {
+  val Kinds: Set[String] = Set("versions", "files")
+}
+
+private[sources] class MetaTable(tname: String, tschema: StructType,
+    metaRows: Seq[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = tname
+  override def schema(): StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def rows(): Array[InternalRow] = metaRows.toArray
+      override def readSchema(): StructType = tschema
+    }
 }
 
 /** `CALL graft_cat.system.compact('db.t' [, target_bytes])`. */

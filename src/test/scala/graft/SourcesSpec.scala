@@ -962,6 +962,30 @@ class SourcesSpec extends SparkTestBase {
     assert(err.getMessage.contains("graft.sort"), err.getMessage)
   }
 
+  test("metadata tables: versions ledger + files ownership, bad kinds refused (q135)") {
+    // end-to-end entry pins the full ledger
+    val rows = ops.SemiStructured.q135MetadataTables(spark, sf).collect()
+    val byPart = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byPart("v0") === ((0L, 0L, 0L)))
+    assert(byPart("v2") === ((2L, 2000L, 0L)))
+    assert(byPart("clone_files") === ((2L, 2000L, 2L)))
+    // the source's own files are all owned (external = false)
+    val own = spark.sql(
+      "SELECT COUNT(*), SUM(CAST(external AS BIGINT)) FROM graft_cat.db.mt_t.files")
+      .collect()(0)
+    assert(own.getLong(0) === 2L && own.getLong(1) === 0L)
+    // the clone's version ledger reports its borrowed segments
+    val clv = spark.sql(
+      "SELECT n_external FROM graft_cat.db.mt_cl.versions WHERE v = 1").collect()(0)
+    assert(clv.getLong(0) === 2L)
+    // unknown metadata kind stays a missing-table error
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cat.db.mt_t.nope").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("table"), err.getMessage)
+  }
+
   test("optimistic commit: stale second writer rebases; both inserts survive (q129)") {
     // end-to-end: two catalog INSTANCES over one warehouse dir commit
     // interleaved INSERTs; the stale handle's conditional append must
