@@ -990,6 +990,43 @@ object SemiStructured {
         |GROUP BY 1 ORDER BY band""".stripMargin)
   }
 
+  /** q136 — net-changes changelog over a version range CONTAINING
+    * ROW-LEVEL REWRITES, the tier the append-only fast path (q106)
+    * refuses by contract. Per commit step, inserts = `AS OF v EXCEPT ALL
+    * AS OF v-1` and deletes = the reverse — a distributed snapshot diff,
+    * exactly Iceberg's changelog-scan fallback when no eager change
+    * files exist (Delta CDF's alternative is writing change files at
+    * commit time, priced on every write instead). An UPDATE therefore
+    * surfaces as its delete+insert pair, tagged with `_commit_version` /
+    * `_change_type`. Scale contract: the diff is priced at two snapshot
+    * scans per step (shuffle on the full row as the EXCEPT key), so
+    * production bounds the range and uses q106's segment arithmetic
+    * wherever the range is append-only; the two tiers compose into a
+    * complete CDC story for any history. */
+  val q136NetChanges: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
+    s.sql("CREATE TABLE graft_cat.db.cdf_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_cdf")
+    s.sql("INSERT INTO graft_cat.db.cdf_t SELECT id, v FROM graft_seq_cdf") // v1
+    s.sql("DELETE FROM graft_cat.db.cdf_t WHERE v < 200")                   // v2
+    s.sql("UPDATE graft_cat.db.cdf_t SET v = v + 10000 WHERE id < 100")     // v3
+    def snap(vn: Int) =
+      s.sql(s"SELECT id, v FROM graft_cat.db.cdf_t VERSION AS OF $vn")
+    val changes = (2 to 3).map { vn =>
+      snap(vn).exceptAll(snap(vn - 1)).withColumn("_change_type", lit("insert"))
+        .unionAll(
+          snap(vn - 1).exceptAll(snap(vn)).withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(vn.toLong))
+    }.reduce(_ unionAll _)
+    changes.groupBy("_commit_version", "_change_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum"),
+        sum(col("id")).as("id_sum"))
+      .orderBy("_commit_version", "_change_type")
+  }
+
   /** Column DEFAULT values on the catalog table
     * (`TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE`): INSERTs
     * that omit a column take its CURRENT default at write time, and
@@ -1353,6 +1390,7 @@ object SemiStructured {
     "q131_shallow_clone" -> q131ShallowClone,
     "q134_sorted_write" -> q134SortedWrite,
     "q135_metadata_tables" -> q135MetadataTables,
+    "q136_net_changes" -> q136NetChanges,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1601,6 +1639,23 @@ object SemiStructured {
         |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
         |  MAX(id) AS id_max
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
+    // the delete commit nets out as pure deletes; the update commit as
+    // its delete+insert pair — restated from the seq formula
+    "q136_net_changes" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1000) r),
+        |chg AS (
+        |  SELECT CAST(2 AS BIGINT) AS _commit_version,
+        |    'delete' AS _change_type, id, v FROM t WHERE v < 200
+        |  UNION ALL
+        |  SELECT 3, 'delete', id, v FROM t WHERE v >= 200 AND id < 100
+        |  UNION ALL
+        |  SELECT 3, 'insert', id, v + 10000 FROM t
+        |  WHERE v >= 200 AND id < 100)
+        |SELECT _commit_version, _change_type, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum, CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM chg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the manifest's version ledger: empty v0, one 1000-row segment per
     // insert, and the clone's current files all external (borrowed)
     "q135_metadata_tables" ->

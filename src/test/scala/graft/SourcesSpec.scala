@@ -986,6 +986,17 @@ class SourcesSpec extends SparkTestBase {
     assert(err.getMessage.toLowerCase.contains("table"), err.getMessage)
   }
 
+  test("net changes: rewrite commits surface as delete+insert pairs (q136)") {
+    val rows = ops.SemiStructured.q136NetChanges(spark, sf).collect()
+    val keys = rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(keys === Seq((2L, "delete"), (3L, "delete"), (3L, "insert")))
+    // the UPDATE commit's delete and insert legs cover the SAME rows
+    // (equal counts and id populations; only v moved)
+    val m = rows.map(r => (r.getLong(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(4))).toMap
+    assert(m((3L, "delete")) === m((3L, "insert")))
+  }
+
   test("optimistic commit: stale second writer rebases; both inserts survive (q129)") {
     // end-to-end: two catalog INSTANCES over one warehouse dir commit
     // interleaved INSERTs; the stale handle's conditional append must
