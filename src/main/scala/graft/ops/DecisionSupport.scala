@@ -343,7 +343,86 @@ object DecisionSupport {
       .orderBy("s_suppkey")
   }
 
+  /** q137 — TPC-H Q7 shape (volume shipping): bilateral trade revenue
+    * between two nations by ship year. The nation-pair predicate pushes
+    * DOWN to the dim side before the fact is touched: supplier and
+    * customer each join the 2-row filtered nation dim (broadcast), so
+    * the fact joins already-restricted key sets. The one unavoidable
+    * shuffle is lineitem ⋈ orders on the order key (both SF-scaled —
+    * Q7's intrinsic cost); supplier/customer joins are declared plain
+    * and AQE promotes them to broadcast when the filtered side fits,
+    * the right call at every scale. */
+  val volumeShipping: Q = (s, d) => {
+    val pair = Seq("NATION_9", "NATION_6")
+    val nat = table(s, d, "nation")
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = table(s, d, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = table(s, d, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    table(s, d, "lineitem")
+      .filter(year(col("l_shipdate")).between(1995, 1996))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q138 — TPC-H Q8 shape (national market share): one nation's share
+    * of a region's promo-part revenue by order year — the
+    * conditional-aggregation ratio (`SUM(CASE …)/SUM(…)`) computed in
+    * ONE pass over the joined fact. Both legs accumulate in exact
+    * DECIMAL; each is cast to double independently and THEN divided, so
+    * the quotient is the same correctly-rounded double on both engines
+    * (dividing decimals directly would hit engine-specific decimal
+    * division scales). Customer-region membership is a LEFT SEMI join —
+    * customers filter orders, never multiply them. */
+  val marketShare: Q = (s, d) => {
+    val vol = col("l_extendedprice").cast(Dec) *
+      (lit(1).cast(Dec) - col("l_discount").cast(Dec))
+    val natAm = table(s, d, "nation")
+      .join(broadcast(table(s, d, "region").filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val cust = table(s, d, "customer")
+      .join(broadcast(natAm), col("c_nationkey") === col("cnk"))
+      .select(col("c_custkey"))
+    val supp = table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_6", vol)
+          .otherwise(lit(0).cast(Dec))).as("nation_dec"),
+        sum(vol).as("all_dec"))
+      .select(col("o_year"),
+        (col("nation_dec").cast(DecOut).cast("double") /
+          col("all_dec").cast(DecOut).cast("double")).as("mkt_share"),
+        col("all_dec").cast(DecOut).cast("double").as("total_rev"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_volume_shipping" -> volumeShipping,
+    "q138_market_share" -> marketShare,
     "q132_min_cost_supplier" -> minCostSupplier,
     "q133_top_revenue_supplier" -> topRevenueSupplier,
     "q128_sole_supplier_share" -> soleSupplierShare,
@@ -357,6 +436,41 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    "q137_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+        |    OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+        |  AND year(l_shipdate) BETWEEN 1995 AND 1996
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // both ratio legs cast to double separately, then divided — the
+    // engine-neutral spelling (class doc)
+    "q138_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,6))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem, part, supplier, orders, customer,
+        |    nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |    AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN vol
+        |                     ELSE 0 END) AS DECIMAL(38,4)) AS DOUBLE) /
+        |  CAST(CAST(SUM(vol) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share,
+        |  CAST(CAST(SUM(vol) AS DECIMAL(38,4)) AS DOUBLE) AS total_rev
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     // the Q2 correlated-MIN subquery SPELLING is kept, re-stating the
     // full region-restricted join inside the subquery — equality with
     // the broadcast-min plan is the decorrelation claim

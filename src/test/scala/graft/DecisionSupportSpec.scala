@@ -100,6 +100,33 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q137 volume shipping: both trade directions present, no cartesian") {
+    // the chosen nation pair trades at the gate SF but not in the tiny
+    // unit fixture — run this one at the driver's correctness scale
+    val df = DecisionSupport.volumeShipping(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).distinct.toSet
+    assert(dirs === Set(("NATION_9", "NATION_6"), ("NATION_6", "NATION_9")))
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("revenue")) > 0, r))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q138 market share: ratio bounded, customers filter via semi join") {
+    val df = DecisionSupport.marketShare(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(r.fieldIndex("mkt_share"))
+      assert(share >= 0.0 && share <= 1.0, r)
+      assert(r.getDouble(r.fieldIndex("total_rev")) > 0, r)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q113 order-count distribution covers zero-order customers") {
     val df = DecisionSupport.orderCountDistribution(spark, sf)
     val rows = df.collect()
