@@ -420,7 +420,55 @@ object DecisionSupport {
       .orderBy("o_year")
   }
 
+  /** q139 — INCREMENTAL materialized-view refresh: the rollup MV built
+    * at fact version 1 is brought current by aggregating ONLY the
+    * segments committed since (`VERSION AS OF '1..'` — q106's
+    * manifest-arithmetic incremental read) and merging mergeable
+    * partials (SUM+SUM, COUNT+COUNT) into the stored summary via a full
+    * outer join on the grouping key. The refresh is priced at the NEW
+    * data + |MV| — never a rescan of the fact — which is the entire
+    * point of maintaining an MV at 100 TB: the nightly refresh costs the
+    * day's delta. COUNT/SUM are self-mergeable; AVG would ship as
+    * SUM+COUNT partials, MIN/MAX merge for inserts only — the standard
+    * incremental-maintenance envelope (append-only deltas; a rewrite in
+    * the range would route through q136's net-changes tier with
+    * retractions). The oracle recomputes the rollup from scratch, so
+    * hash equality IS the maintenance-correctness claim. */
+  val incrementalMvRefresh: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    val mvDir = scratchDir(s, "imv_summary")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.imv_fact")
+    s.sql("CREATE TABLE graft_cat.db.imv_fact (grp BIGINT, cents BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "3000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_imv")
+    s.sql(
+      """INSERT INTO graft_cat.db.imv_fact
+        |SELECT id % 16, v FROM graft_seq_imv WHERE id < 2000""".stripMargin)
+    // full build at v1, persisted as the stored summary
+    s.table("graft_cat.db.imv_fact")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
+      .write.mode("overwrite").parquet(mvDir)
+    s.sql(
+      """INSERT INTO graft_cat.db.imv_fact
+        |SELECT id % 16, v FROM graft_seq_imv WHERE id >= 2000""".stripMargin)
+    // refresh: aggregate the delta segments only, merge partials
+    val delta = s.sql(
+      "SELECT grp, cents FROM graft_cat.db.imv_fact VERSION AS OF '1..'")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("d_cnt"), sum(col("cents")).as("d_sum"))
+    s.read.parquet(mvDir)
+      .join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("cents_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+          .as("cents_sum"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_incremental_mv_refresh" -> incrementalMvRefresh,
     "q137_volume_shipping" -> volumeShipping,
     "q138_market_share" -> marketShare,
     "q132_min_cost_supplier" -> minCostSupplier,
@@ -436,6 +484,15 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // recomputed FROM SCRATCH over the full population — equality with
+    // the delta-merged summary is the incremental-maintenance claim
+    "q139_incremental_mv_refresh" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r)
+        |SELECT id % 16 AS grp, COUNT(*) AS cnt,
+        |  CAST(SUM(v) AS BIGINT) AS cents_sum
+        |FROM t GROUP BY 1 ORDER BY grp""".stripMargin,
     "q137_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

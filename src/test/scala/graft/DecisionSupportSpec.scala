@@ -127,6 +127,28 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q139 incremental MV refresh: delta scans only new segments, equals rebuild") {
+    import org.apache.spark.sql.functions._
+    val rows = DecisionSupport.incrementalMvRefresh(spark, sf).collect()
+    // the merged summary equals a from-scratch rollup of the final fact
+    val full = spark.table("graft_cat.db.imv_fact").groupBy("grp")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents_sum"))
+      .orderBy("grp").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      full.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // the table holds 3 segments (2 from the first insert, 1 from the
+    // second — visible through the versions metadata table)...
+    val segsNow = spark.sql(
+      "SELECT n_segments FROM graft_cat.db.imv_fact.versions ORDER BY v DESC LIMIT 1")
+      .collect()(0).getLong(0)
+    assert(segsNow === 3L)
+    // ...but the incremental read plans ONLY the post-v1 segment
+    spark.sql(
+      "SELECT grp, cents FROM graft_cat.db.imv_fact VERSION AS OF '1..'").collect()
+    val (_, _, planned) = graft.sources.SegHooks.lastPlanned.get()
+    assert(planned === 1, s"delta read planned $planned segments")
+  }
+
   test("q113 order-count distribution covers zero-order customers") {
     val df = DecisionSupport.orderCountDistribution(spark, sf)
     val rows = df.collect()
