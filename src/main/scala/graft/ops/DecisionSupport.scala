@@ -467,7 +467,40 @@ object DecisionSupport {
       .orderBy("grp")
   }
 
+  /** q140 — TPC-H Q19 shape: discounted revenue under a DISJUNCTIVE
+    * join predicate — three OR'd conjunct groups, each tying a part
+    * predicate (brand + size band) to a lineitem predicate (quantity
+    * band). The planner stress Q19 is famous for: the OR must not force
+    * a cartesian or row-by-row re-evaluation of the whole disjunction on
+    * an unfiltered join. Spelled Spark-first: the join stays a plain
+    * equi-join on the part key (broadcast — |part|-bounded), with the
+    * disjunction as a post-join filter; Catalyst pushes the
+    * derivable prefix (`l_quantity <= 36`, the OR of the bands' upper
+    * bounds ∧ lower bounds) through to both scans via constraint
+    * propagation, and the codegen'd filter evaluates the residual. */
+  val brandRevenue: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+    val part = table(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val joined = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val disj =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 36))
+    joined.filter(disj)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_brand_revenue" -> brandRevenue,
     "q139_incremental_mv_refresh" -> incrementalMvRefresh,
     "q137_volume_shipping" -> volumeShipping,
     "q138_market_share" -> marketShare,
@@ -484,6 +517,20 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // the disjunction kept verbatim in WHERE — the OR-of-conjuncts shape
+    "q140_brand_revenue" ->
+      """SELECT p_brand AS brand, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 36)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // recomputed FROM SCRATCH over the full population — equality with
     // the delta-merged summary is the incremental-maintenance claim
     "q139_incremental_mv_refresh" ->

@@ -149,6 +149,23 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(planned === 1, s"delta read planned $planned segments")
   }
 
+  test("q140 brand revenue: disjunctive predicate stays on a broadcast equi-join") {
+    // the brand/size conjuncts select nothing in the tiny unit fixture —
+    // run at the driver's correctness scale (same move as q137)
+    val df = DecisionSupport.brandRevenue(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val allowed = Set("Brand#12", "Brand#23", "Brand#34")
+    rows.foreach { r =>
+      assert(allowed(r.getString(0)), r)
+      assert(r.getLong(r.fieldIndex("n")) > 0, r)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q113 order-count distribution covers zero-order customers") {
     val df = DecisionSupport.orderCountDistribution(spark, sf)
     val rows = df.collect()
