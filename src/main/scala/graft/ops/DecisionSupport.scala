@@ -499,7 +499,265 @@ object DecisionSupport {
       .orderBy("brand")
   }
 
+  /** q141 — TPC-H Q3 shape (shipping priority): top-10 highest-revenue
+    * orders in one market segment, ordered before the cut date with at
+    * least one lineitem still shipping after it. Customer is a pure
+    * FILTER here — it contributes no output column, so it joins LEFT
+    * SEMI (no row multiplication, the dim never widens the fact); the
+    * one SF-scaled shuffle is lineitem ⋈ orders on the order key. Both
+    * date predicates push to their scans; the top-10 runs as
+    * TakeOrderedAndProject (per-partition heaps, never a full sort).
+    * Revenue is exact DECIMAL cast to double at the end, so the DESC
+    * order and the hash are engine-stable. */
+  val shippingPriority: Q = (s, d) => {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val cust = table(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = table(s, d, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    table(s, d, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderpriority").as("prio"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("odate"), col("prio"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q142 — TPC-H Q4 shape (order-priority checking): orders placed in
+    * one quarter with at least one lineitem shipped after the order
+    * date (the fixtures carry no commit/receipt dates — `l_shipdate >
+    * o_orderdate` is the same correlated EXISTS surface). The EXISTS
+    * decorrelates to a LEFT SEMI join whose condition mixes the equi
+    * key with a non-equi residual — Spark keys the shuffle on the equi
+    * part and evaluates the residual inside the join, so the plan
+    * stays a keyed sort-merge/hash join, never a nested loop. The
+    * quarter filter prunes orders before the join; lineitem ships only
+    * its two join columns. */
+  val orderPriorityCheck: Q = (s, d) => {
+    val ord = table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("prio")
+  }
+
+  /** q143 — TPC-H Q5 shape (local supplier volume): revenue from orders
+    * where the customer and the supplier sit in the SAME nation of one
+    * region. The region restriction reaches the fact through TWO dim
+    * legs (customer's nation and supplier's nation) and the co-nation
+    * predicate `c_nationkey = s_nationkey` correlates them — the join
+    * graph is cyclic, the classic Q5 planner stress. Spelled so the
+    * cycle closes on the cheapest edge: orders ⋈ customer carries the
+    * customer's nation key onto the fact, lineitem ⋈ supplier carries
+    * the supplier's; the equality then filters the already-joined rows
+    * (codegen'd, no extra shuffle). Nation/region broadcast; the two
+    * SF-scaled shuffles (li ⋈ orders, the group-by) are intrinsic. */
+  val localSupplierVolume: Q = (s, d) => {
+    val natAsia = table(s, d, "nation")
+      .join(broadcast(table(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = table(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q144 — TPC-H Q6 shape (forecast revenue change): the pure
+    * scan-filter-aggregate — no join at all, the query that measures
+    * raw scan + predicate + map-side-combine throughput. All three
+    * predicates push to the parquet scan (row-group skipping via
+    * min/max on shipdate and quantity at scale); the aggregate is one
+    * exact DECIMAL product-sum collapsing to a single row, so the
+    * entire query is one WholeStageCodegen span over the scan with a
+    * 1-row exchange at the end. The discount band compares the column
+    * against the same double literals on both engines — bit-identical
+    * parquet values, bit-identical comparison. */
+  val forecastRevenue: Q = (s, d) => {
+    table(s, d, "lineitem")
+      .filter(year(col("l_shipdate")) === 1995 &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(Dec) * col("l_discount").cast(Dec))
+        .cast(DecOut).cast("double").as("revenue"))
+  }
+
+  /** q145 — TPC-H Q9 shape (product-type profit): profit by supplier
+    * nation and order year over a part-name-matched slice. The fixtures
+    * carry no partsupp, so supply cost is restated as 40% of the part's
+    * retail price — same join graph (part + supplier + lineitem +
+    * orders + nation), same LIKE filter, same two-level rollup.
+    * Determinism: money stages as exact BIGINT at 10⁻⁴-dollar
+    * resolution (`cents·(100−disc_pct)` and `40·retail_cents·qty` are
+    * both integer), the per-group sum stays integer, and only the final
+    * division by 10⁴ is double — both engines perform the identical
+    * correctly-rounded operation. At scale the LIKE prunes part before
+    * the fact join (broadcast), orders joins on the order key (the one
+    * fact-sized shuffle), nation broadcasts onto supplier. */
+  val productTypeProfit: Q = (s, d) => {
+    val redParts = table(s, d, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("retail_cents"))
+    val supp = table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profitU = // 1e-4 dollar units, exact integers
+      round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long")) -
+        lit(40L) * col("retail_cents") * col("l_quantity").cast("long")
+    table(s, d, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(table(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(profitU).cast("double") / lit(10000.0)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q146 — TPC-H Q11 shape (important stock): parts whose total
+    * lineitem value exceeds 1.5× the per-part mean — the
+    * GROUP BY … HAVING > (scalar subquery over the same aggregation)
+    * surface (the fixtures carry no partsupp; lineitem extended price
+    * stands in for supplycost·availqty, the threshold is
+    * mean-relative so it stays meaningful at every SF). Spark-first:
+    * the per-part aggregate computes ONCE, the global mean derives from
+    * a 1-row re-aggregation OF THE AGGREGATE (|part|-sized input, not
+    * the fact) broadcast back as a cross join, and the threshold is
+    * cross-multiplied into exact DECIMAL (`2·v·n > 3·Σv`) so boundary
+    * parts cannot flip between engines. */
+  val importantParts: Q = (s, d) => {
+    val perPart = table(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(col("l_extendedprice").cast(Dec)).as("v_dec"))
+    val stats = perPart.agg(
+      sum(col("v_dec")).as("tot_v"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(stats))
+      .filter(col("v_dec") * col("n_parts") * lit(2) > col("tot_v") * lit(3))
+      .select(col("partkey"),
+        col("v_dec").cast(DecOut).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("partkey"))
+  }
+
+  /** q147 — TPC-H Q12 shape (shipping-mode priority counts): per
+    * lineitem class, how many late-shipping rows carried critical vs
+    * non-critical order priority — the conditional-count pivot
+    * (`SUM(CASE WHEN …)`) over a fact-fact join. The fixtures carry no
+    * ship mode or commit/receipt dates: return flag stands in for the
+    * grouping and `l_shipdate > o_orderdate` for the lateness
+    * predicate, which correlates the two tables so the filter runs
+    * inside the join (post-join codegen), not on either scan. One
+    * keyed shuffle (li ⋈ orders), both CASE legs accumulate in one
+    * pass — Q12's defining property. */
+  val priorityShipping: Q = (s, d) => {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    table(s, d, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(table(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("flag")
+  }
+
+  /** q148 — TPC-H Q14 shape (promotion effect): promo revenue share of
+    * one ship month, the single-row conditional-aggregation ratio. The
+    * part type is a dim attribute, so the CASE leg needs the join —
+    * part broadcasts (|part|-bounded), the month filter prunes the fact
+    * scan to ~1/n of its rows before the join, and both ratio legs
+    * accumulate exact DECIMAL in the same pass. Division discipline:
+    * each leg casts to double independently, then `100·promo/total`
+    * evaluates left-to-right identically on both engines (the q138
+    * rule) — dividing decimals directly would hit engine-specific
+    * decimal-division scale rules. */
+  val promoRevenue: Q = (s, d) => {
+    val vol = col("l_extendedprice").cast(Dec) *
+      (lit(1).cast(Dec) - col("l_discount").cast(Dec))
+    table(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(Dec)))
+          .as("promo_dec"),
+        sum(vol).as("all_dec"))
+      .select((lit(100.0) * col("promo_dec").cast(DecOut).cast("double") /
+        col("all_dec").cast(DecOut).cast("double")).as("promo_revenue"))
+  }
+
+  /** q149 — TPC-H Q16 shape (parts/supplier relationship): distinct
+    * supplier counts per (brand, type, size) bucket, excluding one
+    * brand, a size whitelist, and suppliers on a complaint list — the
+    * NOT IN + COUNT(DISTINCT) surface. The fixtures carry no partsupp;
+    * the observed lineitem (part, supplier) pairs are the relationship.
+    * NOT IN over a non-null key column decorrelates to a LEFT ANTI
+    * join (the null-semantics hazard of NOT IN doesn't arise —
+    * `s_suppkey` is a primary key; documented, not assumed). The part
+    * predicates prune the broadcast side BEFORE the fact join, and the
+    * distinct count shuffles the already-deduplicated (bucket, supp)
+    * pairs, not raw lineitem. */
+  val supplierCounts: Q = (s, d) => {
+    val buckets = table(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#21" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complained = table(s, d, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    table(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(buckets), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q149_supplier_counts" -> supplierCounts,
+    "q148_promo_revenue" -> promoRevenue,
+    "q147_priority_shipping" -> priorityShipping,
+    "q146_important_parts" -> importantParts,
+    "q145_product_type_profit" -> productTypeProfit,
+    "q144_forecast_revenue" -> forecastRevenue,
+    "q143_local_supplier_volume" -> localSupplierVolume,
+    "q142_order_priority_check" -> orderPriorityCheck,
+    "q141_shipping_priority" -> shippingPriority,
     "q140_brand_revenue" -> brandRevenue,
     "q139_incremental_mv_refresh" -> incrementalMvRefresh,
     "q137_volume_shipping" -> volumeShipping,
@@ -517,6 +775,119 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // Q3: customer kept as a join in the oracle — it contributes no
+    // column, so equality also proves the semi-join rewrite is sound
+    // (c_custkey is unique, so the inner join cannot multiply rows)
+    "q141_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  o_orderpriority AS prio
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // Q4: the correlated EXISTS SPELLING is kept — equality with the
+    // mixed equi+non-equi LEFT SEMI plan is the decorrelation claim
+    "q142_order_priority_check" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q143_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q144_forecast_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1995
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // Q9: the profit expression restated in the same exact 1e-4-dollar
+    // integer units (class doc) — only the final /10000 is double
+    "q145_product_type_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) -
+        |    40 * CAST(round(p_retailprice * 100, 0) AS BIGINT) *
+        |      CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000.0
+        |    AS sum_profit
+        |FROM part, supplier, lineitem, orders, nation
+        |WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11: HAVING-over-scalar-subquery SPELLING kept; threshold
+    // cross-multiplied (2·v·n > 3·Σv ⟺ v > 1.5·mean) — exact DECIMAL
+    "q146_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+        |  FROM lineitem GROUP BY 1)
+        |SELECT partkey, CAST(CAST(v AS DECIMAL(38,4)) AS DOUBLE)
+        |    AS part_value
+        |FROM pv
+        |WHERE v * (SELECT COUNT(*) FROM pv) * 2 >
+        |      (SELECT SUM(v) FROM pv) * 3
+        |ORDER BY part_value DESC, partkey""".stripMargin,
+    "q147_priority_shipping" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE year(l_shipdate) = 1997 AND l_shipdate > o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both ratio legs cast to double separately, then 100·a/b evaluated
+    // left-to-right — the q138 engine-neutral division discipline
+    "q148_promo_revenue" ->
+      """SELECT 100.0 *
+        |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |         (1 - CAST(l_discount AS DECIMAL(18,6)))
+        |    ELSE 0 END) AS DECIMAL(38,4)) AS DOUBLE) /
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,4))
+        |    AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    // Q16: NOT IN SPELLING kept (s_suppkey is a non-null key, so the
+    // NOT-IN-vs-anti-join null hazard does not arise — class doc)
+    "q149_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#21'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     // the disjunction kept verbatim in WHERE — the OR-of-conjuncts shape
     "q140_brand_revenue" ->
       """SELECT p_brand AS brand, COUNT(*) AS n,

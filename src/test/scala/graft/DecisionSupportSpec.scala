@@ -312,4 +312,122 @@ class DecisionSupportSpec extends SparkTestBase {
     // numcust per nation ≤ customers with positive acctbal
     assert(rows.map(_.getLong(1)).sum <= spark.read.parquet(s"$sf/customer.parquet").count())
   }
+
+  test("q141 shipping priority: semi-join customer, top-10 as ordered limit") {
+    val df = DecisionSupport.shippingPriority(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // revenue strictly ordered desc with the orderkey tiebreak
+    val rv = rows.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(rv == rv.sorted)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q142 order-priority check: EXISTS runs as a keyed semi join") {
+    val df = DecisionSupport.orderPriorityCheck(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // the non-equi residual must not degrade the join to a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // every priority count ≤ quarter's order count
+    val quarter = graft.ops.table(spark, sf, "orders")
+      .filter("o_orderdate >= '1996-07-01' and o_orderdate < '1996-10-01'")
+      .count()
+    assert(rows.map(_.getLong(1)).sum <= quarter)
+  }
+
+  test("q143 local supplier volume: co-nation filter, dims broadcast") {
+    val df = DecisionSupport.localSupplierVolume(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // revenue desc with name tiebreak
+    val rv = rows.map(r => (-r.getDouble(1), r.getString(0))).toSeq
+    assert(rv == rv.sorted)
+  }
+
+  test("q144 forecast revenue: no join, single codegen'd scan-aggregate") {
+    val df = DecisionSupport.forecastRevenue(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(0) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // codegen spans print as "*(n)" in the executed-plan string
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("q145 product-type profit: LIKE prunes part before the fact join") {
+    val df = DecisionSupport.productTypeProfit(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // (nation, year) keys are unique — the rollup grain holds
+    val keys = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(keys.distinct.size == keys.size)
+  }
+
+  test("q146 important parts: every survivor is above 1.5x the mean value") {
+    import org.apache.spark.sql.functions._
+    val df = DecisionSupport.importantParts(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independently recompute the threshold in double (off-boundary fixture)
+    val pv = graft.ops.table(spark, sf, "lineitem")
+      .groupBy("l_partkey").agg(sum("l_extendedprice").as("v"))
+    val mean = pv.agg(avg("v")).head.getDouble(0)
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 1.5 * mean - 1e-6, s"part ${r.getLong(0)}")
+    }
+    // and no qualifying part is missing
+    assert(rows.length ==
+      pv.filter(col("v") > mean * 1.5).count())
+  }
+
+  test("q147 priority shipping: one pass, high+low = joined row count") {
+    import org.apache.spark.sql.functions._
+    val df = DecisionSupport.priorityShipping(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = graft.ops.table(spark, sf, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(graft.ops.table(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+  }
+
+  test("q148 promo revenue: single-row ratio in [0, 100], part broadcasts") {
+    val df = DecisionSupport.promoRevenue(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val share = rows(0).getDouble(0)
+    assert(share >= 0 && share <= 100, share.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q149 supplier counts: anti join excludes complained suppliers") {
+    val df = DecisionSupport.supplierCounts(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("leftanti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // counts bounded by the supplier population minus the excluded ones
+    val ok = graft.ops.table(spark, sf, "supplier")
+      .filter("s_acctbal >= 0").count()
+    assert(rows.forall(_.getLong(3) <= ok))
+  }
 }
