@@ -1003,6 +1003,40 @@ object SemiStructured {
     * production bounds the range and uses q106's segment arithmetic
     * wherever the range is append-only; the two tiers compose into a
     * complete CDC story for any history. */
+  /** q150 — time travel by WALL CLOCK (`TIMESTAMP AS OF`): the
+    * Delta/Iceberg companion to `VERSION AS OF` — "what did this table
+    * look like at 3am" without knowing version numbers. Every manifest
+    * commit stamps a strictly-monotonic millisecond timestamp
+    * ([[graft.sources.SegTable]] publish), and the catalog's
+    * `loadTable(ident, timestampMicros)` resolves to the latest version
+    * committed at or before the asked instant. Determinism: wall-clock
+    * values never reach the output — the query reads v1's OWN commit
+    * stamp from the `.versions` metadata table (q135) and asks for
+    * exactly that instant, so the travel lands on v1 (monotonicity
+    * guarantees no later commit shares the millisecond) and the output
+    * is the v1 row population, which the oracle restates. At 100 TB the
+    * resolution is pure manifest arithmetic — no data IO scales with
+    * the question. */
+  val q150TimestampTravel: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.tt_t")
+    s.sql("CREATE TABLE graft_cat.db.tt_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2400").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_tt")
+    s.sql("INSERT INTO graft_cat.db.tt_t SELECT id, v FROM graft_seq_tt WHERE id < 1200")
+    val tsV1 = s.sql("SELECT max(ts_ms) FROM graft_cat.db.tt_t.versions")
+      .head.getLong(0) // metadata-sized driver read, one long
+    s.sql("INSERT INTO graft_cat.db.tt_t SELECT id, v FROM graft_seq_tt WHERE id >= 1200")
+    s.sql(
+      s"""SELECT leg, n, sum_v FROM (
+         |  SELECT 'asof_v1' AS leg, COUNT(*) AS n, SUM(v) AS sum_v
+         |  FROM graft_cat.db.tt_t TIMESTAMP AS OF timestamp_millis($tsV1)
+         |  UNION ALL
+         |  SELECT 'latest', COUNT(*), SUM(v) FROM graft_cat.db.tt_t)
+         |ORDER BY leg""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1391,6 +1425,7 @@ object SemiStructured {
     "q134_sorted_write" -> q134SortedWrite,
     "q135_metadata_tables" -> q135MetadataTables,
     "q136_net_changes" -> q136NetChanges,
+    "q150_timestamp_travel" -> q150TimestampTravel,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1641,6 +1676,18 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // v1 restated from the deterministic seq formula; the travel leg must
+    // equal it exactly and the latest leg the full population
+    "q150_timestamp_travel" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2400) r)
+        |SELECT leg, n, sum_v FROM (
+        |  SELECT 'asof_v1' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v FROM t WHERE id < 1200
+        |  UNION ALL
+        |  SELECT 'latest', COUNT(*), CAST(SUM(v) AS BIGINT) FROM t)
+        |ORDER BY leg""".stripMargin,
     "q136_net_changes" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -199,7 +199,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else s.copy(file = srcDir.resolve(s.file).toAbsolutePath.toString)
     }
     Files.createDirectories(dir)
-    val v1 = SegVersion(1L, snap.colIds, snap.schema, snap.partCol, refs, snap.props)
+    val v1 = SegVersion(1L, snap.colIds, snap.schema, snap.partCol, refs,
+      snap.props, ts = System.currentTimeMillis())
     SegStore.appendVersion(dir, v1)
     tables.putIfAbsent(dstIdent, SegTable.open(dstIdent.toString, dir))
     (refs.size.toLong, refs.map(_.bytes).sum, snap.v)
@@ -250,6 +251,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.changesTable(lo.trim.toLong,
           if (hi.trim.isEmpty) -1L else hi.trim.toLong)
       case t: SegTable => t.versionAt(version.toLong)
+      case t => t
+    }
+
+  /** Catalog time travel by wall clock (`TIMESTAMP AS OF t`): resolves
+    * to the LATEST version whose commit timestamp is ≤ t — the
+    * Delta/Iceberg timestamp-travel contract. Spark hands the timestamp
+    * in MICROSECONDS; commit stamps are strictly monotonic millis (see
+    * [[SegTable]] publish), so `AS OF <commit ts of v>` is always v. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTable(ident) match {
+      case t: SegTable => t.versionAtTimestamp(timestamp / 1000L)
       case t => t
     }
 
@@ -548,7 +560,7 @@ object SegBloom {
   * Versions are append-only; segment files are immutable and shared. */
 case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
     partCol: Option[String], segs: Seq[Seg],
-    props: Map[String, String] = Map.empty) {
+    props: Map[String, String] = Map.empty, ts: Long = 0L) {
   /** Decoded partition transform ([[PartSpec]]); `partCol` is its
     * manifest encoding. */
   def partSpec: Option[PartSpec] = partCol.map(PartSpec.decode)
@@ -613,11 +625,12 @@ class SegTable private (ident: String, dir: Path,
           StructField("n_segments", LongType, nullable = false),
           StructField("n_rows", LongType, nullable = false),
           StructField("n_bytes", LongType, nullable = false),
-          StructField("n_external", LongType, nullable = false)))
+          StructField("n_external", LongType, nullable = false),
+          StructField("ts_ms", LongType, nullable = false)))
         new MetaTable(s"$ident.versions", schema, vs.map { v =>
           new GenericInternalRow(Array[Any](v.v, v.segs.size.toLong,
             v.segs.map(_.rows).sum, v.segs.map(_.bytes).sum,
-            v.segs.count(s => Seg.isExternal(s.file)).toLong))
+            v.segs.count(s => Seg.isExternal(s.file)).toLong, v.ts))
         })
       case "files" =>
         val schema = StructType(Seq(
@@ -650,7 +663,11 @@ class SegTable private (ident: String, dir: Path,
     var attempts = 0
     var done = false
     while (!done) {
-      val next = f(cur).copy(v = cur.v + 1)
+      // commit timestamp: wall clock, forced STRICTLY monotonic so
+      // `TIMESTAMP AS OF <commit ts of v>` always resolves to v, never
+      // to a later same-millisecond commit
+      val next = f(cur).copy(v = cur.v + 1,
+        ts = math.max(System.currentTimeMillis(), cur.ts + 1))
       done = SegStore.commitVersion(dir, cur.v, next)
       if (done) versions :+= next
       else {
@@ -698,6 +715,19 @@ class SegTable private (ident: String, dir: Path,
       throw new IllegalArgumentException(
         s"$ident has no version $v (latest: ${cur.v})"))
     new SegSnapshotTable(s"$ident@v$v", dir, snap)
+  }
+
+  /** Latest version committed at or before `ms` (epoch millis). Versions
+    * from pre-timestamp manifests carry ts=0 and so match any query time
+    * — the standard "history older than the feature is always visible"
+    * migration posture. */
+  private[sources] def versionAtTimestamp(ms: Long): Table = {
+    val eligible = versions.filter(_.ts <= ms)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      s"$ident has no version committed at or before timestamp ${ms}ms " +
+        s"(earliest commit: ${versions.head.ts}ms)")
+    val snap = eligible.maxBy(_.v)
+    new SegSnapshotTable(s"$ident@t$ms", dir, snap)
   }
 
   /** Merge segment files smaller than `targetBytes` (the small-file
@@ -1126,7 +1156,7 @@ object SegTable {
       props: Map[String, String] = Map.empty): SegTable = {
     Files.createDirectories(dir)
     val v0 = SegVersion(0L, schema.fields.indices.toArray, schema, partCol,
-      Nil, props)
+      Nil, props, ts = System.currentTimeMillis())
     SegStore.appendVersion(dir, v0)
     new SegTable(ident, dir, Vector(v0))
   }
@@ -1931,9 +1961,12 @@ object SegStore {
     val base = ("v" -> v.v) ~ ("ids" -> v.colIds.toList) ~
       ("schema" -> v.schema.json) ~ ("part" -> v.partCol) ~
       ("segs" -> v.segs.map(segJson).toList)
-    // props key omitted when empty — older manifest lines stay identical
-    val json: JValue =
+    // props/ts keys omitted when empty/unset — older manifest lines stay
+    // identical
+    val withProps =
       if (v.props.nonEmpty) base ~ ("props" -> v.props) else base
+    val json: JValue =
+      if (v.ts > 0L) withProps ~ ("ts" -> v.ts) else withProps
     JsonMethods.compact(JsonMethods.render(json)) + "\n"
   }
 
@@ -2008,7 +2041,8 @@ object SegStore {
           (j \ "ids").extract[List[Int]].toArray,
           DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
           (j \ "part").extractOpt[String], segs,
-          (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty))
+          (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
+          (j \ "ts").extractOpt[Long].getOrElse(0L))
       }
   }
 }

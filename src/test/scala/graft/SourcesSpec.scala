@@ -325,6 +325,32 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("timestamp travel: commit stamps are strictly monotonic, AS OF lands exactly") {
+    val rows = ops.SemiStructured.q150TimestampTravel(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("asof_v1")._1 === 1200L)
+    assert(rows("latest")._1 === 2400L)
+    // the manifest's commit stamps strictly increase (the property that
+    // makes AS OF <commit ts of v> resolve to v, never a later commit)
+    val ts = spark.sql("SELECT ts_ms FROM graft_cat.db.tt_t.versions ORDER BY v")
+      .collect().map(_.getLong(0))
+    assert(ts.length === 3) // v0 create, v1, v2
+    assert(ts.sliding(2).forall { case Array(a, b) => a < b })
+    // asking for an instant before the table existed is refused
+    val err = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_cat.db.tt_t TIMESTAMP AS OF timestamp_millis(${ts.head - 1})")
+        .collect()
+    }
+    assert(err.getMessage.contains("no version committed at or before"),
+      err.getMessage)
+    // an instant between v1 and v2 still sees exactly v1
+    val mid = spark.sql(
+      s"SELECT COUNT(*) FROM graft_cat.db.tt_t TIMESTAMP AS OF timestamp_millis(${ts(1)})")
+      .head.getLong(0)
+    assert(mid === 1200L)
+  }
+
   test("row-level UPDATE and MERGE rewrite and commit atomically") {
     val upd = ops.SemiStructured.q88CatalogUpdate(spark, sf).head()
     assert(upd.getLong(0) === 1000L)
