@@ -1037,6 +1037,39 @@ object SemiStructured {
          |ORDER BY leg""".stripMargin)
   }
 
+  /** q151 — `CALL system.zorder`: multi-dimensional clustering (Delta's
+    * OPTIMIZE ZORDER BY, [[graft.sources.ZOrderProcedure]]). The fixture
+    * is a 64×64 grid scattered across 4 ingest segments — before the
+    * rewrite every segment spans the full range of BOTH keys, so a 2-D
+    * box predicate prunes nothing; after it each segment covers a small
+    * Morton rectangle and the SAME zone maps prune the box to ~1 of 8
+    * segments (spec-pinned via the scan hook). Output: the rewrite's
+    * before/after segment counts and the box aggregate — the box result
+    * is layout-independent, which is the semantics-preservation claim.
+    * `rows_rewritten` and the post-rewrite per-segment row split depend
+    * only on manifest arithmetic; the range sampler may move boundaries
+    * slightly between runs but all 8 partitions stay populated on a
+    * uniform 4096-key space. */
+  val q151ZOrderCluster: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.zo_t")
+    s.sql("CREATE TABLE graft_cat.db.zo_t (a BIGINT, b BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4096").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_zo")
+    s.sql(
+      """INSERT INTO graft_cat.db.zo_t
+        |SELECT id % 64, id div 64, v FROM graft_seq_zo""".stripMargin)
+    val rewrite = s.sql("CALL graft_cat.system.zorder('db.zo_t', 'a', 'b', 8)")
+      .select(lit("rewrite").as("leg"),
+        col("segments_before").as("n"), col("segments_after").as("val"))
+    val box = s.sql(
+      """SELECT 'box' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS val
+        |FROM graft_cat.db.zo_t
+        |WHERE a BETWEEN 0 AND 15 AND b BETWEEN 0 AND 15""".stripMargin)
+    rewrite.unionAll(box).orderBy("leg")
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1426,6 +1459,7 @@ object SemiStructured {
     "q135_metadata_tables" -> q135MetadataTables,
     "q136_net_changes" -> q136NetChanges,
     "q150_timestamp_travel" -> q150TimestampTravel,
+    "q151_zorder_cluster" -> q151ZOrderCluster,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1676,6 +1710,19 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // the box aggregate restated from the grid formula; rewrite counts
+    // are manifest facts (4 ingest splits in, 8 range partitions out)
+    "q151_zorder_cluster" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4096) r)
+        |SELECT leg, n, val FROM (
+        |  SELECT 'box' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS val
+        |  FROM t WHERE id % 64 BETWEEN 0 AND 15 AND id // 64 BETWEEN 0 AND 15
+        |  UNION ALL
+        |  SELECT 'rewrite', CAST(4 AS BIGINT), CAST(8 AS BIGINT))
+        |ORDER BY leg""".stripMargin,
     // v1 restated from the deterministic seq formula; the travel leg must
     // equal it exactly and the latest leg the full population
     "q150_timestamp_travel" ->

@@ -146,7 +146,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Array(Identifier.of(namespace, "compact"),
       Identifier.of(namespace, "expire_versions"),
       Identifier.of(namespace, "vacuum"),
-      Identifier.of(namespace, "clone"))
+      Identifier.of(namespace, "clone"),
+      Identifier.of(namespace, "zorder"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -154,9 +155,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "expire_versions" => new ExpireVersionsProcedure(this)
       case "vacuum" => new VacuumProcedure(this)
       case "clone" => new CloneProcedure(this)
+      case "zorder" => new ZOrderProcedure(this)
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure `$other` " +
-          "(available: compact, expire_versions, vacuum, clone)")
+          "(available: compact, expire_versions, vacuum, clone, zorder)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -716,6 +718,34 @@ class SegTable private (ident: String, dir: Path,
         s"$ident has no version $v (latest: ${cur.v})"))
     new SegSnapshotTable(s"$ident@v$v", dir, snap)
   }
+
+  /** Manifest-derived [min, max] of a BIGINT column across the current
+    * segments that carry stats for it — metadata arithmetic only, used
+    * by the z-order rewrite to fix its bucket scale without a data scan.
+    * None when the table is empty or no segment has stats. */
+  private[sources] def columnBounds(name: String): Option[(Long, Long)] =
+    synchronized {
+      val v = cur
+      val fi = v.schema.fieldIndex(name)
+      require(v.schema(fi).dataType == LongType,
+        s"$ident: z-order clusters BIGINT columns, got " +
+          s"${v.schema(fi).dataType} for `$name`")
+      val pid = v.colIds(fi)
+      val bs = v.segs.flatMap { s =>
+        val i = s.colIds.indexOf(pid)
+        if (i >= 0 && i < s.hasStats.length && s.hasStats(i))
+          Some((s.mins(i), s.maxs(i)))
+        else None
+      }
+      if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+
+  /** Current segment count / declared-sort property (z-order guards). */
+  private[sources] def currentSegmentCount: Int = synchronized(cur.segs.size)
+  private[sources] def currentRowCount: Long =
+    synchronized(cur.segs.map(_.rows).sum)
+  private[sources] def hasDeclaredSort: Boolean =
+    synchronized(cur.props.contains(SegSort.PropKey))
 
   /** Latest version committed at or before `ms` (epoch millis). Versions
     * from pre-timestamp manifests carry ts=0 and so match any query time
@@ -2254,6 +2284,91 @@ class CloneProcedure(catalog: GraftCatalog) extends UnboundProcedure {
         StructField("source_version", LongType, nullable = false)))
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](segs, bytes, srcV)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.zorder('db.t', 'col_a', 'col_b' [, n])` —
+  * multi-dimensional clustering rewrite (Delta's OPTIMIZE ZORDER BY):
+  * rewrites the table's current rows ordered by the Morton interleave of
+  * the two BIGINT columns, so each segment covers a small RECTANGLE of
+  * the (a, b) key space and the existing zone maps prune range
+  * predicates on EITHER column (or both) to a handful of segments. A
+  * declared single-column sort (`graft.sort`) makes one column's zone
+  * maps disjoint at the other's expense; z-order is the two-column
+  * compromise — bounded range per segment on both axes.
+  *
+  * Mechanics: bucket scale comes from MANIFEST zone maps (no data scan);
+  * each value maps to a 0..255 bucket, the 16-bit Morton key range-
+  * partitions into `n` write tasks sorted within partitions, and the
+  * result lands through the table's normal INSERT OVERWRITE path — one
+  * atomic version step (truncate + new segments), CHECK constraints
+  * re-verified, old versions still readable (time travel), replaced
+  * files reclaimed by expire/vacuum. Reading and overwriting the SAME
+  * table is safe because data files are immutable: the scan reads the
+  * pre-rewrite segment files while the commit only swaps manifest refs.
+  * At 100 TB this is the standard nightly layout job: one distributed
+  * sort of the data, zero driver-side rows. */
+class ZOrderProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "zorder"
+  override def description(): String =
+    "rewrite the table clustered by the Morton interleave of two BIGINT columns"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String = ZOrderProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("col_a", StringType).build(),
+      ProcedureParameter.in("col_b", StringType).build(),
+      ProcedureParameter.in("num_partitions", LongType).defaultValue("8")
+        .comment("write tasks = output segments (unpartitioned table)")
+        .build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tname = input.getUTF8String(0).toString
+      val cA = input.getUTF8String(1).toString
+      val cB = input.getUTF8String(2).toString
+      val nParts = input.getLong(3).toInt
+      require(nParts > 0, s"num_partitions must be positive, got $nParts")
+      val st = catalog.segTable(tname)
+      require(!st.hasDeclaredSort,
+        s"$tname declares a write sort order (graft.sort) — drop it " +
+          "before z-ordering; the two clustering contracts conflict")
+      val before = st.currentSegmentCount.toLong
+      val schema = StructType(Seq(
+        StructField("segments_before", LongType, nullable = false),
+        StructField("segments_after", LongType, nullable = false),
+        StructField("rows_rewritten", LongType, nullable = false)))
+      def result(after: Long, rows: Long) =
+        util.Collections.singletonList[Scan](new ProcResultScan(schema,
+          new GenericInternalRow(Array[Any](before, after, rows)))).iterator()
+      (st.columnBounds(cA), st.columnBounds(cB)) match {
+        case (Some((mnA, mxA)), Some((mnB, mxB))) =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          import org.apache.spark.sql.functions.{col, expr}
+          // bucket width so (max-min)/div fits 0..255; BigInt driver-side
+          // arithmetic (the span of two Long extremes overflows Long)
+          def divisor(mn: Long, mx: Long): Long =
+            ((BigInt(mx) - BigInt(mn)) / 256 + 1).toLong
+          val (dA, dB) = (divisor(mnA, mxA), divisor(mnB, mxB))
+          val full = s"${catalog.name()}.$tname"
+          val z = graft.ext.Layout.morton8(
+            expr(s"(`$cA` - ${mnA}L) div ${dA}L"),
+            expr(s"(`$cB` - ${mnB}L) div ${dB}L"))
+          val tmp = s"graft_zorder_${java.util.UUID.randomUUID.toString.take(8)}"
+          spark.table(full)
+            .withColumn("__graft_z", z)
+            .repartitionByRange(nParts, col("__graft_z"))
+            .sortWithinPartitions("__graft_z")
+            .drop("__graft_z")
+            .createOrReplaceTempView(tmp)
+          try spark.sql(s"INSERT OVERWRITE $full SELECT * FROM $tmp")
+          finally spark.catalog.dropTempView(tmp)
+          // post-rewrite numbers from the manifest — metadata, not a scan
+          result(st.currentSegmentCount.toLong, st.currentRowCount)
+        case _ => // empty table (or no stats): nothing to rewrite
+          result(before, 0L)
+      }
     }
   }
 }

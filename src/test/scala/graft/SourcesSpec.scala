@@ -325,6 +325,36 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("zorder rewrite: box result layout-independent, zone maps prune the 2-D box") {
+    val rows = ops.SemiStructured.q151ZOrderCluster(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("rewrite") === ((4L, 8L)))
+    assert(rows("box")._1 === 256L)
+    // a fresh box scan after the rewrite plans ~1 of the 8 segments:
+    // each rewritten segment is a Morton rectangle, so BOTH columns'
+    // zone maps exclude it unless the box intersects its rectangle
+    spark.sql(
+      """SELECT SUM(v) FROM graft_cat.db.zo_t
+        |WHERE a BETWEEN 0 AND 15 AND b BETWEEN 0 AND 15""".stripMargin).collect()
+    val (tbl, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(tbl.contains("zo_t"), tbl)
+    assert(total === 8, s"planned $kept/$total")
+    assert(kept <= 2, s"box kept $kept of $total segments — not clustered")
+    // pre-rewrite version still readable (files immutable, refs swapped)
+    val v1 = spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.zo_t VERSION AS OF 1").head.getLong(0)
+    assert(v1 === 4096L)
+    // a declared single-column sort conflicts with z-order: refused
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.zs_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.zs_t (a BIGINT, b BIGINT)
+        |TBLPROPERTIES ('graft.sort' = 'a')""".stripMargin)
+    val err = intercept[Exception] {
+      spark.sql("CALL graft_cat.system.zorder('db.zs_t', 'a', 'b')").collect()
+    }
+    assert(err.getMessage.contains("graft.sort"), err.getMessage)
+  }
+
   test("timestamp travel: commit stamps are strictly monotonic, AS OF lands exactly") {
     val rows = ops.SemiStructured.q150TimestampTravel(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
