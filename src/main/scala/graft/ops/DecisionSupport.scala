@@ -503,8 +503,11 @@ object DecisionSupport {
     * orders in one market segment, ordered before the cut date with at
     * least one lineitem still shipping after it. Customer is a pure
     * FILTER here — it contributes no output column, so it joins LEFT
-    * SEMI (no row multiplication, the dim never widens the fact); the
-    * one SF-scaled shuffle is lineitem ⋈ orders on the order key. Both
+    * SEMI (no row multiplication, the dim never widens the fact) and is
+    * declared PLAIN: customer is SF-scaled, so the q137 doctrine applies
+    * — AQE promotes the segment-filtered side to broadcast when it fits,
+    * and falls back to a keyed shuffle when it doesn't, the right call
+    * at every scale. The one intrinsic shuffle is li ⋈ orders. Both
     * date predicates push to their scans; the top-10 runs as
     * TakeOrderedAndProject (per-partition heaps, never a full sort).
     * Revenue is exact DECIMAL cast to double at the end, so the DESC
@@ -520,7 +523,7 @@ object DecisionSupport {
     table(s, d, "lineitem")
       .filter(col("l_shipdate") > cut)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
         col("o_orderpriority").as("prio"))
@@ -562,8 +565,10 @@ object DecisionSupport {
     * cycle closes on the cheapest edge: orders ⋈ customer carries the
     * customer's nation key onto the fact, lineitem ⋈ supplier carries
     * the supplier's; the equality then filters the already-joined rows
-    * (codegen'd, no extra shuffle). Nation/region broadcast; the two
-    * SF-scaled shuffles (li ⋈ orders, the group-by) are intrinsic. */
+    * (codegen'd, no extra shuffle). Nation/region broadcast explicitly
+    * (25/5 rows at any SF); customer/supplier are SF-scaled and so
+    * declared plain — AQE promotes them while they fit (q137 doctrine).
+    * The li ⋈ orders shuffle is Q5's intrinsic cost. */
   val localSupplierVolume: Q = (s, d) => {
     val natAsia = table(s, d, "nation")
       .join(broadcast(table(s, d, "region").filter(col("r_name") === "ASIA")),
@@ -579,8 +584,8 @@ object DecisionSupport {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
         col("l_discount"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(natAsia), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -615,9 +620,11 @@ object DecisionSupport {
     * resolution (`cents·(100−disc_pct)` and `40·retail_cents·qty` are
     * both integer), the per-group sum stays integer, and only the final
     * division by 10⁴ is double — both engines perform the identical
-    * correctly-rounded operation. At scale the LIKE prunes part before
-    * the fact join (broadcast), orders joins on the order key (the one
-    * fact-sized shuffle), nation broadcasts onto supplier. */
+    * correctly-rounded operation. At scale the LIKE prunes part BEFORE
+    * the fact join; part/supplier are SF-scaled so their joins are
+    * declared plain (AQE promotes the pruned sides while they fit —
+    * q137 doctrine); orders joins on the order key (the one fact-sized
+    * shuffle); nation (25 rows) broadcasts onto supplier. */
   val productTypeProfit: Q = (s, d) => {
     val redParts = table(s, d, "part")
       .filter(col("p_name").like("%red%"))
@@ -633,8 +640,8 @@ object DecisionSupport {
         (lit(100L) - round(col("l_discount") * 100, 0).cast("long")) -
         lit(40L) * col("retail_cents") * col("l_quantity").cast("long")
     table(s, d, "lineitem")
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(table(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
@@ -695,7 +702,8 @@ object DecisionSupport {
   /** q148 — TPC-H Q14 shape (promotion effect): promo revenue share of
     * one ship month, the single-row conditional-aggregation ratio. The
     * part type is a dim attribute, so the CASE leg needs the join —
-    * part broadcasts (|part|-bounded), the month filter prunes the fact
+    * declared plain (part is SF-scaled; AQE promotes it to broadcast
+    * while it fits), the month filter prunes the fact
     * scan to ~1/n of its rows before the join, and both ratio legs
     * accumulate exact DECIMAL in the same pass. Division discipline:
     * each leg casts to double independently, then `100·promo/total`
@@ -708,8 +716,7 @@ object DecisionSupport {
     table(s, d, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-      .join(broadcast(table(s, d, "part")
-        .select(col("p_partkey"), col("p_type"))),
+      .join(table(s, d, "part").select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast(Dec)))
@@ -727,9 +734,11 @@ object DecisionSupport {
     * NOT IN over a non-null key column decorrelates to a LEFT ANTI
     * join (the null-semantics hazard of NOT IN doesn't arise —
     * `s_suppkey` is a primary key; documented, not assumed). The part
-    * predicates prune the broadcast side BEFORE the fact join, and the
-    * distinct count shuffles the already-deduplicated (bucket, supp)
-    * pairs, not raw lineitem. */
+    * predicates prune their side BEFORE the fact join (both part and
+    * supplier are SF-scaled, so the joins are declared plain and AQE
+    * promotes the pruned sides while they fit), and the distinct count
+    * shuffles the already-deduplicated (bucket, supp) pairs, not raw
+    * lineitem. */
   val supplierCounts: Q = (s, d) => {
     val buckets = table(s, d, "part")
       .filter(col("p_brand") =!= "Brand#21" &&
@@ -739,9 +748,8 @@ object DecisionSupport {
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     table(s, d, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(buckets), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"),
-        "left_anti")
+      .join(buckets, col("l_partkey") === col("p_partkey"))
+      .join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
