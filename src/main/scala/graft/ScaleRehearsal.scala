@@ -45,7 +45,15 @@ object ScaleRehearsal {
     "ext98_repeat_customers", "ext99_incremental_bitmap",
     "ext101_markov_transitions",
     // round-7 adds: window-pass interpolation and the one-exchange CUPED
-    "ext104_interpolate_gaps", "ext105_cuped")
+    "ext104_interpolate_gaps", "ext105_cuped",
+    // round-8 adds: the TPC-H tier's intrinsic-shuffle representatives —
+    // fact-fact join + topN (Q3), cyclic dim graph (Q5), 4-table profit
+    // rollup (Q9), outer-join histogram with BOTH sides scaling (Q13),
+    // anti join + count-distinct (Q16). Dims (nation/region/supplier)
+    // stay fixture-constant; facts grow K x.
+    "q141_shipping_priority", "q143_local_supplier_volume",
+    "q145_product_type_profit", "q113_order_count_distribution",
+    "q149_supplier_counts")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -59,9 +67,9 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.configure(spark)
-    // part.parquet is the newest fixture table (round-8 warehouse probe)
+    // supplier.parquet is the newest fixture table (round-8 TPC-H tier)
     // — its absence means the fixture predates it and must be regenerated
-    if (!new java.io.File(s"$out/part.parquet").exists())
+    if (!new java.io.File(s"$out/supplier.parquet").exists())
       generate(spark, src, out, k)
 
     def time(name: String, dir: String): Double = {
@@ -228,6 +236,14 @@ object ScaleRehearsal {
     copies(cu) { (c, i) =>
       c.withColumn("c_custkey", col("c_custkey") + lit(i * maxCk))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // dims the TPC-H tier joins: constant across K (nation/region ARE
+    // constant; supplier held fixed makes each supplier 10 x heavier --
+    // the skewed-growth case the plans must absorb)
+    Seq("supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     val ev = spark.read.parquet(s"$src/events.parquet")
     val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1

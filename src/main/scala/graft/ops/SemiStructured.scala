@@ -1070,6 +1070,36 @@ object SemiStructured {
     rewrite.unionAll(box).orderBy("leg")
   }
 
+  /** q152 — named version refs (Iceberg tags, [[graft.sources
+    * .TagProcedure]]): `CALL system.tag('db.t', 'rel1')` pins the
+    * current snapshot under a name; `VERSION AS OF 'rel1'` reads it
+    * forever after, whatever lands on the table since. The ref is a
+    * `graft.tag.rel1` property COMMIT — it versions with the table,
+    * persists in the manifest across processes, and UNSET TBLPROPERTIES
+    * deletes it (spec-pinned, with the numeric-name and no-such-version
+    * refusals). The release-pinning workflow this enables at 100 TB:
+    * training jobs read `VERSION AS OF 'dataset-v2.1'` while ingest
+    * keeps appending — reproducibility without copying a byte. */
+  val q152VersionTags: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.tag_t")
+    s.sql("CREATE TABLE graft_cat.db.tag_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "3000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_tag")
+    s.sql("INSERT INTO graft_cat.db.tag_t SELECT id, v FROM graft_seq_tag WHERE id < 1500")
+    s.sql("CALL graft_cat.system.tag('db.tag_t', 'rel1')") // pins v1
+    s.sql("INSERT INTO graft_cat.db.tag_t SELECT id, v FROM graft_seq_tag WHERE id >= 1500")
+    s.sql(
+      """SELECT leg, n, sum_v FROM (
+        |  SELECT 'rel1' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM graft_cat.db.tag_t VERSION AS OF 'rel1'
+        |  UNION ALL
+        |  SELECT 'latest', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM graft_cat.db.tag_t)
+        |ORDER BY leg""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1460,6 +1490,7 @@ object SemiStructured {
     "q136_net_changes" -> q136NetChanges,
     "q150_timestamp_travel" -> q150TimestampTravel,
     "q151_zorder_cluster" -> q151ZOrderCluster,
+    "q152_version_tags" -> q152VersionTags,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1710,6 +1741,17 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // the tag leg restated as the v1 population (id < 1500)
+    "q152_version_tags" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r)
+        |SELECT leg, n, sum_v FROM (
+        |  SELECT 'rel1' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v FROM t WHERE id < 1500
+        |  UNION ALL
+        |  SELECT 'latest', COUNT(*), CAST(SUM(v) AS BIGINT) FROM t)
+        |ORDER BY leg""".stripMargin,
     // the box aggregate restated from the grid formula; rewrite counts
     // are manifest facts (4 ingest splits in, 8 range partitions out)
     "q151_zorder_cluster" ->

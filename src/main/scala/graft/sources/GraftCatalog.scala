@@ -147,7 +147,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "expire_versions"),
       Identifier.of(namespace, "vacuum"),
       Identifier.of(namespace, "clone"),
-      Identifier.of(namespace, "zorder"))
+      Identifier.of(namespace, "zorder"),
+      Identifier.of(namespace, "tag"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -156,9 +157,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum" => new VacuumProcedure(this)
       case "clone" => new CloneProcedure(this)
       case "zorder" => new ZOrderProcedure(this)
+      case "tag" => new TagProcedure(this)
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure `$other` " +
-          "(available: compact, expire_versions, vacuum, clone, zorder)")
+          "(available: compact, expire_versions, vacuum, clone, zorder, tag)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -252,7 +254,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val Array(lo, hi) = version.split("\\.\\.", 2)
         t.changesTable(lo.trim.toLong,
           if (hi.trim.isEmpty) -1L else hi.trim.toLong)
-      case t: SegTable => t.versionAt(version.toLong)
+      case t: SegTable if version.nonEmpty && version.forall(_.isDigit) =>
+        t.versionAt(version.toLong)
+      case t: SegTable =>
+        // named tag (Iceberg ref): `VERSION AS OF 'rel1'` resolves the
+        // `graft.tag.rel1` property of the CURRENT version to a pinned
+        // version number — refs live in current metadata, snapshots are
+        // immutable, so a tag read is an ordinary versioned read
+        t.versionAtTag(version)
       case t => t
     }
 
@@ -747,6 +756,34 @@ class SegTable private (ident: String, dir: Path,
   private[sources] def hasDeclaredSort: Boolean =
     synchronized(cur.props.contains(SegSort.PropKey))
 
+  /** Resolve a named tag (`graft.tag.<name>` in the CURRENT version's
+    * props) to its pinned snapshot. Tagging and untagging are ordinary
+    * property commits, so refs version with the table and survive
+    * process restarts in the manifest. */
+  private[sources] def versionAtTag(tag: String): Table = {
+    val key = s"${SegTag.Prefix}$tag"
+    synchronized(cur.props.get(key)) match {
+      case Some(v) => versionAt(v.toLong)
+      case None => throw new IllegalArgumentException(
+        s"$ident has no version $tag: not a version number, and no " +
+          s"`$key` table property (CALL system.tag to create one)")
+    }
+  }
+
+  /** Pin `name` → `v` (default: current head) as a tag property commit.
+    * Returns the pinned version. */
+  private[sources] def createTag(name: String, v: Option[Long]): Long =
+    synchronized {
+      require(name.nonEmpty && !name.forall(_.isDigit) && !name.contains(".."),
+        s"tag name `$name` would be ambiguous with a version number or range")
+      val target = v.getOrElse(cur.v)
+      require(versions.exists(_.v == target),
+        s"$ident has no version $target to tag (latest: ${cur.v})")
+      publish(x => x.copy(props =
+        x.props + (s"${SegTag.Prefix}$name" -> target.toString)))
+      target
+    }
+
   /** Latest version committed at or before `ms` (epoch millis). Versions
     * from pre-timestamp manifests carry ts=0 and so match any query time
     * — the standard "history older than the feature is always visible"
@@ -1112,6 +1149,11 @@ class SegTable private (ident: String, dir: Path,
   * BIGINT (the zone-mapped type: sorting anything else cannot sharpen
   * pruning); the optional partition count pins the range-exchange width
   * (0 = let Spark choose). */
+/** Named-ref property namespace (`graft.tag.<name>` = pinned version). */
+object SegTag {
+  val Prefix = "graft.tag."
+}
+
 object SegSort {
   val PropKey = "graft.sort"
 
@@ -2284,6 +2326,37 @@ class CloneProcedure(catalog: GraftCatalog) extends UnboundProcedure {
         StructField("source_version", LongType, nullable = false)))
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](segs, bytes, srcV)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.tag('db.t', 'name' [, version])` — pin a named
+  * ref (Iceberg tag) to a snapshot; `VERSION AS OF 'name'` then reads it.
+  * The ref is an ordinary `graft.tag.<name>` property commit: it versions
+  * with the table, persists in the manifest, and UNSET TBLPROPERTIES
+  * drops it. Version defaults to the current head (-1 sentinel). */
+class TagProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a named ref to a snapshot version, readable via VERSION AS OF 'name'"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String = TagProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1")
+        .comment("snapshot to pin; -1 = current head").build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val v = input.getLong(2)
+      val pinned = catalog.segTable(input.getUTF8String(0).toString)
+        .createTag(input.getUTF8String(1).toString,
+          if (v < 0) None else Some(v))
+      val schema = StructType(Seq(
+        StructField("pinned_version", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](pinned)))).iterator()
     }
   }
 }

@@ -197,12 +197,14 @@ class PropertySpec extends SparkTestBase {
     case class Ins(rows: List[(Long, Long)]) extends Op
     case class Del(lo: Long, hi: Long) extends Op
     case object Compact extends Op
+    case object ZOrder extends Op
 
     val genRow = Gen.zip(Gen.chooseNum(0L, 499L), Gen.chooseNum(-50L, 1000L))
     val genIns: Gen[Op] = Gen.nonEmptyListOf(genRow).map(l => Ins(l.take(40)))
     val genDel: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 200L))
       .map { case (lo, w) => Del(lo, lo + w) }
-    val genOp: Gen[Op] = Gen.frequency(5 -> genIns, 3 -> genDel, 2 -> Gen.const(Compact))
+    val genOp: Gen[Op] = Gen.frequency(5 -> genIns, 3 -> genDel,
+      2 -> Gen.const(Compact), 2 -> Gen.const(ZOrder))
 
     samples(Gen.listOfN(8, genOp), 5).zipWithIndex.foreach { case (opsSeq, i) =>
       spark.sql("DROP TABLE IF EXISTS graft_cat.db.fuzz_t")
@@ -228,6 +230,8 @@ class PropertySpec extends SparkTestBase {
           model.clear(); model ++= keep
         case Compact =>
           spark.sql("CALL graft_cat.system.compact('db.fuzz_t', 1048576)")
+        case ZOrder => // layout-only rewrite: must never change contents
+          spark.sql("CALL graft_cat.system.zorder('db.fuzz_t', 'id', 'v', 3)")
       }
       val got = spark.sql("SELECT id, v FROM graft_cat.db.fuzz_t").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq

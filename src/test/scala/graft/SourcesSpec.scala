@@ -355,6 +355,31 @@ class SourcesSpec extends SparkTestBase {
     assert(err.getMessage.contains("graft.sort"), err.getMessage)
   }
 
+  test("version tags: pin, survive appends, drop via UNSET, refuse bad names") {
+    val rows = ops.SemiStructured.q152VersionTags(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("rel1") === 1500L)
+    assert(rows("latest") === 3000L)
+    // tagging an explicit historical version works too
+    spark.sql("CALL graft_cat.system.tag('db.tag_t', 'empty', 0)")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.tag_t VERSION AS OF 'empty'")
+      .head.getLong(0) === 0L)
+    // dropping the ref makes the name unresolvable (data untouched)
+    spark.sql("ALTER TABLE graft_cat.db.tag_t UNSET TBLPROPERTIES ('graft.tag.rel1')")
+    val gone = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft_cat.db.tag_t VERSION AS OF 'rel1'")
+        .collect()
+    }
+    assert(gone.getMessage.contains("graft.tag.rel1"), gone.getMessage)
+    // numeric names would shadow version numbers; nonexistent versions
+    // cannot be pinned
+    intercept[Exception](
+      spark.sql("CALL graft_cat.system.tag('db.tag_t', '7')").collect())
+    intercept[Exception](
+      spark.sql("CALL graft_cat.system.tag('db.tag_t', 'nope', 99)").collect())
+  }
+
   test("timestamp travel: commit stamps are strictly monotonic, AS OF lands exactly") {
     val rows = ops.SemiStructured.q150TimestampTravel(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
