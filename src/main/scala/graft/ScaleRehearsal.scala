@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
   private val Queries = Seq(
     "ext02_dedup_ngram_jaccard", "ext03_dedup_minhash_lsh",
+    // the df-capped twins (the 100 TB-mandatory configuration): frequent
+    // shingles leave the index before the self-join, so the pair blowup
+    // the uncapped exact variants pay on near-dup-heavy corpora is
+    // bounded — the ratio gap vs ext02/ext86 is the point being measured
+    "ext02b_dedup_ngram_jaccard_capped", "ext86b_dedup_containment_capped",
     "ext38_dedup_components", "ext75_sim_topk_ivfpq",
     "ext77_label_noise_knn", "ext86_dedup_containment",
     "ext56_full_training_pipeline",
