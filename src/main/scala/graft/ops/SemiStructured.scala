@@ -1100,6 +1100,40 @@ object SemiStructured {
         |ORDER BY leg""".stripMargin)
   }
 
+  /** q153 — `CALL system.rollback` + operation history: the bad-write
+    * undo (Delta RESTORE). A delete takes the table to v3; rollback
+    * restores v2's content AS A NEW VERSION (v4) — history is never
+    * rewritten, the deleted state stays time-travelable, and the
+    * `.versions` metadata table now narrates the whole episode through
+    * its `operation` column (create/append/delete/rollback — Delta's
+    * DESCRIBE HISTORY surface). Output: the post-rollback population
+    * (equal to v2's, the restore-correctness claim the oracle restates)
+    * plus the operation ledger. */
+  val q153Rollback: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.rb_t")
+    s.sql("CREATE TABLE graft_cat.db.rb_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_rb")
+    s.sql("INSERT INTO graft_cat.db.rb_t SELECT id, v FROM graft_seq_rb WHERE id < 1000")
+    s.sql("INSERT INTO graft_cat.db.rb_t SELECT id, v FROM graft_seq_rb WHERE id >= 1000")
+    s.sql("DELETE FROM graft_cat.db.rb_t WHERE id >= 500") // the bad write
+    s.sql("CALL graft_cat.system.rollback('db.rb_t', 2)")
+    val pop = s.sql(
+      """SELECT 'restored' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+        |FROM graft_cat.db.rb_t""".stripMargin)
+    val ledger = s.sql(
+      """SELECT concat('v', CAST(v AS STRING)) AS leg, n_rows AS n,
+        |  CAST(NULL AS BIGINT) AS x
+        |FROM graft_cat.db.rb_t.versions WHERE operation = 'rollback'""".stripMargin)
+    val ops = s.sql(
+      """SELECT concat('op_', operation) AS leg, COUNT(*) AS n,
+        |  CAST(NULL AS BIGINT) AS x
+        |FROM graft_cat.db.rb_t.versions GROUP BY operation""".stripMargin)
+    pop.unionAll(ledger).unionAll(ops).orderBy("leg")
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1491,6 +1525,7 @@ object SemiStructured {
     "q150_timestamp_travel" -> q150TimestampTravel,
     "q151_zorder_cluster" -> q151ZOrderCluster,
     "q152_version_tags" -> q152VersionTags,
+    "q153_rollback" -> q153Rollback,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1741,6 +1776,24 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // restored population = the pre-delete table; ledger legs are
+    // manifest facts (one rollback version carrying 2000 rows; the op
+    // census: create, 2 appends, one row-level rewrite — the id >= 500
+    // delete splits a segment, so it takes the copy-on-write path —
+    // and the rollback)
+    "q153_rollback" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'restored' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS x FROM t
+        |  UNION ALL SELECT 'v4', 2000, NULL
+        |  UNION ALL SELECT 'op_create', 1, NULL
+        |  UNION ALL SELECT 'op_append', 2, NULL
+        |  UNION ALL SELECT 'op_rewrite', 1, NULL
+        |  UNION ALL SELECT 'op_rollback', 1, NULL)
+        |ORDER BY leg""".stripMargin,
     // the tag leg restated as the v1 population (id < 1500)
     "q152_version_tags" ->
       """WITH t AS (

@@ -148,7 +148,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "vacuum"),
       Identifier.of(namespace, "clone"),
       Identifier.of(namespace, "zorder"),
-      Identifier.of(namespace, "tag"))
+      Identifier.of(namespace, "tag"),
+      Identifier.of(namespace, "rollback"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -158,9 +159,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "clone" => new CloneProcedure(this)
       case "zorder" => new ZOrderProcedure(this)
       case "tag" => new TagProcedure(this)
+      case "rollback" => new RollbackProcedure(this)
       case other => throw new IllegalArgumentException(
-        s"catalog $catalogName has no procedure `$other` " +
-          "(available: compact, expire_versions, vacuum, clone, zorder, tag)")
+        s"catalog $catalogName has no procedure `$other` (available: " +
+          "compact, expire_versions, vacuum, clone, zorder, tag, rollback)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -571,7 +573,8 @@ object SegBloom {
   * Versions are append-only; segment files are immutable and shared. */
 case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
     partCol: Option[String], segs: Seq[Seg],
-    props: Map[String, String] = Map.empty, ts: Long = 0L) {
+    props: Map[String, String] = Map.empty, ts: Long = 0L,
+    op: String = "") {
   /** Decoded partition transform ([[PartSpec]]); `partCol` is its
     * manifest encoding. */
   def partSpec: Option[PartSpec] = partCol.map(PartSpec.decode)
@@ -637,11 +640,13 @@ class SegTable private (ident: String, dir: Path,
           StructField("n_rows", LongType, nullable = false),
           StructField("n_bytes", LongType, nullable = false),
           StructField("n_external", LongType, nullable = false),
-          StructField("ts_ms", LongType, nullable = false)))
+          StructField("ts_ms", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false)))
         new MetaTable(s"$ident.versions", schema, vs.map { v =>
           new GenericInternalRow(Array[Any](v.v, v.segs.size.toLong,
             v.segs.map(_.rows).sum, v.segs.map(_.bytes).sum,
-            v.segs.count(s => Seg.isExternal(s.file)).toLong, v.ts))
+            v.segs.count(s => Seg.isExternal(s.file)).toLong, v.ts,
+            UTF8String.fromString(if (v.op.isEmpty) "create" else v.op)))
         })
       case "files" =>
         val schema = StructType(Seq(
@@ -670,7 +675,8 @@ class SegTable private (ident: String, dir: Path,
     * must therefore be a pure function of the current version — every
     * caller builds "append these segments / swap these segments / evolve
     * this schema" exactly that way. */
-  private def publish(f: SegVersion => SegVersion): Unit = synchronized {
+  private def publish(f: SegVersion => SegVersion,
+      op: String = "write"): Unit = synchronized {
     var attempts = 0
     var done = false
     while (!done) {
@@ -678,7 +684,7 @@ class SegTable private (ident: String, dir: Path,
       // `TIMESTAMP AS OF <commit ts of v>` always resolves to v, never
       // to a later same-millisecond commit
       val next = f(cur).copy(v = cur.v + 1,
-        ts = math.max(System.currentTimeMillis(), cur.ts + 1))
+        ts = math.max(System.currentTimeMillis(), cur.ts + 1), op = op)
       done = SegStore.commitVersion(dir, cur.v, next)
       if (done) versions :+= next
       else {
@@ -780,9 +786,25 @@ class SegTable private (ident: String, dir: Path,
       require(versions.exists(_.v == target),
         s"$ident has no version $target to tag (latest: ${cur.v})")
       publish(x => x.copy(props =
-        x.props + (s"${SegTag.Prefix}$name" -> target.toString)))
+        x.props + (s"${SegTag.Prefix}$name" -> target.toString)), op = "tag")
       target
     }
+
+  /** Restore the table's CONTENT to a historical snapshot (Delta
+    * RESTORE / Iceberg rollback): a NEW version whose segs/schema/
+    * partitioning come from the target — history is never rewritten, so
+    * the rolled-back state remains time-travelable and a second
+    * rollback can undo the first. Current PROPS are kept (tags and
+    * constraints are refs/contracts on the table, not table content).
+    * Returns (restoredFrom, newVersion). */
+  private[sources] def rollback(toV: Long): (Long, Long) = synchronized {
+    val target = versions.find(_.v == toV).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no version $toV to roll back to (latest: ${cur.v})"))
+    require(toV < cur.v, s"$ident is already at or before version $toV")
+    publish(v => target.copy(props = v.props), op = "rollback")
+    (toV, cur.v)
+  }
 
   /** Latest version committed at or before `ms` (epoch millis). Versions
     * from pre-timestamp manifests carry ts=0 and so match any query time
@@ -845,7 +867,7 @@ class SegTable private (ident: String, dir: Path,
         SegCompactor.merge(dirStr, s"seg-compact-v$newV-g$i.bin", g)
       }
       .collect() // manifest entries only (name + stats), never rows
-    publish(x => x.copy(segs = untouched ++ merged))
+    publish(x => x.copy(segs = untouched ++ merged), op = "compact")
     (groups.size.toLong, v.segs.size.toLong, (untouched.size + merged.length).toLong)
   }
 
@@ -918,7 +940,8 @@ class SegTable private (ident: String, dir: Path,
       // atomic publish: commit messages carry segment NAMES + stats,
       // never rows; truncate+load is ONE version step
       val segs = SegTable.segsOf(messages)
-      publish(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs))
+      publish(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs),
+        op = if (truncateFirst) "overwrite" else "append")
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       SegTable.segsOf(messages)
@@ -1001,7 +1024,8 @@ class SegTable private (ident: String, dir: Path,
                   case None => _ => true
                 }
                 publish(v => v.copy(
-                  segs = v.segs.filterNot(read) ++ SegTable.segsOf(messages)))
+                  segs = v.segs.filterNot(read) ++ SegTable.segsOf(messages)),
+                  op = "rewrite")
               }
               override def abort(messages: Array[WriterCommitMessage]): Unit =
                 SegTable.segsOf(messages)
@@ -1031,10 +1055,11 @@ class SegTable private (ident: String, dir: Path,
       SegPrune.definiteDrop(fns.map(_(s)).foldLeft(SegPrune.TRUE)(SegPrune.triAnd))
     }
     SegHooks.lastMetadataDelete.set((ident, dropped.size, kept.size))
-    publish(v => v.copy(segs = kept))
+    publish(v => v.copy(segs = kept), op = "delete")
   }
 
-  override def truncateTable(): Boolean = { publish(_.copy(segs = Nil)); true }
+  override def truncateTable(): Boolean =
+    { publish(_.copy(segs = Nil), op = "truncate"); true }
 
   /** Schema evolution without rewriting data: each change is applied to
     * the (column-id, field) list, so old segments keep projecting
@@ -1131,7 +1156,7 @@ class SegTable private (ident: String, dir: Path,
     publish(v => v.copy(colIds = fields.map(_._1).toArray,
       schema = StructType(fields.map(_._2)),
       partCol = partSpec.map(_.encoded),
-      props = newProps.getOrElse(v.props)))
+      props = newProps.getOrElse(v.props)), op = "alter")
   }
 }
 
@@ -2037,8 +2062,10 @@ object SegStore {
     // identical
     val withProps =
       if (v.props.nonEmpty) base ~ ("props" -> v.props) else base
-    val json: JValue =
+    val withTs =
       if (v.ts > 0L) withProps ~ ("ts" -> v.ts) else withProps
+    val json: JValue =
+      if (v.op.nonEmpty) withTs ~ ("op" -> v.op) else withTs
     JsonMethods.compact(JsonMethods.render(json)) + "\n"
   }
 
@@ -2114,7 +2141,8 @@ object SegStore {
           DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
           (j \ "part").extractOpt[String], segs,
           (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
-          (j \ "ts").extractOpt[Long].getOrElse(0L))
+          (j \ "ts").extractOpt[Long].getOrElse(0L),
+          (j \ "op").extractOpt[String].getOrElse(""))
       }
   }
 }
@@ -2326,6 +2354,32 @@ class CloneProcedure(catalog: GraftCatalog) extends UnboundProcedure {
         StructField("source_version", LongType, nullable = false)))
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](segs, bytes, srcV)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.rollback('db.t', version)` — restore table
+  * content to a snapshot as a NEW version ([[SegTable.rollback]]);
+  * history stays intact and time-travelable. */
+class RollbackProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore the table's content to a historical version (history preserved)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String = RollbackProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val (from, now) = catalog.segTable(input.getUTF8String(0).toString)
+        .rollback(input.getLong(1))
+      val schema = StructType(Seq(
+        StructField("restored_version", LongType, nullable = false),
+        StructField("new_version", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](from, now)))).iterator()
     }
   }
 }

@@ -380,6 +380,27 @@ class SourcesSpec extends SparkTestBase {
       spark.sql("CALL graft_cat.system.tag('db.tag_t', 'nope', 99)").collect())
   }
 
+  test("rollback restores content as a new version; history stays travelable") {
+    val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("restored") === 2000L)
+    assert(rows("op_rollback") === 1L)
+    // the deleted state (v3) is STILL readable — rollback appends, never
+    // rewrites history
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.rb_t VERSION AS OF 3")
+      .head.getLong(0) === 500L)
+    // rolling back the rollback re-deletes: back to v3's content
+    spark.sql("CALL graft_cat.system.rollback('db.rb_t', 3)")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.rb_t")
+      .head.getLong(0) === 500L)
+    // rolling back to the current head (or later) is refused
+    intercept[Exception](
+      spark.sql("CALL graft_cat.system.rollback('db.rb_t', 5)").collect())
+    intercept[Exception](
+      spark.sql("CALL graft_cat.system.rollback('db.rb_t', 99)").collect())
+  }
+
   test("timestamp travel: commit stamps are strictly monotonic, AS OF lands exactly") {
     val rows = ops.SemiStructured.q150TimestampTravel(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
