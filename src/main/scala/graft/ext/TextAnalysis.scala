@@ -257,7 +257,56 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** ext109 — distributed BPE merge induction (tokenizer TRAINING, the
+    * piece the counting-side `bpe_ish_tokens` of ext10 doesn't do): the
+    * classic byte-pair-encoding loop — count adjacent symbol pairs over
+    * the corpus, merge the most frequent, repeat — run exactly the way
+    * production tokenizer trainers run it at corpus scale: the ONE
+    * corpus-sized pass is the word count (map-side-combining groupBy);
+    * every subsequent round works on the VOCABULARY (≪ corpus, the
+    * standard HuggingFace-trainer factorization), so 4 rounds cost 4
+    * vocab-sized jobs plus a 1-row argmax collect each (4 driver rows
+    * total, never data).
+    *
+    * Determinism: the argmax tie-breaks (count DESC, pair ASC) and the
+    * merge application is TWO left-to-right non-overlapping `replace`
+    * passes on the space-delimited segmentation (pass 2 catches
+    * occurrences a pass-1 replacement exposed; both engines' `replace`
+    * scans identically, so the greedy result is identical — documented
+    * operator semantics rather than a fixpoint loop). The oracle
+    * re-runs the full 4-round induction in chained CTEs. */
+  val bpeMerges: Q = (s, d) => {
+    val words = table(s, d, "documents")
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var seg = words.withColumn("seg",
+      expr("trim(regexp_replace(w, '(.)', '$1 '))"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    for (r <- 1 to 4) {
+      val best = seg
+        .select(col("cnt"), split(col("seg"), " ").as("p"))
+        .select(col("cnt"), explode(expr(
+          "if(size(p) < 2, array()," +
+            " transform(sequence(1, size(p) - 1)," +
+            "           i -> concat(element_at(p, i), ' ', element_at(p, i + 1))))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .head()
+      val (bp, bc) = (best.getString(0), best.getLong(1))
+      merges += ((r.toLong, bp, bc))
+      val pat = s" $bp "
+      val rep = " " + bp.replace(" ", "") + " "
+      seg = seg.withColumn("seg", expr(
+        s"trim(replace(replace(concat(' ', seg, ' '), '$pat', '$rep'), '$pat', '$rep'))"))
+    }
+    import s.implicits._
+    merges.toSeq.toDF("merge_rank", "pair", "weight").orderBy("merge_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext109_bpe_merges" -> bpeMerges,
     "ext84_tfidf_topterms" -> tfidfTopTerms,
     "ext43_pii_redaction" -> piiRedaction,
     "ext33_bottomk_sketch" -> bottomKSketch,
@@ -270,6 +319,57 @@ object TextAnalysis {
     "ext28_sample_stratified" -> sampleStratified)
 
   val oracleSql: Map[String, String] = Map(
+    "ext109_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |seg0 AS (
+        |  SELECT w, cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg FROM words),
+        |p1 AS (
+        |  SELECT pr, SUM(cnt) AS c FROM (
+        |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+        |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+        |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg0))
+        |  GROUP BY pr),
+        |b1 AS (SELECT pr, c FROM p1 ORDER BY c DESC, pr LIMIT 1),
+        |seg1 AS (
+        |  SELECT w, cnt, trim(replace(replace(' ' || seg || ' ', ' ' || b1.pr || ' ', ' ' || replace(b1.pr, ' ', '') || ' '), ' ' || b1.pr || ' ', ' ' || replace(b1.pr, ' ', '') || ' ')) AS seg
+        |  FROM seg0, b1),
+        |p2 AS (
+        |  SELECT pr, SUM(cnt) AS c FROM (
+        |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+        |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+        |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg1))
+        |  GROUP BY pr),
+        |b2 AS (SELECT pr, c FROM p2 ORDER BY c DESC, pr LIMIT 1),
+        |seg2 AS (
+        |  SELECT w, cnt, trim(replace(replace(' ' || seg || ' ', ' ' || b2.pr || ' ', ' ' || replace(b2.pr, ' ', '') || ' '), ' ' || b2.pr || ' ', ' ' || replace(b2.pr, ' ', '') || ' ')) AS seg
+        |  FROM seg1, b2),
+        |p3 AS (
+        |  SELECT pr, SUM(cnt) AS c FROM (
+        |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+        |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+        |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg2))
+        |  GROUP BY pr),
+        |b3 AS (SELECT pr, c FROM p3 ORDER BY c DESC, pr LIMIT 1),
+        |seg3 AS (
+        |  SELECT w, cnt, trim(replace(replace(' ' || seg || ' ', ' ' || b3.pr || ' ', ' ' || replace(b3.pr, ' ', '') || ' '), ' ' || b3.pr || ' ', ' ' || replace(b3.pr, ' ', '') || ' ')) AS seg
+        |  FROM seg2, b3),
+        |p4 AS (
+        |  SELECT pr, SUM(cnt) AS c FROM (
+        |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+        |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+        |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg3))
+        |  GROUP BY pr),
+        |b4 AS (SELECT pr, c FROM p4 ORDER BY c DESC, pr LIMIT 1)
+        |SELECT merge_rank, pair, weight FROM (
+        |  SELECT CAST(1 AS BIGINT) AS merge_rank, pr AS pair,
+        |    CAST(c AS BIGINT) AS weight FROM b1
+        |  UNION ALL SELECT 2, pr, CAST(c AS BIGINT) FROM b2
+        |  UNION ALL SELECT 3, pr, CAST(c AS BIGINT) FROM b3
+        |  UNION ALL SELECT 4, pr, CAST(c AS BIGINT) FROM b4)
+        |ORDER BY merge_rank""".stripMargin,
     "ext84_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok

@@ -168,6 +168,31 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("bpe merges: ranks decrease in weight; each merge was the round's argmax") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.bpeMerges(spark, sf).collect()
+    assert(rows.length === 4)
+    // pairs are two space-separated symbols; merged symbol = concatenation
+    rows.foreach(r => assert(r.getString(1).split(" ").length === 2))
+    // round 1's weight is the global max adjacent-char pair count —
+    // recompute independently from raw words
+    val w1 = rows(0).getString(1).replace(" ", "")
+    val charPairs = graft.ops.table(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(expr(
+        "if(length(w) < 2, array()," +
+          " transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)))"))
+        .as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("p")).limit(1).head()
+    assert(charPairs.getString(0) === w1)
+    assert(charPairs.getLong(1) === rows(0).getLong(2))
+    // later merges never exceed the first round's weight (frequencies
+    // only shrink as symbols coalesce)
+    assert(rows.sliding(2).forall(p => p(0).getLong(2) >= p(1).getLong(2)))
+  }
+
   test("langid scores sum to <= token count; detected lang is argmax") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     rows.foreach { r =>
