@@ -1134,6 +1134,44 @@ object SemiStructured {
     pop.unionAll(ledger).unionAll(ops).orderBy("leg")
   }
 
+  /** q154 — auto-compaction on write ([[graft.sources.SegTable]]
+    * maybeAutoCompact): the table declares
+    * `graft.autocompact = 'targetBytes:minFiles'` and every batch
+    * write that leaves ≥ minFiles sub-target segments compacts inline —
+    * small-file hygiene as a steady-state property of the table, not a
+    * scheduled job. Six 1-segment inserts with minFiles=4: the 4th
+    * insert trips one compaction (4 → 1 segments), the remaining two
+    * accumulate (the merged file alone never re-compacts — the
+    * anti-thrash guard), landing at 3 files. The operation ledger and
+    * the final file/row census are the deterministic output. */
+  val q154AutoCompact: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ac_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.ac_t (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.autocompact' = '1048576:4')""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "3000").option("parts", "1").load()
+      .createOrReplaceTempView("graft_seq_ac")
+    (0 until 6).foreach { i =>
+      s.sql(
+        s"""INSERT INTO graft_cat.db.ac_t
+           |SELECT id, v FROM graft_seq_ac
+           |WHERE id >= ${i * 500} AND id < ${(i + 1) * 500}""".stripMargin)
+    }
+    val files = s.sql(
+      """SELECT 'files' AS leg, COUNT(*) AS n, CAST(SUM(rows) AS BIGINT) AS x
+        |FROM graft_cat.db.ac_t.files""".stripMargin)
+    val ops = s.sql(
+      """SELECT concat('op_', operation) AS leg, COUNT(*) AS n,
+        |  CAST(NULL AS BIGINT) AS x
+        |FROM graft_cat.db.ac_t.versions GROUP BY operation""".stripMargin)
+    val total = s.sql(
+      """SELECT 'rows' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+        |FROM graft_cat.db.ac_t""".stripMargin)
+    files.unionAll(ops).unionAll(total).orderBy("leg")
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1526,6 +1564,7 @@ object SemiStructured {
     "q151_zorder_cluster" -> q151ZOrderCluster,
     "q152_version_tags" -> q152VersionTags,
     "q153_rollback" -> q153Rollback,
+    "q154_auto_compact" -> q154AutoCompact,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1776,6 +1815,21 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // manifest facts: 3 files after one auto-compaction (4->1, then two
+    // more appends), census create + 6 appends + 1 compact, full rows
+    "q154_auto_compact" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'files' AS leg, CAST(3 AS BIGINT) AS n,
+        |    CAST(3000 AS BIGINT) AS x
+        |  UNION ALL SELECT 'op_create', 1, NULL
+        |  UNION ALL SELECT 'op_append', 6, NULL
+        |  UNION ALL SELECT 'op_compact', 1, NULL
+        |  UNION ALL SELECT 'rows', (SELECT COUNT(*) FROM t),
+        |    (SELECT CAST(SUM(v) AS BIGINT) FROM t))
+        |ORDER BY leg""".stripMargin,
     // restored population = the pre-delete table; ledger legs are
     // manifest facts (one rollback version carrying 2000 rows; the op
     // census: create, 2 appends, one row-level rewrite — the id >= 500

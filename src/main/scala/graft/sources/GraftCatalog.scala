@@ -831,6 +831,28 @@ class SegTable private (ident: String, dir: Path,
     * remain exact partition pruning. Old versions keep referencing the
     * pre-compaction files (compaction never deletes — that is
     * [[expire]]'s job). Returns (groupsMerged, segsBefore, segsAfter). */
+  /** Auto-compaction on write (Delta autoCompact): when the table
+    * declares `graft.autocompact` = 'targetBytes[:minFiles]' (minFiles
+    * defaults to 4), every BATCH write that leaves at least minFiles
+    * sub-target segments triggers an inline [[compact]] — the
+    * steady-state answer to the small-file problem for tables ingested
+    * in many small batches, without a scheduled maintenance job. The
+    * minFiles guard prevents thrash (a merged segment still below
+    * target does not re-compact alone); streaming epoch writes keep
+    * their own cadence and are deliberately exempt (a micro-batch sink
+    * must not absorb a compaction's latency — run CALL system.compact
+    * from maintenance instead). */
+  private def maybeAutoCompact(): Unit =
+    synchronized(cur.props.get("graft.autocompact")).foreach { raw =>
+      val parts = raw.split(':')
+      val target = parts(0).trim.toLong
+      val minFiles = if (parts.length > 1) parts(1).trim.toInt else 4
+      require(target > 0 && minFiles >= 2,
+        s"$ident: bad graft.autocompact spec `$raw` (targetBytes[:minFiles])")
+      if (synchronized(cur.segs.count(_.bytes < target)) >= minFiles)
+        compact(target)
+    }
+
   private[graft] def compact(targetBytes: Long): (Long, Long, Long) = synchronized {
     val v = cur
     val spec = v.partSpec
@@ -942,6 +964,7 @@ class SegTable private (ident: String, dir: Path,
       val segs = SegTable.segsOf(messages)
       publish(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs),
         op = if (truncateFirst) "overwrite" else "append")
+      maybeAutoCompact()
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       SegTable.segsOf(messages)

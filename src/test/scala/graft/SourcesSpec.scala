@@ -380,6 +380,28 @@ class SourcesSpec extends SparkTestBase {
       spark.sql("CALL graft_cat.system.tag('db.tag_t', 'nope', 99)").collect())
   }
 
+  test("auto-compaction: trips at minFiles, anti-thrash guard, ledger accurate") {
+    val rows = ops.SemiStructured.q154AutoCompact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("files") === 3L)     // 4->1 compact, then two appends
+    assert(rows("op_compact") === 1L)
+    assert(rows("rows") === 3000L)
+    // the 7th insert brings the small-file count back to 4: trips again
+    spark.sql(
+      """INSERT INTO graft_cat.db.ac_t
+        |SELECT id + 3000, v FROM graft_seq_ac WHERE id < 500""".stripMargin)
+    val after = spark.sql(
+      """SELECT COUNT(*) AS files,
+        |  (SELECT COUNT(*) FROM graft_cat.db.ac_t.versions
+        |   WHERE operation = 'compact') AS compacts
+        |FROM graft_cat.db.ac_t.files""".stripMargin).head
+    assert(after.getLong(0) === 1L, s"files=${after.getLong(0)}")
+    assert(after.getLong(1) === 2L)
+    // row population intact through both compactions
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.ac_t")
+      .head.getLong(0) === 3500L)
+  }
+
   test("rollback restores content as a new version; history stays travelable") {
     val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
