@@ -306,6 +306,39 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** q38b — KMV (k-minimum-values) distinct estimation, the
+    * DETERMINISTIC approximate-distinct twin of q38: Spark's HLL sketch
+    * (q38) can never hash-match a DuckDB recomputation (engine-private
+    * sketch state — q38's documented rows-only gap), but the KMV
+    * estimator is pure arithmetic over the k-th smallest 60-bit md5 of
+    * the key ((k−1)·2⁶⁰/h_k), which both engines restate bit-identically
+    * via the house md5→BIGINT bridge (q109). So even the APPROXIMATE
+    * tier gets a hash-checked oracle row. Scale: the distinct-hash set
+    * per group is the only shuffle; at 100 TB the production variant
+    * runs the mergeable bottom-k Aggregator (ext33) instead of the
+    * window — identical estimate, O(k) state. k = 64 → ~12.5% std err,
+    * spec-bounded at 30%. */
+  val q38bKmvDistinct: Q = (s, d) => {
+    val k = 64
+    val pow60 = 1152921504606846976.0 // 2^60, exact in double
+    val hashed = li(s, d).select(col("l_returnflag").as("flag"),
+      expr("CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("h")).distinct()
+    val w = Window.partitionBy("flag").orderBy("h")
+    val kth = hashed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === k)
+      .select(col("flag"),
+        (lit((k - 1).toDouble) * lit(pow60) / col("h").cast("double"))
+          .as("est_distinct"))
+    val exact = li(s, d).groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    kth.join(exact, Seq("flag"))
+      .select(col("flag"), col("est_distinct"), col("exact_parts"),
+        (abs(col("est_distinct") - col("exact_parts").cast("double")) /
+          col("exact_parts").cast("double")).as("rel_err"))
+      .orderBy("flag")
+  }
+
   /** PIVOT (serving surface): status columns per priority. Spark's pivot
     * leaves empty cells null; coalesce to 0 to match conditional-agg
     * semantics (which is how the oracle states it). */
@@ -443,6 +476,7 @@ object Relational {
     "q36_window_suite" -> q36WindowSuite,
     "q37_salted_agg" -> q37SaltedAgg,
     "q38_approx_distinct" -> q38ApproxDistinct,
+    "q38b_kmv_distinct" -> q38bKmvDistinct,
     "q39_pivot" -> q39Pivot,
     "q40_unpivot" -> q40Unpivot,
     "q41_setops_all" -> q41SetopsAll,
@@ -451,6 +485,30 @@ object Relational {
     "q56_promo_share" -> q56PromoShare)
 
   val oracleSql: Map[String, String] = Map(
+    // the estimator is pure arithmetic over the k-th smallest 60-bit
+    // md5 -- bit-identical cross-engine (class doc); k = 64
+    "q38b_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, h,
+        |    row_number() OVER (PARTITION BY flag ORDER BY h) AS rk
+        |  FROM h),
+        |e AS (
+        |  SELECT l_returnflag AS flag,
+        |    COUNT(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT r.flag,
+        |  63.0 * 1152921504606846976.0 / CAST(r.h AS DOUBLE) AS est_distinct,
+        |  e.exact_parts,
+        |  abs(63.0 * 1152921504606846976.0 / CAST(r.h AS DOUBLE)
+        |      - CAST(e.exact_parts AS DOUBLE))
+        |    / CAST(e.exact_parts AS DOUBLE) AS rel_err
+        |FROM r JOIN e ON r.flag = e.flag
+        |WHERE r.rk = 64 ORDER BY r.flag""".stripMargin,
     "q54_local_supplier" ->
       s"""SELECT n_name,
          | CAST(CAST(SUM($decPrice * (1 - $decDisc)) AS DECIMAL(38,4)) AS DOUBLE) AS revenue

@@ -102,6 +102,18 @@ class RelationalSpec extends SparkTestBase {
     assert(n === ops.table(spark, sf, "lineitem").count())
   }
 
+  test("q38b KMV estimate lands within its statistical error bound") {
+    val rows = Relational.q38bKmvDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact, err) =
+        (r.getDouble(1), r.getLong(2), r.getDouble(3))
+      // k = 64 -> ~12.5% std err; 30% is > 2 sigma on every flag
+      assert(err < 0.30, s"flag ${r.getString(0)}: est $est vs exact $exact")
+      assert(math.abs(est - exact) / exact === err)
+    }
+  }
+
   test("q19 union all preserves duplicates, q20/q21 are distinct set ops") {
     val u = Relational.q19UnionAll(spark, sf)
     assert(u.count() === ops.table(spark, sf, "customer").count() +
