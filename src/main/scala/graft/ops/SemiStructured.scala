@@ -1172,6 +1172,41 @@ object SemiStructured {
     files.unionAll(ops).unionAll(total).orderBy("leg")
   }
 
+  /** q155 — right-to-erasure maintenance pipeline, the composition the
+    * three retention procedures exist for: a row-level DELETE removes
+    * the subject's rows from the CURRENT version, but the copied-on-
+    * write ORIGINAL segment is still referenced by history (time travel
+    * must work — that is the lakehouse contract, and the compliance
+    * catch); `expire_versions` truncates history to the post-delete
+    * snapshot and GCs the superseded file, `vacuum` sweeps anything
+    * unreferenced. Only after BOTH is the data physically gone — the
+    * spec pins that the expired version is unreadable and the original
+    * segment file deleted, while this query pins the surviving
+    * population and the exact file/GC census. At 100 TB every step is
+    * manifest arithmetic plus deletes of known files; the only data IO
+    * was the DELETE's own copy-on-write rewrite. */
+  val q155ErasurePipeline: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.er_t")
+    s.sql("CREATE TABLE graft_cat.db.er_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_er")
+    s.sql("INSERT INTO graft_cat.db.er_t SELECT id, v FROM graft_seq_er WHERE id < 1000")
+    s.sql("INSERT INTO graft_cat.db.er_t SELECT id, v FROM graft_seq_er WHERE id >= 1000")
+    s.sql("DELETE FROM graft_cat.db.er_t WHERE id < 250") // the erasure subject
+    val expired = s.sql("CALL graft_cat.system.expire_versions('db.er_t', 1)")
+      .select(lit("expire").as("leg"), col("versions_expired").as("n"),
+        col("files_deleted").as("x"))
+    val swept = s.sql("CALL graft_cat.system.vacuum('db.er_t', 0)")
+      .select(lit("vacuum").as("leg"), col("orphans_deleted").as("n"),
+        col("live_files").as("x"))
+    val pop = s.sql(
+      """SELECT 'rows' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+        |FROM graft_cat.db.er_t""".stripMargin)
+    expired.unionAll(swept).unionAll(pop).orderBy("leg")
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1565,6 +1600,7 @@ object SemiStructured {
     "q152_version_tags" -> q152VersionTags,
     "q153_rollback" -> q153Rollback,
     "q154_auto_compact" -> q154AutoCompact,
+    "q155_erasure_pipeline" -> q155ErasurePipeline,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1815,6 +1851,18 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // expire drops v0..v2 (3 superseded versions) and GCs the pre-delete
+    // segment; vacuum finds nothing further; survivors = id >= 250
+    "q155_erasure_pipeline" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'expire' AS leg, CAST(3 AS BIGINT) AS n, CAST(1 AS BIGINT) AS x
+        |  UNION ALL SELECT 'vacuum', 0, 2
+        |  UNION ALL SELECT 'rows', (SELECT COUNT(*) FROM t WHERE id >= 250),
+        |    (SELECT CAST(SUM(v) AS BIGINT) FROM t WHERE id >= 250))
+        |ORDER BY leg""".stripMargin,
     // manifest facts: 3 files after one auto-compaction (4->1, then two
     // more appends), census create + 6 appends + 1 compact, full rows
     "q154_auto_compact" ->

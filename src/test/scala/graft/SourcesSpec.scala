@@ -402,6 +402,34 @@ class SourcesSpec extends SparkTestBase {
       .head.getLong(0) === 3500L)
   }
 
+  test("erasure pipeline: expired history unreadable, original segment gone") {
+    val rows = ops.SemiStructured.q155ErasurePipeline(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("rows")._1 === 1750L)
+    assert(rows("expire") === ((3L, 1L)))
+    // history is GONE: the pre-delete snapshot can no longer be read —
+    // that is the point of the erasure (vs rollback, which preserves it)
+    intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft_cat.db.er_t VERSION AS OF 2")
+        .collect()
+    }
+    // and the deleted rows are not reachable at ANY remaining version
+    val vs = spark.sql("SELECT v FROM graft_cat.db.er_t.versions")
+      .collect().map(_.getLong(0))
+    vs.foreach { v =>
+      val n = spark.sql(
+        s"SELECT COUNT(*) FROM graft_cat.db.er_t VERSION AS OF $v WHERE id < 250")
+        .head.getLong(0)
+      assert(n === 0L, s"version $v still exposes erased rows")
+    }
+    // physically: only the two live segment files remain in the table dir
+    val tdir = new java.io.File(
+      sys.props("java.io.tmpdir") + "/graft_warehouse/graft_cat/db.er_t")
+    assert(tdir.isDirectory, tdir.toString)
+    val segs = tdir.listFiles().count(_.getName.startsWith("seg-"))
+    assert(segs === 2, s"expected 2 live segment files, found $segs")
+  }
+
   test("rollback restores content as a new version; history stays travelable") {
     val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
