@@ -1207,6 +1207,39 @@ object SemiStructured {
     expired.unionAll(swept).unionAll(pop).orderBy("leg")
   }
 
+  /** q156 — STRING zone maps: every segment records the order-preserving
+    * 8-byte prefix range (+ bloom) of each string column, so predicates
+    * on strings prune whole segments exactly like BIGINT zone maps — no
+    * partitioning declaration needed, the ingest batching IS the
+    * clustering (here: one source per INSERT, the standard
+    * per-tenant/per-day load pattern). Equality uses zones + bloom;
+    * range predicates use the prefix order, conservative at prefix ties
+    * ([[graft.sources.SegPrune]] — never claims a definite verdict a
+    * suffix could overturn). The spec pins the planned-segment counts
+    * (1 of 4 for `=`, 2 of 4 for `>=`); this query pins the values. */
+  val q156StringPrune: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.sz_t")
+    s.sql("CREATE TABLE graft_cat.db.sz_t (id BIGINT, src STRING, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "1").load()
+      .createOrReplaceTempView("graft_seq_sz")
+    (0 until 4).foreach { i =>
+      s.sql(
+        s"""INSERT INTO graft_cat.db.sz_t
+           |SELECT id, 'tenant_$i', v FROM graft_seq_sz
+           |WHERE id >= ${i * 1000} AND id < ${(i + 1) * 1000}""".stripMargin)
+    }
+    s.sql(
+      """SELECT leg, n, sum_v FROM (
+        |  SELECT 'eq' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM graft_cat.db.sz_t WHERE src = 'tenant_2'
+        |  UNION ALL
+        |  SELECT 'range', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM graft_cat.db.sz_t WHERE src >= 'tenant_2')
+        |ORDER BY leg""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1601,6 +1634,7 @@ object SemiStructured {
     "q153_rollback" -> q153Rollback,
     "q154_auto_compact" -> q154AutoCompact,
     "q155_erasure_pipeline" -> q155ErasurePipeline,
+    "q156_string_prune" -> q156StringPrune,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1851,6 +1885,19 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // populations restated from the per-batch tenant routing
+    "q156_string_prune" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v,
+        |    'tenant_' || CAST(r.range // 1000 AS VARCHAR) AS src
+        |  FROM range(4000) r)
+        |SELECT leg, n, sum_v FROM (
+        |  SELECT 'eq' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM t WHERE src = 'tenant_2'
+        |  UNION ALL
+        |  SELECT 'range', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM t WHERE src >= 'tenant_2')
+        |ORDER BY leg""".stripMargin,
     // expire drops v0..v2 (3 superseded versions) and GCs the pre-delete
     // segment; vacuum finds nothing further; survivors = id >= 250
     "q155_erasure_pipeline" ->

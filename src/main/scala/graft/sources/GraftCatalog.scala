@@ -883,10 +883,16 @@ class SegTable private (ident: String, dir: Path,
     val untouched = v.segs.filterNot(s => mergedIn.contains(s.file))
     val dirStr = dir.toString
     val newV = v.v + 1
+    // ids whose stats-less segments are PROVABLY all-null (the Long
+    // writer invariant) — any other id (string prefix stats, dropped
+    // columns) combines stats flags conservatively in the merge
+    val longIds = v.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType => v.colIds(i)
+    }.toSet
     val merged = SparkSession.active.sparkContext
       .parallelize(groups.zipWithIndex, groups.size)
       .map { case (g, i) =>
-        SegCompactor.merge(dirStr, s"seg-compact-v$newV-g$i.bin", g)
+        SegCompactor.merge(dirStr, s"seg-compact-v$newV-g$i.bin", g, longIds)
       }
       .collect() // manifest entries only (name + stats), never rows
     publish(x => x.copy(segs = untouched ++ merged), op = "compact")
@@ -1377,12 +1383,19 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
   colIds.foreach(out.writeInt)
 
   private val isLong = cols.fields.map(_.dataType == LongType)
+  // STRING columns zone-map through their order-preserving 8-byte
+  // prefix ([[SegStore.strPrefix]]) — the same Long min/max/bloom
+  // machinery prunes string predicates with prefix-conservative
+  // comparison semantics ([[SegPrune]]), no manifest format change
+  private val isStr = cols.fields.map(_.dataType ==
+    org.apache.spark.sql.types.StringType)
   private val mins = Array.fill(cols.length)(Long.MaxValue)
   private val maxs = Array.fill(cols.length)(Long.MinValue)
   private val nulls = Array.fill(cols.length)(false)
   private val seen = Array.fill(cols.length)(false)
   private val blooms = cols.indices.map(i =>
-    if (isLong(i)) new Array[Long](SegBloom.Words) else Array.empty[Long]).toArray
+    if (isLong(i) || isStr(i)) new Array[Long](SegBloom.Words)
+    else Array.empty[Long]).toArray
   private var rows = 0L
   private var writeBuffer = new Array[Byte](4096)
 
@@ -1397,6 +1410,12 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
       if (ur.isNullAt(i)) nulls(i) = true
       else if (isLong(i)) {
         val v = ur.getLong(i)
+        if (v < mins(i)) mins(i) = v
+        if (v > maxs(i)) maxs(i) = v
+        seen(i) = true
+        SegBloom.add(blooms(i), v)
+      } else if (isStr(i)) {
+        val v = SegStore.strPrefix(ur.getUTF8String(i).getBytes)
         if (v < mins(i)) mins(i) = v
         if (v > maxs(i)) maxs(i) = v
         seen(i) = true
@@ -1918,6 +1937,65 @@ object SegPrune {
     case other => other
   }
 
+  /** Comparison verdict from 8-byte-PREFIX bounds ([[SegStore.strPrefix]]
+    * zones of a STRING column). Prefix order only bounds the true string
+    * order (`a < b ⇒ pfx(a) ≤ pfx(b)`), so every case is conservative at
+    * prefix ties: `=` never claims all-rows-equal (suffixes may differ),
+    * the inequalities claim a definite verdict only when the bound is
+    * STRICT in prefix space — which is exactly when it is definite in
+    * string space too. Sound for scan pruning (never hides a matching
+    * row) AND metadata deletes (never drops a partially-matching file). */
+  private def cmpTriPrefix(op: String, bounds: Option[(Long, Long)],
+      hasNull: Boolean, p: Long): Tri = {
+    var t = if (hasNull) 4 else 0
+    bounds.foreach { case (mn, mx) =>
+      val (canT, canF) = op match {
+        case "=" => (p >= mn && p <= mx, true)
+        case "<>" => (true, p >= mn && p <= mx)
+        case "<" | "<=" => (mn <= p, mx >= p)
+        case ">" | ">=" => (mx >= p, mn <= p)
+      }
+      if (canT) t |= 1
+      if (canF) t |= 2
+    }
+    t
+  }
+
+  private def strColOf(e: org.apache.spark.sql.connector.expressions.Expression,
+      ver: SegVersion): Option[Int] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      val i = ver.schema.fieldNames.indexOf(f.fieldNames.head)
+      if (i < 0 || ver.schema.fields(i).dataType !=
+          org.apache.spark.sql.types.StringType) None
+      else Some(ver.colIds(i))
+    case _ => None
+  }
+
+  private def strLitOf(e: org.apache.spark.sql.connector.expressions.Expression):
+      Option[Long] = e match {
+    case l: Literal[_] => l.value match {
+      case v: org.apache.spark.unsafe.types.UTF8String =>
+        Some(SegStore.strPrefix(v.getBytes))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Zone + bloom verdict of `op(stringCol, lit)` via prefix encoding.
+    * Absent bounds are FULLY indefinite (7), never "all null": unlike
+    * the Long writer, segments written before string zone maps existed
+    * carry values with hasStats=false, so bounds-absent cannot
+    * distinguish legacy-with-values from all-null — a Tri of 4 would
+    * wrongly prune legacy segments. Bounds present ⇒ new writer ⇒ the
+    * prefix semantics of [[cmpTriPrefix]] apply. */
+  private def zoneTriStr(s: Seg, id: Int, op: String, p: Long): Tri = {
+    if (s.rows == 0) return 0
+    val (b, nl) = colFacts(s, id, None)
+    if (b.isEmpty) return 7
+    val zoneOnly = cmpTriPrefix(op, b, nl, p)
+    if (op == "=") triAnd(zoneOnly, bloomEqTri(s, id, p)) else zoneOnly
+  }
+
   private def colOf(e: org.apache.spark.sql.connector.expressions.Expression,
       ver: SegVersion): Option[(Int, Option[Option[Long]])] = e match {
     case f: NamedReference if f.fieldNames.length == 1 =>
@@ -2021,7 +2099,15 @@ object SegPrune {
         case _ => (litOf(c(0)), colOf(c(1), ver)) match {
           case (Some(v), Some((id, d))) =>
             Some((s: Seg) => zoneTri(s, id, d, flip(p.name()), v, bc))
-          case _ => None
+          case _ => (strColOf(c(0), ver), strLitOf(c(1))) match {
+            case (Some(id), Some(pv)) =>
+              Some((s: Seg) => zoneTriStr(s, id, p.name(), pv))
+            case _ => (strLitOf(c(0)), strColOf(c(1), ver)) match {
+              case (Some(pv), Some(id)) =>
+                Some((s: Seg) => zoneTriStr(s, id, flip(p.name()), pv))
+              case _ => None
+            }
+          }
         }
       }
     // IN = disjunction of equalities — the pushed shape of `g IN (…)`
@@ -2143,6 +2229,23 @@ object SegStore {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Order-preserving 8-byte-prefix encoding of a UTF-8 string: the
+    * first 8 bytes big-endian (zero-padded), sign bit flipped so the
+    * SIGNED Long order equals unsigned byte order. `a < b` (binary
+    * UTF-8 order, Spark's default collation) implies
+    * `strPrefix(a) <= strPrefix(b)`, with equality only when the
+    * 8-byte prefixes tie — the conservative cases [[SegPrune]] handles
+    * by never claiming a definite verdict on a prefix tie. */
+  def strPrefix(utf8: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < utf8.length) utf8(i) & 0xffL else 0L)
+      i += 1
+    }
+    v ^ Long.MinValue
+  }
+
   def readVersions(dir: Path): Vector[SegVersion] = {
     implicit val fmts: Formats = DefaultFormats
     Files.readAllLines(dir.resolve(MetaFile)).asScala.toVector
@@ -2178,7 +2281,8 @@ object SegStore {
   * stats, max of maxs, OR of null/stats flags), so the merged entry is as
   * exact as its inputs. */
 object SegCompactor {
-  def merge(dirStr: String, finalName: String, segs: Seq[Seg]): Seg = {
+  def merge(dirStr: String, finalName: String, segs: Seq[Seg],
+      longIds: Set[Int] = Set.empty): Seg = {
     val dir = Paths.get(dirStr)
     val colIds = segs.head.colIds
     val headerLen = 8L + 4L * colIds.length
@@ -2216,18 +2320,29 @@ object SegCompactor {
     val mins = Array.fill(nCols)(Long.MaxValue)
     val maxs = Array.fill(nCols)(Long.MinValue)
     val hasNull = Array.fill(nCols)(false)
-    val hasStats = Array.fill(nCols)(false)
+    val statsAny = Array.fill(nCols)(false)
+    val statsAll = Array.fill(nCols)(true)
     segs.foreach { s =>
       var i = 0
       while (i < nCols) {
         if (s.hasNull(i)) hasNull(i) = true
         if (s.hasStats(i)) {
-          hasStats(i) = true
+          statsAny(i) = true
           if (s.mins(i) < mins(i)) mins(i) = s.mins(i)
           if (s.maxs(i) > maxs(i)) maxs(i) = s.maxs(i)
-        }
+        } else statsAll(i) = false
         i += 1
       }
+    }
+    // stats survive a merge when bounds still cover every value: for a
+    // BIGINT column a stats-less input is provably all-null (it adds no
+    // values), so ANY input's bounds cover; any other id (string prefix
+    // zones — legacy segments can hold values without stats — or a
+    // dropped column of unknown type) requires EVERY input to carry
+    // stats, else the merged claim would under-cover and wrongly prune
+    val hasStats = Array.tabulate(nCols) { i =>
+      if (longIds.contains(segs.head.colIds(i))) statsAny(i)
+      else statsAny(i) && statsAll(i)
     }
     // bloom union is exact (bitwise OR); a merged column keeps its bloom
     // only if EVERY input that saw values carries one (else the union

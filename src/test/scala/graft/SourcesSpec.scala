@@ -430,6 +430,44 @@ class SourcesSpec extends SparkTestBase {
     assert(segs === 2, s"expected 2 live segment files, found $segs")
   }
 
+  test("string zone maps: eq and range predicates prune whole segments") {
+    val rows = ops.SemiStructured.q156StringPrune(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("eq") === 1000L)
+    assert(rows("range") === 2000L)
+    // equality plans exactly the one tenant segment
+    spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.sz_t WHERE src = 'tenant_2'").collect()
+    val (t1, kept1, total1) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t1.contains("sz_t") && total1 === 4 && kept1 === 1,
+      s"eq planned $kept1/$total1")
+    // the range predicate keeps the upper two tenants
+    spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.sz_t WHERE src >= 'tenant_2'").collect()
+    val (_, kept2, _) = graft.sources.SegHooks.lastPlanned.get()
+    assert(kept2 === 2, s"range planned $kept2")
+    // a value absent from every bloom prunes everything
+    spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.sz_t WHERE src = 'zzz'").collect()
+    val (_, kept3, _) = graft.sources.SegHooks.lastPlanned.get()
+    assert(kept3 === 0, s"miss planned $kept3")
+    // prefix ties stay indefinite: 9-char-sharing strings never let the
+    // zone claim a definite verdict the suffix could overturn — rows
+    // whose first 8 bytes tie ('tenant_2' vs a hypothetical longer key)
+    // still read correctly through an inequality
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.sz_t WHERE src > 'tenant_1zzzz'")
+      .head.getLong(0) === 2000L)
+    // compaction keeps string stats only when every input has them:
+    // merge the four segments and re-check pruning still works (all
+    // inputs are new-writer segments, so stats survive the merge)
+    spark.sql("CALL graft_cat.system.compact('db.sz_t', 1073741824)")
+    spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.sz_t WHERE src = 'zzz'").collect()
+    val (_, kept4, total4) = graft.sources.SegHooks.lastPlanned.get()
+    assert(total4 === 1 && kept4 === 0, s"post-compact $kept4/$total4")
+  }
+
   test("rollback restores content as a new version; history stays travelable") {
     val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
