@@ -1240,6 +1240,39 @@ object SemiStructured {
         |ORDER BY leg""".stripMargin)
   }
 
+  /** q157 — CTAS / RTAS against the catalog: `CREATE TABLE … AS SELECT`
+    * (with an identity partition transform — the writer routes per key
+    * during the CTAS itself) and `REPLACE TABLE … AS SELECT` (drop +
+    * recreate + load as one statement). Spark drives both through the
+    * TableCatalog create/drop + append write path; the query pins that
+    * the CTAS'd table routes per-partition segments (the partition
+    * filter prunes at planning — spec) and that RTAS fully supersedes
+    * the old definition (new schema, new population). */
+  val q157Ctas: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ct_t")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "3000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_ct")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ct_r")
+    s.sql(
+      """CREATE TABLE graft_cat.db.ct_t PARTITIONED BY (g) AS
+        |SELECT id, v, id % 4 AS g FROM graft_seq_ct""".stripMargin)
+    s.sql(
+      """CREATE TABLE graft_cat.db.ct_r AS
+        |SELECT id, v FROM graft_seq_ct WHERE id < 1000""".stripMargin)
+    s.sql(
+      """REPLACE TABLE graft_cat.db.ct_r AS
+        |SELECT id, v * 10 AS w FROM graft_seq_ct WHERE id < 500""".stripMargin)
+    val ctas = s.sql(
+      """SELECT 'ctas_g2' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+        |FROM graft_cat.db.ct_t WHERE g = 2""".stripMargin)
+    val rtas = s.sql(
+      """SELECT 'rtas' AS leg, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS x
+        |FROM graft_cat.db.ct_r""".stripMargin)
+    ctas.unionAll(rtas).orderBy("leg")
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1635,6 +1668,7 @@ object SemiStructured {
     "q154_auto_compact" -> q154AutoCompact,
     "q155_erasure_pipeline" -> q155ErasurePipeline,
     "q156_string_prune" -> q156StringPrune,
+    "q157_ctas_rtas" -> q157Ctas,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1885,6 +1919,17 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    "q157_ctas_rtas" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'ctas_g2' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS x FROM t WHERE id % 4 = 2
+        |  UNION ALL
+        |  SELECT 'rtas', COUNT(*), CAST(SUM(v * 10) AS BIGINT)
+        |  FROM t WHERE id < 500)
+        |ORDER BY leg""".stripMargin,
     // populations restated from the per-batch tenant routing
     "q156_string_prune" ->
       """WITH t AS (

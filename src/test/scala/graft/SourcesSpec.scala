@@ -468,6 +468,22 @@ class SourcesSpec extends SparkTestBase {
     assert(total4 === 1 && kept4 === 0, s"post-compact $kept4/$total4")
   }
 
+  test("CTAS routes partitions during the create; RTAS fully supersedes") {
+    val rows = ops.SemiStructured.q157Ctas(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("ctas_g2")._1 === 750L)
+    assert(rows("rtas")._1 === 500L)
+    // the CTAS'd identity partitioning prunes at planning like any
+    // declared-partition table: g = 2 keeps only g=2's segments
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.ct_t WHERE g = 2").collect()
+    val (t, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t.contains("ct_t"), t)
+    assert(kept < total, s"planned $kept/$total — partition filter did not prune")
+    // RTAS replaced the SCHEMA too (v -> w)
+    val cols = spark.table("graft_cat.db.ct_r").schema.fieldNames.toSeq
+    assert(cols === Seq("id", "w"), cols.toString)
+  }
+
   test("rollback restores content as a new version; history stays travelable") {
     val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
