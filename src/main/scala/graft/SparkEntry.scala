@@ -37,6 +37,7 @@ object SparkEntry {
       ext.GraphRank.queries ++
       ext.Multimodal.queries ++
       ext.Layout.queries ++
+      ext.Geo.queries ++
       streaming.Streams.queries ++
       plans.AsOfQueries.queries ++
       ops.Advanced.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       ext.GraphRank.oracleSql ++
       ext.Multimodal.oracleSql ++
       ext.Layout.oracleSql ++
+      ext.Geo.oracleSql ++
       streaming.Streams.oracleSql ++
       plans.AsOfQueries.oracleSql ++
       ops.Advanced.oracleSql ++

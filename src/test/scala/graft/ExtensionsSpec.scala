@@ -193,6 +193,39 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.sliding(2).forall(p => p(0).getLong(2) >= p(1).getLong(2)))
   }
 
+  test("geo radius join: keyed on cells, no nested loop, equals direct predicate") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ext.Geo.geoRadiusJoin(spark, sf)
+    val rows = df.collect()
+    // at sf0.001 the band may hold no point within r of any center —
+    // the equality check below then proves the empty result is CORRECT
+    // (the sf0.01 oracle gate exercises the non-empty case: 8 centers,
+    // 2-3 points each)
+    // the candidate generation is a KEYED join on cell ids — the naive
+    // theta-join's BroadcastNestedLoop must not appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // 3x3 neighborhood is lossless: recompute per-center counts with the
+    // direct quadratic predicate (fine at test scale) and compare
+    val pts = graft.ops.table(spark, sf, "customer")
+      .select(col("c_custkey").as("key"),
+        ((col("c_custkey") * 7919L) % 2000001L).as("la"),
+        ((col("c_custkey") * 104729L) % 2000001L).as("lo"))
+    val ctr = graft.ops.table(spark, sf, "supplier")
+      .filter(col("s_suppkey") < 8)
+      .select(col("s_suppkey").as("cid"),
+        (((col("s_suppkey") + 1000L) * 7919L) % 2000001L).as("cla"),
+        (((col("s_suppkey") + 1000L) * 104729L) % 2000001L).as("clo"))
+    val direct = pts.crossJoin(ctr)
+      .filter((col("la") - col("cla")) * (col("la") - col("cla")) +
+        (col("lo") - col("clo")) * (col("lo") - col("clo")) <= 2500000000L)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === direct)
+  }
+
   test("langid scores sum to <= token count; detected lang is argmax") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     rows.foreach { r =>
