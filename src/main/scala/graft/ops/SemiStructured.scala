@@ -1273,6 +1273,40 @@ object SemiStructured {
     ctas.unionAll(rtas).orderBy("leg")
   }
 
+  /** q158 — declared sort order on a STRING column: the write plans a
+    * range exchange + sort on the string key (Spark's
+    * RequiresDistributionAndOrdering — same machinery as q134's BIGINT
+    * sort), so each task receives a DISJOINT lexicographic range and
+    * the string PREFIX zone maps (q156) come out disjoint too — range
+    * predicates on the sort key prune to the segments whose prefix
+    * window they intersect. The ingest arrives intentionally SHUFFLED
+    * (keys scattered across input splits); the declared sort, not the
+    * arrival order, produces the clustering. */
+  val q158SortedStringWrite: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ss_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.ss_t (k STRING, v BIGINT)
+        |TBLPROPERTIES ('graft.sort' = 'k:4')""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_ss")
+    // key = shuffled hex-ish token; scattered over splits by id order
+    s.sql(
+      """INSERT INTO graft_cat.db.ss_t
+        |SELECT concat('k', lpad(CAST((id * 2654435761) % 4096 AS STRING), 4, '0'),
+        |              '_', CAST(id AS STRING)), v
+        |FROM graft_seq_ss""".stripMargin)
+    s.sql(
+      """SELECT leg, n, sum_v FROM (
+        |  SELECT 'low' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM graft_cat.db.ss_t WHERE k < 'k1000'
+        |  UNION ALL
+        |  SELECT 'mid', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM graft_cat.db.ss_t WHERE k >= 'k2000' AND k < 'k3000')
+        |ORDER BY leg""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1669,6 +1703,7 @@ object SemiStructured {
     "q155_erasure_pipeline" -> q155ErasurePipeline,
     "q156_string_prune" -> q156StringPrune,
     "q157_ctas_rtas" -> q157Ctas,
+    "q158_sorted_string_write" -> q158SortedStringWrite,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1919,6 +1954,32 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    "q158_sorted_string_write" ->
+      """WITH t AS (
+        |  SELECT 'k' || lpad(CAST((r.range * 2654435761) % 4096 AS VARCHAR), 4, '0')
+        |      || '_' || CAST(r.range AS VARCHAR) AS k,
+        |    (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT leg, n, sum_v FROM (
+        |  SELECT 'low' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM t WHERE k < 'k1000'
+        |  UNION ALL
+        |  SELECT 'mid', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM t WHERE k >= 'k2000' AND k < 'k3000')
+        |ORDER BY leg""".stripMargin,
+    "q158_sorted_string_write" ->
+      """WITH t AS (
+        |  SELECT 'k' || lpad(CAST((r.range * 2654435761) % 4096 AS VARCHAR), 4, '0')
+        |      || '_' || CAST(r.range AS VARCHAR) AS k,
+        |    (r.range * 2654435761) % 1000 AS v
+        |  FROM range(4000) r)
+        |SELECT leg, n, sum_v FROM (
+        |  SELECT 'low' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM t WHERE k < 'k1000'
+        |  UNION ALL
+        |  SELECT 'mid', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM t WHERE k >= 'k2000' AND k < 'k3000')
+        |ORDER BY leg""".stripMargin,
     "q157_ctas_rtas" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -1221,9 +1221,10 @@ object SegSort {
     val f = schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(
         s"$PropKey column `$c` not in schema ${schema.fieldNames.mkString(",")}"))
-    require(f.dataType == LongType,
-      s"$PropKey orders on BIGINT columns (the zone-mapped type), " +
-        s"got ${f.dataType} for `$c`")
+    require(f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.StringType,
+      s"$PropKey orders on BIGINT or STRING columns (the zone-mapped " +
+        s"types), got ${f.dataType} for `$c`")
     (c, n)
   }
 }

@@ -484,6 +484,22 @@ class SourcesSpec extends SparkTestBase {
     assert(cols === Seq("id", "w"), cols.toString)
   }
 
+  test("string sort order: shuffled ingest lands range-clustered, zones prune") {
+    val rows = ops.SemiStructured.q158SortedStringWrite(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("low") > 0 && rows("mid") > 0)
+    // the declared sort produced 4 disjoint lexicographic ranges: a
+    // range predicate on the sort key plans a strict subset
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.ss_t WHERE k < 'k1000'").collect()
+    val (t, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t.contains("ss_t"), t)
+    assert(total === 4 && kept < 4, s"planned $kept/$total")
+    // segments' prefix zones are disjoint (each task owned a range)
+    val segs = spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.ss_t.files").head.getLong(0)
+    assert(segs === 4L)
+  }
+
   test("rollback restores content as a new version; history stays travelable") {
     val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1159,10 +1175,11 @@ class SourcesSpec extends SparkTestBase {
         assert(aMax < bMin, s"overlapping sorted ranges: $ranges")
       case _ =>
     }
-    // DDL validation: non-BIGINT sort column refused at CREATE
+    // DDL validation: a non-zone-mapped sort type (DOUBLE) refused at
+    // CREATE (STRING became sortable with the q156/q158 prefix zones)
     spark.sql("DROP TABLE IF EXISTS graft_cat.db.srtbad_t")
     val err = intercept[Exception] {
-      spark.sql("""CREATE TABLE graft_cat.db.srtbad_t (a STRING, v BIGINT)
+      spark.sql("""CREATE TABLE graft_cat.db.srtbad_t (a DOUBLE, v BIGINT)
                   |TBLPROPERTIES ('graft.sort' = 'a')""".stripMargin)
     }
     assert(err.getMessage.contains("graft.sort"), err.getMessage)
