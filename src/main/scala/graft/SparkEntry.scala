@@ -38,6 +38,7 @@ object SparkEntry {
       ext.Multimodal.queries ++
       ext.Layout.queries ++
       ext.Geo.queries ++
+      ext.Expectations.queries ++
       streaming.Streams.queries ++
       plans.AsOfQueries.queries ++
       ops.Advanced.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       ext.Multimodal.oracleSql ++
       ext.Layout.oracleSql ++
       ext.Geo.oracleSql ++
+      ext.Expectations.oracleSql ++
       streaming.Streams.oracleSql ++
       plans.AsOfQueries.oracleSql ++
       ops.Advanced.oracleSql ++

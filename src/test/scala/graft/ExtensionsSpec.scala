@@ -226,6 +226,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got === direct)
   }
 
+  test("expectation suite: census counts violations; statuses derive from counts") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Expectations.expectationSuite(spark, sf).collect()
+    assert(rows.length === 7)
+    val byName = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // structural expectations hold on the fixture
+    assert(byName("orders.o_orderkey.not_null") === ((0L, "pass")))
+    assert(byName("orders.o_orderkey.unique") === ((0L, "pass")))
+    assert(byName("lineitem.l_orderkey.references_orders")._2 === "pass")
+    // the discount policy genuinely fails — and the census is exact
+    val (discV, discS) = byName("lineitem.l_discount.max_8pct")
+    assert(discS === "fail")
+    val expect = graft.ops.table(spark, sf, "lineitem")
+      .filter(col("l_discount") > 0.08).count()
+    assert(discV === expect && expect > 0)
+    // status is a pure function of the count
+    rows.foreach(r =>
+      assert((r.getLong(1) == 0L) == (r.getString(2) == "pass")))
+  }
+
   test("langid scores sum to <= token count; detected lang is argmax") {
     val rows = TextAnalysis.langId(spark, sf).collect()
     rows.foreach { r =>
