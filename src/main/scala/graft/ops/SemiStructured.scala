@@ -1307,6 +1307,54 @@ object SemiStructured {
         |ORDER BY leg""".stripMargin)
   }
 
+  /** q159 — write-audit-publish (Iceberg's WAP pattern), composed from
+    * primitives this catalog already has: each ingest batch lands as a
+    * version, the AUDIT reads ONLY that batch through the incremental
+    * version-range scan (`VERSION AS OF 'v..'` — priced at the delta,
+    * never the table), a passing batch is published by pinning the
+    * `published` tag to its version, and a failing batch is UNDONE with
+    * rollback — the published tag keeps pointing at the last good
+    * state throughout. Batch 2 genuinely violates the policy (v ≥ 900)
+    * so the query exercises the failure leg; output pins both audit
+    * censuses, the final population (= batch 1), and that the
+    * `published` ref serves the audited state. */
+  val q159WriteAuditPublish: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.wap_t")
+    s.sql("CREATE TABLE graft_cat.db.wap_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "3000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_wap")
+    def audit(fromV: Long): Long = s.sql(
+      s"""SELECT COUNT(*) FROM graft_cat.db.wap_t VERSION AS OF '$fromV..'
+         |WHERE v >= 900""".stripMargin).head.getLong(0)
+    // batch 1: pre-filtered to the policy — audit passes, publish
+    s.sql(
+      """INSERT INTO graft_cat.db.wap_t
+        |SELECT id, v FROM graft_seq_wap WHERE id < 1500 AND v < 900""".stripMargin)
+    val audit1 = audit(0L)
+    if (audit1 == 0L)
+      s.sql("CALL graft_cat.system.tag('db.wap_t', 'published', 1)")
+    // batch 2: raw — violates the policy, audit fails, roll back
+    s.sql(
+      """INSERT INTO graft_cat.db.wap_t
+        |SELECT id, v FROM graft_seq_wap WHERE id >= 1500""".stripMargin)
+    val audit2 = audit(2L)
+    if (audit2 > 0L)
+      s.sql("CALL graft_cat.system.rollback('db.wap_t', 2)")
+    val legs = s.sql(
+      """SELECT 'published' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+        |FROM graft_cat.db.wap_t VERSION AS OF 'published'
+        |UNION ALL
+        |SELECT 'final', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |FROM graft_cat.db.wap_t""".stripMargin)
+    import org.apache.spark.sql.functions.lit
+    legs.unionAll(
+        legs.sparkSession.range(1).select(lit("audits").as("leg"),
+          lit(audit1).as("n"), lit(audit2).as("x")))
+      .orderBy("leg")
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1704,6 +1752,7 @@ object SemiStructured {
     "q156_string_prune" -> q156StringPrune,
     "q157_ctas_rtas" -> q157Ctas,
     "q158_sorted_string_write" -> q158SortedStringWrite,
+    "q159_write_audit_publish" -> q159WriteAuditPublish,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -1954,6 +2003,22 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // published == final == batch 1 (the good batch); audits = (0, count
+    // of policy violations in raw batch 2)
+    "q159_write_audit_publish" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r),
+        |good AS (SELECT * FROM t WHERE id < 1500 AND v < 900)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'published' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS x FROM good
+        |  UNION ALL
+        |  SELECT 'final', COUNT(*), CAST(SUM(v) AS BIGINT) FROM good
+        |  UNION ALL
+        |  SELECT 'audits', 0,
+        |    (SELECT COUNT(*) FROM t WHERE id >= 1500 AND v >= 900))
+        |ORDER BY leg""".stripMargin,
     "q158_sorted_string_write" ->
       """WITH t AS (
         |  SELECT 'k' || lpad(CAST((r.range * 2654435761) % 4096 AS VARCHAR), 4, '0')
@@ -1966,6 +2031,22 @@ object SemiStructured {
         |  UNION ALL
         |  SELECT 'mid', COUNT(*), CAST(SUM(v) AS BIGINT)
         |  FROM t WHERE k >= 'k2000' AND k < 'k3000')
+        |ORDER BY leg""".stripMargin,
+    // published == final == batch 1 (the good batch); audits = (0, count
+    // of policy violations in raw batch 2)
+    "q159_write_audit_publish" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(3000) r),
+        |good AS (SELECT * FROM t WHERE id < 1500 AND v < 900)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'published' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS x FROM good
+        |  UNION ALL
+        |  SELECT 'final', COUNT(*), CAST(SUM(v) AS BIGINT) FROM good
+        |  UNION ALL
+        |  SELECT 'audits', 0,
+        |    (SELECT COUNT(*) FROM t WHERE id >= 1500 AND v >= 900))
         |ORDER BY leg""".stripMargin,
     "q158_sorted_string_write" ->
       """WITH t AS (

@@ -500,6 +500,23 @@ class SourcesSpec extends SparkTestBase {
     assert(segs === 4L)
   }
 
+  test("write-audit-publish: failed batch rolled back, published ref stable") {
+    val rows = ops.SemiStructured.q159WriteAuditPublish(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // published == final: the bad batch never became visible state
+    assert(rows("published") === rows("final"))
+    assert(rows("audits")._1 === 0L)    // batch 1 clean
+    assert(rows("audits")._2 > 0L)      // batch 2 violated the policy
+    // the ledger narrates the episode: append, tag, append, rollback
+    val ops2 = spark.sql(
+      """SELECT operation, COUNT(*) FROM graft_cat.db.wap_t.versions
+        |GROUP BY operation""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops2("append") === 2L)
+    assert(ops2("tag") === 1L)
+    assert(ops2("rollback") === 1L)
+  }
+
   test("rollback restores content as a new version; history stays travelable") {
     val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
