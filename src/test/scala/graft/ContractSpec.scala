@@ -23,6 +23,8 @@ class ContractSpec extends AnyFunSuite {
     "GraphRank" -> ext.GraphRank.queries,
     "Multimodal" -> ext.Multimodal.queries,
     "Layout" -> ext.Layout.queries,
+    "Geo" -> ext.Geo.queries,
+    "Expectations" -> ext.Expectations.queries,
     "Streams" -> streaming.Streams.queries,
     "AsOfQueries" -> plans.AsOfQueries.queries,
     "Advanced" -> ops.Advanced.queries,
