@@ -246,4 +246,38 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+  test("strPrefix preserves UTF-8 byte order; ties only on 8-byte-prefix ties") {
+    import graft.sources.SegStore.strPrefix
+    import java.nio.charset.StandardCharsets.UTF_8
+    def bytesOf(x: String) = x.getBytes(UTF_8)
+    // unsigned lexicographic byte comparison — Spark's default (binary)
+    // string collation
+    def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    val genStr: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar,
+        2 -> Gen.oneOf('\u00e9', '\u4e2d', ' ', '~'))).map(_.mkString))
+    samples(Gen.zip(genStr, genStr), 200).foreach { case (x, y) =>
+      val (bx, by) = (bytesOf(x), bytesOf(y))
+      val (px, py) = (strPrefix(bx), strPrefix(by))
+      if (byteLt(bx, by)) assert(px <= py, s"order broken: '$x' < '$y'")
+      else if (byteLt(by, bx)) assert(py <= px, s"order broken: '$y' < '$x'")
+      else assert(px == py)
+      // a strict prefix inequality decides the string inequality — the
+      // exact soundness condition SegPrune's definite verdicts rely on
+      if (px < py) assert(byteLt(bx, by))
+      // equal encodings only when the first 8 bytes tie
+      if (px == py)
+        assert(bx.take(8).sameElements(by.take(8)))
+    }
+  }
 }
