@@ -280,4 +280,26 @@ class PropertySpec extends SparkTestBase {
         assert(bx.take(8).sameElements(by.take(8)))
     }
   }
+  test("geo 3x3 neighborhood covers every disk of radius <= cell edge") {
+    // pure-model check of ext111's candidate-generation invariant: for
+    // any point within r (r <= cell edge) of a center, the point's cell
+    // is one of the center's 9 neighbor cells — including exact-boundary
+    // and cell-border cases randomized generators actually hit
+    val cell = 100000L
+    val lonCells = 3601L
+    def cellId(lat: Long, lon: Long): Long =
+      (lat / cell) * lonCells + (lon / cell)
+    val coord: Gen[Long] = Gen.chooseNum(0L, 2000000L)
+    val r = 50000L
+    samples(Gen.zip(Gen.zip(coord, coord), Gen.zip(coord, coord)), 500)
+      .foreach { case ((plat, plon), (clat, clon)) =>
+        val d2 = (plat - clat) * (plat - clat) + (plon - clon) * (plon - clon)
+        if (d2 <= r * r) {
+          val neighbors = for (dl <- -1L to 1L; dn <- -1L to 1L)
+            yield cellId(clat, clon) + dl * lonCells + dn
+          assert(neighbors.contains(cellId(plat, plon)),
+            s"point ($plat,$plon) within r of ($clat,$clon) not in 3x3")
+        }
+      }
+  }
 }
