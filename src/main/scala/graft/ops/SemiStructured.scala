@@ -1355,6 +1355,43 @@ object SemiStructured {
       .orderBy("leg")
   }
 
+  /** q160 — NOT NULL column constraints: the DDL flows into the v2
+    * write path as a runtime null assertion (Spark wraps nullable
+    * sources with AssertNotNull — nullable SOURCES are fine, null
+    * VALUES abort), and the abort is ATOMIC under this catalog's
+    * two-phase commit: the failing batch stages segments but never
+    * publishes a manifest version, so no partial state is visible —
+    * same abort contract as CHECK (q123). Output pins the surviving
+    * population and the version ledger (exactly one append; the failed
+    * batch left no version). */
+  val q160NotNull: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.nn_t")
+    s.sql("CREATE TABLE graft_cat.db.nn_t (id BIGINT NOT NULL, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_nn")
+    s.sql("INSERT INTO graft_cat.db.nn_t SELECT id, v FROM graft_seq_nn WHERE id < 1000")
+    val failed =
+      try {
+        s.sql(
+          """INSERT INTO graft_cat.db.nn_t
+            |SELECT if(id = 1500, NULL, id), v FROM graft_seq_nn
+            |WHERE id >= 1000""".stripMargin)
+        0L
+      } catch { case _: Throwable => 1L }
+    s.sql(
+      s"""SELECT leg, n, x FROM (
+         |  SELECT 'rows' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+         |  FROM graft_cat.db.nn_t
+         |  UNION ALL
+         |  SELECT 'aborted', $failed, NULL
+         |  UNION ALL
+         |  SELECT 'appends', COUNT(*), NULL
+         |  FROM graft_cat.db.nn_t.versions WHERE operation = 'append')
+         |ORDER BY leg""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1753,6 +1790,7 @@ object SemiStructured {
     "q157_ctas_rtas" -> q157Ctas,
     "q158_sorted_string_write" -> q158SortedStringWrite,
     "q159_write_audit_publish" -> q159WriteAuditPublish,
+    "q160_not_null" -> q160NotNull,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -2003,6 +2041,17 @@ object SemiStructured {
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
     // the delete commit nets out as pure deletes; the update commit as
     // its delete+insert pair — restated from the seq formula
+    // survivors = the good batch; the null batch aborted atomically
+    "q160_not_null" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'rows' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+        |  FROM t WHERE id < 1000
+        |  UNION ALL SELECT 'aborted', 1, NULL
+        |  UNION ALL SELECT 'appends', 1, NULL)
+        |ORDER BY leg""".stripMargin,
     // published == final == batch 1 (the good batch); audits = (0, count
     // of policy violations in raw batch 2)
     "q159_write_audit_publish" ->
@@ -2031,6 +2080,17 @@ object SemiStructured {
         |  UNION ALL
         |  SELECT 'mid', COUNT(*), CAST(SUM(v) AS BIGINT)
         |  FROM t WHERE k >= 'k2000' AND k < 'k3000')
+        |ORDER BY leg""".stripMargin,
+    // survivors = the good batch; the null batch aborted atomically
+    "q160_not_null" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT leg, n, x FROM (
+        |  SELECT 'rows' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
+        |  FROM t WHERE id < 1000
+        |  UNION ALL SELECT 'aborted', 1, NULL
+        |  UNION ALL SELECT 'appends', 1, NULL)
         |ORDER BY leg""".stripMargin,
     // published == final == batch 1 (the good batch); audits = (0, count
     // of policy violations in raw batch 2)
