@@ -742,9 +742,10 @@ class SegTable private (ident: String, dir: Path,
     synchronized {
       val v = cur
       val fi = v.schema.fieldIndex(name)
-      require(v.schema(fi).dataType == LongType,
-        s"$ident: z-order clusters BIGINT columns, got " +
-          s"${v.schema(fi).dataType} for `$name`")
+      require(v.schema(fi).dataType == LongType || v.schema(fi).dataType ==
+          org.apache.spark.sql.types.StringType,
+        s"$ident: z-order clusters BIGINT or STRING columns (the " +
+          s"zone-mapped types), got ${v.schema(fi).dataType} for `$name`")
       val pid = v.colIds(fi)
       val bs = v.segs.flatMap { s =>
         val i = s.colIds.indexOf(pid)
@@ -754,6 +755,12 @@ class SegTable private (ident: String, dir: Path,
       }
       if (bs.isEmpty) None else Some((bs.map(_._1).min, bs.map(_._2).max))
     }
+
+  /** Column type lookup for the z-order bucket expression. */
+  private[sources] def columnIsString(name: String): Boolean = synchronized {
+    cur.schema(cur.schema.fieldIndex(name)).dataType ==
+      org.apache.spark.sql.types.StringType
+  }
 
   /** Current segment count / declared-sort property (z-order guards). */
   private[sources] def currentSegmentCount: Int = synchronized(cur.segs.size)
@@ -2557,7 +2564,9 @@ class TagProcedure(catalog: GraftCatalog) extends UnboundProcedure {
 /** `CALL graft_cat.system.zorder('db.t', 'col_a', 'col_b' [, n])` —
   * multi-dimensional clustering rewrite (Delta's OPTIMIZE ZORDER BY):
   * rewrites the table's current rows ordered by the Morton interleave of
-  * the two BIGINT columns, so each segment covers a small RECTANGLE of
+  * two BIGINT or STRING columns (strings cluster by their
+  * order-preserving 8-byte prefix — the same encoding their zone maps
+  * store), so each segment covers a small RECTANGLE of
   * the (a, b) key space and the existing zone maps prune range
   * predicates on EITHER column (or both) to a handful of segments. A
   * declared single-column sort (`graft.sort`) makes one column's zone
@@ -2618,9 +2627,18 @@ class ZOrderProcedure(catalog: GraftCatalog) extends UnboundProcedure {
             ((BigInt(mx) - BigInt(mn)) / 256 + 1).toLong
           val (dA, dB) = (divisor(mnA, mxA), divisor(mnB, mxB))
           val full = s"${catalog.name()}.$tname"
+          // a STRING column buckets by its order-preserving 8-byte
+          // prefix — the SAME encoding its zone maps store
+          // ([[SegStore.strPrefix]]), spelled in codegen'd built-ins:
+          // unsigned big-endian hex -> decimal, then the sign-bit flip
+          def keyExpr(c: String): String =
+            if (st.columnIsString(c))
+              s"CAST(CAST(conv(rpad(hex(substring(CAST(`$c` AS BINARY), 1, 8)), " +
+                "16, '0'), 16, 10) AS DECIMAL(20,0)) - 9223372036854775808 AS BIGINT)"
+            else s"`$c`"
           val z = graft.ext.Layout.morton8(
-            expr(s"(`$cA` - ${mnA}L) div ${dA}L"),
-            expr(s"(`$cB` - ${mnB}L) div ${dB}L"))
+            expr(s"(${keyExpr(cA)} - ${mnA}L) div ${dA}L"),
+            expr(s"(${keyExpr(cB)} - ${mnB}L) div ${dB}L"))
           val tmp = s"graft_zorder_${java.util.UUID.randomUUID.toString.take(8)}"
           spark.table(full)
             .withColumn("__graft_z", z)

@@ -517,6 +517,33 @@ class SourcesSpec extends SparkTestBase {
     assert(ops2("rollback") === 1L)
   }
 
+  test("zorder on a STRING column: prefix buckets cluster, content invariant") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.zstr_t")
+    spark.sql("CREATE TABLE graft_cat.db.zstr_t (k STRING, v BIGINT)")
+    // scattered ingest: 4 segments, each spanning the whole key domain
+    spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_zstr")
+    spark.sql(
+      """INSERT INTO graft_cat.db.zstr_t
+        |SELECT concat('t', lpad(CAST((id * 2654435761) % 64 AS STRING), 2, '0')),
+        |       id
+        |FROM graft_seq_zstr""".stripMargin)
+    val before = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(v) AS s FROM graft_cat.db.zstr_t").head
+    spark.sql("CALL graft_cat.system.zorder('db.zstr_t', 'k', 'v', 8)")
+    // layout-only: population identical
+    val after = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(v) AS s FROM graft_cat.db.zstr_t").head
+    assert(before === after)
+    // the string axis is now clustered: a low-key range predicate prunes
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.zstr_t WHERE k < 't10'").collect()
+    val (t, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t.contains("zstr_t"), t)
+    assert(total === 8 && kept < total, s"planned $kept/$total")
+  }
+
   test("rollback restores content as a new version; history stays travelable") {
     val rows = ops.SemiStructured.q153Rollback(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
