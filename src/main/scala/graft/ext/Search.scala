@@ -59,6 +59,15 @@ object Search {
     * shape: cost ∝ postings of the query terms, not the corpus.
     */
   val bm25TopK: Q = (s, d) => {
+    bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "n_terms", "score")
+  }
+
+  /** Per-doc BM25 score frame for the fixed query (shared by ext70's
+    * top-k and ext113's lexical leg). */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = table(s, d, "documents")
       .select(col("doc_id"), expr(toksExpr).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -75,9 +84,60 @@ object Search {
         count(lit(1)).as("n_terms"),
         // all 6 decimals used; unscaled < 2^53 so decimal→double is exact
         sum("step").cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
-      .select("doc_id", "n_terms", "score")
+  }
+
+  /** Reciprocal-rank-fusion step, shared VERBATIM with the oracle so the
+    * fused scores are bit-identical: only IEEE-exact promotions and a
+    * correctly-rounded division (unlike ln/exp, IEEE divide is exact to
+    * the rounding rule in every engine). Absent rank = no contribution. */
+  private val rrfStepSql: String =
+    "COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + " +
+      "CAST(rank_lex AS DOUBLE)), CAST(0 AS DOUBLE)) + " +
+      "COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + " +
+      "CAST(rank_sem AS DOUBLE)), CAST(0 AS DOUBLE))"
+
+  /** Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    * semantic ranking by reciprocal-rank fusion (RRF, k=60) — the
+    * standard hybrid-search scoring (Elasticsearch/OpenSearch/Vespa all
+    * ship exactly this) and the retrieval shape RAG data pipelines run.
+    * Each leg produces a DISTRIBUTED top-50 (TakeOrderedAndProject — no
+    * corpus-sized window, no single-partition sort over data); rank
+    * assignment and the fusion full-outer join touch only the 50-row
+    * candidate lists. The documents↔embeddings bridge is doc_id =
+    * vec_id (the fixture's 1:1 pairing); the semantic query is vector 0.
+    *
+    * Scale: at 100 TB each leg swaps its candidate generator — the
+    * lexical leg's postings probe already costs query-terms-not-corpus
+    * (see [[bm25TopK]]), the semantic leg drops in the IVF probe
+    * (ext37/ext75) for the exact scan — and the RRF tail is unchanged:
+    * fusion cost is O(k), independent of corpus size. Both legs keep a
+    * total (score, id) order so the fused ranking is deterministic.
+    */
+  val hybridRrf: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val lexTop = bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("lex_id"), col("rank_lex"))
+    val all = table(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = all.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val semTop = all.crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_cosine(qv, v)").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(50)
+    val sem = semTop.withColumn("rank_sem", row_number().over(
+      Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("vec_id").as("sem_id"), col("rank_sem"))
+    lex.join(sem, col("lex_id") === col("sem_id"), "full_outer")
+      .select(coalesce(col("lex_id"), col("sem_id")).as("id"),
+        col("rank_lex").cast("int").as("rank_lex"),
+        col("rank_sem").cast("int").as("rank_sem"))
+      .withColumn("rrf", expr(rrfStepSql))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(10)
   }
 
   /** Overlapping chunking: 30-token windows, stride 15 — the RAG /
@@ -192,7 +252,8 @@ object Search {
     "ext70_bm25_topk" -> bm25TopK,
     "ext71_chunk_overlap" -> chunkOverlap,
     "ext72_hard_negatives" -> hardNegatives,
-    "ext73_bloom_prune_join" -> bloomPruneJoin)
+    "ext73_bloom_prune_join" -> bloomPruneJoin,
+    "ext113_hybrid_rrf" -> hybridRrf)
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -250,5 +311,49 @@ object Search {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY month
-        |ORDER BY month""".stripMargin)
+        |ORDER BY month""".stripMargin,
+    // both legs restated in full (BM25 chain + sequential-fold cosine),
+    // ranks assigned over the SAME (score desc, id) total orders, the
+    // fusion step shared verbatim (rrfStepSql) — only exact IEEE ops
+    "ext113_hybrid_rrf" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM docs)
+         |  WHERE tok IN ('spark', 'merge', 'vector')
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |scored AS (
+         |  SELECT doc_id, CAST(SUM($bm25StepSql) AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY doc_id),
+         |lextop AS (
+         |  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+         |lex AS (
+         |  SELECT doc_id AS lex_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |      AS rank_lex
+         |  FROM lextop),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+         |semtop AS (
+         |  SELECT vec_id,
+         |    list_sum([qv[i] * v[i] for i in range(1, len(qv) + 1)])
+         |      / (sqrt(list_sum([x * x for x in qv])) *
+         |         sqrt(list_sum([x * x for x in v]))) AS cosine
+         |  FROM v CROSS JOIN q
+         |  ORDER BY cosine DESC, vec_id LIMIT 50),
+         |sem AS (
+         |  SELECT vec_id AS sem_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT)
+         |      AS rank_sem
+         |  FROM semtop)
+         |SELECT COALESCE(lex_id, sem_id) AS id, rank_lex, rank_sem,
+         |  $rrfStepSql AS rrf
+         |FROM lex FULL OUTER JOIN sem ON lex_id = sem_id
+         |ORDER BY rrf DESC, id
+         |LIMIT 10""".stripMargin)
 }

@@ -1392,6 +1392,91 @@ object SemiStructured {
          |ORDER BY leg""".stripMargin)
   }
 
+  /** q161 — `CALL system.evolve_spec`: partition-spec evolution
+    * ([[graft.sources.EvolveSpecProcedure]]), Iceberg's signature
+    * metadata operation. The table starts identity-partitioned on a
+    * coarse group key, takes a batch, then evolves to `bucket:4:id` —
+    * one metadata-only manifest commit, no data rewritten — and takes a
+    * second batch routed by the new spec. The `needle` leg is the
+    * correctness claim: a point lookup spanning one PRE-evolution row
+    * and one POST-evolution row must find both — bucket pruning may
+    * only trust the writer invariant on segments stamped with the
+    * current spec ([[graft.sources.Seg.spec]]), so the pre-evolution
+    * segment degrades to zone-map pruning instead of being dropped by a
+    * bucket test its rows never satisfied. At 100 TB this is the only
+    * viable fix for a mis-partitioned table: history stays as written,
+    * new data lands right, layout converges through normal compaction. */
+  val q161EvolveSpec: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ev_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.ev_t (id BIGINT, v BIGINT, g BIGINT)
+        |PARTITIONED BY (g)""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "4000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_ev")
+    s.sql(
+      """INSERT INTO graft_cat.db.ev_t
+        |SELECT id, v, id % 4 FROM graft_seq_ev WHERE id < 2000""".stripMargin)
+    s.sql("CALL graft_cat.system.evolve_spec('db.ev_t', 'bucket:4:id')")
+    s.sql(
+      """INSERT INTO graft_cat.db.ev_t
+        |SELECT id, v, id % 4 FROM graft_seq_ev WHERE id >= 2000""".stripMargin)
+    s.sql(
+      """SELECT leg, n, sum_v FROM (
+        |  SELECT 'all' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM graft_cat.db.ev_t
+        |  UNION ALL
+        |  SELECT 'needle', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM graft_cat.db.ev_t WHERE id IN (7, 2345)
+        |  UNION ALL
+        |  SELECT 'evolve', COUNT(*), CAST(MAX(v) AS BIGINT)
+        |  FROM graft_cat.db.ev_t.versions WHERE operation = 'evolve-spec')
+        |ORDER BY leg""".stripMargin)
+  }
+
+  /** q162 — named branches + fast-forward merge
+    * ([[graft.sources.BranchProcedure]] /
+    * [[graft.sources.FastForwardProcedure]]): Iceberg's writable-ref
+    * surface. `CALL system.branch` seeds a SECOND version log in the
+    * same table directory (zero bytes copied); the branch then takes a
+    * multi-commit pipeline — an append and a row-level DELETE — fully
+    * isolated from main (the `main_v1` leg proves main never saw them);
+    * `CALL system.fast_forward` adopts the branch head as main's next
+    * version in one metadata commit, refused if main diverged. The
+    * 100 TB workflow this enables: land + validate a risky pipeline on
+    * a branch, merge with one manifest append — or drop the branch and
+    * main never knew. */
+  val q162BranchMerge: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.br_t")
+    s.sql("CREATE TABLE graft_cat.db.br_t (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_br")
+    s.sql("INSERT INTO graft_cat.db.br_t SELECT id, v FROM graft_seq_br WHERE id < 1000")
+    s.sql("CALL graft_cat.system.branch('db.br_t', 'dev')") // forks at v1
+    s.sql(
+      """INSERT INTO graft_cat.db.br_t.branch_dev
+        |SELECT id, v FROM graft_seq_br WHERE id >= 1000""".stripMargin)
+    s.sql("DELETE FROM graft_cat.db.br_t.branch_dev WHERE v < 100")
+    val ff = s.sql("CALL graft_cat.system.fast_forward('db.br_t', 'dev')")
+      .select(lit("ff").as("leg"), col("commits_merged").as("n"),
+        col("main_version").as("sum_v"))
+    s.sql(
+      """SELECT leg, n, sum_v FROM (
+        |  SELECT 'main_v1' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM graft_cat.db.br_t VERSION AS OF 1
+        |  UNION ALL
+        |  SELECT 'branch', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM graft_cat.db.br_t.branch_dev
+        |  UNION ALL
+        |  SELECT 'merged', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM graft_cat.db.br_t)""".stripMargin)
+      .unionAll(ff).orderBy("leg")
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1791,6 +1876,8 @@ object SemiStructured {
     "q158_sorted_string_write" -> q158SortedStringWrite,
     "q159_write_audit_publish" -> q159WriteAuditPublish,
     "q160_not_null" -> q160NotNull,
+    "q161_evolve_spec" -> q161EvolveSpec,
+    "q162_branch_merge" -> q162BranchMerge,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -2039,47 +2126,39 @@ object SemiStructured {
         |SELECT ver, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum,
         |  MAX(id) AS id_max
         |FROM snap GROUP BY ver ORDER BY ver""".stripMargin,
-    // the delete commit nets out as pure deletes; the update commit as
-    // its delete+insert pair — restated from the seq formula
-    // survivors = the good batch; the null batch aborted atomically
-    "q160_not_null" ->
+    // branch isolation: main_v1 = batch A; the branch pipeline = A + B
+    // minus the deleted tail; merged == branch; ff merged 2 commits and
+    // main landed at v2
+    "q162_branch_merge" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
-        |  FROM range(2000) r)
-        |SELECT leg, n, x FROM (
-        |  SELECT 'rows' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS x
-        |  FROM t WHERE id < 1000
-        |  UNION ALL SELECT 'aborted', 1, NULL
-        |  UNION ALL SELECT 'appends', 1, NULL)
+        |  FROM range(2000) r),
+        |br AS (SELECT * FROM t WHERE v >= 100)
+        |SELECT leg, n, sum_v FROM (
+        |  SELECT 'main_v1' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v FROM t WHERE id < 1000
+        |  UNION ALL
+        |  SELECT 'branch', COUNT(*), CAST(SUM(v) AS BIGINT) FROM br
+        |  UNION ALL
+        |  SELECT 'merged', COUNT(*), CAST(SUM(v) AS BIGINT) FROM br
+        |  UNION ALL
+        |  SELECT 'ff', CAST(2 AS BIGINT), CAST(2 AS BIGINT))
         |ORDER BY leg""".stripMargin,
-    // published == final == batch 1 (the good batch); audits = (0, count
-    // of policy violations in raw batch 2)
-    "q159_write_audit_publish" ->
+    // both batches fully readable across the spec boundary; the needle
+    // leg spans one pre- and one post-evolution row; the evolve commit
+    // is v2 (create=0, insert=1, evolve=2, insert=3)
+    "q161_evolve_spec" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
-        |  FROM range(3000) r),
-        |good AS (SELECT * FROM t WHERE id < 1500 AND v < 900)
-        |SELECT leg, n, x FROM (
-        |  SELECT 'published' AS leg, COUNT(*) AS n,
-        |    CAST(SUM(v) AS BIGINT) AS x FROM good
-        |  UNION ALL
-        |  SELECT 'final', COUNT(*), CAST(SUM(v) AS BIGINT) FROM good
-        |  UNION ALL
-        |  SELECT 'audits', 0,
-        |    (SELECT COUNT(*) FROM t WHERE id >= 1500 AND v >= 900))
-        |ORDER BY leg""".stripMargin,
-    "q158_sorted_string_write" ->
-      """WITH t AS (
-        |  SELECT 'k' || lpad(CAST((r.range * 2654435761) % 4096 AS VARCHAR), 4, '0')
-        |      || '_' || CAST(r.range AS VARCHAR) AS k,
-        |    (r.range * 2654435761) % 1000 AS v
         |  FROM range(4000) r)
         |SELECT leg, n, sum_v FROM (
-        |  SELECT 'low' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
-        |  FROM t WHERE k < 'k1000'
+        |  SELECT 'all' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM t
         |  UNION ALL
-        |  SELECT 'mid', COUNT(*), CAST(SUM(v) AS BIGINT)
-        |  FROM t WHERE k >= 'k2000' AND k < 'k3000')
+        |  SELECT 'needle', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM t WHERE id IN (7, 2345)
+        |  UNION ALL
+        |  SELECT 'evolve', CAST(1 AS BIGINT), CAST(2 AS BIGINT))
         |ORDER BY leg""".stripMargin,
     // survivors = the good batch; the null batch aborted atomically
     "q160_not_null" ->

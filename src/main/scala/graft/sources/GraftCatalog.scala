@@ -149,7 +149,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "clone"),
       Identifier.of(namespace, "zorder"),
       Identifier.of(namespace, "tag"),
-      Identifier.of(namespace, "rollback"))
+      Identifier.of(namespace, "rollback"),
+      Identifier.of(namespace, "evolve_spec"),
+      Identifier.of(namespace, "branch"),
+      Identifier.of(namespace, "fast_forward"),
+      Identifier.of(namespace, "drop_branch"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -160,9 +164,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "zorder" => new ZOrderProcedure(this)
       case "tag" => new TagProcedure(this)
       case "rollback" => new RollbackProcedure(this)
+      case "evolve_spec" => new EvolveSpecProcedure(this)
+      case "branch" => new BranchProcedure(this)
+      case "fast_forward" => new FastForwardProcedure(this)
+      case "drop_branch" => new DropBranchProcedure(this)
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure `$other` (available: " +
-          "compact, expire_versions, vacuum, clone, zorder, tag, rollback)")
+          "compact, expire_versions, vacuum, clone, zorder, tag, rollback, " +
+          "evolve_spec, branch, fast_forward, drop_branch)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -230,6 +239,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (Files.exists(dirFor(base).resolve(SegStore.MetaFile)))
           return loadTable(base).asInstanceOf[SegTable].metadataTable(ident.name())
       }
+      // named branches (`cat.db.t.branch_<name>` — Iceberg's branch read/
+      // write surface): same resolution trick as metadata tables, but the
+      // result is a fully WRITABLE [[SegTable]] bound to the branch's own
+      // version log in the base table's directory
+      if (ident.name().startsWith("branch_") && ident.namespace().length >= 2) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        val bdir = dirFor(base)
+        val lf = SegStore.branchLog(ident.name().stripPrefix("branch_"))
+        if (Files.exists(bdir.resolve(lf))) {
+          val opened = SegTable.open(ident.toString, bdir, lf)
+          val prior = tables.putIfAbsent(ident, opened)
+          return if (prior != null) prior else opened
+        }
+      }
       throw new NoSuchTableException(ident)
     }
     // durable reopen: a fresh catalog instance (new session, new process)
@@ -245,6 +268,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * warehouse (a streaming query's cloned session, a second process).
     * Disk is the commit point; the cache is only a handle. */
   override def invalidateTable(ident: Identifier): Unit = tables.remove(ident)
+
+  /** Drop the cached handle of `table`'s branch `name` (after
+    * `drop_branch` its log is gone and the handle would dangle). */
+  private[sources] def invalidateBranchHandle(table: String, name: String): Unit = {
+    val parts = table.split('.')
+    if (parts.length >= 2)
+      tables.remove(Identifier.of(parts, s"branch_$name"))
+  }
 
   /** Catalog time travel (`VERSION AS OF v`): every committed mutation
     * appends a manifest snapshot, so any historical version is a
@@ -342,6 +373,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tables.remove(ident) != null
+    // purge cached DEPENDENT handles (branch tables carry the dropped
+    // table's full name as their namespace) — they'd dangle otherwise
+    val depNs = ident.namespace() :+ ident.name()
+    tables.keySet().asScala.filter(_.namespace().sameElements(depNs))
+      .foreach(tables.remove)
     val dir = dirFor(ident)
     if (Files.isDirectory(dir)) {
       Files.list(dir).iterator().asScala.toSeq.foreach(Files.deleteIfExists)
@@ -358,6 +394,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tables.containsKey(newIdent) || Files.exists(newDir))
       throw new TableAlreadyExistsException(newIdent)
     tables.remove(oldIdent)
+    // branch handles carry the old table name as their namespace —
+    // purge them so the next load reopens against the moved directory
+    val depNs = oldIdent.namespace() :+ oldIdent.name()
+    tables.keySet().asScala.filter(_.namespace().sameElements(depNs))
+      .foreach(tables.remove)
     Files.move(oldDir, newDir)
     tables.put(newIdent, SegTable.open(newIdent.toString, newDir))
   }
@@ -462,10 +503,24 @@ object PartSpec {
   * non-null values + has-null flag) per contained column — `hasStats(i)`
   * is true only for BIGINT columns that saw at least one non-null value.
   * `blooms(i)` is an optional [[SegBloom]] bit array per column (empty =
-  * absent; whole array may be empty for pre-bloom manifests). */
+  * absent; whole array may be empty for pre-bloom manifests).
+  *
+  * `spec` is the PARTITION SPEC the segment was written under (its
+  * [[PartSpec.encoded]] form) — the fact that makes partition-spec
+  * EVOLUTION safe. Zone maps verify monotone-transform routing per
+  * segment (`key(min)==key(max)`), but a hash bucket's single-valuedness
+  * cannot be read off bounds: it is a WRITER invariant, and after
+  * `CALL system.evolve_spec` the table holds segments written under
+  * different specs. Every consumer that trusts the bucket invariant
+  * ([[SegPrune.bucketEqTri]], [[SegScan.outputPartitioning]]'s segment
+  * keying, compaction's keyed grouping) first checks `spec` matches the
+  * CURRENT table spec; mismatched or unstamped (pre-evolution-era
+  * manifest) segments degrade to zone-map/bloom pruning — conservative,
+  * never wrong. */
 case class Seg(file: String, rows: Long, bytes: Long, colIds: Array[Int],
     mins: Array[Long], maxs: Array[Long], hasNull: Array[Boolean],
-    hasStats: Array[Boolean], blooms: Array[Array[Long]] = Array.empty) {
+    hasStats: Array[Boolean], blooms: Array[Array[Long]] = Array.empty,
+    spec: Option[String] = None) {
   /** Bloom bits for the column at physical index `idx`, when present and
     * well-formed. Pre-bloom manifest entries (round ≤6) have no `blooms`
     * key and decode to an empty outer array — every lookup degrades to
@@ -591,13 +646,26 @@ object SegHooks {
     new AtomicReference[(String, Seq[Option[Long]])](("", Nil))
 }
 
-/** File-backed catalog table (see [[GraftCatalog]] for the design). */
+/** File-backed catalog table (see [[GraftCatalog]] for the design).
+  *
+  * `log` names the manifest version log this handle commits to —
+  * `_meta.json` for the main table, `_meta@<name>.json` for a named
+  * BRANCH ([[createBranch]]). All logs live in ONE table directory and
+  * share segment files, so a branch is zero-copy and a fast-forward
+  * merge is pure manifest arithmetic. */
 class SegTable private (ident: String, dir: Path,
-    @volatile private var versions: Vector[SegVersion])
+    @volatile private var versions: Vector[SegVersion],
+    log: String = SegStore.MetaFile)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
 
   private def cur: SegVersion = versions.last
+
+  /** Discriminates derived file names (compaction output) per log so a
+    * branch's compaction at version N never collides with main's. */
+  private def logTag: String =
+    if (log == SegStore.MetaFile) ""
+    else log.stripPrefix("_meta@").stripSuffix(".json") + "-" 
 
   override def name(): String = ident
   override def schema(): StructType = cur.schema
@@ -685,13 +753,13 @@ class SegTable private (ident: String, dir: Path,
       // to a later same-millisecond commit
       val next = f(cur).copy(v = cur.v + 1,
         ts = math.max(System.currentTimeMillis(), cur.ts + 1), op = op)
-      done = SegStore.commitVersion(dir, cur.v, next)
+      done = SegStore.commitVersion(dir, cur.v, next, log)
       if (done) versions :+= next
       else {
         attempts += 1
         if (attempts > 5) throw new java.util.ConcurrentModificationException(
           s"$ident: lost the commit race $attempts times (last seen v=${cur.v})")
-        versions = SegStore.readVersions(dir) // rebase on the winner's head
+        versions = SegStore.readVersions(dir, log) // rebase on the winner's head
       }
     }
   }
@@ -868,14 +936,16 @@ class SegTable private (ident: String, dir: Path,
     // partition value (the writer routes per key); merge only within a
     // key — the all-null partition merges too (hasNull, no stats). For
     // order-preserving transforms key(min)==key(max) verifies
-    // single-valuedness; a hash bucket can't be verified from bounds, but
-    // the writer + this very grouping are the only segment producers, so
-    // the invariant holds inductively.
+    // single-valuedness; a hash bucket can't be verified from bounds, so
+    // only segments STAMPED with the current spec ([[Seg.spec]]) are
+    // trusted — after partition evolution, pre-evolution segments sit
+    // out of keyed compaction rather than merging across buckets.
     def eligible(s: Seg): Boolean = s.bytes < targetBytes &&
       (partOrd < 0 ||
         (s.hasStats(partOrd) && !s.hasNull(partOrd) &&
-          (!spec.get.monotone ||
-            spec.get.key(s.mins(partOrd)) == spec.get.key(s.maxs(partOrd)))) ||
+          (if (spec.get.monotone)
+            spec.get.key(s.mins(partOrd)) == spec.get.key(s.maxs(partOrd))
+          else s.spec.contains(spec.get.encoded))) ||
         (!s.hasStats(partOrd) && s.hasNull(partOrd)))
     val groups = v.segs.filter(eligible)
       .groupBy(s => (s.colIds.toSeq,
@@ -889,6 +959,7 @@ class SegTable private (ident: String, dir: Path,
     val mergedIn = groups.flatten.map(_.file).toSet
     val untouched = v.segs.filterNot(s => mergedIn.contains(s.file))
     val dirStr = dir.toString
+    val tag = logTag
     val newV = v.v + 1
     // ids whose stats-less segments are PROVABLY all-null (the Long
     // writer invariant) — any other id (string prefix stats, dropped
@@ -899,9 +970,12 @@ class SegTable private (ident: String, dir: Path,
     val merged = SparkSession.active.sparkContext
       .parallelize(groups.zipWithIndex, groups.size)
       .map { case (g, i) =>
-        SegCompactor.merge(dirStr, s"seg-compact-v$newV-g$i.bin", g, longIds)
+        SegCompactor.merge(dirStr, s"seg-compact-${tag}v$newV-g$i.bin", g, longIds)
       }
       .collect() // manifest entries only (name + stats), never rows
+      // a merged segment satisfies the CURRENT spec's routing invariant
+      // by construction: the group shares one transformed key
+      .map(_.copy(spec = v.partCol))
     publish(x => x.copy(segs = untouched ++ merged), op = "compact")
     (groups.size.toLong, v.segs.size.toLong, (untouched.size + merged.length).toLong)
   }
@@ -917,19 +991,25 @@ class SegTable private (ident: String, dir: Path,
     // rewrite instead of landing between read and move (where truncation
     // would silently drop the winner's committed version)
     SegStore.withDirLock(dir) {
-      versions = SegStore.readVersions(dir) // adopt concurrent commits first
+      versions = SegStore.readVersions(dir, log) // adopt concurrent commits first
       val k = math.max(keepLast, 1)
       val keep = versions.takeRight(k)
       val dropped = versions.dropRight(k)
       if (dropped.isEmpty) return (0L, 0L)
-      val live = keep.flatMap(_.segs.map(_.file)).toSet
+      // files referenced by ANY retained version of ANY log in the dir
+      // survive: a branch shares main's segment files ([[createBranch]]),
+      // so main's expiry must never GC a file a branch still reads
+      val live = keep.flatMap(_.segs.map(_.file)).toSet ++
+        SegStore.allLogs(dir).filterNot(_ == log)
+          .flatMap(l => SegStore.readVersions(dir, l))
+          .flatMap(_.segs.map(_.file))
       // path-qualified refs are ANOTHER table's files (shallow clone —
       // [[GraftCatalog.cloneTable]]): this table's GC never deletes them,
       // only drops its references; the owning table's own expire/vacuum
       // governs their lifetime
       val dead = dropped.flatMap(_.segs.map(_.file)).distinct
         .filterNot(live.contains).filterNot(Seg.isExternal)
-      SegStore.rewriteVersions(dir, keep) // manifest first: crash-safe order
+      SegStore.rewriteVersions(dir, keep, log) // manifest first: crash-safe order
       versions = keep
       dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
       (dropped.size.toLong, dead.size.toLong)
@@ -949,13 +1029,17 @@ class SegTable private (ident: String, dir: Path,
     * files kept). */
   private[graft] def vacuum(maxAgeMs: Long): (Long, Long) = synchronized {
     SegStore.withDirLock(dir) {
-      versions = SegStore.readVersions(dir)
-      val live = versions.flatMap(_.segs.map(_.file)).toSet
+      versions = SegStore.readVersions(dir, log)
+      // live = every file referenced by ANY log in the dir (main +
+      // branches) — a branch-only segment is not an orphan
+      val live = SegStore.allLogs(dir)
+        .flatMap(l => SegStore.readVersions(dir, l))
+        .flatMap(_.segs.map(_.file)).toSet
       val cutoff = System.currentTimeMillis() - math.max(maxAgeMs, 0L)
       val orphans = Files.list(dir).iterator().asScala.toSeq
         .filter(Files.isRegularFile(_))
         .map(_.getFileName.toString)
-        .filterNot(_.startsWith(SegStore.MetaFile)) // manifest + its .tmp
+        .filterNot(_.startsWith(SegStore.LogPrefix)) // every log + its .tmp
         .filterNot(live.contains)
         .filter(n => Files.getLastModifiedTime(dir.resolve(n)).toMillis <= cutoff)
       orphans.foreach(n => Files.deleteIfExists(dir.resolve(n)))
@@ -965,7 +1049,7 @@ class SegTable private (ident: String, dir: Path,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(ident, dir, cur,
-      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt), log)
 
   private def segBatchWrite(truncateFirst: Boolean): BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
@@ -1038,7 +1122,7 @@ class SegTable private (ident: String, dir: Path,
       override def description(): String =
         s"graft_cat group-based ${info.command()} on $ident"
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new SegScanBuilder(ident, dir, cur) {
+        new SegScanBuilder(ident, dir, cur, None, log) {
           override def build(): Scan = {
             val s = super.build().asInstanceOf[SegScan]
             opScan = s
@@ -1189,10 +1273,116 @@ class SegTable private (ident: String, dir: Path,
       case other =>
         throw new UnsupportedOperationException(s"table change $other")
     }
+    // a partition-column RENAME changes the spec's encoded form but not
+    // its routing semantics — carry segment spec stamps ([[Seg.spec]])
+    // across so bucket trust survives the rename
+    val oldEnc = cur.partCol
+    val newEnc = partSpec.map(_.encoded)
     publish(v => v.copy(colIds = fields.map(_._1).toArray,
       schema = StructType(fields.map(_._2)),
-      partCol = partSpec.map(_.encoded),
+      partCol = newEnc,
+      segs = if (oldEnc != newEnc)
+        v.segs.map(s => if (s.spec == oldEnc) s.copy(spec = newEnc) else s)
+      else v.segs,
       props = newProps.getOrElse(v.props)), op = "alter")
+  }
+
+  /** Partition-spec EVOLUTION (`CALL system.evolve_spec`) — Iceberg's
+    * signature metadata operation: change how FUTURE writes are routed
+    * without rewriting a byte of data. One manifest commit swaps the
+    * table's [[PartSpec]]; existing segments stay exactly as written and
+    * keep pruning through their own zone maps/blooms, and every
+    * consumer of the bucket writer-invariant checks each segment's
+    * [[Seg.spec]] stamp against the current spec, so pre-evolution
+    * segments degrade conservatively instead of pruning wrongly. At
+    * 100 TB this is the only viable way to fix a partitioning mistake or
+    * adapt to drifted key cardinality — a rewrite of history is off the
+    * table; new data lands right, and old data converges through normal
+    * compaction/zorder/overwrite cycles. Returns (old, new) encodings. */
+  private[graft] def evolveSpec(specStr: Option[String])
+      : (Option[String], Option[String], Long) = synchronized {
+    val newSpec = specStr.map { raw =>
+      val p = PartSpec.decode(raw)
+      val f = cur.schema.fields.find(_.name == p.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"$ident: partition column ${p.col} not in schema"))
+      require(f.dataType == LongType,
+        s"$ident partitions on BIGINT columns, got ${f.dataType} for ${p.col}")
+      p match {
+        case BucketPart(_, n) => require(n > 0,
+          s"$ident: bucket count must be positive, got $n")
+        case _ =>
+      }
+      p.encoded
+    }
+    val old = cur.partCol
+    if (newSpec != old) publish(v => v.copy(partCol = newSpec), op = "evolve-spec")
+    (old, newSpec, cur.v)
+  }
+
+  /** Create named branch `name` (`CALL system.branch`) — an Iceberg-style
+    * WRITABLE ref: a second version log (`_meta@name.json`) in the SAME
+    * table directory, seeded with the current head, sharing every
+    * segment file. Zero data copied; the branch then takes ordinary
+    * INSERT/DELETE/MERGE/compaction commits against its own log
+    * (addressed as `cat.db.t.branch_<name>`), fully isolated from main.
+    * The WAP-on-steroids workflow at 100 TB: land and validate a risky
+    * multi-commit pipeline on a branch, then [[fastForward]] main in one
+    * metadata commit — or walk away, leaving main untouched. */
+  private[graft] def createBranch(name: String): Long = synchronized {
+    require(log == SegStore.MetaFile,
+      s"$ident: branches fork from the main table, not from a branch")
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_-]*"),
+      s"bad branch name `$name` (want [A-Za-z0-9][A-Za-z0-9_-]*)")
+    SegStore.withDirLock(dir) {
+      val lf = SegStore.branchLog(name)
+      if (Files.exists(dir.resolve(lf)))
+        throw new IllegalArgumentException(
+          s"$ident: branch `$name` already exists")
+      val head = cur
+      SegStore.appendVersion(dir, head.copy(op = "branch"), lf)
+      head.v
+    }
+  }
+
+  /** Fast-forward main to branch `name`'s head (`CALL
+    * system.fast_forward`) — Iceberg's fast_forward contract: succeeds
+    * only when main has NOT advanced past the branch's fork point, i.e.
+    * the branch head is a strict descendant of main's head; otherwise
+    * refuses loudly (divergence needs a rebase or cherry-pick, which we
+    * don't pretend to do). One optimistic manifest commit adopts the
+    * branch head's full state (schema + spec + segments + props); the
+    * data files are already in this directory, so no bytes move.
+    * Returns (new main version, branch head version, commits merged). */
+  private[graft] def fastForward(name: String): (Long, Long, Long) = {
+    require(log == SegStore.MetaFile,
+      s"$ident: fast_forward targets the main table")
+    val lf = SegStore.branchLog(name)
+    if (!Files.exists(dir.resolve(lf)))
+      throw new IllegalArgumentException(s"$ident: no branch `$name`")
+    val bvs = SegStore.readVersions(dir, lf)
+    val fork = bvs.head.v
+    val bHead = bvs.last
+    val merged = bHead.v - fork
+    if (merged > 0) publish(v => {
+      if (v.v != fork) throw new IllegalStateException(
+        s"$ident: cannot fast-forward `$name` — main is at v=${v.v} but " +
+          s"the branch forked at v=$fork (histories diverged)")
+      bHead
+    }, op = "fastforward")
+    (cur.v, bHead.v, merged)
+  }
+
+  /** Drop branch `name`'s log. Segment files only the branch referenced
+    * become unreferenced and fall to [[vacuum]]'s normal orphan sweep —
+    * never deleted here (a concurrent reader of the branch may still
+    * hold a scan over them). */
+  private[graft] def dropBranch(name: String): Boolean = {
+    require(log == SegStore.MetaFile,
+      s"$ident: drop_branch targets the main table")
+    SegStore.withDirLock(dir) {
+      Files.deleteIfExists(dir.resolve(SegStore.branchLog(name)))
+    }
   }
 }
 
@@ -1295,8 +1485,9 @@ object SegTable {
     new SegTable(ident, dir, Vector(v0))
   }
 
-  private[sources] def open(ident: String, dir: Path): SegTable =
-    new SegTable(ident, dir, SegStore.readVersions(dir))
+  private[sources] def open(ident: String, dir: Path,
+      log: String = SegStore.MetaFile): SegTable =
+    new SegTable(ident, dir, SegStore.readVersions(dir, log), log)
 
   private[sources] def segsOf(messages: Array[WriterCommitMessage]): Seq[Seg] =
     messages.toSeq.flatMap {
@@ -1365,7 +1556,10 @@ object SegTable {
         writerFor(key).add(ur)
       }
       override def commit(): WriterCommitMessage =
-        SegCommit(open.values.toArray.map(_.finish()))
+        // stamp the spec the rows were ROUTED by — the bucket-invariant
+        // witness partition-spec evolution checks (see [[Seg.spec]])
+        SegCommit(open.values.toArray.map(_.finish().copy(
+          spec = spec.map(_.encoded))))
       override def abort(): Unit = open.values.foreach(_.dispose())
       override def close(): Unit = ()
     }
@@ -1451,7 +1645,8 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
   * zone-map pruning from pushed predicates (planning time) and runtime
   * filters (DPP), post-pruning statistics, and column pruning by id. */
 class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
-    maxSegsPerTrigger: Option[Int] = None)
+    maxSegsPerTrigger: Option[Int] = None,
+    log: String = SegStore.MetaFile)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1576,7 +1771,8 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
           .map(v => Option(v).map(_.asInstanceOf[java.lang.Long].longValue()))))
       new SegAggScan(tableName, schema, rows)
     case None =>
-      new SegScan(tableName, dir, ver, required, pushed, maxSegsPerTrigger)
+      new SegScan(tableName, dir, ver, required, pushed, maxSegsPerTrigger,
+        log)
   }
 }
 
@@ -1618,7 +1814,8 @@ class SegAggScan(tableName: String, outSchema: StructType,
 
 class SegScan(tableName: String, dir: Path, ver: SegVersion,
     required: StructType, pushed: Array[Predicate],
-    maxSegsPerTrigger: Option[Int] = None)
+    maxSegsPerTrigger: Option[Int] = None,
+    log: String = SegStore.MetaFile)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
@@ -1663,8 +1860,11 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     * single-valued on the TRANSFORMED partition value (the writer routes
     * by it; compaction merges within it): for order-preserving
     * transforms `key(min)==key(max)` verifies that from the zone-map
-    * alone, and for bucket (hash) the writer invariant guarantees it, so
-    * `key(min)` IS the segment's partition value. */
+    * alone; for bucket (hash) single-valuedness is a writer invariant,
+    * so it is trusted only for segments stamped with the CURRENT spec
+    * ([[Seg.spec]]) — after partition evolution, pre-evolution segments
+    * un-key and the scan degrades to UnknownPartitioning rather than
+    * reporting a partitioning the data doesn't satisfy. */
   private def segKey(s: Seg): Option[Long] = ver.partSpec.flatMap { p =>
     val ord = ver.schema.fieldNames.indexOf(p.col)
     if (ord < 0) None
@@ -1673,7 +1873,9 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
       if (idx < 0 || !s.hasStats(idx) || s.hasNull(idx)) None
       else {
         val lo = p.key(s.mins(idx))
-        if (!p.monotone || lo == p.key(s.maxs(idx))) Some(lo) else None
+        if (p.monotone) { if (lo == p.key(s.maxs(idx))) Some(lo) else None }
+        else if (s.spec.contains(p.encoded)) Some(lo)
+        else None
       }
     }
   }
@@ -1718,7 +1920,7 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     * pattern (Delta/Iceberg): each trigger reads only the segments
     * committed since the last processed version, exactly once. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SegMicroBatchStream(tableName, dir, this, maxSegsPerTrigger)
+    new SegMicroBatchStream(tableName, dir, this, maxSegsPerTrigger, log)
 
   /** Input partitions over `ss` with this scan's projection (shared by
     * the batch path and the micro-batch version-diff path). */
@@ -1755,9 +1957,10 @@ case class SegOffset(v: Long) extends StreamOffset {
   * history mid-stream (compaction / row-level rewrite) is refused the
   * same way the version-range travel read refuses it. */
 class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
-    maxSegsPerTrigger: Option[Int] = None)
+    maxSegsPerTrigger: Option[Int] = None,
+    log: String = SegStore.MetaFile)
     extends MicroBatchStream with SupportsAdmissionControl {
-  private def versions: Vector[SegVersion] = SegStore.readVersions(dir)
+  private def versions: Vector[SegVersion] = SegStore.readVersions(dir, log)
   override def initialOffset(): StreamOffset = SegOffset(versions.head.v)
   override def latestOffset(): StreamOffset = SegOffset(versions.last.v)
   override def deserializeOffset(json: String): StreamOffset =
@@ -2045,8 +2248,13 @@ object SegPrune {
   /** Tri refinement of `col = lit` from bucket membership: 1 = no
     * information (the AND identity), wrong bucket = no non-null row can
     * match (F, + U for null rows). Never claims T, so it only ever
-    * SHARPENS the zone-map verdict under [[triAnd]]. */
+    * SHARPENS the zone-map verdict under [[triAnd]]. Bucket routing is a
+    * WRITER invariant, not zone-verifiable — so it is only trusted for
+    * segments STAMPED with this exact spec ([[Seg.spec]]); a segment
+    * written under a different spec (partition evolution) or before
+    * stamping existed yields no information instead of a wrong drop. */
   private def bucketEqTri(s: Seg, colId: Int, b: BucketPart, lit: Long): Tri = {
+    if (!s.spec.contains(b.encoded)) return 1
     val idx = s.colIds.indexOf(colId)
     if (idx < 0 || !s.hasStats(idx)) 1
     else if (b.key(lit) == b.key(s.mins(idx))) 1
@@ -2154,6 +2362,25 @@ object SegPrune {
 object SegStore {
   val Magic = 0x47524654 // "GRFT"
   val MetaFile = "_meta.json"
+  /** Shared prefix of every manifest log in a table dir (main +
+    * branches) — what vacuum's orphan sweep must never touch. */
+  val LogPrefix = "_meta"
+
+  /** Branch `name`'s manifest log file — Iceberg-style named branches
+    * ([[SegTable.createBranch]]): a branch is a SECOND version log in
+    * the SAME table directory, sharing every segment file. */
+  def branchLog(name: String): String = s"_meta@$name.json"
+
+  /** Every manifest log present in `dir` (main first when it exists). */
+  def allLogs(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n == MetaFile ||
+        (n.startsWith("_meta@") && n.endsWith(".json")))
+      .toVector.sorted
+    finally s.close()
+  }
 
   import org.json4s._
   import org.json4s.JsonDSL._
@@ -2164,11 +2391,13 @@ object SegStore {
       ("ids" -> s.colIds.toList) ~ ("mins" -> s.mins.toList) ~
       ("maxs" -> s.maxs.toList) ~ ("nulls" -> s.hasNull.toList) ~
       ("stats" -> s.hasStats.toList)
-    // blooms key omitted when none present — round-≤6 manifest lines stay
+    // blooms/ps keys omitted when absent — round-≤6 manifest lines stay
     // byte-identical in shape and old readers ignore unknown keys anyway
-    if (s.blooms.exists(_.nonEmpty))
-      base ~ ("blooms" -> s.blooms.map(SegBloom.toBase64).toList)
-    else base
+    val withBlooms =
+      if (s.blooms.exists(_.nonEmpty))
+        base ~ ("blooms" -> s.blooms.map(SegBloom.toBase64).toList)
+      else base
+    s.spec.fold(withBlooms)(p => withBlooms ~ ("ps" -> p))
   }
 
   private def versionLine(v: SegVersion): String = {
@@ -2186,8 +2415,9 @@ object SegStore {
     JsonMethods.compact(JsonMethods.render(json)) + "\n"
   }
 
-  def appendVersion(dir: Path, v: SegVersion): Unit =
-    Files.write(dir.resolve(MetaFile),
+  def appendVersion(dir: Path, v: SegVersion,
+      log: String = MetaFile): Unit =
+    Files.write(dir.resolve(log),
       versionLine(v).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
@@ -2206,15 +2436,16 @@ object SegStore {
     * other processes serialize too), append `v` iff the log's current
     * head is still `expectedV`. Returns false on a stale expectation;
     * the caller re-reads and rebases ([[SegTable]]'s publish loop). */
-  def commitVersion(dir: Path, expectedV: Long, v: SegVersion): Boolean =
+  def commitVersion(dir: Path, expectedV: Long, v: SegVersion,
+      log: String = MetaFile): Boolean =
     withDirLock(dir) {
-      val ch = java.nio.channels.FileChannel.open(dir.resolve(MetaFile),
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(log),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE,
         StandardOpenOption.READ)
       try {
         val lock = ch.lock()
         try {
-          val head = readVersions(dir).lastOption.map(_.v).getOrElse(-1L)
+          val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
           if (head != expectedV) false
           else {
             ch.position(ch.size())
@@ -2228,12 +2459,13 @@ object SegStore {
 
   /** Replace the manifest log wholesale (snapshot expiration): write to a
     * temp file, then atomically move over `_meta.json`. */
-  def rewriteVersions(dir: Path, vs: Seq[SegVersion]): Unit = {
-    val tmp = dir.resolve(MetaFile + ".tmp")
+  def rewriteVersions(dir: Path, vs: Seq[SegVersion],
+      log: String = MetaFile): Unit = {
+    val tmp = dir.resolve(log + ".tmp")
     Files.write(tmp, vs.map(versionLine).mkString.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
       StandardOpenOption.WRITE)
-    Files.move(tmp, dir.resolve(MetaFile), StandardCopyOption.REPLACE_EXISTING,
+    Files.move(tmp, dir.resolve(log), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -2254,9 +2486,9 @@ object SegStore {
     v ^ Long.MinValue
   }
 
-  def readVersions(dir: Path): Vector[SegVersion] = {
+  def readVersions(dir: Path, log: String = MetaFile): Vector[SegVersion] = {
     implicit val fmts: Formats = DefaultFormats
-    Files.readAllLines(dir.resolve(MetaFile)).asScala.toVector
+    Files.readAllLines(dir.resolve(log)).asScala.toVector
       .filter(_.nonEmpty).map { line =>
         val j = JsonMethods.parse(line)
         val segs = (j \ "segs").children.map { sj =>
@@ -2268,7 +2500,8 @@ object SegStore {
             (sj \ "stats").extract[List[Boolean]].toArray,
             (sj \ "blooms").extractOpt[List[String]]
               .map(_.map(SegBloom.fromBase64).toArray)
-              .getOrElse(Array.empty))
+              .getOrElse(Array.empty),
+            (sj \ "ps").extractOpt[String])
         }
         SegVersion((j \ "v").extract[Long],
           (j \ "ids").extract[List[Int]].toArray,
@@ -2557,6 +2790,125 @@ class TagProcedure(catalog: GraftCatalog) extends UnboundProcedure {
         StructField("pinned_version", LongType, nullable = false)))
       util.Collections.singletonList[Scan](new ProcResultScan(schema,
         new GenericInternalRow(Array[Any](pinned)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.branch('db.t', 'dev')` — create a named
+  * writable branch ([[SegTable.createBranch]]): a second version log in
+  * the table's directory seeded at the current head. Read and write it
+  * as `graft_cat.db.t.branch_dev`; merge back with fast_forward. */
+class BranchProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "branch"
+  override def description(): String =
+    "create a named writable branch of the table (zero-copy)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "branch"
+    override def description(): String = BranchProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val fork = catalog.segTable(input.getUTF8String(0).toString)
+        .createBranch(input.getUTF8String(1).toString)
+      val schema = StructType(Seq(
+        StructField("forked_at_version", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](fork)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.fast_forward('db.t', 'dev')` — adopt branch
+  * `dev`'s head as main's next version ([[SegTable.fastForward]]);
+  * refuses if main advanced past the fork point (diverged). */
+class FastForwardProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "fast-forward the main table to a branch's head (metadata-only)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String = FastForwardProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val (mainV, branchV, merged) = catalog
+        .segTable(input.getUTF8String(0).toString)
+        .fastForward(input.getUTF8String(1).toString)
+      val schema = StructType(Seq(
+        StructField("main_version", LongType, nullable = false),
+        StructField("branch_version", LongType, nullable = false),
+        StructField("commits_merged", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](mainV, branchV, merged)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.drop_branch('db.t', 'dev')` — delete the
+  * branch's log; branch-only segment files become vacuum-reclaimable
+  * orphans ([[SegTable.dropBranch]]). */
+class DropBranchProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "drop a named branch (its exclusive files fall to vacuum)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String = DropBranchProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val nm = input.getUTF8String(1).toString
+      val dropped = catalog.segTable(tbl).dropBranch(nm)
+      catalog.invalidateBranchHandle(tbl, nm)
+      val schema = StructType(Seq(
+        StructField("dropped", org.apache.spark.sql.types.BooleanType,
+          nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](dropped)))).iterator()
+    }
+  }
+}
+
+/** `CALL graft_cat.system.evolve_spec('db.t', 'spec')` — partition-spec
+  * evolution ([[SegTable.evolveSpec]]): one metadata-only commit changes
+  * how future writes are routed ('col' = identity, 'days:col',
+  * 'bucket:n:col', '' = unpartition); no data is rewritten and every
+  * historical version stays readable. Per-segment spec stamps
+  * ([[Seg.spec]]) keep bucket pruning / storage-partitioned joins /
+  * keyed compaction honest across the boundary. */
+class EvolveSpecProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "evolve_spec"
+  override def description(): String =
+    "change the table's partition spec for future writes (metadata-only)"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "evolve_spec"
+    override def description(): String = EvolveSpecProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType)
+        .comment("'col' | 'days:col' | 'bucket:n:col' | '' = unpartition")
+        .build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val raw = input.getUTF8String(1).toString.trim
+      val (old, now, v) = catalog.segTable(input.getUTF8String(0).toString)
+        .evolveSpec(if (raw.isEmpty) None else Some(raw))
+      val schema = StructType(Seq(
+        StructField("old_spec", StringType, nullable = false),
+        StructField("new_spec", StringType, nullable = false),
+        StructField("version", LongType, nullable = false)))
+      import org.apache.spark.unsafe.types.UTF8String
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(old.getOrElse("")),
+          UTF8String.fromString(now.getOrElse("")), v)))).iterator()
     }
   }
 }

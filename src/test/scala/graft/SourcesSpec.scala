@@ -1285,4 +1285,122 @@ class SourcesSpec extends SparkTestBase {
       "stale expected version must be refused")
     assert(SegStore.readVersions(dir).map(_.v) === Vector(0L, 1L))
   }
+
+  test("evolve_spec: stamps gate bucket trust; both eras readable (q161)") {
+    val rows = ops.SemiStructured.q161EvolveSpec(spark, sf).collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val byLeg = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byLeg("all") === ((4000L, (0L until 4000L).map(v).sum)))
+    // the correctness claim: one PRE-evolution row (id=7, identity-era
+    // segment) and one POST-evolution row (id=2345, bucket-routed) —
+    // bucket pruning must not drop the unstamped-era segment
+    assert(byLeg("needle") === ((2L, v(7) + v(2345))))
+    assert(byLeg("evolve") === ((1L, 2L)))
+
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val segs = cat.segTable("db.ev_t").currentSegs
+    // every segment carries the spec it was ROUTED by
+    assert(segs.map(_.spec).toSet === Set(Some("g"), Some("bucket:4:id")),
+      segs.map(s => s.file -> s.spec).mkString(", "))
+
+    // post-evolution point lookup: bucket membership prunes the new era
+    // to ONE segment (2 write tasks x 4 buckets after source split
+    // pruning; zone keeps one task, bucket keeps one of its 4);
+    // identity-era segments all zone-drop (their id ranges exclude 2345)
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.ev_t WHERE id = 2345").collect()
+    val (t1, kept1, total1) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t1.contains("ev_t"), t1)
+    assert(total1 === 16 && kept1 === 1, s"planned $kept1/$total1")
+
+    // pre-evolution point lookup: the CURRENT (bucket) spec must not
+    // prune identity-era segments — only their own zone maps/blooms do
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.ev_t WHERE id = 7").collect()
+    val (_, kept2, _) = graft.sources.SegHooks.lastPlanned.get()
+    assert(kept2 >= 1 && kept2 <= 4, s"planned $kept2 segments for id=7")
+
+    // keyed compaction sits out mismatched-spec segments: the 8
+    // identity-era segments are ineligible under the bucket spec; the 8
+    // bucket-era segments merge 2-per-bucket into 4
+    spark.sql("CALL graft_cat.system.compact('db.ev_t')").collect()
+    val after = cat.segTable("db.ev_t").currentSegs
+    assert(after.size === 12, after.map(s => s.file -> s.spec).mkString(", "))
+    assert(after.count(_.spec.contains("g")) === 8)
+    assert(after.count(_.spec.contains("bucket:4:id")) === 4)
+    // merged segments keep pruning: same point lookup, same single hit
+    spark.sql("SELECT COUNT(*) FROM graft_cat.db.ev_t WHERE id = 2345").collect()
+    val (_, kept3, total3) = graft.sources.SegHooks.lastPlanned.get()
+    assert(total3 === 12 && kept3 === 1, s"planned $kept3/$total3")
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.ev_t WHERE id IN (7, 2345)")
+      .head.getLong(0)
+    assert(n === 2L)
+
+    // validation: unknown column / non-BIGINT / bad bucket count refused
+    intercept[Exception](spark.sql(
+      "CALL graft_cat.system.evolve_spec('db.ev_t', 'bucket:4:nope')").collect())
+    intercept[Exception](spark.sql(
+      "CALL graft_cat.system.evolve_spec('db.ev_t', 'bucket:0:id')").collect())
+    // unpartition: metadata-only, all rows still readable
+    spark.sql("CALL graft_cat.system.evolve_spec('db.ev_t', '')").collect()
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.ev_t").head.getLong(0)
+      === 4000L)
+  }
+
+  test("branches: isolation, fast-forward, divergence refusal, GC safety (q162)") {
+    val rows = ops.SemiStructured.q162BranchMerge(spark, sf).collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val all = (0L until 2000L)
+    val br = all.filter(v(_) >= 100)
+    val byLeg = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // main never saw the branch's append or delete until the merge
+    assert(byLeg("main_v1") === ((1000L, (0L until 1000L).map(v).sum)))
+    assert(byLeg("branch") === ((br.size.toLong, br.map(v).sum)))
+    assert(byLeg("merged") === byLeg("branch"))
+    assert(byLeg("ff") === ((2L, 2L)))
+
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+
+    // divergence refusal: new branch, then main moves on → ff must throw
+    spark.sql("CALL graft_cat.system.branch('db.br_t', 'risky')").collect()
+    spark.sql(
+      "INSERT INTO graft_cat.db.br_t.branch_risky VALUES (90001, 1)")
+    spark.sql("INSERT INTO graft_cat.db.br_t VALUES (90002, 2)") // main advances
+    val e = intercept[Exception](
+      spark.sql("CALL graft_cat.system.fast_forward('db.br_t', 'risky')").collect())
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // the refused merge left main's content untouched
+    assert(!spark.sql("SELECT * FROM graft_cat.db.br_t WHERE id = 90001")
+      .collect().nonEmpty)
+
+    // main's expire must NOT GC files the branch still references: the
+    // branch's own row (90001) and its shared pre-fork files survive a
+    // full main-side history expiry
+    spark.sql("CALL graft_cat.system.expire_versions('db.br_t', 1)").collect()
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.br_t.branch_risky WHERE id = 90001")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.br_t.branch_risky")
+      .head.getLong(0) === br.size + 1L)
+
+    // drop_branch: the log goes, the branch stops resolving; its
+    // exclusive file becomes a vacuum-reclaimable orphan while main's
+    // rows all survive
+    spark.sql("CALL graft_cat.system.drop_branch('db.br_t', 'risky')").collect()
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_cat.db.br_t.branch_risky").collect())
+    val (orphans, _) = cat.segTable("db.br_t").vacuum(0L)
+    assert(orphans >= 1L, s"expected the branch-only segment GCed, got $orphans")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.br_t").head.getLong(0)
+      === br.size + 1L) // branch content + main's own 90002
+
+    // branch name validation + duplicate refusal
+    intercept[Exception](
+      spark.sql("CALL graft_cat.system.branch('db.br_t', 'bad name')").collect())
+    spark.sql("CALL graft_cat.system.branch('db.br_t', 'dup')").collect()
+    intercept[Exception](
+      spark.sql("CALL graft_cat.system.branch('db.br_t', 'dup')").collect())
+    spark.sql("CALL graft_cat.system.drop_branch('db.br_t', 'dup')").collect()
+  }
 }
