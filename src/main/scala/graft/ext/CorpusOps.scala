@@ -195,7 +195,7 @@ object CorpusOps {
     * identical literals. The SQL text is shared verbatim between the
     * Spark plan (`expr`) and the DuckDB oracle.
     */
-  private def detLog2(n: String): String = {
+  private[ext] def detLog2(n: String): String = {
     val m = s"(CAST($n AS DOUBLE) / power(2.0, length(bin($n)) - 1))"
     s"((length(bin($n)) - 1) + (((((0.043428363 * $m - 0.404862309) * $m + " +
       s"1.593884548) * $m - 3.492466043) * $m + 5.046852936) * $m - 2.786805564))"

@@ -199,6 +199,75 @@ object Search {
       .orderBy("q_id", "rank")
   }
 
+
+  /** DCG step 1/log2(rank+1) as shared SQL — [[CorpusOps.detLog2]]'s
+    * bit-portable log2, so NDCG hash-matches across engines. */
+  private def dcgStepSql(rankExpr: String): String =
+    s"CAST(CAST(1 AS DOUBLE) / (${CorpusOps.detLog2(rankExpr)}) " +
+      "AS DECIMAL(18, 6))"
+
+  /** Retrieval-quality evaluation: MRR, Precision@10 and NDCG@10 of the
+    * exact cosine top-10 for each sampled query vector, with graded-by-
+    * label relevance (a neighbor is relevant iff it shares the query's
+    * label) — the standard embedding-quality audit a training-data
+    * pipeline runs before trusting a retriever for curation or RAG.
+    *
+    * Determinism: the only transcendental is log2, computed by the
+    * bit-portable [[CorpusOps.detLog2]] polynomial; DCG/IDCG are
+    * DECIMAL(18,6)-staged sums (order-independent), divisions are
+    * IEEE-exact, and every ranking carries a (cosine DESC, vec_id)
+    * total order. IDCG comes from a 10-row cumulative table joined on
+    * the capped relevant count, so ties in corpus composition cannot
+    * shift it.
+    *
+    * Scale: queries are a 1% sample BROADCAST against the corpus — one
+    * corpus scan, scores computed map-side, the only shuffle is the
+    * per-query top-10 window keyed on q_id. The exact scan is the
+    * documented eval baseline (like ext06/ext95); the production
+    * retriever under audit swaps in the IVF probe (ext37/ext75) as the
+    * candidate generator, and these metric tails are unchanged.
+    */
+  val retrievalMetrics: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val all = table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val anchors = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val ranked = all.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        expr("graft_cosine(qv, v)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+    val perQ = ranked.groupBy("q_id", "q_label").agg(
+      sum(expr(s"CASE WHEN rel = 1 THEN ${dcgStepSql("(rank + 1)")} " +
+        "ELSE CAST(0 AS DECIMAL(18, 6)) END")).as("dcg_dec"),
+      sum(col("rel")).cast("long").as("n_rel_10"),
+      min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+    val labelSizes = all.groupBy("label").agg(count(lit(1)).as("n_label"))
+    // cumulative ideal DCG for 1..10 relevant results — 10 rows, exact
+    // decimal partial sums, joined on the capped per-label relevant count
+    val idcgTab = s.range(1, 11).toDF("r")
+      .withColumn("step", expr(dcgStepSql("(r + 1)")))
+      .withColumn("idcg_dec", sum("step").over(Window.orderBy("r")))
+      .select(col("r"), col("idcg_dec"))
+    perQ.join(broadcast(labelSizes), col("q_label") === col("label"))
+      .withColumn("r_cap", least(col("n_label") - 1, lit(10L)))
+      .join(broadcast(idcgTab), col("r_cap") === col("r"))
+      .select(col("q_id"), col("q_label"),
+        (col("n_label") - 1).cast("long").as("n_rel"),
+        coalesce(expr("CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE)"),
+          lit(0.0)).as("mrr"),
+        (col("n_rel_10").cast("double") / lit(10.0)).as("p_at_10"),
+        (col("dcg_dec").cast("double") / col("idcg_dec").cast("double"))
+          .as("ndcg_at_10"))
+      .orderBy("q_id")
+  }
+
   /** SQL probe of [[BloomFilterAgg]]'s bit set (column contract: h1, h2,
     * bits) — same double-hashed positions the Aggregator set, tested with
     * codegen'd array/bit ops. */
@@ -253,7 +322,8 @@ object Search {
     "ext71_chunk_overlap" -> chunkOverlap,
     "ext72_hard_negatives" -> hardNegatives,
     "ext73_bloom_prune_join" -> bloomPruneJoin,
-    "ext113_hybrid_rrf" -> hybridRrf)
+    "ext113_hybrid_rrf" -> hybridRrf,
+    "ext115_retrieval_metrics" -> retrievalMetrics)
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -355,5 +425,47 @@ object Search {
          |  $rrfStepSql AS rrf
          |FROM lex FULL OUTER JOIN sem ON lex_id = sem_id
          |ORDER BY rrf DESC, id
-         |LIMIT 10""".stripMargin)
+         |LIMIT 10""".stripMargin,
+    // full restatement: sequential-fold cosine, (cosine DESC, vec_id)
+    // ranks, detLog2 DCG steps DECIMAL-staged, the same 10-row
+    // cumulative-IDCG join — every step shares its SQL text with the
+    // Spark plan
+    "ext115_retrieval_metrics" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |a AS (
+         |  SELECT vec_id AS q_id, label AS q_label, v AS qv
+         |  FROM v WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q_id, q_label, c.vec_id, c.label,
+         |    list_sum([qv[i] * c.v[i] for i in range(1, len(qv) + 1)]) /
+         |      (sqrt(list_sum([x * x for x in qv])) *
+         |       sqrt(list_sum([x * x for x in c.v]))) AS cosine
+         |  FROM v c CROSS JOIN a WHERE c.vec_id <> q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored),
+         |top AS (
+         |  SELECT *, CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+         |  FROM ranked WHERE rank <= 10),
+         |perq AS (
+         |  SELECT q_id, q_label,
+         |    SUM(CASE WHEN rel = 1 THEN ${dcgStepSql("(rank + 1)")}
+         |        ELSE CAST(0 AS DECIMAL(18, 6)) END) AS dcg_dec,
+         |    CAST(SUM(rel) AS BIGINT) AS n_rel_10,
+         |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+         |  FROM top GROUP BY 1, 2),
+         |ls AS (SELECT label, COUNT(*) AS n_label FROM v GROUP BY 1),
+         |idcg AS (
+         |  SELECT r, SUM(step) OVER (ORDER BY r) AS idcg_dec FROM (
+         |    SELECT i AS r, ${dcgStepSql("(i + 1)")} AS step
+         |    FROM range(1, 11) t(i)))
+         |SELECT q_id, q_label, CAST(n_label - 1 AS BIGINT) AS n_rel,
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) AS mrr,
+         |  CAST(n_rel_10 AS DOUBLE) / CAST(10 AS DOUBLE) AS p_at_10,
+         |  CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE) AS ndcg_at_10
+         |FROM perq JOIN ls ON q_label = ls.label
+         |JOIN idcg ON idcg.r = least(n_label - 1, 10)
+         |ORDER BY q_id""".stripMargin)
 }

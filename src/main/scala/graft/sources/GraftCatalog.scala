@@ -727,8 +727,33 @@ class SegTable private (ident: String, dir: Path,
           new GenericInternalRow(Array[Any](UTF8String.fromString(s.file),
             s.rows, s.bytes, Seg.isExternal(s.file)))
         })
+      case "refs" =>
+        // Iceberg's refs metadata table: every named ref — main, each
+        // branch ([[createBranch]]'s log), each tag property — with the
+        // version it currently resolves to
+        val schema = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("v", LongType, nullable = false)))
+        val branches = SegStore.allLogs(dir).collect {
+          case l if l != SegStore.MetaFile =>
+            (l.stripPrefix("_meta@").stripSuffix(".json"),
+              SegStore.readVersions(dir, l).last.v)
+        }
+        val tags = cur.props.collect {
+          case (k, v) if k.startsWith(SegTag.Prefix) =>
+            (k.stripPrefix(SegTag.Prefix), v.toLong)
+        }.toSeq
+        val refRows =
+          (Seq(("main", "branch", cur.v)) ++
+            branches.map { case (n, v) => (n, "branch", v) } ++
+            tags.map { case (n, v) => (n, "tag", v) })
+            .sortBy(r => (r._2, r._1))
+            .map { case (n, t, v) => new GenericInternalRow(Array[Any](
+              UTF8String.fromString(n), UTF8String.fromString(t), v)) }
+        new MetaTable(s"$ident.refs", schema, refRows)
       case other => throw new IllegalArgumentException(
-        s"$ident has no metadata table `$other` (available: versions, files)")
+        s"$ident has no metadata table `$other` (available: versions, files, refs)")
     }
   }
 
@@ -2614,7 +2639,7 @@ private class ProcResultScan(schema: StructType, row: InternalRow)
   * driver-local by design: its rows ARE the manifest, which every
   * catalog operation already materializes on the driver. */
 private[sources] object MetaTable {
-  val Kinds: Set[String] = Set("versions", "files")
+  val Kinds: Set[String] = Set("versions", "files", "refs")
 }
 
 private[sources] class MetaTable(tname: String, tschema: StructType,

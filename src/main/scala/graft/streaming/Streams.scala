@@ -1281,6 +1281,86 @@ object Streams {
         |ORDER BY bucket""".stripMargin)
   }
 
+  /** ext114 — streaming write-audit-publish onto a NAMED BRANCH: the
+    * full lakehouse ingestion discipline composed from this round's
+    * primitives. The stream lands its micro-batches on branch `ingest`
+    * ([[graft.sources.BranchProcedure]]) — main is never touched while
+    * raw data arrives; the audit prices only the branch DELTA
+    * (`VERSION AS OF 'fork..'`, the incremental changes read, valid
+    * because the stream's commits are append-only); the policy
+    * violations it finds are repaired ON THE BRANCH (row-level DELETE,
+    * its own branch commit); and `fast_forward` publishes the audited
+    * state to main in one metadata commit. Readers of main go from
+    * pre-stream to audited-post-stream ATOMICALLY — there is no instant
+    * at which main exposes an unaudited row, the guarantee plain WAP
+    * (q159) can only give per-batch. At 100 TB: audit cost ∝ new data,
+    * publish cost = one manifest append, abandon cost = drop_branch. */
+  val streamWapBranch: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.wap_t")
+    s.sql("CREATE TABLE graft_cat.db.wap_t (id BIGINT, v BIGINT)")
+    val dir = scratchDir(s, "stream_wap")
+    deleteRec(Paths.get(dir))
+    def slab(lo: Long, hi: Long): DataFrame =
+      s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "1500").option("parts", "2").load()
+        .filter(col("id") >= lo && col("id") < hi)
+    // seed main (v1), then fork the ingestion branch at it
+    slab(0, 500).createOrReplaceTempView("graft_wap_seed")
+    s.sql("INSERT INTO graft_cat.db.wap_t SELECT id, v FROM graft_wap_seed")
+    s.sql("CALL graft_cat.system.branch('db.wap_t', 'ingest')") // fork v1
+    val now = System.currentTimeMillis()
+    copyAs(stagedOnce(s, d, "wap_b0", "json")(slab(500, 1000)),
+      Paths.get(s"$dir/in/b0.json"), now - 60000)
+    copyAs(stagedOnce(s, d, "wap_b1", "json")(slab(1000, 1500)),
+      Paths.get(s"$dir/in/b1.json"), now - 30000)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    withStreamShuffle(s) {
+      val query = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$dir/in")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.ensureGraftCatalog(batch.sparkSession)
+          batch.createOrReplaceTempView("graft_wap_batch")
+          // raw append to the BRANCH — main stays pre-stream throughout
+          batch.sparkSession.sql(
+            """INSERT INTO graft_cat.db.wap_t.branch_ingest
+              |SELECT id, v FROM graft_wap_batch""".stripMargin)
+          ()
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    // the stream's cloned session committed through its own catalog
+    // instance; reopen the branch from disk before auditing
+    s.sql("REFRESH TABLE graft_cat.db.wap_t.branch_ingest")
+    // audit ONLY the branch delta (both stream commits are appends, so
+    // the incremental read is valid); policy: v >= 900 is bad
+    val bad = s.sql(
+      """SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft_cat.db.wap_t.branch_ingest VERSION AS OF '1..'
+        |WHERE v >= 900""".stripMargin)
+      .select(lit("bad").as("leg"), col("n"), col("sum_v"))
+    // repair on the branch — scoped to the INGESTED rows (the seed was
+    // published before the stream; WAP repairs new data, not history)
+    s.sql(
+      "DELETE FROM graft_cat.db.wap_t.branch_ingest WHERE v >= 900 AND id >= 500")
+    val ff = s.sql("CALL graft_cat.system.fast_forward('db.wap_t', 'ingest')")
+      .select(lit("ff").as("leg"), col("commits_merged").as("n"),
+        col("main_version").as("sum_v"))
+    s.sql(
+      """SELECT leg, n, sum_v FROM (
+        |  SELECT 'main_v1' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v
+        |  FROM graft_cat.db.wap_t VERSION AS OF 1
+        |  UNION ALL
+        |  SELECT 'published', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM graft_cat.db.wap_t)""".stripMargin)
+      .unionAll(bad).unionAll(ff).orderBy("leg")
+  }
+
   val streamMergeCatalog: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_t")
@@ -1443,7 +1523,8 @@ object Streams {
     "ext90_stream_chained_aggs" -> chainedWindowAggs,
     "ext92_stream_catalog_source" -> streamCatalogSource,
     "ext103_stream_rate_limit" -> streamRateLimit,
-    "ext107_stream_quarantine" -> streamQuarantine)
+    "ext107_stream_quarantine" -> streamQuarantine,
+    "ext114_stream_wap_branch" -> streamWapBranch)
 
   /** Global per-user prefix maxima — the batch restatement of the
     * high-water-mark stream, shared by ext21 (state across micro-batches)
@@ -1489,6 +1570,25 @@ object Streams {
         |SELECT CAST(id // 500 AS BIGINT) AS band, COUNT(*) AS n,
         |  CAST(SUM(v) AS BIGINT) AS v_sum
         |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
+    // ext114: main_v1 = the pre-stream seed; bad = policy violations in
+    // the ingested slab only; published = seed + clean ingest — the
+    // branch's 3 commits (2 stream appends + 1 repair) land main at v2
+    "ext114_stream_wap_branch" ->
+      """WITH t AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1500) r)
+        |SELECT leg, n, sum_v FROM (
+        |  SELECT 'main_v1' AS leg, COUNT(*) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS sum_v FROM t WHERE id < 500
+        |  UNION ALL
+        |  SELECT 'bad', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM t WHERE id >= 500 AND v >= 900
+        |  UNION ALL
+        |  SELECT 'published', COUNT(*), CAST(SUM(v) AS BIGINT)
+        |  FROM t WHERE id < 500 OR v < 900
+        |  UNION ALL
+        |  SELECT 'ff', CAST(3 AS BIGINT), CAST(2 AS BIGINT))
+        |ORDER BY leg""".stripMargin,
     // ext107: the split is exactly the declared constraint over the
     // generator formula
     "ext107_stream_quarantine" ->

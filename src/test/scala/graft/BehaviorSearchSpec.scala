@@ -379,4 +379,43 @@ class BehaviorSearchSpec extends SparkTestBase {
       }
     }
   }
+
+  test("ext113 hybrid RRF: fused score decomposes into the two rank legs") {
+    val rows = ext.Search.queries("ext113_hybrid_rrf")(spark, sf).collect()
+    assert(rows.length === 10)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val lex = Option(r.get(r.fieldIndex("rank_lex"))).map(_.asInstanceOf[Int])
+      val sem = Option(r.get(r.fieldIndex("rank_sem"))).map(_.asInstanceOf[Int])
+      val rrf = r.getDouble(r.fieldIndex("rrf"))
+      assert(lex.nonEmpty || sem.nonEmpty, "fused row without any rank")
+      val expect = lex.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(rrf === expect, s"rrf $rrf != $expect")
+      assert(rrf <= prev + 1e-12, "fused ranking not sorted")
+      prev = rrf
+    }
+    // vector 0 matches itself with cosine 1: it must lead the semantic
+    // leg, so its fused score includes 1/61
+    val v0 = rows.find(_.getLong(0) == 0L)
+    assert(v0.exists(r => r.getInt(r.fieldIndex("rank_sem")) === 1))
+  }
+
+  test("ext115 retrieval metrics: bounds, consistency, ideal-ranking edge") {
+    val rows = ext.Search.queries("ext115_retrieval_metrics")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nRel10Implied = math.round(r.getDouble(r.fieldIndex("p_at_10")) * 10)
+      val mrr = r.getDouble(r.fieldIndex("mrr"))
+      val ndcg = r.getDouble(r.fieldIndex("ndcg_at_10"))
+      assert(mrr >= 0.0 && mrr <= 1.0, s"mrr $mrr")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"ndcg $ndcg")
+      // any relevant hit in the top-10 forces all three metrics positive
+      if (nRel10Implied > 0) assert(mrr > 0 && ndcg > 0)
+      else assert(mrr === 0.0 && ndcg === 0.0)
+      // MRR is 1/rank of the first hit: bounded by 1, and at least 1/10
+      // whenever a hit exists
+      if (nRel10Implied > 0) assert(mrr >= 0.1 - 1e-12)
+    }
+  }
 }

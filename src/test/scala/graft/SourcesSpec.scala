@@ -1401,6 +1401,20 @@ class SourcesSpec extends SparkTestBase {
     spark.sql("CALL graft_cat.system.branch('db.br_t', 'dup')").collect()
     intercept[Exception](
       spark.sql("CALL graft_cat.system.branch('db.br_t', 'dup')").collect())
+
+    // the refs metadata table (Iceberg's `refs`): main + live branches
+    // + tags, each with the version it resolves to
+    spark.sql("CALL graft_cat.system.tag('db.br_t', 'rel')").collect()
+    val refs = spark.sql(
+      "SELECT name, type, v FROM graft_cat.db.br_t.refs ORDER BY type, name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val mainV = cat.segTable("db.br_t").currentVersion
+    assert(refs.contains(("main", "branch", mainV - 1)) ||
+      refs.contains(("main", "branch", mainV)), refs.mkString(", "))
+    assert(refs.exists(r => r._1 == "dev" && r._2 == "branch"))
+    assert(refs.exists(r => r._1 == "dup" && r._2 == "branch"))
+    assert(refs.exists(r => r._1 == "rel" && r._2 == "tag"))
+    assert(!refs.exists(_._1 == "risky"), "dropped branch must not be listed")
     spark.sql("CALL graft_cat.system.drop_branch('db.br_t', 'dup')").collect()
   }
 }

@@ -201,6 +201,35 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(kept.getLong(1) + dead.getLong(1) === 1500L)
   }
 
+  test("stream lands on a branch; audit+repair there; publish is atomic (ext114)") {
+    val rows = streaming.Streams.queries("ext114_stream_wap_branch")(spark, sf)
+      .collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val byLeg = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val seed = (0L until 500L)
+    val ing = (500L until 1500L)
+    val bad = ing.filter(v(_) >= 900)
+    assert(byLeg("main_v1") === ((500L, seed.map(v).sum)))
+    assert(byLeg("bad") === ((bad.size.toLong, bad.map(v).sum)))
+    assert(byLeg("published") ===
+      ((1500L - bad.size, seed.map(v).sum + ing.filterNot(v(_) >= 900).map(v).sum)))
+    assert(byLeg("ff") === ((3L, 2L))) // 2 stream appends + 1 repair
+
+    // no unaudited row was EVER visible on main: its whole history is
+    // seed (v1) then audited-published (v2) — nothing in between
+    val ops2 = spark.sql(
+      "SELECT v, operation FROM graft_cat.db.wap_t.versions ORDER BY v")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ops2 === Array((0L, "create"), (1L, "append"), (2L, "fastforward")))
+    // the branch ledger narrates the pipeline: fork, two stream appends,
+    // the repair rewrite
+    spark.sql("REFRESH TABLE graft_cat.db.wap_t.branch_ingest")
+    val bops = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+      .segTable("db.wap_t.branch_ingest")
+    assert(bops.currentVersion === 4L)
+  }
+
   test("StreamingQueryProgress exposes state-store size (the ops dashboard feed)") {
     // capacity planning at scale runs off these numbers: rows held per
     // stateful operator and their memory footprint, per micro-batch
