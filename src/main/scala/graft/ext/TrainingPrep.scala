@@ -185,15 +185,80 @@ object TrainingPrep {
       .orderBy("lang")
   }
 
+  /** SFT chat-sample assembly with loss-mask spans: each user's first 6
+    * events (by time) become alternating user/assistant turns; the turn
+    * texts are concatenated into a chat-template string and each turn's
+    * CHARACTER SPAN [start, end) in that string is emitted with its
+    * loss flag (assistant turns train, user turns are masked out) — the
+    * exact artifact an SFT data loader consumes to build label masks.
+    *
+    * Determinism: turn order is a (ts, event_id) total order; texts are
+    * integer-formatted ASCII, so length() agrees across engines; span
+    * arithmetic is a cumulative window sum of exact integers.
+    *
+    * Scale: one shuffle — both windows (turn numbering, cumulative
+    * offsets) share the user_id partitioning, so Spark plans a single
+    * exchange + sort and pipelines the second window over the first.
+    * Per-user state is the 6-turn cap, never the corpus.
+    */
+  val sftAssembly: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+    val turns = table(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("turn_idx", row_number().over(
+        byUser.orderBy(col("ts"), col("event_id"))))
+      .filter(col("turn_idx") <= 6)
+      .withColumn("role",
+        when(col("turn_idx") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+      .withColumn("text", concat(lit("<|"), col("role"), lit("|>"),
+        col("event_type"), lit("#"), col("event_id").cast("string")))
+      .withColumn("len", length(col("text")).cast("long"))
+    turns
+      .withColumn("end", sum("len").over(byUser.orderBy("turn_idx")))
+      .select(col("user_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("role"), (col("end") - col("len")).as("start"), col("end"),
+        (col("role") === "assistant").cast("int").as("loss"))
+      .orderBy("user_id", "turn_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext87_balanced_oversample" -> balancedOversample,
     "ext56_full_training_pipeline" -> fullPipeline,
     "ext47_caption_pairs" -> captionPairs,
     "ext48_sequence_packing" -> sequencePacking,
     "ext49_group_cap" -> groupCap,
-    "ext50_hash_split" -> hashSplit)
+    "ext50_hash_split" -> hashSplit,
+    "ext116_sft_assembly" -> sftAssembly)
 
   val oracleSql: Map[String, String] = Map(
+    // identical turn order, texts, and cumulative-length spans
+    "ext116_sft_assembly" ->
+      """WITH turns AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS turn_idx
+        |  FROM events),
+        |capped AS (
+        |  SELECT *, CASE WHEN turn_idx % 2 = 1 THEN 'user'
+        |                 ELSE 'assistant' END AS role
+        |  FROM turns WHERE turn_idx <= 6),
+        |texts AS (
+        |  SELECT user_id, turn_idx, role,
+        |    '<|' || role || '|>' || event_type || '#' ||
+        |      CAST(event_id AS VARCHAR) AS text
+        |  FROM capped),
+        |spans AS (
+        |  SELECT user_id, turn_idx, role,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    SUM(CAST(length(text) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY turn_idx) AS "end"
+        |  FROM texts)
+        |SELECT user_id, CAST(turn_idx AS INT) AS turn_idx, role,
+        |  "end" - len AS start, "end",
+        |  CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS loss
+        |FROM spans
+        |ORDER BY user_id, turn_idx""".stripMargin,
     // floor(t/n) is a true-division double floor in BOTH engines; the
     // unnest(range(reps)) duplicates each row reps times, the window
     // picks the remainder

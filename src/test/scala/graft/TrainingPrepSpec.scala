@@ -99,4 +99,35 @@ class TrainingPrepSpec extends SparkTestBase {
     assert(rows("train") > total * 6 / 10, rows.toString)
     assert(rows("test") < total * 2 / 10, rows.toString)
   }
+
+  test("SFT assembly: spans tile the template, roles alternate, masks cover assistants") {
+    val rows = TrainingPrep.queries("ext116_sft_assembly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, ts) =>
+      val sorted = ts.sortBy(_.getInt(1))
+      assert(sorted.length <= 6, s"user $u over the turn cap")
+      // dense 1..n turn indices, alternating roles from 'user'
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) === i + 1)
+        val expectRole = if ((i + 1) % 2 == 1) "user" else "assistant"
+        assert(r.getString(2) === expectRole)
+        assert(r.getInt(5) === (if (expectRole == "assistant") 1 else 0))
+      }
+      // spans tile [0, total) with no gaps or overlaps
+      var pos = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) === pos, s"user $u: span gap at ${r.getInt(1)}")
+        assert(r.getLong(4) > r.getLong(3))
+        pos = r.getLong(4)
+      }
+    }
+    // single exchange: both windows share the user_id partitioning
+    val plan = TrainingPrep.queries("ext116_sft_assembly")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(finalPlan).length
+    assert(exchanges === 1, s"expected one keyed exchange, got $exchanges\n$finalPlan")
+  }
 }
