@@ -246,6 +246,101 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+  test("branch fuzz: main/branch model-equal; fast-forward honors divergence") {
+    // branches compose with every DML path: random interleaving of main
+    // inserts, branch inserts/deletes/compactions, and fast-forward (+
+    // re-fork, the real workflow) must keep BOTH logs row-equal to their
+    // driver-side models, and fast_forward must succeed exactly when
+    // main has not advanced past the fork point (a content-neutral
+    // branch compaction commit may make the merge non-empty — the
+    // success/refusal rule is judged on the returned commits_merged)
+    ops.ensureGraftCatalog(spark)
+    sealed trait Op
+    case class InsMain(rows: List[(Long, Long)]) extends Op
+    case class InsBr(rows: List[(Long, Long)]) extends Op
+    case class DelBr(lo: Long, hi: Long) extends Op
+    case object CompactBr extends Op
+    case object FfRefork extends Op
+
+    val genRow = Gen.zip(Gen.chooseNum(0L, 499L), Gen.chooseNum(0L, 1000L))
+    val genInsM: Gen[Op] = Gen.nonEmptyListOf(genRow).map(l => InsMain(l.take(30)))
+    val genInsB: Gen[Op] = Gen.nonEmptyListOf(genRow).map(l => InsBr(l.take(30)))
+    val genDelB: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 200L))
+      .map { case (lo, w) => DelBr(lo, lo + w) }
+    val genOp: Gen[Op] = Gen.frequency(3 -> genInsM, 4 -> genInsB,
+      2 -> genDelB, 1 -> Gen.const(CompactBr), 3 -> Gen.const(FfRefork))
+
+    def scan(t: String): Seq[(Long, Long)] =
+      spark.sql(s"SELECT id, v FROM $t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    samples(Gen.listOfN(8, genOp), 5).zipWithIndex.foreach { case (opsSeq, i) =>
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.brfz_t")
+      spark.sql("CREATE TABLE graft_cat.db.brfz_t (id BIGINT, v BIGINT)")
+      spark.sql(
+        """INSERT INTO graft_cat.db.brfz_t
+          |SELECT id, id % 7 FROM range(0, 100) AS t(id)""".stripMargin)
+      spark.sql("CALL graft_cat.system.branch('db.brfz_t', 'fz')")
+      val mainRows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      mainRows ++= (0L until 100L).map(id => (id, id % 7))
+      val brRows = mainRows.clone()
+      var mainMoved = false
+
+      opsSeq.foreach { op =>
+        op match {
+          case InsMain(rows) =>
+            val vals = rows.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+            spark.sql(s"INSERT INTO graft_cat.db.brfz_t VALUES $vals")
+            mainRows ++= rows
+            mainMoved = true
+          case InsBr(rows) =>
+            val vals = rows.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+            spark.sql(s"INSERT INTO graft_cat.db.brfz_t.branch_fz VALUES $vals")
+            brRows ++= rows
+          case DelBr(lo, hi) =>
+            // only issue deletes that touch the model — a zero-match
+            // DELETE's commit behavior would make merged-count tracking
+            // ambiguous without buying coverage
+            if (brRows.exists(r => r._1 >= lo && r._1 < hi)) {
+              spark.sql(
+                s"DELETE FROM graft_cat.db.brfz_t.branch_fz WHERE id >= $lo AND id < $hi")
+              val keep = brRows.filterNot(r => r._1 >= lo && r._1 < hi)
+              brRows.clear(); brRows ++= keep
+            }
+          case CompactBr =>
+            spark.sql("CALL graft_cat.system.compact('db.brfz_t.branch_fz', 1048576)")
+          case FfRefork =>
+            val merged =
+              try {
+                val r = spark.sql(
+                  "CALL graft_cat.system.fast_forward('db.brfz_t', 'fz')")
+                  .head
+                Some(r.getLong(r.fieldIndex("commits_merged")))
+              } catch { case _: Exception => None }
+            merged match {
+              case Some(m) if m > 0 =>
+                assert(!mainMoved,
+                  s"fast-forward succeeded past a diverged main, seq#$i: $opsSeq")
+                mainRows.clear(); mainRows ++= brRows
+              case Some(_) => // merged==0: no-op, content untouched
+              case None =>
+                assert(mainMoved,
+                  s"fast-forward refused without divergence, seq#$i: $opsSeq")
+            }
+            // re-fork: abandon-or-continue from main's current head
+            spark.sql("CALL graft_cat.system.drop_branch('db.brfz_t', 'fz')")
+            spark.sql("CALL graft_cat.system.branch('db.brfz_t', 'fz')")
+            brRows.clear(); brRows ++= mainRows
+            mainMoved = false
+        }
+        assert(scan("graft_cat.db.brfz_t") === mainRows.sorted.toSeq,
+          s"main diverged from model after $op, seq#$i: $opsSeq")
+        assert(scan("graft_cat.db.brfz_t.branch_fz") === brRows.sorted.toSeq,
+          s"branch diverged from model after $op, seq#$i: $opsSeq")
+      }
+    }
+  }
+
   test("strPrefix preserves UTF-8 byte order; ties only on 8-byte-prefix ties") {
     import graft.sources.SegStore.strPrefix
     import java.nio.charset.StandardCharsets.UTF_8
