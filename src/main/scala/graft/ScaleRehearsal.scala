@@ -58,7 +58,12 @@ object ScaleRehearsal {
     // stay fixture-constant; facts grow K x.
     "q141_shipping_priority", "q143_local_supplier_volume",
     "q145_product_type_profit", "q113_order_count_distribution",
-    "q149_supplier_counts")
+    "q149_supplier_counts",
+    // round-8 fifth wave: hybrid retrieval (both legs top-k — the RRF
+    // tail is corpus-size-independent), the per-query-windowed metrics
+    // eval (1% query sample broadcast against one corpus scan), and the
+    // one-exchange SFT span assembly
+    "ext113_hybrid_rrf", "ext115_retrieval_metrics", "ext116_sft_assembly")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -276,6 +276,14 @@ object TextAnalysis {
     * operator semantics rather than a fixpoint loop). The oracle
     * re-runs the full 4-round induction in chained CTEs. */
   val bpeMerges: Q = (s, d) => {
+    import s.implicits._
+    bpeLearn(s, d).toDF("merge_rank", "pair", "weight").orderBy("merge_rank")
+  }
+
+  /** The 4-round induction shared by ext109 (emits the merge table) and
+    * ext117 (applies it): 4 driver rows total, never data. */
+  private def bpeLearn(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Long, String, Long)] = {
     val words = table(s, d, "documents")
       .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -301,12 +309,45 @@ object TextAnalysis {
       seg = seg.withColumn("seg", expr(
         s"trim(replace(replace(concat(' ', seg, ' '), '$pat', '$rep'), '$pat', '$rep'))"))
     }
-    import s.implicits._
-    merges.toSeq.toDF("merge_rank", "pair", "weight").orderBy("merge_rank")
+    merges.toSeq
+  }
+
+  /** ext117 — BPE ENCODE with the learned merges (tokenizer
+    * APPLICATION, ext109's other half): every document's words are
+    * char-split and the 4 learned merges replayed in rank order — the
+    * exact greedy double-replace semantics the trainer used — then
+    * per-document token statistics are emitted (words, characters,
+    * post-merge tokens; chars − tokens = merges applied). This is the
+    * production tokenize-the-corpus pass: the merge table is a DRIVER
+    * constant (vocabulary-sized, here 4 rows) compiled INTO the row
+    * expression, so encoding is one embarrassingly-parallel map-side
+    * pass over the corpus — no join, no shuffle until the per-doc sum.
+    * The oracle re-learns the merges in chained CTEs and re-applies
+    * them with the same replace chain, so the counts are the full
+    * train+apply loop cross-checked end to end. */
+  val bpeEncode: Q = (s, d) => {
+    val merges = bpeLearn(s, d).map(_._2)
+    def q(x: String) = x.replace("'", "''")
+    val chain = merges.foldLeft("concat(' ', seg, ' ')") { (acc, bp) =>
+      val pat = q(s" $bp ")
+      val rep = q(" " + bp.replace(" ", "") + " ")
+      s"replace(replace($acc, '$pat', '$rep'), '$pat', '$rep')"
+    }
+    table(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("seg", expr("trim(regexp_replace(w, '(.)', '$1 '))"))
+      .withColumn("enc", expr(s"trim($chain)"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(size(split(col("enc"), " "))).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
     "ext109_bpe_merges" -> bpeMerges,
+    "ext117_bpe_encode" -> bpeEncode,
     "ext84_tfidf_topterms" -> tfidfTopTerms,
     "ext43_pii_redaction" -> piiRedaction,
     "ext33_bottomk_sketch" -> bottomKSketch,
@@ -318,7 +359,78 @@ object TextAnalysis {
     "ext19_curation_pipeline" -> curationPipeline,
     "ext28_sample_stratified" -> sampleStratified)
 
+  /** The 4-round BPE induction as DuckDB CTEs (words .. b4) — shared by
+    * the ext109 (merge table) and ext117 (encode) oracles. */
+  private val bpeCtesSql: String =
+    """words AS (
+      |  SELECT w, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |seg0 AS (
+      |  SELECT w, cnt, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg FROM words),
+      |p1 AS (
+      |  SELECT pr, SUM(cnt) AS c FROM (
+      |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+      |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+      |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg0))
+      |  GROUP BY pr),
+      |b1 AS (SELECT pr, c FROM p1 ORDER BY c DESC, pr LIMIT 1),
+      |seg1 AS (
+      |  SELECT w, cnt, trim(replace(replace(' ' || seg || ' ', ' ' || b1.pr || ' ', ' ' || replace(b1.pr, ' ', '') || ' '), ' ' || b1.pr || ' ', ' ' || replace(b1.pr, ' ', '') || ' ')) AS seg
+      |  FROM seg0, b1),
+      |p2 AS (
+      |  SELECT pr, SUM(cnt) AS c FROM (
+      |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+      |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+      |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg1))
+      |  GROUP BY pr),
+      |b2 AS (SELECT pr, c FROM p2 ORDER BY c DESC, pr LIMIT 1),
+      |seg2 AS (
+      |  SELECT w, cnt, trim(replace(replace(' ' || seg || ' ', ' ' || b2.pr || ' ', ' ' || replace(b2.pr, ' ', '') || ' '), ' ' || b2.pr || ' ', ' ' || replace(b2.pr, ' ', '') || ' ')) AS seg
+      |  FROM seg1, b2),
+      |p3 AS (
+      |  SELECT pr, SUM(cnt) AS c FROM (
+      |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+      |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+      |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg2))
+      |  GROUP BY pr),
+      |b3 AS (SELECT pr, c FROM p3 ORDER BY c DESC, pr LIMIT 1),
+      |seg3 AS (
+      |  SELECT w, cnt, trim(replace(replace(' ' || seg || ' ', ' ' || b3.pr || ' ', ' ' || replace(b3.pr, ' ', '') || ' '), ' ' || b3.pr || ' ', ' ' || replace(b3.pr, ' ', '') || ' ')) AS seg
+      |  FROM seg2, b3),
+      |p4 AS (
+      |  SELECT pr, SUM(cnt) AS c FROM (
+      |    SELECT cnt, unnest(list_transform(range(2, len(sp) + 1),
+      |      i -> sp[i - 1] || ' ' || sp[i])) AS pr
+      |    FROM (SELECT cnt, string_split(seg, ' ') AS sp FROM seg3))
+      |  GROUP BY pr),
+      |b4 AS (SELECT pr, c FROM p4 ORDER BY c DESC, pr LIMIT 1)""".stripMargin
+
+  /** The encode replace chain over b1..b4 in rank order — the DuckDB
+    * text twin of [[bpeEncode]]'s folded Spark expression. */
+  private val bpeDuckEncChain: String =
+    (1 to 4).foldLeft("""' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' '""") {
+      (acc, i) =>
+        val pat = s"' ' || b$i.pr || ' '"
+        val rep = s"' ' || replace(b$i.pr, ' ', '') || ' '"
+        s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+
   val oracleSql: Map[String, String] = Map(
+    "ext117_bpe_encode" ->
+      s"""WITH $bpeCtesSql,
+         |dw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |enc AS (
+         |  SELECT doc_id, w, trim($bpeDuckEncChain) AS e
+         |  FROM dw, b1, b2, b3, b4)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len(string_split(e, ' '))) AS BIGINT) AS n_tokens
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ext109_bpe_merges" ->
       """WITH words AS (
         |  SELECT w, COUNT(*) AS cnt FROM (

@@ -251,8 +251,8 @@ object TrainingPrep {
         |spans AS (
         |  SELECT user_id, turn_idx, role,
         |    CAST(length(text) AS BIGINT) AS len,
-        |    SUM(CAST(length(text) AS BIGINT)) OVER (
-        |      PARTITION BY user_id ORDER BY turn_idx) AS "end"
+        |    CAST(SUM(CAST(length(text) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY turn_idx) AS BIGINT) AS "end"
         |  FROM texts)
         |SELECT user_id, CAST(turn_idx AS INT) AS turn_idx, role,
         |  "end" - len AS start, "end",

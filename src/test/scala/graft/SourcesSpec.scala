@@ -1347,6 +1347,36 @@ class SourcesSpec extends SparkTestBase {
       === 4000L)
   }
 
+  test("branch schema evolution: isolated until fast-forward adopts schema+data") {
+    // each version log carries its own (colIds, schema): ALTER on a
+    // branch evolves the BRANCH only — stronger than Iceberg, where
+    // schema is table-wide across refs — and fast_forward adopts the
+    // evolved schema and the data in the same atomic manifest commit
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.evo_t")
+    spark.sql("CREATE TABLE graft_cat.db.evo_t (id BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft_cat.db.evo_t SELECT id, id * 2 FROM range(0, 10) AS t(id)")
+    spark.sql("CALL graft_cat.system.branch('db.evo_t', 'evo')")
+    spark.sql(
+      "ALTER TABLE graft_cat.db.evo_t.branch_evo ADD COLUMN w BIGINT DEFAULT 5")
+    spark.sql(
+      "INSERT INTO graft_cat.db.evo_t.branch_evo VALUES (100, 200, 7)")
+    // main's schema is untouched while the branch carries the new column
+    assert(spark.table("graft_cat.db.evo_t").schema.fieldNames.toSeq
+      === Seq("id", "v"))
+    assert(spark.table("graft_cat.db.evo_t.branch_evo").schema.fieldNames.toSeq
+      === Seq("id", "v", "w"))
+    spark.sql("CALL graft_cat.system.fast_forward('db.evo_t', 'evo')").collect()
+    // main now reads the evolved schema: pre-evolution rows see the
+    // EXISTS_DEFAULT, the branch-landed row its written value
+    val rows = spark.sql(
+      "SELECT id, w FROM graft_cat.db.evo_t ORDER BY id").collect()
+    assert(rows.length === 11)
+    assert(rows.take(10).forall(_.getLong(1) === 5L), "exists-default lost")
+    assert(rows.last.getLong(0) === 100L && rows.last.getLong(1) === 7L)
+  }
+
   test("branches: isolation, fast-forward, divergence refusal, GC safety (q162)") {
     val rows = ops.SemiStructured.q162BranchMerge(spark, sf).collect()
     def v(id: Long) = (id * 2654435761L) % 1000L

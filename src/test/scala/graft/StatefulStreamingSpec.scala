@@ -171,6 +171,36 @@ class StatefulStreamingSpec extends SparkTestBase {
     // appended those rows twice and failed the n===500 assertion
   }
 
+  test("streaming FROM a branch drains that log only; main commits invisible") {
+    // the branch SegTable threads its own log into the micro-batch
+    // stream: offsets are branch-log versions, so triggers see exactly
+    // the commits landed on the branch — never main's
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.brs_t")
+    spark.sql("CREATE TABLE graft_cat.db.brs_t (id BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft_cat.db.brs_t SELECT id, id * 3 FROM range(0, 100) AS t(id)")
+    spark.sql("CALL graft_cat.system.branch('db.brs_t', 'live')")
+    val sinkName = "graft_stream_branch_sink"
+    val query = spark.readStream.table("graft_cat.db.brs_t.branch_live")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try {
+      query.processAllAvailable()
+      spark.sql(
+        """INSERT INTO graft_cat.db.brs_t.branch_live
+          |SELECT id, id * 3 FROM range(100, 150) AS t(id)""".stripMargin)
+      spark.sql( // main-only commit: must never reach the branch stream
+        "INSERT INTO graft_cat.db.brs_t SELECT id, id * 3 FROM range(900, 950) AS t(id)")
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table(sinkName).collect().map(_.getLong(0)).sorted.toSeq
+    // offsets start at the FORK line, so the seed content is the initial
+    // snapshot boundary and only post-fork branch commits stream
+    assert(got === (100L until 150L).toSeq,
+      s"branch stream drained ${got.size} rows: ${got.take(5)}..${got.takeRight(5)}")
+  }
+
   test("admission control schedules one commit per trigger under the cap (ext103)") {
     val rows = streaming.Streams.queries("ext103_stream_rate_limit")(spark, sf)
       .collect()
