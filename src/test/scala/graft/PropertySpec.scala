@@ -198,13 +198,19 @@ class PropertySpec extends SparkTestBase {
     case class Del(lo: Long, hi: Long) extends Op
     case object Compact extends Op
     case object ZOrder extends Op
+    case class Evolve(spec: String) extends Op
 
     val genRow = Gen.zip(Gen.chooseNum(0L, 499L), Gen.chooseNum(-50L, 1000L))
     val genIns: Gen[Op] = Gen.nonEmptyListOf(genRow).map(l => Ins(l.take(40)))
     val genDel: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 200L))
       .map { case (lo, w) => Del(lo, lo + w) }
+    // partition-spec evolution interleaved with every other op: the
+    // per-segment spec stamps must keep bucket-trusted pruning, keyed
+    // compaction, and zorder rewrites correct across spec changes
+    val genEvolve: Gen[Op] = Gen.oneOf("id", "bucket:4:id", "bucket:8:v", "")
+      .map(Evolve)
     val genOp: Gen[Op] = Gen.frequency(5 -> genIns, 3 -> genDel,
-      2 -> Gen.const(Compact), 2 -> Gen.const(ZOrder))
+      2 -> Gen.const(Compact), 2 -> Gen.const(ZOrder), 2 -> genEvolve)
 
     samples(Gen.listOfN(8, genOp), 5).zipWithIndex.foreach { case (opsSeq, i) =>
       spark.sql("DROP TABLE IF EXISTS graft_cat.db.fuzz_t")
@@ -232,6 +238,8 @@ class PropertySpec extends SparkTestBase {
           spark.sql("CALL graft_cat.system.compact('db.fuzz_t', 1048576)")
         case ZOrder => // layout-only rewrite: must never change contents
           spark.sql("CALL graft_cat.system.zorder('db.fuzz_t', 'id', 'v', 3)")
+        case Evolve(spec) => // metadata-only: contents invariant
+          spark.sql(s"CALL graft_cat.system.evolve_spec('db.fuzz_t', '$spec')")
       }
       val got = spark.sql("SELECT id, v FROM graft_cat.db.fuzz_t").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
