@@ -1347,6 +1347,56 @@ class SourcesSpec extends SparkTestBase {
       === 4000L)
   }
 
+  test("durable reopen: a fresh catalog instance sees branches, stamps, refs") {
+    // disk is the commit point: branch logs (_meta@name.json) and the
+    // per-segment spec stamps ("ps" manifest key) must survive a full
+    // catalog reopen — a second catalog instance over the SAME warehouse
+    // dir resolves the branch, keeps bucket pruning gated, and lists refs
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dur_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.dur_t (id BIGINT, v BIGINT, g BIGINT)
+        |PARTITIONED BY (g)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_cat.db.dur_t
+        |SELECT id, id * 2, id % 4 FROM range(0, 400) AS t(id)""".stripMargin)
+    spark.sql("CALL graft_cat.system.evolve_spec('db.dur_t', 'bucket:4:id')")
+    spark.sql(
+      """INSERT INTO graft_cat.db.dur_t
+        |SELECT id, id * 2, id % 4 FROM range(400, 800) AS t(id)""".stripMargin)
+    spark.sql("CALL graft_cat.system.branch('db.dur_t', 'side')")
+    spark.sql("INSERT INTO graft_cat.db.dur_t.branch_side VALUES (9000, 1, 0)")
+
+    // second instance over the same warehouse dir (the q129 pattern)
+    val wh = sys.props("java.io.tmpdir") + "/graft_warehouse/graft_cat"
+    val keys = Seq("spark.sql.catalog.graft_dur2" -> "graft.sources.GraftCatalog",
+      "spark.sql.catalog.graft_dur2.warehouse" -> wh)
+    val saved = keys.map { case (k, _) => k -> spark.conf.getAll.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sessionState.catalogManager.catalog("graft_dur2")
+    saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql("REFRESH TABLE graft_dur2.db.dur_t")
+    // reopened main: both eras readable, stamps decoded from disk gate
+    // bucket pruning (post-evolution point = 1 planned segment)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_dur2.db.dur_t")
+      .head.getLong(0) === 800L)
+    spark.sql("SELECT COUNT(*) FROM graft_dur2.db.dur_t WHERE id = 650").collect()
+    val (t1, kept, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(t1.contains("dur_t"), t1)
+    assert(kept === 1, s"planned $kept/$total after reopen")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_dur2.db.dur_t WHERE id = 7")
+      .head.getLong(0) === 1L, "pre-evolution row lost after reopen")
+    // reopened branch resolves with its own content; refs list it
+    assert(spark.sql("SELECT COUNT(*) FROM graft_dur2.db.dur_t.branch_side")
+      .head.getLong(0) === 801L)
+    val refs = spark.sql("SELECT name, type FROM graft_dur2.db.dur_t.refs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs.contains(("side", "branch")) && refs.contains(("main", "branch")))
+  }
+
   test("branch schema evolution: isolated until fast-forward adopts schema+data") {
     // each version log carries its own (colIds, schema): ALTER on a
     // branch evolves the BRANCH only — stronger than Iceberg, where
