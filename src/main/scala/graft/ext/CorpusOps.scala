@@ -222,6 +222,42 @@ object CorpusOps {
     */
   val bigramNll: Q = (s, d) => nllCore(s, d).orderBy("doc_id")
 
+  /** ext118 — curriculum packing: training-order construction by
+    * difficulty. Documents are scored by their bigram-LM negative
+    * log-likelihood (the ext63 signal; docs too short for bigrams score
+    * 0 = easiest), ordered easiest-first per source shard, and packed
+    * into 512-token bins IN THAT ORDER — the curriculum-learning
+    * counterpart of ext48's ingestion-order packing. Output is the bin
+    * manifest with each bin's difficulty band; the bands are
+    * non-decreasing along a shard's bins, which is the curriculum
+    * property the spec pins.
+    *
+    * Determinism: the difficulty doubles are ext63's DECIMAL-staged
+    * sums (exact cross-engine), the order carries a doc_id tiebreak,
+    * and bin arithmetic is exact integers. Scale: the LM counts are
+    * vocabulary-sized keyed aggs, the scoring join is keyed on the
+    * bigram, and the packing window partitions by source shard — the
+    * same per-shard stream real pipelines pack by. */
+  val curriculumPacking: Q = (s, d) => {
+    val budget = 512L
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(expr(toksExpr)).cast("long").as("n_tokens"))
+    val scored = toks
+      .join(nllCore(s, d).select(col("doc_id"), col("nll")), Seq("doc_id"), "left")
+      .withColumn("difficulty", coalesce(col("nll"), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("difficulty"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+        min(col("difficulty")).as("d_min"), max(col("difficulty")).as("d_max"))
+      .orderBy("source", "bin")
+  }
+
   /** Unsorted [[bigramNll]] — reused by the ensemble (ext66). */
   private def nllCore(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = table(s, d, "documents")
@@ -367,6 +403,7 @@ object CorpusOps {
     "ext61_domain_mixture" -> domainMixture,
     "ext62_length_batching" -> lengthBatching,
     "ext63_bigram_nll" -> bigramNll,
+    "ext118_curriculum_packing" -> curriculumPacking,
     "ext64_global_shuffle" -> globalShuffle)
 
   private val toksSql =
@@ -441,6 +478,27 @@ object CorpusOps {
        |  FROM scored GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same LM restatement (nllagg), same easiest-first (difficulty,
+    // doc_id) order, same exact-integer bin arithmetic
+    "ext118_curriculum_packing" ->
+      s"""WITH $nllCtesSql,
+         |tk AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |sc AS (
+         |  SELECT tk.doc_id, tk.source, tk.n_tokens,
+         |    COALESCE(nllagg.nll, CAST(0 AS DOUBLE)) AS difficulty
+         |  FROM tk LEFT JOIN nllagg ON tk.doc_id = nllagg.doc_id),
+         |c AS (
+         |  SELECT source, n_tokens, difficulty,
+         |    SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY difficulty, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sc)
+         |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |  MIN(difficulty) AS d_min, MAX(difficulty) AS d_max
+         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "ext79_weighted_sample" ->
       s"""WITH sdocs AS (
          |  SELECT doc_id, n_chars,

@@ -345,9 +345,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** ext119 — privacy release census: k-anonymity and l-diversity over
+    * the publishable metadata (the pre-release audit a curated-corpus
+    * distribution runs). Quasi-identifier = (source, 1000-char size
+    * bucket) — the attributes a release would expose; sensitive
+    * attribute = language. A cell is safe to release when at least
+    * k=10 documents share the quasi-identifier (k-anonymity: no
+    * document is re-identifiable within its cell) AND the cell spans
+    * at least l=2 sensitive values (l-diversity: membership reveals no
+    * sensitive value). Complements ext43's content-side PII redaction
+    * with the metadata-side disclosure audit.
+    *
+    * Scale: one map-side-combined keyed agg over the corpus — the
+    * census is cell-count-sized, never data-sized. */
+  val privacyCensus: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupBy(col("source"), expr("n_chars DIV 1000").as("size_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("k_ok", (col("n_docs") >= 10).cast("int"))
+      .withColumn("l_ok", (col("n_langs") >= 2).cast("int"))
+      .orderBy("source", "size_bucket")
+
   val queries: Map[String, Q] = Map(
     "ext109_bpe_merges" -> bpeMerges,
     "ext117_bpe_encode" -> bpeEncode,
+    "ext119_privacy_census" -> privacyCensus,
     "ext84_tfidf_topterms" -> tfidfTopTerms,
     "ext43_pii_redaction" -> piiRedaction,
     "ext33_bottomk_sketch" -> bottomKSketch,
@@ -417,6 +440,13 @@ object TextAnalysis {
     }
 
   val oracleSql: Map[String, String] = Map(
+    "ext119_privacy_census" ->
+      """SELECT source, n_chars // 1000 AS size_bucket,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+        |  CASE WHEN COUNT(*) >= 10 THEN 1 ELSE 0 END AS k_ok,
+        |  CASE WHEN COUNT(DISTINCT lang) >= 2 THEN 1 ELSE 0 END AS l_ok
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY source, size_bucket""".stripMargin,
     "ext117_bpe_encode" ->
       s"""WITH $bpeCtesSql,
          |dw AS (

@@ -134,4 +134,35 @@ class CorpusOpsSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "global shuffle fell back to a window")
   }
+
+  test("ext118 curriculum packing: difficulty bands non-decreasing along bins") {
+    val rows = CorpusOps.queries("ext118_curriculum_packing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // bins are contiguous ranges of the easiest-first order, so within a
+    // source every bin's max difficulty bounds the next bin's min; token
+    // accounting covers the whole corpus exactly once
+    rows.groupBy(_.getString(0)).foreach { case (src, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === sorted.indices.map(_.toLong),
+        s"$src: bins not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(5) <= b.getDouble(4) + 1e-12,
+            s"$src: curriculum order broken between bins ${a.getLong(1)} and ${b.getLong(1)}")
+        case _ =>
+      }
+      sorted.foreach(r => assert(r.getDouble(4) <= r.getDouble(5)))
+    }
+    val total = rows.map(_.getLong(3)).sum
+    val expect = CorpusOpsSpecHelpers.tokenTotal(spark, sf)
+    assert(total === expect, s"packed $total of $expect tokens")
+  }
+}
+
+private object CorpusOpsSpecHelpers {
+  def tokenTotal(spark: org.apache.spark.sql.SparkSession, sf: String): Long =
+    graft.ops.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.expr(
+        "filter(split(lower(text), ' '), t -> t <> '')")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
 }
