@@ -490,6 +490,52 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** ext120 — Matryoshka truncation evaluation: how much neighbor
+    * structure survives cutting the 64-dim embeddings to their FIRST 16
+    * dimensions — the MRL (Matryoshka Representation Learning) deploy
+    * decision, where serving at a truncated dimension buys a 4× memory/
+    * bandwidth cut if recall holds. For each sampled query (every 50th
+    * vector) the exact full-dim top-5 is the gold set and the
+    * truncated-dim top-5 the candidate; output is the per-query overlap
+    * plus order-free id checksums of both sets. Both ranking legs carry
+    * (cosine DESC, vec_id) total orders; cosines are the shared
+    * `graft_cosine` sequential-fold kernel on both engines.
+    *
+    * Scale: like ext95, the exact legs here are the documented
+    * fixed-size-sample evaluation (queries are a 2% sample BROADCAST
+    * against one corpus scan; the only shuffle is the per-query top-5
+    * window); the production serving path this decides between is the
+    * IVF tier (ext37/ext75) at either dimension. */
+  val matryoshkaEval: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val all = table(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+        expr("transform(slice(embedding, 1, 16), x -> CAST(x AS DOUBLE))")
+          .as("v16"))
+    val q = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("v16").as("qv16"))
+    val w = Window.partitionBy("q_id")
+    def top5(scoreCol: String, rankName: String) =
+      row_number().over(w.orderBy(col(scoreCol).desc, col("vec_id")))
+    val scored = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("graft_cosine(qv, v)").as("c_full"),
+        expr("graft_cosine(qv16, v16)").as("c_trunc"))
+      .withColumn("r_full", top5("c_full", "r_full"))
+      .withColumn("r_trunc", top5("c_trunc", "r_trunc"))
+      .filter(col("r_full") <= 5 || col("r_trunc") <= 5)
+    scored.groupBy("q_id").agg(
+      sum(when(col("r_full") <= 5 && col("r_trunc") <= 5, 1L).otherwise(0L))
+        .as("n_overlap"),
+      sum(when(col("r_full") <= 5, col("vec_id")).otherwise(0L))
+        .as("gold_id_sum"),
+      sum(when(col("r_trunc") <= 5, col("vec_id")).otherwise(0L))
+        .as("trunc_id_sum"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext77_label_noise_knn" -> labelNoiseKnn,
     "ext108_label_noise_recall" -> labelNoiseRecall,
@@ -501,7 +547,8 @@ object Similarity {
     "ext20_sim_topk_ivf_kmeans" -> kmeansIvfTopK,
     "ext37_sim_topk_ivf_probe2" -> kmeansIvfProbe2,
     "ext93_semantic_dedup" -> ((s, d) => semanticDedup(s, d, 0.4)),
-    "ext95_ann_recall" -> annRecall)
+    "ext95_ann_recall" -> annRecall,
+    "ext120_matryoshka_eval" -> matryoshkaEval)
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -695,6 +742,42 @@ object Similarity {
          |QUALIFY row_number() OVER w <= 3
          |ORDER BY q_id, rank""".stripMargin,
     "ext06_sim_topk_bruteforce" -> bruteForceOracle,
+    // both ranking legs restated with the same sequential-fold cosine
+    // (dot / (sqrt * sqrt), the kernel's exact op order) and the same
+    // (cosine DESC, vec_id) total orders
+    "ext120_matryoshka_eval" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    (embedding::DOUBLE[])[1:16] AS v16
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, v AS qv, v16 AS qv16
+        |  FROM v WHERE vec_id % 50 = 0),
+        |sc AS (
+        |  SELECT q_id, c.vec_id,
+        |    list_sum([qv[i] * c.v[i] for i in range(1, len(qv) + 1)]) /
+        |      (sqrt(list_sum([x * x for x in qv])) *
+        |       sqrt(list_sum([x * x for x in c.v]))) AS c_full,
+        |    list_sum([qv16[i] * c.v16[i] for i in range(1, len(qv16) + 1)]) /
+        |      (sqrt(list_sum([x * x for x in qv16])) *
+        |       sqrt(list_sum([x * x for x in c.v16]))) AS c_trunc
+        |  FROM v c CROSS JOIN q WHERE c.vec_id <> q_id),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY c_full DESC, vec_id) AS r_full,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY c_trunc DESC, vec_id) AS r_trunc
+        |  FROM sc)
+        |SELECT q_id,
+        |  CAST(SUM(CASE WHEN r_full <= 5 AND r_trunc <= 5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  CAST(SUM(CASE WHEN r_full <= 5 THEN vec_id ELSE 0 END) AS BIGINT)
+        |    AS gold_id_sum,
+        |  CAST(SUM(CASE WHEN r_trunc <= 5 THEN vec_id ELSE 0 END) AS BIGINT)
+        |    AS trunc_id_sum
+        |FROM rk WHERE r_full <= 5 OR r_trunc <= 5
+        |GROUP BY q_id ORDER BY q_id""".stripMargin,
     "ext16_sim_native_expr" -> bruteForceOracle,
     "ext17_sim_topk_lsh" ->
       s"""WITH $vSql,

@@ -150,6 +150,24 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum > 0L)
   }
 
+  test("matryoshka eval: one row per query, overlap bounded, sets sized 5") {
+    val rows = Similarity.queries("ext120_matryoshka_eval")(spark, sf).collect()
+    val nQueries = ops.table(spark, sf, "embeddings")
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length === nQueries)
+    rows.foreach { r =>
+      val overlap = r.getLong(r.fieldIndex("n_overlap"))
+      assert(overlap >= 0L && overlap <= 5L)
+      // both id checksums cover exactly 5 distinct candidates: positive
+      // (vec_id 0 can appear in at most one query's gold set and never
+      // contributes for its own query — self excluded)
+      assert(r.getLong(r.fieldIndex("gold_id_sum")) > 0L)
+      assert(r.getLong(r.fieldIndex("trunc_id_sum")) > 0L)
+    }
+    // the first 16 dims preserve SOME neighbor structure on this fixture
+    assert(rows.map(_.getLong(1)).sum > 0L)
+  }
+
   test("lsh recall eval: tiers nest, recall non-decreasing with similarity") {
     val rows = ext.Dedup.lshRecallEval(spark, sf).collect()
     assert(rows.nonEmpty)
