@@ -401,6 +401,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ext121 — dedup-cluster canonical selection: the step AFTER
+    * component discovery in a production dedup pipeline — per near-dup
+    * cluster, KEEP the best-quality member (longest text, doc_id
+    * tiebreak — the quality proxy; swap in ext66's ensemble score at
+    * will) and count what gets dropped. Composes ext38's components
+    * with a per-cluster rank; the rank is a per-cluster window over
+    * cluster-sized groups (never corpus-wide), and the census output is
+    * cluster-count-sized.
+    */
+  val canonicalSelection: Q = (s, d) => {
+    val comp = dedupComponents(s, d).select(col("doc_id"), col("cluster"))
+    val docs = table(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+    comp.join(docs, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster").agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("rk") === 1, col("doc_id")).otherwise(0L))
+          .as("canonical_id"),
+        max(col("n_chars")).as("n_chars_max"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
   /** Connected components over an undirected edge set (`src`,`dst`, both
     * directions present) by min-label propagation WITH pointer jumping:
     * each iteration first propagates the min label across edges, then
@@ -484,6 +509,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "ext38_dedup_components" -> dedupComponents,
+    "ext121_canonical_selection" -> canonicalSelection,
     "ext30_decontamination" -> decontamination,
     "ext31_vocab_topdf" -> vocabTopDf,
     "ext01_dedup_exact" -> dedupExact,
@@ -496,6 +522,31 @@ object Dedup {
     "ext04_dedup_simhash" -> dedupSimhash,
     "ext05_dedup_embedding" -> dedupEmbedding,
     "ext26_dedup_levenshtein" -> dedupLevenshtein)
+
+  /** The ext38 component chain as CTEs (shingles .. reach) — shared by
+    * the ext38 and ext121 oracles. */
+  private lazy val compCtesSql: String =
+    s"""$shinglesSql,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |    FROM inter
+       |    JOIN sz sa ON sa.doc_id = a_id
+       |    JOIN sz sb ON sb.doc_id = b_id
+       |    ORDER BY jaccard DESC, a_id, b_id LIMIT 20)),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id)""".stripMargin
 
   private val shinglesSql =
     """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
@@ -519,30 +570,28 @@ object Dedup {
     // true components via recursive CTE over the same top-20 pair edges;
     // matching it proves the Spark label propagation CONVERGED
     "ext38_dedup_components" ->
-      s"""WITH RECURSIVE $shinglesSql,
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT a_id, b_id,
-         |      CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-         |    FROM inter
-         |    JOIN sz sa ON sa.doc_id = a_id
-         |    JOIN sz sb ON sb.doc_id = b_id
-         |    ORDER BY jaccard DESC, a_id, b_id LIMIT 20)),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id)
+      s"""WITH RECURSIVE $compCtesSql
          |SELECT id AS doc_id, MIN(r) AS cluster,
          |  id = MIN(r) AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same component chain; canonical = best quality (longest text,
+    // doc_id tiebreak) per cluster via an identical rank on both engines
+    "ext121_canonical_selection" ->
+      s"""WITH RECURSIVE $compCtesSql,
+         |comp AS (SELECT id AS doc_id, MIN(r) AS cluster
+         |         FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT c.cluster, c.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(CASE WHEN rk = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS canonical_id,
+         |  CAST(MAX(n_chars) AS BIGINT) AS n_chars_max,
+         |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+         |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin,
     "ext30_decontamination" ->
       s"""WITH $shinglesSql,
          |ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),

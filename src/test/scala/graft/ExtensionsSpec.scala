@@ -150,6 +150,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum > 0L)
   }
 
+  test("canonical selection: one winner per cluster, quality-maximal, census exact") {
+    val comp = ext.Dedup.queries("ext38_dedup_components")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = ops.table(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = ext.Dedup.queries("ext121_canonical_selection")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum === comp.size.toLong, "members lost")
+    rows.foreach { r =>
+      val (cluster, n, canon, mx, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dropped === n - 1)
+      val members = comp.filter(_._2 == cluster).keys.toSeq
+      assert(members.size.toLong === n)
+      // the winner is the longest member, doc_id tiebreak
+      val expected = members.maxBy(id => (chars(id), -id))
+      assert(canon === expected, s"cluster $cluster picked $canon not $expected")
+      assert(mx === chars(expected))
+    }
+  }
+
   test("matryoshka eval: one row per query, overlap bounded, sets sized 5") {
     val rows = Similarity.queries("ext120_matryoshka_eval")(spark, sf).collect()
     val nQueries = ops.table(spark, sf, "embeddings")
