@@ -267,6 +267,7 @@ class PropertySpec extends SparkTestBase {
     case class InsMain(rows: List[(Long, Long)]) extends Op
     case class InsBr(rows: List[(Long, Long)]) extends Op
     case class DelBr(lo: Long, hi: Long) extends Op
+    case class UpdBr(lo: Long, hi: Long, bump: Long) extends Op
     case object CompactBr extends Op
     case object FfRefork extends Op
 
@@ -275,8 +276,11 @@ class PropertySpec extends SparkTestBase {
     val genInsB: Gen[Op] = Gen.nonEmptyListOf(genRow).map(l => InsBr(l.take(30)))
     val genDelB: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 200L))
       .map { case (lo, w) => DelBr(lo, lo + w) }
+    val genUpdB: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 150L),
+      Gen.chooseNum(1L, 50L)).map { case (lo, w, b) => UpdBr(lo, lo + w, b) }
     val genOp: Gen[Op] = Gen.frequency(3 -> genInsM, 4 -> genInsB,
-      2 -> genDelB, 1 -> Gen.const(CompactBr), 3 -> Gen.const(FfRefork))
+      2 -> genDelB, 2 -> genUpdB, 1 -> Gen.const(CompactBr),
+      3 -> Gen.const(FfRefork))
 
     def scan(t: String): Seq[(Long, Long)] =
       spark.sql(s"SELECT id, v FROM $t").collect()
@@ -314,6 +318,16 @@ class PropertySpec extends SparkTestBase {
                 s"DELETE FROM graft_cat.db.brfz_t.branch_fz WHERE id >= $lo AND id < $hi")
               val keep = brRows.filterNot(r => r._1 >= lo && r._1 < hi)
               brRows.clear(); brRows ++= keep
+            }
+          case UpdBr(lo, hi, bump) =>
+            // same matched-rows discipline as DelBr (see above)
+            if (brRows.exists(r => r._1 >= lo && r._1 < hi)) {
+              spark.sql(
+                s"UPDATE graft_cat.db.brfz_t.branch_fz SET v = v + $bump " +
+                  s"WHERE id >= $lo AND id < $hi")
+              val upd = brRows.map(r =>
+                if (r._1 >= lo && r._1 < hi) (r._1, r._2 + bump) else r)
+              brRows.clear(); brRows ++= upd
             }
           case CompactBr =>
             spark.sql("CALL graft_cat.system.compact('db.brfz_t.branch_fz', 1048576)")

@@ -1397,6 +1397,35 @@ class SourcesSpec extends SparkTestBase {
     assert(refs.contains(("side", "branch")) && refs.contains(("main", "branch")))
   }
 
+  test("spec evolution on a branch: isolated routing, adopted by fast-forward") {
+    // evolve_spec targets any log: evolving the BRANCH re-routes only
+    // branch writes; fast_forward adopts the branch's spec with its data
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.bev_t")
+    spark.sql("CREATE TABLE graft_cat.db.bev_t (id BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft_cat.db.bev_t SELECT id, id FROM range(0, 100) AS t(id)")
+    spark.sql("CALL graft_cat.system.branch('db.bev_t', 'sp')")
+    spark.sql("CALL graft_cat.system.evolve_spec('db.bev_t.branch_sp', 'bucket:4:id')")
+    spark.sql(
+      """INSERT INTO graft_cat.db.bev_t.branch_sp
+        |SELECT id, id FROM range(100, 200) AS t(id)""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    // main stays unpartitioned; the branch routes new segments by bucket
+    assert(cat.segTable("db.bev_t").partitioning().isEmpty)
+    assert(cat.segTable("db.bev_t.branch_sp").partitioning().nonEmpty)
+    assert(cat.segTable("db.bev_t.branch_sp").currentSegs
+      .exists(_.spec.contains("bucket:4:id")))
+    spark.sql("CALL graft_cat.system.fast_forward('db.bev_t', 'sp')").collect()
+    // main adopted the spec AND the data; both eras still readable
+    assert(cat.segTable("db.bev_t").partitioning().nonEmpty)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.bev_t").head.getLong(0)
+      === 200L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.bev_t WHERE id IN (7, 150)")
+      .head.getLong(0) === 2L)
+  }
+
   test("branch schema evolution: isolated until fast-forward adopts schema+data") {
     // each version log carries its own (colIds, schema): ALTER on a
     // branch evolves the BRANCH only — stronger than Iceberg, where
