@@ -357,6 +357,47 @@ object Dedup {
       .orderBy("eval_id")
   }
 
+  /** ext122 — memorization ladder (the Carlini-style extraction audit):
+    * for each held-out document, the LONGEST n ∈ {3, 5, 8} at which it
+    * shares a verbatim n-gram with the training split. ext30 measures
+    * how MUCH of an eval doc leaks (3-gram coverage ratio); this
+    * measures how LONG the leaked spans get — the length axis is what
+    * distinguishes topical overlap (short n) from memorized passages
+    * (long n), and `max_n = 0` is the clean-room certificate.
+    *
+    * Scale: one shingle pass per rung over the SAME tokenized scan,
+    * each a LEFT SEMI join on the n-gram key (train side never
+    * multiplies eval rows); rungs shrink as n grows. At 100 TB the
+    * standard extension is suffix-hash laddering (double n until miss),
+    * which reuses exactly this per-rung join shape. */
+  val memorizationLadder: Q = (s, d) => {
+    val toks = table(s, d, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
+    def grams(n: Int): DataFrame = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks)-$n), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $n)))")).as("sh"))
+      .distinct()
+    val hits = Seq(3, 5, 8).map { n =>
+      val g = grams(n)
+      g.filter(col("doc_id") % 10 === 0)
+        .join(g.filter(col("doc_id") % 10 =!= 0).select("sh"), Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn(s"hit_$n", lit(1))
+    }
+    val evalDocs = toks.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"))
+    hits.zip(Seq(3, 5, 8)).foldLeft(evalDocs) { case (acc, (h, n)) =>
+        acc.join(h.withColumnRenamed("doc_id", "eval_id"), Seq("eval_id"), "left")
+          .withColumn(s"hit_$n", coalesce(col(s"hit_$n"), lit(0)))
+      }
+      .withColumn("max_n", expr(
+        "CASE WHEN hit_8 = 1 THEN 8 WHEN hit_5 = 1 THEN 5 " +
+          "WHEN hit_3 = 1 THEN 3 ELSE 0 END"))
+      .orderBy("eval_id")
+  }
+
   /** Vocabulary heavy hitters: top-50 tokens by document frequency — the
     * vocab-construction pass of a tokenizer-training pipeline. Two keyed
     * shuffles (distinct doc-token pairs, then token counts) and a
@@ -511,6 +552,7 @@ object Dedup {
     "ext38_dedup_components" -> dedupComponents,
     "ext121_canonical_selection" -> canonicalSelection,
     "ext30_decontamination" -> decontamination,
+    "ext122_memorization_ladder" -> memorizationLadder,
     "ext31_vocab_topdf" -> vocabTopDf,
     "ext01_dedup_exact" -> dedupExact,
     "ext02_dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -592,6 +634,45 @@ object Dedup {
          |  CAST(MAX(n_chars) AS BIGINT) AS n_chars_max,
          |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
          |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // same per-rung distinct n-grams and semi-join membership
+    "ext122_memorization_ladder" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        |  FROM documents),
+        |g3 AS (SELECT DISTINCT doc_id,
+        |         unnest([array_to_string(toks[i:i+2], ' ')
+        |                 for i in range(1, len(toks) - 1)]) AS sh
+        |       FROM toks WHERE len(toks) >= 3),
+        |g5 AS (SELECT DISTINCT doc_id,
+        |         unnest([array_to_string(toks[i:i+4], ' ')
+        |                 for i in range(1, len(toks) - 3)]) AS sh
+        |       FROM toks WHERE len(toks) >= 5),
+        |g8 AS (SELECT DISTINCT doc_id,
+        |         unnest([array_to_string(toks[i:i+7], ' ')
+        |                 for i in range(1, len(toks) - 6)]) AS sh
+        |       FROM toks WHERE len(toks) >= 8),
+        |h3 AS (SELECT DISTINCT doc_id FROM g3
+        |       WHERE doc_id % 10 = 0
+        |         AND sh IN (SELECT sh FROM g3 WHERE doc_id % 10 <> 0)),
+        |h5 AS (SELECT DISTINCT doc_id FROM g5
+        |       WHERE doc_id % 10 = 0
+        |         AND sh IN (SELECT sh FROM g5 WHERE doc_id % 10 <> 0)),
+        |h8 AS (SELECT DISTINCT doc_id FROM g8
+        |       WHERE doc_id % 10 = 0
+        |         AND sh IN (SELECT sh FROM g8 WHERE doc_id % 10 <> 0)),
+        |ev AS (SELECT doc_id AS eval_id FROM toks WHERE doc_id % 10 = 0)
+        |SELECT eval_id,
+        |  CASE WHEN h3.doc_id IS NULL THEN 0 ELSE 1 END AS hit_3,
+        |  CASE WHEN h5.doc_id IS NULL THEN 0 ELSE 1 END AS hit_5,
+        |  CASE WHEN h8.doc_id IS NULL THEN 0 ELSE 1 END AS hit_8,
+        |  CASE WHEN h8.doc_id IS NOT NULL THEN 8
+        |       WHEN h5.doc_id IS NOT NULL THEN 5
+        |       WHEN h3.doc_id IS NOT NULL THEN 3 ELSE 0 END AS max_n
+        |FROM ev
+        |LEFT JOIN h3 ON h3.doc_id = eval_id
+        |LEFT JOIN h5 ON h5.doc_id = eval_id
+        |LEFT JOIN h8 ON h8.doc_id = eval_id
+        |ORDER BY eval_id""".stripMargin,
     "ext30_decontamination" ->
       s"""WITH $shinglesSql,
          |ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),

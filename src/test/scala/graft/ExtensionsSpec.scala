@@ -150,6 +150,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum > 0L)
   }
 
+  test("memorization ladder: rungs nest downward; 3-rung agrees with ext30") {
+    val rows = ext.Dedup.queries("ext122_memorization_ladder")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // a shared 8-gram contains shared 5-grams contains shared 3-grams
+    rows.foreach { r =>
+      val (h3, h5, h8, mx) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(h8 <= h5 && h5 <= h3, s"ladder broke at ${r.getLong(0)}")
+      assert(mx === (if (h8 == 1) 8 else if (h5 == 1) 5 else if (h3 == 1) 3 else 0))
+    }
+    // the 3-rung is exactly ext30's "any shared shingle" signal
+    val ext30 = ext.Dedup.queries("ext30_decontamination")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) > 0L)).toMap
+    rows.foreach { r =>
+      ext30.get(r.getLong(0)).foreach { leaked =>
+        assert((r.getInt(1) == 1) === leaked,
+          s"3-rung disagrees with ext30 at ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("canonical selection: one winner per cluster, quality-maximal, census exact") {
     val comp = ext.Dedup.queries("ext38_dedup_components")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
