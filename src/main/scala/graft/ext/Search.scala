@@ -255,16 +255,19 @@ object Search {
       .withColumn("step", expr(dcgStepSql("(r + 1)")))
       .withColumn("idcg_dec", sum("step").over(Window.orderBy("r")))
       .select(col("r"), col("idcg_dec"))
+    // LEFT join: a query whose label is unique corpus-wide has r_cap = 0
+    // (no relevant results exist) — it must still report, with NDCG
+    // defined as 0, not vanish from the audit
     perQ.join(broadcast(labelSizes), col("q_label") === col("label"))
       .withColumn("r_cap", least(col("n_label") - 1, lit(10L)))
-      .join(broadcast(idcgTab), col("r_cap") === col("r"))
+      .join(broadcast(idcgTab), col("r_cap") === col("r"), "left")
       .select(col("q_id"), col("q_label"),
         (col("n_label") - 1).cast("long").as("n_rel"),
         coalesce(expr("CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE)"),
           lit(0.0)).as("mrr"),
         (col("n_rel_10").cast("double") / lit(10.0)).as("p_at_10"),
-        (col("dcg_dec").cast("double") / col("idcg_dec").cast("double"))
-          .as("ndcg_at_10"))
+        coalesce(col("dcg_dec").cast("double") / col("idcg_dec").cast("double"),
+          lit(0.0)).as("ndcg_at_10"))
       .orderBy("q_id")
   }
 
@@ -464,8 +467,9 @@ object Search {
          |  COALESCE(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE),
          |    CAST(0 AS DOUBLE)) AS mrr,
          |  CAST(n_rel_10 AS DOUBLE) / CAST(10 AS DOUBLE) AS p_at_10,
-         |  CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE) AS ndcg_at_10
+         |  COALESCE(CAST(dcg_dec AS DOUBLE) / CAST(idcg_dec AS DOUBLE),
+         |    CAST(0 AS DOUBLE)) AS ndcg_at_10
          |FROM perq JOIN ls ON q_label = ls.label
-         |JOIN idcg ON idcg.r = least(n_label - 1, 10)
+         |LEFT JOIN idcg ON idcg.r = least(n_label - 1, 10)
          |ORDER BY q_id""".stripMargin)
 }

@@ -516,15 +516,15 @@ object Similarity {
     val q = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("v16").as("qv16"))
     val w = Window.partitionBy("q_id")
-    def top5(scoreCol: String, rankName: String) =
+    def rankBy(scoreCol: String) =
       row_number().over(w.orderBy(col(scoreCol).desc, col("vec_id")))
     val scored = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         expr("graft_cosine(qv, v)").as("c_full"),
         expr("graft_cosine(qv16, v16)").as("c_trunc"))
-      .withColumn("r_full", top5("c_full", "r_full"))
-      .withColumn("r_trunc", top5("c_trunc", "r_trunc"))
+      .withColumn("r_full", rankBy("c_full"))
+      .withColumn("r_trunc", rankBy("c_trunc"))
       .filter(col("r_full") <= 5 || col("r_trunc") <= 5)
     scored.groupBy("q_id").agg(
       sum(when(col("r_full") <= 5 && col("r_trunc") <= 5, 1L).otherwise(0L))

@@ -1364,8 +1364,17 @@ class SegTable private (ident: String, dir: Path,
       if (Files.exists(dir.resolve(lf)))
         throw new IllegalArgumentException(
           s"$ident: branch `$name` already exists")
+      // fork from the DISK head, not this handle's cached view — another
+      // catalog instance (second session, a stream's clone) may have
+      // committed since; a stale fork would silently miss its rows AND
+      // record a fork point every later fast_forward mistakes for
+      // divergence (same re-read-first discipline as expire/vacuum)
+      versions = SegStore.readVersions(dir, log)
       val head = cur
-      SegStore.appendVersion(dir, head.copy(op = "branch"), lf)
+      // the fork point travels WITH the branch as a version property so
+      // it survives branch-log expiry and repeated fast-forwards
+      SegStore.appendVersion(dir, head.copy(op = "branch",
+        props = head.props + (SegBranch.ForkKey -> head.v.toString)), lf)
       head.v
     }
   }
@@ -1386,15 +1395,32 @@ class SegTable private (ident: String, dir: Path,
     if (!Files.exists(dir.resolve(lf)))
       throw new IllegalArgumentException(s"$ident: no branch `$name`")
     val bvs = SegStore.readVersions(dir, lf)
-    val fork = bvs.head.v
     val bHead = bvs.last
+    // fork point from the recorded property (seed-entry inference breaks
+    // under branch-log expiry and after a previous fast-forward); legacy
+    // pre-property logs fall back to the seed entry
+    val fork = bHead.props.get(SegBranch.ForkKey).map(_.toLong)
+      .getOrElse(bvs.head.v)
     val merged = bHead.v - fork
-    if (merged > 0) publish(v => {
-      if (v.v != fork) throw new IllegalStateException(
-        s"$ident: cannot fast-forward `$name` — main is at v=${v.v} but " +
-          s"the branch forked at v=$fork (histories diverged)")
-      bHead
-    }, op = "fastforward")
+    if (merged > 0) {
+      publish(v => {
+        if (v.v != fork) throw new IllegalStateException(
+          s"$ident: cannot fast-forward `$name` — main is at v=${v.v} but " +
+            s"the branch forked at v=$fork (histories diverged)")
+        bHead.copy(props = bHead.props - SegBranch.ForkKey)
+      }, op = "fastforward")
+      // RE-SEED the branch at the new main head (one collapsed entry, new
+      // fork point): the continuous land-on-branch / publish workflow
+      // keeps working without a manual drop + re-fork, and a concurrent
+      // branch writer's conditional append simply rebases onto the
+      // collapsed log
+      SegStore.withDirLock(dir) {
+        val newMain = cur
+        SegStore.rewriteVersions(dir, Seq(newMain.copy(op = "branch",
+          props = newMain.props + (SegBranch.ForkKey -> newMain.v.toString))),
+          lf)
+      }
+    }
     (cur.v, bHead.v, merged)
   }
 
@@ -1425,6 +1451,15 @@ class SegTable private (ident: String, dir: Path,
   * BIGINT (the zone-mapped type: sorting anything else cannot sharpen
   * pruning); the optional partition count pins the range-exchange width
   * (0 = let Spark choose). */
+/** Branch bookkeeping: the fork-point version property a branch log
+  * carries (`graft.fork` = the main version the branch's state is a
+  * descendant of). Written at [[SegTable.createBranch]], advanced by
+  * [[SegTable.fastForward]]'s re-seed, stripped when a branch head is
+  * adopted onto main. */
+object SegBranch {
+  val ForkKey = "graft.fork"
+}
+
 /** Named-ref property namespace (`graft.tag.<name>` = pinned version). */
 object SegTag {
   val Prefix = "graft.tag."
@@ -2860,9 +2895,12 @@ class FastForwardProcedure(catalog: GraftCatalog) extends UnboundProcedure {
       ProcedureParameter.in("name", StringType).build())
     override def isDeterministic: Boolean = false
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val (mainV, branchV, merged) = catalog
-        .segTable(input.getUTF8String(0).toString)
-        .fastForward(input.getUTF8String(1).toString)
+      val tbl = input.getUTF8String(0).toString
+      val nm = input.getUTF8String(1).toString
+      val (mainV, branchV, merged) = catalog.segTable(tbl).fastForward(nm)
+      // the merge re-seeded the branch log; a cached branch handle would
+      // read the pre-merge view until refreshed — drop it now
+      catalog.invalidateBranchHandle(tbl, nm)
       val schema = StructType(Seq(
         StructField("main_version", LongType, nullable = false),
         StructField("branch_version", LongType, nullable = false),

@@ -338,7 +338,14 @@ class PropertySpec extends SparkTestBase {
                   "CALL graft_cat.system.fast_forward('db.brfz_t', 'fz')")
                   .head
                 Some(r.getLong(r.fieldIndex("commits_merged")))
-              } catch { case _: Exception => None }
+              } catch {
+                // ONLY the divergence refusal is an expected outcome —
+                // any other failure must fail the fuzz loudly
+                case e: Exception
+                    if Option(e.getMessage).exists(_.contains("diverged")) ||
+                      Option(e.getCause).flatMap(c => Option(c.getMessage))
+                        .exists(_.contains("diverged")) => None
+              }
             merged match {
               case Some(m) if m > 0 =>
                 assert(!mainMoved,

@@ -1397,6 +1397,35 @@ class SourcesSpec extends SparkTestBase {
     assert(refs.contains(("side", "branch")) && refs.contains(("main", "branch")))
   }
 
+  test("continuous publish: land-on-branch / fast-forward cycles without re-fork") {
+    // the fast-forward re-seed makes the branch a standing ingestion lane:
+    // commit → publish → commit → publish, no drop/re-create between —
+    // and branch-log expiry must not break fork-point tracking (the fork
+    // travels as a version property, not the seed entry)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.cp_t")
+    spark.sql("CREATE TABLE graft_cat.db.cp_t (id BIGINT, v BIGINT)")
+    spark.sql("CALL graft_cat.system.branch('db.cp_t', 'lane')")
+    (1 to 3).foreach { round =>
+      spark.sql(
+        s"""INSERT INTO graft_cat.db.cp_t.branch_lane
+           |SELECT id, id FROM range(${round * 100 - 100}, ${round * 100}) AS t(id)
+           |""".stripMargin)
+      if (round == 2) // history expiry on the branch must not lose the fork
+        spark.sql("CALL graft_cat.system.expire_versions('db.cp_t.branch_lane', 1)")
+          .collect()
+      val ff = spark.sql("CALL graft_cat.system.fast_forward('db.cp_t', 'lane')")
+        .head
+      assert(ff.getLong(ff.fieldIndex("commits_merged")) >= 1L, s"round $round")
+      assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.cp_t").head.getLong(0)
+        === round * 100L, s"round $round")
+    }
+    // an idle lane fast-forwards as a no-op, never a divergence error
+    val idle = spark.sql("CALL graft_cat.system.fast_forward('db.cp_t', 'lane')")
+      .head
+    assert(idle.getLong(idle.fieldIndex("commits_merged")) === 0L)
+  }
+
   test("spec evolution on a branch: isolated routing, adopted by fast-forward") {
     // evolve_spec targets any log: evolving the BRANCH re-routes only
     // branch writes; fast_forward adopts the branch's spec with its data

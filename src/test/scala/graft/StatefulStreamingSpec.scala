@@ -251,13 +251,14 @@ class StatefulStreamingSpec extends SparkTestBase {
       "SELECT v, operation FROM graft_cat.db.wap_t.versions ORDER BY v")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(ops2 === Array((0L, "create"), (1L, "append"), (2L, "fastforward")))
-    // the branch ledger narrates the pipeline: fork, two stream appends,
-    // the repair rewrite
-    spark.sql("REFRESH TABLE graft_cat.db.wap_t.branch_ingest")
+    // the publish RE-SEEDED the branch at main's new head (the
+    // continuous land-on-branch workflow: no manual re-fork needed), so
+    // the branch now reads as the published state forked at v2
     val bops = spark.sessionState.catalogManager.catalog("graft_cat")
       .asInstanceOf[graft.sources.GraftCatalog]
       .segTable("db.wap_t.branch_ingest")
-    assert(bops.currentVersion === 4L)
+    assert(bops.currentVersion === 2L)
+    assert(bops.properties().get("graft.fork") === "2")
   }
 
   test("StreamingQueryProgress exposes state-store size (the ops dashboard feed)") {
