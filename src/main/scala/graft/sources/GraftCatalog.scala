@@ -1411,14 +1411,18 @@ class SegTable private (ident: String, dir: Path,
       }, op = "fastforward")
       // RE-SEED the branch at the new main head (one collapsed entry, new
       // fork point): the continuous land-on-branch / publish workflow
-      // keeps working without a manual drop + re-fork, and a concurrent
-      // branch writer's conditional append simply rebases onto the
-      // collapsed log
+      // keeps working without a manual drop + re-fork. Guard: if a
+      // concurrent branch writer committed BETWEEN the publish and this
+      // lock, rewriting would drop its version — leave the log intact
+      // instead (the stale fork makes the next fast_forward refuse as
+      // diverged, recoverable by re-fork; a committed write is never lost)
       SegStore.withDirLock(dir) {
-        val newMain = cur
-        SegStore.rewriteVersions(dir, Seq(newMain.copy(op = "branch",
-          props = newMain.props + (SegBranch.ForkKey -> newMain.v.toString))),
-          lf)
+        if (SegStore.readVersions(dir, lf).last.v == bHead.v) {
+          val newMain = cur
+          SegStore.rewriteVersions(dir, Seq(newMain.copy(op = "branch",
+            props = newMain.props + (SegBranch.ForkKey -> newMain.v.toString))),
+            lf)
+        }
       }
     }
     (cur.v, bHead.v, merged)
