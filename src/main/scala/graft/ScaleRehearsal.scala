@@ -63,7 +63,12 @@ object ScaleRehearsal {
     // tail is corpus-size-independent), the per-query-windowed metrics
     // eval (1% query sample broadcast against one corpus scan), and the
     // one-exchange SFT span assembly
-    "ext113_hybrid_rrf", "ext115_retrieval_metrics", "ext116_sft_assembly")
+    "ext113_hybrid_rrf", "ext115_retrieval_metrics", "ext116_sft_assembly",
+    // final wave: curriculum packing (LM counts are vocabulary-sized),
+    // canonical selection (components + cluster-sized windows), the
+    // memorization ladder (one semi join per rung)
+    "ext118_curriculum_packing", "ext121_canonical_selection",
+    "ext122_memorization_ladder")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
