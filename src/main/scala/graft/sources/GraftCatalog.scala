@@ -985,6 +985,10 @@ class SegTable private (ident: String, dir: Path,
     val untouched = v.segs.filterNot(s => mergedIn.contains(s.file))
     val dirStr = dir.toString
     val tag = logTag
+    // wall-clock salt: version numbers alone can recur across branch
+    // generations (drop + re-create), and REPLACE_EXISTING on a name an
+    // older manifest still references would corrupt committed data
+    val salt = java.lang.Long.toHexString(System.currentTimeMillis())
     val newV = v.v + 1
     // ids whose stats-less segments are PROVABLY all-null (the Long
     // writer invariant) — any other id (string prefix stats, dropped
@@ -995,7 +999,7 @@ class SegTable private (ident: String, dir: Path,
     val merged = SparkSession.active.sparkContext
       .parallelize(groups.zipWithIndex, groups.size)
       .map { case (g, i) =>
-        SegCompactor.merge(dirStr, s"seg-compact-${tag}v$newV-g$i.bin", g, longIds)
+        SegCompactor.merge(dirStr, s"seg-compact-${tag}v$newV-$salt-g$i.bin", g, longIds)
       }
       .collect() // manifest entries only (name + stats), never rows
       // a merged segment satisfies the CURRENT spec's routing invariant
@@ -1374,7 +1378,8 @@ class SegTable private (ident: String, dir: Path,
       // the fork point travels WITH the branch as a version property so
       // it survives branch-log expiry and repeated fast-forwards
       SegStore.appendVersion(dir, head.copy(op = "branch",
-        props = head.props + (SegBranch.ForkKey -> head.v.toString)), lf)
+        props = head.props + (SegBranch.ForkKey -> head.v.toString)
+          + (SegBranch.SeedKey -> head.v.toString)), lf)
       head.v
     }
   }
@@ -1394,36 +1399,44 @@ class SegTable private (ident: String, dir: Path,
     val lf = SegStore.branchLog(name)
     if (!Files.exists(dir.resolve(lf)))
       throw new IllegalArgumentException(s"$ident: no branch `$name`")
+    // adopt main's DISK head before judging divergence: a stale cached
+    // handle (another instance committed) must not masquerade as a
+    // diverged history — same re-read-first discipline as createBranch
+    synchronized { versions = SegStore.readVersions(dir, log) }
     val bvs = SegStore.readVersions(dir, lf)
     val bHead = bvs.last
-    // fork point from the recorded property (seed-entry inference breaks
-    // under branch-log expiry and after a previous fast-forward); legacy
-    // pre-property logs fall back to the seed entry
+    // fork point and seed marker from recorded properties (seed-entry
+    // inference breaks under branch-log expiry and after a previous
+    // fast-forward); legacy pre-property logs fall back to the seed entry
     val fork = bHead.props.get(SegBranch.ForkKey).map(_.toLong)
       .getOrElse(bvs.head.v)
-    val merged = bHead.v - fork
+    val seedV = bHead.props.get(SegBranch.SeedKey).map(_.toLong)
+      .getOrElse(bvs.head.v)
+    val merged = bHead.v - seedV
     if (merged > 0) {
       publish(v => {
         if (v.v != fork) throw new IllegalStateException(
           s"$ident: cannot fast-forward `$name` — main is at v=${v.v} but " +
             s"the branch forked at v=$fork (histories diverged)")
-        bHead.copy(props = bHead.props - SegBranch.ForkKey)
+        bHead.copy(props = bHead.props - SegBranch.ForkKey - SegBranch.SeedKey)
       }, op = "fastforward")
-      // RE-SEED the branch at the new main head (one collapsed entry, new
-      // fork point): the continuous land-on-branch / publish workflow
-      // keeps working without a manual drop + re-fork. Guard: if a
-      // concurrent branch writer committed BETWEEN the publish and this
-      // lock, rewriting would drop its version — leave the log intact
-      // instead (the stale fork makes the next fast_forward refuse as
-      // diverged, recoverable by re-fork; a committed write is never lost)
-      SegStore.withDirLock(dir) {
-        if (SegStore.readVersions(dir, lf).last.v == bHead.v) {
-          val newMain = cur
-          SegStore.rewriteVersions(dir, Seq(newMain.copy(op = "branch",
-            props = newMain.props + (SegBranch.ForkKey -> newMain.v.toString))),
-            lf)
-        }
-      }
+      // RE-SEED the branch at the new main head so the continuous
+      // land-on-branch / publish workflow needs no manual re-fork. The
+      // re-seed entry's version number stays MONOTONIC (bHead.v + 1,
+      // never reset downward — version-derived artifact names like
+      // compaction outputs are never reused), while the fork/seed
+      // properties carry the real bookkeeping. CONDITIONAL rewrite under
+      // the branch log's OS file lock: if any writer — this JVM or
+      // another process — committed since the merge, the rewrite is
+      // abandoned (stale fork ⇒ the next fast_forward refuses as
+      // diverged, recoverable by re-fork; a committed write is never
+      // dropped).
+      val newMain = cur
+      val reseedV = bHead.v + 1
+      SegStore.rewriteVersionsIfHead(dir, lf, bHead.v,
+        Seq(newMain.copy(v = reseedV, op = "branch",
+          props = newMain.props + (SegBranch.ForkKey -> newMain.v.toString)
+            + (SegBranch.SeedKey -> reseedV.toString))))
     }
     (cur.v, bHead.v, merged)
   }
@@ -1462,6 +1475,12 @@ class SegTable private (ident: String, dir: Path,
   * adopted onto main. */
 object SegBranch {
   val ForkKey = "graft.fork"
+  /** Branch-log version number at the last (re)seed — `merged` counts
+    * commits since it; kept separate from [[ForkKey]] because the
+    * re-seed entry's own version number is MONOTONIC within the branch
+    * log (never reset downward — version-derived artifact names like
+    * compaction outputs must never be reused). */
+  val SeedKey = "graft.forkSeed"
 }
 
 /** Named-ref property namespace (`graft.tag.<name>` = pinned version). */
@@ -2517,6 +2536,27 @@ object SegStore {
               versionLine(v).getBytes(StandardCharsets.UTF_8)))
             true
           }
+        } finally lock.release()
+      } finally ch.close()
+    }
+
+  /** Conditional wholesale replacement: under the SAME exclusive locks
+    * the conditional append takes (JVM dir stripe + OS file lock, so
+    * writers in other processes serialize too), rewrite `log` to `vs`
+    * iff its head is still `expectedHead`. Returns false — and leaves
+    * the log untouched — when any writer committed in between. */
+  def rewriteVersionsIfHead(dir: Path, log: String, expectedHead: Long,
+      vs: Seq[SegVersion]): Boolean =
+    withDirLock(dir) {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(log),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.READ)
+      try {
+        val lock = ch.lock()
+        try {
+          val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
+          if (head != expectedHead) false
+          else { rewriteVersions(dir, vs, log); true }
         } finally lock.release()
       } finally ch.close()
     }

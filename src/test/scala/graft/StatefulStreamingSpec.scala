@@ -252,12 +252,14 @@ class StatefulStreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(ops2 === Array((0L, "create"), (1L, "append"), (2L, "fastforward")))
     // the publish RE-SEEDED the branch at main's new head (the
-    // continuous land-on-branch workflow: no manual re-fork needed), so
-    // the branch now reads as the published state forked at v2
+    // continuous land-on-branch workflow: no manual re-fork needed):
+    // fork property = main's v2, version numbering monotonic (old head
+    // v4 -> re-seed v5 — never reset, so version-derived artifact names
+    // are never reused)
     val bops = spark.sessionState.catalogManager.catalog("graft_cat")
       .asInstanceOf[graft.sources.GraftCatalog]
       .segTable("db.wap_t.branch_ingest")
-    assert(bops.currentVersion === 2L)
+    assert(bops.currentVersion === 5L)
     assert(bops.properties().get("graft.fork") === "2")
   }
 
