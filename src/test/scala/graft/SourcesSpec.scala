@@ -1284,6 +1284,19 @@ class SourcesSpec extends SparkTestBase {
     assert(!SegStore.commitVersion(dir, 0L, v0.copy(v = 2L)),
       "stale expected version must be refused")
     assert(SegStore.readVersions(dir).map(_.v) === Vector(0L, 1L))
+
+    // the fast-forward re-seed primitive: conditional wholesale rewrite
+    // succeeds only against the expected head; a commit that landed in
+    // between survives untouched
+    val lf = SegStore.branchLog("t")
+    SegStore.appendVersion(dir, v0, lf)
+    assert(SegStore.commitVersion(dir, 0L, v0.copy(v = 1L), lf))
+    assert(!SegStore.rewriteVersionsIfHead(dir, lf, 0L, Seq(v0.copy(v = 9L))),
+      "rewrite against a stale head must be refused")
+    assert(SegStore.readVersions(dir, lf).map(_.v) === Vector(0L, 1L),
+      "refused rewrite must leave the log untouched")
+    assert(SegStore.rewriteVersionsIfHead(dir, lf, 1L, Seq(v0.copy(v = 9L))))
+    assert(SegStore.readVersions(dir, lf).map(_.v) === Vector(9L))
   }
 
   test("evolve_spec: stamps gate bucket trust; both eras readable (q161)") {
