@@ -978,7 +978,8 @@ class SegTable private (ident: String, dir: Path,
         if (partOrd >= 0 && s.hasStats(partOrd)) spec.get.key(s.mins(partOrd))
         else 0L))
       .values.toSeq.filter(_.size >= 2)
-      // deterministic group order → deterministic output file names
+      // deterministic group ORDER (names carry a wall-clock salt and are
+      // opaque manifest refs; the sort pins group↔index alignment)
       .sortBy(_.head.file)
     if (groups.isEmpty) return (0L, v.segs.size.toLong, v.segs.size.toLong)
     val mergedIn = groups.flatten.map(_.file).toSet
@@ -1005,8 +1006,23 @@ class SegTable private (ident: String, dir: Path,
       // a merged segment satisfies the CURRENT spec's routing invariant
       // by construction: the group shares one transformed key
       .map(_.copy(spec = v.partCol))
-    publish(x => x.copy(segs = untouched ++ merged), op = "compact")
-    (groups.size.toLong, v.segs.size.toLong, (untouched.size + merged.length).toLong)
+    // REBASE-SAFE commit: publish re-applies f to the WINNER's head after
+    // a lost commit race, so f must be a pure function of x — subtract
+    // exactly the inputs each merge replaced and keep everything else
+    // (a concurrent INSERT's segments survive). A group whose inputs are
+    // no longer all present (a concurrent DELETE/rewrite superseded one)
+    // is abandoned rather than resurrecting its rows; its output file
+    // falls to vacuum.
+    publish(x => {
+      val present = x.segs.map(_.file).toSet
+      val applied = groups.zip(merged)
+        .filter { case (g, _) => g.forall(in => present(in.file)) }
+      val replacedIn = applied.flatMap(_._1.map(_.file)).toSet
+      x.copy(segs = x.segs.filterNot(s => replacedIn(s.file)) ++
+        applied.map(_._2))
+    }, op = "compact")
+    (groups.size.toLong, v.segs.size.toLong,
+      synchronized(cur.segs.size.toLong))
   }
 
   /** Retain only the last `keepLast` manifest versions and delete segment
@@ -1376,10 +1392,18 @@ class SegTable private (ident: String, dir: Path,
       versions = SegStore.readVersions(dir, log)
       val head = cur
       // the fork point travels WITH the branch as a version property so
-      // it survives branch-log expiry and repeated fast-forwards
-      SegStore.appendVersion(dir, head.copy(op = "branch",
+      // it survives branch-log expiry and repeated fast-forwards.
+      // CREATE_NEW makes creation atomic ACROSS PROCESSES (the dir lock
+      // only stripes within this JVM): exactly one creator wins, the
+      // loser gets the already-exists refusal instead of a two-seed log
+      try SegStore.createLog(dir, head.copy(op = "branch",
         props = head.props + (SegBranch.ForkKey -> head.v.toString)
           + (SegBranch.SeedKey -> head.v.toString)), lf)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"$ident: branch `$name` already exists")
+      }
       head.v
     }
   }
@@ -2498,6 +2522,14 @@ object SegStore {
     JsonMethods.compact(JsonMethods.render(json)) + "\n"
   }
 
+  /** Atomically create a NEW log seeded with `v` — fails with
+    * FileAlreadyExistsException if the log exists (the cross-process
+    * branch-creation race: exactly one creator wins). */
+  def createLog(dir: Path, v: SegVersion, log: String): Unit =
+    Files.write(dir.resolve(log),
+      versionLine(v).getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+
   def appendVersion(dir: Path, v: SegVersion,
       log: String = MetaFile): Unit =
     Files.write(dir.resolve(log),
@@ -2548,9 +2580,12 @@ object SegStore {
   def rewriteVersionsIfHead(dir: Path, log: String, expectedHead: Long,
       vs: Seq[SegVersion]): Boolean =
     withDirLock(dir) {
-      val ch = java.nio.channels.FileChannel.open(dir.resolve(log),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.READ)
+      // NO CREATE: racing a drop (the log deleted between the caller's
+      // publish and this lock) must report false, not resurrect a
+      // zero-byte log that breaks every later reader
+      val ch = try java.nio.channels.FileChannel.open(dir.resolve(log),
+        StandardOpenOption.WRITE, StandardOpenOption.READ)
+      catch { case _: java.nio.file.NoSuchFileException => return false }
       try {
         val lock = ch.lock()
         try {

@@ -1360,6 +1360,45 @@ class SourcesSpec extends SparkTestBase {
       === 4000L)
   }
 
+  test("compaction rebases over a concurrent insert: no committed segment dropped") {
+    // a compaction whose commit loses the race must re-apply against the
+    // winner's head — subtracting only the inputs it merged — so a
+    // concurrent writer's committed segments survive (the q129 two-
+    // instance pattern, with compact as the stale committer)
+    ops.ensureGraftCatalog(spark)
+    val wh = sys.props("java.io.tmpdir") + "/graft_warehouse/graft_cat"
+    val keys = Seq("spark.sql.catalog.graft_cc2" -> "graft.sources.GraftCatalog",
+      "spark.sql.catalog.graft_cc2.warehouse" -> wh)
+    val saved = keys.map { case (k, _) => k -> spark.conf.getAll.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sessionState.catalogManager.catalog("graft_cc2")
+    saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.cr_t")
+    spark.sql("CREATE TABLE graft_cat.db.cr_t (id BIGINT, v BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft_cat.db.cr_t " +
+        s"SELECT id, id FROM range(${i * 100}, ${i * 100 + 100}) AS t(id)")
+    }
+    // instance 2 caches its own handle at the current head, then commits
+    // one more batch — instance 1's handle is now stale
+    spark.sql("REFRESH TABLE graft_cc2.db.cr_t")
+    spark.sql("SELECT COUNT(*) FROM graft_cc2.db.cr_t").collect()
+    spark.sql(
+      "INSERT INTO graft_cc2.db.cr_t SELECT id, id FROM range(400, 500) AS t(id)")
+    // stale-handle compact: expectedV misses, publish rebases onto the
+    // winner's head — the concurrent batch must survive the compaction
+    spark.sql("CALL graft_cat.system.compact('db.cr_t')").collect()
+    spark.sql("REFRESH TABLE graft_cat.db.cr_t")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.cr_t").head.getLong(0)
+      === 500L, "concurrent insert's rows vanished under compaction rebase")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.cr_t WHERE id >= 400").head.getLong(0)
+      === 100L)
+  }
+
   test("durable reopen: a fresh catalog instance sees branches, stamps, refs") {
     // disk is the commit point: branch logs (_meta@name.json) and the
     // per-segment spec stamps ("ps" manifest key) must survive a full
