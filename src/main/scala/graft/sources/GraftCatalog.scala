@@ -1184,13 +1184,29 @@ class SegTable private (ident: String, dir: Path,
               override def commit(messages: Array[WriterCommitMessage]): Unit = {
                 // replace only the groups the scan actually read; a
                 // missing scan (defensive) means the whole table was read
-                val read: Seg => Boolean = Option(opScan) match {
-                  case Some(s) => val f = s.plannedFiles; seg => f(seg.file)
-                  case None => _ => true
-                }
-                publish(v => v.copy(
-                  segs = v.segs.filterNot(read) ++ SegTable.segsOf(messages)),
-                  op = "rewrite")
+                val readFiles: Option[Set[String]] =
+                  Option(opScan).map(_.plannedFiles)
+                publish(v => {
+                  // serializable-conflict check (the Iceberg validation):
+                  // if a concurrent commit superseded one of the groups
+                  // this operation read (compaction, another rewrite, a
+                  // delete), re-applying the replacement would resurrect
+                  // or duplicate rows — abort loudly instead
+                  readFiles.foreach { f =>
+                    val present = v.segs.map(_.file).toSet
+                    val gone = f.filterNot(present)
+                    if (gone.nonEmpty)
+                      throw new java.util.ConcurrentModificationException(
+                        s"$ident: row-level operation read segments a " +
+                          s"concurrent commit replaced (${gone.take(3).mkString(", ")}" +
+                          s"${if (gone.size > 3) ", …" else ""}) — retry the operation")
+                  }
+                  val read: Seg => Boolean = readFiles match {
+                    case Some(f) => seg => f(seg.file)
+                    case None => _ => true
+                  }
+                  v.copy(segs = v.segs.filterNot(read) ++ SegTable.segsOf(messages))
+                }, op = "rewrite")
               }
               override def abort(messages: Array[WriterCommitMessage]): Unit =
                 SegTable.segsOf(messages)
@@ -1216,11 +1232,20 @@ class SegTable private (ident: String, dir: Path,
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     val fns = predicates.flatMap(p => SegPrune.compile(p, cur))
     require(fns.length == predicates.length, "unsupported delete predicate")
-    val (dropped, kept) = cur.segs.partition { s =>
-      SegPrune.definiteDrop(fns.map(_(s)).foldLeft(SegPrune.TRUE)(SegPrune.triAnd))
-    }
-    SegHooks.lastMetadataDelete.set((ident, dropped.size, kept.size))
-    publish(v => v.copy(segs = kept), op = "delete")
+    // REBASE-SAFE: partition the CURRENT head's segments inside f — a
+    // lost commit race re-applies the predicate to the winner's state,
+    // so a concurrent INSERT's segments are classified, never dropped
+    // wholesale with a stale `kept` list
+    var counts = (0, 0)
+    publish(v => {
+      val (dropped, kept) = v.segs.partition { s =>
+        SegPrune.definiteDrop(
+          fns.map(_(s)).foldLeft(SegPrune.TRUE)(SegPrune.triAnd))
+      }
+      counts = (dropped.size, kept.size)
+      v.copy(segs = kept)
+    }, op = "delete")
+    SegHooks.lastMetadataDelete.set((ident, counts._1, counts._2))
   }
 
   override def truncateTable(): Boolean =
