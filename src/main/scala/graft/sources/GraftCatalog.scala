@@ -1238,12 +1238,22 @@ class SegTable private (ident: String, dir: Path,
     // wholesale with a stale `kept` list
     var counts = (0, 0)
     publish(v => {
-      val (dropped, kept) = v.segs.partition { s =>
-        SegPrune.definiteDrop(
-          fns.map(_(s)).foldLeft(SegPrune.TRUE)(SegPrune.triAnd))
+      val tris = v.segs.map(s =>
+        s -> fns.map(_(s)).foldLeft(SegPrune.TRUE)(SegPrune.triAnd))
+      // canDeleteWhere certified every segment definite on the snapshot
+      // it saw; a rebase can surface a concurrent writer's segment the
+      // zone maps cannot classify — aborting (caller retries, Spark
+      // falls back to the row-level path) beats silently under-deleting
+      tris.find { case (_, t) =>
+        !SegPrune.definiteDrop(t) && !SegPrune.definiteKeep(t)
+      }.foreach { case (seg, _) =>
+        throw new java.util.ConcurrentModificationException(
+          s"$ident: metadata DELETE rebased onto a segment its zone maps " +
+            s"cannot classify (${seg.file}) — retry the DELETE")
       }
+      val (dropped, kept) = tris.partition(t => SegPrune.definiteDrop(t._2))
       counts = (dropped.size, kept.size)
-      v.copy(segs = kept)
+      v.copy(segs = kept.map(_._1))
     }, op = "delete")
     SegHooks.lastMetadataDelete.set((ident, counts._1, counts._2))
   }
