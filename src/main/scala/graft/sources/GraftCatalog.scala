@@ -644,6 +644,10 @@ object SegHooks {
   /** (table, answered values) of the last manifest-answered aggregation. */
   val lastAggPushdown =
     new AtomicReference[(String, Seq[Option[Long]])](("", Nil))
+  /** Test seam: runs between fast_forward's merge commit and its branch
+    * re-seed — lets a spec inject the racing branch commit that forces
+    * the carry-fork-forward retry path. */
+  val betweenMergeAndReseed = new AtomicReference[() => Unit](() => ())
 }
 
 /** File-backed catalog table (see [[GraftCatalog]] for the design).
@@ -735,11 +739,15 @@ class SegTable private (ident: String, dir: Path,
           StructField("name", StringType, nullable = false),
           StructField("type", StringType, nullable = false),
           StructField("v", LongType, nullable = false)))
-        val branches = SegStore.allLogs(dir).collect {
-          case l if l != SegStore.MetaFile =>
-            (l.stripPrefix("_meta@").stripSuffix(".json"),
-              SegStore.readVersions(dir, l).last.v)
-        }
+        // tolerant per-log read: a drop_branch racing between the
+        // listing and the read (or a damaged zero-byte log) omits that
+        // ref instead of failing the whole refs query
+        val branches = SegStore.allLogs(dir)
+          .filterNot(_ == SegStore.MetaFile)
+          .flatMap { l =>
+            SegStore.readVersionsIfExists(dir, l).lastOption
+              .map(h => (l.stripPrefix("_meta@").stripSuffix(".json"), h.v))
+          }
         val tags = cur.props.collect {
           case (k, v) if k.startsWith(SegTag.Prefix) =>
             (k.stripPrefix(SegTag.Prefix), v.toLong)
@@ -1036,28 +1044,42 @@ class SegTable private (ident: String, dir: Path,
     // rewrite instead of landing between read and move (where truncation
     // would silently drop the winner's committed version)
     SegStore.withDirLock(dir) {
-      versions = SegStore.readVersions(dir, log) // adopt concurrent commits first
-      val k = math.max(keepLast, 1)
-      val keep = versions.takeRight(k)
-      val dropped = versions.dropRight(k)
-      if (dropped.isEmpty) return (0L, 0L)
-      // files referenced by ANY retained version of ANY log in the dir
-      // survive: a branch shares main's segment files ([[createBranch]]),
-      // so main's expiry must never GC a file a branch still reads
-      val live = keep.flatMap(_.segs.map(_.file)).toSet ++
-        SegStore.allLogs(dir).filterNot(_ == log)
-          .flatMap(l => SegStore.readVersions(dir, l))
-          .flatMap(_.segs.map(_.file))
-      // path-qualified refs are ANOTHER table's files (shallow clone —
-      // [[GraftCatalog.cloneTable]]): this table's GC never deletes them,
-      // only drops its references; the owning table's own expire/vacuum
-      // governs their lifetime
-      val dead = dropped.flatMap(_.segs.map(_.file)).distinct
-        .filterNot(live.contains).filterNot(Seg.isExternal)
-      SegStore.rewriteVersions(dir, keep, log) // manifest first: crash-safe order
-      versions = keep
-      dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      (dropped.size.toLong, dead.size.toLong)
+      var attempts = 0
+      while (true) {
+        versions = SegStore.readVersions(dir, log) // adopt concurrent commits first
+        val k = math.max(keepLast, 1)
+        val keep = versions.takeRight(k)
+        val dropped = versions.dropRight(k)
+        if (dropped.isEmpty) return (0L, 0L)
+        // files referenced by ANY retained version of ANY log in the dir
+        // survive: a branch shares main's segment files ([[createBranch]]),
+        // so main's expiry must never GC a file a branch still reads
+        val live = keep.flatMap(_.segs.map(_.file)).toSet ++
+          SegStore.allLogs(dir).filterNot(_ == log)
+            .flatMap(l => SegStore.readVersionsIfExists(dir, l))
+            .flatMap(_.segs.map(_.file))
+        // path-qualified refs are ANOTHER table's files (shallow clone —
+        // [[GraftCatalog.cloneTable]]): this table's GC never deletes them,
+        // only drops its references; the owning table's own expire/vacuum
+        // governs their lifetime
+        val dead = dropped.flatMap(_.segs.map(_.file)).distinct
+          .filterNot(live.contains).filterNot(Seg.isExternal)
+        // CONDITIONAL rewrite — manifest first (crash-safe order), and
+        // head-checked under the OS lock on the verified live inode: a
+        // writer in ANOTHER process appending between this read and the
+        // move would otherwise see its committed version truncated away
+        // (the in-JVM dir stripe can't serialize cross-process writers).
+        // On a lost race, re-read and recompute against the winner.
+        if (SegStore.rewriteVersionsIfHead(dir, log, versions.last.v, keep)) {
+          versions = keep
+          dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+          return (dropped.size.toLong, dead.size.toLong)
+        }
+        attempts += 1
+        if (attempts > 5) throw new java.util.ConcurrentModificationException(
+          s"$ident: expire lost the commit race $attempts times")
+      }
+      (0L, 0L) // unreachable
     }
   }
 
@@ -1078,7 +1100,7 @@ class SegTable private (ident: String, dir: Path,
       // live = every file referenced by ANY log in the dir (main +
       // branches) — a branch-only segment is not an orphan
       val live = SegStore.allLogs(dir)
-        .flatMap(l => SegStore.readVersions(dir, l))
+        .flatMap(l => SegStore.readVersionsIfExists(dir, l))
         .flatMap(_.segs.map(_.file)).toSet
       val cutoff = System.currentTimeMillis() - math.max(maxAgeMs, 0L)
       val orphans = Files.list(dir).iterator().asScala.toSeq
@@ -1492,10 +1514,44 @@ class SegTable private (ident: String, dir: Path,
       // dropped).
       val newMain = cur
       val reseedV = bHead.v + 1
-      SegStore.rewriteVersionsIfHead(dir, lf, bHead.v,
+      SegHooks.betweenMergeAndReseed.get()()
+      val reseeded = SegStore.rewriteVersionsIfHead(dir, lf, bHead.v,
         Seq(newMain.copy(v = reseedV, op = "branch",
           props = newMain.props + (SegBranch.ForkKey -> newMain.v.toString)
             + (SegBranch.SeedKey -> reseedV.toString))))
+      if (!reseeded) {
+        // A branch commit landed between the merge and the re-seed (or
+        // the branch was dropped). That commit built on the merged head,
+        // whose state IS the new main's state — the branch is still a
+        // true descendant, so CARRY THE FORK FORWARD with a conditional
+        // append instead of abandoning (which would strand the old fork
+        // and make every later fast_forward refuse as 'diverged').
+        // Seed bookkeeping: after the fix entry at h.v+1, data commits
+        // since the merge = h.v − bHead.v, so seed = bHead.v + 1 keeps
+        // `merged = head.v − seed` counting exactly those.
+        var fixed = false
+        var attempts = 0
+        while (!fixed && attempts < 5) {
+          attempts += 1
+          val h = SegStore.readVersionsIfExists(dir, lf).lastOption
+          h match {
+            case None => fixed = true // branch dropped — nothing to re-seed
+            case Some(head) =>
+              fixed = try SegStore.commitVersion(dir, head.v,
+                head.copy(v = head.v + 1, op = "branch",
+                  ts = math.max(System.currentTimeMillis(), head.ts + 1),
+                  props = head.props
+                    + (SegBranch.ForkKey -> newMain.v.toString)
+                    + (SegBranch.SeedKey -> (bHead.v + 1).toString)), lf)
+              catch { // dropped between read and commit — nothing to fix
+                case _: IllegalStateException => true
+              }
+          }
+        }
+        if (!fixed) throw new java.util.ConcurrentModificationException(
+          s"$ident: fast_forward could not carry branch `$name`'s fork " +
+            s"forward after $attempts attempts — re-fork with drop_branch + branch")
+      }
     }
     (cur.v, bHead.v, merged)
   }
@@ -2581,54 +2637,105 @@ object SegStore {
     dirLocks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
       .synchronized(body)
 
+  /** Open `dir/log` and take its OS file lock, VERIFIED live: an
+    * expire/re-seed rewrite ATOMIC_MOVEs a fresh inode over the path, so
+    * a writer that opened its channel before the move can acquire the
+    * lock on the orphaned old inode — a head re-read BY PATH would then
+    * see the expected version while the append lands in the orphan,
+    * silently losing the commit. After locking, a second channel is
+    * opened from the path and `tryLock`ed: OverlappingFileLockException
+    * proves both channels are one file (this JVM — inside the dir
+    * stripe, only this thread — already holds that file's lock), i.e.
+    * the locked channel IS the live log; an acquired lock proves the
+    * path was swapped, so the fresh channel is adopted and re-verified;
+    * null (another process holds the fresh file's lock) likewise proves
+    * a swap — start over blocking. Returns None when the log does not
+    * exist: logs are created exactly once ([[createLog]] /
+    * table-create), so a missing log means drop_branch removed it.
+    * Callers run inside [[withDirLock]]. */
+  private def lockLiveLog(dir: Path, log: String)
+      : Option[(java.nio.channels.FileChannel, java.nio.channels.FileLock)] = {
+    val p = dir.resolve(log)
+    def open(): java.nio.channels.FileChannel =
+      java.nio.channels.FileChannel.open(p,
+        StandardOpenOption.WRITE, StandardOpenOption.READ)
+    var ch = try open() catch {
+      case _: java.nio.file.NoSuchFileException => return None
+    }
+    var lock = ch.lock()
+    while (true) {
+      val fresh = try open() catch {
+        case _: java.nio.file.NoSuchFileException =>
+          lock.release(); ch.close(); return None
+      }
+      val verdict =
+        try Right(fresh.tryLock()) // null = held by another process
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException => Left(())
+        }
+      verdict match {
+        case Left(()) => // same file as the lock we hold — verified live
+          fresh.close(); return Some((ch, lock))
+        case Right(null) => // swapped AND contended — restart blocking
+          fresh.close(); lock.release(); ch.close()
+          ch = try open() catch {
+            case _: java.nio.file.NoSuchFileException => return None
+          }
+          lock = ch.lock()
+        case Right(freshLock) => // swapped — adopt the live file, re-verify
+          lock.release(); ch.close()
+          ch = fresh; lock = freshLock
+      }
+    }
+    None // unreachable
+  }
+
   /** Conditional append — the optimistic-concurrency primitive: under an
-    * exclusive manifest lock (JVM stripe + OS file lock, so writers in
-    * other processes serialize too), append `v` iff the log's current
-    * head is still `expectedV`. Returns false on a stale expectation;
-    * the caller re-reads and rebases ([[SegTable]]'s publish loop). */
+    * exclusive manifest lock (JVM stripe + OS file lock on the VERIFIED
+    * live inode, so writers and rewriters in other processes serialize
+    * too), append `v` iff the log's current head is still `expectedV`.
+    * Returns false on a stale expectation; the caller re-reads and
+    * rebases ([[SegTable]]'s publish loop). NO CREATE: a missing log
+    * means drop_branch removed it — committing through a stale branch
+    * handle must fail permanently, not resurrect the dropped branch as
+    * a zero-byte log that breaks every later reader. */
   def commitVersion(dir: Path, expectedV: Long, v: SegVersion,
       log: String = MetaFile): Boolean =
     withDirLock(dir) {
-      val ch = java.nio.channels.FileChannel.open(dir.resolve(log),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.READ)
+      val (ch, lock) = lockLiveLog(dir, log).getOrElse(
+        throw new IllegalStateException(
+          s"manifest log $log was dropped — refusing to recreate it " +
+            "(stale handle committing after drop_branch?)"))
       try {
-        val lock = ch.lock()
-        try {
-          val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
-          if (head != expectedV) false
-          else {
-            ch.position(ch.size())
-            ch.write(java.nio.ByteBuffer.wrap(
-              versionLine(v).getBytes(StandardCharsets.UTF_8)))
-            true
-          }
-        } finally lock.release()
-      } finally ch.close()
+        val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
+        if (head != expectedV) false
+        else {
+          ch.position(ch.size())
+          ch.write(java.nio.ByteBuffer.wrap(
+            versionLine(v).getBytes(StandardCharsets.UTF_8)))
+          true
+        }
+      } finally { lock.release(); ch.close() }
     }
 
   /** Conditional wholesale replacement: under the SAME exclusive locks
-    * the conditional append takes (JVM dir stripe + OS file lock, so
-    * writers in other processes serialize too), rewrite `log` to `vs`
-    * iff its head is still `expectedHead`. Returns false — and leaves
-    * the log untouched — when any writer committed in between. */
+    * the conditional append takes (JVM dir stripe + OS file lock on the
+    * verified live inode), rewrite `log` to `vs` iff its head is still
+    * `expectedHead`. Returns false — and leaves the log untouched —
+    * when any writer committed in between, or when the log was dropped
+    * (racing a drop must not resurrect it). */
   def rewriteVersionsIfHead(dir: Path, log: String, expectedHead: Long,
       vs: Seq[SegVersion]): Boolean =
     withDirLock(dir) {
-      // NO CREATE: racing a drop (the log deleted between the caller's
-      // publish and this lock) must report false, not resurrect a
-      // zero-byte log that breaks every later reader
-      val ch = try java.nio.channels.FileChannel.open(dir.resolve(log),
-        StandardOpenOption.WRITE, StandardOpenOption.READ)
-      catch { case _: java.nio.file.NoSuchFileException => return false }
-      try {
-        val lock = ch.lock()
-        try {
-          val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
-          if (head != expectedHead) false
-          else { rewriteVersions(dir, vs, log); true }
-        } finally lock.release()
-      } finally ch.close()
+      lockLiveLog(dir, log) match {
+        case None => false
+        case Some((ch, lock)) =>
+          try {
+            val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
+            if (head != expectedHead) false
+            else { rewriteVersions(dir, vs, log); true }
+          } finally { lock.release(); ch.close() }
+      }
     }
 
   /** Replace the manifest log wholesale (snapshot expiration): write to a
@@ -2659,6 +2766,16 @@ object SegStore {
     }
     v ^ Long.MinValue
   }
+
+  /** [[readVersions]] tolerating a concurrently-dropped log: readers
+    * that LIST logs (refs metadata, expire/vacuum live-set sweeps) race
+    * cross-process drop_branch between listing and read — the dropped
+    * ref must be omitted, not fail the whole query. Zero-byte logs
+    * (pre-existing damage from a crashed creator) likewise read as
+    * empty and are skipped by `lastOption` consumers. */
+  def readVersionsIfExists(dir: Path, log: String): Vector[SegVersion] =
+    try readVersions(dir, log)
+    catch { case _: java.nio.file.NoSuchFileException => Vector.empty }
 
   def readVersions(dir: Path, log: String = MetaFile): Vector[SegVersion] = {
     implicit val fmts: Formats = DefaultFormats

@@ -1478,6 +1478,93 @@ class SourcesSpec extends SparkTestBase {
     assert(idle.getLong(idle.fieldIndex("commits_merged")) === 0L)
   }
 
+  test("dropped manifest log is never resurrected by a stale conditional append") {
+    // drop_branch removes the branch log; a stale handle's commit racing
+    // in AFTER the drop must fail permanently — not recreate the log as
+    // a zero-byte file that breaks refs/branch resolution table-wide
+    import graft.sources.{SegStore, SegVersion}
+    val dir = java.nio.file.Files.createTempDirectory("graft_droprace")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    val v0 = SegVersion(0L, Array(0), schema, None, Nil)
+    val lf = SegStore.branchLog("gone")
+    SegStore.appendVersion(dir, v0, lf)
+    java.nio.file.Files.delete(dir.resolve(lf)) // the drop
+    intercept[IllegalStateException] {
+      SegStore.commitVersion(dir, 0L, v0.copy(v = 1L), lf)
+    }
+    assert(!java.nio.file.Files.exists(dir.resolve(lf)),
+      "refused commit must not leave a resurrected log behind")
+    // the conditional rewrite likewise refuses (returns false) and
+    // leaves nothing behind
+    assert(!SegStore.rewriteVersionsIfHead(dir, lf, 0L, Seq(v0.copy(v = 9L))))
+    assert(!java.nio.file.Files.exists(dir.resolve(lf)))
+  }
+
+  test("refs metadata tolerates a damaged zero-byte branch log") {
+    // a crashed creator (pre-CREATE_NEW era) or an external scribble can
+    // leave a zero-byte _meta@x.json; the refs query must omit that ref,
+    // not fail the whole metadata table with NoSuchElementException
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.zb_t")
+    spark.sql("CREATE TABLE graft_cat.db.zb_t (id BIGINT)")
+    spark.sql("INSERT INTO graft_cat.db.zb_t VALUES (1), (2)")
+    spark.sql("CALL graft_cat.system.branch('db.zb_t', 'ok')")
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse", "graft_cat", "db.zb_t")
+    val broken = tdir.resolve(graft.sources.SegStore.branchLog("broken"))
+    java.nio.file.Files.write(broken, Array.empty[Byte])
+    try {
+      val refs = spark.sql("SELECT name, type FROM graft_cat.db.zb_t.refs")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(refs.contains(("main", "branch")) && refs.contains(("ok", "branch")))
+      assert(!refs.exists(_._1 == "broken"), refs.toString)
+    } finally java.nio.file.Files.deleteIfExists(broken)
+  }
+
+  test("branch commit racing fast_forward's re-seed: fork carried forward") {
+    // a branch commit that lands between the merge publish and the
+    // re-seed builds on the merged head (= new main's state), so it IS a
+    // descendant — the re-seed must carry the fork forward instead of
+    // stranding the old fork (which would make every later fast_forward
+    // refuse as 'diverged' and silently kill the ingestion lane)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.cf_t")
+    spark.sql("CREATE TABLE graft_cat.db.cf_t (id BIGINT)")
+    spark.sql("CALL graft_cat.system.branch('db.cf_t', 'lane')")
+    spark.sql(
+      "INSERT INTO graft_cat.db.cf_t.branch_lane SELECT id FROM range(0, 100)")
+    graft.sources.SegHooks.betweenMergeAndReseed.set(() =>
+      spark.sql("INSERT INTO graft_cat.db.cf_t.branch_lane " +
+        "SELECT id FROM range(100, 200)"))
+    try {
+      val ff = spark.sql("CALL graft_cat.system.fast_forward('db.cf_t', 'lane')")
+        .head
+      assert(ff.getLong(ff.fieldIndex("commits_merged")) === 1L)
+    } finally graft.sources.SegHooks.betweenMergeAndReseed.set(() => ())
+    // the raced commit survived on the branch; main has only the merged rows
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.cf_t.branch_lane")
+      .head.getLong(0) === 200L, "raced branch commit was dropped by the re-seed")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.cf_t")
+      .head.getLong(0) === 100L)
+    // the decisive claim: the NEXT fast_forward sees a descendant (fork
+    // carried forward), merges exactly the raced commit, and re-seeds
+    val ff2 = spark.sql("CALL graft_cat.system.fast_forward('db.cf_t', 'lane')")
+      .head
+    assert(ff2.getLong(ff2.fieldIndex("commits_merged")) === 1L,
+      "fork property stranded — fast_forward refused a true descendant")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.cf_t")
+      .head.getLong(0) === 200L)
+    // and the lane keeps cycling cleanly afterwards
+    spark.sql(
+      "INSERT INTO graft_cat.db.cf_t.branch_lane SELECT id FROM range(200, 250)")
+    val ff3 = spark.sql("CALL graft_cat.system.fast_forward('db.cf_t', 'lane')")
+      .head
+    assert(ff3.getLong(ff3.fieldIndex("commits_merged")) === 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.cf_t")
+      .head.getLong(0) === 250L)
+  }
+
   test("spec evolution on a branch: isolated routing, adopted by fast-forward") {
     // evolve_spec targets any log: evolving the BRANCH re-routes only
     // branch writes; fast_forward adopts the branch's spec with its data
