@@ -1477,6 +1477,56 @@ object SemiStructured {
       .unionAll(ff).orderBy("leg")
   }
 
+  /** q163 — merge-on-read DML with positional deletion vectors
+    * (`'graft.dml.mode'='merge-on-read'`, Spark's `SupportsDelta` —
+    * [[graft.sources.SegDv]]): DELETE/UPDATE attach a sorted-positions
+    * sidecar to each touched segment instead of rewriting its group
+    * (the Iceberg positional-delete / Delta deletion-vector strategy;
+    * the reference rewrites whole frames, `transformation.py:140-685`).
+    * The witness leg pins the 100 TB claim from the manifest itself:
+    * ZERO data segments rewritten by the DML, 40 rows vectored. The
+    * travel legs prove snapshots cross the vectors both ways (pre-DML
+    * reads un-deleted; the MoR snapshot stays byte-identical after
+    * compaction purges its vectors into clean segments). */
+  val q163MergeOnRead: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.mor_q")
+    s.sql(
+      """CREATE TABLE graft_cat.db.mor_q (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_mor")
+    s.sql("INSERT INTO graft_cat.db.mor_q SELECT id, v FROM graft_seq_mor")
+    val cat = s.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val t = cat.segTable("db.mor_q")
+    val v0 = t.currentVersion
+    val filesBefore = t.currentSegs.map(_.file).toSet
+    s.sql("DELETE FROM graft_cat.db.mor_q WHERE id % 100 = 7")   // 20 rows
+    s.sql("UPDATE graft_cat.db.mor_q SET v = v + 100000 WHERE id % 100 = 13")
+    val vDml = t.currentVersion
+    // manifest-derived witnesses: data segments the DML rewrote or
+    // dropped (must be zero — that IS merge-on-read) and rows vectored
+    val rewritten = (filesBefore -- t.currentSegs.map(_.file).toSet).size
+    val dvRows = t.currentSegs.flatMap(_.dv).map(_.ndel).sum
+    s.sql("CALL graft_cat.system.compact('db.mor_q', 100000000)").collect()
+    s.sql(
+      s"""SELECT phase, n, v_sum FROM (
+         |  SELECT 't0_witness' AS phase, CAST($rewritten AS BIGINT) AS n,
+         |    CAST($dvRows AS BIGINT) AS v_sum
+         |  UNION ALL
+         |  SELECT 't1_preDml', COUNT(*), CAST(SUM(v) AS BIGINT)
+         |  FROM graft_cat.db.mor_q VERSION AS OF $v0
+         |  UNION ALL
+         |  SELECT 't2_mor', COUNT(*), CAST(SUM(v) AS BIGINT)
+         |  FROM graft_cat.db.mor_q VERSION AS OF $vDml
+         |  UNION ALL
+         |  SELECT 't3_compacted', COUNT(*), CAST(SUM(v) AS BIGINT)
+         |  FROM graft_cat.db.mor_q)
+         |ORDER BY phase""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1878,6 +1928,7 @@ object SemiStructured {
     "q160_not_null" -> q160NotNull,
     "q161_evolve_spec" -> q161EvolveSpec,
     "q162_branch_merge" -> q162BranchMerge,
+    "q163_merge_on_read" -> q163MergeOnRead,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -2129,6 +2180,26 @@ object SemiStructured {
     // branch isolation: main_v1 = batch A; the branch pipeline = A + B
     // minus the deleted tail; merged == branch; ff merged 2 commits and
     // main landed at v2
+    // merge-on-read: the witness leg is the design claim (0 segments
+    // rewritten, 40 rows vectored = 20 deleted + 20 update-deleted);
+    // t2 (DV-applied read) and t3 (post-compaction) are value-identical
+    "q163_merge_on_read" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r),
+        |mor AS (
+        |  SELECT id, CASE WHEN id % 100 = 13 THEN v + 100000 ELSE v END AS v
+        |  FROM seq WHERE id % 100 <> 7)
+        |SELECT phase, n, v_sum FROM (
+        |  SELECT 't0_witness' AS phase, CAST(0 AS BIGINT) AS n,
+        |    CAST(40 AS BIGINT) AS v_sum
+        |  UNION ALL
+        |  SELECT 't1_preDml', COUNT(*), CAST(SUM(v) AS BIGINT) FROM seq
+        |  UNION ALL
+        |  SELECT 't2_mor', COUNT(*), CAST(SUM(v) AS BIGINT) FROM mor
+        |  UNION ALL
+        |  SELECT 't3_compacted', COUNT(*), CAST(SUM(v) AS BIGINT) FROM mor)
+        |ORDER BY phase""".stripMargin,
     "q162_branch_merge" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression => CatalystExpr, GenericInternalRow, Literal => CatalystLiteral, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression => CatalystExpr, GenericInternalRow, JoinedRow, Literal => CatalystLiteral, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
 import org.apache.spark.sql.connector.catalog._
@@ -210,8 +210,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tables.containsKey(dstIdent) || Files.exists(dir.resolve(SegStore.MetaFile)))
       throw new TableAlreadyExistsException(dstIdent)
     val refs = snap.segs.map { s =>
-      if (Seg.isExternal(s.file)) s // clone-of-clone: keep the original ref
-      else s.copy(file = srcDir.resolve(s.file).toAbsolutePath.toString)
+      // clone-of-clone: already-qualified refs keep pointing at their
+      // owning table; bare names (incl. a DV the source added locally
+      // onto an external segment) qualify against the SOURCE dir
+      val qf = if (Seg.isExternal(s.file)) s.file
+        else srcDir.resolve(s.file).toAbsolutePath.toString
+      val qd = s.dv.map(d => if (Seg.isExternal(d.file)) d
+        else d.copy(file = srcDir.resolve(d.file).toAbsolutePath.toString))
+      s.copy(file = qf, dv = qd)
     }
     Files.createDirectories(dir)
     val v1 = SegVersion(1L, snap.colIds, snap.schema, snap.partCol, refs,
@@ -520,7 +526,7 @@ object PartSpec {
 case class Seg(file: String, rows: Long, bytes: Long, colIds: Array[Int],
     mins: Array[Long], maxs: Array[Long], hasNull: Array[Boolean],
     hasStats: Array[Boolean], blooms: Array[Array[Long]] = Array.empty,
-    spec: Option[String] = None) {
+    spec: Option[String] = None, dv: Option[Dv] = None) {
   /** Bloom bits for the column at physical index `idx`, when present and
     * well-formed. Pre-bloom manifest entries (round ≤6) have no `blooms`
     * key and decode to an empty outer array — every lookup degrades to
@@ -529,7 +535,23 @@ case class Seg(file: String, rows: Long, bytes: Long, colIds: Array[Int],
     if (idx >= 0 && idx < blooms.length && blooms(idx).length == SegBloom.Words)
       Some(blooms(idx))
     else None
+  /** Rows a scan of this segment returns: physical rows minus the
+    * positions its deletion vector marks deleted. */
+  def liveRows: Long = rows - dv.map(_.ndel).getOrElse(0L)
 }
+
+/** Positional DELETION VECTOR attached to a segment — the merge-on-read
+  * DML primitive (Iceberg positional deletes / Delta deletion vectors;
+  * ref deletes whole pandas frames, `transformation.py:140-685` has no
+  * row-level path at all). `file` holds the sorted physical row
+  * positions deleted from the segment (a sidecar in the table dir, KB-
+  * scale); `ndel` is its count, kept in the manifest so planning and
+  * COUNT(*) pushdown need zero sidecar reads. At 100 TB this is the
+  * difference between a 1-row DELETE writing a KB DV file and rewriting
+  * a multi-GB segment group: scans subtract the DV at read time,
+  * compaction materializes and purges it. Zone maps/blooms still cover
+  * deleted rows — conservative (may under-prune), never wrong. */
+case class Dv(file: String, ndel: Long)
 
 object Seg {
   /** A path-qualified ref points into ANOTHER table's directory — the
@@ -540,6 +562,12 @@ object Seg {
     * the absolute path unchanged) but are never DELETED by this table's
     * GC. */
   def isExternal(file: String): Boolean = file.contains('/')
+
+  /** Every file a manifest entry references — the data segment plus its
+    * deletion-vector sidecar, if any. The unit GC liveness is computed
+    * over: a retained version's DV must survive expire/vacuum exactly
+    * like its segment. */
+  def refsOf(s: Seg): Seq[String] = s.file +: s.dv.map(_.file).toList
 }
 
 /** Per-segment per-column bloom filter for data skipping on point
@@ -626,6 +654,47 @@ object SegBloom {
 /** One committed table version: schema + column ids + segment list +
   * table properties (e.g. the `graft.check` write constraint).
   * Versions are append-only; segment files are immutable and shared. */
+/** Deletion-vector sidecar I/O. Format: magic, count, sorted distinct
+  * positions as 8-byte longs — positions are PHYSICAL row indexes in the
+  * segment file (stable across reads; the reader counts every stored
+  * row, emitted or not, so later DVs always address the same rows). A
+  * production variant would store a roaring bitmap (smaller for dense
+  * deletes); the manifest contract (`Dv(file, ndel)`) and every consumer
+  * are unchanged by that swap. */
+object SegDv {
+  val Magic = 0x47524456 // "GRDV"
+
+  def write(dir: Path, name: String, sortedPositions: Array[Long]): Dv = {
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(dir.resolve(name))))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(sortedPositions.length)
+      sortedPositions.foreach(out.writeLong)
+    } finally out.close()
+    Dv(name, sortedPositions.length.toLong)
+  }
+
+  def read(path: Path): Array[Long] = {
+    val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(path)))
+    try {
+      require(in.readInt() == Magic, s"bad deletion vector $path")
+      val n = in.readInt()
+      Array.fill(n)(in.readLong())
+    } finally in.close()
+  }
+
+  /** Union of an existing DV (if any) with new positions — what a
+    * second DELETE against an already-vectored segment commits.
+    * Overlapping positions dedup, so re-deleting a row is idempotent. */
+  def union(dir: Path, existing: Option[Dv], fresh: Array[Long]): Array[Long] =
+    existing match {
+      case None => fresh.distinct.sorted
+      case Some(d) => (read(dir.resolve(d.file)) ++ fresh).distinct.sorted
+    }
+}
+
 case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
     partCol: Option[String], segs: Seq[Seg],
     props: Map[String, String] = Map.empty, ts: Long = 0L,
@@ -661,7 +730,11 @@ class SegTable private (ident: String, dir: Path,
     @volatile private var versions: Vector[SegVersion],
     log: String = SegStore.MetaFile)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** Hidden `_file`/`_pos` columns ([[SegMeta]]) — row identity for the
+    * merge-on-read delta write, and directly queryable for inspection. */
+  override def metadataColumns(): Array[MetadataColumn] = SegMeta.columns
 
   private def cur: SegVersion = versions.last
 
@@ -818,11 +891,15 @@ class SegTable private (ident: String, dir: Path,
     val to = if (toV < 0) cur else at(toV)
     require(from.v <= to.v,
       s"from version ${from.v} is after to version ${to.v}")
-    val fromFiles = from.segs.map(_.file).toSet
-    require(fromFiles.subsetOf(to.segs.map(_.file).toSet),
+    // keyed on (file, dv): a merge-on-read DELETE mutates a segment's
+    // visible rows in place — the range is no longer append-only even
+    // though every file name survives
+    val fromKeys = from.segs.map(s => (s.file, s.dv.map(_.file))).toSet
+    require(fromKeys.subsetOf(to.segs.map(s => (s.file, s.dv.map(_.file))).toSet),
       s"$ident history v${from.v}..v${to.v} is not append-only " +
-        "(segments were replaced by compaction or a row-level operation); " +
-        "incremental read supports append-only ranges")
+        "(segments were replaced by compaction, a row-level operation, " +
+        "or a merge-on-read delete); incremental read supports append-only ranges")
+    val fromFiles = from.segs.map(_.file).toSet
     val added = to.segs.filterNot(s => fromFiles(s.file))
     new SegSnapshotTable(s"$ident@v${from.v}..${to.v}", dir,
       to.copy(segs = added))
@@ -973,7 +1050,10 @@ class SegTable private (ident: String, dir: Path,
     // only segments STAMPED with the current spec ([[Seg.spec]]) are
     // trusted — after partition evolution, pre-evolution segments sit
     // out of keyed compaction rather than merging across buckets.
-    def eligible(s: Seg): Boolean = s.bytes < targetBytes &&
+    // a deletion-vectored segment is ALWAYS eligible regardless of size:
+    // rewriting it is what purges the vector (merge-on-read's deferred
+    // work), and a singleton group materializes it alone
+    def eligible(s: Seg): Boolean = (s.bytes < targetBytes || s.dv.nonEmpty) &&
       (partOrd < 0 ||
         (s.hasStats(partOrd) && !s.hasNull(partOrd) &&
           (if (spec.get.monotone)
@@ -985,7 +1065,7 @@ class SegTable private (ident: String, dir: Path,
         partOrd >= 0 && s.hasStats(partOrd),
         if (partOrd >= 0 && s.hasStats(partOrd)) spec.get.key(s.mins(partOrd))
         else 0L))
-      .values.toSeq.filter(_.size >= 2)
+      .values.toSeq.filter(g => g.size >= 2 || g.exists(_.dv.nonEmpty))
       // deterministic group ORDER (names carry a wall-clock salt and are
       // opaque manifest refs; the sort pins group↔index alignment)
       .sortBy(_.head.file)
@@ -1022,9 +1102,13 @@ class SegTable private (ident: String, dir: Path,
     // is abandoned rather than resurrecting its rows; its output file
     // falls to vacuum.
     publish(x => {
-      val present = x.segs.map(_.file).toSet
+      // an input must be present WITH the same deletion vector the merge
+      // consumed — a concurrent merge-on-read DELETE on an input means
+      // the merged output resurrects its rows; abandon that group
+      val curDv = x.segs.map(s => s.file -> s.dv.map(_.file)).toMap
       val applied = groups.zip(merged)
-        .filter { case (g, _) => g.forall(in => present(in.file)) }
+        .filter { case (g, _) => g.forall(in =>
+          curDv.get(in.file).contains(in.dv.map(_.file))) }
       val replacedIn = applied.flatMap(_._1.map(_.file)).toSet
       x.copy(segs = x.segs.filterNot(s => replacedIn(s.file)) ++
         applied.map(_._2))
@@ -1054,15 +1138,15 @@ class SegTable private (ident: String, dir: Path,
         // files referenced by ANY retained version of ANY log in the dir
         // survive: a branch shares main's segment files ([[createBranch]]),
         // so main's expiry must never GC a file a branch still reads
-        val live = keep.flatMap(_.segs.map(_.file)).toSet ++
+        val live = keep.flatMap(_.segs.flatMap(Seg.refsOf)).toSet ++
           SegStore.allLogs(dir).filterNot(_ == log)
             .flatMap(l => SegStore.readVersionsIfExists(dir, l))
-            .flatMap(_.segs.map(_.file))
+            .flatMap(_.segs.flatMap(Seg.refsOf))
         // path-qualified refs are ANOTHER table's files (shallow clone —
         // [[GraftCatalog.cloneTable]]): this table's GC never deletes them,
         // only drops its references; the owning table's own expire/vacuum
         // governs their lifetime
-        val dead = dropped.flatMap(_.segs.map(_.file)).distinct
+        val dead = dropped.flatMap(_.segs.flatMap(Seg.refsOf)).distinct
           .filterNot(live.contains).filterNot(Seg.isExternal)
         // CONDITIONAL rewrite — manifest first (crash-safe order), and
         // head-checked under the OS lock on the verified live inode: a
@@ -1101,7 +1185,7 @@ class SegTable private (ident: String, dir: Path,
       // branches) — a branch-only segment is not an orphan
       val live = SegStore.allLogs(dir)
         .flatMap(l => SegStore.readVersionsIfExists(dir, l))
-        .flatMap(_.segs.map(_.file)).toSet
+        .flatMap(_.segs.flatMap(Seg.refsOf)).toSet
       val cutoff = System.currentTimeMillis() - math.max(maxAgeMs, 0L)
       val orphans = Files.list(dir).iterator().asScala.toSeq
         .filter(Files.isRegularFile(_))
@@ -1181,7 +1265,110 @@ class SegTable private (ident: String, dir: Path,
     * referencing the replaced ones. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
+    () =>
+      if (cur.props.get(SegDml.ModeKey).contains(SegDml.MergeOnRead))
+        new SegDeltaOperation(info)
+      else newGroupOperation(info)
+
+  /** Merge-on-read row-level DML (`'graft.dml.mode'='merge-on-read'`,
+    * Spark's `SupportsDelta`): instead of rewriting every segment group
+    * the scan touched ([[newGroupOperation]]'s copy-on-write), each task
+    * records the (_file, _pos) row ids Spark feeds its DeltaWriter and
+    * the commit attaches a positional DELETION VECTOR to each touched
+    * segment — a 1-row DELETE on a 100 TB table writes a KB sidecar and
+    * ZERO data segments. UPDATE/MERGE split into delete+insert
+    * (`representUpdateAsDeleteAndInsert`), so updated rows land in new
+    * segments while their old positions join the DV. Scans subtract DVs
+    * at read time ([[SegReaderFactory]]); compaction materializes and
+    * purges them ([[SegCompactor.merge]]); time travel sees each
+    * version's own DV state (the manifest snapshot carries `dv` refs). */
+  private class SegDeltaOperation(info: RowLevelOperationInfo)
+      extends RowLevelOperation with SupportsDelta {
+    override def command(): RowLevelOperation.Command = info.command()
+    override def description(): String =
+      s"graft_cat merge-on-read ${info.command()} on $ident"
+    override def rowId(): Array[NamedReference] = Array(
+      Expressions.column(SegMeta.FileCol), Expressions.column(SegMeta.PosCol))
+    override def representUpdateAsDeleteAndInsert(): Boolean = true
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new SegScanBuilder(ident, dir, cur, None, log)
+    override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
+      new DeltaWriteBuilder {
+        override def build(): DeltaWrite = deltaWrite
+      }
+
+    private lazy val deltaWrite: DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+            SegTable.deltaWriterFactory(dir.toString, cur)
+
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val msgs = messages.collect { case m: DeltaSegCommit => m }
+            val newSegs = msgs.flatMap(_.segs)
+            // merge every task's positional deletes per segment file
+            val allDels: Map[String, Array[Long]] =
+              msgs.flatMap(_.deletes.toSeq).groupBy(_._1)
+                .map { case (f, xs) =>
+                  f -> xs.flatMap(_._2).distinct.sorted }
+            val salt = java.lang.Long.toHexString(System.currentTimeMillis())
+            val tag = logTag
+            val op = info.command() match {
+              case RowLevelOperation.Command.DELETE => "delete"
+              case RowLevelOperation.Command.UPDATE => "update"
+              case _ => "merge"
+            }
+            publish(v => {
+              val byFile = v.segs.map(s => s.file -> s).toMap
+              // serializable-conflict check: a concurrently compacted or
+              // rewritten segment renames, so our physical positions no
+              // longer address its rows — abort, caller retries
+              val gone = allDels.keys.filterNot(byFile.contains)
+              if (gone.nonEmpty)
+                throw new java.util.ConcurrentModificationException(
+                  s"$ident: merge-on-read ${op} targets segments a " +
+                    s"concurrent commit replaced (${gone.take(3).mkString(", ")}) " +
+                    "— retry the operation")
+              var k = -1
+              // union with the segment's CURRENT dv inside the publish
+              // closure — a rebase after a racing merge-on-read commit
+              // re-unions against the winner's vector, never clobbers it
+              val dvFor: Map[String, Option[Dv]] = allDels.map {
+                case (f, ps) =>
+                  val seg = byFile(f)
+                  require(ps.last < seg.rows,
+                    s"$ident: delete position ${ps.last} beyond ${seg.rows} " +
+                      s"rows of $f")
+                  val merged = SegDv.union(dir, seg.dv, ps)
+                  // fully-deleted segment: drop it from the manifest
+                  // outright instead of carrying a 100% vector
+                  if (merged.length == seg.rows) f -> None
+                  else {
+                    k += 1
+                    f -> Some(SegDv.write(dir,
+                      s"dv-${tag}v${v.v + 1}-$salt-$k.bin", merged))
+                  }
+              }
+              v.copy(segs = v.segs.flatMap { s =>
+                dvFor.get(s.file) match {
+                  case None => Some(s) // untouched
+                  case Some(None) => None // fully deleted
+                  case Some(d) => Some(s.copy(dv = d))
+                }
+              } ++ newSegs)
+            }, op = op)
+          }
+
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.collect { case m: DeltaSegCommit => m }
+              .flatMap(_.segs)
+              .foreach(s => Files.deleteIfExists(dir.resolve(s.file)))
+        }
+      }
+  }
+
+  private def newGroupOperation(
+      info: RowLevelOperationInfo): RowLevelOperation = new RowLevelOperation {
       // the scan this operation plans — its post-pruning segment list is
       // the group set the replacement write supersedes
       @volatile private var opScan: SegScan = _
@@ -1222,6 +1409,19 @@ class SegTable private (ident: String, dir: Path,
                         s"$ident: row-level operation read segments a " +
                           s"concurrent commit replaced (${gone.take(3).mkString(", ")}" +
                           s"${if (gone.size > 3) ", …" else ""}) — retry the operation")
+                    // a concurrent merge-on-read DELETE vectored a group
+                    // this operation read: replacing the group from
+                    // pre-delete rows would resurrect the deleted rows
+                    val scanDvs = Option(opScan).map(_.plannedDvs)
+                      .getOrElse(Map.empty[String, Option[String]])
+                    val curDvs = v.segs.map(s => s.file -> s.dv.map(_.file)).toMap
+                    val drifted = f.filter(fl =>
+                      curDvs.getOrElse(fl, None) != scanDvs.getOrElse(fl, None))
+                    if (drifted.nonEmpty)
+                      throw new java.util.ConcurrentModificationException(
+                        s"$ident: row-level operation read segments whose " +
+                          s"deletion vector a concurrent commit changed " +
+                          s"(${drifted.take(3).mkString(", ")}) — retry the operation")
                   }
                   val read: Seg => Boolean = readFiles match {
                     case Some(f) => seg => f(seg.file)
@@ -1588,6 +1788,17 @@ class SegTable private (ident: String, dir: Path,
   * descendant of). Written at [[SegTable.createBranch]], advanced by
   * [[SegTable.fastForward]]'s re-seed, stripped when a branch head is
   * adopted onto main. */
+/** Row-level DML strategy property (`'graft.dml.mode'`): `copy-on-write`
+  * (default — group replacement, best for scan-heavy tables) or
+  * `merge-on-read` (positional deletion vectors, best when deletes are
+  * small and frequent relative to table size — the 100 TB GDPR-delete /
+  * CDC-upsert posture). Per-table, switchable by ALTER at any time:
+  * existing DVs keep applying either way. */
+object SegDml {
+  val ModeKey = "graft.dml.mode"
+  val MergeOnRead = "merge-on-read"
+}
+
 object SegBranch {
   val ForkKey = "graft.fork"
   /** Branch-log version number at the last (re)seed — `merged` counts
@@ -1762,9 +1973,46 @@ object SegTable {
       override def close(): Unit = ()
     }
   }
+
+  /** Task-side writer for the merge-on-read delta write: INSERT rows
+    * stream through the ordinary segment writer (new files, routed and
+    * CHECK-validated identically to INSERT); DELETE row ids accumulate
+    * as (file → positions) — positions only, never row data, so a
+    * wide-row delete's task state is 8 bytes per row. UPDATEs never
+    * arrive (`representUpdateAsDeleteAndInsert`). */
+  private[sources] def deltaWriterFactory(dirStr: String,
+      ver: SegVersion): DeltaWriterFactory = {
+    val inserts = writerFactory(dirStr, ver)
+    (partitionId: Int, taskId: Long) => new DeltaWriter[InternalRow] {
+      private val ins = inserts.createWriter(partitionId, taskId)
+      private val dels = mutable.HashMap.empty[String, ArrayBuffer[Long]]
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        // id fields in rowId() order: (_file, _pos)
+        dels.getOrElseUpdate(id.getUTF8String(0).toString,
+          ArrayBuffer.empty[Long]) += id.getLong(1)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        throw new UnsupportedOperationException(
+          "updates are represented as delete+insert")
+      override def insert(row: InternalRow): Unit = ins.write(row)
+      override def commit(): WriterCommitMessage = {
+        val segMsg = ins.commit().asInstanceOf[SegCommit]
+        DeltaSegCommit(segMsg.segs,
+          dels.map { case (f, ps) =>
+            f -> ps.toArray.distinct.sorted }.toMap)
+      }
+      override def abort(): Unit = ins.abort()
+      override def close(): Unit = ins.close()
+    }
+  }
 }
 
 case class SegCommit(segs: Array[Seg]) extends WriterCommitMessage
+
+/** Delta (merge-on-read) task commit: freshly written insert segments
+  * plus the physical row positions deleted per segment file. */
+case class DeltaSegCommit(segs: Array[Seg],
+    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
 
 /** Streams UnsafeRow bytes to one temp segment file and tracks the
   * zone-map; `finish()` renames it to its final name and returns the
@@ -1885,8 +2133,11 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
       e match {
         case n: NamedReference if n.fieldNames.length == 1 =>
           val i = ver.schema.fieldNames.indexOf(n.fieldNames.head)
+          // a deletion vector invalidates manifest MIN/MAX (the deleted
+          // rows may hold the extremum) — decline, scan answers exactly
           if (i >= 0 && ver.schema.fields(i).dataType == LongType &&
-            ver.segs.forall(_.colIds.contains(ver.colIds(i)))) Some(i)
+            ver.segs.forall(s => s.colIds.contains(ver.colIds(i)) &&
+              s.dv.isEmpty)) Some(i)
           else None
         case _ => None
       }
@@ -1903,7 +2154,7 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
     def answerers: Seq[Option[(Seq[Seg] => Any, StructField)]] =
       agg.aggregateExpressions.toSeq.zipWithIndex.map {
         case (_: CountStar, i) => Some((
-          (segs: Seq[Seg]) => java.lang.Long.valueOf(segs.map(_.rows).sum),
+          (segs: Seq[Seg]) => java.lang.Long.valueOf(segs.map(_.liveRows).sum),
           StructField(s"agg_$i", LongType, nullable = false)))
         case (m: Min, i) => ordOf(m.column).map(ord => (
           (segs: Seq[Seg]) => fold(segs, ord, isMin = true).map(Long.box).orNull: Any,
@@ -2032,7 +2283,8 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(16L, segs.map(_.bytes).sum))
-    override def numRows(): OptionalLong = OptionalLong.of(segs.map(_.rows).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(segs.map(_.liveRows).sum)
   }
 
   /** Runtime (DPP-style) filtering on the partition column: join-key
@@ -2053,6 +2305,13 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
   /** Segment files this scan will read after all pruning — the group
     * set a row-level operation's commit replaces. */
   private[sources] def plannedFiles: Set[String] = segs.map(_.file).toSet
+
+  /** Deletion-vector identity per planned file at scan time — the
+    * group-based commit compares these against the commit-time head to
+    * catch a concurrent merge-on-read DELETE (whose rows a group
+    * replacement built from pre-delete data would resurrect). */
+  private[sources] def plannedDvs: Map[String, Option[String]] =
+    segs.map(s => s.file -> s.dv.map(_.file)).toMap
 
   /** Partition key of a segment, when derivable. Every segment is
     * single-valued on the TRANSFORMED partition value (the writer routes
@@ -2128,9 +2387,17 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
     val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
     ss.toArray.map { s =>
-      val segIdx = required.fields.map(f => s.colIds.indexOf(idOf(f.name)))
+      // metadata columns (_file/_pos) resolve to sentinels — a DATA
+      // column of the same name shadows them, matching Spark's rule
+      val segIdx = required.fields.map { f =>
+        if (idOf.contains(f.name)) s.colIds.indexOf(idOf(f.name))
+        else if (f.name == SegMeta.PosCol) SegMeta.PosIdx
+        else if (f.name == SegMeta.FileCol) SegMeta.FileIdx
+        else -1
+      }
       val p = SegPartition(dir.resolve(s.file).toString, s.colIds.length,
-        required, segIdx, defaults)
+        required, segIdx, defaults, s.file,
+        s.dv.map(d => dir.resolve(d.file).toString))
       // carry the partition key when known so Spark can group per key
       // (required of EVERY partition for a KeyGroupedPartitioning report)
       segKey(s).fold(p: InputPartition)(KeyedSegPartition(p, _))
@@ -2206,11 +2473,15 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
         s"$tableName has no version $v (latest: ${vs.last.v})"))
     val from = at(start.asInstanceOf[SegOffset].v)
     val to = at(end.asInstanceOf[SegOffset].v)
-    val fromFiles = from.segs.map(_.file).toSet
-    require(fromFiles.subsetOf(to.segs.map(_.file).toSet),
+    // append-only check keys on (file, dv): a merge-on-read DELETE
+    // changes a delivered segment's visible rows without renaming the
+    // file — that is non-append history and must refuse like a rewrite
+    val fromKeys = from.segs.map(s => (s.file, s.dv.map(_.file))).toSet
+    require(fromKeys.subsetOf(to.segs.map(s => (s.file, s.dv.map(_.file))).toSet),
       s"$tableName history v${from.v}..v${to.v} is not append-only " +
-        "(segments were replaced by compaction or a row-level operation); " +
-        "streaming read supports append-only history")
+        "(segments were replaced by compaction, a row-level operation, " +
+        "or a merge-on-read delete); streaming read supports append-only history")
+    val fromFiles = from.segs.map(_.file).toSet
     scan.partitionsFor(to.segs.filterNot(s => fromFiles(s.file)))
   }
 
@@ -2235,28 +2506,58 @@ object SegReaderFactory extends PartitionReaderFactory {
         }
         // project segment rows (by physical position) to the required
         // schema; columns the segment predates read as their existence
-        // default (or null)
+        // default (or null); metadata sentinels read from a per-row
+        // meta tuple appended AFTER the segment's physical columns
         private val exprs: Seq[CatalystExpr] =
           p.required.fields.zipWithIndex.map { case (f, i) =>
-            if (p.segIdx(i) >= 0)
-              BoundReference(p.segIdx(i), f.dataType, nullable = true)
-            else CatalystLiteral(p.defaults(i), f.dataType)
+            p.segIdx(i) match {
+              case SegMeta.PosIdx =>
+                BoundReference(p.segArity, LongType, nullable = false)
+              case SegMeta.FileIdx =>
+                BoundReference(p.segArity + 1, StringType, nullable = false)
+              case idx if idx >= 0 =>
+                BoundReference(idx, f.dataType, nullable = true)
+              case _ => CatalystLiteral(p.defaults(i), f.dataType)
+            }
           }.toSeq
         private val proj = UnsafeProjection.create(exprs)
         private val segRow = new UnsafeRow(p.segArity)
+        // metadata tuple only materialized when the projection needs it
+        // (DML scans, explicit _file/_pos queries) — the ordinary read
+        // path stays a straight UnsafeRow projection
+        private val needsMeta =
+          p.segIdx.exists(i => i == SegMeta.PosIdx || i == SegMeta.FileIdx)
+        private val metaRow = new GenericInternalRow(2)
+        if (needsMeta) metaRow.update(1,
+          org.apache.spark.unsafe.types.UTF8String.fromString(p.segName))
+        private val joined = new JoinedRow
+        // deletion vector: sorted physical positions to skip — a single
+        // forward pointer walk, zero per-row search
+        private val delPos: Array[Long] =
+          p.dvFile.map(f => SegDv.read(Paths.get(f))).getOrElse(Array.empty)
+        private var delPtr = 0
+        private var pos = -1L
         private var buf = new Array[Byte](4096)
         private var current: InternalRow = _
 
         override def next(): Boolean = {
-          val len = in.readInt()
-          if (len < 0) { current = null; false }
-          else {
+          while (true) {
+            val len = in.readInt()
+            if (len < 0) { current = null; return false }
             if (buf.length < len) buf = new Array[Byte](len * 2)
             in.readFully(buf, 0, len)
-            segRow.pointTo(buf, len)
-            current = proj(segRow)
-            true
+            pos += 1
+            if (delPtr < delPos.length && delPos(delPtr) == pos) delPtr += 1
+            else {
+              segRow.pointTo(buf, len)
+              if (needsMeta) {
+                metaRow.setLong(0, pos)
+                current = proj(joined(segRow, metaRow))
+              } else current = proj(segRow)
+              return true
+            }
           }
+          false // unreachable
         }
         override def get(): InternalRow = current
         override def close(): Unit = in.close()
@@ -2264,8 +2565,37 @@ object SegReaderFactory extends PartitionReaderFactory {
     }
 }
 
+/** Hidden metadata columns (`SupportsMetadataColumns`): `_file` = the
+  * manifest name of the segment a row lives in, `_pos` = the row's
+  * PHYSICAL position in that segment (counted over stored rows, deleted
+  * or not — stable under later deletes). Queryable directly
+  * (`SELECT _file, _pos FROM t`) and, as Iceberg does, the ROW IDENTITY
+  * the merge-on-read delta write keys its positional deletes by. Encoded
+  * in [[SegPartition.segIdx]] as negative sentinels (data columns are
+  * ≥ 0; −1 = absent column reading its existence default). */
+object SegMeta {
+  val FileCol = "_file"
+  val PosCol = "_pos"
+  val PosIdx: Int = -2
+  val FileIdx: Int = -3
+  val columns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "segment file holding the row"
+    },
+    new MetadataColumn {
+      override def name(): String = PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "physical row position in the segment"
+    })
+}
+
 case class SegPartition(file: String, segArity: Int, required: StructType,
-    segIdx: Array[Int], defaults: Array[Any]) extends InputPartition
+    segIdx: Array[Int], defaults: Array[Any], segName: String = "",
+    dvFile: Option[String] = None) extends InputPartition
 
 /** A segment split carrying its bucket value — what lets Spark group a
   * bucket-partitioned scan's splits per bucket for storage-partitioned
@@ -2595,7 +2925,10 @@ object SegStore {
       if (s.blooms.exists(_.nonEmpty))
         base ~ ("blooms" -> s.blooms.map(SegBloom.toBase64).toList)
       else base
-    s.spec.fold(withBlooms)(p => withBlooms ~ ("ps" -> p))
+    val withSpec = s.spec.fold(withBlooms)(p => withBlooms ~ ("ps" -> p))
+    // dv key omitted when absent — older manifest lines stay identical
+    s.dv.fold(withSpec)(d =>
+      withSpec ~ ("dv" -> (("f" -> d.file) ~ ("n" -> d.ndel))))
   }
 
   private def versionLine(v: SegVersion): String = {
@@ -2792,7 +3125,9 @@ object SegStore {
             (sj \ "blooms").extractOpt[List[String]]
               .map(_.map(SegBloom.fromBase64).toArray)
               .getOrElse(Array.empty),
-            (sj \ "ps").extractOpt[String])
+            (sj \ "ps").extractOpt[String],
+            (sj \ "dv" \ "f").extractOpt[String].map(f =>
+              Dv(f, (sj \ "dv" \ "n").extract[Long])))
         }
         SegVersion((j \ "v").extract[Long],
           (j \ "ids").extract[List[Int]].toArray,
@@ -2827,23 +3162,70 @@ object SegCompactor {
     val buf = new Array[Byte](1 << 16)
     segs.foreach { s =>
       val p = dir.resolve(s.file)
-      val payload = Files.size(p) - headerLen - 4 // strip header + terminator
-      val in = Files.newInputStream(p)
-      try {
-        var skipped = 0L
-        while (skipped < headerLen) {
-          val n = in.skip(headerLen - skipped)
-          require(n > 0, s"cannot skip header of ${s.file}")
-          skipped += n
-        }
-        var copied = 0L
-        while (copied < payload) {
-          val n = in.read(buf, 0, math.min(buf.length.toLong, payload - copied).toInt)
-          require(n > 0, s"truncated segment ${s.file}")
-          out.write(buf, 0, n)
-          copied += n
-        }
-      } finally in.close()
+      s.dv match {
+        case None =>
+          // no deletion vector: pure byte concatenation of the row region
+          val payload = Files.size(p) - headerLen - 4 // header + terminator
+          val in = Files.newInputStream(p)
+          try {
+            var skipped = 0L
+            while (skipped < headerLen) {
+              val n = in.skip(headerLen - skipped)
+              require(n > 0, s"cannot skip header of ${s.file}")
+              skipped += n
+            }
+            var copied = 0L
+            while (copied < payload) {
+              val n = in.read(buf, 0,
+                math.min(buf.length.toLong, payload - copied).toInt)
+              require(n > 0, s"truncated segment ${s.file}")
+              out.write(buf, 0, n)
+              copied += n
+            }
+          } finally in.close()
+        case Some(d) =>
+          // deletion vector present: MATERIALIZE — walk the length-
+          // prefixed rows, drop deleted positions, and leave the vector
+          // behind (the merged segment carries no dv). Still zero row
+          // DECODE: rows copy as opaque byte runs.
+          val del = SegDv.read(dir.resolve(d.file))
+          var delPtr = 0
+          val in = new DataInputStream(new BufferedInputStream(
+            Files.newInputStream(p)))
+          try {
+            var skipped = 0L
+            while (skipped < headerLen) {
+              val n = in.skip(headerLen - skipped)
+              require(n > 0, s"cannot skip header of ${s.file}")
+              skipped += n
+            }
+            var pos = 0L
+            var len = in.readInt()
+            while (len >= 0) {
+              val drop = delPtr < del.length && del(delPtr) == pos
+              if (drop) {
+                delPtr += 1
+                var toSkip = len
+                while (toSkip > 0) {
+                  val n = in.skip(toSkip)
+                  require(n > 0, s"truncated segment ${s.file}")
+                  toSkip -= n.toInt
+                }
+              } else {
+                out.writeInt(len)
+                var toCopy = len
+                while (toCopy > 0) {
+                  val n = in.read(buf, 0, math.min(buf.length, toCopy))
+                  require(n > 0, s"truncated segment ${s.file}")
+                  out.write(buf, 0, n)
+                  toCopy -= n
+                }
+              }
+              pos += 1
+              len = in.readInt()
+            }
+          } finally in.close()
+      }
     }
     out.writeInt(-1)
     out.close()
@@ -2889,7 +3271,7 @@ object SegCompactor {
         else Array.empty[Long]
       }
     }
-    Seg(finalName, segs.map(_.rows).sum, Files.size(dir.resolve(finalName)),
+    Seg(finalName, segs.map(_.liveRows).sum, Files.size(dir.resolve(finalName)),
       colIds, mins, maxs, hasNull, hasStats, blooms)
   }
 }

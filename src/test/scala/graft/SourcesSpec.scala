@@ -1565,6 +1565,101 @@ class SourcesSpec extends SparkTestBase {
       .head.getLong(0) === 250L)
   }
 
+  test("merge-on-read DML: a 1-row DELETE rewrites zero data segments") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.mor_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.mor_t (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_cat.db.mor_t SELECT id, id * 2 FROM range(0, 1000)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    def segs() = cat.segTable("db.mor_t").currentSegs
+    val before = segs().map(_.file).toSet
+    val vBefore = cat.segTable("db.mor_t").currentVersion
+
+    // the headline claim: a 1-row DELETE writes a DV sidecar, not data
+    spark.sql("DELETE FROM graft_cat.db.mor_t WHERE id = 7")
+    assert(segs().map(_.file).toSet === before,
+      "merge-on-read DELETE must not rewrite or drop any data segment")
+    assert(segs().map(_.dv.map(_.ndel).getOrElse(0L)).sum === 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_t")
+      .head.getLong(0) === 999L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_t WHERE id = 7")
+      .head.getLong(0) === 0L)
+
+    // second delete UNIONS into the vector (idempotent, still no rewrite)
+    spark.sql("DELETE FROM graft_cat.db.mor_t WHERE id IN (7, 8, 9)")
+    assert(segs().map(_.file).toSet === before)
+    assert(segs().map(_.dv.map(_.ndel).getOrElse(0L)).sum === 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_t")
+      .head.getLong(0) === 997L)
+
+    // merge-on-read UPDATE: old position joins the DV, new row lands in
+    // a fresh segment — the original files all survive
+    spark.sql("UPDATE graft_cat.db.mor_t SET v = -5 WHERE id = 10")
+    assert(before.subsetOf(segs().map(_.file).toSet))
+    assert(spark.sql("SELECT v FROM graft_cat.db.mor_t WHERE id = 10")
+      .head.getLong(0) === -5L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_t")
+      .head.getLong(0) === 997L)
+
+    // time travel crosses the DVs: the pre-delete snapshot is intact
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft_cat.db.mor_t VERSION AS OF $vBefore")
+      .head.getLong(0) === 1000L)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft_cat.db.mor_t VERSION AS OF $vBefore " +
+        "WHERE id = 7").head.getLong(0) === 1L)
+
+    // COUNT(*) still answers from the manifest (live rows, no scan)
+    val agg = spark.sql("SELECT COUNT(*) AS n FROM graft_cat.db.mor_t")
+    assert(agg.queryExecution.executedPlan.toString.contains("MANIFEST-AGG"))
+    assert(agg.head.getLong(0) === 997L)
+    // ...but MIN/MAX decline the manifest answer (a deleted row could
+    // have held the extremum) and scan exactly
+    spark.sql("DELETE FROM graft_cat.db.mor_t WHERE id = 999")
+    val mx = spark.sql("SELECT MAX(id) AS m FROM graft_cat.db.mor_t")
+    assert(!mx.queryExecution.executedPlan.toString.contains("MANIFEST-AGG"))
+    assert(mx.head.getLong(0) === 998L)
+
+    // compaction PURGES the vectors: data survives, dvs disappear
+    spark.sql("CALL graft_cat.system.compact('db.mor_t', 1000000)").collect()
+    assert(segs().forall(_.dv.isEmpty), "compaction must purge DVs")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_t")
+      .head.getLong(0) === 996L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_t WHERE id IN (7,8,9,999)")
+      .head.getLong(0) === 0L)
+    assert(spark.sql("SELECT v FROM graft_cat.db.mor_t WHERE id = 10")
+      .head.getLong(0) === -5L)
+  }
+
+  test("metadata columns: _file/_pos queryable and stable under deletes") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.meta_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.meta_t (id BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.db.meta_t SELECT id FROM range(0, 100)")
+    val rows = spark.sql(
+      "SELECT id, _file, _pos FROM graft_cat.db.meta_t ORDER BY _file, _pos")
+      .collect()
+    assert(rows.length === 100)
+    // positions are dense 0..n-1 within each file before any delete
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).toSeq === rs.indices.map(_.toLong))
+    }
+    // _pos is PHYSICAL: deleting a row leaves survivors' positions fixed
+    val posOf42 = rows.find(_.getLong(0) == 42L).get.getLong(2)
+    spark.sql("DELETE FROM graft_cat.db.meta_t WHERE id = 41")
+    val after = spark.sql(
+      "SELECT _pos FROM graft_cat.db.meta_t WHERE id = 42").head.getLong(0)
+    assert(after === posOf42, "physical positions must not shift under a DV")
+    // hidden from SELECT *
+    assert(spark.table("graft_cat.db.meta_t").columns.toSeq === Seq("id"))
+  }
+
   test("spec evolution on a branch: isolated routing, adopted by fast-forward") {
     // evolve_spec targets any log: evolving the BRANCH re-routes only
     // branch writes; fast_forward adopts the branch's spec with its data
@@ -1622,6 +1717,22 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.length === 11)
     assert(rows.take(10).forall(_.getLong(1) === 5L), "exists-default lost")
     assert(rows.last.getLong(0) === 100L && rows.last.getLong(1) === 7L)
+  }
+
+  test("merge-on-read lifecycle query matches its oracle shape (q163)") {
+    val rows = ops.SemiStructured.q163MergeOnRead(spark, sf).collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val all = (0L until 2000L)
+    val mor = all.filter(_ % 100 != 7)
+      .map(id => if (id % 100 == 13) v(id) + 100000L else v(id))
+    val byPhase = rows.map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // zero data segments rewritten by the DML; 40 rows vectored
+    assert(byPhase("t0_witness") === ((0L, 40L)))
+    assert(byPhase("t1_preDml") === ((2000L, all.map(v).sum)))
+    assert(byPhase("t2_mor") === ((1980L, mor.sum)))
+    // compaction purged the vectors without changing a single value
+    assert(byPhase("t3_compacted") === byPhase("t2_mor"))
   }
 
   test("branches: isolation, fast-forward, divergence refusal, GC safety (q162)") {
