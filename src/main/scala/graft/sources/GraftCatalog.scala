@@ -2386,6 +2386,11 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     // driver; missing columns in old segments read as these constants
     val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
     val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
+    // vectorized read when every projected type decodes into a column
+    // vector (Spark requires the verdict to be UNIFORM across a scan's
+    // partitions, so it is a per-scan property)
+    val columnar = SegColumnar.enabled &&
+      required.fields.forall(f => SegColumnar.supports(f.dataType))
     ss.toArray.map { s =>
       // metadata columns (_file/_pos) resolve to sentinels — a DATA
       // column of the same name shadows them, matching Spark's rule
@@ -2397,7 +2402,7 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
       }
       val p = SegPartition(dir.resolve(s.file).toString, s.colIds.length,
         required, segIdx, defaults, s.file,
-        s.dv.map(d => dir.resolve(d.file).toString))
+        s.dv.map(d => dir.resolve(d.file).toString), columnar)
       // carry the partition key when known so Spark can group per key
       // (required of EVERY partition for a KeyGroupedPartitioning report)
       segKey(s).fold(p: InputPartition)(KeyedSegPartition(p, _))
@@ -2488,8 +2493,161 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
   override def createReaderFactory(): PartitionReaderFactory = SegReaderFactory
 }
 
+/** VECTORIZED segment read path. The row path pays per-row costs on a
+  * scan's hot loop: a buffered stream read, an `UnsafeRow.pointTo`, and
+  * an `UnsafeProjection` copy per row. The columnar reader instead reads
+  * the segment ONCE into memory, walks the length-prefixed rows in
+  * place (zero-copy `pointTo` into the file bytes), and transposes the
+  * projected fields into `OnHeapColumnVector`s, 4096 rows per
+  * `ColumnarBatch` — the same structure Spark's vectorized parquet
+  * reader hands to `ColumnarToRow`, whose codegen'd consumption is what
+  * makes the swap profitable. Deletion vectors, `_file`/`_pos` metadata
+  * and existence defaults all apply in-loop. Kill switch:
+  * `spark.graft.columnar.enabled=false` falls back to the row reader
+  * (also taken automatically when a projected type has no vector
+  * decoder — nested/decimal types). */
+object SegColumnar {
+  val BatchRows = 4096
+  val ConfKey = "spark.graft.columnar.enabled"
+
+  def enabled: Boolean =
+    SparkSession.active.conf.get(ConfKey, "true") == "true"
+
+  def supports(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType | StringType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType => true
+    case _ => false
+  }
+
+  def createReader(p: SegPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      import org.apache.spark.sql.types._
+      private val bytes = Files.readAllBytes(Paths.get(p.file))
+      require(java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt == SegStore.Magic,
+        s"bad segment ${p.file}")
+      private val headerLen = 8 + 4 * p.segArity
+      private var offset = headerLen
+      private val vectors =
+        OnHeapColumnVector.allocateColumns(BatchRows, p.required)
+      private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+        vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+      private val segRow = new UnsafeRow(p.segArity)
+      private val fileBytes =
+        p.segName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      private val delPos: Array[Long] =
+        p.dvFile.map(f => SegDv.read(Paths.get(f))).getOrElse(Array.empty)
+      private var delPtr = 0
+      private var pos = -1L
+
+      // per-field fill closure: (vector row index) => write from segRow/meta
+      private val fills: Array[Int => Unit] =
+        p.required.fields.zipWithIndex.map { case (f, i) =>
+          val vec = vectors(i)
+          p.segIdx(i) match {
+            case SegMeta.PosIdx => (n: Int) => vec.putLong(n, pos)
+            case SegMeta.FileIdx =>
+              (n: Int) => { vec.putByteArray(n, fileBytes); () }
+            case idx if idx >= 0 => f.dataType match {
+              case LongType | TimestampType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else vec.putLong(n, segRow.getLong(idx))
+              case IntegerType | DateType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else vec.putInt(n, segRow.getInt(idx))
+              case DoubleType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else vec.putDouble(n, segRow.getDouble(idx))
+              case FloatType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else vec.putFloat(n, segRow.getFloat(idx))
+              case BooleanType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else vec.putBoolean(n, segRow.getBoolean(idx))
+              case ShortType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else vec.putShort(n, segRow.getShort(idx))
+              case ByteType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else vec.putByte(n, segRow.getByte(idx))
+              case StringType => (n: Int) =>
+                if (segRow.isNullAt(idx)) vec.putNull(n)
+                else {
+                  val u = segRow.getUTF8String(idx)
+                  vec.putByteArray(n, u.getBytes)
+                }
+              case other => throw new IllegalStateException(
+                s"unsupported columnar type $other") // guarded by supports()
+            }
+            case _ => // absent column: existence default, a constant
+              p.defaults(i) match {
+                case null => (n: Int) => vec.putNull(n)
+                case l: java.lang.Long => (n: Int) => vec.putLong(n, l)
+                case iv: java.lang.Integer => (n: Int) => vec.putInt(n, iv)
+                case d: java.lang.Double => (n: Int) => vec.putDouble(n, d)
+                case fl: java.lang.Float => (n: Int) => vec.putFloat(n, fl)
+                case b: java.lang.Boolean => (n: Int) => vec.putBoolean(n, b)
+                case sh: java.lang.Short => (n: Int) => vec.putShort(n, sh)
+                case by: java.lang.Byte => (n: Int) => vec.putByte(n, by)
+                case u: org.apache.spark.unsafe.types.UTF8String =>
+                  val ub = u.getBytes
+                  (n: Int) => { vec.putByteArray(n, ub); () }
+                case other => throw new IllegalStateException(
+                  s"unsupported columnar default $other")
+              }
+          }
+        }
+
+      private def readLen(): Int =
+        java.nio.ByteBuffer.wrap(bytes, offset, 4).getInt
+
+      override def next(): Boolean = {
+        vectors.foreach(_.reset())
+        var n = 0
+        var len = readLen()
+        while (n < BatchRows && len >= 0) {
+          offset += 4
+          pos += 1
+          if (delPtr < delPos.length && delPos(delPtr) == pos) delPtr += 1
+          else {
+            segRow.pointTo(bytes,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offset, len)
+            var i = 0
+            while (i < fills.length) { fills(i)(n); i += 1 }
+            n += 1
+          }
+          offset += len
+          len = readLen()
+        }
+        batch.setNumRows(n)
+        n > 0
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+}
+
 /** Executor-side segment reader (shared by batch and streaming reads). */
 object SegReaderFactory extends PartitionReaderFactory {
+  private def segOf(partition: InputPartition): SegPartition =
+    partition match {
+      case k: KeyedSegPartition => k.seg
+      case s: SegPartition => s
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    segOf(partition).columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    SegColumnar.createReader(segOf(partition))
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition match {
         case k: KeyedSegPartition => k.seg
@@ -2595,7 +2753,8 @@ object SegMeta {
 
 case class SegPartition(file: String, segArity: Int, required: StructType,
     segIdx: Array[Int], defaults: Array[Any], segName: String = "",
-    dvFile: Option[String] = None) extends InputPartition
+    dvFile: Option[String] = None, columnar: Boolean = false)
+    extends InputPartition
 
 /** A segment split carrying its bucket value — what lets Spark group a
   * bucket-partitioned scan's splits per bucket for storage-partitioned

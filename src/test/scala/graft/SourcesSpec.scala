@@ -1719,6 +1719,44 @@ class SourcesSpec extends SparkTestBase {
     assert(rows.last.getLong(0) === 100L && rows.last.getLong(1) === 7L)
   }
 
+  test("columnar read path: vectorized batches, identical results, DV-aware") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.col_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.col_t (id BIGINT, s STRING, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_cat.db.col_t
+        |SELECT id, CASE WHEN id % 7 = 0 THEN NULL ELSE concat('s', id) END,
+        |  id * 3 FROM range(0, 5000)""".stripMargin)
+    spark.sql("DELETE FROM graft_cat.db.col_t WHERE id % 500 = 3") // DV path
+    spark.sql("ALTER TABLE graft_cat.db.col_t ADD COLUMN d BIGINT DEFAULT 9")
+    val q = "SELECT id, s, v, d FROM graft_cat.db.col_t ORDER BY id"
+    // AQE finalizes the plan at execution: collect first, then inspect
+    // only the final-plan prefix (before the "== Initial Plan ==" echo)
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val on = spark.sql(q)
+    val onRows = on.collect().map(_.toSeq).toSeq
+    assert(finalPlan(on).contains("ColumnarToRow"),
+      "catalog scan did not vectorize:\n" + finalPlan(on))
+    spark.conf.set(graft.sources.SegColumnar.ConfKey, "false")
+    try {
+      val off = spark.sql(q)
+      assert(off.collect().map(_.toSeq).toSeq === onRows,
+        "columnar and row reads must be value-identical")
+      assert(!finalPlan(off).contains("ColumnarToRow"))
+    } finally spark.conf.set(graft.sources.SegColumnar.ConfKey, "true")
+    assert(onRows.length === 4990)
+    assert(onRows.forall(_.last == 9L), "existence default lost in columnar read")
+    // metadata columns still route through the columnar fills
+    assert(spark.sql(
+      "SELECT COUNT(DISTINCT _file) FROM graft_cat.db.col_t WHERE _pos >= 0")
+      .head.getLong(0) >= 1L)
+  }
+
   test("merge-on-read lifecycle query matches its oracle shape (q163)") {
     val rows = ops.SemiStructured.q163MergeOnRead(spark, sf).collect()
     def v(id: Long) = (id * 2654435761L) % 1000L
