@@ -1527,6 +1527,56 @@ object SemiStructured {
          |ORDER BY phase""".stripMargin)
   }
 
+  /** q164 — `CALL system.cherry_pick`: adopt a branch's commits onto an
+    * ADVANCED main — the divergence case fast_forward (q162) refuses —
+    * legal exactly when branch and main touched DISJOINT segment sets
+    * since the fork ([[graft.sources.SegTable.cherryPick]]). The lane
+    * leg proves the standing-ingestion workflow survives main moving on
+    * its own (both writers publish, zero data copied); the refusal leg
+    * proves a REAL conflict (both sides deleting from the same base
+    * segments) is refused loudly rather than silently resurrecting or
+    * double-deleting rows. */
+  val q164CherryPick: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cp_q")
+    s.sql("CREATE TABLE graft_cat.db.cp_q (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2500").option("parts", "2").load()
+      .createOrReplaceTempView("graft_seq_cp")
+    s.sql("INSERT INTO graft_cat.db.cp_q SELECT id, v FROM graft_seq_cp WHERE id < 1000")
+    s.sql("CALL graft_cat.system.branch('db.cp_q', 'lane')") // forks at v1
+    s.sql(
+      """INSERT INTO graft_cat.db.cp_q.branch_lane
+        |SELECT id, v FROM graft_seq_cp WHERE id >= 1000 AND id < 1500""".stripMargin)
+    // main advances on its own — fast_forward would now refuse
+    s.sql(
+      "INSERT INTO graft_cat.db.cp_q SELECT id, v FROM graft_seq_cp WHERE id >= 2000")
+    val pick = s.sql("CALL graft_cat.system.cherry_pick('db.cp_q', 'lane')").head
+    val (mainV, picked) = (pick.getLong(pick.fieldIndex("main_version")),
+      pick.getLong(pick.fieldIndex("commits_picked")))
+    // conflict probe: both sides delete from the SAME base segments
+    s.sql("CALL graft_cat.system.branch('db.cp_q', 'cfl')")
+    s.sql("DELETE FROM graft_cat.db.cp_q.branch_cfl WHERE id < 100")
+    s.sql("DELETE FROM graft_cat.db.cp_q WHERE id < 50")
+    val refused =
+      try { s.sql("CALL graft_cat.system.cherry_pick('db.cp_q', 'cfl')").collect(); 0L }
+      catch {
+        case e: Exception
+            if Option(e.getMessage).exists(_.contains("cherry-pick")) ||
+              Option(e.getCause).flatMap(c => Option(c.getMessage))
+                .exists(_.contains("cherry-pick")) => 1L
+      }
+    s.sql(
+      s"""SELECT leg, n, v_sum FROM (
+         |  SELECT 'merged' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+         |  FROM graft_cat.db.cp_q VERSION AS OF $mainV
+         |  UNION ALL
+         |  SELECT 'picked', CAST($picked AS BIGINT), CAST($mainV AS BIGINT)
+         |  UNION ALL
+         |  SELECT 'refused', CAST($refused AS BIGINT), CAST(1 AS BIGINT))
+         |ORDER BY leg""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1929,6 +1979,7 @@ object SemiStructured {
     "q161_evolve_spec" -> q161EvolveSpec,
     "q162_branch_merge" -> q162BranchMerge,
     "q163_merge_on_read" -> q163MergeOnRead,
+    "q164_cherry_pick" -> q164CherryPick,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -2180,6 +2231,21 @@ object SemiStructured {
     // branch isolation: main_v1 = batch A; the branch pipeline = A + B
     // minus the deleted tail; merged == branch; ff merged 2 commits and
     // main landed at v2
+    // cherry-pick onto a diverged main: merged = base + lane + main's
+    // own insert (versions: create 0, insert 1 = fork, main insert 2,
+    // pick 3 → picked 1 commit); the overlap probe must refuse (1)
+    "q164_cherry_pick" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2500) r)
+        |SELECT leg, n, v_sum FROM (
+        |  SELECT 'merged' AS leg, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS v_sum
+        |  FROM seq WHERE id < 1500 OR id >= 2000
+        |  UNION ALL
+        |  SELECT 'picked', CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'refused', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+        |ORDER BY leg""".stripMargin,
     // merge-on-read: the witness leg is the design claim (0 segments
     // rewritten, 40 rows vectored = 20 deleted + 20 update-deleted);
     // t2 (DV-applied read) and t3 (post-compaction) are value-identical

@@ -153,6 +153,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "evolve_spec"),
       Identifier.of(namespace, "branch"),
       Identifier.of(namespace, "fast_forward"),
+      Identifier.of(namespace, "cherry_pick"),
       Identifier.of(namespace, "drop_branch"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -167,11 +168,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "evolve_spec" => new EvolveSpecProcedure(this)
       case "branch" => new BranchProcedure(this)
       case "fast_forward" => new FastForwardProcedure(this)
+      case "cherry_pick" => new CherryPickProcedure(this)
       case "drop_branch" => new DropBranchProcedure(this)
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure `$other` (available: " +
           "compact, expire_versions, vacuum, clone, zorder, tag, rollback, " +
-          "evolve_spec, branch, fast_forward, drop_branch)")
+          "evolve_spec, branch, fast_forward, cherry_pick, drop_branch)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -1754,6 +1756,91 @@ class SegTable private (ident: String, dir: Path,
       }
     }
     (cur.v, bHead.v, merged)
+  }
+
+  /** Cherry-pick branch `name`'s commits onto an ADVANCED main (`CALL
+    * system.cherry_pick`) — the divergence case [[fastForward]] refuses.
+    * Safe exactly when the two histories touched DISJOINT segment sets
+    * since the fork: the branch's delta (segments added, removed, or
+    * re-vectored relative to the fork version) must not intersect
+    * main's own delta. Adoption is then pure manifest arithmetic —
+    * apply the branch's removals and dv changes, append its additions
+    * on top of main's head; no data bytes move, and the disjointness
+    * check re-runs inside publish so a rebase re-validates against the
+    * winner. Refusals: fork version expired from main's history (delta
+    * unknowable), branch changed schema/spec (structural commits don't
+    * commute), overlapping touch sets (a real conflict — rebase by
+    * hand). The 100 TB story: two ingestion lanes and a hotfix branch
+    * land commits concurrently with main's own writes; each publishes
+    * with one metadata commit as long as they touch different segments.
+    * Returns (new main version, branch head version, commits picked). */
+  private[graft] def cherryPick(name: String): (Long, Long, Long) = {
+    require(log == SegStore.MetaFile,
+      s"$ident: cherry_pick targets the main table")
+    val lf = SegStore.branchLog(name)
+    if (!Files.exists(dir.resolve(lf)))
+      throw new IllegalArgumentException(s"$ident: no branch `$name`")
+    synchronized { versions = SegStore.readVersions(dir, log) }
+    val bvs = SegStore.readVersions(dir, lf)
+    val bHead = bvs.last
+    val fork = bHead.props.get(SegBranch.ForkKey).map(_.toLong)
+      .getOrElse(bvs.head.v)
+    val seedV = bHead.props.get(SegBranch.SeedKey).map(_.toLong)
+      .getOrElse(bvs.head.v)
+    val picked = bHead.v - seedV
+    if (picked > 0) {
+      val forkState = versions.find(_.v == fork).getOrElse(
+        throw new IllegalStateException(
+          s"$ident: cherry-pick of `$name` needs main's fork version " +
+            s"$fork, which history expiry removed — re-fork the branch"))
+      require(bHead.schema.json == forkState.schema.json &&
+          bHead.colIds.sameElements(forkState.colIds) &&
+          bHead.partCol == forkState.partCol,
+        s"$ident: branch `$name` changed schema or partition spec; " +
+          "cherry-pick moves data commits only")
+      def refMap(v: SegVersion): Map[String, Option[String]] =
+        v.segs.map(s => s.file -> s.dv.map(_.file)).toMap
+      val forkRefs = refMap(forkState)
+      val bRefs = refMap(bHead)
+      val bAdded = bHead.segs.filterNot(s => forkRefs.contains(s.file))
+      val bRemoved = forkRefs.keySet -- bRefs.keySet
+      val bChanged = bRefs.collect {
+        case (f, d) if forkRefs.get(f).exists(_ != d) => f
+      }.toSet
+      val bTouched = bAdded.map(_.file).toSet ++ bRemoved ++ bChanged
+      val bByFile = bHead.segs.map(s => s.file -> s).toMap
+      publish(v => {
+        val curRefs = refMap(v)
+        val mTouched =
+          v.segs.filterNot(s => forkRefs.contains(s.file)).map(_.file).toSet ++
+            (forkRefs.keySet -- curRefs.keySet) ++
+            curRefs.collect {
+              case (f, d) if forkRefs.get(f).exists(_ != d) => f
+            }
+        val overlap = bTouched intersect mTouched
+        if (overlap.nonEmpty)
+          throw new IllegalStateException(
+            s"$ident: cannot cherry-pick `$name` — branch and main both " +
+              s"touched ${overlap.take(3).mkString(", ")} since fork " +
+              s"v$fork (conflict; rebase manually)")
+        v.copy(segs =
+          v.segs.filterNot(s => bRemoved(s.file))
+            .map(s => if (bChanged(s.file)) s.copy(dv = bByFile(s.file).dv)
+              else s) ++ bAdded)
+      }, op = "cherrypick")
+      // re-seed as a fresh lane at the new main head (fast_forward's
+      // discipline). The carry-fork-forward retry does NOT apply here: a
+      // branch commit racing this window is based on a state main never
+      // adopted wholesale, so the old fork stands and the next merge
+      // attempt refuses — nothing is lost, the lane re-forks.
+      val newMain = cur
+      val reseedV = bHead.v + 1
+      SegStore.rewriteVersionsIfHead(dir, lf, bHead.v,
+        Seq(newMain.copy(v = reseedV, op = "branch",
+          props = newMain.props + (SegBranch.ForkKey -> newMain.v.toString)
+            + (SegBranch.SeedKey -> reseedV.toString))))
+    }
+    (cur.v, bHead.v, picked)
   }
 
   /** Drop branch `name`'s log. Segment files only the branch referenced
@@ -3686,6 +3773,33 @@ class FastForwardProcedure(catalog: GraftCatalog) extends UnboundProcedure {
 /** `CALL graft_cat.system.drop_branch('db.t', 'dev')` — delete the
   * branch's log; branch-only segment files become vacuum-reclaimable
   * orphans ([[SegTable.dropBranch]]). */
+class CherryPickProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "cherry_pick"
+  override def description(): String =
+    "adopt a branch's commits onto an advanced main when their touched " +
+      "segment sets are disjoint (metadata-only); refuses on overlap"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "cherry_pick"
+    override def description(): String = CherryPickProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val nm = input.getUTF8String(1).toString
+      val (mainV, branchV, picked) = catalog.segTable(tbl).cherryPick(nm)
+      catalog.invalidateBranchHandle(tbl, nm)
+      val schema = StructType(Seq(
+        StructField("main_version", LongType, nullable = false),
+        StructField("branch_version", LongType, nullable = false),
+        StructField("commits_picked", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](new ProcResultScan(schema,
+        new GenericInternalRow(Array[Any](mainV, branchV, picked)))).iterator()
+    }
+  }
+}
+
 class DropBranchProcedure(catalog: GraftCatalog) extends UnboundProcedure {
   override def name(): String = "drop_branch"
   override def description(): String =

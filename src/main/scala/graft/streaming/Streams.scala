@@ -1409,6 +1409,99 @@ object Streams {
         |FROM graft_cat.db.cdc_t GROUP BY 1 ORDER BY band""".stripMargin)
   }
 
+  /** One CDC changelog micro-batch applied onto the merge-on-read table
+    * (shared with the replay-idempotence spec). The apply discipline:
+    * LAST-WRITER-WINS dedup per key first — a changelog batch may carry
+    * several changes for one id and MERGE requires a unique source key —
+    * then one MERGE whose DELETE branch expresses the equality delete
+    * (key-addressed, position-free; [[graft.sources.SegDeltaOperation]]
+    * resolves it to positional vectors at commit). Replaying a batch is
+    * a no-op by merge algebra: an upsert re-applies the same values, a
+    * delete of an absent key matches nothing. */
+  private[graft] def applyCdcMorBatch(batch: DataFrame): Unit = {
+    graft.ops.ensureGraftCatalog(batch.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("seq").desc)
+    batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .createOrReplaceTempView("graft_cdc_mor_batch")
+    batch.sparkSession.sql(
+      """MERGE INTO graft_cat.db.cdc_mor t
+        |USING graft_cdc_mor_batch u ON t.id = u.id
+        |WHEN MATCHED AND u.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = u.v, ver = u.ver
+        |WHEN NOT MATCHED AND u.op <> 'D' THEN
+        |  INSERT (id, v, ver) VALUES (u.id, u.v, u.ver)""".stripMargin)
+    ()
+  }
+
+  /** ext123 — streaming CDC upsert+delete apply with EQUALITY-DELETE
+    * semantics onto a merge-on-read catalog table: the row-level twin of
+    * ext58's copy-on-write MERGE. A keyed changelog (op = U upsert /
+    * D delete, seq-ordered) streams in file-per-trigger micro-batches;
+    * each batch dedups last-writer-wins per key and MERGEs — deletes by
+    * KEY (the Iceberg equality-delete contract), which the delta write
+    * turns into positional deletion vectors, so applying a batch costs
+    * the batch + KB sidecars, never a segment-group rewrite. The oracle
+    * is the batch reduction of the same log (final value per key, delete
+    * wins when last); the b2 batch carries TWO changes for ids 100..199
+    * to pin the dedup, and re-upserts keys b1 deleted to pin
+    * insert-after-delete across a live vector. */
+  val streamCdcUpsertMor: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_mor")
+    s.sql(
+      """CREATE TABLE graft_cat.db.cdc_mor (id BIGINT, v BIGINT, ver BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    val dir = scratchDir(s, "stream_cdc_mor")
+    deleteRec(Paths.get(dir))
+    val seq0 = s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("parts", "2").load()
+    // b0: initial image — an upsert per id 0..999
+    val b0 = seq0.select(col("id").as("seq"), col("id"), lit("U").as("op"),
+      col("v"), lit(1L).as("ver"))
+    // b1: ids 0..499 — even ids update (+10000), odd ids DELETE
+    val b1 = seq0.filter(col("id") < 500).select(
+      (col("id") + 1000).as("seq"), col("id"),
+      when(col("id") % 2 === 0, lit("U")).otherwise(lit("D")).as("op"),
+      (col("v") + 10000).as("v"), lit(2L).as("ver"))
+    // b2: ids 100..399 re-upsert (+20000, ver 3) — including the odd ids
+    // b1 deleted — plus a SECOND change for ids 100..199 (+30000, ver 4)
+    val b2 = seq0.filter(col("id") >= 100 && col("id") < 400).select(
+      (col("id") + 1400).as("seq"), col("id"), lit("U").as("op"),
+      (col("v") + 20000).as("v"), lit(3L).as("ver"))
+      .unionAll(seq0.filter(col("id") >= 100 && col("id") < 200).select(
+        (col("id") + 1700).as("seq"), col("id"), lit("U").as("op"),
+        (col("v") + 30000).as("v"), lit(4L).as("ver")))
+    val now = System.currentTimeMillis()
+    copyAs(stagedOnce(s, d, "cdcm_b0", "json")(b0),
+      Paths.get(s"$dir/in/b0.json"), now - 90000)
+    copyAs(stagedOnce(s, d, "cdcm_b1", "json")(b1),
+      Paths.get(s"$dir/in/b1.json"), now - 60000)
+    copyAs(stagedOnce(s, d, "cdcm_b2", "json")(b2),
+      Paths.get(s"$dir/in/b2.json"), now - 30000)
+    val logSchema = StructType(Seq(StructField("seq", LongType),
+      StructField("id", LongType), StructField("op", StringType),
+      StructField("v", LongType), StructField("ver", LongType)))
+    withStreamShuffle(s) {
+      val query = s.readStream.schema(logSchema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$dir/in")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          applyCdcMorBatch(batch)
+        }
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    s.sql("REFRESH TABLE graft_cat.db.cdc_mor")
+    s.sql(
+      """SELECT id DIV 100 AS band, COUNT(*) AS n, SUM(v) AS v_sum,
+        |  SUM(ver) AS ver_sum
+        |FROM graft_cat.db.cdc_mor GROUP BY 1 ORDER BY band""".stripMargin)
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -1516,6 +1609,7 @@ object Streams {
     "ext53_trigger_available_now" -> availableNowDrain,
     "ext55_stream_static_join" -> streamStaticJoin,
     "ext58_stream_merge_catalog" -> streamMergeCatalog,
+    "ext123_stream_cdc_upsert_mor" -> streamCdcUpsertMor,
     "ext82_stream_transform_state" -> transformWithStateSeq,
     "ext100_stream_bitmap_distinct" -> streamBitmapDistinct,
     "ext88_stream_timer_sessions" -> timerSessions,
@@ -1714,6 +1808,30 @@ object Streams {
         |FROM t GROUP BY 1 ORDER BY g""".stripMargin,
     // batch 0 inserts ids 0..999 (ver 1); batch 1 upserts 500..1499
     // (ver 2, v+1) — update-wins on the overlap, insert on the rest
+    // batch reduction of the seq-ordered changelog: per id the LAST
+    // change wins (delete → absent); bands pin every region — 0..99
+    // even-updated/odd-deleted, 100..199 ver-4 dedup winner, 200..399
+    // ver-3 re-upserts (incl. insert-after-delete), 400..499 as 0..99,
+    // 500..999 untouched initial image
+    "ext123_stream_cdc_upsert_mor" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(1000) r),
+        |fin AS (
+        |  SELECT id,
+        |    CASE WHEN id < 100 THEN v + 10000
+        |         WHEN id < 200 THEN v + 30000
+        |         WHEN id < 400 THEN v + 20000
+        |         WHEN id < 500 THEN v + 10000
+        |         ELSE v END AS v,
+        |    CASE WHEN id < 100 THEN 2 WHEN id < 200 THEN 4
+        |         WHEN id < 400 THEN 3 WHEN id < 500 THEN 2
+        |         ELSE 1 END AS ver
+        |  FROM seq
+        |  WHERE NOT (id % 2 = 1 AND (id < 100 OR (id >= 400 AND id < 500))))
+        |SELECT id // 100 AS band, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS v_sum, CAST(SUM(ver) AS BIGINT) AS ver_sum
+        |FROM fin GROUP BY 1 ORDER BY band""".stripMargin,
     "ext58_stream_merge_catalog" ->
       """WITH t AS (
         |  SELECT r.range AS id,

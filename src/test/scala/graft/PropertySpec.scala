@@ -267,6 +267,7 @@ class PropertySpec extends SparkTestBase {
     case class InsMain(rows: List[(Long, Long)]) extends Op
     case class InsBr(rows: List[(Long, Long)]) extends Op
     case class DelBr(lo: Long, hi: Long) extends Op
+    case class DelMain(lo: Long, hi: Long) extends Op
     case class UpdBr(lo: Long, hi: Long, bump: Long) extends Op
     case object CompactBr extends Op
     case object FfRefork extends Op
@@ -276,19 +277,34 @@ class PropertySpec extends SparkTestBase {
     val genInsB: Gen[Op] = Gen.nonEmptyListOf(genRow).map(l => InsBr(l.take(30)))
     val genDelB: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 200L))
       .map { case (lo, w) => DelBr(lo, lo + w) }
+    val genDelM: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 120L))
+      .map { case (lo, w) => DelMain(lo, lo + w) }
     val genUpdB: Gen[Op] = Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 150L),
       Gen.chooseNum(1L, 50L)).map { case (lo, w, b) => UpdBr(lo, lo + w, b) }
     val genOp: Gen[Op] = Gen.frequency(3 -> genInsM, 4 -> genInsB,
-      2 -> genDelB, 2 -> genUpdB, 1 -> Gen.const(CompactBr),
+      2 -> genDelB, 1 -> genDelM, 2 -> genUpdB, 1 -> Gen.const(CompactBr),
       3 -> Gen.const(FfRefork))
 
     def scan(t: String): Seq[(Long, Long)] =
       spark.sql(s"SELECT id, v FROM $t").collect()
         .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
 
+    // multiset subtraction: a − b keeping duplicates (row models carry
+    // duplicate (id, v) pairs by construction)
+    def msub(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val cnt = scala.collection.mutable.Map.empty[(Long, Long), Int]
+        .withDefaultValue(0)
+      b.foreach(r => cnt(r) += 1)
+      a.filter { r => if (cnt(r) > 0) { cnt(r) -= 1; false } else true }
+    }
+
     samples(Gen.listOfN(8, genOp), 5).zipWithIndex.foreach { case (opsSeq, i) =>
       spark.sql("DROP TABLE IF EXISTS graft_cat.db.brfz_t")
-      spark.sql("CREATE TABLE graft_cat.db.brfz_t (id BIGINT, v BIGINT)")
+      // alternate DML strategy so the fuzz covers cherry-picking dv
+      // changes (merge-on-read) as well as group rewrites (copy-on-write)
+      val props = if (i % 2 == 0)
+        " TBLPROPERTIES ('graft.dml.mode'='merge-on-read')" else ""
+      spark.sql(s"CREATE TABLE graft_cat.db.brfz_t (id BIGINT, v BIGINT)$props")
       spark.sql(
         """INSERT INTO graft_cat.db.brfz_t
           |SELECT id, id % 7 FROM range(0, 100) AS t(id)""".stripMargin)
@@ -296,6 +312,7 @@ class PropertySpec extends SparkTestBase {
       val mainRows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
       mainRows ++= (0L until 100L).map(id => (id, id % 7))
       val brRows = mainRows.clone()
+      var forkRows = mainRows.clone()
       var mainMoved = false
 
       opsSeq.foreach { op =>
@@ -329,6 +346,16 @@ class PropertySpec extends SparkTestBase {
                 if (r._1 >= lo && r._1 < hi) (r._1, r._2 + bump) else r)
               brRows.clear(); brRows ++= upd
             }
+          case DelMain(lo, hi) =>
+            // main-side DML: diverges main AND can touch the same base
+            // segments a branch op touched — the cherry-pick conflict fuel
+            if (mainRows.exists(r => r._1 >= lo && r._1 < hi)) {
+              spark.sql(
+                s"DELETE FROM graft_cat.db.brfz_t WHERE id >= $lo AND id < $hi")
+              val keep = mainRows.filterNot(r => r._1 >= lo && r._1 < hi)
+              mainRows.clear(); mainRows ++= keep
+              mainMoved = true
+            }
           case CompactBr =>
             spark.sql("CALL graft_cat.system.compact('db.brfz_t.branch_fz', 1048576)")
           case FfRefork =>
@@ -355,11 +382,36 @@ class PropertySpec extends SparkTestBase {
               case None =>
                 assert(mainMoved,
                   s"fast-forward refused without divergence, seq#$i: $opsSeq")
+                // diverged → cherry_pick is the escalation: either it
+                // adopts the branch's delta (disjoint touch sets) and
+                // main gains exactly that multiset diff, or it refuses
+                // the conflict (both outcomes legal; silent data
+                // loss/duplication is what the model equality catches)
+                val picked =
+                  try {
+                    spark.sql(
+                      "CALL graft_cat.system.cherry_pick('db.brfz_t', 'fz')")
+                      .collect()
+                    true
+                  } catch {
+                    case e: Exception
+                        if Option(e.getMessage)
+                          .exists(_.contains("cherry-pick")) ||
+                          Option(e.getCause).flatMap(c => Option(c.getMessage))
+                            .exists(_.contains("cherry-pick")) => false
+                  }
+                if (picked) {
+                  val added = msub(brRows.toSeq, forkRows.toSeq)
+                  val removed = msub(forkRows.toSeq, brRows.toSeq)
+                  val next = msub(mainRows.toSeq, removed) ++ added
+                  mainRows.clear(); mainRows ++= next
+                }
             }
             // re-fork: abandon-or-continue from main's current head
             spark.sql("CALL graft_cat.system.drop_branch('db.brfz_t', 'fz')")
             spark.sql("CALL graft_cat.system.branch('db.brfz_t', 'fz')")
             brRows.clear(); brRows ++= mainRows
+            forkRows = mainRows.clone()
             mainMoved = false
         }
         assert(scan("graft_cat.db.brfz_t") === mainRows.sorted.toSeq,

@@ -1757,6 +1757,65 @@ class SourcesSpec extends SparkTestBase {
       .head.getLong(0) >= 1L)
   }
 
+  test("streaming CDC apply onto merge-on-read: row-level, replay-idempotent (ext123)") {
+    val rows = streaming.Streams.queries("ext123_stream_cdc_upsert_mor")(spark, sf)
+      .collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    def bump(id: Long) = id match {
+      case i if i < 100 => 10000L
+      case i if i < 200 => 30000L
+      case i if i < 400 => 20000L
+      case i if i < 500 => 10000L
+      case _ => 0L
+    }
+    def ver(id: Long) = id match {
+      case i if i < 100 => 2L
+      case i if i < 200 => 4L
+      case i if i < 400 => 3L
+      case i if i < 500 => 2L
+      case _ => 1L
+    }
+    val live = (0L until 1000L).filterNot(id =>
+      id % 2 == 1 && (id < 100 || (id >= 400 && id < 500)))
+    val exp = live.groupBy(_ / 100).toSeq.sortBy(_._1).map { case (b, ids) =>
+      (b, ids.size.toLong, ids.map(id => v(id) + bump(id)).sum,
+        ids.map(ver).sum)
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === exp)
+
+    // the row-level witness: the initial-image segments were never
+    // rewritten — deletes/updates landed as vectors + new segments
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val segs = cat.segTable("db.cdc_mor").currentSegs
+    assert(segs.exists(_.dv.nonEmpty), "CDC deletes did not use vectors")
+
+    // REPLAY IDEMPOTENCE (the ext46 discipline on the row-level path):
+    // a checkpoint-recovery re-delivery of the final batch must leave
+    // the table byte-identical — upserts re-apply equal values, deletes
+    // of absent keys match nothing
+    val before = spark.sql(
+      "SELECT * FROM graft_cat.db.cdc_mor ORDER BY id").collect().toSeq
+    val seq0 = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("parts", "2").load()
+    val b2replay = seq0.filter(col("id") >= 100 && col("id") < 400).select(
+      (col("id") + 1400).as("seq"), col("id"), lit("U").as("op"),
+      (col("v") + 20000).as("v"), lit(3L).as("ver"))
+      .unionAll(seq0.filter(col("id") >= 100 && col("id") < 200).select(
+        (col("id") + 1700).as("seq"), col("id"), lit("U").as("op"),
+        (col("v") + 30000).as("v"), lit(4L).as("ver")))
+    streaming.Streams.applyCdcMorBatch(b2replay)
+    // also replay a batch containing only deletes of already-gone keys
+    val delReplay = seq0.filter(col("id") < 100 && col("id") % 2 === 1)
+      .select((col("id") + 1000).as("seq"), col("id"), lit("D").as("op"),
+        col("v"), lit(2L).as("ver"))
+    streaming.Streams.applyCdcMorBatch(delReplay)
+    val after = spark.sql(
+      "SELECT * FROM graft_cat.db.cdc_mor ORDER BY id").collect().toSeq
+    assert(after === before, "replayed CDC batch changed the table state")
+  }
+
   test("merge-on-read lifecycle query matches its oracle shape (q163)") {
     val rows = ops.SemiStructured.q163MergeOnRead(spark, sf).collect()
     def v(id: Long) = (id * 2654435761L) % 1000L
@@ -1771,6 +1830,38 @@ class SourcesSpec extends SparkTestBase {
     assert(byPhase("t2_mor") === ((1980L, mor.sum)))
     // compaction purged the vectors without changing a single value
     assert(byPhase("t3_compacted") === byPhase("t2_mor"))
+  }
+
+  test("cherry-pick adopts disjoint branch commits onto a diverged main (q164)") {
+    val rows = ops.SemiStructured.q164CherryPick(spark, sf).collect()
+    def v(id: Long) = (id * 2654435761L) % 1000L
+    val merged = (0L until 1500L) ++ (2000L until 2500L)
+    val byLeg = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byLeg("merged") === ((merged.size.toLong, merged.map(v).sum)))
+    assert(byLeg("picked") === ((1L, 3L)))
+    assert(byLeg("refused") === ((1L, 1L)), "conflicting cherry-pick not refused")
+    // the refused pick left main intact: its own delete applied, the
+    // branch's delete did NOT leak through
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.cp_q WHERE id >= 50 AND id < 100")
+      .head.getLong(0) === 50L)
+    // the adopted lane re-seeded at the new main head: another lane
+    // commit then fast-forwards cleanly (no divergence refusal)
+    spark.sql(
+      "INSERT INTO graft_cat.db.cp_q.branch_lane SELECT id, v FROM graft_seq_cp " +
+        "WHERE id >= 1500 AND id < 1600")
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_cat.system.fast_forward('db.cp_q', 'lane')").collect())
+    // main moved again (its own DELETE) after the reseed → diverged is
+    // the correct refusal; cherry_pick handles it because the sets are
+    // disjoint
+    assert(e.getMessage.contains("diverged") ||
+      Option(e.getCause).exists(c => c.getMessage.contains("diverged")))
+    val p2 = spark.sql("CALL graft_cat.system.cherry_pick('db.cp_q', 'lane')").head
+    assert(p2.getLong(p2.fieldIndex("commits_picked")) === 1L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.cp_q WHERE id >= 1500 AND id < 1600")
+      .head.getLong(0) === 100L)
   }
 
   test("branches: isolation, fast-forward, divergence refusal, GC safety (q162)") {
