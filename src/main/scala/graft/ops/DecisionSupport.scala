@@ -756,7 +756,101 @@ object DecisionSupport {
         col("p_size"))
   }
 
+  /** q165 — TPC-DS Q67 shape (rollup + per-group window top-k): the
+    * DS-only planner surface TPC-H lacks — an Expand-fed aggregation
+    * over ROLLUP(mfgr, brand, month) followed by a rank window PER
+    * MFGR and a top-5 cut. One fact pass: Expand multiplies rows 4×
+    * map-side, the aggregate combines partially before its single
+    * exchange, and the window re-shuffles only the (tiny) aggregated
+    * rollup. Every measure is an exact BIGINT sum and the rank order is
+    * a TOTAL order (qty desc → gid → brand → month, nulls first
+    * SPELLED OUT — Spark defaults nulls first, DuckDB nulls last), so
+    * rank equals row_number and hashes are engine-stable. */
+  val rollupWindowTopK: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_type"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(split(col("p_type"), " ").getItem(0).as("cat"), col("p_brand"),
+        month(col("l_shipdate")).cast("long").as("mth"),
+        col("l_quantity").cast("long").as("q"))
+    val rolled = li.rollup(col("cat"), col("p_brand"), col("mth"))
+      .agg(sum(col("q")).as("sum_qty"), grouping_id().as("gid"))
+    val w = Window.partitionBy(col("cat"))
+      .orderBy(col("sum_qty").desc, col("gid"),
+        col("p_brand").asc_nulls_first, col("mth").asc_nulls_first)
+    rolled.withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("cat"), col("p_brand").as("brand"),
+        col("mth"), col("sum_qty"), col("gid"), col("rk"))
+      .orderBy(col("cat").asc_nulls_first, col("rk"), col("gid"),
+        col("brand").asc_nulls_first, col("mth").asc_nulls_first)
+  }
+
+  /** q166 — TPC-DS Q51 shape (two-stream cumulative full-outer): two
+    * channels of one fact (returned vs kept lineitems) each aggregate
+    * per (supplier-band, month), take a RUNNING cumulative window per
+    * band, FULL OUTER join on the (band, month) grid — the join
+    * coalesces the keys, exactly Q51's web⊕store spelling — and the
+    * final per-band reduction counts months where the return cumulative
+    * overtakes a quarter of the kept cumulative. Both windows partition
+    * by the band (bounded key space at any SF), the full outer joins
+    * two ALREADY-AGGREGATED month grids (≤ 12·bands rows), and all
+    * arithmetic is exact BIGINT. */
+  val cumulativeChannels: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(pmod(col("l_suppkey"), lit(50)).cast("long").as("k"),
+        month(col("l_shipdate")).cast("long").as("mth"),
+        col("l_quantity").cast("long").as("q"), col("l_returnflag"))
+    def monthly(f: org.apache.spark.sql.Column, cum: String) = {
+      val w = Window.partitionBy(col("k")).orderBy(col("mth"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(f).groupBy(col("k"), col("mth"))
+        .agg(sum(col("q")).as("mq"))
+        .withColumn(cum, sum(col("mq")).over(w)).drop("mq")
+    }
+    val ret = monthly(col("l_returnflag") === "R", "cum_r")
+    val kept = monthly(col("l_returnflag") =!= "R", "cum_k")
+    ret.join(kept, Seq("k", "mth"), "full_outer")
+      .groupBy(col("k"))
+      .agg(count(when(col("cum_r") * 4 > col("cum_k"), 1)).as("n_over"),
+        max(col("cum_r")).as("tot_r"), max(col("cum_k")).as("tot_k"))
+      .orderBy("k")
+  }
+
+  /** q167 — TPC-DS Q64 shape (multi-pass self-joined aggregates): the
+    * same fact aggregated in two time periods, the per-key aggregates
+    * joined to each other (cross-year comparison), filtered on growth,
+    * widened by a dim, and re-aggregated. Two fact passes each prune to
+    * (orderkey, partkey, quantity) + a year-filtered orders join; the
+    * self-join runs over |part|-bounded aggregates, not the fact; part
+    * broadcasts. All-BIGINT arithmetic keeps re-aggregation exact
+    * (doubles would lose determinism at the second sum). */
+  val crossYearGrowth: Q = (s, d) => {
+    val ord = table(s, d, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val li = table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("q"))
+    def yearAgg(y: Int, out: String) =
+      li.join(ord.filter(col("yr") === y),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey")).agg(sum(col("q")).as(out))
+    yearAgg(1996, "q96").join(yearAgg(1997, "q97"), Seq("l_partkey"))
+      .filter(col("q97") > col("q96"))
+      .join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("q96")).as("tot96"),
+        sum(col("q97")).as("tot97"))
+      .orderBy("brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q165_rollup_window_topk" -> rollupWindowTopK,
+    "q166_cumulative_channels" -> cumulativeChannels,
+    "q167_cross_year_growth" -> crossYearGrowth,
     "q149_supplier_counts" -> supplierCounts,
     "q148_promo_revenue" -> promoRevenue,
     "q147_priority_shipping" -> priorityShipping,
@@ -783,6 +877,65 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // DS Q67: ROLLUP + rank-per-mfgr top 5; gid encodings agree (SQL
+    // standard GROUPING bit order); null ordering spelled out on both
+    // sides because the engines' defaults differ
+    "q165_rollup_window_topk" ->
+      """WITH base AS (
+        |  SELECT split_part(p_type, ' ', 1) AS cat, p_brand,
+        |    CAST(month(l_shipdate) AS BIGINT) AS mth,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |rolled AS (
+        |  SELECT cat, p_brand, mth, CAST(SUM(q) AS BIGINT) AS sum_qty,
+        |    CAST(GROUPING(cat, p_brand, mth) AS BIGINT) AS gid
+        |  FROM base GROUP BY ROLLUP (cat, p_brand, mth)),
+        |ranked AS (
+        |  SELECT *, CAST(RANK() OVER (PARTITION BY cat
+        |    ORDER BY sum_qty DESC, gid, p_brand ASC NULLS FIRST,
+        |      mth ASC NULLS FIRST) AS BIGINT) AS rk
+        |  FROM rolled)
+        |SELECT cat, p_brand AS brand, mth, sum_qty, gid, rk
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY cat ASC NULLS FIRST, rk, gid, brand ASC NULLS FIRST,
+        |  mth ASC NULLS FIRST""".stripMargin,
+    // DS Q51: per-channel running cumulatives full-outer joined on the
+    // coalesced (band, month) grid, then the overtake count per band
+    "q166_cumulative_channels" ->
+      """WITH li AS (
+        |  SELECT l_suppkey % 50 AS k, CAST(month(l_shipdate) AS BIGINT) AS mth,
+        |    CAST(l_quantity AS BIGINT) AS q, l_returnflag
+        |  FROM lineitem),
+        |ret AS (
+        |  SELECT k, mth, CAST(SUM(SUM(q)) OVER (PARTITION BY k ORDER BY mth
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_r
+        |  FROM li WHERE l_returnflag = 'R' GROUP BY k, mth),
+        |kept AS (
+        |  SELECT k, mth, CAST(SUM(SUM(q)) OVER (PARTITION BY k ORDER BY mth
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_k
+        |  FROM li WHERE l_returnflag <> 'R' GROUP BY k, mth)
+        |SELECT k, CAST(SUM(CASE WHEN cum_r * 4 > cum_k THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_over,
+        |  MAX(cum_r) AS tot_r, MAX(cum_k) AS tot_k
+        |FROM ret FULL JOIN kept USING (k, mth)
+        |GROUP BY k ORDER BY k""".stripMargin,
+    // DS Q64: two yearly per-part aggregates self-joined, growth filter,
+    // dim widen, re-aggregate — all-BIGINT so the second sum is exact
+    "q167_cross_year_growth" ->
+      """WITH y96 AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q96
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |y97 AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q97
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1997 GROUP BY 1)
+        |SELECT p_brand AS brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(q96) AS BIGINT) AS tot96, CAST(SUM(q97) AS BIGINT) AS tot97
+        |FROM y96 JOIN y97 USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE q97 > q96
+        |GROUP BY 1 ORDER BY brand""".stripMargin,
     // Q3: customer kept as a join in the oracle — it contributes no
     // column, so equality also proves the semi-join rewrite is sound
     // (c_custkey is unique, so the inner join cannot multiply rows)

@@ -9,6 +9,50 @@ import graft.ops.DecisionSupport
   */
 class DecisionSupportSpec extends SparkTestBase {
 
+  test("q165 rollup + window top-k: Expand feeds one agg, window over rollup") {
+    val df = DecisionSupport.rollupWindowTopK(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("rk")) >= 1 &&
+        r.getLong(r.fieldIndex("rk")) <= 5, r)
+      assert(Set(0L, 1L, 3L, 7L)(r.getLong(r.fieldIndex("gid"))), r)
+    }
+    // every mfgr partition's ranks start at 1 (total order ⇒ dense here)
+    rows.groupBy(r => Option(r.getString(0))).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(rs.head.fieldIndex("rk"))).min === 1L)
+    }
+    // the grand-total row (gid=7) survives as its own partition's rank 1
+    assert(rows.count(_.getLong(rows.head.fieldIndex("gid")) == 7L) === 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q166 cumulative channels: full outer over aggregated month grids") {
+    val df = DecisionSupport.cumulativeChannels(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // totals are the window maxima: overtake count never exceeds months
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("n_over")) <= 12L, r))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("q167 cross-year growth: self-joined aggregates, growth preserved") {
+    val df = DecisionSupport.crossYearGrowth(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every contributing part grew, so every brand's totals grew
+    rows.foreach(r => assert(
+      r.getLong(r.fieldIndex("tot97")) > r.getLong(r.fieldIndex("tot96")), r))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q112 small-qty revenue: per-part agg broadcasts, no cartesian") {
     val df = DecisionSupport.smallQtyRevenue(spark, sf)
     val rows = df.collect()
