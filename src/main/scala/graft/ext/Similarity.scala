@@ -536,6 +536,62 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** ext124 — ADAPTIVE probe selection: the production ANN tuning loop
+    * as one declarative plan. ext95 measures recall at a FIXED probe
+    * count; the knob a deployment actually turns is "how many cells must
+    * I scan to hit my recall target" — so this entry evaluates probe ∈
+    * {1,2,3} on the validation sample (every 50th vector, ext95's set)
+    * against the exact baseline and CHOOSES the smallest probe whose
+    * mean recall@3 meets the 0.9 target (falling back to the deepest
+    * probe when none does). One candidate pass serves all three levels:
+    * each query keeps its 3 nearest cells WITH their probe position, and
+    * level p's candidate set is simply `probe_pos <= p` — the scan cost
+    * of the deepest level, not 1+2+3. Recall means are exact-integer
+    * IEEE divisions, so the ≥-target decision (and hence the chosen
+    * schedule) is engine-stable. At 100 TB this validation loop runs on
+    * the sampled queries only; the chosen probe then serves the fleet —
+    * re-run it when the corpus drifts and the schedule re-tunes itself. */
+  val adaptiveProbe: Q = (s, d) => {
+    val (a1, cents) = kmeansBuild(s, d)
+    val centsRow = broadcast(cents.groupBy()
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents")))
+    val qcells = vecs(s, d).drop("label")
+      .filter(col("vec_id") % 50 === 0)
+      .crossJoin(centsRow)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"),
+        posexplode(expr(
+          "slice(transform(array_sort(transform(cents, " +
+            "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
+            "t -> t.cid), 1, 3)")))
+      .select(col("q_id"), col("v"), col("norm"),
+        (col("pos") + 1).cast("long").as("probe_pos"), col("col").as("cell"))
+    val cand = qcells.as("q").join(a1.as("c"),
+        col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("q.probe_pos").as("probe_pos"),
+        col("c.vec_id").as("n_id"), expr("graft_cosine(q.v, c.v)").as("cosine"))
+    val levels = s.range(1, 4).select(col("id").as("p"))
+    val approx = cand.join(broadcast(levels), col("probe_pos") <= col("p"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("p", "q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("p"), col("q_id"), col("n_id"), lit(1).as("hit"))
+    val exact = bruteForceTopK(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val perProbe = exact.crossJoin(broadcast(levels))
+      .join(approx, Seq("p", "q_id", "n_id"), "left")
+      .groupBy("p")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+        count(lit(1)).as("n_gold"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_gold"))
+    perProbe
+      .withColumn("sched", coalesce(
+        min(when(col("recall") >= 0.9, col("p")))
+          .over(Window.partitionBy()), lit(3L)))
+      .select(col("p"), col("n_hits"), col("n_gold"), col("recall"),
+        when(col("p") === col("sched"), 1L).otherwise(0L).as("chosen"))
+      .orderBy("p")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext77_label_noise_knn" -> labelNoiseKnn,
     "ext108_label_noise_recall" -> labelNoiseRecall,
@@ -548,7 +604,8 @@ object Similarity {
     "ext37_sim_topk_ivf_probe2" -> kmeansIvfProbe2,
     "ext93_semantic_dedup" -> ((s, d) => semanticDedup(s, d, 0.4)),
     "ext95_ann_recall" -> annRecall,
-    "ext120_matryoshka_eval" -> matryoshkaEval)
+    "ext120_matryoshka_eval" -> matryoshkaEval,
+    "ext124_adaptive_probe" -> adaptiveProbe)
 
   private val vSql =
     """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -862,6 +919,52 @@ object Similarity {
          |FROM dom WHERE cosine > CAST(0.4 AS DOUBLE)
          |GROUP BY vec_id, cell
          |ORDER BY vec_id""".stripMargin,
+    // adaptive probe schedule: recall@3 of probe 1..3 on the learned
+    // IVF cells vs exact; chosen = smallest probe meeting 0.9 (else 3)
+    "ext124_adaptive_probe" ->
+      s"""WITH $kmeansCtesSql,
+         |qc AS (
+         |  SELECT vec_id AS q_id, v, norm, cid AS cell,
+         |    CAST(rk AS BIGINT) AS probe_pos FROM (
+         |    SELECT x.vec_id, x.v, x.norm, s.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+         |        s.cid) AS rk
+         |    FROM v x CROSS JOIN cents s WHERE x.vec_id % 50 = 0) WHERE rk <= 3),
+         |cand AS (
+         |  SELECT q.q_id, q.probe_pos, c.vec_id AS n_id,
+         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.norm) AS cosine
+         |  FROM qc q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.q_id),
+         |lv AS (SELECT CAST(p AS BIGINT) AS p FROM (VALUES (1), (2), (3)) t(p)),
+         |ap AS (
+         |  SELECT p, q_id, n_id FROM (
+         |    SELECT l.p, c.q_id, c.n_id,
+         |      row_number() OVER (PARTITION BY l.p, c.q_id
+         |        ORDER BY c.cosine DESC, c.n_id) AS rank
+         |    FROM cand c JOIN lv l ON c.probe_pos <= l.p)
+         |  WHERE rank <= 3),
+         |ex AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |        / (q.norm * c.norm) AS cosine
+         |    FROM v q JOIN v c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 50 = 0)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 3),
+         |per AS (
+         |  SELECT l.p,
+         |    CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |    COUNT(*) AS n_gold
+         |  FROM ex CROSS JOIN lv l
+         |  LEFT JOIN ap ON ap.p = l.p AND ap.q_id = ex.q_id AND ap.n_id = ex.n_id
+         |  GROUP BY l.p)
+         |SELECT p, n_hits, n_gold,
+         |  CAST(n_hits AS DOUBLE) / n_gold AS recall,
+         |  CAST(CASE WHEN p = coalesce(
+         |      MIN(CASE WHEN CAST(n_hits AS DOUBLE) / n_gold >= 0.9
+         |        THEN p END) OVER (), 3) THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM per ORDER BY p""".stripMargin,
     // recall@3 of label-cell probe-1 IVF vs the exact baseline, per query
     "ext95_ann_recall" ->
       s"""WITH $vSql,

@@ -66,6 +66,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(ivf.nonEmpty)
   }
 
+  test("ext124 adaptive probe: monotone recall, schedule meets the target") {
+    val rows = Similarity.adaptiveProbe(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val recalls = rows.map(r => r.getDouble(r.fieldIndex("recall")))
+    // scanning more cells can only add candidates: recall is monotone
+    recalls.zip(recalls.tail).foreach { case (a, b) => assert(a <= b) }
+    // exactly one probe level is chosen, and it is the SMALLEST one
+    // meeting the 0.9 target (the deepest level when none does)
+    val chosen = rows.filter(_.getLong(rows.head.fieldIndex("chosen")) == 1L)
+    assert(chosen.length === 1)
+    val cp = chosen.head.getLong(0)
+    val cRecall = chosen.head.getDouble(chosen.head.fieldIndex("recall"))
+    if (recalls.exists(_ >= 0.9)) {
+      assert(cRecall >= 0.9, s"chosen probe $cp misses the target: $cRecall")
+      rows.filter(_.getLong(0) < cp).foreach(r =>
+        assert(r.getDouble(r.fieldIndex("recall")) < 0.9,
+          s"a smaller probe already met the target, schedule picked $cp"))
+    } else assert(cp === 3L)
+  }
+
   test("semantic dedup: dominators are earlier; raising the threshold shrinks the drop list") {
     val loose = Similarity.semanticDedup(spark, sf, 0.2).collect()
     assert(loose.nonEmpty)
