@@ -68,7 +68,15 @@ object ScaleRehearsal {
     // canonical selection (components + cluster-sized windows), the
     // memorization ladder (one semi join per rung)
     "ext118_curriculum_packing", "ext121_canonical_selection",
-    "ext122_memorization_ladder")
+    "ext122_memorization_ladder",
+    // round-9 adds: the TPC-DS planner shapes — Expand-fed rollup +
+    // window top-k (fact grows K×, rollup output is hierarchy-sized),
+    // two-channel cumulative full-outer (band-bounded grids), and the
+    // two-pass cross-year self-join (|part|-bounded aggregate join).
+    // ext123/ext124 are excluded like ext46/ext95: fixed-size changelog
+    // and a by-design-quadratic exact-recall leg, respectively.
+    "q165_rollup_window_topk", "q166_cumulative_channels",
+    "q167_cross_year_growth")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -112,9 +120,45 @@ object ScaleRehearsal {
     val wbScaled = whBuild(spark, out, "/tmp/graft_scale_wh_10x")
     val wbR = wbScaled / wbBase
     println(f"""{"q":"wh_build_21_tables","base_s":$wbBase%.2f,"scaled_s":$wbScaled%.2f,"ratio":$wbR%.1f}""")
+    // round-9 probe: the merge-on-read claim at scale — a 1-row DELETE
+    // on a catalog table built from the (K×-scaled) lineitem must cost
+    // ~the same at both scales: zone/bloom pruning bounds the DML scan
+    // to the matching segment(s) and the commit writes one KB sidecar,
+    // never a segment group. Ratio ≈ 1 is the pass condition.
+    morPointDelete(spark, src, "mor_warm") // warmup (codegen, catalog)
+    val mdBase = morPointDelete(spark, src, "mor_base")
+    val mdScaled = morPointDelete(spark, out, "mor_10x")
+    val mdR = mdScaled / mdBase
+    println(f"""{"q":"mor_point_delete","base_s":$mdBase%.2f,"scaled_s":$mdScaled%.2f,"ratio":$mdR%.1f}""")
     val worst = rows.maxBy(_._4)
     println(f"""{"k":$k,"worst":"${worst._1}","worst_ratio":${worst._4}%.1f}""")
     spark.stop()
+  }
+
+  /** Build a merge-on-read catalog table from `dir`'s lineitem (untimed),
+    * then time ONE point DELETE through the delta path. */
+  private def morPointDelete(spark: SparkSession, dir: String,
+      name: String): Double = {
+    graft.ops.ensureGraftCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.$name")
+    spark.sql(
+      s"""CREATE TABLE graft_cat.db.$name (k BIGINT, q BIGINT)
+         |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_orderkey * 10 + l_linenumber AS k",
+        "CAST(l_quantity AS BIGINT) AS q")
+      .createOrReplaceTempView(s"graft_mor_src_$name")
+    spark.sql(
+      s"INSERT INTO graft_cat.db.$name SELECT k, q FROM graft_mor_src_$name")
+    val k0 = spark.sql(s"SELECT MAX(k) FROM graft_cat.db.$name")
+      .head.getLong(0)
+    val t0 = System.nanoTime()
+    spark.sql(s"DELETE FROM graft_cat.db.$name WHERE k = $k0")
+    val dt = (System.nanoTime() - t0) / 1e9
+    require(spark.sql(
+      s"SELECT COUNT(*) FROM graft_cat.db.$name WHERE k = $k0")
+      .head.getLong(0) == 0L, "point delete missed")
+    dt
   }
 
   /** The full warehouse build at fixture scale: business + checkin NDJSON

@@ -1029,15 +1029,30 @@ class SegTable private (ident: String, dir: Path,
     * their own cadence and are deliberately exempt (a micro-batch sink
     * must not absorb a compaction's latency — run CALL system.compact
     * from maintenance instead). */
+  /** Auto-compaction trigger, `'graft.autocompact' =
+    * 'targetBytes[:minFiles[:maxDeletePct]]'`: fires when small files
+    * accumulate (the write-amplification knob) OR when the table-wide
+    * deletion-vector fraction crosses `maxDeletePct` (default 20%) —
+    * merge-on-read's deferred work must eventually materialize, and
+    * this is the production policy that bounds how much every scan pays
+    * in DV subtraction before a rewrite purges the vectors. */
   private def maybeAutoCompact(): Unit =
     synchronized(cur.props.get("graft.autocompact")).foreach { raw =>
       val parts = raw.split(':')
       val target = parts(0).trim.toLong
       val minFiles = if (parts.length > 1) parts(1).trim.toInt else 4
-      require(target > 0 && minFiles >= 2,
-        s"$ident: bad graft.autocompact spec `$raw` (targetBytes[:minFiles])")
-      if (synchronized(cur.segs.count(_.bytes < target)) >= minFiles)
-        compact(target)
+      val maxDelPct = if (parts.length > 2) parts(2).trim.toInt else 20
+      require(target > 0 && minFiles >= 2 && maxDelPct > 0,
+        s"$ident: bad graft.autocompact spec `$raw` " +
+          "(targetBytes[:minFiles[:maxDeletePct]])")
+      val (smallFiles, delRatioHit) = synchronized {
+        val segs = cur.segs
+        val rows = segs.map(_.rows).sum
+        (segs.count(_.bytes < target),
+          rows > 0 &&
+            segs.flatMap(_.dv).map(_.ndel).sum * 100 >= rows * maxDelPct)
+      }
+      if (smallFiles >= minFiles || delRatioHit) compact(target)
     }
 
   private[graft] def compact(targetBytes: Long): (Long, Long, Long) = synchronized {
@@ -1359,6 +1374,9 @@ class SegTable private (ident: String, dir: Path,
                 }
               } ++ newSegs)
             }, op = op)
+            // DV accumulation is the ratio trigger's whole purpose:
+            // check it after every delta commit, not just appends
+            maybeAutoCompact()
           }
 
           override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2474,10 +2492,14 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
     val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
     // vectorized read when every projected type decodes into a column
-    // vector (Spark requires the verdict to be UNIFORM across a scan's
-    // partitions, so it is a per-scan property)
+    // vector AND every planned segment fits the in-memory batch decode
+    // (the columnar reader loads a segment wholesale; an over-sized
+    // segment — external bulk registration, not our writers — streams
+    // through the row reader instead). Spark requires the verdict to be
+    // UNIFORM across a scan's partitions, so it is a per-scan property.
     val columnar = SegColumnar.enabled &&
-      required.fields.forall(f => SegColumnar.supports(f.dataType))
+      required.fields.forall(f => SegColumnar.supports(f.dataType)) &&
+      ss.forall(_.bytes <= SegColumnar.MaxSegBytes)
     ss.toArray.map { s =>
       // metadata columns (_file/_pos) resolve to sentinels — a DATA
       // column of the same name shadows them, matching Spark's rule
@@ -2596,6 +2618,9 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
 object SegColumnar {
   val BatchRows = 4096
   val ConfKey = "spark.graft.columnar.enabled"
+  /** Largest segment the wholesale in-memory decode accepts (writers cap
+    * far below this; compaction targets are MBs). */
+  val MaxSegBytes: Long = 512L << 20
 
   def enabled: Boolean =
     SparkSession.active.conf.get(ConfKey, "true") == "true"

@@ -1816,6 +1816,40 @@ class SourcesSpec extends SparkTestBase {
     assert(after === before, "replayed CDC batch changed the table state")
   }
 
+  test("auto-compact triggers on deletion-vector ratio; GC reclaims purged DVs") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dvac_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.dvac_t (id BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read',
+        |  'graft.autocompact'='100000000:999:25')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.db.dvac_t SELECT id FROM range(0, 1000)")
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    def segs() = cat.segTable("db.dvac_t").currentSegs
+    // 10% deleted: below the 25% threshold — vectors accumulate
+    spark.sql("DELETE FROM graft_cat.db.dvac_t WHERE id % 10 = 3")
+    assert(segs().exists(_.dv.nonEmpty),
+      "sub-threshold delete must stay merge-on-read")
+    val dvFiles = segs().flatMap(_.dv).map(_.file)
+    // +20% more: the table-wide ratio crosses 25% and the delta commit's
+    // trigger materializes the vectors away (minFiles=999 proves the
+    // small-file arm did NOT fire — the ratio arm did)
+    spark.sql("DELETE FROM graft_cat.db.dvac_t WHERE id % 10 IN (4, 5)")
+    assert(segs().forall(_.dv.isEmpty),
+      "crossing maxDeletePct must auto-compact the vectors away")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.dvac_t")
+      .head.getLong(0) === 700L)
+    // purged DV sidecars fall to the normal GC once history is expired
+    val tdir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warehouse", "graft_cat", "db.dvac_t")
+    spark.sql("CALL graft_cat.system.expire_versions('db.dvac_t', 1)").collect()
+    spark.sql("CALL graft_cat.system.vacuum('db.dvac_t', 0)").collect()
+    dvFiles.foreach(f => assert(
+      !java.nio.file.Files.exists(tdir.resolve(f)),
+      s"orphaned deletion vector $f survived expire+vacuum"))
+  }
+
   test("merge-on-read lifecycle query matches its oracle shape (q163)") {
     val rows = ops.SemiStructured.q163MergeOnRead(spark, sf).collect()
     def v(id: Long) = (id * 2654435761L) % 1000L
