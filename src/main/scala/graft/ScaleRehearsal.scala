@@ -76,7 +76,11 @@ object ScaleRehearsal {
     // ext123/ext124 are excluded like ext46/ext95: fixed-size changelog
     // and a by-design-quadratic exact-recall leg, respectively.
     "q165_rollup_window_topk", "q166_cumulative_channels",
-    "q167_cross_year_growth")
+    "q167_cross_year_growth",
+    // round-9 continuation: exact quantiles collapse onto the value
+    // domain before any window — the rehearsal proves the shuffle is
+    // distinct-value-sized, not corpus-sized (ratio ≈ 1 expected)
+    "ext125_exact_quantiles")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -115,9 +119,13 @@ object ScaleRehearsal {
     // round-8 probe (VERDICT r7 #5): the 21-table warehouse ETL itself —
     // the one tier the rehearsal table lacked. Warm once at base scale
     // (first build pays dim-spine codegen), then time base vs 10×.
-    whBuild(spark, src, "/tmp/graft_scale_wh_warm")
-    val wbBase = whBuild(spark, src, "/tmp/graft_scale_wh_base")
-    val wbScaled = whBuild(spark, out, "/tmp/graft_scale_wh_10x")
+    // stage dirs carry the PID: two rehearsals racing on a shared stage
+    // would overwrite each other's JSON mid-read (observed: FILE_NOT_EXIST
+    // on business.json when a timed-out orphan and its restart overlapped)
+    val pid = ProcessHandle.current().pid()
+    whBuild(spark, src, s"/tmp/graft_scale_wh_warm_$pid")
+    val wbBase = whBuild(spark, src, s"/tmp/graft_scale_wh_base_$pid")
+    val wbScaled = whBuild(spark, out, s"/tmp/graft_scale_wh_10x_$pid")
     val wbR = wbScaled / wbBase
     println(f"""{"q":"wh_build_21_tables","base_s":$wbBase%.2f,"scaled_s":$wbScaled%.2f,"ratio":$wbR%.1f}""")
     // round-9 probe: the merge-on-read claim at scale — a 1-row DELETE
@@ -125,9 +133,9 @@ object ScaleRehearsal {
     // ~the same at both scales: zone/bloom pruning bounds the DML scan
     // to the matching segment(s) and the commit writes one KB sidecar,
     // never a segment group. Ratio ≈ 1 is the pass condition.
-    morPointDelete(spark, src, "mor_warm") // warmup (codegen, catalog)
-    val mdBase = morPointDelete(spark, src, "mor_base")
-    val mdScaled = morPointDelete(spark, out, "mor_10x")
+    morPointDelete(spark, src, s"mor_warm_$pid") // warmup (codegen, catalog)
+    val mdBase = morPointDelete(spark, src, s"mor_base_$pid")
+    val mdScaled = morPointDelete(spark, out, s"mor_10x_$pid")
     val mdR = mdScaled / mdBase
     println(f"""{"q":"mor_point_delete","base_s":$mdBase%.2f,"scaled_s":$mdScaled%.2f,"ratio":$mdR%.1f}""")
     val worst = rows.maxBy(_._4)

@@ -394,7 +394,48 @@ object CorpusOps {
       .select(col("doc_id"), col("n_chars"), col("priority"))
   }
 
+  /** Exact distributed quantiles (p25/p50/p75/p90/p99) of per-document
+    * token counts, per source and corpus-wide — WITHOUT a global sort
+    * (the naive exact formulation) and WITHOUT a sketch's error bar
+    * (approx_percentile): counts collapse onto the VALUE DOMAIN first
+    * (`groupBy(source, n_tokens)` — map-side combine, so the shuffle
+    * carries distinct values, not documents), then one distinct-value-
+    * sized cumulative window picks, for each p, the smallest value whose
+    * rank reaches ⌈p·N/100⌉. The threshold test is pure integer
+    * arithmetic (`100·cum ≥ p·total`), so both engines agree bit-for-bit.
+    *
+    * Scale: exchange 1 is (source, value)-keyed with partial aggregation
+    * — at 100 TB it carries |sources|×|distinct lengths| rows (thousands),
+    * not 10^11 documents; exchange 2 windows over that same tiny set.
+    * The corpus-wide group rides the per-source counts (a re-aggregation
+    * of the FIRST shuffle's output, not a second scan). This is the
+    * production shape for "exact length-distribution percentiles over
+    * the whole corpus" that dashboards otherwise approximate.
+    */
+  val exactQuantiles: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+      .select(col("source"),
+        expr(s"cast(size($toksExpr) as bigint)").as("n_tokens"))
+    val perSrc = docs.groupBy(col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+    val counts = perSrc.unionByName(
+      perSrc.groupBy("n_tokens").agg(sum("c").as("c"))
+        .select(lit("__all").as("source"), col("n_tokens"), col("c")))
+    val cum = counts
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("source").orderBy("n_tokens")))
+      .withColumn("total", sum("c").over(Window.partitionBy("source")))
+    cum
+      .select(col("source"), col("n_tokens"), col("cum"), col("total"),
+        explode(expr("array(25, 50, 75, 90, 99)")).as("p"))
+      .filter(col("cum") * lit(100L) >= col("total") * col("p"))
+      .groupBy("source", "p")
+      .agg(min("n_tokens").as("q"), min("total").as("n_docs"))
+      .orderBy("source", "p")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext125_exact_quantiles" -> exactQuantiles,
     "ext79_weighted_sample" -> weightedSample,
     "ext65_incremental_dedup" -> incrementalDedup,
     "ext66_quality_ensemble" -> qualityEnsemble,
@@ -478,6 +519,26 @@ object CorpusOps {
        |  FROM scored GROUP BY doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same value-domain collapse, same integer threshold 100·cum ≥ p·total
+    "ext125_exact_quantiles" ->
+      s"""WITH tk AS (
+         |  SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |base AS (
+         |  SELECT source, n_tokens FROM tk
+         |  UNION ALL SELECT '__all', n_tokens FROM tk),
+         |counts AS (
+         |  SELECT source, n_tokens, COUNT(*) AS c FROM base GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, n_tokens,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS total
+         |  FROM counts),
+         |pr AS (SELECT * FROM cum, (SELECT unnest([25, 50, 75, 90, 99]) AS p))
+         |SELECT source, CAST(p AS INT) AS p, MIN(n_tokens) AS q,
+         |  CAST(MIN(total) AS BIGINT) AS n_docs
+         |FROM pr WHERE cum * 100 >= total * p
+         |GROUP BY source, p ORDER BY source, p""".stripMargin,
     // same LM restatement (nllagg), same easiest-first (difficulty,
     // doc_id) order, same exact-integer bin arithmetic
     "ext118_curriculum_packing" ->

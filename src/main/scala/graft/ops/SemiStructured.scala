@@ -958,12 +958,17 @@ object SemiStructured {
     withConfs(s,
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val df = s.sql(
+      // freeze DISTRIBUTED (localCheckpoint materializes the partitions
+      // on executors) so restoring the bucketing/broadcast confs after
+      // this block cannot re-plan the storage-partitioned join — the
+      // band count grows with the table, so a driver-side collect would
+      // not scale where a checkpoint does
+      s.sql(
         """SELECT a.id DIV 500 AS band, COUNT(*) AS n,
           |  SUM(a.v + b.w) AS vw_sum
           |FROM graft_cat.db.spj_a a JOIN graft_cat.db.spj_b b ON a.id = b.id
           |GROUP BY a.id DIV 500 ORDER BY band""".stripMargin)
-      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+        .localCheckpoint()
     }
   }
 
@@ -1577,6 +1582,38 @@ object SemiStructured {
          |ORDER BY leg""".stripMargin)
   }
 
+  /** q168 — change data feed (`VERSION AS OF 'cdf:a..b'`,
+    * [[graft.sources.SegTable.cdfTable]]): every row change in the
+    * range as (row, `_change_type`, `_commit_version`), derived from
+    * manifest arithmetic + deletion-vector diffs — the scan reads
+    * EXACTLY the changed rows (insert slices read new segments, delete
+    * slices read pre-images straight from surviving segment files), vs
+    * q136's `exceptAll` over two full snapshot scans. The history
+    * crosses an insert, a second insert, a merge-on-read DELETE
+    * (vector-growth delete slices), a merge-on-read UPDATE
+    * (delete+insert pairs at one version), and a compaction (emits
+    * NOTHING — content-identical reorganization), so the feed's
+    * version attribution is pinned end-to-end by the oracle. */
+  val q168ChangeFeed: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_n")
+    s.sql(
+      """CREATE TABLE graft_cat.db.cdf_n (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_feed")
+    s.sql("INSERT INTO graft_cat.db.cdf_n SELECT id, v FROM graft_seq_feed WHERE id < 1000")  // v1
+    s.sql("INSERT INTO graft_cat.db.cdf_n SELECT id, v FROM graft_seq_feed WHERE id >= 1000") // v2
+    s.sql("DELETE FROM graft_cat.db.cdf_n WHERE v < 100")                                     // v3
+    s.sql("UPDATE graft_cat.db.cdf_n SET v = v + 10000 WHERE id % 10 = 3")                    // v4
+    s.sql("CALL graft_cat.system.compact('db.cdf_n', 100000000)").collect()                   // v5
+    s.sql(
+      """SELECT id, v, _change_type AS change_type, _commit_version AS commit_v
+        |FROM graft_cat.db.cdf_n VERSION AS OF 'cdf:0..'
+        |ORDER BY id, commit_v, change_type""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -1980,6 +2017,7 @@ object SemiStructured {
     "q162_branch_merge" -> q162BranchMerge,
     "q163_merge_on_read" -> q163MergeOnRead,
     "q164_cherry_pick" -> q164CherryPick,
+    "q168_change_feed" -> q168ChangeFeed,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -2246,6 +2284,27 @@ object SemiStructured {
         |  UNION ALL
         |  SELECT 'refused', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
         |ORDER BY leg""".stripMargin,
+    // change feed: inserts at v1/v2, merge-on-read DELETE pre-images at
+    // v3, UPDATE delete+insert pairs at v4 (update skips rows v3 already
+    // deleted), compaction at v5 contributes NOTHING (content-identical)
+    "q168_change_feed" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r),
+        |feed AS (
+        |  SELECT id, v, 'insert' AS change_type, 1 AS commit_v
+        |  FROM seq WHERE id < 1000
+        |  UNION ALL
+        |  SELECT id, v, 'insert', 2 FROM seq WHERE id >= 1000
+        |  UNION ALL
+        |  SELECT id, v, 'delete', 3 FROM seq WHERE v < 100
+        |  UNION ALL
+        |  SELECT id, v, 'delete', 4 FROM seq WHERE id % 10 = 3 AND v >= 100
+        |  UNION ALL
+        |  SELECT id, v + 10000, 'insert', 4 FROM seq
+        |  WHERE id % 10 = 3 AND v >= 100)
+        |SELECT id, v, change_type, CAST(commit_v AS BIGINT) AS commit_v
+        |FROM feed ORDER BY id, commit_v, change_type""".stripMargin,
     // merge-on-read: the witness leg is the design claim (0 segments
     // rewritten, 40 rows vectored = 20 deleted + 20 update-deleted);
     // t2 (DV-applied read) and t3 (post-compaction) are value-identical

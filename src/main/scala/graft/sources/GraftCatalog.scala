@@ -290,6 +290,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * consistent frozen read over the immutable segment files. */
   override def loadTable(ident: Identifier, version: String): Table =
     loadTable(ident) match {
+      case t: SegTable if version.startsWith("cdf:") && version.contains("..") =>
+        // change data feed: VERSION AS OF 'cdf:from..to' ('cdf:from..'
+        // = through latest) — every row change in (from, to] with
+        // _change_type/_commit_version, from manifest arithmetic alone
+        val Array(lo, hi) = version.stripPrefix("cdf:").split("\\.\\.", 2)
+        t.cdfTable(lo.trim.toLong,
+          if (hi.trim.isEmpty) -1L else hi.trim.toLong)
       case t: SegTable if version.contains("..") =>
         // incremental read: VERSION AS OF 'from..to' ('from..' = latest)
         val Array(lo, hi) = version.split("\\.\\.", 2)
@@ -695,6 +702,29 @@ object SegDv {
       case None => fresh.distinct.sorted
       case Some(d) => (read(dir.resolve(d.file)) ++ fresh).distinct.sorted
     }
+
+  /** `next ∖ prev` of two sorted position vectors — the rows a commit
+    * deleted from a surviving segment (the change-feed delete slice).
+    * Vectors only ever GROW on a live segment, so `prev ⊄ next` means
+    * the range crossed a vector reset (a rollback) the feed cannot
+    * attribute — refuse rather than misreport. One forward merge walk,
+    * never a per-position search. */
+  def diff(next: Array[Long], prev: Array[Long]): Array[Long] = {
+    val out = Array.newBuilder[Long]
+    var i = 0
+    var j = 0
+    while (i < next.length) {
+      if (j < prev.length && prev(j) == next(i)) { i += 1; j += 1 }
+      else if (j < prev.length && prev(j) < next(i))
+        throw new IllegalStateException(
+          "deletion vector shrank across the change-feed range")
+      else { out += next(i); i += 1 }
+    }
+    if (j < prev.length)
+      throw new IllegalStateException(
+        "deletion vector shrank across the change-feed range")
+    out.result()
+  }
 }
 
 case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
@@ -912,6 +942,84 @@ class SegTable private (ident: String, dir: Path,
       throw new IllegalArgumentException(
         s"$ident has no version $v (latest: ${cur.v})"))
     new SegSnapshotTable(s"$ident@v$v", dir, snap)
+  }
+
+  /** Change data feed (`VERSION AS OF 'cdf:a..b'` — Delta's
+    * `table_changes` / Iceberg's changelog scan; q136 computes the same
+    * feed by `exceptAll` over two FULL snapshot scans): every row change
+    * in `(a, b]` as (row, `_change_type`, `_commit_version`), derived
+    * from MANIFEST arithmetic alone — the scan reads exactly the
+    * changed rows, so at 100 TB a feed over a day of commits costs that
+    * day's churn, not two table scans. Per commit step:
+    *   - segments added → insert slices (rows under the vector they
+    *     carried at commit);
+    *   - segments dropped → delete slices of their then-live rows (a
+    *     merge-on-read full delete, a metadata DELETE, TRUNCATE, or
+    *     overwrite's replaced half — the data file outlives the
+    *     manifest until expiry+vacuum, so pre-images read for free);
+    *   - vectors grown on surviving segments → diff slices emitting the
+    *     grew-by positions' pre-images ([[SegDv.diff]]).
+    * `compact` steps emit nothing (content-identical by construction);
+    * an `overwrite`/zorder step emits delete-all + insert-all (what the
+    * command means logically); a copy-on-write row-level `rewrite`
+    * REFUSES — its manifest can't attribute row changes (run DML with
+    * `'graft.dml.mode'='merge-on-read'` for feed-readable history).
+    * Ranges with expired intermediate versions refuse (steps would
+    * merge commits and misattribute versions); vector shrink (a
+    * rollback crossing a delete) refuses in [[SegDv.diff]]. */
+  private[sources] def cdfTable(fromV: Long, toV: Long): Table = synchronized {
+    def at(v: Long): SegVersion = versions.find(_.v == v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no version $v (latest: ${cur.v})"))
+    val from = at(fromV)
+    val to = if (toV < 0) cur else at(toV)
+    require(from.v <= to.v,
+      s"from version ${from.v} is after to version ${to.v}")
+    val range = versions.filter(v => v.v > from.v && v.v <= to.v)
+    require(range.size == (to.v - from.v),
+      s"$ident: versions inside v${from.v}..v${to.v} were expired; the " +
+        "change feed needs every commit in the range")
+    require(!to.schema.fieldNames.contains(CdfMeta.ChangeCol) &&
+      !to.schema.fieldNames.contains(CdfMeta.VerCol),
+      s"$ident: a data column shadows ${CdfMeta.ChangeCol}/${CdfMeta.VerCol}")
+    val slices = Vector.newBuilder[(Seg, CdfSlice)]
+    var prev = from
+    range.foreach { next =>
+      next.op match {
+        case "compact" => // physical reorganization, zero logical change
+        case "rewrite" =>
+          throw new UnsupportedOperationException(
+            s"$ident: v${next.v} is a copy-on-write row-level rewrite — " +
+              "the manifest cannot attribute its row changes; run DML " +
+              "with 'graft.dml.mode'='merge-on-read' for change-feed " +
+              "readable history")
+        case _ =>
+          val pBy = prev.segs.map(s => s.file -> s).toMap
+          val nBy = next.segs.map(s => s.file -> s).toMap
+          next.segs.filterNot(s => pBy.contains(s.file)).foreach { s =>
+            slices += s -> CdfSlice("insert", next.v, diffMode = false, None)
+          }
+          prev.segs.filterNot(s => nBy.contains(s.file)).foreach { s =>
+            slices += s -> CdfSlice("delete", next.v, diffMode = false, None)
+          }
+          prev.segs.filter(s => nBy.contains(s.file)).foreach { s =>
+            val n = nBy(s.file)
+            if (s.dv.map(_.file) != n.dv.map(_.file)) {
+              // vectors only grow on a live segment; shrink (rollback
+              // across a delete) is re-validated exactly in SegDv.diff
+              require(n.dv.map(_.ndel).getOrElse(0L) >=
+                s.dv.map(_.ndel).getOrElse(0L),
+                s"$ident: deletion vector of ${s.file} shrank at " +
+                  s"v${next.v} — not a change-feed-readable range")
+              slices += n -> CdfSlice("delete", next.v, diffMode = true,
+                s.dv.map(_.file))
+            }
+          }
+      }
+      prev = next
+    }
+    new SegCdfTable(s"$ident@cdf:v${from.v}..${to.v}", dir, to,
+      slices.result())
   }
 
   /** Manifest-derived [min, max] of a BIGINT column across the current
@@ -1987,6 +2095,81 @@ class SegSnapshotTable(snapName: String, dir: Path, snap: SegVersion)
     new SegScanBuilder(snapName, dir, snap)
 }
 
+/** The change-feed table ([[SegTable.cdfTable]]): data schema of the
+  * range end plus `_change_type`/`_commit_version`, planned as one
+  * input partition per [[CdfSlice]]. Supports column pruning and zone-
+  * map file pruning (zone maps cover a segment's STORED rows — a
+  * superset of any slice's emitted rows, so `canBeTrue` pruning is as
+  * sound here as on the main scan; Spark re-evaluates every predicate
+  * above the scan either way). Row reader only: slices are incremental
+  * reads (a range's churn), not full-table scans, and the diff slice's
+  * emit-only walk has no columnar twin. */
+class SegCdfTable(cdfName: String, dir: Path, ver: SegVersion,
+    slices: Seq[(Seg, CdfSlice)]) extends Table with SupportsRead {
+  private val outSchema = StructType(ver.schema.fields ++ Array(
+    StructField(CdfMeta.ChangeCol, StringType, nullable = false),
+    StructField(CdfMeta.VerCol, LongType, nullable = false)))
+  override def name(): String = cdfName
+  override def schema(): StructType = outSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownV2Filters {
+      private var required: StructType = outSchema
+      private var pushed: Array[Predicate] = Array.empty
+      override def pruneColumns(r: StructType): Unit = required = r
+      override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+        pushed = predicates.filter(p => SegPrune.compile(p, ver).isDefined)
+        predicates // files prune, rows re-evaluate above the scan
+      }
+      override def pushedPredicates(): Array[Predicate] = pushed
+      override def build(): Scan = new Scan with Batch
+        with SupportsReportStatistics {
+        private val live = {
+          val fns = pushed.flatMap(p => SegPrune.compile(p, ver))
+          slices.filter { case (s, _) =>
+            fns.forall(f => SegPrune.canBeTrue(f(s))) }
+        }
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = this
+        override def estimateStatistics(): Statistics = new Statistics {
+          override def sizeInBytes(): OptionalLong =
+            OptionalLong.of(math.max(16L, live.map(_._1.bytes).sum))
+          override def numRows(): OptionalLong = OptionalLong.of(
+            live.map { case (s, c) =>
+              if (c.diffMode)
+                s.dv.map(_.ndel).getOrElse(0L) // upper bound on the diff
+              else s.liveRows
+            }.sum)
+        }
+        override def description(): String =
+          s"graft_cat cdf slices=${live.size}/${slices.size}"
+        override def planInputPartitions(): Array[InputPartition] = {
+          val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
+          val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
+          live.toArray.map { case (s, c) =>
+            val segIdx = required.fields.map { f =>
+              if (f.name == CdfMeta.ChangeCol) CdfMeta.ChangeIdx
+              else if (f.name == CdfMeta.VerCol) CdfMeta.VerIdx
+              else if (idOf.contains(f.name)) s.colIds.indexOf(idOf(f.name))
+              else if (f.name == SegMeta.PosCol) SegMeta.PosIdx
+              else if (f.name == SegMeta.FileCol) SegMeta.FileIdx
+              else -1
+            }
+            SegPartition(dir.resolve(s.file).toString, s.colIds.length,
+              required, segIdx, defaults, s.file,
+              s.dv.map(d => dir.resolve(d.file).toString), columnar = false,
+              cdf = Some(c.copy(baseDvFile =
+                c.baseDvFile.map(f => dir.resolve(f).toString))))
+          }
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          SegReaderFactory
+      }
+    }
+}
+
 object SegTable {
 
   private[sources] def create(ident: String, dir: Path, schema: StructType,
@@ -2785,6 +2968,10 @@ object SegReaderFactory extends PartitionReaderFactory {
                 BoundReference(p.segArity, LongType, nullable = false)
               case SegMeta.FileIdx =>
                 BoundReference(p.segArity + 1, StringType, nullable = false)
+              case CdfMeta.ChangeIdx =>
+                BoundReference(p.segArity + 2, StringType, nullable = false)
+              case CdfMeta.VerIdx =>
+                BoundReference(p.segArity + 3, LongType, nullable = false)
               case idx if idx >= 0 =>
                 BoundReference(idx, f.dataType, nullable = true)
               case _ => CatalystLiteral(p.defaults(i), f.dataType)
@@ -2793,18 +2980,38 @@ object SegReaderFactory extends PartitionReaderFactory {
         private val proj = UnsafeProjection.create(exprs)
         private val segRow = new UnsafeRow(p.segArity)
         // metadata tuple only materialized when the projection needs it
-        // (DML scans, explicit _file/_pos queries) — the ordinary read
-        // path stays a straight UnsafeRow projection
-        private val needsMeta =
-          p.segIdx.exists(i => i == SegMeta.PosIdx || i == SegMeta.FileIdx)
-        private val metaRow = new GenericInternalRow(2)
-        if (needsMeta) metaRow.update(1,
-          org.apache.spark.unsafe.types.UTF8String.fromString(p.segName))
+        // (DML scans, explicit _file/_pos queries, change-feed columns) —
+        // the ordinary read path stays a straight UnsafeRow projection
+        private val needsMeta = p.segIdx.exists(i =>
+          i == SegMeta.PosIdx || i == SegMeta.FileIdx ||
+            i == CdfMeta.ChangeIdx || i == CdfMeta.VerIdx)
+        private val metaRow = new GenericInternalRow(4)
+        if (needsMeta) {
+          metaRow.update(1,
+            org.apache.spark.unsafe.types.UTF8String.fromString(p.segName))
+          p.cdf.foreach { c =>
+            metaRow.update(2,
+              org.apache.spark.unsafe.types.UTF8String.fromString(c.change))
+            metaRow.setLong(3, c.commitV)
+          }
+        }
         private val joined = new JoinedRow
+        // change-feed diff slice: emit ONLY the positions the deletion
+        // vector grew by (dvFile ∖ baseDvFile) — the deleted rows' pre-
+        // images; computed once per partition, then one forward pointer
+        private val emitPos: Array[Long] = p.cdf match {
+          case Some(c) if c.diffMode =>
+            SegDv.diff(
+              p.dvFile.map(f => SegDv.read(Paths.get(f))).getOrElse(Array.empty),
+              c.baseDvFile.map(f => SegDv.read(Paths.get(f))).getOrElse(Array.empty))
+          case _ => null
+        }
         // deletion vector: sorted physical positions to skip — a single
-        // forward pointer walk, zero per-row search
+        // forward pointer walk, zero per-row search (unused in diff mode,
+        // where dvFile is the NEXT vector, not a skip list)
         private val delPos: Array[Long] =
-          p.dvFile.map(f => SegDv.read(Paths.get(f))).getOrElse(Array.empty)
+          if (emitPos != null) Array.empty
+          else p.dvFile.map(f => SegDv.read(Paths.get(f))).getOrElse(Array.empty)
         private var delPtr = 0
         private var pos = -1L
         private var buf = new Array[Byte](4096)
@@ -2812,13 +3019,23 @@ object SegReaderFactory extends PartitionReaderFactory {
 
         override def next(): Boolean = {
           while (true) {
+            // diff mode exhausts after its last emitted position — a
+            // point delete's slice reads a prefix, not the whole segment
+            if (emitPos != null && delPtr >= emitPos.length) {
+              current = null; return false
+            }
             val len = in.readInt()
             if (len < 0) { current = null; return false }
             if (buf.length < len) buf = new Array[Byte](len * 2)
             in.readFully(buf, 0, len)
             pos += 1
-            if (delPtr < delPos.length && delPos(delPtr) == pos) delPtr += 1
-            else {
+            val emit =
+              if (emitPos != null) {
+                if (emitPos(delPtr) == pos) { delPtr += 1; true } else false
+              } else if (delPtr < delPos.length && delPos(delPtr) == pos) {
+                delPtr += 1; false
+              } else true
+            if (emit) {
               segRow.pointTo(buf, len)
               if (needsMeta) {
                 metaRow.setLong(0, pos)
@@ -2863,9 +3080,33 @@ object SegMeta {
     })
 }
 
+/** Change-data-feed columns surfaced by `VERSION AS OF 'cdf:a..b'`
+  * ([[SegTable.cdfTable]]): `_change_type` ('insert'/'delete') and
+  * `_commit_version` — REAL output columns of the feed table, resolved
+  * through reader sentinels like [[SegMeta]] (constants per slice, so
+  * they cost nothing per row). */
+object CdfMeta {
+  val ChangeCol = "_change_type"
+  val VerCol = "_commit_version"
+  val ChangeIdx: Int = -4
+  val VerIdx: Int = -5
+}
+
+/** One change-feed slice: how a reader turns ONE segment into feed rows.
+  * `diffMode=false` emits the segment's rows minus the partition's
+  * `dvFile` (insert slices read under the vector the segment carried at
+  * its commit; dropped-segment delete slices read under the PREVIOUS
+  * version's vector — the remaining live rows are what the commit
+  * deleted). `diffMode=true` emits ONLY the positions the vector GREW by
+  * (`dvFile` ∖ `baseDvFile`) — a merge-on-read delete's pre-image rows,
+  * read straight from the surviving segment file. */
+case class CdfSlice(change: String, commitV: Long, diffMode: Boolean,
+    baseDvFile: Option[String])
+
 case class SegPartition(file: String, segArity: Int, required: StructType,
     segIdx: Array[Int], defaults: Array[Any], segName: String = "",
-    dvFile: Option[String] = None, columnar: Boolean = false)
+    dvFile: Option[String] = None, columnar: Boolean = false,
+    cdf: Option[CdfSlice] = None)
     extends InputPartition
 
 /** A segment split carrying its bucket value — what lets Spark group a

@@ -157,6 +157,36 @@ class CorpusOpsSpec extends SparkTestBase {
     val expect = CorpusOpsSpecHelpers.tokenTotal(spark, sf)
     assert(total === expect, s"packed $total of $expect tokens")
   }
+
+  test("ext125 exact quantiles: match a local sort-and-index oracle, no global sort") {
+    val df = CorpusOps.queries("ext125_exact_quantiles")(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // local oracle: brute-force sorted index per group
+    val lens = graft.ops.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.expr(
+          "cast(size(filter(split(lower(text), ' '), t -> t <> '')) as bigint)")
+          .as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = lens.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap ++
+      Map("__all" -> lens.map(_._2).sorted)
+    for ((src, vs) <- groups; p <- Seq(25, 50, 75, 90, 99)) {
+      val rank = math.ceil(vs.length.toLong * p / 100.0).toLong.max(1L)
+      val expectQ = vs((rank - 1).toInt)
+      assert(rows((src, p)) === ((expectQ, vs.length.toLong)),
+        s"quantile mismatch at ($src, p$p)")
+    }
+    // the scale claim: quantile selection must NOT globally sort the
+    // document set — the only Sort allowed is the final tiny ORDER BY
+    // above the aggregate (and window sorts are partition-local)
+    val plan = df.queryExecution.executedPlan.toString
+    val sortsBelowAgg = plan.linesIterator
+      .dropWhile(l => !l.contains("HashAggregate"))
+      .count(l => l.contains("Sort ") && l.contains("global=true"))
+    assert(sortsBelowAgg === 0, s"global sort under the aggregate:\n$plan")
+  }
 }
 
 private object CorpusOpsSpecHelpers {

@@ -1968,4 +1968,110 @@ class SourcesSpec extends SparkTestBase {
     assert(!refs.exists(_._1 == "risky"), "dropped branch must not be listed")
     spark.sql("CALL graft_cat.system.drop_branch('db.br_t', 'dup')").collect()
   }
+
+  test("change feed: insert/delete/update attribution, compaction emits nothing") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.feed_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.feed_t (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_cat.db.feed_t SELECT id, id * 2 FROM range(0, 100)") // v1
+    spark.sql(
+      "INSERT INTO graft_cat.db.feed_t SELECT id, id * 2 FROM range(100, 200)") // v2
+    spark.sql("DELETE FROM graft_cat.db.feed_t WHERE id % 10 = 3") // v3
+    spark.sql("UPDATE graft_cat.db.feed_t SET v = -1 WHERE id = 50") // v4
+    spark.sql("CALL graft_cat.system.compact('db.feed_t', 100000000)").collect() // v5
+
+    def feed(range: String) = spark.sql(
+      s"""SELECT id, v, _change_type AS c, _commit_version AS cv
+         |FROM graft_cat.db.feed_t VERSION AS OF '$range'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    val expected =
+      (0L until 100L).map(i => (i, i * 2, "insert", 1L)).toSet ++
+        (100L until 200L).map(i => (i, i * 2, "insert", 2L)) ++
+        (0L until 200L).filter(_ % 10 == 3).map(i => (i, i * 2, "delete", 3L)) ++
+        Set((50L, 100L, "delete", 4L), (50L, -1L, "insert", 4L))
+    assert(feed("cdf:0..") === expected)
+    // compaction (v4..v5) is a content-identical reorganization: nothing
+    assert(feed("cdf:4..5") === Set.empty[(Long, Long, String, Long)])
+    // a sub-range attributes only its own commits
+    assert(feed("cdf:2..3") ===
+      (0L until 200L).filter(_ % 10 == 3).map(i => (i, i * 2, "delete", 3L)).toSet)
+  }
+
+  test("change feed: a point delete's range plans only the touched segment") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.feed_p")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.feed_p (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    // 4 separate commits → 4+ segments
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO graft_cat.db.feed_p SELECT id, id FROM range(${i * 100}, ${i * 100 + 100})"))
+    val cat = spark.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val v0 = cat.segTable("db.feed_p").currentVersion
+    spark.sql("DELETE FROM graft_cat.db.feed_p WHERE id = 250")
+    val df = spark.sql(
+      s"SELECT id, _change_type AS c FROM graft_cat.db.feed_p VERSION AS OF 'cdf:$v0..'")
+    // the feed over the delete-only range reads the diff slice of the ONE
+    // vectored segment — not the table
+    assert(df.rdd.getNumPartitions === 1,
+      "a 1-row delete's feed must plan exactly one diff slice")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((250L, "delete")))
+  }
+
+  test("change feed: copy-on-write rewrite refuses; vector shrink refuses") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.feed_cow")
+    spark.sql("CREATE TABLE graft_cat.db.feed_cow (id BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft_cat.db.feed_cow SELECT id, id FROM range(0, 100)")
+    // default mode: row-level UPDATE is a copy-on-write group rewrite
+    spark.sql("UPDATE graft_cat.db.feed_cow SET v = -1 WHERE id = 5")
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_cat.db.feed_cow VERSION AS OF 'cdf:0..'").collect())
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("copy-on-write"), msg(e))
+
+    // rollback across a merge-on-read delete shrinks a vector — refuse
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.feed_rb")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.feed_rb (id BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.db.feed_rb SELECT id FROM range(0, 100)")
+    spark.sql("DELETE FROM graft_cat.db.feed_rb WHERE id = 1") // v2
+    spark.sql("CALL graft_cat.system.rollback('db.feed_rb', 1)").collect() // v3
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_cat.db.feed_rb VERSION AS OF 'cdf:0..'").collect())
+    assert(msg(e2).contains("shrank"), msg(e2))
+  }
+
+  test("change feed: metadata DELETE's dropped segments emit their live rows") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.feed_md")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.feed_md (id BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.db.feed_md SELECT id FROM range(0, 100)")    // v1
+    spark.sql("INSERT INTO graft_cat.db.feed_md SELECT id FROM range(100, 200)")  // v2
+    spark.sql("DELETE FROM graft_cat.db.feed_md WHERE id = 150") // v3: one vectored row
+    // definite on zone maps → metadata delete drops whole segments; the
+    // already-vectored row must NOT re-appear in the emitted deletes
+    spark.sql("DELETE FROM graft_cat.db.feed_md WHERE id >= 100") // v4
+    val rows = spark.sql(
+      """SELECT id, _commit_version AS cv
+        |FROM graft_cat.db.feed_md VERSION AS OF 'cdf:2..'
+        |WHERE _change_type = 'delete'""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((150L, 3L)) ++
+      (100L until 200L).filter(_ != 150L).map(i => (i, 4L))
+    assert(rows === expected)
+  }
 }
