@@ -690,6 +690,12 @@ object SegDv {
     try {
       require(in.readInt() == Magic, s"bad deletion vector $path")
       val n = in.readInt()
+      // don't trust the count field: a truncated/corrupt sidecar must
+      // fail with THIS message, not a mid-scan EOFException or a bogus
+      // multi-GB allocation. Layout is 4B magic + 4B count + 8B·n.
+      require(n >= 0 && 8L * n == Files.size(path) - 8,
+        s"bad deletion vector $path: count $n does not match " +
+          s"${Files.size(path)} file bytes")
       Array.fill(n)(in.readLong())
     } finally in.close()
   }
@@ -882,7 +888,14 @@ class SegTable private (ident: String, dir: Path,
     * caller builds "append these segments / swap these segments / evolve
     * this schema" exactly that way. */
   private def publish(f: SegVersion => SegVersion,
-      op: String = "write"): Unit = synchronized {
+      op: String = "write"): Unit = publishOp(f, _ => op)
+
+  /** [[publish]] with the op label a FUNCTION of the head being rebased
+    * onto — for labels that are only valid against a specific pre-state
+    * (the z-order rewrite's content-identity claim, re-judged per
+    * rebase attempt). */
+  private def publishOp(f: SegVersion => SegVersion,
+      opFn: SegVersion => String): Unit = synchronized {
     var attempts = 0
     var done = false
     while (!done) {
@@ -890,7 +903,7 @@ class SegTable private (ident: String, dir: Path,
       // `TIMESTAMP AS OF <commit ts of v>` always resolves to v, never
       // to a later same-millisecond commit
       val next = f(cur).copy(v = cur.v + 1,
-        ts = math.max(System.currentTimeMillis(), cur.ts + 1), op = op)
+        ts = math.max(System.currentTimeMillis(), cur.ts + 1), op = opFn(cur))
       done = SegStore.commitVersion(dir, cur.v, next, log)
       if (done) versions :+= next
       else {
@@ -959,9 +972,11 @@ class SegTable private (ident: String, dir: Path,
     *     manifest until expiry+vacuum, so pre-images read for free);
     *   - vectors grown on surviving segments → diff slices emitting the
     *     grew-by positions' pre-images ([[SegDv.diff]]).
-    * `compact` steps emit nothing (content-identical by construction);
-    * an `overwrite`/zorder step emits delete-all + insert-all (what the
-    * command means logically); a copy-on-write row-level `rewrite`
+    * `compact` and `zorder` steps emit nothing (content-identical —
+    * zorder's label is row-count-guarded at commit, demoting to
+    * `overwrite` if the rewrite raced another commit); an `overwrite`
+    * step emits delete-all + insert-all (what the command means
+    * logically); a copy-on-write row-level `rewrite`
     * REFUSES — its manifest can't attribute row changes (run DML with
     * `'graft.dml.mode'='merge-on-read'` for feed-readable history).
     * Ranges with expired intermediate versions refuse (steps would
@@ -987,6 +1002,8 @@ class SegTable private (ident: String, dir: Path,
     range.foreach { next =>
       next.op match {
         case "compact" => // physical reorganization, zero logical change
+        case "zorder" => // layout rewrite, row-count-guarded at commit —
+          // content-identical like compact, zero logical change
         case "rewrite" =>
           throw new UnsupportedOperationException(
             s"$ident: v${next.v} is a copy-on-write row-level rewrite — " +
@@ -1327,6 +1344,15 @@ class SegTable private (ident: String, dir: Path,
     new SegScanBuilder(ident, dir, cur,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt), log)
 
+  // Set by [[ZOrderProcedure]] just before its INSERT OVERWRITE so the
+  // commit labels the version 'zorder' — a content-identical physical
+  // reorganization the change feed skips like 'compact' — instead of
+  // 'overwrite' (a logical replace-all a CDC consumer must replay).
+  private val zorderRewritePending =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[sources] def markZorderRewrite(): Unit = zorderRewritePending.set(true)
+  private[sources] def clearZorderRewrite(): Unit = zorderRewritePending.set(false)
+
   private def segBatchWrite(truncateFirst: Boolean): BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
         pwInfo: PhysicalWriteInfo): DataWriterFactory =
@@ -1335,8 +1361,18 @@ class SegTable private (ident: String, dir: Path,
       // atomic publish: commit messages carry segment NAMES + stats,
       // never rows; truncate+load is ONE version step
       val segs = SegTable.segsOf(messages)
-      publish(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs),
-        op = if (truncateFirst) "overwrite" else "append")
+      val zorder = truncateFirst && zorderRewritePending.getAndSet(false)
+      publishOp(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs),
+        opFn = v =>
+          if (!truncateFirst) "append"
+          // the 'zorder' (dataChange=false) label is only honest when the
+          // rewrite really replaces the snapshot it read — judged against
+          // the head of THIS rebase attempt by logical row count; a
+          // concurrent commit that changed the table demotes the label to
+          // 'overwrite' (the feed then reports the churn, conservatively)
+          else if (zorder && segs.map(_.rows).sum == v.segs.map(s =>
+            s.rows - s.dv.map(_.ndel).getOrElse(0L)).sum) "zorder"
+          else "overwrite")
       maybeAutoCompact()
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1415,8 +1451,17 @@ class SegTable private (ident: String, dir: Path,
     override def rowId(): Array[NamedReference] = Array(
       Expressions.column(SegMeta.FileCol), Expressions.column(SegMeta.PosCol))
     override def representUpdateAsDeleteAndInsert(): Boolean = true
+    // the scan this operation plans — its per-file deletion-vector
+    // identities are what the commit-time drift check compares against
+    @volatile private var opScan: SegScan = _
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      new SegScanBuilder(ident, dir, cur, None, log)
+      new SegScanBuilder(ident, dir, cur, None, log) {
+        override def build(): Scan = {
+          val s = super.build().asInstanceOf[SegScan]
+          opScan = s
+          s
+        }
+      }
     override def newWriteBuilder(winfo: LogicalWriteInfo): DeltaWriteBuilder =
       new DeltaWriteBuilder {
         override def build(): DeltaWrite = deltaWrite
@@ -1443,6 +1488,10 @@ class SegTable private (ident: String, dir: Path,
               case RowLevelOperation.Command.UPDATE => "update"
               case _ => "merge"
             }
+            // dv identity per target file as the operation's scan read it
+            // (None defensively when Spark never built our scan)
+            val scanDvs: Option[Map[String, Option[String]]] =
+              Option(opScan).map(_.plannedDvs)
             publish(v => {
               val byFile = v.segs.map(s => s.file -> s).toMap
               // serializable-conflict check: a concurrently compacted or
@@ -1454,10 +1503,31 @@ class SegTable private (ident: String, dir: Path,
                   s"$ident: merge-on-read ${op} targets segments a " +
                     s"concurrent commit replaced (${gone.take(3).mkString(", ")}) " +
                     "— retry the operation")
+              // serializable-conflict check #2 (the Iceberg dv-drift
+              // validation, same rule as the copy-on-write path): a
+              // target file whose deletion vector changed since our scan
+              // means a racing row-level commit touched rows we read.
+              // Re-unioning is idempotent for the old positions but an
+              // UPDATE/MERGE would still append its insert image built
+              // from the pre-race row — resurrecting a concurrently
+              // deleted row — and a DELETE's predicate was evaluated on
+              // rows a racing UPDATE has since replaced. Neither
+              // interleaving is serializable, so abort and let the
+              // caller retry the whole DML against the new head.
+              scanDvs.foreach { sd =>
+                val curDvs = v.segs.map(s => s.file -> s.dv.map(_.file)).toMap
+                val drifted = allDels.keys.filter(f =>
+                  curDvs.getOrElse(f, None) != sd.getOrElse(f, None))
+                if (drifted.nonEmpty)
+                  throw new java.util.ConcurrentModificationException(
+                    s"$ident: merge-on-read ${op} targets segments whose " +
+                      s"deletion vector a concurrent commit changed " +
+                      s"(${drifted.take(3).mkString(", ")}) — retry the operation")
+              }
               var k = -1
               // union with the segment's CURRENT dv inside the publish
-              // closure — a rebase after a racing merge-on-read commit
-              // re-unions against the winner's vector, never clobbers it
+              // closure (== the scanned dv once the drift check passes;
+              // kept as a union so overlapping positions stay idempotent)
               val dvFor: Map[String, Option[Dv]] = allDels.map {
                 case (f, ps) =>
                   val seg = byFile(f)
@@ -2682,7 +2752,7 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     // UNIFORM across a scan's partitions, so it is a per-scan property.
     val columnar = SegColumnar.enabled &&
       required.fields.forall(f => SegColumnar.supports(f.dataType)) &&
-      ss.forall(_.bytes <= SegColumnar.MaxSegBytes)
+      ss.forall(_.bytes <= SegColumnar.maxSegBytes)
     ss.toArray.map { s =>
       // metadata columns (_file/_pos) resolve to sentinels — a DATA
       // column of the same name shadows them, matching Spark's rule
@@ -2801,12 +2871,26 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
 object SegColumnar {
   val BatchRows = 4096
   val ConfKey = "spark.graft.columnar.enabled"
-  /** Largest segment the wholesale in-memory decode accepts (writers cap
-    * far below this; compaction targets are MBs). */
-  val MaxSegBytes: Long = 512L << 20
+  val MaxSegBytesKey = "spark.graft.columnar.maxSegBytes"
+  /** Largest segment the wholesale in-memory decode accepts. PER-TASK
+    * HEAP COST: the reader holds the whole encoded segment
+    * (Files.readAllBytes) PLUS its OnHeap column vectors, so an executor
+    * running T concurrent tasks can pin up to ~2·T·maxSegBytes of heap
+    * beyond Spark's memory-manager accounting. The default is sized so
+    * 32 task threads stay well inside a normal executor heap; raise via
+    * [[MaxSegBytesKey]] only with the headroom to match. Our writers and
+    * compaction target segments far below this; over-sized segments
+    * (external bulk registration) stream through the row reader. */
+  val MaxSegBytesDefault: Long = 128L << 20
 
   def enabled: Boolean =
     SparkSession.active.conf.get(ConfKey, "true") == "true"
+
+  /** Conf-tunable wholesale-decode bound — read at plan time on the
+    * driver ([[SegScan.partitionsFor]]), a per-scan property. */
+  def maxSegBytes: Long =
+    SparkSession.active.conf
+      .get(MaxSegBytesKey, MaxSegBytesDefault.toString).toLong
 
   def supports(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | org.apache.spark.sql.types.DoubleType |
@@ -4213,8 +4297,15 @@ class ZOrderProcedure(catalog: GraftCatalog) extends UnboundProcedure {
             .sortWithinPartitions("__graft_z")
             .drop("__graft_z")
             .createOrReplaceTempView(tmp)
+          // label the overwrite 'zorder' (content-identical, change-feed
+          // skippable); cleared in finally so a failed rewrite can never
+          // mislabel a later genuine overwrite
+          st.markZorderRewrite()
           try spark.sql(s"INSERT OVERWRITE $full SELECT * FROM $tmp")
-          finally spark.catalog.dropTempView(tmp)
+          finally {
+            st.clearZorderRewrite()
+            spark.catalog.dropTempView(tmp)
+          }
           // post-rewrite numbers from the manifest — metadata, not a scan
           result(st.currentSegmentCount.toLong, st.currentRowCount)
         case _ => // empty table (or no stats): nothing to rewrite

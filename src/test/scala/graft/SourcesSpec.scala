@@ -2074,4 +2074,133 @@ class SourcesSpec extends SparkTestBase {
       (100L until 200L).filter(_ != 150L).map(i => (i, 4L))
     assert(rows === expected)
   }
+
+  private def registerSecondCatalog(name: String): Unit = {
+    val wh = sys.props("java.io.tmpdir") + "/graft_warehouse/graft_cat"
+    val keys = Seq(s"spark.sql.catalog.$name" -> "graft.sources.GraftCatalog",
+      s"spark.sql.catalog.$name.warehouse" -> wh)
+    val saved = keys.map { case (k, _) => k -> spark.conf.getAll.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.sessionState.catalogManager.catalog(name)
+    saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def causeMessages(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("merge-on-read DML aborts when a racing commit moved a target's dv") {
+    // the Iceberg dv-drift validation on the DELTA path: a stale-handle
+    // UPDATE whose target row a concurrent merge-on-read DELETE already
+    // vectored would re-append the row's update image — resurrecting a
+    // concurrently deleted row. The commit must abort instead.
+    ops.ensureGraftCatalog(spark)
+    registerSecondCatalog("graft_mor2")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.mor_race")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.mor_race (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_cat.db.mor_race SELECT id, id FROM range(0, 1000)")
+    // instance 2 vectors id=5; instance 1's cached handle is now stale
+    spark.sql("REFRESH TABLE graft_mor2.db.mor_race")
+    spark.sql("DELETE FROM graft_mor2.db.mor_race WHERE id = 5")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_cat.db.mor_race SET v = -1 WHERE id = 5")
+    }
+    assert(causeMessages(e).exists(
+        _.contains("deletion vector a concurrent commit changed")),
+      s"expected the dv-drift abort, got: ${causeMessages(e).mkString(" | ")}")
+    // the racing delete's outcome is intact: id=5 stays deleted
+    spark.sql("REFRESH TABLE graft_cat.db.mor_race")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_race")
+      .head.getLong(0) === 999L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_cat.db.mor_race WHERE id = 5")
+      .head.getLong(0) === 0L)
+    // a RETRY against the fresh head touches no pre-race state: the
+    // update's predicate re-evaluates and the table converges
+    spark.sql("UPDATE graft_cat.db.mor_race SET v = -1 WHERE id = 6")
+    assert(spark.sql("SELECT v FROM graft_cat.db.mor_race WHERE id = 6")
+      .head.getLong(0) === -1L)
+  }
+
+  test("zorder commits op='zorder'; the change feed skips it like compact") {
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.zcdf_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.zcdf_t (a BIGINT, b BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft_cat.db.zcdf_t
+        |SELECT id % 100, id div 100 FROM range(0, 10000)""".stripMargin) // v1
+    spark.sql("CALL graft_cat.system.zorder('db.zcdf_t', 'a', 'b', 4)")
+      .collect() // v2
+    val ops2 = spark.sql(
+      "SELECT v, operation FROM graft_cat.db.zcdf_t.versions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops2(2L) === "zorder", s"versions ledger: $ops2")
+    // a content-identical physical reorganization is ZERO logical change:
+    // a CDC consumer replaying v1..v2 must see nothing, not 10k deletes
+    // + 10k inserts
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.zcdf_t VERSION AS OF 'cdf:1..2'")
+      .head.getLong(0) === 0L)
+    // the full range still attributes the original inserts
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_cat.db.zcdf_t VERSION AS OF 'cdf:0..'")
+      .head.getLong(0) === 10000L)
+  }
+
+  test("a truncated deletion-vector sidecar fails loudly, not mid-scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_trunc")
+    try {
+      val dv = graft.sources.SegDv.write(dir, "dv-t.bin",
+        Array(1L, 5L, 9L, 12L))
+      val p = dir.resolve(dv.file)
+      // drop the last 8 bytes: count says 4, payload holds 3
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      java.nio.file.Files.write(p, bytes.dropRight(8))
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.SegDv.read(p)
+      }
+      assert(e.getMessage.contains("bad deletion vector"), e.getMessage)
+      // intact sidecars round-trip unchanged
+      val ok = graft.sources.SegDv.write(dir, "dv-ok.bin", Array(2L, 3L))
+      assert(graft.sources.SegDv.read(dir.resolve(ok.file)).toSeq ===
+        Seq(2L, 3L))
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+  }
+
+  test("columnar wholesale-decode bound is conf-tunable; over-bound row-reads") {
+    // the bound caps PER-TASK heap (whole encoded segment + OnHeap
+    // vectors); a segment above it must stream through the row reader
+    // with identical values, not OOM the executor
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.colb_t")
+    spark.sql("CREATE TABLE graft_cat.db.colb_t (id BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft_cat.db.colb_t SELECT id, id * 7 FROM range(0, 4000)")
+    val q = "SELECT id, v FROM graft_cat.db.colb_t ORDER BY id"
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    val on = spark.sql(q)
+    val onRows = on.collect().map(_.toSeq).toSeq
+    assert(finalPlan(on).contains("ColumnarToRow"), finalPlan(on))
+    spark.conf.set(graft.sources.SegColumnar.MaxSegBytesKey, "64")
+    try {
+      val off = spark.sql(q)
+      assert(off.collect().map(_.toSeq).toSeq === onRows,
+        "row fallback must be value-identical")
+      assert(!finalPlan(off).contains("ColumnarToRow"),
+        "a segment above the decode bound must not take the wholesale path")
+    } finally spark.conf.unset(graft.sources.SegColumnar.MaxSegBytesKey)
+  }
 }
