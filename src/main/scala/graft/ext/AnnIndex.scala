@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED ANN index: the IVF coarse quantizer (centroids) and the
+  * per-vector cell assignments stored as `graft_cat` catalog tables, so
+  * the index build is AMORTIZED across queries instead of re-learned
+  * inside every search (what ext20/ext37/ext124 do — correct, but at
+  * 100 TB the k-means build dominates every query).
+  *
+  * Layout (per index name):
+  *   - `graft_cat.db.ann_<name>_cents`  (cid INT, c ARRAY<DOUBLE>)
+  *   - `graft_cat.db.ann_<name>_cells`  (vec_id BIGINT, cell INT,
+  *                                        v ARRAY<DOUBLE>, norm DOUBLE)
+  *
+  * [[ensure]] is the single entry point and is IDEMPOTENT:
+  *   - tables absent / corpus changed non-monotonically → FULL BUILD
+  *     (the deterministic k-means-lite of ext20 — seed every 64th
+  *     vector, one integer-scaled Lloyd step, re-assign — so a freshly
+  *     built index is bit-identical to the in-query build and the same
+  *     DuckDB oracles apply);
+  *   - corpus grew by APPEND (stored rows are exactly the prefix below
+  *     the stored max vec_id) → INCREMENTAL REFRESH: assign ONLY the new
+  *     vectors against the STORED centroids and append them to the cells
+  *     table — the standard production IVF maintenance discipline
+  *     (centroids are retrained on rebuild, not per append);
+  *   - index already covers the corpus → NO-OP (zero jobs beyond two
+  *     manifest-folded count/max lookups).
+  *
+  * At 100 TB: the cells table is the corpus co-located by cell — probe
+  * joins shuffle only the (small) query side; the centroid table is a
+  * broadcast row. The production layout would bucket `cells` by `cell`
+  * so probe joins are storage-partitioned; the fixture keeps it
+  * unpartitioned (cells ≪ segment size at test SF).
+  *
+  * Reference capability: the similarity-search north star
+  * (`BASELINE.json` north_star; SURVEY.md §7.2.7) — re-expressed as a
+  * lakehouse-native persisted artifact rather than a per-query rebuild.
+  */
+object AnnIndex {
+
+  /** Full-build / incremental-refresh counters — specs pin "the second
+    * query plans zero k-means stages" through these. */
+  val builds = new java.util.concurrent.atomic.AtomicLong(0)
+  val refreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  final case class Tables(cells: String, cents: String)
+
+  /** Nearest-centroid assignment: centroids collected into ONE broadcast
+    * row; the argmin runs row-locally inside `array_min` over
+    * struct(d2, cid) — no shuffle, no per-(vector, centroid) join rows.
+    * `graft_sqdist` is the codegen'd fused loop with the same
+    * left-to-right accumulation as the HOF fold (bit-identical to the
+    * ext20 oracle's restatement). */
+  private def assign(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.crossJoin(broadcast(cents.groupBy()
+        .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))))
+      .withColumn("cell",
+        expr("array_min(transform(cents, " +
+          "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))).cid"))
+      .drop("cents")
+
+  /** Ensure the named index exists and covers `corpus`
+    * (vec_id BIGINT, v ARRAY<DOUBLE>, norm DOUBLE). Returns the table
+    * names to probe. Synchronized: one in-JVM builder per name is
+    * enough (cross-process publication is the catalog's optimistic
+    * commit); concurrent readers see either the old or the new complete
+    * index version, never a torn one. */
+  def ensure(s: SparkSession, corpus: DataFrame, name: String): Tables =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      graft.functions.SquaredDistance.register(s)
+      val t = Tables(s"graft_cat.db.ann_${name}_cells",
+        s"graft_cat.db.ann_${name}_cents")
+
+      def tableState(tbl: String): Option[(Long, Long)] =
+        try {
+          // ungrouped COUNT/MAX folds from the manifest — no data scan
+          val r = s.table(tbl).agg(count(lit(1)), max(col("vec_id"))).head
+          Some((r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+      val centsExist =
+        try { s.table(t.cents).schema; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+      (tableState(t.cells), centsExist) match {
+        case (Some((storedCnt, storedMax)), true) if storedCnt > 0 =>
+          val cs = corpus.agg(count(lit(1)), max(col("vec_id")),
+            count(when(col("vec_id") <= lit(storedMax), 1))).head
+          val (cnt, mx, prefixCnt) = (cs.getLong(0),
+            if (cs.isNullAt(1)) -1L else cs.getLong(1), cs.getLong(2))
+          if (cnt == storedCnt && mx == storedMax) t // fresh — no-op
+          else if (mx > storedMax && prefixCnt == storedCnt) {
+            // append-only growth: assign the delta to the STORED
+            // centroids; old assignments and the quantizer are untouched
+            val delta = corpus.filter(col("vec_id") > storedMax)
+            assign(delta, s.table(t.cents))
+              .select(col("vec_id"), col("cell").cast("int").as("cell"),
+                col("v"), col("norm"))
+              .writeTo(t.cells).append()
+            refreshes.incrementAndGet()
+            t
+          } else build(s, corpus, t)
+        case _ => build(s, corpus, t)
+      }
+    }
+
+  /** The deterministic k-means-lite full build (ext20 semantics): seeds
+    * every 64th vector, ONE Lloyd step with integer-scaled per-component
+    * sums (order-independent bit-identical means), re-assign, persist.
+    * Centroids are written FIRST and the final assignment reads them
+    * back from the catalog, so the stored quantizer and the stored
+    * assignments can never disagree. */
+  private def build(s: SparkSession, corpus: DataFrame, t: Tables): Tables = {
+    val seeds = corpus.filter(col("vec_id") % 64 === 0)
+      .select((col("vec_id") / 64).cast("int").as("cid"), col("v").as("c"))
+    val a0 = assign(corpus, seeds)
+    val cents1 = a0
+      .select(col("cell").as("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(sum(expr("CAST(round(col * 1000000) AS BIGINT)")).as("sc"),
+        count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(collect_list(struct(col("pos"),
+        (col("sc").cast("double") / 1000000 / col("n")).as("cv"))).as("pc"))
+      .select(col("cid").cast("int").as("cid"),
+        expr("transform(array_sort(pc), t -> t.cv)").as("c"))
+    cents1.writeTo(t.cents).createOrReplace()
+    assign(corpus, s.table(t.cents))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("v"), col("norm"))
+      .writeTo(t.cells).createOrReplace()
+    builds.incrementAndGet()
+    t
+  }
+}

@@ -592,7 +592,75 @@ object Similarity {
       .orderBy("p")
   }
 
+  /** Shared handle to the PERSISTED IVF index over the embeddings
+    * fixture ([[AnnIndex]]): built at most once per corpus, then probed
+    * by ext126/ext127 (and any future search) with ZERO k-means or
+    * assignment stages in their plans — the 100 TB answer to "every ANN
+    * query re-learns its quantizer". The index name keys on the data
+    * dir, so sf fixtures never share state. */
+  private def persistedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): AnnIndex.Tables = {
+    graft.functions.CosineSimilarity.register(s)
+    AnnIndex.ensure(s, vecs(s, d).drop("label"),
+      "emb_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+  }
+
+  /** ext126 — probe-1 top-3 over the STORED index: identical semantics
+    * (and oracle) to ext20, but the plan is two catalog scans + the
+    * probe join — the k-means build is amortized into the persisted
+    * artifact. */
+  val persistedIvfTopK: Q = (s, d) => {
+    val t = persistedIndex(s, d)
+    val a1 = s.table(t.cells)
+    val queries = a1.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("cell"), col("v"), col("norm"))
+    val scored = queries.as("q").join(a1.as("c"),
+        col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("q.cell").as("cell"),
+        col("c.vec_id").as("n_id"),
+        expr("graft_cosine(q.v, c.v)").as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cell"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** ext127 — probe-2 over the SAME stored index ext126 probes (the
+    * "two queries share one persisted index" contract): query vectors
+    * rank the stored centroids row-locally, scan their two nearest
+    * cells, top-3 over the union. Identical semantics (and oracle) to
+    * ext37. */
+  val persistedIvfProbe2: Q = (s, d) => {
+    val t = persistedIndex(s, d)
+    val a1 = s.table(t.cells)
+    val centsRow = broadcast(s.table(t.cents).groupBy()
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents")))
+    val qcells = a1.filter(col("vec_id") % 50 === 0)
+      .crossJoin(centsRow)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"),
+        explode(expr(
+          "slice(transform(array_sort(transform(cents, " +
+            "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
+            "t -> t.cid), 1, 2)")).as("cell"))
+    val scored = qcells.as("q").join(a1.as("c"),
+        col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        expr("graft_cosine(q.v, c.v)").as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext126_ann_index_probe1" -> persistedIvfTopK,
+    "ext127_ann_index_probe2" -> persistedIvfProbe2,
     "ext77_label_noise_knn" -> labelNoiseKnn,
     "ext108_label_noise_recall" -> labelNoiseRecall,
     "ext75_sim_topk_ivfpq" -> pqTopK,
@@ -672,6 +740,42 @@ object Similarity {
        |        list_sum([(s.subv[i] - sd.c[i]) * (s.subv[i] - sd.c[i]) for i in range(1, 9)]),
        |        sd.cid) AS rk
        |    FROM sub s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
+
+  private lazy val ivfProbe1OracleSql =
+    s"""WITH $kmeansCtesSql,
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS n_id,
+       |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+       |      / (q.norm * c.norm) AS cosine
+       |  FROM a1 q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, cell,
+       |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+       |FROM scored
+       |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+       |QUALIFY row_number() OVER w <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val ivfProbe2OracleSql =
+    s"""WITH $kmeansCtesSql,
+       |qc AS (
+       |  SELECT vec_id AS q_id, v, norm, cid AS cell FROM (
+       |    SELECT x.vec_id, x.v, x.norm, s.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+       |        s.cid) AS rk
+       |    FROM v x CROSS JOIN cents s WHERE x.vec_id % 50 = 0) WHERE rk <= 2),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+       |      / (q.norm * c.norm) AS cosine
+       |  FROM qc q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.q_id)
+       |SELECT q_id,
+       |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+       |FROM scored
+       |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+       |QUALIFY row_number() OVER w <= 3
+       |ORDER BY q_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // sampled queries, both candidate policies, same k=5 vote: per-label
@@ -868,43 +972,16 @@ object Similarity {
     // the oracle restates the k-means semantics relationally (cross join +
     // argmin rank); the fixture's 64-dim is spelled out where DuckDB can't
     // range over a column-derived bound in FROM position
-    "ext20_sim_topk_ivf_kmeans" ->
-      s"""WITH $kmeansCtesSql,
-         |scored AS (
-         |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS n_id,
-         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
-         |      / (q.norm * c.norm) AS cosine
-         |  FROM a1 q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 50 = 0)
-         |SELECT q_id, cell,
-         |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
-         |FROM scored
-         |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
-         |QUALIFY row_number() OVER w <= 3
-         |ORDER BY q_id, rank""".stripMargin,
+    "ext20_sim_topk_ivf_kmeans" -> ivfProbe1OracleSql,
+    // ext126 probes the PERSISTED index; a fresh build is bit-identical
+    // to the in-query k-means, so the probe-1 oracle applies verbatim
+    "ext126_ann_index_probe1" -> ivfProbe1OracleSql,
     // probe-2: each query ranks the learned centroids and scans its TWO
     // nearest cells (rk <= 2); candidate sets are disjoint because each
     // corpus vector lives in exactly one cell
-    "ext37_sim_topk_ivf_probe2" ->
-      s"""WITH $kmeansCtesSql,
-         |qc AS (
-         |  SELECT vec_id AS q_id, v, norm, cid AS cell FROM (
-         |    SELECT x.vec_id, x.v, x.norm, s.cid,
-         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-         |        s.cid) AS rk
-         |    FROM v x CROSS JOIN cents s WHERE x.vec_id % 50 = 0) WHERE rk <= 2),
-         |scored AS (
-         |  SELECT q.q_id, c.vec_id AS n_id,
-         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
-         |      / (q.norm * c.norm) AS cosine
-         |  FROM qc q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.q_id)
-         |SELECT q_id,
-         |  CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
-         |FROM scored
-         |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
-         |QUALIFY row_number() OVER w <= 3
-         |ORDER BY q_id, rank""".stripMargin,
+    "ext37_sim_topk_ivf_probe2" -> ivfProbe2OracleSql,
+    // ext127 = probe-2 over the stored index — same oracle as ext37
+    "ext127_ann_index_probe2" -> ivfProbe2OracleSql,
     // SemDeDup drop list: dominated = has an earlier same-cell neighbor
     // above the threshold; grouped per dominated vector
     "ext93_semantic_dedup" ->

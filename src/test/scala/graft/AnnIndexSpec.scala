@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The persisted ANN index ([[graft.ext.AnnIndex]]): build-once
+  * amortization across queries, zero k-means stages in a probe-only
+  * plan, incremental append maintenance, and rebuild on non-append
+  * change.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  import graft.ext.AnnIndex
+
+  private def mkCorpus(n: Long) =
+    spark.range(0, n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 3), " +
+          "j -> CAST((id % 97) * 0.05 + j * 0.25 AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+
+  test("two searches share ONE persisted build; probe plans have no k-means") {
+    ops.configure(spark)
+    val d = "/root/testdata/sf0.001"
+    val b0 = AnnIndex.builds.get()
+    // drop any index a previous suite run left so this test really builds
+    ops.ensureGraftCatalog(spark)
+    val key = "emb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${key}_cells")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${key}_cents")
+
+    val r1 = ext.Similarity.persistedIvfTopK(spark, d)
+    val rows1 = r1.collect()
+    assert(rows1.nonEmpty)
+    assert(AnnIndex.builds.get() === b0 + 1)
+
+    // the stored index equals the in-query k-means build bit-for-bit:
+    // the persisted probe-1 must be value-identical to ext20
+    val inQuery = ext.Similarity.kmeansIvfTopK(spark, d).collect()
+    assert(rows1.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq,
+      "persisted-index probe diverged from the in-query build")
+
+    // second query over the SAME index: no new build, no refresh, and
+    // its plan is probe-only — no Lloyd/posexplode/assignment stages
+    val rf0 = AnnIndex.refreshes.get()
+    val r2 = ext.Similarity.persistedIvfProbe2(spark, d)
+    assert(r2.collect().nonEmpty)
+    assert(AnnIndex.builds.get() === b0 + 1, "second search re-built the index")
+    assert(AnnIndex.refreshes.get() === rf0)
+    val plan = r2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("posexplode"),
+      "probe plan contains a k-means Lloyd stage:\n" + plan)
+    assert(plan.contains(s"ann_${key}_cells"),
+      "probe plan does not scan the persisted cells table:\n" + plan)
+    // ... and it matches ext37 (the in-query probe-2) value-for-value
+    val p2 = ext.Similarity.kmeansIvfProbe2(spark, d).collect()
+    assert(r2.collect().map(_.toSeq).toSeq === p2.map(_.toSeq).toSeq)
+  }
+
+  test("append-only growth refreshes incrementally against stored centroids") {
+    ops.configure(spark)
+    val b0 = AnnIndex.builds.get()
+    val rf0 = AnnIndex.refreshes.get()
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_idx_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_idx_cents")
+
+    val t = AnnIndex.ensure(spark, mkCorpus(1000), "spec_idx")
+    assert(AnnIndex.builds.get() === b0 + 1)
+    val centsBefore = spark.table(t.cents).orderBy("cid")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val oldCells = spark.table(t.cells).filter(col("vec_id") < 1000)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+
+    // same corpus again: pure no-op (covered = no build, no refresh)
+    AnnIndex.ensure(spark, mkCorpus(1000), "spec_idx")
+    assert(AnnIndex.builds.get() === b0 + 1)
+    assert(AnnIndex.refreshes.get() === rf0)
+
+    // corpus grew by append: only the delta is assigned; the quantizer
+    // and every pre-existing assignment are byte-identical
+    AnnIndex.ensure(spark, mkCorpus(1200), "spec_idx")
+    assert(AnnIndex.builds.get() === b0 + 1, "append triggered a full rebuild")
+    assert(AnnIndex.refreshes.get() === rf0 + 1)
+    val centsAfter = spark.table(t.cents).orderBy("cid")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(centsAfter.toSeq === centsBefore.toSeq,
+      "incremental refresh moved the stored centroids")
+    val cellsAfter = spark.table(t.cells).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(cellsAfter.length === 1200)
+    assert(cellsAfter.take(1000).toSeq === oldCells.toSeq,
+      "incremental refresh rewrote pre-existing assignments")
+
+    // the delta's cells are the true argmin over the STORED centroids
+    // (recomputed independently here, ordering by (d2, cid))
+    val vById = mkCorpus(1200).filter(col("vec_id") >= 1000)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    cellsAfter.drop(1000).foreach { case (id, cell) =>
+      val v = vById(id)
+      val best = centsBefore.map { case (cid, c) =>
+        val d2 = v.zip(c).foldLeft(0.0)((a, p) =>
+          a + (p._1 - p._2) * (p._1 - p._2))
+        (d2, cid)
+      }.min
+      assert(best._2 === cell, s"vec $id assigned to $cell, argmin ${best._2}")
+    }
+  }
+
+  test("a non-append corpus change triggers a full rebuild") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_rb_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_rb_cents")
+    val b0 = AnnIndex.builds.get()
+    AnnIndex.ensure(spark, mkCorpus(1000), "spec_rb")
+    assert(AnnIndex.builds.get() === b0 + 1)
+    // shrunk corpus: stored rows are NOT a prefix cover — rebuild
+    val t = AnnIndex.ensure(spark, mkCorpus(500), "spec_rb")
+    assert(AnnIndex.builds.get() === b0 + 2,
+      "a shrunk corpus must force a full rebuild, not a refresh")
+    assert(spark.table(t.cells).count() === 500L)
+  }
+}
