@@ -2154,6 +2154,55 @@ class SourcesSpec extends SparkTestBase {
       .head.getLong(0) === 10000L)
   }
 
+  test("RLE deletion vectors: round-trip fuzz, dense compression, legacy reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_rle")
+    try {
+      val rnd = new scala.util.Random(42)
+      // round-trip fuzz: random sorted-distinct sets of many shapes
+      // (empty, singletons, dense runs, sparse spray) decode identically
+      (0 until 50).foreach { k =>
+        val n = rnd.nextInt(2000)
+        val ps = Array.fill(n)(rnd.nextLong(20000L).abs).distinct.sorted
+        val dv = graft.sources.SegDv.write(dir, s"dv-f$k.bin", ps)
+        assert(dv.ndel === ps.length.toLong)
+        assert(graft.sources.SegDv.read(dir.resolve(dv.file)).toSeq ===
+          ps.toSeq, s"fuzz round $k diverged")
+      }
+      // a fully-contiguous run is O(1) bytes, not 8 B/row: the VERDICT
+      // scenario (half-deleted huge segment) collapses to one run
+      val dense = (0L until 100000L).toArray
+      val dd = graft.sources.SegDv.write(dir, "dv-dense.bin", dense)
+      val denseBytes = java.nio.file.Files.size(dir.resolve(dd.file))
+      assert(denseBytes < 32L,
+        s"dense run must collapse (got $denseBytes bytes for 100k rows)")
+      assert(graft.sources.SegDv.read(dir.resolve(dd.file)).length === 100000)
+      // worst case (alternating singletons) still beats raw 8 B/row
+      val sparse = (0L until 50000L).map(_ * 2).toArray
+      val sd = graft.sources.SegDv.write(dir, "dv-sparse.bin", sparse)
+      assert(java.nio.file.Files.size(dir.resolve(sd.file)) <
+        8L * sparse.length / 2,
+        "alternating singletons must stay well under the raw format")
+      // pre-upgrade sidecars (raw longs) decode through the same read()
+      val legacy = graft.sources.SegDv.writeLegacy(dir, "dv-old.bin",
+        Array(3L, 4L, 5L, 99L))
+      assert(graft.sources.SegDv.read(dir.resolve(legacy.file)).toSeq ===
+        Seq(3L, 4L, 5L, 99L))
+      // corrupt RLE count (claims more positions than the runs hold)
+      val one = graft.sources.SegDv.write(dir, "dv-c.bin", Array(7L))
+      val p = dir.resolve(one.file)
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      bytes(7) = 9 // count 1 -> 9, payload still one 1-length run
+      java.nio.file.Files.write(p, bytes)
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.SegDv.read(p)
+      }
+      assert(e.getMessage.contains("bad deletion vector"), e.getMessage)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+  }
+
   test("a truncated deletion-vector sidecar fails loudly, not mid-scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dv_trunc")
     try {
