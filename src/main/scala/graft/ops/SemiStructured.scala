@@ -1614,6 +1614,77 @@ object SemiStructured {
         |ORDER BY id, commit_v, change_type""".stripMargin)
   }
 
+  /** q169 — cross-table atomic transaction ([[graft.sources.SegTxn]]):
+    * BEGIN stages batch writes to TWO catalog tables invisibly, one
+    * atomic intent-record create is the commit point, per-table
+    * roll-forward is crash-recoverable and idempotent. The reference
+    * gets warehouse-grain atomicity implicitly from a single DuckDB
+    * file (`transformation.py:517-547`); per-table manifest logs need
+    * this explicit two-phase discipline or a mid-build failure tears
+    * the 21-table warehouse. Legs pin: staged writes invisible before
+    * commit; an injected crash BETWEEN the two table commits leaves a
+    * torn-but-durable state (t2); recovery completes exactly once (t3:
+    * 1 then 0); abort drops staged writes; final contents of both
+    * tables are the all-or-nothing outcome (t4/t5). */
+  val q169CrossTableTxn: Q = (s, _) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.txn_a")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.txn_b")
+    s.sql("CREATE TABLE graft_cat.db.txn_a (id BIGINT, v BIGINT)")
+    s.sql("CREATE TABLE graft_cat.db.txn_b (id BIGINT, v BIGINT)")
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_txn")
+    s.sql("INSERT INTO graft_cat.db.txn_a SELECT id, v FROM graft_seq_txn WHERE id < 500")
+    s.sql("INSERT INTO graft_cat.db.txn_b SELECT id, v FROM graft_seq_txn WHERE id < 300")
+    def n(t: String): Long =
+      s.sql(s"SELECT COUNT(*) AS n FROM graft_cat.db.$t").head.getLong(0)
+    import graft.sources.SegTxn
+    // --- torn transaction: crash injected AFTER the first table's
+    // roll-forward (tables commit in canonical order: txn_a, txn_b) ---
+    s.sql("CALL graft_cat.system.txn_begin()").collect()
+    s.sql(
+      """INSERT INTO graft_cat.db.txn_a
+        |SELECT id, v FROM graft_seq_txn WHERE id >= 500 AND id < 1000""".stripMargin)
+    s.sql(
+      """INSERT INTO graft_cat.db.txn_b
+        |SELECT id, v FROM graft_seq_txn WHERE id >= 300 AND id < 600""".stripMargin)
+    val staged = n("txn_a")            // staged writes invisible → 500
+    SegTxn.afterTableCommit.set { _ =>
+      SegTxn.afterTableCommit.set(_ => ())
+      throw new RuntimeException("injected crash between table commits")
+    }
+    val crashed =
+      try { s.sql("CALL graft_cat.system.txn_commit()").collect(); 0L }
+      catch {
+        case e: Exception
+            if Option(e.getMessage).exists(_.contains("injected crash")) ||
+              Option(e.getCause).flatMap(c => Option(c.getMessage))
+                .exists(_.contains("injected crash")) => 1L
+      } finally SegTxn.afterTableCommit.set(_ => ())
+    val aTorn = n("txn_a")             // 1000 — committed before the crash
+    val bTorn = n("txn_b")             // 300 — torn, not yet rolled forward
+    val recovered = s.sql("CALL graft_cat.system.txn_recover()").head.getLong(0)
+    val again = s.sql("CALL graft_cat.system.txn_recover()").head.getLong(0)
+    // --- abort: staged writes vanish, nothing published ---
+    s.sql("CALL graft_cat.system.txn_begin()").collect()
+    s.sql("INSERT INTO graft_cat.db.txn_a SELECT id, v FROM graft_seq_txn WHERE id >= 1000")
+    s.sql("CALL graft_cat.system.txn_abort()").collect()
+    s.sql(
+      s"""SELECT leg, n, v_sum FROM (
+         |  SELECT 't1_crash_witness' AS leg, CAST($crashed AS BIGINT) AS n,
+         |    CAST($staged AS BIGINT) AS v_sum
+         |  UNION ALL
+         |  SELECT 't2_torn', CAST($aTorn AS BIGINT), CAST($bTorn AS BIGINT)
+         |  UNION ALL
+         |  SELECT 't3_recover', CAST($recovered AS BIGINT), CAST($again AS BIGINT)
+         |  UNION ALL
+         |  SELECT 't4_a', COUNT(*), CAST(SUM(v) AS BIGINT) FROM graft_cat.db.txn_a
+         |  UNION ALL
+         |  SELECT 't5_b', COUNT(*), CAST(SUM(v) AS BIGINT) FROM graft_cat.db.txn_b)
+         |ORDER BY leg""".stripMargin)
+  }
+
   val q136NetChanges: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdf_t")
@@ -2018,6 +2089,7 @@ object SemiStructured {
     "q163_merge_on_read" -> q163MergeOnRead,
     "q164_cherry_pick" -> q164CherryPick,
     "q168_change_feed" -> q168ChangeFeed,
+    "q169_cross_table_txn" -> q169CrossTableTxn,
     "q96_catalog_rename_truncate" -> q96CatalogRenameTruncate,
     "q100_sql_variables" -> q100SqlVariables,
     "q101_merge_by_source" -> q101MergeBySource,
@@ -2305,6 +2377,25 @@ object SemiStructured {
         |  WHERE id % 10 = 3 AND v >= 100)
         |SELECT id, v, change_type, CAST(commit_v AS BIGINT) AS commit_v
         |FROM feed ORDER BY id, commit_v, change_type""".stripMargin,
+    // cross-table txn: crash witness (crashed=1, staged-invisible=500),
+    // torn durable state (a=1000 committed / b=300 not yet), recovery
+    // exactly-once (1 then 0), then the all-or-nothing final contents
+    "q169_cross_table_txn" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r)
+        |SELECT leg, n, v_sum FROM (
+        |  SELECT 't1_crash_witness' AS leg, CAST(1 AS BIGINT) AS n,
+        |    CAST(500 AS BIGINT) AS v_sum
+        |  UNION ALL
+        |  SELECT 't2_torn', CAST(1000 AS BIGINT), CAST(300 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 't3_recover', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 't4_a', COUNT(*), CAST(SUM(v) AS BIGINT) FROM seq WHERE id < 1000
+        |  UNION ALL
+        |  SELECT 't5_b', COUNT(*), CAST(SUM(v) AS BIGINT) FROM seq WHERE id < 600)
+        |ORDER BY leg""".stripMargin,
     // merge-on-read: the witness leg is the design claim (0 segments
     // rewritten, 40 rows vectored = 20 deleted + 20 update-deleted);
     // t2 (DV-applied read) and t3 (post-compaction) are value-identical

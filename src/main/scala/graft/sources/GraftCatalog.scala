@@ -83,7 +83,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
       sys.props("java.io.tmpdir") + s"/graft_warehouse/$name"))
     Files.createDirectories(warehouse)
+    // roll forward any cross-table transaction that crashed between its
+    // intent record and the per-table commits ([[SegTxn]]) — every
+    // catalog open is a recovery point, so a committed-but-torn txn
+    // completes before the first query can observe the warehouse
+    recoverTxns()
   }
+
+  /** Complete any committed-but-unapplied cross-table transactions
+    * (crash recovery — see [[SegTxn]]). Idempotent; also invoked by
+    * `CALL system.txn_recover()` so a spec can exercise recovery without
+    * re-opening the catalog. Returns transactions rolled forward. */
+  private[graft] def recoverTxns(): Int =
+    SegTxn.recover(warehouse, ident => segTable(ident))
 
   override def name(): String = catalogName
 
@@ -154,7 +166,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "branch"),
       Identifier.of(namespace, "fast_forward"),
       Identifier.of(namespace, "cherry_pick"),
-      Identifier.of(namespace, "drop_branch"))
+      Identifier.of(namespace, "drop_branch"),
+      Identifier.of(namespace, "txn_begin"),
+      Identifier.of(namespace, "txn_commit"),
+      Identifier.of(namespace, "txn_abort"),
+      Identifier.of(namespace, "txn_recover"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name().toLowerCase match {
@@ -170,10 +186,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "fast_forward" => new FastForwardProcedure(this)
       case "cherry_pick" => new CherryPickProcedure(this)
       case "drop_branch" => new DropBranchProcedure(this)
+      case "txn_begin" => new TxnProcedure(this, "txn_begin")
+      case "txn_commit" => new TxnProcedure(this, "txn_commit")
+      case "txn_abort" => new TxnProcedure(this, "txn_abort")
+      case "txn_recover" => new TxnProcedure(this, "txn_recover")
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName has no procedure `$other` (available: " +
           "compact, expire_versions, vacuum, clone, zorder, tag, rollback, " +
-          "evolve_spec, branch, fast_forward, cherry_pick, drop_branch)")
+          "evolve_spec, branch, fast_forward, cherry_pick, drop_branch, " +
+          "txn_begin, txn_commit, txn_abort, txn_recover)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -851,6 +872,180 @@ object SegHooks {
   val betweenMergeAndReseed = new AtomicReference[() => Unit](() => ())
 }
 
+/** CROSS-TABLE ATOMIC TRANSACTION — all-or-nothing publication across
+  * multiple `graft_cat` tables (the warehouse-grain atomicity the
+  * reference gets for free from one DuckDB file,
+  * `transformation.py:517-547`; multi-table pipelines here would
+  * otherwise tear on a mid-build failure).
+  *
+  * Protocol (intention log + roll-forward — the classic commit-record
+  * pattern):
+  *   1. `begin()`; ordinary `df.writeTo("graft_cat.db.t").append()` /
+  *      `.overwritePartitions()`-style batch writes STAGE: their data
+  *      segments land on disk (invisible — nothing references them) and
+  *      the manifest publish is deferred;
+  *   2. `commit()` writes ONE intent record `_txn-<id>.json` into the
+  *      warehouse root via tmp + ATOMIC_MOVE — this single file create
+  *      is the transaction's commit point; the record embeds every
+  *      staged write as a self-contained manifest line;
+  *   3. each table's write then rolls forward under the table's own
+  *      optimistic-commit locks, tagged `op="append@txn=<id>"`
+  *      (idempotent: the history check + append are one critical
+  *      section, [[SegStore.commitIdempotent]]); the intent record is
+  *      deleted once every table applied.
+  *
+  * Crash anywhere BEFORE step 2: no intent, no manifest touched — the
+  * staged segments are unreferenced files `vacuum` reclaims; the
+  * warehouse never saw the transaction. Crash anywhere AFTER step 2:
+  * the intent survives, and [[GraftCatalog.recoverTxns]] (run on every
+  * catalog open, also callable directly) rolls the remaining tables
+  * forward — the transaction completes exactly once per table. Readers
+  * in the roll-forward window may briefly see table A's commit before
+  * table B's (per-table snapshot isolation, not cross-table SI — the
+  * documented trade of per-table logs); DURABILITY is all-or-nothing.
+  *
+  * Rebase semantics match publish: a staged write is "append these
+  * segs" / "replace with these segs" — pure functions of any head — so
+  * concurrent non-txn commits interleave exactly like they do against
+  * ordinary writes. One transaction per JVM at a time (the driver is
+  * the only writer in Spark's commit model); branch writes publish
+  * normally (never staged), and DDL (CREATE/DROP) is immediate — only
+  * batch DATA writes to main tables participate. */
+object SegTxn {
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+
+  private final case class StagedWrite(table: SegTable,
+      truncateFirst: Boolean, segs: Seq[Seg])
+  private final class TxnState(val id: String) {
+    val writes = scala.collection.mutable.ArrayBuffer.empty[StagedWrite]
+  }
+  private val current = new AtomicReference[Option[TxnState]](None)
+
+  /** Test seam: runs after each table's roll-forward commit (receives
+    * the table ident) — lets a spec inject a crash BETWEEN tables. */
+  val afterTableCommit = new AtomicReference[String => Unit](_ => ())
+
+  def active: Boolean = current.get().isDefined
+
+  def begin(): String = {
+    val id = java.util.UUID.randomUUID.toString.replace("-", "").take(16)
+    if (!current.compareAndSet(None, Some(new TxnState(id))))
+      throw new IllegalStateException(
+        "a graft transaction is already active in this JVM")
+    id
+  }
+
+  /** Called by the batch-write commit: true = staged (caller must NOT
+    * publish), false = no transaction open. */
+  private[sources] def stage(t: SegTable, truncateFirst: Boolean,
+      segs: Seq[Seg]): Boolean =
+    current.get() match {
+      case Some(st) =>
+        st.synchronized { st.writes += StagedWrite(t, truncateFirst, segs) }
+        true
+      case None => false
+    }
+
+  /** Drop the transaction: staged segment files are deleted, no
+    * manifest was ever touched. */
+  def abort(): Unit = current.getAndSet(None).foreach { st =>
+    st.writes.foreach(w => w.segs.foreach(s =>
+      Files.deleteIfExists(w.table.txnDir.resolve(s.file))))
+  }
+
+  /** Returns the number of tables the transaction published to. */
+  def commit(): Int = {
+    val st = current.get().getOrElse(
+      throw new IllegalStateException("no active graft transaction"))
+    try {
+      if (st.writes.isEmpty) return 0
+      // fold multiple writes per table in stage order (a truncating
+      // write resets the staged list; appends accumulate), tables in
+      // canonical ident order so concurrent txns roll forward in one
+      // global order
+      val order = st.writes.map(_.table.txnIdent).distinct.sorted
+      val folded = order.map { id =>
+        val ws = st.writes.filter(_.table.txnIdent == id)
+        var trunc = false
+        var segs = Vector.empty[Seg]
+        ws.foreach { w =>
+          if (w.truncateFirst) { trunc = true; segs = w.segs.toVector }
+          else segs = segs ++ w.segs
+        }
+        (ws.head.table, trunc, segs)
+      }
+      val roots = folded.map(_._1.txnDir.toAbsolutePath.getParent).distinct
+      require(roots.size == 1,
+        "a graft transaction must stay inside one warehouse")
+      require(folded.forall(_._1.txnLog == SegStore.MetaFile),
+        "graft transactions commit to main tables only, not branches")
+      // ---- COMMIT POINT: one atomic intent record ----
+      val header: JValue = ("txn" -> st.id) ~
+        ("tables" -> folded.map(_._1.txnIdent).toList) ~
+        ("trunc" -> folded.map(_._2).toList)
+      val body = JsonMethods.compact(JsonMethods.render(header)) + "\n" +
+        folded.map { case (t, tr, segs) =>
+          SegStore.renderVersionLine(
+            t.txnVersionFor(segs, if (tr) "overwrite" else "append"))
+        }.mkString
+      val intent = roots.head.resolve(s"_txn-${st.id}.json")
+      val tmp = roots.head.resolve(s"_txn-${st.id}.json.tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+      Files.move(tmp, intent, StandardCopyOption.ATOMIC_MOVE)
+      // ---- roll forward (recovery completes this on a crash) ----
+      folded.foreach { case (t, tr, segs) =>
+        t.applyTxnWrite(st.id, tr, segs, if (tr) "overwrite" else "append")
+        afterTableCommit.get()(t.txnIdent)
+      }
+      Files.deleteIfExists(intent)
+      folded.size
+    } finally current.set(None)
+  }
+
+  /** Roll forward every surviving intent record under `warehouse` —
+    * idempotent, safe under concurrent recoverers. Returns the number
+    * of transactions completed. */
+  private[sources] def recover(warehouse: Path,
+      tableOf: String => SegTable): Int = {
+    if (!Files.isDirectory(warehouse)) return 0
+    val s = Files.list(warehouse)
+    val intents = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("_txn-") && n.endsWith(".json"))
+      .toVector.sorted
+    finally s.close()
+    var done = 0
+    intents.foreach { name =>
+      val p = warehouse.resolve(name)
+      val lines = try Files.readAllLines(p).asScala.toVector.filter(_.nonEmpty)
+        catch { case _: java.nio.file.NoSuchFileException => Vector.empty }
+      if (lines.nonEmpty) {
+        implicit val fmts: Formats = DefaultFormats
+        val h = JsonMethods.parse(lines.head)
+        val txnId = (h \ "txn").extract[String]
+        val tables = (h \ "tables").extract[List[String]]
+        val trunc = (h \ "trunc").extract[List[Boolean]]
+        require(lines.size == tables.size + 1,
+          s"torn txn intent $name: ${lines.size - 1} writes for " +
+            s"${tables.size} tables")
+        tables.zip(trunc).zip(lines.tail).foreach {
+          case ((ident, tr), line) =>
+            val sv = SegStore.parseVersionLine(line)
+            // a table dropped after the intent was written makes its
+            // write moot — recovery must still complete the others
+            try tableOf(ident).applyTxnWrite(txnId, tr, sv.segs, sv.op)
+            catch { case _: NoSuchTableException => }
+        }
+        Files.deleteIfExists(p)
+        done += 1
+      }
+    }
+    done
+  }
+}
+
 /** File-backed catalog table (see [[GraftCatalog]] for the design).
   *
   * `log` names the manifest version log this handle commits to —
@@ -897,6 +1092,30 @@ class SegTable private (ident: String, dir: Path,
   private[graft] def currentSegs: Seq[Seg] = cur.segs
   /** One consistent (version, table-dir) snapshot — the clone source. */
   private[sources] def snapshotForClone: (SegVersion, Path) = (cur, dir)
+
+  // ---- cross-table transaction plumbing ([[SegTxn]]) ----
+  private[sources] def txnIdent: String = ident
+  private[sources] def txnDir: Path = dir
+  private[sources] def txnLog: String = log
+  /** The current version with its segment list swapped for a staged
+    * write — how a txn intent record embeds the write (schema/colIds
+    * travel with it so the record parses standalone). */
+  private[sources] def txnVersionFor(segs: Seq[Seg], op: String): SegVersion =
+    cur.copy(segs = segs, op = op)
+
+  /** Roll one staged txn write forward onto the CURRENT head (the same
+    * optimistic semantics as publish — the write is "append these segs"
+    * / "replace with these segs", both pure functions of any head).
+    * Idempotent across recoverers via the `@txn=<id>` op tag; the
+    * history check and the append are one critical section
+    * ([[SegStore.commitIdempotent]]). */
+  private[sources] def applyTxnWrite(txnId: String, truncateFirst: Boolean,
+      segs: Seq[Seg], op: String): Boolean = synchronized {
+    val applied = SegStore.commitIdempotent(dir, log, txnId,
+      v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs), op)
+    versions = SegStore.readVersions(dir, log)
+    applied
+  }
 
   /** Inspection metadata tables (`SELECT * FROM cat.db.t.versions` /
     * `.files` — Iceberg's snapshot/files metadata-table surface): the
@@ -1455,6 +1674,12 @@ class SegTable private (ident: String, dir: Path,
       // atomic publish: commit messages carry segment NAMES + stats,
       // never rows; truncate+load is ONE version step
       val segs = SegTable.segsOf(messages)
+      // inside an open cross-table transaction the write STAGES instead
+      // of publishing — data files are on disk but invisible until
+      // SegTxn.commit's intent record makes the whole txn durable
+      // (main-table writes only; branch writes publish normally)
+      if (log == SegStore.MetaFile &&
+        SegTxn.stage(SegTable.this, truncateFirst, segs)) return
       val zorder = truncateFirst && zorderRewritePending.getAndSet(false)
       publishOp(v => v.copy(segs = (if (truncateFirst) Nil else v.segs) ++ segs),
         opFn = v =>
@@ -3800,34 +4025,72 @@ object SegStore {
     try readVersions(dir, log)
     catch { case _: java.nio.file.NoSuchFileException => Vector.empty }
 
-  def readVersions(dir: Path, log: String = MetaFile): Vector[SegVersion] = {
+  /** One manifest line → [[SegVersion]] (also used by the cross-table
+    * transaction intent records, which embed staged writes as version
+    * lines — [[SegTxn]]). */
+  private[sources] def parseVersionLine(line: String): SegVersion = {
     implicit val fmts: Formats = DefaultFormats
-    Files.readAllLines(dir.resolve(log)).asScala.toVector
-      .filter(_.nonEmpty).map { line =>
-        val j = JsonMethods.parse(line)
-        val segs = (j \ "segs").children.map { sj =>
-          Seg((sj \ "f").extract[String], (sj \ "r").extract[Long],
-            (sj \ "b").extract[Long], (sj \ "ids").extract[List[Int]].toArray,
-            (sj \ "mins").extract[List[Long]].toArray,
-            (sj \ "maxs").extract[List[Long]].toArray,
-            (sj \ "nulls").extract[List[Boolean]].toArray,
-            (sj \ "stats").extract[List[Boolean]].toArray,
-            (sj \ "blooms").extractOpt[List[String]]
-              .map(_.map(SegBloom.fromBase64).toArray)
-              .getOrElse(Array.empty),
-            (sj \ "ps").extractOpt[String],
-            (sj \ "dv" \ "f").extractOpt[String].map(f =>
-              Dv(f, (sj \ "dv" \ "n").extract[Long])))
-        }
-        SegVersion((j \ "v").extract[Long],
-          (j \ "ids").extract[List[Int]].toArray,
-          DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
-          (j \ "part").extractOpt[String], segs,
-          (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
-          (j \ "ts").extractOpt[Long].getOrElse(0L),
-          (j \ "op").extractOpt[String].getOrElse(""))
-      }
+    val j = JsonMethods.parse(line)
+    val segs = (j \ "segs").children.map { sj =>
+      Seg((sj \ "f").extract[String], (sj \ "r").extract[Long],
+        (sj \ "b").extract[Long], (sj \ "ids").extract[List[Int]].toArray,
+        (sj \ "mins").extract[List[Long]].toArray,
+        (sj \ "maxs").extract[List[Long]].toArray,
+        (sj \ "nulls").extract[List[Boolean]].toArray,
+        (sj \ "stats").extract[List[Boolean]].toArray,
+        (sj \ "blooms").extractOpt[List[String]]
+          .map(_.map(SegBloom.fromBase64).toArray)
+          .getOrElse(Array.empty),
+        (sj \ "ps").extractOpt[String],
+        (sj \ "dv" \ "f").extractOpt[String].map(f =>
+          Dv(f, (sj \ "dv" \ "n").extract[Long])))
+    }
+    SegVersion((j \ "v").extract[Long],
+      (j \ "ids").extract[List[Int]].toArray,
+      DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
+      (j \ "part").extractOpt[String], segs,
+      (j \ "props").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      (j \ "ts").extractOpt[Long].getOrElse(0L),
+      (j \ "op").extractOpt[String].getOrElse(""))
   }
+
+  /** Render a version as its manifest line (txn intent records reuse
+    * the manifest encoding verbatim). */
+  private[sources] def renderVersionLine(v: SegVersion): String =
+    versionLine(v)
+
+  def readVersions(dir: Path, log: String = MetaFile): Vector[SegVersion] = {
+    Files.readAllLines(dir.resolve(log)).asScala.toVector
+      .filter(_.nonEmpty).map(parseVersionLine)
+  }
+
+  /** Txn roll-forward primitive: under the SAME exclusive locks as the
+    * conditional append, apply `f` to the CURRENT head and append —
+    * unless some version already carries `@txn=<id>` in its op, in which
+    * case return false untouched. The history check and the append are
+    * one critical section, so two recoverers (same or different
+    * process) can never both apply a transaction's write to one table. */
+  private[sources] def commitIdempotent(dir: Path, log: String,
+      txnId: String, f: SegVersion => SegVersion, op: String): Boolean =
+    withDirLock(dir) {
+      val (ch, lock) = lockLiveLog(dir, log).getOrElse(
+        throw new IllegalStateException(
+          s"manifest log $log missing during txn roll-forward"))
+      try {
+        val vs = readVersions(dir, log)
+        if (vs.exists(_.op.endsWith(s"@txn=$txnId"))) false
+        else {
+          val cur = vs.last
+          val next = f(cur).copy(v = cur.v + 1,
+            ts = math.max(System.currentTimeMillis(), cur.ts + 1),
+            op = s"$op@txn=$txnId")
+          ch.position(ch.size())
+          ch.write(java.nio.ByteBuffer.wrap(
+            versionLine(next).getBytes(StandardCharsets.UTF_8)))
+          true
+        }
+      } finally { lock.release(); ch.close() }
+    }
 }
 
 /** Executor-side segment merge. The segment format is
@@ -4510,5 +4773,56 @@ object MulModFunction
     def invoke(x: Long): Long = (x * 2654435761L) % 1000L
     override def produceResult(input: InternalRow): java.lang.Long =
       invoke(input.getLong(0))
+  }
+}
+
+/** Cross-table transaction control as stored procedures — the SQL
+  * surface of [[SegTxn]] (Iceberg ships the same capability through its
+  * REST catalog's multi-table commit; a single-file engine like the
+  * reference's DuckDB gets it implicitly from one database file,
+  * `transformation.py:517-547`):
+  *
+  *   CALL graft_cat.system.txn_begin()    -- returns txn_id
+  *   INSERT / INSERT OVERWRITE ...        -- stages (invisible)
+  *   CALL graft_cat.system.txn_commit()   -- all-or-nothing publish
+  *   CALL graft_cat.system.txn_abort()    -- drop staged writes
+  *   CALL graft_cat.system.txn_recover()  -- roll forward torn txns
+  *
+  * All four are zero-argument; one result row each. */
+class TxnProcedure(catalog: GraftCatalog, which: String)
+    extends UnboundProcedure {
+  override def name(): String = which
+  override def description(): String = which match {
+    case "txn_begin" => "open a cross-table transaction (writes stage until commit)"
+    case "txn_commit" => "atomically publish every staged write (all-or-nothing)"
+    case "txn_abort" => "drop the open transaction and its staged segment files"
+    case _ => "roll forward transactions that crashed after their commit point"
+  }
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = which
+    override def description(): String = TxnProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array.empty
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val (schema, row) = which match {
+        case "txn_begin" =>
+          (StructType(Seq(StructField("txn_id", StringType, nullable = false))),
+            new GenericInternalRow(Array[Any](UTF8String.fromString(SegTxn.begin()))))
+        case "txn_commit" =>
+          (StructType(Seq(StructField("tables_committed", LongType, nullable = false))),
+            new GenericInternalRow(Array[Any](SegTxn.commit().toLong)))
+        case "txn_abort" =>
+          (StructType(Seq(StructField("aborted", org.apache.spark.sql.types.BooleanType,
+              nullable = false))),
+            { val was = SegTxn.active; SegTxn.abort()
+              new GenericInternalRow(Array[Any](was)) })
+        case _ =>
+          (StructType(Seq(StructField("recovered", LongType, nullable = false))),
+            new GenericInternalRow(Array[Any](catalog.recoverTxns().toLong)))
+      }
+      util.Collections.singletonList[Scan](
+        new ProcResultScan(schema, row)).iterator()
+    }
   }
 }
