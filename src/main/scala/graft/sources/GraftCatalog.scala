@@ -649,6 +649,22 @@ object SegBloom {
     true
   }
 
+  /** Distinct-count estimate from the fill ratio (Swamidass & Baldi
+    * 2007): with m bits, k probes and t bits set, n ≈ -(m/k)·ln(1-t/m).
+    * The same 2 KiB sidecar that answers point-pruning thus doubles as
+    * a CBO NDV sketch — no extra write-path cost. None past 50% fill
+    * (the estimate's variance blows up exactly where [[saturated]]
+    * already declares the filter powerless). */
+  def estimateNdv(bits: Array[Long]): Option[Long] = {
+    var pop = 0
+    var i = 0
+    while (i < bits.length) { pop += java.lang.Long.bitCount(bits(i)); i += 1 }
+    if (pop == 0) Some(0L)
+    else if (pop * 2 > Bits) None
+    else Some(math.max(1L, math.round(
+      -(Bits.toDouble / Probes) * Math.log1p(-pop.toDouble / Bits))))
+  }
+
   /** More than half the bits set: fpp is so high the filter carries no
     * skipping power — callers treat it as absent. */
   def saturated(bits: Array[Long]): Boolean = {
@@ -2956,12 +2972,66 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
   override def readSchema(): StructType = required
 
   /** Post-pruning statistics: byte/row totals of exactly the surviving
-    * segments — what lets Catalyst broadcast a small catalog table. */
+    * segments — what lets Catalyst broadcast a small catalog table with
+    * NO hint — plus per-column CBO stats derived from manifest metadata
+    * alone (zero data reads): zone-map min/max folded across planned
+    * segments, nullCount=0 when no segment flags nulls, and an NDV
+    * estimate from the UNION of the segments' bloom sidecars
+    * ([[SegBloom.estimateNdv]] — the fill-ratio estimator, honest
+    * because distinct values set the same bits regardless of which
+    * segment they land in). BIGINT columns only: string zone maps hold
+    * order-preserving 8-byte prefixes (approximate bounds) and string
+    * blooms hash that prefix (prefix-NDV, a lower bound) — estimates an
+    * optimizer could mistake for exact, so they are not reported.
+    * Deletion vectors make everything conservative (vectored rows still
+    * count into min/max/NDV), never wrong-direction for join sizing. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(16L, segs.map(_.bytes).sum))
     override def numRows(): OptionalLong =
       OptionalLong.of(segs.map(_.liveRows).sum)
+    override def columnStats(): util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val live = segs.map(_.liveRows).sum
+      required.fields.foreach { f =>
+        val ord = ver.schema.fieldNames.indexOf(f.name)
+        if (ord >= 0 && f.dataType == LongType && segs.nonEmpty) {
+          val at = segs.map(s => (s, s.colIds.indexOf(ver.colIds(ord))))
+          if (at.forall { case (s, i) => i >= 0 && s.hasStats(i) }) {
+            val lo = at.map { case (s, i) => s.mins(i) }.min
+            val hi = at.map { case (s, i) => s.maxs(i) }.max
+            val nn = at.forall { case (s, i) => !s.hasNull(i) }
+            val ndv = {
+              val bs = at.map { case (s, i) => s.bloomAt(i) }
+              if (bs.forall(_.isDefined)) {
+                val u = new Array[Long](SegBloom.Words)
+                bs.flatten.foreach { b =>
+                  var j = 0
+                  while (j < u.length) { u(j) |= b(j); j += 1 }
+                }
+                SegBloom.estimateNdv(u).map(math.min(_, math.max(live, 1L)))
+              } else None
+            }
+            m.put(Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  java.util.Optional.of(java.lang.Long.valueOf(lo))
+                override def max(): java.util.Optional[Object] =
+                  java.util.Optional.of(java.lang.Long.valueOf(hi))
+                override def nullCount(): OptionalLong =
+                  if (nn) OptionalLong.of(0L) else OptionalLong.empty()
+                override def distinctCount(): OptionalLong =
+                  ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+                override def avgLen(): OptionalLong = OptionalLong.of(8L)
+                override def maxLen(): OptionalLong = OptionalLong.of(8L)
+              })
+          }
+        }
+      }
+      m
+    }
   }
 
   /** Runtime (DPP-style) filtering on the partition column: join-key
