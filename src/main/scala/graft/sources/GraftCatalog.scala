@@ -3221,24 +3221,52 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
 
   override def reportLatestOffset(): StreamOffset = SegOffset(versions.last.v)
 
+  /** Version-range batch planning, walked STEP-WISE so a live reader
+    * survives physical reorganization (the q154 auto-compaction /
+    * streaming liveness interaction):
+    *
+    *   - an append step delivers exactly its new segments;
+    *   - a `compact` / `zorder` step delivers NOTHING — it is a
+    *     content-identical rewrite of rows already delivered (or already
+    *     behind the start offset), so skipping it preserves exactly-once
+    *     at the LOGICAL row level — Delta's dataChange=false skip;
+    *   - any other step that drops a segment or touches a deletion
+    *     vector (a merge-on-read DELETE changes delivered rows without
+    *     renaming the file) refuses LOUDLY — the append-only contract.
+    *
+    * The endpoint diff used before this walked (start, end] as one hop,
+    * so a mid-stream compaction poisoned the whole range even though
+    * every logical change in it was an append. */
   override def planInputPartitions(start: StreamOffset,
       end: StreamOffset): Array[InputPartition] = {
     val vs = versions
+    val startV = start.asInstanceOf[SegOffset].v
+    val endV = end.asInstanceOf[SegOffset].v
     def at(v: Long): SegVersion = vs.find(_.v == v).getOrElse(
       throw new IllegalArgumentException(
-        s"$tableName has no version $v (latest: ${vs.last.v})"))
-    val from = at(start.asInstanceOf[SegOffset].v)
-    val to = at(end.asInstanceOf[SegOffset].v)
-    // append-only check keys on (file, dv): a merge-on-read DELETE
-    // changes a delivered segment's visible rows without renaming the
-    // file — that is non-append history and must refuse like a rewrite
-    val fromKeys = from.segs.map(s => (s.file, s.dv.map(_.file))).toSet
-    require(fromKeys.subsetOf(to.segs.map(s => (s.file, s.dv.map(_.file))).toSet),
-      s"$tableName history v${from.v}..v${to.v} is not append-only " +
-        "(segments were replaced by compaction, a row-level operation, " +
-        "or a merge-on-read delete); streaming read supports append-only history")
-    val fromFiles = from.segs.map(_.file).toSet
-    scan.partitionsFor(to.segs.filterNot(s => fromFiles(s.file)))
+        s"$tableName has no version $v (latest: ${vs.last.v}); it may " +
+          "have been expired while this stream lagged — restart from a " +
+          "fresh checkpoint"))
+    var prev = at(startV)
+    val newSegs = Vector.newBuilder[Seg]
+    vs.filter(v => v.v > startV && v.v <= endV).sortBy(_.v).foreach { v =>
+      val reorg = v.op == "compact" || v.op == "zorder" ||
+        v.op.startsWith("compact@txn=") || v.op.startsWith("zorder@txn=")
+      if (!reorg) {
+        val prevKeys = prev.segs.map(s => (s.file, s.dv.map(_.file))).toSet
+        require(prevKeys.subsetOf(
+          v.segs.map(s => (s.file, s.dv.map(_.file))).toSet),
+          s"$tableName history v${prev.v}..v${v.v} is not append-only " +
+            "(segments were replaced by a row-level operation, an " +
+            "overwrite, or a merge-on-read delete); streaming read " +
+            "supports append-only history plus content-identical " +
+            "compact/zorder reorganizations")
+        val prevFiles = prev.segs.map(_.file).toSet
+        newSegs ++= v.segs.filterNot(s => prevFiles(s.file))
+      }
+      prev = v
+    }
+    scan.partitionsFor(newSegs.result())
   }
 
   override def createReaderFactory(): PartitionReaderFactory = SegReaderFactory

@@ -201,6 +201,62 @@ class StatefulStreamingSpec extends SparkTestBase {
       s"branch stream drained ${got.size} rows: ${got.take(5)}..${got.takeRight(5)}")
   }
 
+  test("live stream survives compact/zorder mid-flight; MoR delete refuses loudly") {
+    // the q154/auto-compaction × streaming-reader interaction: a
+    // content-identical physical reorganization (compact, zorder) must
+    // NOT kill a live reader — the step-wise range walk skips it
+    // (Delta's dataChange=false discipline) and keeps exactly-once at
+    // the logical-row level — while a REAL content change mid-stream (a
+    // merge-on-read DELETE vectoring delivered rows) must refuse loudly
+    // rather than misattribute.
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.cmp_s")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.cmp_s (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft_cat.db.cmp_s SELECT id, id * 3 FROM range(0, 100) AS t(id)")
+    val sinkName = "graft_stream_compact_sink"
+    val query = spark.readStream.table("graft_cat.db.cmp_s")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try {
+      query.processAllAvailable() // offsets start at CREATE: v1 streams too
+      spark.sql(
+        "INSERT INTO graft_cat.db.cmp_s SELECT id, id * 3 FROM range(100, 200) AS t(id)")
+      query.processAllAvailable()
+      assert(spark.table(sinkName).count() === 200L)
+      // compaction rewrites every delivered segment — the stream must
+      // cross it delivering NOTHING for it (content-identical), then
+      // keep draining appends
+      spark.sql("CALL graft_cat.system.compact('db.cmp_s', 1048576)").collect()
+      spark.sql(
+        "INSERT INTO graft_cat.db.cmp_s SELECT id, id * 3 FROM range(200, 250) AS t(id)")
+      query.processAllAvailable()
+      val afterCompact = spark.table(sinkName).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(afterCompact === (0L until 250L).toSeq,
+        s"compaction crossing re-delivered or dropped rows: got ${afterCompact.size}")
+      // zorder publishes through INSERT OVERWRITE but is labeled as the
+      // content-identical reorganization it is — also skipped
+      spark.sql("CALL graft_cat.system.zorder('db.cmp_s', 'id', 'v', 2)").collect()
+      spark.sql(
+        "INSERT INTO graft_cat.db.cmp_s SELECT id, id * 3 FROM range(250, 260) AS t(id)")
+      query.processAllAvailable()
+      assert(spark.table(sinkName).count() === 260L)
+      // a merge-on-read DELETE changes delivered rows in place (vector
+      // sidecar, same file name): real content change → loud refusal
+      spark.sql("DELETE FROM graft_cat.db.cmp_s WHERE id < 10")
+      spark.sql(
+        "INSERT INTO graft_cat.db.cmp_s SELECT id, id * 3 FROM range(260, 270) AS t(id)")
+      val e = intercept[Exception](query.processAllAvailable())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("append-only")), messages(e).mkString(" | "))
+    } finally query.stop()
+  }
+
   test("admission control schedules one commit per trigger under the cap (ext103)") {
     val rows = streaming.Streams.queries("ext103_stream_rate_limit")(spark, sf)
       .collect()
