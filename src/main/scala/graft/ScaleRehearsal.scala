@@ -80,7 +80,14 @@ object ScaleRehearsal {
     // round-9 continuation: exact quantiles collapse onto the value
     // domain before any window — the rehearsal proves the shuffle is
     // distinct-value-sized, not corpus-sized (ratio ≈ 1 expected)
-    "ext125_exact_quantiles")
+    "ext125_exact_quantiles",
+    // round-10 adds: the degree-capped component twin (df-capped pair
+    // generation + per-node top-4 edges — the ratio gap vs ext38 is the
+    // measurement), and the TPC-DS Q95/Q14/Q78 shapes (orderkey-local
+    // self-semi-join, INTERSECT chains over |part|-bounded sets,
+    // full-outer channel grids)
+    "ext38b_dedup_components_capped", "q170_reachability_semi",
+    "q171_cross_channel_intersect", "q172_multi_channel_ratios")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -442,6 +442,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ext38b — the CAPPED configuration of [[dedupComponents]]: the
+    * production guard for component discovery at corpus scale, where the
+    * frontier loop's shuffle volume tracks the EDGE count and one
+    * boilerplate-heavy node of degree d contributes d rows to every
+    * iteration. Two caps compose: the pair GENERATION runs on the
+    * df-capped inverted index (ext02b's discipline — no O(df²) posting
+    * blowup), and the edge set is then degree-capped to each node's
+    * top-4 strongest neighbours (row_number per src by jaccard desc, dst
+    * tiebreak — deterministic on both engines), re-symmetrized so the
+    * graph stays undirected. Near-dup clusters survive K-nearest-edge
+    * capping because true duplicate edges carry the highest weights —
+    * the standard bounded-neighbour-list trade (cf. SemDeDup §3) — and
+    * the oracle's recursive CTE over the SAME capped edges proves the
+    * propagation converged to those components exactly. */
+  val dedupComponentsCapped: Q = (s, d) => {
+    val pairs = ngramJaccard(table(s, d, "documents"), dfCap = Some(8))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val sym = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"), col("jaccard"))
+      .union(pairs
+        .select(col("b_id").as("src"), col("a_id").as("dst"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("jaccard").desc, col("dst"))
+    val kept = sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4).select("src", "dst")
+    val edges = kept
+      .union(kept.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(4)
+      .persist()
+    edges.count() // materialize the pair pipeline at full parallelism
+    val (labels, _) = connectedComponents(s, edges)
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        (col("id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** ext121 — dedup-cluster canonical selection: the step AFTER
     * component discovery in a production dedup pipeline — per near-dup
     * cluster, KEEP the best-quality member (longest text, doc_id
@@ -550,6 +588,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "ext38_dedup_components" -> dedupComponents,
+    "ext38b_dedup_components_capped" -> dedupComponentsCapped,
     "ext121_canonical_selection" -> canonicalSelection,
     "ext30_decontamination" -> decontamination,
     "ext122_memorization_ladder" -> memorizationLadder,
@@ -597,6 +636,40 @@ object Dedup {
       |                 for i in range(1, len(toks)-1)]) AS sh
       |       FROM tok WHERE len(toks) >= 3)""".stripMargin
 
+  /** The ext38b component chain: pair generation on the df-capped index,
+    * then a per-node top-`deg` strongest-edge cut (row_number by jaccard
+    * desc, dst tiebreak) re-symmetrized — the SQL restatement of the
+    * capped twin, feeding the same recursive reach. */
+  private def compCtesCappedSql(dfCap: Int, deg: Int): String =
+    s"""${cappedShinglesSql(dfCap)},
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id, jaccard FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |    FROM inter
+       |    JOIN sz sa ON sa.doc_id = a_id
+       |    JOIN sz sb ON sb.doc_id = b_id
+       |    ORDER BY jaccard DESC, a_id, b_id LIMIT 20)),
+       |sym AS (SELECT a_id AS src, b_id AS dst, jaccard FROM pairs
+       |        UNION ALL SELECT b_id, a_id, jaccard FROM pairs),
+       |kept AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY jaccard DESC, dst) AS rk FROM sym)
+       |  WHERE rk <= $deg),
+       |edges AS (SELECT DISTINCT * FROM (
+       |  SELECT src, dst FROM kept UNION ALL SELECT dst, src FROM kept)),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id)""".stripMargin
+
   /** The df-capped inverted index: shingles kept only when their document
     * frequency is ≤ cap — the SQL restatement of the `dfCap` guard. Doc
     * sizes downstream are measured on THIS capped set, matching the Spark
@@ -613,6 +686,13 @@ object Dedup {
     // matching it proves the Spark label propagation CONVERGED
     "ext38_dedup_components" ->
       s"""WITH RECURSIVE $compCtesSql
+         |SELECT id AS doc_id, MIN(r) AS cluster,
+         |  id = MIN(r) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // capped twin: df-capped pair generation + per-node top-4 edge cut;
+    // same recursive reach proves convergence on the capped graph
+    "ext38b_dedup_components_capped" ->
+      s"""WITH RECURSIVE ${compCtesCappedSql(8, 4)}
          |SELECT id AS doc_id, MIN(r) AS cluster,
          |  id = MIN(r) AS is_canonical
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
