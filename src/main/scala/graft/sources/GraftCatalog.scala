@@ -1671,7 +1671,8 @@ class SegTable private (ident: String, dir: Path,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegScanBuilder(ident, dir, cur,
-      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt), log)
+      Option(options.get("maxSegmentsPerTrigger")).map(_.toInt), log,
+      Option(options.get("startingVersion")))
 
   // Set by [[ZOrderProcedure]] just before its INSERT OVERWRITE so the
   // commit labels the version 'zorder' — a content-identical physical
@@ -2785,7 +2786,8 @@ private[sources] class SegFileWriter(dir: Path, tempName: String,
   * filters (DPP), post-pruning statistics, and column pruning by id. */
 class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
     maxSegsPerTrigger: Option[Int] = None,
-    log: String = SegStore.MetaFile)
+    log: String = SegStore.MetaFile,
+    startingVersion: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -2914,7 +2916,7 @@ class SegScanBuilder(tableName: String, dir: Path, ver: SegVersion,
       new SegAggScan(tableName, schema, rows)
     case None =>
       new SegScan(tableName, dir, ver, required, pushed, maxSegsPerTrigger,
-        log)
+        log, startingVersion)
   }
 }
 
@@ -2957,7 +2959,8 @@ class SegAggScan(tableName: String, outSchema: StructType,
 class SegScan(tableName: String, dir: Path, ver: SegVersion,
     required: StructType, pushed: Array[Predicate],
     maxSegsPerTrigger: Option[Int] = None,
-    log: String = SegStore.MetaFile)
+    log: String = SegStore.MetaFile,
+    startingVersion: Option[String] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
@@ -3124,7 +3127,8 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     * pattern (Delta/Iceberg): each trigger reads only the segments
     * committed since the last processed version, exactly once. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SegMicroBatchStream(tableName, dir, this, maxSegsPerTrigger, log)
+    new SegMicroBatchStream(tableName, dir, this, maxSegsPerTrigger, log,
+      startingVersion)
 
   /** Input partitions over `ss` with this scan's projection (shared by
     * the batch path and the micro-batch version-diff path). */
@@ -3179,10 +3183,31 @@ case class SegOffset(v: Long) extends StreamOffset {
   * same way the version-range travel read refuses it. */
 class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
     maxSegsPerTrigger: Option[Int] = None,
-    log: String = SegStore.MetaFile)
+    log: String = SegStore.MetaFile,
+    startingVersion: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
   private def versions: Vector[SegVersion] = SegStore.readVersions(dir, log)
-  override def initialOffset(): StreamOffset = SegOffset(versions.head.v)
+
+  /** Where a FRESH stream (no checkpoint) begins — the `startingVersion`
+    * read option (Delta's knob of the same name). Default 'earliest'
+    * replays all history; but a table with a historical rewrite (an old
+    * merge-on-read DELETE, an overwrite) can then never start a new
+    * stream — the replay hits the non-append step and refuses forever.
+    * 'latest' streams only commits AFTER stream start (the CDC-tail
+    * operating mode); a numeric N delivers from version N inclusive
+    * (clamped to surviving history, so an expired prefix doesn't strand
+    * the offset on a version `planInputPartitions` can't resolve). */
+  override def initialOffset(): StreamOffset = {
+    val vs = versions
+    startingVersion.map(_.trim.toLowerCase) match {
+      case None | Some("earliest") => SegOffset(vs.head.v)
+      case Some("latest") => SegOffset(vs.last.v)
+      case Some(n) if n.nonEmpty && n.forall(_.isDigit) =>
+        SegOffset(math.min(math.max(n.toLong - 1L, vs.head.v), vs.last.v))
+      case Some(other) => throw new IllegalArgumentException(
+        s"startingVersion must be 'earliest', 'latest' or a version number, got '$other'")
+    }
+  }
   override def latestOffset(): StreamOffset = SegOffset(versions.last.v)
   override def deserializeOffset(json: String): StreamOffset =
     SegOffset(json.toLong)

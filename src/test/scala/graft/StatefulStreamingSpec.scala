@@ -257,6 +257,63 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("startingVersion: fresh streams skip poisoned history; earliest refuses") {
+    // a table with a historical rewrite (an old merge-on-read DELETE)
+    // can never START a fresh default stream — the earliest replay hits
+    // the non-append step. The startingVersion read option (Delta's
+    // knob) is the operability fix: 'latest' tails new commits only; a
+    // numeric N delivers from version N inclusive.
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.sv_t")
+    spark.sql(
+      """CREATE TABLE graft_cat.db.sv_t (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.db.sv_t SELECT id, id FROM range(0, 50) AS t(id)")
+    spark.sql("DELETE FROM graft_cat.db.sv_t WHERE id < 5")
+    spark.sql("INSERT INTO graft_cat.db.sv_t SELECT id, id FROM range(100, 150) AS t(id)")
+    val vIns2 = spark.sql("SELECT MAX(v) AS v FROM graft_cat.db.sv_t.versions")
+      .head.getLong(0)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+    val q0 = spark.readStream.table("graft_cat.db.sv_t")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sv_earliest").start()
+    val e = try intercept[Exception](q0.processAllAvailable()) finally q0.stop()
+    assert(messages(e).exists(_.contains("append-only")), messages(e).mkString(" | "))
+
+    val q1 = spark.readStream.option("startingVersion", vIns2.toString)
+      .table("graft_cat.db.sv_t")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sv_numeric").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.table("graft_sv_numeric").collect().map(_.getLong(0)).sorted.toSeq
+      === (100L until 150L).toSeq)
+
+    val q2 = spark.readStream.option("startingVersion", "latest")
+      .table("graft_cat.db.sv_t")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sv_latest").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_sv_latest").count() === 0L,
+        "latest must not replay history")
+      spark.sql("INSERT INTO graft_cat.db.sv_t SELECT id, id FROM range(200, 210) AS t(id)")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("graft_sv_latest").collect().map(_.getLong(0)).sorted.toSeq
+      === (200L until 210L).toSeq)
+
+    val bad = intercept[Exception] {
+      val q = spark.readStream.option("startingVersion", "yesterday")
+        .table("graft_cat.db.sv_t")
+        .writeStream.format("memory").queryName("graft_sv_bad").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(messages(bad).exists(_.contains("startingVersion")),
+      messages(bad).mkString(" | "))
+  }
+
   test("admission control schedules one commit per trigger under the cap (ext103)") {
     val rows = streaming.Streams.queries("ext103_stream_rate_limit")(spark, sf)
       .collect()
