@@ -42,7 +42,8 @@ object SparkEntry {
       streaming.Streams.queries ++
       plans.AsOfQueries.queries ++
       ops.Advanced.queries ++
-      ops.DecisionSupport.queries)
+      ops.DecisionSupport.queries ++
+      ops.IncrementalMv.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) => ops.configure(s); fn(s, d) }
       }
@@ -70,5 +71,6 @@ object SparkEntry {
       streaming.Streams.oracleSql ++
       plans.AsOfQueries.oracleSql ++
       ops.Advanced.oracleSql ++
-      ops.DecisionSupport.oracleSql
+      ops.DecisionSupport.oracleSql ++
+      ops.IncrementalMv.oracleSql
 }

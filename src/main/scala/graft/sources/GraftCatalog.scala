@@ -268,6 +268,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (Files.exists(dirFor(base).resolve(SegStore.MetaFile)))
           return loadTable(base).asInstanceOf[SegTable].metadataTable(ident.name())
       }
+      // streaming change feed (`cat.db.t.changes` — Iceberg's changes
+      // metadata table, Delta's readChangeFeed stream): same resolution
+      // trick, never cached so its schema tracks the base table
+      if (ident.name() == "changes" && ident.namespace().length >= 2) {
+        val base = Identifier.of(ident.namespace().init, ident.namespace().last)
+        if (Files.exists(dirFor(base).resolve(SegStore.MetaFile)))
+          return loadTable(base).asInstanceOf[SegTable].changesTable()
+      }
       // named branches (`cat.db.t.branch_<name>` — Iceberg's branch read/
       // write surface): same resolution trick as metadata tables, but the
       // result is a fully WRITABLE [[SegTable]] bound to the branch's own
@@ -1326,46 +1334,8 @@ class SegTable private (ident: String, dir: Path,
     require(!to.schema.fieldNames.contains(CdfMeta.ChangeCol) &&
       !to.schema.fieldNames.contains(CdfMeta.VerCol),
       s"$ident: a data column shadows ${CdfMeta.ChangeCol}/${CdfMeta.VerCol}")
-    val slices = Vector.newBuilder[(Seg, CdfSlice)]
-    var prev = from
-    range.foreach { next =>
-      next.op match {
-        case "compact" => // physical reorganization, zero logical change
-        case "zorder" => // layout rewrite, row-count-guarded at commit —
-          // content-identical like compact, zero logical change
-        case "rewrite" =>
-          throw new UnsupportedOperationException(
-            s"$ident: v${next.v} is a copy-on-write row-level rewrite — " +
-              "the manifest cannot attribute its row changes; run DML " +
-              "with 'graft.dml.mode'='merge-on-read' for change-feed " +
-              "readable history")
-        case _ =>
-          val pBy = prev.segs.map(s => s.file -> s).toMap
-          val nBy = next.segs.map(s => s.file -> s).toMap
-          next.segs.filterNot(s => pBy.contains(s.file)).foreach { s =>
-            slices += s -> CdfSlice("insert", next.v, diffMode = false, None)
-          }
-          prev.segs.filterNot(s => nBy.contains(s.file)).foreach { s =>
-            slices += s -> CdfSlice("delete", next.v, diffMode = false, None)
-          }
-          prev.segs.filter(s => nBy.contains(s.file)).foreach { s =>
-            val n = nBy(s.file)
-            if (s.dv.map(_.file) != n.dv.map(_.file)) {
-              // vectors only grow on a live segment; shrink (rollback
-              // across a delete) is re-validated exactly in SegDv.diff
-              require(n.dv.map(_.ndel).getOrElse(0L) >=
-                s.dv.map(_.ndel).getOrElse(0L),
-                s"$ident: deletion vector of ${s.file} shrank at " +
-                  s"v${next.v} — not a change-feed-readable range")
-              slices += n -> CdfSlice("delete", next.v, diffMode = true,
-                s.dv.map(_.file))
-            }
-          }
-      }
-      prev = next
-    }
     new SegCdfTable(s"$ident@cdf:v${from.v}..${to.v}", dir, to,
-      slices.result())
+      CdfPlan.slices(ident, from, range))
   }
 
   /** Manifest-derived [min, max] of a BIGINT column across the current
@@ -1673,6 +1643,36 @@ class SegTable private (ident: String, dir: Path,
     new SegScanBuilder(ident, dir, cur,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt), log,
       Option(options.get("startingVersion")))
+
+  /** The streaming change feed as an Iceberg-style `.changes` metadata
+    * table (`spark.readStream.table("cat.db.t.changes")`): schema = data
+    * columns + `_change_type`/`_commit_version` — declared at the TABLE,
+    * because the analyzer resolves a streaming relation's columns from
+    * the table schema before any scan builder runs (a read OPTION cannot
+    * widen it). Honors `startingVersion`. Batch feeds use
+    * `VERSION AS OF 'cdf:a..b'`; a batch read here refuses with that
+    * pointer. */
+  private[sources] def changesTable(): Table = {
+    val base = this
+    new Table with SupportsRead {
+      private val snap = base.cur
+      override def name(): String = s"$ident.changes"
+      override def schema(): StructType = {
+        require(!snap.schema.fieldNames.contains(CdfMeta.ChangeCol) &&
+          !snap.schema.fieldNames.contains(CdfMeta.VerCol),
+          s"$ident: a data column shadows ${CdfMeta.ChangeCol}/${CdfMeta.VerCol}")
+        StructType(snap.schema.fields ++ Array(
+          StructField(CdfMeta.ChangeCol, StringType, nullable = false),
+          StructField(CdfMeta.VerCol, LongType, nullable = false)))
+      }
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+          TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new SegCdfStreamScanBuilder(ident, dir, snap,
+          Option(options.get("startingVersion")), log)
+    }
+  }
 
   // Set by [[ZOrderProcedure]] just before its INSERT OVERWRITE so the
   // commit labels the version 'zorder' — a content-identical physical
@@ -2551,29 +2551,95 @@ class SegCdfTable(cdfName: String, dir: Path, ver: SegVersion,
         }
         override def description(): String =
           s"graft_cat cdf slices=${live.size}/${slices.size}"
-        override def planInputPartitions(): Array[InputPartition] = {
-          val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
-          val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
-          live.toArray.map { case (s, c) =>
-            val segIdx = required.fields.map { f =>
-              if (f.name == CdfMeta.ChangeCol) CdfMeta.ChangeIdx
-              else if (f.name == CdfMeta.VerCol) CdfMeta.VerIdx
-              else if (idOf.contains(f.name)) s.colIds.indexOf(idOf(f.name))
-              else if (f.name == SegMeta.PosCol) SegMeta.PosIdx
-              else if (f.name == SegMeta.FileCol) SegMeta.FileIdx
-              else -1
-            }
-            SegPartition(dir.resolve(s.file).toString, s.colIds.length,
-              required, segIdx, defaults, s.file,
-              s.dv.map(d => dir.resolve(d.file).toString), columnar = false,
-              cdf = Some(c.copy(baseDvFile =
-                c.baseDvFile.map(f => dir.resolve(f).toString))))
-          }
-        }
+        override def planInputPartitions(): Array[InputPartition] =
+          CdfPlan.partitions(dir, ver, live, required)
         override def createReaderFactory(): PartitionReaderFactory =
           SegReaderFactory
       }
     }
+}
+
+/** Shared change-feed planning — the batch range feed
+  * ([[SegTable.cdfTable]] / `VERSION AS OF 'cdf:a..b'`) and the
+  * streaming CDF source ([[SegCdfMicroBatchStream]]) build slices and
+  * input partitions through ONE code path, so the two surfaces cannot
+  * drift on attribution semantics. */
+private[sources] object CdfPlan {
+
+  /** Change slices for a contiguous version walk `from → steps` (every
+    * intermediate version present, ascending). Per step: new segments →
+    * insert slices; dropped segments → delete slices of their then-live
+    * rows; grown vectors on surviving segments → diff-mode delete
+    * slices of the grew-by pre-images. `compact`/`zorder` steps (txn-
+    * tagged included) emit nothing — content-identical reorganizations;
+    * a copy-on-write `rewrite` refuses (its manifest cannot attribute
+    * row changes); vector shrink refuses (not feed-readable). */
+  def slices(ident: String, from: SegVersion,
+      steps: Seq[SegVersion]): Vector[(Seg, CdfSlice)] = {
+    val out = Vector.newBuilder[(Seg, CdfSlice)]
+    var prev = from
+    steps.foreach { next =>
+      val op = next.op
+      if (op == "rewrite")
+        throw new UnsupportedOperationException(
+          s"$ident: v${next.v} is a copy-on-write row-level rewrite — " +
+            "the manifest cannot attribute its row changes; run DML " +
+            "with 'graft.dml.mode'='merge-on-read' for change-feed " +
+            "readable history")
+      val reorg = op == "compact" || op == "zorder" ||
+        op.startsWith("compact@txn=") || op.startsWith("zorder@txn=")
+      if (!reorg) {
+        val pBy = prev.segs.map(s => s.file -> s).toMap
+        val nBy = next.segs.map(s => s.file -> s).toMap
+        next.segs.filterNot(s => pBy.contains(s.file)).foreach { s =>
+          out += s -> CdfSlice("insert", next.v, diffMode = false, None)
+        }
+        prev.segs.filterNot(s => nBy.contains(s.file)).foreach { s =>
+          out += s -> CdfSlice("delete", next.v, diffMode = false, None)
+        }
+        prev.segs.filter(s => nBy.contains(s.file)).foreach { s =>
+          val n = nBy(s.file)
+          if (s.dv.map(_.file) != n.dv.map(_.file)) {
+            // vectors only grow on a live segment; shrink (rollback
+            // across a delete) is re-validated exactly in SegDv.diff
+            require(n.dv.map(_.ndel).getOrElse(0L) >=
+              s.dv.map(_.ndel).getOrElse(0L),
+              s"$ident: deletion vector of ${s.file} shrank at " +
+                s"v${next.v} — not a change-feed-readable range")
+            out += n -> CdfSlice("delete", next.v, diffMode = true,
+              s.dv.map(_.file))
+          }
+        }
+      }
+      prev = next
+    }
+    out.result()
+  }
+
+  /** Slice → input partition under the `required` projection; `ver`
+    * supplies the name→column-id mapping (per-segment `colIds` then
+    * position each id, so schema evolution across slices is handled the
+    * same way the main scan handles it). */
+  def partitions(dir: Path, ver: SegVersion, live: Seq[(Seg, CdfSlice)],
+      required: StructType): Array[InputPartition] = {
+    val defaults = ResolveDefaultColumns.existenceDefaultValues(required)
+    val idOf = ver.schema.fieldNames.zip(ver.colIds).toMap
+    live.toArray.map { case (s, c) =>
+      val segIdx = required.fields.map { f =>
+        if (f.name == CdfMeta.ChangeCol) CdfMeta.ChangeIdx
+        else if (f.name == CdfMeta.VerCol) CdfMeta.VerIdx
+        else if (idOf.contains(f.name)) s.colIds.indexOf(idOf(f.name))
+        else if (f.name == SegMeta.PosCol) SegMeta.PosIdx
+        else if (f.name == SegMeta.FileCol) SegMeta.FileIdx
+        else -1
+      }
+      SegPartition(dir.resolve(s.file).toString, s.colIds.length,
+        required, segIdx, defaults, s.file,
+        s.dv.map(d => dir.resolve(d.file).toString), columnar = false,
+        cdf = Some(c.copy(baseDvFile =
+          c.baseDvFile.map(f => dir.resolve(f).toString))))
+    }
+  }
 }
 
 object SegTable {
@@ -3174,6 +3240,28 @@ case class SegOffset(v: Long) extends StreamOffset {
   override def json(): String = v.toString
 }
 
+object SegOffset {
+  /** Where a FRESH stream (no checkpoint) begins — the `startingVersion`
+    * read option (Delta's knob of the same name), shared by the segment
+    * stream and the CDF stream. Default 'earliest' replays all history;
+    * but a table with a historical rewrite (an old merge-on-read DELETE,
+    * an overwrite) can then never start a new segment stream — the
+    * replay hits the non-append step and refuses forever. 'latest'
+    * streams only commits AFTER stream start (the CDC-tail operating
+    * mode); a numeric N delivers from version N inclusive (clamped to
+    * surviving history, so an expired prefix doesn't strand the offset
+    * on a version `planInputPartitions` can't resolve). */
+  def start(vs: Vector[SegVersion], startingVersion: Option[String]): SegOffset =
+    startingVersion.map(_.trim.toLowerCase) match {
+      case None | Some("earliest") => SegOffset(vs.head.v)
+      case Some("latest") => SegOffset(vs.last.v)
+      case Some(n) if n.nonEmpty && n.forall(_.isDigit) =>
+        SegOffset(math.min(math.max(n.toLong - 1L, vs.head.v), vs.last.v))
+      case Some(other) => throw new IllegalArgumentException(
+        s"startingVersion must be 'earliest', 'latest' or a version number, got '$other'")
+    }
+}
+
 /** Micro-batch stream over a segment table: offsets are manifest
   * versions, a batch is the segment diff `(start, end]` — computed from
   * the manifest alone, re-read from disk each trigger so commits from
@@ -3197,17 +3285,8 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
     * operating mode); a numeric N delivers from version N inclusive
     * (clamped to surviving history, so an expired prefix doesn't strand
     * the offset on a version `planInputPartitions` can't resolve). */
-  override def initialOffset(): StreamOffset = {
-    val vs = versions
-    startingVersion.map(_.trim.toLowerCase) match {
-      case None | Some("earliest") => SegOffset(vs.head.v)
-      case Some("latest") => SegOffset(vs.last.v)
-      case Some(n) if n.nonEmpty && n.forall(_.isDigit) =>
-        SegOffset(math.min(math.max(n.toLong - 1L, vs.head.v), vs.last.v))
-      case Some(other) => throw new IllegalArgumentException(
-        s"startingVersion must be 'earliest', 'latest' or a version number, got '$other'")
-    }
-  }
+  override def initialOffset(): StreamOffset =
+    SegOffset.start(versions, startingVersion)
   override def latestOffset(): StreamOffset = SegOffset(versions.last.v)
   override def deserializeOffset(json: String): StreamOffset =
     SegOffset(json.toLong)
@@ -3292,6 +3371,79 @@ class SegMicroBatchStream(tableName: String, dir: Path, scan: SegScan,
       prev = v
     }
     scan.partitionsFor(newSegs.result())
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = SegReaderFactory
+}
+
+/** Streaming change-data-feed scan (`readStream.table("cat.db.t.changes")`
+  * — Iceberg's changes metadata table, Delta's CDC-stream surface): each
+  * micro-batch delivers the CHANGE ROWS of the versions committed since
+  * the last trigger as
+  * (row, `_change_type`, `_commit_version`), planned through the same
+  * [[CdfPlan]] the batch range feed uses. Where the plain segment stream
+  * refuses non-append history, the CDF stream REPLAYS it: merge-on-read
+  * DELETEs arrive as pre-image delete rows, UPDATEs as delete+insert
+  * pairs, an overwrite as delete-all + insert-all; only a copy-on-write
+  * `rewrite` refuses (unattributable) and `compact`/`zorder` emit
+  * nothing. This is the PRODUCING half of the CDC story — ext123 is the
+  * applying half — and at 100 TB each trigger's cost is that trigger's
+  * churn, never a snapshot. */
+class SegCdfStreamScanBuilder(ident: String, dir: Path, cur: SegVersion,
+    startingVersion: Option[String], log: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val full = StructType(cur.schema.fields ++ Array(
+    StructField(CdfMeta.ChangeCol, StringType, nullable = false),
+    StructField(CdfMeta.VerCol, LongType, nullable = false)))
+  private var required: StructType = full
+  override def pruneColumns(r: StructType): Unit = required = r
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def description(): String = s"graft_cat cdf stream $ident"
+    override def toBatch: Batch = throw new UnsupportedOperationException(
+      s"$ident.changes is a streaming read; for a batch feed use " +
+        "VERSION AS OF 'cdf:a..b'")
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new SegCdfMicroBatchStream(ident, dir, required, startingVersion, log)
+  }
+}
+
+/** Micro-batch half of the streaming change feed: offsets are manifest
+  * versions (re-read from disk each trigger, so commits from other
+  * catalog instances are observed); a batch is [[CdfPlan.slices]] over
+  * the step walk `(start, end]` — exactly-once per change row across
+  * triggers and across checkpoint restarts. Expired intermediate
+  * versions refuse (steps would merge commits and misattribute
+  * versions), matching the batch feed. */
+class SegCdfMicroBatchStream(ident: String, dir: Path,
+    required: StructType, startingVersion: Option[String], log: String)
+    extends MicroBatchStream {
+  private def versions: Vector[SegVersion] = SegStore.readVersions(dir, log)
+  override def initialOffset(): StreamOffset =
+    SegOffset.start(versions, startingVersion)
+  override def latestOffset(): StreamOffset = SegOffset(versions.last.v)
+  override def deserializeOffset(json: String): StreamOffset =
+    SegOffset(json.toLong)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: StreamOffset,
+      end: StreamOffset): Array[InputPartition] = {
+    val vs = versions
+    val startV = start.asInstanceOf[SegOffset].v
+    val endV = end.asInstanceOf[SegOffset].v
+    if (endV <= startV) return Array.empty
+    val from = vs.find(_.v == startV).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no version $startV (latest: ${vs.last.v}); it may " +
+          "have been expired while this stream lagged — restart from a " +
+          "fresh checkpoint"))
+    val steps = vs.filter(v => v.v > startV && v.v <= endV)
+    require(steps.size == endV - startV,
+      s"$ident: versions inside v$startV..v$endV were expired; the " +
+        "change feed needs every commit in the range")
+    CdfPlan.partitions(dir, steps.last, CdfPlan.slices(ident, from, steps),
+      required)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = SegReaderFactory

@@ -1502,6 +1502,50 @@ object Streams {
         |FROM graft_cat.db.cdc_mor GROUP BY 1 ORDER BY band""".stripMargin)
   }
 
+  /** ext128 — the PRODUCING half of the CDC story (ext123 is the
+    * applying half): a live stream over a merge-on-read table's change
+    * feed (`readStream.table("cat.db.t.changes")` — Iceberg's changes
+    * metadata table, Delta's CDC-stream surface —
+    * [[graft.sources.SegCdfMicroBatchStream]]). Where
+    * the plain segment stream refuses non-append history, this stream
+    * REPLAYS it as change rows: the MoR DELETE arrives as vector-diff
+    * pre-images, the UPDATE as delete+insert pairs, and the compaction
+    * emits NOTHING — all attributed to their commit versions. The DML
+    * lands across three separate trigger windows (processAllAvailable
+    * between waves), so version attribution is pinned across micro-
+    * batch boundaries, not just within one catch-up batch; the oracle
+    * restates the full feed, so hash equality proves exactly-once at
+    * the change-row level. Each trigger's cost is its churn — the
+    * manifest-arithmetic slices of [[graft.sources.CdfPlan]] — never a
+    * snapshot scan. */
+  val streamCdfSource: Q = (s, _) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.scdf")
+    s.sql(
+      """CREATE TABLE graft_cat.db.scdf (id BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "2000").option("parts", "4").load()
+      .createOrReplaceTempView("graft_seq_scdf")
+    s.sql("INSERT INTO graft_cat.db.scdf SELECT id, v FROM graft_seq_scdf WHERE id < 1000") // v1
+    val query = s.readStream.table("graft_cat.db.scdf.changes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_scdf_feed").start()
+    try {
+      query.processAllAvailable() // trigger window 1: v1 inserts
+      s.sql("INSERT INTO graft_cat.db.scdf SELECT id, v FROM graft_seq_scdf WHERE id >= 1000") // v2
+      s.sql("DELETE FROM graft_cat.db.scdf WHERE v < 100")                                     // v3
+      query.processAllAvailable() // trigger window 2: v2 inserts + v3 pre-images
+      s.sql("UPDATE graft_cat.db.scdf SET v = v + 10000 WHERE id % 10 = 3")                    // v4
+      s.sql("CALL graft_cat.system.compact('db.scdf', 100000000)").collect()                   // v5
+      query.processAllAvailable() // trigger window 3: v4 pairs; v5 emits nothing
+    } finally query.stop()
+    s.sql(
+      """SELECT id, v, _change_type AS change_type, _commit_version AS commit_v
+        |FROM graft_scdf_feed
+        |ORDER BY id, commit_v, change_type""".stripMargin)
+  }
+
   /** Incremental warehouse build: checkin NDJSON arrives as a stream and
     * `foreachBatch` runs the REAL warehouse transform
     * (Transforms.checkinRows — explode, lenient parse, datetime broadcast
@@ -1597,6 +1641,7 @@ object Streams {
     "ext21_stream_stateful" -> statefulHighWater,
     "ext22_stream_late_drop" -> slidingLateDrop,
     "ext24_stream_incremental_wh" -> incrementalWarehouse,
+    "ext128_stream_cdf_source" -> streamCdfSource,
     "ext29_stream_dedup_watermark" -> streamDedupWatermark,
     "ext32_channel_envelope" -> channelEnvelope,
     "ext35_stream_checkpoint_restart" -> checkpointRestart,
@@ -1813,6 +1858,28 @@ object Streams {
     // even-updated/odd-deleted, 100..199 ver-4 dedup winner, 200..399
     // ver-3 re-upserts (incl. insert-after-delete), 400..499 as 0..99,
     // 500..999 untouched initial image
+    // the streamed feed == the batch restatement of the same DML waves:
+    // inserts at v1/v2, MoR DELETE pre-images at v3, UPDATE delete+insert
+    // pairs at v4 (update skips rows v3 already deleted), compaction at
+    // v5 contributes NOTHING (content-identical reorganization)
+    "ext128_stream_cdf_source" ->
+      """WITH seq AS (
+        |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
+        |  FROM range(2000) r),
+        |feed AS (
+        |  SELECT id, v, 'insert' AS change_type, 1 AS commit_v
+        |  FROM seq WHERE id < 1000
+        |  UNION ALL
+        |  SELECT id, v, 'insert', 2 FROM seq WHERE id >= 1000
+        |  UNION ALL
+        |  SELECT id, v, 'delete', 3 FROM seq WHERE v < 100
+        |  UNION ALL
+        |  SELECT id, v, 'delete', 4 FROM seq WHERE id % 10 = 3 AND v >= 100
+        |  UNION ALL
+        |  SELECT id, v + 10000, 'insert', 4 FROM seq
+        |  WHERE id % 10 = 3 AND v >= 100)
+        |SELECT id, v, change_type, CAST(commit_v AS BIGINT) AS commit_v
+        |FROM feed ORDER BY id, commit_v, change_type""".stripMargin,
     "ext123_stream_cdc_upsert_mor" ->
       """WITH seq AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

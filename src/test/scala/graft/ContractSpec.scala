@@ -28,7 +28,8 @@ class ContractSpec extends AnyFunSuite {
     "Streams" -> streaming.Streams.queries,
     "AsOfQueries" -> plans.AsOfQueries.queries,
     "Advanced" -> ops.Advanced.queries,
-    "DecisionSupport" -> ops.DecisionSupport.queries)
+    "DecisionSupport" -> ops.DecisionSupport.queries,
+    "IncrementalMv" -> ops.IncrementalMv.queries)
 
   test("no query name collides across modules (++ would silently drop one)") {
     val perModule = moduleQueryMaps.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
