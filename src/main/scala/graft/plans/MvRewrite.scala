@@ -59,7 +59,9 @@ private[plans] object RuleReg {
 
   /** Scan path under `plan`, looking through column-pruning Projects
     * only (a Filter would need predicate subsumption proofs — out of
-    * scope for both rules, so no rewrite). */
+    * scope for both rules, so no rewrite). A graft catalog table
+    * resolves to `graft_cat.<ident>` — its own keyspace, disjoint from
+    * filesystem paths, so a registration can never cross surfaces. */
   def pathOf(plan: LogicalPlan): Option[String] = plan match {
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       pathOf(child)
@@ -67,6 +69,18 @@ private[plans] object RuleReg {
       case h: HadoopFsRelation => h.location.rootPaths.headOption.map(_.toString)
       case _ => None
     }
+    // by the time the user-provided batch runs, V2 pushdown has turned
+    // DataSourceV2Relation into DataSourceV2ScanRelation — match both
+    // (a scan with pushed-down filters does real work → no rewrite, so
+    // only the plain SegScan shape below an Aggregate ever matches; the
+    // filters live ABOVE the scan relation in the plan and block the
+    // Project-only walk anyway)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.SegTable] =>
+      Some(s"graft_cat.${r.table.name()}")
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if r.relation.table.isInstanceOf[graft.sources.SegTable] =>
+      Some(s"graft_cat.${r.relation.table.name()}")
     case _ => None
   }
 
@@ -137,11 +151,24 @@ case class MvRollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (mvAggCols.isEmpty) return None
 
     // build the replacement with the Dataset API and splice its ANALYZED
-    // plan — resolution (including the MV schema) comes for free
-    val grouped = spark.read.parquet(mv.mvPath)
+    // plan — resolution (including the MV schema) comes for free. An MV
+    // in the graft catalog (`graft_cat.db.mv`) reads through the
+    // catalog, giving the rewrite a transactionally consistent snapshot
+    // (and the IncrementalMv maintenance story); anything else is a
+    // parquet path.
+    val mvRel =
+      if (mv.mvPath.startsWith("graft_cat.")) spark.table(mv.mvPath)
+      else spark.read.parquet(mv.mvPath)
+    val grouped = mvRel
       .groupBy(groupNames.map(col): _*)
       .agg(mvAggCols.head, mvAggCols.tail: _*)
-    val analyzed = grouped.queryExecution.analyzed
+    // splice the OPTIMIZED subplan: this rule runs in the post-hoc
+    // "User Provided Optimizers" batch, after V2 scan pushdown — an
+    // analyzed DataSourceV2Relation spliced here would never be
+    // converted to a scan relation and could not be planned. (The
+    // parquet LogicalRelation tolerates either form; optimized is
+    // uniformly correct and also column-prunes the MV scan.)
+    val analyzed = grouped.queryExecution.optimizedPlan
     val byName = analyzed.output.map(a => a.name -> a).toMap
 
     // splice only if every original output resolves by name with the

@@ -45,11 +45,11 @@ class IncrementalMvSpec extends SparkTestBase {
   test("refresh reads the CDF slice, never a fact snapshot; no-op publishes nothing") {
     reset()
     spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id < 2000")
-    IncrementalMv.build(spark, fact, mv, meta, "id % 10", "v")
+    IncrementalMv.build(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     mvEqualsRebuild()
     spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id >= 2000")
     spark.sql(s"DELETE FROM $fact WHERE v < 50")
-    val r = IncrementalMv.refresh(spark, fact, mv, meta, "id % 10", "v")
+    val r = IncrementalMv.refresh(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     assert(r.refreshed)
     mvEqualsRebuild()
     // the delta plan scans the fact ONLY through its @cdf: table — a
@@ -63,7 +63,7 @@ class IncrementalMvSpec extends SparkTestBase {
     assert(r.changesScanned === 1000L + del)
     // no-op: nothing scanned, nothing published, MV history untouched
     val mvV = mvVersion()
-    val r2 = IncrementalMv.refresh(spark, fact, mv, meta, "id % 10", "v")
+    val r2 = IncrementalMv.refresh(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     assert(!r2.refreshed && r2.changesScanned === 0L)
     assert(mvVersion() === mvV, "a no-op refresh must not commit to the MV")
   }
@@ -71,7 +71,7 @@ class IncrementalMvSpec extends SparkTestBase {
   test("MV + watermark publish survives a crash between the two table commits") {
     reset()
     spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id < 1000")
-    IncrementalMv.build(spark, fact, mv, meta, "id % 10", "v")
+    IncrementalMv.build(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id >= 1000")
     spark.sql(s"UPDATE $fact SET v = v + 777 WHERE id % 10 = 4")
     import graft.sources.SegTxn
@@ -81,7 +81,7 @@ class IncrementalMvSpec extends SparkTestBase {
     }
     val crashed = try {
       intercept[Exception] {
-        IncrementalMv.refresh(spark, fact, mv, meta, "id % 10", "v")
+        IncrementalMv.refresh(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
       }
     } finally SegTxn.afterTableCommit.set(_ => ())
     def msgs(t: Throwable): Seq[String] =
@@ -94,16 +94,16 @@ class IncrementalMvSpec extends SparkTestBase {
     val recovered = spark.sql("CALL graft_cat.system.txn_recover()").head.getLong(0)
     assert(recovered === 1L)
     mvEqualsRebuild()
-    val r = IncrementalMv.refresh(spark, fact, mv, meta, "id % 10", "v")
+    val r = IncrementalMv.refresh(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     assert(!r.refreshed, "watermark must be at head after recovery")
   }
 
   test("whole-group deletion drops the MV row; repeated DML waves keep fold == rebuild") {
     reset()
     spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id < 1500")
-    IncrementalMv.build(spark, fact, mv, meta, "id % 10", "v")
+    IncrementalMv.build(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     spark.sql(s"DELETE FROM $fact WHERE id % 10 = 6")
-    val r1 = IncrementalMv.refresh(spark, fact, mv, meta, "id % 10", "v")
+    val r1 = IncrementalMv.refresh(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     assert(r1.refreshed)
     assert(spark.sql(s"SELECT COUNT(*) FROM $mv WHERE g = 6").head.getLong(0) === 0L,
       "a group whose count reaches zero must leave the MV")
@@ -112,7 +112,7 @@ class IncrementalMvSpec extends SparkTestBase {
       "WHERE id >= 1500 AND id % 10 IN (6, 7)")
     spark.sql(s"UPDATE $fact SET v = v + 5 WHERE id % 3 = 1")
     spark.sql(s"DELETE FROM $fact WHERE v % 7 = 2")
-    IncrementalMv.refresh(spark, fact, mv, meta, "id % 10", "v")
+    IncrementalMv.refresh(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     mvEqualsRebuild()
   }
 
@@ -120,7 +120,7 @@ class IncrementalMvSpec extends SparkTestBase {
     reset()
     spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id < 100")
     val e = intercept[IllegalArgumentException] {
-      IncrementalMv.refresh(spark, fact, mv, meta, "id % 10", "v")
+      IncrementalMv.refresh(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
     }
     assert(e.getMessage.contains("build"), e.getMessage)
   }
