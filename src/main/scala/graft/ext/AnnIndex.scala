@@ -108,6 +108,126 @@ object AnnIndex {
       }
     }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization tier of the persisted index (VERDICT r9 #1's
+    * "(+ PQ codebooks)"): the per-subspace codebooks and the 8-byte
+    * per-vector codes stored as catalog tables, so the ADC search
+    * (ext75's semantics) probes STORED codes instead of re-learning the
+    * fine quantizer inside every query. Layout (per index name):
+    *   - `graft_cat.db.ann_<name>_pq_cents` (j INT, cid INT,
+    *     c ARRAY<DOUBLE>) — codebook of subspace j;
+    *   - `graft_cat.db.ann_<name>_pq_codes` (vec_id BIGINT, j INT,
+    *     code INT) — the encoded corpus, 8 rows per vector.
+    * Subspace geometry is fixed at 8 subspaces × 8 dims (the 64-dim
+    * embeddings fixture; ext75's split), asserted at build.
+    *
+    * [[ensurePq]] mirrors [[ensure]]'s three states: covered → no-op;
+    * append-only growth → ONLY the delta is ENCODED against the STORED
+    * codebooks and appended (production PQ maintenance — codebooks are
+    * retrained on rebuild, not per append); any other change → full
+    * rebuild. At 100 TB the codes table is 8 B/vector where the float
+    * corpus is 512 B/vector — the scan side of every ADC query reads
+    * codes only, and the build (the expensive Lloyd pass over float
+    * subvectors) is amortized into ingest. */
+  val pqBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  val pqRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  final case class PqTables(codes: String, cents: String)
+
+  /** Subvector decomposition (vec_id, j, subv): 8 slices of 8 dims,
+    * built array-locally — identical to ext75's `sub`. */
+  private def subvectors(vs: DataFrame): DataFrame =
+    vs.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
+      .as(Seq("j", "subv")))
+
+  /** Nearest-codebook-entry encoding: codebooks collected into ONE
+    * broadcast row per subspace; the argmin is row-local (same shape as
+    * [[assign]], keyed by subspace). */
+  private def encode(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents.groupBy("j")
+        .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))),
+        Seq("j"))
+      .withColumn("code", expr(
+        "array_min(transform(cents, " +
+          "e -> struct(graft_sqdist(subv, e.c) AS d2, e.cid AS cid))).cid"))
+      .drop("cents")
+
+  /** Ensure the PQ tier of the named index covers `corpus`
+    * (vec_id BIGINT, v ARRAY<DOUBLE> of 64 dims). Same idempotence /
+    * incremental-append / rebuild contract as [[ensure]]. */
+  def ensurePq(s: SparkSession, corpus: DataFrame, name: String): PqTables =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      graft.functions.SquaredDistance.register(s)
+      val t = PqTables(s"graft_cat.db.ann_${name}_pq_codes",
+        s"graft_cat.db.ann_${name}_pq_cents")
+
+      def codesState: Option[(Long, Long)] =
+        try {
+          val r = s.table(t.codes).agg(count(lit(1)), max(col("vec_id"))).head
+          Some((r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+      val centsExist =
+        try { s.table(t.cents).schema; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+      (codesState, centsExist) match {
+        case (Some((storedCnt, storedMax)), true) if storedCnt > 0 =>
+          val cs = corpus.agg(count(lit(1)), max(col("vec_id")),
+            count(when(col("vec_id") <= lit(storedMax), 1))).head
+          val (cnt, mx, prefixCnt) = (cs.getLong(0),
+            if (cs.isNullAt(1)) -1L else cs.getLong(1), cs.getLong(2))
+          if (cnt * 8 == storedCnt && mx == storedMax) t // fresh — no-op
+          else if (mx > storedMax && prefixCnt * 8 == storedCnt) {
+            // append-only growth: encode the delta against the STORED
+            // codebooks; old codes and the codebooks are untouched
+            val delta = corpus.filter(col("vec_id") > storedMax)
+            encode(subvectors(delta), s.table(t.cents))
+              .select(col("vec_id"), col("j").cast("int").as("j"),
+                col("code").cast("int").as("code"))
+              .writeTo(t.codes).append()
+            pqRefreshes.incrementAndGet()
+            t
+          } else buildPq(s, corpus, t)
+        case _ => buildPq(s, corpus, t)
+      }
+    }
+
+  /** Deterministic PQ full build — bit-identical to ext75's in-query
+    * construction (seed every 64th vector per subspace, ONE
+    * integer-scaled Lloyd round, re-encode), so ext75's DuckDB oracle
+    * applies verbatim to searches over the stored artifact. Codebooks
+    * are written FIRST and the final encoding reads them back from the
+    * catalog, so stored codebooks and stored codes can never disagree. */
+  private def buildPq(s: SparkSession, corpus: DataFrame,
+      t: PqTables): PqTables = {
+    val sub = subvectors(corpus)
+    val seeds = sub.filter(col("vec_id") % 64 === 0)
+      .select(col("j"), (col("vec_id") / 64).cast("int").as("cid"),
+        col("subv").as("c"))
+    val cents1 = encode(sub, seeds)
+      .select(col("j"), col("code").as("cid"), posexplode(col("subv")))
+      .groupBy("j", "cid", "pos")
+      .agg(sum(expr("CAST(round(col * 1000000) AS BIGINT)")).as("sc"),
+        count(lit(1)).as("n"))
+      .groupBy("j", "cid")
+      .agg(collect_list(struct(col("pos"),
+        (col("sc").cast("double") / 1000000 / col("n")).as("cv"))).as("pc"))
+      .select(col("j").cast("int").as("j"), col("cid").cast("int").as("cid"),
+        expr("transform(array_sort(pc), t -> t.cv)").as("c"))
+    cents1.writeTo(t.cents).createOrReplace()
+    encode(sub, s.table(t.cents))
+      .select(col("vec_id"), col("j").cast("int").as("j"),
+        col("code").cast("int").as("code"))
+      .writeTo(t.codes).createOrReplace()
+    pqBuilds.incrementAndGet()
+    t
+  }
+
   /** The deterministic k-means-lite full build (ext20 semantics): seeds
     * every 64th vector, ONE Lloyd step with integer-scaled per-component
     * sums (order-independent bit-identical means), re-assign, persist.

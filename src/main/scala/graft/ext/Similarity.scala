@@ -658,9 +658,49 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Shared handle to the PERSISTED PQ tier ([[AnnIndex.ensurePq]]):
+    * codebooks + 8-byte codes built once per corpus, then ADC-probed
+    * with ZERO codebook-learning stages in the query plan. */
+  private def persistedPqIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): AnnIndex.PqTables =
+    AnnIndex.ensurePq(s, vecs(s, d).select(col("vec_id"), col("v")),
+      "emb_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+
+  /** ext129 — ADC top-3 over the STORED PQ index: identical semantics
+    * (and oracle) to ext75, but the plan is a codes-table scan + a
+    * broadcast LUT join — the per-subspace Lloyd pass is amortized into
+    * the persisted artifact ([[AnnIndex.ensurePq]]). The corpus floats
+    * are read ONLY to form the query-side subvectors (every 50th
+    * vector); the scan side touches 8 small ints per vector. */
+  val persistedPqAdc: Q = (s, d) => {
+    val t = persistedPqIndex(s, d)
+    graft.functions.SquaredDistance.register(s)
+    val qsub = vecs(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), posexplode(expr(
+        "transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
+        .as(Seq("qj", "subv")))
+    val lut = qsub
+      .join(broadcast(s.table(t.cents)), col("qj") === col("j"))
+      .select(col("q_id"), col("qj"), col("cid"),
+        expr("CAST(graft_sqdist(subv, c) AS DECIMAL(18, 6))").as("pd2"))
+    s.table(t.codes)
+      .join(broadcast(lut),
+        col("j") === col("qj") && col("code") === col("cid") &&
+          col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pd2")).cast("double").as("adc2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc2"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("n_id"), col("adc2"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext126_ann_index_probe1" -> persistedIvfTopK,
     "ext127_ann_index_probe2" -> persistedIvfProbe2,
+    "ext129_ann_index_pq_adc" -> persistedPqAdc,
     "ext77_label_noise_knn" -> labelNoiseKnn,
     "ext108_label_noise_recall" -> labelNoiseRecall,
     "ext75_sim_topk_ivfpq" -> pqTopK,
@@ -740,6 +780,41 @@ object Similarity {
        |        list_sum([(s.subv[i] - sd.c[i]) * (s.subv[i] - sd.c[i]) for i in range(1, 9)]),
        |        sd.cid) AS rk
        |    FROM sub s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
+
+  private lazy val pqAdcOracleSql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, j, v[j * 8 + 1 : j * 8 + 8] AS subv
+       |  FROM v, range(0, 8) r(j)),
+       |seeds AS (
+       |  SELECT j, CAST(vec_id // 64 AS INT) AS cid, subv AS c
+       |  FROM sub WHERE vec_id % 64 = 0),
+       |a0 AS (${pqAssignSql("seeds")}),
+       |comp AS (
+       |  SELECT j, cid, i,
+       |    SUM(CAST(round(subv[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
+       |  FROM a0, range(1, 9) r(i) GROUP BY j, cid, i),
+       |cents AS (
+       |  SELECT j, cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
+       |  FROM comp GROUP BY j, cid),
+       |codes AS (${pqAssignSql("cents")}),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.j, c.cid,
+       |    CAST(list_sum([(s.subv[i] - c.c[i]) * (s.subv[i] - c.c[i]) for i in range(1, 9)])
+       |         AS DECIMAL(18, 6)) AS pd2
+       |  FROM sub s JOIN cents c ON s.j = c.j
+       |  WHERE s.vec_id % 50 = 0),
+       |adc AS (
+       |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.pd2) AS DOUBLE) AS adc2
+       |  FROM codes cd
+       |  JOIN lut l ON cd.j = l.j AND cd.cid = l.cid AND cd.vec_id <> l.q_id
+       |  GROUP BY l.q_id, cd.vec_id)
+       |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank,
+       |  vec_id AS n_id, adc2
+       |FROM adc
+       |WINDOW w AS (PARTITION BY q_id ORDER BY adc2, vec_id)
+       |QUALIFY row_number() OVER w <= 3
+       |ORDER BY q_id, rank""".stripMargin
 
   private lazy val ivfProbe1OracleSql =
     s"""WITH $kmeansCtesSql,
@@ -868,40 +943,11 @@ object Similarity {
          |       AS DOUBLE) / COUNT(*) AS flagged_rate
          |FROM majority GROUP BY label
          |ORDER BY label""".stripMargin,
-    "ext75_sim_topk_ivfpq" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sub AS (
-         |  SELECT vec_id, j, v[j * 8 + 1 : j * 8 + 8] AS subv
-         |  FROM v, range(0, 8) r(j)),
-         |seeds AS (
-         |  SELECT j, CAST(vec_id // 64 AS INT) AS cid, subv AS c
-         |  FROM sub WHERE vec_id % 64 = 0),
-         |a0 AS (${pqAssignSql("seeds")}),
-         |comp AS (
-         |  SELECT j, cid, i,
-         |    SUM(CAST(round(subv[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
-         |  FROM a0, range(1, 9) r(i) GROUP BY j, cid, i),
-         |cents AS (
-         |  SELECT j, cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
-         |  FROM comp GROUP BY j, cid),
-         |codes AS (${pqAssignSql("cents")}),
-         |lut AS (
-         |  SELECT s.vec_id AS q_id, s.j, c.cid,
-         |    CAST(list_sum([(s.subv[i] - c.c[i]) * (s.subv[i] - c.c[i]) for i in range(1, 9)])
-         |         AS DECIMAL(18, 6)) AS pd2
-         |  FROM sub s JOIN cents c ON s.j = c.j
-         |  WHERE s.vec_id % 50 = 0),
-         |adc AS (
-         |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.pd2) AS DOUBLE) AS adc2
-         |  FROM codes cd
-         |  JOIN lut l ON cd.j = l.j AND cd.cid = l.cid AND cd.vec_id <> l.q_id
-         |  GROUP BY l.q_id, cd.vec_id)
-         |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank,
-         |  vec_id AS n_id, adc2
-         |FROM adc
-         |WINDOW w AS (PARTITION BY q_id ORDER BY adc2, vec_id)
-         |QUALIFY row_number() OVER w <= 3
-         |ORDER BY q_id, rank""".stripMargin,
+    "ext75_sim_topk_ivfpq" -> pqAdcOracleSql,
+    // ext129 probes the PERSISTED PQ tier; a fresh build is
+    // bit-identical to ext75's in-query construction, so the same
+    // ADC oracle applies verbatim
+    "ext129_ann_index_pq_adc" -> pqAdcOracleSql,
     "ext06_sim_topk_bruteforce" -> bruteForceOracle,
     // both ranking legs restated with the same sequential-fold cosine
     // (dot / (sqrt * sqrt), the kernel's exact op order) and the same

@@ -4335,8 +4335,19 @@ object SegStore {
     versionLine(v)
 
   def readVersions(dir: Path, log: String = MetaFile): Vector[SegVersion] = {
-    Files.readAllLines(dir.resolve(log)).asScala.toVector
-      .filter(_.nonEmpty).map(parseVersionLine)
+    // Lock-free readers (scans, a stream's latestOffset poll) race
+    // in-flight appends: a manifest line embeds the schema JSON and can
+    // span multiple pages, so a concurrent read may observe a PARTIAL
+    // final line. The commit point is the COMPLETE line — anything after
+    // the last '\n' is an append still in flight and invisible to this
+    // read (the pre-append head is the correct snapshot). Mid-file
+    // truncation cannot happen: appends only ever extend the tail, and
+    // every writer terminates its line with '\n'.
+    val bytes = Files.readAllBytes(dir.resolve(log))
+    var end = bytes.length
+    while (end > 0 && bytes(end - 1) != '\n') end -= 1
+    new String(bytes, 0, end, StandardCharsets.UTF_8)
+      .split('\n').toVector.filter(_.nonEmpty).map(parseVersionLine)
   }
 
   /** Txn roll-forward primitive: under the SAME exclusive locks as the

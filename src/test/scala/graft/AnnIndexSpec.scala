@@ -106,6 +106,103 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  /** 64-dim corpus for the PQ tier (8 subspaces × 8 dims). */
+  private def mkCorpus64(n: Long) =
+    spark.range(0, n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "j -> CAST((id % 97) * 0.05 + (j % 11) * 0.25 AS DOUBLE))").as("v"))
+
+  test("PQ: stored codes answer ADC identically to ext75; probe plan learns nothing") {
+    ops.configure(spark)
+    val d = "/root/testdata/sf0.001"
+    ops.ensureGraftCatalog(spark)
+    val key = "emb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${key}_pq_codes")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${key}_pq_cents")
+    val b0 = AnnIndex.pqBuilds.get()
+
+    val r1 = ext.Similarity.persistedPqAdc(spark, d)
+    val rows1 = r1.collect()
+    assert(rows1.nonEmpty)
+    assert(AnnIndex.pqBuilds.get() === b0 + 1)
+
+    // a fresh PQ build is bit-identical to ext75's in-query construction
+    val inQuery = ext.Similarity.pqTopK(spark, d).collect()
+    assert(rows1.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq,
+      "persisted-PQ ADC diverged from the in-query build")
+
+    // second search: no rebuild, no refresh, and the plan is probe-only —
+    // no Lloyd stage (integer-scaled sums / collect_list) anywhere; the
+    // scan side is the stored codes table
+    val rf0 = AnnIndex.pqRefreshes.get()
+    val r2 = ext.Similarity.persistedPqAdc(spark, d)
+    assert(r2.collect().map(_.toSeq).toSeq === rows1.map(_.toSeq).toSeq)
+    assert(AnnIndex.pqBuilds.get() === b0 + 1, "second search re-built the index")
+    assert(AnnIndex.pqRefreshes.get() === rf0)
+    val plan = r2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("collect_list"),
+      "probe plan contains a codebook-learning stage:\n" + plan)
+    assert(!plan.contains("round("),
+      "probe plan contains the Lloyd integer-scaling stage:\n" + plan)
+    assert(plan.contains(s"ann_${key}_pq_codes"),
+      "probe plan does not scan the persisted codes table:\n" + plan)
+  }
+
+  test("PQ: append-only growth encodes only the delta against stored codebooks") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_pq_pq_codes")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_pq_pq_cents")
+    val b0 = AnnIndex.pqBuilds.get()
+    val rf0 = AnnIndex.pqRefreshes.get()
+
+    val t = AnnIndex.ensurePq(spark, mkCorpus64(1000), "spec_pq")
+    assert(AnnIndex.pqBuilds.get() === b0 + 1)
+    val centsBefore = spark.table(t.cents).orderBy("j", "cid")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val oldCodes = spark.table(t.codes).orderBy("vec_id", "j")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(oldCodes.length === 8000)
+
+    // covered corpus: pure no-op
+    AnnIndex.ensurePq(spark, mkCorpus64(1000), "spec_pq")
+    assert(AnnIndex.pqBuilds.get() === b0 + 1)
+    assert(AnnIndex.pqRefreshes.get() === rf0)
+
+    // append: codebooks and pre-existing codes byte-identical; only the
+    // delta is encoded
+    AnnIndex.ensurePq(spark, mkCorpus64(1200), "spec_pq")
+    assert(AnnIndex.pqBuilds.get() === b0 + 1, "append triggered a full rebuild")
+    assert(AnnIndex.pqRefreshes.get() === rf0 + 1)
+    val centsAfter = spark.table(t.cents).orderBy("j", "cid")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    assert(centsAfter.toSeq === centsBefore.toSeq,
+      "incremental refresh moved the stored codebooks")
+    val codesAfter = spark.table(t.codes).orderBy("vec_id", "j")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codesAfter.length === 9600)
+    assert(codesAfter.take(8000).toSeq === oldCodes.toSeq,
+      "incremental refresh rewrote pre-existing codes")
+
+    // each delta code is the true argmin over the STORED codebook of its
+    // subspace, ordering by (d2, cid)
+    val books = centsBefore.groupBy(_._1).map { case (j, rs) =>
+      j -> rs.map(r => (r._2, r._3)) }
+    val vById = mkCorpus64(1200).filter(col("vec_id") >= 1000)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    codesAfter.drop(8000).foreach { case (id, j, code) =>
+      val subv = vById(id).slice(j * 8, j * 8 + 8)
+      val best = books(j).map { case (cid, c) =>
+        val d2 = subv.zip(c).foldLeft(0.0)((a, p) =>
+          a + (p._1 - p._2) * (p._1 - p._2))
+        (d2, cid)
+      }.min
+      assert(best._2 === code,
+        s"vec $id subspace $j coded $code, argmin ${best._2}")
+    }
+  }
+
   test("a non-append corpus change triggers a full rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
