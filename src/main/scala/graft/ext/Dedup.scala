@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word-level shingles of size 3 over lowercased whitespace tokens. */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Word-level shingles of size 3 over lowercased whitespace tokens.
+    * Shared with [[DedupIndex]] so the persisted signature build cannot
+    * drift from the in-query construction. */
+  private[ext] def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
       .filter(size(col("toks")) >= 3) // sequence() descends for stop<start
@@ -185,6 +187,87 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("n_match"),
         (col("n_match").cast("double") / 16).as("est_jaccard"))
       .orderBy(col("n_match").desc, col("a_id"), col("b_id"))
+  }
+
+  /** Band derivation over a signature frame — ext03's LSH banding
+    * (4 bands × 4 rows over h0..h15), row-local: no hashing, no shuffle. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 to 3).map(b =>
+      s"struct(CAST($b AS INT) AS band, concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS band_key)")
+      .mkString("array(", ", ", ")")
+    sig.select(col("doc_id"), explode(expr(bandStructs)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  private val sigMatchSum =
+    (0 to 15).map(j => s"IF(a.h$j = b.h$j, 1, 0)").mkString(" + ")
+
+  /** ext130 — ext03's candidate-pair search over the PERSISTED signature
+    * index ([[DedupIndex]]): identical semantics (and oracle), but the
+    * plan contains ZERO hashing stages — bands derive row-locally from
+    * the stored h-columns and verification compares stored columns. The
+    * shingle→16×md5→min pass (the dominant per-run cost at corpus
+    * scale) is amortized into the index build and maintained per ingest
+    * batch, not per dedup run. The production layout would bucket a
+    * materialized band table by band_key so the bucket join is
+    * storage-partitioned; at fixture scale the row-local derivation is
+    * the better plan (no second table to keep consistent). */
+  val dedupIndexLsh: Q = (s, d) => {
+    val t = DedupIndex.ensure(s,
+      table(s, d, "documents").select(col("doc_id"), col("text")),
+      "docs_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val sig = s.table(t.sigs)
+    val bands = bandsOf(sig)
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    candidates
+      .join(sig.as("a"), col("a_id") === col("a.doc_id"))
+      .join(sig.as("b"), col("b_id") === col("b.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        expr(s"CAST($sigMatchSum AS BIGINT)").as("n_match"))
+      .filter(col("n_match") >= 8)
+      .select(col("a_id"), col("b_id"), col("n_match"),
+        (col("n_match").cast("double") / 16).as("est_jaccard"))
+      .orderBy(col("n_match").desc, col("a_id"), col("b_id"))
+  }
+
+  /** ext131 — incremental batch-vs-corpus near-dup probe, the
+    * steady-state production shape (ext65's discipline lifted from
+    * exact to near-dup): the indexed corpus (docs < 400) is read as
+    * STORED signatures; only the incoming batch (docs ≥ 400) is
+    * shingled and signed in-query; candidates are corpus×batch band
+    * collisions, verified at ≥ 8/16 matching minhashes. Per-batch cost
+    * is signing the BATCH plus a band-keyed join against the stored
+    * index — proportional to the batch, never the corpus, which is the
+    * whole point at 100 TB. */
+  val dedupIndexBatchProbe: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+    val t = DedupIndex.ensure(s, docs.filter(col("doc_id") < 400),
+      "corpus_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val corpusSig = s.table(t.sigs)
+    // signing the batch is the per-batch cost; cached because the plan
+    // consumes it twice (bands + verify side)
+    val batchSig = DedupIndex.signatures(docs.filter(col("doc_id") >= 400))
+      .persist()
+    val cand = bandsOf(corpusSig).as("x").join(bandsOf(batchSig).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("corpus_id"), col("y.doc_id").as("batch_id"))
+      .distinct()
+    cand
+      .join(corpusSig.as("a"), col("corpus_id") === col("a.doc_id"))
+      .join(batchSig.as("b"), col("batch_id") === col("b.doc_id"))
+      .select(col("corpus_id"), col("batch_id"),
+        expr(s"CAST($sigMatchSum AS BIGINT)").as("n_match"))
+      .filter(col("n_match") >= 8)
+      .select(col("corpus_id"), col("batch_id"), col("n_match"),
+        (col("n_match").cast("double") / 16).as("est_jaccard"))
+      .orderBy(col("n_match").desc, col("corpus_id"), col("batch_id"))
   }
 
   /** ext106 — LSH candidate recall against the exact ground truth: every
@@ -599,6 +682,8 @@ object Dedup {
     "ext86_dedup_containment" -> dedupContainment,
     "ext86b_dedup_containment_capped" -> dedupContainmentCapped,
     "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "ext130_dedup_index_lsh" -> dedupIndexLsh,
+    "ext131_dedup_index_batch" -> dedupIndexBatchProbe,
     "ext106_lsh_recall_eval" -> lshRecallEval,
     "ext04_dedup_simhash" -> dedupSimhash,
     "ext05_dedup_embedding" -> dedupEmbedding,
@@ -680,6 +765,30 @@ object Dedup {
        |  SELECT s.doc_id, s.sh FROM sh s
        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $cap) r
        |    USING (sh))""".stripMargin
+
+  private lazy val minhashLshOracleSql =
+    s"""WITH $shinglesSql,
+       |sig AS (
+       |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
+       |  FROM sh, range(16) r(j) GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+       |         string_agg(h, '|' ORDER BY j) AS band_key
+       |  FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT a_id, b_id,
+       |         CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = a_id
+       |  JOIN sig sb ON sb.doc_id = b_id AND sb.j = sa.j
+       |  GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, n_match, CAST(n_match AS DOUBLE) / 16 AS est_jaccard
+       |FROM m WHERE n_match >= 8
+       |ORDER BY n_match DESC, a_id, b_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // true components via recursive CTE over the same top-20 pair edges;
@@ -847,7 +956,15 @@ object Dedup {
          |JOIN sz sa ON sa.doc_id = a_id
          |JOIN sz sb ON sb.doc_id = b_id
          |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin,
-    "ext03_dedup_minhash_lsh" ->
+    "ext03_dedup_minhash_lsh" -> minhashLshOracleSql,
+    // ext130 probes the PERSISTED signature index; a fresh build is
+    // bit-identical to ext03's in-query construction, so the same
+    // oracle applies verbatim
+    "ext130_dedup_index_lsh" -> minhashLshOracleSql,
+    // ext131 = the corpus x batch split over the same signatures: the
+    // oracle signs everything (per-doc signatures are split-invariant)
+    // and restricts candidates to corpus-side < 400 <= batch-side
+    "ext131_dedup_index_batch" ->
       s"""WITH $shinglesSql,
          |sig AS (
          |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
@@ -857,19 +974,21 @@ object Dedup {
          |         string_agg(h, '|' ORDER BY j) AS band_key
          |  FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)),
          |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS batch_id
          |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |    ON x.band = y.band AND x.band_key = y.band_key
+         |   AND x.doc_id < 400 AND y.doc_id >= 400),
          |m AS (
-         |  SELECT a_id, b_id,
+         |  SELECT corpus_id, batch_id,
          |         CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
          |  FROM cand
-         |  JOIN sig sa ON sa.doc_id = a_id
-         |  JOIN sig sb ON sb.doc_id = b_id AND sb.j = sa.j
-         |  GROUP BY a_id, b_id)
-         |SELECT a_id, b_id, n_match, CAST(n_match AS DOUBLE) / 16 AS est_jaccard
+         |  JOIN sig sa ON sa.doc_id = corpus_id
+         |  JOIN sig sb ON sb.doc_id = batch_id AND sb.j = sa.j
+         |  GROUP BY corpus_id, batch_id)
+         |SELECT corpus_id, batch_id, n_match,
+         |  CAST(n_match AS DOUBLE) / 16 AS est_jaccard
          |FROM m WHERE n_match >= 8
-         |ORDER BY n_match DESC, a_id, b_id""".stripMargin,
+         |ORDER BY n_match DESC, corpus_id, batch_id""".stripMargin,
     // both legs restated over the shared shingle CTE; the tier explode is
     // a values-join so each tier row re-filters the marked pairs
     "ext106_lsh_recall_eval" ->

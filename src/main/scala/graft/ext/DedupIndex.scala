@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED near-dup index: the MinHash signature table of ext03
+  * stored as a `graft_cat` catalog artifact with incremental append
+  * maintenance — the dedup twin of [[AnnIndex]] (round-9 VERDICT #1's
+  * "index must be a persisted, incrementally-maintained artifact",
+  * applied to the OTHER big per-query rebuild in the catalog).
+  *
+  * Unlike the IVF tier — whose centroids are a corpus-level model, so
+  * append maintenance is approximate by design — a MinHash signature is
+  * a pure per-document function (min over the doc's OWN shingle hashes).
+  * Incremental maintenance is therefore EXACT: signing only the delta
+  * and appending yields byte-identical state to a full rebuild, which
+  * [[DedupIndexSpec]] pins. At 100 TB this is the difference between
+  * re-shingling the corpus per dedup run (the dominant cost — 16 md5s
+  * per shingle occurrence) and signing only each day's ingest.
+  *
+  * Layout (per index name):
+  *   - `graft_cat.db.dedup_<name>_sigs` (doc_id BIGINT,
+  *     h0..h15 STRING) — one row per signable doc (≥ 3 tokens);
+  *   - `graft_cat.db.dedup_<name>_meta` (k BIGINT, n_docs BIGINT,
+  *     max_id BIGINT) — one row describing the covered CORPUS (not the
+  *     sig table: shingle-less docs are signless, so corpus coverage
+  *     cannot be derived from sig counts).
+  *
+  * The incremental refresh publishes the sigs append and the meta
+  * advance in ONE cross-table transaction ([[graft.sources.SegTxn]]'s
+  * intent-log discipline, via CALL system.txn_*), so "delta signed" and
+  * "watermark advanced" never diverge durably — a torn refresh would
+  * otherwise re-sign or skip the delta. A full rebuild writes sigs
+  * first and meta LAST outside a txn: a crash between the two leaves
+  * meta ≠ corpus, which the next ensure() resolves by rebuilding.
+  *
+  * Reference capability: `transformation.py`'s dedup steps (SURVEY §2
+  * P4/P5) scaled to the near-dup family; construction is bit-identical
+  * to ext03 (`Dedup.scala`), so ext03's DuckDB oracle applies verbatim
+  * to searches over the stored artifact.
+  */
+object DedupIndex {
+
+  /** Full-build / incremental-refresh counters — specs pin "the probe
+    * re-signs nothing" through these. */
+  val builds = new java.util.concurrent.atomic.AtomicLong(0)
+  val refreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  final case class Tables(sigs: String, meta: String)
+
+  /** The 16-minhash signature frame — bit-identical to ext03's `sig`
+    * (inline md5s on occurrence rows, one agg pass; see the scale note
+    * at `Dedup.dedupMinhashLsh`). */
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val hashCols = (0 to 15).map(j =>
+      md5(concat(col("sh"), lit(s"#$j"))).as(s"hv$j"))
+    val sigCols = (0 to 15).map(j => min(col(s"hv$j")).as(s"h$j"))
+    sh.select(col("doc_id") +: hashCols: _*)
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Ensure the named index covers `docs` (doc_id BIGINT, text STRING).
+    * Three states, keyed on the corpus watermark in `meta`:
+    * covered → no-op; append-only growth → sign ONLY the delta and
+    * publish sigs+meta in one txn; any other change → full rebuild. */
+  def ensure(s: SparkSession, docs: DataFrame, name: String): Tables =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
+        s"graft_cat.db.dedup_${name}_meta")
+
+      val stored: Option[(Long, Long)] =
+        try {
+          val r = s.table(t.meta).select("n_docs", "max_id").head
+          Some((r.getLong(0), r.getLong(1)))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: NoSuchElementException => None
+        }
+      val sigsExist =
+        try { s.table(t.sigs).schema; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+      (stored, sigsExist) match {
+        case (Some((storedN, storedMax)), true) if storedN > 0 =>
+          val cs = docs.agg(count(lit(1)), max(col("doc_id")),
+            count(when(col("doc_id") <= lit(storedMax), 1))).head
+          val (cnt, mx, prefixCnt) = (cs.getLong(0),
+            if (cs.isNullAt(1)) -1L else cs.getLong(1), cs.getLong(2))
+          if (cnt == storedN && mx == storedMax) t // covered — no-op
+          else if (mx > storedMax && prefixCnt == storedN) {
+            val delta = signatures(docs.filter(col("doc_id") > lit(storedMax)))
+            val view = s"graft_dedup_delta_" +
+              java.util.UUID.randomUUID().toString.replace("-", "")
+            delta.createOrReplaceTempView(view)
+            try inTxn(s) {
+              s.sql(s"INSERT INTO ${t.sigs} SELECT * FROM $view")
+              s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST(0 AS BIGINT), " +
+                s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+            } finally s.catalog.dropTempView(view)
+            refreshes.incrementAndGet()
+            t
+          } else build(s, docs, t)
+        case _ => build(s, docs, t)
+      }
+    }
+
+  private def build(s: SparkSession, docs: DataFrame, t: Tables): Tables = {
+    val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
+    val (cnt, mx) = (cs.getLong(0),
+      if (cs.isNullAt(1)) -1L else cs.getLong(1))
+    signatures(docs).writeTo(t.sigs).createOrReplace()
+    // meta LAST: a crash above leaves meta ≠ corpus → next ensure rebuilds
+    s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
+    s.sql(s"CREATE TABLE ${t.meta} (k BIGINT, n_docs BIGINT, max_id BIGINT)")
+    s.sql(s"INSERT INTO ${t.meta} SELECT CAST(0 AS BIGINT), " +
+      s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+    builds.incrementAndGet()
+    t
+  }
+
+  private def inTxn(s: SparkSession)(body: => Unit): Unit = {
+    s.sql("CALL graft_cat.system.txn_begin()").collect()
+    try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
+    catch {
+      case t: Throwable =>
+        try s.sql("CALL graft_cat.system.txn_abort()").collect()
+        catch { case s2: Throwable => t.addSuppressed(s2) }
+        throw t
+    }
+  }
+}

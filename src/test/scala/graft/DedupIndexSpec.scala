@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The persisted MinHash signature index ([[graft.ext.DedupIndex]]):
+  * build-once amortization, hash-free probe plans, and the EXACT
+  * incremental-maintenance property (per-doc signatures make
+  * refresh ≡ rebuild byte-for-byte — stronger than the ANN tier's
+  * approximate append discipline).
+  */
+class DedupIndexSpec extends SparkTestBase {
+
+  import graft.ext.DedupIndex
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def docs =
+    spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+
+  test("stored signatures answer LSH identically to ext03; probe hashes nothing") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val key = "docs_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${key}_sigs")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${key}_meta")
+    val b0 = DedupIndex.builds.get()
+
+    val r1 = ext.Dedup.dedupIndexLsh(spark, d)
+    val rows1 = r1.collect()
+    assert(rows1.nonEmpty)
+    assert(DedupIndex.builds.get() === b0 + 1)
+
+    // a fresh index build is bit-identical to ext03's in-query pass
+    val inQuery = ext.Dedup.dedupMinhashLsh(spark, d).collect()
+    assert(rows1.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq,
+      "persisted-index LSH diverged from the in-query build")
+
+    // second run: no rebuild, no refresh; the plan derives bands from
+    // stored h-columns — ZERO hashing stages, no shingle explode
+    val rf0 = DedupIndex.refreshes.get()
+    val r2 = ext.Dedup.dedupIndexLsh(spark, d)
+    assert(r2.collect().map(_.toSeq).toSeq === rows1.map(_.toSeq).toSeq)
+    assert(DedupIndex.builds.get() === b0 + 1, "second run re-built the index")
+    assert(DedupIndex.refreshes.get() === rf0)
+    val plan = r2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("md5"),
+      "probe plan contains a hashing stage:\n" + plan)
+    assert(plan.contains(s"dedup_${key}_sigs"),
+      "probe plan does not scan the persisted signature table:\n" + plan)
+  }
+
+  test("append-only growth signs only the delta; incremental == rebuild exactly") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_ddx_sigs")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_ddx_meta")
+    val b0 = DedupIndex.builds.get()
+    val rf0 = DedupIndex.refreshes.get()
+
+    val t = DedupIndex.ensure(spark, docs.filter(col("doc_id") < 400), "spec_ddx")
+    assert(DedupIndex.builds.get() === b0 + 1)
+
+    // covered corpus: pure no-op
+    DedupIndex.ensure(spark, docs.filter(col("doc_id") < 400), "spec_ddx")
+    assert(DedupIndex.builds.get() === b0 + 1)
+    assert(DedupIndex.refreshes.get() === rf0)
+
+    // append-only growth refreshes; signatures are per-doc functions, so
+    // the refreshed table is EXACTLY a full rebuild's content
+    DedupIndex.ensure(spark, docs, "spec_ddx")
+    assert(DedupIndex.builds.get() === b0 + 1, "append triggered a full rebuild")
+    assert(DedupIndex.refreshes.get() === rf0 + 1)
+    val stored = spark.table(t.sigs).orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val fresh = DedupIndex.signatures(docs).orderBy("doc_id")
+      .collect().map(_.toSeq)
+    assert(stored.toSeq === fresh.toSeq,
+      "incremental refresh diverged from a full rebuild")
+    // the watermark advanced with the corpus
+    val m = spark.table(t.meta).select("n_docs", "max_id").head
+    assert((m.getLong(0), m.getLong(1)) === (500L, 499L))
+
+    // a shrunk corpus is not a prefix cover: full rebuild
+    DedupIndex.ensure(spark, docs.filter(col("doc_id") < 100), "spec_ddx")
+    assert(DedupIndex.builds.get() === b0 + 2,
+      "a shrunk corpus must force a full rebuild, not a refresh")
+  }
+
+  test("batch probe signs the batch only; corpus side reads stored signatures") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val key = "corpus_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${key}_sigs")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${key}_meta")
+
+    val r = ext.Dedup.dedupIndexBatchProbe(spark, d)
+    val rows = r.collect()
+    // pairs must straddle the split by construction
+    rows.foreach { row =>
+      assert(row.getLong(0) < 400L && row.getLong(1) >= 400L)
+    }
+    // corpus-side md5 work would show as a scan of documents feeding the
+    // x-side; instead the only md5 stages hang off the batch filter
+    // (doc_id >= 400). Pin: the index table is scanned, and a SECOND run
+    // neither rebuilds nor refreshes.
+    val b0 = DedupIndex.builds.get()
+    val rf0 = DedupIndex.refreshes.get()
+    val r2 = ext.Dedup.dedupIndexBatchProbe(spark, d)
+    assert(r2.collect().map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+    assert(DedupIndex.builds.get() === b0)
+    assert(DedupIndex.refreshes.get() === rf0)
+    val plan = r2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains(s"dedup_${key}_sigs"),
+      "batch probe does not read the stored corpus signatures:\n" + plan)
+  }
+}
