@@ -952,7 +952,65 @@ object DecisionSupport {
       .orderBy("yr", "brand")
   }
 
+  /** q175 — TPC-DS Q88 shape (multi-band scalar-count battery): Q88
+    * spells eight independent COUNT(*) scalar subqueries over disjoint
+    * time bands of one fact, cross-joined into a single row. The
+    * Spark-first plan collapses all eight into ONE fact pass of
+    * conditional aggregates — one scan and one partial-agg exchange
+    * instead of eight scans — while the oracle keeps Q88's
+    * eight-subquery cross-join spelling, so hash equality IS the proof
+    * that the one-pass rewrite preserves semantics. At 100 TB the
+    * difference is 8× the dominant cost (the fact scan). */
+  val multiBandCounts: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .filter(col("l_quantity") < 25)
+      .select(month(col("l_shipdate")).as("mth"))
+    li.agg(
+      count(when(col("mth") === 1, 1)).as("c1"),
+      count(when(col("mth") === 2, 1)).as("c2"),
+      count(when(col("mth") === 3, 1)).as("c3"),
+      count(when(col("mth") === 4, 1)).as("c4"),
+      count(when(col("mth") === 5, 1)).as("c5"),
+      count(when(col("mth") === 6, 1)).as("c6"),
+      count(when(col("mth") === 7, 1)).as("c7"),
+      count(when(col("mth") === 8, 1)).as("c8"))
+  }
+
+  /** q176 — TPC-DS Q36 shape (rollup + GROUPING-level rank): the
+    * second DS-only rollup surface — where q165 ranks within a DATA
+    * column, Q36 ranks within the HIERARCHY DEPTH: lochierarchy =
+    * grouping(cat) + grouping(brand) partitions the window together
+    * with a CASE over grouping(brand), so leaf rows rank inside their
+    * category, category subtotals rank against each other, and the
+    * grand total ranks alone. Expand feeds one aggregation (4× map-side
+    * rows, one exchange); the window runs over the rollup output only.
+    * All measures exact BIGINT; every order is total (rank ≡
+    * row_number), nulls-first spelled out on both engines. */
+  val rollupGroupingRank: Q = (s, d) => {
+    val f = table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_type"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(split(col("p_type"), " ").getItem(0).as("cat"),
+        col("p_brand").as("brand"), col("l_quantity").cast("long").as("q"))
+    val rolled = f.rollup(col("cat"), col("brand"))
+      .agg(sum(col("q")).as("sum_q"),
+        grouping(col("cat")).cast("long").as("gcat"),
+        grouping(col("brand")).cast("long").as("gbrand"))
+      .withColumn("lh", col("gcat") + col("gbrand"))
+    val w = Window
+      .partitionBy(col("lh"), when(col("gbrand") === 0, col("cat")))
+      .orderBy(col("sum_q").desc, col("cat").asc_nulls_first,
+        col("brand").asc_nulls_first)
+    rolled.withColumn("rk", rank().over(w).cast("long"))
+      .select(col("cat"), col("brand"), col("sum_q"), col("lh"), col("rk"))
+      .orderBy(col("lh").desc, col("cat").asc_nulls_first,
+        col("brand").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_multi_band_counts" -> multiBandCounts,
+    "q176_rollup_grouping_rank" -> rollupGroupingRank,
     "q170_reachability_semi" -> reachabilitySemiJoins,
     "q171_cross_channel_intersect" -> crossChannelIntersect,
     "q172_multi_channel_ratios" -> multiChannelRatios,
@@ -985,6 +1043,40 @@ object DecisionSupport {
     "q116_corr_regression" -> corrRegression)
 
   val oracleSql: Map[String, String] = Map(
+    // DS Q88: the oracle keeps the eight-scalar-subquery cross-join
+    // spelling; the Spark side is ONE conditional-aggregate fact pass —
+    // hash equality proves the collapse is semantics-preserving
+    "q175_multi_band_counts" ->
+      """SELECT * FROM
+        |(SELECT COUNT(*) AS c1 FROM lineitem WHERE month(l_shipdate) = 1 AND l_quantity < 25),
+        |(SELECT COUNT(*) AS c2 FROM lineitem WHERE month(l_shipdate) = 2 AND l_quantity < 25),
+        |(SELECT COUNT(*) AS c3 FROM lineitem WHERE month(l_shipdate) = 3 AND l_quantity < 25),
+        |(SELECT COUNT(*) AS c4 FROM lineitem WHERE month(l_shipdate) = 4 AND l_quantity < 25),
+        |(SELECT COUNT(*) AS c5 FROM lineitem WHERE month(l_shipdate) = 5 AND l_quantity < 25),
+        |(SELECT COUNT(*) AS c6 FROM lineitem WHERE month(l_shipdate) = 6 AND l_quantity < 25),
+        |(SELECT COUNT(*) AS c7 FROM lineitem WHERE month(l_shipdate) = 7 AND l_quantity < 25),
+        |(SELECT COUNT(*) AS c8 FROM lineitem WHERE month(l_shipdate) = 8 AND l_quantity < 25)""".stripMargin,
+    // DS Q36: rank partitioned by the GROUPING level (lochierarchy) and
+    // a CASE over grouping(brand); total orders spelled out both sides
+    "q176_rollup_grouping_rank" ->
+      """WITH f AS (
+        |  SELECT string_split(p.p_type, ' ')[1] AS cat, p.p_brand AS brand,
+        |         CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |r AS (
+        |  SELECT cat, brand, CAST(SUM(q) AS BIGINT) AS sum_q,
+        |         CAST(GROUPING(cat) AS BIGINT) AS gcat,
+        |         CAST(GROUPING(brand) AS BIGINT) AS gbrand
+        |  FROM f GROUP BY ROLLUP(cat, brand)),
+        |x AS (
+        |  SELECT cat, brand, sum_q, gcat + gbrand AS lh,
+        |    CAST(rank() OVER (
+        |      PARTITION BY gcat + gbrand, CASE WHEN gbrand = 0 THEN cat END
+        |      ORDER BY sum_q DESC, cat ASC NULLS FIRST, brand ASC NULLS FIRST)
+        |      AS BIGINT) AS rk
+        |  FROM r)
+        |SELECT cat, brand, sum_q, lh, rk FROM x
+        |ORDER BY lh DESC, cat ASC NULLS FIRST, brand ASC NULLS FIRST""".stripMargin,
     // DS Q95: the EXISTS spelling is kept — hash equality with the
     // left-semi self-join + anti-join plan is the decorrelation claim
     "q170_reachability_semi" ->

@@ -9,6 +9,38 @@ import graft.ops.DecisionSupport
   */
 class DecisionSupportSpec extends SparkTestBase {
 
+  test("q175 multi-band counts: eight scalar counts collapse to ONE fact pass") {
+    val df = DecisionSupport.multiBandCounts(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((0 to 7).map(r.getLong).forall(_ >= 0L))
+    // the whole point: one lineitem scan, not eight — and no join at all
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "lineitem".r.findAllIn(plan).length
+    assert(scans >= 1 && plan.split("Scan ").count(_.contains("lineitem")) <= 1,
+      s"expected a single fact scan:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q176 grouping rank: Expand feeds one agg; leaf ranks stay inside their category") {
+    val df = DecisionSupport.rollupGroupingRank(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // part stays broadcast
+    // exactly one grand-total row, at the deepest hierarchy level
+    val grand = rows.filter(r => r.getLong(r.fieldIndex("lh")) == 2L)
+    assert(grand.length === 1 && grand.head.getLong(grand.head.fieldIndex("rk")) === 1L)
+    // rank restarts per (lh, category): every partition has a rank-1 row
+    val leafCats = rows.filter(r => r.getLong(r.fieldIndex("lh")) == 0L)
+      .groupBy(_.getString(0))
+    leafCats.values.foreach { g =>
+      assert(g.exists(_.getLong(g.head.fieldIndex("rk")) == 1L))
+    }
+  }
+
   test("q170 reachability: semi self-join + anti join, no cartesian") {
     val df = DecisionSupport.reachabilitySemiJoins(spark, sf)
     val rows = df.collect()
