@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: the cells table is the corpus co-located by cell — probe
   * joins shuffle only the (small) query side; the centroid table is a
-  * broadcast row. The production layout would bucket `cells` by `cell`
-  * so probe joins are storage-partitioned; the fixture keeps it
-  * unpartitioned (cells ≪ segment size at test SF).
+  * broadcast row. The cells table IS `bucket(8, cell)`-partitioned
+  * (`cell` stored as BIGINT — the catalog's bucket hash binds to
+  * BIGINT), so under `spark.sql.sources.v2.bucketing.enabled` the
+  * cell-keyed probe self-join is STORAGE-PARTITIONED: both sides
+  * report KeyGroupedPartitioning and the join plans with zero
+  * exchanges on the corpus side (spec-pinned in AnnIndexSpec).
   *
   * Reference capability: the similarity-search north star
   * (`BASELINE.json` north_star; SURVEY.md §7.2.7) — re-expressed as a
@@ -98,7 +101,7 @@ object AnnIndex {
             // centroids; old assignments and the quantizer are untouched
             val delta = corpus.filter(col("vec_id") > storedMax)
             assign(delta, s.table(t.cents))
-              .select(col("vec_id"), col("cell").cast("int").as("cell"),
+              .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
                 col("v"), col("norm"))
               .writeTo(t.cells).append()
             refreshes.incrementAndGet()
@@ -249,10 +252,15 @@ object AnnIndex {
       .select(col("cid").cast("int").as("cid"),
         expr("transform(array_sort(pc), t -> t.cv)").as("c"))
     cents1.writeTo(t.cents).createOrReplace()
+    // bucket(8, cell): the corpus lands co-located by cell, so probe
+    // joins are storage-partitioned (no corpus-side exchange) wherever
+    // v2 bucketing is enabled — and plain shuffled joins elsewhere
     assign(corpus, s.table(t.cents))
-      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+      .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
         col("v"), col("norm"))
-      .writeTo(t.cells).createOrReplace()
+      .writeTo(t.cells)
+      .partitionedBy(bucket(8, col("cell")))
+      .createOrReplace()
     builds.incrementAndGet()
     t
   }

@@ -623,7 +623,10 @@ object Similarity {
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("cell"), col("rank").cast("int").as("rank"),
+      // stored cell is BIGINT (bucket-partitioned layout); the contract
+      // column stays INT like the in-query build's cid
+      .select(col("q_id"), col("cell").cast("int").as("cell"),
+        col("rank").cast("int").as("rank"),
         col("n_id"), col("cosine"))
       .orderBy("q_id", "rank")
   }

@@ -69,7 +69,7 @@ class AnnIndexSpec extends SparkTestBase {
     val centsBefore = spark.table(t.cents).orderBy("cid")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
     val oldCells = spark.table(t.cells).filter(col("vec_id") < 1000)
-      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
 
     // same corpus again: pure no-op (covered = no build, no refresh)
     AnnIndex.ensure(spark, mkCorpus(1000), "spec_idx")
@@ -86,7 +86,7 @@ class AnnIndexSpec extends SparkTestBase {
     assert(centsAfter.toSeq === centsBefore.toSeq,
       "incremental refresh moved the stored centroids")
     val cellsAfter = spark.table(t.cells).orderBy("vec_id")
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cellsAfter.length === 1200)
     assert(cellsAfter.take(1000).toSeq === oldCells.toSeq,
       "incremental refresh rewrote pre-existing assignments")
@@ -102,7 +102,47 @@ class AnnIndexSpec extends SparkTestBase {
           a + (p._1 - p._2) * (p._1 - p._2))
         (d2, cid)
       }.min
-      assert(best._2 === cell, s"vec $id assigned to $cell, argmin ${best._2}")
+      assert(best._2.toLong === cell, s"vec $id assigned to $cell, argmin ${best._2}")
+    }
+  }
+
+  test("bucketed cells: the probe self-join is storage-partitioned (no exchange)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_spj_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_spj_cents")
+    val t = AnnIndex.ensure(spark, mkCorpus(2000), "spec_spj")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a1 = spark.table(t.cells)
+      val df = a1.filter(col("vec_id") % 50 === 0).as("q")
+        .join(a1.as("c"), col("q.cell") === col("c.cell") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+        .groupBy(col("q.vec_id").as("q_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      assert(df.collect().nonEmpty)
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      val all = flatten(df.queryExecution.executedPlan)
+      val join = all.collectFirst {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"no shuffle-family join planned:\n${all.head}")
+      val below = join.get.children.flatMap(flatten)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"exchange below the probe join — SPJ did not engage:\n${join.get}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
