@@ -320,7 +320,37 @@ object Search {
       .orderBy("month")
   }
 
+  /** ext132 — ext70's BM25 top-20 over the PERSISTED postings index
+    * ([[SearchIndex]]): the tokenize+explode pass over raw text (the
+    * corpus-sized cost of every lexical query) is amortized into the
+    * index; the probe filters the stored postings to the query terms,
+    * derives df from that slice, and reads dl / corpus stats from the
+    * stored docs table. Scores are bit-identical to ext70 (same stored
+    * tf/dl values, same IEEE-exact rational formula), so ext70's oracle
+    * applies verbatim — and the plan contains ZERO tokenization stages
+    * (spec-pinned). */
+  val persistedBm25TopK: Q = (s, d) => {
+    val t = SearchIndex.ensure(s,
+      table(s, d, "documents").select(col("doc_id"), col("text")),
+      "docs_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val dl = s.table(t.docs)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = s.table(t.postings).filter(col("tok").isin(bm25Terms: _*))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("step", expr(bm25StepSql))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_terms"),
+        sum("step").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select("doc_id", "n_terms", "score")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext132_search_index_bm25" -> persistedBm25TopK,
     "ext70_bm25_topk" -> bm25TopK,
     "ext71_chunk_overlap" -> chunkOverlap,
     "ext72_hard_negatives" -> hardNegatives,
@@ -331,24 +361,30 @@ object Search {
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  private lazy val bm25OracleSql =
+    s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS tok FROM docs)
+       |  WHERE tok IN ('spark', 'merge', 'vector')
+       |  GROUP BY doc_id, tok),
+       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM($bm25StepSql) AS DOUBLE) AS score
+       |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "ext70_bm25_topk" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
-         |stats AS (
-         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
-         |    SELECT doc_id, unnest(toks) AS tok FROM docs)
-         |  WHERE tok IN ('spark', 'merge', 'vector')
-         |  GROUP BY doc_id, tok),
-         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
-         |SELECT doc_id, COUNT(*) AS n_terms,
-         |  CAST(SUM($bm25StepSql) AS DOUBLE) AS score
-         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
-         |GROUP BY doc_id
-         |ORDER BY score DESC, doc_id
-         |LIMIT 20""".stripMargin,
+    "ext70_bm25_topk" -> bm25OracleSql,
+    // ext132 probes the PERSISTED postings; stored tf/dl are per-doc
+    // functions identical to the in-query frames, so the same oracle
+    // applies verbatim
+    "ext132_search_index_bm25" -> bm25OracleSql,
     "ext71_chunk_overlap" ->
       s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id, CAST(i AS INT) AS chunk_idx,

@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED lexical index: the inverted postings of the BM25 demo
+  * (ext70) stored as `graft_cat` catalog tables with incremental append
+  * maintenance — the third persisted-index family alongside [[AnnIndex]]
+  * (vectors) and [[DedupIndex]] (near-dup signatures), closing the
+  * round-9 north-star theme for the retrieval path too.
+  *
+  * Like MinHash signatures (and unlike IVF centroids), postings rows
+  * and document lengths are pure PER-DOCUMENT functions, so incremental
+  * maintenance is EXACT: tokenizing only the delta and appending yields
+  * byte-identical state to a full rebuild. The corpus-level BM25 inputs
+  * (df, n_docs, sum_dl) are NOT stored — they are cheap aggregates over
+  * the stored tables computed at probe time, so they can never go stale.
+  *
+  * Layout (per index name):
+  *   - `graft_cat.db.search_<name>_postings` (doc_id BIGINT, tok STRING,
+  *     tf BIGINT) — the inverted index;
+  *   - `graft_cat.db.search_<name>_docs` (doc_id BIGINT, dl BIGINT) —
+  *     document lengths (every doc, including token-less ones: BM25's
+  *     N and avgdl count them);
+  *   - `graft_cat.db.search_<name>_meta` (k, n_docs, max_id) — the
+  *     corpus watermark ([[DedupIndex]]'s discipline: coverage cannot
+  *     be derived from postings — empty docs have no postings rows).
+  *
+  * The refresh publishes postings append + docs append + watermark in
+  * ONE THREE-TABLE transaction (SegTxn): a torn refresh can never leave
+  * dl rows without their postings (which would silently deflate tf) or
+  * advance the watermark past unindexed documents. A full rebuild
+  * writes meta LAST so a torn build self-heals into a rebuild.
+  *
+  * At 100 TB: the tokenize+explode pass over raw text is the dominant
+  * cost of every lexical query; storing postings moves it to ingest,
+  * and the per-query cost becomes a probe of the query terms' postings
+  * (plus two metadata-scale aggregates). The production layout would
+  * z-order postings by `tok` so the term filter prunes segments via the
+  * string-prefix zone maps; the fixture keeps insertion order.
+  */
+object SearchIndex {
+
+  val builds = new java.util.concurrent.atomic.AtomicLong(0)
+  val refreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  final case class Tables(postings: String, docs: String, meta: String)
+
+  /** Token frame shared with ext70: lowered, whitespace-split, empties
+    * dropped. */
+  private val toksExpr = "filter(split(lower(text), ' '), t -> t <> '')"
+
+  /** Per-document index rows — (postings, dl) — bit-identical to
+    * ext70's in-query tf/dl construction. */
+  private[graft] def postingsOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"), expr(toksExpr).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    (tf, dl)
+  }
+
+  /** Ensure the named index covers `docs` (doc_id BIGINT, text STRING):
+    * covered → no-op; append-only growth → tokenize ONLY the delta,
+    * publish all three tables in one txn; anything else → rebuild. */
+  def ensure(s: SparkSession, docs: DataFrame, name: String): Tables =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      val t = Tables(s"graft_cat.db.search_${name}_postings",
+        s"graft_cat.db.search_${name}_docs",
+        s"graft_cat.db.search_${name}_meta")
+
+      val stored: Option[(Long, Long)] =
+        try {
+          val r = s.table(t.meta).select("n_docs", "max_id").head
+          Some((r.getLong(0), r.getLong(1)))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: NoSuchElementException => None
+        }
+      val bodiesExist =
+        try { s.table(t.postings).schema; s.table(t.docs).schema; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+      (stored, bodiesExist) match {
+        case (Some((storedN, storedMax)), true) if storedN > 0 =>
+          val cs = docs.agg(count(lit(1)), max(col("doc_id")),
+            count(when(col("doc_id") <= lit(storedMax), 1))).head
+          val (cnt, mx, prefixCnt) = (cs.getLong(0),
+            if (cs.isNullAt(1)) -1L else cs.getLong(1), cs.getLong(2))
+          if (cnt == storedN && mx == storedMax) t // covered — no-op
+          else if (mx > storedMax && prefixCnt == storedN) {
+            val (tf, dl) = postingsOf(docs.filter(col("doc_id") > lit(storedMax)))
+            val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+            val (tfV, dlV) = (s"graft_srch_tf_$uid", s"graft_srch_dl_$uid")
+            tf.createOrReplaceTempView(tfV)
+            dl.createOrReplaceTempView(dlV)
+            try inTxn(s) {
+              s.sql(s"INSERT INTO ${t.postings} SELECT * FROM $tfV")
+              s.sql(s"INSERT INTO ${t.docs} SELECT * FROM $dlV")
+              s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST(0 AS BIGINT), " +
+                s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+            } finally {
+              s.catalog.dropTempView(tfV); s.catalog.dropTempView(dlV)
+            }
+            refreshes.incrementAndGet()
+            t
+          } else build(s, docs, t)
+        case _ => build(s, docs, t)
+      }
+    }
+
+  private def build(s: SparkSession, docs: DataFrame, t: Tables): Tables = {
+    val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
+    val (cnt, mx) = (cs.getLong(0),
+      if (cs.isNullAt(1)) -1L else cs.getLong(1))
+    val (tf, dl) = postingsOf(docs)
+    tf.writeTo(t.postings).createOrReplace()
+    dl.writeTo(t.docs).createOrReplace()
+    s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
+    s.sql(s"CREATE TABLE ${t.meta} (k BIGINT, n_docs BIGINT, max_id BIGINT)")
+    s.sql(s"INSERT INTO ${t.meta} SELECT CAST(0 AS BIGINT), " +
+      s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+    builds.incrementAndGet()
+    t
+  }
+
+  private def inTxn(s: SparkSession)(body: => Unit): Unit = {
+    s.sql("CALL graft_cat.system.txn_begin()").collect()
+    try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
+    catch {
+      case t: Throwable =>
+        try s.sql("CALL graft_cat.system.txn_abort()").collect()
+        catch { case s2: Throwable => t.addSuppressed(s2) }
+        throw t
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The persisted lexical postings index ([[graft.ext.SearchIndex]]):
+  * build-once amortization, tokenization-free probe plans, and the
+  * exact incremental-maintenance property (postings and dl are per-doc
+  * functions, so refresh ≡ rebuild byte-for-byte).
+  */
+class SearchIndexSpec extends SparkTestBase {
+
+  import graft.ext.SearchIndex
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def docs =
+    spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+
+  test("stored postings answer BM25 identically to ext70; probe tokenizes nothing") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val key = "docs_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    for (suffix <- Seq("postings", "docs", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.search_${key}_$suffix")
+    val b0 = SearchIndex.builds.get()
+
+    val r1 = ext.Search.persistedBm25TopK(spark, d)
+    val rows1 = r1.collect()
+    assert(rows1.nonEmpty)
+    assert(SearchIndex.builds.get() === b0 + 1)
+
+    // identical scores to the in-query construction
+    val inQuery = ext.Search.bm25TopK(spark, d).collect()
+    assert(rows1.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq,
+      "persisted-postings BM25 diverged from the in-query scores")
+
+    // second run: no rebuild/refresh; the plan reads stored postings and
+    // contains no tokenization (explode over split text)
+    val rf0 = SearchIndex.refreshes.get()
+    val r2 = ext.Search.persistedBm25TopK(spark, d)
+    assert(r2.collect().map(_.toSeq).toSeq === rows1.map(_.toSeq).toSeq)
+    assert(SearchIndex.builds.get() === b0 + 1, "second run re-built the index")
+    assert(SearchIndex.refreshes.get() === rf0)
+    val plan = r2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("explode"),
+      "probe plan contains a tokenization stage:\n" + plan)
+    assert(plan.contains(s"search_${key}_postings"),
+      "probe plan does not scan the persisted postings:\n" + plan)
+  }
+
+  test("append-only growth tokenizes only the delta; incremental == rebuild") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    for (suffix <- Seq("postings", "docs", "meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.search_spec_six_$suffix")
+    val b0 = SearchIndex.builds.get()
+    val rf0 = SearchIndex.refreshes.get()
+
+    val t = SearchIndex.ensure(spark, docs.filter(col("doc_id") < 400), "spec_six")
+    assert(SearchIndex.builds.get() === b0 + 1)
+
+    // covered: no-op
+    SearchIndex.ensure(spark, docs.filter(col("doc_id") < 400), "spec_six")
+    assert(SearchIndex.builds.get() === b0 + 1)
+    assert(SearchIndex.refreshes.get() === rf0)
+
+    // append: the three tables advance atomically and the result equals
+    // a from-scratch tokenization of the full corpus
+    SearchIndex.ensure(spark, docs, "spec_six")
+    assert(SearchIndex.builds.get() === b0 + 1, "append triggered a full rebuild")
+    assert(SearchIndex.refreshes.get() === rf0 + 1)
+    val (tfFresh, dlFresh) = SearchIndex.postingsOf(docs)
+    assert(spark.table(t.postings).orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq
+      === tfFresh.orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq,
+      "incremental postings diverged from a full rebuild")
+    assert(spark.table(t.docs).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === dlFresh.orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "incremental dl diverged from a full rebuild")
+    val m = spark.table(t.meta).select("n_docs", "max_id").head
+    assert((m.getLong(0), m.getLong(1)) === (500L, 499L))
+
+    // non-append change: rebuild
+    SearchIndex.ensure(spark, docs.filter(col("doc_id") < 100), "spec_six")
+    assert(SearchIndex.builds.get() === b0 + 2,
+      "a shrunk corpus must force a full rebuild, not a refresh")
+  }
+}
