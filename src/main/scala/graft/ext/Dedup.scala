@@ -130,12 +130,20 @@ object Dedup {
     // both directions: containment of the SMALLER shingle set in the pair
     // is the signal; emit each direction explicitly so the consumer can
     // pick per-direction thresholds
-    sized.select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
-        col("inter"), col("n_a").as("n_src"),
-        (col("inter").cast("double") / col("n_a")).as("containment"))
-      .unionByName(sized.select(col("b_id").as("src_id"), col("a_id").as("dst_id"),
-        col("inter"), col("n_b").as("n_src"),
-        (col("inter").cast("double") / col("n_b")).as("containment")))
+    // symmetrized ROW-LOCALLY (explode of a 2-struct array, not a union
+    // of two selects): `sized` embeds the expensive shingle self-join
+    // and is not cached, so a union would evaluate that subplan TWICE —
+    // the explode emits both directions from one pass
+    sized.select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          col("inter"), col("n_a").as("n_src"),
+          (col("inter").cast("double") / col("n_a")).as("containment")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          col("inter"), col("n_b").as("n_src"),
+          (col("inter").cast("double") / col("n_b")).as("containment")))).as("e"))
+      .select(col("e.src_id").as("src_id"), col("e.dst_id").as("dst_id"),
+        col("e.inter").as("inter"), col("e.n_src").as("n_src"),
+        col("e.containment").as("containment"))
       .orderBy(col("containment").desc, col("src_id"), col("dst_id"))
       .limit(20)
   }
@@ -513,8 +521,12 @@ object Dedup {
     // partition. (repartition, not coalesce — coalesce would propagate the
     // narrow width UP into the pair build and serialize it.) The post-cut
     // graph is ≤ 2×top-20 rows; at 100 TB size this to the edge count.
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // both directions from ONE evaluation of the pair pipeline (explode,
+    // not union — `pairs` is uncached and a union runs it twice)
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(4)
       .persist()
     edges.count() // materialize the WIDE pair pipeline at full parallelism
@@ -542,16 +554,23 @@ object Dedup {
   val dedupComponentsCapped: Q = (s, d) => {
     val pairs = ngramJaccard(table(s, d, "documents"), dfCap = Some(8))
       .select(col("a_id"), col("b_id"), col("jaccard"))
-    val sym = pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"), col("jaccard"))
-      .union(pairs
-        .select(col("b_id").as("src"), col("a_id").as("dst"), col("jaccard")))
+    // row-local symmetrization (explode, not union): the capped-index
+    // pair pipeline is the expensive subplan and is uncached — a union
+    // of two selects over it evaluates it twice, and the second union
+    // below would square that to four pair-pipeline runs per query
+    val sym = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst"), col("jaccard")),
+        struct(col("b_id").as("src"), col("a_id").as("dst"), col("jaccard")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.jaccard").as("jaccard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("jaccard").desc, col("dst"))
     val kept = sym.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 4).select("src", "dst")
-    val edges = kept
-      .union(kept.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = kept.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .repartition(4)
       .persist()
