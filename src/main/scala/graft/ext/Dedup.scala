@@ -225,7 +225,14 @@ object Dedup {
     val t = DedupIndex.ensure(s,
       table(s, d, "documents").select(col("doc_id"), col("text")),
       "docs_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
-    val sig = s.table(t.sigs)
+    lshOverSig(s.table(t.sigs))
+  }
+
+  /** ext03's band→bucket→verify chain over a signature frame — shared by
+    * ext130 (batch-maintained index) and ext133 (stream-maintained
+    * index): bands derive row-locally, verification compares stored
+    * h-columns, zero hashing anywhere. */
+  private[graft] def lshOverSig(sig: DataFrame): DataFrame = {
     val bands = bandsOf(sig)
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
@@ -785,7 +792,7 @@ object Dedup {
        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $cap) r
        |    USING (sh))""".stripMargin
 
-  private lazy val minhashLshOracleSql =
+  private[graft] lazy val minhashLshOracleSql =
     s"""WITH $shinglesSql,
        |sig AS (
        |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h

@@ -1151,7 +1151,12 @@ class SegTable private (ident: String, dir: Path,
     * is borrowed vs owned" is one GROUP BY away. */
   private[sources] def metadataTable(kind: String): Table = {
     import org.apache.spark.unsafe.types.UTF8String
-    val vs = versions
+    // metadata tables capture the manifest at LOAD time — refresh first
+    // so a handle cached by another catalog instance reports the current
+    // committed history (same read-freshness rule as newScanBuilder)
+    val vs = synchronized {
+      versions = SegStore.readVersions(dir, log); versions
+    }
     kind match {
       case "versions" =>
         val schema = StructType(Seq(
@@ -1639,10 +1644,20 @@ class SegTable private (ident: String, dir: Path,
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Iceberg-style read freshness: resolve the CURRENT committed head at
+    // scan-planning time. Writers already re-read under their locks, so
+    // a table handle is fresh in the SESSION THAT WRITES — but a handle
+    // cached by another catalog instance (a stream's cloned session
+    // running foreachBatch, a second SparkSession in the JVM) would
+    // otherwise pin every read to whatever version it first loaded.
+    // One small-file manifest read per planned scan; pinned time-travel
+    // handles ([[versionAt]]) are separate objects and stay pinned.
+    synchronized { versions = SegStore.readVersions(dir, log) }
     new SegScanBuilder(ident, dir, cur,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt), log,
       Option(options.get("startingVersion")))
+  }
 
   /** The streaming change feed as an Iceberg-style `.changes` metadata
     * table (`spark.readStream.table("cat.db.t.changes")`): schema = data

@@ -633,6 +633,56 @@ object Streams {
       .orderBy("band")
   }
 
+  /** ext133 — STREAMING MAINTENANCE OF A PERSISTED INDEX: the segment
+    * stream over a catalog docs table drives [[graft.ext.DedupIndex]]
+    * maintenance from `foreachBatch` — the micro-batch is the
+    * NOTIFICATION, and `ensure()` reads the table's current snapshot
+    * and signs only the uncovered suffix (its corpus watermark makes
+    * the reaction IDEMPOTENT: a replayed or empty batch finds the
+    * corpus covered and does nothing, so exactly-once delivery is not
+    * required for index correctness — the watermark, published
+    * atomically with the signatures, is the dedup). The query seeds the
+    * table with the first 400 docs, streams the index build, appends
+    * the rest mid-flight, and the final LSH probe over the
+    * STREAM-MAINTAINED signatures must hash-match ext03's oracle over
+    * the full corpus — proving ingest-driven maintenance converges to
+    * exactly the batch-built index.
+    *
+    * At 100 TB this is the operating mode the persisted-index story
+    * needs: the expensive signing pass runs once per ingest batch
+    * (cost ∝ batch) inside the ingestion stream, and every dedup run
+    * probes an index that is as fresh as the last commit. */
+  val streamIndexMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.six_docs")
+    s.sql("CREATE TABLE graft_cat.db.six_docs (doc_id BIGINT, text STRING)")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_stream_six_sigs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_stream_six_meta")
+    val docs = graft.ops.table(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 400).writeTo("graft_cat.db.six_docs").append()
+    withStreamShuffle(s) {
+      val query = s.readStream.table("graft_cat.db.six_docs")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the micro-batch runs on a cloned session: re-register the
+          // catalog there before resolving catalog identifiers
+          val bs = batch.sparkSession
+          graft.ops.ensureGraftCatalog(bs)
+          graft.ext.DedupIndex.ensure(bs,
+            bs.table("graft_cat.db.six_docs"), "stream_six")
+          ()
+        }.start()
+      try {
+        query.processAllAvailable()
+        docs.filter(col("doc_id") >= 400)
+          .writeTo("graft_cat.db.six_docs").append()
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    graft.ext.Dedup.lshOverSig(s.table("graft_cat.db.dedup_stream_six_sigs"))
+  }
+
   /** ext103 — admission-controlled catalog streaming: the ext92 source
     * with `maxSegmentsPerTrigger`, the backpressure half of a lakehouse
     * streaming read. Four committed versions (4 segments each) are
@@ -1661,6 +1711,7 @@ object Streams {
     "ext89_stream_initial_state" -> transformWithInitialState,
     "ext90_stream_chained_aggs" -> chainedWindowAggs,
     "ext92_stream_catalog_source" -> streamCatalogSource,
+    "ext133_stream_index_maintenance" -> streamIndexMaintenance,
     "ext103_stream_rate_limit" -> streamRateLimit,
     "ext107_stream_quarantine" -> streamQuarantine,
     "ext114_stream_wap_branch" -> streamWapBranch)
@@ -1682,6 +1733,9 @@ object Streams {
       |ORDER BY user_id, event_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the stream-maintained index must converge to exactly the
+    // batch-built one, so ext03's oracle over the full corpus applies
+    "ext133_stream_index_maintenance" -> graft.ext.Dedup.minhashLshOracleSql,
     // emission 1 = lower event-time half, emission 2 = cumulative all —
     // the second exceeding the first is the state-persistence claim
     "ext100_stream_bitmap_distinct" ->

@@ -87,6 +87,27 @@ class DedupIndexSpec extends SparkTestBase {
       "a shrunk corpus must force a full rebuild, not a refresh")
   }
 
+  test("stream-maintained index: one build + one refresh, converges to ext03") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = DedupIndex.builds.get()
+    val rf0 = DedupIndex.refreshes.get()
+    // the entry seeds 400 docs (first trigger -> BUILD), appends 100
+    // mid-stream (second trigger -> exact incremental REFRESH), and any
+    // further empty trigger finds the corpus covered (no-op)
+    val rows = streaming.Streams.queries("ext133_stream_index_maintenance")(spark, d)
+      .collect()
+    assert(DedupIndex.builds.get() === b0 + 1,
+      "streaming maintenance should build exactly once (the seed batch)")
+    assert(DedupIndex.refreshes.get() === rf0 + 1,
+      "the mid-stream append should refresh incrementally, not rebuild")
+    // ...and the stream-maintained index answers exactly like the
+    // in-query ext03 pass over the same 500 docs
+    val inQuery = ext.Dedup.dedupMinhashLsh(spark, d).collect()
+    assert(rows.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq,
+      "stream-maintained index diverged from the batch construction")
+  }
+
   test("batch probe signs the batch only; corpus side reads stored signatures") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)

@@ -2252,4 +2252,36 @@ class SourcesSpec extends SparkTestBase {
         "a segment above the decode bound must not take the wholesale path")
     } finally spark.conf.unset(graft.sources.SegColumnar.MaxSegBytesKey)
   }
+
+  test("cross-session read freshness: a cached handle follows new commits") {
+    // a SECOND session state owns its own GraftCatalog instance — before
+    // the scan-time snapshot refresh, its cached SegTable pinned every
+    // read to the version it FIRST loaded, so commits from the writer
+    // session stayed invisible to it forever (the ext133 foreachBatch
+    // staleness). Reads must resolve the current committed head.
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.fresh_t")
+    spark.sql("CREATE TABLE graft_cat.db.fresh_t (id BIGINT)")
+    spark.sql("INSERT INTO graft_cat.db.fresh_t SELECT id FROM range(0, 10)")
+    val other = spark.newSession()
+    // CatalogManager resolves plugins through the thread-active SQLConf
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      other.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    try {
+      ops.ensureGraftCatalog(other)
+      assert(other.table("graft_cat.db.fresh_t").count() === 10L)
+      // commit from the FIRST session; the second session's cached
+      // handle must see it on its next planned scan
+      spark.sql("INSERT INTO graft_cat.db.fresh_t SELECT id FROM range(10, 25)")
+      assert(other.table("graft_cat.db.fresh_t").count() === 25L,
+        "second-session read pinned to a stale snapshot")
+      // and a row-level change (merge-on-read delete) is equally visible
+      spark.sql("ALTER TABLE graft_cat.db.fresh_t " +
+        "SET TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+      spark.sql("DELETE FROM graft_cat.db.fresh_t WHERE id < 5")
+      assert(other.table("graft_cat.db.fresh_t").count() === 20L,
+        "second-session read missed a merge-on-read delete")
+    } finally org.apache.spark.sql.classic.SparkSession.setActiveSession(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
 }
