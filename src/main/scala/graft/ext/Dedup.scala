@@ -285,6 +285,41 @@ object Dedup {
       .orderBy(col("n_match").desc, col("corpus_id"), col("batch_id"))
   }
 
+  /** ext134 — CDC-DRIVEN INDEX MAINTENANCE: the corpus is a catalog
+    * table that CHANGES IN PLACE (a right-to-erasure DELETE, then an
+    * in-place UPDATE of surviving docs), and the signature index follows
+    * via [[DedupIndex.ensureCdc]]: one change-feed slice between the
+    * covered version and the head retracts the changed docs' signatures
+    * (a deletion-vector append on the merge-on-read sigs table) and
+    * re-signs only the touched head images — cost ∝ changes, never the
+    * corpus. The append-only watermark of ext130/ext133 cannot cover
+    * either mutation (both would force a full rebuild); the version-
+    * keyed watermark + feed makes maintenance exact. The final LSH
+    * probe over the maintained signatures must hash-match the oracle
+    * recomputed over the post-delete post-update corpus.
+    *
+    * At 100 TB this closes the erasure story for derived artifacts:
+    * q155's pipeline erases the PRIMARY table; this entry shows the
+    * persisted index tier tracking it with feed-sized work instead of a
+    * corpus-wide re-shingle. */
+  val cdcIndexMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_idx_docs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_cdc_idx_sigs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_cdc_idx_meta")
+    s.sql("CREATE TABLE graft_cat.db.cdc_idx_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    table(s, d, "documents").select(col("doc_id"), col("text"))
+      .writeTo("graft_cat.db.cdc_idx_docs").append()
+    DedupIndex.ensureCdc(s, "graft_cat.db.cdc_idx_docs", "cdc_idx") // build
+    s.sql("DELETE FROM graft_cat.db.cdc_idx_docs WHERE doc_id % 7 = 0")
+    s.sql("UPDATE graft_cat.db.cdc_idx_docs " +
+      "SET text = concat(text, ' graft cdc rev') WHERE doc_id % 11 = 3")
+    // ONE feed slice spans both commits
+    val t = DedupIndex.ensureCdc(s, "graft_cat.db.cdc_idx_docs", "cdc_idx")
+    lshOverSig(s.table(t.sigs))
+  }
+
   /** ext106 — LSH candidate recall against the exact ground truth: every
     * exact n-gram-Jaccard pair (ext02's machinery, un-truncated) is
     * checked for membership in ext03's band-bucket candidate set, and
@@ -710,6 +745,7 @@ object Dedup {
     "ext03_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ext130_dedup_index_lsh" -> dedupIndexLsh,
     "ext131_dedup_index_batch" -> dedupIndexBatchProbe,
+    "ext134_cdc_index_maintenance" -> cdcIndexMaintenance,
     "ext106_lsh_recall_eval" -> lshRecallEval,
     "ext04_dedup_simhash" -> dedupSimhash,
     "ext05_dedup_embedding" -> dedupEmbedding,
@@ -740,12 +776,16 @@ object Dedup {
        |  UNION
        |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id)""".stripMargin
 
-  private val shinglesSql =
-    """tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-      |                 for i in range(1, len(toks)-1)]) AS sh
-      |       FROM tok WHERE len(toks) >= 3)""".stripMargin
+  /** The 3-token shingle CTE chain over any (doc_id, text) relation —
+    * ext134 re-bases it on a CDC-mutated corpus. */
+  private def shinglesSqlFrom(base: String) =
+    s"""tok AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM $base),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |                 for i in range(1, len(toks)-1)]) AS sh
+       |       FROM tok WHERE len(toks) >= 3)""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   /** The ext38b component chain: pair generation on the df-capped index,
     * then a per-node top-`deg` strongest-edge cut (row_number by jaccard
@@ -792,9 +832,11 @@ object Dedup {
        |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $cap) r
        |    USING (sh))""".stripMargin
 
-  private[graft] lazy val minhashLshOracleSql =
-    s"""WITH $shinglesSql,
-       |sig AS (
+  /** ext03's sig→band→candidate→verify oracle body — everything after
+    * the shingle CTEs, base-relation-agnostic (shared with ext134's
+    * CDC-mutated corpus). */
+  private val minhashLshBodySql =
+    """sig AS (
        |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
        |  FROM sh, range(16) r(j) GROUP BY doc_id, j),
        |bands AS (
@@ -815,6 +857,10 @@ object Dedup {
        |SELECT a_id, b_id, n_match, CAST(n_match AS DOUBLE) / 16 AS est_jaccard
        |FROM m WHERE n_match >= 8
        |ORDER BY n_match DESC, a_id, b_id""".stripMargin
+
+  private[graft] lazy val minhashLshOracleSql =
+    s"""WITH $shinglesSql,
+       |$minhashLshBodySql""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // true components via recursive CTE over the same top-20 pair edges;
@@ -987,6 +1033,16 @@ object Dedup {
     // bit-identical to ext03's in-query construction, so the same
     // oracle applies verbatim
     "ext130_dedup_index_lsh" -> minhashLshOracleSql,
+    // ext134 = ext03's chain over the POST-DELETE POST-UPDATE corpus:
+    // matching it proves the CDC-maintained index equals a rebuild
+    "ext134_cdc_index_maintenance" ->
+      s"""WITH documents_cdc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 3 THEN text || ' graft cdc rev'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |${shinglesSqlFrom("documents_cdc")},
+         |$minhashLshBodySql""".stripMargin,
     // ext131 = the corpus x batch split over the same signatures: the
     // oracle signs everything (per-doc signatures are split-invariant)
     // and restricts candidates to corpus-side < 400 <= batch-side

@@ -107,6 +107,118 @@ object DedupIndex {
       }
     }
 
+  // ------------------------------------------------- CDC maintenance
+
+  /** CDC-applied refreshes — specs pin "deletes were maintained without
+    * a rebuild" through this. */
+  val cdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Version-keyed maintenance over a CATALOG-table corpus: where
+    * [[ensure]]'s count/max watermark can only prove append-only growth
+    * (any delete or in-place update forces a full rebuild), this
+    * variant keys coverage on the table's committed VERSION and applies
+    * the change feed between the covered version and the head —
+    * retract the signatures of every changed doc_id, re-sign the
+    * surviving head images, advance the watermark. Because a MinHash
+    * signature is a pure per-document function, CDC maintenance is
+    * EXACT: the maintained index is row-identical to a rebuild over the
+    * head snapshot (spec-pinned).
+    *
+    * Meta layout here is `(version BIGINT, n_docs BIGINT, max_id
+    * BIGINT)` — coverage IS the version; counts are diagnostics.
+    *
+    * Crash/atomicity discipline: the retraction DELETE publishes
+    * immediately (row-level ops never stage into [[graft.sources.SegTxn]];
+    * on the merge-on-read sigs table it is a deletion-vector append,
+    * cost ∝ changes), the re-sign INSERT and the meta advance publish
+    * in ONE cross-table txn. A crash between the two leaves meta at the
+    * old version, and the re-run replays the same feed slice: the
+    * DELETE is a no-op on already-retracted rows and the txn lands the
+    * insert+advance together — convergent without exactly-once.
+    *
+    * At 100 TB this is the erasure-compliance path for the index tier:
+    * a right-to-erasure DELETE on the corpus (q155's pipeline) reaches
+    * the derived signature artifact as feed-sized work — 16 md5 columns
+    * per CHANGED doc — instead of a corpus-wide re-shingle. */
+  def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
+        s"graft_cat.db.dedup_${name}_meta")
+      val headV = s.table(s"$corpusTable.versions")
+        .agg(max(col("v"))).head.getLong(0)
+      val stored: Option[Long] =
+        try Some(s.table(t.meta).select("version").head.getLong(0))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: NoSuchElementException => None
+        }
+      stored match {
+        case Some(v0) if v0 >= headV => t // covered — no-op
+        case Some(v0) =>
+          // the feed refuses slices it cannot attribute row-exactly
+          // (e.g. a vector shrink) — fall back to a full rebuild then
+          try { applyCdc(s, corpusTable, t, v0, headV); t }
+          catch {
+            case _: UnsupportedOperationException =>
+              buildCdc(s, corpusTable, t, headV)
+          }
+        case None => buildCdc(s, corpusTable, t, headV)
+      }
+    }
+
+  private def applyCdc(s: SparkSession, corpusTable: String, t: Tables,
+      v0: Long, headV: Long): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tv = s"graft_cdc_touched_$suffix"
+    val rv = s"graft_cdc_resigned_$suffix"
+    s.sql(s"SELECT DISTINCT doc_id FROM $corpusTable " +
+        s"VERSION AS OF 'cdf:$v0..$headV'")
+      .createOrReplaceTempView(tv)
+    try {
+      // 1. retract every changed doc's signature — idempotent replay
+      s.sql(s"DELETE FROM ${t.sigs} WHERE doc_id IN (SELECT doc_id FROM $tv)")
+      // 2. re-sign the surviving HEAD images of the touched docs and
+      //    advance the watermark — one atomic cross-table publish
+      val head = s.table(corpusTable).select(col("doc_id"), col("text"))
+      signatures(head.join(s.table(tv), Seq("doc_id"), "left_semi"))
+        .createOrReplaceTempView(rv)
+      val cs = head.agg(count(lit(1)), max(col("doc_id"))).head
+      val (cnt, mx) = (cs.getLong(0),
+        if (cs.isNullAt(1)) -1L else cs.getLong(1))
+      inTxn(s) {
+        s.sql(s"INSERT INTO ${t.sigs} SELECT * FROM $rv")
+        s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST($headV AS BIGINT), " +
+          s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+      }
+      cdcRefreshes.incrementAndGet()
+    } finally {
+      s.catalog.dropTempView(tv)
+      s.catalog.dropTempView(rv)
+    }
+  }
+
+  private def buildCdc(s: SparkSession, corpusTable: String, t: Tables,
+      headV: Long): Tables = {
+    val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
+    val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
+    val (cnt, mx) = (cs.getLong(0),
+      if (cs.isNullAt(1)) -1L else cs.getLong(1))
+    signatures(docs).writeTo(t.sigs).createOrReplace()
+    // retractions must be deletion-vector appends, not segment rewrites
+    s.sql(s"ALTER TABLE ${t.sigs} SET TBLPROPERTIES " +
+      "('graft.dml.mode'='merge-on-read')")
+    // meta LAST: a crash above leaves meta ≠ version → next ensure rebuilds
+    s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
+    s.sql(s"CREATE TABLE ${t.meta} " +
+      "(version BIGINT, n_docs BIGINT, max_id BIGINT)")
+    s.sql(s"INSERT INTO ${t.meta} SELECT CAST($headV AS BIGINT), " +
+      s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+    builds.incrementAndGet()
+    t
+  }
+
   private def build(s: SparkSession, docs: DataFrame, t: Tables): Tables = {
     val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val (cnt, mx) = (cs.getLong(0),

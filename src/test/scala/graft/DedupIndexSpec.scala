@@ -108,6 +108,49 @@ class DedupIndexSpec extends SparkTestBase {
       "stream-maintained index diverged from the batch construction")
   }
 
+  test("CDC maintenance: deletes/updates apply as one feed slice; result == rebuild") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = DedupIndex.builds.get()
+    val c0 = DedupIndex.cdcRefreshes.get()
+    // the entry: full build at the seeded version, then DELETE + UPDATE
+    // commits covered by ONE ensureCdc call
+    val rows = ext.Dedup.cdcIndexMaintenance(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(DedupIndex.builds.get() === b0 + 1,
+      "CDC maintenance should build exactly once (the seed)")
+    assert(DedupIndex.cdcRefreshes.get() === c0 + 1,
+      "the delete+update slice should apply via the feed, not a rebuild")
+
+    // the maintained signature table is row-identical to signing the
+    // head corpus from scratch — CDC maintenance is EXACT
+    val maintained = spark.table("graft_cat.db.dedup_cdc_idx_sigs")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val fresh = DedupIndex.signatures(
+        spark.table("graft_cat.db.cdc_idx_docs").select("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(maintained.toSeq === fresh.toSeq,
+      "CDC-maintained signatures diverged from a rebuild over the head")
+    // no doc divisible by 7 survived in the index
+    assert(maintained.forall(r => r.head.asInstanceOf[Long] % 7 != 0))
+
+    // covered head: pure no-op (version watermark matches)
+    DedupIndex.ensureCdc(spark, "graft_cat.db.cdc_idx_docs", "cdc_idx")
+    assert(DedupIndex.builds.get() === b0 + 1)
+    assert(DedupIndex.cdcRefreshes.get() === c0 + 1)
+
+    // the retraction was a merge-on-read deletion-vector append on the
+    // sigs table (op='delete'), never a copy-on-write segment rewrite
+    // (op='rewrite') — cost ∝ changes at 100 TB
+    val ops_ = spark.sql(
+      "SELECT operation FROM graft_cat.db.dedup_cdc_idx_sigs.versions")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops_.contains("delete"),
+      s"no merge-on-read retraction in sig history: $ops_")
+    assert(!ops_.contains("rewrite"),
+      s"sig retraction went copy-on-write: $ops_")
+  }
+
   test("batch probe signs the batch only; corpus side reads stored signatures") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
