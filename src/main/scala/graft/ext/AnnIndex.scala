@@ -56,7 +56,7 @@ object AnnIndex {
     * `graft_sqdist` is the codegen'd fused loop with the same
     * left-to-right accumulation as the HOF fold (bit-identical to the
     * ext20 oracle's restatement). */
-  private def assign(vs: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assign(vs: DataFrame, cents: DataFrame): DataFrame =
     vs.crossJoin(broadcast(cents.groupBy()
         .agg(collect_list(struct(col("cid"), col("c"))).as("cents"))))
       .withColumn("cell",
@@ -110,6 +110,120 @@ object AnnIndex {
         case _ => build(s, corpus, t)
       }
     }
+
+  // ------------------------------------------------- CDC maintenance
+
+  /** CDC-applied refreshes — specs pin "deletes were maintained without
+    * a rebuild" through this. */
+  val cdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Version-keyed maintenance over a CATALOG-table corpus — the vector
+    * twin of [[DedupIndex.ensureCdc]]: [[ensure]]'s count/max watermark
+    * can only prove append-only growth (a deleted or re-embedded vector
+    * forces a full rebuild), so this variant keys coverage on the
+    * table's committed VERSION and applies the change feed between the
+    * covered version and the head — retract the changed vec_ids from
+    * the cells table (a deletion-vector append; the bucketed layout is
+    * untouched), re-assign the surviving head images against the STORED
+    * centroids, advance the watermark. The quantizer stays as built
+    * (the production IVF discipline — centroids retrain on rebuild, not
+    * per change), so the maintained cells table is row-identical to
+    * re-assigning the head corpus against the stored centroids
+    * (spec-pinned).
+    *
+    * Meta (CDC variant only): `graft_cat.db.ann_<name>_meta
+    * (version BIGINT)`. Crash discipline matches the dedup twin: the
+    * retraction publishes immediately and idempotently; the re-assign
+    * insert + watermark advance land in ONE cross-table txn, so a crash
+    * between the two replays the same slice and converges.
+    *
+    * At 100 TB this is the erasure path for the vector tier: deleting a
+    * user's embeddings (q155's pipeline on the primary) reaches the
+    * index as feed-sized work — one assignment per CHANGED vector —
+    * instead of a corpus-wide rebuild. */
+  def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      graft.functions.SquaredDistance.register(s)
+      val t = Tables(s"graft_cat.db.ann_${name}_cells",
+        s"graft_cat.db.ann_${name}_cents")
+      val meta = s"graft_cat.db.ann_${name}_meta"
+      val headV = s.table(s"$corpusTable.versions")
+        .agg(max(col("v"))).head.getLong(0)
+      val stored: Option[Long] =
+        try Some(s.table(meta).select("version").head.getLong(0))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: NoSuchElementException => None
+        }
+      stored match {
+        case Some(v0) if v0 >= headV => t // covered — no-op
+        case Some(v0) =>
+          try { applyCdc(s, corpusTable, t, meta, v0, headV); t }
+          catch {
+            case _: UnsupportedOperationException =>
+              buildCdc(s, corpusTable, t, meta, headV)
+          }
+        case None => buildCdc(s, corpusTable, t, meta, headV)
+      }
+    }
+
+  private def applyCdc(s: SparkSession, corpusTable: String, t: Tables,
+      meta: String, v0: Long, headV: Long): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tv = s"graft_ann_touched_$suffix"
+    val rv = s"graft_ann_reassigned_$suffix"
+    s.sql(s"SELECT DISTINCT vec_id FROM $corpusTable " +
+        s"VERSION AS OF 'cdf:$v0..$headV'")
+      .createOrReplaceTempView(tv)
+    try {
+      // 1. retract every changed vector's cell row — idempotent replay
+      s.sql(s"DELETE FROM ${t.cells} WHERE vec_id IN (SELECT vec_id FROM $tv)")
+      // 2. re-assign the surviving HEAD images against the STORED
+      //    quantizer and advance the watermark — one atomic publish
+      val head = s.table(corpusTable)
+        .select(col("vec_id"), col("v"), col("norm"))
+      assign(head.join(s.table(tv), Seq("vec_id"), "left_semi"),
+          s.table(t.cents))
+        .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+          col("v"), col("norm"))
+        .createOrReplaceTempView(rv)
+      inTxn(s) {
+        s.sql(s"INSERT INTO ${t.cells} SELECT * FROM $rv")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT)")
+      }
+      cdcRefreshes.incrementAndGet()
+    } finally {
+      s.catalog.dropTempView(tv)
+      s.catalog.dropTempView(rv)
+    }
+  }
+
+  private def buildCdc(s: SparkSession, corpusTable: String, t: Tables,
+      meta: String, headV: Long): Tables = {
+    build(s, s.table(corpusTable).select(col("vec_id"), col("v"),
+      col("norm")), t)
+    // retractions must be deletion-vector appends, not segment rewrites
+    s.sql(s"ALTER TABLE ${t.cells} SET TBLPROPERTIES " +
+      "('graft.dml.mode'='merge-on-read')")
+    // meta LAST: a crash above leaves meta ≠ version → next ensure rebuilds
+    s.sql(s"DROP TABLE IF EXISTS $meta")
+    s.sql(s"CREATE TABLE $meta (version BIGINT)")
+    s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT)")
+    t
+  }
+
+  private def inTxn(s: SparkSession)(body: => Unit): Unit = {
+    s.sql("CALL graft_cat.system.txn_begin()").collect()
+    try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
+    catch {
+      case t: Throwable =>
+        try s.sql("CALL graft_cat.system.txn_abort()").collect()
+        catch { case s2: Throwable => t.addSuppressed(s2) }
+        throw t
+    }
+  }
 
   // ---------------------------------------------------------------- PQ
 

@@ -609,8 +609,14 @@ object Similarity {
     * (and oracle) to ext20, but the plan is two catalog scans + the
     * probe join — the k-means build is amortized into the persisted
     * artifact. */
-  val persistedIvfTopK: Q = (s, d) => {
-    val t = persistedIndex(s, d)
+  val persistedIvfTopK: Q = (s, d) =>
+    probe1TopK(s, persistedIndex(s, d))
+
+  /** The probe-1 top-3 plan over a stored cells table — shared by ext126
+    * and ext135 (CDC-maintained index): two catalog scans + the
+    * cell-keyed probe join, zero k-means stages. */
+  private def probe1TopK(s: org.apache.spark.sql.SparkSession,
+      t: AnnIndex.Tables): DataFrame = {
     val a1 = s.table(t.cells)
     val queries = a1.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("cell"), col("v"), col("norm"))
@@ -629,6 +635,38 @@ object Similarity {
         col("rank").cast("int").as("rank"),
         col("n_id"), col("cosine"))
       .orderBy("q_id", "rank")
+  }
+
+  /** ext135 — CDC-DRIVEN MAINTENANCE OF THE ANN INDEX (the vector twin
+    * of ext134): the corpus table takes a right-to-erasure DELETE and an
+    * in-place re-embedding UPDATE (`v = reverse(v)` — deterministic and
+    * norm-invariant), and [[AnnIndex.ensureCdc]] follows via one
+    * change-feed slice: retract the changed vec_ids from the bucketed
+    * cells table (a deletion-vector append), re-assign only the touched
+    * head images against the STORED centroids. The final probe-1 top-3
+    * must hash-match the oracle that learns the quantizer from the
+    * ORIGINAL corpus and assigns the post-delete post-update corpus —
+    * exactly the production IVF discipline (centroids retrain on
+    * rebuild, not per change). Cost ∝ changes, never the corpus. */
+  val annCdcMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    graft.functions.CosineSimilarity.register(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_vecs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_vecs_cells")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_vecs_cents")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_vecs_meta")
+    s.sql("CREATE TABLE graft_cat.db.cdc_vecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>, norm DOUBLE) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    vecs(s, d).select(col("vec_id"), col("v"), col("norm"))
+      .writeTo("graft_cat.db.cdc_vecs").append()
+    AnnIndex.ensureCdc(s, "graft_cat.db.cdc_vecs", "cdc_vecs") // build
+    s.sql("DELETE FROM graft_cat.db.cdc_vecs WHERE vec_id % 9 = 0")
+    s.sql("UPDATE graft_cat.db.cdc_vecs SET v = reverse(v) " +
+      "WHERE vec_id % 11 = 4")
+    // ONE feed slice spans both commits
+    val t = AnnIndex.ensureCdc(s, "graft_cat.db.cdc_vecs", "cdc_vecs")
+    probe1TopK(s, t)
   }
 
   /** ext127 — probe-2 over the SAME stored index ext126 probes (the
@@ -701,6 +739,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "ext135_ann_cdc_maintenance" -> annCdcMaintenance,
     "ext126_ann_index_probe1" -> persistedIvfTopK,
     "ext127_ann_index_probe2" -> persistedIvfProbe2,
     "ext129_ann_index_pq_adc" -> persistedPqAdc,
@@ -726,8 +765,13 @@ object Similarity {
   /** The k-means-lite build CTEs (seed assign → Lloyd update → re-assign),
     * shared by the ext20 and ext37 oracles — the SQL restatement of
     * [[kmeansBuild]]. */
-  private lazy val kmeansCtesSql =
-    s"""$vSql,
+  /** `extra` injects additional CTEs after `v` (ext135 defines the
+    * post-CDC corpus `vf` there); `a1Base` is the relation the FINAL
+    * re-assignment runs over — the quantizer (seeds→Lloyd→cents) always
+    * learns from the ORIGINAL `v`, matching the stored-index discipline
+    * (centroids retrain on rebuild, not per change). */
+  private def kmeansCtesFrom(a1Base: String, extra: String = "") =
+    s"""$vSql,$extra
        |seeds AS (
        |  SELECT CAST(vec_id // 64 AS INT) AS cid, v AS c FROM v WHERE vec_id % 64 = 0),
        |a0 AS (
@@ -750,7 +794,9 @@ object Similarity {
        |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
        |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
        |        s.cid) AS rk
-       |    FROM v x CROSS JOIN cents s) WHERE rk = 1)""".stripMargin
+       |    FROM $a1Base x CROSS JOIN cents s) WHERE rk = 1)""".stripMargin
+
+  private lazy val kmeansCtesSql = kmeansCtesFrom("v")
 
   private val bruteForceOracle =
       s"""WITH $vSql,
@@ -819,8 +865,10 @@ object Similarity {
        |QUALIFY row_number() OVER w <= 3
        |ORDER BY q_id, rank""".stripMargin
 
-  private lazy val ivfProbe1OracleSql =
-    s"""WITH $kmeansCtesSql,
+  /** Probe-1 top-3 over the a1 assignment — shared by ext20/ext126
+    * (fresh corpus) and ext135 (CDC-mutated corpus). */
+  private def probe1OracleSqlWith(ctes: String) =
+    s"""WITH $ctes,
        |scored AS (
        |  SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS n_id,
        |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
@@ -833,6 +881,8 @@ object Similarity {
        |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
        |QUALIFY row_number() OVER w <= 3
        |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val ivfProbe1OracleSql = probe1OracleSqlWith(kmeansCtesSql)
 
   private lazy val ivfProbe2OracleSql =
     s"""WITH $kmeansCtesSql,
@@ -1025,6 +1075,21 @@ object Similarity {
     // ext126 probes the PERSISTED index; a fresh build is bit-identical
     // to the in-query k-means, so the probe-1 oracle applies verbatim
     "ext126_ann_index_probe1" -> ivfProbe1OracleSql,
+    // ext135 = probe-1 after CDC maintenance: the quantizer learns from
+    // the ORIGINAL corpus (v), the assignment covers the POST-DELETE
+    // POST-UPDATE corpus (vf) — matching it proves the feed-maintained
+    // cells table equals re-assigning the head against stored centroids
+    // (norm recomputed over the POST-UPDATE array: graft_cosine folds
+    // components in stored order, so a reversed vector's norm differs
+    // from the original-order fold by 1 ULP)
+    "ext135_ann_cdc_maintenance" -> probe1OracleSqlWith(
+      kmeansCtesFrom("vf", extra = """
+        |vf AS (
+        |  SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS norm
+        |  FROM (
+        |    SELECT vec_id,
+        |      CASE WHEN vec_id % 11 = 4 THEN list_reverse(v) ELSE v END AS v
+        |    FROM v WHERE vec_id % 9 <> 0)),""".stripMargin)),
     // probe-2: each query ranks the learned centroids and scans its TWO
     // nearest cells (rk <= 2); candidate sets are disjoint because each
     // corpus vector lives in exactly one cell

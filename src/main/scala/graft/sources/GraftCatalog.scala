@@ -3120,9 +3120,15 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
 
   /** Runtime (DPP-style) filtering on the partition column: join-key
     * values arrive as an IN predicate before split planning; segments
-    * whose partition value can't match are never planned. */
+    * whose partition value can't match are never planned. Only offered
+    * when the partition column is in THIS scan's (pruned) output —
+    * Spark's PartitionPruning resolves these refs against the scan
+    * relation, and a row-level-operation scan reads only rowId +
+    * condition columns ("Unable to resolve <col>" otherwise). */
   override def filterAttributes(): Array[NamedReference] =
-    ver.partSpec.map(_.col).toArray.map(Expressions.column)
+    ver.partSpec.map(_.col).toArray
+      .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(Expressions.column)
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val fns = predicates.flatMap(p =>
@@ -3185,7 +3191,12 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
   override def outputPartitioning(): Partitioning = {
     val keys = segs.map(segKey)
     ver.partSpec match {
-      case Some(p) if segs.nonEmpty && keys.forall(_.isDefined) =>
+      case Some(p) if segs.nonEmpty && keys.forall(_.isDefined) &&
+          // the transform must resolve against THIS scan's (pruned)
+          // output — a row-level-operation scan reads only rowId +
+          // condition columns, and reporting a partitioning over an
+          // absent column fails analysis ("Unable to resolve <col>")
+          required.fieldNames.exists(_.equalsIgnoreCase(p.col)) =>
         val transform = p match {
           case IdentityPart(c) => Expressions.identity(c)
           case DaysPart(c) => Expressions.days(c)

@@ -243,6 +243,47 @@ class AnnIndexSpec extends SparkTestBase {
     }
   }
 
+  test("CDC maintenance: delete+update apply as one feed slice; cells == re-assign") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val d = "/root/testdata/sf0.001"
+    val b0 = AnnIndex.builds.get()
+    val c0 = AnnIndex.cdcRefreshes.get()
+    val rows = ext.Similarity.queries("ext135_ann_cdc_maintenance")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(AnnIndex.builds.get() === b0 + 1,
+      "CDC maintenance should build exactly once (the seed)")
+    assert(AnnIndex.cdcRefreshes.get() === c0 + 1,
+      "the delete+update slice should apply via the feed, not a rebuild")
+
+    // the maintained cells table is row-identical to assigning the HEAD
+    // corpus against the STORED centroids — the production IVF contract
+    val maintained = spark.table("graft_cat.db.ann_cdc_vecs_cells")
+      .select("vec_id", "cell").orderBy("vec_id").collect().map(_.toSeq)
+    val fresh = ext.AnnIndex.assign(
+        spark.table("graft_cat.db.cdc_vecs"),
+        spark.table("graft_cat.db.ann_cdc_vecs_cents"))
+      .select(col("vec_id"), col("cell").cast("bigint"))
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(maintained.toSeq === fresh.toSeq,
+      "CDC-maintained cells diverged from re-assignment of the head")
+    // no vector divisible by 9 survived in the index
+    assert(maintained.forall(r => r.head.asInstanceOf[Long] % 9 != 0))
+
+    // covered head: pure no-op
+    AnnIndex.ensureCdc(spark, "graft_cat.db.cdc_vecs", "cdc_vecs")
+    assert(AnnIndex.builds.get() === b0 + 1)
+    assert(AnnIndex.cdcRefreshes.get() === c0 + 1)
+
+    // retraction went merge-on-read (DV append), never copy-on-write
+    val ops_ = spark.sql(
+      "SELECT operation FROM graft_cat.db.ann_cdc_vecs_cells.versions")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops_.contains("delete") && !ops_.contains("rewrite"),
+      s"cells retraction not a DV append: $ops_")
+  }
+
   test("a non-append corpus change triggers a full rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
