@@ -329,10 +329,16 @@ object Search {
     * tf/dl values, same IEEE-exact rational formula), so ext70's oracle
     * applies verbatim — and the plan contains ZERO tokenization stages
     * (spec-pinned). */
-  val persistedBm25TopK: Q = (s, d) => {
-    val t = SearchIndex.ensure(s,
+  val persistedBm25TopK: Q = (s, d) =>
+    bm25OverIndex(s, SearchIndex.ensure(s,
       table(s, d, "documents").select(col("doc_id"), col("text")),
-      "docs_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+      "docs_" + d.replaceAll("[^a-zA-Z0-9]", "_")))
+
+  /** The BM25 top-20 probe plan over a stored postings index — shared by
+    * ext132 and ext136 (CDC-maintained index): term-filtered postings
+    * scan, probe-time df/corpus stats, zero tokenization stages. */
+  private def bm25OverIndex(s: org.apache.spark.sql.SparkSession,
+      t: SearchIndex.Tables): org.apache.spark.sql.DataFrame = {
     val dl = s.table(t.docs)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val tf = s.table(t.postings).filter(col("tok").isin(bm25Terms: _*))
@@ -349,8 +355,38 @@ object Search {
       .select("doc_id", "n_terms", "score")
   }
 
+  /** ext136 — CDC-DRIVEN MAINTENANCE OF THE POSTINGS INDEX (the lexical
+    * member of the ext134/ext135 triple): the corpus table takes a
+    * right-to-erasure DELETE and an in-place UPDATE, and
+    * [[SearchIndex.ensureCdc]] follows via one change-feed slice —
+    * retract the changed docs' postings and dl rows (deletion-vector
+    * appends on BOTH tables), re-tokenize only the touched head images.
+    * Because df / n_docs / sum_dl are derived at probe time from the
+    * stored tables, the BM25 scores over the maintained index are
+    * IEEE-identical to scoring the mutated corpus from scratch — the
+    * oracle recomputes exactly that. Cost ∝ changes, never the corpus. */
+  val cdcBm25Maintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_sdocs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.search_cdc_sr_postings")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.search_cdc_sr_docs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.search_cdc_sr_meta")
+    s.sql("CREATE TABLE graft_cat.db.cdc_sdocs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    table(s, d, "documents").select(col("doc_id"), col("text"))
+      .writeTo("graft_cat.db.cdc_sdocs").append()
+    SearchIndex.ensureCdc(s, "graft_cat.db.cdc_sdocs", "cdc_sr") // build
+    s.sql("DELETE FROM graft_cat.db.cdc_sdocs WHERE doc_id % 7 = 0")
+    s.sql("UPDATE graft_cat.db.cdc_sdocs " +
+      "SET text = concat(text, ' graft cdc rev') WHERE doc_id % 11 = 3")
+    // ONE feed slice spans both commits
+    val t = SearchIndex.ensureCdc(s, "graft_cat.db.cdc_sdocs", "cdc_sr")
+    bm25OverIndex(s, t)
+  }
+
   val queries: Map[String, Q] = Map(
     "ext132_search_index_bm25" -> persistedBm25TopK,
+    "ext136_search_cdc_maintenance" -> cdcBm25Maintenance,
     "ext70_bm25_topk" -> bm25TopK,
     "ext71_chunk_overlap" -> chunkOverlap,
     "ext72_hard_negatives" -> hardNegatives,
@@ -361,8 +397,10 @@ object Search {
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
-  private lazy val bm25OracleSql =
-    s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** The full BM25 oracle chain over any (doc_id, text) relation —
+    * ext136 re-bases it on a CDC-mutated corpus. */
+  private def bm25OracleSqlFrom(base: String) =
+    s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM $base),
        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
        |stats AS (
        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
@@ -379,12 +417,22 @@ object Search {
        |ORDER BY score DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  private lazy val bm25OracleSql = bm25OracleSqlFrom("documents")
+
   val oracleSql: Map[String, String] = Map(
     "ext70_bm25_topk" -> bm25OracleSql,
     // ext132 probes the PERSISTED postings; stored tf/dl are per-doc
     // functions identical to the in-query frames, so the same oracle
     // applies verbatim
     "ext132_search_index_bm25" -> bm25OracleSql,
+    // ext136 = the same chain over the POST-DELETE POST-UPDATE corpus:
+    // matching it proves the CDC-maintained postings equal a rebuild
+    // (df/n_docs/sum_dl derive at probe time, so they follow the feed)
+    "ext136_search_cdc_maintenance" -> bm25OracleSqlFrom(
+      """(SELECT doc_id,
+        |   CASE WHEN doc_id % 11 = 3 THEN text || ' graft cdc rev'
+        |        ELSE text END AS text
+        | FROM documents WHERE doc_id % 7 <> 0)""".stripMargin),
     "ext71_chunk_overlap" ->
       s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents)
          |SELECT doc_id, CAST(i AS INT) AS chunk_idx,

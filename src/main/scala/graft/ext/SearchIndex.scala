@@ -111,6 +111,118 @@ object SearchIndex {
       }
     }
 
+  // ------------------------------------------------- CDC maintenance
+
+  /** CDC-applied refreshes — specs pin "deletes were maintained without
+    * a rebuild" through this. */
+  val cdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Version-keyed maintenance over a CATALOG-table corpus — the lexical
+    * member of the CDC-maintenance triple ([[DedupIndex.ensureCdc]],
+    * [[AnnIndex.ensureCdc]]): coverage keys on the table's committed
+    * VERSION, and one change-feed slice retracts the changed docs'
+    * postings AND dl rows (merge-on-read deletion-vector appends on both
+    * tables), re-tokenizes only the touched head images, and advances
+    * the watermark. Postings and dl are per-document pure, and the
+    * corpus-level BM25 inputs (df, n_docs, sum_dl) are derived at probe
+    * time from the stored tables — so CDC maintenance is EXACT and the
+    * probe-time stats can never go stale (spec-pinned: maintained state
+    * equals a rebuild over the head).
+    *
+    * Meta (CDC variant): `(version BIGINT, n_docs BIGINT, max_id
+    * BIGINT)`. Crash ordering as in the twins: retractions publish
+    * immediately and idempotently; both inserts + the watermark advance
+    * land in ONE three-table txn, so a crash between replays the same
+    * slice and converges. */
+  def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      val t = Tables(s"graft_cat.db.search_${name}_postings",
+        s"graft_cat.db.search_${name}_docs",
+        s"graft_cat.db.search_${name}_meta")
+      val headV = s.table(s"$corpusTable.versions")
+        .agg(max(col("v"))).head.getLong(0)
+      val stored: Option[Long] =
+        try Some(s.table(t.meta).select("version").head.getLong(0))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: NoSuchElementException => None
+        }
+      stored match {
+        case Some(v0) if v0 >= headV => t // covered — no-op
+        case Some(v0) =>
+          try { applyCdc(s, corpusTable, t, v0, headV); t }
+          catch {
+            case _: UnsupportedOperationException =>
+              buildCdc(s, corpusTable, t, headV)
+          }
+        case None => buildCdc(s, corpusTable, t, headV)
+      }
+    }
+
+  private def applyCdc(s: SparkSession, corpusTable: String, t: Tables,
+      v0: Long, headV: Long): Unit = {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tv = s"graft_srch_touched_$uid"
+    val (tfV, dlV) = (s"graft_srch_ctf_$uid", s"graft_srch_cdl_$uid")
+    s.sql(s"SELECT DISTINCT doc_id FROM $corpusTable " +
+        s"VERSION AS OF 'cdf:$v0..$headV'")
+      .createOrReplaceTempView(tv)
+    try {
+      // 1. retract the changed docs from BOTH tables — idempotent replay
+      s.sql(s"DELETE FROM ${t.postings} WHERE doc_id IN " +
+        s"(SELECT doc_id FROM $tv)")
+      s.sql(s"DELETE FROM ${t.docs} WHERE doc_id IN " +
+        s"(SELECT doc_id FROM $tv)")
+      // 2. re-tokenize the surviving HEAD images + advance the watermark
+      //    in ONE three-table txn
+      val head = s.table(corpusTable).select(col("doc_id"), col("text"))
+      val (tf, dl) = postingsOf(
+        head.join(s.table(tv), Seq("doc_id"), "left_semi"))
+      tf.createOrReplaceTempView(tfV)
+      dl.createOrReplaceTempView(dlV)
+      val cs = head.agg(count(lit(1)), max(col("doc_id"))).head
+      val (cnt, mx) = (cs.getLong(0),
+        if (cs.isNullAt(1)) -1L else cs.getLong(1))
+      inTxn(s) {
+        s.sql(s"INSERT INTO ${t.postings} SELECT * FROM $tfV")
+        s.sql(s"INSERT INTO ${t.docs} SELECT * FROM $dlV")
+        s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST($headV AS BIGINT), " +
+          s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+      }
+      cdcRefreshes.incrementAndGet()
+    } finally {
+      s.catalog.dropTempView(tv)
+      s.catalog.dropTempView(tfV)
+      s.catalog.dropTempView(dlV)
+    }
+  }
+
+  private def buildCdc(s: SparkSession, corpusTable: String, t: Tables,
+      headV: Long): Tables = {
+    val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
+    val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
+    val (cnt, mx) = (cs.getLong(0),
+      if (cs.isNullAt(1)) -1L else cs.getLong(1))
+    val (tf, dl) = postingsOf(docs)
+    tf.writeTo(t.postings).createOrReplace()
+    dl.writeTo(t.docs).createOrReplace()
+    // retractions must be deletion-vector appends, not segment rewrites
+    s.sql(s"ALTER TABLE ${t.postings} SET TBLPROPERTIES " +
+      "('graft.dml.mode'='merge-on-read')")
+    s.sql(s"ALTER TABLE ${t.docs} SET TBLPROPERTIES " +
+      "('graft.dml.mode'='merge-on-read')")
+    // meta LAST: a crash above leaves meta ≠ version → next ensure rebuilds
+    s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
+    s.sql(s"CREATE TABLE ${t.meta} " +
+      "(version BIGINT, n_docs BIGINT, max_id BIGINT)")
+    s.sql(s"INSERT INTO ${t.meta} SELECT CAST($headV AS BIGINT), " +
+      s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+    builds.incrementAndGet()
+    t
+  }
+
   private def build(s: SparkSession, docs: DataFrame, t: Tables): Tables = {
     val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val (cnt, mx) = (cs.getLong(0),

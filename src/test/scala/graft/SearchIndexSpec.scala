@@ -85,4 +85,85 @@ class SearchIndexSpec extends SparkTestBase {
     assert(SearchIndex.builds.get() === b0 + 2,
       "a shrunk corpus must force a full rebuild, not a refresh")
   }
+
+  test("CDC maintenance: delete+update apply as one feed slice; index == rebuild") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = SearchIndex.builds.get()
+    val c0 = SearchIndex.cdcRefreshes.get()
+    val rows = ext.Search.queries("ext136_search_cdc_maintenance")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(SearchIndex.builds.get() === b0 + 1,
+      "CDC maintenance should build exactly once (the seed)")
+    assert(SearchIndex.cdcRefreshes.get() === c0 + 1,
+      "the delete+update slice should apply via the feed, not a rebuild")
+
+    // both maintained tables are row-identical to a rebuild over the head
+    val head = spark.table("graft_cat.db.cdc_sdocs").select("doc_id", "text")
+    val (tfFresh, dlFresh) = SearchIndex.postingsOf(head)
+    assert(spark.table("graft_cat.db.search_cdc_sr_postings")
+        .orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq
+      === tfFresh.orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq,
+      "CDC-maintained postings diverged from a rebuild over the head")
+    assert(spark.table("graft_cat.db.search_cdc_sr_docs")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === dlFresh.orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "CDC-maintained dl diverged from a rebuild over the head")
+
+    // covered head: pure no-op
+    SearchIndex.ensureCdc(spark, "graft_cat.db.cdc_sdocs", "cdc_sr")
+    assert(SearchIndex.builds.get() === b0 + 1)
+    assert(SearchIndex.cdcRefreshes.get() === c0 + 1)
+
+    // retractions on BOTH tables went merge-on-read, never copy-on-write
+    Seq("search_cdc_sr_postings", "search_cdc_sr_docs").foreach { tb =>
+      val ops_ = spark.sql(
+        s"SELECT operation FROM graft_cat.db.$tb.versions")
+        .collect().map(_.getString(0)).toSeq
+      assert(ops_.contains("delete") && !ops_.contains("rewrite"),
+        s"$tb retraction not a DV append: $ops_")
+    }
+  }
+
+  test("CDC crash replay: a retraction without its txn re-applies and converges") {
+    // the documented crash window: the DELETE published but the
+    // insert+watermark txn did not — meta still points at the old
+    // version, so the next ensureCdc replays the SAME feed slice; the
+    // re-run's retraction is a no-op on already-deleted rows and the
+    // txn lands the re-tokenize + advance together
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_crash_docs")
+    Seq("postings", "docs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.search_cdc_cr_$x"))
+    spark.sql("CREATE TABLE graft_cat.db.cdc_crash_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      .writeTo("graft_cat.db.cdc_crash_docs").append()
+    val t = SearchIndex.ensureCdc(spark, "graft_cat.db.cdc_crash_docs", "cdc_cr")
+    spark.sql("DELETE FROM graft_cat.db.cdc_crash_docs WHERE doc_id % 5 = 0")
+    spark.sql("UPDATE graft_cat.db.cdc_crash_docs " +
+      "SET text = concat(text, ' crashed refresh') WHERE doc_id % 5 = 1")
+    // simulate the crash: ONLY the retraction half of the refresh ran
+    // (both the deleted AND the updated docs lost their index rows; the
+    // replay must re-insert the updated ones from the head images)
+    spark.sql(s"DELETE FROM ${t.postings} WHERE doc_id % 5 IN (0, 1)")
+    spark.sql(s"DELETE FROM ${t.docs} WHERE doc_id % 5 IN (0, 1)")
+    // replay: the version watermark is stale, so ensureCdc re-applies
+    val c0 = SearchIndex.cdcRefreshes.get()
+    SearchIndex.ensureCdc(spark, "graft_cat.db.cdc_crash_docs", "cdc_cr")
+    assert(SearchIndex.cdcRefreshes.get() === c0 + 1)
+    val head = spark.table("graft_cat.db.cdc_crash_docs")
+      .select("doc_id", "text")
+    val (tfFresh, dlFresh) = SearchIndex.postingsOf(head)
+    assert(spark.table(t.postings).orderBy("doc_id", "tok")
+        .collect().map(_.toSeq).toSeq
+      === tfFresh.orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq,
+      "crash replay left duplicated or missing postings")
+    assert(spark.table(t.docs).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      === dlFresh.orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "crash replay left duplicated or missing dl rows")
+  }
 }
