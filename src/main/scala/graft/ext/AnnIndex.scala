@@ -314,6 +314,88 @@ object AnnIndex {
       }
     }
 
+  /** CDC-applied PQ refreshes. */
+  val pqCdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Version-keyed CDC maintenance of the PQ tier — the last derived
+    * artifact in the erasure story: an 8-byte code still encodes the
+    * deleted vector's quantized content, so right-to-erasure must reach
+    * it. Same discipline as [[ensureCdc]]: one feed slice retracts the
+    * changed vec_ids' 8 code rows (a deletion-vector append), re-encodes
+    * only the touched head images against the STORED codebooks (they
+    * retrain on rebuild, not per change), advances the watermark. The
+    * maintained codes table is row-identical to re-encoding the head
+    * (spec-pinned). Meta: `graft_cat.db.ann_<name>_pq_meta (version
+    * BIGINT)`; crash ordering identical to the twins. */
+  def ensurePqCdc(s: SparkSession, corpusTable: String,
+      name: String): PqTables = synchronized {
+    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    graft.ops.ensureGraftCatalog(s)
+    graft.functions.SquaredDistance.register(s)
+    val t = PqTables(s"graft_cat.db.ann_${name}_pq_codes",
+      s"graft_cat.db.ann_${name}_pq_cents")
+    val meta = s"graft_cat.db.ann_${name}_pq_meta"
+    val headV = s.table(s"$corpusTable.versions")
+      .agg(max(col("v"))).head.getLong(0)
+    val stored: Option[Long] =
+      try Some(s.table(meta).select("version").head.getLong(0))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+        case _: NoSuchElementException => None
+      }
+    stored match {
+      case Some(v0) if v0 >= headV => t // covered — no-op
+      case Some(v0) =>
+        try { applyPqCdc(s, corpusTable, t, meta, v0, headV); t }
+        catch {
+          case _: UnsupportedOperationException =>
+            buildPqCdc(s, corpusTable, t, meta, headV)
+        }
+      case None => buildPqCdc(s, corpusTable, t, meta, headV)
+    }
+  }
+
+  private def applyPqCdc(s: SparkSession, corpusTable: String, t: PqTables,
+      meta: String, v0: Long, headV: Long): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tv = s"graft_pq_touched_$suffix"
+    val rv = s"graft_pq_reencoded_$suffix"
+    s.sql(s"SELECT DISTINCT vec_id FROM $corpusTable " +
+        s"VERSION AS OF 'cdf:$v0..$headV'")
+      .createOrReplaceTempView(tv)
+    try {
+      // 1. retract every changed vector's code rows — idempotent replay
+      s.sql(s"DELETE FROM ${t.codes} WHERE vec_id IN (SELECT vec_id FROM $tv)")
+      // 2. re-encode the surviving HEAD images against the STORED
+      //    codebooks and advance the watermark — one atomic publish
+      val head = s.table(corpusTable).select(col("vec_id"), col("v"))
+      encode(subvectors(head.join(s.table(tv), Seq("vec_id"), "left_semi")),
+          s.table(t.cents))
+        .select(col("vec_id"), col("j").cast("int").as("j"),
+          col("code").cast("int").as("code"))
+        .createOrReplaceTempView(rv)
+      inTxn(s) {
+        s.sql(s"INSERT INTO ${t.codes} SELECT * FROM $rv")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT)")
+      }
+      pqCdcRefreshes.incrementAndGet()
+    } finally {
+      s.catalog.dropTempView(tv)
+      s.catalog.dropTempView(rv)
+    }
+  }
+
+  private def buildPqCdc(s: SparkSession, corpusTable: String, t: PqTables,
+      meta: String, headV: Long): PqTables = {
+    buildPq(s, s.table(corpusTable).select(col("vec_id"), col("v")), t)
+    s.sql(s"ALTER TABLE ${t.codes} SET TBLPROPERTIES " +
+      "('graft.dml.mode'='merge-on-read')")
+    s.sql(s"DROP TABLE IF EXISTS $meta")
+    s.sql(s"CREATE TABLE $meta (version BIGINT)")
+    s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT)")
+    t
+  }
+
   /** Deterministic PQ full build — bit-identical to ext75's in-query
     * construction (seed every 64th vector per subspace, ONE
     * integer-scaled Lloyd round, re-encode), so ext75's DuckDB oracle

@@ -713,10 +713,16 @@ object Similarity {
     * the persisted artifact ([[AnnIndex.ensurePq]]). The corpus floats
     * are read ONLY to form the query-side subvectors (every 50th
     * vector); the scan side touches 8 small ints per vector. */
-  val persistedPqAdc: Q = (s, d) => {
-    val t = persistedPqIndex(s, d)
+  val persistedPqAdc: Q = (s, d) =>
+    adcTopK(s, persistedPqIndex(s, d), vecs(s, d))
+
+  /** The ADC top-3 plan over a stored PQ index — shared by ext129 and
+    * ext137 (CDC-maintained codes): per-query LUT against the stored
+    * codebooks, code-join scan, zero encode stages for the corpus. */
+  private def adcTopK(s: org.apache.spark.sql.SparkSession,
+      t: AnnIndex.PqTables, corpus: DataFrame): DataFrame = {
     graft.functions.SquaredDistance.register(s)
-    val qsub = vecs(s, d).filter(col("vec_id") % 50 === 0)
+    val qsub = corpus.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), posexplode(expr(
         "transform(sequence(0, 7), j -> slice(v, j * 8 + 1, 8))"))
         .as(Seq("qj", "subv")))
@@ -738,8 +744,38 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** ext137 — CDC-DRIVEN MAINTENANCE OF THE PQ CODES (completing the
+    * erasure story for derived artifacts: an 8-byte code still encodes
+    * the deleted vector's quantized content, so right-to-erasure must
+    * reach it): same delete + re-embedding mutations as ext135, applied
+    * to the codes table by [[AnnIndex.ensurePqCdc]] as one feed slice —
+    * retract 8 code rows per changed vector, re-encode only the touched
+    * head images against the STORED codebooks. The ADC probe (queries
+    * from the surviving corpus) must hash-match the oracle whose
+    * codebooks learn from the ORIGINAL corpus and whose codes cover the
+    * mutated one. */
+  val pqCdcMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_pqvecs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_pq_pq_codes")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_pq_pq_cents")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_pq_pq_meta")
+    s.sql("CREATE TABLE graft_cat.db.cdc_pqvecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    vecs(s, d).select(col("vec_id"), col("v"))
+      .writeTo("graft_cat.db.cdc_pqvecs").append()
+    AnnIndex.ensurePqCdc(s, "graft_cat.db.cdc_pqvecs", "cdc_pq") // build
+    s.sql("DELETE FROM graft_cat.db.cdc_pqvecs WHERE vec_id % 9 = 0")
+    s.sql("UPDATE graft_cat.db.cdc_pqvecs SET v = reverse(v) " +
+      "WHERE vec_id % 11 = 4")
+    // ONE feed slice spans both commits
+    val t = AnnIndex.ensurePqCdc(s, "graft_cat.db.cdc_pqvecs", "cdc_pq")
+    adcTopK(s, t, s.table("graft_cat.db.cdc_pqvecs"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext135_ann_cdc_maintenance" -> annCdcMaintenance,
+    "ext137_pq_cdc_maintenance" -> pqCdcMaintenance,
     "ext126_ann_index_probe1" -> persistedIvfTopK,
     "ext127_ann_index_probe2" -> persistedIvfProbe2,
     "ext129_ann_index_pq_adc" -> persistedPqAdc,
@@ -822,13 +858,13 @@ object Similarity {
 
   /** Shared argmin-encode CTE body for the PQ oracle: assigns every
     * (vector, subspace) row to its nearest centroid from `tbl`. */
-  private def pqAssignSql(tbl: String): String =
+  private def pqAssignSql(tbl: String, src: String = "sub"): String =
     s"""SELECT vec_id, j, subv, cid FROM (
        |    SELECT s.vec_id, s.j, s.subv, sd.cid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
        |        list_sum([(s.subv[i] - sd.c[i]) * (s.subv[i] - sd.c[i]) for i in range(1, 9)]),
        |        sd.cid) AS rk
-       |    FROM sub s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
+       |    FROM $src s JOIN $tbl sd ON s.j = sd.j) WHERE rk = 1""".stripMargin
 
   private lazy val pqAdcOracleSql =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1001,6 +1037,51 @@ object Similarity {
     // bit-identical to ext75's in-query construction, so the same
     // ADC oracle applies verbatim
     "ext129_ann_index_pq_adc" -> pqAdcOracleSql,
+    // ext137 = ADC after CDC maintenance: codebooks learn from the
+    // ORIGINAL corpus (sub), codes + queries cover the POST-DELETE
+    // POST-UPDATE corpus (subf) — matching it proves the feed-maintained
+    // codes equal re-encoding the head against stored codebooks
+    "ext137_pq_cdc_maintenance" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vf AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 11 = 4 THEN list_reverse(v) ELSE v END AS v
+         |  FROM v WHERE vec_id % 9 <> 0),
+         |sub AS (
+         |  SELECT vec_id, j, v[j * 8 + 1 : j * 8 + 8] AS subv
+         |  FROM v, range(0, 8) r(j)),
+         |subf AS (
+         |  SELECT vec_id, j, v[j * 8 + 1 : j * 8 + 8] AS subv
+         |  FROM vf, range(0, 8) r(j)),
+         |seeds AS (
+         |  SELECT j, CAST(vec_id // 64 AS INT) AS cid, subv AS c
+         |  FROM sub WHERE vec_id % 64 = 0),
+         |a0 AS (${pqAssignSql("seeds")}),
+         |comp AS (
+         |  SELECT j, cid, i,
+         |    SUM(CAST(round(subv[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
+         |  FROM a0, range(1, 9) r(i) GROUP BY j, cid, i),
+         |cents AS (
+         |  SELECT j, cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
+         |  FROM comp GROUP BY j, cid),
+         |codes AS (${pqAssignSql("cents", src = "subf")}),
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.j, c.cid,
+         |    CAST(list_sum([(s.subv[i] - c.c[i]) * (s.subv[i] - c.c[i]) for i in range(1, 9)])
+         |         AS DECIMAL(18, 6)) AS pd2
+         |  FROM subf s JOIN cents c ON s.j = c.j
+         |  WHERE s.vec_id % 50 = 0),
+         |adc AS (
+         |  SELECT l.q_id, cd.vec_id, CAST(SUM(l.pd2) AS DOUBLE) AS adc2
+         |  FROM codes cd
+         |  JOIN lut l ON cd.j = l.j AND cd.cid = l.cid AND cd.vec_id <> l.q_id
+         |  GROUP BY l.q_id, cd.vec_id)
+         |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank,
+         |  vec_id AS n_id, adc2
+         |FROM adc
+         |WINDOW w AS (PARTITION BY q_id ORDER BY adc2, vec_id)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY q_id, rank""".stripMargin,
     "ext06_sim_topk_bruteforce" -> bruteForceOracle,
     // both ranking legs restated with the same sequential-fold cosine
     // (dot / (sqrt * sqrt), the kernel's exact op order) and the same

