@@ -862,6 +862,19 @@ object Dedup {
     s"""WITH $shinglesSql,
        |$minhashLshBodySql""".stripMargin
 
+  /** ext03's chain over the canonical CDC-mutated corpus (delete
+    * doc_id%7, append-update doc_id%11=3) — shared by ext134 (batch
+    * ensureCdc) and ext138 (the change-feed STREAM driving ensureCdc):
+    * both maintenance paths must converge to exactly this state. */
+  private[graft] lazy val cdcMutatedLshOracleSql =
+    s"""WITH documents_cdc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 3 THEN text || ' graft cdc rev'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |${shinglesSqlFrom("documents_cdc")},
+       |$minhashLshBodySql""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // true components via recursive CTE over the same top-20 pair edges;
     // matching it proves the Spark label propagation CONVERGED
@@ -1035,14 +1048,7 @@ object Dedup {
     "ext130_dedup_index_lsh" -> minhashLshOracleSql,
     // ext134 = ext03's chain over the POST-DELETE POST-UPDATE corpus:
     // matching it proves the CDC-maintained index equals a rebuild
-    "ext134_cdc_index_maintenance" ->
-      s"""WITH documents_cdc AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 11 = 3 THEN text || ' graft cdc rev'
-         |         ELSE text END AS text
-         |  FROM documents WHERE doc_id % 7 <> 0),
-         |${shinglesSqlFrom("documents_cdc")},
-         |$minhashLshBodySql""".stripMargin,
+    "ext134_cdc_index_maintenance" -> cdcMutatedLshOracleSql,
     // ext131 = the corpus x batch split over the same signatures: the
     // oracle signs everything (per-doc signatures are split-invariant)
     // and restricts candidates to corpus-side < 400 <= batch-side

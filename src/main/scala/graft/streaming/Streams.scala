@@ -683,6 +683,58 @@ object Streams {
     graft.ext.Dedup.lshOverSig(s.table("graft_cat.db.dedup_stream_six_sigs"))
   }
 
+  /** ext138 — THE FULL INGEST→INDEX PIPELINE UNDER DELETES: where ext133
+    * streams the SEGMENT source (append notifications only, append-only
+    * `ensure`), this entry streams the table's CHANGE FEED
+    * (`readStream.table("….changes")`) and drives the VERSION-KEYED
+    * [[graft.ext.DedupIndex.ensureCdc]] from `foreachBatch` — so
+    * in-place DELETEs and UPDATEs on the corpus reach the persisted
+    * signature index mid-stream, as feed-sized work, with no rebuild.
+    * The micro-batch remains pure notification (ensureCdc reads the
+    * committed head and the feed slice itself; the version watermark
+    * makes the reaction idempotent under replays and no-op triggers).
+    * The stream sees: the seed append (build), a second append + a
+    * delete + an update (CDC refreshes), and the final probe over the
+    * stream-maintained signatures must hash-match ext134's oracle over
+    * the post-delete post-update corpus — proving the BATCH and the
+    * STREAMING maintenance paths converge to the same artifact.
+    *
+    * At 100 TB this is the complete operating mode: one streaming job
+    * tails the corpus table's feed and keeps every derived index
+    * current — erasure deletes included — at cost ∝ change volume. */
+  val streamCdcIndexMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.scdc_docs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_stream_cdc_sigs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_stream_cdc_meta")
+    s.sql("CREATE TABLE graft_cat.db.scdc_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val docs = graft.ops.table(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 400).writeTo("graft_cat.db.scdc_docs").append()
+    withStreamShuffle(s) {
+      val query = s.readStream.table("graft_cat.db.scdc_docs.changes")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.ops.ensureGraftCatalog(bs)
+          graft.ext.DedupIndex.ensureCdc(bs,
+            "graft_cat.db.scdc_docs", "stream_cdc")
+          ()
+        }.start()
+      try {
+        query.processAllAvailable()
+        docs.filter(col("doc_id") >= 400)
+          .writeTo("graft_cat.db.scdc_docs").append()
+        s.sql("DELETE FROM graft_cat.db.scdc_docs WHERE doc_id % 7 = 0")
+        s.sql("UPDATE graft_cat.db.scdc_docs " +
+          "SET text = concat(text, ' graft cdc rev') WHERE doc_id % 11 = 3")
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    graft.ext.Dedup.lshOverSig(s.table("graft_cat.db.dedup_stream_cdc_sigs"))
+  }
+
   /** ext103 — admission-controlled catalog streaming: the ext92 source
     * with `maxSegmentsPerTrigger`, the backpressure half of a lakehouse
     * streaming read. Four committed versions (4 segments each) are
@@ -1712,6 +1764,7 @@ object Streams {
     "ext90_stream_chained_aggs" -> chainedWindowAggs,
     "ext92_stream_catalog_source" -> streamCatalogSource,
     "ext133_stream_index_maintenance" -> streamIndexMaintenance,
+    "ext138_stream_cdc_index" -> streamCdcIndexMaintenance,
     "ext103_stream_rate_limit" -> streamRateLimit,
     "ext107_stream_quarantine" -> streamQuarantine,
     "ext114_stream_wap_branch" -> streamWapBranch)
@@ -1736,6 +1789,9 @@ object Streams {
     // the stream-maintained index must converge to exactly the
     // batch-built one, so ext03's oracle over the full corpus applies
     "ext133_stream_index_maintenance" -> graft.ext.Dedup.minhashLshOracleSql,
+    // the change-feed-stream-maintained index must converge to exactly
+    // ext134's batch-CDC state over the post-delete post-update corpus
+    "ext138_stream_cdc_index" -> graft.ext.Dedup.cdcMutatedLshOracleSql,
     // emission 1 = lower event-time half, emission 2 = cumulative all —
     // the second exceeding the first is the state-persistence claim
     "ext100_stream_bitmap_distinct" ->

@@ -151,6 +151,25 @@ class DedupIndexSpec extends SparkTestBase {
       s"sig retraction went copy-on-write: $ops_")
   }
 
+  test("change-feed stream drives ensureCdc: deletes reach the index mid-stream") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = DedupIndex.builds.get()
+    val c0 = DedupIndex.cdcRefreshes.get()
+    val rows = streaming.Streams.queries("ext138_stream_cdc_index")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(DedupIndex.builds.get() === b0 + 1,
+      "stream CDC maintenance should build exactly once (the seed batch)")
+    assert(DedupIndex.cdcRefreshes.get() >= c0 + 1,
+      "the mid-stream delete+update should apply via feed slices")
+    // the stream-maintained index converges to exactly ext134's batch
+    // construction over the same post-delete post-update corpus
+    val batch = ext.Dedup.cdcIndexMaintenance(spark, d).collect()
+    assert(rows.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "stream-CDC index diverged from the batch-CDC construction")
+  }
+
   test("batch probe signs the batch only; corpus side reads stored signatures") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
