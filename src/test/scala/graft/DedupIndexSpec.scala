@@ -170,6 +170,44 @@ class DedupIndexSpec extends SparkTestBase {
       "stream-CDC index diverged from the batch-CDC construction")
   }
 
+  test("MERGE INTO feeds ensureCdc: matched updates/deletes + inserts in one slice") {
+    // the remaining DML shape: a MERGE whose one commit carries all
+    // three change kinds must land in the index as one feed slice
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.mrg_docs")
+    Seq("sigs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_mrg_cdc_$x"))
+    spark.sql("CREATE TABLE graft_cat.db.mrg_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    docs.filter(col("doc_id") < 450)
+      .writeTo("graft_cat.db.mrg_docs").append()
+    DedupIndex.ensureCdc(spark, "graft_cat.db.mrg_docs", "mrg_cdc")
+    // source: updates for %10=1, deletes for %10=2, inserts (>= 450)
+    docs.filter(col("doc_id") % 10 < 3 || col("doc_id") >= 450)
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO graft_cat.db.mrg_docs t
+        |USING mrg_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.doc_id % 10 = 1
+        |  THEN UPDATE SET text = concat(s.text, ' merged')
+        |WHEN MATCHED AND s.doc_id % 10 = 2 THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (doc_id, text)
+        |  VALUES (s.doc_id, s.text)""".stripMargin)
+    val b0 = DedupIndex.builds.get()
+    val c0 = DedupIndex.cdcRefreshes.get()
+    DedupIndex.ensureCdc(spark, "graft_cat.db.mrg_docs", "mrg_cdc")
+    assert(DedupIndex.builds.get() === b0, "MERGE forced a rebuild")
+    assert(DedupIndex.cdcRefreshes.get() === c0 + 1)
+    val maintained = spark.table("graft_cat.db.dedup_mrg_cdc_sigs")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val fresh = DedupIndex.signatures(
+        spark.table("graft_cat.db.mrg_docs").select("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(maintained.toSeq === fresh.toSeq,
+      "MERGE-driven maintenance diverged from a rebuild over the head")
+  }
+
   test("batch probe signs the batch only; corpus side reads stored signatures") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
