@@ -50,6 +50,19 @@ object SearchIndex {
     * dropped. */
   private val toksExpr = "filter(split(lower(text), ' '), t -> t <> '')"
 
+  /** The postings table declares `graft.sort = tok:8`: every write
+    * (build CTAS and each incremental/CDC INSERT) range-distributes and
+    * sorts by term, so segments carry DISJOINT token ranges and a term
+    * probe prunes via the string-prefix zone maps (q156's machinery).
+    * At 100 TB this is what makes the probe cost ∝ query-term postings
+    * instead of a full postings scan — the same role tok-partitioning
+    * plays in a production inverted index, without a partition column.
+    * Spec-pinned: the BM25 probe plans a strict subset of segments. */
+  private def writePostings(tf: DataFrame, t: Tables): Unit =
+    tf.writeTo(t.postings)
+      .tableProperty(graft.sources.SegSort.PropKey, "tok:8")
+      .createOrReplace()
+
   /** Per-document index rows — (postings, dl) — bit-identical to
     * ext70's in-query tf/dl construction. */
   private[graft] def postingsOf(docs: DataFrame): (DataFrame, DataFrame) = {
@@ -206,7 +219,7 @@ object SearchIndex {
     val (cnt, mx) = (cs.getLong(0),
       if (cs.isNullAt(1)) -1L else cs.getLong(1))
     val (tf, dl) = postingsOf(docs)
-    tf.writeTo(t.postings).createOrReplace()
+    writePostings(tf, t)
     dl.writeTo(t.docs).createOrReplace()
     // retractions must be deletion-vector appends, not segment rewrites
     s.sql(s"ALTER TABLE ${t.postings} SET TBLPROPERTIES " +
@@ -228,7 +241,7 @@ object SearchIndex {
     val (cnt, mx) = (cs.getLong(0),
       if (cs.isNullAt(1)) -1L else cs.getLong(1))
     val (tf, dl) = postingsOf(docs)
-    tf.writeTo(t.postings).createOrReplace()
+    writePostings(tf, t)
     dl.writeTo(t.docs).createOrReplace()
     s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
     s.sql(s"CREATE TABLE ${t.meta} (k BIGINT, n_docs BIGINT, max_id BIGINT)")

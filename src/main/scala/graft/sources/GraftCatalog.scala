@@ -4094,6 +4094,23 @@ object SegPrune {
                   .foldLeft(2: Tri)(triOr)
             }
           }
+        }.orElse {
+          // STRING IN: OR of per-literal prefix-zone + bloom equality
+          // verdicts — what makes a term probe on a tok-sorted postings
+          // table read only the segments whose token range can match
+          strColOf(p.children()(0), ver).flatMap { id =>
+            val lits = p.children().drop(1).toSeq.map(strLitOf)
+            if (!lits.forall(_.isDefined)) None
+            else {
+              val vals = lits.flatten
+              Some { (s: Seg) =>
+                if (s.rows == 0) 0
+                else
+                  vals.map(v => zoneTriStr(s, id, "=", v))
+                    .foldLeft(2: Tri)(triOr)
+              }
+            }
+          }
         }
       case _ => None
     }

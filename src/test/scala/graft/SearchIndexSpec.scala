@@ -86,6 +86,34 @@ class SearchIndexSpec extends SparkTestBase {
       "a shrunk corpus must force a full rebuild, not a refresh")
   }
 
+  test("postings are term-clustered: a term probe plans a strict segment subset") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    Seq("postings", "docs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.search_spec_srt_$x"))
+    val docs =
+      spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+    val t = SearchIndex.ensure(spark, docs, "spec_srt")
+    // the declared graft.sort=tok:8 range-distributes the build: the
+    // postings landed as >= 2 segments with DISJOINT token ranges
+    val probe = spark.table(t.postings)
+      .filter(col("tok").isin("spark", "merge", "vector"))
+    val n = probe.count()
+    assert(n > 0)
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val m = """segs=(\d+)/(\d+)""".r.findFirstMatchIn(plan).getOrElse(
+      fail(s"no graft_cat scan in plan:\n$plan"))
+    val (planned, total) = (m.group(1).toInt, m.group(2).toInt)
+    assert(total >= 2, s"sorted build landed as one segment ($plan)")
+    assert(planned < total,
+      s"term probe did not prune segments: $planned/$total\n$plan")
+    // pruning never loses rows: unfiltered-scan-then-filter agrees
+    val full = spark.table(t.postings).collect()
+      .count(r => Set("spark", "merge", "vector")(r.getString(1)))
+    assert(n === full.toLong)
+  }
+
   test("CDC maintenance: delete+update apply as one feed slice; index == rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
