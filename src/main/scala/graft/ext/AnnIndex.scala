@@ -149,24 +149,9 @@ object AnnIndex {
       val t = Tables(s"graft_cat.db.ann_${name}_cells",
         s"graft_cat.db.ann_${name}_cents")
       val meta = s"graft_cat.db.ann_${name}_meta"
-      val headV = s.table(s"$corpusTable.versions")
-        .agg(max(col("v"))).head.getLong(0)
-      val stored: Option[Long] =
-        try Some(s.table(meta).select("version").head.getLong(0))
-        catch {
-          case _: org.apache.spark.sql.AnalysisException => None
-          case _: NoSuchElementException => None
-        }
-      stored match {
-        case Some(v0) if v0 >= headV => t // covered — no-op
-        case Some(v0) =>
-          try { applyCdc(s, corpusTable, t, meta, v0, headV); t }
-          catch {
-            case _: UnsupportedOperationException =>
-              buildCdc(s, corpusTable, t, meta, headV)
-          }
-        case None => buildCdc(s, corpusTable, t, meta, headV)
-      }
+      CdcIndex.ensure(s, corpusTable, meta)(t) { (v0, headV) =>
+        applyCdc(s, corpusTable, t, meta, v0, headV); t
+      }(headV => buildCdc(s, corpusTable, t, meta, headV))
     }
 
   private def applyCdc(s: SparkSession, corpusTable: String, t: Tables,
@@ -189,7 +174,7 @@ object AnnIndex {
         .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
           col("v"), col("norm"))
         .createOrReplaceTempView(rv)
-      inTxn(s) {
+      CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO ${t.cells} SELECT * FROM $rv")
         s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT)")
       }
@@ -214,16 +199,6 @@ object AnnIndex {
     t
   }
 
-  private def inTxn(s: SparkSession)(body: => Unit): Unit = {
-    s.sql("CALL graft_cat.system.txn_begin()").collect()
-    try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
-    catch {
-      case t: Throwable =>
-        try s.sql("CALL graft_cat.system.txn_abort()").collect()
-        catch { case s2: Throwable => t.addSuppressed(s2) }
-        throw t
-    }
-  }
 
   // ---------------------------------------------------------------- PQ
 
@@ -335,24 +310,9 @@ object AnnIndex {
     val t = PqTables(s"graft_cat.db.ann_${name}_pq_codes",
       s"graft_cat.db.ann_${name}_pq_cents")
     val meta = s"graft_cat.db.ann_${name}_pq_meta"
-    val headV = s.table(s"$corpusTable.versions")
-      .agg(max(col("v"))).head.getLong(0)
-    val stored: Option[Long] =
-      try Some(s.table(meta).select("version").head.getLong(0))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-        case _: NoSuchElementException => None
-      }
-    stored match {
-      case Some(v0) if v0 >= headV => t // covered — no-op
-      case Some(v0) =>
-        try { applyPqCdc(s, corpusTable, t, meta, v0, headV); t }
-        catch {
-          case _: UnsupportedOperationException =>
-            buildPqCdc(s, corpusTable, t, meta, headV)
-        }
-      case None => buildPqCdc(s, corpusTable, t, meta, headV)
-    }
+    CdcIndex.ensure(s, corpusTable, meta)(t) { (v0, headV) =>
+      applyPqCdc(s, corpusTable, t, meta, v0, headV); t
+    }(headV => buildPqCdc(s, corpusTable, t, meta, headV))
   }
 
   private def applyPqCdc(s: SparkSession, corpusTable: String, t: PqTables,
@@ -374,7 +334,7 @@ object AnnIndex {
         .select(col("vec_id"), col("j").cast("int").as("j"),
           col("code").cast("int").as("code"))
         .createOrReplaceTempView(rv)
-      inTxn(s) {
+      CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO ${t.codes} SELECT * FROM $rv")
         s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT)")
       }

@@ -95,7 +95,7 @@ object DedupIndex {
             val view = s"graft_dedup_delta_" +
               java.util.UUID.randomUUID().toString.replace("-", "")
             delta.createOrReplaceTempView(view)
-            try inTxn(s) {
+            try CdcIndex.inTxn(s) {
               s.sql(s"INSERT INTO ${t.sigs} SELECT * FROM $view")
               s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST(0 AS BIGINT), " +
                 s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
@@ -146,26 +146,9 @@ object DedupIndex {
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
         s"graft_cat.db.dedup_${name}_meta")
-      val headV = s.table(s"$corpusTable.versions")
-        .agg(max(col("v"))).head.getLong(0)
-      val stored: Option[Long] =
-        try Some(s.table(t.meta).select("version").head.getLong(0))
-        catch {
-          case _: org.apache.spark.sql.AnalysisException => None
-          case _: NoSuchElementException => None
-        }
-      stored match {
-        case Some(v0) if v0 >= headV => t // covered — no-op
-        case Some(v0) =>
-          // the feed refuses slices it cannot attribute row-exactly
-          // (e.g. a vector shrink) — fall back to a full rebuild then
-          try { applyCdc(s, corpusTable, t, v0, headV); t }
-          catch {
-            case _: UnsupportedOperationException =>
-              buildCdc(s, corpusTable, t, headV)
-          }
-        case None => buildCdc(s, corpusTable, t, headV)
-      }
+      CdcIndex.ensure(s, corpusTable, t.meta)(t) { (v0, headV) =>
+        applyCdc(s, corpusTable, t, v0, headV); t
+      }(headV => buildCdc(s, corpusTable, t, headV))
     }
 
   private def applyCdc(s: SparkSession, corpusTable: String, t: Tables,
@@ -187,7 +170,7 @@ object DedupIndex {
       val cs = head.agg(count(lit(1)), max(col("doc_id"))).head
       val (cnt, mx) = (cs.getLong(0),
         if (cs.isNullAt(1)) -1L else cs.getLong(1))
-      inTxn(s) {
+      CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO ${t.sigs} SELECT * FROM $rv")
         s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST($headV AS BIGINT), " +
           s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
@@ -233,14 +216,4 @@ object DedupIndex {
     t
   }
 
-  private def inTxn(s: SparkSession)(body: => Unit): Unit = {
-    s.sql("CALL graft_cat.system.txn_begin()").collect()
-    try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
-    catch {
-      case t: Throwable =>
-        try s.sql("CALL graft_cat.system.txn_abort()").collect()
-        catch { case s2: Throwable => t.addSuppressed(s2) }
-        throw t
-    }
-  }
 }

@@ -35,9 +35,10 @@ import org.apache.spark.sql.functions._
   * At 100 TB: the tokenize+explode pass over raw text is the dominant
   * cost of every lexical query; storing postings moves it to ingest,
   * and the per-query cost becomes a probe of the query terms' postings
-  * (plus two metadata-scale aggregates). The production layout would
-  * z-order postings by `tok` so the term filter prunes segments via the
-  * string-prefix zone maps; the fixture keeps insertion order.
+  * (plus two metadata-scale aggregates). The postings table is
+  * term-clustered (`graft.sort = tok:8`, see [[writePostings]]), so the
+  * term filter also prunes whole segments via the string-prefix zone
+  * maps — probe IO ∝ the query terms' segments, not the postings table.
   */
 object SearchIndex {
 
@@ -109,7 +110,7 @@ object SearchIndex {
             val (tfV, dlV) = (s"graft_srch_tf_$uid", s"graft_srch_dl_$uid")
             tf.createOrReplaceTempView(tfV)
             dl.createOrReplaceTempView(dlV)
-            try inTxn(s) {
+            try CdcIndex.inTxn(s) {
               s.sql(s"INSERT INTO ${t.postings} SELECT * FROM $tfV")
               s.sql(s"INSERT INTO ${t.docs} SELECT * FROM $dlV")
               s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST(0 AS BIGINT), " +
@@ -154,24 +155,9 @@ object SearchIndex {
       val t = Tables(s"graft_cat.db.search_${name}_postings",
         s"graft_cat.db.search_${name}_docs",
         s"graft_cat.db.search_${name}_meta")
-      val headV = s.table(s"$corpusTable.versions")
-        .agg(max(col("v"))).head.getLong(0)
-      val stored: Option[Long] =
-        try Some(s.table(t.meta).select("version").head.getLong(0))
-        catch {
-          case _: org.apache.spark.sql.AnalysisException => None
-          case _: NoSuchElementException => None
-        }
-      stored match {
-        case Some(v0) if v0 >= headV => t // covered — no-op
-        case Some(v0) =>
-          try { applyCdc(s, corpusTable, t, v0, headV); t }
-          catch {
-            case _: UnsupportedOperationException =>
-              buildCdc(s, corpusTable, t, headV)
-          }
-        case None => buildCdc(s, corpusTable, t, headV)
-      }
+      CdcIndex.ensure(s, corpusTable, t.meta)(t) { (v0, headV) =>
+        applyCdc(s, corpusTable, t, v0, headV); t
+      }(headV => buildCdc(s, corpusTable, t, headV))
     }
 
   private def applyCdc(s: SparkSession, corpusTable: String, t: Tables,
@@ -198,7 +184,7 @@ object SearchIndex {
       val cs = head.agg(count(lit(1)), max(col("doc_id"))).head
       val (cnt, mx) = (cs.getLong(0),
         if (cs.isNullAt(1)) -1L else cs.getLong(1))
-      inTxn(s) {
+      CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO ${t.postings} SELECT * FROM $tfV")
         s.sql(s"INSERT INTO ${t.docs} SELECT * FROM $dlV")
         s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST($headV AS BIGINT), " +
@@ -251,14 +237,4 @@ object SearchIndex {
     t
   }
 
-  private def inTxn(s: SparkSession)(body: => Unit): Unit = {
-    s.sql("CALL graft_cat.system.txn_begin()").collect()
-    try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
-    catch {
-      case t: Throwable =>
-        try s.sql("CALL graft_cat.system.txn_abort()").collect()
-        catch { case s2: Throwable => t.addSuppressed(s2) }
-        throw t
-    }
-  }
 }
