@@ -1008,7 +1008,46 @@ object DecisionSupport {
         col("brand").asc_nulls_first)
   }
 
+  /** q177 — TPC-DS Q47 shape (moving-average outliers): the canonical
+    * "three windows over one monthly aggregate" surface — a yearly
+    * average computed OVER a (nation, year) partition, month-over-month
+    * neighbors via lag/lead OVER the (nation) sequence, and a deviation
+    * filter that only makes sense after both. One exchange produces the
+    * monthly grain; every window reuses that partitioning (nation
+    * prefix), so Spark plans the three window functions over ONE sort —
+    * no second shuffle. The yearly average is spelled as exact integer
+    * SUM/COUNT divided once in DOUBLE on both engines (never the
+    * engines' own AVG accumulators), so the deviation filter is
+    * IEEE-identical. */
+  val movingAvgOutliers: Q = (s, d) => {
+    val monthly = table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("y"),
+        month(col("l_shipdate")).cast("long").as("m"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_q"))
+    val wYear = Window.partitionBy("nation", "y")
+    val wSeq = Window.partitionBy("nation").orderBy("y", "m")
+    monthly
+      .withColumn("avg_q",
+        sum(col("sum_q")).over(wYear).cast("double") /
+          count(lit(1)).over(wYear).cast("double"))
+      .withColumn("psum", lag(col("sum_q"), 1).over(wSeq))
+      .withColumn("nsum", lead(col("sum_q"), 1).over(wSeq))
+      .filter(col("y") === 1997 &&
+        abs(col("sum_q") - col("avg_q")) > col("avg_q") * 0.1)
+      .select(col("nation"), col("m"), col("sum_q"), col("avg_q"),
+        col("psum"), col("nsum"))
+      .orderBy("nation", "m")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_moving_avg_outliers" -> movingAvgOutliers,
     "q175_multi_band_counts" -> multiBandCounts,
     "q176_rollup_grouping_rank" -> rollupGroupingRank,
     "q170_reachability_semi" -> reachabilitySemiJoins,
@@ -1046,6 +1085,30 @@ object DecisionSupport {
     // DS Q88: the oracle keeps the eight-scalar-subquery cross-join
     // spelling; the Spark side is ONE conditional-aggregate fact pass —
     // hash equality proves the collapse is semantics-preserving
+    // DS Q47: yearly average = exact integer SUM/COUNT divided once in
+    // DOUBLE on both engines; lag/lead over the same nation sequence
+    "q177_moving_avg_outliers" ->
+      """WITH monthly AS (
+        |  SELECT n.n_name AS nation,
+        |         CAST(year(l.l_shipdate) AS BIGINT) AS y,
+        |         CAST(month(l.l_shipdate) AS BIGINT) AS m,
+        |         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_q
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT nation, y, m, sum_q,
+        |    CAST(SUM(sum_q) OVER (PARTITION BY nation, y) AS DOUBLE)
+        |      / CAST(COUNT(*) OVER (PARTITION BY nation, y) AS DOUBLE)
+        |      AS avg_q,
+        |    lag(sum_q) OVER (PARTITION BY nation ORDER BY y, m) AS psum,
+        |    lead(sum_q) OVER (PARTITION BY nation ORDER BY y, m) AS nsum
+        |  FROM monthly)
+        |SELECT nation, m, sum_q, avg_q, psum, nsum
+        |FROM w
+        |WHERE y = 1997 AND abs(sum_q - avg_q) > avg_q * 0.1
+        |ORDER BY nation, m""".stripMargin,
     "q175_multi_band_counts" ->
       """SELECT * FROM
         |(SELECT COUNT(*) AS c1 FROM lineitem WHERE month(l_shipdate) = 1 AND l_quantity < 25),

@@ -23,6 +23,26 @@ class DecisionSupportSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("q177 moving-avg outliers: three windows, one window sort, dims broadcast") {
+    val df = DecisionSupport.movingAvgOutliers(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // both dims broadcast into the fact scan
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+    // the yearly-avg window and the lag/lead window share the nation
+    // partitioning prefix: Spark plans ONE Window sort chain, not a
+    // second exchange — exactly one shuffle after the monthly aggregate
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 2, s"window re-shuffled: $exchanges exchanges\n$plan")
+    // every output row is a genuine >10% deviation from its yearly mean
+    rows.foreach { r =>
+      val sumQ = r.getLong(r.fieldIndex("sum_q")).toDouble
+      val avgQ = r.getDouble(r.fieldIndex("avg_q"))
+      assert(math.abs(sumQ - avgQ) > avgQ * 0.1)
+    }
+  }
+
   test("q176 grouping rank: Expand feeds one agg; leaf ranks stay inside their category") {
     val df = DecisionSupport.rollupGroupingRank(spark, sf)
     val rows = df.collect()
