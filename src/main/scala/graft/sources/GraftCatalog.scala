@@ -167,6 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Identifier.of(namespace, "fast_forward"),
       Identifier.of(namespace, "cherry_pick"),
       Identifier.of(namespace, "drop_branch"),
+      Identifier.of(namespace, "indexes"),
       Identifier.of(namespace, "txn_begin"),
       Identifier.of(namespace, "txn_commit"),
       Identifier.of(namespace, "txn_abort"),
@@ -186,6 +187,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "fast_forward" => new FastForwardProcedure(this)
       case "cherry_pick" => new CherryPickProcedure(this)
       case "drop_branch" => new DropBranchProcedure(this)
+      case "indexes" => new IndexesProcedure(this)
       case "txn_begin" => new TxnProcedure(this, "txn_begin")
       case "txn_commit" => new TxnProcedure(this, "txn_commit")
       case "txn_abort" => new TxnProcedure(this, "txn_abort")
@@ -194,7 +196,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"catalog $catalogName has no procedure `$other` (available: " +
           "compact, expire_versions, vacuum, clone, zorder, tag, rollback, " +
           "evolve_spec, branch, fast_forward, cherry_pick, drop_branch, " +
-          "txn_begin, txn_commit, txn_abort, txn_recover)")
+          "indexes, txn_begin, txn_commit, txn_abort, txn_recover)")
     }
 
   /** Resolve a dotted table name to its [[SegTable]] (procedure target). */
@@ -1375,6 +1377,10 @@ class SegTable private (ident: String, dir: Path,
   private[sources] def currentSegmentCount: Int = synchronized(cur.segs.size)
   private[sources] def currentRowCount: Long =
     synchronized(cur.segs.map(_.rows).sum)
+  /** Live rows = physical rows minus deletion-vector retractions —
+    * manifest arithmetic, no data scan (the indexes() inventory). */
+  private[sources] def currentLiveRows: Long = synchronized(
+    cur.segs.map(s => s.rows - s.dv.map(_.ndel).getOrElse(0L)).sum)
   private[sources] def hasDeclaredSort: Boolean =
     synchronized(cur.props.contains(SegSort.PropKey))
 
@@ -4565,6 +4571,13 @@ private class ProcResultScan(schema: StructType, row: InternalRow)
   override def readSchema(): StructType = schema
 }
 
+/** Multi-row procedure result (the indexes() inventory). */
+private class ProcRowsScan(schema: StructType, rs: Array[InternalRow])
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = rs
+  override def readSchema(): StructType = schema
+}
+
 /** Read-only manifest-backed relation ([[SegTable.metadataTable]]) —
   * driver-local by design: its rows ARE the manifest, which every
   * catalog operation already materializes on the driver. */
@@ -4668,6 +4681,68 @@ class VacuumProcedure(catalog: GraftCatalog) extends UnboundProcedure {
 
 /** `CALL graft_cat.system.clone('db.src', 'db.dst')` — zero-copy shallow
   * clone ([[GraftCatalog.cloneTable]]). */
+/** Persisted-index inventory (`CALL system.indexes('db')`): one row per
+  * index artifact discovered by its `_meta` watermark table — family
+  * (minhash-signatures / ivf-cells / pq-codes / bm25-postings), index
+  * name, the data table, its live row count (manifest arithmetic,
+  * deletion vectors subtracted), segment count, and the data table's
+  * committed head version. The operational complement of the ensure*()
+  * maintenance entry points: which derived artifacts exist and how big
+  * they are, answerable without touching data. */
+class IndexesProcedure(catalog: GraftCatalog) extends UnboundProcedure {
+  override def name(): String = "indexes"
+  override def description(): String =
+    "list persisted index artifacts (dedup/ann/pq/search) in a namespace"
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "indexes"
+    override def description(): String = IndexesProcedure.this.description()
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("namespace", StringType).defaultValue("'db'")
+        .build())
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val ns = input.getUTF8String(0).toString
+      val MetaRe = "(dedup|ann|search)_(.+)_meta".r
+      val rows = catalog.listTables(Array(ns)).toSeq
+        .map(_.name()).sorted.flatMap {
+          case MetaRe(fam0, base) =>
+            val (family, dataName) = fam0 match {
+              case "dedup" => ("minhash-signatures", s"dedup_${base}_sigs")
+              case "search" => ("bm25-postings", s"search_${base}_postings")
+              case "ann" if base.endsWith("_pq") =>
+                ("pq-codes", s"ann_${base}_codes")
+              case _ => ("ivf-cells", s"ann_${base}_cells")
+            }
+            try {
+              val t = catalog.segTable(s"$ns.$dataName")
+              Some(new GenericInternalRow(Array[Any](
+                UTF8String.fromString(family),
+                UTF8String.fromString(base.stripSuffix("_pq")),
+                UTF8String.fromString(s"$ns.$dataName"),
+                t.currentLiveRows,
+                t.currentSegmentCount.toLong,
+                t.currentVersion)): InternalRow)
+            } catch {
+              // a meta without its data table = a torn build the next
+              // ensure*() will rebuild — not an inventory row
+              case _: Exception => None
+            }
+          case _ => None
+        }
+      val schema = StructType(Seq(
+        StructField("family", StringType, nullable = false),
+        StructField("index_name", StringType, nullable = false),
+        StructField("data_table", StringType, nullable = false),
+        StructField("live_rows", LongType, nullable = false),
+        StructField("n_segments", LongType, nullable = false),
+        StructField("data_version", LongType, nullable = false)))
+      util.Collections.singletonList[Scan](
+        new ProcRowsScan(schema, rows.toArray)).iterator()
+    }
+  }
+}
+
 class CloneProcedure(catalog: GraftCatalog) extends UnboundProcedure {
   override def name(): String = "clone"
   override def description(): String =

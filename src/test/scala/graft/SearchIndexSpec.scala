@@ -154,6 +154,38 @@ class SearchIndexSpec extends SparkTestBase {
     }
   }
 
+  test("CALL system.indexes() inventories the persisted artifacts by family") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    Seq("postings", "docs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.search_spec_inv_$x"))
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_inv_sigs")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_inv_meta")
+    val docs =
+      spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+    SearchIndex.ensure(spark, docs, "spec_inv")
+    ext.DedupIndex.ensure(spark, docs, "spec_inv")
+    val inv = spark.sql("CALL graft_cat.system.indexes('db')")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val lex = inv.get(("bm25-postings", "spec_inv")).getOrElse(
+      fail(s"postings index missing from inventory: ${inv.keys}"))
+    assert(lex._1 === "db.search_spec_inv_postings")
+    assert(lex._2 > 0L && lex._3 >= 2L) // live rows; tok:8-sorted segments
+    val sig = inv.get(("minhash-signatures", "spec_inv")).getOrElse(
+      fail(s"signature index missing from inventory: ${inv.keys}"))
+    assert(sig._1 === "db.dedup_spec_inv_sigs" && sig._2 > 0L)
+    // live_rows is DV-aware: retract half the signatures and re-list
+    spark.sql("ALTER TABLE graft_cat.db.dedup_spec_inv_sigs " +
+      "SET TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    spark.sql("DELETE FROM graft_cat.db.dedup_spec_inv_sigs WHERE doc_id < 250")
+    val after = spark.sql("CALL graft_cat.system.indexes('db')")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    assert(after(("minhash-signatures", "spec_inv")) < sig._2,
+      "inventory live_rows did not subtract deletion vectors")
+  }
+
   test("CDC crash replay: a retraction without its txn re-applies and converges") {
     // the documented crash window: the DELETE published but the
     // insert+watermark txn did not — meta still points at the old
