@@ -177,6 +177,46 @@ object TextAnalysis {
     * ≤ k counters per task; pass 2's groupBy carries ≤ k distinct keys
     * after the broadcast filter. A direct groupBy(item) instead would
     * shuffle one row per distinct key — vocabulary-sized, unbounded. */
+  /** ext139 — COUNT-MIN SKETCH (the mergeable frequency sketch the
+    * family still lacked next to HLL/KMV distinct counts, Misra-Gries
+    * heavy hitters, and Bloom membership): a d=4 × w=256 counter matrix
+    * over the token stream, built as ONE relational aggregate —
+    * explode tokens × 4 hash rows, group by (row, cell), count. Point
+    * estimates are the min over the key's 4 cells; CMS guarantees
+    * est ≥ true (spec-pinned per key). Everything is codegen'd
+    * expressions; the matrix is d×w counters regardless of corpus size,
+    * and counter matrices ADD, so partial sketches from any partitioning
+    * (or day-by-day increments) merge exactly — the property that makes
+    * CMS the 100 TB frequency primitive. Hashes use the engine-portable
+    * 60-bit md5 prefix (q109's discipline), so DuckDB rebuilds the
+    * identical matrix and the oracle hash-matches estimates exactly. */
+  val countMinSketch: Q = (s, d) => {
+    val cellOf = (src: String) =>
+      s"pmod(CAST(conv(substring(md5(concat($src, '#', j)), 1, 15), 16, 10) AS BIGINT), 256)"
+    val toks = table(s, d, "documents")
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')"))
+        .as("tok"))
+    val matrix = toks
+      .select(col("tok"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("j"), expr(cellOf("tok")).as("cell"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("c"))
+    val keys = s.range(1).select(explode(
+      lit(Array("spark", "merge", "vector", "data", "the"))).as("kname"))
+    val kCells = keys
+      .select(col("kname"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("kname"), col("j"), expr(cellOf("kname")).as("cell"))
+    val est = kCells.join(matrix, Seq("j", "cell"), "left")
+      .groupBy("kname")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    val tru = keys.join(
+        toks.groupBy(col("tok").as("kname")).agg(count(lit(1)).as("tc")),
+        Seq("kname"), "left")
+      .select(col("kname"), coalesce(col("tc"), lit(0L)).as("true_cnt"))
+    est.join(tru, Seq("kname"))
+      .select(col("kname"), col("est"), col("true_cnt"))
+      .orderBy("kname")
+  }
+
   val heavyHitters: Q = (s, d) => {
     val mg = udaf(new graft.functions.MisraGriesAgg(64),
       org.apache.spark.sql.Encoders.STRING)
@@ -368,6 +408,7 @@ object TextAnalysis {
       .orderBy("source", "size_bucket")
 
   val queries: Map[String, Q] = Map(
+    "ext139_count_min_sketch" -> countMinSketch,
     "ext109_bpe_merges" -> bpeMerges,
     "ext117_bpe_encode" -> bpeEncode,
     "ext119_privacy_census" -> privacyCensus,
@@ -561,6 +602,38 @@ object TextAnalysis {
         |SELECT shard, string_agg(h, '|' ORDER BY h) AS bottomk
         |FROM r WHERE rk <= 8
         |GROUP BY shard ORDER BY shard""".stripMargin,
+    // the CMS matrix is deterministic (portable 60-bit md5 prefix
+    // hashes), so DuckDB rebuilds the identical d×w counters and the
+    // min-over-cells estimates hash-match exactly
+    "ext139_count_min_sketch" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                t -> t <> '')) AS tok
+        |  FROM documents),
+        |m AS (
+        |  SELECT j,
+        |    CAST(concat('0x', substr(md5(tok || '#' || j), 1, 15))
+        |      AS BIGINT) % 256 AS cell,
+        |    COUNT(*) AS c
+        |  FROM toks, range(4) r(j) GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT unnest(['spark', 'merge', 'vector', 'data', 'the'])
+        |    AS kname),
+        |kc AS (
+        |  SELECT kname, j,
+        |    CAST(concat('0x', substr(md5(kname || '#' || j), 1, 15))
+        |      AS BIGINT) % 256 AS cell
+        |  FROM keys, range(4) r(j)),
+        |est AS (
+        |  SELECT kname, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+        |  FROM kc LEFT JOIN m USING (j, cell) GROUP BY kname),
+        |tru AS (
+        |  SELECT kname,
+        |    CAST(COUNT(t.tok) AS BIGINT) AS true_cnt
+        |  FROM keys LEFT JOIN toks t ON t.tok = kname GROUP BY kname)
+        |SELECT kname, est, true_cnt
+        |FROM est JOIN tru USING (kname)
+        |ORDER BY kname""".stripMargin,
     // exact heavy hitters: the sketch is a pass-1 pruning device only,
     // so the oracle is the plain exact formulation
     "ext94_heavy_hitters" ->

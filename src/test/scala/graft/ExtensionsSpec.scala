@@ -105,6 +105,34 @@ class ExtensionsSpec extends SparkTestBase {
       "a vector dropped at 0.4 must also be dropped at 0.2")
   }
 
+  test("count-min sketch: est >= true per key; partial matrices add exactly") {
+    val rows = TextAnalysis.countMinSketch(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (est, tru) = (r.getLong(1), r.getLong(2))
+      assert(est >= tru, s"CMS under-counted ${r.getString(0)}: $est < $tru")
+    }
+    // the query terms exist in the corpus, so the check is not vacuous
+    assert(rows.exists(_.getLong(2) > 0L))
+    // mergeability: the matrix built from the whole corpus equals the
+    // sum of matrices built from disjoint halves — counters ADD, the
+    // property that makes CMS incrementally maintainable at 100 TB
+    val docs = ops.table(spark, sf, "documents")
+    def matrixOf(f: org.apache.spark.sql.DataFrame) = f
+      .select(explode(expr("filter(split(lower(text), ' '), t -> t <> '')"))
+        .as("tok"))
+      .select(col("tok"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("j"), expr("pmod(CAST(conv(substring(md5(concat(tok, " +
+        "'#', j)), 1, 15), 16, 10) AS BIGINT), 256)").as("cell"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("c"))
+    val whole = matrixOf(docs).orderBy("j", "cell").collect().map(_.toSeq)
+    val halves = matrixOf(docs.filter(col("doc_id") % 2 === 0))
+      .unionAll(matrixOf(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy("j", "cell").agg(sum("c").as("c"))
+      .orderBy("j", "cell").collect().map(_.toSeq)
+    assert(whole.toSeq === halves.toSeq, "partial CMS matrices did not add")
+  }
+
   test("misra-gries sketch: guarantee holds under any merge order; heavy hitters are exact") {
     // pure sketch property: a stream where 'hot' has freq 1/3 > N/(k+1)
     // must keep 'hot' in the candidates however the stream is chunked
