@@ -1746,6 +1746,28 @@ object SemiStructured {
     * 100 TB ingest pipeline runs nightly. The aggregate pins content
     * equality; SourcesSpec pins the file-count drop and time-travel to
     * the pre-compaction version. */
+  /** q178 — the persisted-index inventory as an oracle-checked query:
+    * build one near-dup signature index and one lexical postings index
+    * over `documents`, then `CALL system.indexes('db')` must report
+    * both with EXACT live row counts — sigs = docs with ≥ 3
+    * whitespace tokens (the shingle threshold), postings = distinct
+    * (doc_id, token) pairs — values DuckDB recomputes from the fixture.
+    * Proves the inventory's manifest arithmetic (rows minus deletion
+    * vectors) agrees with the data it summarizes, without scanning it. */
+  val q178IndexInventory: Q = (s, d) => {
+    ensureGraftCatalog(s)
+    Seq("dedup_inv_q_sigs", "dedup_inv_q_meta", "search_inv_q_postings",
+      "search_inv_q_docs", "search_inv_q_meta").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+    graft.ext.DedupIndex.ensure(s, docs, "inv_q")
+    graft.ext.SearchIndex.ensure(s, docs, "inv_q")
+    s.sql("CALL graft_cat.system.indexes('db')")
+      .filter(col("index_name") === "inv_q")
+      .select(col("family"), col("index_name"), col("live_rows"))
+      .orderBy("family")
+  }
+
   val q94CatalogCompact: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cmp_t")
@@ -2067,6 +2089,7 @@ object SemiStructured {
     "q92_tvf" -> q92Tvf,
     "q93_catalog_default" -> q93CatalogDefault,
     "q94_catalog_compact" -> q94CatalogCompact,
+    "q178_index_inventory" -> q178IndexInventory,
     "q95_catalog_expire" -> q95CatalogExpire,
     "q130_catalog_vacuum" -> q130CatalogVacuum,
     "q131_shallow_clone" -> q131ShallowClone,
@@ -2703,6 +2726,25 @@ object SemiStructured {
         |SELECT CAST(id // 400 AS BIGINT) AS band, COUNT(*) AS n,
         |  CAST(SUM(v) AS BIGINT) AS v_sum, CAST(SUM(tag) AS BIGINT) AS tag_sum
         |FROM t GROUP BY 1 ORDER BY band""".stripMargin,
+    // q178: the inventory's manifest-derived live counts, recomputed
+    // from the fixture — sigs = docs with >= 3 whitespace tokens (the
+    // shingle threshold, trim-split, empties counted like the engine),
+    // postings = distinct (doc_id, non-empty token) pairs
+    "q178_index_inventory" ->
+      """WITH sig_rows AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+        |post_rows AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT DISTINCT doc_id, unnest(list_filter(
+        |      string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |    FROM documents))
+        |SELECT * FROM (
+        |  SELECT 'bm25-postings' AS family, 'inv_q' AS index_name,
+        |         (SELECT n FROM post_rows) AS live_rows
+        |  UNION ALL
+        |  SELECT 'minhash-signatures', 'inv_q', (SELECT n FROM sig_rows))
+        |ORDER BY family""".stripMargin,
     "q94_catalog_compact" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v
