@@ -79,7 +79,7 @@ object Bench {
     * eventually truncate mid-JSON and break the driver's parse. `value` is
     * always the full-suite total and `nq` the full query count, so omission
     * never under-reports; the complete per-query map is written to
-    * BENCH_LOCAL.json alongside. */
+    * BENCH_RUN.json alongside. */
   private[graft] def contractLine(results: Map[String, Double], sfTag: String,
       maxLen: Int = 1900): String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -100,6 +100,16 @@ object Bench {
     }
     sb.append(suffix).toString
   }
+
+  /** Elementwise-minimum fold of a raw run into the committed pin (pure;
+    * unit-tested in BenchPolicySpec). Keys only in the run (new entries)
+    * enter at their run time; keys only in the pin are preserved — a run
+    * can never inflate or drop a pinned entry. */
+  private[graft] def foldMin(pin: Map[String, Double],
+      run: Map[String, Double]): Map[String, Double] =
+    (pin.keySet ++ run.keySet).map { k =>
+      k -> (pin.get(k).toSeq ++ run.get(k).toSeq).min
+    }.toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -230,14 +240,18 @@ object Bench {
       .mkString("{", ",", "}")
     // a SPARK_GRAFT_BENCH_ONLY-filtered debug run must never overwrite the
     // full-suite record (r5 post-mortem: a 2-query 1.69 s partial clobbered
-    // the committed 192-query 119 s record)
+    // the committed 192-query 119 s record). Raw runs land in BENCH_RUN*
+    // and never touch the BENCH_LOCAL.json pin (r10 post-mortem: a driver
+    // run inside an interference window rewrote the committed minimum pin
+    // in place); fold minima into the pin explicitly via `runMain
+    // graft.BenchFold`.
     val localFile =
-      if (filtered) "BENCH_LOCAL.partial.json" else "BENCH_LOCAL.json"
+      if (filtered) "BENCH_RUN.partial.json" else "BENCH_RUN.json"
     // per-query regression report vs the committed baseline
     // (BASELINE_LOCAL.json: per-query MEDIANS of idle runs on the CURRENT
     // fixtures — re-pin it whenever the driver regenerates testdata;
     // round-7 post-mortem: cross-fixture comparisons hid real deltas
-    // inside a 1.58× fixture-content drift). Written into BENCH_LOCAL
+    // inside a 1.58× fixture-content drift). Written into BENCH_RUN
     // and summarized on stderr — never stdout, the driver's captured
     // tail belongs to the contract line alone.
     val vsBaseline: String = (try {

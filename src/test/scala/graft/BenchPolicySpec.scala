@@ -58,4 +58,26 @@ class BenchPolicySpec extends AnyFunSuite {
   test("clean pass selects nothing") {
     assert(Bench.chooseRetries(times(), idxOf, 0, Set.empty, 0.3, 1e9).isEmpty)
   }
+
+  test("foldMin: run can only improve or extend the pin, never inflate it") {
+    val pin = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0)
+    val run = Map("a" -> 0.5, "b" -> 9.0, "d" -> 4.0)
+    val m = Bench.foldMin(pin, run)
+    assert(m === Map("a" -> 0.5, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0))
+  }
+
+  test("Bench writes raw runs to BENCH_RUN*, never the BENCH_LOCAL pin") {
+    // r10 post-mortem: the driver's interference-window run rewrote the
+    // committed minimum pin in place. Pin the output-file split at the
+    // source level so a future refactor can't silently restore it.
+    val text = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(text.contains("\"BENCH_RUN.json\""))
+    assert(text.contains("\"BENCH_RUN.partial.json\""))
+    assert(!text.contains("PrintWriter(\n        s\"${sys.props(\"user.dir\")}/BENCH_LOCAL"))
+    assert(!text.contains("\"BENCH_LOCAL.json\""),
+      "Bench must not name the pin file; only BenchFold writes it")
+  }
 }
