@@ -69,7 +69,16 @@ object AnnIndex {
     * names to probe. Synchronized: one in-JVM builder per name is
     * enough (cross-process publication is the catalog's optimistic
     * commit); concurrent readers see either the old or the new complete
-    * index version, never a torn one. */
+    * index version, never a torn one.
+    *
+    * Watermark limits: coverage keys on (count, max vec_id) of the
+    * stored cells vs the corpus, so an in-place UPDATE that preserves
+    * BOTH — a re-embedded vector under the same id — is NOT detected
+    * and the no-op branch would serve the stale assignment. Route
+    * mutable corpora through [[ensureCdc]], whose committed-version
+    * watermark is exact. A cells table whose layout predates the
+    * BIGINT/bucketed migration routes to a full rebuild instead of
+    * failing the append (see `cellsLayoutCurrent`). */
   def ensure(s: SparkSession, corpus: DataFrame, name: String): Tables =
     synchronized {
       require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
@@ -89,8 +98,17 @@ object AnnIndex {
         try { s.table(t.cents).schema; true }
         catch { case _: org.apache.spark.sql.AnalysisException => false }
 
+      // A pre-migration cells table (INT cell, unpartitioned) cannot
+      // take a BIGINT delta append — it would fail analysis, not fall
+      // back. Treat the layout mismatch as "not covered": rebuild.
+      def cellsLayoutCurrent: Boolean =
+        try s.table(t.cells).schema("cell").dataType ==
+          org.apache.spark.sql.types.LongType
+        catch { case _: Exception => false }
+
       (tableState(t.cells), centsExist) match {
-        case (Some((storedCnt, storedMax)), true) if storedCnt > 0 =>
+        case (Some((storedCnt, storedMax)), true)
+            if storedCnt > 0 && cellsLayoutCurrent =>
           val cs = corpus.agg(count(lit(1)), max(col("vec_id")),
             count(when(col("vec_id") <= lit(storedMax), 1))).head
           val (cnt, mx, prefixCnt) = (cs.getLong(0),
@@ -119,8 +137,9 @@ object AnnIndex {
 
   /** Version-keyed maintenance over a CATALOG-table corpus — the vector
     * twin of [[DedupIndex.ensureCdc]]: [[ensure]]'s count/max watermark
-    * can only prove append-only growth (a deleted or re-embedded vector
-    * forces a full rebuild), so this variant keys coverage on the
+    * can only prove append-only growth (a delete forces a full rebuild;
+    * a re-embedded vector under the same id is NOT even detected), so
+    * this variant keys coverage on the
     * table's committed VERSION and applies the change feed between the
     * covered version and the head — retract the changed vec_ids from
     * the cells table (a deletion-vector append; the bucketed layout is
@@ -248,7 +267,10 @@ object AnnIndex {
 
   /** Ensure the PQ tier of the named index covers `corpus`
     * (vec_id BIGINT, v ARRAY<DOUBLE> of 64 dims). Same idempotence /
-    * incremental-append / rebuild contract as [[ensure]]. */
+    * incremental-append / rebuild contract as [[ensure]] — including
+    * its watermark limit: a count+max-preserving in-place UPDATE is NOT
+    * detected (stale codes would be served); use [[ensurePqCdc]] for
+    * mutable catalog corpora. */
   def ensurePq(s: SparkSession, corpus: DataFrame, name: String): PqTables =
     synchronized {
       require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")

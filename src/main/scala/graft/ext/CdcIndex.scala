@@ -47,6 +47,54 @@ private[ext] object CdcIndex {
     }
   }
 
+  /** The (catalog table ident, committed head version) behind `df` when
+    * it is a PURE scan of one `graft_cat` table — optional subquery
+    * aliases / bare-attribute projections over a single
+    * DataSourceV2Relation; None for anything else (filters, computed
+    * columns, joins, non-catalog sources), where content cannot be
+    * keyed by a table version. Plain ensure() uses this as a cheap
+    * content fingerprint: a catalog table's version changes on EVERY
+    * commit, so an in-place UPDATE that preserves row count and max id
+    * — invisible to the (cnt, max, prefixCnt) watermark — still moves
+    * the fingerprint. One manifest read, no data scan. */
+  def sourceVersion(s: SparkSession, df: org.apache.spark.sql.DataFrame)
+      : Option[(String, Long)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    @annotation.tailrec
+    def strip(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c)
+      case r: DataSourceV2Relation => Some(r)
+      case _ => None
+    }
+    strip(df.queryExecution.analyzed).flatMap { r =>
+      (r.catalog, r.identifier) match {
+        case (Some(cat), Some(id)) if cat.name == "graft_cat" =>
+          val ident = (cat.name +: id.namespace :+ id.name).mkString(".")
+          try Some((ident, headVersion(s, ident)))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    }
+  }
+
+  /** True when every commit in (v0, v1] on `table` is append-only or
+    * content-preserving ("append", "compact", "zorder", "alter", "tag")
+    * — the proof plain ensure()'s delta-append path needs that the
+    * already-indexed prefix was not edited in place while new rows
+    * arrived. Metadata-sized (one manifest read, one row per version). */
+  def appendOnlyBetween(s: SparkSession, table: String, v0: Long,
+      v1: Long): Boolean = {
+    val safe = Set("append", "compact", "zorder", "alter", "tag")
+    s.table(s"$table.versions")
+      .filter(col("v") > v0 && col("v") <= v1)
+      .select("operation").collect()
+      .forall(r => safe(r.getString(0).split('@').head))
+  }
+
   /** One cross-table transaction (CALL system.txn_*): the atomic
     * publish every CDC refresh ends with. */
   def inTxn(s: SparkSession)(body: => Unit): Unit = {

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *   - `graft_cat.db.dedup_<name>_meta` (k BIGINT, n_docs BIGINT,
   *     max_id BIGINT) — one row describing the covered CORPUS (not the
   *     sig table: shingle-less docs are signless, so corpus coverage
-  *     cannot be derived from sig counts).
+  *     cannot be derived from sig counts). `k` is the content
+  *     fingerprint: the corpus table's committed version when the
+  *     source is a pure `graft_cat` scan, `-1` otherwise (see
+  *     [[ensure]] for what each proves).
   *
   * The incremental refresh publishes the sigs append and the meta
   * advance in ONE cross-table transaction ([[graft.sources.SegTxn]]'s
@@ -63,7 +66,18 @@ object DedupIndex {
   /** Ensure the named index covers `docs` (doc_id BIGINT, text STRING).
     * Three states, keyed on the corpus watermark in `meta`:
     * covered → no-op; append-only growth → sign ONLY the delta and
-    * publish sigs+meta in one txn; any other change → full rebuild. */
+    * publish sigs+meta in one txn; any other change → full rebuild.
+    *
+    * Watermark strength: when `docs` is a PURE scan of a `graft_cat`
+    * table, the meta row additionally stores the table's committed
+    * VERSION as a content fingerprint (`k` column; `-1` for any other
+    * source), so in-place UPDATEs that preserve row count and max
+    * doc_id — invisible to the (cnt, max, prefixCnt) check — still
+    * force a rebuild, and the delta-append path is only taken when the
+    * intervening commits are provably append-only. For a plain
+    * DataFrame corpus (k = −1) no such fingerprint exists: an UPDATE
+    * preserving count+max is NOT detected — route mutable corpora
+    * through [[ensureCdc]], whose version watermark is exact. */
   def ensure(s: SparkSession, docs: DataFrame, name: String): Tables =
     synchronized {
       require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
@@ -71,10 +85,28 @@ object DedupIndex {
       val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
         s"graft_cat.db.dedup_${name}_meta")
 
-      val stored: Option[(Long, Long)] =
+      val src = CdcIndex.sourceVersion(s, docs)
+      val metaCols: Option[Seq[String]] =
+        try Some(s.table(t.meta).schema.fieldNames.toSeq)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      if (metaCols.exists(_.headOption.contains("version"))) {
+        // CDC-built index: overwriting its meta with k-mode values would
+        // silently reset the version watermark to 0 and make the next
+        // ensureCdc replay the ENTIRE feed history. Same catalog corpus
+        // → delegate to the exact version-keyed maintenance; anything
+        // else → full rebuild, which explicitly converts the index (and
+        // its meta schema) to k-mode.
+        return src match {
+          case Some((tbl, _)) => ensureCdc(s, tbl, name)
+          case None => build(s, docs, t, -1L)
+        }
+      }
+      val fp = src.map(_._2).getOrElse(-1L)
+
+      val stored: Option[(Long, Long, Long)] =
         try {
-          val r = s.table(t.meta).select("n_docs", "max_id").head
-          Some((r.getLong(0), r.getLong(1)))
+          val r = s.table(t.meta).select("k", "n_docs", "max_id").head
+          Some((r.getLong(0), r.getLong(1), r.getLong(2)))
         } catch {
           case _: org.apache.spark.sql.AnalysisException => None
           case _: NoSuchElementException => None
@@ -84,26 +116,30 @@ object DedupIndex {
         catch { case _: org.apache.spark.sql.AnalysisException => false }
 
       (stored, sigsExist) match {
-        case (Some((storedN, storedMax)), true) if storedN > 0 =>
+        case (Some((storedK, storedN, storedMax)), true) if storedN > 0 =>
           val cs = docs.agg(count(lit(1)), max(col("doc_id")),
             count(when(col("doc_id") <= lit(storedMax), 1))).head
           val (cnt, mx, prefixCnt) = (cs.getLong(0),
             if (cs.isNullAt(1)) -1L else cs.getLong(1), cs.getLong(2))
-          if (cnt == storedN && mx == storedMax) t // covered — no-op
-          else if (mx > storedMax && prefixCnt == storedN) {
+          if (cnt == storedN && mx == storedMax && storedK == fp)
+            t // covered — no-op
+          else if (mx > storedMax && prefixCnt == storedN &&
+              ((storedK < 0 && fp < 0) ||
+               (storedK >= 0 && fp > storedK &&
+                CdcIndex.appendOnlyBetween(s, src.get._1, storedK, fp)))) {
             val delta = signatures(docs.filter(col("doc_id") > lit(storedMax)))
             val view = s"graft_dedup_delta_" +
               java.util.UUID.randomUUID().toString.replace("-", "")
             delta.createOrReplaceTempView(view)
             try CdcIndex.inTxn(s) {
               s.sql(s"INSERT INTO ${t.sigs} SELECT * FROM $view")
-              s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST(0 AS BIGINT), " +
+              s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST($fp AS BIGINT), " +
                 s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
             } finally s.catalog.dropTempView(view)
             refreshes.incrementAndGet()
             t
-          } else build(s, docs, t)
-        case _ => build(s, docs, t)
+          } else build(s, docs, t, fp)
+        case _ => build(s, docs, t, fp)
       }
     }
 
@@ -114,8 +150,9 @@ object DedupIndex {
   val cdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Version-keyed maintenance over a CATALOG-table corpus: where
-    * [[ensure]]'s count/max watermark can only prove append-only growth
-    * (any delete or in-place update forces a full rebuild), this
+    * [[ensure]]'s watermark can only REJECT a mutated corpus (the
+    * count/max check catches deletes; the version fingerprint catches
+    * in-place updates on catalog sources, forcing a full rebuild), this
     * variant keys coverage on the table's committed VERSION and applies
     * the change feed between the covered version and the head —
     * retract the signatures of every changed doc_id, re-sign the
@@ -202,7 +239,8 @@ object DedupIndex {
     t
   }
 
-  private def build(s: SparkSession, docs: DataFrame, t: Tables): Tables = {
+  private def build(s: SparkSession, docs: DataFrame, t: Tables,
+      fp: Long): Tables = {
     val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val (cnt, mx) = (cs.getLong(0),
       if (cs.isNullAt(1)) -1L else cs.getLong(1))
@@ -210,7 +248,7 @@ object DedupIndex {
     // meta LAST: a crash above leaves meta ≠ corpus → next ensure rebuilds
     s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
     s.sql(s"CREATE TABLE ${t.meta} (k BIGINT, n_docs BIGINT, max_id BIGINT)")
-    s.sql(s"INSERT INTO ${t.meta} SELECT CAST(0 AS BIGINT), " +
+    s.sql(s"INSERT INTO ${t.meta} SELECT CAST($fp AS BIGINT), " +
       s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
     builds.incrementAndGet()
     t

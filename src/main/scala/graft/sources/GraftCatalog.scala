@@ -1650,6 +1650,10 @@ class SegTable private (ident: String, dir: Path,
     }
   }
 
+  // scan-planning manifest cache state (epoch + monotonic read stamp)
+  private var scanCacheEpoch = -1L
+  private var scanCacheAtNanos = Long.MinValue
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Iceberg-style read freshness: resolve the CURRENT committed head at
     // scan-planning time. Writers already re-read under their locks, so
@@ -1657,9 +1661,26 @@ class SegTable private (ident: String, dir: Path,
     // cached by another catalog instance (a stream's cloned session
     // running foreachBatch, a second SparkSession in the JVM) would
     // otherwise pin every read to whatever version it first loaded.
-    // One small-file manifest read per planned scan; pinned time-travel
-    // handles ([[versionAt]]) are separate objects and stay pinned.
-    synchronized { versions = SegStore.readVersions(dir, log) }
+    // The re-read is CACHED on [[SegStore.writeEpoch]]: any same-JVM
+    // commit (any catalog instance) bumps the epoch and invalidates, so
+    // a multi-scan plan (self-join, index probe) resolves the head ONCE
+    // instead of once per scan — and, absent a racing same-JVM commit,
+    // every scan of one planning pass observes ONE committed version.
+    // Cross-process commits can't bump this JVM's epoch; a short TTL
+    // (graft.manifest.cache.ttl.ms, default 100, 0 = always re-read)
+    // bounds that staleness. Pinned time-travel handles ([[versionAt]])
+    // are separate objects and stay pinned.
+    val ep = SegStore.writeEpoch(dir, log) // read BEFORE the manifest
+    val now = System.nanoTime()
+    val ttlNanos =
+      java.lang.Long.getLong("graft.manifest.cache.ttl.ms", 100L) * 1000000L
+    synchronized {
+      if (ep != scanCacheEpoch || now - scanCacheAtNanos > ttlNanos) {
+        versions = SegStore.readVersions(dir, log)
+        scanCacheEpoch = ep
+        scanCacheAtNanos = now
+      }
+    }
     new SegScanBuilder(ident, dir, cur,
       Option(options.get("maxSegmentsPerTrigger")).map(_.toInt), log,
       Option(options.get("startingVersion")))
@@ -2404,7 +2425,9 @@ class SegTable private (ident: String, dir: Path,
     require(log == SegStore.MetaFile,
       s"$ident: drop_branch targets the main table")
     SegStore.withDirLock(dir) {
-      Files.deleteIfExists(dir.resolve(SegStore.branchLog(name)))
+      val deleted = Files.deleteIfExists(dir.resolve(SegStore.branchLog(name)))
+      if (deleted) SegStore.bumpEpoch(dir, SegStore.branchLog(name))
+      deleted
     }
   }
 }
@@ -4185,19 +4208,44 @@ object SegStore {
     JsonMethods.compact(JsonMethods.render(json)) + "\n"
   }
 
+  /** Same-JVM manifest WRITE EPOCHS, keyed by (dir, log) path — bumped
+    * by every mutation primitive below, so readers can cache a parsed
+    * manifest and invalidate EXACTLY when any writer in this JVM
+    * commits (any catalog instance: the key is the path, not the
+    * handle — the round-10 read-freshness rule at zero per-scan IO).
+    * Cross-process commits don't bump the epoch; the scan-planning
+    * cache pairs it with a short TTL as the cross-process backstop
+    * ([[SegTable.newScanBuilder]]). */
+  private val writeEpochs =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def epochCell(dir: Path, log: String) =
+    writeEpochs.computeIfAbsent(dir.toAbsolutePath.toString + "#" + log,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+  def writeEpoch(dir: Path, log: String): Long = epochCell(dir, log).get()
+  private[sources] def bumpEpoch(dir: Path, log: String): Unit =
+    epochCell(dir, log).incrementAndGet()
+
+  /** Manifest-file read counter (diagnostics; ScaleInfraSpec pins the
+    * scan-planning cache through it). */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Atomically create a NEW log seeded with `v` — fails with
     * FileAlreadyExistsException if the log exists (the cross-process
     * branch-creation race: exactly one creator wins). */
-  def createLog(dir: Path, v: SegVersion, log: String): Unit =
+  def createLog(dir: Path, v: SegVersion, log: String): Unit = {
     Files.write(dir.resolve(log),
       versionLine(v).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
+    bumpEpoch(dir, log)
+  }
 
   def appendVersion(dir: Path, v: SegVersion,
-      log: String = MetaFile): Unit =
+      log: String = MetaFile): Unit = {
     Files.write(dir.resolve(log),
       versionLine(v).getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    bumpEpoch(dir, log)
+  }
 
   /** In-JVM stripe for the cross-process file lock below: two catalog
     * instances in ONE JVM (a stream's cloned session, a second
@@ -4279,16 +4327,52 @@ object SegStore {
           s"manifest log $log was dropped — refusing to recreate it " +
             "(stale handle committing after drop_branch?)"))
       try {
+        healTornTail(ch)
         val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
         if (head != expectedV) false
         else {
           ch.position(ch.size())
           ch.write(java.nio.ByteBuffer.wrap(
             versionLine(v).getBytes(StandardCharsets.UTF_8)))
+          bumpEpoch(dir, log)
           true
         }
       } finally { lock.release(); ch.close() }
     }
+
+  /** Heal a torn manifest tail UNDER the exclusive manifest lock: a
+    * crash mid-append leaves a final line with no terminating '\n'
+    * (readers already ignore it — the commit point is the complete
+    * line), but a later append would concatenate its line onto the
+    * partial tail, welding the two into one permanently unparseable
+    * line. Writers therefore truncate back to the last '\n' before
+    * appending; lock-free readers keep the lenient ignore-partial-tail
+    * read (truncating without the lock would race in-flight appends). */
+  private def healTornTail(ch: java.nio.channels.FileChannel): Unit = {
+    val size = ch.size()
+    if (size == 0L) return
+    val one = java.nio.ByteBuffer.allocate(1)
+    ch.read(one, size - 1)
+    if (one.get(0) == '\n') return
+    // scan backwards in chunks for the last terminated line
+    val chunk = 1 << 16
+    val buf = java.nio.ByteBuffer.allocate(chunk)
+    var pos = size
+    var cut = 0L // no '\n' anywhere -> sole line is torn, empty the log
+    var found = false
+    while (!found && pos > 0) {
+      val start = math.max(0L, pos - chunk)
+      buf.clear(); buf.limit((pos - start).toInt)
+      ch.read(buf, start)
+      var i = buf.limit() - 1
+      while (i >= 0 && !found) {
+        if (buf.get(i) == '\n') { cut = start + i + 1; found = true }
+        i -= 1
+      }
+      pos = start
+    }
+    ch.truncate(cut)
+  }
 
   /** Conditional wholesale replacement: under the SAME exclusive locks
     * the conditional append takes (JVM dir stripe + OS file lock on the
@@ -4320,6 +4404,7 @@ object SegStore {
       StandardOpenOption.WRITE)
     Files.move(tmp, dir.resolve(log), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    bumpEpoch(dir, log)
   }
 
   /** Order-preserving 8-byte-prefix encoding of a UTF-8 string: the
@@ -4392,6 +4477,7 @@ object SegStore {
     // read (the pre-append head is the correct snapshot). Mid-file
     // truncation cannot happen: appends only ever extend the tail, and
     // every writer terminates its line with '\n'.
+    manifestReads.incrementAndGet()
     val bytes = Files.readAllBytes(dir.resolve(log))
     var end = bytes.length
     while (end > 0 && bytes(end - 1) != '\n') end -= 1
@@ -4412,6 +4498,7 @@ object SegStore {
         throw new IllegalStateException(
           s"manifest log $log missing during txn roll-forward"))
       try {
+        healTornTail(ch)
         val vs = readVersions(dir, log)
         if (vs.exists(_.op.endsWith(s"@txn=$txnId"))) false
         else {
@@ -4422,6 +4509,7 @@ object SegStore {
           ch.position(ch.size())
           ch.write(java.nio.ByteBuffer.wrap(
             versionLine(next).getBytes(StandardCharsets.UTF_8)))
+          bumpEpoch(dir, log)
           true
         }
       } finally { lock.release(); ch.close() }

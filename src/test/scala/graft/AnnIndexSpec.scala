@@ -322,4 +322,33 @@ class AnnIndexSpec extends SparkTestBase {
       "a shrunk corpus must force a full rebuild, not a refresh")
     assert(spark.table(t.cells).count() === 500L)
   }
+
+  test("legacy INT-cells layout routes a grown corpus to rebuild, not a failed append") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_legacy_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_legacy_cents")
+    // simulate an index persisted before the BIGINT/bucketed migration:
+    // INT cell column, unpartitioned — a BIGINT delta append into it
+    // fails analysis, so ensure() must treat the layout as "not
+    // covered" and fall back to a full rebuild
+    spark.sql("CREATE TABLE graft_cat.db.ann_spec_legacy_cells " +
+      "(vec_id BIGINT, cell INT, v ARRAY<DOUBLE>, norm DOUBLE)")
+    spark.sql("INSERT INTO graft_cat.db.ann_spec_legacy_cells " +
+      "SELECT id, CAST(id % 8 AS INT), array(CAST(id AS DOUBLE)), 1.0D " +
+      "FROM range(64)")
+    spark.sql("CREATE TABLE graft_cat.db.ann_spec_legacy_cents " +
+      "(cid INT, c ARRAY<DOUBLE>)")
+    spark.sql("INSERT INTO graft_cat.db.ann_spec_legacy_cents " +
+      "SELECT CAST(id AS INT), array(CAST(id AS DOUBLE)) FROM range(8)")
+    val b0 = AnnIndex.builds.get()
+    // corpus grew past the stored max: the old code path would append
+    val t = AnnIndex.ensure(spark, mkCorpus(128), "spec_legacy")
+    assert(AnnIndex.builds.get() === b0 + 1,
+      "legacy layout should have routed to a full rebuild")
+    assert(spark.table(t.cells).schema("cell").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "rebuild must migrate the cells layout to BIGINT")
+    assert(spark.table(t.cells).count() === 128L)
+  }
 }

@@ -87,6 +87,91 @@ class DedupIndexSpec extends SparkTestBase {
       "a shrunk corpus must force a full rebuild, not a refresh")
   }
 
+  test("catalog-corpus fingerprint: count/max-preserving UPDATE forces a rebuild") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.fp_docs")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_fp_sigs")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_fp_meta")
+    docs.filter(col("doc_id") < 300).writeTo("graft_cat.db.fp_docs").create()
+    val b0 = DedupIndex.builds.get()
+    val rf0 = DedupIndex.refreshes.get()
+
+    val t = DedupIndex.ensure(spark, spark.table("graft_cat.db.fp_docs"),
+      "spec_fp")
+    assert(DedupIndex.builds.get() === b0 + 1)
+    // covered (same committed version): pure no-op
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.fp_docs"), "spec_fp")
+    assert(DedupIndex.builds.get() === b0 + 1)
+    assert(DedupIndex.refreshes.get() === rf0)
+    // the fingerprint stored is the corpus table's committed version
+    assert(spark.table(t.meta).select("k").head.getLong(0) ===
+      spark.sql("SELECT max(v) FROM graft_cat.db.fp_docs.versions")
+        .head.getLong(0))
+
+    // in-place UPDATE that preserves BOTH row count and max doc_id —
+    // invisible to the (cnt, max, prefixCnt) watermark, caught only by
+    // the version fingerprint
+    spark.sql("UPDATE graft_cat.db.fp_docs " +
+      "SET text = 'graft mutated body' WHERE doc_id = 5")
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.fp_docs"), "spec_fp")
+    assert(DedupIndex.builds.get() === b0 + 2,
+      "count/max-preserving update served a stale index")
+    val stored = spark.table(t.sigs).orderBy("doc_id").collect().map(_.toSeq)
+    val fresh = DedupIndex.signatures(
+        spark.table("graft_cat.db.fp_docs").select("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(stored.toSeq === fresh.toSeq,
+      "rebuilt index diverged from the mutated corpus")
+
+    // append-only growth on the SAME catalog corpus still takes the
+    // exact delta path (the intervening commits are provably appends)
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .writeTo("graft_cat.db.fp_docs").append()
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.fp_docs"), "spec_fp")
+    assert(DedupIndex.builds.get() === b0 + 2,
+      "catalog append triggered a full rebuild instead of a delta sign")
+    assert(DedupIndex.refreshes.get() === rf0 + 1)
+  }
+
+  test("plain ensure on a CDC-built index preserves the version watermark") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.fpg_docs")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_cdcg_sigs")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_spec_cdcg_meta")
+    spark.sql("CREATE TABLE graft_cat.db.fpg_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    docs.filter(col("doc_id") < 300).writeTo("graft_cat.db.fpg_docs").append()
+    val t = DedupIndex.ensureCdc(spark, "graft_cat.db.fpg_docs", "spec_cdcg")
+    val b0 = DedupIndex.builds.get()
+    val c0 = DedupIndex.cdcRefreshes.get()
+
+    spark.sql("DELETE FROM graft_cat.db.fpg_docs WHERE doc_id % 7 = 0")
+    // plain ensure over the same catalog corpus must NOT overwrite the
+    // CDC meta with k-mode values (that would reset the version
+    // watermark to 0 and force a full feed replay) — it delegates to
+    // the exact version-keyed maintenance
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.fpg_docs"),
+      "spec_cdcg")
+    assert(DedupIndex.builds.get() === b0,
+      "plain ensure rebuilt a CDC-maintained index")
+    assert(DedupIndex.cdcRefreshes.get() === c0 + 1,
+      "the delete should have applied as one feed slice")
+    assert(spark.table(t.meta).schema.fieldNames.head === "version",
+      "plain ensure clobbered the CDC meta schema")
+    assert(spark.table(t.meta).select("version").head.getLong(0) ===
+      spark.sql("SELECT max(v) FROM graft_cat.db.fpg_docs.versions")
+        .head.getLong(0),
+      "version watermark no longer at the corpus head")
+    // ...and a covered head is a no-op through EITHER entry point
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.fpg_docs"),
+      "spec_cdcg")
+    DedupIndex.ensureCdc(spark, "graft_cat.db.fpg_docs", "spec_cdcg")
+    assert(DedupIndex.builds.get() === b0)
+    assert(DedupIndex.cdcRefreshes.get() === c0 + 1)
+  }
+
   test("stream-maintained index: one build + one refresh, converges to ext03") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)

@@ -9,6 +9,49 @@ import org.apache.spark.sql.functions._
   */
 class ScaleInfraSpec extends SparkTestBase {
 
+  test("scan planning caches the manifest per write-epoch; commits invalidate") {
+    import graft.sources.SegStore
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val ttlKey = "graft.manifest.cache.ttl.ms"
+    val old = System.getProperty(ttlKey)
+    System.setProperty(ttlKey, "600000") // isolate from wall-clock in CI
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_cat.db.mcache_t")
+      spark.sql("CREATE TABLE graft_cat.db.mcache_t (id BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graft_cat.db.mcache_t SELECT id, id * 2 FROM range(100)")
+      // warm: the first planning after the commit re-reads the manifest
+      assert(spark.table("graft_cat.db.mcache_t").count() === 100L)
+
+      // a 3-scan self-join plans THREE scans of one table; the epoch
+      // hasn't moved, so the cached head serves all of them with ZERO
+      // further manifest IO (the round-10 per-scan re-read, ADVICE'd as
+      // repeated file IO under the table monitor, is gone)
+      val r0 = SegStore.manifestReads.get()
+      val n = spark.sql("SELECT count(*) AS n FROM graft_cat.db.mcache_t a " +
+        "JOIN graft_cat.db.mcache_t b ON a.id = b.id " +
+        "JOIN graft_cat.db.mcache_t c ON a.id = c.id").head.getLong(0)
+      assert(n === 100L)
+      assert(SegStore.manifestReads.get() === r0,
+        "multi-scan planning re-read the manifest per scan")
+
+      // any same-JVM commit bumps the write epoch: the next planning
+      // re-reads exactly once and observes the new head immediately
+      // (the §16.19 cross-instance freshness guarantee is preserved)
+      spark.sql(
+        "INSERT INTO graft_cat.db.mcache_t SELECT id + 100, id FROM range(50)")
+      val r1 = SegStore.manifestReads.get()
+      assert(spark.table("graft_cat.db.mcache_t").count() === 150L,
+        "stale read served after a commit")
+      assert(SegStore.manifestReads.get() === r1 + 1,
+        "post-commit planning should re-read the manifest exactly once")
+    } finally {
+      if (old == null) System.clearProperty(ttlKey)
+      else System.setProperty(ttlKey, old)
+    }
+  }
+
   test("bucketed co-located join runs without a shuffle on either side") {
     val li = ops.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val ord = ops.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")

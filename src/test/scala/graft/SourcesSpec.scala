@@ -1297,6 +1297,24 @@ class SourcesSpec extends SparkTestBase {
       "refused rewrite must leave the log untouched")
     assert(SegStore.rewriteVersionsIfHead(dir, lf, 1L, Seq(v0.copy(v = 9L))))
     assert(SegStore.readVersions(dir, lf).map(_.v) === Vector(9L))
+
+    // torn-tail healing: a crash mid-append leaves an unterminated final
+    // line; readers ignore it, and the NEXT locked commit must truncate
+    // it away rather than welding its own line onto the partial tail
+    // (which would turn a transient torn tail into a permanently
+    // unparseable manifest line)
+    val torn = "{\"v\":99,\"ids\":[0],\"schema".getBytes("UTF-8")
+    java.nio.file.Files.write(dir.resolve("_meta.json"), torn,
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(SegStore.readVersions(dir).map(_.v) === Vector(0L, 1L),
+      "readers must ignore the in-flight partial line")
+    assert(SegStore.commitVersion(dir, 1L, v0.copy(v = 2L)),
+      "commit after a torn append must heal and succeed")
+    assert(SegStore.readVersions(dir).map(_.v) === Vector(0L, 1L, 2L))
+    // every line in the healed log must be individually parseable
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("_meta.json")), "UTF-8").split('\n').filter(_.nonEmpty)
+    assert(lines.length === 3, "torn partial line must be gone")
   }
 
   test("evolve_spec: stamps gate bucket trust; both eras readable (q161)") {
