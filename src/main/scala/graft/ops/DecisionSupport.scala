@@ -1046,7 +1046,40 @@ object DecisionSupport {
       .orderBy("nation", "m")
   }
 
+  /** q179 — TPC-DS Q67 shape (windowed top-N over rollup partitions):
+    * the third DS rollup surface — where q176 ranks by HIERARCHY DEPTH
+    * and q165 within a data column, Q67 ranks EVERY rollup row of one
+    * top-level partition together: a category's leaf cells
+    * (brand, year), its brand subtotals AND its own total all compete
+    * in ONE rank window ordered by the measure alone, ties share a
+    * rank (rank(), not row_number — a brand sold in a single year TIES
+    * its own subtotal, so ties are structural here, not accidental),
+    * and rk ≤ 10 keeps whole tie groups. The all-up row ranks alone in
+    * the NULL-category partition — the DS Q67 NULL-category
+    * semantics. One expand (4× map-side rows) feeds one aggregation;
+    * the window sorts only the rollup OUTPUT (grouping-cells scale,
+    * not fact scale) — the plan that survives a 100× fact growth. */
+  val rollupPartitionTopN: Q = (s, d) => {
+    val f = table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "part")
+        .select(col("p_partkey"), col("p_type"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(split(col("p_type"), " ").getItem(0).as("cat"),
+        col("p_brand").as("brand"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_quantity").cast("long").as("q"))
+    val rolled = f.rollup(col("cat"), col("brand"), col("yr"))
+      .agg(sum(col("q")).as("sum_q"))
+    val w = Window.partitionBy(col("cat")).orderBy(col("sum_q").desc)
+    rolled.withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("cat"), col("brand"), col("yr"), col("sum_q"), col("rk"))
+      .orderBy(col("cat").asc_nulls_first, col("brand").asc_nulls_first,
+        col("yr").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_rollup_partition_topn" -> rollupPartitionTopN,
     "q177_moving_avg_outliers" -> movingAvgOutliers,
     "q175_multi_band_counts" -> multiBandCounts,
     "q176_rollup_grouping_rank" -> rollupGroupingRank,
@@ -1087,6 +1120,23 @@ object DecisionSupport {
     // hash equality proves the collapse is semantics-preserving
     // DS Q47: yearly average = exact integer SUM/COUNT divided once in
     // DOUBLE on both engines; lag/lead over the same nation sequence
+    "q179_rollup_partition_topn" ->
+      """WITH f AS (
+        |  SELECT string_split(p.p_type, ' ')[1] AS cat, p.p_brand AS brand,
+        |         CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+        |         CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |r AS (
+        |  SELECT cat, brand, yr, CAST(SUM(q) AS BIGINT) AS sum_q
+        |  FROM f GROUP BY ROLLUP(cat, brand, yr)),
+        |x AS (
+        |  SELECT cat, brand, yr, sum_q,
+        |    CAST(rank() OVER (PARTITION BY cat ORDER BY sum_q DESC)
+        |      AS BIGINT) AS rk
+        |  FROM r)
+        |SELECT cat, brand, yr, sum_q, rk FROM x WHERE rk <= 10
+        |ORDER BY cat ASC NULLS FIRST, brand ASC NULLS FIRST,
+        |  yr ASC NULLS FIRST""".stripMargin,
     "q177_moving_avg_outliers" ->
       """WITH monthly AS (
         |  SELECT n.n_name AS nation,

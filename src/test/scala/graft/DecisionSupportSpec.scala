@@ -61,6 +61,37 @@ class DecisionSupportSpec extends SparkTestBase {
     }
   }
 
+  test("q179 rollup-partition top-N: single Expand, one window sort, ties kept whole") {
+    val df = DecisionSupport.rollupPartitionTopN(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // ONE Expand (the rollup's 4 grouping sets from one fact pass) and
+    // ONE Window — the rank sorts only the rollup OUTPUT, never the fact
+    assert(plan.split("Expand").length - 1 === 1, plan)
+    // exactly one Window operator ("Window [" — WindowGroupLimit, the
+    // rank-pushdown prefilter Spark may add, prints differently and is
+    // welcome: it truncates each partition before the sort)
+    assert(plan.split("Window \\[").length - 1 === 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // part stays broadcast
+    // the all-up row ranks ALONE in the NULL-category partition
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(grand.length === 1 &&
+      grand.head.getLong(grand.head.fieldIndex("rk")) === 1L)
+    // rank() semantics inside each category: equal sums share a rank,
+    // and a brand's yearly leaf can tie its own subtotal (structural tie)
+    val rk = rows.head.fieldIndex("rk")
+    val sq = rows.head.fieldIndex("sum_q")
+    rows.filter(!_.isNullAt(0)).groupBy(_.getString(0)).values.foreach { g =>
+      assert(g.forall(_.getLong(rk) <= 10L))
+      assert(g.exists(_.getLong(rk) == 1L))
+      g.groupBy(_.getLong(sq)).values.foreach { same =>
+        assert(same.map(_.getLong(rk)).distinct.length === 1,
+          "equal sums must share a rank within their category")
+      }
+    }
+  }
+
   test("q170 reachability: semi self-join + anti join, no cartesian") {
     val df = DecisionSupport.reachabilitySemiJoins(spark, sf)
     val rows = df.collect()
