@@ -342,7 +342,13 @@ object Search {
     val dl = s.table(t.docs)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val tf = s.table(t.postings).filter(col("tok").isin(bm25Terms: _*))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df from an INDEPENDENT scan of the postings table, not derived
+    // from `tf`: joining a frame with an aggregate of itself trips
+    // Spark's ambiguous-self-join detection under some session
+    // histories (observed order-dependently in the r11 sweep); two
+    // separate lineages read the same term-pruned segments either way
+    val df = s.table(t.postings).filter(col("tok").isin(bm25Terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
