@@ -404,7 +404,9 @@ object AnnIndex {
     encode(sub, s.table(t.cents))
       .select(col("vec_id"), col("j").cast("int").as("j"),
         col("code").cast("int").as("code"))
-      .writeTo(t.codes).createOrReplace()
+      .writeTo(t.codes)
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+      .createOrReplace()
     pqBuilds.incrementAndGet()
     t
   }
@@ -438,6 +440,7 @@ object AnnIndex {
         col("v"), col("norm"))
       .writeTo(t.cells)
       .partitionedBy(bucket(8, col("cell")))
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
       .createOrReplace()
     builds.incrementAndGet()
     t

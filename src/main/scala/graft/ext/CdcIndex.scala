@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 private[ext] object CdcIndex {
 
+  /** `graft.autocompact` spec every persisted index artifact declares
+    * (4 MiB target : 4 small files : 20% DV ratio): CDC maintenance
+    * takes deletes as merge-on-read DV appends, so without a compaction
+    * policy an index under churn pays ever-growing DV subtraction on
+    * every probe. With the property, the catalog's write-time trigger
+    * byte-merges small append segments and materializes DVs past the
+    * ratio — and a `graft.sort`ed postings table re-sorts instead of
+    * byte-merging, so term clustering survives the compaction. */
+  val AutoCompactSpec = "4194304:4:20"
+
   /** Head version of a catalog table (one manifest read). */
   def headVersion(s: SparkSession, table: String): Long =
     s.table(s"$table.versions").agg(max(col("v"))).head.getLong(0)

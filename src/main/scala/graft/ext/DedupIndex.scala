@@ -225,7 +225,9 @@ object DedupIndex {
     val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val (cnt, mx) = (cs.getLong(0),
       if (cs.isNullAt(1)) -1L else cs.getLong(1))
-    signatures(docs).writeTo(t.sigs).createOrReplace()
+    signatures(docs).writeTo(t.sigs)
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+      .createOrReplace()
     // retractions must be deletion-vector appends, not segment rewrites
     s.sql(s"ALTER TABLE ${t.sigs} SET TBLPROPERTIES " +
       "('graft.dml.mode'='merge-on-read')")
@@ -244,7 +246,9 @@ object DedupIndex {
     val cs = docs.agg(count(lit(1)), max(col("doc_id"))).head
     val (cnt, mx) = (cs.getLong(0),
       if (cs.isNullAt(1)) -1L else cs.getLong(1))
-    signatures(docs).writeTo(t.sigs).createOrReplace()
+    signatures(docs).writeTo(t.sigs)
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+      .createOrReplace()
     // meta LAST: a crash above leaves meta ≠ corpus → next ensure rebuilds
     s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
     s.sql(s"CREATE TABLE ${t.meta} (k BIGINT, n_docs BIGINT, max_id BIGINT)")

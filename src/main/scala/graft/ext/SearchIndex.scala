@@ -62,6 +62,10 @@ object SearchIndex {
   private def writePostings(tf: DataFrame, t: Tables): Unit =
     tf.writeTo(t.postings)
       .tableProperty(graft.sources.SegSort.PropKey, "tok:8")
+      // sorted + autocompact: clustering decay / DV growth triggers the
+      // catalog's RE-SORT compaction (not a byte-merge), so postings
+      // segments stay term-disjoint across maintenance (spec-pinned)
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
       .createOrReplace()
 
   /** Per-document index rows — (postings, dl) — bit-identical to
@@ -235,7 +239,9 @@ object SearchIndex {
       if (cs.isNullAt(1)) -1L else cs.getLong(1))
     val (tf, dl) = postingsOf(docs)
     writePostings(tf, t)
-    dl.writeTo(t.docs).createOrReplace()
+    dl.writeTo(t.docs)
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+      .createOrReplace()
     // retractions must be deletion-vector appends, not segment rewrites
     s.sql(s"ALTER TABLE ${t.postings} SET TBLPROPERTIES " +
       "('graft.dml.mode'='merge-on-read')")
@@ -258,7 +264,9 @@ object SearchIndex {
       if (cs.isNullAt(1)) -1L else cs.getLong(1))
     val (tf, dl) = postingsOf(docs)
     writePostings(tf, t)
-    dl.writeTo(t.docs).createOrReplace()
+    dl.writeTo(t.docs)
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+      .createOrReplace()
     s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
     s.sql(s"CREATE TABLE ${t.meta} (k BIGINT, n_docs BIGINT, max_id BIGINT)")
     s.sql(s"INSERT INTO ${t.meta} SELECT CAST($fp AS BIGINT), " +

@@ -256,9 +256,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (tables.keySet().asScala.toSet ++ onDisk())
       .filter(_.namespace().sameElements(namespace)).toArray
 
+  /** Stamp the catalog name a handle is being served through (used by
+    * the sorted-table re-sort compaction, which rewrites the table via
+    * its own SQL surface). */
+  private def own(t: SegTable): SegTable = { t.catalogQualifier = name(); t }
+
   override def loadTable(ident: Identifier): Table = {
     val cached = tables.get(ident)
-    if (cached != null) return cached
+    if (cached != null) return own(cached)
     val dir = dirFor(ident)
     if (!Files.exists(dir.resolve(SegStore.MetaFile))) {
       // Iceberg-style metadata tables: `cat.db.t.versions` parses as
@@ -289,7 +294,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (Files.exists(bdir.resolve(lf))) {
           val opened = SegTable.open(ident.toString, bdir, lf)
           val prior = tables.putIfAbsent(ident, opened)
-          return if (prior != null) prior else opened
+          return own(if (prior != null) prior else opened)
         }
       }
       throw new NoSuchTableException(ident)
@@ -298,7 +303,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // rebuilds the table from its on-disk manifest log
     val reopened = SegTable.open(ident.toString, dir)
     val prior = tables.putIfAbsent(ident, reopened)
-    if (prior != null) prior else reopened
+    own(if (prior != null) prior else reopened)
   }
 
   /** `REFRESH TABLE graft_cat.db.t`: drop the cached handle so the next
@@ -405,7 +410,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t = SegTable.create(ident.toString, dir, schema, partCol, props)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident)
-    t
+    own(t)
   }
 
   /** ALTER TABLE ADD/RENAME/DROP COLUMN (+ default-value updates) —
@@ -886,6 +891,12 @@ case class SegVersion(v: Long, colIds: Array[Int], schema: StructType,
 /** Observation hooks for specs: (table, surviving segments, total). */
 object SegHooks {
   val lastPlanned = new AtomicReference[(String, Int, Int)](("", 0, 0))
+  /** (table, planned segment file names) of the last scan planning —
+    * the identity-level view of `lastPlanned`, so specs can assert SET
+    * properties of pruning (e.g. a multi-term IN plans exactly the
+    * union of the per-term segment sets), not just cardinalities. */
+  val lastPlannedFiles =
+    new AtomicReference[(String, Seq[String])](("", Nil))
   val lastRuntimeFiltered = new AtomicReference[(String, Int, Int)](("", 0, 0))
   /** (table, segments dropped, segments kept) of the last metadata DELETE. */
   val lastMetadataDelete = new AtomicReference[(String, Int, Int)](("", 0, 0))
@@ -1088,6 +1099,12 @@ class SegTable private (ident: String, dir: Path,
   /** Hidden `_file`/`_pos` columns ([[SegMeta]]) — row identity for the
     * merge-on-read delta write, and directly queryable for inspection. */
   override def metadataColumns(): Array[MetadataColumn] = SegMeta.columns
+
+  /** The catalog name this table was loaded through — needed only by
+    * [[resortCompact]], which rewrites the table through its own SQL
+    * surface. Set by [[GraftCatalog.loadTable]]/create; the default
+    * matches the conventional registration. */
+  @volatile private[sources] var catalogQualifier: String = "graft_cat"
 
   private def cur: SegVersion = versions.last
 
@@ -1471,7 +1488,13 @@ class SegTable private (ident: String, dir: Path,
     * merge-on-read's deferred work must eventually materialize, and
     * this is the production policy that bounds how much every scan pays
     * in DV subtraction before a rewrite purges the vectors. */
-  private def maybeAutoCompact(): Unit =
+  private def maybeAutoCompact(): Unit = {
+    // inside an open cross-table txn, batch writes STAGE instead of
+    // publishing — an inline compaction here would stage its rewrite
+    // into the user's transaction (mislabeling it an overwrite and
+    // re-triggering per staged write). Maintenance waits for the next
+    // non-transactional commit.
+    if (SegTxn.active) return
     synchronized(cur.props.get("graft.autocompact")).foreach { raw =>
       val parts = raw.split(':')
       val target = parts(0).trim.toLong
@@ -1480,17 +1503,97 @@ class SegTable private (ident: String, dir: Path,
       require(target > 0 && minFiles >= 2 && maxDelPct > 0,
         s"$ident: bad graft.autocompact spec `$raw` " +
           "(targetBytes[:minFiles[:maxDeletePct]])")
-      val (smallFiles, delRatioHit) = synchronized {
-        val segs = cur.segs
-        val rows = segs.map(_.rows).sum
-        (segs.count(_.bytes < target),
-          rows > 0 &&
-            segs.flatMap(_.dv).map(_.ndel).sum * 100 >= rows * maxDelPct)
+      if (hasDeclaredSort) {
+        // sorted tables never trigger on SMALL FILES: the re-sort always
+        // lands its declared n segments, so a byte-size trigger would
+        // re-fire forever on a small table. Trigger on clustering decay
+        // (several overlapping write generations) or the DV ratio.
+        if (sortedCompactNeeded(maxDelPct)) compact(target)
+      } else {
+        val (smallFiles, delRatioHit) = synchronized {
+          val segs = cur.segs
+          val rows = segs.map(_.rows).sum
+          (segs.count(_.bytes < target),
+            rows > 0 &&
+              segs.flatMap(_.dv).map(_.ndel).sum * 100 >= rows * maxDelPct)
+        }
+        if (smallFiles >= minFiles || delRatioHit) compact(target)
       }
-      if (smallFiles >= minFiles || delRatioHit) compact(target)
     }
+  }
 
-  private[graft] def compact(targetBytes: Long): (Long, Long, Long) = synchronized {
+  /** Sorted-table auto-compaction trigger: fires when the table-wide DV
+    * fraction crosses `maxDelPct`, or when the sort clustering has
+    * DECAYED — segment key ranges truly overlap (each write generation
+    * spans the full key range, so generations stack overlapping
+    * segments) AND enough generations accumulated that a rewrite pays
+    * for itself (≥ 3 generations' worth of segments; a single refresh
+    * appending one generation must NOT trigger an O(index) rewrite —
+    * maintenance stays ∝ churn, compaction amortizes). Metadata-only:
+    * reads the manifest's zone maps, never data. */
+  private def sortedCompactNeeded(maxDelPct: Int): Boolean = synchronized {
+    val v = cur
+    val (c, n) = SegSort.parse(v.props(SegSort.PropKey), v.schema)
+    val ord = v.schema.fieldNames.indexOf(c)
+    val rows = v.segs.map(_.rows).sum
+    val delHit = rows > 0 &&
+      v.segs.flatMap(_.dv).map(_.ndel).sum * 100 >= rows * maxDelPct
+    val withStats = v.segs.filter(s => ord >= 0 && s.hasStats(ord))
+    val sortedByMin = withStats.sortBy(_.mins(ord))
+    // strict >: adjacent generations legitimately SHARE a boundary key
+    // (range partitioner splits on boundaries; string zone maps are
+    // 8-byte prefixes) — only a range reaching past the next segment's
+    // start is decay
+    val overlap = sortedByMin.sliding(2).exists {
+      case scala.collection.Seq(a, b) => a.maxs(ord) > b.mins(ord)
+      case _ => false
+    }
+    delHit || (overlap && v.segs.size >= 3 * math.max(n, 1))
+  }
+
+  /** Re-entrancy guard: the re-sort's own INSERT OVERWRITE commit runs
+    * maybeAutoCompact again before the rewrite publishes. */
+  private val resortInProgress = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Clustering-preserving compaction for tables with a declared write
+    * sort order (`graft.sort`): byte-merging arbitrary segment groups
+    * would weld OVERLAPPING key ranges into one segment and destroy the
+    * disjointness that zone-map segment pruning relies on (the
+    * term-clustered postings contract), so a sorted table compacts by
+    * REWRITING ITSELF through its own sorted write path — one INSERT
+    * OVERWRITE that Spark range-redistributes and sorts on the declared
+    * key, restoring a single disjoint generation and purging deletion
+    * vectors in the same pass. The rewrite is labeled content-identical
+    * (the zorder row-count-guarded label), so change feeds and live
+    * streams skip it exactly like a byte-merge compaction. Whole-table
+    * by design here; a 100 TB deployment would rewrite only the
+    * overlapping key ranges — the trigger already fires on clustering
+    * decay, not file sizes. */
+  private def resortCompact(): (Long, Long, Long) = {
+    val before = synchronized(cur.segs.size.toLong)
+    if (!resortInProgress.compareAndSet(false, true))
+      return (0L, before, before)
+    try {
+      val spark = SparkSession.active
+      val full = s"$catalogQualifier.$ident"
+      val tmp = s"graft_resort_${java.util.UUID.randomUUID.toString.take(8)}"
+      spark.table(full).createOrReplaceTempView(tmp)
+      markZorderRewrite()
+      try spark.sql(s"INSERT OVERWRITE $full SELECT * FROM $tmp")
+      finally {
+        clearZorderRewrite()
+        spark.catalog.dropTempView(tmp)
+      }
+      (1L, before, synchronized(cur.segs.size.toLong))
+    } finally resortInProgress.set(false)
+  }
+
+  private[graft] def compact(targetBytes: Long): (Long, Long, Long) = {
+    if (hasDeclaredSort) resortCompact()
+    else compactByteMerge(targetBytes)
+  }
+
+  private def compactByteMerge(targetBytes: Long): (Long, Long, Long) = synchronized {
     val v = cur
     val spec = v.partSpec
     val partOrd = spec.map(p => v.schema.fieldNames.indexOf(p.col)).getOrElse(-1)
@@ -3079,6 +3182,7 @@ class SegScan(tableName: String, dir: Path, ver: SegVersion,
     val fns = pushed.flatMap(p => SegPrune.compile(p, ver))
     val live = ver.segs.filter(s => fns.forall(f => SegPrune.canBeTrue(f(s))))
     SegHooks.lastPlanned.set((tableName, live.size, ver.segs.size))
+    SegHooks.lastPlannedFiles.set((tableName, live.map(_.file)))
     live
   }
 

@@ -114,6 +114,100 @@ class SearchIndexSpec extends SparkTestBase {
     assert(n === full.toLong)
   }
 
+  test("multi-term OR probe plans exactly the union of per-term segment sets") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    Seq("postings", "docs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.search_spec_uni_$x"))
+    val t = SearchIndex.ensure(spark, docs, "spec_uni")
+
+    // planned segment IDENTITIES of one probe (SegHooks.lastPlannedFiles
+    // is written at scan-planning time, before runtime filtering)
+    def plannedFor(terms: String*): Set[String] = {
+      val q = spark.table(t.postings).filter(col("tok").isin(terms: _*))
+      q.count() // forces planning; identity capture happens there
+      val (tbl, files) = graft.sources.SegHooks.lastPlannedFiles.get()
+      assert(tbl.contains("spec_uni_postings"), s"wrong scan captured: $tbl")
+      files.toSet
+    }
+
+    val terms = Seq("spark", "merge", "vector")
+    val perTerm = terms.map(tm => plannedFor(tm))
+    assert(perTerm.exists(_.nonEmpty))
+    // sorted build must give the OR something to prune: at least one
+    // term's set is a strict subset of the union's superset-of-all
+    val union = perTerm.reduce(_ ++ _)
+    val multi = plannedFor(terms: _*)
+    // no over-read: the 3-term probe plans exactly the union — a single
+    // segment beyond it would be wasted IO at 100 TB; a segment short of
+    // it would be wrong results
+    assert(multi === union,
+      s"3-term probe planned ${multi.size} segs, union is ${union.size}: " +
+        s"extra=${multi -- union} missing=${union -- multi}")
+
+    // a term absent from every zone map / bloom prunes to ZERO segments:
+    // the answer comes from metadata alone, no data scan at all
+    val absent = plannedFor("zzzzunindexedterm")
+    assert(absent.isEmpty, s"absent term still scanned: $absent")
+  }
+
+  test("index autocompact: CDC churn triggers a re-sort; postings stay term-disjoint") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.cmp_docs")
+    Seq("postings", "docs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.search_spec_cmp_$x"))
+    spark.sql("CREATE TABLE graft_cat.db.cmp_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+      .writeTo("graft_cat.db.cmp_docs").append()
+    val t = SearchIndex.ensureCdc(spark, "graft_cat.db.cmp_docs", "spec_cmp")
+
+    // churn the corpus through the feed until the postings table's DV
+    // ratio crosses the declared autocompact threshold — the catalog
+    // must then compact the SORTED table by re-sorting through its own
+    // write path (content-identical 'zorder' label), never byte-merging
+    def historyOps = spark.sql("SELECT operation FROM " +
+        s"graft_cat.db.search_spec_cmp_postings.versions")
+      .collect().map(_.getString(0).split('@').head).toSeq
+    var rounds = 0
+    while (!historyOps.contains("zorder") && rounds < 12) {
+      rounds += 1
+      spark.sql("UPDATE graft_cat.db.cmp_docs SET text = " +
+        s"concat(text, ' churn$rounds') WHERE doc_id % 5 = ${rounds % 5}")
+      SearchIndex.ensureCdc(spark, "graft_cat.db.cmp_docs", "spec_cmp")
+    }
+    assert(historyOps.contains("zorder"),
+      s"churn never triggered the re-sort compaction: $historyOps")
+    assert(!historyOps.contains("compact"),
+      s"a sorted table must never byte-merge: $historyOps")
+
+    // the compacted index still answers exactly like a rebuild over the
+    // head corpus
+    val head = spark.table("graft_cat.db.cmp_docs").select("doc_id", "text")
+    val (tfFresh, _) = SearchIndex.postingsOf(head)
+    assert(spark.table(t.postings)
+        .orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq
+      === tfFresh.orderBy("doc_id", "tok").collect().map(_.toSeq).toSeq,
+      "compacted postings diverged from a rebuild over the head")
+
+    // term clustering SURVIVED the compaction: a term probe still plans
+    // a strict subset of segments (disjoint token ranges)
+    val probe = spark.table(t.postings)
+      .filter(col("tok").isin("spark", "merge", "vector"))
+    probe.count()
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val m = """segs=(\d+)/(\d+)""".r.findFirstMatchIn(plan).getOrElse(
+      fail(s"no graft_cat scan in plan:\n$plan"))
+    assert(m.group(2).toInt >= 2,
+      s"re-sort landed as one segment:\n$plan")
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"term probe no longer prunes after compaction: " +
+        s"${m.group(1)}/${m.group(2)}\n$plan")
+  }
+
   test("CDC maintenance: delete+update apply as one feed slice; index == rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
