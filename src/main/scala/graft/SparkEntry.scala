@@ -7,6 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `queries` aggregates the per-module catalogs; every key has a matching
   * `oracleSql` entry unless the operator is not SQL-expressible in DuckDB
   * (those get the driver's weaker rows-only check).
+  *
+  * Rows-only allowlist (the FULL current list — ContractSpec pins it, so
+  * adding an entry without updating both is a test failure, not a silent
+  * coverage hole): exactly one entry, `q38_approx_distinct` — HLL sketch
+  * state is engine-private and not reproducible in DuckDB; its
+  * deterministic KMV twin `q38b` is hash-checked instead.
   */
 object SparkEntry {
 
@@ -43,7 +49,8 @@ object SparkEntry {
       plans.AsOfQueries.queries ++
       ops.Advanced.queries ++
       ops.DecisionSupport.queries ++
-      ops.IncrementalMv.queries)
+      ops.IncrementalMv.queries ++
+      ext.Pipeline.queries)
       .map { case (name, fn) =>
         name -> { (s: SparkSession, d: String) => ops.configure(s); fn(s, d) }
       }
@@ -72,5 +79,6 @@ object SparkEntry {
       plans.AsOfQueries.oracleSql ++
       ops.Advanced.oracleSql ++
       ops.DecisionSupport.oracleSql ++
-      ops.IncrementalMv.oracleSql
+      ops.IncrementalMv.oracleSql ++
+      ext.Pipeline.oracleSql
 }

@@ -83,7 +83,7 @@ object CorpusOps {
 
   /** Unsorted [[gopherRules]] — reused by the ensemble (ext66) without
     * burying a pointless total-order sort inside a join input. */
-  private def gopherCore(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[ext] def gopherCore(s: org.apache.spark.sql.SparkSession, d: String) = {
     val uni = table(s, d, "documents")
       .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -452,7 +452,7 @@ object CorpusOps {
 
   /** Gopher-rule CTEs shared by the ext60 oracle and the ext66 ensemble
     * oracle (final CTE `m` carries the metrics, flag via [[gopherFlagSql]]). */
-  private val gopherCtesSql: String =
+  private[ext] val gopherCtesSql: String =
     s"""uni AS (
        |  SELECT doc_id, tok, COUNT(*) AS c FROM (
        |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
@@ -485,7 +485,7 @@ object CorpusOps {
        |    CAST(p.n_stop AS DOUBLE) / p.n_tokens AS stopword_frac
        |  FROM per_doc p JOIN big b ON p.doc_id = b.doc_id)""".stripMargin
 
-  private val gopherFlagSql: String =
+  private[ext] val gopherFlagSql: String =
     """CASE WHEN n_tokens BETWEEN 20 AND 200
       |        AND mean_word_len BETWEEN 2.0 AND 10.0
       |        AND top_unigram_frac <= 0.2

@@ -199,7 +199,7 @@ object Dedup {
 
   /** Band derivation over a signature frame — ext03's LSH banding
     * (4 bands × 4 rows over h0..h15), row-local: no hashing, no shuffle. */
-  private def bandsOf(sig: DataFrame): DataFrame = {
+  private[ext] def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 to 3).map(b =>
       s"struct(CAST($b AS INT) AS band, concat_ws('|', h${4 * b}, h${4 * b + 1}, h${4 * b + 2}, h${4 * b + 3}) AS band_key)")
       .mkString("array(", ", ", ")")
@@ -785,7 +785,7 @@ object Dedup {
        |                 for i in range(1, len(toks)-1)]) AS sh
        |       FROM tok WHERE len(toks) >= 3)""".stripMargin
 
-  private val shinglesSql = shinglesSqlFrom("documents")
+  private[ext] val shinglesSql = shinglesSqlFrom("documents")
 
   /** The ext38b component chain: pair generation on the df-capped index,
     * then a per-node top-`deg` strongest-edge cut (row_number by jaccard

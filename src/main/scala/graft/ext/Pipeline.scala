@@ -1,0 +1,187 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ext140 — the end-to-end LLM corpus pipeline, one oracle-checked
+  * entry chaining the curation operators the catalog provides piecemeal
+  * (the way q49 chains the warehouse): Gopher quality rules (ext60) →
+  * exact dedup (ext01) → MinHash-LSH near-dup removal (ext03's
+  * banding) → eval holdout + decontamination (ext30) → deterministic
+  * stratified sampling (ext61's hash-uniform discipline) → curriculum
+  * phase assignment (ext118's length strata). The output is the FULL
+  * per-document lineage — every doc_id with the first stage that
+  * removed it (or its final training phase) — so the oracle hash-checks
+  * not just the surviving set but the reason each document fell out.
+  *
+  * Stage order (documented contract; each predicate is evaluated only
+  * for survivors of the previous stage):
+  *   1. `quality_drop`  — Gopher flag ≠ keep (docs with zero tokens
+  *      never reach the metric frame and drop here too);
+  *   2. `exact_dup`     — not the min doc_id of its normalized-md5
+  *      group (groups formed among quality keepers);
+  *   3. `near_dup`      — the LARGER member of any LSH band collision
+  *      (16 minhashes, 4 bands × 4 rows) among exact survivors;
+  *   4. `heldout_eval`  — the eval split (doc_id % 10 == 0) never
+  *      trains;
+  *   5. `contaminated`  — ≥ 50% of the doc's 3-gram shingles appear in
+  *      the eval split's shingle set;
+  *   6. `not_sampled`   — deterministic uniform (Knuth-hash of doc_id)
+  *      ≥ 0.5 — the 50% budget;
+  *   7. `train`         — survivors, with curriculum phase 1/2/3 by
+  *      token-length strata (< 60 / < 120 / rest).
+  *
+  * Scale notes (the shapes that survive 100 TB): every stage is a
+  * keyed aggregate or a (semi/left) equi-join — no cartesian products;
+  * the LSH candidate join is band-key-bucketed (never all-pairs); the
+  * decontamination probe is a semi join on the shingle key (the train
+  * side never multiplies rows); the corpus text is scanned a bounded
+  * number of times (token metrics, normalization hash, shingles — the
+  * shingle frame is cached and feeds signatures, the eval set and the
+  * contamination sizes). A production run would persist the
+  * intermediate frames as catalog tables ([[DedupIndex]]-style); the
+  * entry keeps them in-plan so one oracle covers the whole chain.
+  *
+  * Reference capability: the reference's dedup/transform steps
+  * (`transformation.py`, SURVEY §2 P4/P5) generalized to the
+  * training-data curation chain the brief names as first-class scope.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def table(s: SparkSession, d: String, name: String): DataFrame =
+    s.read.parquet(s"$d/$name.parquet")
+
+  val corpusPipeline: Q = (s, d) => {
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+
+    // 1. Gopher quality metrics + flag; docs outside the metric frame
+    //    (zero tokens) are drops with n_tokens = 0
+    val flags = docs.select("doc_id")
+      .join(CorpusOps.gopherCore(s, d)
+          .select(col("doc_id"), col("n_tokens"), col("quality_flag")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("quality_flag"), lit("drop")).as("quality_flag"))
+
+    // 2. exact dedup among quality keepers: min doc_id per normalized md5
+    val normh = docs
+      .join(flags.filter(col("quality_flag") === "keep").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+    val exactKept = normh.groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+    // 3. LSH near-dup among exact survivors: a band collision marks the
+    //    larger doc_id as a near-duplicate (ext03's banding, 4 × 4)
+    val sig = DedupIndex.signatures(
+      docs.join(exactKept, Seq("doc_id"), "left_semi"))
+    val bands = Dedup.bandsOf(sig)
+    val lshDrop = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_id")).distinct()
+
+    // 4. decontamination inputs: shingle sizes and eval-set overlap.
+    //    The shingle frame feeds four consumers (signatures above pull
+    //    their own restricted scan; sizes, eval set, shared counts) —
+    //    cache it once
+    val sh = Dedup.shingles(docs).cache()
+    val evalSh = sh.filter(col("doc_id") % 10 === 0).select("sh")
+    val nSh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nShared = sh.join(evalSh, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val contam = nSh.join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_sh"))
+          .as("frac"))
+
+    // 5.–7. resolve each doc's exit stage, sample, assign phase
+    val u = (col("doc_id") * lit(2654435761L)) % lit(2147483648L)
+    val staged = flags
+      .join(exactKept.withColumn("in_exact", lit(1)), Seq("doc_id"), "left")
+      .join(lshDrop.withColumn("in_lsh_drop", lit(1)), Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("quality_flag") =!= "keep", "quality_drop")
+          .when(col("in_exact").isNull, "exact_dup")
+          .when(col("in_lsh_drop").isNotNull, "near_dup")
+          .when(col("doc_id") % 10 === 0, "heldout_eval")
+          .when(coalesce(col("frac"), lit(0.0)) >= 0.5, "contaminated")
+          .when(u.cast("double") / 2147483648.0 >= 0.5, "not_sampled")
+          .otherwise("train"))
+    staged.select(col("doc_id"), col("n_tokens"), col("stage"),
+        when(col("stage") === "train",
+          when(col("n_tokens") < 60, 1L)
+            .when(col("n_tokens") < 120, 2L).otherwise(3L))
+          .otherwise(0L).as("phase"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ext140_corpus_pipeline" -> corpusPipeline)
+
+  val oracleSql: Map[String, String] = Map(
+    "ext140_corpus_pipeline" ->
+      s"""WITH ${CorpusOps.gopherCtesSql},
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(m.n_tokens, 0) AS n_tokens,
+         |    CASE WHEN m.doc_id IS NULL THEN 'drop'
+         |         ELSE ${CorpusOps.gopherFlagSql.replace("\n", " ")} END
+         |      AS quality_flag
+         |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+         |normh AS (
+         |  SELECT f.doc_id,
+         |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS h
+         |  FROM flags f JOIN documents d ON f.doc_id = d.doc_id
+         |  WHERE f.quality_flag = 'keep'),
+         |exact_kept AS (SELECT MIN(doc_id) AS doc_id FROM normh GROUP BY h),
+         |${Dedup.shinglesSql},
+         |shx AS (SELECT s.doc_id, s.sh FROM sh s
+         |        JOIN exact_kept e ON s.doc_id = e.doc_id),
+         |sig AS (
+         |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
+         |  FROM shx, range(16) r(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         |         string_agg(h, '|' ORDER BY j) AS band_key
+         |  FROM sig GROUP BY doc_id, CAST(j // 4 AS INT)),
+         |lsh_drop AS (
+         |  SELECT DISTINCT y.doc_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id),
+         |evs AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+         |szsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT doc_id, COUNT(*) AS n_shared FROM sh
+         |  WHERE sh IN (SELECT sh FROM evs) GROUP BY doc_id),
+         |contam AS (
+         |  SELECT z.doc_id,
+         |    CAST(COALESCE(r.n_shared, 0) AS DOUBLE) / z.n_sh AS frac
+         |  FROM szsh z LEFT JOIN shared r ON z.doc_id = r.doc_id),
+         |staged AS (
+         |  SELECT f.doc_id, f.n_tokens,
+         |    CASE WHEN f.quality_flag <> 'keep' THEN 'quality_drop'
+         |         WHEN e.doc_id IS NULL THEN 'exact_dup'
+         |         WHEN l.doc_id IS NOT NULL THEN 'near_dup'
+         |         WHEN f.doc_id % 10 = 0 THEN 'heldout_eval'
+         |         WHEN COALESCE(c.frac, 0.0) >= 0.5 THEN 'contaminated'
+         |         WHEN CAST((f.doc_id * 2654435761) % 2147483648 AS DOUBLE)
+         |              / 2147483648.0 >= 0.5 THEN 'not_sampled'
+         |         ELSE 'train' END AS stage
+         |  FROM flags f
+         |  LEFT JOIN exact_kept e ON f.doc_id = e.doc_id
+         |  LEFT JOIN lsh_drop l ON f.doc_id = l.doc_id
+         |  LEFT JOIN contam c ON f.doc_id = c.doc_id)
+         |SELECT doc_id, n_tokens, stage,
+         |  CAST(CASE WHEN stage = 'train' THEN
+         |         CASE WHEN n_tokens < 60 THEN 1
+         |              WHEN n_tokens < 120 THEN 2 ELSE 3 END
+         |       ELSE 0 END AS BIGINT) AS phase
+         |FROM staged ORDER BY doc_id""".stripMargin)
+}

@@ -29,7 +29,8 @@ class ContractSpec extends AnyFunSuite {
     "AsOfQueries" -> plans.AsOfQueries.queries,
     "Advanced" -> ops.Advanced.queries,
     "DecisionSupport" -> ops.DecisionSupport.queries,
-    "IncrementalMv" -> ops.IncrementalMv.queries)
+    "IncrementalMv" -> ops.IncrementalMv.queries,
+    "Pipeline" -> ext.Pipeline.queries)
 
   test("no query name collides across modules (++ would silently drop one)") {
     val perModule = moduleQueryMaps.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

@@ -1,0 +1,52 @@
+package graft
+
+/** The composed LLM corpus pipeline (ext140): beyond the DuckDB oracle
+  * (which hash-checks every document's lineage), pin the structural
+  * invariants the composition must keep — the stages PARTITION the
+  * corpus, the holdout/sample rules bind, and the one plan contains no
+  * cartesian product and a bounded number of corpus scans.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("ext140: stages partition the corpus; rules bind; plan stays bounded") {
+    ops.configure(spark)
+    val df = ext.Pipeline.queries("ext140_corpus_pipeline")(spark, d)
+    val rows = df.collect()
+    val total = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.length.toLong === total, "lineage must cover every document")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length,
+      "one lineage row per doc_id")
+
+    val stages = Set("quality_drop", "exact_dup", "near_dup",
+      "heldout_eval", "contaminated", "not_sampled", "train")
+    val byStage = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byStage.keySet.subsetOf(stages), s"unknown stage in $byStage")
+    // the funnel is non-degenerate on the fixture: quality drops exist
+    // and a training set survives the whole chain
+    assert(byStage.getOrElse("quality_drop", 0) > 0, byStage.toString)
+    assert(byStage.getOrElse("train", 0) > 0, byStage.toString)
+
+    rows.foreach { r =>
+      val (id, stage, phase) = (r.getLong(0), r.getString(2), r.getLong(3))
+      if (stage == "train") {
+        assert(phase >= 1L && phase <= 3L, s"doc $id: bad phase $phase")
+        assert(id % 10 != 0, s"doc $id: eval doc leaked into train")
+        // the deterministic 50% sample rule really bound
+        assert((id * 2654435761L) % 2147483648L < 1073741824L,
+          s"doc $id: sampled past the budget")
+      } else assert(phase === 0L, s"doc $id: phase on non-train stage $stage")
+    }
+
+    // plan audit: no cartesian product; the corpus parquet is scanned a
+    // bounded number of times (token metrics ×2, normalization hash,
+    // shingles once into the cache, plus the id spine) — a regression
+    // that re-reads raw text per stage would show up here
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan)
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans <= 8, s"corpus scanned $scans times:\n$plan")
+  }
+}
