@@ -11,7 +11,10 @@ package graft
   * different sf directory is refused rather than silently mixed in
   * (round-7 post-mortem: cross-fixture comparisons hid real deltas).
   *
-  * Usage: sbt "runMain graft.BenchFold" — reads ./BENCH_RUN.json,
+  * Usage: sbt "runMain graft.BenchFold [runFile]" — reads ./BENCH_RUN.json
+  * (or the named file, e.g. BENCH_RUN.partial.json after an isolated
+  * SPARK_GRAFT_BENCH_ONLY adjudication run — the established protocol
+  * for outlier re-measure feeds the pin through the same minimum fold),
   * rewrites ./BENCH_LOCAL.json. Prints a one-line delta summary.
   */
 object BenchFold {
@@ -26,8 +29,9 @@ object BenchFold {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.props("user.dir")
-    val run = readJson(s"$dir/BENCH_RUN.json").getOrElse(
-      sys.error("BENCH_RUN.json not found — run graft.Bench first"))
+    val runFile = args.headOption.getOrElse("BENCH_RUN.json")
+    val run = readJson(s"$dir/$runFile").getOrElse(
+      sys.error(s"$runFile not found — run graft.Bench first"))
     val runQ = (run \ "queries").extract[Map[String, Double]]
     val runSf = (run \ "sf").extract[String]
     val pinOpt = readJson(s"$dir/BENCH_LOCAL.json")
