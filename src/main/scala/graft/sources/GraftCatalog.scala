@@ -1560,32 +1560,141 @@ class SegTable private (ident: String, dir: Path,
     * would weld OVERLAPPING key ranges into one segment and destroy the
     * disjointness that zone-map segment pruning relies on (the
     * term-clustered postings contract), so a sorted table compacts by
-    * REWRITING ITSELF through its own sorted write path — one INSERT
-    * OVERWRITE that Spark range-redistributes and sorts on the declared
-    * key, restoring a single disjoint generation and purging deletion
-    * vectors in the same pass. The rewrite is labeled content-identical
-    * (the zorder row-count-guarded label), so change feeds and live
-    * streams skip it exactly like a byte-merge compaction. Whole-table
-    * by design here; a 100 TB deployment would rewrite only the
-    * overlapping key ranges — the trigger already fires on clustering
-    * decay, not file sizes. */
+    * RE-SORTING — and only the parts that need it. [[resortClusters]]
+    * rewrites exactly the segments whose key ranges truly overlap
+    * (connected overlap clusters from the manifest's zone maps, plus
+    * DV-carrying singletons when the delete ratio triggered), reading
+    * them back through a `_file IN (…)` scan that [[SegPrune]] prunes to
+    * the named files, range-redistributing + sorting per cluster, and
+    * publishing one rebase-safe swap — disjoint segments SURVIVE BY
+    * REFERENCE, so the rewrite costs O(decayed region), not O(index):
+    * the property that keeps maintenance ∝ churn at 100 TB. Partitioned
+    * sorted tables fall back to the whole-table INSERT OVERWRITE (the
+    * SQL write path owns per-key routing). Both paths are labeled
+    * content-identical (`zorder`), so change feeds and live streams skip
+    * them exactly like a byte-merge compaction. */
   private def resortCompact(): (Long, Long, Long) = {
     val before = synchronized(cur.segs.size.toLong)
     if (!resortInProgress.compareAndSet(false, true))
       return (0L, before, before)
     try {
-      val spark = SparkSession.active
-      val full = s"$catalogQualifier.$ident"
-      val tmp = s"graft_resort_${java.util.UUID.randomUUID.toString.take(8)}"
-      spark.table(full).createOrReplaceTempView(tmp)
-      markZorderRewrite()
-      try spark.sql(s"INSERT OVERWRITE $full SELECT * FROM $tmp")
-      finally {
-        clearZorderRewrite()
-        spark.catalog.dropTempView(tmp)
-      }
-      (1L, before, synchronized(cur.segs.size.toLong))
+      if (synchronized(cur).partSpec.nonEmpty) resortWholeTable(before)
+      else resortClusters(before)
     } finally resortInProgress.set(false)
+  }
+
+  /** Connected clusters of truly-overlapping key ranges (strict `>`:
+    * adjacent generations legitimately share a boundary key), from a
+    * min-key sweep over the manifest's zone maps. Metadata-only. */
+  private def overlapClusters(segs: Seq[Seg], ord: Int): Seq[Seq[Seg]] = {
+    val sorted = segs.sortBy(s => (s.mins(ord), s.maxs(ord), s.file))
+    val out = mutable.Buffer.empty[mutable.Buffer[Seg]]
+    var reach = Long.MinValue
+    sorted.foreach { s =>
+      if (out.nonEmpty && s.mins(ord) < reach) {
+        out.last += s
+        reach = math.max(reach, s.maxs(ord))
+      } else {
+        out += mutable.Buffer(s)
+        reach = s.maxs(ord)
+      }
+    }
+    out.map(_.toSeq).toSeq
+  }
+
+  /** The range-scoped re-sort: rewrite decayed clusters (≥ 2 overlapping
+    * segments) and DV-carrying singletons; everything disjoint survives
+    * by reference. Per cluster, rows come back through the table's own
+    * scan (`_file IN` pruned, DV-subtracted), land range-distributed and
+    * sorted into fresh segment files, and the commit swaps exactly the
+    * inputs each rewrite consumed — abandoned (files fall to vacuum) if
+    * a concurrent commit superseded any input, mirroring
+    * [[compactByteMerge]]'s rebase discipline. */
+  private def resortClusters(before: Long): (Long, Long, Long) = {
+    val v = synchronized(cur)
+    val (c, n) = SegSort.parse(v.props(SegSort.PropKey), v.schema)
+    val ord = v.schema.fieldNames.indexOf(c)
+    // a stats-less segment (pre-zone-map writer, all-null key) could
+    // overlap anything — conservative: treat the table as one cluster
+    val clusters: Seq[Seq[Seg]] =
+      if (ord < 0 || v.segs.exists(s => !s.hasStats(ord))) Seq(v.segs)
+      else overlapClusters(v.segs, ord)
+    val decayed = clusters.filter(_.size >= 2)
+    val inDecayed = decayed.flatten.map(_.file).toSet
+    val dvSingles = v.segs
+      .filter(s => s.dv.nonEmpty && !inDecayed(s.file)).map(Seq(_))
+    val targets = decayed ++ dvSingles
+    if (targets.isEmpty) return (0L, before, before)
+    val spark = SparkSession.active
+    val full = s"$catalogQualifier.$ident"
+    val dirStr = dir.toString
+    val outCols = v.schema
+    val ids = v.colIds
+    val tag = logTag
+    val salt = java.lang.Long.toHexString(System.currentTimeMillis())
+    val newV = v.v + 1
+    val dataCols = v.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    val fcol = org.apache.spark.sql.functions.col(SegMeta.FileCol)
+    val results: Seq[(Seq[Seg], Seq[Seg])] =
+      targets.zipWithIndex.map { case (cl, ci) =>
+        val files = cl.map(_.file)
+        // output density: one generation's worth — n range partitions for
+        // a fully-decayed table, fewer for a small cluster, 1 purges a
+        // lone DV'd segment in place
+        val nOut = math.max(1, math.min(math.max(n, 1), cl.size - 1))
+        val rows = spark.table(full)
+          .select((dataCols :+ fcol.as("_resort_file")).toIndexedSeq: _*)
+          .filter(org.apache.spark.sql.functions.col("_resort_file")
+            .isInCollection(files))
+          .drop("_resort_file")
+        val sorted =
+          (if (nOut > 1)
+            rows.repartitionByRange(nOut, org.apache.spark.sql.functions.col(c))
+          else rows.coalesce(1)).sortWithinPartitions(c)
+        val written = sorted.queryExecution.toRdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            if (!it.hasNext) Iterator.empty
+            else {
+              val w = new SegFileWriter(Paths.get(dirStr),
+                tempName = s"_temp-resort-${tag}v$newV-$salt-c$ci-p$pid.bin",
+                finalName = s"seg-resort-${tag}v$newV-$salt-c$ci-p$pid.bin",
+                outCols, ids)
+              val proj = UnsafeProjection.create(outCols)
+              it.foreach(r => w.add(proj(r)))
+              Iterator.single(w.finish())
+            }
+          }.collect().toSeq
+        (cl, written)
+      }
+    // rebase-safe swap, labeled content-identical: live rows in == rows
+    // out by construction (the scan subtracted DVs; the rewrite purges
+    // them) — change feeds and live streams skip it like any compaction
+    publish(x => {
+      val curDv = x.segs.map(s => s.file -> s.dv.map(_.file)).toMap
+      val applied = results.filter { case (cl, _) => cl.forall(in =>
+        curDv.get(in.file).contains(in.dv.map(_.file))) }
+      val replaced = applied.flatMap(_._1.map(_.file)).toSet
+      x.copy(segs = x.segs.filterNot(s => replaced(s.file)) ++
+        applied.flatMap(_._2))
+    }, op = "zorder")
+    (targets.size.toLong, before, synchronized(cur.segs.size.toLong))
+  }
+
+  /** Whole-table re-sort through the SQL surface — the fallback for
+    * PARTITIONED sorted tables, where the write path also owns per-key
+    * segment routing. */
+  private def resortWholeTable(before: Long): (Long, Long, Long) = {
+    val spark = SparkSession.active
+    val full = s"$catalogQualifier.$ident"
+    val tmp = s"graft_resort_${java.util.UUID.randomUUID.toString.take(8)}"
+    spark.table(full).createOrReplaceTempView(tmp)
+    markZorderRewrite()
+    try spark.sql(s"INSERT OVERWRITE $full SELECT * FROM $tmp")
+    finally {
+      clearZorderRewrite()
+      spark.catalog.dropTempView(tmp)
+    }
+    (1L, before, synchronized(cur.segs.size.toLong))
   }
 
   private[graft] def compact(targetBytes: Long): (Long, Long, Long) = {
@@ -4049,6 +4158,28 @@ object SegPrune {
     t
   }
 
+  /** True when `e` references the `_file` metadata column (and no data
+    * column shadows it) — file-identity predicates prune EXACTLY: the
+    * planned set is the named segments, nothing else. This is what makes
+    * file-targeted maintenance reads (partial re-sort compaction, repair
+    * inspection) cost the named files instead of a table scan. */
+  private def fileColOf(e: org.apache.spark.sql.connector.expressions.Expression,
+      ver: SegVersion): Boolean = e match {
+    case f: NamedReference => f.fieldNames.length == 1 &&
+      f.fieldNames.head == SegMeta.FileCol &&
+      !ver.schema.fieldNames.contains(SegMeta.FileCol)
+    case _ => false
+  }
+
+  private def fileLitOf(e: org.apache.spark.sql.connector.expressions.Expression):
+      Option[String] = e match {
+    case l: Literal[_] => l.value match {
+      case v: org.apache.spark.unsafe.types.UTF8String => Some(v.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
   private def strColOf(e: org.apache.spark.sql.connector.expressions.Expression,
       ver: SegVersion): Option[Int] = e match {
     case f: NamedReference if f.fieldNames.length == 1 =>
@@ -4198,6 +4329,16 @@ object SegPrune {
             case _ => (strLitOf(c(0)), strColOf(c(1), ver)) match {
               case (Some(pv), Some(id)) =>
                 Some((s: Seg) => zoneTriStr(s, id, flip(p.name()), pv))
+              case _ if p.name() == "=" || p.name() == "<>" =>
+                // `_file` identity: exact per-segment verdict, no zones
+                val lit =
+                  if (fileColOf(c(0), ver)) fileLitOf(c(1))
+                  else if (fileColOf(c(1), ver)) fileLitOf(c(0))
+                  else None
+                val eq = p.name() == "="
+                lit.map(v => (s: Seg) =>
+                  if (s.rows == 0) 0
+                  else if ((s.file == v) == eq) 1 else 2)
               case _ => None
             }
           }
@@ -4242,6 +4383,18 @@ object SegPrune {
                   vals.map(v => zoneTriStr(s, id, "=", v))
                     .foldLeft(2: Tri)(triOr)
               }
+            }
+          }
+        }.orElse {
+          // `_file` IN (…): the planned set is exactly the named segments
+          if (!fileColOf(p.children()(0), ver)) None
+          else {
+            val lits = p.children().drop(1).toSeq.map(fileLitOf)
+            if (!lits.forall(_.isDefined)) None
+            else {
+              val set = lits.flatten.toSet
+              Some((s: Seg) =>
+                if (s.rows == 0) 0 else if (set(s.file)) 1 else 2)
             }
           }
         }

@@ -253,6 +253,60 @@ class ScaleInfraSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.cbo.enabled", saved)
   }
 
+  test("partial re-sort: only the DV'd segment rewrites; disjoint files survive by reference") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.resort_t")
+    spark.sql("CREATE TABLE graft_cat.db.resort_t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.sort'='k:4', 'graft.dml.mode'='merge-on-read', " +
+      "'graft.autocompact'='4194304:4:20')")
+    spark.sql("INSERT INTO graft_cat.db.resort_t " +
+      "SELECT id, concat('v', id) FROM range(1000)")
+    def liveFiles: Set[String] = spark.table("graft_cat.db.resort_t")
+      .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
+    val initial = liveFiles
+    assert(initial.size === 4, s"sorted insert should land 4 segments: $initial")
+
+    // _file predicates prune EXACTLY to the named segment
+    val one = initial.head
+    spark.table("graft_cat.db.resort_t").filter(col("_file") === one).count()
+    val (tbl, planned, total) = graft.sources.SegHooks.lastPlanned.get()
+    assert(tbl.contains("resort_t") && planned === 1 && total === 4,
+      s"_file equality did not prune: $planned/$total on $tbl")
+
+    // DV every other row of the first TWO segments (boundaries read from
+    // the table itself — the range partitioner's cut points are sampled,
+    // not fixed): ~25% deleted crosses the 20% autocompact threshold at
+    // the DELETE's own delta commit, the DVs touch exactly two segments,
+    // and neither empties (a fully-deleted segment self-drops with no DV)
+    val ranges = spark.table("graft_cat.db.resort_t")
+      .groupBy(col("_file")).agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    val cut = ranges(1)._2
+    spark.sql(s"DELETE FROM graft_cat.db.resort_t WHERE k % 2 = 0 AND k <= $cut")
+    spark.sql("INSERT INTO graft_cat.db.resort_t VALUES (5000, 'tail')")
+    val after = liveFiles
+    val ops_ = spark.sql("SELECT operation FROM graft_cat.db.resort_t.versions")
+      .collect().map(_.getString(0).split('@').head).toSeq
+    assert(ops_.contains("zorder"), s"DV ratio never triggered a re-sort: $ops_")
+    assert(!ops_.contains("compact"), s"sorted table byte-merged: $ops_")
+    // the two untouched disjoint segments survive by FILE IDENTITY —
+    // the rewrite cost O(DV'd region), not O(table)
+    val survivors = initial.filter(after.contains)
+    assert(survivors.size === 2,
+      s"expected 2 untouched segments to survive by reference; " +
+        s"initial=$initial after=$after")
+    // content is exactly the live rows, DVs purged into the rewrite
+    val got = spark.table("graft_cat.db.resort_t").select("k")
+      .collect().map(_.getLong(0)).sorted
+    val expect = (0L until 1000L).filterNot(k => k % 2 == 0 && k <= cut) :+ 5000L
+    assert(got.toSeq === expect)
+    // clustering intact: a key probe in an untouched range still prunes
+    spark.table("graft_cat.db.resort_t").filter(col("k") === 600L).count()
+    val (_, p2, t2) = graft.sources.SegHooks.lastPlanned.get()
+    assert(p2 < t2, s"zone pruning lost after partial re-sort: $p2/$t2")
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val agg = ops.table(spark, sf, "lineitem")
