@@ -1768,6 +1768,40 @@ object SemiStructured {
       .orderBy("family")
   }
 
+  /** q180 — segment-level observability: the `.files` metadata table
+    * (Iceberg's files surface) now carries DV-aware live counts and
+    * per-column zone maps, so "which files hold which key ranges, and
+    * how much deferred delete debt does each carry" is one SQL query
+    * answered from MANIFEST ARITHMETIC alone — zero data reads, at any
+    * table size. The entry loads `documents` into an identity-partitioned
+    * catalog table, merge-on-read-deletes a 10% slice (DV sidecars, no
+    * segment rewrite), then aggregates `.files` per partition value
+    * (zone_min['g'] IS the partition key — identity-partitioned segments
+    * are single-valued). The oracle recomputes every number from the
+    * raw data: physical rows, live rows, DV retractions, and the exact
+    * BIGINT zone bounds (which include DV'd rows — bounds stay
+    * conservative, never wrong-direction). */
+  val q180FilesInventory: Q = (s, d) => {
+    ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.seg_obs_t")
+    s.sql(
+      """CREATE TABLE graft_cat.db.seg_obs_t (doc_id BIGINT, g BIGINT)
+        |PARTITIONED BY (g)
+        |TBLPROPERTIES ('graft.dml.mode'='merge-on-read')""".stripMargin)
+    table(s, d, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).as("g"))
+      .writeTo("graft_cat.db.seg_obs_t").append()
+    s.sql("DELETE FROM graft_cat.db.seg_obs_t WHERE doc_id % 10 = 3")
+    s.sql(
+      """SELECT zone_min['g'] AS g,
+        |  SUM(rows) AS n_rows, SUM(live_rows) AS n_live,
+        |  SUM(ndel) AS n_del,
+        |  MIN(zone_min['doc_id']) AS doc_min,
+        |  MAX(zone_max['doc_id']) AS doc_max
+        |FROM graft_cat.db.seg_obs_t.files
+        |GROUP BY 1 ORDER BY g""".stripMargin)
+  }
+
   val q94CatalogCompact: Q = (s, _) => {
     ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cmp_t")
@@ -2090,6 +2124,7 @@ object SemiStructured {
     "q93_catalog_default" -> q93CatalogDefault,
     "q94_catalog_compact" -> q94CatalogCompact,
     "q178_index_inventory" -> q178IndexInventory,
+    "q180_files_inventory" -> q180FilesInventory,
     "q95_catalog_expire" -> q95CatalogExpire,
     "q130_catalog_vacuum" -> q130CatalogVacuum,
     "q131_shallow_clone" -> q131ShallowClone,
@@ -2745,6 +2780,14 @@ object SemiStructured {
         |  UNION ALL
         |  SELECT 'minhash-signatures', 'inv_q', (SELECT n FROM sig_rows))
         |ORDER BY family""".stripMargin,
+    "q180_files_inventory" ->
+      """WITH t AS (SELECT doc_id, doc_id % 4 AS g FROM documents)
+        |SELECT CAST(g AS BIGINT) AS g,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 10 <> 3) AS BIGINT) AS n_live,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT) AS n_del,
+        |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+        |FROM t GROUP BY g ORDER BY g""".stripMargin,
     "q94_catalog_compact" ->
       """WITH t AS (
         |  SELECT r.range AS id, (r.range * 2654435761) % 1000 AS v

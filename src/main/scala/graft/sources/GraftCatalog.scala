@@ -1193,15 +1193,45 @@ class SegTable private (ident: String, dir: Path,
             UTF8String.fromString(if (v.op.isEmpty) "create" else v.op)))
         })
       case "files" =>
+        // DV-aware live counts + per-column zone maps (BIGINT columns
+        // carry exact bounds; STRING columns their order-preserving
+        // 8-byte prefixes) — the segment-level observability surface:
+        // "which files hold which key ranges, and how much deferred
+        // delete debt does each carry" is one SQL query, no data read.
         val schema = StructType(Seq(
           StructField("file", StringType, nullable = false),
           StructField("rows", LongType, nullable = false),
+          StructField("live_rows", LongType, nullable = false),
+          StructField("ndel", LongType, nullable = false),
           StructField("bytes", LongType, nullable = false),
           StructField("external", org.apache.spark.sql.types.BooleanType,
+            nullable = false),
+          StructField("zone_min",
+            org.apache.spark.sql.types.MapType(StringType, LongType),
+            nullable = false),
+          StructField("zone_max",
+            org.apache.spark.sql.types.MapType(StringType, LongType),
             nullable = false)))
-        new MetaTable(s"$ident.files", schema, cur.segs.map { s =>
+        val head = cur
+        new MetaTable(s"$ident.files", schema, head.segs.map { s =>
+          val stats = head.schema.fields.zip(head.colIds).flatMap {
+            case (f, id) =>
+              val j = s.colIds.indexOf(id)
+              if (j >= 0 && j < s.hasStats.length && s.hasStats(j))
+                Some((f.name, s.mins(j), s.maxs(j)))
+              else None
+          }
+          val keys = org.apache.spark.sql.catalyst.util.ArrayData
+            .toArrayData(stats.map(t => UTF8String.fromString(t._1)))
+          val mins = org.apache.spark.sql.catalyst.util.ArrayData
+            .toArrayData(stats.map(_._2))
+          val maxs = org.apache.spark.sql.catalyst.util.ArrayData
+            .toArrayData(stats.map(_._3))
           new GenericInternalRow(Array[Any](UTF8String.fromString(s.file),
-            s.rows, s.bytes, Seg.isExternal(s.file)))
+            s.rows, s.liveRows, s.dv.map(_.ndel).getOrElse(0L), s.bytes,
+            Seg.isExternal(s.file),
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, mins),
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, maxs)))
         })
       case "refs" =>
         // Iceberg's refs metadata table: every named ref — main, each
