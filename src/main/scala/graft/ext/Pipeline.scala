@@ -121,10 +121,92 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** ext141 — END-TO-END ERASURE across every persisted index family:
+    * the right-to-be-forgotten path at 100 TB. A corpus table (docs) and
+    * a vector table (embeddings) each take one DELETE of the subject
+    * slice (`id % 7 = 2` — the erasure request), and CDC maintenance
+    * propagates it to all four derived artifacts with FEED-SIZED work
+    * (one change-feed slice each, never a rebuild): MinHash signatures,
+    * BM25 postings + doc lengths, IVF cells, PQ codes. The output audits
+    * the claim the way a compliance review would: per family, the live
+    * row count still attributable to erased subjects (hash-checked to be
+    * ZERO) and the surviving total (hash-checked against a DuckDB
+    * recomputation from the raw corpus minus the erased slice). Pairs
+    * with the per-family maintenance entries (ext134–ext138) the way
+    * ext140 pairs with the curation operators: the composition is the
+    * contract. */
+  val erasureE2e: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    Seq("er_docs", "er_vecs",
+      "dedup_er_sigs", "dedup_er_meta",
+      "search_er_postings", "search_er_docs", "search_er_meta",
+      "ann_er_cells", "ann_er_cents", "ann_er_meta",
+      "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+    s.sql("CREATE TABLE graft_cat.db.er_docs (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    s.sql("CREATE TABLE graft_cat.db.er_vecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>, norm DOUBLE) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    table(s, d, "documents").select(col("doc_id"), col("text"))
+      .writeTo("graft_cat.db.er_docs").append()
+    table(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .writeTo("graft_cat.db.er_vecs").append()
+    DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
+    SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
+    AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
+    AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
+    // the erasure request lands on the PRIMARY tables only
+    s.sql("DELETE FROM graft_cat.db.er_docs WHERE doc_id % 7 = 2")
+    s.sql("DELETE FROM graft_cat.db.er_vecs WHERE vec_id % 7 = 2")
+    // propagation: one change-feed slice per family
+    val td = DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
+    val ts = SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
+    val ta = AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
+    val tp = AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
+    def leg(family: String, t: String, id: String) =
+      s.table(t).agg(
+        count(when(col(id) % 7 === 2, 1)).as("n_erased_live"),
+        count(lit(1)).as("n_live"))
+        .select(lit(family).as("family"),
+          col("n_erased_live"), col("n_live"))
+    leg("bm25-doclens", ts.docs, "doc_id")
+      .unionAll(leg("bm25-postings", ts.postings, "doc_id"))
+      .unionAll(leg("ivf-cells", ta.cells, "vec_id"))
+      .unionAll(leg("minhash-signatures", td.sigs, "doc_id"))
+      .unionAll(leg("pq-codes", tp.codes, "vec_id"))
+      .orderBy("family")
+  }
+
   val queries: Map[String, Q] = Map(
-    "ext140_corpus_pipeline" -> corpusPipeline)
+    "ext140_corpus_pipeline" -> corpusPipeline,
+    "ext141_erasure_e2e" -> erasureE2e)
 
   val oracleSql: Map[String, String] = Map(
+    "ext141_erasure_e2e" ->
+      """WITH docs_live AS (
+        |  SELECT * FROM documents WHERE doc_id % 7 <> 2),
+        |vecs_live AS (
+        |  SELECT * FROM embeddings WHERE vec_id % 7 <> 2),
+        |post AS (SELECT COUNT(*) AS n FROM (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |  FROM docs_live)),
+        |sig AS (SELECT COUNT(*) AS n FROM docs_live
+        |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+        |dl AS (SELECT COUNT(*) AS n FROM docs_live),
+        |nv AS (SELECT COUNT(*) AS n FROM vecs_live)
+        |SELECT * FROM (
+        |  SELECT 'bm25-doclens' AS family, CAST(0 AS BIGINT) AS n_erased_live,
+        |         (SELECT n FROM dl) AS n_live
+        |  UNION ALL SELECT 'bm25-postings', 0, (SELECT n FROM post)
+        |  UNION ALL SELECT 'ivf-cells', 0, (SELECT n FROM nv)
+        |  UNION ALL SELECT 'minhash-signatures', 0, (SELECT n FROM sig)
+        |  UNION ALL SELECT 'pq-codes', 0, (SELECT n FROM nv) * 8)
+        |ORDER BY family""".stripMargin,
     "ext140_corpus_pipeline" ->
       s"""WITH ${CorpusOps.gopherCtesSql},
          |flags AS (

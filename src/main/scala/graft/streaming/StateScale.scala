@@ -74,6 +74,14 @@ object StateScaleMain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: each commit uploads the batch's DELTA
+      // instead of a full RocksDB snapshot — at 100 TB of state the
+      // per-batch checkpoint cost tracks churn, not state size. The
+      // phase restarts below then genuinely exercise changelog REPLAY
+      // (recovery = last snapshot + replayed deltas), and the run
+      // asserts .changelog files actually landed in the checkpoint.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -149,8 +157,19 @@ object StateScaleMain {
       val expiredOk = n3 == probes.size && had3 == 0L
 
       val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      // changelog checkpointing really engaged: delta files on disk
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      val changelogs =
+        try {
+          val it = walk.iterator()
+          var nCl = 0L
+          while (it.hasNext)
+            if (it.next().getFileName.toString.endsWith(".changelog")) nCl += 1
+          nCl
+        } finally walk.close()
       // the one spec-parsed line (StateScaleSpec greps it)
       println(s"STATE_SCALE keys=$nKeys heapMaxMb=$heapMb " +
+        s"changelogs=$changelogs " +
         s"fresh_ok=$freshOk alive_ok=$aliveOk expired_ok=$expiredOk")
     } finally spark.stop()
   }

@@ -49,6 +49,8 @@ class StateScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
     // heap honesty: the subprocess really ran under the tight cap
     assert(field("heapMaxMb").toLong <= 640L,
       s"subprocess escaped the tight heap: $contract")
+    // changelog checkpointing engaged: per-batch deltas, not snapshots
+    assert(field("changelogs").toLong > 0L, contract)
     assert(field("fresh_ok") === "true", contract)
     assert(field("alive_ok") === "true", contract)
     assert(field("expired_ok") === "true", contract)
