@@ -148,9 +148,15 @@ object Pipeline {
     s.sql("CREATE TABLE graft_cat.db.er_vecs (vec_id BIGINT, " +
       "v ARRAY<DOUBLE>, norm DOUBLE) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    // the demo cohort is BOUNDED (first 2500 ids): entry cost must stay
+    // fixture-sized at any SF — the per-family maintenance entries
+    // (ext134–ext138) already measure full-corpus builds; this entry
+    // measures the COMPOSITION, and its erasure claim is id-local
     table(s, d, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2500)
       .writeTo("graft_cat.db.er_docs").append()
     table(s, d, "embeddings")
+      .filter(col("vec_id") < 2500)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
@@ -188,9 +194,9 @@ object Pipeline {
   val oracleSql: Map[String, String] = Map(
     "ext141_erasure_e2e" ->
       """WITH docs_live AS (
-        |  SELECT * FROM documents WHERE doc_id % 7 <> 2),
+        |  SELECT * FROM documents WHERE doc_id % 7 <> 2 AND doc_id < 2500),
         |vecs_live AS (
-        |  SELECT * FROM embeddings WHERE vec_id % 7 <> 2),
+        |  SELECT * FROM embeddings WHERE vec_id % 7 <> 2 AND vec_id < 2500),
         |post AS (SELECT COUNT(*) AS n FROM (
         |  SELECT DISTINCT doc_id, unnest(list_filter(
         |    string_split(lower(text), ' '), t -> t <> '')) AS tok
