@@ -907,6 +907,11 @@ object SegHooks {
     * re-seed — lets a spec inject the racing branch commit that forces
     * the carry-fork-forward retry path. */
   val betweenMergeAndReseed = new AtomicReference[() => Unit](() => ())
+  /** Test seam: runs after the partial re-sort has written its
+    * replacement segments but BEFORE it publishes the swap — lets a
+    * spec inject a concurrent commit and pin the rebase discipline
+    * (an append survives; a superseded cluster is abandoned). */
+  val beforeResortPublish = new AtomicReference[() => Unit](() => ())
 }
 
 /** CROSS-TABLE ATOMIC TRANSACTION — all-or-nothing publication across
@@ -1696,6 +1701,7 @@ class SegTable private (ident: String, dir: Path,
           }.collect().toSeq
         (cl, written)
       }
+    SegHooks.beforeResortPublish.get()()
     // rebase-safe swap, labeled content-identical: live rows in == rows
     // out by construction (the scan subtracted DVs; the rewrite purges
     // them) — change feeds and live streams skip it like any compaction

@@ -307,6 +307,81 @@ class ScaleInfraSpec extends SparkTestBase {
     assert(p2 < t2, s"zone pruning lost after partial re-sort: $p2/$t2")
   }
 
+  test("partial re-sort rebase: concurrent append survives; superseded cluster abandons") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    def mkTable(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t")
+      spark.sql(s"CREATE TABLE graft_cat.db.$t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.sort'='k:4', 'graft.dml.mode'='merge-on-read', " +
+        "'graft.autocompact'='4194304:4:20')")
+      spark.sql(s"INSERT INTO graft_cat.db.$t " +
+        "SELECT id, concat('v', id) FROM range(1000)")
+    }
+    def files(t: String): Set[String] = spark.table(s"graft_cat.db.$t")
+      .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
+    def bounds(t: String): Seq[(Long, Long)] = spark.table(s"graft_cat.db.$t")
+      .groupBy(col("_file")).agg(min("k"), max("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+
+    // race A: an append lands between the rewrite and its publish — the
+    // rebase must carry the appended segment through the swap untouched
+    mkTable("resort_race_a")
+    val hiA = bounds("resort_race_a")(1)._2
+    graft.sources.SegHooks.beforeResortPublish.set(() =>
+      spark.sql("INSERT INTO graft_cat.db.resort_race_a VALUES (7777, 'racer')"))
+    try // the DELETE's own delta commit triggers the re-sort inline
+      spark.sql("DELETE FROM graft_cat.db.resort_race_a " +
+        s"WHERE k % 2 = 0 AND k <= $hiA")
+    finally graft.sources.SegHooks.beforeResortPublish.set(() => ())
+    val opsA = spark.sql(
+      "SELECT operation FROM graft_cat.db.resort_race_a.versions")
+      .collect().map(_.getString(0).split('@').head).toSeq
+    assert(opsA.contains("zorder"), s"no re-sort: $opsA")
+    val gotA = spark.table("graft_cat.db.resort_race_a").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expectA =
+      ((0L until 1000L).filterNot(k => k % 2 == 0 && k <= hiA) :+ 7777L).sorted
+    assert(gotA === expectA, "racing append lost through the swap")
+
+    // race B: a second DELETE changes one targeted segment's DV between
+    // rewrite and publish — that cluster must be ABANDONED (its original
+    // file stays live, both DVs intact); the untouched cluster still swaps
+    mkTable("resort_race_b")
+    val bs = bounds("resort_race_b")
+    val (hi1, hi2) = (bs(0)._2, bs(1)._2)
+    val before = files("resort_race_b")
+    // only HALF of seg1's odd rows: a full wipe would make the delete
+    // path drop the emptied segment outright (no DV left to supersede)
+    graft.sources.SegHooks.beforeResortPublish.set(() =>
+      spark.sql("DELETE FROM graft_cat.db.resort_race_b " +
+        s"WHERE k % 2 = 1 AND k <= ${hi1 / 2}"))
+    try spark.sql("DELETE FROM graft_cat.db.resort_race_b " +
+      s"WHERE k % 2 = 0 AND k <= $hi2")
+    finally graft.sources.SegHooks.beforeResortPublish.set(() => ())
+    val after = files("resort_race_b")
+    val gotB = spark.table("graft_cat.db.resort_race_b").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expectB = (0L until 1000L)
+      .filterNot(k => k % 2 == 0 && k <= hi2)
+      .filterNot(k => k % 2 == 1 && k <= hi1 / 2)
+    assert(gotB === expectB,
+      "concurrent delete's rows resurrected by an applied stale rewrite")
+    // identify the file now serving each key range
+    val byLo = spark.table("graft_cat.db.resort_race_b")
+      .groupBy(col("_file")).agg(min("k").as("lo"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    // the superseded cluster ABANDONED: the low range is still served by
+    // the ORIGINAL segment (both DVs intact on it) …
+    assert(before.contains(byLo.head._1),
+      s"superseded cluster was swapped anyway: ${byLo.head}")
+    // … while the untouched DV'd cluster SWAPPED to a rewrite output
+    val seg2Server = byLo.find(p => p._2 > hi1 && p._2 <= hi2)
+      .getOrElse(fail(s"no file serves (>$hi1, <=$hi2]: $byLo"))
+    assert(!before.contains(seg2Server._1),
+      s"untouched cluster failed to swap: $seg2Server in $before")
+  }
+
   test("AQE coalesces shuffle partitions on small data") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val agg = ops.table(spark, sf, "lineitem")
