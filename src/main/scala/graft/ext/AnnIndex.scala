@@ -195,7 +195,7 @@ object AnnIndex {
         .createOrReplaceTempView(rv)
       CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO ${t.cells} SELECT * FROM $rv")
-        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT)")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
       }
       cdcRefreshes.incrementAndGet()
     } finally {
@@ -213,8 +213,8 @@ object AnnIndex {
       "('graft.dml.mode'='merge-on-read')")
     // meta LAST: a crash above leaves meta ≠ version → next ensure rebuilds
     s.sql(s"DROP TABLE IF EXISTS $meta")
-    s.sql(s"CREATE TABLE $meta (version BIGINT)")
-    s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT)")
+    s.sql(s"CREATE TABLE $meta (version BIGINT, corpus STRING)")
+    s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
     t
   }
 
@@ -358,7 +358,7 @@ object AnnIndex {
         .createOrReplaceTempView(rv)
       CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO ${t.codes} SELECT * FROM $rv")
-        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT)")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
       }
       pqCdcRefreshes.incrementAndGet()
     } finally {
@@ -373,8 +373,8 @@ object AnnIndex {
     s.sql(s"ALTER TABLE ${t.codes} SET TBLPROPERTIES " +
       "('graft.dml.mode'='merge-on-read')")
     s.sql(s"DROP TABLE IF EXISTS $meta")
-    s.sql(s"CREATE TABLE $meta (version BIGINT)")
-    s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT)")
+    s.sql(s"CREATE TABLE $meta (version BIGINT, corpus STRING)")
+    s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
     t
   }
 

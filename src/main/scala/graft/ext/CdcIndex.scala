@@ -41,12 +41,34 @@ private[ext] object CdcIndex {
       case _: NoSuchElementException => None
     }
 
+  /** The corpus table a CDC meta is bound to — None when the meta is
+    * absent/empty or predates the identity column. */
+  def storedCorpus(s: SparkSession, meta: String): Option[String] =
+    try {
+      val df = s.table(meta)
+      if (!df.schema.fieldNames.contains("corpus")) None
+      else Option(df.select("corpus").head.getString(0))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: NoSuchElementException => None
+    }
+
   /** Dispatch: covered → no-op, stale → apply (rebuild on feed refusal),
-    * absent → rebuild. Returns whatever the branches return. */
+    * absent → rebuild. Returns whatever the branches return.
+    *
+    * The watermark is a version NUMBER, meaningful only against the
+    * table it was recorded for — so the meta also records the corpus
+    * IDENT, and a call naming a DIFFERENT table rebuilds (re-binding
+    * the index to the requested corpus) instead of silently no-opping
+    * or grafting another table's feed slice onto this index. A meta
+    * from before the identity column exists is unverifiable and
+    * rebuilds once, which self-migrates it. */
   def ensure[T](s: SparkSession, corpusTable: String, meta: String)(
       noOp: => T)(apply: (Long, Long) => T)(rebuild: Long => T): T = {
     val headV = headVersion(s, corpusTable)
     storedVersion(s, meta) match {
+      case Some(_) if !storedCorpus(s, meta).contains(corpusTable) =>
+        rebuild(headV)
       case Some(v0) if v0 >= headV => noOp
       case Some(v0) =>
         try apply(v0, headV)

@@ -123,7 +123,17 @@ object DedupIndex {
             if (cs.isNullAt(1)) -1L else cs.getLong(1), cs.getLong(2))
           if (cnt == storedN && mx == storedMax && storedK == fp)
             t // covered — no-op
-          else if (mx > storedMax && prefixCnt == storedN &&
+          else if (cnt == storedN && mx == storedMax && storedK >= 0 &&
+              fp > storedK &&
+              CdcIndex.appendOnlyBetween(s, src.get._1, storedK, fp)) {
+            // content-preserving commits (compact, zorder, tag, alter —
+            // or a zero-row append) moved the fingerprint while count and
+            // max prove the indexed content unchanged: advance the
+            // watermark instead of an O(corpus) rebuild
+            s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST($fp AS BIGINT), " +
+              s"CAST($storedN AS BIGINT), CAST($storedMax AS BIGINT)")
+            t
+          } else if (mx > storedMax && prefixCnt == storedN &&
               ((storedK < 0 && fp < 0) ||
                (storedK >= 0 && fp > storedK &&
                 CdcIndex.appendOnlyBetween(s, src.get._1, storedK, fp)))) {
@@ -210,7 +220,7 @@ object DedupIndex {
       CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO ${t.sigs} SELECT * FROM $rv")
         s.sql(s"INSERT OVERWRITE ${t.meta} SELECT CAST($headV AS BIGINT), " +
-          s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+          s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT), '$corpusTable'")
       }
       cdcRefreshes.incrementAndGet()
     } finally {
@@ -234,9 +244,9 @@ object DedupIndex {
     // meta LAST: a crash above leaves meta ≠ version → next ensure rebuilds
     s.sql(s"DROP TABLE IF EXISTS ${t.meta}")
     s.sql(s"CREATE TABLE ${t.meta} " +
-      "(version BIGINT, n_docs BIGINT, max_id BIGINT)")
+      "(version BIGINT, n_docs BIGINT, max_id BIGINT, corpus STRING)")
     s.sql(s"INSERT INTO ${t.meta} SELECT CAST($headV AS BIGINT), " +
-      s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT)")
+      s"CAST($cnt AS BIGINT), CAST($mx AS BIGINT), '$corpusTable'")
     builds.incrementAndGet()
     t
   }

@@ -86,10 +86,13 @@ object Pipeline {
       .select(col("y.doc_id").as("doc_id")).distinct()
 
     // 4. decontamination inputs: shingle sizes and eval-set overlap.
-    //    The shingle frame feeds four consumers (signatures above pull
-    //    their own restricted scan; sizes, eval set, shared counts) —
-    //    cache it once
-    val sh = Dedup.shingles(docs).cache()
+    //    The shingle frame feeds several consumers; it is deliberately
+    //    NOT cached — a .cache() here would pin the full-corpus shingle
+    //    blocks for the rest of the JVM (entries return lazy frames, so
+    //    nothing could ever unpersist), and Spark's exchange reuse
+    //    already dedups identical subtrees. A production run persists
+    //    the intermediates as catalog tables instead (scaladoc above).
+    val sh = Dedup.shingles(docs)
     val evalSh = sh.filter(col("doc_id") % 10 === 0).select("sh")
     val nSh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val nShared = sh.join(evalSh, Seq("sh"), "left_semi")

@@ -1566,6 +1566,18 @@ class SegTable private (ident: String, dir: Path,
     * appending one generation must NOT trigger an O(index) rewrite —
     * maintenance stays ∝ churn, compaction amortizes). Metadata-only:
     * reads the manifest's zone maps, never data. */
+  /** Physical stats index of schema ordinal `ord` inside segment `s`:
+    * per-segment stats arrays are ordered by the SEGMENT's own colIds
+    * (schema evolution reorders/retires them), so every consumer must
+    * map through the column ID — never the schema position, which only
+    * coincides for segments written under the current schema. −1 when
+    * the segment carries no stats for that column. */
+  private def statIdx(v: SegVersion, ord: Int, s: Seg): Int = {
+    if (ord < 0) return -1
+    val j = s.colIds.indexOf(v.colIds(ord))
+    if (j >= 0 && j < s.hasStats.length && s.hasStats(j)) j else -1
+  }
+
   private def sortedCompactNeeded(maxDelPct: Int): Boolean = synchronized {
     val v = cur
     val (c, n) = SegSort.parse(v.props(SegSort.PropKey), v.schema)
@@ -1573,14 +1585,17 @@ class SegTable private (ident: String, dir: Path,
     val rows = v.segs.map(_.rows).sum
     val delHit = rows > 0 &&
       v.segs.flatMap(_.dv).map(_.ndel).sum * 100 >= rows * maxDelPct
-    val withStats = v.segs.filter(s => ord >= 0 && s.hasStats(ord))
-    val sortedByMin = withStats.sortBy(_.mins(ord))
+    val withStats = v.segs.flatMap { s =>
+      val j = statIdx(v, ord, s)
+      if (j >= 0) Some((s, j)) else None
+    }
+    val sortedByMin = withStats.sortBy { case (s, j) => s.mins(j) }
     // strict >: adjacent generations legitimately SHARE a boundary key
     // (range partitioner splits on boundaries; string zone maps are
     // 8-byte prefixes) — only a range reaching past the next segment's
     // start is decay
     val overlap = sortedByMin.sliding(2).exists {
-      case scala.collection.Seq(a, b) => a.maxs(ord) > b.mins(ord)
+      case scala.collection.Seq((a, ja), (b, jb)) => a.maxs(ja) > b.mins(jb)
       case _ => false
     }
     delHit || (overlap && v.segs.size >= 3 * math.max(n, 1))
@@ -1621,17 +1636,19 @@ class SegTable private (ident: String, dir: Path,
   /** Connected clusters of truly-overlapping key ranges (strict `>`:
     * adjacent generations legitimately share a boundary key), from a
     * min-key sweep over the manifest's zone maps. Metadata-only. */
-  private def overlapClusters(segs: Seq[Seg], ord: Int): Seq[Seq[Seg]] = {
-    val sorted = segs.sortBy(s => (s.mins(ord), s.maxs(ord), s.file))
+  private def overlapClusters(v: SegVersion, segs: Seq[Seg],
+      ord: Int): Seq[Seq[Seg]] = {
+    val keyed = segs.map(s => (s, statIdx(v, ord, s)))
+    val sorted = keyed.sortBy { case (s, j) => (s.mins(j), s.maxs(j), s.file) }
     val out = mutable.Buffer.empty[mutable.Buffer[Seg]]
     var reach = Long.MinValue
-    sorted.foreach { s =>
-      if (out.nonEmpty && s.mins(ord) < reach) {
+    sorted.foreach { case (s, j) =>
+      if (out.nonEmpty && s.mins(j) < reach) {
         out.last += s
-        reach = math.max(reach, s.maxs(ord))
+        reach = math.max(reach, s.maxs(j))
       } else {
         out += mutable.Buffer(s)
-        reach = s.maxs(ord)
+        reach = s.maxs(j)
       }
     }
     out.map(_.toSeq).toSeq
@@ -1652,8 +1669,8 @@ class SegTable private (ident: String, dir: Path,
     // a stats-less segment (pre-zone-map writer, all-null key) could
     // overlap anything — conservative: treat the table as one cluster
     val clusters: Seq[Seq[Seg]] =
-      if (ord < 0 || v.segs.exists(s => !s.hasStats(ord))) Seq(v.segs)
-      else overlapClusters(v.segs, ord)
+      if (ord < 0 || v.segs.exists(s => statIdx(v, ord, s) < 0)) Seq(v.segs)
+      else overlapClusters(v, v.segs, ord)
     val decayed = clusters.filter(_.size >= 2)
     val inDecayed = decayed.flatten.map(_.file).toSet
     val dvSingles = v.segs
@@ -4641,22 +4658,37 @@ object SegStore {
     * line. Writers therefore truncate back to the last '\n' before
     * appending; lock-free readers keep the lenient ignore-partial-tail
     * read (truncating without the lock would race in-flight appends). */
+  /** Read exactly `buf.remaining()` bytes at `pos`, looping on short
+    * reads — positional channel reads may return fewer bytes than asked
+    * (interruptible filesystems, network mounts), and a zero-filled
+    * remainder scanned as content would mis-place the truncate cut and
+    * delete COMMITTED lines. EOF mid-range throws: the caller computed
+    * the range from `ch.size()` under the exclusive lock. */
+  private def readFully(ch: java.nio.channels.FileChannel,
+      buf: java.nio.ByteBuffer, pos: Long): Unit = {
+    var p = pos
+    while (buf.hasRemaining) {
+      val r = ch.read(buf, p)
+      require(r > 0, s"manifest read hit EOF at $p under the writer lock")
+      p += r
+    }
+  }
+
   private def healTornTail(ch: java.nio.channels.FileChannel): Unit = {
     val size = ch.size()
     if (size == 0L) return
     val one = java.nio.ByteBuffer.allocate(1)
-    ch.read(one, size - 1)
+    readFully(ch, one, size - 1)
     if (one.get(0) == '\n') return
     // scan backwards in chunks for the last terminated line
     val chunk = 1 << 16
-    val buf = java.nio.ByteBuffer.allocate(chunk)
     var pos = size
     var cut = 0L // no '\n' anywhere -> sole line is torn, empty the log
     var found = false
     while (!found && pos > 0) {
       val start = math.max(0L, pos - chunk)
-      buf.clear(); buf.limit((pos - start).toInt)
-      ch.read(buf, start)
+      val buf = java.nio.ByteBuffer.allocate((pos - start).toInt)
+      readFully(ch, buf, start)
       var i = buf.limit() - 1
       while (i >= 0 && !found) {
         if (buf.get(i) == '\n') { cut = start + i + 1; found = true }

@@ -172,6 +172,77 @@ class DedupIndexSpec extends SparkTestBase {
     assert(DedupIndex.cdcRefreshes.get() === c0 + 1)
   }
 
+  test("CDC index is BOUND to its corpus: naming another table rebinds, never grafts") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    Seq("bindA_docs", "bindB_docs", "dedup_spec_bind_sigs",
+      "dedup_spec_bind_meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+    spark.sql("CREATE TABLE graft_cat.db.bindA_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    spark.sql("CREATE TABLE graft_cat.db.bindB_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    docs.filter(col("doc_id") < 200).writeTo("graft_cat.db.bindA_docs").append()
+    // advance A's version history past B's so the stale watermark check
+    // alone would (wrongly) report B covered
+    spark.sql("DELETE FROM graft_cat.db.bindA_docs WHERE doc_id % 13 = 1")
+    spark.sql("DELETE FROM graft_cat.db.bindA_docs WHERE doc_id % 13 = 2")
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 450)
+      .writeTo("graft_cat.db.bindB_docs").append()
+    val t = DedupIndex.ensureCdc(spark, "graft_cat.db.bindA_docs", "spec_bind")
+    assert(spark.table(t.meta).select("corpus").head.getString(0) ===
+      "graft_cat.db.bindA_docs")
+    val b0 = DedupIndex.builds.get()
+
+    // the poison call: same index name, DIFFERENT corpus, lower head
+    // version — the un-bound watermark would silently no-op and serve
+    // A's signatures as if they covered B
+    DedupIndex.ensureCdc(spark, "graft_cat.db.bindB_docs", "spec_bind")
+    assert(DedupIndex.builds.get() === b0 + 1,
+      "cross-table ensureCdc neither rebuilt nor refused")
+    assert(spark.table(t.meta).select("corpus").head.getString(0) ===
+      "graft_cat.db.bindB_docs", "meta not rebound")
+    val stored = spark.table(t.sigs).orderBy("doc_id").collect().map(_.toSeq)
+    val fresh = DedupIndex.signatures(
+        spark.table("graft_cat.db.bindB_docs").select("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(stored.toSeq === fresh.toSeq,
+      "rebound index does not match corpus B")
+
+    // plain ensure over B now delegates cleanly (bound corpus matches)
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.bindB_docs"),
+      "spec_bind")
+    assert(DedupIndex.builds.get() === b0 + 1)
+  }
+
+  test("content-preserving corpus commits advance the fingerprint, no rebuild") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    Seq("cp_docs", "dedup_spec_cp_sigs", "dedup_spec_cp_meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+    spark.sql("CREATE TABLE graft_cat.db.cp_docs (doc_id BIGINT, " +
+      "text STRING)")
+    docs.filter(col("doc_id") < 300).writeTo("graft_cat.db.cp_docs").append()
+    val t = DedupIndex.ensure(spark, spark.table("graft_cat.db.cp_docs"),
+      "spec_cp")
+    val b0 = DedupIndex.builds.get()
+    val k0 = spark.table(t.meta).select("k").head.getLong(0)
+
+    // content-identical commits: a tag and a property alter — the
+    // version fingerprint moves, the indexed content does not
+    spark.sql("CALL graft_cat.system.tag('db.cp_docs', 'cp_snap')")
+    spark.sql("ALTER TABLE graft_cat.db.cp_docs " +
+      "SET TBLPROPERTIES ('graft.note'='cp')")
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.cp_docs"), "spec_cp")
+    assert(DedupIndex.builds.get() === b0,
+      "a metadata-only commit forced an O(corpus) rebuild")
+    val k1 = spark.table(t.meta).select("k").head.getLong(0)
+    assert(k1 > k0, "fingerprint not advanced — next ensure re-pays the check")
+    // and the advanced watermark makes the NEXT call a pure no-op
+    DedupIndex.ensure(spark, spark.table("graft_cat.db.cp_docs"), "spec_cp")
+    assert(DedupIndex.builds.get() === b0)
+  }
+
   test("stream-maintained index: one build + one refresh, converges to ext03") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)

@@ -41,13 +41,14 @@ class PipelineSpec extends SparkTestBase {
 
     // plan audit: no cartesian product; the corpus parquet is scanned a
     // bounded number of times (token metrics ×2, normalization hash,
-    // shingles once into the cache, plus the id spine) — a regression
-    // that re-reads raw text per stage would show up here
+    // shingle derivations — deliberately uncached, Spark's exchange
+    // reuse dedups the identical subtrees — plus the id spine) — a
+    // regression that re-reads raw text per stage would show up here
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct"), plan)
     val scans = "documents\\.parquet".r.findAllIn(plan).length
-    assert(scans <= 8, s"corpus scanned $scans times:\n$plan")
+    assert(scans <= 9, s"corpus scanned $scans times:\n$plan")
   }
 
   test("ext141: erasure propagates via APPLY slices, one per family, no rebuild") {
