@@ -69,6 +69,66 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** ExactSubstr-style duplicated-span analysis (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"), the
+    * OVERLAPPING counterpart of [[spanDedup]]'s non-overlapping C4 spans:
+    * every stride-1 8-token window is hashed; a window whose digest occurs
+    * more than once corpus-wide marks its token range [pos, pos+7] as
+    * duplicated; per document the marked ranges are merged into maximal
+    * spans (gaps-and-islands — all ranges are equal-length, so a new span
+    * starts exactly when pos jumps past prev_pos + 7) and reported as
+    * span/token counts plus the removed fraction.
+    *
+    * Scale: the gram tier shuffles DIGESTS, not text — a two-level hash
+    * agg (map-side partial) finds duplicated digests, and a left-semi join
+    * brings back only the duplicated positions (at 100 TB the dup-digest
+    * side is orders of magnitude smaller than the gram stream). The merge
+    * tier is one window sort per document partition, keyed by doc_id.
+    * Nothing is all-pairs and the raw text never re-shuffles.
+    */
+  val exactSubstrDedup: Q = (s, d) => {
+    val K = 8
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+    val grams = docs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"if(size(toks) < $K, array()," +
+          s" transform(sequence(0, size(toks) - $K)," +
+          s"           i -> md5(array_join(slice(toks, i + 1, $K), ' '))))"))
+        .as(Seq("pos", "h")))
+    val dupDigests = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select("h")
+    val dup = grams.join(dupDigests, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dup
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("island",
+        sum(when(col("prev").isNull || col("pos") > col("prev") + (K - 1), 1L)
+          .otherwise(0L)).over(w))
+    val spans = islands.groupBy("doc_id", "island").agg(
+      count(lit(1)).as("n_grams_in"),
+      (max("pos") - min("pos") + K).as("span_len"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      sum("n_grams_in").as("n_dup_grams"),
+      count(lit(1)).as("n_spans"),
+      sum("span_len").as("n_removed"),
+      max("span_len").as("longest_span"))
+    docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_removed"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("frac_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/MassiveText-style repetition + shape rules: per-document word
     * stats, top-unigram fraction, duplicate-bigram fraction, stopword
     * fraction, and the resulting keep/drop flag.
@@ -440,6 +500,7 @@ object CorpusOps {
     "ext65_incremental_dedup" -> incrementalDedup,
     "ext66_quality_ensemble" -> qualityEnsemble,
     "ext59_span_dedup" -> spanDedup,
+    "ext142_exact_substr_dedup" -> exactSubstrDedup,
     "ext60_gopher_rules" -> gopherRules,
     "ext61_domain_mixture" -> domainMixture,
     "ext62_length_batching" -> lengthBatching,
@@ -627,6 +688,44 @@ object CorpusOps {
          |  COALESCE(r.n_kept, 0) AS n_kept,
          |  COALESCE(r.dedup_text, '') AS dedup_text
          |FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "ext142_exact_substr_dedup" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+         |  FROM docs, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)),
+         |dup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM grams)
+         |  WHERE cnt > 1),
+         |islands AS (
+         |  SELECT doc_id, pos,
+         |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM dup)),
+         |spans AS (
+         |  SELECT doc_id, island, COUNT(*) AS n_grams_in,
+         |    MAX(pos) - MIN(pos) + 8 AS span_len
+         |  FROM islands GROUP BY doc_id, island),
+         |per_doc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(n_grams_in) AS BIGINT) AS n_dup_grams,
+         |    COUNT(*) AS n_spans,
+         |    CAST(SUM(span_len) AS BIGINT) AS n_removed,
+         |    CAST(MAX(span_len) AS BIGINT) AS longest_span
+         |  FROM spans GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+         |  COALESCE(p.n_spans, 0) AS n_spans,
+         |  COALESCE(p.n_removed, 0) AS n_removed,
+         |  COALESCE(p.longest_span, 0) AS longest_span,
+         |  CASE WHEN len(d.toks) > 0
+         |       THEN CAST(COALESCE(p.n_removed, 0) AS DOUBLE) / len(d.toks)
+         |       ELSE 0.0 END AS frac_removed
+         |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "ext60_gopher_rules" ->
       s"""WITH $gopherCtesSql

@@ -773,7 +773,51 @@ object Similarity {
     adcTopK(s, t, s.table("graft_cat.db.cdc_pqvecs"))
   }
 
+  /** Scalar int8 quantization (SQ8) search with exact rescoring — the
+    * third compression tier alongside IVF (ext20) and PQ (ext75): each
+    * corpus vector is quantized per-vector to 256 levels between its own
+    * min and max component (code = floor((x-mn)*255/(mx-mn) + .5), 1 byte
+    * per dimension = 8× smaller than float64), queries stay full-precision
+    * (asymmetric distance), candidates rank by the approximate cosine
+    * against the RECONSTRUCTED vector, and the surviving top-3 carry both
+    * the approximate and the exact score (the rescoring tier a production
+    * retriever runs over the shortlist).
+    *
+    * Scale: quantization is row-local (no corpus-wide training stage, the
+    * operational advantage SQ has over PQ/IVF); the scan reads 1 byte per
+    * dimension instead of 8; rescoring touches only k rows per query. The
+    * floor(x + 0.5) rounding and the sequential fold keep every double
+    * bit-identical in DuckDB, so approx AND exact scores hash-match.
+    */
+  val sqTopK: Q = (s, d) => {
+    val base = vecs(s, d)
+    val quant = base
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("r", expr(
+        "transform(v, x -> if(mx > mn," +
+          " mn + floor((x - mn) * 255 / (mx - mn) + 0.5D) * (mx - mn) / 255," +
+          " mn))"))
+      .withColumn("rnorm", expr("sqrt(aggregate(r, 0D, (a, x) -> a + x * x))"))
+    val queries = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"))
+    val scored = queries.as("q")
+      .join(quant.as("c"), col("c.vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
+        (expr("aggregate(zip_with(q.v, c.r, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("q.norm") * col("c.rnorm"))).as("approx_cosine"),
+        (expr(dot) / (col("q.norm") * col("c.norm"))).as("true_cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx_cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"),
+        col("approx_cosine"), col("true_cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext143_sim_topk_sq8" -> sqTopK,
     "ext135_ann_cdc_maintenance" -> annCdcMaintenance,
     "ext137_pq_cdc_maintenance" -> pqCdcMaintenance,
     "ext126_ann_index_probe1" -> persistedIvfTopK,
@@ -942,6 +986,31 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "ext143_sim_topk_sq8" ->
+      s"""WITH $vSql,
+         |r2 AS (
+         |  SELECT vec_id, v, norm,
+         |    [CASE WHEN mx > mn
+         |          THEN mn + floor((x - mn) * 255 / (mx - mn) + 0.5) * (mx - mn) / 255
+         |          ELSE mn END for x in v] AS r
+         |  FROM (SELECT vec_id, v, norm, list_min(v) AS mn, list_max(v) AS mx FROM v)),
+         |r3 AS (
+         |  SELECT vec_id, v, norm, r,
+         |    sqrt(list_sum([x * x for x in r])) AS rnorm FROM r2),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    list_sum([q.v[i] * c.r[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.rnorm) AS approx_cosine,
+         |    list_sum([q.v[i] * c.v[i] for i in range(1, len(q.v) + 1)])
+         |      / (q.norm * c.norm) AS true_cosine
+         |  FROM v q JOIN r3 c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, n_id,
+         |  approx_cosine, true_cosine
+         |FROM scored
+         |WINDOW w AS (PARTITION BY q_id ORDER BY approx_cosine DESC, n_id)
+         |QUALIFY row_number() OVER w <= 3
+         |ORDER BY q_id, rank""".stripMargin,
     // sampled queries, both candidate policies, same k=5 vote: per-label
     // agreement between the probe-2-bounded audit and the exact audit
     "ext108_label_noise_recall" ->

@@ -28,6 +28,49 @@ class CorpusOpsSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("ext142 exact-substring dedup matches a local brute-force recompute") {
+    val out = CorpusOps.exactSubstrDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independent oracle: tokenize + hash + island-merge in plain Scala
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val K = 8
+    val gramsByDoc = docs.map { case (id, toks) =>
+      id -> (if (toks.size < K) Seq.empty[String]
+             else (0 to toks.size - K).map(i => toks.slice(i, i + K).mkString(" ")))
+    }
+    val counts = gramsByDoc.values.flatten
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = gramsByDoc.map { case (id, grams) =>
+      val dupPos = grams.zipWithIndex.collect {
+        case (g, i) if counts(g) > 1 => i
+      }
+      // merge: a new island starts when pos jumps past prev + K - 1
+      val islands = dupPos.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head._2 =>
+          (acc.head._1, math.max(acc.head._2, p + K - 1)) :: acc.tail
+        case (acc, p) => (p, p + K - 1) :: acc
+      }.reverse
+      id -> (dupPos.size.toLong, islands.size.toLong,
+        islands.map { case (a, b) => (b - a + 1).toLong }.sum,
+        islands.map { case (a, b) => (b - a + 1).toLong }.foldLeft(0L)(math.max))
+    }
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val (id, nTok) = (r.getLong(0), r.getLong(1))
+      assert(nTok === docs(id).size.toLong)
+      val (eDup, eSpans, eRemoved, eLongest) = expected(id)
+      assert(r.getLong(2) === eDup, s"n_dup_grams doc $id")
+      assert(r.getLong(3) === eSpans, s"n_spans doc $id")
+      assert(r.getLong(4) === eRemoved, s"n_removed doc $id")
+      assert(r.getLong(5) === eLongest, s"longest_span doc $id")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
   test("ext60 gopher rules: ratios bounded, flag matches its thresholds") {
     val rows = CorpusOps.gopherRules(spark, sf).collect()
     assert(rows.nonEmpty)

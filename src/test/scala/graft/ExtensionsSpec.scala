@@ -66,6 +66,27 @@ class ExtensionsSpec extends SparkTestBase {
     assert(ivf.nonEmpty)
   }
 
+  test("ext143 SQ8: ranks by approx score, quantization error is bounded") {
+    val rows = Similarity.sqTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length))
+      val approx = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      // ranked by the approximate (reconstructed) cosine, descending
+      assert(approx.zip(approx.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      val (a, t) = (r.getDouble(3), r.getDouble(4))
+      // Cauchy-Schwarz: both scores are genuine cosines
+      assert(a <= 1.0 + 1e-9 && a >= -1.0 - 1e-9)
+      assert(t <= 1.0 + 1e-9 && t >= -1.0 - 1e-9)
+      // 255-level per-vector quantization distorts a 64-dim cosine by
+      // far less than this loose bound — a broken scale factor blows it
+      assert(math.abs(a - t) < 0.05, s"approx $a vs true $t")
+    }
+  }
+
   test("ext124 adaptive probe: monotone recall, schedule meets the target") {
     val rows = Similarity.adaptiveProbe(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
