@@ -445,4 +445,135 @@ object AnnIndex {
     builds.incrementAndGet()
     t
   }
+
+  // ---------------------------------------------------------------- SQ8
+
+  /** Scalar-quantization tier of the persisted index — the third stored
+    * compression level alongside the IVF cells and the PQ codes: each
+    * corpus vector keeps only its per-vector (mn, mx) scale and one
+    * 256-level code per dimension (ext143's row-local quantizer), stored
+    * as `graft_cat.db.ann_<name>_sq_codes (vec_id BIGINT, mn DOUBLE,
+    * mx DOUBLE, codes ARRAY<INT>)`.
+    *
+    * SQ has no trained artifact — encode/decode are pure per-row
+    * functions — which is exactly what makes the maintenance story the
+    * simplest of the three tiers: the incremental refresh (encode the
+    * delta) is BIT-IDENTICAL to a full rebuild restricted to those rows,
+    * with no rebuild-vs-refresh drift possible, and CDC maintenance
+    * never retrains anything. At 100 TB the probe scan reads
+    * ~1 byte/dimension instead of 8 and reconstructs row-locally inside
+    * codegen; the full-precision floats are read only for the query side
+    * and the k-row rescoring joins. */
+  val sqBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  val sqRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+  val sqCdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Row-local SQ8 encode — same formula as ext143's in-query quantizer
+    * (floor(x+0.5) rounding), so searches over the stored artifact share
+    * ext143's DuckDB oracle verbatim. */
+  private def sqEncode(vs: DataFrame): DataFrame =
+    vs.select(col("vec_id"), col("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("transform(v, x -> if(mx > mn," +
+          " CAST(floor((x - mn) * 255 / (mx - mn) + 0.5D) AS INT), 0))")
+          .as("codes"))
+
+  /** Ensure the SQ tier of the named index covers `corpus` (vec_id
+    * BIGINT, v ARRAY<DOUBLE>). Same coverage contract as [[ensure]] /
+    * [[ensurePq]] — covered → no-op, append-only growth → encode ONLY
+    * the delta, anything else → rebuild — and the same watermark limit
+    * (a count+max-preserving UPDATE is invisible; use [[ensureSqCdc]]
+    * for mutable catalog corpora). */
+  def ensureSq(s: SparkSession, corpus: DataFrame, name: String): String =
+    synchronized {
+      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      graft.ops.ensureGraftCatalog(s)
+      val codes = s"graft_cat.db.ann_${name}_sq_codes"
+
+      def codesState: Option[(Long, Long)] =
+        try {
+          val r = s.table(codes).agg(count(lit(1)), max(col("vec_id"))).head
+          Some((r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+      codesState match {
+        case Some((storedCnt, storedMax)) if storedCnt > 0 =>
+          val cs = corpus.agg(count(lit(1)), max(col("vec_id")),
+            count(when(col("vec_id") <= lit(storedMax), 1))).head
+          val (cnt, mx, prefixCnt) = (cs.getLong(0),
+            if (cs.isNullAt(1)) -1L else cs.getLong(1), cs.getLong(2))
+          if (cnt == storedCnt && mx == storedMax) codes // fresh — no-op
+          else if (mx > storedMax && prefixCnt == storedCnt) {
+            sqEncode(corpus.filter(col("vec_id") > storedMax))
+              .writeTo(codes).append()
+            sqRefreshes.incrementAndGet()
+            codes
+          } else buildSq(s, corpus, codes)
+        case _ => buildSq(s, corpus, codes)
+      }
+    }
+
+  /** Version-keyed CDC maintenance of the SQ tier: retract the changed
+    * vec_ids' code rows (deletion-vector append), re-encode only the
+    * touched head images (row-local — nothing to retrain), advance the
+    * watermark in the same cross-table txn. Meta:
+    * `graft_cat.db.ann_<name>_sq_meta (version BIGINT, corpus STRING)`;
+    * crash ordering identical to the cells/PQ twins. */
+  def ensureSqCdc(s: SparkSession, corpusTable: String,
+      name: String): String = synchronized {
+    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    graft.ops.ensureGraftCatalog(s)
+    val codes = s"graft_cat.db.ann_${name}_sq_codes"
+    val meta = s"graft_cat.db.ann_${name}_sq_meta"
+    CdcIndex.ensure(s, corpusTable, meta)(codes) { (v0, headV) =>
+      applySqCdc(s, corpusTable, codes, meta, v0, headV); codes
+    } { headV =>
+      buildSq(s, s.table(corpusTable).select(col("vec_id"), col("v")), codes)
+      s.sql(s"ALTER TABLE $codes SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      s.sql(s"DROP TABLE IF EXISTS $meta")
+      s.sql(s"CREATE TABLE $meta (version BIGINT, corpus STRING)")
+      s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      codes
+    }
+  }
+
+  private def applySqCdc(s: SparkSession, corpusTable: String, codes: String,
+      meta: String, v0: Long, headV: Long): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tv = s"graft_sq_touched_$suffix"
+    val rv = s"graft_sq_reencoded_$suffix"
+    s.sql(s"SELECT DISTINCT vec_id FROM $corpusTable " +
+        s"VERSION AS OF 'cdf:$v0..$headV'")
+      .createOrReplaceTempView(tv)
+    try {
+      // 1. retract every changed vector's code row — idempotent replay
+      s.sql(s"DELETE FROM $codes WHERE vec_id IN (SELECT vec_id FROM $tv)")
+      // 2. re-encode the surviving HEAD images (row-local) and advance
+      //    the watermark — one atomic publish
+      val head = s.table(corpusTable).select(col("vec_id"), col("v"))
+      sqEncode(head.join(s.table(tv), Seq("vec_id"), "left_semi"))
+        .createOrReplaceTempView(rv)
+      CdcIndex.inTxn(s) {
+        s.sql(s"INSERT INTO $codes SELECT * FROM $rv")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      }
+      sqCdcRefreshes.incrementAndGet()
+    } finally {
+      s.catalog.dropTempView(tv)
+      s.catalog.dropTempView(rv)
+    }
+  }
+
+  private def buildSq(s: SparkSession, corpus: DataFrame,
+      codes: String): String = {
+    sqEncode(corpus)
+      .writeTo(codes)
+      .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+      .createOrReplace()
+    sqBuilds.incrementAndGet()
+    codes
+  }
 }

@@ -816,8 +816,81 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The SQ8 probe plan over a STORED codes table — shared by ext144 and
+    * ext145 (CDC-maintained codes): reconstruction is row-local inside
+    * the codes scan (mn/mx/codes columns — NO array_min/array_max
+    * quantize stages in-plan, spec-pinned), the approximate top-3 ranks
+    * against reconstructed vectors, and only those k rows join back to
+    * the float corpus for exact rescoring. */
+  private def sqTopKFrom(s: org.apache.spark.sql.SparkSession,
+      codesTable: String, corpus: DataFrame): DataFrame = {
+    val recon = s.table(codesTable)
+      .withColumn("r",
+        expr("transform(codes, cd -> mn + CAST(cd AS BIGINT) * (mx - mn) / 255)"))
+      .withColumn("rnorm", expr("sqrt(aggregate(r, 0D, (a, x) -> a + x * x))"))
+      .select(col("vec_id"), col("r"), col("rnorm"))
+    val qs = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))").as("qnorm"))
+    val top = qs.join(recon, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id").as("n_id"),
+        (expr("aggregate(zip_with(qv, r, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("qnorm") * col("rnorm"))).as("approx_cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx_cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+    top
+      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))").as("nnorm")),
+        Seq("n_id"))
+      .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"),
+        col("approx_cosine"),
+        (expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("qnorm") * col("nnorm"))).as("true_cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** ext144 — SQ8 top-3 over the STORED codes ([[AnnIndex.ensureSq]]):
+    * identical semantics (and oracle) to ext143, but the corpus scan
+    * reads (mn, mx, codes) — 1 byte/dimension at rest — and the encode
+    * is amortized into the persisted artifact. */
+  val persistedSqTopK: Q = (s, d) => {
+    val codes = AnnIndex.ensureSq(s,
+      vecs(s, d).select(col("vec_id"), col("v")),
+      "emb_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    sqTopKFrom(s, codes, vecs(s, d).select(col("vec_id"), col("v")))
+  }
+
+  /** ext145 — CDC-DRIVEN MAINTENANCE OF THE SQ CODES: same delete +
+    * re-embedding mutations as ext135/ext137, applied by
+    * [[AnnIndex.ensureSqCdc]] as one feed slice — retract the changed
+    * vec_ids' code rows, re-encode only the touched head images (SQ has
+    * nothing to retrain, so maintained ≡ rebuilt EXACTLY, not just
+    * modulo a frozen quantizer). The probe (queries from the surviving
+    * corpus) must hash-match the oracle that quantizes the post-delete
+    * post-update corpus directly. */
+  val sqCdcMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_sqvecs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_sq_sq_codes")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_sq_sq_meta")
+    s.sql("CREATE TABLE graft_cat.db.cdc_sqvecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    vecs(s, d).select(col("vec_id"), col("v"))
+      .writeTo("graft_cat.db.cdc_sqvecs").append()
+    AnnIndex.ensureSqCdc(s, "graft_cat.db.cdc_sqvecs", "cdc_sq") // build
+    s.sql("DELETE FROM graft_cat.db.cdc_sqvecs WHERE vec_id % 9 = 0")
+    s.sql("UPDATE graft_cat.db.cdc_sqvecs SET v = reverse(v) " +
+      "WHERE vec_id % 11 = 4")
+    // ONE feed slice spans both commits
+    val codes = AnnIndex.ensureSqCdc(s, "graft_cat.db.cdc_sqvecs", "cdc_sq")
+    sqTopKFrom(s, codes, s.table("graft_cat.db.cdc_sqvecs"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext143_sim_topk_sq8" -> sqTopK,
+    "ext144_ann_index_sq8" -> persistedSqTopK,
+    "ext145_sq_cdc_maintenance" -> sqCdcMaintenance,
     "ext135_ann_cdc_maintenance" -> annCdcMaintenance,
     "ext137_pq_cdc_maintenance" -> pqCdcMaintenance,
     "ext126_ann_index_probe1" -> persistedIvfTopK,
@@ -985,9 +1058,12 @@ object Similarity {
        |QUALIFY row_number() OVER w <= 3
        |ORDER BY q_id, rank""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "ext143_sim_topk_sq8" ->
-      s"""WITH $vSql,
+  /** The SQ8 search restated over an arbitrary corpus CTE (`v` must
+    * expose vec_id, v, norm) — instantiated for ext143/ext144 (raw
+    * embeddings; the stored-codes probe is bit-identical to the
+    * in-query quantization) and for ext145 (the post-CDC corpus). */
+  private def sqOracleFrom(vCte: String): String =
+      s"""WITH $vCte,
          |r2 AS (
          |  SELECT vec_id, v, norm,
          |    [CASE WHEN mx > mn
@@ -1010,7 +1086,19 @@ object Similarity {
          |FROM scored
          |WINDOW w AS (PARTITION BY q_id ORDER BY approx_cosine DESC, n_id)
          |QUALIFY row_number() OVER w <= 3
-         |ORDER BY q_id, rank""".stripMargin,
+         |ORDER BY q_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ext143_sim_topk_sq8" -> sqOracleFrom(vSql),
+    "ext144_ann_index_sq8" -> sqOracleFrom(vSql),
+    "ext145_sq_cdc_maintenance" -> sqOracleFrom(
+      """vm AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 11 = 4 THEN list_reverse(embedding::DOUBLE[])
+        |         ELSE embedding::DOUBLE[] END AS v
+        |  FROM embeddings WHERE vec_id % 9 <> 0),
+        |v AS (SELECT vec_id, v,
+        |        sqrt(list_sum([x * x for x in v])) AS norm FROM vm)""".stripMargin),
     // sampled queries, both candidate policies, same k=5 vote: per-label
     // agreement between the probe-2-bounded audit and the exact audit
     "ext108_label_noise_recall" ->

@@ -351,4 +351,126 @@ class AnnIndexSpec extends SparkTestBase {
       "rebuild must migrate the cells layout to BIGINT")
     assert(spark.table(t.cells).count() === 128L)
   }
+
+  test("SQ: stored codes answer identically to ext143; probe quantizes nothing") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val d = "/root/testdata/sf0.001"
+    val key = "emb_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${key}_sq_codes")
+    val b0 = AnnIndex.sqBuilds.get()
+
+    val rows1 = ext.Similarity.persistedSqTopK(spark, d).collect()
+    assert(rows1.nonEmpty)
+    assert(AnnIndex.sqBuilds.get() === b0 + 1)
+
+    // the stored-codes probe is bit-identical to ext143's in-query
+    // quantization (same encode formula, same fold order)
+    val inQuery = ext.Similarity.sqTopK(spark, d).collect()
+    assert(rows1.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq,
+      "persisted-SQ probe diverged from the in-query quantization")
+
+    // second search: no rebuild/refresh; the plan reconstructs from the
+    // stored (mn, mx, codes) columns — no quantize stage (array_min /
+    // array_max / floor-encode) anywhere — and scans the codes table
+    val rf0 = AnnIndex.sqRefreshes.get()
+    val r2 = ext.Similarity.persistedSqTopK(spark, d)
+    assert(r2.collect().map(_.toSeq).toSeq === rows1.map(_.toSeq).toSeq)
+    assert(AnnIndex.sqBuilds.get() === b0 + 1, "second search re-built the index")
+    assert(AnnIndex.sqRefreshes.get() === rf0)
+    val plan = r2.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("array_min") && !plan.contains("array_max"),
+      "probe plan contains a quantize stage:\n" + plan)
+    assert(plan.contains(s"ann_${key}_sq_codes"),
+      "probe plan does not scan the persisted codes table:\n" + plan)
+  }
+
+  test("SQ: append encodes only the delta; codes equal the row-local formula") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.ann_spec_sq_sq_codes")
+    val b0 = AnnIndex.sqBuilds.get()
+    val rf0 = AnnIndex.sqRefreshes.get()
+
+    val t = AnnIndex.ensureSq(spark, mkCorpus64(1000), "spec_sq")
+    assert(AnnIndex.sqBuilds.get() === b0 + 1)
+    val oldCodes = spark.table(t).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getSeq[Int](3)))
+    assert(oldCodes.length === 1000)
+
+    // covered corpus: pure no-op
+    AnnIndex.ensureSq(spark, mkCorpus64(1000), "spec_sq")
+    assert(AnnIndex.sqBuilds.get() === b0 + 1)
+    assert(AnnIndex.sqRefreshes.get() === rf0)
+
+    // append: pre-existing codes byte-identical; only the delta encodes
+    AnnIndex.ensureSq(spark, mkCorpus64(1200), "spec_sq")
+    assert(AnnIndex.sqBuilds.get() === b0 + 1, "append triggered a full rebuild")
+    assert(AnnIndex.sqRefreshes.get() === rf0 + 1)
+    val codesAfter = spark.table(t).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getSeq[Int](3)))
+    assert(codesAfter.length === 1200)
+    assert(codesAfter.take(1000).toSeq === oldCodes.toSeq,
+      "incremental refresh rewrote pre-existing codes")
+
+    // every delta row equals the row-local formula — SQ has no trained
+    // artifact, so refresh ≡ rebuild restricted to those rows
+    val vById = mkCorpus64(1200).filter(col("vec_id") >= 1000)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    codesAfter.drop(1000).foreach { case (id, mn, mx, codes) =>
+      val v = vById(id)
+      assert(mn === v.min && mx === v.max, s"vec $id scale ($mn, $mx)")
+      val want = v.map(x =>
+        if (mx > mn) math.floor((x - mn) * 255 / (mx - mn) + 0.5).toInt else 0)
+      assert(codes.toSeq === want.toSeq, s"vec $id codes")
+    }
+  }
+
+  test("SQ CDC maintenance: codes follow delete+update; maintained == rebuilt") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val d = "/root/testdata/sf0.001"
+    val b0 = AnnIndex.sqBuilds.get()
+    val c0 = AnnIndex.sqCdcRefreshes.get()
+    val rows = ext.Similarity.queries("ext145_sq_cdc_maintenance")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(AnnIndex.sqBuilds.get() === b0 + 1,
+      "SQ CDC maintenance should build exactly once (the seed)")
+    assert(AnnIndex.sqCdcRefreshes.get() === c0 + 1,
+      "the delete+update slice should apply via the feed, not a rebuild")
+
+    // erasure reached the artifact, and — SQ's distinguishing property —
+    // the maintained table is EXACTLY what a from-scratch encode of the
+    // head produces (no frozen-quantizer caveat)
+    val maintained = spark.table("graft_cat.db.ann_cdc_sq_sq_codes")
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(maintained.forall(r => r.head.asInstanceOf[Long] % 9 != 0))
+    val fresh = spark.table("graft_cat.db.cdc_sqvecs")
+      .select(col("vec_id"), col("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("transform(v, x -> if(mx > mn," +
+          " CAST(floor((x - mn) * 255 / (mx - mn) + 0.5D) AS INT), 0))")
+          .as("codes"))
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(maintained.toSeq === fresh.toSeq,
+      "CDC-maintained SQ codes diverged from a fresh encode of the head")
+
+    // covered head: pure no-op
+    AnnIndex.ensureSqCdc(spark, "graft_cat.db.cdc_sqvecs", "cdc_sq")
+    assert(AnnIndex.sqBuilds.get() === b0 + 1)
+    assert(AnnIndex.sqCdcRefreshes.get() === c0 + 1)
+
+    // retraction went merge-on-read (DV append), never copy-on-write
+    val ops_ = spark.sql(
+      "SELECT operation FROM graft_cat.db.ann_cdc_sq_sq_codes.versions")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops_.contains("delete") && !ops_.contains("rewrite"),
+      s"codes retraction not a DV append: $ops_")
+  }
 }
