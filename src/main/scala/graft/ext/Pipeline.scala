@@ -128,9 +128,9 @@ object Pipeline {
     * the right-to-be-forgotten path at 100 TB. A corpus table (docs) and
     * a vector table (embeddings) each take one DELETE of the subject
     * slice (`id % 7 = 2` — the erasure request), and CDC maintenance
-    * propagates it to all four derived artifacts with FEED-SIZED work
+    * propagates it to all five derived artifacts with FEED-SIZED work
     * (one change-feed slice each, never a rebuild): MinHash signatures,
-    * BM25 postings + doc lengths, IVF cells, PQ codes. The output audits
+    * BM25 postings + doc lengths, IVF cells, PQ codes, SQ codes. The output audits
     * the claim the way a compliance review would: per family, the live
     * row count still attributable to erased subjects (hash-checked to be
     * ZERO) and the surviving total (hash-checked against a DuckDB
@@ -144,7 +144,8 @@ object Pipeline {
       "dedup_er_sigs", "dedup_er_meta",
       "search_er_postings", "search_er_docs", "search_er_meta",
       "ann_er_cells", "ann_er_cents", "ann_er_meta",
-      "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta")
+      "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta",
+      "ann_er_sq_codes", "ann_er_sq_meta")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
     s.sql("CREATE TABLE graft_cat.db.er_docs (doc_id BIGINT, text STRING) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
@@ -168,6 +169,7 @@ object Pipeline {
     SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
+    AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er")
     // the erasure request lands on the PRIMARY tables only
     s.sql("DELETE FROM graft_cat.db.er_docs WHERE doc_id % 7 = 2")
     s.sql("DELETE FROM graft_cat.db.er_vecs WHERE vec_id % 7 = 2")
@@ -176,6 +178,7 @@ object Pipeline {
     val ts = SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     val ta = AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     val tp = AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
+    val tq = AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er")
     def leg(family: String, t: String, id: String) =
       s.table(t).agg(
         count(when(col(id) % 7 === 2, 1)).as("n_erased_live"),
@@ -187,6 +190,7 @@ object Pipeline {
       .unionAll(leg("ivf-cells", ta.cells, "vec_id"))
       .unionAll(leg("minhash-signatures", td.sigs, "doc_id"))
       .unionAll(leg("pq-codes", tp.codes, "vec_id"))
+      .unionAll(leg("sq-codes", tq, "vec_id"))
       .orderBy("family")
   }
 
@@ -214,7 +218,8 @@ object Pipeline {
         |  UNION ALL SELECT 'bm25-postings', 0, (SELECT n FROM post)
         |  UNION ALL SELECT 'ivf-cells', 0, (SELECT n FROM nv)
         |  UNION ALL SELECT 'minhash-signatures', 0, (SELECT n FROM sig)
-        |  UNION ALL SELECT 'pq-codes', 0, (SELECT n FROM nv) * 8)
+        |  UNION ALL SELECT 'pq-codes', 0, (SELECT n FROM nv) * 8
+        |  UNION ALL SELECT 'sq-codes', 0, (SELECT n FROM nv))
         |ORDER BY family""".stripMargin,
     "ext140_corpus_pipeline" ->
       s"""WITH ${CorpusOps.gopherCtesSql},

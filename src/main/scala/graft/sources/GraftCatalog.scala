@@ -5096,7 +5096,8 @@ class VacuumProcedure(catalog: GraftCatalog) extends UnboundProcedure {
   * clone ([[GraftCatalog.cloneTable]]). */
 /** Persisted-index inventory (`CALL system.indexes('db')`): one row per
   * index artifact discovered by its `_meta` watermark table — family
-  * (minhash-signatures / ivf-cells / pq-codes / bm25-postings), index
+  * (minhash-signatures / ivf-cells / pq-codes / sq-codes /
+  * bm25-postings), index
   * name, the data table, its live row count (manifest arithmetic,
   * deletion vectors subtracted), segment count, and the data table's
   * committed head version. The operational complement of the ensure*()
@@ -5125,13 +5126,16 @@ class IndexesProcedure(catalog: GraftCatalog) extends UnboundProcedure {
               case "search" => ("bm25-postings", s"search_${base}_postings")
               case "ann" if base.endsWith("_pq") =>
                 ("pq-codes", s"ann_${base}_codes")
+              case "ann" if base.endsWith("_sq") =>
+                ("sq-codes", s"ann_${base}_codes")
               case _ => ("ivf-cells", s"ann_${base}_cells")
             }
             try {
               val t = catalog.segTable(s"$ns.$dataName")
               Some(new GenericInternalRow(Array[Any](
                 UTF8String.fromString(family),
-                UTF8String.fromString(base.stripSuffix("_pq")),
+                UTF8String.fromString(
+                  base.stripSuffix("_pq").stripSuffix("_sq")),
                 UTF8String.fromString(s"$ns.$dataName"),
                 t.currentLiveRows,
                 t.currentSegmentCount.toLong,
