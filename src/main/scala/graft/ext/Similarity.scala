@@ -887,7 +887,76 @@ object Similarity {
     sqTopKFrom(s, codes, s.table("graft_cat.db.cdc_sqvecs"))
   }
 
+  /** ext146 — GRAPH-BASED ANN (NSW/DiskANN-flavored, made fully
+    * deterministic): the fourth search family alongside IVF, LSH and the
+    * quantizer tiers. Build: each vector's out-edges are its top-4
+    * cosine neighbours WITHIN its coarse cell (bounded and bucketed —
+    * never a corpus-wide all-pairs; ties break on dst id). Search: from
+    * a deterministic entry point (the smallest vec_id of the query's
+    * cell), THREE fixed beam expansions — each hop expands the current
+    * frontier's out-edges, scores the distinct candidates against the
+    * query, and keeps the 8 best (cosine desc, id tiebreak) as the next
+    * frontier. The answer is the top-3 of everything visited. Fixed hop
+    * count + fixed beam width make recall<1 part of the semantics (the
+    * IVF-probe discipline), so the oracle restates the same three hops
+    * as unrolled SQL — no recursion, no convergence test.
+    *
+    * Scale: the adjacency list is one bounded window over cell-bucketed
+    * pairs (at 100 TB it would persist as an index table like the other
+    * families); each hop is a keyed join whose left side is
+    * (#queries × beam) rows — independent of corpus size — and whose
+    * right side is the 4-edges-per-node adjacency. The corpus floats
+    * are touched only by the per-hop scoring joins, k rows per query. */
+  val graphAnnBeam: Q = (s, d) => {
+    val all = vecs(s, d)
+    val dotAB =
+      "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val wAdj = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val adj = all.as("a").join(all.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (expr(dotAB) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .withColumn("rk", row_number().over(wAdj)).filter(col("rk") <= 4)
+      .select("src", "dst")
+    val qs = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    def scored(frontier: DataFrame): DataFrame =
+      frontier.join(qs.select("q_id", "qv", "qnorm"), Seq("q_id"))
+        .join(all.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("norm").as("nnorm")), Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+            / (col("qnorm") * col("nnorm"))).as("cos"))
+    val entry = qs
+      .join(all.groupBy("label").agg(min("vec_id").as("n_id")), Seq("label"))
+      .select("q_id", "n_id")
+    val wBeam = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    var frontier = scored(entry)
+    var visited = frontier
+    for (_ <- 1 to 3) {
+      val expanded = frontier.select("q_id", "n_id")
+        .join(adj, col("n_id") === col("src"))
+        .select(col("q_id"), col("dst").as("n_id")).distinct()
+      val beam = scored(expanded)
+        .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= 8)
+        .drop("rk")
+      visited = visited.unionAll(beam)
+      frontier = beam
+    }
+    visited
+      .groupBy("q_id", "n_id").agg(min("cos").as("cosine")) // revisits carry equal cos
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"),
+        col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext146_graph_ann_beam" -> graphAnnBeam,
     "ext143_sim_topk_sq8" -> sqTopK,
     "ext144_ann_index_sq8" -> persistedSqTopK,
     "ext145_sq_cdc_maintenance" -> sqCdcMaintenance,
@@ -1088,7 +1157,62 @@ object Similarity {
          |QUALIFY row_number() OVER w <= 3
          |ORDER BY q_id, rank""".stripMargin
 
+  /** The ext146 oracle: the same three beam hops, unrolled — sK = the
+    * hop-K beam (top-8 of the scored distinct expansion of hop K-1). */
+  private lazy val graphAnnOracleSql: String = {
+    def hop(k: Int): String =
+      s"""x$k AS (
+         |  SELECT DISTINCT f.q_id, a.dst AS n_id
+         |  FROM s${k - 1} f JOIN adj a ON f.n_id = a.src),
+         |s${k}p AS (
+         |  SELECT f.q_id, f.n_id,
+         |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
+         |      / (q.qnorm * c.norm) AS cos
+         |  FROM x$k f JOIN q ON f.q_id = q.q_id JOIN v c ON f.n_id = c.vec_id),
+         |s$k AS (
+         |  SELECT q_id, n_id, cos FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM s${k}p)
+         |  WHERE rk <= 8)""".stripMargin
+    s"""WITH $vSql,
+       |adjp AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+       |      / (a.norm * b.norm) AS cos
+       |  FROM v a JOIN v b ON a.label = b.label AND b.vec_id <> a.vec_id),
+       |adj AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (
+       |      PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM adjp)
+       |  WHERE rk <= 4),
+       |q AS (SELECT vec_id AS q_id, label, v AS qv, norm AS qnorm
+       |      FROM v WHERE vec_id % 50 = 0),
+       |e0 AS (
+       |  SELECT q.q_id, e.n_id FROM q
+       |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM v GROUP BY label) e
+       |    USING (label)),
+       |s0 AS (
+       |  SELECT f.q_id, f.n_id,
+       |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
+       |      / (q.qnorm * c.norm) AS cos
+       |  FROM e0 f JOIN q ON f.q_id = q.q_id JOIN v c ON f.n_id = c.vec_id),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)},
+       |vis AS (
+       |  SELECT q_id, n_id, MIN(cos) AS cosine FROM (
+       |    SELECT * FROM s0 UNION ALL SELECT * FROM s1
+       |    UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |  GROUP BY q_id, n_id)
+       |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
+       |FROM vis WHERE n_id <> q_id
+       |WINDOW w AS (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+       |QUALIFY row_number() OVER w <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ext146_graph_ann_beam" -> graphAnnOracleSql,
     "ext143_sim_topk_sq8" -> sqOracleFrom(vSql),
     "ext144_ann_index_sq8" -> sqOracleFrom(vSql),
     "ext145_sq_cdc_maintenance" -> sqOracleFrom(

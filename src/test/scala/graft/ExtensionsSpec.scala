@@ -87,6 +87,46 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("ext146 graph ANN: beam search matches a local replay of the contract") {
+    val out = Similarity.graphAnnBeam(spark, sf).collect()
+    assert(out.nonEmpty)
+    // local replay: same adjacency (top-4 in-cell), same entry point,
+    // same 3 hops × beam 8, same final top-3 — plain Scala
+    val data = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byId = data.map(t => t._1 -> t._3).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    val norm = data.map(t => t._1 -> math.sqrt(dot(t._3, t._3))).toMap
+    def cos(a: Long, b: Long) =
+      dot(byId(a), byId(b)) / (norm(a) * norm(b))
+    val adj = data.groupBy(_._2).values.flatMap { cell =>
+      cell.map { case (src, _, _) =>
+        src -> cell.collect { case (dst, _, _) if dst != src => dst }
+          .sortBy(dst => (-cos(src, dst), dst)).take(4).toSeq
+      }
+    }.toMap
+    val entryOf = data.groupBy(_._2).map { case (l, c) => l -> c.map(_._1).min }
+    val expected = data.filter(_._1 % 50 == 0).flatMap { case (q, l, _) =>
+      var frontier = Seq(entryOf(l))
+      var visited = frontier.toSet
+      for (_ <- 1 to 3) {
+        val expanded = frontier.flatMap(adj(_)).distinct
+        frontier = expanded.sortBy(n => (-cos(q, n), n)).take(8)
+        visited ++= frontier
+      }
+      visited.toSeq.filter(_ != q)
+        .sortBy(n => (-cos(q, n), n)).take(3).zipWithIndex
+        .map { case (n, i) => (q, i + 1, n, cos(q, n)) }
+    }.sortBy(t => (t._1, t._2))
+    val got = out.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected.toSeq,
+      "graph beam search diverged from the local replay")
+  }
+
   test("ext124 adaptive probe: monotone recall, schedule meets the target") {
     val rows = Similarity.adaptiveProbe(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
