@@ -576,4 +576,101 @@ object AnnIndex {
     sqBuilds.incrementAndGet()
     codes
   }
+
+  // ------------------------------------------------ graph (NSW edges)
+
+  /** Graph tier of the persisted index: each vector's top-4 in-cell
+    * cosine out-edges (ext146's adjacency) stored as
+    * `graft_cat.db.ann_<name>_gr_edges (cell BIGINT, src BIGINT,
+    * dst BIGINT)`, so the beam search probes STORED edges instead of
+    * re-deriving the graph inside every query.
+    *
+    * Unlike cells/PQ/SQ there is deliberately NO plain count/max
+    * `ensure` variant: an out-edge depends on the node's NEIGHBOURS, so
+    * even a pure append invalidates existing rows (the new vector may
+    * displace a cell-mate's 4th edge) — a delta-append maintenance path
+    * would be semantically WRONG, not merely stale-prone. The only
+    * sound maintenance granularity is the CELL: [[ensureGraphCdc]]
+    * retracts every cell the feed slice touches (the `cell` column
+    * exists exactly for this retraction key) and re-derives those
+    * cells' edges from the head corpus — work ∝ touched cells, never
+    * the corpus. Meta: `graft_cat.db.ann_<name>_gr_meta (version
+    * BIGINT, corpus STRING)`; crash ordering identical to the other
+    * families. */
+  val graphBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  val graphCdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Top-4 in-cell out-edges (cosine desc, dst tiebreak) — ext146's
+    * adjacency contract, derived for every node of `corpus`
+    * (vec_id, label, v). Bounded and cell-bucketed: the pair join never
+    * crosses cells. */
+  private def graphEdges(corpus: DataFrame): DataFrame = {
+    val wn = corpus.select(col("vec_id"), col("label"), col("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    val dotAB =
+      "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    wn.as("a").join(wn.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.label").cast("bigint").as("cell"),
+        col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (expr(dotAB) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select("cell", "src", "dst")
+  }
+
+  /** Version-keyed CDC maintenance of the graph tier (the ONLY ensure
+    * variant — scaladoc above). Returns the edges table name. */
+  def ensureGraphCdc(s: SparkSession, corpusTable: String,
+      name: String): String = synchronized {
+    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    graft.ops.ensureGraftCatalog(s)
+    val edges = s"graft_cat.db.ann_${name}_gr_edges"
+    val meta = s"graft_cat.db.ann_${name}_gr_meta"
+    CdcIndex.ensure(s, corpusTable, meta)(edges) { (v0, headV) =>
+      applyGraphCdc(s, corpusTable, edges, meta, v0, headV); edges
+    } { headV =>
+      graphEdges(s.table(corpusTable))
+        .writeTo(edges)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      s.sql(s"ALTER TABLE $edges SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      s.sql(s"DROP TABLE IF EXISTS $meta")
+      s.sql(s"CREATE TABLE $meta (version BIGINT, corpus STRING)")
+      s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      graphBuilds.incrementAndGet()
+      edges
+    }
+  }
+
+  private def applyGraphCdc(s: SparkSession, corpusTable: String,
+      edges: String, meta: String, v0: Long, headV: Long): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cv = s"graft_gr_cells_$suffix"
+    val rv = s"graft_gr_rederived_$suffix"
+    // the feed slice carries full rows, so DELETED vectors still expose
+    // their cell — the retraction key
+    s.sql(s"SELECT DISTINCT CAST(label AS BIGINT) AS cell " +
+        s"FROM $corpusTable VERSION AS OF 'cdf:$v0..$headV'")
+      .createOrReplaceTempView(cv)
+    try {
+      // 1. retract every touched CELL's edges — idempotent replay
+      s.sql(s"DELETE FROM $edges WHERE cell IN (SELECT cell FROM $cv)")
+      // 2. re-derive those cells from the head corpus (cell-local pair
+      //    joins) and advance the watermark — one atomic publish
+      val head = s.table(corpusTable).select(col("vec_id"), col("label"), col("v"))
+        .join(s.table(cv), col("label").cast("bigint") === col("cell"), "left_semi")
+      graphEdges(head).createOrReplaceTempView(rv)
+      CdcIndex.inTxn(s) {
+        s.sql(s"INSERT INTO $edges SELECT * FROM $rv")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      }
+      graphCdcRefreshes.incrementAndGet()
+    } finally {
+      s.catalog.dropTempView(cv)
+      s.catalog.dropTempView(rv)
+    }
+  }
 }

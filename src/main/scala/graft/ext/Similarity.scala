@@ -918,6 +918,16 @@ object Similarity {
         (expr(dotAB) / (col("a.norm") * col("b.norm"))).as("cos"))
       .withColumn("rk", row_number().over(wAdj)).filter(col("rk") <= 4)
       .select("src", "dst")
+    beamTopK(adj, all.select(col("vec_id"), col("label"), col("v")))
+  }
+
+  /** The beam-search probe over a given adjacency (src, dst) — shared by
+    * ext146 (in-query graph), ext147 (stored edges) and ext148
+    * (CDC-maintained edges). Corpus: (vec_id, label, v); the entry point,
+    * queries and scoring all derive from it. */
+  private def beamTopK(adj: DataFrame, corpus: DataFrame): DataFrame = {
+    val all = corpus
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label"),
         col("v").as("qv"), col("norm").as("qnorm"))
@@ -955,8 +965,58 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** ext147 — beam search over the STORED graph ([[AnnIndex
+    * .ensureGraphCdc]]): identical semantics (and oracle) to ext146, but
+    * the adjacency comes from the persisted edges table — the in-cell
+    * pair join and the top-4 window are amortized into the artifact, and
+    * the probe plan is frontier-joins only. */
+  val persistedGraphTopK: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.gr_vecs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_gr_ix_gr_edges")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_gr_ix_gr_meta")
+    s.sql("CREATE TABLE graft_cat.db.gr_vecs (vec_id BIGINT, label INT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    vecs(s, d).select(col("vec_id"), col("label"), col("v"))
+      .writeTo("graft_cat.db.gr_vecs").append()
+    AnnIndex.ensureGraphCdc(s, "graft_cat.db.gr_vecs", "gr_ix") // build
+    // covered head: the second ensure is a no-op (spec-pinned)
+    val edges = AnnIndex.ensureGraphCdc(s, "graft_cat.db.gr_vecs", "gr_ix")
+    beamTopK(s.table(edges).select("src", "dst"),
+      s.table("graft_cat.db.gr_vecs"))
+  }
+
+  /** ext148 — CDC-DRIVEN MAINTENANCE OF THE GRAPH EDGES: same delete +
+    * re-embedding mutations as ext135/ext137/ext145, applied by
+    * [[AnnIndex.ensureGraphCdc]] at the graph's only sound granularity —
+    * the CELL (an out-edge depends on its node's neighbours, so every
+    * touched cell's edges retract and re-derive from the head; work ∝
+    * touched cells, never the corpus). The probe must hash-match the
+    * oracle that builds the graph over the post-delete post-update
+    * corpus directly — maintained ≡ rebuilt, per cell. */
+  val graphCdcMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_grvecs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_gr_gr_edges")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_gr_gr_meta")
+    s.sql("CREATE TABLE graft_cat.db.cdc_grvecs (vec_id BIGINT, label INT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    vecs(s, d).select(col("vec_id"), col("label"), col("v"))
+      .writeTo("graft_cat.db.cdc_grvecs").append()
+    AnnIndex.ensureGraphCdc(s, "graft_cat.db.cdc_grvecs", "cdc_gr") // build
+    s.sql("DELETE FROM graft_cat.db.cdc_grvecs WHERE vec_id % 9 = 0")
+    s.sql("UPDATE graft_cat.db.cdc_grvecs SET v = reverse(v) " +
+      "WHERE vec_id % 11 = 4")
+    // ONE feed slice spans both commits
+    val edges = AnnIndex.ensureGraphCdc(s, "graft_cat.db.cdc_grvecs", "cdc_gr")
+    beamTopK(s.table(edges).select("src", "dst"),
+      s.table("graft_cat.db.cdc_grvecs"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ext146_graph_ann_beam" -> graphAnnBeam,
+    "ext147_graph_index_probe" -> persistedGraphTopK,
+    "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
     "ext144_ann_index_sq8" -> persistedSqTopK,
     "ext145_sq_cdc_maintenance" -> sqCdcMaintenance,
@@ -1157,9 +1217,13 @@ object Similarity {
          |QUALIFY row_number() OVER w <= 3
          |ORDER BY q_id, rank""".stripMargin
 
-  /** The ext146 oracle: the same three beam hops, unrolled — sK = the
-    * hop-K beam (top-8 of the scored distinct expansion of hop K-1). */
-  private lazy val graphAnnOracleSql: String = {
+  /** The graph-ANN oracle: the same three beam hops, unrolled — sK = the
+    * hop-K beam (top-8 of the scored distinct expansion of hop K-1).
+    * Instantiated over the raw embeddings (ext146/ext147 — the stored
+    * graph probes identically to the in-query build) and over the
+    * post-CDC corpus (ext148); `vCte`'s `v` must expose vec_id, label,
+    * v, norm. */
+  private def graphAnnOracleFrom(vCte: String): String = {
     def hop(k: Int): String =
       s"""x$k AS (
          |  SELECT DISTINCT f.q_id, a.dst AS n_id
@@ -1174,7 +1238,7 @@ object Similarity {
          |    SELECT *, row_number() OVER (
          |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM s${k}p)
          |  WHERE rk <= 8)""".stripMargin
-    s"""WITH $vSql,
+    s"""WITH $vCte,
        |adjp AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
@@ -1212,7 +1276,16 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
-    "ext146_graph_ann_beam" -> graphAnnOracleSql,
+    "ext146_graph_ann_beam" -> graphAnnOracleFrom(vSql),
+    "ext147_graph_index_probe" -> graphAnnOracleFrom(vSql),
+    "ext148_graph_cdc_maintenance" -> graphAnnOracleFrom(
+      """vm AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN vec_id % 11 = 4 THEN list_reverse(embedding::DOUBLE[])
+        |         ELSE embedding::DOUBLE[] END AS v
+        |  FROM embeddings WHERE vec_id % 9 <> 0),
+        |v AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum([x * x for x in v])) AS norm FROM vm)""".stripMargin),
     "ext143_sim_topk_sq8" -> sqOracleFrom(vSql),
     "ext144_ann_index_sq8" -> sqOracleFrom(vSql),
     "ext145_sq_cdc_maintenance" -> sqOracleFrom(

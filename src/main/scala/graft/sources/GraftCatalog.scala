@@ -5128,14 +5128,16 @@ class IndexesProcedure(catalog: GraftCatalog) extends UnboundProcedure {
                 ("pq-codes", s"ann_${base}_codes")
               case "ann" if base.endsWith("_sq") =>
                 ("sq-codes", s"ann_${base}_codes")
+              case "ann" if base.endsWith("_gr") =>
+                ("nsw-edges", s"ann_${base}_edges")
               case _ => ("ivf-cells", s"ann_${base}_cells")
             }
             try {
               val t = catalog.segTable(s"$ns.$dataName")
               Some(new GenericInternalRow(Array[Any](
                 UTF8String.fromString(family),
-                UTF8String.fromString(
-                  base.stripSuffix("_pq").stripSuffix("_sq")),
+                UTF8String.fromString(base.stripSuffix("_pq")
+                  .stripSuffix("_sq").stripSuffix("_gr")),
                 UTF8String.fromString(s"$ns.$dataName"),
                 t.currentLiveRows,
                 t.currentSegmentCount.toLong,

@@ -473,4 +473,74 @@ class AnnIndexSpec extends SparkTestBase {
     assert(ops_.contains("delete") && !ops_.contains("rewrite"),
       s"codes retraction not a DV append: $ops_")
   }
+
+  test("graph: stored edges probe equals the in-query build; ensure is idempotent") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val d = "/root/testdata/sf0.001"
+    val b0 = AnnIndex.graphBuilds.get()
+    val r1 = ext.Similarity.persistedGraphTopK(spark, d)
+    val rows1 = r1.collect()
+    assert(rows1.nonEmpty)
+    // the entry calls ensureGraphCdc twice (build, then covered no-op)
+    assert(AnnIndex.graphBuilds.get() === b0 + 1,
+      "covered head must be a no-op, not a second build")
+    // the stored-edges probe is bit-identical to ext146's in-query graph
+    val inQuery = ext.Similarity.graphAnnBeam(spark, d).collect()
+    assert(rows1.map(_.toSeq).toSeq === inQuery.map(_.toSeq).toSeq,
+      "persisted-graph probe diverged from the in-query build")
+    // and the probe plan scans the persisted edges table
+    val plan = r1.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ann_gr_ix_gr_edges"),
+      "probe plan does not scan the persisted edges table:\n" + plan)
+  }
+
+  test("graph CDC maintenance: cell-granular retract+re-derive; maintained == rebuilt") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val d = "/root/testdata/sf0.001"
+    val b0 = AnnIndex.graphBuilds.get()
+    val c0 = AnnIndex.graphCdcRefreshes.get()
+    val rows = ext.Similarity.queries("ext148_graph_cdc_maintenance")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(AnnIndex.graphBuilds.get() === b0 + 1,
+      "graph CDC maintenance should build exactly once (the seed)")
+    assert(AnnIndex.graphCdcRefreshes.get() === c0 + 1,
+      "the delete+update slice should apply via the feed, not a rebuild")
+
+    // erasure reached the artifact on BOTH edge ends (a deleted vector
+    // must vanish as src and as dst — dst removal is exactly why the
+    // graph maintains at cell granularity)
+    val maintained = spark.table("graft_cat.db.ann_cdc_gr_gr_edges")
+      .orderBy("cell", "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(maintained.forall { case (_, s0, d0) => s0 % 9 != 0 && d0 % 9 != 0 })
+
+    // maintained ≡ rebuilt: the edges equal a from-scratch derivation
+    // over the head corpus (same top-4 in-cell contract)
+    val wn = spark.table("graft_cat.db.cdc_grvecs")
+      .select(col("vec_id"), col("label"), col("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    val dotAB =
+      "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val fresh = wn.as("a").join(wn.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.label").cast("bigint").as("cell"),
+        col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (expr(dotAB) / (col("a.norm") * col("b.norm"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .orderBy("cell", "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(maintained.toSeq === fresh.toSeq,
+      "CDC-maintained graph edges diverged from a fresh per-cell derive")
+
+    // covered head: pure no-op
+    AnnIndex.ensureGraphCdc(spark, "graft_cat.db.cdc_grvecs", "cdc_gr")
+    assert(AnnIndex.graphBuilds.get() === b0 + 1)
+    assert(AnnIndex.graphCdcRefreshes.get() === c0 + 1)
+  }
 }
