@@ -128,9 +128,11 @@ object Pipeline {
     * the right-to-be-forgotten path at 100 TB. A corpus table (docs) and
     * a vector table (embeddings) each take one DELETE of the subject
     * slice (`id % 7 = 2` — the erasure request), and CDC maintenance
-    * propagates it to all five derived artifacts with FEED-SIZED work
+    * propagates it to all six derived artifacts with FEED-SIZED work
     * (one change-feed slice each, never a rebuild): MinHash signatures,
-    * BM25 postings + doc lengths, IVF cells, PQ codes, SQ codes. The output audits
+    * BM25 postings + doc lengths, IVF cells, PQ codes, SQ codes, NSW
+    * graph edges (cell-granular — and audited on BOTH edge ends, since
+    * an erased vector must vanish as src and as dst). The output audits
     * the claim the way a compliance review would: per family, the live
     * row count still attributable to erased subjects (hash-checked to be
     * ZERO) and the surviving total (hash-checked against a DuckDB
@@ -145,11 +147,12 @@ object Pipeline {
       "search_er_postings", "search_er_docs", "search_er_meta",
       "ann_er_cells", "ann_er_cents", "ann_er_meta",
       "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta",
-      "ann_er_sq_codes", "ann_er_sq_meta")
+      "ann_er_sq_codes", "ann_er_sq_meta",
+      "ann_er_gr_edges", "ann_er_gr_meta")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
     s.sql("CREATE TABLE graft_cat.db.er_docs (doc_id BIGINT, text STRING) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
-    s.sql("CREATE TABLE graft_cat.db.er_vecs (vec_id BIGINT, " +
+    s.sql("CREATE TABLE graft_cat.db.er_vecs (vec_id BIGINT, label INT, " +
       "v ARRAY<DOUBLE>, norm DOUBLE) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     // the demo cohort is BOUNDED (first 2500 ids): entry cost must stay
@@ -161,7 +164,7 @@ object Pipeline {
       .writeTo("graft_cat.db.er_docs").append()
     table(s, d, "embeddings")
       .filter(col("vec_id") < 2500)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
       .writeTo("graft_cat.db.er_vecs").append()
@@ -170,6 +173,7 @@ object Pipeline {
     AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
     AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er")
+    AnnIndex.ensureGraphCdc(s, "graft_cat.db.er_vecs", "er")
     // the erasure request lands on the PRIMARY tables only
     s.sql("DELETE FROM graft_cat.db.er_docs WHERE doc_id % 7 = 2")
     s.sql("DELETE FROM graft_cat.db.er_vecs WHERE vec_id % 7 = 2")
@@ -179,6 +183,7 @@ object Pipeline {
     val ta = AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     val tp = AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
     val tq = AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er")
+    val tg = AnnIndex.ensureGraphCdc(s, "graft_cat.db.er_vecs", "er")
     def leg(family: String, t: String, id: String) =
       s.table(t).agg(
         count(when(col(id) % 7 === 2, 1)).as("n_erased_live"),
@@ -191,6 +196,12 @@ object Pipeline {
       .unionAll(leg("minhash-signatures", td.sigs, "doc_id"))
       .unionAll(leg("pq-codes", tp.codes, "vec_id"))
       .unionAll(leg("sq-codes", tq, "vec_id"))
+      .unionAll(s.table(tg).agg(
+        count(when(col("src") % 7 === 2 || col("dst") % 7 === 2, 1))
+          .as("n_erased_live"),
+        count(lit(1)).as("n_live"))
+        .select(lit("nsw-edges").as("family"),
+          col("n_erased_live"), col("n_live")))
       .orderBy("family")
   }
 
@@ -211,7 +222,9 @@ object Pipeline {
         |sig AS (SELECT COUNT(*) AS n FROM docs_live
         |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
         |dl AS (SELECT COUNT(*) AS n FROM docs_live),
-        |nv AS (SELECT COUNT(*) AS n FROM vecs_live)
+        |nv AS (SELECT COUNT(*) AS n FROM vecs_live),
+        |gr AS (SELECT CAST(SUM(n * LEAST(4, n - 1)) AS BIGINT) AS n FROM (
+        |  SELECT label, COUNT(*) AS n FROM vecs_live GROUP BY label))
         |SELECT * FROM (
         |  SELECT 'bm25-doclens' AS family, CAST(0 AS BIGINT) AS n_erased_live,
         |         (SELECT n FROM dl) AS n_live
@@ -219,7 +232,8 @@ object Pipeline {
         |  UNION ALL SELECT 'ivf-cells', 0, (SELECT n FROM nv)
         |  UNION ALL SELECT 'minhash-signatures', 0, (SELECT n FROM sig)
         |  UNION ALL SELECT 'pq-codes', 0, (SELECT n FROM nv) * 8
-        |  UNION ALL SELECT 'sq-codes', 0, (SELECT n FROM nv))
+        |  UNION ALL SELECT 'sq-codes', 0, (SELECT n FROM nv)
+        |  UNION ALL SELECT 'nsw-edges', 0, (SELECT n FROM gr))
         |ORDER BY family""".stripMargin,
     "ext140_corpus_pipeline" ->
       s"""WITH ${CorpusOps.gopherCtesSql},
