@@ -606,16 +606,14 @@ object AnnIndex {
     * crosses cells. */
   private def graphEdges(corpus: DataFrame): DataFrame = {
     val wn = corpus.select(col("vec_id"), col("label"), col("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
-    val dotAB =
-      "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos").desc, col("dst"))
     wn.as("a").join(wn.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.label").cast("bigint").as("cell"),
         col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        (expr(dotAB) / (col("a.norm") * col("b.norm"))).as("cos"))
+        // codegen'd fused loop, bit-identical to the HOF fold (ext16)
+        expr("graft_cosine(a.v, b.v)").as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
       .select("cell", "src", "dst")
   }
@@ -626,6 +624,7 @@ object AnnIndex {
       name: String): String = synchronized {
     require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
     graft.ops.ensureGraftCatalog(s)
+    graft.functions.CosineSimilarity.register(s)
     val edges = s"graft_cat.db.ann_${name}_gr_edges"
     val meta = s"graft_cat.db.ann_${name}_gr_meta"
     CdcIndex.ensure(s, corpusTable, meta)(edges) { (v0, headV) =>

@@ -908,14 +908,15 @@ object Similarity {
     * right side is the 4-edges-per-node adjacency. The corpus floats
     * are touched only by the per-hop scoring joins, k rows per query. */
   val graphAnnBeam: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
     val all = vecs(s, d)
-    val dotAB =
-      "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     val wAdj = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     val adj = all.as("a").join(all.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        (expr(dotAB) / (col("a.norm") * col("b.norm"))).as("cos"))
+        // the codegen'd fused loop — bit-identical to the HOF fold
+        // (ext16's pinned claim), ~5x faster on the 2.5M-pair build
+        expr("graft_cosine(a.v, b.v)").as("cos"))
       .withColumn("rk", row_number().over(wAdj)).filter(col("rk") <= 4)
       .select("src", "dst")
     beamTopK(adj, all.select(col("vec_id"), col("label"), col("v")))
@@ -927,17 +928,14 @@ object Similarity {
     * queries and scoring all derive from it. */
   private def beamTopK(adj: DataFrame, corpus: DataFrame): DataFrame = {
     val all = corpus
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
     val qs = all.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("label"),
-        col("v").as("qv"), col("norm").as("qnorm"))
+      .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
     def scored(frontier: DataFrame): DataFrame =
-      frontier.join(qs.select("q_id", "qv", "qnorm"), Seq("q_id"))
-        .join(all.select(col("vec_id").as("n_id"), col("v").as("nv"),
-          col("norm").as("nnorm")), Seq("n_id"))
+      frontier.join(qs.select("q_id", "qv"), Seq("q_id"))
+        .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")),
+          Seq("n_id"))
         .select(col("q_id"), col("n_id"),
-          (expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-            / (col("qnorm") * col("nnorm"))).as("cos"))
+          expr("graft_cosine(qv, nv)").as("cos"))
     val entry = qs
       .join(all.groupBy("label").agg(min("vec_id").as("n_id")), Seq("label"))
       .select("q_id", "n_id")
@@ -972,6 +970,7 @@ object Similarity {
     * the probe plan is frontier-joins only. */
   val persistedGraphTopK: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
+    graft.functions.CosineSimilarity.register(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.gr_vecs")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_gr_ix_gr_edges")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_gr_ix_gr_meta")
@@ -996,6 +995,7 @@ object Similarity {
     * corpus directly — maintained ≡ rebuilt, per cell. */
   val graphCdcMaintenance: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
+    graft.functions.CosineSimilarity.register(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_grvecs")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_gr_gr_edges")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_cdc_gr_gr_meta")
