@@ -593,8 +593,11 @@ object AnnIndex {
     * sound maintenance granularity is the CELL: [[ensureGraphCdc]]
     * retracts every cell the feed slice touches (the `cell` column
     * exists exactly for this retraction key) and re-derives those
-    * cells' edges from the head corpus — work ∝ touched cells, never
-    * the corpus. Meta: `graft_cat.db.ann_<name>_gr_meta (version
+    * cells' edges from the head corpus. Honest cost model: re-deriving
+    * a cell is a pair join QUADRATIC in that cell's size — so apply
+    * work is Σ(touched cell sizes²), never the whole corpus, and the
+    * quantizer's cell count is the lever that keeps cells bounded at
+    * scale (more centroids → smaller cells → cheaper re-derive). Meta: `graft_cat.db.ann_<name>_gr_meta (version
     * BIGINT, corpus STRING)`; crash ordering identical to the other
     * families. */
   val graphBuilds = new java.util.concurrent.atomic.AtomicLong(0)

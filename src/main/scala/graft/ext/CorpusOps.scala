@@ -701,8 +701,8 @@ object CorpusOps {
          |  WHERE cnt > 1),
          |islands AS (
          |  SELECT doc_id, pos,
-         |    SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |    CAST(SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
          |  FROM (SELECT doc_id, pos,
          |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
          |        FROM dup)),

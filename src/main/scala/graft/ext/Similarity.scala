@@ -790,6 +790,7 @@ object Similarity {
     * bit-identical in DuckDB, so approx AND exact scores hash-match.
     */
   val sqTopK: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
     val base = vecs(s, d)
     val quant = base
       .withColumn("mn", array_min(col("v")))
@@ -804,9 +805,9 @@ object Similarity {
     val scored = queries.as("q")
       .join(quant.as("c"), col("c.vec_id") =!= col("q.q_id"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("n_id"),
-        (expr("aggregate(zip_with(q.v, c.r, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("q.norm") * col("c.rnorm"))).as("approx_cosine"),
-        (expr(dot) / (col("q.norm") * col("c.norm"))).as("true_cosine"))
+        // codegen'd fused loops, bit-identical to the HOF folds (ext16)
+        expr("graft_cosine(q.v, c.r)").as("approx_cosine"),
+        expr("graft_cosine(q.v, c.v)").as("true_cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("approx_cosine").desc, col("n_id"))))
@@ -824,29 +825,26 @@ object Similarity {
     * the float corpus for exact rescoring. */
   private def sqTopKFrom(s: org.apache.spark.sql.SparkSession,
       codesTable: String, corpus: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
     val recon = s.table(codesTable)
       .withColumn("r",
         expr("transform(codes, cd -> mn + CAST(cd AS BIGINT) * (mx - mn) / 255)"))
-      .withColumn("rnorm", expr("sqrt(aggregate(r, 0D, (a, x) -> a + x * x))"))
-      .select(col("vec_id"), col("r"), col("rnorm"))
+      .select(col("vec_id"), col("r"))
     val qs = corpus.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))").as("qnorm"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val top = qs.join(recon, col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("qnorm"), col("vec_id").as("n_id"),
-        (expr("aggregate(zip_with(qv, r, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("qnorm") * col("rnorm"))).as("approx_cosine"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"),
+        // codegen'd fused loop, bit-identical to the HOF fold (ext16)
+        expr("graft_cosine(qv, r)").as("approx_cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("approx_cosine").desc, col("n_id"))))
       .filter(col("rank") <= 3)
     top
-      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv"),
-        expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))").as("nnorm")),
+      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")),
         Seq("n_id"))
       .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"),
         col("approx_cosine"),
-        (expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("qnorm") * col("nnorm"))).as("true_cosine"))
+        expr("graft_cosine(qv, nv)").as("true_cosine"))
       .orderBy("q_id", "rank")
   }
 
@@ -989,8 +987,9 @@ object Similarity {
     * re-embedding mutations as ext135/ext137/ext145, applied by
     * [[AnnIndex.ensureGraphCdc]] at the graph's only sound granularity —
     * the CELL (an out-edge depends on its node's neighbours, so every
-    * touched cell's edges retract and re-derive from the head; work ∝
-    * touched cells, never the corpus). The probe must hash-match the
+    * touched cell's edges retract and re-derive from the head; work is
+    * quadratic in each touched cell's size — bounded by the quantizer's
+    * granularity — never the whole corpus). The probe must hash-match the
     * oracle that builds the graph over the post-delete post-update
     * corpus directly — maintained ≡ rebuilt, per cell. */
   val graphCdcMaintenance: Q = (s, d) => {

@@ -1757,11 +1757,21 @@ object SemiStructured {
   val q178IndexInventory: Q = (s, d) => {
     ensureGraftCatalog(s)
     Seq("dedup_inv_q_sigs", "dedup_inv_q_meta", "search_inv_q_postings",
-      "search_inv_q_docs", "search_inv_q_meta").foreach(t =>
+      "search_inv_q_docs", "search_inv_q_meta",
+      "inv_q_vecs", "ann_inv_q_sq_codes", "ann_inv_q_sq_meta").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
     val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
     graft.ext.DedupIndex.ensure(s, docs, "inv_q")
     graft.ext.SearchIndex.ensure(s, docs, "inv_q")
+    // a vector family too: the SQ tier (CDC mode — ann metas are
+    // CDC-only), so the inventory row covers `ann_*_sq_meta` discovery
+    s.sql("CREATE TABLE graft_cat.db.inv_q_vecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    table(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .writeTo("graft_cat.db.inv_q_vecs").append()
+    graft.ext.AnnIndex.ensureSqCdc(s, "graft_cat.db.inv_q_vecs", "inv_q")
     s.sql("CALL graft_cat.system.indexes('db')")
       .filter(col("index_name") === "inv_q")
       .select(col("family"), col("index_name"), col("live_rows"))
@@ -2773,12 +2783,16 @@ object SemiStructured {
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
         |    SELECT DISTINCT doc_id, unnest(list_filter(
         |      string_split(lower(text), ' '), t -> t <> '')) AS tok
-        |    FROM documents))
+        |    FROM documents)),
+        |vec_rows AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
         |SELECT * FROM (
         |  SELECT 'bm25-postings' AS family, 'inv_q' AS index_name,
         |         (SELECT n FROM post_rows) AS live_rows
         |  UNION ALL
-        |  SELECT 'minhash-signatures', 'inv_q', (SELECT n FROM sig_rows))
+        |  SELECT 'minhash-signatures', 'inv_q', (SELECT n FROM sig_rows)
+        |  UNION ALL
+        |  SELECT 'sq-codes', 'inv_q', (SELECT n FROM vec_rows))
         |ORDER BY family""".stripMargin,
     "q180_files_inventory" ->
       """WITH t AS (SELECT doc_id, doc_id % 4 AS g FROM documents)
