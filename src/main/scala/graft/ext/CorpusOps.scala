@@ -22,7 +22,7 @@ object CorpusOps {
 
   /** Tokens of the lowered text, empty strings dropped — the shared
     * front-end of every operator here. */
-  private val toksExpr = "filter(split(lower(text), ' '), t -> t <> '')"
+  private[ext] val toksExpr = "filter(split(lower(text), ' '), t -> t <> '')"
 
   /** C4-style span-level exact dedup: split each document into
     * non-overlapping 8-token spans, keep only the globally FIRST
@@ -101,6 +101,90 @@ object CorpusOps {
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select("h")
     val dup = grams.join(dupDigests, Seq("h"), "left_semi")
       .select("doc_id", "pos")
+    islandStats(docs, dup, K)
+  }
+
+  /** Screen an incoming batch against a persisted gram index: derive the
+    * batch's stride-1 8-gram digests, mark every position whose digest
+    * appears ANYWHERE in the indexed corpus (one left-semi join against
+    * the stored digests — batch-sized work, the corpus grams are never
+    * re-derived), merge into maximal spans. The probe half of
+    * [[DedupIndex.ensureGramsCdc]]. */
+  private def screenAgainst(s: org.apache.spark.sql.SparkSession,
+      gramsTable: String, batch: org.apache.spark.sql.DataFrame) = {
+    val K = 8
+    val docs = batch.select(col("doc_id"), expr(toksExpr).as("toks"))
+    val positions = docs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"if(size(toks) < $K, array()," +
+          s" transform(sequence(0, size(toks) - $K)," +
+          s"           i -> md5(array_join(slice(toks, i + 1, $K), ' '))))"))
+        .as(Seq("pos", "h")))
+    val hits = positions
+      .join(s.table(gramsTable).select("h"), Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    islandStats(docs, hits, K)
+  }
+
+  /** ext149 — exact-substring BATCH SCREENING from the persisted gram
+    * index: the corpus (doc_id % 5 <> 3) builds the index once
+    * ([[DedupIndex.ensureGramsCdc]]); the incoming batch (the % 5 = 3
+    * slice — a re-scrape, an eval set, a contamination suspect) is
+    * screened with batch-sized work. The second ensure call is a
+    * covered no-op (spec-pinned); the flagged spans are ext142's island
+    * machinery over index hits instead of corpus-wide duplicate counts. */
+  val gramIndexScreen: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.gram_docs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_gram_ix_gr_grams")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_gram_ix_gr_meta")
+    s.sql("CREATE TABLE graft_cat.db.gram_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val all = table(s, d, "documents").select(col("doc_id"), col("text"))
+    all.filter(col("doc_id") % 5 =!= 3)
+      .writeTo("graft_cat.db.gram_docs").append()
+    DedupIndex.ensureGramsCdc(s, "graft_cat.db.gram_docs", "gram_ix") // build
+    // covered head: the second ensure is a no-op (spec-pinned)
+    val grams = DedupIndex.ensureGramsCdc(s, "graft_cat.db.gram_docs", "gram_ix")
+    screenAgainst(s, grams, all.filter(col("doc_id") % 5 === 3))
+  }
+
+  /** ext150 — CDC-DRIVEN MAINTENANCE OF THE GRAM INDEX: the corpus takes
+    * a right-to-erasure DELETE (doc_id % 9 = 0) and an in-place edit
+    * (% 11 = 4 docs gain a trailing ' graftpad' token — new tail grams),
+    * and [[DedupIndex.ensureGramsCdc]] follows via one feed slice:
+    * retract the changed doc_ids' gram rows, re-derive only the touched
+    * head images (per-doc pure — maintained ≡ rebuilt exactly). The
+    * screen must hash-match the oracle that derives the post-mutation
+    * corpus grams directly. */
+  val gramCdcMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.cdc_gram_docs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_cdc_gram_gr_grams")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_cdc_gram_gr_meta")
+    s.sql("CREATE TABLE graft_cat.db.cdc_gram_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val all = table(s, d, "documents").select(col("doc_id"), col("text"))
+    all.filter(col("doc_id") % 5 =!= 3)
+      .writeTo("graft_cat.db.cdc_gram_docs").append()
+    DedupIndex.ensureGramsCdc(s, "graft_cat.db.cdc_gram_docs", "cdc_gram")
+    s.sql("DELETE FROM graft_cat.db.cdc_gram_docs WHERE doc_id % 9 = 0")
+    s.sql("UPDATE graft_cat.db.cdc_gram_docs " +
+      "SET text = concat(text, ' graftpad') WHERE doc_id % 11 = 4")
+    // ONE feed slice spans both commits
+    val grams =
+      DedupIndex.ensureGramsCdc(s, "graft_cat.db.cdc_gram_docs", "cdc_gram")
+    screenAgainst(s, grams, all.filter(col("doc_id") % 5 === 3))
+  }
+
+  /** Shared tail of ext142 and the gram-index screens (ext149/ext150):
+    * merge the marked positions into maximal spans per document
+    * (gaps-and-islands over one window sort) and report per-doc counts.
+    * `docs` = (doc_id, toks); `dup` = (doc_id, pos) marked gram starts. */
+  private[ext] def islandStats(docs: org.apache.spark.sql.DataFrame,
+      dup: org.apache.spark.sql.DataFrame,
+      K: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val islands = dup
       .withColumn("prev", lag("pos", 1).over(w))
@@ -128,6 +212,38 @@ object CorpusOps {
           .otherwise(lit(0.0)).as("frac_removed"))
       .orderBy("doc_id")
   }
+
+  /** The DuckDB restatement of [[islandStats]] — the shared oracle tail:
+    * expects CTEs `docs` (doc_id, toks) and `dup` (doc_id, pos). */
+  private[ext] val islandOracleTailSql: String =
+    """islands AS (
+      |  SELECT doc_id, pos,
+      |    CAST(SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+      |  FROM (SELECT doc_id, pos,
+      |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |        FROM dup)),
+      |spans AS (
+      |  SELECT doc_id, island, COUNT(*) AS n_grams_in,
+      |    MAX(pos) - MIN(pos) + 8 AS span_len
+      |  FROM islands GROUP BY doc_id, island),
+      |per_doc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(n_grams_in) AS BIGINT) AS n_dup_grams,
+      |    COUNT(*) AS n_spans,
+      |    CAST(SUM(span_len) AS BIGINT) AS n_removed,
+      |    CAST(MAX(span_len) AS BIGINT) AS longest_span
+      |  FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+      |  COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+      |  COALESCE(p.n_spans, 0) AS n_spans,
+      |  COALESCE(p.n_removed, 0) AS n_removed,
+      |  COALESCE(p.longest_span, 0) AS longest_span,
+      |  CASE WHEN len(d.toks) > 0
+      |       THEN CAST(COALESCE(p.n_removed, 0) AS DOUBLE) / len(d.toks)
+      |       ELSE 0.0 END AS frac_removed
+      |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Gopher/MassiveText-style repetition + shape rules: per-document word
     * stats, top-unigram fraction, duplicate-bigram fraction, stopword
@@ -501,6 +617,8 @@ object CorpusOps {
     "ext66_quality_ensemble" -> qualityEnsemble,
     "ext59_span_dedup" -> spanDedup,
     "ext142_exact_substr_dedup" -> exactSubstrDedup,
+    "ext149_gram_index_screen" -> gramIndexScreen,
+    "ext150_gram_cdc_maintenance" -> gramCdcMaintenance,
     "ext60_gopher_rules" -> gopherRules,
     "ext61_domain_mixture" -> domainMixture,
     "ext62_length_batching" -> lengthBatching,
@@ -508,7 +626,7 @@ object CorpusOps {
     "ext118_curriculum_packing" -> curriculumPacking,
     "ext64_global_shuffle" -> globalShuffle)
 
-  private val toksSql =
+  private[ext] val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
   /** Gopher-rule CTEs shared by the ext60 oracle and the ext66 ensemble
@@ -699,34 +817,40 @@ object CorpusOps {
          |  SELECT doc_id, pos FROM (
          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt FROM grams)
          |  WHERE cnt > 1),
-         |islands AS (
-         |  SELECT doc_id, pos,
-         |    CAST(SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
-         |  FROM (SELECT doc_id, pos,
-         |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-         |        FROM dup)),
-         |spans AS (
-         |  SELECT doc_id, island, COUNT(*) AS n_grams_in,
-         |    MAX(pos) - MIN(pos) + 8 AS span_len
-         |  FROM islands GROUP BY doc_id, island),
-         |per_doc AS (
+         |$islandOracleTailSql""".stripMargin,
+    "ext149_gram_index_screen" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 3),
+         |cd AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |cg AS (
+         |  SELECT DISTINCT md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+         |  FROM cd, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)),
+         |docs AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 5 = 3),
+         |grams AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+         |  FROM docs, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)),
+         |dup AS (
+         |  SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM cg)),
+         |$islandOracleTailSql""".stripMargin,
+    "ext150_gram_cdc_maintenance" ->
+      s"""WITH corpus AS (
          |  SELECT doc_id,
-         |    CAST(SUM(n_grams_in) AS BIGINT) AS n_dup_grams,
-         |    COUNT(*) AS n_spans,
-         |    CAST(SUM(span_len) AS BIGINT) AS n_removed,
-         |    CAST(MAX(span_len) AS BIGINT) AS longest_span
-         |  FROM spans GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
-         |  COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
-         |  COALESCE(p.n_spans, 0) AS n_spans,
-         |  COALESCE(p.n_removed, 0) AS n_removed,
-         |  COALESCE(p.longest_span, 0) AS longest_span,
-         |  CASE WHEN len(d.toks) > 0
-         |       THEN CAST(COALESCE(p.n_removed, 0) AS DOUBLE) / len(d.toks)
-         |       ELSE 0.0 END AS frac_removed
-         |FROM docs d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |    CASE WHEN doc_id % 11 = 4 THEN text || ' graftpad' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 5 <> 3 AND doc_id % 9 <> 0),
+         |cd AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |cg AS (
+         |  SELECT DISTINCT md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+         |  FROM cd, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)),
+         |docs AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id % 5 = 3),
+         |grams AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+         |  FROM docs, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)),
+         |dup AS (
+         |  SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM cg)),
+         |$islandOracleTailSql""".stripMargin,
     "ext60_gopher_rules" ->
       s"""WITH $gopherCtesSql
          |SELECT *, $gopherFlagSql AS quality_flag

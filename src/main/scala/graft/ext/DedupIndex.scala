@@ -268,4 +268,83 @@ object DedupIndex {
     t
   }
 
+  // ----------------------------------------------------- gram index
+
+  /** Exact-substring GRAM index — ext142's duplicated-span machinery as
+    * a persisted artifact: the DISTINCT (doc_id, 8-gram digest) rows of
+    * the corpus stored as `graft_cat.db.dedup_<name>_gr_grams`, so an
+    * INCOMING BATCH can be screened for spans that appear anywhere in
+    * the corpus with batch-sized work (derive the batch's grams, one
+    * left-semi join against the stored digests) — the decontamination /
+    * plagiarism probe of a training pipeline, where re-deriving the
+    * corpus grams per screen would dominate at 100 TB.
+    *
+    * Like the suffix-array approaches it approximates, the index is
+    * gram-stream-sized (one row per distinct gram occurrence per doc) —
+    * that is inherent to exact-substring screening, and the per-doc
+    * row attribution is exactly what makes CDC maintenance and erasure
+    * row-exact: retract by doc_id, re-derive touched head docs. CDC
+    * mode only (the catalog-corpus discipline of the other families);
+    * meta `graft_cat.db.dedup_<name>_gr_meta (version, corpus)`. */
+  val gramBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  val gramCdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Distinct (doc_id, gram digest) rows — ext142's gram front-end. */
+  private[ext] def gramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(CorpusOps.toksExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "if(size(toks) < 8, array()," +
+          " transform(sequence(0, size(toks) - 8)," +
+          "           i -> md5(array_join(slice(toks, i + 1, 8), ' '))))"))
+        .as("h"))
+      .distinct()
+
+  /** Version-keyed CDC maintenance of the gram index. Returns the grams
+    * table name. */
+  def ensureGramsCdc(s: SparkSession, corpusTable: String,
+      name: String): String = synchronized {
+    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    graft.ops.ensureGraftCatalog(s)
+    val grams = s"graft_cat.db.dedup_${name}_gr_grams"
+    val meta = s"graft_cat.db.dedup_${name}_gr_meta"
+    CdcIndex.ensure(s, corpusTable, meta)(grams) { (v0, headV) =>
+      val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+      val tv = s"graft_gram_touched_$suffix"
+      val rv = s"graft_gram_rederived_$suffix"
+      s.sql(s"SELECT DISTINCT doc_id FROM $corpusTable " +
+          s"VERSION AS OF 'cdf:$v0..$headV'")
+        .createOrReplaceTempView(tv)
+      try {
+        // 1. retract every changed doc's gram rows — idempotent replay
+        s.sql(s"DELETE FROM $grams WHERE doc_id IN (SELECT doc_id FROM $tv)")
+        // 2. re-derive the surviving HEAD images (per-doc pure) and
+        //    advance the watermark — one atomic publish
+        val head = s.table(corpusTable).select(col("doc_id"), col("text"))
+        gramRows(head.join(s.table(tv), Seq("doc_id"), "left_semi"))
+          .createOrReplaceTempView(rv)
+        CdcIndex.inTxn(s) {
+          s.sql(s"INSERT INTO $grams SELECT * FROM $rv")
+          s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+        }
+        gramCdcRefreshes.incrementAndGet()
+      } finally {
+        s.catalog.dropTempView(tv)
+        s.catalog.dropTempView(rv)
+      }
+      grams
+    } { headV =>
+      gramRows(s.table(corpusTable).select(col("doc_id"), col("text")))
+        .writeTo(grams)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      s.sql(s"ALTER TABLE $grams SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      s.sql(s"DROP TABLE IF EXISTS $meta")
+      s.sql(s"CREATE TABLE $meta (version BIGINT, corpus STRING)")
+      s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      gramBuilds.incrementAndGet()
+      grams
+    }
+  }
+
 }

@@ -128,11 +128,12 @@ object Pipeline {
     * the right-to-be-forgotten path at 100 TB. A corpus table (docs) and
     * a vector table (embeddings) each take one DELETE of the subject
     * slice (`id % 7 = 2` — the erasure request), and CDC maintenance
-    * propagates it to all six derived artifacts with FEED-SIZED work
+    * propagates it to all seven derived artifacts with FEED-SIZED work
     * (one change-feed slice each, never a rebuild): MinHash signatures,
-    * BM25 postings + doc lengths, IVF cells, PQ codes, SQ codes, NSW
-    * graph edges (cell-granular — and audited on BOTH edge ends, since
-    * an erased vector must vanish as src and as dst). The output audits
+    * exact-substring gram rows, BM25 postings + doc lengths, IVF cells,
+    * PQ codes, SQ codes, NSW graph edges (cell-granular — and audited on
+    * BOTH edge ends, since an erased vector must vanish as src and as
+    * dst). The output audits
     * the claim the way a compliance review would: per family, the live
     * row count still attributable to erased subjects (hash-checked to be
     * ZERO) and the surviving total (hash-checked against a DuckDB
@@ -144,6 +145,7 @@ object Pipeline {
     graft.ops.ensureGraftCatalog(s)
     Seq("er_docs", "er_vecs",
       "dedup_er_sigs", "dedup_er_meta",
+      "dedup_er_gr_grams", "dedup_er_gr_meta",
       "search_er_postings", "search_er_docs", "search_er_meta",
       "ann_er_cells", "ann_er_cents", "ann_er_meta",
       "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta",
@@ -169,6 +171,7 @@ object Pipeline {
       .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
       .writeTo("graft_cat.db.er_vecs").append()
     DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
+    DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
     SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
@@ -179,6 +182,7 @@ object Pipeline {
     s.sql("DELETE FROM graft_cat.db.er_vecs WHERE vec_id % 7 = 2")
     // propagation: one change-feed slice per family
     val td = DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
+    val tgm = DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
     val ts = SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     val ta = AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     val tp = AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
@@ -194,6 +198,7 @@ object Pipeline {
       .unionAll(leg("bm25-postings", ts.postings, "doc_id"))
       .unionAll(leg("ivf-cells", ta.cells, "vec_id"))
       .unionAll(leg("minhash-signatures", td.sigs, "doc_id"))
+      .unionAll(leg("exact-grams", tgm, "doc_id"))
       .unionAll(leg("pq-codes", tp.codes, "vec_id"))
       .unionAll(leg("sq-codes", tq, "vec_id"))
       .unionAll(s.table(tg).agg(
@@ -224,7 +229,14 @@ object Pipeline {
         |dl AS (SELECT COUNT(*) AS n FROM docs_live),
         |nv AS (SELECT COUNT(*) AS n FROM vecs_live),
         |gr AS (SELECT CAST(SUM(n * LEAST(4, n - 1)) AS BIGINT) AS n FROM (
-        |  SELECT label, COUNT(*) AS n FROM vecs_live GROUP BY label))
+        |  SELECT label, COUNT(*) AS n FROM vecs_live GROUP BY label)),
+        |gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                t -> t <> '') AS toks
+        |        FROM docs_live) x,
+        |       UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)))
         |SELECT * FROM (
         |  SELECT 'bm25-doclens' AS family, CAST(0 AS BIGINT) AS n_erased_live,
         |         (SELECT n FROM dl) AS n_live
@@ -233,7 +245,8 @@ object Pipeline {
         |  UNION ALL SELECT 'minhash-signatures', 0, (SELECT n FROM sig)
         |  UNION ALL SELECT 'pq-codes', 0, (SELECT n FROM nv) * 8
         |  UNION ALL SELECT 'sq-codes', 0, (SELECT n FROM nv)
-        |  UNION ALL SELECT 'nsw-edges', 0, (SELECT n FROM gr))
+        |  UNION ALL SELECT 'nsw-edges', 0, (SELECT n FROM gr)
+        |  UNION ALL SELECT 'exact-grams', 0, (SELECT n FROM gm))
         |ORDER BY family""".stripMargin,
     "ext140_corpus_pipeline" ->
       s"""WITH ${CorpusOps.gopherCtesSql},

@@ -5122,6 +5122,8 @@ class IndexesProcedure(catalog: GraftCatalog) extends UnboundProcedure {
         .map(_.name()).sorted.flatMap {
           case MetaRe(fam0, base) =>
             val (family, dataName) = fam0 match {
+              case "dedup" if base.endsWith("_gr") =>
+                ("exact-grams", s"dedup_${base}_grams")
               case "dedup" => ("minhash-signatures", s"dedup_${base}_sigs")
               case "search" => ("bm25-postings", s"search_${base}_postings")
               case "ann" if base.endsWith("_pq") =>

@@ -71,6 +71,70 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ext149/ext150 gram index: screen matches local replay; CDC == rebuild") {
+    import graft.ext.DedupIndex
+    val b0 = DedupIndex.gramBuilds.get()
+    val out = CorpusOps.gramIndexScreen(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(DedupIndex.gramBuilds.get() === b0 + 1,
+      "the second ensure must be a covered no-op, not a rebuild")
+
+    // local replay of the screen: corpus gram set, batch hit positions,
+    // island merge — the same fold the ext142 spec uses
+    val K = 8
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ").filter(_.nonEmpty).toSeq).toMap
+    def grams(toks: Seq[String]): Seq[String] =
+      if (toks.size < K) Seq.empty
+      else (0 to toks.size - K).map(i => toks.slice(i, i + K).mkString(" "))
+    val corpusGrams = docs.collect {
+      case (id, toks) if id % 5 != 3 => grams(toks)
+    }.flatten.toSet
+    val expected = docs.collect { case (id, toks) if id % 5 == 3 =>
+      val hitPos = grams(toks).zipWithIndex.collect {
+        case (g, i) if corpusGrams(g) => i
+      }
+      val islands = hitPos.foldLeft(List.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.head._2 =>
+          (acc.head._1, math.max(acc.head._2, p + K - 1)) :: acc.tail
+        case (acc, p) => (p, p + K - 1) :: acc
+      }.reverse
+      id -> (hitPos.size.toLong, islands.size.toLong,
+        islands.map { case (a, b) => (b - a + 1).toLong }.sum)
+    }
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (eHits, eSpans, eFlagged) = expected(r.getLong(0))
+      assert(r.getLong(2) === eHits, s"n_dup_grams doc ${r.getLong(0)}")
+      assert(r.getLong(3) === eSpans, s"n_spans doc ${r.getLong(0)}")
+      assert(r.getLong(4) === eFlagged, s"n_removed doc ${r.getLong(0)}")
+    }
+
+    // CDC maintenance: one seed build + one feed apply; the maintained
+    // gram table is EXACTLY a fresh derive of the head (per-doc pure)
+    val c0 = DedupIndex.gramCdcRefreshes.get()
+    assert(CorpusOps.gramCdcMaintenance(spark, sf).collect().nonEmpty)
+    assert(DedupIndex.gramBuilds.get() === b0 + 2)
+    assert(DedupIndex.gramCdcRefreshes.get() === c0 + 1,
+      "the delete+update slice should apply via the feed, not a rebuild")
+    val maintained = spark.table("graft_cat.db.dedup_cdc_gram_gr_grams")
+      .orderBy("doc_id", "h").collect().map(_.toSeq)
+    assert(maintained.forall(r => r.head.asInstanceOf[Long] % 9 != 0))
+    val fresh = spark.table("graft_cat.db.cdc_gram_docs")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "if(size(toks) < 8, array()," +
+          " transform(sequence(0, size(toks) - 8)," +
+          "           i -> md5(array_join(slice(toks, i + 1, 8), ' '))))"))
+        .as("h"))
+      .distinct().orderBy("doc_id", "h").collect().map(_.toSeq)
+    assert(maintained.toSeq === fresh.toSeq,
+      "CDC-maintained gram rows diverged from a fresh derive of the head")
+  }
+
   test("ext60 gopher rules: ratios bounded, flag matches its thresholds") {
     val rows = CorpusOps.gopherRules(spark, sf).collect()
     assert(rows.nonEmpty)
