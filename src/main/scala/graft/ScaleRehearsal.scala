@@ -87,7 +87,20 @@ object ScaleRehearsal {
     // self-semi-join, INTERSECT chains over |part|-bounded sets,
     // full-outer channel grids)
     "ext38b_dedup_components_capped", "q170_reachability_semi",
-    "q171_cross_channel_intersect", "q172_multi_channel_ratios")
+    "q171_cross_channel_intersect", "q172_multi_channel_ratios",
+    // round-11 session-2 adds: overlapping-gram dedup (digest shuffles,
+    // never text — linear), and the persisted gram index's build+screen
+    // and CDC entries (build ∝ corpus, screen ∝ batch, apply ∝ feed).
+    // ext143/ext144 (SQ) are excluded like ext06/ext95: their scored
+    // join is (sampled queries × corpus) and the sample is
+    // corpus-proportional here — production fixes the query batch size.
+    // ext146–ext148 (graph) are excluded because the fixture's label
+    // quantizer is CONSTANT-cell-count: a 10× corpus makes every cell
+    // 10× bigger and the in-cell pair build quadratic — the documented
+    // lever is centroid count ∝ corpus (cells stay bounded), which the
+    // label stand-in cannot rehearse.
+    "ext142_exact_substr_dedup", "ext149_gram_index_screen",
+    "ext150_gram_cdc_maintenance")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
