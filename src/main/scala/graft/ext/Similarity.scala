@@ -823,7 +823,7 @@ object Similarity {
     * quantize stages in-plan, spec-pinned), the approximate top-3 ranks
     * against reconstructed vectors, and only those k rows join back to
     * the float corpus for exact rescoring. */
-  private def sqTopKFrom(s: org.apache.spark.sql.SparkSession,
+  private[graft] def sqTopKFrom(s: org.apache.spark.sql.SparkSession,
       codesTable: String, corpus: DataFrame): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val recon = s.table(codesTable)
@@ -1186,6 +1186,18 @@ object Similarity {
        |QUALIFY row_number() OVER w <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  /** ext145's oracle — the SQ8 search over the post-CDC corpus
+    * (delete % 9 = 0, reverse % 11 = 4). Shared with ext151, whose
+    * STREAMED maintenance must converge to the same artifact. */
+  private[graft] lazy val sqCdcMutatedOracleSql: String = sqOracleFrom(
+    """vm AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 11 = 4 THEN list_reverse(embedding::DOUBLE[])
+      |         ELSE embedding::DOUBLE[] END AS v
+      |  FROM embeddings WHERE vec_id % 9 <> 0),
+      |v AS (SELECT vec_id, v,
+      |        sqrt(list_sum([x * x for x in v])) AS norm FROM vm)""".stripMargin)
+
   /** The SQ8 search restated over an arbitrary corpus CTE (`v` must
     * expose vec_id, v, norm) — instantiated for ext143/ext144 (raw
     * embeddings; the stored-codes probe is bit-identical to the
@@ -1287,14 +1299,7 @@ object Similarity {
         |        sqrt(list_sum([x * x for x in v])) AS norm FROM vm)""".stripMargin),
     "ext143_sim_topk_sq8" -> sqOracleFrom(vSql),
     "ext144_ann_index_sq8" -> sqOracleFrom(vSql),
-    "ext145_sq_cdc_maintenance" -> sqOracleFrom(
-      """vm AS (
-        |  SELECT vec_id,
-        |    CASE WHEN vec_id % 11 = 4 THEN list_reverse(embedding::DOUBLE[])
-        |         ELSE embedding::DOUBLE[] END AS v
-        |  FROM embeddings WHERE vec_id % 9 <> 0),
-        |v AS (SELECT vec_id, v,
-        |        sqrt(list_sum([x * x for x in v])) AS norm FROM vm)""".stripMargin),
+    "ext145_sq_cdc_maintenance" -> sqCdcMutatedOracleSql,
     // sampled queries, both candidate policies, same k=5 vote: per-label
     // agreement between the probe-2-bounded audit and the exact audit
     "ext108_label_noise_recall" ->

@@ -735,6 +735,52 @@ object Streams {
     graft.ext.Dedup.lshOverSig(s.table("graft_cat.db.dedup_stream_cdc_sigs"))
   }
 
+  /** ext151 — STREAMED MAINTENANCE OF THE SQ TIER: ext138's operating
+    * mode applied to the vector family — one streaming job tails the
+    * vector table's change feed and drives the version-keyed
+    * [[graft.ext.AnnIndex.ensureSqCdc]] from `foreachBatch`, so appends,
+    * erasure DELETEs and re-embedding UPDATEs reach the persisted codes
+    * mid-stream as feed-sized work. The stream sees the seed append
+    * (build), a second append + a delete + an update (CDC refreshes),
+    * and the final probe over the stream-maintained codes must
+    * hash-match ext145's oracle over the post-mutation corpus — the
+    * batch and streaming maintenance paths converge to the same
+    * artifact (SQ's per-row purity makes that convergence EXACT). */
+  val streamSqMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ssq_vecs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_stream_sq_sq_codes")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.ann_stream_sq_sq_meta")
+    s.sql("CREATE TABLE graft_cat.db.ssq_vecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val vecs = graft.ops.table(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    vecs.filter(col("vec_id") < 400).writeTo("graft_cat.db.ssq_vecs").append()
+    withStreamShuffle(s) {
+      val query = s.readStream.table("graft_cat.db.ssq_vecs.changes")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.ops.ensureGraftCatalog(bs)
+          graft.ext.AnnIndex.ensureSqCdc(bs,
+            "graft_cat.db.ssq_vecs", "stream_sq")
+          ()
+        }.start()
+      try {
+        query.processAllAvailable()
+        vecs.filter(col("vec_id") >= 400)
+          .writeTo("graft_cat.db.ssq_vecs").append()
+        s.sql("DELETE FROM graft_cat.db.ssq_vecs WHERE vec_id % 9 = 0")
+        s.sql("UPDATE graft_cat.db.ssq_vecs SET v = reverse(v) " +
+          "WHERE vec_id % 11 = 4")
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    graft.ext.Similarity.sqTopKFrom(s,
+      "graft_cat.db.ann_stream_sq_sq_codes", s.table("graft_cat.db.ssq_vecs"))
+  }
+
   /** ext103 — admission-controlled catalog streaming: the ext92 source
     * with `maxSegmentsPerTrigger`, the backpressure half of a lakehouse
     * streaming read. Four committed versions (4 segments each) are
@@ -1765,6 +1811,7 @@ object Streams {
     "ext92_stream_catalog_source" -> streamCatalogSource,
     "ext133_stream_index_maintenance" -> streamIndexMaintenance,
     "ext138_stream_cdc_index" -> streamCdcIndexMaintenance,
+    "ext151_stream_sq_maintenance" -> streamSqMaintenance,
     "ext103_stream_rate_limit" -> streamRateLimit,
     "ext107_stream_quarantine" -> streamQuarantine,
     "ext114_stream_wap_branch" -> streamWapBranch)
@@ -1792,6 +1839,8 @@ object Streams {
     // the change-feed-stream-maintained index must converge to exactly
     // ext134's batch-CDC state over the post-delete post-update corpus
     "ext138_stream_cdc_index" -> graft.ext.Dedup.cdcMutatedLshOracleSql,
+    "ext151_stream_sq_maintenance" ->
+      graft.ext.Similarity.sqCdcMutatedOracleSql,
     // emission 1 = lower event-time half, emission 2 = cumulative all —
     // the second exceeding the first is the state-persistence claim
     "ext100_stream_bitmap_distinct" ->

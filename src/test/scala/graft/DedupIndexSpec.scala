@@ -326,6 +326,25 @@ class DedupIndexSpec extends SparkTestBase {
       "stream-CDC index diverged from the batch-CDC construction")
   }
 
+  test("change-feed stream drives ensureSqCdc: the vector twin converges") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = ext.AnnIndex.sqBuilds.get()
+    val c0 = ext.AnnIndex.sqCdcRefreshes.get()
+    val rows = streaming.Streams.queries("ext151_stream_sq_maintenance")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(ext.AnnIndex.sqBuilds.get() === b0 + 1,
+      "stream SQ maintenance should build exactly once (the seed batch)")
+    assert(ext.AnnIndex.sqCdcRefreshes.get() >= c0 + 1,
+      "the mid-stream delete+update should apply via feed slices")
+    // convergence: the stream-maintained codes answer the probe exactly
+    // like ext145's batch-CDC construction over the same final corpus
+    val batch = ext.Similarity.sqCdcMaintenance(spark, d).collect()
+    assert(rows.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "stream-maintained SQ codes diverged from the batch-CDC construction")
+  }
+
   test("MERGE INTO feeds ensureCdc: matched updates/deletes + inserts in one slice") {
     // the remaining DML shape: a MERGE whose one commit carries all
     // three change kinds must land in the index as one feed slice
