@@ -345,6 +345,49 @@ class DedupIndexSpec extends SparkTestBase {
       "stream-maintained SQ codes diverged from the batch-CDC construction")
   }
 
+  test("gram index autocompact: CDC churn compacts; grams still == rebuild") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.cmpg_docs")
+    Seq("gr_grams", "gr_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_spec_cmpg_$x"))
+    spark.sql("CREATE TABLE graft_cat.db.cmpg_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    docs.filter(col("doc_id") < 200).writeTo("graft_cat.db.cmpg_docs").append()
+    val grams = DedupIndex.ensureGramsCdc(spark, "graft_cat.db.cmpg_docs",
+      "spec_cmpg")
+
+    // churn until the grams table's DV ratio crosses the declared
+    // autocompact threshold; an UNSORTED index table byte-merges
+    def historyOps = spark.sql(
+        s"SELECT operation FROM $grams.versions")
+      .collect().map(_.getString(0).split('@').head).toSeq
+    var rounds = 0
+    while (!historyOps.contains("compact") && rounds < 12) {
+      rounds += 1
+      spark.sql("UPDATE graft_cat.db.cmpg_docs SET text = " +
+        s"concat(text, ' churn$rounds') WHERE doc_id % 5 = ${rounds % 5}")
+      DedupIndex.ensureGramsCdc(spark, "graft_cat.db.cmpg_docs", "spec_cmpg")
+    }
+    assert(historyOps.contains("compact"),
+      s"churn never triggered compaction: $historyOps")
+
+    // the compacted index is still EXACTLY a fresh derive of the head
+    val fresh = spark.table("graft_cat.db.cmpg_docs")
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "if(size(toks) < 8, array()," +
+          " transform(sequence(0, size(toks) - 8)," +
+          "           i -> md5(array_join(slice(toks, i + 1, 8), ' '))))"))
+        .as("h"))
+      .distinct().orderBy("doc_id", "h").collect().map(_.toSeq)
+    val maintained = spark.table(grams)
+      .orderBy("doc_id", "h").collect().map(_.toSeq)
+    assert(maintained.toSeq === fresh.toSeq,
+      "compacted gram rows diverged from a rebuild over the head")
+  }
+
   test("MERGE INTO feeds ensureCdc: matched updates/deletes + inserts in one slice") {
     // the remaining DML shape: a MERGE whose one commit carries all
     // three change kinds must land in the index as one feed slice
