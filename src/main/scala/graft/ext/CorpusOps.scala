@@ -110,7 +110,7 @@ object CorpusOps {
     * the stored digests — batch-sized work, the corpus grams are never
     * re-derived), merge into maximal spans. The probe half of
     * [[DedupIndex.ensureGramsCdc]]. */
-  private def screenAgainst(s: org.apache.spark.sql.SparkSession,
+  private[ext] def screenAgainst(s: org.apache.spark.sql.SparkSession,
       gramsTable: String, batch: org.apache.spark.sql.DataFrame) = {
     val K = 8
     val docs = batch.select(col("doc_id"), expr(toksExpr).as("toks"))

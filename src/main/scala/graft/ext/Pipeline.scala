@@ -210,8 +210,87 @@ object Pipeline {
       .orderBy("family")
   }
 
+  /** ext152 — THE INCREMENTAL CORPUS PIPELINE: ext140's steady state.
+    * ext140 curates a corpus from scratch; a production pipeline runs
+    * DAILY, cleaning each incoming batch against artifacts built from
+    * the corpus it already accepted. This entry is that shape end to
+    * end: the corpus (doc_id % 5 <> 3) exists only as its PERSISTED
+    * index artifacts — the MinHash signature table
+    * ([[DedupIndex.ensure]]) and the gram-digest table
+    * ([[DedupIndex.ensureGramsCdc]]) — and the batch (% 5 = 3) flows
+    * through quality → near-dup-vs-corpus → span-contamination →
+    * sampling → curriculum with BATCH-sized work: the batch is signed
+    * and grammed in-query; the corpus side is two index scans (band
+    * join + digest semi-join), never a re-shingle.
+    *
+    * Stage order (each predicate evaluated only for survivors):
+    *   1. `quality_drop`  — Gopher flag ≠ keep (ext140 stage 1);
+    *   2. `near_dup`      — ANY LSH band collision against the STORED
+    *      corpus signatures (the corpus is canonical: a colliding batch
+    *      doc always drops — no pair ordering needed);
+    *   3. `contaminated`  — ≥ 50% of the doc's tokens fall inside
+    *      spans flagged by the stored gram index (ext149's screen);
+    *   4. `not_sampled`   — the Knuth-hash uniform ≥ 0.5;
+    *   5. `train`         — phase 1/2/3 by token-length strata.
+    */
+  val incrementalPipeline: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    val all = table(s, d, "documents").select(col("doc_id"), col("text"))
+    val corpus = all.filter(col("doc_id") % 5 =!= 3)
+    val batch = all.filter(col("doc_id") % 5 === 3)
+    // the persisted corpus artifacts (sig index covered-no-ops across
+    // runs of the same fixture; the gram corpus table reseeds per run)
+    val sigT = DedupIndex.ensure(s, corpus,
+      "inc_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.inc_docs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_inc_pipe_gr_grams")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_inc_pipe_gr_meta")
+    s.sql("CREATE TABLE graft_cat.db.inc_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    corpus.writeTo("graft_cat.db.inc_docs").append()
+    val gramsT = DedupIndex.ensureGramsCdc(s, "graft_cat.db.inc_docs",
+      "inc_pipe")
+
+    // 1. quality flags for the batch (row-local metrics)
+    val flags = batch.select("doc_id")
+      .join(CorpusOps.gopherCore(s, d)
+          .select(col("doc_id"), col("n_tokens"), col("quality_flag")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("quality_flag"), lit("drop")).as("quality_flag"))
+    // 2. near-dup: batch signatures vs the STORED corpus signatures
+    val batchSig = DedupIndex.signatures(batch)
+    val nearDup = Dedup.bandsOf(s.table(sigT.sigs)).as("x")
+      .join(Dedup.bandsOf(batchSig).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("y.doc_id").as("doc_id")).distinct()
+    // 3. span contamination: the stored gram index screens the batch
+    val contam = CorpusOps.screenAgainst(s, gramsT, batch)
+      .select(col("doc_id"), col("frac_removed"))
+    // 4.–5. sample + phase
+    val u = (col("doc_id") * lit(2654435761L)) % lit(2147483648L)
+    val staged = flags
+      .join(nearDup.withColumn("in_nd", lit(1)), Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("quality_flag") =!= "keep", "quality_drop")
+          .when(col("in_nd").isNotNull, "near_dup")
+          .when(coalesce(col("frac_removed"), lit(0.0)) >= 0.5, "contaminated")
+          .when(u.cast("double") / 2147483648.0 >= 0.5, "not_sampled")
+          .otherwise("train"))
+    staged.select(col("doc_id"), col("n_tokens"), col("stage"),
+        when(col("stage") === "train",
+          when(col("n_tokens") < 60, 1L)
+            .when(col("n_tokens") < 120, 2L).otherwise(3L))
+          .otherwise(0L).as("phase"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext140_corpus_pipeline" -> corpusPipeline,
+    "ext152_incremental_pipeline" -> incrementalPipeline,
     "ext141_erasure_e2e" -> erasureE2e)
 
   val oracleSql: Map[String, String] = Map(
@@ -248,6 +327,82 @@ object Pipeline {
         |  UNION ALL SELECT 'nsw-edges', 0, (SELECT n FROM gr)
         |  UNION ALL SELECT 'exact-grams', 0, (SELECT n FROM gm))
         |ORDER BY family""".stripMargin,
+    "ext152_incremental_pipeline" ->
+      s"""WITH ${CorpusOps.gopherCtesSql},
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(m.n_tokens, 0) AS n_tokens,
+         |    CASE WHEN m.doc_id IS NULL THEN 'drop'
+         |         ELSE ${CorpusOps.gopherFlagSql.replace("\n", " ")} END
+         |      AS quality_flag
+         |  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |  WHERE d.doc_id % 5 = 3),
+         |${Dedup.shinglesSql},
+         |csig AS (
+         |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
+         |  FROM sh, range(16) r(j) WHERE doc_id % 5 <> 3 GROUP BY doc_id, j),
+         |bsig AS (
+         |  SELECT doc_id, j, MIN(md5(sh || '#' || j)) AS h
+         |  FROM sh, range(16) r(j) WHERE doc_id % 5 = 3 GROUP BY doc_id, j),
+         |cbands AS (
+         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         |         string_agg(h, '|' ORDER BY j) AS band_key
+         |  FROM csig GROUP BY doc_id, CAST(j // 4 AS INT)),
+         |bbands AS (
+         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+         |         string_agg(h, '|' ORDER BY j) AS band_key
+         |  FROM bsig GROUP BY doc_id, CAST(j // 4 AS INT)),
+         |nd AS (
+         |  SELECT DISTINCT y.doc_id
+         |  FROM cbands x JOIN bbands y
+         |    ON x.band = y.band AND x.band_key = y.band_key),
+         |cd AS (SELECT doc_id, ${CorpusOps.toksSql} AS toks
+         |       FROM documents WHERE doc_id % 5 <> 3),
+         |cg AS (
+         |  SELECT DISTINCT md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+         |  FROM cd, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)),
+         |bdocs AS (SELECT doc_id, ${CorpusOps.toksSql} AS toks
+         |          FROM documents WHERE doc_id % 5 = 3),
+         |bgrams AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i+1 : i+8], ' ')) AS h
+         |  FROM bdocs, UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)),
+         |hit AS (SELECT doc_id, pos FROM bgrams WHERE h IN (SELECT h FROM cg)),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(CASE WHEN prev IS NULL OR pos > prev + 7 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |        FROM hit)),
+         |sp2 AS (
+         |  SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS span_len
+         |  FROM isl2 GROUP BY doc_id, island),
+         |pd2 AS (
+         |  SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS n_removed
+         |  FROM sp2 GROUP BY doc_id),
+         |contam AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN len(b.toks) > 0
+         |         THEN CAST(COALESCE(p.n_removed, 0) AS DOUBLE) / len(b.toks)
+         |         ELSE 0.0 END AS frac
+         |  FROM bdocs b LEFT JOIN pd2 p ON b.doc_id = p.doc_id),
+         |staged AS (
+         |  SELECT f.doc_id, f.n_tokens,
+         |    CASE WHEN f.quality_flag <> 'keep' THEN 'quality_drop'
+         |         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |         WHEN COALESCE(c.frac, 0.0) >= 0.5 THEN 'contaminated'
+         |         WHEN CAST((f.doc_id * 2654435761) % 2147483648 AS DOUBLE)
+         |              / 2147483648.0 >= 0.5 THEN 'not_sampled'
+         |         ELSE 'train' END AS stage
+         |  FROM flags f
+         |  LEFT JOIN nd n ON f.doc_id = n.doc_id
+         |  LEFT JOIN contam c ON f.doc_id = c.doc_id)
+         |SELECT doc_id, n_tokens, stage,
+         |  CAST(CASE WHEN stage = 'train' THEN
+         |         CASE WHEN n_tokens < 60 THEN 1
+         |              WHEN n_tokens < 120 THEN 2 ELSE 3 END
+         |       ELSE 0 END AS BIGINT) AS phase
+         |FROM staged ORDER BY doc_id""".stripMargin,
     "ext140_corpus_pipeline" ->
       s"""WITH ${CorpusOps.gopherCtesSql},
          |flags AS (

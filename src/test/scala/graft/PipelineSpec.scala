@@ -51,6 +51,36 @@ class PipelineSpec extends SparkTestBase {
     assert(scans <= 9, s"corpus scanned $scans times:\n$plan")
   }
 
+  test("ext152: batch lineage partitions the batch; stages bind to their rules") {
+    ops.configure(spark)
+    val rows = ext.Pipeline.queries("ext152_incremental_pipeline")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    // exactly the batch slice, once each
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    assert(ids.forall(_ % 5 == 3))
+    val stages = Set("quality_drop", "near_dup", "contaminated",
+      "not_sampled", "train")
+    rows.foreach { r =>
+      val (nTok, stage, phase) = (r.getLong(1), r.getString(2), r.getLong(3))
+      assert(stages(stage), stage)
+      if (stage == "train") {
+        val want = if (nTok < 60) 1L else if (nTok < 120) 2L else 3L
+        assert(phase === want, s"phase $phase for $nTok tokens")
+      } else assert(phase === 0L)
+      // the sampling rule binds: a train doc must have passed the coin
+      if (stage == "train" || stage == "not_sampled") {
+        val u = (r.getLong(0) * 2654435761L) % 2147483648L
+        val sampledOut = u.toDouble / 2147483648.0 >= 0.5
+        if (stage == "not_sampled") assert(sampledOut)
+        else assert(!sampledOut)
+      }
+    }
+    // the stream is non-degenerate: at least two distinct stages occur
+    assert(rows.map(_.getString(2)).distinct.length >= 2)
+  }
+
   test("ext141: erasure propagates via APPLY slices, one per family, no rebuild") {
     ops.configure(spark)
     import ext.{AnnIndex, DedupIndex, SearchIndex}
