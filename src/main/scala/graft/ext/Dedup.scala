@@ -730,7 +730,38 @@ object Dedup {
     (labels, iters)
   }
 
+  /** ext153 — INCREMENTAL COMPONENT LABELS from the persisted label
+    * index ([[DedupIndex.ensureLabelsCdc]]): the corpus seeds (< 400),
+    * the label table builds once, a second batch (≥ 400) appends, and
+    * the ensure call folds it in INCREMENTALLY — batch-incident edges
+    * only, contracted onto the stored labels, component discovery on
+    * the merge-activity-sized quotient, one atomic MERGE. The final
+    * labels must hash-match the oracle's recursive-CTE components over
+    * the WHOLE corpus — incremental ≡ rebuilt, the union-find-by-min
+    * exactness argument, checked end to end. Edge = exact Jaccard ≥ 0.5
+    * (pairwise, hence append-stable — a capped or top-k graph would
+    * not be). */
+  val componentsIncremental: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.lbl_docs")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_labels")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_meta")
+    s.sql("CREATE TABLE graft_cat.db.lbl_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") < 400).writeTo("graft_cat.db.lbl_docs").append()
+    DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbl_docs", "lbl_ix") // build
+    docs.filter(col("doc_id") >= 400).writeTo("graft_cat.db.lbl_docs").append()
+    // incremental: quotient merge, never a corpus-wide re-shingle
+    val labels = DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbl_docs", "lbl_ix")
+    s.table(labels)
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext153_components_incremental" -> componentsIncremental,
     "ext38_dedup_components" -> dedupComponents,
     "ext38b_dedup_components_capped" -> dedupComponentsCapped,
     "ext121_canonical_selection" -> canonicalSelection,
@@ -876,6 +907,33 @@ object Dedup {
        |$minhashLshBodySql""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // incremental labels (quotient merge over the stored index) must
+    // equal the from-scratch recursive components over the J>=0.5 graph
+    // of the ENTIRE corpus — incremental == rebuilt, hash-checked
+    "ext153_components_incremental" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+         |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
+         |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin,
     // true components via recursive CTE over the same top-20 pair edges;
     // matching it proves the Spark label propagation CONVERGED
     "ext38_dedup_components" ->

@@ -268,6 +268,181 @@ object DedupIndex {
     t
   }
 
+  // ------------------------------------------- component-label index
+
+  /** PERSISTED DEDUP-CLUSTER LABELS with APPEND-INCREMENTAL maintenance
+    * — the hardest derived artifact so far, because a component label is
+    * a GLOBAL property (every other family's rows are per-doc or
+    * per-cell functions). Stored: `dedup_<name>_lb_labels (doc_id
+    * BIGINT, comp BIGINT)` where `comp` is the component's MIN member id
+    * over the exact-Jaccard graph (edge ⟺ J ≥ 0.5 over 3-token
+    * shingles — a PAIRWISE property, so the edge set is append-stable,
+    * unlike a df-capped or top-k-limited graph).
+    *
+    * Incremental apply (append-only slices): derive ONLY the edges
+    * incident to the new docs (batch shingles ⨝ head shingles — work ∝
+    * the batch's posting lists), contract every edge endpoint to its
+    * STORED label, and run component discovery on that QUOTIENT graph —
+    * which is merge-activity-sized, never corpus-sized. Because a
+    * stored label IS its component's min id, the quotient's min-label
+    * answer equals the full rebuild's: min over merged old components
+    * and new ids = the global min. (Min-label CC over a contracted
+    * graph is exact for min labels; this is the union-find-by-min
+    * argument run declaratively.)
+    *
+    * Publication is ONE atomic MERGE INTO (remap members of losing
+    * components + insert the new docs' rows) whose post-state is a
+    * FIXPOINT of the apply: replaying the same slice maps every edge
+    * endpoint to the already-merged label, the quotient collapses to
+    * self-loops, the remap set is empty and the new docs match with
+    * unchanged values — so a crash between the MERGE and the watermark
+    * advance converges on replay. No retract step exists to tear.
+    *
+    * A slice containing ANY delete or update throws
+    * UnsupportedOperationException — component SPLITS are not
+    * incrementally derivable from a min-label table — and
+    * [[CdcIndex.ensure]] falls back to the full rebuild, the documented
+    * degradation path. */
+  val labelBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  val labelIncRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Exact-Jaccard edges (J ≥ 0.5, a_id < b_id) among `docs`. */
+  private def jaccardEdges(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "n_b"), "b_id")
+      .filter(col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Version-keyed maintenance of the label table. Returns its name. */
+  def ensureLabelsCdc(s: SparkSession, corpusTable: String,
+      name: String): String = synchronized {
+    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    graft.ops.ensureGraftCatalog(s)
+    val labels = s"graft_cat.db.dedup_${name}_lb_labels"
+    val meta = s"graft_cat.db.dedup_${name}_lb_meta"
+    CdcIndex.ensure(s, corpusTable, meta)(labels) { (v0, headV) =>
+      applyLabelsInc(s, corpusTable, labels, meta, v0, headV); labels
+    } { headV =>
+      val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
+      val pairs = jaccardEdges(docs)
+      val sym = pairs.select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(4).persist()
+      sym.count() // materialize the pair pipeline at full parallelism
+      val (lab, _) = Dedup.connectedComponents(s, sym)
+      docs.select(col("doc_id"))
+        .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .writeTo(labels)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      sym.unpersist(blocking = false)
+      s.sql(s"ALTER TABLE $labels SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      s.sql(s"DROP TABLE IF EXISTS $meta")
+      s.sql(s"CREATE TABLE $meta (version BIGINT, corpus STRING)")
+      s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      labelBuilds.incrementAndGet()
+      labels
+    }
+  }
+
+  private def applyLabelsInc(s: SparkSession, corpusTable: String,
+      labels: String, meta: String, v0: Long, headV: Long): Unit = {
+    val feed = s.sql(s"SELECT * FROM $corpusTable " +
+      s"VERSION AS OF 'cdf:$v0..$headV'")
+    val kinds = feed.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (kinds.exists(_ != "insert"))
+      throw new UnsupportedOperationException(
+        "component labels: non-append slice (splits are not incremental)")
+    val newIds = feed.select(col("doc_id")).distinct()
+    val head = s.table(corpusTable).select(col("doc_id"), col("text"))
+    // edges incident to the batch: batch shingles against head shingles
+    // (work ∝ the batch's posting lists; includes batch-internal pairs)
+    val shAll = Dedup.shingles(head)
+    val shNew = Dedup.shingles(head.join(newIds, Seq("doc_id"), "left_semi"))
+    val cand = shNew.as("b").join(shAll.as("a"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val ids = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sizes = shAll.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val edges = cand
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "n_b"), "b_id")
+      .filter(col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    // contract endpoints to their STORED labels (new docs are their own
+    // nodes) and find components of the merge-activity-sized quotient
+    val stored = s.table(labels)
+    val q = edges
+      .join(stored.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("comp", "ca"), Seq("a_id"), "left")
+      .join(stored.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("comp", "cb"), Seq("b_id"), "left")
+      .select(coalesce(col("ca"), col("a_id")).as("src"),
+        coalesce(col("cb"), col("b_id")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val qsym = q.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+      .repartition(4).persist()
+    qsym.count()
+    val (qlab0, _) = Dedup.connectedComponents(s, qsym)
+    // materialize the small merge plan BEFORE mutating anything: the
+    // MERGE source must not lazily re-read its own target mid-statement
+    val qlab = qlab0.localCheckpoint(true)
+    val remapped = stored.as("l")
+      .join(qlab.as("q"), col("l.comp") === col("q.id"))
+      .filter(col("q.comp") =!= col("q.id"))
+      .select(col("l.doc_id").as("doc_id"), col("q.comp").as("comp"))
+    // a new doc's quotient node is its STORED label when one exists (the
+    // replay case — the doc was already merged by a previous apply of
+    // this same slice) and its own id otherwise; the final label is the
+    // quotient answer for that node, or the node itself when the node
+    // took part in no merge. Defaulting to the doc's own id instead
+    // would UNDO a prior merge on replay and break the fixpoint.
+    val newNodes = newIds.join(stored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("node"))
+    val newRows = newNodes
+      .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("node")).as("comp"))
+    val u = remapped.unionAll(newRows).localCheckpoint(true)
+    val uv = "graft_lbl_merge_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    u.createOrReplaceTempView(uv)
+    try {
+      // ONE atomic statement; its post-state is the apply's fixpoint
+      s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET comp = u.comp
+        WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
+      s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      labelIncRefreshes.incrementAndGet()
+    } finally {
+      s.catalog.dropTempView(uv)
+      qsym.unpersist(blocking = false)
+    }
+  }
+
   // ----------------------------------------------------- gram index
 
   /** Exact-substring GRAM index — ext142's duplicated-span machinery as

@@ -345,6 +345,58 @@ class DedupIndexSpec extends SparkTestBase {
       "stream-maintained SQ codes diverged from the batch-CDC construction")
   }
 
+  test("incremental labels: quotient merge == rebuild; replay is a fixpoint") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = DedupIndex.labelBuilds.get()
+    val i0 = DedupIndex.labelIncRefreshes.get()
+    val rows = ext.Dedup.queries("ext153_components_incremental")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(DedupIndex.labelBuilds.get() === b0 + 1,
+      "the second batch must fold in incrementally, not rebuild")
+    assert(DedupIndex.labelIncRefreshes.get() === i0 + 1)
+
+    // incremental == rebuilt: a from-scratch build over the SAME corpus
+    // under a different index name must produce identical labels
+    Seq("lb_labels", "lb_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_full_$x"))
+    val full = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
+      "lbl_full")
+    assert(DedupIndex.labelBuilds.get() === b0 + 2)
+    val inc = spark.table("graft_cat.db.dedup_lbl_ix_lb_labels")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val reb = spark.table(full).orderBy("doc_id").collect().map(_.toSeq)
+    assert(inc.toSeq === reb.toSeq,
+      "incremental labels diverged from the full rebuild")
+
+    // crash replay: wind the watermark back one version and re-ensure —
+    // the apply re-runs over the already-merged labels and must be a
+    // FIXPOINT (same rows, no rebuild)
+    val headV = spark.sql(
+      "SELECT MAX(v) FROM graft_cat.db.lbl_docs.versions").head.getLong(0)
+    spark.sql("INSERT OVERWRITE graft_cat.db.dedup_lbl_ix_lb_meta " +
+      s"SELECT CAST(${headV - 1} AS BIGINT), 'graft_cat.db.lbl_docs'")
+    DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs", "lbl_ix")
+    assert(DedupIndex.labelBuilds.get() === b0 + 2, "replay rebuilt")
+    assert(DedupIndex.labelIncRefreshes.get() === i0 + 2)
+    val replayed = spark.table("graft_cat.db.dedup_lbl_ix_lb_labels")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(replayed.toSeq === inc.toSeq,
+      "replaying the slice changed the labels — not a fixpoint")
+
+    // a delete slice is NOT incrementally derivable (splits): the apply
+    // must refuse and degrade to the documented full rebuild
+    spark.sql("DELETE FROM graft_cat.db.lbl_docs WHERE doc_id % 13 = 1")
+    val t = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
+      "lbl_ix")
+    assert(DedupIndex.labelBuilds.get() === b0 + 3,
+      "a delete slice must degrade to a rebuild")
+    assert(DedupIndex.labelIncRefreshes.get() === i0 + 2)
+    val after = spark.table(t).collect()
+    assert(after.forall(_.getLong(0) % 13 != 1))
+  }
+
   test("gram index autocompact: CDC churn compacts; grams still == rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
