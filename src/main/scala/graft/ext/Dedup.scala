@@ -749,9 +749,13 @@ object Dedup {
     s.sql("CREATE TABLE graft_cat.db.lbl_docs (doc_id BIGINT, " +
       "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-    docs.filter(col("doc_id") < 400).writeTo("graft_cat.db.lbl_docs").append()
+    // fixture-proportional split (90% corpus, 10% batch) — a fixed id
+    // cutoff would make the "batch" most of the corpus at larger SFs
+    docs.filter(col("doc_id") % 10 =!= 7)
+      .writeTo("graft_cat.db.lbl_docs").append()
     DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbl_docs", "lbl_ix") // build
-    docs.filter(col("doc_id") >= 400).writeTo("graft_cat.db.lbl_docs").append()
+    docs.filter(col("doc_id") % 10 === 7)
+      .writeTo("graft_cat.db.lbl_docs").append()
     // incremental: quotient merge, never a corpus-wide re-shingle
     val labels = DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbl_docs", "lbl_ix")
     s.table(labels)
