@@ -731,9 +731,9 @@ object Dedup {
   }
 
   /** ext153 — INCREMENTAL COMPONENT LABELS from the persisted label
-    * index ([[DedupIndex.ensureLabelsCdc]]): the corpus seeds (< 400),
-    * the label table builds once, a second batch (≥ 400) appends, and
-    * the ensure call folds it in INCREMENTALLY — batch-incident edges
+    * index ([[DedupIndex.ensureLabelsCdc]]): 90% of the corpus seeds
+    * (doc_id % 10 <> 7), the label table builds once, the remaining 10%
+    * appends as the batch, and the ensure call folds it in INCREMENTALLY — batch-incident edges
     * only, contracted onto the stored labels, component discovery on
     * the merge-activity-sized quotient, one atomic MERGE. The final
     * labels must hash-match the oracle's recursive-CTE components over
