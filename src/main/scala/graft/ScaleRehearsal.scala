@@ -127,9 +127,13 @@ object ScaleRehearsal {
         .foreach(_.unpersist(blocking = false))
       (System.nanoTime() - t0) / 1e9
     }
+    // local iteration only: SPARK_GRAFT_REHEARSE_ONLY=queries,wh,mor,lbl
+    // selects probe groups; unset (the driver) runs everything
+    val onlyProbe = sys.env.get("SPARK_GRAFT_REHEARSE_ONLY")
+    def want(k: String): Boolean = onlyProbe.forall(_.split(',').contains(k))
     // warm both paths once (JIT/codegen/footers), then time
-    Queries.foreach { q => time(q, src) }
-    val rows = Queries.map { q =>
+    if (want("queries")) Queries.foreach { q => time(q, src) }
+    val rows = (if (want("queries")) Queries else Seq.empty).map { q =>
       val base = time(q, src)
       val scaled = time(q, out)
       val r = scaled / base
@@ -143,24 +147,80 @@ object ScaleRehearsal {
     // would overwrite each other's JSON mid-read (observed: FILE_NOT_EXIST
     // on business.json when a timed-out orphan and its restart overlapped)
     val pid = ProcessHandle.current().pid()
-    whBuild(spark, src, s"/tmp/graft_scale_wh_warm_$pid")
-    val wbBase = whBuild(spark, src, s"/tmp/graft_scale_wh_base_$pid")
-    val wbScaled = whBuild(spark, out, s"/tmp/graft_scale_wh_10x_$pid")
-    val wbR = wbScaled / wbBase
-    println(f"""{"q":"wh_build_21_tables","base_s":$wbBase%.2f,"scaled_s":$wbScaled%.2f,"ratio":$wbR%.1f}""")
+    if (want("wh")) {
+      whBuild(spark, src, s"/tmp/graft_scale_wh_warm_$pid")
+      val wbBase = whBuild(spark, src, s"/tmp/graft_scale_wh_base_$pid")
+      val wbScaled = whBuild(spark, out, s"/tmp/graft_scale_wh_10x_$pid")
+      val wbR = wbScaled / wbBase
+      println(f"""{"q":"wh_build_21_tables","base_s":$wbBase%.2f,"scaled_s":$wbScaled%.2f,"ratio":$wbR%.1f}""")
+    }
+    // session-2 probe: the incremental-label claim (ext153) — seed 90%,
+    // time the BUILD (corpus-sized pair join + component discovery),
+    // append 10%, time the APPLY (batch-incident edges + quotient CC).
+    // The claim under test: apply ≪ build at every scale, and apply
+    // grows with the BATCH, not the corpus.
+    if (want("lbl")) {
+      // the batch is FIXED-SIZE across scales (the AnnIndex-rehearsal
+      // discipline): apply cost must track the CHANGE, not the corpus
+      val batchCap = spark.read.parquet(s"$src/documents.parquet")
+        .agg(max("doc_id")).head.getLong(0) + 1
+      lblBuildVsApply(spark, src, "warm", batchCap) // codegen/catalog warmup
+      val (lbBase, laBase) = lblBuildVsApply(spark, src, "base", batchCap)
+      val (lbScaled, laScaled) = lblBuildVsApply(spark, out, "s10", batchCap)
+      println(f"""{"q":"lbl_build","base_s":$lbBase%.2f,"scaled_s":$lbScaled%.2f,"ratio":${lbScaled / lbBase}%.1f}""")
+      println(f"""{"q":"lbl_apply","base_s":$laBase%.2f,"scaled_s":$laScaled%.2f,"ratio":${laScaled / laBase}%.1f}""")
+    }
     // round-9 probe: the merge-on-read claim at scale — a 1-row DELETE
     // on a catalog table built from the (K×-scaled) lineitem must cost
     // ~the same at both scales: zone/bloom pruning bounds the DML scan
     // to the matching segment(s) and the commit writes one KB sidecar,
     // never a segment group. Ratio ≈ 1 is the pass condition.
-    morPointDelete(spark, src, s"mor_warm_$pid") // warmup (codegen, catalog)
-    val mdBase = morPointDelete(spark, src, s"mor_base_$pid")
-    val mdScaled = morPointDelete(spark, out, s"mor_10x_$pid")
-    val mdR = mdScaled / mdBase
-    println(f"""{"q":"mor_point_delete","base_s":$mdBase%.2f,"scaled_s":$mdScaled%.2f,"ratio":$mdR%.1f}""")
-    val worst = rows.maxBy(_._4)
-    println(f"""{"k":$k,"worst":"${worst._1}","worst_ratio":${worst._4}%.1f}""")
+    if (want("mor")) {
+      morPointDelete(spark, src, s"mor_warm_$pid") // warmup (codegen, catalog)
+      val mdBase = morPointDelete(spark, src, s"mor_base_$pid")
+      val mdScaled = morPointDelete(spark, out, s"mor_10x_$pid")
+      val mdR = mdScaled / mdBase
+      println(f"""{"q":"mor_point_delete","base_s":$mdBase%.2f,"scaled_s":$mdScaled%.2f,"ratio":$mdR%.1f}""")
+    }
+    if (rows.nonEmpty) {
+      val worst = rows.maxBy(_._4)
+      println(f"""{"k":$k,"worst":"${worst._1}","worst_ratio":${worst._4}%.1f}""")
+    }
     spark.stop()
+  }
+
+  /** Seed `dir`'s documents minus a FIXED-SIZE batch (doc_id % 10 = 7
+    * among the base-fixture ids — the same ~10%-of-base docs at every
+    * scale) into a catalog corpus, time the label index BUILD, append
+    * the batch, time the incremental APPLY (ext153's two phases,
+    * isolated; apply must track the batch, not the corpus). */
+  private def lblBuildVsApply(spark: SparkSession, dir: String,
+      tag: String, batchCap: Long): (Double, Double) = {
+    graft.ops.ensureGraftCatalog(spark)
+    import org.apache.spark.sql.functions.col
+    val pid = ProcessHandle.current().pid()
+    val name = s"lblsc_${tag}_$pid"
+    val corpus = s"graft_cat.db.lblsc_docs_${tag}_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("lb_labels", "lb_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val inBatch = col("doc_id") % 10 === 7 && col("doc_id") < batchCap
+    docs.filter(!inBatch).writeTo(corpus).append()
+    val t0 = System.nanoTime()
+    graft.ext.DedupIndex.ensureLabelsCdc(spark, corpus, name)
+    val build = (System.nanoTime() - t0) / 1e9
+    docs.filter(inBatch).writeTo(corpus).append()
+    val t1 = System.nanoTime()
+    graft.ext.DedupIndex.ensureLabelsCdc(spark, corpus, name)
+    val apply = (System.nanoTime() - t1) / 1e9
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    (build, apply)
   }
 
   /** Build a merge-on-read catalog table from `dir`'s lineitem (untimed),
