@@ -140,7 +140,11 @@ object Pipeline {
     * recomputation from the raw corpus minus the erased slice). Pairs
     * with the per-family maintenance entries (ext134–ext138) the way
     * ext140 pairs with the curation operators: the composition is the
-    * contract. */
+    * contract. The component-label family (ext153) is deliberately NOT
+    * audited here: its erasure path IS a documented full rebuild
+    * (deletes can split components, which a min-label table cannot
+    * derive incrementally), so "feed-sized work, never a rebuild" —
+    * the property this entry audits — does not apply to it. */
   val erasureE2e: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     Seq("er_docs", "er_vecs",

@@ -5096,8 +5096,8 @@ class VacuumProcedure(catalog: GraftCatalog) extends UnboundProcedure {
   * clone ([[GraftCatalog.cloneTable]]). */
 /** Persisted-index inventory (`CALL system.indexes('db')`): one row per
   * index artifact discovered by its `_meta` watermark table — family
-  * (minhash-signatures / ivf-cells / pq-codes / sq-codes /
-  * bm25-postings), index
+  * (minhash-signatures / exact-grams / component-labels / ivf-cells /
+  * pq-codes / sq-codes / nsw-edges / bm25-postings), index
   * name, the data table, its live row count (manifest arithmetic,
   * deletion vectors subtracted), segment count, and the data table's
   * committed head version. The operational complement of the ensure*()
@@ -5124,6 +5124,8 @@ class IndexesProcedure(catalog: GraftCatalog) extends UnboundProcedure {
             val (family, dataName) = fam0 match {
               case "dedup" if base.endsWith("_gr") =>
                 ("exact-grams", s"dedup_${base}_grams")
+              case "dedup" if base.endsWith("_lb") =>
+                ("component-labels", s"dedup_${base}_labels")
               case "dedup" => ("minhash-signatures", s"dedup_${base}_sigs")
               case "search" => ("bm25-postings", s"search_${base}_postings")
               case "ann" if base.endsWith("_pq") =>
@@ -5139,7 +5141,7 @@ class IndexesProcedure(catalog: GraftCatalog) extends UnboundProcedure {
               Some(new GenericInternalRow(Array[Any](
                 UTF8String.fromString(family),
                 UTF8String.fromString(base.stripSuffix("_pq")
-                  .stripSuffix("_sq").stripSuffix("_gr")),
+                  .stripSuffix("_sq").stripSuffix("_gr").stripSuffix("_lb")),
                 UTF8String.fromString(s"$ns.$dataName"),
                 t.currentLiveRows,
                 t.currentSegmentCount.toLong,

@@ -395,6 +395,13 @@ class DedupIndexSpec extends SparkTestBase {
     assert(DedupIndex.labelIncRefreshes.get() === i0 + 2)
     val after = spark.table(t).collect()
     assert(after.forall(_.getLong(0) % 13 != 1))
+
+    // the inventory classifies the _lb meta as its own family (it must
+    // not fall into the signatures branch and silently vanish)
+    val inv = spark.sql("CALL graft_cat.system.indexes('db')")
+      .filter(col("index_name") === "lbl_ix").collect()
+    assert(inv.length === 1, s"label index missing from inventory: ${inv.toSeq}")
+    assert(inv.head.getString(0) === "component-labels")
   }
 
   test("gram index autocompact: CDC churn compacts; grams still == rebuild") {
