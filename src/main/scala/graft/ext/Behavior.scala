@@ -485,7 +485,41 @@ object Behavior {
       .orderBy("variant")
   }
 
+  /** ext154 — exponential smoothing over daily event counts (the
+    * forecasting primitive the event tier lacked): per event_type, the
+    * level recurrence L_1 = y_1, L_t = ½·L_{t-1} + ½·y_t. α is FIXED at
+    * ½ deliberately: multiplying a double by 0.5 is exact (pure exponent
+    * decrement), so every smoothed value is a sum of exactly-scaled
+    * terms folded in day order — bit-identical in DuckDB's list_reduce,
+    * with no libm pow() in sight (a free-α implementation could not be
+    * hash-compared across engines).
+    *
+    * Scale: the heavy input collapses to (event_type × day) counts in
+    * one map-side-combined aggregate; the recurrence then runs on
+    * series-sized arrays (array-local — the per-t fold is O(n²) on a
+    * ~90-row series, trivial; a windowed running form exists but its
+    * mixed-magnitude partial sums are not portable). */
+  val expSmoothing: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(day, y)))").as("arr"))
+      .select(col("event_type"), explode(expr(
+        "transform(sequence(1, size(arr)), t -> struct(" +
+          "element_at(arr, t).day AS day, element_at(arr, t).y AS y, " +
+          "aggregate(slice(arr, 2, t - 1)," +
+          " CAST(element_at(arr, 1).y AS DOUBLE)," +
+          " (acc, e) -> acc * 0.5D + CAST(e.y AS DOUBLE) * 0.5D) AS smooth))"))
+        .as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.y").as("y"),
+        col("r.smooth").as("smooth"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext154_exp_smoothing" -> expSmoothing,
     "ext105_cuped" -> cuped,
     "ext104_interpolate_gaps" -> interpolateGaps,
     "ext102_trending_topk" -> trendingTopk,
@@ -502,6 +536,23 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    "ext154_exp_smoothing" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT event_type,
+        |    list(struct_pack(day := day, y := y) ORDER BY day) AS arr
+        |  FROM daily GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, unnest(range(1, len(arr) + 1)) AS t, arr
+        |  FROM series)
+        |SELECT event_type, arr[t].day AS day, arr[t].y AS y,
+        |  list_reduce([CAST(e.y AS DOUBLE) for e in arr[1:t]],
+        |              (a, b) -> a * 0.5 + b * 0.5) AS smooth
+        |FROM ex ORDER BY event_type, day""".stripMargin,
     // identical co-moment arithmetic over exact BIGINT sums (q116 pattern)
     "ext105_cuped" ->
       """WITH u AS (

@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   */
 class BehaviorSearchSpec extends SparkTestBase {
 
+  test("ext154 exponential smoothing: recurrence replays bitwise per series") {
+    val rows = Behavior.expSmoothing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // L_1 = y_1 and L_t = 0.5*L_{t-1} + 0.5*y_t, replayed in plain Scala
+    // — alpha = 1/2 makes every step exact, so equality is BITWISE
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getString(1))
+      var level = series.head.getLong(2).toDouble
+      assert(java.lang.Double.compare(series.head.getDouble(3), level) === 0)
+      series.tail.foreach { r =>
+        level = level * 0.5 + r.getLong(2).toDouble * 0.5
+        assert(java.lang.Double.compare(r.getDouble(3), level) === 0,
+          s"smooth diverged at ${r.getString(1)}")
+      }
+      // smoothing stays inside the observed range
+      val ys = series.map(_.getLong(2).toDouble)
+      series.map(_.getDouble(3)).foreach { sm =>
+        assert(sm >= ys.min - 1e-9 && sm <= ys.max + 1e-9)
+      }
+    }
+  }
+
   test("ext96 bitmap distinct: rollup equals recompute; one fact scan; no aliasing") {
     // unit level: Union.reduce must never mutate its INPUT bitmap (rows
     // can be shared buffers), and Build must fail fast past MaxBits
