@@ -386,6 +386,9 @@ object AnnIndex {
     * catalog, so stored codebooks and stored codes can never disagree. */
   private def buildPq(s: SparkSession, corpus: DataFrame,
       t: PqTables): PqTables = {
+    // plain rebuild invalidates any CDC watermark (see build())
+    s.sql("DROP TABLE IF EXISTS " +
+      t.codes.stripSuffix("_codes") + "_meta")
     val sub = subvectors(corpus)
     val seeds = sub.filter(col("vec_id") % 64 === 0)
       .select(col("j"), (col("vec_id") / 64).cast("int").as("cid"),
@@ -418,6 +421,12 @@ object AnnIndex {
     * back from the catalog, so the stored quantizer and the stored
     * assignments can never disagree. */
   private def build(s: SparkSession, corpus: DataFrame, t: Tables): Tables = {
+    // a PLAIN rebuild invalidates any CDC watermark for this name: the
+    // rebuilt content is keyed to the caller's DataFrame, not to the
+    // version the stale meta records — leaving it would let the next
+    // ensureCdc no-op over codes that encode a different corpus
+    s.sql("DROP TABLE IF EXISTS " +
+      t.cells.stripSuffix("_cells") + "_meta")
     val seeds = corpus.filter(col("vec_id") % 64 === 0)
       .select((col("vec_id") / 64).cast("int").as("cid"), col("v").as("c"))
     val a0 = assign(corpus, seeds)
@@ -569,6 +578,8 @@ object AnnIndex {
 
   private def buildSq(s: SparkSession, corpus: DataFrame,
       codes: String): String = {
+    // plain rebuild invalidates any CDC watermark (see build())
+    s.sql("DROP TABLE IF EXISTS " + codes.stripSuffix("_codes") + "_meta")
     sqEncode(corpus)
       .writeTo(codes)
       .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)

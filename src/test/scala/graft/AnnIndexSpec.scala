@@ -474,6 +474,29 @@ class AnnIndexSpec extends SparkTestBase {
       s"codes retraction not a DV append: $ops_")
   }
 
+  test("a plain rebuild invalidates the CDC watermark — no stale no-op") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.spec_xm_vecs")
+    Seq("sq_codes", "sq_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_spec_xm_$x"))
+    spark.sql("CREATE TABLE graft_cat.db.spec_xm_vecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    mkCorpus64(500).writeTo("graft_cat.db.spec_xm_vecs").append()
+    AnnIndex.ensureSqCdc(spark, "graft_cat.db.spec_xm_vecs", "spec_xm")
+    val b0 = AnnIndex.sqBuilds.get()
+    // a PLAIN ensure rebuilds the same index name over a DIFFERENT
+    // corpus — the stale CDC watermark must not survive it, or the next
+    // ensureSqCdc would no-op over codes that encode the wrong corpus
+    AnnIndex.ensureSq(spark, mkCorpus64(300), "spec_xm")
+    assert(AnnIndex.sqBuilds.get() === b0 + 1)
+    assert(spark.table("graft_cat.db.ann_spec_xm_sq_codes").count() === 300L)
+    AnnIndex.ensureSqCdc(spark, "graft_cat.db.spec_xm_vecs", "spec_xm")
+    assert(AnnIndex.sqBuilds.get() === b0 + 2,
+      "stale CDC watermark served a plain-rebuilt index as covered")
+    assert(spark.table("graft_cat.db.ann_spec_xm_sq_codes").count() === 500L)
+  }
+
   test("graph: stored edges probe equals the in-query build; ensure is idempotent") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
