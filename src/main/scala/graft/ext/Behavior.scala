@@ -518,8 +518,41 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** ext155 — Holt double smoothing (level + trend) with a one-step
+    * forecast, on ext154's exact-arithmetic discipline: L_1 = y_1,
+    * T_1 = 0, L_t = ½L_{t-1} + ½y_t, T_t = ½(L_t − L_{t-1}) + ½T_{t-1},
+    * forecast_next = L_t + T_t. Both smoothing constants are ½ (exact
+    * halving); the trend subtraction operates on identically-computed
+    * doubles, so the whole recurrence folds bit-identically in DuckDB's
+    * struct-state list_reduce. The expression for L_t appears twice in
+    * the lambda (SQL lambdas have no let-binding) — the SAME expression
+    * on both engines, so recomputation cannot diverge. */
+  val holtForecast: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(day, y)))").as("arr"))
+      .select(col("event_type"), explode(expr(
+        "transform(sequence(1, size(arr)), t -> struct(" +
+          "element_at(arr, t).day AS day, element_at(arr, t).y AS y, " +
+          "aggregate(slice(arr, 2, t - 1)," +
+          " struct(CAST(element_at(arr, 1).y AS DOUBLE) AS l, 0.0D AS tr)," +
+          " (acc, e) -> struct(" +
+          "   acc.l * 0.5D + CAST(e.y AS DOUBLE) * 0.5D AS l," +
+          "   (acc.l * 0.5D + CAST(e.y AS DOUBLE) * 0.5D - acc.l) * 0.5D" +
+          "     + acc.tr * 0.5D AS tr)) AS st))"))
+        .as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.y").as("y"),
+        col("r.st.l").as("level"), col("r.st.tr").as("trend"),
+        (col("r.st.l") + col("r.st.tr")).as("forecast_next"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext154_exp_smoothing" -> expSmoothing,
+    "ext155_holt_forecast" -> holtForecast,
     "ext105_cuped" -> cuped,
     "ext104_interpolate_gaps" -> interpolateGaps,
     "ext102_trending_topk" -> trendingTopk,
@@ -553,6 +586,35 @@ object Behavior {
         |  list_reduce([CAST(e.y AS DOUBLE) for e in arr[1:t]],
         |              (a, b) -> a * 0.5 + b * 0.5) AS smooth
         |FROM ex ORDER BY event_type, day""".stripMargin,
+    "ext155_holt_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT event_type,
+        |    list(struct_pack(day := day, y := y) ORDER BY day) AS arr
+        |  FROM daily GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, unnest(range(1, len(arr) + 1)) AS t, arr
+        |  FROM series),
+        |st AS (
+        |  SELECT event_type, t, arr,
+        |    -- tr is assigned BEFORE l: DuckDB's struct_pack resolves a
+        |    -- field reference in a LATER argument against the fields
+        |    -- already packed (a.l after "l :=" is the NEW level), so the
+        |    -- trend must be computed while a.l still names the old one
+        |    list_reduce(
+        |      [struct_pack(tr := CAST(0.0 AS DOUBLE),
+        |                   l := CAST(e.y AS DOUBLE)) for e in arr[1:t]],
+        |      (a, b) -> struct_pack(
+        |        tr := (a.l * 0.5 + b.l * 0.5 - a.l) * 0.5 + a.tr * 0.5,
+        |        l := a.l * 0.5 + b.l * 0.5)) AS s
+        |  FROM ex)
+        |SELECT event_type, arr[t].day AS day, arr[t].y AS y,
+        |  s.l AS level, s.tr AS trend, s.l + s.tr AS forecast_next
+        |FROM st ORDER BY event_type, day""".stripMargin,
     // identical co-moment arithmetic over exact BIGINT sums (q116 pattern)
     "ext105_cuped" ->
       """WITH u AS (

@@ -33,6 +33,28 @@ class BehaviorSearchSpec extends SparkTestBase {
     }
   }
 
+  test("ext155 Holt forecast: level+trend recurrence replays bitwise") {
+    val rows = Behavior.holtForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getString(1))
+      var l = series.head.getLong(2).toDouble
+      var tr = 0.0
+      assert(java.lang.Double.compare(series.head.getDouble(3), l) === 0)
+      assert(java.lang.Double.compare(series.head.getDouble(4), tr) === 0)
+      series.tail.foreach { r =>
+        val l1 = l * 0.5 + r.getLong(2).toDouble * 0.5
+        tr = (l1 - l) * 0.5 + tr * 0.5
+        l = l1
+        assert(java.lang.Double.compare(r.getDouble(3), l) === 0,
+          s"level diverged at ${r.getString(1)}")
+        assert(java.lang.Double.compare(r.getDouble(4), tr) === 0,
+          s"trend diverged at ${r.getString(1)}")
+        assert(java.lang.Double.compare(r.getDouble(5), l + tr) === 0)
+      }
+    }
+  }
+
   test("ext96 bitmap distinct: rollup equals recompute; one fact scan; no aliasing") {
     // unit level: Union.reduce must never mutate its INPUT bitmap (rows
     // can be shared buffers), and Build must fail fast past MaxBits
