@@ -550,9 +550,51 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** ext156 — MAD anomaly flags over the daily series (the robust
+    * companion to ext154/ext155's smoothing): per event_type, median of
+    * the daily counts, median absolute deviation, and the classic
+    * |y − med| > 3·MAD outlier flag. Every intermediate is EXACT:
+    * medians of integers land on .0/.5, deviations on .5 steps, the MAD
+    * (a median of those) on .25 steps, and ×3 / ÷2 are
+    * exactly-representable operations — so the flag (a strict
+    * comparison of exact doubles) cannot waver across engines. Medians
+    * are computed by explicit sort-and-index on BOTH sides (ext125's
+    * discipline), not engine median() builtins. Array-local per series;
+    * the heavy input collapses in one map-side-combined aggregate. */
+  val madAnomalies: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val g = daily.groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(day, y)))").as("arr"))
+      .withColumn("ys", expr("array_sort(transform(arr, e -> e.y))"))
+      .withColumn("n", size(col("ys")))
+      .withColumn("med", expr(
+        "if(n % 2 = 1," +
+          " CAST(element_at(ys, CAST((n + 1) DIV 2 AS INT)) AS DOUBLE)," +
+          " (CAST(element_at(ys, CAST(n DIV 2 AS INT)) AS DOUBLE)" +
+          "  + CAST(element_at(ys, CAST(n DIV 2 + 1 AS INT)) AS DOUBLE))" +
+          " / 2.0D)"))
+      .withColumn("devs", expr(
+        "array_sort(transform(arr, e -> abs(CAST(e.y AS DOUBLE) - med)))"))
+      .withColumn("mad", expr(
+        "if(n % 2 = 1, element_at(devs, CAST((n + 1) DIV 2 AS INT))," +
+          " (element_at(devs, CAST(n DIV 2 AS INT))" +
+          "  + element_at(devs, CAST(n DIV 2 + 1 AS INT))) / 2.0D)"))
+    g.select(col("event_type"), col("med"), col("mad"),
+        explode(col("arr")).as("e"))
+      .select(col("event_type"), col("e.day").as("day"), col("e.y").as("y"),
+        col("med"), col("mad"),
+        (abs(col("e.y").cast("double") - col("med")) > col("mad") * 3.0)
+          .as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext154_exp_smoothing" -> expSmoothing,
     "ext155_holt_forecast" -> holtForecast,
+    "ext156_mad_anomalies" -> madAnomalies,
     "ext105_cuped" -> cuped,
     "ext104_interpolate_gaps" -> interpolateGaps,
     "ext102_trending_topk" -> trendingTopk,
@@ -615,6 +657,39 @@ object Behavior {
         |SELECT event_type, arr[t].day AS day, arr[t].y AS y,
         |  s.l AS level, s.tr AS trend, s.l + s.tr AS forecast_next
         |FROM st ORDER BY event_type, day""".stripMargin,
+    "ext156_mad_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT event_type,
+        |    list(struct_pack(day := day, y := y) ORDER BY day) AS arr
+        |  FROM daily GROUP BY event_type),
+        |meds AS (
+        |  SELECT event_type, arr,
+        |    CASE WHEN len(ys) % 2 = 1
+        |         THEN CAST(ys[(len(ys) + 1) // 2] AS DOUBLE)
+        |         ELSE (CAST(ys[len(ys) // 2] AS DOUBLE)
+        |               + CAST(ys[len(ys) // 2 + 1] AS DOUBLE)) / 2.0
+        |    END AS med
+        |  FROM (SELECT event_type, arr,
+        |          list_sort([e.y for e in arr]) AS ys FROM series)),
+        |mads AS (
+        |  SELECT event_type, arr, med,
+        |    CASE WHEN len(devs) % 2 = 1
+        |         THEN devs[(len(devs) + 1) // 2]
+        |         ELSE (devs[len(devs) // 2] + devs[len(devs) // 2 + 1]) / 2.0
+        |    END AS mad
+        |  FROM (SELECT event_type, arr, med,
+        |          list_sort([abs(CAST(e.y AS DOUBLE) - med) for e in arr])
+        |            AS devs
+        |        FROM meds)),
+        |ex AS (SELECT event_type, med, mad, unnest(arr) AS e FROM mads)
+        |SELECT event_type, e.day AS day, e.y AS y, med, mad,
+        |  abs(CAST(e.y AS DOUBLE) - med) > mad * 3.0 AS is_anomaly
+        |FROM ex ORDER BY event_type, day""".stripMargin,
     // identical co-moment arithmetic over exact BIGINT sums (q116 pattern)
     "ext105_cuped" ->
       """WITH u AS (

@@ -55,6 +55,26 @@ class BehaviorSearchSpec extends SparkTestBase {
     }
   }
 
+  test("ext156 MAD anomalies: medians and flags replay exactly") {
+    val rows = Behavior.madAnomalies(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ys = rs.map(_.getLong(2)).sorted
+      def medOf(v: Seq[Double]): Double = {
+        val s0 = v.sorted; val n = s0.length
+        if (n % 2 == 1) s0((n - 1) / 2) else (s0(n / 2 - 1) + s0(n / 2)) / 2.0
+      }
+      val med = medOf(ys.map(_.toDouble))
+      val mad = medOf(rs.map(r => math.abs(r.getLong(2).toDouble - med)))
+      rs.foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(3), med) === 0)
+        assert(java.lang.Double.compare(r.getDouble(4), mad) === 0)
+        assert(r.getBoolean(5) ===
+          (math.abs(r.getLong(2).toDouble - med) > mad * 3.0))
+      }
+    }
+  }
+
   test("ext96 bitmap distinct: rollup equals recompute; one fact scan; no aliasing") {
     // unit level: Union.reduce must never mutate its INPUT bitmap (rows
     // can be shared buffers), and Build must fail fast past MaxBits
