@@ -591,10 +591,42 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** ext157 — weekly seasonality profile + deseasonalized residuals:
+    * per (event_type, weekday) the median daily count (the seasonal
+    * component), then each day's residual y − seasonal. Weekday is pure
+    * integer arithmetic ((epoch_day + 4) % 7, 0 = Sunday — no engine
+    * week-truncation semantics), medians are the explicit sort-and-index
+    * of ext156 (exact .0/.5 values), residuals are exact subtractions —
+    * every output hash-compares. The profile is (type × 7)-sized; the
+    * residual join broadcasts it. */
+  val weeklySeasonality: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("wd"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val prof = daily.groupBy("event_type", "wd")
+      .agg(expr("array_sort(collect_list(y))").as("ys"),
+        count(lit(1)).as("n_days"))
+      .withColumn("seasonal", expr(
+        "if(size(ys) % 2 = 1," +
+          " CAST(element_at(ys, CAST((size(ys) + 1) DIV 2 AS INT)) AS DOUBLE)," +
+          " (CAST(element_at(ys, CAST(size(ys) DIV 2 AS INT)) AS DOUBLE)" +
+          "  + CAST(element_at(ys, CAST(size(ys) DIV 2 + 1 AS INT)) AS DOUBLE))" +
+          " / 2.0D)"))
+      .select("event_type", "wd", "n_days", "seasonal")
+    daily.join(prof, Seq("event_type", "wd"))
+      .select(col("event_type"), col("day"), col("wd"), col("y"),
+        col("n_days"), col("seasonal"),
+        (col("y").cast("double") - col("seasonal")).as("residual"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext154_exp_smoothing" -> expSmoothing,
     "ext155_holt_forecast" -> holtForecast,
     "ext156_mad_anomalies" -> madAnomalies,
+    "ext157_weekly_seasonality" -> weeklySeasonality,
     "ext105_cuped" -> cuped,
     "ext104_interpolate_gaps" -> interpolateGaps,
     "ext102_trending_topk" -> trendingTopk,
@@ -690,6 +722,28 @@ object Behavior {
         |SELECT event_type, e.day AS day, e.y AS y, med, mad,
         |  abs(CAST(e.y AS DOUBLE) - med) > mad * 3.0 AS is_anomaly
         |FROM ex ORDER BY event_type, day""".stripMargin,
+    "ext157_weekly_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS wd,
+        |    strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |prof AS (
+        |  SELECT event_type, wd, CAST(len(ys) AS BIGINT) AS n_days,
+        |    CASE WHEN len(ys) % 2 = 1
+        |         THEN CAST(ys[(len(ys) + 1) // 2] AS DOUBLE)
+        |         ELSE (CAST(ys[len(ys) // 2] AS DOUBLE)
+        |               + CAST(ys[len(ys) // 2 + 1] AS DOUBLE)) / 2.0
+        |    END AS seasonal
+        |  FROM (SELECT event_type, wd, list_sort(list(y)) AS ys
+        |        FROM daily GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT d.event_type, d.day, d.wd, d.y, p.n_days, p.seasonal,
+        |    CAST(d.y AS DOUBLE) - p.seasonal AS residual
+        |  FROM daily d JOIN prof p
+        |    ON d.event_type = p.event_type AND d.wd = p.wd)
+        |SELECT * FROM j ORDER BY event_type, day""".stripMargin,
     // identical co-moment arithmetic over exact BIGINT sums (q116 pattern)
     "ext105_cuped" ->
       """WITH u AS (

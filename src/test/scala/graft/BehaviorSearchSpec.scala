@@ -75,6 +75,25 @@ class BehaviorSearchSpec extends SparkTestBase {
     }
   }
 
+  test("ext157 weekly seasonality: profile replays; residuals exact") {
+    val rows = Behavior.weeklySeasonality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getLong(2))).foreach { case (_, rs) =>
+      val ys = rs.map(_.getLong(3).toDouble).sorted
+      val n = ys.length
+      val med =
+        if (n % 2 == 1) ys((n - 1) / 2) else (ys(n / 2 - 1) + ys(n / 2)) / 2.0
+      rs.foreach { r =>
+        assert(r.getLong(4) === n.toLong)
+        assert(java.lang.Double.compare(r.getDouble(5), med) === 0)
+        assert(java.lang.Double.compare(
+          r.getDouble(6), r.getLong(3).toDouble - med) === 0)
+      }
+    }
+    // weekday arithmetic: every wd in [0, 6]
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 6))
+  }
+
   test("ext96 bitmap distinct: rollup equals recompute; one fact scan; no aliasing") {
     // unit level: Union.reduce must never mutate its INPUT bitmap (rows
     // can be shared buffers), and Build must fail fast past MaxBits
