@@ -622,11 +622,45 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** ext158 — seasonally-adjusted anomalies, the quartet's capstone
+    * composition (what a production monitor actually runs): remove the
+    * weekly profile first (ext157's per-weekday median), THEN MAD-flag
+    * the residuals (ext156's rule) — a raw-count flag would fire on
+    * every weekend dip; the adjusted flag fires only on days unusual
+    * FOR THEIR WEEKDAY. Exactness compounds: residuals on .5 steps,
+    * their median on .25, deviations on .25, the MAD on .125 — all
+    * exactly representable, so the flag is engine-stable. */
+  val seasonalAnomalies: Q = (s, d) => {
+    val res = weeklySeasonality(s, d)
+      .select("event_type", "day", "y", "residual")
+    val g = res.groupBy("event_type")
+      .agg(expr("array_sort(collect_list(residual))").as("rs"))
+      .withColumn("n", size(col("rs")))
+      .withColumn("med", expr(
+        "if(n % 2 = 1, element_at(rs, CAST((n + 1) DIV 2 AS INT))," +
+          " (element_at(rs, CAST(n DIV 2 AS INT))" +
+          "  + element_at(rs, CAST(n DIV 2 + 1 AS INT))) / 2.0D)"))
+    val mad = g
+      .withColumn("devs", expr("array_sort(transform(rs, r -> abs(r - med)))"))
+      .withColumn("mad", expr(
+        "if(n % 2 = 1, element_at(devs, CAST((n + 1) DIV 2 AS INT))," +
+          " (element_at(devs, CAST(n DIV 2 AS INT))" +
+          "  + element_at(devs, CAST(n DIV 2 + 1 AS INT))) / 2.0D)"))
+      .select("event_type", "med", "mad")
+    res.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("y"), col("residual"),
+        col("med"), col("mad"),
+        (abs(col("residual") - col("med")) > col("mad") * 3.0)
+          .as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext154_exp_smoothing" -> expSmoothing,
     "ext155_holt_forecast" -> holtForecast,
     "ext156_mad_anomalies" -> madAnomalies,
     "ext157_weekly_seasonality" -> weeklySeasonality,
+    "ext158_seasonal_anomalies" -> seasonalAnomalies,
     "ext105_cuped" -> cuped,
     "ext104_interpolate_gaps" -> interpolateGaps,
     "ext102_trending_topk" -> trendingTopk,
@@ -744,6 +778,45 @@ object Behavior {
         |  FROM daily d JOIN prof p
         |    ON d.event_type = p.event_type AND d.wd = p.wd)
         |SELECT * FROM j ORDER BY event_type, day""".stripMargin,
+    "ext158_seasonal_anomalies" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS wd,
+        |    strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |prof AS (
+        |  SELECT event_type, wd,
+        |    CASE WHEN len(ys) % 2 = 1
+        |         THEN CAST(ys[(len(ys) + 1) // 2] AS DOUBLE)
+        |         ELSE (CAST(ys[len(ys) // 2] AS DOUBLE)
+        |               + CAST(ys[len(ys) // 2 + 1] AS DOUBLE)) / 2.0
+        |    END AS seasonal
+        |  FROM (SELECT event_type, wd, list_sort(list(y)) AS ys
+        |        FROM daily GROUP BY 1, 2)),
+        |res AS (
+        |  SELECT d.event_type, d.day, d.y,
+        |    CAST(d.y AS DOUBLE) - p.seasonal AS residual
+        |  FROM daily d JOIN prof p
+        |    ON d.event_type = p.event_type AND d.wd = p.wd),
+        |meds AS (
+        |  SELECT event_type,
+        |    CASE WHEN len(rs) % 2 = 1 THEN rs[(len(rs) + 1) // 2]
+        |         ELSE (rs[len(rs) // 2] + rs[len(rs) // 2 + 1]) / 2.0
+        |    END AS med, rs
+        |  FROM (SELECT event_type, list_sort(list(residual)) AS rs
+        |        FROM res GROUP BY event_type)),
+        |mads AS (
+        |  SELECT event_type, med,
+        |    CASE WHEN len(devs) % 2 = 1 THEN devs[(len(devs) + 1) // 2]
+        |         ELSE (devs[len(devs) // 2] + devs[len(devs) // 2 + 1]) / 2.0
+        |    END AS mad
+        |  FROM (SELECT event_type, med,
+        |          list_sort([abs(r - med) for r in rs]) AS devs FROM meds))
+        |SELECT r.event_type, r.day, r.y, r.residual, m.med, m.mad,
+        |  abs(r.residual - m.med) > m.mad * 3.0 AS is_anomaly
+        |FROM res r JOIN mads m ON r.event_type = m.event_type
+        |ORDER BY r.event_type, r.day""".stripMargin,
     // identical co-moment arithmetic over exact BIGINT sums (q116 pattern)
     "ext105_cuped" ->
       """WITH u AS (

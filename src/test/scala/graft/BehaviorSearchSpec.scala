@@ -94,6 +94,32 @@ class BehaviorSearchSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 6))
   }
 
+  test("ext158 seasonal anomalies: adjusted flags replay; composition binds") {
+    val rows = Behavior.seasonalAnomalies(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def medOf(v: Seq[Double]): Double = {
+      val s0 = v.sorted; val n = s0.length
+      if (n % 2 == 1) s0((n - 1) / 2) else (s0(n / 2 - 1) + s0(n / 2)) / 2.0
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val med = medOf(rs.map(_.getDouble(3)))
+      val mad = medOf(rs.map(r => math.abs(r.getDouble(3) - med)))
+      rs.foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(4), med) === 0)
+        assert(java.lang.Double.compare(r.getDouble(5), mad) === 0)
+        assert(r.getBoolean(6) ===
+          (math.abs(r.getDouble(3) - med) > mad * 3.0))
+      }
+    }
+    // composition binds: residuals here equal ext157's for the same keys
+    val res157 = Behavior.weeklySeasonality(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(
+        r.getDouble(3), res157((r.getString(0), r.getString(1)))) === 0)
+    }
+  }
+
   test("ext96 bitmap distinct: rollup equals recompute; one fact scan; no aliasing") {
     // unit level: Union.reduce must never mutate its INPUT bitmap (rows
     // can be shared buffers), and Build must fail fast past MaxBits
