@@ -170,6 +170,37 @@ object ScaleRehearsal {
       println(f"""{"q":"lbl_build","base_s":$lbBase%.2f,"scaled_s":$lbScaled%.2f,"ratio":${lbScaled / lbBase}%.1f}""")
       println(f"""{"q":"lbl_apply","base_s":$laBase%.2f,"scaled_s":$laScaled%.2f,"ratio":${laScaled / laBase}%.1f}""")
     }
+    // round-12 probe: the graph-ANN adjacency cap (VERDICT r11 #1) — a
+    // single MEGA-CELL corpus (one label), the hot-cell shape that made
+    // the uncapped build quadratic. With GraphCellCap the pair join is
+    // O(n·cap): a 10× cell must cost ~10×, never ~100×.
+    if (want("gr")) {
+      grBuild(spark, "warm", 10000L) // codegen/catalog warmup
+      val gbBase = grBuild(spark, "base", 10000L)
+      val gbScaled = grBuild(spark, "s10", 100000L)
+      val gbR = gbScaled / gbBase
+      println(f"""{"q":"gr_build_megacell","base_s":$gbBase%.2f,"scaled_s":$gbScaled%.2f,"ratio":$gbR%.1f}""")
+    }
+    // round-12 probe: duplication-SKEW rehearsal for the capped
+    // component twin (VERDICT r11 #5) — the base corpus stays fixed
+    // while a mega-cluster of duplicated docs grows 10×: a boilerplate
+    // storm (identical texts, df ≫ cap → the df cap must drop its
+    // shingles before the pair join) plus a sliding-window chain (every
+    // shingle df = 8 — survives the cap exactly — forming ONE
+    // m-node component whose frontier the degree cap and pointer
+    // jumping must keep loglinear). ext38b's time may grow only with
+    // the modest corpus growth (~1.8×), never with the cluster's
+    // quadratic pair potential.
+    if (want("skew")) {
+      val sb = skewFixture(spark, src, s"/tmp/graft_scale_skew_base_$pid", 3000L)
+      val ss = skewFixture(spark, src, s"/tmp/graft_scale_skew_10x_$pid", 30000L)
+      val q38b = "ext38b_dedup_components_capped"
+      time(q38b, sb) // warmup
+      val skBase = time(q38b, sb)
+      val skScaled = time(q38b, ss)
+      val skR = skScaled / skBase
+      println(f"""{"q":"skew_components_capped","base_s":$skBase%.2f,"scaled_s":$skScaled%.2f,"ratio":$skR%.1f}""")
+    }
     // round-9 probe: the merge-on-read claim at scale — a 1-row DELETE
     // on a catalog table built from the (K×-scaled) lineitem must cost
     // ~the same at both scales: zone/bloom pruning bounds the DML scan
@@ -209,18 +240,79 @@ object ScaleRehearsal {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val inBatch = col("doc_id") % 10 === 7 && col("doc_id") < batchCap
-    docs.filter(!inBatch).writeTo(corpus).append()
-    val t0 = System.nanoTime()
-    graft.ext.DedupIndex.ensureLabelsCdc(spark, corpus, name)
-    val build = (System.nanoTime() - t0) / 1e9
-    docs.filter(inBatch).writeTo(corpus).append()
-    val t1 = System.nanoTime()
-    graft.ext.DedupIndex.ensureLabelsCdc(spark, corpus, name)
-    val apply = (System.nanoTime() - t1) / 1e9
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    (build, apply)
+    try {
+      docs.filter(!inBatch).writeTo(corpus).append()
+      val t0 = System.nanoTime()
+      graft.ext.DedupIndex.ensureLabelsCdc(spark, corpus, name)
+      val build = (System.nanoTime() - t0) / 1e9
+      docs.filter(inBatch).writeTo(corpus).append()
+      val t1 = System.nanoTime()
+      graft.ext.DedupIndex.ensureLabelsCdc(spark, corpus, name)
+      val apply = (System.nanoTime() - t1) / 1e9
+      (build, apply)
+    } finally {
+      // tables are pid- and tag-suffixed, so a crash in a PREVIOUS run
+      // wouldn't be cleaned by this run's entry drop — drop our own
+      // tables here instead of orphaning them in the shared catalog
+      spark.sql(s"DROP TABLE IF EXISTS $corpus")
+      Seq("lb_labels", "lb_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Seed a SINGLE-CELL vector corpus of `n` 8-dim vectors (one label —
+    * the hot-cell worst case) into a catalog table and time the graph
+    * index BUILD ([[graft.ext.AnnIndex.ensureGraphCdc]]); the capped
+    * adjacency must make it O(n·cap), i.e. ~linear in n. */
+  private def grBuild(spark: SparkSession, tag: String, n: Long): Double = {
+    graft.ops.ensureGraftCatalog(spark)
+    import org.apache.spark.sql.functions.col
+    val pid = ProcessHandle.current().pid()
+    val name = s"grsc_${tag}_$pid"
+    val corpus = s"graft_cat.db.grsc_vecs_${tag}_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("gr_edges", "gr_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${name}_$x"))
+    spark.sql(s"CREATE TABLE $corpus (vec_id BIGINT, label INT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    try {
+      spark.range(0, n).select(col("id").as("vec_id"),
+          lit(1).as("label"),
+          expr("transform(sequence(0, 7), " +
+            "j -> CAST((id % 131) * 0.21 + (j % 5) * 0.13 AS DOUBLE))").as("v"))
+        .writeTo(corpus).append()
+      val t0 = System.nanoTime()
+      graft.ext.AnnIndex.ensureGraphCdc(spark, corpus, name)
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $corpus")
+      Seq("gr_edges", "gr_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${name}_$x"))
+    }
+  }
+
+  /** Write `src`'s documents plus an m-doc duplication mega-cluster
+    * (identical-text storm + a sliding-window chain) as a 2-column
+    * documents.parquet fixture dir; returns the dir. */
+  private def skewFixture(spark: SparkSession, src: String, out: String,
+      m: Long): String = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val start = base.agg(max("doc_id")).head.getLong(0) + 1
+    val storm = spark.range(0, m).select((col("id") + start).as("doc_id"),
+      lit("breaking boilerplate notice please subscribe to our newsletter " +
+        "for more updates daily").as("text"))
+    val chain = spark.range(0, m).select(
+      (col("id") + start + m).as("doc_id"),
+      expr("array_join(transform(sequence(0, 9), " +
+        "j -> concat('ct', id + j)), ' ')").as("text"))
+    base.unionAll(storm).unionAll(chain)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
   }
 
   /** Build a merge-on-read catalog table from `dir`'s lineitem (untimed),

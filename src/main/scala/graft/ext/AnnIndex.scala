@@ -81,7 +81,7 @@ object AnnIndex {
     * failing the append (see `cellsLayoutCurrent`). */
   def ensure(s: SparkSession, corpus: DataFrame, name: String): Tables =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireBaseFamilyName(name, "ann")
       graft.ops.ensureGraftCatalog(s)
       graft.functions.SquaredDistance.register(s)
       val t = Tables(s"graft_cat.db.ann_${name}_cells",
@@ -162,7 +162,7 @@ object AnnIndex {
     * instead of a corpus-wide rebuild. */
   def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireBaseFamilyName(name, "ann")
       graft.ops.ensureGraftCatalog(s)
       graft.functions.SquaredDistance.register(s)
       val t = Tables(s"graft_cat.db.ann_${name}_cells",
@@ -273,7 +273,7 @@ object AnnIndex {
     * mutable catalog corpora. */
   def ensurePq(s: SparkSession, corpus: DataFrame, name: String): PqTables =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
       graft.functions.SquaredDistance.register(s)
       val t = PqTables(s"graft_cat.db.ann_${name}_pq_codes",
@@ -326,7 +326,7 @@ object AnnIndex {
     * BIGINT)`; crash ordering identical to the twins. */
   def ensurePqCdc(s: SparkSession, corpusTable: String,
       name: String): PqTables = synchronized {
-    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     graft.functions.SquaredDistance.register(s)
     val t = PqTables(s"graft_cat.db.ann_${name}_pq_codes",
@@ -492,13 +492,25 @@ object AnnIndex {
   /** Ensure the SQ tier of the named index covers `corpus` (vec_id
     * BIGINT, v ARRAY<DOUBLE>). Same coverage contract as [[ensure]] /
     * [[ensurePq]] — covered → no-op, append-only growth → encode ONLY
-    * the delta, anything else → rebuild — and the same watermark limit
-    * (a count+max-preserving UPDATE is invisible; use [[ensureSqCdc]]
-    * for mutable catalog corpora). */
+    * the delta, anything else → rebuild.
+    *
+    * Watermark strength: when `corpus` is a PURE scan of a `graft_cat`
+    * table ([[CdcIndex.sourceVersion]]), this DELEGATES to
+    * [[ensureSqCdc]] — the committed-version watermark is exact, so a
+    * count+max-preserving in-place UPDATE (invisible to the plain
+    * (cnt, max, prefixCnt) check) still refreshes the codes, and the
+    * refresh stays change-bound rather than rebuild. Only a
+    * non-catalog corpus (derived frame, temp view, raw parquet) takes
+    * the plain watermark below, which shares [[ensure]]'s documented
+    * limit: an UPDATE preserving count+max is NOT detected. */
   def ensureSq(s: SparkSession, corpus: DataFrame, name: String): String =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
+      CdcIndex.sourceVersion(s, corpus) match {
+        case Some((tbl, _)) => return ensureSqCdc(s, tbl, name)
+        case None =>
+      }
       val codes = s"graft_cat.db.ann_${name}_sq_codes"
 
       def codesState: Option[(Long, Long)] =
@@ -532,7 +544,7 @@ object AnnIndex {
     * crash ordering identical to the cells/PQ twins. */
   def ensureSqCdc(s: SparkSession, corpusTable: String,
       name: String): String = synchronized {
-    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val codes = s"graft_cat.db.ann_${name}_sq_codes"
     val meta = s"graft_cat.db.ann_${name}_sq_meta"
@@ -604,30 +616,63 @@ object AnnIndex {
     * sound maintenance granularity is the CELL: [[ensureGraphCdc]]
     * retracts every cell the feed slice touches (the `cell` column
     * exists exactly for this retraction key) and re-derives those
-    * cells' edges from the head corpus. Honest cost model: re-deriving
-    * a cell is a pair join QUADRATIC in that cell's size — so apply
-    * work is Σ(touched cell sizes²), never the whole corpus, and the
-    * quantizer's cell count is the lever that keeps cells bounded at
-    * scale (more centroids → smaller cells → cheaper re-derive). Meta: `graft_cat.db.ann_<name>_gr_meta (version
+    * cells' edges from the head corpus. Cost model: re-deriving a cell
+    * is a pair join bounded by [[GraphCellCap]] — O(n·cap) rows per
+    * cell, never O(n²) (an oversized cell deterministically
+    * sub-buckets by `vec_id % ceil(n/cap)`) — so apply work is
+    * Σ(touched cell sizes × cap), never the whole corpus and never
+    * quadratic on a hot cell; the quantizer's cell count remains the
+    * recall lever (more centroids → smaller cells → fewer capped
+    * splits). Meta: `graft_cat.db.ann_<name>_gr_meta (version
     * BIGINT, corpus STRING)`; crash ordering identical to the other
     * families. */
   val graphBuilds = new java.util.concurrent.atomic.AtomicLong(0)
   val graphCdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Top-4 in-cell out-edges (cosine desc, dst tiebreak) — ext146's
-    * adjacency contract, derived for every node of `corpus`
-    * (vec_id, label, v). Bounded and cell-bucketed: the pair join never
-    * crosses cells. */
-  private def graphEdges(corpus: DataFrame): DataFrame = {
+  /** Per-cell candidate cap for the adjacency build. A cell of n ≤ cap
+    * vectors derives its edges from the plain cell-local pair join; a
+    * cell ABOVE the cap is deterministically split into
+    * `ceil(n / cap)` sub-buckets by `vec_id % nsub` and each node's
+    * out-edges come from its own sub-bucket only — so the pair join
+    * emits O(n·cap) rows per cell instead of O(n²), and a hot cell
+    * (skewed label, oversized IVF cell) can never go quadratic. Like
+    * the beam's fixed hop count, the cap is part of the documented
+    * semantics: recall < 1 is the contract (the ext02b/ext38b
+    * discipline applied to the graph family), and the sub-bucketing is
+    * a pure function of (vec_id, cell size), so the oracle restates it
+    * exactly. At the driver fixtures every cell is under the cap
+    * (nsub = 1), where capped ≡ uncapped bit-for-bit. */
+  val GraphCellCap = 256
+
+  /** The capped cell-local candidate PAIRS (cell, src, dst, cos) the
+    * adjacency derives from — exposed so specs can pin the O(n·cap)
+    * pair-count bound on an oversized cell. */
+  private[graft] def graphPairs(corpus: DataFrame): DataFrame = {
     val wn = corpus.select(col("vec_id"), col("label"), col("v"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    wn.as("a").join(wn.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+    val nsub = wn.groupBy("label").agg(
+      ceil(count(lit(1)) / lit(GraphCellCap.toDouble)).cast("bigint")
+        .as("nsub"))
+    val vs = wn.join(broadcast(nsub), Seq("label"))
+      .withColumn("sb", col("vec_id") % col("nsub"))
+    vs.as("a").join(vs.as("b"),
+        col("a.label") === col("b.label") && col("a.sb") === col("b.sb") &&
+          col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.label").cast("bigint").as("cell"),
         col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         // codegen'd fused loop, bit-identical to the HOF fold (ext16)
         expr("graft_cosine(a.v, b.v)").as("cos"))
+  }
+
+  /** Top-4 in-cell out-edges (cosine desc, dst tiebreak) — ext146's
+    * adjacency contract, derived for every node of `corpus`
+    * (vec_id, label, v). Bounded and cell-bucketed: the pair join never
+    * crosses cells, and [[GraphCellCap]] keeps it O(n·cap) per cell
+    * (a node's candidates all live in its own sub-bucket, so the
+    * per-src window is unaffected by the split). */
+  private[graft] def graphEdges(corpus: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    graphPairs(corpus)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
       .select("cell", "src", "dst")
   }
@@ -636,7 +681,7 @@ object AnnIndex {
     * variant — scaladoc above). Returns the edges table name. */
   def ensureGraphCdc(s: SparkSession, corpusTable: String,
       name: String): String = synchronized {
-    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     graft.functions.CosineSimilarity.register(s)
     val edges = s"graft_cat.db.ann_${name}_gr_edges"

@@ -28,6 +28,34 @@ private[ext] object CdcIndex {
     * byte-merging, so term clustering survives the compaction. */
   val AutoCompactSpec = "4194304:4:20"
 
+  /** Shared ensure*() name validation: catalog-safe charset. */
+  def requireIndexName(name: String): Unit =
+    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+
+  /** Extra validation for the BASE-family entry points of a prefix that
+    * owns sub-families (minhash under `dedup`, IVF under `ann`): a base
+    * index named with one of the prefix's sub-family suffixes — derived
+    * from the classification source of truth,
+    * [[graft.sources.IndexesProcedure.Families]] — would make its meta
+    * table (`dedup_x_gr_meta`, `ann_x_pq_meta`, …) the SAME name a
+    * sub-family index uses, so the two could clobber each other and
+    * `CALL system.indexes()` could not classify the row. Sub-family
+    * entry points (ensurePq/ensureSq/ensureGraphCdc/ensureLabelsCdc/
+    * ensureGramsCdc) append their own suffix and stay collision-free
+    * for ANY charset-valid name — a SQ index named `spec_sq` is legal
+    * and classifies correctly — so they use the plain
+    * [[requireIndexName]]. */
+  def requireBaseFamilyName(name: String, prefix: String): Unit = {
+    requireIndexName(name)
+    val reserved = graft.sources.IndexesProcedure.Families
+      .collect { case (_, p, suf, _) if p == prefix && suf.nonEmpty => suf }
+    require(!reserved.exists(name.endsWith),
+      s"index name '$name' ends with a reserved $prefix sub-family " +
+        s"suffix (${reserved.mkString(", ")}) — its tables would collide " +
+        "with that sub-family's naming and break the system.indexes() " +
+        "inventory classification")
+  }
+
   /** Head version of a catalog table (one manifest read). */
   def headVersion(s: SparkSession, table: String): Long =
     s.table(s"$table.versions").agg(max(col("v"))).head.getLong(0)

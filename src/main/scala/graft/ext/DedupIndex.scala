@@ -80,7 +80,7 @@ object DedupIndex {
     * through [[ensureCdc]], whose version watermark is exact. */
   def ensure(s: SparkSession, docs: DataFrame, name: String): Tables =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireBaseFamilyName(name, "dedup")
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
         s"graft_cat.db.dedup_${name}_meta")
@@ -189,7 +189,7 @@ object DedupIndex {
     * per CHANGED doc — instead of a corpus-wide re-shingle. */
   def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireBaseFamilyName(name, "dedup")
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
         s"graft_cat.db.dedup_${name}_meta")
@@ -326,7 +326,7 @@ object DedupIndex {
   /** Version-keyed maintenance of the label table. Returns its name. */
   def ensureLabelsCdc(s: SparkSession, corpusTable: String,
       name: String): String = synchronized {
-    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val labels = s"graft_cat.db.dedup_${name}_lb_labels"
     val meta = s"graft_cat.db.dedup_${name}_lb_meta"
@@ -426,7 +426,16 @@ object DedupIndex {
     val newRows = newNodes
       .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("node")).as("comp"))
-    val u = remapped.unionAll(newRows).localCheckpoint(true)
+    // A replayed slice that spans newer commits can put an already-merged
+    // doc in BOTH remapped (its stored comp loses in the quotient) and
+    // newRows (it is in the feed's newIds) — the two rows carry EQUAL comp
+    // values (both are the quotient answer for the doc's stored node), but
+    // MERGE's cardinality check rejects any duplicate source doc_id, and
+    // that failure is not UnsupportedOperationException, so maintenance
+    // would wedge with no rebuild fallback. Keep exactly one row per doc:
+    // newRows wins for docs in the feed, remapped covers the rest.
+    val u = remapped.join(newIds, Seq("doc_id"), "left_anti")
+      .unionAll(newRows).localCheckpoint(true)
     val uv = "graft_lbl_merge_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     u.createOrReplaceTempView(uv)
@@ -478,7 +487,7 @@ object DedupIndex {
     * table name. */
   def ensureGramsCdc(s: SparkSession, corpusTable: String,
       name: String): String = synchronized {
-    require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+    CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val grams = s"graft_cat.db.dedup_${name}_gr_grams"
     val meta = s"graft_cat.db.dedup_${name}_gr_meta"

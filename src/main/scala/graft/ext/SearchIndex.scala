@@ -92,7 +92,7 @@ object SearchIndex {
     * catalog corpora. */
   def ensure(s: SparkSession, docs: DataFrame, name: String): Tables =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.search_${name}_postings",
         s"graft_cat.db.search_${name}_docs",
@@ -193,7 +193,7 @@ object SearchIndex {
     * slice and converges. */
   def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
     synchronized {
-      require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+      CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.search_${name}_postings",
         s"graft_cat.db.search_${name}_docs",

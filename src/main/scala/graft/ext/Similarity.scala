@@ -908,14 +908,14 @@ object Similarity {
   val graphAnnBeam: Q = (s, d) => {
     graft.functions.CosineSimilarity.register(s)
     val all = vecs(s, d)
-    val wAdj = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
-    val adj = all.as("a").join(all.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        // the codegen'd fused loop — bit-identical to the HOF fold
-        // (ext16's pinned claim), ~5x faster on the 2.5M-pair build
-        expr("graft_cosine(a.v, b.v)").as("cos"))
-      .withColumn("rk", row_number().over(wAdj)).filter(col("rk") <= 4)
+    // the SAME capped adjacency the persisted tier stores
+    // ([[AnnIndex.graphEdges]]): cell-local, graft_cosine-scored
+    // (codegen'd fused loop, bit-identical to the HOF fold — ext16's
+    // pinned claim), and O(n·cap) per cell via deterministic
+    // sub-bucketing above AnnIndex.GraphCellCap — so ext146/147/148
+    // share one adjacency contract and one oracle restatement
+    val adj = AnnIndex.graphEdges(
+      all.select(col("vec_id"), col("label"), col("v")))
       .select("src", "dst")
     beamTopK(adj, all.select(col("vec_id"), col("label"), col("v")))
   }
@@ -1250,11 +1250,18 @@ object Similarity {
          |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM s${k}p)
          |  WHERE rk <= 8)""".stripMargin
     s"""WITH $vCte,
+       |csz AS (
+       |  SELECT label, CAST(ceil(count(*) / ${AnnIndex.GraphCellCap}.0)
+       |    AS BIGINT) AS nsub FROM v GROUP BY label),
+       |vs AS (
+       |  SELECT v.*, v.vec_id % c.nsub AS sb
+       |  FROM v JOIN csz c ON v.label = c.label),
        |adjp AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
        |      / (a.norm * b.norm) AS cos
-       |  FROM v a JOIN v b ON a.label = b.label AND b.vec_id <> a.vec_id),
+       |  FROM vs a JOIN vs b ON a.label = b.label AND a.sb = b.sb
+       |    AND b.vec_id <> a.vec_id),
        |adj AS (
        |  SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (

@@ -474,6 +474,47 @@ class AnnIndexSpec extends SparkTestBase {
       s"codes retraction not a DV append: $ops_")
   }
 
+  test("ensureSq on a pure catalog scan delegates to the exact CDC watermark") {
+    // the plain (cnt, max, prefixCnt) watermark is blind to an in-place
+    // UPDATE that preserves row count and max vec_id — but when the
+    // corpus frame is a PURE scan of a catalog table the committed
+    // version IS an exact content fingerprint, so ensureSq must route
+    // through ensureSqCdc and serve refreshed codes, not stale ones
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.sqdel_vecs")
+    Seq("sq_codes", "sq_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_sqdel_$x"))
+    spark.sql("CREATE TABLE graft_cat.db.sqdel_vecs (vec_id BIGINT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    mkCorpus64(200).writeTo("graft_cat.db.sqdel_vecs").append()
+    val b0 = AnnIndex.sqBuilds.get()
+    val c0 = AnnIndex.sqCdcRefreshes.get()
+    val t = AnnIndex.ensureSq(spark, spark.table("graft_cat.db.sqdel_vecs"),
+      "sqdel")
+    assert(AnnIndex.sqBuilds.get() === b0 + 1)
+    // count- and max-preserving in-place re-embedding
+    spark.sql("UPDATE graft_cat.db.sqdel_vecs SET v = reverse(v) " +
+      "WHERE vec_id = 5")
+    AnnIndex.ensureSq(spark, spark.table("graft_cat.db.sqdel_vecs"), "sqdel")
+    assert(AnnIndex.sqBuilds.get() === b0 + 1,
+      "the UPDATE slice must apply via the feed, not a rebuild")
+    assert(AnnIndex.sqCdcRefreshes.get() === c0 + 1,
+      "count/max-preserving UPDATE was invisible — stale codes served")
+    // the refreshed row equals the row-local encode of the HEAD image
+    val got = spark.table(t).filter(col("vec_id") === 5)
+      .head.getSeq[Int](3)
+    val want = spark.table("graft_cat.db.sqdel_vecs")
+      .filter(col("vec_id") === 5)
+      .select(expr("transform(v, x -> CAST(floor((x - array_min(v)) * 255" +
+        " / (array_max(v) - array_min(v)) + 0.5D) AS INT))"))
+      .head.getSeq[Int](0)
+    assert(got === want, "refreshed codes do not encode the head image")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.db.sqdel_vecs")
+    Seq("sq_codes", "sq_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_sqdel_$x"))
+  }
+
   test("a plain rebuild invalidates the CDC watermark — no stale no-op") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
@@ -495,6 +536,45 @@ class AnnIndexSpec extends SparkTestBase {
     assert(AnnIndex.sqBuilds.get() === b0 + 2,
       "stale CDC watermark served a plain-rebuilt index as covered")
     assert(spark.table("graft_cat.db.ann_spec_xm_sq_codes").count() === 500L)
+  }
+
+  test("graph: oversized cell pair join is O(n*cap), not O(n^2)") {
+    ops.configure(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    import graft.ext.AnnIndex
+    val cap = AnnIndex.GraphCellCap
+    // one mega-cell of 1000 vectors — the hot-cell/skewed-label shape
+    // that would make an uncapped cell-local all-pairs join quadratic
+    val n = 1000L
+    val corpus = spark.range(0, n).select(col("id").as("vec_id"),
+      lit(1).as("label"),
+      expr("transform(sequence(0, 7), " +
+        "j -> CAST((id % 13) * 0.5 + j AS DOUBLE))").as("v"))
+    val nsub = math.ceil(n.toDouble / cap).toLong // 4 sub-buckets
+    assert(nsub === 4L)
+    // vec_id % 4 over 0..999 gives 4 even sub-buckets of 250
+    val wantPairs = nsub * 250L * 249L // Σ n_i*(n_i-1) = 249,000
+    val uncappedPairs = n * (n - 1) // 999,000
+    val got = AnnIndex.graphPairs(corpus).count()
+    assert(got === wantPairs,
+      s"capped pair count $got != expected O(n*cap) bound $wantPairs")
+    assert(got < uncappedPairs / 3,
+      "cap did not materially bound the hot cell's pair join")
+    // every node still gets out-edges, and they stay inside the node's
+    // own sub-bucket (determinism: a rebuild reproduces them exactly)
+    val edges = AnnIndex.graphEdges(corpus)
+    assert(edges.select("src").distinct().count() === n)
+    assert(edges.filter(col("src") % nsub =!= col("dst") % nsub).count() === 0L,
+      "an out-edge crossed sub-buckets")
+    // under the cap the split is a no-op: nsub = 1 reproduces the plain
+    // cell-local adjacency bit-for-bit
+    val small = corpus.filter(col("vec_id") < cap)
+    val plainPairs = small.as("a").join(small.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .count()
+    assert(AnnIndex.graphPairs(small).count() === plainPairs,
+      "cap engaged below the threshold")
   }
 
   test("graph: stored edges probe equals the in-query build; ensure is idempotent") {

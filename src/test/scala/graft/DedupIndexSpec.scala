@@ -404,6 +404,53 @@ class DedupIndexSpec extends SparkTestBase {
     assert(inv.head.getString(0) === "component-labels")
   }
 
+  test("label replay spanning newer commits: merged doc in remapped AND newRows") {
+    // A crash between the MERGE and the watermark advance, followed by
+    // MORE appends, replays a slice that contains an ALREADY-MERGED doc
+    // (stored label exists) whose stored comp also LOSES in the quotient
+    // — putting it in both the remapped and newRows halves of the MERGE
+    // source. MERGE's cardinality check rejects duplicate source keys
+    // (and that failure is not the feed-refusal exception, so there is
+    // no rebuild fallback): the apply must dedupe the source, converge
+    // to the fixpoint, and never wedge.
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    import graft.ext.DedupIndex
+    val corpus = "graft_cat.db.lblrp_docs"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("lb_labels", "lb_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lblrp_$x"))
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val tX = "aa bb cc dd ee"
+    val tY = "ff gg hh ii jj"
+    spark.sql(s"INSERT INTO $corpus VALUES (10, '$tX'), (20, '$tY')")
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblrp") // build: 10→10, 20→20
+    // batch A: doc 30 duplicates tY → merges into comp 20
+    spark.sql(s"INSERT INTO $corpus VALUES (30, '$tY')")
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblrp")
+    assert(spark.table("graft_cat.db.dedup_lblrp_lb_labels")
+      .filter(col("doc_id") === 30).head.getLong(1) === 20L)
+    // simulate the crash: wind the watermark back BEFORE batch A
+    val headV = spark.sql(s"SELECT MAX(v) FROM $corpus.versions").head.getLong(0)
+    spark.sql("INSERT OVERWRITE graft_cat.db.dedup_lblrp_lb_meta " +
+      s"SELECT CAST(${headV - 1} AS BIGINT), '$corpus'")
+    // batch B: doc 5 (smaller than every stored comp) duplicates tY —
+    // the quotient remaps comp 20 → 5, so doc 30's stored label LOSES
+    // while doc 30 is simultaneously in the replayed slice's newIds
+    spark.sql(s"INSERT INTO $corpus VALUES (5, '$tY')")
+    val b0 = DedupIndex.labelBuilds.get()
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblrp") // must not throw
+    assert(DedupIndex.labelBuilds.get() === b0, "replay slice forced a rebuild")
+    val got = spark.table("graft_cat.db.dedup_lblrp_lb_labels")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((5L, 5L), (10L, 10L), (20L, 5L), (30L, 5L)),
+      s"post-replay labels diverged: ${got.toSeq}")
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("lb_labels", "lb_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lblrp_$x"))
+  }
+
   test("gram index autocompact: CDC churn compacts; grams still == rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
