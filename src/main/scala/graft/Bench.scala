@@ -111,6 +111,23 @@ object Bench {
       k -> (pin.get(k).toSeq ++ run.get(k).toSeq).min
     }.toMap
 
+  /** The BENCH_RUN json body (pure; unit-tested in BenchPolicySpec):
+    * alongside the per-query TOTAL seconds, a second `probe` map records
+    * the count-only fraction — everything after the entry function
+    * returned its frame. For index entries the function body performs
+    * the setup (fixture DDL + ensure* builds/applies execute eagerly),
+    * so `probe` is the steady-state query the index exists to serve and
+    * a probe regression can no longer hide inside construction noise
+    * (VERDICT r11 #4). For plan-only entries setup ≈ 0 and
+    * probe ≈ total. */
+  private[graft] def runJson(total: Double, sfDir: String,
+      queries: Map[String, Double], probes: Map[String, Double],
+      extra: String = ""): String = {
+    def m(x: Map[String, Double]): String =
+      x.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    s"""{"total":${r2(total)},"sf":"$sfDir","queries":${m(queries)},"probe":${m(probes)}$extra}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -162,11 +179,17 @@ object Bench {
     // times back onto this sequence
     val order = qmap.keys.toSeq.sorted
     val idxOf = order.zipWithIndex.toMap
-    def timeQueries(names: Iterable[String]): Map[String, Double] =
+    // (total seconds, probe-only seconds) — the probe clock starts when
+    // the entry function returns its frame (setup — fixture DDL, ensure*
+    // builds — runs eagerly inside the call; see Bench.runJson)
+    def timeQueries(names: Iterable[String]): Map[String, (Double, Double)] =
       names.map { name =>
         val t0 = System.nanoTime()
-        try { qmap(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val df = try Some(qmap(name)(spark, sfDir))
+          catch { case _: Throwable => None }
+        val t1 = System.nanoTime()
+        try df.foreach(_.count()) catch { case _: Throwable => () }
+        val t2 = System.nanoTime()
         // drop per-query persist()ed intermediates so cached blocks don't
         // accumulate (and skew later queries) across the run; ALSO drop
         // leftover RDD-level storage — localCheckpoint blocks are not in
@@ -175,12 +198,14 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        name -> sec
+        name -> (((t2 - t0) / 1e9, (t2 - t1) / 1e9))
       }.toMap
     val benchStart = System.nanoTime()
     def elapsedS = (System.nanoTime() - benchStart) / 1e9
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toLong
-    var results = timeQueries(order)
+    val first = timeQueries(order)
+    var results = first.view.mapValues(_._1).toMap
+    var probes = first.view.mapValues(_._2).toMap
     // This host exhibits multi-minute external CPU-starvation windows that
     // inflate exactly the queries running inside them (r5: a 119 s clean
     // workload captured at 2042 s). Protection = same-run minimums over up
@@ -228,16 +253,17 @@ object Bench {
         if (round > 0 && interference && deadline - elapsedS > 60.0)
           Thread.sleep(20000L)
         val p2 = timeQueries(chosen)
-        improved = chosen.filter(n => p2(n) < results(n) * 0.75).toSet
+        improved = chosen.filter(n => p2(n)._1 < results(n) * 0.75).toSet
         results = results ++ chosen.map { n =>
-          n -> math.min(results(n), p2(n))
+          n -> math.min(results(n), p2(n)._1)
+        }
+        probes = probes ++ chosen.map { n =>
+          n -> math.min(probes(n), p2(n)._2)
         }
         round += 1
       }
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
-      .mkString("{", ",", "}")
     // a SPARK_GRAFT_BENCH_ONLY-filtered debug run must never overwrite the
     // full-suite record (r5 post-mortem: a 2-query 1.69 s partial clobbered
     // the committed 192-query 119 s record). Raw runs land in BENCH_RUN*
@@ -283,8 +309,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(
         s"${sys.props("user.dir")}/$localFile")
-      try w.println(
-        s"""{"total":${r2(total)},"sf":"$sfDir","queries":$detail$vsBaseline}""")
+      try w.println(runJson(total, sfDir, results, probes, vsBaseline))
       finally w.close()
     } catch { case _: Throwable => () }
     // stop BEFORE printing: Spark's shutdown logging must not land between

@@ -32,27 +32,36 @@ object BenchFold {
     val runFile = args.headOption.getOrElse("BENCH_RUN.json")
     val run = readJson(s"$dir/$runFile").getOrElse(
       sys.error(s"$runFile not found — run graft.Bench first"))
+    def mapOf(j: JValue, key: String): Map[String, Double] = j \ key match {
+      case JNothing => Map.empty
+      case v => v.extract[Map[String, Double]]
+    }
     val runQ = (run \ "queries").extract[Map[String, Double]]
+    val runP = mapOf(run, "probe") // absent on pre-split runs
     val runSf = (run \ "sf").extract[String]
     val pinOpt = readJson(s"$dir/BENCH_LOCAL.json")
     val pinQ = pinOpt.map(p => (p \ "queries").extract[Map[String, Double]])
       .getOrElse(Map.empty)
+    val pinP = pinOpt.map(mapOf(_, "probe")).getOrElse(Map.empty)
     val pinSf = pinOpt.map(p => (p \ "sf").extract[String]).getOrElse(runSf)
     require(runSf == pinSf,
       s"refusing to fold a $runSf run into a $pinSf pin — re-pin explicitly")
     val merged = Bench.foldMin(pinQ, runQ)
+    // probe minima fold independently (a probe min may come from a
+    // different round than its total's min — both are per-metric pins)
+    val mergedP = Bench.foldMin(pinP, runP)
     val improved = merged.count { case (k, v) => pinQ.get(k).exists(v < _) }
     val added = merged.size - pinQ.size
     val total = merged.values.sum
-    val detail = merged.toSeq.sortBy(_._1)
+    def detail(x: Map[String, Double]): String = x.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + Bench.r2(v) }
       .mkString("{", ",", "}")
     val w = new java.io.PrintWriter(s"$dir/BENCH_LOCAL.json")
     try w.println(
-      s"""{"total":${Bench.r2(total)},"sf":"$pinSf","queries":$detail}""")
+      s"""{"total":${Bench.r2(total)},"sf":"$pinSf","queries":${detail(merged)},"probe":${detail(mergedP)}}""")
     finally w.close()
     println(s"[bench-fold] pin=${pinQ.size}q run=${runQ.size}q -> " +
       s"${merged.size}q total=${Bench.r2(total)}s " +
-      s"(improved=$improved added=$added)")
+      s"(improved=$improved added=$added probes=${mergedP.size})")
   }
 }

@@ -655,7 +655,44 @@ object Behavior {
       .orderBy("event_type", "day")
   }
 
+  /** ext160 — CUSUM changepoint detection over the daily series (the
+    * monitoring set's final member, VERDICT r11 #7): per event_type,
+    * the classic cumulative-sum statistic S_t = Σ_{j≤t} (y_j − ȳ),
+    * kept EXACT by scaling with the series length — S'_t =
+    * Σ_{j≤t} (n·y_j − T) with T = Σy, all BIGINT — so no mean division
+    * ever happens and the hash comparison cannot waver. The changepoint
+    * estimate is the standard argmax |S_t| (Page 1954's location
+    * estimator); every day achieving the maximum is flagged
+    * (deterministic — integer ties flag together). Array-local like
+    * ext154: the heavy input collapses to (event_type × day) counts in
+    * one map-side-combined aggregate; the cumulative sum is a window
+    * over ~90-row series. */
+  val cusumChangepoint: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val g = daily.groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(day, y)))").as("arr"))
+      .withColumn("tot", expr("aggregate(arr, CAST(0 AS BIGINT), " +
+        "(a, e) -> a + e.y)"))
+      .withColumn("n", expr("CAST(size(arr) AS BIGINT)"))
+    val rows = g.select(col("event_type"), explode(expr(
+        "transform(sequence(1, size(arr)), t -> struct(" +
+          "element_at(arr, t).day AS day, element_at(arr, t).y AS y, " +
+          "aggregate(slice(arr, 1, t), CAST(0 AS BIGINT), " +
+          "  (a, e) -> a + n * e.y - tot) AS cusum_scaled))")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.y").as("y"), col("r.cusum_scaled").as("cusum_scaled"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    rows
+      .withColumn("is_changepoint",
+        abs(col("cusum_scaled")) === max(abs(col("cusum_scaled"))).over(w))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ext160_cusum_changepoint" -> cusumChangepoint,
     "ext154_exp_smoothing" -> expSmoothing,
     "ext155_holt_forecast" -> holtForecast,
     "ext156_mad_anomalies" -> madAnomalies,
@@ -677,6 +714,26 @@ object Behavior {
     "ext76_session_paths" -> sessionPaths)
 
   val oracleSql: Map[String, String] = Map(
+    "ext160_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(y) AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM daily GROUP BY event_type),
+        |cus AS (
+        |  SELECT d.event_type, d.day, CAST(d.y AS BIGINT) AS y,
+        |    CAST(SUM(g.n * d.y - g.t) OVER (
+        |      PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum_scaled
+        |  FROM daily d JOIN tot g ON d.event_type = g.event_type)
+        |SELECT event_type, day, y, cusum_scaled,
+        |  abs(cusum_scaled) = MAX(abs(cusum_scaled))
+        |    OVER (PARTITION BY event_type) AS is_changepoint
+        |FROM cus ORDER BY event_type, day""".stripMargin,
     "ext154_exp_smoothing" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -745,6 +745,7 @@ object Dedup {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.lbl_docs")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_labels")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_edges")
     s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_meta")
     s.sql("CREATE TABLE graft_cat.db.lbl_docs (doc_id BIGINT, " +
       "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
@@ -764,8 +765,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ext161 — DELETE/UPDATE-TOLERANT COMPONENT LABELS (round-12): the
+    * persisted label index takes a slice that DELETES docs (possibly
+    * splitting components — the case a min-label table alone cannot
+    * derive) and RE-TEXTS others (retract + re-add), and the apply is
+    * cluster-local over the stored edge artifact
+    * ([[DedupIndex.ensureLabelsCdc]]'s D-phase/N-phase), never a
+    * rebuild. The final labels must hash-match the oracle's
+    * recursive-CTE components over the post-mutation corpus —
+    * maintained ≡ rebuilt, splits included. */
+  val componentsErasure: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.lble_docs")
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lble_ix_$x"))
+    s.sql("CREATE TABLE graft_cat.db.lble_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    table(s, d, "documents").select(col("doc_id"), col("text"))
+      .writeTo("graft_cat.db.lble_docs").append()
+    DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lble_docs", "lble_ix") // build
+    s.sql("DELETE FROM graft_cat.db.lble_docs WHERE doc_id % 7 = 3")
+    s.sql("UPDATE graft_cat.db.lble_docs " +
+      "SET text = text || ' graft lbl rev' WHERE doc_id % 11 = 5")
+    // ONE feed slice spans both commits; cluster-local apply
+    val labels = DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lble_docs",
+      "lble_ix")
+    s.table(labels)
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext153_components_incremental" -> componentsIncremental,
+    "ext161_components_erasure" -> componentsErasure,
     "ext38_dedup_components" -> dedupComponents,
     "ext38b_dedup_components_capped" -> dedupComponentsCapped,
     "ext121_canonical_selection" -> canonicalSelection,
@@ -911,6 +944,38 @@ object Dedup {
        |$minhashLshBodySql""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // delete/update-tolerant labels: the cluster-local apply over the
+    // stored edges must equal the recursive components of the
+    // POST-MUTATION corpus — maintained == rebuilt, splits included
+    "ext161_components_erasure" ->
+      s"""WITH RECURSIVE documents_m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 5 THEN text || ' graft lbl rev'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 3),
+         |${shinglesSqlFrom("documents_m")},
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+         |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
+         |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents_m d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin,
     // incremental labels (quotient merge over the stored index) must
     // equal the from-scratch recursive components over the J>=0.5 graph
     // of the ENTIRE corpus — incremental == rebuilt, hash-checked

@@ -290,19 +290,37 @@ object DedupIndex {
     * graph is exact for min labels; this is the union-find-by-min
     * argument run declaratively.)
     *
-    * Publication is ONE atomic MERGE INTO (remap members of losing
-    * components + insert the new docs' rows) whose post-state is a
-    * FIXPOINT of the apply: replaying the same slice maps every edge
-    * endpoint to the already-merged label, the quotient collapses to
-    * self-loops, the remap set is empty and the new docs match with
-    * unchanged values — so a crash between the MERGE and the watermark
-    * advance converges on replay. No retract step exists to tear.
+    * DELETE TOLERANCE (round-12): component SPLITS are not derivable
+    * from a min-label table alone — a deleted doc may have been the
+    * only bridge between two halves of its component — so the index
+    * additionally persists the EDGE SET, `dedup_<name>_lb_edges (a_id
+    * BIGINT, b_id BIGINT)` canonical a_id < b_id. Edges are pairwise
+    * properties (append-stable, CDC-retractable by endpoint), and they
+    * are exactly the information splits need: on a slice with deletes
+    * or updates the apply RETRACTS every touched doc — recompute the
+    * touched components' SURVIVING members over their stored mutual
+    * edges (cluster-local work: the induced subgraph of a component
+    * contains every path between its members, so no corpus-wide edges
+    * can rejoin what the retraction splits) — then RE-ADDS every
+    * touched doc still in the head via the append path's quotient
+    * contraction. Work ∝ touched clusters + the batch's posting lists,
+    * never the corpus. The storage price is the pair list itself
+    * (near-dup-pair-sized — the same order as the pairs any dedup run
+    * materializes transiently), which is the documented cost of
+    * erasure without rebuilds.
     *
-    * A slice containing ANY delete or update throws
-    * UnsupportedOperationException — component SPLITS are not
-    * incrementally derivable from a min-label table — and
-    * [[CdcIndex.ensure]] falls back to the full rebuild, the documented
-    * degradation path. */
+    * Publication: edge retraction (DELETE, idempotent) → ONE atomic
+    * MERGE INTO on the labels (conditional DELETE for erased docs +
+    * remap + upsert) → head-edge INSERT + watermark advance in one
+    * cross-table txn. Every crash window replays convergently: the
+    * apply derives its plan from the stored PRE-state (checkpointed
+    * before any mutation) or, after a post-MERGE crash, from the
+    * already-converged head state — retract+re-add of an
+    * already-current doc is a fixpoint (spec-pinned, including the
+    * watermark-windback replay and a replay slice spanning newer
+    * commits). A legacy index without the edge artifact throws
+    * UnsupportedOperationException on its first apply and
+    * [[CdcIndex.ensure]] rebuilds, which migrates it. */
   val labelBuilds = new java.util.concurrent.atomic.AtomicLong(0)
   val labelIncRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -329,18 +347,26 @@ object DedupIndex {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val labels = s"graft_cat.db.dedup_${name}_lb_labels"
+    val edges = s"graft_cat.db.dedup_${name}_lb_edges"
     val meta = s"graft_cat.db.dedup_${name}_lb_meta"
     CdcIndex.ensure(s, corpusTable, meta)(labels) { (v0, headV) =>
-      applyLabelsInc(s, corpusTable, labels, meta, v0, headV); labels
+      applyLabelsInc(s, corpusTable, labels, edges, meta, v0, headV); labels
     } { headV =>
       val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
-      val pairs = jaccardEdges(docs)
-      val sym = pairs.select(explode(array(
+      // the edge artifact lands first (labels derive from it, and a
+      // torn build — edges without labels/meta — just rebuilds)
+      jaccardEdges(docs)
+        .writeTo(edges)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      s.sql(s"ALTER TABLE $edges SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      val sym = s.table(edges).select(explode(array(
           struct(col("a_id").as("src"), col("b_id").as("dst")),
           struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(4).persist()
-      sym.count() // materialize the pair pipeline at full parallelism
+      sym.count() // materialize off the stored edges at full parallelism
       val (lab, _) = Dedup.connectedComponents(s, sym)
       docs.select(col("doc_id"))
         .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -359,21 +385,81 @@ object DedupIndex {
     }
   }
 
+  /** The generalized (insert/update/delete) incremental apply —
+    * RETRACT every touched doc, then RE-ADD its head image:
+    *
+    *  D-phase (splits): the components containing any touched doc have
+    *  their SURVIVING members re-labeled by connected components over
+    *  their stored mutual edges (touched-incident edges excluded) —
+    *  cluster-local, exact (a component's induced subgraph contains
+    *  every path between its members).
+    *
+    *  N-phase (merges): the head edges incident to the touched head
+    *  images are re-derived from text (batch shingles ⨝ head shingles),
+    *  endpoints contract to the POST-RETRACT labels (touched docs to
+    *  their own ids), and min-label CC on that quotient yields the
+    *  final labels — the union-find-by-min exactness argument, with the
+    *  D-phase labels (each the min of its sub-component) as the
+    *  contracted nodes.
+    *
+    * An insert-only slice of genuinely-new docs has an empty D-phase
+    * (no touched doc is stored) and reduces to the append path. */
   private def applyLabelsInc(s: SparkSession, corpusTable: String,
-      labels: String, meta: String, v0: Long, headV: Long): Unit = {
+      labels: String, edges: String, meta: String, v0: Long,
+      headV: Long): Unit = {
+    // a legacy index without the edge artifact cannot retract — rebuild
+    // (which migrates it; the feed-refusal path of CdcIndex.ensure)
+    val edgesExist =
+      try { s.table(edges).schema; true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!edgesExist)
+      throw new UnsupportedOperationException(
+        "component labels: no stored edge artifact (pre-round-12 index)")
+
     val feed = s.sql(s"SELECT * FROM $corpusTable " +
       s"VERSION AS OF 'cdf:$v0..$headV'")
-    val kinds = feed.select("_change_type").distinct()
-      .collect().map(_.getString(0)).toSet
-    if (kinds.exists(_ != "insert"))
-      throw new UnsupportedOperationException(
-        "component labels: non-append slice (splits are not incremental)")
-    val newIds = feed.select(col("doc_id")).distinct()
+    val touched = feed.select(col("doc_id")).distinct()
     val head = s.table(corpusTable).select(col("doc_id"), col("text"))
-    // edges incident to the batch: batch shingles against head shingles
+    val headTouched = head.join(touched, Seq("doc_id"), "left_semi")
+    val gone = touched.join(head.select("doc_id"), Seq("doc_id"), "left_anti")
+    val stored = s.table(labels)
+    val storedEdges = s.table(edges)
+
+    // ---- D-phase: split the touched components over stored edges
+    val touchedComps = stored.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("comp")).distinct()
+    val survIds = stored.join(touchedComps, Seq("comp"), "left_semi")
+      .join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val subEdges = storedEdges
+      .join(survIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"),
+        "left_semi")
+      .join(survIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"),
+        "left_semi")
+    val dsym = subEdges.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+      .repartition(4).persist()
+    dsym.count()
+    val (dlab0, _) = Dedup.connectedComponents(s, dsym)
+    val dlab = dlab0.localCheckpoint(true)
+    // each survivor's post-retract label: min of its sub-component
+    // (edge-less survivors are their own)
+    val splitNodes = survIds
+      .join(dlab.withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("comp", "c2"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("c2"), col("doc_id")).as("node"))
+    // the complete post-retract label state (touched docs absent):
+    // untouched components keep their stored rows
+    val afterD = stored.join(touchedComps, Seq("comp"), "left_anti")
+        .select(col("doc_id"), col("comp"))
+      .unionAll(splitNodes.select(col("doc_id"), col("node").as("comp")))
+
+    // ---- N-phase: head edges incident to the touched head images
     // (work ∝ the batch's posting lists; includes batch-internal pairs)
     val shAll = Dedup.shingles(head)
-    val shNew = Dedup.shingles(head.join(newIds, Seq("doc_id"), "left_semi"))
+    val shNew = Dedup.shingles(headTouched)
     val cand = shNew.as("b").join(shAll.as("a"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -382,7 +468,9 @@ object DedupIndex {
       .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
     val sizes = shAll.join(ids, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val edges = cand
+    // persisted: consumed by BOTH the quotient path (q → CC) and the
+    // edge-artifact insert — without it the batch-shingle join runs twice
+    val edgesNew = cand
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n", "n_a"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -390,13 +478,13 @@ object DedupIndex {
       .filter(col("inter").cast("double")
         / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
       .select(col("a_id"), col("b_id"))
-    // contract endpoints to their STORED labels (new docs are their own
-    // nodes) and find components of the merge-activity-sized quotient
-    val stored = s.table(labels)
-    val q = edges
-      .join(stored.withColumnRenamed("doc_id", "a_id")
+      .persist()
+    // contract endpoints to the POST-RETRACT labels; touched head docs
+    // are absent from afterD and become their own nodes (re-added)
+    val q = edgesNew
+      .join(afterD.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("comp", "ca"), Seq("a_id"), "left")
-      .join(stored.withColumnRenamed("doc_id", "b_id")
+      .join(afterD.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("comp", "cb"), Seq("b_id"), "left")
       .select(coalesce(col("ca"), col("a_id")).as("src"),
         coalesce(col("cb"), col("b_id")).as("dst"))
@@ -408,47 +496,67 @@ object DedupIndex {
       .repartition(4).persist()
     qsym.count()
     val (qlab0, _) = Dedup.connectedComponents(s, qsym)
-    // materialize the small merge plan BEFORE mutating anything: the
-    // MERGE source must not lazily re-read its own target mid-statement
     val qlab = qlab0.localCheckpoint(true)
-    val remapped = stored.as("l")
-      .join(qlab.as("q"), col("l.comp") === col("q.id"))
-      .filter(col("q.comp") =!= col("q.id"))
-      .select(col("l.doc_id").as("doc_id"), col("q.comp").as("comp"))
-    // a new doc's quotient node is its STORED label when one exists (the
-    // replay case — the doc was already merged by a previous apply of
-    // this same slice) and its own id otherwise; the final label is the
-    // quotient answer for that node, or the node itself when the node
-    // took part in no merge. Defaulting to the doc's own id instead
-    // would UNDO a prior merge on replay and break the fixpoint.
-    val newNodes = newIds.join(stored, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("node"))
-    val newRows = newNodes
+
+    // ---- final rows, one per affected doc (disjoint by construction:
+    // survivors of touched comps / changed rows of untouched comps /
+    // touched head docs / erased docs)
+    def viaQ(df: DataFrame): DataFrame = df
       .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("node")).as("comp"))
-    // A replayed slice that spans newer commits can put an already-merged
-    // doc in BOTH remapped (its stored comp loses in the quotient) and
-    // newRows (it is in the feed's newIds) — the two rows carry EQUAL comp
-    // values (both are the quotient answer for the doc's stored node), but
-    // MERGE's cardinality check rejects any duplicate source doc_id, and
-    // that failure is not UnsupportedOperationException, so maintenance
-    // would wedge with no rebuild fallback. Keep exactly one row per doc:
-    // newRows wins for docs in the feed, remapped covers the rest.
-    val u = remapped.join(newIds, Seq("doc_id"), "left_anti")
-      .unionAll(newRows).localCheckpoint(true)
-    val uv = "graft_lbl_merge_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    u.createOrReplaceTempView(uv)
+    val splitRows = viaQ(splitNodes)
+    val remapChanged = stored.join(touchedComps, Seq("comp"), "left_anti")
+      .withColumnRenamed("comp", "node").as("l")
+      .join(qlab.as("qq"), col("l.node") === col("qq.id"))
+      .filter(col("qq.comp") =!= col("qq.id"))
+      .select(col("l.doc_id").as("doc_id"), col("qq.comp").as("comp"))
+    val newRows = viaQ(headTouched.select(col("doc_id")).distinct()
+      .withColumn("node", col("doc_id")))
+    // materialize the merge plan BEFORE mutating anything: it reads the
+    // MERGE target (stored labels) and the edge table
+    val usrc = splitRows.unionAll(remapChanged).unionAll(newRows)
+      .withColumn("del", lit(false))
+      .unionAll(gone.select(col("doc_id"), lit(0L).as("comp"),
+        lit(true).as("del")))
+      .localCheckpoint(true)
+    val newEdgeRows = edgesNew
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct().localCheckpoint(true)
+    val touchedCk = touched.localCheckpoint(true)
+
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val uv = s"graft_lbl_merge_$sfx"
+    val ev = s"graft_lbl_edges_$sfx"
+    val tv = s"graft_lbl_touched_$sfx"
+    usrc.createOrReplaceTempView(uv)
+    newEdgeRows.createOrReplaceTempView(ev)
+    touchedCk.createOrReplaceTempView(tv)
     try {
-      // ONE atomic statement; its post-state is the apply's fixpoint
+      // 1. retract the touched docs' edges (idempotent DV append)
+      s.sql(s"DELETE FROM $edges WHERE a_id IN (SELECT doc_id FROM $tv) " +
+        s"OR b_id IN (SELECT doc_id FROM $tv)")
+      // 2. ONE atomic label statement: erase + remap + upsert
       s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
+        WHEN MATCHED AND u.del THEN DELETE
         WHEN MATCHED THEN UPDATE SET comp = u.comp
-        WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
-      s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+        WHEN NOT MATCHED AND NOT u.del THEN
+          INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
+      // 3. publish the head edges + watermark together; a crash before
+      //    this txn replays the slice against the already-converged
+      //    labels — retract+re-add of a current doc is a fixpoint
+      CdcIndex.inTxn(s) {
+        s.sql(s"INSERT INTO $edges SELECT * FROM $ev")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      }
       labelIncRefreshes.incrementAndGet()
     } finally {
       s.catalog.dropTempView(uv)
+      s.catalog.dropTempView(ev)
+      s.catalog.dropTempView(tv)
+      dsym.unpersist(blocking = false)
       qsym.unpersist(blocking = false)
+      edgesNew.unpersist(blocking = false)
     }
   }
 

@@ -140,16 +140,18 @@ object Pipeline {
     * recomputation from the raw corpus minus the erased slice). Pairs
     * with the per-family maintenance entries (ext134–ext138) the way
     * ext140 pairs with the curation operators: the composition is the
-    * contract. The component-label family (ext153) is deliberately NOT
-    * audited here: its erasure path IS a documented full rebuild
-    * (deletes can split components, which a min-label table cannot
-    * derive incrementally), so "feed-sized work, never a rebuild" —
-    * the property this entry audits — does not apply to it. */
+    * contract. Round 12 adds the EIGHTH family: component labels
+    * (ext153), whose delete path is now cluster-local over the stored
+    * edge artifact ([[DedupIndex.ensureLabelsCdc]]) — both the label
+    * rows and the persisted edge rows are audited (an erased doc must
+    * vanish as a label, as an edge endpoint on either side, and the
+    * surviving label count must equal the live-doc count). */
   val erasureE2e: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     Seq("er_docs", "er_vecs",
       "dedup_er_sigs", "dedup_er_meta",
       "dedup_er_gr_grams", "dedup_er_gr_meta",
+      "dedup_er_lb_labels", "dedup_er_lb_edges", "dedup_er_lb_meta",
       "search_er_postings", "search_er_docs", "search_er_meta",
       "ann_er_cells", "ann_er_cents", "ann_er_meta",
       "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta",
@@ -176,6 +178,7 @@ object Pipeline {
       .writeTo("graft_cat.db.er_vecs").append()
     DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
+    DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er")
     SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
@@ -187,6 +190,7 @@ object Pipeline {
     // propagation: one change-feed slice per family
     val td = DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     val tgm = DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
+    val tl = DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er")
     val ts = SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     val ta = AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     val tp = AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
@@ -200,6 +204,13 @@ object Pipeline {
           col("n_erased_live"), col("n_live"))
     leg("bm25-doclens", ts.docs, "doc_id")
       .unionAll(leg("bm25-postings", ts.postings, "doc_id"))
+      .unionAll(leg("component-labels", tl, "doc_id"))
+      .unionAll(s.table("graft_cat.db.dedup_er_lb_edges").agg(
+        count(when(col("a_id") % 7 === 2 || col("b_id") % 7 === 2, 1))
+          .as("n_erased_live"),
+        count(lit(1)).as("n_live"))
+        .select(lit("component-edges").as("family"),
+          col("n_erased_live"), col("n_live")))
       .unionAll(leg("ivf-cells", ta.cells, "vec_id"))
       .unionAll(leg("minhash-signatures", td.sigs, "doc_id"))
       .unionAll(leg("exact-grams", tgm, "doc_id"))
@@ -319,7 +330,21 @@ object Pipeline {
         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
         |                t -> t <> '') AS toks
         |        FROM docs_live) x,
-        |       UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i)))
+        |       UNNEST(range(0, GREATEST(len(toks) - 7, 0))) AS u(i))),
+        |shl AS (SELECT DISTINCT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            for i in range(1, len(toks)-1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        |        FROM docs_live) t WHERE len(toks) >= 3),
+        |szl AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+        |ledg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT a_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |    FROM shl a JOIN shl b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) i
+        |  JOIN szl sa ON sa.doc_id = i.a_id
+        |  JOIN szl sb ON sb.doc_id = i.b_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5))
         |SELECT * FROM (
         |  SELECT 'bm25-doclens' AS family, CAST(0 AS BIGINT) AS n_erased_live,
         |         (SELECT n FROM dl) AS n_live
@@ -329,7 +354,9 @@ object Pipeline {
         |  UNION ALL SELECT 'pq-codes', 0, (SELECT n FROM nv) * 8
         |  UNION ALL SELECT 'sq-codes', 0, (SELECT n FROM nv)
         |  UNION ALL SELECT 'nsw-edges', 0, (SELECT n FROM gr)
-        |  UNION ALL SELECT 'exact-grams', 0, (SELECT n FROM gm))
+        |  UNION ALL SELECT 'exact-grams', 0, (SELECT n FROM gm)
+        |  UNION ALL SELECT 'component-labels', 0, (SELECT n FROM dl)
+        |  UNION ALL SELECT 'component-edges', 0, (SELECT n FROM ledg))
         |ORDER BY family""".stripMargin,
     "ext152_incremental_pipeline" ->
       s"""WITH ${CorpusOps.gopherCtesSql},

@@ -961,6 +961,67 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** ext159 — GRAPH-BEAM RECALL EVALUATION against the exact top-3
+    * (VERDICT r11 #6 — the graph twin of ext106's LSH recall and
+    * ext95's ANN recall): for every beam query (vec_id % 50 = 0), how
+    * many of the TRUE top-3 cosine neighbours appear in ext146's fixed
+    * 3-hop × beam-8 answer? TWO tiers, because the beam has two
+    * distinct loss sources and only one belongs to it:
+    *
+    *   - `recall_cell` — truth restricted to the query's own cell (the
+    *     beam's entire reachable universe: every stored edge is
+    *     in-cell). This isolates the BEAM's loss — the fixed 3 hops ×
+    *     beam 8 from one entry point visit only part of a ~60-node
+    *     cell. Measured ≈ 0.73 average (min 1/3) at sf0.01; the tuning
+    *     levers this metric exists to drive are hop count, beam width
+    *     and out-degree.
+    *   - `recall_global` — truth over the whole corpus. This adds the
+    *     QUANTIZER's loss: a true neighbour in another cell is
+    *     unreachable by construction (the IVF-probe trade). The driver
+    *     fixture's `label` column is a class label, NOT a learned
+    *     cosine quantizer, so cells barely align with cosine
+    *     neighbourhoods and global recall is LOW here (≈ 0.07 at
+    *     sf0.01) — an honest property of the stand-in quantizer, not
+    *     of the beam; a trained coarse quantizer (the ext07/ext75
+    *     k-means) is the production lever, plus multi-cell entry
+    *     points. Both tiers are oracle-checked.
+    *
+    * Scale: the exact leg is (queries × corpus) BY DESIGN — production
+    * evaluates a fixed query sample, never corpus-proportional (the
+    * ext06/ext95 discipline); the beam leg is the ext146 probe. */
+  val graphRecallEval: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val all = vecs(s, d)
+    val adj = AnnIndex.graphEdges(
+      all.select(col("vec_id"), col("label"), col("v"))).select("src", "dst")
+    val beam = beamTopK(adj, all.select(col("vec_id"), col("label"), col("v")))
+      .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
+    val qs = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val wEx = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    val scoredAll = qs.crossJoin(all.select(col("vec_id").as("n_id"),
+        col("label").as("n_label"), col("v").as("nv")))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        expr("graft_cosine(qv, nv)").as("cos"))
+    def recallOf(truth: DataFrame, nHit: String, rec: String): DataFrame =
+      truth.join(beam, Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).as(nHit),
+          (sum(coalesce(col("hit"), lit(0))) /
+            count(lit(1)).cast("double")).as(rec))
+    val globalTruth = scoredAll
+      .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= 3)
+      .select("q_id", "n_id")
+    val cellTruth = scoredAll.filter(col("n_label") === col("q_label"))
+      .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= 3)
+      .select("q_id", "n_id")
+    recallOf(globalTruth, "n_hit_global", "recall_global")
+      .join(recallOf(cellTruth, "n_hit_cell", "recall_cell"), Seq("q_id"))
+      .orderBy("q_id")
+  }
+
   /** ext147 — beam search over the STORED graph ([[AnnIndex
     * .ensureGraphCdc]]): identical semantics (and oracle) to ext146, but
     * the adjacency comes from the persisted edges table — the in-cell
@@ -1014,6 +1075,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "ext146_graph_ann_beam" -> graphAnnBeam,
+    "ext159_graph_recall_eval" -> graphRecallEval,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1293,8 +1355,56 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** ext159's oracle — the beam restated as a CTE chain (the body of
+    * [[graphAnnOracleFrom]] up to `vis`), an exact brute-force top-3,
+    * and the per-query hit count. */
+  private def graphRecallOracleFrom(vCte: String): String = {
+    val beam = graphAnnOracleFrom(vCte)
+    val body = beam.substring(0, beam.indexOf("SELECT q_id, CAST(row_number()"))
+    s"""${body.trim.stripSuffix(",")},
+       |beam3 AS (
+       |  SELECT q_id, n_id FROM vis WHERE n_id <> q_id
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 3),
+       |exv AS (
+       |  SELECT q.q_id, q.label AS q_label, c.vec_id AS n_id,
+       |    c.label AS n_label,
+       |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
+       |      / (q.qnorm * c.norm) AS cos
+       |  FROM q, v c WHERE c.vec_id <> q.q_id),
+       |ex3 AS (
+       |  SELECT q_id, n_id FROM exv
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3),
+       |cx3 AS (
+       |  SELECT q_id, n_id FROM exv WHERE n_label = q_label
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, n_id) <= 3),
+       |rg AS (
+       |  SELECT e.q_id,
+       |    CAST(SUM(CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit_global,
+       |    SUM(CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      / CAST(COUNT(*) AS DOUBLE) AS recall_global
+       |  FROM ex3 e LEFT JOIN beam3 b ON e.q_id = b.q_id AND e.n_id = b.n_id
+       |  GROUP BY e.q_id),
+       |rc AS (
+       |  SELECT e.q_id,
+       |    CAST(SUM(CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit_cell,
+       |    SUM(CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      / CAST(COUNT(*) AS DOUBLE) AS recall_cell
+       |  FROM cx3 e LEFT JOIN beam3 b ON e.q_id = b.q_id AND e.n_id = b.n_id
+       |  GROUP BY e.q_id)
+       |SELECT rg.q_id, rg.n_hit_global, rg.recall_global,
+       |  rc.n_hit_cell, rc.recall_cell
+       |FROM rg JOIN rc ON rg.q_id = rc.q_id
+       |ORDER BY rg.q_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ext146_graph_ann_beam" -> graphAnnOracleFrom(vSql),
+    "ext159_graph_recall_eval" -> graphRecallOracleFrom(vSql),
     "ext147_graph_index_probe" -> graphAnnOracleFrom(vSql),
     "ext148_graph_cdc_maintenance" -> graphAnnOracleFrom(
       """vm AS (

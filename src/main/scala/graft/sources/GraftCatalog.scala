@@ -1304,8 +1304,15 @@ class SegTable private (ident: String, dir: Path,
       if (done) versions :+= next
       else {
         attempts += 1
-        if (attempts > 5) throw new java.util.ConcurrentModificationException(
+        // under sustained multi-writer contention (two PROCESSES in
+        // tight commit loops — CommitRaceSpec) 6 consecutive losses are
+        // routine, not an error; back off proportionally so the loser
+        // re-reads outside the winner's next critical section, and only
+        // a pathological streak (a wedged competitor holding the OS
+        // lock would surface as blocking, not as losses) aborts
+        if (attempts > 50) throw new java.util.ConcurrentModificationException(
           s"$ident: lost the commit race $attempts times (last seen v=${cur.v})")
+        Thread.sleep(math.min(100L, attempts.toLong * 2L))
         versions = SegStore.readVersions(dir, log) // rebase on the winner's head
       }
     }
@@ -1683,7 +1690,7 @@ class SegTable private (ident: String, dir: Path,
     val outCols = v.schema
     val ids = v.colIds
     val tag = logTag
-    val salt = java.lang.Long.toHexString(System.currentTimeMillis())
+    val salt = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val newV = v.v + 1
     val dataCols = v.schema.fieldNames.map(org.apache.spark.sql.functions.col)
     val fcol = org.apache.spark.sql.functions.col(SegMeta.FileCol)
@@ -1794,7 +1801,7 @@ class SegTable private (ident: String, dir: Path,
     // wall-clock salt: version numbers alone can recur across branch
     // generations (drop + re-create), and REPLACE_EXISTING on a name an
     // older manifest still references would corrupt committed data
-    val salt = java.lang.Long.toHexString(System.currentTimeMillis())
+    val salt = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val newV = v.v + 1
     // ids whose stats-less segments are PROVABLY all-null (the Long
     // writer invariant) — any other id (string prefix stats, dropped
@@ -2124,7 +2131,7 @@ class SegTable private (ident: String, dir: Path,
               msgs.flatMap(_.deletes.toSeq).groupBy(_._1)
                 .map { case (f, xs) =>
                   f -> xs.flatMap(_._2).distinct.sorted }
-            val salt = java.lang.Long.toHexString(System.currentTimeMillis())
+            val salt = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
             val tag = logTag
             val op = info.command() match {
               case RowLevelOperation.Command.DELETE => "delete"
@@ -2690,7 +2697,7 @@ class SegTable private (ident: String, dir: Path,
     require(log == SegStore.MetaFile,
       s"$ident: drop_branch targets the main table")
     SegStore.withDirLock(dir) {
-      val deleted = Files.deleteIfExists(dir.resolve(SegStore.branchLog(name)))
+      val deleted = SegStore.deleteLogLocked(dir, SegStore.branchLog(name))
       if (deleted) SegStore.bumpEpoch(dir, SegStore.branchLog(name))
       deleted
     }
@@ -2982,8 +2989,20 @@ object SegTable {
     * (renamed on task commit, deleted on abort — the two-phase protocol);
     * identity-partitioned tables route rows to one segment per partition
     * value, which is what makes the zone-maps exact partition pruning. */
+  /** Per-driver-JVM token baked into segment file names: partition and
+    * task ids are unique only WITHIN one Spark application, so two
+    * processes writing the same table would otherwise both produce
+    * `seg-p0-t0-0.bin` and clobber each other's data files (round-12
+    * CommitRaceSpec: the duplicated/lost rows half of the race). The
+    * token is captured by the writer-factory closure, so executors of
+    * one application share it and cross-application names stay
+    * disjoint. */
+  private val writerToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   private[sources] def writerFactory(dirStr: String,
       ver: SegVersion): DataWriterFactory = {
+    val token = writerToken
     val cols = ver.schema
     val colIds = ver.colIds
     val spec = ver.partSpec
@@ -3006,8 +3025,8 @@ object SegTable {
           val n = fileSeq
           fileSeq += 1
           new SegFileWriter(Paths.get(dirStr),
-            tempName = s"_temp-p$partitionId-t$taskId-$n.bin",
-            finalName = s"seg-p$partitionId-t$taskId-$n.bin",
+            tempName = s"_temp-$token-p$partitionId-t$taskId-$n.bin",
+            finalName = s"seg-$token-p$partitionId-t$taskId-$n.bin",
             cols, colIds)
         })
 
@@ -4567,58 +4586,68 @@ object SegStore {
     dirLocks.computeIfAbsent(dir.toAbsolutePath.toString, _ => new Object)
       .synchronized(body)
 
-  /** Open `dir/log` and take its OS file lock, VERIFIED live: an
-    * expire/re-seed rewrite ATOMIC_MOVEs a fresh inode over the path, so
-    * a writer that opened its channel before the move can acquire the
-    * lock on the orphaned old inode — a head re-read BY PATH would then
-    * see the expected version while the append lands in the orphan,
-    * silently losing the commit. After locking, a second channel is
-    * opened from the path and `tryLock`ed: OverlappingFileLockException
-    * proves both channels are one file (this JVM — inside the dir
-    * stripe, only this thread — already holds that file's lock), i.e.
-    * the locked channel IS the live log; an acquired lock proves the
-    * path was swapped, so the fresh channel is adopted and re-verified;
-    * null (another process holds the fresh file's lock) likewise proves
-    * a swap — start over blocking. Returns None when the log does not
-    * exist: logs are created exactly once ([[createLog]] /
-    * table-create), so a missing log means drop_branch removed it.
-    * Callers run inside [[withDirLock]]. */
-  private def lockLiveLog(dir: Path, log: String)
+  /** Acquire the CROSS-PROCESS writer lock for (dir, log) on the
+    * DEDICATED sibling lock file `<log>.lock` — never on the manifest
+    * itself. POSIX record locks belong to the (process, inode) pair and
+    * are dropped the moment ANY file descriptor for that inode is
+    * closed by the process — so locking the manifest file was unsound
+    * twice over: lock-free readers (every scan's `readVersions` by
+    * path) open-and-close the manifest constantly from the writer's own
+    * process, silently releasing its "exclusive" lock, and even the old
+    * inode-liveness verification channel's close() did it. Round 12's
+    * CommitRaceSpec caught the consequence across two real JVMs:
+    * duplicated version numbers and forked manifest histories.
+    *
+    * The lock file fixes both structurally: only this method ever opens
+    * `<log>.lock` (inside the [[withDirLock]] JVM stripe, so same-JVM
+    * channels never overlap), readers never touch it, and it is never
+    * swapped or deleted — `rewriteVersions` ATOMIC_MOVEs the DATA file
+    * only — so inode-liveness verification is unnecessary: every
+    * data-file swap happens UNDER this lock, hence a locked writer that
+    * opens the data path is guaranteed the live inode. Critical
+    * sections may open/close data-file channels freely (their locks
+    * live on a different inode). Returns None when the data log does
+    * not exist: logs are created exactly once ([[createLog]] /
+    * table-create), so a missing log means drop_branch removed it —
+    * [[SegTable.dropBranch]] deletes under this same lock, so the
+    * existence check cannot race the drop. Vacuum's orphan sweep
+    * ignores `_meta*` names, and [[allLogs]] requires a `.json` suffix,
+    * so the `.lock` sibling is invisible to both. */
+  private def lockLog(dir: Path, log: String)
       : Option[(java.nio.channels.FileChannel, java.nio.channels.FileLock)] = {
-    val p = dir.resolve(log)
-    def open(): java.nio.channels.FileChannel =
-      java.nio.channels.FileChannel.open(p,
-        StandardOpenOption.WRITE, StandardOpenOption.READ)
-    var ch = try open() catch {
-      case _: java.nio.file.NoSuchFileException => return None
-    }
-    var lock = ch.lock()
-    while (true) {
-      val fresh = try open() catch {
-        case _: java.nio.file.NoSuchFileException =>
-          lock.release(); ch.close(); return None
-      }
-      val verdict =
-        try Right(fresh.tryLock()) // null = held by another process
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException => Left(())
-        }
-      verdict match {
-        case Left(()) => // same file as the lock we hold — verified live
-          fresh.close(); return Some((ch, lock))
-        case Right(null) => // swapped AND contended — restart blocking
-          fresh.close(); lock.release(); ch.close()
-          ch = try open() catch {
-            case _: java.nio.file.NoSuchFileException => return None
-          }
-          lock = ch.lock()
-        case Right(freshLock) => // swapped — adopt the live file, re-verify
-          lock.release(); ch.close()
-          ch = fresh; lock = freshLock
-      }
-    }
-    None // unreachable
+    val ch = java.nio.channels.FileChannel.open(dir.resolve(log + ".lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.READ)
+    val lock = try ch.lock() catch { case t: Throwable => ch.close(); throw t }
+    if (Files.exists(dir.resolve(log))) Some((ch, lock))
+    else { lock.release(); ch.close(); None }
   }
+
+  /** Run `body` with the exclusive cross-process writer lock for
+    * (dir, log) held, passing an OPEN WRITE|READ channel on the live
+    * data log; None when the log was dropped. Callers run inside
+    * [[withDirLock]]. */
+  private def withLogLock[T](dir: Path, log: String)(
+      body: java.nio.channels.FileChannel => T): Option[T] =
+    lockLog(dir, log).map { case (lch, lock) =>
+      try {
+        val ch = java.nio.channels.FileChannel.open(dir.resolve(log),
+          StandardOpenOption.WRITE, StandardOpenOption.READ)
+        try body(ch) finally ch.close()
+      } finally { lock.release(); lch.close() }
+    }
+
+  /** Delete `dir/log` UNDER its writer lock (drop_branch): a concurrent
+    * committer either completes before the delete or observes the log
+    * gone at its own lock acquisition — never appends into a deleted
+    * inode. Callers run inside [[withDirLock]]. */
+  private[sources] def deleteLogLocked(dir: Path, log: String): Boolean =
+    lockLog(dir, log) match {
+      case None => false
+      case Some((lch, lock)) =>
+        try Files.deleteIfExists(dir.resolve(log))
+        finally { lock.release(); lch.close() }
+    }
 
   /** Conditional append — the optimistic-concurrency primitive: under an
     * exclusive manifest lock (JVM stripe + OS file lock on the VERIFIED
@@ -4632,22 +4661,19 @@ object SegStore {
   def commitVersion(dir: Path, expectedV: Long, v: SegVersion,
       log: String = MetaFile): Boolean =
     withDirLock(dir) {
-      val (ch, lock) = lockLiveLog(dir, log).getOrElse(
-        throw new IllegalStateException(
-          s"manifest log $log was dropped — refusing to recreate it " +
-            "(stale handle committing after drop_branch?)"))
-      try {
+      withLogLock(dir, log) { ch =>
         healTornTail(ch)
         val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
         if (head != expectedV) false
         else {
-          ch.position(ch.size())
-          ch.write(java.nio.ByteBuffer.wrap(
-            versionLine(v).getBytes(StandardCharsets.UTF_8)))
+          writeFully(ch, versionLine(v))
           bumpEpoch(dir, log)
           true
         }
-      } finally { lock.release(); ch.close() }
+      }.getOrElse(
+        throw new IllegalStateException(
+          s"manifest log $log was dropped — refusing to recreate it " +
+            "(stale handle committing after drop_branch?)"))
     }
 
   /** Heal a torn manifest tail UNDER the exclusive manifest lock: a
@@ -4672,6 +4698,18 @@ object SegStore {
       require(r > 0, s"manifest read hit EOF at $p under the writer lock")
       p += r
     }
+  }
+
+  /** Append `line` at the current end of `ch`, looping on short writes —
+    * FileChannel.write may write fewer bytes than the buffer holds, and
+    * a partial append would be a torn-but-ACKED commit (the next
+    * writer's heal would truncate a line whose commit already returned
+    * true). */
+  private def writeFully(ch: java.nio.channels.FileChannel,
+      line: String): Unit = {
+    val buf = java.nio.ByteBuffer.wrap(line.getBytes(StandardCharsets.UTF_8))
+    ch.position(ch.size())
+    while (buf.hasRemaining) ch.write(buf)
   }
 
   private def healTornTail(ch: java.nio.channels.FileChannel): Unit = {
@@ -4708,15 +4746,12 @@ object SegStore {
   def rewriteVersionsIfHead(dir: Path, log: String, expectedHead: Long,
       vs: Seq[SegVersion]): Boolean =
     withDirLock(dir) {
-      lockLiveLog(dir, log) match {
-        case None => false
-        case Some((ch, lock)) =>
-          try {
-            val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
-            if (head != expectedHead) false
-            else { rewriteVersions(dir, vs, log); true }
-          } finally { lock.release(); ch.close() }
-      }
+      withLogLock(dir, log) { ch =>
+        healTornTail(ch)
+        val head = readVersions(dir, log).lastOption.map(_.v).getOrElse(-1L)
+        if (head != expectedHead) false
+        else { rewriteVersions(dir, vs, log); true }
+      }.getOrElse(false)
     }
 
   /** Replace the manifest log wholesale (snapshot expiration): write to a
@@ -4819,10 +4854,7 @@ object SegStore {
   private[sources] def commitIdempotent(dir: Path, log: String,
       txnId: String, f: SegVersion => SegVersion, op: String): Boolean =
     withDirLock(dir) {
-      val (ch, lock) = lockLiveLog(dir, log).getOrElse(
-        throw new IllegalStateException(
-          s"manifest log $log missing during txn roll-forward"))
-      try {
+      withLogLock(dir, log) { ch =>
         healTornTail(ch)
         val vs = readVersions(dir, log)
         if (vs.exists(_.op.endsWith(s"@txn=$txnId"))) false
@@ -4831,13 +4863,13 @@ object SegStore {
           val next = f(cur).copy(v = cur.v + 1,
             ts = math.max(System.currentTimeMillis(), cur.ts + 1),
             op = s"$op@txn=$txnId")
-          ch.position(ch.size())
-          ch.write(java.nio.ByteBuffer.wrap(
-            versionLine(next).getBytes(StandardCharsets.UTF_8)))
+          writeFully(ch, versionLine(next))
           bumpEpoch(dir, log)
           true
         }
-      } finally { lock.release(); ch.close() }
+      }.getOrElse(
+        throw new IllegalStateException(
+          s"manifest log $log missing during txn roll-forward"))
     }
 }
 

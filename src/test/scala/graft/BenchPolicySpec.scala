@@ -66,6 +66,24 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(m === Map("a" -> 0.5, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0))
   }
 
+  test("runJson carries both the total map and the probe-only map") {
+    // VERDICT r11 #4: index entries are construction-dominated, so the
+    // run record carries a second per-entry number — the count-only
+    // probe fraction — and BenchFold folds both into the pin
+    val j = Bench.runJson(3.5, "/x/sf0.1",
+      Map("ext147_graph_index_probe" -> 3.0, "q01_agg" -> 0.5),
+      Map("ext147_graph_index_probe" -> 0.4, "q01_agg" -> 0.5))
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p = JsonMethods.parse(j)
+    assert((p \ "queries").extract[Map[String, Double]]
+      .apply("ext147_graph_index_probe") === 3.0)
+    assert((p \ "probe").extract[Map[String, Double]]
+      .apply("ext147_graph_index_probe") === 0.4)
+    assert((p \ "total").extract[Double] === 3.5)
+  }
+
   test("Bench writes raw runs to BENCH_RUN*, never the BENCH_LOCAL pin") {
     // r10 post-mortem: the driver's interference-window run rewrote the
     // committed minimum pin in place. Pin the output-file split at the

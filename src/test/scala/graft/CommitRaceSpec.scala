@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-process commit race + mid-append kill (VERDICT r11 #3): two
+  * REAL JVMs ([[graft.CommitRaceMain]]) append concurrently to one
+  * catalog table on a shared warehouse; one is kill -9'd mid-stream.
+  * This is the first out-of-process evidence for the commit protocol's
+  * multi-writer claims — the same-JVM specs exercise the lock stripe
+  * and the heal path, but only real processes exercise the OS file
+  * lock, the cross-process manifest-cache TTL, and a genuinely torn
+  * tail healed by a DIFFERENT process's next locked append.
+  *
+  * Assertions: (1) no lost commit — every COMMITTED ack printed by
+  * either writer is readable afterwards; (2) atomicity — the killed
+  * writer's surviving rows are an exact 0..k-1 prefix (a torn append
+  * never surfaces as a partial or out-of-order row set); (3) the
+  * survivor completed all its commits despite contention; (4) liveness
+  * after the kill — a third process (this spec's session) can commit
+  * again and reads back the exact expected total.
+  */
+class CommitRaceSpec extends SparkTestBase {
+
+  private def launchWriter(wh: String, writerId: Int, n: Int): Process = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cp = "target/scala-2.13/classes:/opt/spark/jars/*"
+    val cmd = Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.CommitRaceMain", wh, writerId.toString, n.toString)
+    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+  }
+
+  /** Drain a writer's stdout on a daemon thread into a synchronized
+    * buffer of acked commit indices. */
+  private def drain(p: Process): java.util.concurrent.ConcurrentLinkedQueue[Int] = {
+    val acked = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val t = new Thread(() => {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = rd.readLine()
+      while (line != null) {
+        if (line.startsWith("COMMITTED ")) {
+          val i = line.split(' ').collectFirst {
+            case kv if kv.startsWith("i=") => kv.drop(2).toInt
+          }
+          i.foreach(acked.add(_))
+        }
+        line = try rd.readLine() catch { case _: Throwable => null }
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    acked
+  }
+
+  test("two JVMs race commits; one dies mid-append; no commit lost, heal works") {
+    ops.configure(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_race_wh")
+      .toString
+    // a third catalog instance (this JVM) on the SAME warehouse —
+    // distinct catalog name so the session's cached graft_cat (default
+    // warehouse) is untouched
+    spark.conf.set("spark.sql.catalog.race_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.race_cat.warehouse", wh)
+    spark.sql("CREATE TABLE race_cat.db.race (w INT, i INT)")
+
+    val nB = 60
+    val pA = launchWriter(wh, 1, 100000) // killed mid-stream — n unreachable
+    val pB = launchWriter(wh, 2, nB)
+    val ackedA = drain(pA)
+    val ackedB = drain(pB)
+    // a THIRD process reads while both write: every observed snapshot
+    // must be version-consistent — each writer's rows an exact prefix,
+    // i.e. count == max+1 (a torn read mixing two versions breaks it)
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val pR = {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      new ProcessBuilder((Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-cp",
+        "target/scala-2.13/classes:/opt/spark/jars/*",
+        "graft.CommitRaceMain", wh, "0", "40", "read")): _*)
+        .redirectErrorStream(true).start()
+    }
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val tR = new Thread(() => {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(pR.getInputStream))
+      var line = rd.readLine()
+      while (line != null) {
+        if (line.startsWith("OBSERVED ")) observed.add(line)
+        line = try rd.readLine() catch { case _: Throwable => null }
+      }
+    })
+    tR.setDaemon(true)
+    tR.start()
+    // let A land a healthy streak under real two-process contention,
+    // then kill -9 — with commits every few ms the SIGKILL lands inside
+    // or between locked manifest appends nondeterministically, which is
+    // the point (any window must be safe)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (ackedA.size() < 25 && pA.isAlive && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(ackedA.size() >= 25 || !pA.isAlive,
+      "writer A never reached 25 commits — startup failure?")
+    pA.destroyForcibly()
+    pA.waitFor()
+    assert(pB.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "writer B did not finish")
+    Thread.sleep(300) // let the drain threads flush the last acks
+
+    val ackA = {
+      import scala.jdk.CollectionConverters._
+      ackedA.iterator().asScala.toSet
+    }
+    val rows = spark.table("race_cat.db.race")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val rowsA = rows.filter(_._1 == 1).map(_._2).sorted.toSeq
+    val rowsB = rows.filter(_._1 == 2).map(_._2).sorted.toSeq
+    // (3) the survivor completed everything despite contention
+    assert(rowsB === (0 until nB), s"survivor lost commits: $rowsB")
+    // (1) no lost commit: every ack A printed is durable
+    assert(ackA.subsetOf(rowsA.toSet),
+      s"acked-but-lost commits: ${ackA -- rowsA.toSet}")
+    // (2) atomicity: A's surviving rows are an exact 0..k-1 prefix —
+    // the torn final append either committed fully or not at all
+    assert(rowsA === (0 until rowsA.size),
+      s"killed writer's rows are not a clean prefix: $rowsA")
+    // (5) reader consistency: every snapshot the concurrent reader
+    // observed was version-consistent — per writer, count == max+1
+    // (rows are an exact prefix in any committed version)
+    assert(pR.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "reader process did not finish")
+    val obs = {
+      import scala.jdk.CollectionConverters._
+      observed.iterator().asScala.toSeq
+    }
+    assert(obs.nonEmpty, "reader observed nothing")
+    val SnapRe = "w(\\d):c=(\\d+):m=(\\d+)".r
+    obs.foreach { line =>
+      SnapRe.findAllMatchIn(line).foreach { m =>
+        assert(m.group(2).toLong === m.group(3).toLong + 1,
+          s"torn/inconsistent snapshot observed: $line")
+      }
+    }
+
+    // (4) liveness + heal: a third process commits over the torn tail
+    // and the total reads back exactly
+    spark.sql("INSERT INTO race_cat.db.race VALUES (3, 0)")
+    val total = spark.table("race_cat.db.race").count()
+    assert(total === rowsA.size.toLong + nB + 1,
+      s"post-heal total mismatch: $total vs ${rowsA.size + nB + 1}")
+    // and the version history is exactly one commit per row + create
+    val nv = spark.sql("SELECT COUNT(*) FROM race_cat.db.race.versions")
+      .head.getLong(0)
+    assert(nv === rowsA.size.toLong + nB + 2,
+      s"version count $nv != commits ${rowsA.size + nB + 2}")
+    spark.sql("DROP TABLE race_cat.db.race")
+  }
+}

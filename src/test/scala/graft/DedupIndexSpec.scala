@@ -359,7 +359,7 @@ class DedupIndexSpec extends SparkTestBase {
 
     // incremental == rebuilt: a from-scratch build over the SAME corpus
     // under a different index name must produce identical labels
-    Seq("lb_labels", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_full_$x"))
     val full = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
       "lbl_full")
@@ -385,16 +385,33 @@ class DedupIndexSpec extends SparkTestBase {
     assert(replayed.toSeq === inc.toSeq,
       "replaying the slice changed the labels — not a fixpoint")
 
-    // a delete slice is NOT incrementally derivable (splits): the apply
-    // must refuse and degrade to the documented full rebuild
+    // a delete slice applies INCREMENTALLY (round-12): the stored edge
+    // artifact lets the apply recompute only the touched components'
+    // survivors — no rebuild — and maintained must equal a from-scratch
+    // build over the head corpus (splits included)
     spark.sql("DELETE FROM graft_cat.db.lbl_docs WHERE doc_id % 13 = 1")
     val t = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
       "lbl_ix")
-    assert(DedupIndex.labelBuilds.get() === b0 + 3,
-      "a delete slice must degrade to a rebuild")
-    assert(DedupIndex.labelIncRefreshes.get() === i0 + 2)
+    assert(DedupIndex.labelBuilds.get() === b0 + 2,
+      "a delete slice must apply via the stored edges, not a rebuild")
+    assert(DedupIndex.labelIncRefreshes.get() === i0 + 3)
     val after = spark.table(t).collect()
     assert(after.forall(_.getLong(0) % 13 != 1))
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_del_$x"))
+    val full2 = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
+      "lbl_del")
+    val maintained = spark.table(t).orderBy("doc_id").collect().map(_.toSeq)
+    val rebuilt = spark.table(full2).orderBy("doc_id").collect().map(_.toSeq)
+    assert(maintained.toSeq === rebuilt.toSeq,
+      "delete-maintained labels diverged from the full rebuild")
+    // and the stored edge artifact converged to the head's edge set too
+    val eMaint = spark.table("graft_cat.db.dedup_lbl_ix_lb_edges")
+      .orderBy("a_id", "b_id").collect().map(_.toSeq)
+    val eReb = spark.table("graft_cat.db.dedup_lbl_del_lb_edges")
+      .orderBy("a_id", "b_id").collect().map(_.toSeq)
+    assert(eMaint.toSeq === eReb.toSeq,
+      "maintained edge artifact diverged from the rebuilt one")
 
     // the inventory classifies the _lb meta as its own family (it must
     // not fall into the signatures branch and silently vanish)
@@ -418,7 +435,7 @@ class DedupIndexSpec extends SparkTestBase {
     import graft.ext.DedupIndex
     val corpus = "graft_cat.db.lblrp_docs"
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
-    Seq("lb_labels", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lblrp_$x"))
     spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
@@ -447,8 +464,77 @@ class DedupIndexSpec extends SparkTestBase {
     assert(got.toSeq === Seq((5L, 5L), (10L, 10L), (20L, 5L), (30L, 5L)),
       s"post-replay labels diverged: ${got.toSeq}")
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
-    Seq("lb_labels", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lblrp_$x"))
+  }
+
+  test("label deletes: split, no-split, and update-merge all apply incrementally") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    import graft.ext.DedupIndex
+    val corpus = "graft_cat.db.lblsp_docs"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("lblsp", "lblsp2", "lblsp3", "lblsp4").foreach(n =>
+      Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x")))
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    // a 3-doc CHAIN component (J(1,2) = J(2,3) = 0.5 exactly, J(1,3) =
+    // 0.2): doc 2 is the only bridge, so deleting it must SPLIT the
+    // component — the case a min-label table alone cannot handle
+    val t1 = "a b c d e f g h"
+    val t2 = "c d e f g h i j"
+    val t3 = "e f g h i j k l"
+    spark.sql(s"INSERT INTO $corpus VALUES (1, '$t1'), (2, '$t2'), " +
+      s"(3, '$t3'), (9, 'zz yy xx')")
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblsp")
+    val lbl = "graft_cat.db.dedup_lblsp_lb_labels"
+    def labelMap = spark.table(lbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    val b0 = DedupIndex.labelBuilds.get()
+    val i0 = DedupIndex.labelIncRefreshes.get()
+
+    // delete-that-SPLITS: the bridge goes; 1 and 3 must part ways
+    spark.sql(s"DELETE FROM $corpus WHERE doc_id = 2")
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblsp")
+    assert(DedupIndex.labelBuilds.get() === b0, "split delete rebuilt")
+    assert(DedupIndex.labelIncRefreshes.get() === i0 + 1)
+    assert(labelMap === Map(1L -> 1L, 3L -> 3L, 9L -> 9L),
+      s"split not applied: $labelMap")
+    // maintained == rebuilt, labels AND edge artifact
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblsp2")
+    assert(spark.table("graft_cat.db.dedup_lblsp2_lb_labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === labelMap)
+    assert(spark.table("graft_cat.db.dedup_lblsp_lb_edges")
+        .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq ===
+      spark.table("graft_cat.db.dedup_lblsp2_lb_edges")
+        .orderBy("a_id", "b_id").collect().map(_.toSeq).toSeq)
+
+    // delete-that-does-NOT-split: an isolated doc goes, rest untouched
+    // (b1: the lblsp2 comparison rebuild above legitimately counted)
+    val b1 = DedupIndex.labelBuilds.get()
+    spark.sql(s"DELETE FROM $corpus WHERE doc_id = 9")
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblsp")
+    assert(DedupIndex.labelBuilds.get() === b1)
+    assert(labelMap === Map(1L -> 1L, 3L -> 3L))
+
+    // update-that-MERGES: doc 3 re-texted as a duplicate of doc 1 —
+    // the update slice retracts 3 and re-adds it into 1's component
+    spark.sql(s"UPDATE $corpus SET text = '$t1' WHERE doc_id = 3")
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblsp")
+    assert(DedupIndex.labelBuilds.get() === b1, "update slice rebuilt")
+    assert(DedupIndex.labelIncRefreshes.get() === i0 + 3)
+    assert(labelMap === Map(1L -> 1L, 3L -> 1L))
+    // converged state == rebuild over the head, again
+    DedupIndex.ensureLabelsCdc(spark, corpus, "lblsp3")
+    assert(spark.table("graft_cat.db.dedup_lblsp3_lb_labels").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === labelMap)
+
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("lblsp", "lblsp2", "lblsp3", "lblsp4").foreach(n =>
+      Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x")))
   }
 
   test("gram index autocompact: CDC churn compacts; grams still == rebuild") {

@@ -86,14 +86,16 @@ class PipelineSpec extends SparkTestBase {
     import ext.{AnnIndex, DedupIndex, SearchIndex}
     val b0 = (DedupIndex.builds.get(), SearchIndex.builds.get(),
       AnnIndex.builds.get(), AnnIndex.pqBuilds.get(), AnnIndex.sqBuilds.get(),
-      AnnIndex.graphBuilds.get(), DedupIndex.gramBuilds.get())
+      AnnIndex.graphBuilds.get(), DedupIndex.gramBuilds.get(),
+      DedupIndex.labelBuilds.get())
     val r0 = (DedupIndex.cdcRefreshes.get(), SearchIndex.cdcRefreshes.get(),
       AnnIndex.cdcRefreshes.get(), AnnIndex.pqCdcRefreshes.get(),
       AnnIndex.sqCdcRefreshes.get(), AnnIndex.graphCdcRefreshes.get(),
-      DedupIndex.gramCdcRefreshes.get())
+      DedupIndex.gramCdcRefreshes.get(), DedupIndex.labelIncRefreshes.get())
     val rows = ext.Pipeline.queries("ext141_erasure_e2e")(spark, d).collect()
     // the audit itself: zero live rows attributable to erased subjects
-    assert(rows.length === 8)
+    // (8 index families + the bm25 doclens twin + the label edge table)
+    assert(rows.length === 10)
     rows.foreach { r =>
       assert(r.getLong(r.fieldIndex("n_erased_live")) === 0L,
         s"erasure residue in ${r.getString(0)}")
@@ -104,16 +106,17 @@ class PipelineSpec extends SparkTestBase {
     // slice per family — never a second build
     val b1 = (DedupIndex.builds.get(), SearchIndex.builds.get(),
       AnnIndex.builds.get(), AnnIndex.pqBuilds.get(), AnnIndex.sqBuilds.get(),
-      AnnIndex.graphBuilds.get(), DedupIndex.gramBuilds.get())
+      AnnIndex.graphBuilds.get(), DedupIndex.gramBuilds.get(),
+      DedupIndex.labelBuilds.get())
     val r1 = (DedupIndex.cdcRefreshes.get(), SearchIndex.cdcRefreshes.get(),
       AnnIndex.cdcRefreshes.get(), AnnIndex.pqCdcRefreshes.get(),
       AnnIndex.sqCdcRefreshes.get(), AnnIndex.graphCdcRefreshes.get(),
-      DedupIndex.gramCdcRefreshes.get())
+      DedupIndex.gramCdcRefreshes.get(), DedupIndex.labelIncRefreshes.get())
     assert(b1 === ((b0._1 + 1, b0._2 + 1, b0._3 + 1, b0._4 + 1, b0._5 + 1,
-      b0._6 + 1, b0._7 + 1)),
+      b0._6 + 1, b0._7 + 1, b0._8 + 1)),
       s"expected exactly one build per family: $b0 -> $b1")
     assert(r1 === ((r0._1 + 1, r0._2 + 1, r0._3 + 1, r0._4 + 1, r0._5 + 1,
-      r0._6 + 1, r0._7 + 1)),
+      r0._6 + 1, r0._7 + 1, r0._8 + 1)),
       s"expected exactly one CDC apply per family: $r0 -> $r1")
   }
 }

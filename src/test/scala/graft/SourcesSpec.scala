@@ -952,7 +952,10 @@ class SourcesSpec extends SparkTestBase {
     val onDisk = java.nio.file.Files.list(dir).iterator()
     val names = scala.jdk.CollectionConverters.IteratorHasAsScala(onDisk)
       .asScala.map(_.getFileName.toString).toSet
-    assert(names === t.currentSegs.map(_.file).toSet + "_meta.json")
+    assert(names -- Set("_meta.json", "_meta.json.lock") ===
+      t.currentSegs.map(_.file).toSet,
+      "table dir must hold exactly the live segments plus the manifest " +
+        "(and its writer-lock sibling)")
     // a FRESH catalog instance reopens the rewritten manifest (durable)
     val reopened = new graft.sources.GraftCatalog
     reopened.initialize("graft_cat",
