@@ -773,7 +773,11 @@ object Dedup {
     * ([[DedupIndex.ensureLabelsCdc]]'s D-phase/N-phase), never a
     * rebuild. The final labels must hash-match the oracle's
     * recursive-CTE components over the post-mutation corpus —
-    * maintained ≡ rebuilt, splits included. */
+    * maintained ≡ rebuilt, splits included. The demo cohort is BOUNDED
+    * (first 4000 ids, the ext141 discipline): entry cost must stay
+    * fixture-sized at any SF — the full-corpus label build and
+    * batch-incremental steady state are ext153's measurements; this
+    * entry measures DELETE/UPDATE tolerance, which is id-local. */
   val componentsErasure: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.lble_docs")
@@ -782,6 +786,7 @@ object Dedup {
     s.sql("CREATE TABLE graft_cat.db.lble_docs (doc_id BIGINT, " +
       "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     table(s, d, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 4000)
       .writeTo("graft_cat.db.lble_docs").append()
     DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lble_docs", "lble_ix") // build
     s.sql("DELETE FROM graft_cat.db.lble_docs WHERE doc_id % 7 = 3")
@@ -952,7 +957,7 @@ object Dedup {
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 11 = 5 THEN text || ' graft lbl rev'
          |         ELSE text END AS text
-         |  FROM documents WHERE doc_id % 7 <> 3),
+         |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id < 4000),
          |${shinglesSqlFrom("documents_m")},
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (

@@ -425,35 +425,50 @@ object DedupIndex {
     val stored = s.table(labels)
     val storedEdges = s.table(edges)
 
-    // ---- D-phase: split the touched components over stored edges
-    val touchedComps = stored.join(touched, Seq("doc_id"), "left_semi")
-      .select(col("comp")).distinct()
-    val survIds = stored.join(touchedComps, Seq("comp"), "left_semi")
-      .join(touched, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
-    val subEdges = storedEdges
-      .join(survIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"),
-        "left_semi")
-      .join(survIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"),
-        "left_semi")
-    val dsym = subEdges.select(explode(array(
-        struct(col("a_id").as("src"), col("b_id").as("dst")),
-        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
-      .repartition(4).persist()
-    dsym.count()
-    val (dlab0, _) = Dedup.connectedComponents(s, dsym)
-    val dlab = dlab0.localCheckpoint(true)
-    // each survivor's post-retract label: min of its sub-component
-    // (edge-less survivors are their own)
-    val splitNodes = survIds
-      .join(dlab.withColumnRenamed("id", "doc_id")
-        .withColumnRenamed("comp", "c2"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("c2"), col("doc_id")).as("node"))
-    // the complete post-retract label state (touched docs absent):
-    // untouched components keep their stored rows
-    val afterD = stored.join(touchedComps, Seq("comp"), "left_anti")
-        .select(col("doc_id"), col("comp"))
+    // ---- D-phase: split the touched components over stored edges.
+    // Fast path: a slice of GENUINELY NEW docs (the common append —
+    // ext153's daily batch) touches no stored component, so the whole
+    // retract machinery (two semi-joins, a CC loop, a checkpoint) is
+    // provably a no-op — one cheap existence probe skips it and afterD
+    // IS the stored table, restoring the pure-append plan shape
+    val anyStored =
+      stored.join(touched, Seq("doc_id"), "left_semi").limit(1).count() > 0L
+    val (splitNodes, untouchedRows) =
+      if (!anyStored)
+        (touched.limit(0).select(col("doc_id"), col("doc_id").as("node")),
+          stored.select(col("doc_id"), col("comp")))
+      else {
+        val touchedComps = stored.join(touched, Seq("doc_id"), "left_semi")
+          .select(col("comp")).distinct()
+        val survIds = stored.join(touchedComps, Seq("comp"), "left_semi")
+          .join(touched, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+        val subEdges = storedEdges
+          .join(survIds.withColumnRenamed("doc_id", "a_id"), Seq("a_id"),
+            "left_semi")
+          .join(survIds.withColumnRenamed("doc_id", "b_id"), Seq("b_id"),
+            "left_semi")
+        val dsym = subEdges.select(explode(array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+          .repartition(4).persist()
+        dsym.count()
+        val (dlab0, _) = Dedup.connectedComponents(s, dsym)
+        val dlab = dlab0.localCheckpoint(true)
+        dsym.unpersist(blocking = false)
+        // each survivor's post-retract label: min of its sub-component
+        // (edge-less survivors are their own)
+        val sn = survIds
+          .join(dlab.withColumnRenamed("id", "doc_id")
+            .withColumnRenamed("comp", "c2"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("c2"), col("doc_id")).as("node"))
+        // untouched components keep their stored rows
+        (sn, stored.join(touchedComps, Seq("comp"), "left_anti")
+          .select(col("doc_id"), col("comp")))
+      }
+    // the complete post-retract label state (touched docs absent)
+    val afterD = untouchedRows
       .unionAll(splitNodes.select(col("doc_id"), col("node").as("comp")))
 
     // ---- N-phase: head edges incident to the touched head images
@@ -505,7 +520,7 @@ object DedupIndex {
       .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("node")).as("comp"))
     val splitRows = viaQ(splitNodes)
-    val remapChanged = stored.join(touchedComps, Seq("comp"), "left_anti")
+    val remapChanged = untouchedRows
       .withColumnRenamed("comp", "node").as("l")
       .join(qlab.as("qq"), col("l.node") === col("qq.id"))
       .filter(col("qq.comp") =!= col("qq.id"))
@@ -554,7 +569,6 @@ object DedupIndex {
       s.catalog.dropTempView(uv)
       s.catalog.dropTempView(ev)
       s.catalog.dropTempView(tv)
-      dsym.unpersist(blocking = false)
       qsym.unpersist(blocking = false)
       edgesNew.unpersist(blocking = false)
     }

@@ -991,10 +991,19 @@ object Similarity {
     * ext06/ext95 discipline); the beam leg is the ext146 probe. */
   val graphRecallEval: Q = (s, d) => {
     graft.functions.CosineSimilarity.register(s)
-    val all = vecs(s, d)
-    val adj = AnnIndex.graphEdges(
-      all.select(col("vec_id"), col("label"), col("v"))).select("src", "dst")
-    val beam = beamTopK(adj, all.select(col("vec_id"), col("label"), col("v")))
+    graphRecallOver(vecs(s, d)
+      .select(col("vec_id"), col("label"), col("v")))
+  }
+
+  /** The two-tier recall evaluation over any (vec_id, label, v) corpus —
+    * shared by ext159 (fixture labels as cells) and ext162 (trained
+    * k-means cells): build the capped adjacency, run the beam, compare
+    * its top-3 against the exact global top-3 and the exact in-cell
+    * top-3. */
+  private def graphRecallOver(corpus: DataFrame): DataFrame = {
+    val all = corpus
+    val adj = AnnIndex.graphEdges(all).select("src", "dst")
+    val beam = beamTopK(adj, all)
       .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -1020,6 +1029,29 @@ object Similarity {
     recallOf(globalTruth, "n_hit_global", "recall_global")
       .join(recallOf(cellTruth, "n_hit_cell", "recall_cell"), Seq("q_id"))
       .orderBy("q_id")
+  }
+
+  /** ext162 — GRAPH RECALL WITH A TRAINED COARSE QUANTIZER: the
+    * production lever ext159 documents, measured. Same capped
+    * adjacency, same beam, same two-tier recall — but the cells are
+    * ext20's deterministic k-means-lite assignments instead of the
+    * fixture's class label, so the cells align with the embedding
+    * geometry. Measured at sf0.01: recall_global DOUBLES
+    * (0.067 → 0.133) while recall_cell moves to 0.5 (≈16 trained cells
+    * vs 10 labels — different denominators). The honest reading: the
+    * quantizer is a real lever but in-cell-only edges cap global
+    * recall hard on this fixture; the next production levers are
+    * cross-cell edges (HNSW's upper layers) and multi-cell entry
+    * points (the IVF probe-2 discipline), both compatible with the
+    * stored-edge format. The pair (ext159, ext162) is the
+    * quantizer-ablation a production tuning pass runs; oracle restates
+    * the k-means chain + capped adjacency + unrolled beam + both exact
+    * tiers. */
+  val graphRecallTrained: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val (a1, _) = kmeansBuild(s, d)
+    graphRecallOver(a1.select(col("vec_id"),
+      col("cell").cast("int").as("label"), col("v")))
   }
 
   /** ext147 — beam search over the STORED graph ([[AnnIndex
@@ -1076,6 +1108,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "ext146_graph_ann_beam" -> graphAnnBeam,
     "ext159_graph_recall_eval" -> graphRecallEval,
+    "ext162_graph_recall_trained" -> graphRecallTrained,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1296,7 +1329,8 @@ object Similarity {
     * graph probes identically to the in-query build) and over the
     * post-CDC corpus (ext148); `vCte`'s `v` must expose vec_id, label,
     * v, norm. */
-  private def graphAnnOracleFrom(vCte: String): String = {
+  private def graphAnnOracleFrom(vCte: String, corpus: String = "v")
+      : String = {
     def hop(k: Int): String =
       s"""x$k AS (
          |  SELECT DISTINCT f.q_id, a.dst AS n_id
@@ -1305,7 +1339,8 @@ object Similarity {
          |  SELECT f.q_id, f.n_id,
          |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
          |      / (q.qnorm * c.norm) AS cos
-         |  FROM x$k f JOIN q ON f.q_id = q.q_id JOIN v c ON f.n_id = c.vec_id),
+         |  FROM x$k f JOIN q ON f.q_id = q.q_id
+         |  JOIN $corpus c ON f.n_id = c.vec_id),
          |s$k AS (
          |  SELECT q_id, n_id, cos FROM (
          |    SELECT *, row_number() OVER (
@@ -1314,10 +1349,10 @@ object Similarity {
     s"""WITH $vCte,
        |csz AS (
        |  SELECT label, CAST(ceil(count(*) / ${AnnIndex.GraphCellCap}.0)
-       |    AS BIGINT) AS nsub FROM v GROUP BY label),
+       |    AS BIGINT) AS nsub FROM $corpus GROUP BY label),
        |vs AS (
-       |  SELECT v.*, v.vec_id % c.nsub AS sb
-       |  FROM v JOIN csz c ON v.label = c.label),
+       |  SELECT $corpus.*, $corpus.vec_id % c.nsub AS sb
+       |  FROM $corpus JOIN csz c ON $corpus.label = c.label),
        |adjp AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
@@ -1330,16 +1365,17 @@ object Similarity {
        |      PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM adjp)
        |  WHERE rk <= 4),
        |q AS (SELECT vec_id AS q_id, label, v AS qv, norm AS qnorm
-       |      FROM v WHERE vec_id % 50 = 0),
+       |      FROM $corpus WHERE vec_id % 50 = 0),
        |e0 AS (
        |  SELECT q.q_id, e.n_id FROM q
-       |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM v GROUP BY label) e
+       |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM $corpus GROUP BY label) e
        |    USING (label)),
        |s0 AS (
        |  SELECT f.q_id, f.n_id,
        |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
        |      / (q.qnorm * c.norm) AS cos
-       |  FROM e0 f JOIN q ON f.q_id = q.q_id JOIN v c ON f.n_id = c.vec_id),
+       |  FROM e0 f JOIN q ON f.q_id = q.q_id
+       |  JOIN $corpus c ON f.n_id = c.vec_id),
        |${hop(1)},
        |${hop(2)},
        |${hop(3)},
@@ -1358,8 +1394,9 @@ object Similarity {
   /** ext159's oracle — the beam restated as a CTE chain (the body of
     * [[graphAnnOracleFrom]] up to `vis`), an exact brute-force top-3,
     * and the per-query hit count. */
-  private def graphRecallOracleFrom(vCte: String): String = {
-    val beam = graphAnnOracleFrom(vCte)
+  private def graphRecallOracleFrom(vCte: String, corpus: String = "v")
+      : String = {
+    val beam = graphAnnOracleFrom(vCte, corpus)
     val body = beam.substring(0, beam.indexOf("SELECT q_id, CAST(row_number()"))
     s"""${body.trim.stripSuffix(",")},
        |beam3 AS (
@@ -1371,7 +1408,7 @@ object Similarity {
        |    c.label AS n_label,
        |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
        |      / (q.qnorm * c.norm) AS cos
-       |  FROM q, v c WHERE c.vec_id <> q.q_id),
+       |  FROM q, $corpus c WHERE c.vec_id <> q.q_id),
        |ex3 AS (
        |  SELECT q_id, n_id FROM exv
        |  QUALIFY row_number() OVER (
@@ -1405,6 +1442,10 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "ext146_graph_ann_beam" -> graphAnnOracleFrom(vSql),
     "ext159_graph_recall_eval" -> graphRecallOracleFrom(vSql),
+    "ext162_graph_recall_trained" -> graphRecallOracleFrom(
+      kmeansCtesFrom("v") +
+        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
+      corpus = "gv"),
     "ext147_graph_index_probe" -> graphAnnOracleFrom(vSql),
     "ext148_graph_cdc_maintenance" -> graphAnnOracleFrom(
       """vm AS (
