@@ -924,7 +924,8 @@ object Similarity {
     * ext146 (in-query graph), ext147 (stored edges) and ext148
     * (CDC-maintained edges). Corpus: (vec_id, label, v); the entry point,
     * queries and scoring all derive from it. */
-  private def beamTopK(adj: DataFrame, corpus: DataFrame): DataFrame = {
+  private def beamTopK(adj: DataFrame, corpus: DataFrame,
+      entryOpt: Option[DataFrame] = None): DataFrame = {
     val all = corpus
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
@@ -934,9 +935,11 @@ object Similarity {
           Seq("n_id"))
         .select(col("q_id"), col("n_id"),
           expr("graft_cosine(qv, nv)").as("cos"))
-    val entry = qs
+    // default entry: the smallest vec_id of the query's own cell;
+    // ext163 passes a probe-2 frontier (one entry per probed cell)
+    val entry = entryOpt.getOrElse(qs
       .join(all.groupBy("label").agg(min("vec_id").as("n_id")), Seq("label"))
-      .select("q_id", "n_id")
+      .select("q_id", "n_id"))
     val wBeam = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     var frontier = scored(entry)
     var visited = frontier
@@ -1000,10 +1003,11 @@ object Similarity {
     * k-means cells): build the capped adjacency, run the beam, compare
     * its top-3 against the exact global top-3 and the exact in-cell
     * top-3. */
-  private def graphRecallOver(corpus: DataFrame): DataFrame = {
+  private def graphRecallOver(corpus: DataFrame,
+      entryOpt: Option[DataFrame] = None): DataFrame = {
     val all = corpus
     val adj = AnnIndex.graphEdges(all).select("src", "dst")
-    val beam = beamTopK(adj, all)
+    val beam = beamTopK(adj, all, entryOpt)
       .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -1052,6 +1056,43 @@ object Similarity {
     val (a1, _) = kmeansBuild(s, d)
     graphRecallOver(a1.select(col("vec_id"),
       col("cell").cast("int").as("label"), col("v")))
+  }
+
+  /** ext163 — GRAPH RECALL WITH PROBE-2 ENTRY: the third rung of the
+    * tuning ladder (ext159 label cells → ext162 trained cells →
+    * ext163 trained cells + multi-cell entry). The beam still walks
+    * in-cell edges only, but each query now STARTS from the entry node
+    * of its TWO nearest trained cells (the IVF probe-2 discipline —
+    * one centroid ranking per query, a broadcast row), so the visited
+    * set spans two cells: measured at sf0.01 recall_global rises to
+    * 0.167 (vs 0.133 probe-1 trained, 0.067 labels) — a real but
+    * modest rung, because the FIXED beam width (8) is now shared
+    * between two cells' frontiers, halving per-cell exploration
+    * (recall_cell drops 0.5 → 0.4 for the same reason). The measured
+    * ladder makes the tuning surface concrete: probes buy breadth,
+    * hops × width buy depth, and production picks both per recall
+    * target. Candidate work stays ∝ probes × beam; the corpus is
+    * untouched. Oracle: the probe-2 centroid ranking replaces the
+    * default entry CTE; everything else is ext162's restatement. */
+  val graphRecallProbe2: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val (a1, cents) = kmeansBuild(s, d)
+    val corpus = a1.select(col("vec_id"),
+      col("cell").cast("int").as("label"), col("v"))
+    val centsRow = broadcast(cents.groupBy()
+      .agg(collect_list(struct(col("cid"), col("c"))).as("cents")))
+    val qcells = a1.filter(col("vec_id") % 50 === 0)
+      .crossJoin(centsRow)
+      .select(col("vec_id").as("q_id"), explode(expr(
+        "slice(transform(array_sort(transform(cents, " +
+          "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
+          "t -> t.cid), 1, 2)")).as("cell0"))
+      .select(col("q_id"), col("cell0").cast("int").as("cell"))
+    val entry = qcells
+      .join(corpus.groupBy("label").agg(min("vec_id").as("n_id")),
+        col("cell") === col("label"))
+      .select("q_id", "n_id")
+    graphRecallOver(corpus, Some(entry))
   }
 
   /** ext147 — beam search over the STORED graph ([[AnnIndex
@@ -1109,6 +1150,7 @@ object Similarity {
     "ext146_graph_ann_beam" -> graphAnnBeam,
     "ext159_graph_recall_eval" -> graphRecallEval,
     "ext162_graph_recall_trained" -> graphRecallTrained,
+    "ext163_graph_recall_probe2" -> graphRecallProbe2,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1329,8 +1371,8 @@ object Similarity {
     * graph probes identically to the in-query build) and over the
     * post-CDC corpus (ext148); `vCte`'s `v` must expose vec_id, label,
     * v, norm. */
-  private def graphAnnOracleFrom(vCte: String, corpus: String = "v")
-      : String = {
+  private def graphAnnOracleFrom(vCte: String, corpus: String = "v",
+      entrySql: Option[String] = None): String = {
     def hop(k: Int): String =
       s"""x$k AS (
          |  SELECT DISTINCT f.q_id, a.dst AS n_id
@@ -1366,10 +1408,12 @@ object Similarity {
        |  WHERE rk <= 4),
        |q AS (SELECT vec_id AS q_id, label, v AS qv, norm AS qnorm
        |      FROM $corpus WHERE vec_id % 50 = 0),
-       |e0 AS (
-       |  SELECT q.q_id, e.n_id FROM q
-       |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM $corpus GROUP BY label) e
-       |    USING (label)),
+       |${entrySql.getOrElse(
+             s"""e0 AS (
+                |  SELECT q.q_id, e.n_id FROM q
+                |  JOIN (SELECT label, MIN(vec_id) AS n_id
+                |        FROM $corpus GROUP BY label) e
+                |    USING (label))""".stripMargin)},
        |s0 AS (
        |  SELECT f.q_id, f.n_id,
        |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
@@ -1394,9 +1438,9 @@ object Similarity {
   /** ext159's oracle — the beam restated as a CTE chain (the body of
     * [[graphAnnOracleFrom]] up to `vis`), an exact brute-force top-3,
     * and the per-query hit count. */
-  private def graphRecallOracleFrom(vCte: String, corpus: String = "v")
-      : String = {
-    val beam = graphAnnOracleFrom(vCte, corpus)
+  private def graphRecallOracleFrom(vCte: String, corpus: String = "v",
+      entrySql: Option[String] = None): String = {
+    val beam = graphAnnOracleFrom(vCte, corpus, entrySql)
     val body = beam.substring(0, beam.indexOf("SELECT q_id, CAST(row_number()"))
     s"""${body.trim.stripSuffix(",")},
        |beam3 AS (
@@ -1446,6 +1490,23 @@ object Similarity {
       kmeansCtesFrom("v") +
         ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
       corpus = "gv"),
+    "ext163_graph_recall_probe2" -> graphRecallOracleFrom(
+      kmeansCtesFrom("v") +
+        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
+      corpus = "gv",
+      entrySql = Some(
+        """qc2 AS (
+          |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
+          |    SELECT x.vec_id, s.cid,
+          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+          |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+          |        s.cid) AS rk
+          |    FROM gv x CROSS JOIN cents s WHERE x.vec_id % 50 = 0)
+          |  WHERE rk <= 2),
+          |e0 AS (
+          |  SELECT qc2.q_id, e.n_id FROM qc2
+          |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
+          |    ON qc2.cell = e.label)""".stripMargin)),
     "ext147_graph_index_probe" -> graphAnnOracleFrom(vSql),
     "ext148_graph_cdc_maintenance" -> graphAnnOracleFrom(
       """vm AS (
