@@ -948,6 +948,40 @@ object Dedup {
        |${shinglesSqlFrom("documents_cdc")},
        |$minhashLshBodySql""".stripMargin
 
+  /** ext164's oracle — recursive components over the stream-mutated
+    * cohort (seed+append, then DELETE %9=0 and re-text %11=4), shared
+    * with Streams so the streamed maintenance and the batch oracle
+    * restate one corpus. */
+  private[graft] lazy val streamLabelOracleSql: String =
+    s"""WITH RECURSIVE documents_m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 4 THEN text || ' graft slb rev'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id < 1200 AND doc_id % 9 <> 0),
+       |${shinglesSqlFrom("documents_m")},
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+       |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
+       |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents_m d LEFT JOIN comp c ON d.doc_id = c.id
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // delete/update-tolerant labels: the cluster-local apply over the
     // stored edges must equal the recursive components of the

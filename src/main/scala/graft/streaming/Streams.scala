@@ -746,6 +746,55 @@ object Streams {
     * hash-match ext145's oracle over the post-mutation corpus — the
     * batch and streaming maintenance paths converge to the same
     * artifact (SQ's per-row purity makes that convergence EXACT). */
+  /** ext164 — STREAMED MAINTENANCE OF THE COMPONENT-LABEL INDEX: the
+    * delete-tolerant label family (round-12) under ext138's operating
+    * mode — one streaming job tails the corpus change feed and drives
+    * [[graft.ext.DedupIndex.ensureLabelsCdc]] from `foreachBatch`, so
+    * appends MERGE components and erasure DELETEs / re-text UPDATEs
+    * retract-and-re-add them (splits included, cluster-local over the
+    * stored edge artifact) mid-stream. The final labels must hash-match
+    * the recursive-components oracle over the post-mutation corpus —
+    * streamed maintenance ≡ batch rebuild, for the family where that
+    * equivalence is hardest (labels are a GLOBAL property). Cohort
+    * bounded to 1200 ids (the ext141/ext161 discipline; every label
+    * apply here pays a D-phase + quotient CC, so the cohort is kept
+    * tighter than ext161's). */
+  val streamLabelMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.slb_docs")
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_stream_lb_$x"))
+    s.sql("CREATE TABLE graft_cat.db.slb_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val docs = graft.ops.table(s, d, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 1200)
+    docs.filter(col("doc_id") < 1000).writeTo("graft_cat.db.slb_docs").append()
+    withStreamShuffle(s) {
+      val query = s.readStream.table("graft_cat.db.slb_docs.changes")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.ops.ensureGraftCatalog(bs)
+          graft.ext.DedupIndex.ensureLabelsCdc(bs,
+            "graft_cat.db.slb_docs", "stream_lb")
+          ()
+        }.start()
+      try {
+        query.processAllAvailable()
+        docs.filter(col("doc_id") >= 2000)
+          .writeTo("graft_cat.db.slb_docs").append()
+        s.sql("DELETE FROM graft_cat.db.slb_docs WHERE doc_id % 9 = 0")
+        s.sql("UPDATE graft_cat.db.slb_docs " +
+          "SET text = text || ' graft slb rev' WHERE doc_id % 11 = 4")
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    s.table("graft_cat.db.dedup_stream_lb_lb_labels")
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val streamSqMaintenance: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.ssq_vecs")
@@ -1812,6 +1861,7 @@ object Streams {
     "ext133_stream_index_maintenance" -> streamIndexMaintenance,
     "ext138_stream_cdc_index" -> streamCdcIndexMaintenance,
     "ext151_stream_sq_maintenance" -> streamSqMaintenance,
+    "ext164_stream_label_maintenance" -> streamLabelMaintenance,
     "ext103_stream_rate_limit" -> streamRateLimit,
     "ext107_stream_quarantine" -> streamQuarantine,
     "ext114_stream_wap_branch" -> streamWapBranch)
@@ -1839,6 +1889,8 @@ object Streams {
     // the change-feed-stream-maintained index must converge to exactly
     // ext134's batch-CDC state over the post-delete post-update corpus
     "ext138_stream_cdc_index" -> graft.ext.Dedup.cdcMutatedLshOracleSql,
+    "ext164_stream_label_maintenance" ->
+      graft.ext.Dedup.streamLabelOracleSql,
     "ext151_stream_sq_maintenance" ->
       graft.ext.Similarity.sqCdcMutatedOracleSql,
     // emission 1 = lower event-time half, emission 2 = cumulative all —

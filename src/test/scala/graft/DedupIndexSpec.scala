@@ -345,6 +345,34 @@ class DedupIndexSpec extends SparkTestBase {
       "stream-maintained SQ codes diverged from the batch-CDC construction")
   }
 
+  test("change-feed stream drives ensureLabelsCdc: deletes split mid-stream") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = DedupIndex.labelBuilds.get()
+    val i0 = DedupIndex.labelIncRefreshes.get()
+    val rows = streaming.Streams
+      .queries("ext164_stream_label_maintenance")(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(DedupIndex.labelBuilds.get() === b0 + 1,
+      "stream label maintenance should build exactly once (the seed)")
+    assert(DedupIndex.labelIncRefreshes.get() >= i0 + 1,
+      "the mid-stream append/delete/update should apply incrementally")
+    // the stream-maintained labels converge to a from-scratch rebuild
+    // over the same post-mutation corpus (delete-that-splits included)
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_slbchk_$x"))
+    val full = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.slb_docs",
+      "slbchk")
+    val rebuilt = spark.table(full)
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toSeq).toSeq === rebuilt.map(_.toSeq).toSeq,
+      "stream-maintained labels diverged from the batch rebuild")
+    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_slbchk_$x"))
+  }
+
   test("incremental labels: quotient merge == rebuild; replay is a fixpoint") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
