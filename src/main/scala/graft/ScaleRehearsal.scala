@@ -233,7 +233,7 @@ object ScaleRehearsal {
     val name = s"lblsc_${tag}_$pid"
     val corpus = s"graft_cat.db.lblsc_docs_${tag}_$pid"
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
     spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
@@ -255,7 +255,7 @@ object ScaleRehearsal {
       // wouldn't be cleaned by this run's entry drop — drop our own
       // tables here instead of orphaning them in the shared catalog
       spark.sql(s"DROP TABLE IF EXISTS $corpus")
-      Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -325,8 +325,13 @@ object DedupIndex {
   val labelIncRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Exact-Jaccard edges (J ≥ 0.5, a_id < b_id) among `docs`. */
-  private def jaccardEdges(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingles(docs)
+  private def jaccardEdges(docs: DataFrame): DataFrame =
+    jaccardEdgesFromShingles(Dedup.shingles(docs))
+
+  /** [[jaccardEdges]] over an explicit DISTINCT (doc_id, sh) frame —
+    * the build derives it from text once and STORES it; applies read
+    * the stored postings instead of re-shingling the corpus. */
+  private def jaccardEdgesFromShingles(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -348,14 +353,26 @@ object DedupIndex {
     graft.ops.ensureGraftCatalog(s)
     val labels = s"graft_cat.db.dedup_${name}_lb_labels"
     val edges = s"graft_cat.db.dedup_${name}_lb_edges"
+    val posts = s"graft_cat.db.dedup_${name}_lb_posts"
     val meta = s"graft_cat.db.dedup_${name}_lb_meta"
     CdcIndex.ensure(s, corpusTable, meta)(labels) { (v0, headV) =>
-      applyLabelsInc(s, corpusTable, labels, edges, meta, v0, headV); labels
+      applyLabelsInc(s, corpusTable, labels, edges, posts, meta, v0, headV)
+      labels
     } { headV =>
       val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
-      // the edge artifact lands first (labels derive from it, and a
-      // torn build — edges without labels/meta — just rebuilds)
-      jaccardEdges(docs)
+      // the SHINGLE POSTINGS land first: the corpus is shingled exactly
+      // once per build, the edge artifact derives from the stored
+      // postings, and every later apply joins the BATCH's shingles
+      // against these stored rows instead of re-shingling the corpus —
+      // the ext149 gram-index discipline applied to the label family
+      // (a torn build — postings without labels/meta — just rebuilds)
+      Dedup.shingles(docs)
+        .writeTo(posts)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      s.sql(s"ALTER TABLE $posts SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      jaccardEdgesFromShingles(s.table(posts))
         .writeTo(edges)
         .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
         .createOrReplace()
@@ -405,16 +422,18 @@ object DedupIndex {
     * An insert-only slice of genuinely-new docs has an empty D-phase
     * (no touched doc is stored) and reduces to the append path. */
   private def applyLabelsInc(s: SparkSession, corpusTable: String,
-      labels: String, edges: String, meta: String, v0: Long,
+      labels: String, edges: String, posts: String, meta: String, v0: Long,
       headV: Long): Unit = {
-    // a legacy index without the edge artifact cannot retract — rebuild
-    // (which migrates it; the feed-refusal path of CdcIndex.ensure)
-    val edgesExist =
-      try { s.table(edges).schema; true }
+    // a legacy index without the edge/postings artifacts cannot
+    // retract / cannot apply batch-sized — rebuild (which migrates it;
+    // the feed-refusal path of CdcIndex.ensure)
+    val artifactsExist =
+      try { s.table(edges).schema; s.table(posts).schema; true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
-    if (!edgesExist)
+    if (!artifactsExist)
       throw new UnsupportedOperationException(
-        "component labels: no stored edge artifact (pre-round-12 index)")
+        "component labels: no stored edge/postings artifact " +
+          "(pre-round-12 index)")
 
     val feed = s.sql(s"SELECT * FROM $corpusTable " +
       s"VERSION AS OF 'cdf:$v0..$headV'")
@@ -471,17 +490,22 @@ object DedupIndex {
     val afterD = untouchedRows
       .unionAll(splitNodes.select(col("doc_id"), col("node").as("comp")))
 
-    // ---- N-phase: head edges incident to the touched head images
-    // (work ∝ the batch's posting lists; includes batch-internal pairs)
-    val shAll = Dedup.shingles(head)
-    val shNew = Dedup.shingles(headTouched)
-    val cand = shNew.as("b").join(shAll.as("a"),
+    // ---- N-phase: head edges incident to the touched head images.
+    // The corpus side is the STORED postings (retracted to the head
+    // view: stored rows minus touched docs' plus the batch's fresh
+    // shingles), so the apply never re-shingles the corpus — work is
+    // the batch's shingle derivation + joins ∝ its posting lists
+    val shNew = Dedup.shingles(headTouched).persist()
+    val postsHead = s.table(posts)
+      .join(touched, Seq("doc_id"), "left_anti")
+      .unionAll(shNew)
+    val cand = shNew.as("b").join(postsHead.as("a"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     val ids = cand.select(col("a_id").as("doc_id"))
       .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sizes = shAll.join(ids, Seq("doc_id"), "left_semi")
+    val sizes = postsHead.join(ids, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // persisted: consumed by BOTH the quotient path (q → CC) and the
     // edge-artifact insert — without it the batch-shingle join runs twice
@@ -539,38 +563,47 @@ object DedupIndex {
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct().localCheckpoint(true)
     val touchedCk = touched.localCheckpoint(true)
+    val newPostRows = shNew.localCheckpoint(true)
 
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
     val uv = s"graft_lbl_merge_$sfx"
     val ev = s"graft_lbl_edges_$sfx"
+    val pv = s"graft_lbl_posts_$sfx"
     val tv = s"graft_lbl_touched_$sfx"
     usrc.createOrReplaceTempView(uv)
     newEdgeRows.createOrReplaceTempView(ev)
+    newPostRows.createOrReplaceTempView(pv)
     touchedCk.createOrReplaceTempView(tv)
     try {
-      // 1. retract the touched docs' edges (idempotent DV append)
+      // 1. retract the touched docs' edges + postings (idempotent DV
+      //    appends; postings are per-doc rows, so doc_id is the key)
       s.sql(s"DELETE FROM $edges WHERE a_id IN (SELECT doc_id FROM $tv) " +
         s"OR b_id IN (SELECT doc_id FROM $tv)")
+      s.sql(s"DELETE FROM $posts WHERE doc_id IN (SELECT doc_id FROM $tv)")
       // 2. ONE atomic label statement: erase + remap + upsert
       s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
         WHEN MATCHED AND u.del THEN DELETE
         WHEN MATCHED THEN UPDATE SET comp = u.comp
         WHEN NOT MATCHED AND NOT u.del THEN
           INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
-      // 3. publish the head edges + watermark together; a crash before
-      //    this txn replays the slice against the already-converged
-      //    labels — retract+re-add of a current doc is a fixpoint
+      // 3. publish the head edges + postings + watermark together; a
+      //    crash before this txn replays the slice against the
+      //    already-converged labels — retract+re-add of a current doc
+      //    is a fixpoint
       CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO $edges SELECT * FROM $ev")
+        s.sql(s"INSERT INTO $posts SELECT * FROM $pv")
         s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
       }
       labelIncRefreshes.incrementAndGet()
     } finally {
       s.catalog.dropTempView(uv)
       s.catalog.dropTempView(ev)
+      s.catalog.dropTempView(pv)
       s.catalog.dropTempView(tv)
       qsym.unpersist(blocking = false)
       edgesNew.unpersist(blocking = false)
+      shNew.unpersist(blocking = false)
     }
   }
 

@@ -151,7 +151,8 @@ object Pipeline {
     Seq("er_docs", "er_vecs",
       "dedup_er_sigs", "dedup_er_meta",
       "dedup_er_gr_grams", "dedup_er_gr_meta",
-      "dedup_er_lb_labels", "dedup_er_lb_edges", "dedup_er_lb_meta",
+      "dedup_er_lb_labels", "dedup_er_lb_edges", "dedup_er_lb_posts",
+      "dedup_er_lb_meta",
       "search_er_postings", "search_er_docs", "search_er_meta",
       "ann_er_cells", "ann_er_cents", "ann_er_meta",
       "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta",
@@ -211,6 +212,8 @@ object Pipeline {
         count(lit(1)).as("n_live"))
         .select(lit("component-edges").as("family"),
           col("n_erased_live"), col("n_live")))
+      .unionAll(leg("component-postings",
+        "graft_cat.db.dedup_er_lb_posts", "doc_id"))
       .unionAll(leg("ivf-cells", ta.cells, "vec_id"))
       .unionAll(leg("minhash-signatures", td.sigs, "doc_id"))
       .unionAll(leg("exact-grams", tgm, "doc_id"))
@@ -356,7 +359,9 @@ object Pipeline {
         |  UNION ALL SELECT 'nsw-edges', 0, (SELECT n FROM gr)
         |  UNION ALL SELECT 'exact-grams', 0, (SELECT n FROM gm)
         |  UNION ALL SELECT 'component-labels', 0, (SELECT n FROM dl)
-        |  UNION ALL SELECT 'component-edges', 0, (SELECT n FROM ledg))
+        |  UNION ALL SELECT 'component-edges', 0, (SELECT n FROM ledg)
+        |  UNION ALL SELECT 'component-postings', 0,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM shl))
         |ORDER BY family""".stripMargin,
     "ext152_incremental_pipeline" ->
       s"""WITH ${CorpusOps.gopherCtesSql},

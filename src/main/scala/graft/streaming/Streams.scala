@@ -762,7 +762,7 @@ object Streams {
   val streamLabelMaintenance: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.slb_docs")
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_stream_lb_$x"))
     s.sql("CREATE TABLE graft_cat.db.slb_docs (doc_id BIGINT, " +
       "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")

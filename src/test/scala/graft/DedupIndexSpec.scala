@@ -359,7 +359,7 @@ class DedupIndexSpec extends SparkTestBase {
       "the mid-stream append/delete/update should apply incrementally")
     // the stream-maintained labels converge to a from-scratch rebuild
     // over the same post-mutation corpus (delete-that-splits included)
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_slbchk_$x"))
     val full = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.slb_docs",
       "slbchk")
@@ -369,7 +369,7 @@ class DedupIndexSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
     assert(rows.map(_.toSeq).toSeq === rebuilt.map(_.toSeq).toSeq,
       "stream-maintained labels diverged from the batch rebuild")
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_slbchk_$x"))
   }
 
@@ -387,7 +387,7 @@ class DedupIndexSpec extends SparkTestBase {
 
     // incremental == rebuilt: a from-scratch build over the SAME corpus
     // under a different index name must produce identical labels
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_full_$x"))
     val full = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
       "lbl_full")
@@ -425,7 +425,7 @@ class DedupIndexSpec extends SparkTestBase {
     assert(DedupIndex.labelIncRefreshes.get() === i0 + 3)
     val after = spark.table(t).collect()
     assert(after.forall(_.getLong(0) % 13 != 1))
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_del_$x"))
     val full2 = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
       "lbl_del")
@@ -463,7 +463,7 @@ class DedupIndexSpec extends SparkTestBase {
     import graft.ext.DedupIndex
     val corpus = "graft_cat.db.lblrp_docs"
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lblrp_$x"))
     spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
@@ -492,7 +492,7 @@ class DedupIndexSpec extends SparkTestBase {
     assert(got.toSeq === Seq((5L, 5L), (10L, 10L), (20L, 5L), (30L, 5L)),
       s"post-replay labels diverged: ${got.toSeq}")
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
-    Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lblrp_$x"))
   }
 
@@ -503,7 +503,7 @@ class DedupIndexSpec extends SparkTestBase {
     val corpus = "graft_cat.db.lblsp_docs"
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
     Seq("lblsp", "lblsp2", "lblsp3", "lblsp4").foreach(n =>
-      Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x")))
     spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
@@ -561,7 +561,7 @@ class DedupIndexSpec extends SparkTestBase {
 
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
     Seq("lblsp", "lblsp2", "lblsp3", "lblsp4").foreach(n =>
-      Seq("lb_labels", "lb_edges", "lb_meta").foreach(x =>
+      Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x")))
   }
 

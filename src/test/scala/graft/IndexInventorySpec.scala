@@ -34,7 +34,7 @@ class IndexInventorySpec extends SparkTestBase {
       s"dedup_${name}_sigs", s"dedup_${name}_meta",
       s"dedup_${name}_gr_grams", s"dedup_${name}_gr_meta",
       s"dedup_${name}_lb_labels", s"dedup_${name}_lb_edges",
-      s"dedup_${name}_lb_meta",
+      s"dedup_${name}_lb_posts", s"dedup_${name}_lb_meta",
       s"search_${name}_postings", s"search_${name}_docs",
       s"search_${name}_meta",
       s"ann_${name}_cells", s"ann_${name}_cents", s"ann_${name}_meta",

@@ -94,8 +94,9 @@ class PipelineSpec extends SparkTestBase {
       DedupIndex.gramCdcRefreshes.get(), DedupIndex.labelIncRefreshes.get())
     val rows = ext.Pipeline.queries("ext141_erasure_e2e")(spark, d).collect()
     // the audit itself: zero live rows attributable to erased subjects
-    // (8 index families + the bm25 doclens twin + the label edge table)
-    assert(rows.length === 10)
+    // (8 index families + the bm25 doclens twin + the label edge and
+    // postings tables)
+    assert(rows.length === 11)
     rows.foreach { r =>
       assert(r.getLong(r.fieldIndex("n_erased_live")) === 0L,
         s"erasure residue in ${r.getString(0)}")
