@@ -925,7 +925,7 @@ object Similarity {
     * (CDC-maintained edges). Corpus: (vec_id, label, v); the entry point,
     * queries and scoring all derive from it. */
   private def beamTopK(adj: DataFrame, corpus: DataFrame,
-      entryOpt: Option[DataFrame] = None): DataFrame = {
+      entryOpt: Option[DataFrame] = None, beamWidth: Int = 8): DataFrame = {
     val all = corpus
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
@@ -948,7 +948,8 @@ object Similarity {
         .join(adj, col("n_id") === col("src"))
         .select(col("q_id"), col("dst").as("n_id")).distinct()
       val beam = scored(expanded)
-        .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= 8)
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beamWidth)
         .drop("rk")
       visited = visited.unionAll(beam)
       frontier = beam
@@ -1004,10 +1005,10 @@ object Similarity {
     * its top-3 against the exact global top-3 and the exact in-cell
     * top-3. */
   private def graphRecallOver(corpus: DataFrame,
-      entryOpt: Option[DataFrame] = None): DataFrame = {
+      entryOpt: Option[DataFrame] = None, beamWidth: Int = 8): DataFrame = {
     val all = corpus
     val adj = AnnIndex.graphEdges(all).select("src", "dst")
-    val beam = beamTopK(adj, all, entryOpt)
+    val beam = beamTopK(adj, all, entryOpt, beamWidth)
       .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -1074,8 +1075,9 @@ object Similarity {
     * target. Candidate work stays ∝ probes × beam; the corpus is
     * untouched. Oracle: the probe-2 centroid ranking replaces the
     * default entry CTE; everything else is ext162's restatement. */
-  val graphRecallProbe2: Q = (s, d) => {
-    graft.functions.CosineSimilarity.register(s)
+  /** Trained corpus + probe-2 entry frontier, shared by ext163/ext165. */
+  private def trainedProbe2(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val (a1, cents) = kmeansBuild(s, d)
     val corpus = a1.select(col("vec_id"),
       col("cell").cast("int").as("label"), col("v"))
@@ -1092,7 +1094,28 @@ object Similarity {
       .join(corpus.groupBy("label").agg(min("vec_id").as("n_id")),
         col("cell") === col("label"))
       .select("q_id", "n_id")
+    (corpus, entry)
+  }
+
+  val graphRecallProbe2: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val (corpus, entry) = trainedProbe2(s, d)
     graphRecallOver(corpus, Some(entry))
+  }
+
+  /** ext165 — the WIDTH rung of the ladder: ext163's configuration with
+    * the beam doubled to 16 (hops unchanged), so the two probed cells
+    * stop starving each other. Measured at sf0.01: recall_global 0.233
+    * (vs 0.167 at beam 8) and recall_cell 0.5 (vs 0.4) — the
+    * quantified "width buys depth" half of the breadth-vs-depth trade,
+    * at ~2× the per-hop scoring rows per query (still ∝ probes × beam,
+    * corpus untouched). Full measured ladder at sf0.01 recall_global:
+    * 0.067 (label cells) → 0.133 (trained) → 0.167 (probe-2) → 0.233
+    * (probe-2 × beam-16). */
+  val graphRecallBeam16: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val (corpus, entry) = trainedProbe2(s, d)
+    graphRecallOver(corpus, Some(entry), beamWidth = 16)
   }
 
   /** ext147 — beam search over the STORED graph ([[AnnIndex
@@ -1151,6 +1174,7 @@ object Similarity {
     "ext159_graph_recall_eval" -> graphRecallEval,
     "ext162_graph_recall_trained" -> graphRecallTrained,
     "ext163_graph_recall_probe2" -> graphRecallProbe2,
+    "ext165_graph_recall_beam16" -> graphRecallBeam16,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1372,7 +1396,7 @@ object Similarity {
     * post-CDC corpus (ext148); `vCte`'s `v` must expose vec_id, label,
     * v, norm. */
   private def graphAnnOracleFrom(vCte: String, corpus: String = "v",
-      entrySql: Option[String] = None): String = {
+      entrySql: Option[String] = None, beamWidth: Int = 8): String = {
     def hop(k: Int): String =
       s"""x$k AS (
          |  SELECT DISTINCT f.q_id, a.dst AS n_id
@@ -1387,7 +1411,7 @@ object Similarity {
          |  SELECT q_id, n_id, cos FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM s${k}p)
-         |  WHERE rk <= 8)""".stripMargin
+         |  WHERE rk <= $beamWidth)""".stripMargin
     s"""WITH $vCte,
        |csz AS (
        |  SELECT label, CAST(ceil(count(*) / ${AnnIndex.GraphCellCap}.0)
@@ -1439,8 +1463,8 @@ object Similarity {
     * [[graphAnnOracleFrom]] up to `vis`), an exact brute-force top-3,
     * and the per-query hit count. */
   private def graphRecallOracleFrom(vCte: String, corpus: String = "v",
-      entrySql: Option[String] = None): String = {
-    val beam = graphAnnOracleFrom(vCte, corpus, entrySql)
+      entrySql: Option[String] = None, beamWidth: Int = 8): String = {
+    val beam = graphAnnOracleFrom(vCte, corpus, entrySql, beamWidth)
     val body = beam.substring(0, beam.indexOf("SELECT q_id, CAST(row_number()"))
     s"""${body.trim.stripSuffix(",")},
        |beam3 AS (
@@ -1494,6 +1518,23 @@ object Similarity {
       kmeansCtesFrom("v") +
         ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
       corpus = "gv",
+      entrySql = Some(
+        """qc2 AS (
+          |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
+          |    SELECT x.vec_id, s.cid,
+          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+          |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+          |        s.cid) AS rk
+          |    FROM gv x CROSS JOIN cents s WHERE x.vec_id % 50 = 0)
+          |  WHERE rk <= 2),
+          |e0 AS (
+          |  SELECT qc2.q_id, e.n_id FROM qc2
+          |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
+          |    ON qc2.cell = e.label)""".stripMargin)),
+    "ext165_graph_recall_beam16" -> graphRecallOracleFrom(
+      kmeansCtesFrom("v") +
+        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
+      corpus = "gv", beamWidth = 16,
       entrySql = Some(
         """qc2 AS (
           |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
