@@ -99,7 +99,19 @@ private[ext] object CdcIndex {
         rebuild(headV)
       case Some(v0) if v0 >= headV => noOp
       case Some(v0) =>
-        try apply(v0, headV)
+        // retention guard: `expire_versions` may have dropped commits
+        // INSIDE (v0, headV] — the change feed then refuses the range
+        // with IllegalArgumentException (NOT the feed-refusal
+        // UnsupportedOperationException), which would wedge maintenance
+        // permanently: same watermark, same failure, every call, until
+        // someone drops the meta by hand. Detect the gap from the
+        // retained-version metadata (manifest arithmetic, no data read)
+        // and take the documented degradation path instead — a full
+        // rebuild, which also re-binds the watermark above the horizon.
+        val retained = s.table(s"$corpusTable.versions")
+          .filter(col("v") > v0 && col("v") <= headV).count()
+        if (retained < headV - v0) rebuild(headV)
+        else try apply(v0, headV)
         catch {
           case _: UnsupportedOperationException => rebuild(headV)
         }
@@ -149,10 +161,16 @@ private[ext] object CdcIndex {
   def appendOnlyBetween(s: SparkSession, table: String, v0: Long,
       v1: Long): Boolean = {
     val safe = Set("append", "compact", "zorder", "alter", "tag")
-    s.table(s"$table.versions")
+    val ops = s.table(s"$table.versions")
       .filter(col("v") > v0 && col("v") <= v1)
       .select("operation").collect()
-      .forall(r => safe(r.getString(0).split('@').head))
+    // completeness first: expire_versions may have dropped commits
+    // inside the range, and an EXPIRED non-append commit (an in-place
+    // UPDATE, say) must not become invisible to this proof — judging
+    // only the retained rows would let the delta path serve stale
+    // entries for rows the missing commit rewrote
+    ops.length == (v1 - v0) &&
+      ops.forall(r => safe(r.getString(0).split('@').head))
   }
 
   /** One cross-table transaction (CALL system.txn_*): the atomic

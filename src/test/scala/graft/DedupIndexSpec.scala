@@ -565,6 +565,95 @@ class DedupIndexSpec extends SparkTestBase {
         spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x")))
   }
 
+  test("expire_versions below the watermark: maintenance rebuilds, never wedges") {
+    // retention vs CDC watermark: expire_versions may drop commits the
+    // next apply's feed range needs — the feed refuses such ranges with
+    // IllegalArgumentException (not the feed-refusal exception), so
+    // without the retention guard the ensure would wedge permanently.
+    // The guard detects the gap from the retained-version metadata and
+    // takes the documented degradation path: a full rebuild.
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    import graft.ext.DedupIndex
+    val corpus = "graft_cat.db.expw_docs"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("sigs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_expw_$x"))
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    docs.filter(col("doc_id") < 200).writeTo(corpus).append()
+    DedupIndex.ensureCdc(spark, corpus, "expw") // build, watermark = v1
+    // two more commits, then expire history down past the watermark
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .writeTo(corpus).append()
+    spark.sql(s"DELETE FROM $corpus WHERE doc_id % 10 = 3")
+    spark.sql(s"CALL graft_cat.system.expire_versions('db.expw_docs', 1)")
+    val b0 = DedupIndex.builds.get()
+    val c0 = DedupIndex.cdcRefreshes.get()
+    val t = DedupIndex.ensureCdc(spark, corpus, "expw") // must not throw
+    assert(DedupIndex.builds.get() === b0 + 1,
+      "expired-below-watermark maintenance must degrade to a rebuild")
+    assert(DedupIndex.cdcRefreshes.get() === c0)
+    // the rebuilt index matches a fresh signing of the head corpus
+    val stored = spark.table(t.sigs).orderBy("doc_id").collect().map(_.toSeq)
+    val fresh = DedupIndex.signatures(
+        spark.table(corpus).select("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(stored.toSeq === fresh.toSeq)
+    // and the re-bound watermark serves the NEXT slice incrementally
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+      .writeTo(corpus).append()
+    DedupIndex.ensureCdc(spark, corpus, "expw")
+    assert(DedupIndex.builds.get() === b0 + 1, "post-rebuild apply rebuilt again")
+    assert(DedupIndex.cdcRefreshes.get() === c0 + 1)
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("sigs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_expw_$x"))
+  }
+
+  test("expired UPDATE commit cannot hide from the append-only proof") {
+    // the plain delta path trusts appendOnlyBetween(storedK, fp): if an
+    // in-place UPDATE's commit record was EXPIRED out of that range,
+    // judging only the retained rows would declare the range append-only
+    // and sign just the delta — serving a stale signature for the
+    // updated doc. The completeness check (retained count == range
+    // width) must force the rebuild instead.
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    import graft.ext.DedupIndex
+    val corpus = "graft_cat.db.expu_docs"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("sigs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_expu_$x"))
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    docs.filter(col("doc_id") < 200).writeTo(corpus).append()
+    // PLAIN ensure over a pure catalog scan — k-mode fingerprint path
+    val t = DedupIndex.ensure(spark, spark.table(corpus), "expu")
+    // count+max-preserving UPDATE, then an append, then expire the
+    // history so the UPDATE's commit record vanishes from the range
+    spark.sql(s"UPDATE $corpus SET text = 'graft expired update' " +
+      "WHERE doc_id = 7")
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+      .writeTo(corpus).append()
+    spark.sql(s"CALL graft_cat.system.expire_versions('db.expu_docs', 1)")
+    val b0 = DedupIndex.builds.get()
+    val rf0 = DedupIndex.refreshes.get()
+    DedupIndex.ensure(spark, spark.table(corpus), "expu")
+    assert(DedupIndex.builds.get() === b0 + 1,
+      "an expired UPDATE slipped past the append-only proof — stale index")
+    assert(DedupIndex.refreshes.get() === rf0)
+    val stored = spark.table(t.sigs).orderBy("doc_id").collect().map(_.toSeq)
+    val fresh = DedupIndex.signatures(
+        spark.table(corpus).select("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(stored.toSeq === fresh.toSeq,
+      "rebuilt index diverged from the mutated corpus")
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("sigs", "meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_expu_$x"))
+  }
+
   test("gram index autocompact: CDC churn compacts; grams still == rebuild") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
