@@ -101,6 +101,20 @@ object IncrementalMv {
     if (headV == lastV)
       return RefreshResult(0L, refreshed = false, headV, deltaPlan = "")
 
+    // retention guard (the CdcIndex.ensure discipline): expire_versions
+    // may have dropped commits inside (lastV, headV] — the change feed
+    // then refuses the range and the refresh would fail identically
+    // forever. Detect the gap from the retained-version metadata and
+    // degrade to the documented full re-BUILD, which re-binds the
+    // watermark above the expiration horizon.
+    val retained = s.table(s"$fact.versions")
+      .filter(s"v > $lastV AND v <= $headV").count()
+    if (retained < headV - lastV) {
+      val v = build(s, fact, mv, meta, groups, valSql)
+      return RefreshResult(0L, refreshed = true, v,
+        deltaPlan = "rebuild: history expired below the watermark")
+    }
+
     // Signed per-group deltas from the feed — the ONLY fact-side read,
     // and it reads the range's churn (insert slices from new segments,
     // delete pre-images from surviving files, DV-growth diffs), never a

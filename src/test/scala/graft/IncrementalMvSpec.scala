@@ -116,6 +116,32 @@ class IncrementalMvSpec extends SparkTestBase {
     mvEqualsRebuild()
   }
 
+  test("expire_versions below the watermark: refresh rebuilds, never wedges") {
+    // retention vs watermark (the CdcIndex.ensure discipline): expiring
+    // commits inside (lastV, head] makes the CDF read refuse the range
+    // — without the guard the refresh would fail identically forever.
+    // It must degrade to the full re-build and keep serving.
+    reset()
+    spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id < 1000")
+    IncrementalMv.build(spark, fact, mv, meta, Seq("id % 10" -> "g"), "v")
+    spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec " +
+      "WHERE id >= 1000 AND id < 2000")
+    spark.sql(s"DELETE FROM $fact WHERE v < 25")
+    spark.sql("CALL graft_cat.system.expire_versions('db.mvspec_f', 1)")
+    val r = IncrementalMv.refresh(spark, fact, mv, meta,
+      Seq("id % 10" -> "g"), "v")
+    assert(r.refreshed, "expired-range refresh must rebuild, not wedge")
+    assert(r.deltaPlan.startsWith("rebuild:"), r.deltaPlan)
+    mvEqualsRebuild()
+    // the re-bound watermark serves the NEXT slice incrementally again
+    spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id >= 2000")
+    val r2 = IncrementalMv.refresh(spark, fact, mv, meta,
+      Seq("id % 10" -> "g"), "v")
+    assert(r2.refreshed && r2.deltaPlan.contains("@cdf:"),
+      s"post-rebuild refresh did not take the CDF path: ${r2.deltaPlan}")
+    mvEqualsRebuild()
+  }
+
   test("refresh before build refuses loudly") {
     reset()
     spark.sql(s"INSERT INTO $fact SELECT id, v FROM graft_seq_mvspec WHERE id < 100")
