@@ -128,12 +128,13 @@ object Pipeline {
     * the right-to-be-forgotten path at 100 TB. A corpus table (docs) and
     * a vector table (embeddings) each take one DELETE of the subject
     * slice (`id % 7 = 2` — the erasure request), and CDC maintenance
-    * propagates it to all seven derived artifacts with FEED-SIZED work
+    * propagates it to all EIGHT index families with FEED-SIZED work
     * (one change-feed slice each, never a rebuild): MinHash signatures,
     * exact-substring gram rows, BM25 postings + doc lengths, IVF cells,
     * PQ codes, SQ codes, NSW graph edges (cell-granular — and audited on
     * BOTH edge ends, since an erased vector must vanish as src and as
-    * dst). The output audits
+    * dst), and component labels with their edge and shingle-postings
+    * side tables (cluster-local retract, splits exact). The output audits
     * the claim the way a compliance review would: per family, the live
     * row count still attributable to erased subjects (hash-checked to be
     * ZERO) and the surviving total (hash-checked against a DuckDB
