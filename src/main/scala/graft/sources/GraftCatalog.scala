@@ -2989,16 +2989,24 @@ object SegTable {
     * (renamed on task commit, deleted on abort — the two-phase protocol);
     * identity-partitioned tables route rows to one segment per partition
     * value, which is what makes the zone-maps exact partition pruning. */
-  /** Per-driver-JVM token baked into segment file names: partition and
-    * task ids are unique only WITHIN one Spark application, so two
-    * processes writing the same table would otherwise both produce
+  /** Per-(JVM, Spark application) token baked into segment file names:
+    * partition and task ids are unique only WITHIN one application, so
+    * two processes writing the same table would otherwise both produce
     * `seg-p0-t0-0.bin` and clobber each other's data files (round-12
-    * CommitRaceSpec: the duplicated/lost rows half of the race). The
-    * token is captured by the writer-factory closure, so executors of
-    * one application share it and cross-application names stay
-    * disjoint. */
-  private val writerToken: String =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    * CommitRaceSpec: the duplicated/lost rows half of the race) — and
+    * two SEQUENTIAL contexts in one JVM restart task ids from zero, so
+    * the application id composes in. The token is resolved driver-side
+    * at write-planning time and captured by the writer-factory closure,
+    * so executors of one application share it. */
+  private val jvmToken: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+  private def writerToken: String = {
+    val app = try java.lang.Integer.toHexString(
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .applicationId.hashCode)
+    catch { case _: Throwable => "na" }
+    s"$jvmToken$app"
+  }
 
   private[sources] def writerFactory(dirStr: String,
       ver: SegVersion): DataWriterFactory = {
