@@ -925,7 +925,8 @@ object Similarity {
     * (CDC-maintained edges). Corpus: (vec_id, label, v); the entry point,
     * queries and scoring all derive from it. */
   private def beamTopK(adj: DataFrame, corpus: DataFrame,
-      entryOpt: Option[DataFrame] = None, beamWidth: Int = 8): DataFrame = {
+      entryOpt: Option[DataFrame] = None, beamWidth: Int = 8,
+      hops: Int = 3): DataFrame = {
     val all = corpus
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
@@ -943,7 +944,7 @@ object Similarity {
     val wBeam = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     var frontier = scored(entry)
     var visited = frontier
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to hops) {
       val expanded = frontier.select("q_id", "n_id")
         .join(adj, col("n_id") === col("src"))
         .select(col("q_id"), col("dst").as("n_id")).distinct()
@@ -1005,10 +1006,11 @@ object Similarity {
     * its top-3 against the exact global top-3 and the exact in-cell
     * top-3. */
   private def graphRecallOver(corpus: DataFrame,
-      entryOpt: Option[DataFrame] = None, beamWidth: Int = 8): DataFrame = {
+      entryOpt: Option[DataFrame] = None, beamWidth: Int = 8,
+      hops: Int = 3): DataFrame = {
     val all = corpus
     val adj = AnnIndex.graphEdges(all).select("src", "dst")
-    val beam = beamTopK(adj, all, entryOpt, beamWidth)
+    val beam = beamTopK(adj, all, entryOpt, beamWidth, hops)
       .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
@@ -1109,13 +1111,27 @@ object Similarity {
     * (vs 0.167 at beam 8) and recall_cell 0.5 (vs 0.4) — the
     * quantified "width buys depth" half of the breadth-vs-depth trade,
     * at ~2× the per-hop scoring rows per query (still ∝ probes × beam,
-    * corpus untouched). Full measured ladder at sf0.01 recall_global:
-    * 0.067 (label cells) → 0.133 (trained) → 0.167 (probe-2) → 0.233
-    * (probe-2 × beam-16). */
+    * corpus untouched). */
   val graphRecallBeam16: Q = (s, d) => {
     graft.functions.CosineSimilarity.register(s)
     val (corpus, entry) = trainedProbe2(s, d)
     graphRecallOver(corpus, Some(entry), beamWidth = 16)
+  }
+
+  /** ext166 — the DEPTH rung: ext165's configuration with FIVE hops
+    * (beam 16, probe-2 entry). Two extra frontier expansions per query
+    * — each a keyed join of (queries × beam) rows against the
+    * 4-edges-per-node adjacency, still corpus-size-independent.
+    * Measured at sf0.01: recall_global 0.433, recall_cell 0.533 —
+    * depth is the strongest single lever on this fixture. The full
+    * measured recall_global ladder: 0.067 (label cells) → 0.133
+    * (trained quantizer) → 0.167 (probe-2) → 0.233 (× beam-16) →
+    * 0.433 (× hops-5). All three tuning levers (breadth, width,
+    * depth) now have oracle-checked, quantified rungs. */
+  val graphRecallHops5: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val (corpus, entry) = trainedProbe2(s, d)
+    graphRecallOver(corpus, Some(entry), beamWidth = 16, hops = 5)
   }
 
   /** ext147 — beam search over the STORED graph ([[AnnIndex
@@ -1175,6 +1191,7 @@ object Similarity {
     "ext162_graph_recall_trained" -> graphRecallTrained,
     "ext163_graph_recall_probe2" -> graphRecallProbe2,
     "ext165_graph_recall_beam16" -> graphRecallBeam16,
+    "ext166_graph_recall_hops5" -> graphRecallHops5,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1396,7 +1413,8 @@ object Similarity {
     * post-CDC corpus (ext148); `vCte`'s `v` must expose vec_id, label,
     * v, norm. */
   private def graphAnnOracleFrom(vCte: String, corpus: String = "v",
-      entrySql: Option[String] = None, beamWidth: Int = 8): String = {
+      entrySql: Option[String] = None, beamWidth: Int = 8,
+      hops: Int = 3): String = {
     def hop(k: Int): String =
       s"""x$k AS (
          |  SELECT DISTINCT f.q_id, a.dst AS n_id
@@ -1444,13 +1462,11 @@ object Similarity {
        |      / (q.qnorm * c.norm) AS cos
        |  FROM e0 f JOIN q ON f.q_id = q.q_id
        |  JOIN $corpus c ON f.n_id = c.vec_id),
-       |${hop(1)},
-       |${hop(2)},
-       |${hop(3)},
+       |${(1 to hops).map(hop).mkString(",\n")},
        |vis AS (
        |  SELECT q_id, n_id, MIN(cos) AS cosine FROM (
-       |    SELECT * FROM s0 UNION ALL SELECT * FROM s1
-       |    UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+       |    ${(0 to hops).map(k => s"SELECT * FROM s$k")
+             .mkString("\n    UNION ALL ")})
        |  GROUP BY q_id, n_id)
        |SELECT q_id, CAST(row_number() OVER w AS INT) AS rank, n_id, cosine
        |FROM vis WHERE n_id <> q_id
@@ -1463,8 +1479,9 @@ object Similarity {
     * [[graphAnnOracleFrom]] up to `vis`), an exact brute-force top-3,
     * and the per-query hit count. */
   private def graphRecallOracleFrom(vCte: String, corpus: String = "v",
-      entrySql: Option[String] = None, beamWidth: Int = 8): String = {
-    val beam = graphAnnOracleFrom(vCte, corpus, entrySql, beamWidth)
+      entrySql: Option[String] = None, beamWidth: Int = 8,
+      hops: Int = 3): String = {
+    val beam = graphAnnOracleFrom(vCte, corpus, entrySql, beamWidth, hops)
     val body = beam.substring(0, beam.indexOf("SELECT q_id, CAST(row_number()"))
     s"""${body.trim.stripSuffix(",")},
        |beam3 AS (
@@ -1535,6 +1552,23 @@ object Similarity {
       kmeansCtesFrom("v") +
         ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
       corpus = "gv", beamWidth = 16,
+      entrySql = Some(
+        """qc2 AS (
+          |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
+          |    SELECT x.vec_id, s.cid,
+          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+          |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+          |        s.cid) AS rk
+          |    FROM gv x CROSS JOIN cents s WHERE x.vec_id % 50 = 0)
+          |  WHERE rk <= 2),
+          |e0 AS (
+          |  SELECT qc2.q_id, e.n_id FROM qc2
+          |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
+          |    ON qc2.cell = e.label)""".stripMargin)),
+    "ext166_graph_recall_hops5" -> graphRecallOracleFrom(
+      kmeansCtesFrom("v") +
+        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
+      corpus = "gv", beamWidth = 16, hops = 5,
       entrySql = Some(
         """qc2 AS (
           |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
