@@ -60,9 +60,33 @@ object CommitRaceMain {
       spark.stop()
       return
     }
+    val churn = args.length > 3 && args(3) == "churn"
     var i = 0
     while (i < n) {
       spark.sql(s"INSERT INTO race_cat.db.race VALUES ($writerId, $i)")
+      // churn mode: every third commit is a row-level DELETE of this
+      // writer's previous row — the copy-on-write rewrite path racing
+      // the OTHER process's interleaved commits. A rewrite whose source
+      // segments a concurrent commit replaced REFUSES with
+      // ConcurrentModificationException ("retry the operation") — the
+      // serializable-conflict contract, same as Delta's — so the client
+      // retries: the spec's convergence assertion then proves a retried
+      // rewrite never loses the other writer's rows
+      if (churn && i % 3 == 2) {
+        var done = false
+        var att = 0
+        while (!done) {
+          try {
+            spark.sql(s"DELETE FROM race_cat.db.race " +
+              s"WHERE w = $writerId AND i = ${i - 1}")
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException if att < 30 =>
+              att += 1
+              Thread.sleep(100L * math.min(att, 5))
+          }
+        }
+      }
       // the ack: anything printed here was DURABLY committed (the SQL
       // returned), so the spec may demand it back after any crash
       println(s"COMMITTED w=$writerId i=$i")

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 class CommitRaceSpec extends SparkTestBase {
 
-  private def launchWriter(wh: String, writerId: Int, n: Int): Process = {
+  private def launchWriter(wh: String, writerId: Int, n: Int,
+      mode: String = ""): Process = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java")
       .getAbsolutePath
@@ -37,7 +38,8 @@ class CommitRaceSpec extends SparkTestBase {
     val cp = "target/scala-2.13/classes:/opt/spark/jars/*"
     val cmd = Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-cp", cp,
-      "graft.CommitRaceMain", wh, writerId.toString, n.toString)
+      "graft.CommitRaceMain", wh, writerId.toString, n.toString) ++
+      (if (mode.nonEmpty) Seq(mode) else Nil)
     new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
   }
 
@@ -176,5 +178,71 @@ class CommitRaceSpec extends SparkTestBase {
     assert(nv === rowsA.size.toLong + nB + 2,
       s"version count $nv != commits ${rowsA.size + nB + 2}")
     spark.sql("DROP TABLE race_cat.db.race")
+  }
+}
+
+/** Row-level churn from two processes — the copy-on-write rewrite path
+  * rebasing against a concurrent writer's interleaved commits, which
+  * the append-only race cannot reach: every third commit is a DELETE
+  * of the writer's own previous row, so group rewrites race appends
+  * and other rewrites across the OS lock. Each writer's final row set
+  * is fully determined by its own sequential ops, so cross-process
+  * interference can only corrupt it through the commit protocol. */
+class CommitChurnSpec extends SparkTestBase {
+
+  test("two JVMs interleave inserts and row-level deletes; both converge") {
+    ops.configure(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_churn_wh")
+      .toString
+    spark.conf.set("spark.sql.catalog.churn_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.churn_cat.warehouse", wh)
+    spark.sql("CREATE TABLE churn_cat.db.race (w INT, i INT)")
+    // rebind the writer's catalog name to the same warehouse: the
+    // writer main hardcodes race_cat
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    def launch(id: Int, n: Int): Process = {
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      new ProcessBuilder((Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-cp",
+        "target/scala-2.13/classes:/opt/spark/jars/*",
+        "graft.CommitRaceMain", wh, id.toString, n.toString, "churn")): _*)
+        .redirectErrorStream(true).start()
+    }
+    val n = 24
+    val pA = launch(1, n)
+    val pB = launch(2, n)
+    // drain stdout so neither child blocks on a full pipe
+    Seq(pA, pB).foreach { p =>
+      val t = new Thread(() => {
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        while (rd.readLine() != null) ()
+      })
+      t.setDaemon(true); t.start()
+    }
+    assert(pA.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
+      pA.exitValue() == 0, "writer A failed")
+    assert(pB.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
+      pB.exitValue() == 0, "writer B failed")
+    // each writer inserted 0..n-1 and deleted every i ≡ 1 (mod 3)
+    val want = (0 until n).filter(_ % 3 != 1)
+    val rows = spark.table("churn_cat.db.race")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    Seq(1, 2).foreach { w =>
+      val got = rows.filter(_._1 == w).map(_._2).sorted.toSeq
+      assert(got === want,
+        s"writer $w diverged under cross-process churn: $got")
+    }
+    spark.sql("DROP TABLE churn_cat.db.race")
   }
 }
