@@ -122,15 +122,23 @@ object Bench {
     * probe ≈ total. */
   private[graft] def runJson(total: Double, sfDir: String,
       queries: Map[String, Double], probes: Map[String, Double],
-      extra: String = ""): String = {
+      extra: String = "", load1m: Double = -1.0): String = {
     def m(x: Map[String, Double]): String =
       x.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    s"""{"total":${r2(total)},"sf":"$sfDir","queries":${m(queries)},"probe":${m(probes)}$extra}"""
+    // load1m: the host 1-minute load average sampled at bench START
+    // (VERDICT r12 #8) — the r12 driver run was ~1.32× uniformly above
+    // the same-commit idle run, diagnosed only by cross-referencing sbt
+    // wall-clocks after the fact; recording the load makes a contended
+    // run self-labeling (-1 = unavailable on this JVM/OS)
+    s"""{"total":${r2(total)},"sf":"$sfDir","load1m":${r2(load1m)},"queries":${m(queries)},"probe":${m(probes)}$extra}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val load1m = try java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
     // local iteration only (the driver sets no filter): comma-separated
     // selectors, each matching a full name ("ext03_dedup_minhash_lsh"), an
     // underscore-delimited prefix ("ext03", "q10"), or a shortKey ("x03",
@@ -309,7 +317,7 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(
         s"${sys.props("user.dir")}/$localFile")
-      try w.println(runJson(total, sfDir, results, probes, vsBaseline))
+      try w.println(runJson(total, sfDir, results, probes, vsBaseline, load1m))
       finally w.close()
     } catch { case _: Throwable => () }
     // stop BEFORE printing: Spark's shutdown logging must not land between

@@ -81,7 +81,18 @@ object CommitRaceMain {
               s"WHERE w = $writerId AND i = ${i - 1}")
             done = true
           } catch {
-            case _: java.util.ConcurrentModificationException if att < 30 =>
+            // the CME may surface wrapped (e.g. inside a SparkException
+            // from the v2 write exec path) — walk the cause chain
+            // before deciding retry vs rethrow
+            case e: Throwable if att < 30 && {
+              var c: Throwable = e
+              var hit = false
+              while (c != null && !hit) {
+                hit = c.isInstanceOf[java.util.ConcurrentModificationException]
+                c = c.getCause
+              }
+              hit
+            } =>
               att += 1
               Thread.sleep(100L * math.min(att, 5))
           }

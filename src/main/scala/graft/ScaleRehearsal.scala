@@ -201,6 +201,28 @@ object ScaleRehearsal {
       val skR = skScaled / skBase
       println(f"""{"q":"skew_components_capped","base_s":$skBase%.2f,"scaled_s":$skScaled%.2f,"ratio":$skR%.1f}""")
     }
+    // round-13 probe (VERDICT r12 #1): the label families under the
+    // boilerplate storm, measured on a STORM-ONLY corpus. The exact
+    // family's edge build is O(Σ df²) — the mega-shingle makes a 3×
+    // storm cost ~9× (the recorded blowup) — while the df-capped family
+    // drops the mega-shingle's postings before the self-join, so a 10×
+    // storm must cost ~linear. This is the capped family's existence
+    // proof, not a regression gate: the uncapped blowup is by design
+    // (exact pairwise edges are what make its erasure apply exact).
+    if (want("lblstorm")) {
+      val ub = stormFixture(spark, s"/tmp/graft_lblstorm_u_base_$pid", 1000L)
+      val us = stormFixture(spark, s"/tmp/graft_lblstorm_u_3x_$pid", 3000L)
+      lblStormBuild(spark, ub, "uwarm", capped = false)
+      val uBase = lblStormBuild(spark, ub, "ub", capped = false)
+      val uScaled = lblStormBuild(spark, us, "us", capped = false)
+      println(f"""{"q":"lbl_storm_uncapped_build_3x","base_s":$uBase%.2f,"scaled_s":$uScaled%.2f,"ratio":${uScaled / uBase}%.1f}""")
+      val cb = stormFixture(spark, s"/tmp/graft_lblstorm_c_base_$pid", 3000L)
+      val cs = stormFixture(spark, s"/tmp/graft_lblstorm_c_10x_$pid", 30000L)
+      lblStormBuild(spark, cb, "cwarm", capped = true)
+      val cBase = lblStormBuild(spark, cb, "cb", capped = true)
+      val cScaled = lblStormBuild(spark, cs, "cs", capped = true)
+      println(f"""{"q":"lbl_storm_capped_build_10x","base_s":$cBase%.2f,"scaled_s":$cScaled%.2f,"ratio":${cScaled / cBase}%.1f}""")
+    }
     // round-9 probe: the merge-on-read claim at scale — a 1-row DELETE
     // on a catalog table built from the (K×-scaled) lineitem must cost
     // ~the same at both scales: zone/bloom pruning bounds the DML scan
@@ -291,6 +313,58 @@ object ScaleRehearsal {
       spark.sql(s"DROP TABLE IF EXISTS $corpus")
       Seq("gr_edges", "gr_meta").foreach(x =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${name}_$x"))
+    }
+  }
+
+  /** STORM-ONLY fixture (no base corpus — isolates the quadratic
+    * signal): m identical boilerplate docs (one mega-shingle, df = m)
+    * plus an m-doc sliding-window chain (every shingle df = 8). */
+  private def stormFixture(spark: SparkSession, out: String,
+      m: Long): String = {
+    import org.apache.spark.sql.functions.col
+    val storm = spark.range(0, m).select(col("id").as("doc_id"),
+      lit("breaking boilerplate notice please subscribe to our newsletter " +
+        "for more updates daily").as("text"))
+    val chain = spark.range(0, m).select(
+      (col("id") + m).as("doc_id"),
+      expr("array_join(transform(sequence(0, 9), " +
+        "j -> concat('ct', id + j)), ' ')").as("text"))
+    storm.unionAll(chain)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  /** Seed a fixture dir's documents into a catalog corpus and time ONE
+    * label-index build — the exact family or the df-capped one. */
+  private def lblStormBuild(spark: SparkSession, dir: String, tag: String,
+      capped: Boolean): Double = {
+    graft.ops.ensureGraftCatalog(spark)
+    import org.apache.spark.sql.functions.col
+    val pid = ProcessHandle.current().pid()
+    val name = s"lbst_${tag}_$pid"
+    val corpus = s"graft_cat.db.lbst_docs_${tag}_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    val arts = if (capped) Seq("lc_labels", "lc_posts", "lc_df", "lc_meta")
+               else Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta")
+    arts.foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    try {
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        .writeTo(corpus).append()
+      val t0 = System.nanoTime()
+      if (capped)
+        graft.ext.DedupIndex.ensureLabelsCappedCdc(spark, corpus, name)
+      else graft.ext.DedupIndex.ensureLabelsCdc(spark, corpus, name)
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $corpus")
+      arts.foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
   }
 

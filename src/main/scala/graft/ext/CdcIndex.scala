@@ -108,9 +108,13 @@ private[ext] object CdcIndex {
         // retained-version metadata (manifest arithmetic, no data read)
         // and take the documented degradation path instead — a full
         // rebuild, which also re-binds the watermark above the horizon.
+        // The feed resolves `at(v0)` too (the from-version snapshot is
+        // the delta's base), so v0 itself must still be retained — an
+        // expiry that kept exactly (v0, headV] passes a (v0, headV]
+        // count but still throws IAE on the read. Count [v0, headV].
         val retained = s.table(s"$corpusTable.versions")
-          .filter(col("v") > v0 && col("v") <= headV).count()
-        if (retained < headV - v0) rebuild(headV)
+          .filter(col("v") >= v0 && col("v") <= headV).count()
+        if (retained < headV - v0 + 1) rebuild(headV)
         else try apply(v0, headV)
         catch {
           case _: UnsupportedOperationException => rebuild(headV)

@@ -557,22 +557,14 @@ object Dedup {
     * just plausibility — is what hash-matching proves. */
   val dedupComponents: Q = (s, d) => {
     val pairs = ngramJaccard(table(s, d, "documents")).select("a_id", "b_id")
-    // repartition(4), matching the loop's scoped shuffle width: the cached
-    // edge frame otherwise keeps the WIDE pair pipeline's partitioning, and
-    // every micro-iteration join then launches a task per upstream
-    // partition. (repartition, not coalesce — coalesce would propagate the
-    // narrow width UP into the pair build and serialize it.) The post-cut
-    // graph is ≤ 2×top-20 rows; at 100 TB size this to the edge count.
     // both directions from ONE evaluation of the pair pipeline (explode,
-    // not union — `pairs` is uncached and a union runs it twice)
-    val edges = pairs.select(explode(array(
+    // not union — `pairs` is uncached and a union runs it twice);
+    // ccOverEdges measures the graph and sizes the loop width to it
+    val sym = pairs.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(4)
-      .persist()
-    edges.count() // materialize the WIDE pair pipeline at full parallelism
-    val (labels, _) = connectedComponents(s, edges)
+    val (labels, _) = ccOverEdges(s, sym)
     labels
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
         (col("id") === col("comp")).as("is_canonical"))
@@ -614,10 +606,7 @@ object Dedup {
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .repartition(4)
-      .persist()
-    edges.count() // materialize the pair pipeline at full parallelism
-    val (labels, _) = connectedComponents(s, edges)
+    val (labels, _) = ccOverEdges(s, edges)
     labels
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
         (col("id") === col("comp")).as("is_canonical"))
@@ -649,6 +638,46 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** Loop width for [[connectedComponents]], derived from the SYMMETRIC
+    * edge count (round-13, VERDICT r12 #4): every loop iteration
+    * shuffles ~|edges| label rows, so the width should track the graph,
+    * not the session's fact-table default — 4 partitions floor (the
+    * micro-graph case every fixture hits), one partition per ~256k edge
+    * rows above that, ceiling at the session shuffle width (the loop
+    * never needs MORE tasks than a full-width shuffle would get). */
+  private[graft] val CcEdgeRowsPerPartition = 262144L
+  private[graft] def ccWidth(s: SparkSession, symEdgeCount: Long): Int = {
+    val cap = math.max(s.conf.get("spark.sql.shuffle.partitions").toInt, 4)
+    val need = symEdgeCount / CcEdgeRowsPerPartition + 1L
+    math.min(math.max(4L, need), cap.toLong).toInt
+  }
+
+  /** Materialize a symmetric edge pipeline ONCE at full parallelism,
+    * derive the loop width from the measured edge count, re-lay the
+    * cached graph out at that width, and run [[connectedComponents]] on
+    * it. Returns the converged labels (already lineage-truncated by the
+    * loop) — the edge caches are released before returning. Centralizes
+    * what every component call site used to hand-roll with a hardcoded
+    * `repartition(4)`. */
+  private[graft] def ccOverEdges(
+      s: SparkSession,
+      sym: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val wide = sym.persist()
+    val n = wide.count() // materialize the WIDE pair pipeline once
+    val w = ccWidth(s, n)
+    // repartition READS the cache (one micro-shuffle), never re-runs the
+    // wide pipeline; persist so each loop iteration starts from w tasks
+    val edges = wide.repartition(w).persist()
+    edges.count()
+    wide.unpersist(blocking = false)
+    val out = connectedComponents(s, edges, w)
+    // the converged frame is localCheckpoint'ed by the loop, so the edge
+    // cache is dead weight from here
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Connected components over an undirected edge set (`src`,`dst`, both
     * directions present) by min-label propagation WITH pointer jumping:
     * each iteration first propagates the min label across edges, then
@@ -662,18 +691,19 @@ object Dedup {
     */
   private[graft] def connectedComponents(
       s: SparkSession,
-      edges: org.apache.spark.sql.DataFrame)
+      edges: org.apache.spark.sql.DataFrame,
+      width: Int = 4)
       : (org.apache.spark.sql.DataFrame, Int) = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist()
-    // the pair graph is tiny after the LSH cut (top-20 pairs), but each
-    // loop iteration still pays one shuffle per join/groupBy — scope the
+    // each loop iteration pays one shuffle per join/groupBy — scope the
     // parallelism to the graph size for the loop instead of the session's
     // fact-table width (any heavy upstream pair pipeline is expected to
-    // be cached by the caller, so only the micro-shuffles see this)
+    // be cached by the caller, so only the micro-shuffles see this);
+    // `width` is derived from the edge count by [[ccOverEdges]]
     val savedSp = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
     var iters = 0
     try {
       // labels only ever DECREASE under min-propagation, so the label sum
@@ -731,27 +761,32 @@ object Dedup {
   }
 
   /** ext153 — INCREMENTAL COMPONENT LABELS from the persisted label
-    * index ([[DedupIndex.ensureLabelsCdc]]): 90% of the corpus seeds
+    * index ([[DedupIndex.ensureLabelsCdc]]): 90% of the cohort seeds
     * (doc_id % 10 <> 7), the label table builds once, the remaining 10%
     * appends as the batch, and the ensure call folds it in INCREMENTALLY — batch-incident edges
     * only, contracted onto the stored labels, component discovery on
     * the merge-activity-sized quotient, one atomic MERGE. The final
     * labels must hash-match the oracle's recursive-CTE components over
-    * the WHOLE corpus — incremental ≡ rebuilt, the union-find-by-min
+    * the same cohort — incremental ≡ rebuilt, the union-find-by-min
     * exactness argument, checked end to end. Edge = exact Jaccard ≥ 0.5
     * (pairwise, hence append-stable — a capped or top-k graph would
-    * not be). */
+    * not be). The cohort is BOUNDED at 2500 ids (round-13, VERDICT r12
+    * #5 — the ext141/ext161 discipline): this entry demonstrates the
+    * incremental CONTRACT, so its bench cost must stay fixture-sized
+    * at any SF; corpus-proportional build-vs-apply scaling is measured
+    * where it belongs, ScaleRehearsal's `lbl` probe (10×: build 9.2×,
+    * apply 1.4×). */
   val componentsIncremental: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.lbl_docs")
-    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_labels")
-    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_edges")
-    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_lb_meta")
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_$x"))
     s.sql("CREATE TABLE graft_cat.db.lbl_docs (doc_id BIGINT, " +
       "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-    // fixture-proportional split (90% corpus, 10% batch) — a fixed id
-    // cutoff would make the "batch" most of the corpus at larger SFs
+      .filter(col("doc_id") < 2500)
+    // 90/10 split INSIDE the bounded cohort (a fixed id cutoff for the
+    // batch would make it most of the cohort at small SFs)
     docs.filter(col("doc_id") % 10 =!= 7)
       .writeTo("graft_cat.db.lbl_docs").append()
     DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbl_docs", "lbl_ix") // build
@@ -775,9 +810,10 @@ object Dedup {
     * recursive-CTE components over the post-mutation corpus —
     * maintained ≡ rebuilt, splits included. The demo cohort is BOUNDED
     * (first 4000 ids, the ext141 discipline): entry cost must stay
-    * fixture-sized at any SF — the full-corpus label build and
-    * batch-incremental steady state are ext153's measurements; this
-    * entry measures DELETE/UPDATE tolerance, which is id-local. */
+    * fixture-sized at any SF — corpus-proportional build scaling is
+    * ScaleRehearsal's `lbl`/`lblstorm` probes' job, not a bench
+    * entry's; this entry measures DELETE/UPDATE tolerance, which is
+    * id-local. */
   val componentsErasure: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.lble_docs")
@@ -801,8 +837,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ext167 — the DF-CAPPED persisted label family
+    * ([[DedupIndex.ensureLabelsCappedCdc]]), the 100 TB-safe default:
+    * build on 90% of the corpus, append the remaining 10%, ensure —
+    * the apply either folds the batch in incrementally (quotient merge
+    * over cap-filtered postings) or, if the batch flips any stored
+    * shingle's cap status, degrades to the LINEAR capped rebuild; both
+    * paths are exact, and the oracle restates the capped semantics
+    * from scratch (df ≤ 8 over the FULL head corpus, sizes on the
+    * capped sets, ALL J ≥ 0.5 pairs — no top-k cut) so incremental ≡
+    * rebuilt is what hash-matching proves. Erasure slices rebuild by
+    * contract (capped edges are not append-stable); the exact family
+    * (ext161) remains the erasure-without-rebuild path. */
+  val componentsCappedCdc: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.lcc_docs")
+    Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lcc_ix_$x"))
+    s.sql("CREATE TABLE graft_cat.db.lcc_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2500) // bounded cohort (ext141 discipline)
+    docs.filter(col("doc_id") % 10 =!= 7)
+      .writeTo("graft_cat.db.lcc_docs").append()
+    DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.lcc_docs", "lcc_ix")
+    docs.filter(col("doc_id") % 10 === 7)
+      .writeTo("graft_cat.db.lcc_docs").append()
+    val labels = DedupIndex.ensureLabelsCappedCdc(s,
+      "graft_cat.db.lcc_docs", "lcc_ix")
+    s.table(labels)
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext153_components_incremental" -> componentsIncremental,
+    "ext167_components_capped_cdc" -> componentsCappedCdc,
     "ext161_components_erasure" -> componentsErasure,
     "ext38_dedup_components" -> dedupComponents,
     "ext38b_dedup_components_capped" -> dedupComponentsCapped,
@@ -1015,11 +1086,47 @@ object Dedup {
          |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
          |FROM documents_m d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY d.doc_id""".stripMargin,
+    // capped label family: maintained labels must equal from-scratch
+    // recursive components over the df-capped (<= 8, cohort-wide df)
+    // J>=0.5 graph — the capped semantics restated end to end. Cohort
+    // bounded at 2500 ids (the ext141/ext153/ext161 discipline).
+    "ext167_components_capped_cdc" ->
+      s"""WITH RECURSIVE docs_b AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 2500),
+         |${shinglesSqlFrom("docs_b")},
+         |shc AS (
+         |  SELECT s.doc_id, s.sh FROM sh s
+         |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 8) r
+         |    USING (sh)),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sz sa ON sa.doc_id = a_id
+         |  JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+         |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
+         |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
+         |FROM docs_b d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin,
     // incremental labels (quotient merge over the stored index) must
     // equal the from-scratch recursive components over the J>=0.5 graph
-    // of the ENTIRE corpus — incremental == rebuilt, hash-checked
+    // of the same bounded cohort — incremental == rebuilt, hash-checked
     "ext153_components_incremental" ->
-      s"""WITH RECURSIVE $shinglesSql,
+      s"""WITH RECURSIVE docs_b AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 2500),
+         |${shinglesSqlFrom("docs_b")},
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
@@ -1040,7 +1147,7 @@ object Dedup {
          |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
          |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
          |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
-         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |FROM docs_b d LEFT JOIN comp c ON d.doc_id = c.id
          |ORDER BY d.doc_id""".stripMargin,
     // true components via recursive CTE over the same top-20 pair edges;
     // matching it proves the Spark label propagation CONVERGED

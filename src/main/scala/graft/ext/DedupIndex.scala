@@ -382,9 +382,7 @@ object DedupIndex {
           struct(col("a_id").as("src"), col("b_id").as("dst")),
           struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .repartition(4).persist()
-      sym.count() // materialize off the stored edges at full parallelism
-      val (lab, _) = Dedup.connectedComponents(s, sym)
+      val (lab, _) = Dedup.ccOverEdges(s, sym)
       docs.select(col("doc_id"))
         .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -471,11 +469,8 @@ object DedupIndex {
             struct(col("a_id").as("src"), col("b_id").as("dst")),
             struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
-          .repartition(4).persist()
-        dsym.count()
-        val (dlab0, _) = Dedup.connectedComponents(s, dsym)
+        val (dlab0, _) = Dedup.ccOverEdges(s, dsym)
         val dlab = dlab0.localCheckpoint(true)
-        dsym.unpersist(blocking = false)
         // each survivor's post-retract label: min of its sub-component
         // (edge-less survivors are their own)
         val sn = survIds
@@ -532,9 +527,7 @@ object DedupIndex {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
-      .repartition(4).persist()
-    qsym.count()
-    val (qlab0, _) = Dedup.connectedComponents(s, qsym)
+    val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
     val qlab = qlab0.localCheckpoint(true)
 
     // ---- final rows, one per affected doc (disjoint by construction:
@@ -603,6 +596,248 @@ object DedupIndex {
       s.catalog.dropTempView(tv)
       qsym.unpersist(blocking = false)
       edgesNew.unpersist(blocking = false)
+      shNew.unpersist(blocking = false)
+    }
+  }
+
+  // -------------------------------------- capped label family (lc_)
+
+  /** Document-frequency cap for [[ensureLabelsCappedCdc]] — the same
+    * cap the transient capped twins use (ext02b/ext38b `dfCap = 8`). */
+  val LabelDfCap = 8
+
+  val labelCappedBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+  val labelCappedIncRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** DF-CAPPED component-label index (round-13) — the 100 TB-safe
+    * default of the label family. Same contract shape as
+    * [[ensureLabelsCdc]] (min-label components over a Jaccard ≥ 0.5
+    * graph) with ONE semantic change: the shingle inverted index is
+    * document-frequency-capped at `cap` BEFORE any pairing — a shingle
+    * appearing in more than `cap` documents is excluded from both the
+    * intersection counts and the per-doc set sizes (ext02b's
+    * semantics). Every posting list is then ≤ cap docs, so the edge
+    * build emits at most cap²/2 pre-aggregation rows per DISTINCT
+    * shingle — LINEAR in the corpus with a cap² constant — where the
+    * exact family's build is O(Σ df²) and melts under a boilerplate
+    * storm (rehearsed: ScaleRehearsal `lblstorm`).
+    *
+    * THE TRADE (documented; erasure-without-rebuild remains the exact
+    * family's contract): a capped edge set is NOT append-stable —
+    * appending docs can push a shingle's corpus df across the cap,
+    * retroactively changing OLD docs' capped shingle sets (hence their
+    * pairwise Jaccards) even though those docs were in no slice. The
+    * apply therefore stays exact by REBUILDING whenever incremental
+    * exactness is not derivable batch-sized:
+    *   - slices containing any DELETE or UPDATE,
+    *   - insert slices that re-use a stored doc_id,
+    *   - insert slices that flip any stored shingle's cap status
+    *     (df crossing the cap, detected in O(batch postings) from the
+    *     persisted df sidecar).
+    * Everything else — the common pure-append batch — takes the
+    * quotient apply: batch shingles join the stored postings (both
+    * sides cap-filtered at HEAD df), Jaccard ≥ 0.5 edges contract onto
+    * the stored labels, min-label CC on the quotient, one atomic
+    * MERGE. Work ∝ the batch's capped posting lists. A rebuild is
+    * itself linear (the point of the cap), so the degradation path
+    * survives the same storm that motivates it.
+    *
+    * Artifacts: `dedup_<name>_lc_labels (doc_id, comp)`,
+    * `lc_posts (doc_id, sh)` — UNCAPPED distinct postings (true
+    * frequencies are needed for future cap decisions), `lc_df (sh,
+    * df)` — corpus document frequency per shingle, `lc_meta`. No
+    * persisted edge artifact: splits are never derived incrementally
+    * here, so edges stay transient.
+    *
+    * Crash-replay: the rebuild is createOrReplace-atomic per table
+    * with the meta watermark last (a torn rebuild just rebuilds). The
+    * incremental path orders [df DELETE of affected shingles — a set
+    * derived from the immutable feed, replay-stable] → [label MERGE] →
+    * txn[posts INSERT + df INSERT + meta]. A replay after the label
+    * MERGE sees the batch's doc_ids already stored and takes the
+    * rebuild guard; a replay after the df DELETE recomputes identical
+    * df rows from (stored posts) ∪ (fresh shingles) and re-lands them.
+    * Every window converges (spec-pinned). */
+  def ensureLabelsCappedCdc(s: SparkSession, corpusTable: String,
+      name: String, cap: Int = LabelDfCap): String = synchronized {
+    CdcIndex.requireIndexName(name)
+    graft.ops.ensureGraftCatalog(s)
+    val labels = s"graft_cat.db.dedup_${name}_lc_labels"
+    val posts = s"graft_cat.db.dedup_${name}_lc_posts"
+    val dfTab = s"graft_cat.db.dedup_${name}_lc_df"
+    val meta = s"graft_cat.db.dedup_${name}_lc_meta"
+    def rebuild(headV: Long): String = {
+      val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
+      Dedup.shingles(docs)
+        .writeTo(posts)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      s.sql(s"ALTER TABLE $posts SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      s.table(posts).groupBy("sh").agg(count(lit(1)).as("df"))
+        .writeTo(dfTab)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      s.sql(s"ALTER TABLE $dfTab SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      // the capped view: postings whose shingle survives the df cap —
+      // every posting list entering the self-join is ≤ cap docs
+      val capped = s.table(posts).join(
+        s.table(dfTab).filter(col("df") <= cap).select("sh"),
+        Seq("sh"), "left_semi")
+      val sym = jaccardEdgesFromShingles(capped)
+        .select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val (lab, _) = Dedup.ccOverEdges(s, sym)
+      docs.select(col("doc_id"))
+        .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .writeTo(labels)
+        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+        .createOrReplace()
+      s.sql(s"ALTER TABLE $labels SET TBLPROPERTIES " +
+        "('graft.dml.mode'='merge-on-read')")
+      s.sql(s"DROP TABLE IF EXISTS $meta")
+      s.sql(s"CREATE TABLE $meta (version BIGINT, corpus STRING)")
+      s.sql(s"INSERT INTO $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      labelCappedBuilds.incrementAndGet()
+      labels
+    }
+    CdcIndex.ensure(s, corpusTable, meta)(labels) { (v0, headV) =>
+      if (!applyLabelsCappedInc(s, corpusTable, labels, posts, dfTab, meta,
+          cap, v0, headV)) rebuild(headV)
+      labels
+    }(rebuild)
+  }
+
+  /** The pure-append incremental apply of the capped family. Returns
+    * false when the slice is outside the incremental contract (erasure,
+    * re-used ids, cap crossings) — the caller then rebuilds. */
+  private def applyLabelsCappedInc(s: SparkSession, corpusTable: String,
+      labels: String, posts: String, dfTab: String, meta: String, cap: Int,
+      v0: Long, headV: Long): Boolean = {
+    val feed = s.sql(s"SELECT * FROM $corpusTable " +
+      s"VERSION AS OF 'cdf:$v0..$headV'")
+    if (feed.filter(col("_change_type") =!= "insert").limit(1).count() > 0L)
+      return false // erasure slice → rebuild
+    val touched = feed.select(col("doc_id")).distinct().localCheckpoint(true)
+    val stored = s.table(labels)
+    if (stored.join(touched, Seq("doc_id"), "left_semi")
+        .limit(1).count() > 0L)
+      return false // re-used id (update-shaped) or post-MERGE replay
+
+    val head = s.table(corpusTable).select(col("doc_id"), col("text"))
+    val shNew = Dedup.shingles(head.join(touched, Seq("doc_id"), "left_semi"))
+      .persist()
+    // affected shingles + their HEAD df, recomputed from the logical
+    // head postings (stored ∪ fresh) — identical values on any replay
+    val affected = shNew.select("sh").distinct()
+    val postsHeadFull = s.table(posts)
+      .join(touched, Seq("doc_id"), "left_anti") // replay paranoia; no-op
+      .unionAll(shNew)
+    val dfNew = postsHeadFull.join(affected, Seq("sh"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    // crossing detection: a STORED shingle whose cap status flips would
+    // retroactively change untouched docs' capped sets → rebuild. A df
+    // row missing for an affected shingle means genuinely-new (or a
+    // replay re-entering after its own df DELETE) — both incremental-safe.
+    val crossings = s.table(dfTab).withColumnRenamed("df", "df_old")
+      .join(dfNew, Seq("sh"))
+      .filter((col("df_old") <= cap) =!= (col("df") <= cap))
+    if (crossings.limit(1).count() > 0L) {
+      shNew.unpersist(blocking = false)
+      return false
+    }
+
+    // head cap filter: stored df overridden by the recomputed affected
+    // rows (no crossing ⇒ stored statuses are already head-accurate,
+    // but the override also serves the replay-after-df-DELETE window)
+    val dfHead = s.table(dfTab).join(affected, Seq("sh"), "left_anti")
+      .unionAll(dfNew)
+    val okSh = dfHead.filter(col("df") <= cap).select("sh")
+    val shNewCapped = shNew.join(okSh, Seq("sh"), "left_semi")
+    val postsHeadCapped = postsHeadFull.join(okSh, Seq("sh"), "left_semi")
+    val cand = shNewCapped.as("b").join(postsHeadCapped.as("a"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val ids = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sizes = postsHeadCapped.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val edgesNew = cand
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "n_b"), "b_id")
+      .filter(col("inter").cast("double")
+        / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    // contract endpoints onto the stored labels (new docs → own ids),
+    // min-label CC on the quotient — the union-find-by-min argument
+    val q = edgesNew
+      .join(stored.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("comp", "ca"), Seq("a_id"), "left")
+      .join(stored.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("comp", "cb"), Seq("b_id"), "left")
+      .select(coalesce(col("ca"), col("a_id")).as("src"),
+        coalesce(col("cb"), col("b_id")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val qsym = q.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+    val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
+    val qlab = qlab0.localCheckpoint(true)
+
+    def viaQ(df: DataFrame): DataFrame = df
+      .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("node")).as("comp"))
+    val remapChanged = stored
+      .withColumnRenamed("comp", "node").as("l")
+      .join(qlab.as("qq"), col("l.node") === col("qq.id"))
+      .filter(col("qq.comp") =!= col("qq.id"))
+      .select(col("l.doc_id").as("doc_id"), col("qq.comp").as("comp"))
+    val newRows = viaQ(head.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("node", col("doc_id")))
+    // materialize every mutation input BEFORE the first mutation
+    val usrc = remapChanged.unionAll(newRows).localCheckpoint(true)
+    val newPostRows = shNew.localCheckpoint(true)
+    val dfNewCk = dfNew.filter(col("df") > 0)
+
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val uv = s"graft_lc_merge_$sfx"
+    val pv = s"graft_lc_posts_$sfx"
+    val dv = s"graft_lc_df_$sfx"
+    val av = s"graft_lc_aff_$sfx"
+    usrc.createOrReplaceTempView(uv)
+    newPostRows.createOrReplaceTempView(pv)
+    dfNewCk.createOrReplaceTempView(dv)
+    affected.localCheckpoint(true).createOrReplaceTempView(av)
+    try {
+      // 1. retire the affected shingles' stored df rows (idempotent;
+      //    the affected set derives from the immutable feed)
+      s.sql(s"DELETE FROM $dfTab WHERE sh IN (SELECT sh FROM $av)")
+      // 2. ONE atomic label statement: remap + upsert (no erasure here)
+      s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET comp = u.comp
+        WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
+      // 3. postings + df + watermark in one cross-table txn
+      CdcIndex.inTxn(s) {
+        s.sql(s"INSERT INTO $posts SELECT * FROM $pv")
+        s.sql(s"INSERT INTO $dfTab SELECT * FROM $dv")
+        s.sql(s"INSERT OVERWRITE $meta SELECT CAST($headV AS BIGINT), '$corpusTable'")
+      }
+      labelCappedIncRefreshes.incrementAndGet()
+      true
+    } finally {
+      s.catalog.dropTempView(uv)
+      s.catalog.dropTempView(pv)
+      s.catalog.dropTempView(dv)
+      s.catalog.dropTempView(av)
       shNew.unpersist(blocking = false)
     }
   }

@@ -153,8 +153,8 @@ object Similarity {
     * HOF `aggregate(zip_with(...))` fold — bit-identical distances (the
     * assignment argmin is the semantics), ~10x less CPU than
     * interpreting two lambdas per (vector, centroid). */
-  private def kmeansBuild(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+  private def kmeansBuild(s: org.apache.spark.sql.SparkSession, d: String,
+      iters: Int = 1): (DataFrame, DataFrame) = {
     graft.functions.SquaredDistance.register(s)
     graft.functions.CosineSimilarity.register(s)
     val all = vecs(s, d).drop("label")
@@ -165,10 +165,10 @@ object Similarity {
         .withColumn("cell",
           expr(s"array_min(transform(cents, e -> struct($sqd AS d2, e.cid AS cid))).cid"))
         .drop("cents")
-    val seeds = all.filter(col("vec_id") % 64 === 0)
-      .select((col("vec_id") / 64).cast("int").as("cid"), col("v").as("c"))
-    val a0 = assign(all, seeds)
-    val cents1 = a0
+    // one integer-scaled Lloyd step: per-component means of the current
+    // assignment, summation-order-proof (bit-identical to DuckDB's
+    // sequential scan)
+    def update(assigned: DataFrame): DataFrame = assigned
       .select(col("cell").as("cid"), posexplode(col("v")))
       .groupBy("cid", "pos")
       .agg(sum(expr("CAST(round(col * 1000000) AS BIGINT)")).as("sc"),
@@ -177,9 +177,22 @@ object Similarity {
       .agg(collect_list(struct(col("pos"),
         (col("sc").cast("double") / 1000000 / col("n")).as("cv"))).as("pc"))
       .select(col("cid"), expr("transform(array_sort(pc), t -> t.cv)").as("c"))
-    // consumed by BOTH sides of the probe join — persist so the two-pass
-    // k-means build (seed assign -> Lloyd update -> re-assign) runs once
-    (assign(all, cents1).persist(), cents1)
+    val seeds = all.filter(col("vec_id") % 64 === 0)
+      .select((col("vec_id") / 64).cast("int").as("cid"), col("v").as("c"))
+    var assigned = assign(all, seeds)
+    var cents: DataFrame = seeds
+    // `iters` Lloyd rounds (update -> re-assign); each round's assignment
+    // is persisted because the next update consumes it fully and the
+    // final one feeds both sides of the probe join. Intermediate rounds
+    // are localCheckpointed so the lineage (and the analyzed-plan size)
+    // stays flat at any iteration count.
+    for (i <- 1 to math.max(1, iters)) {
+      cents = update(assigned)
+      val next = assign(all, cents)
+      assigned = if (i == math.max(1, iters)) next.persist()
+                 else next.localCheckpoint(true)
+    }
+    (assigned, cents)
   }
 
   val kmeansIvfTopK: Q = (s, d) => {
@@ -1077,10 +1090,12 @@ object Similarity {
     * target. Candidate work stays ∝ probes × beam; the corpus is
     * untouched. Oracle: the probe-2 centroid ranking replaces the
     * default entry CTE; everything else is ext162's restatement. */
-  /** Trained corpus + probe-2 entry frontier, shared by ext163/ext165. */
-  private def trainedProbe2(s: org.apache.spark.sql.SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val (a1, cents) = kmeansBuild(s, d)
+  /** Trained corpus + probe-N entry frontier (one entry node per each of
+    * the query's N nearest trained cells) — shared by ext163/ext165/
+    * ext166 (N=2) and ext168 (N=3, 2 Lloyd rounds). */
+  private def trainedProbeN(s: org.apache.spark.sql.SparkSession, d: String,
+      probes: Int = 2, lloydIters: Int = 1): (DataFrame, DataFrame) = {
+    val (a1, cents) = kmeansBuild(s, d, lloydIters)
     val corpus = a1.select(col("vec_id"),
       col("cell").cast("int").as("label"), col("v"))
     val centsRow = broadcast(cents.groupBy()
@@ -1090,7 +1105,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), explode(expr(
         "slice(transform(array_sort(transform(cents, " +
           "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
-          "t -> t.cid), 1, 2)")).as("cell0"))
+          s"t -> t.cid), 1, $probes)")).as("cell0"))
       .select(col("q_id"), col("cell0").cast("int").as("cell"))
     val entry = qcells
       .join(corpus.groupBy("label").agg(min("vec_id").as("n_id")),
@@ -1098,11 +1113,23 @@ object Similarity {
       .select("q_id", "n_id")
     (corpus, entry)
   }
+  private def trainedProbe2(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = trainedProbeN(s, d)
 
   val graphRecallProbe2: Q = (s, d) => {
     graft.functions.CosineSimilarity.register(s)
     val (corpus, entry) = trainedProbe2(s, d)
     graphRecallOver(corpus, Some(entry))
+  }
+
+  /** Arbitrary ladder configuration — the local tuning hook behind the
+    * committed rungs (see RecallProbeMain for the grid runner). */
+  private[graft] def recallConfig(s: org.apache.spark.sql.SparkSession,
+      d: String, probes: Int, lloyd: Int, beamWidth: Int,
+      hops: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val (corpus, entry) = trainedProbeN(s, d, probes, lloyd)
+    graphRecallOver(corpus, Some(entry), beamWidth, hops)
   }
 
   /** ext165 — the WIDTH rung of the ladder: ext163's configuration with
@@ -1132,6 +1159,24 @@ object Similarity {
     graft.functions.CosineSimilarity.register(s)
     val (corpus, entry) = trainedProbe2(s, d)
     graphRecallOver(corpus, Some(entry), beamWidth = 16, hops = 5)
+  }
+
+  /** ext168 — the PRODUCTION rung (round-13, VERDICT r12 #3): all three
+    * levers at strength — probe-8 entry over a TWO-round-Lloyd
+    * quantizer, beam 64, hops 5. Chosen from a measured grid
+    * (RecallProbeMain, sf0.01): probes alone plateaued (probe-3 at
+    * beam 16 even REGRESSED, 0.433 → 0.400 — starved frontiers), width
+    * alone reached 0.5, and the combination was super-additive:
+    * measured recall_global 0.833 (vs 0.433 at ext166, 0.067 at the
+    * ext159 baseline) with recall_cell 0.433 — the beam now spends its
+    * budget across eight cells' neighbourhoods, the honest breadth
+    * trade the two-tier metric was built to expose. Cost stays
+    * ∝ probes × beam × hops per query — corpus-size-independent — and
+    * every number is oracle-checked, not vibes. */
+  val graphRecallProd: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val (corpus, entry) = trainedProbeN(s, d, probes = 8, lloydIters = 2)
+    graphRecallOver(corpus, Some(entry), beamWidth = 64, hops = 5)
   }
 
   /** ext147 — beam search over the STORED graph ([[AnnIndex
@@ -1192,6 +1237,7 @@ object Similarity {
     "ext163_graph_recall_probe2" -> graphRecallProbe2,
     "ext165_graph_recall_beam16" -> graphRecallBeam16,
     "ext166_graph_recall_hops5" -> graphRecallHops5,
+    "ext168_graph_recall_prod" -> graphRecallProd,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1229,31 +1275,47 @@ object Similarity {
     * re-assignment runs over — the quantizer (seeds→Lloyd→cents) always
     * learns from the ORIGINAL `v`, matching the stored-index discipline
     * (centroids retrain on rebuild, not per change). */
-  private def kmeansCtesFrom(a1Base: String, extra: String = "") =
+  /** The k-means-lite CTE chain with `iters` Lloyd rounds. Round
+    * naming: intermediate rounds are suffixed (`comp_r1`/`cents_r1`/
+    * `ai_r1`); the FINAL round lands in the canonical `comp`/`cents`/
+    * `a1` names every downstream oracle references, so iters = 1 emits
+    * exactly the historical single-round SQL. Each round is one
+    * integer-scaled per-component mean over the previous assignment,
+    * then a full re-assign — the restatement of kmeansBuild's loop. */
+  private def kmeansCtesFrom(a1Base: String, extra: String = "",
+      iters: Int = 1) = {
+    def assignSql(name: String, src: String, centsName: String,
+        withNorm: Boolean) =
+      s"""$name AS (
+         |  SELECT vec_id, v,${if (withNorm) " norm," else ""} cid AS cell FROM (
+         |    SELECT x.vec_id, x.v,${if (withNorm) " x.norm," else ""} s.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+         |        s.cid) AS rk
+         |    FROM $src x CROSS JOIN $centsName s) WHERE rk = 1)""".stripMargin
+    def updateSql(compName: String, centsName: String, src: String) =
+      s"""$compName AS (
+         |  SELECT cell AS cid, i,
+         |    SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
+         |  FROM $src, range(1, 65) r(i) GROUP BY cell, i),
+         |$centsName AS (
+         |  SELECT cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
+         |  FROM $compName GROUP BY cid)""".stripMargin
+    val n = math.max(1, iters)
+    val rounds = (1 to n).map { r =>
+      val last = r == n
+      val src = if (r == 1) "a0" else s"ai_r${r - 1}"
+      val (compN, centsN, aN) =
+        if (last) ("comp", "cents", "a1") else (s"comp_r$r", s"cents_r$r", s"ai_r$r")
+      updateSql(compN, centsN, src) + ",\n" +
+        assignSql(aN, if (last) a1Base else "v", centsN, withNorm = last)
+    }.mkString(",\n")
     s"""$vSql,$extra
        |seeds AS (
        |  SELECT CAST(vec_id // 64 AS INT) AS cid, v AS c FROM v WHERE vec_id % 64 = 0),
-       |a0 AS (
-       |  SELECT vec_id, v, cid AS cell FROM (
-       |    SELECT x.vec_id, x.v, s.cid,
-       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-       |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-       |        s.cid) AS rk
-       |    FROM v x CROSS JOIN seeds s) WHERE rk = 1),
-       |comp AS (
-       |  SELECT cell AS cid, i,
-       |    SUM(CAST(round(v[i] * 1000000) AS BIGINT)) AS sc, COUNT(*) AS n
-       |  FROM a0, range(1, 65) r(i) GROUP BY cell, i),
-       |cents AS (
-       |  SELECT cid, list(CAST(sc AS DOUBLE) / 1000000 / n ORDER BY i) AS c
-       |  FROM comp GROUP BY cid),
-       |a1 AS (
-       |  SELECT vec_id, v, norm, cid AS cell FROM (
-       |    SELECT x.vec_id, x.v, x.norm, s.cid,
-       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-       |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-       |        s.cid) AS rk
-       |    FROM $a1Base x CROSS JOIN cents s) WHERE rk = 1)""".stripMargin
+       |${assignSql("a0", "v", "seeds", withNorm = false)},
+       |$rounds""".stripMargin
+  }
 
   private lazy val kmeansCtesSql = kmeansCtesFrom("v")
 
@@ -1524,64 +1586,47 @@ object Similarity {
        |ORDER BY rg.q_id""".stripMargin
   }
 
+  /** The trained-corpus alias every ladder oracle shares: k-means-lite
+    * with `iters` Lloyd rounds, final cells as the graph labels. */
+  private def trainedGvCtes(iters: Int = 1): String =
+    kmeansCtesFrom("v", iters = iters) +
+      ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)"
+
+  /** Probe-N entry frontier: each query's N nearest FINAL centroids,
+    * one entry node (min vec_id) per probed cell. */
+  private def probeNEntrySql(n: Int): String =
+    s"""qcn AS (
+       |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
+       |    SELECT x.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
+       |        s.cid) AS rk
+       |    FROM gv x CROSS JOIN cents s WHERE x.vec_id % 50 = 0)
+       |  WHERE rk <= $n),
+       |e0 AS (
+       |  SELECT qcn.q_id, e.n_id FROM qcn
+       |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
+       |    ON qcn.cell = e.label)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ext146_graph_ann_beam" -> graphAnnOracleFrom(vSql),
     "ext159_graph_recall_eval" -> graphRecallOracleFrom(vSql),
     "ext162_graph_recall_trained" -> graphRecallOracleFrom(
-      kmeansCtesFrom("v") +
-        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
-      corpus = "gv"),
+      trainedGvCtes(), corpus = "gv"),
     "ext163_graph_recall_probe2" -> graphRecallOracleFrom(
-      kmeansCtesFrom("v") +
-        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
-      corpus = "gv",
-      entrySql = Some(
-        """qc2 AS (
-          |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
-          |    SELECT x.vec_id, s.cid,
-          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-          |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-          |        s.cid) AS rk
-          |    FROM gv x CROSS JOIN cents s WHERE x.vec_id % 50 = 0)
-          |  WHERE rk <= 2),
-          |e0 AS (
-          |  SELECT qc2.q_id, e.n_id FROM qc2
-          |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
-          |    ON qc2.cell = e.label)""".stripMargin)),
+      trainedGvCtes(), corpus = "gv",
+      entrySql = Some(probeNEntrySql(2))),
     "ext165_graph_recall_beam16" -> graphRecallOracleFrom(
-      kmeansCtesFrom("v") +
-        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
-      corpus = "gv", beamWidth = 16,
-      entrySql = Some(
-        """qc2 AS (
-          |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
-          |    SELECT x.vec_id, s.cid,
-          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-          |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-          |        s.cid) AS rk
-          |    FROM gv x CROSS JOIN cents s WHERE x.vec_id % 50 = 0)
-          |  WHERE rk <= 2),
-          |e0 AS (
-          |  SELECT qc2.q_id, e.n_id FROM qc2
-          |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
-          |    ON qc2.cell = e.label)""".stripMargin)),
+      trainedGvCtes(), corpus = "gv", beamWidth = 16,
+      entrySql = Some(probeNEntrySql(2))),
     "ext166_graph_recall_hops5" -> graphRecallOracleFrom(
-      kmeansCtesFrom("v") +
-        ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)",
-      corpus = "gv", beamWidth = 16, hops = 5,
-      entrySql = Some(
-        """qc2 AS (
-          |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
-          |    SELECT x.vec_id, s.cid,
-          |      row_number() OVER (PARTITION BY x.vec_id ORDER BY
-          |        list_sum([(x.v[i] - s.c[i]) * (x.v[i] - s.c[i]) for i in range(1, len(x.v) + 1)]),
-          |        s.cid) AS rk
-          |    FROM gv x CROSS JOIN cents s WHERE x.vec_id % 50 = 0)
-          |  WHERE rk <= 2),
-          |e0 AS (
-          |  SELECT qc2.q_id, e.n_id FROM qc2
-          |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
-          |    ON qc2.cell = e.label)""".stripMargin)),
+      trainedGvCtes(), corpus = "gv", beamWidth = 16, hops = 5,
+      entrySql = Some(probeNEntrySql(2))),
+    // the production rung: 2 Lloyd rounds, probe-8 entry, beam 64 —
+    // the measured-0.833-recall configuration, restated end to end
+    "ext168_graph_recall_prod" -> graphRecallOracleFrom(
+      trainedGvCtes(iters = 2), corpus = "gv", beamWidth = 64, hops = 5,
+      entrySql = Some(probeNEntrySql(8))),
     "ext147_graph_index_probe" -> graphAnnOracleFrom(vSql),
     "ext148_graph_cdc_maintenance" -> graphAnnOracleFrom(
       """vm AS (

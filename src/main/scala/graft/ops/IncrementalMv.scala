@@ -107,9 +107,11 @@ object IncrementalMv {
     // forever. Detect the gap from the retained-version metadata and
     // degrade to the documented full re-BUILD, which re-binds the
     // watermark above the expiration horizon.
+    // The feed resolves `at(lastV)` as the delta's base, so lastV
+    // itself must be retained too — count [lastV, headV] inclusive.
     val retained = s.table(s"$fact.versions")
-      .filter(s"v > $lastV AND v <= $headV").count()
-    if (retained < headV - lastV) {
+      .filter(s"v >= $lastV AND v <= $headV").count()
+    if (retained < headV - lastV + 1) {
       val v = build(s, fact, mv, meta, groups, valSql)
       return RefreshResult(0L, refreshed = true, v,
         deltaPlan = "rebuild: history expired below the watermark")

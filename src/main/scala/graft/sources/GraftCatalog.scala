@@ -1758,6 +1758,12 @@ class SegTable private (ident: String, dir: Path,
   }
 
   private[graft] def compact(targetBytes: Long): (Long, Long, Long) = {
+    // adopt other PROCESSES' commits before planning the merge (the
+    // newScanBuilder read-freshness rule): a maintenance handle opened
+    // before a sibling JVM's appends would otherwise plan over the
+    // stale manifest and silently no-op forever — found by the
+    // compaction-vs-writer churn spec (round 13)
+    synchronized { versions = SegStore.readVersions(dir, log) }
     if (hasDeclaredSort) resortCompact()
     else compactByteMerge(targetBytes)
   }
@@ -5159,6 +5165,7 @@ object IndexesProcedure {
   val Families: Seq[(String, String, String, String)] = Seq(
     ("exact-grams",        "dedup",  "_gr", "grams"),
     ("component-labels",   "dedup",  "_lb", "labels"),
+    ("component-labels-capped", "dedup", "_lc", "labels"),
     ("minhash-signatures", "dedup",  "",    "sigs"),
     ("bm25-postings",      "search", "",    "postings"),
     ("pq-codes",           "ann",    "_pq", "codes"),

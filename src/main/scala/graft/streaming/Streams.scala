@@ -781,7 +781,7 @@ object Streams {
         }.start()
       try {
         query.processAllAvailable()
-        docs.filter(col("doc_id") >= 2000)
+        docs.filter(col("doc_id") >= 1000)
           .writeTo("graft_cat.db.slb_docs").append()
         s.sql("DELETE FROM graft_cat.db.slb_docs WHERE doc_id % 9 = 0")
         s.sql("UPDATE graft_cat.db.slb_docs " +

@@ -84,6 +84,23 @@ class BenchPolicySpec extends AnyFunSuite {
     assert((p \ "total").extract[Double] === 3.5)
   }
 
+  test("runJson records the start-of-run load average (contention self-label)") {
+    // VERDICT r12 #8: the r12 driver bench ran ~1.32× above the
+    // same-commit idle run and the cause was reconstructed after the
+    // fact from sbt wall-clocks; the run record now carries the host
+    // 1-minute load average sampled at bench start (-1 = unavailable)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = Bench.runJson(1.0, "/x/sf0.1", Map("q01_agg" -> 1.0),
+      Map("q01_agg" -> 1.0), "", 7.25)
+    assert((JsonMethods.parse(j) \ "load1m").extract[Double] === 7.25)
+    // and the default marks the sample as unavailable, never 0 (which
+    // would read as a genuinely idle host)
+    val d = Bench.runJson(1.0, "/x/sf0.1", Map.empty, Map.empty)
+    assert((JsonMethods.parse(d) \ "load1m").extract[Double] === -1.0)
+  }
+
   test("Bench writes raw runs to BENCH_RUN*, never the BENCH_LOCAL pin") {
     // r10 post-mortem: the driver's interference-window run rewrote the
     // committed minimum pin in place. Pin the output-file split at the

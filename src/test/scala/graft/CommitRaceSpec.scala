@@ -245,4 +245,83 @@ class CommitChurnSpec extends SparkTestBase {
     }
     spark.sql("DROP TABLE churn_cat.db.race")
   }
+
+  test("cross-process compaction races a live writer; no acked row lost or duplicated") {
+    // VERDICT r12 #6 — the remaining maintenance-vs-ingest window: a
+    // compactor merging small segments in THIS JVM while a second JVM
+    // commits inserts and copy-on-write deletes. Compaction is a pure
+    // reorg commit (op='compact') under the same optimistic locks, so
+    // either it lands (rebased, preserving live rows bit-for-bit) or
+    // it refuses with the serializable-conflict CME — never a torn or
+    // row-losing merge. The writer's final row set is fully determined
+    // by its own sequential ops; any interference shows up there.
+    ops.configure(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_churn2_wh")
+      .toString
+    spark.conf.set("spark.sql.catalog.churn2_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.churn2_cat.warehouse", wh)
+    spark.sql("CREATE TABLE churn2_cat.db.race (w INT, i INT)")
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val n = 24
+    val p = new ProcessBuilder((Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-cp",
+      "target/scala-2.13/classes:/opt/spark/jars/*",
+      "graft.CommitRaceMain", wh, "1", n.toString, "churn")): _*)
+      .redirectErrorStream(true).start()
+    val drain = new Thread(() => {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      while (rd.readLine() != null) ()
+    })
+    drain.setDaemon(true); drain.start()
+    def isCme(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null &&
+        !c.isInstanceOf[java.util.ConcurrentModificationException])
+        c = c.getCause
+      c != null
+    }
+    // compact continuously while the writer commits: tiny target so the
+    // writer's 1-row segments are always merge candidates; a CME here is
+    // the documented refusal (a concurrent commit replaced this reorg's
+    // source segments) — retried next loop, never an error
+    var compactions = 0L
+    while (p.isAlive) {
+      try {
+        spark.sql("CALL churn2_cat.system.compact('db.race', 1048576)")
+          .collect()
+        compactions += 1
+      } catch { case e: Throwable if isCme(e) => () }
+      Thread.sleep(100L)
+    }
+    assert(p.exitValue() == 0, "writer under concurrent compaction failed")
+    // post-quiesce compaction must also land cleanly
+    spark.sql("CALL churn2_cat.system.compact('db.race', 1048576)").collect()
+    compactions += 1
+    assert(compactions >= 2, "the race never actually compacted")
+    // the writer inserted 0..n-1 and deleted every i ≡ 1 (mod 3); no
+    // compaction may lose, duplicate, or resurrect any of those rows
+    val want = (0 until n).filter(_ % 3 != 1)
+    val got = spark.table("churn2_cat.db.race")
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(got === want,
+      s"rows diverged under writer-vs-compaction churn: $got")
+    // and the history shows real merges happened during the race
+    val ops_ = spark.sql("SELECT operation FROM churn2_cat.db.race.versions")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops_.count(_ == "compact") >= 1,
+      s"no compact commit in history: $ops_")
+    spark.sql("DROP TABLE churn2_cat.db.race")
+  }
 }

@@ -763,4 +763,100 @@ class DedupIndexSpec extends SparkTestBase {
     assert(plan.contains(s"dedup_${key}_sigs"),
       "batch probe does not read the stored corpus signatures:\n" + plan)
   }
+
+  test("capped labels: append applies incrementally; crossings and erasure rebuild") {
+    // the df-capped label family's contract (round-13, VERDICT r12 #1):
+    // a pure-append batch that flips no stored shingle's cap status
+    // folds in via the quotient apply; a batch that pushes a shingle's
+    // df across the cap — which retroactively changes UNTOUCHED docs'
+    // capped shingle sets — rebuilds (linearly, the point of the cap);
+    // so does any erasure slice and the post-MERGE replay window. Every
+    // path must equal a from-scratch capped build over the head corpus.
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    import graft.ext.DedupIndex
+    val corpus = "graft_cat.db.lcap_docs"
+    def dropIx(n: String): Unit =
+      Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x"))
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    dropIx("lcap"); dropIx("lcap_chk")
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    // seed: shingle "aa bb cc" at df = 7 (docs 0-6, one below the cap of
+    // 8), plus a near-dup pair (100, 101) sharing most shingles
+    spark.range(0, 7).selectExpr("id AS doc_id",
+      "concat('aa bb cc tail', id) AS text").writeTo(corpus).append()
+    spark.sql(s"INSERT INTO $corpus VALUES " +
+      "(100, 'xx yy zz ww vv uu'), (101, 'xx yy zz ww vv tt')")
+    val b0 = DedupIndex.labelCappedBuilds.get()
+    val i0 = DedupIndex.labelCappedIncRefreshes.get()
+    val t = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
+    assert(DedupIndex.labelCappedBuilds.get() === b0 + 1)
+    // (100, 101) share 3 of 4+4 distinct shingles -> J = 3/5 >= 0.5
+    val lab0 = spark.table(t).orderBy("doc_id").collect()
+    assert(lab0.filter(_.getLong(0) === 101L).head.getLong(1) === 100L,
+      s"near-dup pair not clustered: ${lab0.toSeq}")
+
+    // 1. pure append, no crossing ("aa bb cc" goes 7 -> 8, still <= cap;
+    //    the batch doc near-dups doc 101) — INCREMENTAL, and the batch
+    //    edge must merge 102 into the stored cluster 100
+    spark.sql(s"INSERT INTO $corpus VALUES " +
+      "(7, 'aa bb cc tail7'), (102, 'xx yy zz ww vv ss')")
+    DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
+    assert(DedupIndex.labelCappedBuilds.get() === b0 + 1,
+      "a no-crossing append must not rebuild")
+    assert(DedupIndex.labelCappedIncRefreshes.get() === i0 + 1)
+    val lab1 = spark.table(t).orderBy("doc_id").collect()
+    assert(lab1.filter(_.getLong(0) === 102L).head.getLong(1) === 100L,
+      s"appended near-dup not merged into the stored cluster: ${lab1.toSeq}")
+    // incremental == rebuilt under a fresh name
+    val chk = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap_chk")
+    assert(spark.table(t).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === spark.table(chk).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "incremental capped labels diverged from the from-scratch build")
+
+    // 2. crossing append: doc 8 pushes "aa bb cc" to df = 9 > cap —
+    //    docs 0-7 lose the shingle from their capped sets without being
+    //    in the slice; incremental exactness is not batch-derivable -> rebuild
+    val b1 = DedupIndex.labelCappedBuilds.get() // lcap_chk built too
+    spark.sql(s"INSERT INTO $corpus VALUES (8, 'aa bb cc tail8')")
+    DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
+    assert(DedupIndex.labelCappedBuilds.get() === b1 + 1,
+      "a cap-crossing append must rebuild")
+    dropIx("lcap_chk")
+    val chk2 = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap_chk")
+    assert(spark.table(t).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === spark.table(chk2).orderBy("doc_id").collect().map(_.toSeq).toSeq)
+
+    // 3. erasure slice -> rebuild by contract (capped edges are not
+    //    append-stable; erasure-without-rebuild is the exact family)
+    val b2 = DedupIndex.labelCappedBuilds.get()
+    spark.sql(s"DELETE FROM $corpus WHERE doc_id = 101")
+    DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
+    assert(DedupIndex.labelCappedBuilds.get() === b2 + 1,
+      "an erasure slice must rebuild")
+    assert(spark.table(t).collect().forall(_.getLong(0) != 101L))
+
+    // 4. post-MERGE replay window: wind the watermark back one version —
+    //    the replayed slice's doc_ids are already stored, so the guard
+    //    must take the rebuild path and converge to the same labels
+    val before = spark.table(t).orderBy("doc_id").collect().map(_.toSeq)
+    val headV = spark.sql(
+      s"SELECT MAX(v) FROM $corpus.versions").head.getLong(0)
+    spark.sql("INSERT OVERWRITE graft_cat.db.dedup_lcap_lc_meta " +
+      s"SELECT CAST(${headV - 2} AS BIGINT), '$corpus'")
+    DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
+    assert(spark.table(t).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === before.toSeq, "replay did not converge")
+
+    // inventory classifies the _lc meta as its own family
+    val inv = spark.sql("CALL graft_cat.system.indexes('db')")
+      .filter(col("index_name") === "lcap").collect()
+    assert(inv.length === 1 &&
+      inv.head.getString(0) === "component-labels-capped",
+      s"capped label family misclassified: ${inv.toSeq}")
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    dropIx("lcap"); dropIx("lcap_chk")
+  }
 }

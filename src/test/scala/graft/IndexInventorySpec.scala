@@ -35,6 +35,8 @@ class IndexInventorySpec extends SparkTestBase {
       s"dedup_${name}_gr_grams", s"dedup_${name}_gr_meta",
       s"dedup_${name}_lb_labels", s"dedup_${name}_lb_edges",
       s"dedup_${name}_lb_posts", s"dedup_${name}_lb_meta",
+      s"dedup_${name}_lc_labels", s"dedup_${name}_lc_posts",
+      s"dedup_${name}_lc_df", s"dedup_${name}_lc_meta",
       s"search_${name}_postings", s"search_${name}_docs",
       s"search_${name}_meta",
       s"ann_${name}_cells", s"ann_${name}_cents", s"ann_${name}_meta",
@@ -67,13 +69,14 @@ class IndexInventorySpec extends SparkTestBase {
       .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
       .writeTo(vecsT).append()
 
-    // one index per family, all under the same index name — the 8
+    // one index per family, all under the same index name — the 9
     // builders below are the complete set of persisted-artifact
     // families; if Families gains a row this list goes stale and the
     // set assertion fails, which is the point
     DedupIndex.ensureCdc(spark, docsT, name)       // minhash-signatures
     DedupIndex.ensureGramsCdc(spark, docsT, name)  // exact-grams
     DedupIndex.ensureLabelsCdc(spark, docsT, name) // component-labels
+    DedupIndex.ensureLabelsCappedCdc(spark, docsT, name) // component-labels-capped
     SearchIndex.ensureCdc(spark, docsT, name)      // bm25-postings
     AnnIndex.ensureCdc(spark, vecsT, name)         // ivf-cells
     AnnIndex.ensurePqCdc(spark, vecsT, name)       // pq-codes
@@ -114,6 +117,7 @@ class IndexInventorySpec extends SparkTestBase {
     // fires before any catalog access, so the corpus args are untouched)
     intercept[IllegalArgumentException](DedupIndex.ensure(spark, docs, "a_gr"))
     intercept[IllegalArgumentException](DedupIndex.ensure(spark, docs, "a_lb"))
+    intercept[IllegalArgumentException](DedupIndex.ensure(spark, docs, "a_lc"))
     intercept[IllegalArgumentException](
       DedupIndex.ensureCdc(spark, "graft_cat.db.nope", "a_lb"))
     intercept[IllegalArgumentException](AnnIndex.ensure(spark, vecs, "a_pq"))
