@@ -663,14 +663,25 @@ object Dedup {
       s: SparkSession,
       sym: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Int) = {
-    val wide = sym.persist()
-    val n = wide.count() // materialize the WIDE pair pipeline once
+    // materialize the WIDE pair pipeline ONCE, already laid out at the
+    // floor width (repartition, not coalesce — coalesce would propagate
+    // the narrow width UP into the pair build and serialize it); the
+    // measured count then decides whether the floor suffices. The
+    // common case (fixture micro-graphs, post-cut pair lists) pays
+    // exactly one persist + one count — the pre-round-13 cost.
+    val floor = sym.repartition(4).persist()
+    val n = floor.count()
     val w = ccWidth(s, n)
-    // repartition READS the cache (one micro-shuffle), never re-runs the
-    // wide pipeline; persist so each loop iteration starts from w tasks
-    val edges = wide.repartition(w).persist()
-    edges.count()
-    wide.unpersist(blocking = false)
+    val edges =
+      if (w <= 4) floor
+      else {
+        // big graph: re-lay the CACHED rows out at the derived width (a
+        // micro-shuffle against the cache, the pipeline never re-runs)
+        val e = floor.repartition(w).persist()
+        e.count()
+        floor.unpersist(blocking = false)
+        e
+      }
     val out = connectedComponents(s, edges, w)
     // the converged frame is localCheckpoint'ed by the loop, so the edge
     // cache is dead weight from here
@@ -809,7 +820,8 @@ object Dedup {
     * rebuild. The final labels must hash-match the oracle's
     * recursive-CTE components over the post-mutation corpus —
     * maintained ≡ rebuilt, splits included. The demo cohort is BOUNDED
-    * (first 4000 ids, the ext141 discipline): entry cost must stay
+    * (first 2500 ids — round-13 tightened from 4000 to the shared
+    * ext141/ext153 cohort, VERDICT r12 #5): entry cost must stay
     * fixture-sized at any SF — corpus-proportional build scaling is
     * ScaleRehearsal's `lbl`/`lblstorm` probes' job, not a bench
     * entry's; this entry measures DELETE/UPDATE tolerance, which is
@@ -822,7 +834,7 @@ object Dedup {
     s.sql("CREATE TABLE graft_cat.db.lble_docs (doc_id BIGINT, " +
       "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     table(s, d, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 4000)
+      .filter(col("doc_id") < 2500)
       .writeTo("graft_cat.db.lble_docs").append()
     DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lble_docs", "lble_ix") // build
     s.sql("DELETE FROM graft_cat.db.lble_docs WHERE doc_id % 7 = 3")
@@ -1028,7 +1040,7 @@ object Dedup {
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 11 = 4 THEN text || ' graft slb rev'
        |         ELSE text END AS text
-       |  FROM documents WHERE doc_id < 1200 AND doc_id % 9 <> 0),
+       |  FROM documents WHERE doc_id < 600 AND doc_id % 9 <> 0),
        |${shinglesSqlFrom("documents_m")},
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
@@ -1062,7 +1074,7 @@ object Dedup {
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 11 = 5 THEN text || ' graft lbl rev'
          |         ELSE text END AS text
-         |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id < 4000),
+         |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id < 2500),
          |${shinglesSqlFrom("documents_m")},
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (

