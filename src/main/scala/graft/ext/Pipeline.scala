@@ -128,7 +128,7 @@ object Pipeline {
     * the right-to-be-forgotten path at 100 TB. A corpus table (docs) and
     * a vector table (embeddings) each take one DELETE of the subject
     * slice (`id % 7 = 2` — the erasure request), and CDC maintenance
-    * propagates it to all EIGHT index families with FEED-SIZED work
+    * propagates it to all NINE index families, eight with FEED-SIZED work
     * (one change-feed slice each, never a rebuild): MinHash signatures,
     * exact-substring gram rows, BM25 postings + doc lengths, IVF cells,
     * PQ codes, SQ codes, NSW graph edges (cell-granular — and audited on
@@ -146,7 +146,12 @@ object Pipeline {
     * edge artifact ([[DedupIndex.ensureLabelsCdc]]) — both the label
     * rows and the persisted edge rows are audited (an erased doc must
     * vanish as a label, as an edge endpoint on either side, and the
-    * surviving label count must equal the live-doc count). */
+    * surviving label count must equal the live-doc count). Round 13
+    * adds the NINTH: the df-capped label family
+    * ([[DedupIndex.ensureLabelsCappedCdc]]), whose erasure path is the
+    * documented LINEAR rebuild (capped edges are not append-stable) —
+    * the audit proves the rebuild actually purges the subjects from
+    * the label and postings artifacts. */
   val erasureE2e: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     Seq("er_docs", "er_vecs",
@@ -154,6 +159,8 @@ object Pipeline {
       "dedup_er_gr_grams", "dedup_er_gr_meta",
       "dedup_er_lb_labels", "dedup_er_lb_edges", "dedup_er_lb_posts",
       "dedup_er_lb_meta",
+      "dedup_er_lc_labels", "dedup_er_lc_posts", "dedup_er_lc_df",
+      "dedup_er_lc_meta",
       "search_er_postings", "search_er_docs", "search_er_meta",
       "ann_er_cells", "ann_er_cents", "ann_er_meta",
       "ann_er_pq_codes", "ann_er_pq_cents", "ann_er_pq_meta",
@@ -181,6 +188,7 @@ object Pipeline {
     DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
     DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er")
+    DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.er_docs", "er")
     SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
@@ -193,6 +201,7 @@ object Pipeline {
     val td = DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     val tgm = DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
     val tl = DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er")
+    val tlc = DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.er_docs", "er")
     val ts = SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
     val ta = AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
     val tp = AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
@@ -215,6 +224,9 @@ object Pipeline {
           col("n_erased_live"), col("n_live")))
       .unionAll(leg("component-postings",
         "graft_cat.db.dedup_er_lb_posts", "doc_id"))
+      .unionAll(leg("component-labels-capped", tlc, "doc_id"))
+      .unionAll(leg("component-capped-postings",
+        "graft_cat.db.dedup_er_lc_posts", "doc_id"))
       .unionAll(leg("ivf-cells", ta.cells, "vec_id"))
       .unionAll(leg("minhash-signatures", td.sigs, "doc_id"))
       .unionAll(leg("exact-grams", tgm, "doc_id"))
@@ -362,6 +374,9 @@ object Pipeline {
         |  UNION ALL SELECT 'component-labels', 0, (SELECT n FROM dl)
         |  UNION ALL SELECT 'component-edges', 0, (SELECT n FROM ledg)
         |  UNION ALL SELECT 'component-postings', 0,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM shl)
+        |  UNION ALL SELECT 'component-labels-capped', 0, (SELECT n FROM dl)
+        |  UNION ALL SELECT 'component-capped-postings', 0,
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM shl))
         |ORDER BY family""".stripMargin,
     "ext152_incremental_pipeline" ->

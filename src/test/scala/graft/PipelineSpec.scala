@@ -92,11 +92,13 @@ class PipelineSpec extends SparkTestBase {
       AnnIndex.cdcRefreshes.get(), AnnIndex.pqCdcRefreshes.get(),
       AnnIndex.sqCdcRefreshes.get(), AnnIndex.graphCdcRefreshes.get(),
       DedupIndex.gramCdcRefreshes.get(), DedupIndex.labelIncRefreshes.get())
+    val lcB0 = DedupIndex.labelCappedBuilds.get()
+    val lcR0 = DedupIndex.labelCappedIncRefreshes.get()
     val rows = ext.Pipeline.queries("ext141_erasure_e2e")(spark, d).collect()
     // the audit itself: zero live rows attributable to erased subjects
-    // (8 index families + the bm25 doclens twin + the label edge and
-    // postings tables)
-    assert(rows.length === 11)
+    // (9 index families + the bm25 doclens twin + the label edge /
+    // postings tables + the capped family's postings)
+    assert(rows.length === 13)
     rows.foreach { r =>
       assert(r.getLong(r.fieldIndex("n_erased_live")) === 0L,
         s"erasure residue in ${r.getString(0)}")
@@ -119,5 +121,12 @@ class PipelineSpec extends SparkTestBase {
     assert(r1 === ((r0._1 + 1, r0._2 + 1, r0._3 + 1, r0._4 + 1, r0._5 + 1,
       r0._6 + 1, r0._7 + 1, r0._8 + 1)),
       s"expected exactly one CDC apply per family: $r0 -> $r1")
+    // the ninth family is the documented EXCEPTION: erasure propagates
+    // by a LINEAR rebuild (capped edges are not append-stable), so the
+    // entry pays exactly two capped builds and zero incremental applies
+    assert(DedupIndex.labelCappedBuilds.get() === lcB0 + 2,
+      "capped labels must rebuild on the erasure slice (build + rebuild)")
+    assert(DedupIndex.labelCappedIncRefreshes.get() === lcR0,
+      "an erasure slice must never take the capped incremental path")
   }
 }
