@@ -626,21 +626,21 @@ object DedupIndex {
     * family's contract): a capped edge set is NOT append-stable —
     * appending docs can push a shingle's corpus df across the cap,
     * retroactively changing OLD docs' capped shingle sets (hence their
-    * pairwise Jaccards) even though those docs were in no slice. The
-    * apply therefore stays exact by REBUILDING whenever incremental
-    * exactness is not derivable batch-sized:
+    * pairwise Jaccards) even though those docs were in no slice. EVERY
+    * append slice is nonetheless applied INCREMENTALLY: cap crossings
+    * are detected in O(batch postings) against the persisted df
+    * sidecar, and a crossing shingle's stored member docs (≤ cap of
+    * them — a shingle only crosses while its df is AT the cap; an
+    * already-hot shingle never crosses again) join the touched set,
+    * whose components recompute cluster-locally from the stored
+    * postings (see [[applyLabelsCappedInc]]). Work ∝ batch posting
+    * lists + cap × crossings + touched-cluster sizes. The REBUILD path
+    * is reserved for:
     *   - slices containing any DELETE or UPDATE,
-    *   - insert slices that re-use a stored doc_id,
-    *   - insert slices that flip any stored shingle's cap status
-    *     (df crossing the cap, detected in O(batch postings) from the
-    *     persisted df sidecar).
-    * Everything else — the common pure-append batch — takes the
-    * quotient apply: batch shingles join the stored postings (both
-    * sides cap-filtered at HEAD df), Jaccard ≥ 0.5 edges contract onto
-    * the stored labels, min-label CC on the quotient, one atomic
-    * MERGE. Work ∝ the batch's capped posting lists. A rebuild is
-    * itself linear (the point of the cap), so the degradation path
-    * survives the same storm that motivates it.
+    *   - insert slices that re-use a stored doc_id (which is also how
+    *     a post-MERGE crash replay self-detects).
+    * A rebuild is itself linear (the point of the cap), so the
+    * degradation path survives the same storm that motivates it.
     *
     * Artifacts: `dedup_<name>_lc_labels (doc_id, comp)`,
     * `lc_posts (doc_id, sh)` — UNCAPPED distinct postings (true
@@ -656,8 +656,11 @@ object DedupIndex {
     * txn[posts INSERT + df INSERT + meta]. A replay after the label
     * MERGE sees the batch's doc_ids already stored and takes the
     * rebuild guard; a replay after the df DELETE recomputes identical
-    * df rows from (stored posts) ∪ (fresh shingles) and re-lands them.
-    * Every window converges (spec-pinned). */
+    * df rows from (stored posts) ∪ (fresh shingles), and an affected
+    * shingle whose df row is missing but whose postings exist is
+    * conservatively treated as crossed (over-touching re-adds
+    * unchanged docs — a fixpoint). Every window converges
+    * (spec-pinned). */
   def ensureLabelsCappedCdc(s: SparkSession, corpusTable: String,
       name: String, cap: Int = LabelDfCap): String = synchronized {
     CdcIndex.requireIndexName(name)
@@ -712,9 +715,28 @@ object DedupIndex {
     }(rebuild)
   }
 
-  /** The pure-append incremental apply of the capped family. Returns
+  /** The append-slice incremental apply of the capped family. Returns
     * false when the slice is outside the incremental contract (erasure,
-    * re-used ids, cap crossings) — the caller then rebuilds. */
+    * re-used ids, post-MERGE replay) — the caller then rebuilds.
+    *
+    * CAP CROSSINGS ARE HANDLED INCREMENTALLY (round-13, second pass):
+    * an append can push a stored shingle's df across the cap, shrinking
+    * UNTOUCHED docs' capped sets — which can LOSE member-member edges
+    * (splits) and even GAIN edges (a smaller set size raises Jaccard).
+    * The key bound: a shingle can only cross while its df is AT the cap
+    * (old ≤ cap < new), so it has ≤ cap stored member docs — those
+    * members join the touched set (work ∝ cap × crossings, never the
+    * posting list of an already-hot shingle, which never crosses
+    * again). Splits need no stored edge artifact: the touched
+    * components' members' capped HEAD postings are member-restricted
+    * self-joined (every changed edge has a touched endpoint; edges
+    * between unchanged docs are unchanged), giving the exact induced
+    * subgraph — cluster-local, the exact family's D-phase bound. Gained
+    * edges toward docs OUTSIDE the touched components have a touched
+    * endpoint by the same argument and are found by the N-phase
+    * candidate join. Crossing docs' texts are unchanged, so their
+    * capped rows derive from the STORED postings (no re-shingle) and
+    * the postings/df artifacts need no writes for them. */
   private def applyLabelsCappedInc(s: SparkSession, corpusTable: String,
       labels: String, posts: String, dfTab: String, meta: String, cap: Int,
       v0: Long, headV: Long): Boolean = {
@@ -722,45 +744,95 @@ object DedupIndex {
       s"VERSION AS OF 'cdf:$v0..$headV'")
     if (feed.filter(col("_change_type") =!= "insert").limit(1).count() > 0L)
       return false // erasure slice → rebuild
-    val touched = feed.select(col("doc_id")).distinct().localCheckpoint(true)
+    val feedTouched = feed.select(col("doc_id")).distinct()
+      .localCheckpoint(true)
     val stored = s.table(labels)
-    if (stored.join(touched, Seq("doc_id"), "left_semi")
+    if (stored.join(feedTouched, Seq("doc_id"), "left_semi")
         .limit(1).count() > 0L)
       return false // re-used id (update-shaped) or post-MERGE replay
 
     val head = s.table(corpusTable).select(col("doc_id"), col("text"))
-    val shNew = Dedup.shingles(head.join(touched, Seq("doc_id"), "left_semi"))
-      .persist()
-    // affected shingles + their HEAD df, recomputed from the logical
-    // head postings (stored ∪ fresh) — identical values on any replay
-    val affected = shNew.select("sh").distinct()
-    val postsHeadFull = s.table(posts)
-      .join(touched, Seq("doc_id"), "left_anti") // replay paranoia; no-op
-      .unionAll(shNew)
+    val shNewFeed = Dedup.shingles(
+      head.join(feedTouched, Seq("doc_id"), "left_semi")).persist()
+    // affected shingles (df changes come ONLY from the feed's new docs)
+    // + their HEAD df, recomputed from the logical head postings
+    // (stored ∪ fresh) — identical values on any replay
+    val affected = shNewFeed.select("sh").distinct()
+    val postsStored = s.table(posts)
+    val postsHeadFull = postsStored
+      .join(feedTouched, Seq("doc_id"), "left_anti") // replay paranoia
+      .unionAll(shNewFeed)
     val dfNew = postsHeadFull.join(affected, Seq("sh"), "left_semi")
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .localCheckpoint(true)
-    // crossing detection: a STORED shingle whose cap status flips would
-    // retroactively change untouched docs' capped sets → rebuild. A df
-    // row missing for an affected shingle means genuinely-new (or a
-    // replay re-entering after its own df DELETE) — both incremental-safe.
-    val crossings = s.table(dfTab).withColumnRenamed("df", "df_old")
-      .join(dfNew, Seq("sh"))
-      .filter((col("df_old") <= cap) =!= (col("df") <= cap))
-    if (crossings.limit(1).count() > 0L) {
-      shNew.unpersist(blocking = false)
-      return false
-    }
+    // crossing-up detection (append-only ⇒ df never decreases). A
+    // MISSING stored df row for an affected shingle that nonetheless
+    // has stored postings is the replay-after-df-DELETE window — treat
+    // it as crossed (conservative: retract+re-add of unchanged docs is
+    // a fixpoint, so over-touching only costs work, never answers).
+    val dfOldAff = s.table(dfTab).withColumnRenamed("df", "df_old")
+      .join(affected, Seq("sh"), "left_semi")
+    val crossedKnown = dfOldAff.join(dfNew, Seq("sh"))
+      .filter(col("df_old") <= cap && col("df") > cap).select("sh")
+    val missingStored = affected
+      .join(dfOldAff.select("sh"), Seq("sh"), "left_anti")
+      .join(postsStored, Seq("sh"), "left_semi")
+    val crossings = crossedKnown.unionAll(missingStored).distinct()
+      .localCheckpoint(true)
+    val crossDocs = postsStored.join(crossings, Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val touched = feedTouched.select("doc_id").unionAll(crossDocs)
+      .distinct().localCheckpoint(true)
 
-    // head cap filter: stored df overridden by the recomputed affected
-    // rows (no crossing ⇒ stored statuses are already head-accurate,
-    // but the override also serves the replay-after-df-DELETE window)
+    // head cap filter: stored df overridden by the recomputed rows
     val dfHead = s.table(dfTab).join(affected, Seq("sh"), "left_anti")
       .unionAll(dfNew)
     val okSh = dfHead.filter(col("df") <= cap).select("sh")
-    val shNewCapped = shNew.join(okSh, Seq("sh"), "left_semi")
     val postsHeadCapped = postsHeadFull.join(okSh, Seq("sh"), "left_semi")
-    val cand = shNewCapped.as("b").join(postsHeadCapped.as("a"),
+
+    // ---- D-phase (splits/gains among stored members of the touched
+    // components): only runs when a crossing touched stored docs
+    val anyCross = crossings.limit(1).count() > 0L
+    val (splitNodes, untouchedRows) =
+      if (!anyCross)
+        (feedTouched.limit(0)
+          .select(col("doc_id"), col("doc_id").as("node")),
+          stored.select(col("doc_id"), col("comp")))
+      else {
+        val touchedComps = stored.join(touched, Seq("doc_id"), "left_semi")
+          .select(col("comp")).distinct()
+        val members = stored.join(touchedComps, Seq("comp"), "left_semi")
+          .select(col("doc_id"))
+        // exact induced subgraph of the members over HEAD capped
+        // postings (crossing docs carry their shrunk sets; unchanged
+        // member-member edges recompute to the same values)
+        val mPosts = postsHeadCapped
+          .join(members, Seq("doc_id"), "left_semi").persist()
+        val mEdges = jaccardEdgesFromShingles(mPosts)
+        val msym = mEdges.select(explode(array(
+            struct(col("a_id").as("src"), col("b_id").as("dst")),
+            struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val (mlab0, _) = Dedup.ccOverEdges(s, msym)
+        val mlab = mlab0.localCheckpoint(true)
+        mPosts.unpersist(blocking = false)
+        val sn = members
+          .join(mlab.withColumnRenamed("id", "doc_id")
+            .withColumnRenamed("comp", "c2"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("c2"), col("doc_id")).as("node"))
+        (sn, stored.join(touchedComps, Seq("comp"), "left_anti")
+          .select(col("doc_id"), col("comp")))
+      }
+    val afterD = untouchedRows
+      .unionAll(splitNodes.select(col("doc_id"), col("node").as("comp")))
+
+    // ---- N-phase: head edges incident to the touched docs. Feed docs
+    // contribute fresh capped shingles; crossing docs contribute their
+    // STORED rows cap-filtered at head df (texts unchanged).
+    val shTouchedCapped = shNewFeed.join(okSh, Seq("sh"), "left_semi")
+      .unionAll(postsStored.join(crossDocs, Seq("doc_id"), "left_semi")
+        .join(okSh, Seq("sh"), "left_semi"))
+    val cand = shTouchedCapped.as("b").join(postsHeadCapped.as("a"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -776,12 +848,13 @@ object DedupIndex {
       .filter(col("inter").cast("double")
         / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
       .select(col("a_id"), col("b_id"))
-    // contract endpoints onto the stored labels (new docs → own ids),
-    // min-label CC on the quotient — the union-find-by-min argument
+    // contract endpoints onto the post-D labels (members → their split
+    // node, untouched docs → stored comp, feed docs → own id), min-label
+    // CC on the quotient — the union-find-by-min argument
     val q = edgesNew
-      .join(stored.withColumnRenamed("doc_id", "a_id")
+      .join(afterD.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("comp", "ca"), Seq("a_id"), "left")
-      .join(stored.withColumnRenamed("doc_id", "b_id")
+      .join(afterD.withColumnRenamed("doc_id", "b_id")
         .withColumnRenamed("comp", "cb"), Seq("b_id"), "left")
       .select(coalesce(col("ca"), col("a_id")).as("src"),
         coalesce(col("cb"), col("b_id")).as("dst"))
@@ -796,16 +869,20 @@ object DedupIndex {
     def viaQ(df: DataFrame): DataFrame = df
       .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("node")).as("comp"))
-    val remapChanged = stored
+    val splitRows = viaQ(splitNodes)
+    val remapChanged = untouchedRows
       .withColumnRenamed("comp", "node").as("l")
       .join(qlab.as("qq"), col("l.node") === col("qq.id"))
       .filter(col("qq.comp") =!= col("qq.id"))
       .select(col("l.doc_id").as("doc_id"), col("qq.comp").as("comp"))
-    val newRows = viaQ(head.join(touched, Seq("doc_id"), "left_semi")
+    val newRows = viaQ(head.join(feedTouched, Seq("doc_id"), "left_semi")
       .select(col("doc_id")).distinct().withColumn("node", col("doc_id")))
     // materialize every mutation input BEFORE the first mutation
-    val usrc = remapChanged.unionAll(newRows).localCheckpoint(true)
-    val newPostRows = shNew.localCheckpoint(true)
+    // (disjoint by construction: members of touched comps / rows of
+    // untouched comps / genuinely-new feed docs)
+    val usrc = splitRows.unionAll(remapChanged).unionAll(newRows)
+      .localCheckpoint(true)
+    val newPostRows = shNewFeed.localCheckpoint(true)
     val dfNewCk = dfNew.filter(col("df") > 0)
 
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -821,11 +898,13 @@ object DedupIndex {
       // 1. retire the affected shingles' stored df rows (idempotent;
       //    the affected set derives from the immutable feed)
       s.sql(s"DELETE FROM $dfTab WHERE sh IN (SELECT sh FROM $av)")
-      // 2. ONE atomic label statement: remap + upsert (no erasure here)
+      // 2. ONE atomic label statement: split-remap + comp-remap + upsert
       s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
         WHEN MATCHED THEN UPDATE SET comp = u.comp
         WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
-      // 3. postings + df + watermark in one cross-table txn
+      // 3. postings + df + watermark in one cross-table txn (only the
+      //    feed's fresh rows land — crossing docs' postings are already
+      //    stored and unchanged)
       CdcIndex.inTxn(s) {
         s.sql(s"INSERT INTO $posts SELECT * FROM $pv")
         s.sql(s"INSERT INTO $dfTab SELECT * FROM $dv")
@@ -838,7 +917,7 @@ object DedupIndex {
       s.catalog.dropTempView(pv)
       s.catalog.dropTempView(dv)
       s.catalog.dropTempView(av)
-      shNew.unpersist(blocking = false)
+      shNewFeed.unpersist(blocking = false)
     }
   }
 

@@ -765,13 +765,16 @@ class DedupIndexSpec extends SparkTestBase {
   }
 
   test("capped labels: append applies incrementally; crossings and erasure rebuild") {
-    // the df-capped label family's contract (round-13, VERDICT r12 #1):
-    // a pure-append batch that flips no stored shingle's cap status
-    // folds in via the quotient apply; a batch that pushes a shingle's
-    // df across the cap — which retroactively changes UNTOUCHED docs'
-    // capped shingle sets — rebuilds (linearly, the point of the cap);
-    // so does any erasure slice and the post-MERGE replay window. Every
-    // path must equal a from-scratch capped build over the head corpus.
+    // the df-capped label family's contract (round-13): every append
+    // folds in incrementally — a no-crossing batch via the plain
+    // quotient apply, and a batch that pushes a shingle's df across
+    // the cap (which retroactively changes UNTOUCHED docs' capped
+    // shingle sets) via the expanded-touched apply: the crossing
+    // shingle's <= cap stored member docs join the touched set and
+    // their components recompute cluster-locally from the stored
+    // postings. Erasure slices and the post-MERGE replay window
+    // rebuild (linearly — the point of the cap). Every path must equal
+    // a from-scratch capped build over the head corpus.
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
     import graft.ext.DedupIndex
@@ -784,11 +787,18 @@ class DedupIndexSpec extends SparkTestBase {
     spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     // seed: shingle "aa bb cc" at df = 7 (docs 0-6, one below the cap of
-    // 8), plus a near-dup pair (100, 101) sharing most shingles
+    // 8); a near-dup pair (100, 101) sharing most shingles; and a HUB
+    // component 300-307 glued together ONLY through the shingle
+    // "pp qq rr" at df = 8 exactly (doc 300 = the 3-token hub whose
+    // sole shingle it is; each spoke pairs with the hub at J = 1/2) —
+    // the component a later cap crossing must tear apart
     spark.range(0, 7).selectExpr("id AS doc_id",
       "concat('aa bb cc tail', id) AS text").writeTo(corpus).append()
     spark.sql(s"INSERT INTO $corpus VALUES " +
       "(100, 'xx yy zz ww vv uu'), (101, 'xx yy zz ww vv tt')")
+    spark.sql(s"INSERT INTO $corpus VALUES (300, 'pp qq rr')")
+    spark.range(301, 308).selectExpr("id AS doc_id",
+      "concat('pp qq rr u', id) AS text").writeTo(corpus).append()
     val b0 = DedupIndex.labelCappedBuilds.get()
     val i0 = DedupIndex.labelCappedIncRefreshes.get()
     val t = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
@@ -797,6 +807,10 @@ class DedupIndexSpec extends SparkTestBase {
     val lab0 = spark.table(t).orderBy("doc_id").collect()
     assert(lab0.filter(_.getLong(0) === 101L).head.getLong(1) === 100L,
       s"near-dup pair not clustered: ${lab0.toSeq}")
+    // the hub component exists pre-crossing: every spoke labels 300
+    assert((301L to 307L).forall(id =>
+      lab0.filter(_.getLong(0) === id).head.getLong(1) === 300L),
+      s"hub component not formed: ${lab0.toSeq}")
 
     // 1. pure append, no crossing ("aa bb cc" goes 7 -> 8, still <= cap;
     //    the batch doc near-dups doc 101) — INCREMENTAL, and the batch
@@ -816,18 +830,32 @@ class DedupIndexSpec extends SparkTestBase {
       === spark.table(chk).orderBy("doc_id").collect().map(_.toSeq).toSeq,
       "incremental capped labels diverged from the from-scratch build")
 
-    // 2. crossing append: doc 8 pushes "aa bb cc" to df = 9 > cap —
-    //    docs 0-7 lose the shingle from their capped sets without being
-    //    in the slice; incremental exactness is not batch-derivable -> rebuild
+    // 2. crossing append: docs 8 and 308 push "aa bb cc" and "pp qq rr"
+    //    to df = 9 > cap — docs 0-7 and the whole hub component 300-307
+    //    lose those shingles from their capped sets without being in
+    //    the slice. The apply detects both crossings against the df
+    //    sidecar, pulls the shingles' stored member docs into the
+    //    touched set, and recomputes their components cluster-locally —
+    //    INCREMENTALLY, never a rebuild — and the hub component must
+    //    SPLIT into singletons (the glue shingle is gone; each spoke's
+    //    surviving shingle is unique).
     val b1 = DedupIndex.labelCappedBuilds.get() // lcap_chk built too
-    spark.sql(s"INSERT INTO $corpus VALUES (8, 'aa bb cc tail8')")
+    val i1 = DedupIndex.labelCappedIncRefreshes.get()
+    spark.sql(s"INSERT INTO $corpus VALUES " +
+      "(8, 'aa bb cc tail8'), (308, 'pp qq rr u308x')")
     DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
-    assert(DedupIndex.labelCappedBuilds.get() === b1 + 1,
-      "a cap-crossing append must rebuild")
+    assert(DedupIndex.labelCappedBuilds.get() === b1,
+      "a cap-crossing append must fold in incrementally, not rebuild")
+    assert(DedupIndex.labelCappedIncRefreshes.get() === i1 + 1)
+    val lab2 = spark.table(t).orderBy("doc_id").collect()
+    assert((300L to 308L).forall(id =>
+      lab2.filter(_.getLong(0) === id).head.getLong(1) === id),
+      s"hub component not split by the crossing: ${lab2.toSeq}")
     dropIx("lcap_chk")
     val chk2 = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap_chk")
-    assert(spark.table(t).orderBy("doc_id").collect().map(_.toSeq).toSeq
-      === spark.table(chk2).orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    assert(lab2.map(_.toSeq).toSeq
+      === spark.table(chk2).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "crossing-append labels diverged from the from-scratch build")
 
     // 3. erasure slice -> rebuild by contract (capped edges are not
     //    append-stable; erasure-without-rebuild is the exact family)
