@@ -1031,6 +1031,49 @@ object Dedup {
        |${shinglesSqlFrom("documents_cdc")},
        |$minhashLshBodySql""".stripMargin
 
+  /** The df-capped recursive-components chain over a (doc_id, text)
+    * CTE named `base` — df ≤ 8 measured cohort-wide, per-doc sizes on
+    * the CAPPED sets, ALL J ≥ 0.5 pairs (no top-k cut), min-label
+    * reach. Shared by ext167 (batch CDC) and ext169 (streamed). */
+  private def cappedComponentsSqlOver(base: String): String =
+    s"""${shinglesSqlFrom(base)},
+       |shc AS (
+       |  SELECT s.doc_id, s.sh FROM sh s
+       |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 8) r
+       |    USING (sh)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+       |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
+       |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
+       |FROM $base d LEFT JOIN comp c ON d.doc_id = c.id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** ext169's oracle — the CAPPED components over the stream-mutated
+    * cohort (seed+append < 600, then DELETE %9=0 and re-text %11=4). */
+  private[graft] lazy val streamCappedLabelOracleSql: String =
+    s"""WITH RECURSIVE documents_m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 4 THEN text || ' graft slc rev'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id < 600 AND doc_id % 9 <> 0),
+       |${cappedComponentsSqlOver("documents_m")}""".stripMargin
+
   /** ext164's oracle — recursive components over the stream-mutated
     * cohort (seed+append, then DELETE %9=0 and re-text %11=4), shared
     * with Streams so the streamed maintenance and the batch oracle
@@ -1105,33 +1148,7 @@ object Dedup {
     "ext167_components_capped_cdc" ->
       s"""WITH RECURSIVE docs_b AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id < 2500),
-         |${shinglesSqlFrom("docs_b")},
-         |shc AS (
-         |  SELECT s.doc_id, s.sh FROM sh s
-         |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 8) r
-         |    USING (sh)),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT a_id, b_id FROM inter
-         |  JOIN sz sa ON sa.doc_id = a_id
-         |  JOIN sz sb ON sb.doc_id = b_id
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
-         |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
-         |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
-         |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
-         |FROM docs_b d LEFT JOIN comp c ON d.doc_id = c.id
-         |ORDER BY d.doc_id""".stripMargin,
+         |${cappedComponentsSqlOver("docs_b")}""".stripMargin,
     // incremental labels (quotient merge over the stored index) must
     // equal the from-scratch recursive components over the J>=0.5 graph
     // of the same bounded cohort — incremental == rebuilt, hash-checked

@@ -798,6 +798,55 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  /** ext169 — STREAMED MAINTENANCE OF THE CAPPED LABEL FAMILY: the
+    * round-13 scale-default index ([[graft.ext.DedupIndex
+    * .ensureLabelsCappedCdc]]) under ext164's operating mode — one
+    * streaming job tails the corpus change feed and drives the ensure
+    * from `foreachBatch`. Mid-stream appends fold in INCREMENTALLY
+    * (including any cap crossings they cause — the expanded-touched
+    * cluster-local path); the mid-stream DELETE/UPDATE slice takes the
+    * family's documented LINEAR rebuild. Either way the final labels
+    * must hash-match the capped recursive-components oracle over the
+    * post-mutation cohort — streamed maintenance ≡ batch construction
+    * for the capped semantics too. Cohort bounded to 600 ids (ext164's
+    * discipline). */
+  val streamCappedLabelMaintenance: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.slc_docs")
+    Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_stream_lc_$x"))
+    s.sql("CREATE TABLE graft_cat.db.slc_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val docs = graft.ops.table(s, d, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 600)
+    docs.filter(col("doc_id") < 500).writeTo("graft_cat.db.slc_docs").append()
+    withStreamShuffle(s) {
+      val query = s.readStream.table("graft_cat.db.slc_docs.changes")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          graft.ops.ensureGraftCatalog(bs)
+          graft.ext.DedupIndex.ensureLabelsCappedCdc(bs,
+            "graft_cat.db.slc_docs", "stream_lc")
+          ()
+        }.start()
+      try {
+        query.processAllAvailable()
+        docs.filter(col("doc_id") >= 500)
+          .writeTo("graft_cat.db.slc_docs").append()
+        query.processAllAvailable()
+        s.sql("DELETE FROM graft_cat.db.slc_docs WHERE doc_id % 9 = 0")
+        s.sql("UPDATE graft_cat.db.slc_docs " +
+          "SET text = text || ' graft slc rev' WHERE doc_id % 11 = 4")
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+    s.table("graft_cat.db.dedup_stream_lc_lc_labels")
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   val streamSqMaintenance: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
     s.sql("DROP TABLE IF EXISTS graft_cat.db.ssq_vecs")
@@ -1865,6 +1914,7 @@ object Streams {
     "ext138_stream_cdc_index" -> streamCdcIndexMaintenance,
     "ext151_stream_sq_maintenance" -> streamSqMaintenance,
     "ext164_stream_label_maintenance" -> streamLabelMaintenance,
+    "ext169_stream_capped_label_maintenance" -> streamCappedLabelMaintenance,
     "ext103_stream_rate_limit" -> streamRateLimit,
     "ext107_stream_quarantine" -> streamQuarantine,
     "ext114_stream_wap_branch" -> streamWapBranch)
@@ -1894,6 +1944,8 @@ object Streams {
     "ext138_stream_cdc_index" -> graft.ext.Dedup.cdcMutatedLshOracleSql,
     "ext164_stream_label_maintenance" ->
       graft.ext.Dedup.streamLabelOracleSql,
+    "ext169_stream_capped_label_maintenance" ->
+      graft.ext.Dedup.streamCappedLabelOracleSql,
     "ext151_stream_sq_maintenance" ->
       graft.ext.Similarity.sqCdcMutatedOracleSql,
     // emission 1 = lower event-time half, emission 2 = cumulative all —

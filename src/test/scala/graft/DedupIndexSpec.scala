@@ -373,6 +373,34 @@ class DedupIndexSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_slbchk_$x"))
   }
 
+  test("change-feed stream drives ensureLabelsCappedCdc: appends fold in, erasure rebuilds") {
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    val b0 = DedupIndex.labelCappedBuilds.get()
+    val i0 = DedupIndex.labelCappedIncRefreshes.get()
+    val rows = streaming.Streams
+      .queries("ext169_stream_capped_label_maintenance")(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(DedupIndex.labelCappedBuilds.get() >= b0 + 2,
+      "the seed batch must build and the erasure slice must rebuild")
+    assert(DedupIndex.labelCappedIncRefreshes.get() >= i0 + 1,
+      "the mid-stream append must take the incremental path")
+    // the stream-maintained capped labels converge to a from-scratch
+    // capped build over the same post-mutation corpus
+    Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_slcchk_$x"))
+    val full = DedupIndex.ensureLabelsCappedCdc(spark,
+      "graft_cat.db.slc_docs", "slcchk")
+    val rebuilt = spark.table(full)
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.toSeq).toSeq === rebuilt.map(_.toSeq).toSeq,
+      "stream-maintained capped labels diverged from the batch rebuild")
+    Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_slcchk_$x"))
+  }
+
   test("incremental labels: quotient merge == rebuild; replay is a fixpoint") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
