@@ -223,6 +223,18 @@ object ScaleRehearsal {
       val cScaled = lblStormBuild(spark, cs, "cs", capped = true)
       println(f"""{"q":"lbl_storm_capped_build_10x","base_s":$cBase%.2f,"scaled_s":$cScaled%.2f,"ratio":${cScaled / cBase}%.1f}""")
     }
+    // round-13 probe: the capped family's crossing-tolerant APPLY — a
+    // FIXED one-doc batch that pushes a df-8 glue shingle across the
+    // cap (touching its 8 stored members) against a 10× corpus: the
+    // expanded-touched work is cap-bounded, so the apply may grow only
+    // with the corpus-scan component of the posts semi-joins, never
+    // the pair volume (ratio well under the 10× corpus growth).
+    if (want("lcapply")) {
+      lcApplyCrossing(spark, src, "warm")
+      val laBase = lcApplyCrossing(spark, src, "base")
+      val laScaled = lcApplyCrossing(spark, out, "s10")
+      println(f"""{"q":"lc_apply_crossing","base_s":$laBase%.2f,"scaled_s":$laScaled%.2f,"ratio":${laScaled / laBase}%.1f}""")
+    }
     // round-9 probe: the merge-on-read claim at scale — a 1-row DELETE
     // on a catalog table built from the (K×-scaled) lineitem must cost
     // ~the same at both scales: zone/bloom pruning bounds the DML scan
@@ -361,6 +373,49 @@ object ScaleRehearsal {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $corpus")
       arts.foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Seed `dir`'s documents plus an 8-member hub component glued by a
+    * single df-8 shingle into a capped-label corpus, build the index
+    * (untimed), append ONE fixed doc that pushes the glue shingle
+    * across the cap, and time the incremental APPLY — the
+    * crossing-tolerant path (round-13): touched = 8 members + 1 feed
+    * doc at ANY corpus size, so apply cost may grow only with the
+    * corpus-scan component (the posts semi-joins), never the pair
+    * volume. */
+  private def lcApplyCrossing(spark: SparkSession, dir: String,
+      tag: String): Double = {
+    graft.ops.ensureGraftCatalog(spark)
+    import org.apache.spark.sql.functions.col
+    val pid = ProcessHandle.current().pid()
+    val name = s"lcx_${tag}_$pid"
+    val corpus = s"graft_cat.db.lcx_docs_${tag}_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
+    spark.sql(s"CREATE TABLE $corpus (doc_id BIGINT, text STRING) " +
+      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    try {
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val start = base.agg(max("doc_id")).head.getLong(0) + 1
+      val hub = spark.range(0, 8).select((col("id") + start).as("doc_id"),
+        expr("concat('glx gly glz u', id)").as("text"))
+      base.unionAll(hub).writeTo(corpus).append()
+      graft.ext.DedupIndex.ensureLabelsCappedCdc(spark, corpus, name)
+      spark.sql(s"INSERT INTO $corpus VALUES " +
+        s"(${start + 100}, 'glx gly glz uX')")
+      val t0 = System.nanoTime()
+      graft.ext.DedupIndex.ensureLabelsCappedCdc(spark, corpus, name)
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $corpus")
+      Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
