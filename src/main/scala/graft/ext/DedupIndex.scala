@@ -638,7 +638,13 @@ object DedupIndex {
     * is reserved for:
     *   - slices containing any DELETE or UPDATE,
     *   - insert slices that re-use a stored doc_id (which is also how
-    *     a post-MERGE crash replay self-detects).
+    *     a post-MERGE crash replay self-detects),
+    *   - the cost-gate crossover: a batch so large relative to the
+    *     corpus that its crossings touch more than a third of the
+    *     stored docs — there the linear rebuild is the CHEAPER exact
+    *     plan, and the apply self-selects it (measured: ext167's
+    *     250-doc batch over a 2250-doc corpus costs 9 s via the gate
+    *     vs 34 s via the expanded-touched machinery).
     * A rebuild is itself linear (the point of the cap), so the
     * degradation path survives the same storm that motivates it.
     *
@@ -781,6 +787,18 @@ object DedupIndex {
       .localCheckpoint(true)
     val crossDocs = postsStored.join(crossings, Seq("sh"), "left_semi")
       .select(col("doc_id")).distinct()
+    // COST GATE: each crossing touches ≤ cap stored docs, but a batch
+    // that is large RELATIVE TO THE CORPUS can cross so many shingles
+    // that the expanded-touched machinery (induced-subgraph CC + MERGE)
+    // costs more than the linear rebuild it exists to avoid. When the
+    // crossing-touched stored docs exceed a third of the corpus, the
+    // rebuild is the cheaper exact plan — take it. (Answers identical
+    // either way; this is purely the optimizer's crossover choice.)
+    val crossCnt = crossDocs.count()
+    if (crossCnt > 0L && crossCnt * 3L > stored.count()) {
+      shNewFeed.unpersist(blocking = false)
+      return false
+    }
     val touched = feedTouched.select("doc_id").unionAll(crossDocs)
       .distinct().localCheckpoint(true)
 

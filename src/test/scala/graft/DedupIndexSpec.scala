@@ -827,6 +827,13 @@ class DedupIndexSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $corpus VALUES (300, 'pp qq rr')")
     spark.range(301, 308).selectExpr("id AS doc_id",
       "concat('pp qq rr u', id) AS text").writeTo(corpus).append()
+    // unrelated filler singletons: the apply's cost gate falls back to
+    // a rebuild when crossing-touched docs exceed a third of the
+    // corpus — production corpora dwarf any one crossing, so the spec
+    // corpus must too for the incremental path to be the chosen plan
+    spark.range(1000, 1060).selectExpr("id AS doc_id",
+      "concat('fa', id, ' fb', id, ' fc', id, ' fd', id) AS text")
+      .writeTo(corpus).append()
     val b0 = DedupIndex.labelCappedBuilds.get()
     val i0 = DedupIndex.labelCappedIncRefreshes.get()
     val t = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
