@@ -785,8 +785,13 @@ object DedupIndex {
       .join(postsStored, Seq("sh"), "left_semi")
     val crossings = crossedKnown.unionAll(missingStored).distinct()
       .localCheckpoint(true)
-    val crossDocs = postsStored.join(crossings, Seq("sh"), "left_semi")
-      .select(col("doc_id")).distinct()
+    // the common production append crosses nothing — short-circuit
+    // before any posts-table pass for the crossing machinery
+    val anyCross = crossings.limit(1).count() > 0L
+    val crossDocs =
+      if (!anyCross) feedTouched.limit(0).select(col("doc_id"))
+      else postsStored.join(crossings, Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
     // COST GATE: each crossing touches ≤ cap stored docs, but a batch
     // that is large RELATIVE TO THE CORPUS can cross so many shingles
     // that the expanded-touched machinery (induced-subgraph CC + MERGE)
@@ -794,10 +799,17 @@ object DedupIndex {
     // crossing-touched stored docs exceed a third of the corpus, the
     // rebuild is the cheaper exact plan — take it. (Answers identical
     // either way; this is purely the optimizer's crossover choice.)
-    val crossCnt = crossDocs.count()
-    if (crossCnt > 0L && crossCnt * 3L > stored.count()) {
-      shNewFeed.unpersist(blocking = false)
-      return false
+    // The corpus size comes from the label table's MANIFEST (one
+    // metadata read — n_rows of the head version; deletion-vector slop
+    // is irrelevant at a 3× threshold), never a scan.
+    if (anyCross) {
+      val crossCnt = crossDocs.count()
+      val storedCnt = s.table(s"$labels.versions")
+        .orderBy(col("v").desc).select("n_rows").limit(1).head.getLong(0)
+      if (crossCnt * 3L > storedCnt) {
+        shNewFeed.unpersist(blocking = false)
+        return false
+      }
     }
     val touched = feedTouched.select("doc_id").unionAll(crossDocs)
       .distinct().localCheckpoint(true)
@@ -810,7 +822,6 @@ object DedupIndex {
 
     // ---- D-phase (splits/gains among stored members of the touched
     // components): only runs when a crossing touched stored docs
-    val anyCross = crossings.limit(1).count() > 0L
     val (splitNodes, untouchedRows) =
       if (!anyCross)
         (feedTouched.limit(0)
