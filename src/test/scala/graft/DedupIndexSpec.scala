@@ -892,6 +892,34 @@ class DedupIndexSpec extends SparkTestBase {
       === spark.table(chk2).orderBy("doc_id").collect().map(_.toSeq).toSeq,
       "crossing-append labels diverged from the from-scratch build")
 
+    // 2b. the post-df-DELETE replay window, constructed: a crash after
+    //     the apply's df retirement leaves affected shingles with
+    //     stored postings but no df row. Simulate it — append a batch
+    //     doc sharing the stored shingle "xx yy zz" (df 3, nowhere
+    //     near the cap) and delete that shingle's df row by hand
+    //     before ensuring. The missing-row conservative-crossing path
+    //     must pull the shingle's member docs into the touched set,
+    //     re-add them (a fixpoint — their sets are unchanged), land
+    //     the recomputed df row, and converge — incrementally.
+    val i2b = DedupIndex.labelCappedIncRefreshes.get()
+    val b2b = DedupIndex.labelCappedBuilds.get()
+    spark.sql(s"INSERT INTO $corpus VALUES (400, 'xx yy zz qq ww')")
+    spark.sql("DELETE FROM graft_cat.db.dedup_lcap_lc_df " +
+      "WHERE sh = 'xx yy zz'")
+    DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
+    assert(DedupIndex.labelCappedIncRefreshes.get() === i2b + 1 &&
+      DedupIndex.labelCappedBuilds.get() === b2b,
+      "the conservative missing-df-row window must stay incremental")
+    val dfRow = spark.sql("SELECT df FROM graft_cat.db.dedup_lcap_lc_df " +
+      "WHERE sh = 'xx yy zz'").collect()
+    assert(dfRow.map(_.getLong(0)).toSeq === Seq(4L),
+      s"df row not re-landed at the head value: ${dfRow.toSeq}")
+    dropIx("lcap_chk")
+    val chk2b = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap_chk")
+    assert(spark.table(t).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === spark.table(chk2b).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "conservative-window labels diverged from the from-scratch build")
+
     // 3. erasure slice -> rebuild by contract (capped edges are not
     //    append-stable; erasure-without-rebuild is the exact family)
     val b2 = DedupIndex.labelCappedBuilds.get()
