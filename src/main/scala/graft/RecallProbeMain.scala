@@ -18,14 +18,26 @@ object RecallProbeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.configure(spark)
+    // both round-13 sweeps; measured recall_global at sf0.01 in the
+    // trailing comments (recall_cell varies inversely with probes —
+    // the breadth trade SURVEY §19.3 documents)
     val grid = Seq(
-      (4, 1, 32, 5),
-      (4, 2, 48, 5),
-      (6, 1, 48, 5),
-      (6, 2, 48, 5),
-      (6, 2, 64, 5),
-      (8, 2, 64, 5),
-      (4, 2, 64, 7))
+      (2, 1, 16, 5), // 0.433 — ext166, the r12 ceiling
+      (3, 1, 16, 5), // 0.400 — probes REGRESS at fixed width
+      (2, 2, 16, 5), // 0.433
+      (2, 1, 32, 5), // 0.500
+      (3, 2, 16, 5), // 0.400
+      (3, 1, 32, 5), // 0.567
+      (3, 2, 32, 5), // 0.533
+      (4, 2, 32, 5), // 0.567
+      (3, 2, 32, 7), // 0.567
+      (4, 1, 32, 5), // 0.600
+      (4, 2, 48, 5), // 0.667
+      (6, 1, 48, 5), // 0.667
+      (6, 2, 48, 5), // 0.633
+      (6, 2, 64, 5), // 0.700
+      (8, 2, 64, 5), // 0.833 — committed as ext168
+      (4, 2, 64, 7)) // 0.700
     grid.foreach { case (p, l, b, h) =>
       val t0 = System.nanoTime()
       val r = ext.Similarity.recallConfig(spark, d, p, l, b, h)
