@@ -122,23 +122,41 @@ object Bench {
     * probe ≈ total. */
   private[graft] def runJson(total: Double, sfDir: String,
       queries: Map[String, Double], probes: Map[String, Double],
-      extra: String = "", load1m: Double = -1.0): String = {
+      extra: String = "", load1m: Double = -1.0,
+      loadRounds: Seq[Double] = Nil,
+      minRound: Map[String, Int] = Map.empty): String = {
     def m(x: Map[String, Double]): String =
       x.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     // load1m: the host 1-minute load average sampled at bench START
     // (VERDICT r12 #8) — the r12 driver run was ~1.32× uniformly above
     // the same-commit idle run, diagnosed only by cross-referencing sbt
     // wall-clocks after the fact; recording the load makes a contended
-    // run self-labeling (-1 = unavailable on this JVM/OS)
-    s"""{"total":${r2(total)},"sf":"$sfDir","load1m":${r2(load1m)},"queries":${m(queries)},"probe":${m(probes)}$extra}"""
+    // run self-labeling (-1 = unavailable on this JVM/OS).
+    // load_rounds + qround (VERDICT r13 #7): r13's interference arrived
+    // MID-run — the start sample alone labeled the run clean. The load
+    // is re-sampled at the start of every retry round (load_rounds[0] =
+    // the first timed pass) and each query whose recorded minimum came
+    // from a LATER round carries that round's index in qround (absent =
+    // round 0), so min-folding and the judge can discount each entry by
+    // the load of the window that actually produced its number.
+    val lr =
+      if (loadRounds.isEmpty) ""
+      else loadRounds.map(r2).mkString(""","load_rounds":[""", ",", "]")
+    val qr =
+      if (minRound.forall(_._2 == 0)) ""
+      else minRound.filter(_._2 > 0)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","qround":{""", ",", "}")
+    s"""{"total":${r2(total)},"sf":"$sfDir","load1m":${r2(load1m)}$lr$qr,"queries":${m(queries)},"probe":${m(probes)}$extra}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val load1m = try java.lang.management.ManagementFactory
+    def sampleLoad(): Double = try java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
+    val load1m = sampleLoad()
     // local iteration only (the driver sets no filter): comma-separated
     // selectors, each matching a full name ("ext03_dedup_minhash_lsh"), an
     // underscore-delimited prefix ("ext03", "q10"), or a shortKey ("x03",
@@ -211,6 +229,14 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsedS = (System.nanoTime() - benchStart) / 1e9
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toLong
+    // per-round load samples (VERDICT r13 #7): index 0 = the first
+    // timed pass, then one sample per retry round, taken right before
+    // the round's timings run
+    val loadRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    loadRounds += sampleLoad()
+    // the round whose measurement is each query's recorded minimum
+    // (absent = the first pass)
+    var minRound = Map.empty[String, Int]
     val first = timeQueries(order)
     var results = first.view.mapValues(_._1).toMap
     var probes = first.view.mapValues(_._2).toMap
@@ -260,8 +286,12 @@ object Bench {
         // the pass showed interference — never on a clean run)
         if (round > 0 && interference && deadline - elapsedS > 60.0)
           Thread.sleep(20000L)
+        loadRounds += sampleLoad()
         val p2 = timeQueries(chosen)
         improved = chosen.filter(n => p2(n)._1 < results(n) * 0.75).toSet
+        minRound = minRound ++ chosen.collect {
+          case n if p2(n)._1 < results(n) => n -> (loadRounds.size - 1)
+        }
         results = results ++ chosen.map { n =>
           n -> math.min(results(n), p2(n)._1)
         }
@@ -317,7 +347,8 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(
         s"${sys.props("user.dir")}/$localFile")
-      try w.println(runJson(total, sfDir, results, probes, vsBaseline, load1m))
+      try w.println(runJson(total, sfDir, results, probes, vsBaseline, load1m,
+        loadRounds.toSeq, minRound))
       finally w.close()
     } catch { case _: Throwable => () }
     // stop BEFORE printing: Spark's shutdown logging must not land between

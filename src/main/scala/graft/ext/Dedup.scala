@@ -658,28 +658,49 @@ object Dedup {
     * it. Returns the converged labels (already lineage-truncated by the
     * loop) — the edge caches are released before returning. Centralizes
     * what every component call site used to hand-roll with a hardcoded
-    * `repartition(4)`. */
+    * `repartition(4)`.
+    *
+    * `pairBound`: an optional PRE-JOIN upper bound on the symmetric
+    * edge count (VERDICT r13 #1). When the caller can compute one
+    * cheaply — the exact label family reads the persisted edge table's
+    * manifest row count, the capped family one aggregate over its df
+    * sidecar (Σ min(df,cap)·(min(df,cap)−1)) — the INITIAL
+    * materialization is laid out at the derived width directly, so a
+    * billion-edge graph never funnels its first cache pass (and its
+    * memory/spill pressure) through the 4-partition floor before the
+    * measured count can widen it. Callers without a cheap bound (the
+    * fixture-scale in-query entries, the cluster-local apply-path
+    * subgraphs whose size the touched-set contracts already bound)
+    * keep the floor: at micro-graph scale the wide-first layout was
+    * measured ~30% SLOWER on the label entries (SURVEY §19.4). */
+  private[graft] val lastCcInitWidth =
+    new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] def ccOverEdges(
       s: SparkSession,
-      sym: org.apache.spark.sql.DataFrame)
+      sym: org.apache.spark.sql.DataFrame,
+      pairBound: Option[Long] = None)
       : (org.apache.spark.sql.DataFrame, Int) = {
     // materialize the WIDE pair pipeline ONCE, already laid out at the
-    // floor width (repartition, not coalesce — coalesce would propagate
-    // the narrow width UP into the pair build and serialize it); the
-    // measured count then decides whether the floor suffices. The
-    // common case (fixture micro-graphs, post-cut pair lists) pays
-    // exactly one persist + one count — the pre-round-13 cost.
-    val floor = sym.repartition(4).persist()
-    val n = floor.count()
+    // hint-derived width (repartition, not coalesce — coalesce would
+    // propagate a narrow width UP into the pair build and serialize
+    // it); the measured count then decides whether that layout
+    // suffices. The common case (fixture micro-graphs, post-cut pair
+    // lists, no hint) pays exactly one persist + one count at the
+    // 4-partition floor — the pre-round-13 cost.
+    val initW = pairBound.map(ccWidth(s, _)).getOrElse(4)
+    lastCcInitWidth.set(initW)
+    val first = sym.repartition(initW).persist()
+    val n = first.count()
     val w = ccWidth(s, n)
     val edges =
-      if (w <= 4) floor
+      if (w <= initW) first
       else {
-        // big graph: re-lay the CACHED rows out at the derived width (a
-        // micro-shuffle against the cache, the pipeline never re-runs)
-        val e = floor.repartition(w).persist()
+        // the bound under-shot (or no hint on a big graph): re-lay the
+        // CACHED rows out at the derived width (a micro-shuffle against
+        // the cache, the pipeline never re-runs)
+        val e = first.repartition(w).persist()
         e.count()
-        floor.unpersist(blocking = false)
+        first.unpersist(blocking = false)
         e
       }
     val out = connectedComponents(s, edges, w)
@@ -883,10 +904,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** ext171 — the UNIFIED label entry point
+    * ([[DedupIndex.ensureLabels]], VERDICT r13 #3): the same bounded
+    * 90/10 cohort as ext153, driven through the ONE call a user makes —
+    * the first ensure measures the corpus posting stats (max df 7 and
+    * pairs ≈ 1.1 × posts here — benign), picks the EXACT family,
+    * records the choice in `lu_choice`, and builds; the second ensure
+    * REUSES the recorded choice (no re-scan of the stats) and folds the
+    * appended 10% in through the exact family's incremental quotient
+    * merge. The recorded family is emitted as a column and the oracle
+    * restates it as the literal 'exact' — the auto-choice itself is
+    * part of the hash check, so a drifted heuristic fails correctness,
+    * not just a spec. (The storm-side choice — capped — is pinned in
+    * DedupIndexSpec, where a boilerplate fixture is cheap.) */
+  val componentsAutoFamily: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.lua_docs")
+    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta",
+      "lc_labels", "lc_posts", "lc_df", "lc_meta", "lu_choice")
+      .foreach(x =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lua_ix_$x"))
+    s.sql("CREATE TABLE graft_cat.db.lua_docs (doc_id BIGINT, " +
+      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2500) // bounded cohort (ext141 discipline)
+    docs.filter(col("doc_id") % 10 =!= 7)
+      .writeTo("graft_cat.db.lua_docs").append()
+    DedupIndex.ensureLabels(s, "graft_cat.db.lua_docs", "lua_ix") // choice+build
+    docs.filter(col("doc_id") % 10 === 7)
+      .writeTo("graft_cat.db.lua_docs").append()
+    val labels = DedupIndex.ensureLabels(s, "graft_cat.db.lua_docs", "lua_ix")
+    val fam = s.table("graft_cat.db.dedup_lua_ix_lu_choice")
+      .select(col("family"))
+    s.table(labels)
+      .select(col("doc_id"), col("comp").as("cluster"),
+        (col("doc_id") === col("comp")).as("is_canonical"))
+      .crossJoin(broadcast(fam)) // broadcast-scalar: one recorded row
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ext153_components_incremental" -> componentsIncremental,
     "ext167_components_capped_cdc" -> componentsCappedCdc,
     "ext161_components_erasure" -> componentsErasure,
+    "ext171_label_auto_family" -> componentsAutoFamily,
     "ext38_dedup_components" -> dedupComponents,
     "ext38b_dedup_components_capped" -> dedupComponentsCapped,
     "ext121_canonical_selection" -> canonicalSelection,
@@ -931,6 +992,36 @@ object Dedup {
        |  SELECT id, id FROM nodes
        |  UNION
        |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id)""".stripMargin
+
+  /** The exact-components recursive CTE over the bounded 2500-id
+    * cohort — ext153's oracle, shared by ext171 (which appends the
+    * recorded family literal to the select). */
+  private def exactComponentsCohortSql(extraCols: String = ""): String =
+    s"""WITH RECURSIVE docs_b AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 2500),
+       |${shinglesSqlFrom("docs_b")},
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
+       |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
+       |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical$extraCols
+       |FROM docs_b d LEFT JOIN comp c ON d.doc_id = c.id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** The 3-token shingle CTE chain over any (doc_id, text) relation —
     * ext134 re-bases it on a CDC-mutated corpus. */
@@ -1152,32 +1243,12 @@ object Dedup {
     // incremental labels (quotient merge over the stored index) must
     // equal the from-scratch recursive components over the J>=0.5 graph
     // of the same bounded cohort — incremental == rebuilt, hash-checked
-    "ext153_components_incremental" ->
-      s"""WITH RECURSIVE docs_b AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 2500),
-         |${shinglesSqlFrom("docs_b")},
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT a_id, b_id FROM inter
-         |  JOIN sz sa ON sa.doc_id = a_id
-         |  JOIN sz sb ON sb.doc_id = b_id
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.id),
-         |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
-         |SELECT d.doc_id, COALESCE(c.c, d.doc_id) AS cluster,
-         |  COALESCE(c.c, d.doc_id) = d.doc_id AS is_canonical
-         |FROM docs_b d LEFT JOIN comp c ON d.doc_id = c.id
-         |ORDER BY d.doc_id""".stripMargin,
+    "ext153_components_incremental" -> exactComponentsCohortSql(),
+    // the unified entry's oracle: the SAME exact-components CTE (the
+    // benign cohort's stats pick the exact family) plus the recorded
+    // family as a literal — hash-matching pins the auto-choice itself
+    "ext171_label_auto_family" ->
+      exactComponentsCohortSql(", 'exact' AS family"),
     // true components via recursive CTE over the same top-20 pair edges;
     // matching it proves the Spark label propagation CONVERGED
     "ext38_dedup_components" ->

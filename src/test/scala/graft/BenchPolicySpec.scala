@@ -101,6 +101,33 @@ class BenchPolicySpec extends AnyFunSuite {
     assert((JsonMethods.parse(d) \ "load1m").extract[Double] === -1.0)
   }
 
+  test("runJson records per-round loads and each retimed entry's winning round") {
+    // VERDICT r13 #7: the r13 interference arrived MID-run (start load
+    // 0.81, clusters inflated later), so the single start sample labeled
+    // a contended run clean. The record now carries one load sample per
+    // timing round and, per query whose recorded minimum came from a
+    // retry round, that round's index — absent entries were settled by
+    // the first pass.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = Bench.runJson(3.0, "/x/sf0.1",
+      Map("q01_agg" -> 1.0, "ext02_x" -> 2.0),
+      Map("q01_agg" -> 1.0, "ext02_x" -> 2.0), "", 0.8,
+      loadRounds = Seq(0.8, 3.25, 0.5),
+      minRound = Map("ext02_x" -> 2))
+    val p = JsonMethods.parse(j)
+    assert((p \ "load_rounds").extract[Seq[Double]] === Seq(0.8, 3.25, 0.5))
+    assert((p \ "qround" \ "ext02_x").extract[Int] === 2)
+    assert((p \ "qround" \ "q01_agg") === JNothing,
+      "first-pass minima must not bloat the qround map")
+    // no rounds / no retimes: the fields stay absent (compact record,
+    // and an old-format reader sees an unchanged shape)
+    val d = Bench.runJson(1.0, "/x/sf0.1", Map.empty, Map.empty)
+    assert((JsonMethods.parse(d) \ "load_rounds") === JNothing)
+    assert((JsonMethods.parse(d) \ "qround") === JNothing)
+  }
+
   test("Bench writes raw runs to BENCH_RUN*, never the BENCH_LOCAL pin") {
     // r10 post-mortem: the driver's interference-window run rewrote the
     // committed minimum pin in place. Pin the output-file split at the

@@ -2,6 +2,53 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+/** Shared launcher for child JVMs running [[graft.CommitRaceMain]]
+  * (ADVICE r13: four copies of a hardcoded
+  * "target/scala-2.13/classes plus the /opt/spark/jars glob" classpath
+  * silently broke under any other Scala output dir or Spark install —
+  * derive it from THIS forked test JVM's java.class.path instead, which
+  * already contains the compiled classes and the Spark jars;
+  * GRAFT_CHILD_CP overrides for exotic layouts). */
+private[graft] object ChildJvm {
+  val classpath: String = sys.env.getOrElse("GRAFT_CHILD_CP",
+    System.getProperty("java.class.path"))
+  private val javaBin = new java.io.File(
+    new java.io.File(System.getProperty("java.home"), "bin"), "java")
+    .getAbsolutePath
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Launch `graft.CommitRaceMain args…` in a fresh JVM. */
+  def launch(args: String*): Process =
+    new ProcessBuilder((Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-cp", classpath,
+      "graft.CommitRaceMain") ++ args): _*)
+      .redirectErrorStream(true).start()
+
+  /** Drain a child's stdout on a daemon thread, passing each line to
+    * `sink` (pass identity-discard to just keep the pipe empty). */
+  def drainLines(p: Process)(sink: String => Unit): Unit = {
+    val t = new Thread(() => {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = rd.readLine()
+      while (line != null) {
+        sink(line)
+        line = try rd.readLine() catch { case _: Throwable => null }
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+  }
+}
+
 /** Cross-process commit race + mid-append kill (VERDICT r11 #3): two
   * REAL JVMs ([[graft.CommitRaceMain]]) append concurrently to one
   * catalog table on a shared warehouse; one is kill -9'd mid-stream.
@@ -22,47 +69,21 @@ import org.apache.spark.sql.functions._
 class CommitRaceSpec extends SparkTestBase {
 
   private def launchWriter(wh: String, writerId: Int, n: Int,
-      mode: String = ""): Process = {
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java")
-      .getAbsolutePath
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar")
-      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cp = "target/scala-2.13/classes:/opt/spark/jars/*"
-    val cmd = Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
-      "-Dspark.ui.enabled=false", "-cp", cp,
-      "graft.CommitRaceMain", wh, writerId.toString, n.toString) ++
-      (if (mode.nonEmpty) Seq(mode) else Nil)
-    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-  }
+      mode: String = ""): Process =
+    ChildJvm.launch(Seq(wh, writerId.toString, n.toString) ++
+      (if (mode.nonEmpty) Seq(mode) else Nil): _*)
 
   /** Drain a writer's stdout on a daemon thread into a synchronized
     * buffer of acked commit indices. */
   private def drain(p: Process): java.util.concurrent.ConcurrentLinkedQueue[Int] = {
     val acked = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
-    val t = new Thread(() => {
-      val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream))
-      var line = rd.readLine()
-      while (line != null) {
-        if (line.startsWith("COMMITTED ")) {
-          val i = line.split(' ').collectFirst {
-            case kv if kv.startsWith("i=") => kv.drop(2).toInt
-          }
-          i.foreach(acked.add(_))
-        }
-        line = try rd.readLine() catch { case _: Throwable => null }
+    ChildJvm.drainLines(p) { line =>
+      if (line.startsWith("COMMITTED ")) {
+        line.split(' ').collectFirst {
+          case kv if kv.startsWith("i=") => kv.drop(2).toInt
+        }.foreach(acked.add(_))
       }
-    })
-    t.setDaemon(true)
-    t.start()
+    }
     acked
   }
 
@@ -85,37 +106,11 @@ class CommitRaceSpec extends SparkTestBase {
     // a THIRD process reads while both write: every observed snapshot
     // must be version-consistent — each writer's rows an exact prefix,
     // i.e. count == max+1 (a torn read mixing two versions breaks it)
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java")
-      .getAbsolutePath
-    val pR = {
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      new ProcessBuilder((Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
-        "-Dspark.ui.enabled=false", "-cp",
-        "target/scala-2.13/classes:/opt/spark/jars/*",
-        "graft.CommitRaceMain", wh, "0", "40", "read")): _*)
-        .redirectErrorStream(true).start()
-    }
+    val pR = ChildJvm.launch(wh, "0", "40", "read")
     val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val tR = new Thread(() => {
-      val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(pR.getInputStream))
-      var line = rd.readLine()
-      while (line != null) {
-        if (line.startsWith("OBSERVED ")) observed.add(line)
-        line = try rd.readLine() catch { case _: Throwable => null }
-      }
-    })
-    tR.setDaemon(true)
-    tR.start()
+    ChildJvm.drainLines(pR) { line =>
+      if (line.startsWith("OBSERVED ")) observed.add(line)
+    }
     // let A land a healthy streak under real two-process contention,
     // then kill -9 — with commits every few ms the SIGKILL lands inside
     // or between locked manifest appends nondeterministically, which is
@@ -199,37 +194,11 @@ class CommitChurnSpec extends SparkTestBase {
     spark.sql("CREATE TABLE churn_cat.db.race (w INT, i INT)")
     // rebind the writer's catalog name to the same warehouse: the
     // writer main hardcodes race_cat
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java")
-      .getAbsolutePath
-    def launch(id: Int, n: Int): Process = {
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      new ProcessBuilder((Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
-        "-Dspark.ui.enabled=false", "-cp",
-        "target/scala-2.13/classes:/opt/spark/jars/*",
-        "graft.CommitRaceMain", wh, id.toString, n.toString, "churn")): _*)
-        .redirectErrorStream(true).start()
-    }
     val n = 24
-    val pA = launch(1, n)
-    val pB = launch(2, n)
+    val pA = ChildJvm.launch(wh, "1", n.toString, "churn")
+    val pB = ChildJvm.launch(wh, "2", n.toString, "churn")
     // drain stdout so neither child blocks on a full pipe
-    Seq(pA, pB).foreach { p =>
-      val t = new Thread(() => {
-        val rd = new java.io.BufferedReader(
-          new java.io.InputStreamReader(p.getInputStream))
-        while (rd.readLine() != null) ()
-      })
-      t.setDaemon(true); t.start()
-    }
+    Seq(pA, pB).foreach(p => ChildJvm.drainLines(p)(_ => ()))
     assert(pA.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
       pA.exitValue() == 0, "writer A failed")
     assert(pB.waitFor(240, java.util.concurrent.TimeUnit.SECONDS) &&
@@ -261,30 +230,9 @@ class CommitChurnSpec extends SparkTestBase {
     spark.conf.set("spark.sql.catalog.churn2_cat", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.churn2_cat.warehouse", wh)
     spark.sql("CREATE TABLE churn2_cat.db.race (w INT, i INT)")
-    val javaBin = new java.io.File(
-      new java.io.File(System.getProperty("java.home"), "bin"), "java")
-      .getAbsolutePath
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar")
-      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val n = 24
-    val p = new ProcessBuilder((Seq(javaBin, "-Xmx1g") ++ addOpens ++ Seq(
-      "-Dspark.ui.enabled=false", "-cp",
-      "target/scala-2.13/classes:/opt/spark/jars/*",
-      "graft.CommitRaceMain", wh, "1", n.toString, "churn")): _*)
-      .redirectErrorStream(true).start()
-    val drain = new Thread(() => {
-      val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream))
-      while (rd.readLine() != null) ()
-    })
-    drain.setDaemon(true); drain.start()
+    val p = ChildJvm.launch(wh, "1", n.toString, "churn")
+    ChildJvm.drainLines(p)(_ => ())
     def isCme(e: Throwable): Boolean = {
       var c: Throwable = e
       while (c != null &&
@@ -323,5 +271,83 @@ class CommitChurnSpec extends SparkTestBase {
     assert(ops_.count(_ == "compact") >= 1,
       s"no compact commit in history: $ops_")
     spark.sql("DROP TABLE churn2_cat.db.race")
+  }
+
+  test("cross-process expiry and branch GC race a live writer; no commit lost, no live file GC'd") {
+    // VERDICT r13 #6 — the remaining maintenance-vs-ingest windows:
+    // expire() is a read-truncate-rewrite of the manifest under the dir
+    // lock plus a file GC of unreferenced segments, and drop_branch
+    // deletes a sibling log under the same lock. A second JVM commits
+    // inserts + copy-on-write deletes throughout, so expiry's
+    // conditional rewrite races real commits and its GC liveness set
+    // races a branch forked mid-stream. Pins: (1) no acked commit
+    // truncated away — the writer's final row set is exact; (2) no live
+    // file GC'd — the mid-stream branch reads its full fork snapshot
+    // back THROUGH a main-side expiry (a GC'd shared file would surface
+    // as a read failure or a short count).
+    ops.configure(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_churn3_wh")
+      .toString
+    spark.conf.set("spark.sql.catalog.churn3_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.churn3_cat.warehouse", wh)
+    spark.sql("CREATE TABLE churn3_cat.db.race (w INT, i INT)")
+    val n = 24
+    val p = ChildJvm.launch(wh, "1", n.toString, "churn")
+    ChildJvm.drainLines(p)(_ => ())
+    def isCme(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null &&
+        !c.isInstanceOf[java.util.ConcurrentModificationException])
+        c = c.getCause
+      c != null
+    }
+    var expiries = 0L
+    var branchCycles = 0L
+    var k = 0
+    def cycle(): Unit = {
+      // fork at the current head, expire main's history down to 2
+      // versions, then prove the branch still reads its ENTIRE fork
+      // snapshot (expiry's live set must span every log in the dir),
+      // and drop the branch (its exclusive refs fall to vacuum — never
+      // deleted under a concurrent reader)
+      spark.sql(s"CALL churn3_cat.system.branch('db.race', 'gc$k')")
+        .collect()
+      val atFork = spark.table(s"churn3_cat.db.race.branch_gc$k").count()
+      spark.sql("CALL churn3_cat.system.expire_versions('db.race', 2)")
+        .collect()
+      expiries += 1
+      val afterExpiry = spark.table(s"churn3_cat.db.race.branch_gc$k")
+        .count()
+      assert(afterExpiry === atFork,
+        s"branch gc$k lost rows across main's expiry: $atFork -> $afterExpiry")
+      spark.sql(s"CALL churn3_cat.system.drop_branch('db.race', 'gc$k')")
+        .collect()
+      branchCycles += 1
+    }
+    while (p.isAlive) {
+      // a CME is the documented refusal (expiry lost the head race to
+      // the live writer repeatedly) — retried next loop, never an error
+      try cycle() catch { case e: Throwable if isCme(e) => () }
+      k += 1
+      Thread.sleep(50L)
+    }
+    assert(p.exitValue() == 0, "writer under concurrent expiry failed")
+    // post-quiesce cycle must land cleanly (and guarantees the counters)
+    cycle()
+    k += 1
+    assert(expiries >= 2 && branchCycles >= 1,
+      s"the race never actually expired/cycled: $expiries/$branchCycles")
+    // (1) no acked commit lost: the writer inserted 0..n-1 and deleted
+    // every i ≡ 1 (mod 3) — expiry may truncate HISTORY, never the head
+    val want = (0 until n).filter(_ % 3 != 1)
+    val got = spark.table("churn3_cat.db.race")
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(got === want,
+      s"rows diverged under writer-vs-expiry churn: $got")
+    // and the history is genuinely truncated, not silently preserved
+    val nv = spark.sql("SELECT COUNT(*) FROM churn3_cat.db.race.versions")
+      .head.getLong(0)
+    assert(nv <= 2L, s"expire_versions kept $nv versions")
+    spark.sql("DROP TABLE churn3_cat.db.race")
   }
 }

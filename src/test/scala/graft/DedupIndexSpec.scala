@@ -897,10 +897,11 @@ class DedupIndexSpec extends SparkTestBase {
     //     stored postings but no df row. Simulate it — append a batch
     //     doc sharing the stored shingle "xx yy zz" (df 3, nowhere
     //     near the cap) and delete that shingle's df row by hand
-    //     before ensuring. The missing-row conservative-crossing path
-    //     must pull the shingle's member docs into the touched set,
-    //     re-add them (a fixpoint — their sets are unchanged), land
-    //     the recomputed df row, and converge — incrementally.
+    //     before ensuring. The missing-row path reconstructs the
+    //     pre-apply df EXACTLY from the stored postings (ADVICE r13 —
+    //     3 ≤ cap and 4 ≤ cap ⇒ NOT a crossing, so the shingle's
+    //     member docs are never pulled into the touched set), lands
+    //     the recomputed df row, and converges — incrementally.
     val i2b = DedupIndex.labelCappedIncRefreshes.get()
     val b2b = DedupIndex.labelCappedBuilds.get()
     spark.sql(s"INSERT INTO $corpus VALUES (400, 'xx yy zz qq ww')")
@@ -909,7 +910,7 @@ class DedupIndexSpec extends SparkTestBase {
     DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
     assert(DedupIndex.labelCappedIncRefreshes.get() === i2b + 1 &&
       DedupIndex.labelCappedBuilds.get() === b2b,
-      "the conservative missing-df-row window must stay incremental")
+      "the missing-df-row replay window must stay incremental")
     val dfRow = spark.sql("SELECT df FROM graft_cat.db.dedup_lcap_lc_df " +
       "WHERE sh = 'xx yy zz'").collect()
     assert(dfRow.map(_.getLong(0)).toSeq === Seq(4L),
@@ -918,7 +919,29 @@ class DedupIndexSpec extends SparkTestBase {
     val chk2b = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap_chk")
     assert(spark.table(t).orderBy("doc_id").collect().map(_.toSeq).toSeq
       === spark.table(chk2b).orderBy("doc_id").collect().map(_.toSeq).toSeq,
-      "conservative-window labels diverged from the from-scratch build")
+      "replay-window labels diverged from the from-scratch build")
+
+    // 2c. the missing-df window where the shingle GENUINELY crosses:
+    //     five more docs push "xx yy zz" from df 4 to df 9 > cap while
+    //     its df row is (again) hand-deleted. The reconstruction must
+    //     classify it crossed (4 ≤ cap < 9), pull its ≤ cap stored
+    //     members into the touched set, and still fold in incrementally
+    //     — byte-equal to a from-scratch build over the head corpus.
+    val i2c = DedupIndex.labelCappedIncRefreshes.get()
+    val b2c = DedupIndex.labelCappedBuilds.get()
+    spark.sql(s"INSERT INTO $corpus VALUES " +
+      (401 to 405).map(i => s"($i, 'xx yy zz n$i')").mkString(", "))
+    spark.sql("DELETE FROM graft_cat.db.dedup_lcap_lc_df " +
+      "WHERE sh = 'xx yy zz'")
+    DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap")
+    assert(DedupIndex.labelCappedIncRefreshes.get() === i2c + 1 &&
+      DedupIndex.labelCappedBuilds.get() === b2c,
+      "the crossing missing-df-row window must stay incremental")
+    dropIx("lcap_chk")
+    val chk2c = DedupIndex.ensureLabelsCappedCdc(spark, corpus, "lcap_chk")
+    assert(spark.table(t).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === spark.table(chk2c).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "crossing-replay labels diverged from the from-scratch build")
 
     // 3. erasure slice -> rebuild by contract (capped edges are not
     //    append-stable; erasure-without-rebuild is the exact family)
@@ -949,5 +972,94 @@ class DedupIndexSpec extends SparkTestBase {
       s"capped label family misclassified: ${inv.toSeq}")
     spark.sql(s"DROP TABLE IF EXISTS $corpus")
     dropIx("lcap"); dropIx("lcap_chk")
+  }
+
+  test("ensureLabels auto-chooses the family, keeps it sticky, and force switches") {
+    // VERDICT r13 #3: ONE entry point — posting stats pick exact
+    // (erasure-without-rebuild) on a benign corpus and capped (linear
+    // build) on a boilerplate storm; the recorded choice is reused by
+    // later calls even after the corpus drifts storm-shaped; a force
+    // that supersedes the record retires the old family's artifacts.
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    import graft.ext.DedupIndex
+    def dropAll(n: String): Unit =
+      Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta",
+        "lc_labels", "lc_posts", "lc_df", "lc_meta", "lu_choice")
+        .foreach(x =>
+          spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x"))
+    val benign = "graft_cat.db.lau_benign"
+    val storm = "graft_cat.db.lau_storm"
+    Seq(benign, storm).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll("lau_b"); dropAll("lau_s"); dropAll("lau_s2")
+    Seq(benign, storm).foreach(t =>
+      spark.sql(s"CREATE TABLE $t (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')"))
+    // benign: 40 mostly-unique docs + one near-dup pair — max df tiny,
+    // pairs ≪ 16 × posts ⇒ EXACT
+    spark.range(0, 40).selectExpr("id AS doc_id",
+      "concat('ba', id, ' bb', id, ' bc', id, ' bd', id) AS text")
+      .writeTo(benign).append()
+    spark.sql(s"INSERT INTO $benign VALUES " +
+      "(100, 'na nb nc nd ne'), (101, 'na nb nc nd nf')")
+    val tb = DedupIndex.ensureLabels(spark, benign, "lau_b")
+    assert(tb === "graft_cat.db.dedup_lau_b_lb_labels",
+      s"benign corpus must take the exact family: $tb")
+    val ch = spark.table("graft_cat.db.dedup_lau_b_lu_choice").collect()
+    assert(ch.length === 1 && ch.head.getString(0) === "exact" &&
+      !ch.head.getBoolean(1) && ch.head.getLong(2) >= 1L,
+      s"choice record wrong: ${ch.toSeq}")
+    assert(spark.table(tb).filter(col("doc_id") === 101L)
+      .head.getLong(1) === 100L, "exact labels wrong on the benign corpus")
+    // storm: 200 identical boilerplate docs — max df 200 > 64 ⇒ CAPPED
+    spark.range(0, 200).selectExpr("id AS doc_id",
+      "'breaking boilerplate notice please subscribe today now' AS text")
+      .writeTo(storm).append()
+    val ts = DedupIndex.ensureLabels(spark, storm, "lau_s")
+    assert(ts === "graft_cat.db.dedup_lau_s_lc_labels",
+      s"storm corpus must take the capped family: $ts")
+    assert(spark.table("graft_cat.db.dedup_lau_s_lu_choice")
+      .head.getString(0) === "capped")
+    // sticky: drift the benign corpus storm-shaped, ensure again — the
+    // RECORDED exact choice must keep operating (the lb artifacts are
+    // what exists; a silent family swap would strand them), with the
+    // slice folded in incrementally by the exact family
+    val bI = DedupIndex.labelIncRefreshes.get()
+    spark.range(200, 300).selectExpr("id AS doc_id",
+      "'breaking boilerplate notice please subscribe today now' AS text")
+      .writeTo(benign).append()
+    val tb2 = DedupIndex.ensureLabels(spark, benign, "lau_b")
+    assert(tb2 === tb, "recorded choice not reused")
+    assert(DedupIndex.labelIncRefreshes.get() === bI + 1,
+      "the sticky path must still be the exact family's incremental apply")
+    assert(spark.table("graft_cat.db.dedup_lau_b_lu_choice")
+      .head.getString(0) === "exact", "choice record must not flip on drift")
+    // force switch: supersede the record — capped family builds, the
+    // exact artifacts are retired, the force is recorded
+    val tb3 = DedupIndex.ensureLabels(spark, benign, "lau_b",
+      force = Some("capped"))
+    assert(tb3 === "graft_cat.db.dedup_lau_b_lc_labels")
+    val ch3 = spark.table("graft_cat.db.dedup_lau_b_lu_choice").collect()
+    assert(ch3.length === 1 && ch3.head.getString(0) === "capped" &&
+      ch3.head.getBoolean(1), s"forced choice not recorded: ${ch3.toSeq}")
+    assert(!spark.catalog.tableExists("graft_cat.db.dedup_lau_b_lb_labels"),
+      "superseded exact artifacts must be retired")
+    // and the switched index equals a direct capped build
+    dropAll("lau_s2")
+    val chk = DedupIndex.ensureLabelsCappedCdc(spark, benign, "lau_s2")
+    assert(spark.table(tb3).orderBy("doc_id").collect().map(_.toSeq).toSeq
+      === spark.table(chk).orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      "forced-capped labels diverged from a direct capped build")
+    // the bare choice record is NOT an inventory row (no _meta suffix):
+    // both real indexes classify, the lu_choice table classifies nothing
+    val inv2 = spark.sql("CALL graft_cat.system.indexes('db')")
+      .filter(col("index_name").startsWith("lau_")).collect()
+    assert(inv2.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("component-labels-capped", "lau_b"),
+        ("component-labels-capped", "lau_s"),
+        ("component-labels-capped", "lau_s2")),
+      s"inventory wrong after the switch: ${inv2.toSeq}")
+    Seq(benign, storm).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll("lau_b"); dropAll("lau_s"); dropAll("lau_s2")
   }
 }
