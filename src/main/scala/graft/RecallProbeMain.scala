@@ -21,29 +21,57 @@ object RecallProbeMain {
     // both round-13 sweeps; measured recall_global at sf0.01 in the
     // trailing comments (recall_cell varies inversely with probes —
     // the breadth trade SURVEY §19.3 documents)
+    // (probes, lloyd, beam, hops, perCellBeam, entriesPerCell) —
+    // perCellBeam = 0 means the shared-budget cut (the pre-ext170
+    // behavior); an optional second CLI arg skips that many leading
+    // rows (local iteration on the new rows only)
     val grid = Seq(
-      (2, 1, 16, 5), // 0.433 — ext166, the r12 ceiling
-      (3, 1, 16, 5), // 0.400 — probes REGRESS at fixed width
-      (2, 2, 16, 5), // 0.433
-      (2, 1, 32, 5), // 0.500
-      (3, 2, 16, 5), // 0.400
-      (3, 1, 32, 5), // 0.567
-      (3, 2, 32, 5), // 0.533
-      (4, 2, 32, 5), // 0.567
-      (3, 2, 32, 7), // 0.567
-      (4, 1, 32, 5), // 0.600
-      (4, 2, 48, 5), // 0.667
-      (6, 1, 48, 5), // 0.667
-      (6, 2, 48, 5), // 0.633
-      (6, 2, 64, 5), // 0.700
-      (8, 2, 64, 5), // 0.833 — committed as ext168
-      (4, 2, 64, 7)) // 0.700
-    grid.foreach { case (p, l, b, h) =>
+      (2, 1, 16, 5, 0, 1, false), // 0.433 — ext166, the r12 ceiling
+      (3, 1, 16, 5, 0, 1, false), // 0.400 — probes REGRESS at fixed width
+      (2, 2, 16, 5, 0, 1, false), // 0.433
+      (2, 1, 32, 5, 0, 1, false), // 0.500
+      (3, 2, 16, 5, 0, 1, false), // 0.400
+      (3, 1, 32, 5, 0, 1, false), // 0.567
+      (3, 2, 32, 5, 0, 1, false), // 0.533
+      (4, 2, 32, 5, 0, 1, false), // 0.567
+      (3, 2, 32, 7, 0, 1, false), // 0.567
+      (4, 1, 32, 5, 0, 1, false), // 0.600
+      (4, 2, 48, 5, 0, 1, false), // 0.667
+      (6, 1, 48, 5, 0, 1, false), // 0.667
+      (6, 2, 48, 5, 0, 1, false), // 0.633
+      (6, 2, 64, 5, 0, 1, false), // 0.700
+      (8, 2, 64, 5, 0, 1, false), // 0.833 — committed as ext168 (cell 0.433)
+      (4, 2, 64, 7, 0, 1, false), // 0.700
+      // round-14 sweep (VERDICT r13 #4), two levers measured separately:
+      // a beam budget floored PER PROBED CELL (pc — recovers
+      // recall_global: 0.933 at pc=16, the shared-64 budget was the
+      // binding constraint), and MULTIPLE ENTRY NODES per probed cell
+      // (e — recovers recall_cell: the out-degree-4 digraph from ONE
+      // node reaches only part of a cell no matter the beam, which is
+      // why pc alone left cell recall at 0.433)
+      (8, 2, 0, 5, 4, 1, false),
+      (8, 2, 0, 5, 8, 1, false),
+      (8, 2, 0, 5, 16, 1, false),
+      (8, 2, 0, 5, 24, 1, false),
+      (4, 2, 0, 5, 16, 1, false),
+      (8, 2, 0, 5, 16, 2, false),
+      (8, 2, 0, 5, 16, 4, false),
+      (8, 2, 0, 5, 8, 4, false),
+      (8, 2, 0, 5, 16, 8, false),
+      (4, 2, 0, 5, 16, 4, false),
+      // the cr rows answer the cell tier from the own-cell re-rank of
+      // the same visited union (ext170's two-tier answer surface)
+      (8, 2, 0, 5, 16, 4, true), // committed as ext170
+      (8, 2, 0, 5, 8, 4, true),
+      (8, 2, 0, 5, 16, 2, true))
+    val from = args.drop(1).headOption.map(_.toInt).getOrElse(0)
+    grid.drop(from).foreach { case (p, l, b, h, pc, e, cr) =>
       val t0 = System.nanoTime()
-      val r = ext.Similarity.recallConfig(spark, d, p, l, b, h)
+      val perCell = if (pc > 0) Some(pc) else None
+      val r = ext.Similarity.recallConfig(spark, d, p, l, b, h, perCell, e, cr)
         .agg(avg("recall_global"), avg("recall_cell")).head
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"""{"probes":$p,"lloyd":$l,"beam":$b,"hops":$h,"recall_global":${r.getDouble(0)}%.3f,"recall_cell":${r.getDouble(1)}%.3f,"s":$dt%.1f}""")
+      println(f"""{"probes":$p,"lloyd":$l,"beam":$b,"hops":$h,"per_cell":$pc,"entries":$e,"cell_rerank":$cr,"recall_global":${r.getDouble(0)}%.3f,"recall_cell":${r.getDouble(1)}%.3f,"s":$dt%.1f}""")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

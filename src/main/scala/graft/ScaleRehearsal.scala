@@ -223,6 +223,28 @@ object ScaleRehearsal {
       val cScaled = lblStormBuild(spark, cs, "cs", capped = true)
       println(f"""{"q":"lbl_storm_capped_build_10x","base_s":$cBase%.2f,"scaled_s":$cScaled%.2f,"ratio":${cScaled / cBase}%.1f}""")
     }
+    // round-14 probe (VERDICT r13 #2): the capped family's linear claim
+    // pushed ANOTHER DECADE — the storm build at 100× the base fixture
+    // (m = 3000 → 300k: 600k docs, mega-shingle df = 300k, chain df = 8
+    // throughout), plus the fixed one-doc crossing apply against the
+    // 100× corpus. The exact family's Σ df² here would be ~10,000× its
+    // base; the capped build must track the corpus (~100×, constant
+    // factors allowed), and the apply must track the batch, not the
+    // corpus. This is also the first rehearsal whose df-sidecar pair
+    // bound (Σ min(df,cap)·(min(df,cap)−1) ≈ 17M) drives the CC
+    // materialization width above the 4-partition floor (round-14's
+    // ccOverEdges hint) at real scale.
+    if (want("lblstorm100")) {
+      val hb = stormFixture(spark, s"/tmp/graft_lblstorm1h_b_$pid", 3000L)
+      val hs = stormFixture(spark, s"/tmp/graft_lblstorm1h_x_$pid", 300000L)
+      lblStormBuild(spark, hb, "hwarm", capped = true)
+      val hBase = lblStormBuild(spark, hb, "hb", capped = true)
+      val hScaled = lblStormBuild(spark, hs, "hs", capped = true)
+      println(f"""{"q":"lbl_storm_capped_build_100x","base_s":$hBase%.2f,"scaled_s":$hScaled%.2f,"ratio":${hScaled / hBase}%.1f}""")
+      val haBase = lcApplyCrossing(spark, hb, "hab")
+      val haScaled = lcApplyCrossing(spark, hs, "has")
+      println(f"""{"q":"lc_apply_crossing_storm_100x","base_s":$haBase%.2f,"scaled_s":$haScaled%.2f,"ratio":${haScaled / haBase}%.1f}""")
+    }
     // round-13 probe: the capped family's crossing-tolerant APPLY — a
     // FIXED one-doc batch that pushes a df-8 glue shingle across the
     // cap (touching its 8 stored members) against a 10× corpus: the

@@ -792,6 +792,124 @@ object Dedup {
     (labels, iters)
   }
 
+  // ------------- shared label-index seeds (VERDICT r13 #5) -------------
+
+  /** The bounded construction cohort every label entry shares (the
+    * ext141/ext153 discipline: entry cost stays fixture-sized at any
+    * SF). */
+  private def cohortDocs(s: SparkSession, d: String) =
+    table(s, d, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 2500)
+
+  /** The fixture dir whose shared label seeds are currently built —
+    * reseeding happens on every dir switch (bench warms at sf0.001
+    * then times at sf0.1), so a stale seed can never serve another
+    * fixture's entries. */
+  private val seededDir =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Build the SHARED label-index seeds once per (JVM, fixture dir)
+    * (VERDICT r13 #5): ext153/ext161/ext167/ext171 all used to pay a
+    * from-scratch build of the same 90%-of-cohort index before the
+    * apply their contracts actually demonstrate — ~4 identical builds
+    * per bench/verify run. The seeds are:
+    *   - `lbseed_docs` + `lbseed_ix` — the EXACT family over the 90%
+    *     cohort (the pre-append state ext153/ext171 start from);
+    *   - `lbfull_docs` + `lbfull_ix` — the exact family over the FULL
+    *     cohort, derived from the 90% seed by the incremental
+    *     append-apply itself (≡ a from-scratch full build — exactly the
+    *     equivalence ext153's oracle hash-checks), the pre-mutation
+    *     state ext161 starts from;
+    *   - `lcseed_docs` + `lcseed_ix` — the CAPPED family over the 90%
+    *     cohort (ext167's pre-append state).
+    * Entries then ZERO-COPY CLONE corpus + artifacts under their own
+    * names ([[cloneLabelIndex]]) and mutate only the clones — hermetic
+    * per entry, byte-identical outputs, one expensive build per run.
+    * The first label entry of a run absorbs the seed cost; the rest run
+    * clone + apply only. */
+  private[graft] def ensureLabelSeeds(s: SparkSession, d: String): Unit =
+    synchronized {
+      if (seededDir.get() == d) return
+      graft.ops.ensureGraftCatalog(s)
+      Seq("lbseed_docs", "lbfull_docs", "lcseed_docs").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+      Seq("lbseed_ix", "lbfull_ix").foreach(ix =>
+        Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
+          s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${ix}_$x")))
+      Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lcseed_ix_$x"))
+      val docs = cohortDocs(s, d)
+      val seed90 = docs.filter(col("doc_id") % 10 =!= 7)
+      s.sql("CREATE TABLE graft_cat.db.lbseed_docs (doc_id BIGINT, " +
+        "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+      seed90.writeTo("graft_cat.db.lbseed_docs").append()
+      DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbseed_docs", "lbseed_ix")
+      cloneLabelIndex(s, "exact", "graft_cat.db.lbfull_docs", "lbfull_ix")
+      docs.filter(col("doc_id") % 10 === 7)
+        .writeTo("graft_cat.db.lbfull_docs").append()
+      DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbfull_docs", "lbfull_ix")
+      s.sql("CREATE TABLE graft_cat.db.lcseed_docs (doc_id BIGINT, " +
+        "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+      seed90.writeTo("graft_cat.db.lcseed_docs").append()
+      DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.lcseed_docs",
+        "lcseed_ix")
+      // capped-full twin (ext141's pre-erasure state), again via the
+      // incremental append-apply the ext167 oracle proves ≡ rebuilt
+      // (cloneLabelIndex drops its targets first)
+      cloneLabelIndex(s, "capped", "graft_cat.db.lcfull_docs", "lcfull_ix")
+      docs.filter(col("doc_id") % 10 === 7)
+        .writeTo("graft_cat.db.lcfull_docs").append()
+      DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.lcfull_docs",
+        "lcfull_ix")
+      seededDir.set(d)
+    }
+
+  /** Zero-copy clone of a built seed label index under an entry's own
+    * names: corpus + artifact data tables via `CALL system.clone`
+    * (metadata-only — segments are referenced, never copied), then the
+    * meta watermark re-bound to the CLONED corpus at its clone head
+    * version, so the next ensure() over the clone no-ops until the
+    * entry's own mutations land and then applies exactly their slice. */
+  private def seedNames(seed: String)
+      : (String, String, Seq[String], String) = seed match {
+    case "exact" => ("lbseed_docs", "lbseed_ix",
+      Seq("lb_labels", "lb_edges", "lb_posts"), "lb_meta")
+    case "full" => ("lbfull_docs", "lbfull_ix",
+      Seq("lb_labels", "lb_edges", "lb_posts"), "lb_meta")
+    case "capped" => ("lcseed_docs", "lcseed_ix",
+      Seq("lc_labels", "lc_posts", "lc_df"), "lc_meta")
+    case "lcfull" => ("lcfull_docs", "lcfull_ix",
+      Seq("lc_labels", "lc_posts", "lc_df"), "lc_meta")
+    case other => throw new IllegalArgumentException(s"bad seed: $other")
+  }
+
+  private[graft] def cloneLabelIndex(s: SparkSession, seed: String,
+      toCorpus: String, toIx: String): Unit = {
+    val (srcCorpus, _, _, _) = seedNames(seed)
+    val toShort = toCorpus.stripPrefix("graft_cat.db.")
+    s.sql(s"DROP TABLE IF EXISTS $toCorpus")
+    s.sql(s"CALL graft_cat.system.clone('db.$srcCorpus', 'db.$toShort')")
+    cloneSeedIndexTo(s, seed, toIx, toCorpus)
+  }
+
+  /** Clone ONLY a seed's index artifacts under `toIx`, binding their
+    * meta watermark to `boundCorpus` at its CURRENT head — the corpus
+    * must be content-identical to the seed's at that head (a clone of
+    * it, or a clone-sibling like ext141's shared `er_docs`). */
+  private[graft] def cloneSeedIndexTo(s: SparkSession, seed: String,
+      toIx: String, boundCorpus: String): Unit = {
+    val (_, srcIx, arts, metaSuffix) = seedNames(seed)
+    (arts :+ metaSuffix).foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${toIx}_$x"))
+    arts.foreach(x => s.sql(
+      s"CALL graft_cat.system.clone('db.dedup_${srcIx}_$x', 'db.dedup_${toIx}_$x')"))
+    val v = CdcIndex.headVersion(s, boundCorpus)
+    s.sql(s"CREATE TABLE graft_cat.db.dedup_${toIx}_$metaSuffix " +
+      "(version BIGINT, corpus STRING)")
+    s.sql(s"INSERT INTO graft_cat.db.dedup_${toIx}_$metaSuffix " +
+      s"SELECT CAST($v AS BIGINT), '$boundCorpus'")
+  }
+
   /** ext153 — INCREMENTAL COMPONENT LABELS from the persisted label
     * index ([[DedupIndex.ensureLabelsCdc]]): 90% of the cohort seeds
     * (doc_id % 10 <> 7), the label table builds once, the remaining 10%
@@ -807,22 +925,16 @@ object Dedup {
     * incremental CONTRACT, so its bench cost must stay fixture-sized
     * at any SF; corpus-proportional build-vs-apply scaling is measured
     * where it belongs, ScaleRehearsal's `lbl` probe (10×: build 9.2×,
-    * apply 1.4×). */
+    * apply 1.4×). The 90% pre-append index comes from the SHARED seed
+    * ([[ensureLabelSeeds]], cloned zero-copy — VERDICT r13 #5); the
+    * apply this entry demonstrates runs against the clone. */
   val componentsIncremental: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
-    s.sql("DROP TABLE IF EXISTS graft_cat.db.lbl_docs")
-    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
-      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_ix_$x"))
-    s.sql("CREATE TABLE graft_cat.db.lbl_docs (doc_id BIGINT, " +
-      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
-    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 2500)
+    ensureLabelSeeds(s, d)
+    cloneLabelIndex(s, "exact", "graft_cat.db.lbl_docs", "lbl_ix")
     // 90/10 split INSIDE the bounded cohort (a fixed id cutoff for the
     // batch would make it most of the cohort at small SFs)
-    docs.filter(col("doc_id") % 10 =!= 7)
-      .writeTo("graft_cat.db.lbl_docs").append()
-    DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbl_docs", "lbl_ix") // build
-    docs.filter(col("doc_id") % 10 === 7)
+    cohortDocs(s, d).filter(col("doc_id") % 10 === 7)
       .writeTo("graft_cat.db.lbl_docs").append()
     // incremental: quotient merge, never a corpus-wide re-shingle
     val labels = DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbl_docs", "lbl_ix")
@@ -849,15 +961,11 @@ object Dedup {
     * id-local. */
   val componentsErasure: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
-    s.sql("DROP TABLE IF EXISTS graft_cat.db.lble_docs")
-    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
-      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lble_ix_$x"))
-    s.sql("CREATE TABLE graft_cat.db.lble_docs (doc_id BIGINT, " +
-      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
-    table(s, d, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 2500)
-      .writeTo("graft_cat.db.lble_docs").append()
-    DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lble_docs", "lble_ix") // build
+    // the full-cohort pre-mutation index comes from the SHARED seed
+    // (zero-copy clone — VERDICT r13 #5); this entry's contract is the
+    // DELETE/UPDATE apply, which runs against the clone
+    ensureLabelSeeds(s, d)
+    cloneLabelIndex(s, "full", "graft_cat.db.lble_docs", "lble_ix")
     s.sql("DELETE FROM graft_cat.db.lble_docs WHERE doc_id % 7 = 3")
     s.sql("UPDATE graft_cat.db.lble_docs " +
       "SET text = text || ' graft lbl rev' WHERE doc_id % 11 = 5")
@@ -884,17 +992,10 @@ object Dedup {
     * (ext161) remains the erasure-without-rebuild path. */
   val componentsCappedCdc: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
-    s.sql("DROP TABLE IF EXISTS graft_cat.db.lcc_docs")
-    Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
-      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lcc_ix_$x"))
-    s.sql("CREATE TABLE graft_cat.db.lcc_docs (doc_id BIGINT, " +
-      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
-    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 2500) // bounded cohort (ext141 discipline)
-    docs.filter(col("doc_id") % 10 =!= 7)
-      .writeTo("graft_cat.db.lcc_docs").append()
-    DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.lcc_docs", "lcc_ix")
-    docs.filter(col("doc_id") % 10 === 7)
+    // 90% capped pre-append state from the SHARED seed (VERDICT r13 #5)
+    ensureLabelSeeds(s, d)
+    cloneLabelIndex(s, "capped", "graft_cat.db.lcc_docs", "lcc_ix")
+    cohortDocs(s, d).filter(col("doc_id") % 10 === 7)
       .writeTo("graft_cat.db.lcc_docs").append()
     val labels = DedupIndex.ensureLabelsCappedCdc(s,
       "graft_cat.db.lcc_docs", "lcc_ix")
@@ -909,7 +1010,9 @@ object Dedup {
     * 90/10 cohort as ext153, driven through the ONE call a user makes —
     * the first ensure measures the corpus posting stats (max df 7 and
     * pairs ≈ 1.1 × posts here — benign), picks the EXACT family,
-    * records the choice in `lu_choice`, and builds; the second ensure
+    * records the choice in `lu_choice`, and delegates (the delegate
+    * finds the seeded clone's watermark covering the head — the build
+    * itself is the shared seed's, VERDICT r13 #5); the second ensure
     * REUSES the recorded choice (no re-scan of the stats) and folds the
     * appended 10% in through the exact family's incremental quotient
     * merge. The recorded family is emitted as a column and the oracle
@@ -919,19 +1022,15 @@ object Dedup {
     * DedupIndexSpec, where a boilerplate fixture is cheap.) */
   val componentsAutoFamily: Q = (s, d) => {
     graft.ops.ensureGraftCatalog(s)
-    s.sql("DROP TABLE IF EXISTS graft_cat.db.lua_docs")
-    Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta",
-      "lc_labels", "lc_posts", "lc_df", "lc_meta", "lu_choice")
-      .foreach(x =>
-        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lua_ix_$x"))
-    s.sql("CREATE TABLE graft_cat.db.lua_docs (doc_id BIGINT, " +
-      "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
-    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 2500) // bounded cohort (ext141 discipline)
-    docs.filter(col("doc_id") % 10 =!= 7)
-      .writeTo("graft_cat.db.lua_docs").append()
-    DedupIndex.ensureLabels(s, "graft_cat.db.lua_docs", "lua_ix") // choice+build
-    docs.filter(col("doc_id") % 10 === 7)
+    // the exact-family 90% state from the SHARED seed (VERDICT r13 #5);
+    // the auto entry still pays ITS OWN work — the posting-stats
+    // aggregate, the choice record, and the incremental apply — while
+    // the build it would delegate to is already covered by the clone
+    ensureLabelSeeds(s, d)
+    cloneLabelIndex(s, "exact", "graft_cat.db.lua_docs", "lua_ix")
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_lua_ix_lu_choice")
+    DedupIndex.ensureLabels(s, "graft_cat.db.lua_docs", "lua_ix") // choice
+    cohortDocs(s, d).filter(col("doc_id") % 10 === 7)
       .writeTo("graft_cat.db.lua_docs").append()
     val labels = DedupIndex.ensureLabels(s, "graft_cat.db.lua_docs", "lua_ix")
     val fam = s.table("graft_cat.db.dedup_lua_ix_lu_choice")

@@ -167,18 +167,22 @@ object Pipeline {
       "ann_er_sq_codes", "ann_er_sq_meta",
       "ann_er_gr_edges", "ann_er_gr_meta")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
-    s.sql("CREATE TABLE graft_cat.db.er_docs (doc_id BIGINT, text STRING) " +
-      "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     s.sql("CREATE TABLE graft_cat.db.er_vecs (vec_id BIGINT, label INT, " +
       "v ARRAY<DOUBLE>, norm DOUBLE) " +
       "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     // the demo cohort is BOUNDED (first 2500 ids): entry cost must stay
     // fixture-sized at any SF — the per-family maintenance entries
     // (ext134–ext138) already measure full-corpus builds; this entry
-    // measures the COMPOSITION, and its erasure claim is id-local
-    table(s, d, "documents").select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 2500)
-      .writeTo("graft_cat.db.er_docs").append()
+    // measures the COMPOSITION, and its erasure claim is id-local.
+    // The corpus and the two LABEL families come from the shared seed
+    // (VERDICT r13 #5 — this entry "audits an existing index", so
+    // seeding is contract-compatible): er_docs is a zero-copy clone of
+    // the full-cohort seed corpus, and the lb_/lc_ artifacts clone with
+    // their watermarks bound to er_docs' head; the other seven families
+    // still build here (no seed exists for them on this corpus).
+    Dedup.ensureLabelSeeds(s, d)
+    Dedup.cloneLabelIndex(s, "full", "graft_cat.db.er_docs", "er")
+    Dedup.cloneSeedIndexTo(s, "lcfull", "er", "graft_cat.db.er_docs")
     table(s, d, "embeddings")
       .filter(col("vec_id") < 2500)
       .select(col("vec_id"), col("label"),

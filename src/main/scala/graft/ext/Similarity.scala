@@ -937,24 +937,39 @@ object Similarity {
     * ext146 (in-query graph), ext147 (stored edges) and ext148
     * (CDC-maintained edges). Corpus: (vec_id, label, v); the entry point,
     * queries and scoring all derive from it. */
-  private def beamTopK(adj: DataFrame, corpus: DataFrame,
+  /** The beam's deduped VISITED set — (q_id, n_id, n_cell, cosine) —
+    * shared by [[beamTopK]] (global top-3 answer) and ext170's two-tier
+    * re-rank (global + own-cell top-3 from the same walk). */
+  private def beamVisited(adj: DataFrame, corpus: DataFrame,
       entryOpt: Option[DataFrame] = None, beamWidth: Int = 8,
-      hops: Int = 3): DataFrame = {
+      hops: Int = 3, perCellBeam: Option[Int] = None): DataFrame = {
     val all = corpus
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label"), col("v").as("qv"))
     def scored(frontier: DataFrame): DataFrame =
       frontier.join(qs.select("q_id", "qv"), Seq("q_id"))
-        .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")),
-          Seq("n_id"))
-        .select(col("q_id"), col("n_id"),
+        .join(all.select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("label").as("n_cell")), Seq("n_id"))
+        .select(col("q_id"), col("n_id"), col("n_cell"),
           expr("graft_cosine(qv, nv)").as("cos"))
     // default entry: the smallest vec_id of the query's own cell;
     // ext163 passes a probe-2 frontier (one entry per probed cell)
     val entry = entryOpt.getOrElse(qs
       .join(all.groupBy("label").agg(min("vec_id").as("n_id")), Seq("label"))
       .select("q_id", "n_id"))
-    val wBeam = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    // per-hop beam cut: one shared top-`beamWidth` per query by default;
+    // with `perCellBeam` the budget is PARTITIONED BY THE CANDIDATE'S
+    // CELL (top-N per (query, cell)) — the ext170 floor that stops a
+    // wide probe fan-out from starving the query's own cell (stored
+    // edges are in-cell, so reachable cells = probed cells and the
+    // frontier stays ≤ probes × N per query — still corpus-independent)
+    val wBeam = perCellBeam match {
+      case Some(_) => Window.partitionBy("q_id", "n_cell")
+        .orderBy(col("cos").desc, col("n_id"))
+      case None => Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("n_id"))
+    }
+    val beamCut = perCellBeam.getOrElse(beamWidth)
     var frontier = scored(entry)
     var visited = frontier
     for (_ <- 1 to hops) {
@@ -963,21 +978,30 @@ object Similarity {
         .select(col("q_id"), col("dst").as("n_id")).distinct()
       val beam = scored(expanded)
         .withColumn("rk", row_number().over(wBeam))
-        .filter(col("rk") <= beamWidth)
+        .filter(col("rk") <= beamCut)
         .drop("rk")
       visited = visited.unionAll(beam)
       frontier = beam
     }
     visited
-      .groupBy("q_id", "n_id").agg(min("cos").as("cosine")) // revisits carry equal cos
+      .groupBy("q_id", "n_id").agg(min("cos").as("cosine"), // revisits carry equal cos
+        min("n_cell").as("n_cell")) // n_cell is functionally dependent on n_id
       .filter(col("n_id") =!= col("q_id"))
+  }
+
+  /** The beam-search probe over a given adjacency (src, dst) — shared by
+    * ext146 (in-query graph), ext147 (stored edges) and ext148
+    * (CDC-maintained edges): the global top-3 of the visited set. */
+  private def beamTopK(adj: DataFrame, corpus: DataFrame,
+      entryOpt: Option[DataFrame] = None, beamWidth: Int = 8,
+      hops: Int = 3, perCellBeam: Option[Int] = None): DataFrame =
+    beamVisited(adj, corpus, entryOpt, beamWidth, hops, perCellBeam)
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank").cast("int").as("rank"), col("n_id"),
         col("cosine"))
       .orderBy("q_id", "rank")
-  }
 
   /** ext159 — GRAPH-BEAM RECALL EVALUATION against the exact top-3
     * (VERDICT r11 #6 — the graph twin of ext106's LSH recall and
@@ -1020,22 +1044,43 @@ object Similarity {
     * top-3. */
   private def graphRecallOver(corpus: DataFrame,
       entryOpt: Option[DataFrame] = None, beamWidth: Int = 8,
-      hops: Int = 3): DataFrame = {
+      hops: Int = 3, perCellBeam: Option[Int] = None,
+      cellRerank: Boolean = false): DataFrame = {
     val all = corpus
     val adj = AnnIndex.graphEdges(all).select("src", "dst")
-    val beam = beamTopK(adj, all, entryOpt, beamWidth, hops)
-      .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"))
+    val visited = beamVisited(adj, all, entryOpt, beamWidth, hops,
+      perCellBeam)
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    val beam = visited
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
+    // ext170's two-tier ANSWER (cellRerank): the walk's visited union is
+    // re-ranked TWICE with exact graft_cosine — globally, and restricted
+    // to the query's OWN cell — because a single global top-3 answer
+    // structurally cannot contain the cell truth once the search is good
+    // (pc-16 probes visit the true global top-3, which usually live in
+    // OTHER cells and outrank every own-cell candidate). recall_cell
+    // then measures what a production IVF index must also serve — "top-k
+    // within my partition" — from the same walk, no extra scoring.
+    val cellBeam =
+      if (!cellRerank) beam
+      else visited.join(qs.select("q_id", "q_label"), Seq("q_id"))
+        .filter(col("n_cell") === col("q_label"))
+        .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
     val wEx = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     val scoredAll = qs.crossJoin(all.select(col("vec_id").as("n_id"),
         col("label").as("n_label"), col("v").as("nv")))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
         expr("graft_cosine(qv, nv)").as("cos"))
-    def recallOf(truth: DataFrame, nHit: String, rec: String): DataFrame =
-      truth.join(beam, Seq("q_id", "n_id"), "left")
+    def recallOf(truth: DataFrame, answer: DataFrame, nHit: String,
+        rec: String): DataFrame =
+      truth.join(answer, Seq("q_id", "n_id"), "left")
         .groupBy("q_id")
         .agg(sum(coalesce(col("hit"), lit(0))).as(nHit),
           (sum(coalesce(col("hit"), lit(0))) /
@@ -1046,8 +1091,9 @@ object Similarity {
     val cellTruth = scoredAll.filter(col("n_label") === col("q_label"))
       .withColumn("rk", row_number().over(wEx)).filter(col("rk") <= 3)
       .select("q_id", "n_id")
-    recallOf(globalTruth, "n_hit_global", "recall_global")
-      .join(recallOf(cellTruth, "n_hit_cell", "recall_cell"), Seq("q_id"))
+    recallOf(globalTruth, beam, "n_hit_global", "recall_global")
+      .join(recallOf(cellTruth, cellBeam, "n_hit_cell", "recall_cell"),
+        Seq("q_id"))
       .orderBy("q_id")
   }
 
@@ -1094,7 +1140,8 @@ object Similarity {
     * the query's N nearest trained cells) — shared by ext163/ext165/
     * ext166 (N=2) and ext168 (N=3, 2 Lloyd rounds). */
   private def trainedProbeN(s: org.apache.spark.sql.SparkSession, d: String,
-      probes: Int = 2, lloydIters: Int = 1): (DataFrame, DataFrame) = {
+      probes: Int = 2, lloydIters: Int = 1,
+      entriesPerCell: Int = 1): (DataFrame, DataFrame) = {
     val (a1, cents) = kmeansBuild(s, d, lloydIters)
     val corpus = a1.select(col("vec_id"),
       col("cell").cast("int").as("label"), col("v"))
@@ -1107,9 +1154,21 @@ object Similarity {
           "e -> struct(graft_sqdist(v, e.c) AS d2, e.cid AS cid))), " +
           s"t -> t.cid), 1, $probes)")).as("cell0"))
       .select(col("q_id"), col("cell0").cast("int").as("cell"))
+    // entry frontier: the E smallest vec_ids of each probed cell (E = 1
+    // reproduces the classic single entry node). Multiple entries are
+    // the REACHABILITY lever (ext170): the capped out-degree-4 digraph
+    // from one node covers only part of a cell no matter the beam, so
+    // per-cell recall plateaus — E seeds multiply the reachable set at
+    // cost ∝ probes × E extra scored rows in hop 0 only.
+    val cellEntries =
+      if (entriesPerCell <= 1)
+        corpus.groupBy("label").agg(min("vec_id").as("n_id"))
+      else corpus.select(col("label"), col("vec_id").as("n_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("label").orderBy("n_id")))
+        .filter(col("rk") <= entriesPerCell).drop("rk")
     val entry = qcells
-      .join(corpus.groupBy("label").agg(min("vec_id").as("n_id")),
-        col("cell") === col("label"))
+      .join(cellEntries, col("cell") === col("label"))
       .select("q_id", "n_id")
     (corpus, entry)
   }
@@ -1126,10 +1185,12 @@ object Similarity {
     * committed rungs (see RecallProbeMain for the grid runner). */
   private[graft] def recallConfig(s: org.apache.spark.sql.SparkSession,
       d: String, probes: Int, lloyd: Int, beamWidth: Int,
-      hops: Int): DataFrame = {
+      hops: Int, perCellBeam: Option[Int] = None,
+      entriesPerCell: Int = 1, cellRerank: Boolean = false): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val (corpus, entry) = trainedProbeN(s, d, probes, lloyd)
-    graphRecallOver(corpus, Some(entry), beamWidth, hops)
+    val (corpus, entry) = trainedProbeN(s, d, probes, lloyd, entriesPerCell)
+    graphRecallOver(corpus, Some(entry), beamWidth, hops, perCellBeam,
+      cellRerank)
   }
 
   /** ext165 — the WIDTH rung of the ladder: ext163's configuration with
@@ -1177,6 +1238,46 @@ object Similarity {
     graft.functions.CosineSimilarity.register(s)
     val (corpus, entry) = trainedProbeN(s, d, probes = 8, lloydIters = 2)
     graphRecallOver(corpus, Some(entry), beamWidth = 64, hops = 5)
+  }
+
+  /** ext170 — the BALANCED production rung (round-14, VERDICT r13 #4):
+    * ext168's breadth (probe-8 entry, 2-Lloyd quantizer, 5 hops) with
+    * three changes, each a named lever from the measured grid
+    * (RecallProbeMain, sf0.01):
+    *
+    *   - PER-CELL BEAM FLOOR: the per-hop cut keeps the best
+    *     [[ProdPerCellBeam]] per (query, candidate-cell) instead of one
+    *     shared top-64, so probing eight cells no longer starves any
+    *     one cell's frontier. This alone lifts recall_global 0.833 →
+    *     0.933 (the shared budget was the binding constraint).
+    *   - MULTI-ENTRY: [[ProdEntriesPerCell]] entry nodes per probed
+    *     cell, because the capped out-degree-4 digraph from ONE node
+    *     reaches only part of a cell no matter the beam — the grid
+    *     shows per-cell floors alone leave recall_cell at 0.400-0.433.
+    *     With 4 entries, recall_global hits 1.000.
+    *   - TWO-TIER RE-RANK of the SAME visited union with exact
+    *     graft_cosine: a global top-3 AND an own-cell top-3. The
+    *     second answer exists because a single global top-3
+    *     STRUCTURALLY cannot contain the cell truth once the search is
+    *     good — the true global top-3 usually live in other cells and
+    *     outrank every own-cell candidate (which is exactly why ext168
+    *     and the pc-only rungs plateau at recall_cell ≈ 0.43 even with
+    *     perfect visiting). A production IVF index must serve "top-k
+    *     within my partition" too; this rung serves it from the same
+    *     walk, no extra scoring.
+    *
+    * Measured at sf0.01: recall_global 1.000, recall_cell 1.000 — both
+    * targets (global ≥ 0.8, cell ≥ 0.7) cleared with margin. Cost stays
+    * ∝ probes × entries × perCellBeam × hops per query,
+    * corpus-size-independent; both tiers are oracle-checked. */
+  val ProdPerCellBeam = 16
+  val ProdEntriesPerCell = 4
+  val graphRecallProdCell: Q = (s, d) => {
+    graft.functions.CosineSimilarity.register(s)
+    val (corpus, entry) = trainedProbeN(s, d, probes = 8, lloydIters = 2,
+      entriesPerCell = ProdEntriesPerCell)
+    graphRecallOver(corpus, Some(entry), hops = 5,
+      perCellBeam = Some(ProdPerCellBeam), cellRerank = true)
   }
 
   /** ext147 — beam search over the STORED graph ([[AnnIndex
@@ -1238,6 +1339,7 @@ object Similarity {
     "ext165_graph_recall_beam16" -> graphRecallBeam16,
     "ext166_graph_recall_hops5" -> graphRecallHops5,
     "ext168_graph_recall_prod" -> graphRecallProd,
+    "ext170_graph_recall_prod_cell" -> graphRecallProdCell,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1476,13 +1578,19 @@ object Similarity {
     * v, norm. */
   private def graphAnnOracleFrom(vCte: String, corpus: String = "v",
       entrySql: Option[String] = None, beamWidth: Int = 8,
-      hops: Int = 3): String = {
+      hops: Int = 3, perCellBeam: Option[Int] = None): String = {
+    // per-cell beam (ext170): the hop cut partitions by the candidate's
+    // cell — mirrors beamTopK's `perCellBeam` exactly
+    val (beamPart, beamCut) = perCellBeam match {
+      case Some(pc) => ("q_id, n_cell", pc)
+      case None => ("q_id", beamWidth)
+    }
     def hop(k: Int): String =
       s"""x$k AS (
          |  SELECT DISTINCT f.q_id, a.dst AS n_id
          |  FROM s${k - 1} f JOIN adj a ON f.n_id = a.src),
          |s${k}p AS (
-         |  SELECT f.q_id, f.n_id,
+         |  SELECT f.q_id, f.n_id, c.label AS n_cell,
          |    list_sum([q.qv[i] * c.v[i] for i in range(1, len(q.qv) + 1)])
          |      / (q.qnorm * c.norm) AS cos
          |  FROM x$k f JOIN q ON f.q_id = q.q_id
@@ -1490,8 +1598,8 @@ object Similarity {
          |s$k AS (
          |  SELECT q_id, n_id, cos FROM (
          |    SELECT *, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM s${k}p)
-         |  WHERE rk <= $beamWidth)""".stripMargin
+         |      PARTITION BY $beamPart ORDER BY cos DESC, n_id) AS rk FROM s${k}p)
+         |  WHERE rk <= $beamCut)""".stripMargin
     s"""WITH $vCte,
        |csz AS (
        |  SELECT label, CAST(ceil(count(*) / ${AnnIndex.GraphCellCap}.0)
@@ -1542,14 +1650,31 @@ object Similarity {
     * and the per-query hit count. */
   private def graphRecallOracleFrom(vCte: String, corpus: String = "v",
       entrySql: Option[String] = None, beamWidth: Int = 8,
-      hops: Int = 3): String = {
-    val beam = graphAnnOracleFrom(vCte, corpus, entrySql, beamWidth, hops)
+      hops: Int = 3, perCellBeam: Option[Int] = None,
+      cellRerank: Boolean = false): String = {
+    val beam = graphAnnOracleFrom(vCte, corpus, entrySql, beamWidth, hops,
+      perCellBeam)
     val body = beam.substring(0, beam.indexOf("SELECT q_id, CAST(row_number()"))
+    // ext170's two-tier answer: the cell tier re-ranks the SAME visited
+    // union restricted to the query's own cell (mirrors cellRerank)
+    val cellAnswer = if (cellRerank) "beamc3" else "beam3"
+    val beamc3 =
+      if (!cellRerank) ""
+      else s"""beamc3 AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT vis.q_id, vis.n_id, vis.cosine
+         |    FROM vis JOIN q ON vis.q_id = q.q_id
+         |    JOIN $corpus c ON vis.n_id = c.vec_id AND c.label = q.label
+         |    WHERE vis.n_id <> vis.q_id)
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 3),
+         |""".stripMargin
     s"""${body.trim.stripSuffix(",")},
        |beam3 AS (
        |  SELECT q_id, n_id FROM vis WHERE n_id <> q_id
        |  QUALIFY row_number() OVER (
        |    PARTITION BY q_id ORDER BY cosine DESC, n_id) <= 3),
+       |$beamc3
        |exv AS (
        |  SELECT q.q_id, q.label AS q_label, c.vec_id AS n_id,
        |    c.label AS n_label,
@@ -1578,7 +1703,7 @@ object Similarity {
        |      AS BIGINT) AS n_hit_cell,
        |    SUM(CASE WHEN b.n_id IS NOT NULL THEN 1 ELSE 0 END)
        |      / CAST(COUNT(*) AS DOUBLE) AS recall_cell
-       |  FROM cx3 e LEFT JOIN beam3 b ON e.q_id = b.q_id AND e.n_id = b.n_id
+       |  FROM cx3 e LEFT JOIN $cellAnswer b ON e.q_id = b.q_id AND e.n_id = b.n_id
        |  GROUP BY e.q_id)
        |SELECT rg.q_id, rg.n_hit_global, rg.recall_global,
        |  rc.n_hit_cell, rc.recall_cell
@@ -1593,8 +1718,17 @@ object Similarity {
       ",\ngv AS (SELECT vec_id, CAST(cell AS INT) AS label, v, norm FROM a1)"
 
   /** Probe-N entry frontier: each query's N nearest FINAL centroids,
-    * one entry node (min vec_id) per probed cell. */
-  private def probeNEntrySql(n: Int): String =
+    * `entriesPerCell` entry nodes (the E smallest vec_ids) per probed
+    * cell — E = 1 is the classic single entry node. */
+  private def probeNEntrySql(n: Int, entriesPerCell: Int = 1): String = {
+    val cellEntries =
+      if (entriesPerCell <= 1)
+        "SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label"
+      else
+        s"""SELECT label, vec_id AS n_id FROM gv
+           |   QUALIFY row_number() OVER (
+           |     PARTITION BY label ORDER BY vec_id) <= $entriesPerCell"""
+          .stripMargin
     s"""qcn AS (
        |  SELECT vec_id AS q_id, CAST(cid AS INT) AS cell FROM (
        |    SELECT x.vec_id, s.cid,
@@ -1605,8 +1739,9 @@ object Similarity {
        |  WHERE rk <= $n),
        |e0 AS (
        |  SELECT qcn.q_id, e.n_id FROM qcn
-       |  JOIN (SELECT label, MIN(vec_id) AS n_id FROM gv GROUP BY label) e
+       |  JOIN ($cellEntries) e
        |    ON qcn.cell = e.label)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "ext146_graph_ann_beam" -> graphAnnOracleFrom(vSql),
@@ -1627,6 +1762,13 @@ object Similarity {
     "ext168_graph_recall_prod" -> graphRecallOracleFrom(
       trainedGvCtes(iters = 2), corpus = "gv", beamWidth = 64, hops = 5,
       entrySql = Some(probeNEntrySql(8))),
+    // the balanced rung: same breadth, with the per-cell beam floor in
+    // the hop CTEs' (q_id, n_cell) window, 4 entry nodes per probed
+    // cell, and the cell tier answered by the own-cell re-rank (beamc3)
+    "ext170_graph_recall_prod_cell" -> graphRecallOracleFrom(
+      trainedGvCtes(iters = 2), corpus = "gv", hops = 5,
+      perCellBeam = Some(ProdPerCellBeam), cellRerank = true,
+      entrySql = Some(probeNEntrySql(8, ProdEntriesPerCell))),
     "ext147_graph_index_probe" -> graphAnnOracleFrom(vSql),
     "ext148_graph_cdc_maintenance" -> graphAnnOracleFrom(
       """vm AS (

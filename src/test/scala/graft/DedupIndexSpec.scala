@@ -404,13 +404,18 @@ class DedupIndexSpec extends SparkTestBase {
   test("incremental labels: quotient merge == rebuild; replay is a fixpoint") {
     ops.configure(spark)
     ops.ensureGraftCatalog(spark)
+    // pre-build the shared seeds (round-14, VERDICT r13 #5) so the
+    // deltas below measure the ENTRY's own work: with the 90% index
+    // arriving as a zero-copy clone, the entry must add ZERO builds and
+    // exactly one incremental apply (the 10% batch)
+    ext.Dedup.ensureLabelSeeds(spark, d)
     val b0 = DedupIndex.labelBuilds.get()
     val i0 = DedupIndex.labelIncRefreshes.get()
     val rows = ext.Dedup.queries("ext153_components_incremental")(spark, d)
       .collect()
     assert(rows.nonEmpty)
-    assert(DedupIndex.labelBuilds.get() === b0 + 1,
-      "the second batch must fold in incrementally, not rebuild")
+    assert(DedupIndex.labelBuilds.get() === b0,
+      "the batch must fold into the seeded clone incrementally, not rebuild")
     assert(DedupIndex.labelIncRefreshes.get() === i0 + 1)
 
     // incremental == rebuilt: a from-scratch build over the SAME corpus
@@ -419,7 +424,7 @@ class DedupIndexSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lbl_full_$x"))
     val full = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
       "lbl_full")
-    assert(DedupIndex.labelBuilds.get() === b0 + 2)
+    assert(DedupIndex.labelBuilds.get() === b0 + 1)
     val inc = spark.table("graft_cat.db.dedup_lbl_ix_lb_labels")
       .orderBy("doc_id").collect().map(_.toSeq)
     val reb = spark.table(full).orderBy("doc_id").collect().map(_.toSeq)
@@ -434,7 +439,7 @@ class DedupIndexSpec extends SparkTestBase {
     spark.sql("INSERT OVERWRITE graft_cat.db.dedup_lbl_ix_lb_meta " +
       s"SELECT CAST(${headV - 1} AS BIGINT), 'graft_cat.db.lbl_docs'")
     DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs", "lbl_ix")
-    assert(DedupIndex.labelBuilds.get() === b0 + 2, "replay rebuilt")
+    assert(DedupIndex.labelBuilds.get() === b0 + 1, "replay rebuilt")
     assert(DedupIndex.labelIncRefreshes.get() === i0 + 2)
     val replayed = spark.table("graft_cat.db.dedup_lbl_ix_lb_labels")
       .orderBy("doc_id").collect().map(_.toSeq)
@@ -448,7 +453,7 @@ class DedupIndexSpec extends SparkTestBase {
     spark.sql("DELETE FROM graft_cat.db.lbl_docs WHERE doc_id % 13 = 1")
     val t = DedupIndex.ensureLabelsCdc(spark, "graft_cat.db.lbl_docs",
       "lbl_ix")
-    assert(DedupIndex.labelBuilds.get() === b0 + 2,
+    assert(DedupIndex.labelBuilds.get() === b0 + 1,
       "a delete slice must apply via the stored edges, not a rebuild")
     assert(DedupIndex.labelIncRefreshes.get() === i0 + 3)
     val after = spark.table(t).collect()

@@ -84,6 +84,12 @@ class PipelineSpec extends SparkTestBase {
   test("ext141: erasure propagates via APPLY slices, one per family, no rebuild") {
     ops.configure(spark)
     import ext.{AnnIndex, DedupIndex, SearchIndex}
+    // pre-build the shared label seeds (round-14, VERDICT r13 #5) so the
+    // counter deltas below measure the ENTRY's work: the two label
+    // families arrive as zero-copy clones (no build), and only the
+    // erasure propagation itself moves the counters
+    ops.ensureGraftCatalog(spark)
+    ext.Dedup.ensureLabelSeeds(spark, d)
     val b0 = (DedupIndex.builds.get(), SearchIndex.builds.get(),
       AnnIndex.builds.get(), AnnIndex.pqBuilds.get(), AnnIndex.sqBuilds.get(),
       AnnIndex.graphBuilds.get(), DedupIndex.gramBuilds.get(),
@@ -104,9 +110,10 @@ class PipelineSpec extends SparkTestBase {
         s"erasure residue in ${r.getString(0)}")
       assert(r.getLong(r.fieldIndex("n_live")) > 0L, r.toString)
     }
-    // the SCALE claim: exactly one full build per family (the initial
-    // ensure), and the post-delete propagation was a feed-sized APPLY
-    // slice per family — never a second build
+    // the SCALE claim: exactly one full build per non-seeded family
+    // (the initial ensure), ZERO exact-label builds (the family arrives
+    // as a clone of the shared seed), and the post-delete propagation
+    // was a feed-sized APPLY slice per family — never a second build
     val b1 = (DedupIndex.builds.get(), SearchIndex.builds.get(),
       AnnIndex.builds.get(), AnnIndex.pqBuilds.get(), AnnIndex.sqBuilds.get(),
       AnnIndex.graphBuilds.get(), DedupIndex.gramBuilds.get(),
@@ -116,16 +123,18 @@ class PipelineSpec extends SparkTestBase {
       AnnIndex.sqCdcRefreshes.get(), AnnIndex.graphCdcRefreshes.get(),
       DedupIndex.gramCdcRefreshes.get(), DedupIndex.labelIncRefreshes.get())
     assert(b1 === ((b0._1 + 1, b0._2 + 1, b0._3 + 1, b0._4 + 1, b0._5 + 1,
-      b0._6 + 1, b0._7 + 1, b0._8 + 1)),
-      s"expected exactly one build per family: $b0 -> $b1")
+      b0._6 + 1, b0._7 + 1, b0._8)),
+      s"expected one build per non-seeded family and none for labels: $b0 -> $b1")
     assert(r1 === ((r0._1 + 1, r0._2 + 1, r0._3 + 1, r0._4 + 1, r0._5 + 1,
       r0._6 + 1, r0._7 + 1, r0._8 + 1)),
       s"expected exactly one CDC apply per family: $r0 -> $r1")
     // the ninth family is the documented EXCEPTION: erasure propagates
-    // by a LINEAR rebuild (capped edges are not append-stable), so the
-    // entry pays exactly two capped builds and zero incremental applies
-    assert(DedupIndex.labelCappedBuilds.get() === lcB0 + 2,
-      "capped labels must rebuild on the erasure slice (build + rebuild)")
+    // by a LINEAR rebuild (capped edges are not append-stable) — with
+    // the seeded clone standing in for the initial build, the entry
+    // pays exactly ONE capped build (the erasure rebuild) and zero
+    // incremental applies
+    assert(DedupIndex.labelCappedBuilds.get() === lcB0 + 1,
+      "capped labels must rebuild on the erasure slice (and only then)")
     assert(DedupIndex.labelCappedIncRefreshes.get() === lcR0,
       "an erasure slice must never take the capped incremental path")
   }
