@@ -816,10 +816,7 @@ object Dedup {
     *   - `lbseed_docs` + `lbseed_ix` — the EXACT family over the 90%
     *     cohort (the pre-append state ext153/ext171 start from);
     *   - `lbfull_docs` + `lbfull_ix` — the exact family over the FULL
-    *     cohort, derived from the 90% seed by the incremental
-    *     append-apply itself (≡ a from-scratch full build — exactly the
-    *     equivalence ext153's oracle hash-checks), the pre-mutation
-    *     state ext161 starts from;
+    *     cohort (the pre-mutation state ext161/ext141 start from);
     *   - `lcseed_docs` + `lcseed_ix` — the CAPPED family over the 90%
     *     cohort (ext167's pre-append state).
     * Entries then ZERO-COPY CLONE corpus + artifacts under their own
@@ -831,36 +828,37 @@ object Dedup {
     synchronized {
       if (seededDir.get() == d) return
       graft.ops.ensureGraftCatalog(s)
-      Seq("lbseed_docs", "lbfull_docs", "lcseed_docs").foreach(t =>
-        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
+      Seq("lbseed_docs", "lbfull_docs", "lcseed_docs", "lcfull_docs")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
       Seq("lbseed_ix", "lbfull_ix").foreach(ix =>
         Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta").foreach(x =>
           s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${ix}_$x")))
-      Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
-        s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_lcseed_ix_$x"))
+      Seq("lcseed_ix", "lcfull_ix").foreach(ix =>
+        Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+          s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${ix}_$x")))
+      // all four seed states are DIRECT from-scratch builds: the
+      // measured decomposition (round 14) put a from-scratch build at
+      // ~3 s vs ~16 s for an incremental append-apply at fixture scale
+      // (the apply's many-small-stages overhead dominates far below the
+      // corpus sizes it exists for), so deriving the full states via
+      // clone+apply would cost 5× what it saves
       val docs = cohortDocs(s, d)
       val seed90 = docs.filter(col("doc_id") % 10 =!= 7)
-      s.sql("CREATE TABLE graft_cat.db.lbseed_docs (doc_id BIGINT, " +
-        "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
-      seed90.writeTo("graft_cat.db.lbseed_docs").append()
-      DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbseed_docs", "lbseed_ix")
-      cloneLabelIndex(s, "exact", "graft_cat.db.lbfull_docs", "lbfull_ix")
-      docs.filter(col("doc_id") % 10 === 7)
-        .writeTo("graft_cat.db.lbfull_docs").append()
-      DedupIndex.ensureLabelsCdc(s, "graft_cat.db.lbfull_docs", "lbfull_ix")
-      s.sql("CREATE TABLE graft_cat.db.lcseed_docs (doc_id BIGINT, " +
-        "text STRING) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
-      seed90.writeTo("graft_cat.db.lcseed_docs").append()
-      DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.lcseed_docs",
-        "lcseed_ix")
-      // capped-full twin (ext141's pre-erasure state), again via the
-      // incremental append-apply the ext167 oracle proves ≡ rebuilt
-      // (cloneLabelIndex drops its targets first)
-      cloneLabelIndex(s, "capped", "graft_cat.db.lcfull_docs", "lcfull_ix")
-      docs.filter(col("doc_id") % 10 === 7)
-        .writeTo("graft_cat.db.lcfull_docs").append()
-      DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.lcfull_docs",
-        "lcfull_ix")
+      def corpus(name: String, rows: org.apache.spark.sql.DataFrame): String = {
+        val t = s"graft_cat.db.$name"
+        s.sql(s"CREATE TABLE $t (doc_id BIGINT, text STRING) " +
+          "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+        rows.writeTo(t).append()
+        t
+      }
+      DedupIndex.ensureLabelsCdc(s,
+        corpus("lbseed_docs", seed90), "lbseed_ix")
+      DedupIndex.ensureLabelsCdc(s,
+        corpus("lbfull_docs", docs), "lbfull_ix")
+      DedupIndex.ensureLabelsCappedCdc(s,
+        corpus("lcseed_docs", seed90), "lcseed_ix")
+      DedupIndex.ensureLabelsCappedCdc(s,
+        corpus("lcfull_docs", docs), "lcfull_ix")
       seededDir.set(d)
     }
 

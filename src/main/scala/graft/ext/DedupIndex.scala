@@ -441,7 +441,13 @@ object DedupIndex {
 
     val feed = s.sql(s"SELECT * FROM $corpusTable " +
       s"VERSION AS OF 'cdf:$v0..$headV'")
-    val touched = feed.select(col("doc_id")).distinct()
+    // checkpoint the touched set ONCE (batch-id-sized): it feeds the
+    // D-phase probe, the N-phase posting anti-join, `gone`, `newRows`
+    // and the retraction DMLs — without this the change-feed DIFF is
+    // re-planned and re-computed at every one of those references
+    // (measured: a visible slice of the apply's fixed overhead at
+    // fixture scale; the capped apply already did this)
+    val touched = feed.select(col("doc_id")).distinct().localCheckpoint(true)
     val head = s.table(corpusTable).select(col("doc_id"), col("text"))
     val headTouched = head.join(touched, Seq("doc_id"), "left_semi")
     val gone = touched.join(head.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -561,7 +567,7 @@ object DedupIndex {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct().localCheckpoint(true)
-    val touchedCk = touched.localCheckpoint(true)
+    val touchedCk = touched // already checkpointed at derivation
     val newPostRows = shNew.localCheckpoint(true)
 
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
