@@ -1045,9 +1045,13 @@ object Similarity {
   private def graphRecallOver(corpus: DataFrame,
       entryOpt: Option[DataFrame] = None, beamWidth: Int = 8,
       hops: Int = 3, perCellBeam: Option[Int] = None,
-      cellRerank: Boolean = false): DataFrame = {
+      cellRerank: Boolean = false,
+      adjOpt: Option[DataFrame] = None): DataFrame = {
     val all = corpus
-    val adj = AnnIndex.graphEdges(all).select("src", "dst")
+    // ext172 passes the STORED adjacency (the persisted graph artifact);
+    // everyone else derives it in-query — identical content by the
+    // ext147 equivalence, which is exactly what sharing the oracle proves
+    val adj = adjOpt.getOrElse(AnnIndex.graphEdges(all).select("src", "dst"))
     val qs = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"))
@@ -1280,6 +1284,36 @@ object Similarity {
       perCellBeam = Some(ProdPerCellBeam), cellRerank = true)
   }
 
+  /** ext172 — THE BALANCED PROBE OVER THE PERSISTED GRAPH (round-14):
+    * ext170's production configuration (probe-8 × 2-Lloyd entry, 4
+    * entries per probed cell, per-cell beam 16, 5 hops, two-tier exact
+    * re-rank) served from the STORED artifact
+    * ([[AnnIndex.ensureGraphCdc]]) instead of an in-query adjacency —
+    * the shape a production deployment actually runs: the trained
+    * quantizer assignment is written as the corpus's cell column, the
+    * capped adjacency is amortized into the index build, and the probe
+    * is frontier joins + exact re-rank only. The oracle is ext170's
+    * restatement verbatim — stored artifact ≡ in-query build is what
+    * hash-matching proves (the ext146/ext147 discipline, now at the
+    * production rung: recall_global 1.000 / recall_cell 1.000 from the
+    * artifact too). */
+  val persistedGraphProdCell: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    graft.functions.CosineSimilarity.register(s)
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.gr_tvecs")
+    Seq("gr_edges", "gr_meta").foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_gr_tix_$x"))
+    s.sql("CREATE TABLE graft_cat.db.gr_tvecs (vec_id BIGINT, label INT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    val (corpus, entry) = trainedProbeN(s, d, probes = 8, lloydIters = 2,
+      entriesPerCell = ProdEntriesPerCell)
+    corpus.writeTo("graft_cat.db.gr_tvecs").append()
+    val edges = AnnIndex.ensureGraphCdc(s, "graft_cat.db.gr_tvecs", "gr_tix")
+    graphRecallOver(s.table("graft_cat.db.gr_tvecs"), Some(entry), hops = 5,
+      perCellBeam = Some(ProdPerCellBeam), cellRerank = true,
+      adjOpt = Some(s.table(edges).select("src", "dst")))
+  }
+
   /** ext147 — beam search over the STORED graph ([[AnnIndex
     * .ensureGraphCdc]]): identical semantics (and oracle) to ext146, but
     * the adjacency comes from the persisted edges table — the in-cell
@@ -1340,6 +1374,7 @@ object Similarity {
     "ext166_graph_recall_hops5" -> graphRecallHops5,
     "ext168_graph_recall_prod" -> graphRecallProd,
     "ext170_graph_recall_prod_cell" -> graphRecallProdCell,
+    "ext172_graph_index_prod_cell" -> persistedGraphProdCell,
     "ext147_graph_index_probe" -> persistedGraphTopK,
     "ext148_graph_cdc_maintenance" -> graphCdcMaintenance,
     "ext143_sim_topk_sq8" -> sqTopK,
@@ -1766,6 +1801,13 @@ object Similarity {
     // the hop CTEs' (q_id, n_cell) window, 4 entry nodes per probed
     // cell, and the cell tier answered by the own-cell re-rank (beamc3)
     "ext170_graph_recall_prod_cell" -> graphRecallOracleFrom(
+      trainedGvCtes(iters = 2), corpus = "gv", hops = 5,
+      perCellBeam = Some(ProdPerCellBeam), cellRerank = true,
+      entrySql = Some(probeNEntrySql(8, ProdEntriesPerCell))),
+    // the persisted-artifact twin probes the STORED graph with the same
+    // configuration — sharing ext170's from-scratch restatement IS the
+    // stored ≡ in-query equivalence claim
+    "ext172_graph_index_prod_cell" -> graphRecallOracleFrom(
       trainedGvCtes(iters = 2), corpus = "gv", hops = 5,
       perCellBeam = Some(ProdPerCellBeam), cellRerank = true,
       entrySql = Some(probeNEntrySql(8, ProdEntriesPerCell))),
