@@ -909,9 +909,10 @@ object Dedup {
   }
 
   /** ext153 — INCREMENTAL COMPONENT LABELS from the persisted label
-    * index ([[DedupIndex.ensureLabelsCdc]]): 90% of the cohort seeds
-    * (doc_id % 10 <> 7), the label table builds once, the remaining 10%
-    * appends as the batch, and the ensure call folds it in INCREMENTALLY — batch-incident edges
+    * index ([[DedupIndex.ensureLabelsCdc]]): the 90%-cohort index
+    * (doc_id % 10 <> 7) arrives as a zero-copy clone of the shared
+    * seed, the remaining 10% appends as the batch, and the ensure call
+    * folds it in INCREMENTALLY — batch-incident edges
     * only, contracted onto the stored labels, component discovery on
     * the merge-activity-sized quotient, one atomic MERGE. The final
     * labels must hash-match the oracle's recursive-CTE components over
@@ -978,7 +979,8 @@ object Dedup {
 
   /** ext167 — the DF-CAPPED persisted label family
     * ([[DedupIndex.ensureLabelsCappedCdc]]), the 100 TB-safe default:
-    * build on 90% of the corpus, append the remaining 10%, ensure —
+    * the 90% index arrives as a clone of the shared capped seed, the
+    * remaining 10% appends, ensure —
     * the apply either folds the batch in incrementally (quotient merge
     * over cap-filtered postings) or, if the batch flips any stored
     * shingle's cap status, degrades to the LINEAR capped rebuild; both

@@ -979,6 +979,38 @@ class DedupIndexSpec extends SparkTestBase {
     dropIx("lcap"); dropIx("lcap_chk")
   }
 
+  test("seed clones are hermetic: an entry's mutations never touch the seed") {
+    // round-14 (VERDICT r13 #5): the construction entries clone the
+    // shared seed and mutate only their clones — a leaked mutation
+    // would silently corrupt every LATER entry's starting state in the
+    // same run. Pin it: snapshot the full-cohort seed, run the
+    // erasure entry (DELETE + UPDATE on its clone), assert the seed's
+    // corpus and labels are byte-identical afterwards.
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    ext.Dedup.ensureLabelSeeds(spark, d)
+    def snap(): (Seq[Seq[Any]], Seq[Seq[Any]], Long) = (
+      spark.table("graft_cat.db.lbfull_docs").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq,
+      spark.table("graft_cat.db.dedup_lbfull_ix_lb_labels")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq,
+      spark.sql("SELECT MAX(v) FROM graft_cat.db.lbfull_docs.versions")
+        .head.getLong(0))
+    val before = snap()
+    val rows = ext.Dedup.queries("ext161_components_erasure")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    // the entry really mutated ITS table (erased ids gone there)...
+    assert(spark.table("graft_cat.db.lble_docs")
+      .filter(col("doc_id") % 7 === 3).count() === 0L)
+    // ...while the seed is untouched: same rows, same labels, and not
+    // even a new corpus version (a write would bump the manifest)
+    val after = snap()
+    assert(after._3 === before._3, "a mutation committed on the seed corpus")
+    assert(after._1 === before._1, "seed corpus rows changed")
+    assert(after._2 === before._2, "seed labels changed")
+  }
+
   test("ensureLabels auto-chooses the family, keeps it sticky, and force switches") {
     // VERDICT r13 #3: ONE entry point — posting stats pick exact
     // (erasure-without-rebuild) on a benign corpus and capped (linear
