@@ -60,6 +60,31 @@ object CommitRaceMain {
       spark.stop()
       return
     }
+    if (args.length > 3 && args(3) == "compactor") {
+      // maintenance mode (round-15, VERDICT r14 #6): `n` compaction
+      // attempts against the shared table — the manifest
+      // read-truncate-rewrite path racing, from ITS OWN process, both a
+      // live writer and the spec JVM's expire/branch-GC cycle. A CME is
+      // the documented refusal (a concurrent commit replaced this
+      // reorg's source segments) — retried next attempt, never an error.
+      var a = 0
+      var landed = 0
+      while (a < n) {
+        try {
+          spark.sql("CALL race_cat.system.compact('db.race', 1048576)")
+            .collect()
+          landed += 1
+          println(s"COMPACTED k=$landed")
+          System.out.flush()
+        } catch { case _: Throwable => () }
+        Thread.sleep(100L)
+        a += 1
+      }
+      println(s"COMPACTOR_DONE landed=$landed")
+      System.out.flush()
+      spark.stop()
+      return
+    }
     val churn = args.length > 3 && args(3) == "churn"
     var i = 0
     while (i < n) {

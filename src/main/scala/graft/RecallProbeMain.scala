@@ -6,10 +6,40 @@ import org.apache.spark.sql.functions._
 /** Local tuning grid for the graph-ANN recall ladder (VERDICT r12 #3):
   * prints mean recall_global / recall_cell for each (probes, lloyd,
   * beam, hops) configuration so a new committed rung is chosen from
-  * MEASURED numbers, not guesses. Not part of the driver contract. */
+  * MEASURED numbers, not guesses. Not part of the driver contract.
+  *
+  * Round-15 (VERDICT r14 #1): the committed rung measured 1.000/1.000
+  * on the 500-vector sf0.01 fixture — fixture-saturation risk. Passing
+  * `synth:<n>` as the dir synthesizes an n-vector corpus with PLANTED
+  * cluster structure (deterministic, no RNG): ~n/50 clusters of ~50
+  * vectors each (the fixture's density), centers hash-placed in
+  * [-1,1]^64, per-vector perturbation ±0.1 per component — within-
+  * cluster cosine ≈ 0.99, cross-cluster ≈ 0, so exact truth is
+  * meaningful and the quantizer has real geometry to learn. The synth
+  * run uses the REDUCED grid (the committed rung + its nearest
+  * neighbours) — each row pays a full quantizer + adjacency + exact-
+  * truth evaluation at n vectors. */
 object RecallProbeMain {
+  private[graft] def synthDir(s: SparkSession, n: Long): String = {
+    val out = s"/tmp/graft_annsynth_$n"
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      val ncl = math.max(1L, n / 50)
+      s.range(0, n).select(col("id").as("vec_id"),
+          (col("id") % ncl).as("k"))
+        .select(col("vec_id"),
+          (col("k") % 1000).cast("int").as("label"),
+          expr(("transform(sequence(0, 63), j -> CAST(" +
+            "((k * 2654435761 + j * 97 + 13) % 2001) / 1000.0 - 1.0 + " +
+            "((vec_id * 40503 + j * 1009 + 7) % 201 - 100) / 1000.0" +
+            " AS FLOAT))")).as("embedding"))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val d0 = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,6 +48,9 @@ object RecallProbeMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.configure(spark)
+    val synth = d0.startsWith("synth:")
+    val d = if (synth) synthDir(spark, d0.stripPrefix("synth:").toLong)
+            else d0
     // both round-13 sweeps; measured recall_global at sf0.01 in the
     // trailing comments (recall_cell varies inversely with probes —
     // the breadth trade SURVEY §19.3 documents)
@@ -64,8 +97,17 @@ object RecallProbeMain {
       (8, 2, 0, 5, 16, 4, true), // committed as ext170
       (8, 2, 0, 5, 8, 4, true),
       (8, 2, 0, 5, 16, 2, true))
+    // the synth (scale) grid: the committed rung, its cheaper
+    // neighbours (fewer entries / narrower floor), and the pre-ext170
+    // shared-budget rung as the regression reference
+    val synthGrid = Seq(
+      (8, 2, 0, 5, 16, 4, true), // committed rung ext170/ext172
+      (8, 2, 0, 5, 8, 4, true),
+      (8, 2, 0, 5, 16, 2, true),
+      (8, 2, 64, 5, 0, 1, false)) // ext168's shared top-64
     val from = args.drop(1).headOption.map(_.toInt).getOrElse(0)
-    grid.drop(from).foreach { case (p, l, b, h, pc, e, cr) =>
+    (if (synth) synthGrid else grid).drop(from)
+      .foreach { case (p, l, b, h, pc, e, cr) =>
       val t0 = System.nanoTime()
       val perCell = if (pc > 0) Some(pc) else None
       val r = ext.Similarity.recallConfig(spark, d, p, l, b, h, perCell, e, cr)

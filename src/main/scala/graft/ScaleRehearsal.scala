@@ -181,6 +181,26 @@ object ScaleRehearsal {
       val gbR = gbScaled / gbBase
       println(f"""{"q":"gr_build_megacell","base_s":$gbBase%.2f,"scaled_s":$gbScaled%.2f,"ratio":$gbR%.1f}""")
     }
+    // round-15 probe (VERDICT r14 #7): graph-ANN index MAINTENANCE at
+    // storm scale. The production lever (SURVEY §18) is centroid count
+    // ∝ corpus so cells stay bounded — this fixture builds exactly that
+    // shape (cells of ~200 < GraphCellCap at every n), so the
+    // ensureGraphCdc BUILD must track the corpus (pair join is O(n·cap))
+    // and a FIXED two-cell CDC batch (10 deletes in one cell, 10
+    // re-embeddings in another) must track the TOUCHED CELLS, not the
+    // corpus — the cell-granular retract+re-derive contract, measured
+    // at 10× and 100× vectors. The adjacency artifact size (~4 edges
+    // per live node) is recorded with each point.
+    if (want("grmaint")) {
+      grMaint(spark, "mwarm", 2000L) // codegen/catalog warmup
+      val (b1, a1, e1) = grMaint(spark, "m1", 10000L)
+      val (b10, a10, e10) = grMaint(spark, "m10", 100000L)
+      val (b100, a100, e100) = grMaint(spark, "m100", 1000000L)
+      println(f"""{"q":"gr_maint_build_10x","base_s":$b1%.2f,"scaled_s":$b10%.2f,"ratio":${b10 / b1}%.1f,"edges_base":$e1,"edges_scaled":$e10}""")
+      println(f"""{"q":"gr_maint_build_100x","base_s":$b1%.2f,"scaled_s":$b100%.2f,"ratio":${b100 / b1}%.1f,"edges_scaled":$e100}""")
+      println(f"""{"q":"gr_maint_apply_10x","base_s":$a1%.2f,"scaled_s":$a10%.2f,"ratio":${a10 / a1}%.1f}""")
+      println(f"""{"q":"gr_maint_apply_100x","base_s":$a1%.2f,"scaled_s":$a100%.2f,"ratio":${a100 / a1}%.1f}""")
+    }
     // round-12 probe: duplication-SKEW rehearsal for the capped
     // component twin (VERDICT r11 #5) — the base corpus stays fixed
     // while a mega-cluster of duplicated docs grows 10×: a boilerplate
@@ -347,6 +367,56 @@ object ScaleRehearsal {
       spark.sql(s"DROP TABLE IF EXISTS $corpus")
       Seq("gr_edges", "gr_meta").foreach(x =>
         spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${name}_$x"))
+    }
+  }
+
+  /** Multi-cell vector corpus at the PRODUCTION quantizer shape (cells
+    * ∝ corpus, ~200 vectors each — under [[graft.ext.AnnIndex
+    * .GraphCellCap]]): time the graph BUILD, then a FIXED two-cell CDC
+    * batch (10 deletes in cell 0, 10 re-embeddings in cell 1), and
+    * return (build s, apply s, live edge rows). dim-8 vectors keep the
+    * probe scan-bound — the claim under test is the join/maintenance
+    * structure, not FLOP throughput. */
+  private def grMaint(spark: SparkSession, tag: String,
+      n: Long): (Double, Double, Long) = {
+    graft.ops.ensureGraftCatalog(spark)
+    import org.apache.spark.sql.functions.col
+    val pid = ProcessHandle.current().pid()
+    val name = s"grmt_${tag}_$pid"
+    val corpus = s"graft_cat.db.grmt_vecs_${tag}_$pid"
+    val ncells = math.max(2L, n / 200L)
+    spark.sql(s"DROP TABLE IF EXISTS $corpus")
+    Seq("gr_edges", "gr_meta").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${name}_$x"))
+    spark.sql(s"CREATE TABLE $corpus (vec_id BIGINT, label INT, " +
+      "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    try {
+      spark.range(0, n).select(col("id").as("vec_id"),
+          (col("id") % ncells).cast("int").as("label"),
+          expr("transform(sequence(0, 7), " +
+            "j -> CAST(((id * 31 + j * 17) % 997) / 997.0 AS DOUBLE))")
+            .as("v"))
+        .writeTo(corpus).append()
+      val t0 = System.nanoTime()
+      graft.ext.AnnIndex.ensureGraphCdc(spark, corpus, name)
+      val build = (System.nanoTime() - t0) / 1e9
+      // the FIXED batch: same absolute size and same touched-cell count
+      // (2) at every scale — apply work must be cell-bounded
+      val dels = (0 until 10).map(i => i.toLong * ncells).mkString(", ")
+      val upds = (0 until 10).map(i => 1L + i.toLong * ncells).mkString(", ")
+      spark.sql(s"DELETE FROM $corpus WHERE vec_id IN ($dels)")
+      spark.sql(s"UPDATE $corpus SET v = reverse(v) WHERE vec_id IN ($upds)")
+      val t1 = System.nanoTime()
+      val edges = graft.ext.AnnIndex.ensureGraphCdc(spark, corpus, name)
+      val apply = (System.nanoTime() - t1) / 1e9
+      (build, apply, spark.table(edges).count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $corpus")
+      Seq("gr_edges", "gr_meta").foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.ann_${name}_$x"))
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * (e.g. a copy-on-write rewrite in history) — the skeleton then falls
   * back to the full rebuild, the documented degradation path.
   */
-private[ext] object CdcIndex {
+private[graft] object CdcIndex {
 
   /** `graft.autocompact` spec every persisted index artifact declares
     * (4 MiB target : 4 small files : 20% DV ratio): CDC maintenance
@@ -31,6 +31,19 @@ private[ext] object CdcIndex {
   /** Shared ensure*() name validation: catalog-safe charset. */
   def requireIndexName(name: String): Unit =
     require(name.matches("[a-zA-Z0-9_]+"), s"bad index name: $name")
+
+  /** Per-name lock striping for ensure* entry points (round-15, VERDICT
+    * r14 #5): builds of DIFFERENT indexes in one driver proceed in
+    * parallel; two ensures of the SAME index serialize (idempotence of
+    * the watermark dispatch needs at-most-one in flight per artifact
+    * set). Monitors are per-thread reentrant, so an entry point calling
+    * a sibling under the SAME key (ensureLabels → ensureLabelsCdc)
+    * nests safely. The map only ever grows by distinct index names a
+    * driver actually touches — bounded by the catalog, not the data. */
+  private val nameLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withNameLock[T](key: String)(body: => T): T =
+    nameLocks.computeIfAbsent(key, _ => new Object).synchronized(body)
 
   /** Extra validation for the BASE-family entry points of a prefix that
     * owns sub-families (minhash under `dedup`, IVF under `ann`): a base
@@ -178,8 +191,19 @@ private[ext] object CdcIndex {
   }
 
   /** One cross-table transaction (CALL system.txn_*): the atomic
-    * publish every CDC refresh ends with. */
-  def inTxn(s: SparkSession)(body: => Unit): Unit = {
+    * publish every CDC refresh ends with.
+    *
+    * Serialized on a JVM-global gate (round-15, VERDICT r14 #5): the
+    * catalog allows ONE open transaction per JVM (`txn_begin` throws on
+    * a second), so with the per-name build locks two concurrent ensures
+    * would otherwise race their publish windows into that error. The
+    * gate queues them instead — the expensive build phases (shingle
+    * scans, pair joins, CC) run fully in parallel; only the
+    * metadata-sized commit section serializes, which is how lakehouse
+    * commit protocols behave on a real cluster anyway (the table
+    * pointer is a CAS). */
+  private val txnGate = new Object
+  def inTxn(s: SparkSession)(body: => Unit): Unit = txnGate.synchronized {
     s.sql("CALL graft_cat.system.txn_begin()").collect()
     try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
     catch {

@@ -348,7 +348,7 @@ object DedupIndex {
 
   /** Version-keyed maintenance of the label table. Returns its name. */
   def ensureLabelsCdc(s: SparkSession, corpusTable: String,
-      name: String): String = synchronized {
+      name: String): String = CdcIndex.withNameLock(s"label:$name") {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val labels = s"graft_cat.db.dedup_${name}_lb_labels"
@@ -681,7 +681,8 @@ object DedupIndex {
     * pays the same cap×crossings-bounded work as a live run. Every
     * window converges (spec-pinned). */
   def ensureLabelsCappedCdc(s: SparkSession, corpusTable: String,
-      name: String, cap: Int = LabelDfCap): String = synchronized {
+      name: String, cap: Int = LabelDfCap): String =
+    CdcIndex.withNameLock(s"label:$name") {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val labels = s"graft_cat.db.dedup_${name}_lc_labels"
@@ -998,6 +999,23 @@ object DedupIndex {
   val LabelAutoPairFactor = 16L
   val LabelAutoMaxDf = 64L
 
+  /** The PURE family decision behind [[ensureLabels]], given the one
+    * posting-stats aggregate (max df, Σ df = posting count,
+    * Σ df·(df−1) = the symmetric pair bound — the same bound the CC
+    * width hint uses). Extracted so the decision CURVE is unit-testable
+    * without building corpora (round-15, VERDICT r14 #2): exact iff the
+    * quadratic edge-build term stays within [[LabelAutoPairFactor]]× of
+    * the linear work every build pays AND no single shingle is hot
+    * enough ([[LabelAutoMaxDf]]) to go quadratic on its own. Both
+    * bounds are INCLUSIVE — a corpus exactly on the line keeps the
+    * richer (exact-erasure) contract. Measured calibration at the
+    * boundary: see the crossover table in SURVEY §21 (block corpora,
+    * CrossoverProbeMain). */
+  def chooseLabelFamily(maxDf: Long, posts: Long, pairBound: Long): String =
+    if (pairBound <= LabelAutoPairFactor * posts && maxDf <= LabelAutoMaxDf)
+      "exact"
+    else "capped"
+
   /** ONE entry point for the label family (VERDICT r13 #3): a 100 TB
     * user calls `ensureLabels(s, corpus, name)` and gets the right
     * family for the corpus instead of having to know the
@@ -1026,7 +1044,8 @@ object DedupIndex {
     * artifacts so the catalog never carries two label indexes under one
     * name. */
   def ensureLabels(s: SparkSession, corpusTable: String, name: String,
-      force: Option[String] = None): String = synchronized {
+      force: Option[String] = None): String =
+    CdcIndex.withNameLock(s"label:$name") {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     force.foreach(f => require(f == "exact" || f == "capped",
@@ -1050,11 +1069,7 @@ object DedupIndex {
               coalesce(sum("df"), lit(0L)),
               coalesce(sum(expr("df * (df - 1)")), lit(0L))).head
           val (mx, ps, pr) = (st.getLong(0), st.getLong(1), st.getLong(2))
-          val f =
-            if (pr <= LabelAutoPairFactor * ps && mx <= LabelAutoMaxDf)
-              "exact"
-            else "capped"
-          (f, mx, ps, pr)
+          (chooseLabelFamily(mx, ps, pr), mx, ps, pr)
       }
     }
     if (!recorded.contains(family)) {

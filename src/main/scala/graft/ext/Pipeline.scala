@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ext140 — the end-to-end LLM corpus pipeline, one oracle-checked
@@ -245,6 +245,101 @@ object Pipeline {
       .orderBy("family")
   }
 
+  /** ext141b — ERASURE THROUGH THE AUTO ENTRY POINT (round-15, VERDICT
+    * r14 #4): ext141 audits the label families by driving their
+    * internals (`ensureLabelsCdc` / `ensureLabelsCappedCdc`) directly,
+    * but the product surface a 100 TB user calls is
+    * [[DedupIndex.ensureLabels]] — so the audited path must be that
+    * one, across the full choice lifecycle:
+    *
+    *   1. first ensure on a seeded clone: the heuristic picks EXACT
+    *      (benign cohort stats), records it in `dedup_er2_lu_choice`,
+    *      and the cloned artifacts make the build a covered no-op;
+    *   2. an erasure request (doc_id % 7 = 2) propagates through the
+    *      SAME entry point — the sticky record routes it to the exact
+    *      family's cluster-local erasure APPLY (no rebuild);
+    *   3. a FORCED mid-life family switch (`force = capped`) retires
+    *      the exact artifacts, re-records the choice as forced, and
+    *      builds the capped index over the post-erasure corpus;
+    *   4. a second erasure (doc_id % 5 = 1) again goes through
+    *      `ensureLabels` — the sticky capped record routes it to the
+    *      documented erasure-triggered LINEAR REBUILD, and the choice
+    *      record must SURVIVE that rebuild still saying capped/forced.
+    *
+    * The output audits both families' artifacts the ext141 way (zero
+    * live rows attributable to erased subjects; survivor totals
+    * hash-checked against a DuckDB recomputation) plus the two choice
+    * records. The choice legs reuse the audit row shape: family =
+    * "lu-choice-<family>", n_erased_live carries the FORCED flag (0 =
+    * auto, 1 = forced), n_live = 1 — a uniform schema so one frame
+    * hash-checks the whole lifecycle. The exact-family legs are
+    * materialized BEFORE the switch (step 3 drops those tables).
+    * Counter-pinned in PipelineSpec: zero exact builds (seeded clone),
+    * one exact apply, two capped builds (the forced switch + the
+    * erasure rebuild), zero capped applies. */
+  val erasureAuto: Q = (s, d) => {
+    graft.ops.ensureGraftCatalog(s)
+    // hermetic start: a previous run's choice record or capped
+    // artifacts would re-route step 1
+    s.sql("DROP TABLE IF EXISTS graft_cat.db.dedup_er2_lu_choice")
+    Seq("lc_labels", "lc_posts", "lc_df", "lc_meta").foreach(x =>
+      s.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_er2_$x"))
+    Dedup.ensureLabelSeeds(s, d)
+    Dedup.cloneLabelIndex(s, "full", "graft_cat.db.er2_docs", "er2")
+    // 1. auto choice (records exact) + covered no-op on the clone
+    DedupIndex.ensureLabels(s, "graft_cat.db.er2_docs", "er2")
+    val cA = s.table("graft_cat.db.dedup_er2_lu_choice")
+      .select("family", "forced").head
+    val (famA, forcedA) = (cA.getString(0), cA.getBoolean(1))
+    // 2. erasure request, propagated through the SAME entry point
+    s.sql("DELETE FROM graft_cat.db.er2_docs WHERE doc_id % 7 = 2")
+    DedupIndex.ensureLabels(s, "graft_cat.db.er2_docs", "er2")
+    def leg(family: String, t: String, id: String, erased: Column) =
+      s.table(t).agg(
+        count(when(erased, 1)).as("n_erased_live"),
+        count(lit(1)).as("n_live"))
+        .select(lit(family).as("family"),
+          col("n_erased_live"), col("n_live"))
+    val e7 = (c: Column) => c % 7 === 2
+    val exactLegs =
+      leg("exact-labels", "graft_cat.db.dedup_er2_lb_labels", "doc_id",
+        e7(col("doc_id")))
+        .unionAll(s.table("graft_cat.db.dedup_er2_lb_edges").agg(
+          count(when(e7(col("a_id")) || e7(col("b_id")), 1))
+            .as("n_erased_live"),
+          count(lit(1)).as("n_live"))
+          .select(lit("exact-edges").as("family"),
+            col("n_erased_live"), col("n_live")))
+        .unionAll(leg("exact-posts", "graft_cat.db.dedup_er2_lb_posts",
+          "doc_id", e7(col("doc_id"))))
+        .localCheckpoint(true) // step 3 retires these tables
+    // 3. forced family switch mid-life
+    DedupIndex.ensureLabels(s, "graft_cat.db.er2_docs", "er2",
+      force = Some("capped"))
+    // 4. second erasure — the sticky capped record routes it to the
+    //    documented linear rebuild
+    s.sql("DELETE FROM graft_cat.db.er2_docs WHERE doc_id % 5 = 1")
+    DedupIndex.ensureLabels(s, "graft_cat.db.er2_docs", "er2")
+    val cB = s.table("graft_cat.db.dedup_er2_lu_choice")
+      .select("family", "forced").head
+    val (famB, forcedB) = (cB.getString(0), cB.getBoolean(1))
+    val eB = (c: Column) => c % 7 === 2 || c % 5 === 1
+    val cappedLegs =
+      leg("capped-labels", "graft_cat.db.dedup_er2_lc_labels", "doc_id",
+        eB(col("doc_id")))
+        .unionAll(leg("capped-posts", "graft_cat.db.dedup_er2_lc_posts",
+          "doc_id", eB(col("doc_id"))))
+    val choiceLegs = s.range(1).select(
+        lit(s"lu-choice-a-$famA").as("family"),
+        lit(if (forcedA) 1L else 0L).as("n_erased_live"),
+        lit(1L).as("n_live"))
+      .unionAll(s.range(1).select(
+        lit(s"lu-choice-b-$famB").as("family"),
+        lit(if (forcedB) 1L else 0L).as("n_erased_live"),
+        lit(1L).as("n_live")))
+    exactLegs.unionAll(cappedLegs).unionAll(choiceLegs).orderBy("family")
+  }
+
   /** ext152 — THE INCREMENTAL CORPUS PIPELINE: ext140's steady state.
     * ext140 curates a corpus from scratch; a production pipeline runs
     * DAILY, cleaning each incoming batch against artifacts built from
@@ -326,9 +421,47 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "ext140_corpus_pipeline" -> corpusPipeline,
     "ext152_incremental_pipeline" -> incrementalPipeline,
-    "ext141_erasure_e2e" -> erasureE2e)
+    "ext141_erasure_e2e" -> erasureE2e,
+    "ext141b_erasure_auto" -> erasureAuto)
 
   val oracleSql: Map[String, String] = Map(
+    "ext141b_erasure_auto" ->
+      """WITH a_live AS (
+        |  SELECT * FROM documents WHERE doc_id < 2500 AND doc_id % 7 <> 2),
+        |b_live AS (
+        |  SELECT * FROM a_live WHERE doc_id % 5 <> 1),
+        |shla AS (SELECT DISTINCT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            for i in range(1, len(toks)-1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        |        FROM a_live) t WHERE len(toks) >= 3),
+        |shlb AS (SELECT DISTINCT doc_id,
+        |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |            for i in range(1, len(toks)-1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        |        FROM b_live) t WHERE len(toks) >= 3),
+        |sza AS (SELECT doc_id, COUNT(*) AS n FROM shla GROUP BY doc_id),
+        |ledga AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT a_id FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |    FROM shla a JOIN shla b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) i
+        |  JOIN sza sa ON sa.doc_id = i.a_id
+        |  JOIN sza sb ON sb.doc_id = i.b_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5))
+        |SELECT * FROM (
+        |  SELECT 'exact-labels' AS family, CAST(0 AS BIGINT) AS n_erased_live,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM a_live) AS n_live
+        |  UNION ALL SELECT 'exact-edges', 0, (SELECT n FROM ledga)
+        |  UNION ALL SELECT 'exact-posts', 0,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM shla)
+        |  UNION ALL SELECT 'capped-labels', 0,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b_live)
+        |  UNION ALL SELECT 'capped-posts', 0,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM shlb)
+        |  UNION ALL SELECT 'lu-choice-a-exact', 0, 1
+        |  UNION ALL SELECT 'lu-choice-b-capped', 1, 1)
+        |ORDER BY family""".stripMargin,
     "ext141_erasure_e2e" ->
       """WITH docs_live AS (
         |  SELECT * FROM documents WHERE doc_id % 7 <> 2 AND doc_id < 2500),

@@ -926,10 +926,15 @@ object Similarity {
     // (codegen'd fused loop, bit-identical to the HOF fold — ext16's
     // pinned claim), and O(n·cap) per cell via deterministic
     // sub-bucketing above AnnIndex.GraphCellCap — so ext146/147/148
-    // share one adjacency contract and one oracle restatement
+    // share one adjacency contract and one oracle restatement.
+    // Materialized EAGERLY (VERDICT r14 #8): the adjacency is the
+    // BUILD half of this entry — forcing it here keeps the bench's
+    // probe decomposition honest (probe = the beam walk the index
+    // serves, same split the persisted twins ext147/ext172 get from
+    // their eager ensure* calls); content is identical either way.
     val adj = AnnIndex.graphEdges(
       all.select(col("vec_id"), col("label"), col("v")))
-      .select("src", "dst")
+      .select("src", "dst").localCheckpoint(true)
     beamTopK(adj, all.select(col("vec_id"), col("label"), col("v")))
   }
 
@@ -1278,10 +1283,23 @@ object Similarity {
   val ProdEntriesPerCell = 4
   val graphRecallProdCell: Q = (s, d) => {
     graft.functions.CosineSimilarity.register(s)
-    val (corpus, entry) = trainedProbeN(s, d, probes = 8, lloydIters = 2,
+    val (corpus0, entry0) = trainedProbeN(s, d, probes = 8, lloydIters = 2,
       entriesPerCell = ProdEntriesPerCell)
+    // BUILD forced eagerly (VERDICT r14 #8): the trained assignment,
+    // the entry frontier and the capped adjacency are the index-build
+    // half of this entry; materializing them inside the entry call
+    // gives the bench record the same probe decomposition the
+    // persisted twin (ext172) gets from its ensure* call — probe =
+    // walk + exact recall eval, never quantizer/adjacency
+    // construction. Values are unchanged (the Lloyd rounds are
+    // integer-scaled and deterministic).
+    val corpus = corpus0.localCheckpoint(true)
+    val entry = entry0.localCheckpoint(true)
+    val adj = AnnIndex.graphEdges(corpus).select("src", "dst")
+      .localCheckpoint(true)
     graphRecallOver(corpus, Some(entry), hops = 5,
-      perCellBeam = Some(ProdPerCellBeam), cellRerank = true)
+      perCellBeam = Some(ProdPerCellBeam), cellRerank = true,
+      adjOpt = Some(adj))
   }
 
   /** ext172 — THE BALANCED PROBE OVER THE PERSISTED GRAPH (round-14):

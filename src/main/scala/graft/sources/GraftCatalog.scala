@@ -961,6 +961,15 @@ object SegTxn {
   private final case class StagedWrite(table: SegTable,
       truncateFirst: Boolean, segs: Seq[Seg])
   private final class TxnState(val id: String) {
+    /** Transactions are THREAD-SCOPED (round-15, VERDICT r14 #5): only
+      * writes issued by the owning thread stage into the transaction.
+      * Before this, a concurrent thread's unrelated INSERT (e.g. a
+      * second index build in the same driver) silently staged into
+      * whatever txn happened to be open — deferred behind someone
+      * else's commit, and invisible to its own issuer's next read.
+      * Cross-thread is now the same contract as cross-process (where
+      * the txn state was never visible to begin with). */
+    val owner: Thread = Thread.currentThread()
     val writes = scala.collection.mutable.ArrayBuffer.empty[StagedWrite]
   }
   private val current = new AtomicReference[Option[TxnState]](None)
@@ -970,6 +979,11 @@ object SegTxn {
   val afterTableCommit = new AtomicReference[String => Unit](_ => ())
 
   def active: Boolean = current.get().isDefined
+
+  /** An open transaction owned by the CALLING thread — the only writes
+    * that stage (and the only autocompactions that defer). */
+  def activeHere: Boolean =
+    current.get().exists(_.owner eq Thread.currentThread())
 
   def begin(): String = {
     val id = java.util.UUID.randomUUID.toString.replace("-", "").take(16)
@@ -984,10 +998,10 @@ object SegTxn {
   private[sources] def stage(t: SegTable, truncateFirst: Boolean,
       segs: Seq[Seg]): Boolean =
     current.get() match {
-      case Some(st) =>
+      case Some(st) if st.owner eq Thread.currentThread() =>
         st.synchronized { st.writes += StagedWrite(t, truncateFirst, segs) }
         true
-      case None => false
+      case _ => false // no txn, or another thread's — publish normally
     }
 
   /** Drop the transaction: staged segment files are deleted, no
@@ -1535,8 +1549,10 @@ class SegTable private (ident: String, dir: Path,
     // publishing — an inline compaction here would stage its rewrite
     // into the user's transaction (mislabeling it an overwrite and
     // re-triggering per staged write). Maintenance waits for the next
-    // non-transactional commit.
-    if (SegTxn.active) return
+    // non-transactional commit. Thread-scoped (round-15): ANOTHER
+    // thread's open txn doesn't stage this thread's writes, so it must
+    // not suppress this thread's maintenance either.
+    if (SegTxn.activeHere) return
     synchronized(cur.props.get("graft.autocompact")).foreach { raw =>
       val parts = raw.split(':')
       val target = parts(0).trim.toLong

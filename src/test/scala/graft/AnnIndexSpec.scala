@@ -646,4 +646,32 @@ class AnnIndexSpec extends SparkTestBase {
     assert(AnnIndex.graphBuilds.get() === b0 + 1)
     assert(AnnIndex.graphCdcRefreshes.get() === c0 + 1)
   }
+
+  test("bench probe split: ext146/ext170 materialize their build in the entry call") {
+    // VERDICT r14 #8: the persisted graph entries (ext147/ext172) get an
+    // honest probe decomposition in BENCH_RUN for free — their ensure*
+    // build runs eagerly inside the entry function, so the post-frame
+    // count Bench times is the walk. The in-query twins used to hide the
+    // adjacency (and, for ext170, the quantizer) build inside the lazy
+    // plan; they now localCheckpoint those legs inside the entry call.
+    // Pin it structurally: the returned frame's analyzed plan bottoms
+    // out in checkpointed leaves, and the in-cell pair-join + top-4
+    // window that BUILD the adjacency are no longer in the probe plan
+    // (the walk keeps its own row_number windows, so count leaves, not
+    // windows).
+    ops.configure(spark)
+    val d = "/root/testdata/sf0.001"
+    def ckptLeaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      }.size
+    val beam = ext.Similarity.queries("ext146_graph_ann_beam")(spark, d)
+    assert(ckptLeaves(beam) >= 1,
+      "ext146's adjacency must be a materialized leaf, not a lazy pair join")
+    val prod = ext.Similarity.queries("ext170_graph_recall_prod_cell")(spark, d)
+    assert(ckptLeaves(prod) >= 3,
+      "ext170 must materialize corpus, entry frontier AND adjacency eagerly")
+    // and the eager build changed nothing about the answers
+    assert(beam.count() > 0 && prod.count() > 0)
+  }
 }

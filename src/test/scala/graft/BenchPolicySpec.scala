@@ -128,6 +128,39 @@ class BenchPolicySpec extends AnyFunSuite {
     assert((JsonMethods.parse(d) \ "qround") === JNothing)
   }
 
+  test("runJson records the warmup seed-build seconds (seed_s)") {
+    // VERDICT r14 #3: the ~13 s shared-seed build moved out of the
+    // entries and into the warmup phase in round 14 — recorded nowhere,
+    // so cross-round totals silently stopped being comparable. The run
+    // record now carries it; -1 / absent = no label entry selected.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = Bench.runJson(1.0, "/x/sf0.1", Map("ext153_x" -> 1.0),
+      Map("ext153_x" -> 0.1), "", 0.5, seedS = 12.75)
+    assert((JsonMethods.parse(j) \ "seed_s").extract[Double] === 12.75)
+    val d = Bench.runJson(1.0, "/x/sf0.1", Map.empty, Map.empty)
+    assert((JsonMethods.parse(d) \ "seed_s") === JNothing,
+      "a run with no seed build must not record a fake zero")
+  }
+
+  test("the warmup seed guard derives from the shared consumer-prefix set") {
+    // round-15 ADVICE: the seeded-entry prefixes were hardcoded in Bench
+    // and would go stale silently when the next seed-consuming entry is
+    // added. The set now lives next to Dedup.ensureLabelSeeds; pin that
+    // Bench references it (no literal prefix list in Bench's source) and
+    // that every current consumer is present.
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "src/main/scala/graft/Bench.scala")), "UTF-8")
+    assert(text.contains("Dedup.SeedConsumerPrefixes"),
+      "Bench must consume the shared prefix set")
+    assert(!text.contains("\"ext153_\""),
+      "no hardcoded seed-consumer prefixes in Bench")
+    assert(graft.ext.Dedup.SeedConsumerPrefixes === Set(
+      "ext141_", "ext153_", "ext161_", "ext167_", "ext171_", "ext141b_"))
+  }
+
   test("Bench writes raw runs to BENCH_RUN*, never the BENCH_LOCAL pin") {
     // r10 post-mortem: the driver's interference-window run rewrote the
     // committed minimum pin in place. Pin the output-file split at the

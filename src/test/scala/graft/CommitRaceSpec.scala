@@ -350,4 +350,89 @@ class CommitChurnSpec extends SparkTestBase {
     assert(nv <= 2L, s"expire_versions kept $nv versions")
     spark.sql("DROP TABLE churn3_cat.db.race")
   }
+
+  test("compact AND expiry race each other and a live writer across three processes") {
+    // VERDICT r14 #6 — the untested pairing: compact-vs-writer and
+    // expiry-vs-writer each hold separately, but compact and expire
+    // both take the manifest read-truncate-rewrite path, and only
+    // running them CONCURRENTLY from different processes (while a third
+    // commits inserts + copy-on-write deletes) exercises their
+    // interleavings: an expiry truncating history underneath a
+    // compactor's in-flight reorg, a compaction replacing the segments
+    // an expiry's GC liveness set was computed from. Pins: no acked
+    // commit lost, no live file GC'd (a mid-stream branch reads its
+    // full fork snapshot through the churn), real compactions AND real
+    // expiries landed, and the history ends genuinely truncated.
+    ops.configure(spark)
+    val wh = java.nio.file.Files.createTempDirectory("graft_churn4_wh")
+      .toString
+    spark.conf.set("spark.sql.catalog.churn4_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.churn4_cat.warehouse", wh)
+    spark.sql("CREATE TABLE churn4_cat.db.race (w INT, i INT)")
+    val n = 24
+    val pW = ChildJvm.launch(wh, "1", n.toString, "churn")
+    ChildJvm.drainLines(pW)(_ => ())
+    // the second maintenance process: continuous compaction attempts
+    // (budget generous enough to outlive the writer — the first
+    // post-quiesce attempt then lands without contention)
+    val pC = ChildJvm.launch(wh, "9", "3000", "compactor")
+    val compacted = new java.util.concurrent.atomic.AtomicLong(0)
+    ChildJvm.drainLines(pC) { line =>
+      if (line.startsWith("COMPACTED")) compacted.incrementAndGet()
+    }
+    def isCme(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null &&
+        !c.isInstanceOf[java.util.ConcurrentModificationException])
+        c = c.getCause
+      c != null
+    }
+    var expiries = 0L
+    var k = 0
+    def cycle(): Unit = {
+      spark.sql(s"CALL churn4_cat.system.branch('db.race', 'gc$k')")
+        .collect()
+      val atFork = spark.table(s"churn4_cat.db.race.branch_gc$k").count()
+      spark.sql("CALL churn4_cat.system.expire_versions('db.race', 2)")
+        .collect()
+      expiries += 1
+      val afterExpiry = spark.table(s"churn4_cat.db.race.branch_gc$k")
+        .count()
+      assert(afterExpiry === atFork,
+        s"branch gc$k lost rows across expiry-vs-compact churn: " +
+          s"$atFork -> $afterExpiry")
+      spark.sql(s"CALL churn4_cat.system.drop_branch('db.race', 'gc$k')")
+        .collect()
+    }
+    while (pW.isAlive) {
+      try cycle() catch { case e: Throwable if isCme(e) => () }
+      k += 1
+      Thread.sleep(50L)
+    }
+    assert(pW.exitValue() == 0,
+      "writer under concurrent compact+expiry failed")
+    // let the compactor land at least once after the writer quiesces,
+    // then stop it (its attempt budget is deliberately generous)
+    val cDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (compacted.get() < 1 && pC.isAlive &&
+      System.nanoTime() < cDeadline) Thread.sleep(100)
+    pC.destroyForcibly()
+    pC.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+    // post-quiesce maintenance of BOTH kinds must land cleanly
+    spark.sql("CALL churn4_cat.system.compact('db.race', 1048576)").collect()
+    try cycle() catch { case e: Throwable if isCme(e) => () }
+    assert(compacted.get() >= 1,
+      "the cross-process compactor never landed a reorg")
+    assert(expiries >= 2, s"the race never actually expired: $expiries")
+    // no acked commit lost or resurrected through either maintenance op
+    val want = (0 until n).filter(_ % 3 != 1)
+    val got = spark.table("churn4_cat.db.race")
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(got === want,
+      s"rows diverged under compact+expiry churn: $got")
+    val nv = spark.sql("SELECT COUNT(*) FROM churn4_cat.db.race.versions")
+      .head.getLong(0)
+    assert(nv <= 3L, s"history not truncated after the churn: $nv versions")
+    spark.sql("DROP TABLE churn4_cat.db.race")
+  }
 }

@@ -1099,4 +1099,77 @@ class DedupIndexSpec extends SparkTestBase {
     Seq(benign, storm).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     dropAll("lau_b"); dropAll("lau_s"); dropAll("lau_s2")
   }
+
+  test("ensureLabels decision curve: the crossover region is pinned, not a coin flip") {
+    // VERDICT r14 #2: the auto constants sat between two well-separated
+    // fixture regimes; the boundary itself was unexercised. The
+    // decision is now a pure function (chooseLabelFamily) — pin the
+    // full curve around both constants, then drive two MID-REGIME
+    // corpora that straddle the pair-factor line through ensureLabels
+    // end-to-end. Calibration behind the constants: the measured
+    // crossover table (CrossoverProbeMain, SURVEY §21) shows the exact
+    // family's build tracking the pair bound ≈ linearly — pf 16 holds
+    // its build within a small multiple of the capped build while
+    // keeping the erasure-without-rebuild contract; past the line the
+    // quadratic term dominates.
+    import graft.ext.DedupIndex
+    import graft.ext.DedupIndex.{chooseLabelFamily => f}
+    val pf = DedupIndex.LabelAutoPairFactor
+    val mx = DedupIndex.LabelAutoMaxDf
+    // the pair-factor edge, max_df benign: INCLUSIVE at pf·posts
+    assert(f(10, 1000, pf * 1000 - 1) === "exact")
+    assert(f(10, 1000, pf * 1000) === "exact", "the line itself is exact")
+    assert(f(10, 1000, pf * 1000 + 1) === "capped")
+    // the max-df edge, pair factor benign: INCLUSIVE at 64
+    assert(f(mx - 1, 1000, 1000) === "exact")
+    assert(f(mx, 1000, 1000) === "exact", "the line itself is exact")
+    assert(f(mx + 1, 1000, 1000) === "capped")
+    // both constraints must hold — either alone flips the family
+    assert(f(mx + 1, 1000, pf * 1000) === "capped")
+    assert(f(mx, 1000, pf * 1000 + 1) === "capped")
+    // degenerate corpora: no postings → exact (nothing to go quadratic)
+    assert(f(0, 0, 0) === "exact")
+
+    // mid-regime end-to-end: B blocks × D identical docs give
+    // max_df = D and pairs/posts = D−1, so D = 17 sits ON the line
+    // (exact) and D = 18 just past it (capped) — the region where the
+    // old fixture corpora gave no evidence
+    ops.configure(spark)
+    ops.ensureGraftCatalog(spark)
+    def dropAll(n: String): Unit =
+      Seq("lb_labels", "lb_edges", "lb_posts", "lb_meta",
+        "lc_labels", "lc_posts", "lc_df", "lc_meta", "lu_choice")
+        .foreach(x =>
+          spark.sql(s"DROP TABLE IF EXISTS graft_cat.db.dedup_${n}_$x"))
+    def blockCorpus(t: String, d: Int, blocks: Int): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+      spark.range(0, d.toLong * blocks).select(col("id").as("doc_id"),
+          expr(s"array_join(transform(sequence(0, 11), " +
+            s"j -> concat('w', id % $blocks, 'x', j)), ' ')").as("text"))
+        .writeTo(t).append()
+    }
+    val on = "graft_cat.db.xc_on_line"
+    val past = "graft_cat.db.xc_past_line"
+    blockCorpus(on, 17, 6)
+    blockCorpus(past, 18, 6)
+    dropAll("xc_on"); dropAll("xc_past")
+    val tOn = DedupIndex.ensureLabels(spark, on, "xc_on")
+    assert(tOn === "graft_cat.db.dedup_xc_on_lb_labels",
+      "pairs = 16×posts exactly must still take the exact family")
+    val tPast = DedupIndex.ensureLabels(spark, past, "xc_past")
+    assert(tPast === "graft_cat.db.dedup_xc_past_lc_labels",
+      "one doc per block past the line must flip to capped")
+    // the recorded stats agree with the block-corpus arithmetic
+    val rOn = spark.table("graft_cat.db.dedup_xc_on_lu_choice").head
+    assert(rOn.getLong(2) === 17L && rOn.getLong(4) === rOn.getLong(3) * 16L,
+      s"on-line stats wrong: $rOn")
+    val rPast = spark.table("graft_cat.db.dedup_xc_past_lu_choice").head
+    assert(rPast.getLong(2) === 18L &&
+      rPast.getLong(4) === rPast.getLong(3) * 17L,
+      s"past-line stats wrong: $rPast")
+    Seq(on, past).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    dropAll("xc_on"); dropAll("xc_past")
+  }
 }

@@ -138,4 +138,44 @@ class PipelineSpec extends SparkTestBase {
     assert(DedupIndex.labelCappedIncRefreshes.get() === lcR0,
       "an erasure slice must never take the capped incremental path")
   }
+
+  test("ext141b: the ensureLabels lifecycle — auto, sticky erasure, forced switch") {
+    // VERDICT r14 #4: the audited erasure path must be the entry point a
+    // user calls. Counter contract per the scaladoc: ZERO exact builds
+    // (seeded clone + covered no-op), ONE exact apply (the first
+    // erasure), TWO capped builds (the forced switch + the
+    // erasure-triggered rebuild), ZERO capped applies.
+    ops.configure(spark)
+    import ext.DedupIndex
+    ops.ensureGraftCatalog(spark)
+    ext.Dedup.ensureLabelSeeds(spark, d)
+    val lb0 = DedupIndex.labelBuilds.get()
+    val la0 = DedupIndex.labelIncRefreshes.get()
+    val cb0 = DedupIndex.labelCappedBuilds.get()
+    val ca0 = DedupIndex.labelCappedIncRefreshes.get()
+    val rows = ext.Pipeline.queries("ext141b_erasure_auto")(spark, d).collect()
+    assert(rows.length === 7)
+    val byFam = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    // zero erasure residue in every artifact leg; survivors non-empty
+    Seq("exact-labels", "exact-edges", "exact-posts",
+      "capped-labels", "capped-posts").foreach { f =>
+      assert(byFam(f)._1 === 0L, s"erasure residue in $f")
+      assert(byFam(f)._2 > 0L, s"empty survivor set in $f")
+    }
+    // the choice lifecycle: auto-exact first, forced-capped after the
+    // switch — and the record SURVIVED the erasure-triggered rebuild
+    assert(byFam("lu-choice-a-exact") === ((0L, 1L)),
+      "step 1 must auto-pick exact (benign cohort), unforced")
+    assert(byFam("lu-choice-b-capped") === ((1L, 1L)),
+      "the forced capped choice must survive the erasure rebuild")
+    assert(DedupIndex.labelBuilds.get() === lb0,
+      "exact family must arrive as a seeded clone — zero builds")
+    assert(DedupIndex.labelIncRefreshes.get() === la0 + 1,
+      "the first erasure must take the exact family's APPLY path")
+    assert(DedupIndex.labelCappedBuilds.get() === cb0 + 2,
+      "expected exactly the forced-switch build + the erasure rebuild")
+    assert(DedupIndex.labelCappedIncRefreshes.get() === ca0,
+      "no capped incremental path anywhere in this lifecycle")
+  }
 }
