@@ -24,8 +24,15 @@ object RecallProbeMain {
     val out = s"/tmp/graft_annsynth_$n"
     if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
       val ncl = math.max(1L, n / 50)
+      // cluster membership through a NONLINEAR hash (mod a prime first):
+      // any linear map of vec_id keeps the quantizer's every-64th-id
+      // seed set inside a subgroup of the cluster ids (gcd(64, ncl)
+      // strides), which seeds only a fraction of the planted clusters
+      // and collapses the quantizer — an artifact of the synthetic id
+      // layout, not a property of real corpora (measured: recall 0.29
+      // with id % ncl vs the hashed assignment's honest geometry)
       s.range(0, n).select(col("id").as("vec_id"),
-          (col("id") % ncl).as("k"))
+          expr(s"((id * 2654435761 + 123) % 1000003) % $ncl").as("k"))
         .select(col("vec_id"),
           (col("k") % 1000).cast("int").as("label"),
           expr(("transform(sequence(0, 63), j -> CAST(" +
@@ -94,17 +101,28 @@ object RecallProbeMain {
       (4, 2, 0, 5, 16, 4, false),
       // the cr rows answer the cell tier from the own-cell re-rank of
       // the same visited union (ext170's two-tier answer surface)
-      (8, 2, 0, 5, 16, 4, true), // committed as ext170
+      (8, 2, 0, 5, 16, 4, true), // committed as ext170 in round 14
       (8, 2, 0, 5, 8, 4, true),
-      (8, 2, 0, 5, 16, 2, true))
+      (8, 2, 0, 5, 16, 2, true),
+      // round-15: the rung re-tuned to 16 entries after the synth-scale
+      // ladder (see synthGrid below) — fixture recall stays 1.000/1.000
+      (8, 2, 0, 5, 16, 16, true)) // committed as ext170/ext172, round 15
     // the synth (scale) grid: the committed rung, its cheaper
     // neighbours (fewer entries / narrower floor), and the pre-ext170
     // shared-budget rung as the regression reference
+    // round-15 scale findings (10k hashed synth, full rows in SURVEY
+    // §21): pc 8 ≡ pc 16 and hops 7 ≡ hops 5 — neither width nor depth
+    // binds — while entries sweep recall 0.27 (e2) → 0.41 (e4) → 0.59
+    // (e8) → 0.81 (e16) → 0.88 (e32): the out-degree-4 in-cell digraph
+    // fragments ~60-node cells into islands, and ENTRY NODES, not beam,
+    // decide how many islands the walk ever enters. The entries ladder
+    // below is what the 100k validation runs.
     val synthGrid = Seq(
-      (8, 2, 0, 5, 16, 4, true), // committed rung ext170/ext172
-      (8, 2, 0, 5, 8, 4, true),
-      (8, 2, 0, 5, 16, 2, true),
-      (8, 2, 64, 5, 0, 1, false)) // ext168's shared top-64
+      (8, 2, 0, 5, 16, 4, true), // the round-14 committed rung
+      (8, 2, 0, 5, 16, 8, true),
+      (8, 2, 0, 5, 16, 16, true), // the round-15 committed rung
+      (8, 2, 0, 5, 16, 32, true),
+      (8, 2, 64, 5, 0, 1, false)) // ext168's shared top-64, reference
     val from = args.drop(1).headOption.map(_.toInt).getOrElse(0)
     (if (synth) synthGrid else grid).drop(from)
       .foreach { case (p, l, b, h, pc, e, cr) =>

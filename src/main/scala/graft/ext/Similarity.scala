@@ -1263,7 +1263,8 @@ object Similarity {
     *     cell, because the capped out-degree-4 digraph from ONE node
     *     reaches only part of a cell no matter the beam — the grid
     *     shows per-cell floors alone leave recall_cell at 0.400-0.433.
-    *     With 4 entries, recall_global hits 1.000.
+    *     4 entries hit 1.000 on the fixture; round 15's synth-scale
+    *     ladder re-tuned the constant to 16 (see its scaladoc).
     *   - TWO-TIER RE-RANK of the SAME visited union with exact
     *     graft_cosine: a global top-3 AND an own-cell top-3. The
     *     second answer exists because a single global top-3
@@ -1280,7 +1281,20 @@ object Similarity {
     * ∝ probes × entries × perCellBeam × hops per query,
     * corpus-size-independent; both tiers are oracle-checked. */
   val ProdPerCellBeam = 16
-  val ProdEntriesPerCell = 4
+
+  /** Entry nodes per probed cell for the committed production rung.
+    * RE-TUNED 4 → 16 in round 15 (VERDICT r14 #1): the round-14 value
+    * measured 1.000/1.000 on the 500-vector fixture but 0.41/0.41 on a
+    * 10k-vector planted-cluster corpus (and the ladder at 100k, SURVEY
+    * §21.4) — the out-degree-4 in-cell digraph fragments ~60-node cells
+    * into near-neighbor ISLANDS, and the walk only ever reaches islands
+    * an entry node lands in: the 10k sweep measured recall 0.27/0.41/
+    * 0.59/0.81/0.88 at e = 2/4/8/16/32 while the per-cell beam (8 ≡ 16)
+    * and depth (hops 5 ≡ 7) moved NOTHING. Entries are the query-time
+    * reachability lever (cost ∝ probes × e extra hop-0 rows, corpus-
+    * independent); e = 16 clears both recall targets (≥ 0.8 global /
+    * ≥ 0.7 cell) with the fixture still at 1.000/1.000. */
+  val ProdEntriesPerCell = 16
   val graphRecallProdCell: Q = (s, d) => {
     graft.functions.CosineSimilarity.register(s)
     val (corpus0, entry0) = trainedProbeN(s, d, probes = 8, lloydIters = 2,
