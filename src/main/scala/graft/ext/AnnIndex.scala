@@ -80,7 +80,7 @@ object AnnIndex {
     * BIGINT/bucketed migration routes to a full rebuild instead of
     * failing the append (see `cellsLayoutCurrent`). */
   def ensure(s: SparkSession, corpus: DataFrame, name: String): Tables =
-    synchronized {
+    CdcIndex.withNameLock(s"ann:$name") {
       CdcIndex.requireBaseFamilyName(name, "ann")
       graft.ops.ensureGraftCatalog(s)
       graft.functions.SquaredDistance.register(s)
@@ -161,7 +161,7 @@ object AnnIndex {
     * index as feed-sized work — one assignment per CHANGED vector —
     * instead of a corpus-wide rebuild. */
   def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
-    synchronized {
+    CdcIndex.withNameLock(s"ann:$name") {
       CdcIndex.requireBaseFamilyName(name, "ann")
       graft.ops.ensureGraftCatalog(s)
       graft.functions.SquaredDistance.register(s)
@@ -272,7 +272,7 @@ object AnnIndex {
     * detected (stale codes would be served); use [[ensurePqCdc]] for
     * mutable catalog corpora. */
   def ensurePq(s: SparkSession, corpus: DataFrame, name: String): PqTables =
-    synchronized {
+    CdcIndex.withNameLock(s"ann-pq:$name") {
       CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
       graft.functions.SquaredDistance.register(s)
@@ -325,7 +325,7 @@ object AnnIndex {
     * (spec-pinned). Meta: `graft_cat.db.ann_<name>_pq_meta (version
     * BIGINT)`; crash ordering identical to the twins. */
   def ensurePqCdc(s: SparkSession, corpusTable: String,
-      name: String): PqTables = synchronized {
+      name: String): PqTables = CdcIndex.withNameLock(s"ann-pq:$name") {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     graft.functions.SquaredDistance.register(s)
@@ -504,7 +504,7 @@ object AnnIndex {
     * the plain watermark below, which shares [[ensure]]'s documented
     * limit: an UPDATE preserving count+max is NOT detected. */
   def ensureSq(s: SparkSession, corpus: DataFrame, name: String): String =
-    synchronized {
+    CdcIndex.withNameLock(s"ann-sq:$name") {
       CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
       CdcIndex.sourceVersion(s, corpus) match {
@@ -543,7 +543,7 @@ object AnnIndex {
     * `graft_cat.db.ann_<name>_sq_meta (version BIGINT, corpus STRING)`;
     * crash ordering identical to the cells/PQ twins. */
   def ensureSqCdc(s: SparkSession, corpusTable: String,
-      name: String): String = synchronized {
+      name: String): String = CdcIndex.withNameLock(s"ann-sq:$name") {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val codes = s"graft_cat.db.ann_${name}_sq_codes"
@@ -680,7 +680,7 @@ object AnnIndex {
   /** Version-keyed CDC maintenance of the graph tier (the ONLY ensure
     * variant — scaladoc above). Returns the edges table name. */
   def ensureGraphCdc(s: SparkSession, corpusTable: String,
-      name: String): String = synchronized {
+      name: String): String = CdcIndex.withNameLock(s"ann-gr:$name") {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     graft.functions.CosineSimilarity.register(s)

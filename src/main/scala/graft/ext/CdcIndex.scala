@@ -71,12 +71,14 @@ private[graft] object CdcIndex {
 
   /** Head version of a catalog table (one manifest read). */
   def headVersion(s: SparkSession, table: String): Long =
-    s.table(s"$table.versions").agg(max(col("v"))).head.getLong(0)
+    graft.ops.withDesc(s, "cdc: watermark")(
+      s.table(s"$table.versions").agg(max(col("v"))).head.getLong(0))
 
   /** The stored watermark, or None when the meta table is absent/empty
     * or predates the CDC layout (no `version` column → rebuild). */
   def storedVersion(s: SparkSession, meta: String): Option[Long] =
-    try Some(s.table(meta).select("version").head.getLong(0))
+    try Some(graft.ops.withDesc(s, "cdc: watermark")(
+      s.table(meta).select("version").head.getLong(0)))
     catch {
       case _: org.apache.spark.sql.AnalysisException => None
       case _: NoSuchElementException => None
@@ -88,7 +90,8 @@ private[graft] object CdcIndex {
     try {
       val df = s.table(meta)
       if (!df.schema.fieldNames.contains("corpus")) None
-      else Option(df.select("corpus").head.getString(0))
+      else Option(graft.ops.withDesc(s, "cdc: watermark")(
+        df.select("corpus").head.getString(0)))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => None
       case _: NoSuchElementException => None
@@ -125,8 +128,9 @@ private[graft] object CdcIndex {
         // the delta's base), so v0 itself must still be retained — an
         // expiry that kept exactly (v0, headV] passes a (v0, headV]
         // count but still throws IAE on the read. Count [v0, headV].
-        val retained = s.table(s"$corpusTable.versions")
-          .filter(col("v") >= v0 && col("v") <= headV).count()
+        val retained = graft.ops.withDesc(s, "cdc: watermark")(
+          s.table(s"$corpusTable.versions")
+            .filter(col("v") >= v0 && col("v") <= headV).count())
         if (retained < headV - v0 + 1) rebuild(headV)
         else try apply(v0, headV)
         catch {
@@ -204,13 +208,15 @@ private[graft] object CdcIndex {
     * pointer is a CAS). */
   private val txnGate = new Object
   def inTxn(s: SparkSession)(body: => Unit): Unit = txnGate.synchronized {
-    s.sql("CALL graft_cat.system.txn_begin()").collect()
-    try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
-    catch {
-      case t: Throwable =>
-        try s.sql("CALL graft_cat.system.txn_abort()").collect()
-        catch { case s2: Throwable => t.addSuppressed(s2) }
-        throw t
+    graft.ops.withDesc(s, "cdc: txn publish") {
+      s.sql("CALL graft_cat.system.txn_begin()").collect()
+      try { body; s.sql("CALL graft_cat.system.txn_commit()").collect() }
+      catch {
+        case t: Throwable =>
+          try s.sql("CALL graft_cat.system.txn_abort()").collect()
+          catch { case s2: Throwable => t.addSuppressed(s2) }
+          throw t
+      }
     }
   }
 }

@@ -675,6 +675,69 @@ object Dedup {
     * measured ~30% SLOWER on the label entries (SURVEY §19.4). */
   private[graft] val lastCcInitWidth =
     new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Symmetric-edge count at or below which [[ccOverEdges]] computes the
+    * components in ONE task instead of driving the distributed loop
+    * (round-15, guide §1.1 first-principles: for a graph this small the
+    * theoretically cheapest execution is one pass with zero shuffles —
+    * the loop's per-iteration cost at micro scale is pure scheduling:
+    * measured ~1 s/iteration × 3-5 iterations per invocation across
+    * every label apply, vs ~0.2 s total for the single-task pass). One
+    * loop partition's worth of edges is the natural bound: a graph the
+    * loop would run at the 4-partition floor anyway. The distributed
+    * loop — unchanged — remains the path for everything larger (the
+    * storm rehearsals and any real corpus), so the scale shape is
+    * untouched; this is the same measured-size dispatch AQE applies
+    * when it demotes a shuffle join to broadcast. */
+  private[graft] val SmallCcSymEdgeCutoff: Long = CcEdgeRowsPerPartition
+
+  /** Exact min-label components of a micro graph in one executor task:
+    * union-find with path compression, always linking the larger root
+    * under the smaller so each root IS its component's min id — the
+    * identical fixpoint the propagation loop converges to, computed in
+    * one pass. Output is eagerly local-checkpointed (self-contained,
+    * like the loop's converged frame) and laid out at the loop width
+    * (the ccWidth layout contract). */
+  private def smallCc(s: SparkSession, sym: org.apache.spark.sql.DataFrame,
+      width: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val one = sym.select(col("src"), col("dst")).as[(Long, Long)].rdd
+      .coalesce(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+          parent.size)
+        val ks = parent.keySet().iterator()
+        while (ks.hasNext) { val k = ks.next(); out += ((k.longValue, find(k))) }
+        out.iterator
+      }
+    val rows = one
+      .partitionBy(new org.apache.spark.HashPartitioner(width))
+      .mapPartitions(_.map(t => org.apache.spark.sql.Row(t._1, t._2)),
+        preservesPartitioning = true)
+    // eager local checkpoint, like the loop's converged frame: the
+    // result must stay valid after the caller unpersists the edge cache
+    rows.localCheckpoint()
+    rows.count()
+    s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
   private[graft] def ccOverEdges(
       s: SparkSession,
       sym: org.apache.spark.sql.DataFrame,
@@ -689,21 +752,39 @@ object Dedup {
     // 4-partition floor — the pre-round-13 cost.
     val initW = pairBound.map(ccWidth(s, _)).getOrElse(4)
     lastCcInitWidth.set(initW)
-    val first = sym.repartition(initW).persist()
+    // hash-lay the cache out on `src` (round-15): the loop joins labels
+    // on src every iteration, so a src-hash cache satisfies that join's
+    // distribution directly and the per-iteration edge re-shuffle
+    // disappears (guide §2.4 — two operations keyed the same way share
+    // one exchange). A boilerplate-hot node skews its hash partition,
+    // but the OLD loop hash-shuffled the same rows on src every
+    // iteration anyway — the skew moved from per-iteration to
+    // once-at-cache, strictly less work.
+    val first = sym.repartition(initW, col("src")).persist()
     val n = first.count()
     val w = ccWidth(s, n)
+    // measured-size dispatch (round-15): a micro graph takes the
+    // single-task exact path — the loop's distributed machinery is pure
+    // overhead below one partition's worth of edges
+    if (n <= SmallCcSymEdgeCutoff) {
+      val labs = graft.ops.withDesc(s, "cc: small union-find")(
+        smallCc(s, first, w))
+      first.unpersist(blocking = false)
+      return (labs, 1)
+    }
     val edges =
       if (w <= initW) first
       else {
         // the bound under-shot (or no hint on a big graph): re-lay the
         // CACHED rows out at the derived width (a micro-shuffle against
         // the cache, the pipeline never re-runs)
-        val e = first.repartition(w).persist()
+        val e = first.repartition(w, col("src")).persist()
         e.count()
         first.unpersist(blocking = false)
         e
       }
-    val out = connectedComponents(s, edges, w)
+    val out = graft.ops.withDesc(s, "cc: iterate")(
+      connectedComponents(s, edges, w))
     // the converged frame is localCheckpoint'ed by the loop, so the edge
     // cache is dead weight from here
     edges.unpersist(blocking = false)
@@ -764,33 +845,54 @@ object Dedup {
       var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
       while (!converged) {
         iters += 1
-        // the edges side re-shuffles on src each round (the cache is
-        // round-robin laid out); the explicit width replaces the old
-        // conf-width exchange one-for-one
-        val prop = edges.repartition(width, col("src"))
+        // min incoming neighbour label per node, OUTER-joined back onto
+        // the label frame (round-15 restructure, guide §2.4): the old
+        // shape unioned the FULL label set into the propagated rows and
+        // re-shuffled both through one width-keyed exchange every round
+        // — but labels checkpoint id-hash-partitioned and the edge cache
+        // is src-hash-partitioned, so the propagate join needs NO
+        // exchange at all and only the dst-keyed aggregate shuffles
+        // (propagated rows only, never the label set). 5 exchanges per
+        // iteration → 3, same math: min(own, min over incoming).
+        val stepped = edges
           .join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("comp"))
-          .union(labels.select("id", "comp"))
-          .repartition(width, col("id"))
-          .groupBy("id").agg(min("comp").as("comp"))
+          .select(col("dst"), col("comp"))
+          .repartition(width, col("dst"))
+          .groupBy(col("dst")).agg(min("comp").as("pmin"))
+          .withColumnRenamed("dst", "id")
+          .join(labels, Seq("id"), "right")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("pmin"), col("comp"))).as("comp"))
           .persist()
         // pointer jump: every comp value is itself an id present in the
         // label frame, so a self-join rewrites comp to its own label —
-        // the left join is belt-and-braces for labels mid-convergence
-        val parents = prop.select(col("id").as("p_id"), col("comp").as("p_comp"))
+        // the left join is belt-and-braces for labels mid-convergence.
+        // The parents side reads the id-partitioned cache directly (the
+        // p_id key IS id), so only the comp side exchanges.
+        val parents = stepped.select(col("id").as("p_id"), col("comp").as("p_comp"))
         // localCheckpoint, NOT persist: the self-join doubles the LOGICAL
         // plan every round, so without lineage truncation analysis cost is
         // 2^iterations (observed as an analyzer OOM on a 64-chain).
         // Eager local checkpoint caches partitions executor-locally and
         // cuts the plan to a leaf; on a real cluster with executor churn
         // use checkpoint(reliable dir) instead — same shape, same cost.
-        val jumped = prop.repartition(width, col("comp"))
+        // The re-key on id keeps the NEXT iteration's propagate join
+        // exchange-free, and the converged frame at the loop width (the
+        // ExtensionsSpec layout pin). The signature rides the SAME
+        // materialization as a CollectMetrics observation (round-15,
+        // guide §1.2: one job per iteration, not two — the
+        // post-checkpoint aggregate job was half the loop's fixed cost
+        // at micro-graph scale).
+        val obs = new org.apache.spark.sql.Observation()
+        val jumped = stepped.repartition(width, col("comp"))
           .join(parents, col("comp") === col("p_id"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
+          .repartition(width, col("id"))
+          .observe(obs, coalesce(sum("comp"), lit(0L)).as("sig"))
           .localCheckpoint(true)
-        val newSig = signature(jumped)
-        prop.unpersist()
+        val newSig = obs.get("sig").asInstanceOf[Long]
+        stepped.unpersist()
         labels.unpersist()
         // jumped is eagerly materialized, so the previous round's
         // checkpoint blocks are no longer referenced — free them now
@@ -893,14 +995,21 @@ object Dedup {
         rows.writeTo(t).append()
         t
       }
-      DedupIndex.ensureLabelsCdc(s,
-        corpus("lbseed_docs", seed90), "lbseed_ix")
-      DedupIndex.ensureLabelsCdc(s,
-        corpus("lbfull_docs", docs), "lbfull_ix")
-      DedupIndex.ensureLabelsCappedCdc(s,
-        corpus("lcseed_docs", seed90), "lcseed_ix")
-      DedupIndex.ensureLabelsCappedCdc(s,
-        corpus("lcfull_docs", docs), "lcfull_ix")
+      // four independent (corpus, index-name) pairs — overlap the builds
+      // (optimization guide §2.6; the striped "label:<ix>" locks keep
+      // same-index calls serialized, and each build writes its own
+      // artifact set). Measured r15: the seed phase is many small
+      // stages, so overlapping cuts its wall-clock without changing any
+      // artifact.
+      graft.ops.inParallel[String](Seq(
+        () => DedupIndex.ensureLabelsCdc(s,
+          corpus("lbseed_docs", seed90), "lbseed_ix"),
+        () => DedupIndex.ensureLabelsCdc(s,
+          corpus("lbfull_docs", docs), "lbfull_ix"),
+        () => DedupIndex.ensureLabelsCappedCdc(s,
+          corpus("lcseed_docs", seed90), "lcseed_ix"),
+        () => DedupIndex.ensureLabelsCappedCdc(s,
+          corpus("lcfull_docs", docs), "lcfull_ix")))
       seededDir.set(d)
     }
 
@@ -924,13 +1033,14 @@ object Dedup {
   }
 
   private[graft] def cloneLabelIndex(s: SparkSession, seed: String,
-      toCorpus: String, toIx: String): Unit = {
-    val (srcCorpus, _, _, _) = seedNames(seed)
-    val toShort = toCorpus.stripPrefix("graft_cat.db.")
-    s.sql(s"DROP TABLE IF EXISTS $toCorpus")
-    s.sql(s"CALL graft_cat.system.clone('db.$srcCorpus', 'db.$toShort')")
-    cloneSeedIndexTo(s, seed, toIx, toCorpus)
-  }
+      toCorpus: String, toIx: String): Unit =
+    graft.ops.withDesc(s, "lbl: clone seed") {
+      val (srcCorpus, _, _, _) = seedNames(seed)
+      val toShort = toCorpus.stripPrefix("graft_cat.db.")
+      s.sql(s"DROP TABLE IF EXISTS $toCorpus")
+      s.sql(s"CALL graft_cat.system.clone('db.$srcCorpus', 'db.$toShort')")
+      cloneSeedIndexTo(s, seed, toIx, toCorpus)
+    }
 
   /** Clone ONLY a seed's index artifacts under `toIx`, binding their
     * meta watermark to `boundCorpus` at its CURRENT head — the corpus

@@ -79,7 +79,7 @@ object DedupIndex {
     * preserving count+max is NOT detected — route mutable corpora
     * through [[ensureCdc]], whose version watermark is exact. */
   def ensure(s: SparkSession, docs: DataFrame, name: String): Tables =
-    synchronized {
+    CdcIndex.withNameLock(s"dedup:$name") {
       CdcIndex.requireBaseFamilyName(name, "dedup")
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
@@ -188,7 +188,7 @@ object DedupIndex {
     * the derived signature artifact as feed-sized work — 16 md5 columns
     * per CHANGED doc — instead of a corpus-wide re-shingle. */
   def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
-    synchronized {
+    CdcIndex.withNameLock(s"dedup:$name") {
       CdcIndex.requireBaseFamilyName(name, "dedup")
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.dedup_${name}_sigs",
@@ -366,18 +366,22 @@ object DedupIndex {
       // against these stored rows instead of re-shingling the corpus —
       // the ext149 gram-index discipline applied to the label family
       // (a torn build — postings without labels/meta — just rebuilds)
-      Dedup.shingles(docs)
-        .writeTo(posts)
-        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
-        .createOrReplace()
-      s.sql(s"ALTER TABLE $posts SET TBLPROPERTIES " +
-        "('graft.dml.mode'='merge-on-read')")
-      jaccardEdgesFromShingles(s.table(posts))
-        .writeTo(edges)
-        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
-        .createOrReplace()
-      s.sql(s"ALTER TABLE $edges SET TBLPROPERTIES " +
-        "('graft.dml.mode'='merge-on-read')")
+      graft.ops.withDesc(s, "lbl-build: postings") {
+        Dedup.shingles(docs)
+          .writeTo(posts)
+          .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+          .createOrReplace()
+        s.sql(s"ALTER TABLE $posts SET TBLPROPERTIES " +
+          "('graft.dml.mode'='merge-on-read')")
+      }
+      graft.ops.withDesc(s, "lbl-build: edges") {
+        jaccardEdgesFromShingles(s.table(posts))
+          .writeTo(edges)
+          .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+          .createOrReplace()
+        s.sql(s"ALTER TABLE $edges SET TBLPROPERTIES " +
+          "('graft.dml.mode'='merge-on-read')")
+      }
       val sym = s.table(edges).select(explode(array(
           struct(col("a_id").as("src"), col("b_id").as("dst")),
           struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
@@ -386,15 +390,17 @@ object DedupIndex {
       // the edge artifact just landed, so its MANIFEST row count (one
       // metadata read, never a scan) is the exact symmetric count / 2 —
       // a billion-edge graph lays out wide from the first cache pass
-      val edgeRows = s.table(s"$edges.files")
-        .agg(coalesce(sum("live_rows"), lit(0L))).head.getLong(0)
-      val (lab, _) = Dedup.ccOverEdges(s, sym, Some(2L * edgeRows))
-      docs.select(col("doc_id"))
-        .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-        .writeTo(labels)
-        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
-        .createOrReplace()
+      graft.ops.withDesc(s, "lbl-build: cc+labels") {
+        val edgeRows = s.table(s"$edges.files")
+          .agg(coalesce(sum("live_rows"), lit(0L))).head.getLong(0)
+        val (lab, _) = Dedup.ccOverEdges(s, sym, Some(2L * edgeRows))
+        docs.select(col("doc_id"))
+          .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+          .writeTo(labels)
+          .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+          .createOrReplace()
+      }
       sym.unpersist(blocking = false)
       s.sql(s"ALTER TABLE $labels SET TBLPROPERTIES " +
         "('graft.dml.mode'='merge-on-read')")
@@ -447,7 +453,8 @@ object DedupIndex {
     // re-planned and re-computed at every one of those references
     // (measured: a visible slice of the apply's fixed overhead at
     // fixture scale; the capped apply already did this)
-    val touched = feed.select(col("doc_id")).distinct().localCheckpoint(true)
+    val touched = graft.ops.withDesc(s, "lbl-apply: touched ckpt")(
+      feed.select(col("doc_id")).distinct().localCheckpoint(true))
     val head = s.table(corpusTable).select(col("doc_id"), col("text"))
     val headTouched = head.join(touched, Seq("doc_id"), "left_semi")
     val gone = touched.join(head.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -460,8 +467,8 @@ object DedupIndex {
     // retract machinery (two semi-joins, a CC loop, a checkpoint) is
     // provably a no-op — one cheap existence probe skips it and afterD
     // IS the stored table, restoring the pure-append plan shape
-    val anyStored =
-      stored.join(touched, Seq("doc_id"), "left_semi").limit(1).count() > 0L
+    val anyStored = graft.ops.withDesc(s, "lbl-apply: stored probe")(
+      stored.join(touched, Seq("doc_id"), "left_semi").limit(1).count() > 0L)
     val (splitNodes, untouchedRows) =
       if (!anyStored)
         (touched.limit(0).select(col("doc_id"), col("doc_id").as("node")),
@@ -481,8 +488,10 @@ object DedupIndex {
             struct(col("a_id").as("src"), col("b_id").as("dst")),
             struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
-        val (dlab0, _) = Dedup.ccOverEdges(s, dsym)
-        val dlab = dlab0.localCheckpoint(true)
+        val dlab = graft.ops.withDesc(s, "lbl-apply: D-phase cc") {
+          val (dlab0, _) = Dedup.ccOverEdges(s, dsym)
+          dlab0.localCheckpoint(true)
+        }
         // each survivor's post-retract label: min of its sub-component
         // (edge-less survivors are their own)
         val sn = survIds
@@ -539,8 +548,10 @@ object DedupIndex {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
-    val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
-    val qlab = qlab0.localCheckpoint(true)
+    val qlab = graft.ops.withDesc(s, "lbl-apply: N-phase cc") {
+      val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
+      qlab0.localCheckpoint(true)
+    }
 
     // ---- final rows, one per affected doc (disjoint by construction:
     // survivors of touched comps / changed rows of untouched comps /
@@ -558,17 +569,19 @@ object DedupIndex {
       .withColumn("node", col("doc_id")))
     // materialize the merge plan BEFORE mutating anything: it reads the
     // MERGE target (stored labels) and the edge table
-    val usrc = splitRows.unionAll(remapChanged).unionAll(newRows)
-      .withColumn("del", lit(false))
-      .unionAll(gone.select(col("doc_id"), lit(0L).as("comp"),
-        lit(true).as("del")))
-      .localCheckpoint(true)
-    val newEdgeRows = edgesNew
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
-      .distinct().localCheckpoint(true)
+    val (usrc, newEdgeRows, newPostRows) =
+      graft.ops.withDesc(s, "lbl-apply: mutation-input ckpts")((
+        splitRows.unionAll(remapChanged).unionAll(newRows)
+          .withColumn("del", lit(false))
+          .unionAll(gone.select(col("doc_id"), lit(0L).as("comp"),
+            lit(true).as("del")))
+          .localCheckpoint(true),
+        edgesNew
+          .select(least(col("a_id"), col("b_id")).as("a_id"),
+            greatest(col("a_id"), col("b_id")).as("b_id"))
+          .distinct().localCheckpoint(true),
+        shNew.localCheckpoint(true)))
     val touchedCk = touched // already checkpointed at derivation
-    val newPostRows = shNew.localCheckpoint(true)
 
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
     val uv = s"graft_lbl_merge_$sfx"
@@ -582,15 +595,18 @@ object DedupIndex {
     try {
       // 1. retract the touched docs' edges + postings (idempotent DV
       //    appends; postings are per-doc rows, so doc_id is the key)
-      s.sql(s"DELETE FROM $edges WHERE a_id IN (SELECT doc_id FROM $tv) " +
-        s"OR b_id IN (SELECT doc_id FROM $tv)")
-      s.sql(s"DELETE FROM $posts WHERE doc_id IN (SELECT doc_id FROM $tv)")
+      graft.ops.withDesc(s, "lbl-apply: retract DML") {
+        s.sql(s"DELETE FROM $edges WHERE a_id IN (SELECT doc_id FROM $tv) " +
+          s"OR b_id IN (SELECT doc_id FROM $tv)")
+        s.sql(s"DELETE FROM $posts WHERE doc_id IN (SELECT doc_id FROM $tv)")
+      }
       // 2. ONE atomic label statement: erase + remap + upsert
-      s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
+      graft.ops.withDesc(s, "lbl-apply: label MERGE")(
+        s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
         WHEN MATCHED AND u.del THEN DELETE
         WHEN MATCHED THEN UPDATE SET comp = u.comp
         WHEN NOT MATCHED AND NOT u.del THEN
-          INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
+          INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)"""))
       // 3. publish the head edges + postings + watermark together; a
       //    crash before this txn replays the slice against the
       //    already-converged labels — retract+re-add of a current doc
@@ -691,18 +707,22 @@ object DedupIndex {
     val meta = s"graft_cat.db.dedup_${name}_lc_meta"
     def rebuild(headV: Long): String = {
       val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
-      Dedup.shingles(docs)
-        .writeTo(posts)
-        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
-        .createOrReplace()
-      s.sql(s"ALTER TABLE $posts SET TBLPROPERTIES " +
-        "('graft.dml.mode'='merge-on-read')")
-      s.table(posts).groupBy("sh").agg(count(lit(1)).as("df"))
-        .writeTo(dfTab)
-        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
-        .createOrReplace()
-      s.sql(s"ALTER TABLE $dfTab SET TBLPROPERTIES " +
-        "('graft.dml.mode'='merge-on-read')")
+      graft.ops.withDesc(s, "lc-build: postings") {
+        Dedup.shingles(docs)
+          .writeTo(posts)
+          .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+          .createOrReplace()
+        s.sql(s"ALTER TABLE $posts SET TBLPROPERTIES " +
+          "('graft.dml.mode'='merge-on-read')")
+      }
+      graft.ops.withDesc(s, "lc-build: df sidecar") {
+        s.table(posts).groupBy("sh").agg(count(lit(1)).as("df"))
+          .writeTo(dfTab)
+          .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+          .createOrReplace()
+        s.sql(s"ALTER TABLE $dfTab SET TBLPROPERTIES " +
+          "('graft.dml.mode'='merge-on-read')")
+      }
       // the capped view: postings whose shingle survives the df cap —
       // every posting list entering the self-join is ≤ cap docs
       val capped = s.table(posts).join(
@@ -718,15 +738,17 @@ object DedupIndex {
       // shingles — one aggregate over the (shingle-count-sized) sidecar,
       // so the CC materialization lays out wide BEFORE the edge build
       // instead of funneling a large graph through the 4-partition floor
-      val pairBound = s.table(dfTab).filter(col("df") <= cap)
-        .agg(coalesce(sum(expr("df * (df - 1)")), lit(0L))).head.getLong(0)
-      val (lab, _) = Dedup.ccOverEdges(s, sym, Some(pairBound))
-      docs.select(col("doc_id"))
-        .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-        .writeTo(labels)
-        .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
-        .createOrReplace()
+      graft.ops.withDesc(s, "lc-build: cc+labels") {
+        val pairBound = s.table(dfTab).filter(col("df") <= cap)
+          .agg(coalesce(sum(expr("df * (df - 1)")), lit(0L))).head.getLong(0)
+        val (lab, _) = Dedup.ccOverEdges(s, sym, Some(pairBound))
+        docs.select(col("doc_id"))
+          .join(lab.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+          .writeTo(labels)
+          .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
+          .createOrReplace()
+      }
       s.sql(s"ALTER TABLE $labels SET TBLPROPERTIES " +
         "('graft.dml.mode'='merge-on-read')")
       s.sql(s"DROP TABLE IF EXISTS $meta")
@@ -769,13 +791,15 @@ object DedupIndex {
       v0: Long, headV: Long): Boolean = {
     val feed = s.sql(s"SELECT * FROM $corpusTable " +
       s"VERSION AS OF 'cdf:$v0..$headV'")
-    if (feed.filter(col("_change_type") =!= "insert").limit(1).count() > 0L)
+    if (graft.ops.withDesc(s, "lc-apply: erasure probe")(
+        feed.filter(col("_change_type") =!= "insert").limit(1).count() > 0L))
       return false // erasure slice → rebuild
-    val feedTouched = feed.select(col("doc_id")).distinct()
-      .localCheckpoint(true)
+    val feedTouched = graft.ops.withDesc(s, "lc-apply: touched ckpt")(
+      feed.select(col("doc_id")).distinct().localCheckpoint(true))
     val stored = s.table(labels)
-    if (stored.join(feedTouched, Seq("doc_id"), "left_semi")
-        .limit(1).count() > 0L)
+    if (graft.ops.withDesc(s, "lc-apply: stored probe")(
+        stored.join(feedTouched, Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0L))
       return false // re-used id (update-shaped) or post-MERGE replay
 
     val head = s.table(corpusTable).select(col("doc_id"), col("text"))
@@ -789,9 +813,10 @@ object DedupIndex {
     val postsHeadFull = postsStored
       .join(feedTouched, Seq("doc_id"), "left_anti") // replay paranoia
       .unionAll(shNewFeed)
-    val dfNew = postsHeadFull.join(affected, Seq("sh"), "left_semi")
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .localCheckpoint(true)
+    val dfNew = graft.ops.withDesc(s, "lc-apply: df recompute")(
+      postsHeadFull.join(affected, Seq("sh"), "left_semi")
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .localCheckpoint(true))
     // crossing-up detection (append-only ⇒ df never decreases). A
     // MISSING stored df row for an affected shingle that nonetheless
     // has stored postings is the replay-after-df-DELETE window; its
@@ -811,14 +836,16 @@ object DedupIndex {
       .join(affected.join(dfOldAff.select("sh"), Seq("sh"), "left_anti"),
         Seq("sh"), "left_semi")
       .groupBy("sh").agg(count(lit(1)).as("df_old"))
-    val crossings = dfOldAff.select("sh", "df_old").unionAll(dfOldRecon)
-      .join(dfNew, Seq("sh"))
-      .filter(col("df_old") <= cap && col("df") > cap).select("sh")
-      .distinct()
-      .localCheckpoint(true)
+    val crossings = graft.ops.withDesc(s, "lc-apply: crossings")(
+      dfOldAff.select("sh", "df_old").unionAll(dfOldRecon)
+        .join(dfNew, Seq("sh"))
+        .filter(col("df_old") <= cap && col("df") > cap).select("sh")
+        .distinct()
+        .localCheckpoint(true))
     // the common production append crosses nothing — short-circuit
     // before any posts-table pass for the crossing machinery
-    val anyCross = crossings.limit(1).count() > 0L
+    val anyCross = graft.ops.withDesc(s, "lc-apply: crossings")(
+      crossings.limit(1).count() > 0L)
     val crossDocs =
       if (!anyCross) feedTouched.limit(0).select(col("doc_id"))
       else postsStored.join(crossings, Seq("sh"), "left_semi")
@@ -845,8 +872,9 @@ object DedupIndex {
         return false
       }
     }
-    val touched = feedTouched.select("doc_id").unionAll(crossDocs)
-      .distinct().localCheckpoint(true)
+    val touched = graft.ops.withDesc(s, "lc-apply: touched ckpt")(
+      feedTouched.select("doc_id").unionAll(crossDocs)
+        .distinct().localCheckpoint(true))
 
     // head cap filter: stored df overridden by the recomputed rows
     val dfHead = s.table(dfTab).join(affected, Seq("sh"), "left_anti")
@@ -876,8 +904,10 @@ object DedupIndex {
             struct(col("a_id").as("src"), col("b_id").as("dst")),
             struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        val (mlab0, _) = Dedup.ccOverEdges(s, msym)
-        val mlab = mlab0.localCheckpoint(true)
+        val mlab = graft.ops.withDesc(s, "lc-apply: D-phase cc") {
+          val (mlab0, _) = Dedup.ccOverEdges(s, msym)
+          mlab0.localCheckpoint(true)
+        }
         mPosts.unpersist(blocking = false)
         val sn = members
           .join(mlab.withColumnRenamed("id", "doc_id")
@@ -926,8 +956,10 @@ object DedupIndex {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
-    val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
-    val qlab = qlab0.localCheckpoint(true)
+    val qlab = graft.ops.withDesc(s, "lc-apply: N-phase cc") {
+      val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
+      qlab0.localCheckpoint(true)
+    }
 
     def viaQ(df: DataFrame): DataFrame = df
       .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
@@ -943,9 +975,11 @@ object DedupIndex {
     // materialize every mutation input BEFORE the first mutation
     // (disjoint by construction: members of touched comps / rows of
     // untouched comps / genuinely-new feed docs)
-    val usrc = splitRows.unionAll(remapChanged).unionAll(newRows)
-      .localCheckpoint(true)
-    val newPostRows = shNewFeed.localCheckpoint(true)
+    val (usrc, newPostRows) =
+      graft.ops.withDesc(s, "lc-apply: mutation-input ckpts")((
+        splitRows.unionAll(remapChanged).unionAll(newRows)
+          .localCheckpoint(true),
+        shNewFeed.localCheckpoint(true)))
     val dfNewCk = dfNew.filter(col("df") > 0)
 
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -956,15 +990,18 @@ object DedupIndex {
     usrc.createOrReplaceTempView(uv)
     newPostRows.createOrReplaceTempView(pv)
     dfNewCk.createOrReplaceTempView(dv)
-    affected.localCheckpoint(true).createOrReplaceTempView(av)
+    graft.ops.withDesc(s, "lc-apply: mutation-input ckpts")(
+      affected.localCheckpoint(true)).createOrReplaceTempView(av)
     try {
       // 1. retire the affected shingles' stored df rows (idempotent;
       //    the affected set derives from the immutable feed)
-      s.sql(s"DELETE FROM $dfTab WHERE sh IN (SELECT sh FROM $av)")
+      graft.ops.withDesc(s, "lc-apply: retract DML")(
+        s.sql(s"DELETE FROM $dfTab WHERE sh IN (SELECT sh FROM $av)"))
       // 2. ONE atomic label statement: split-remap + comp-remap + upsert
-      s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
+      graft.ops.withDesc(s, "lc-apply: label MERGE")(
+        s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
         WHEN MATCHED THEN UPDATE SET comp = u.comp
-        WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
+        WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)"""))
       // 3. postings + df + watermark in one cross-table txn (only the
       //    feed's fresh rows land — crossing docs' postings are already
       //    stored and unchanged)
@@ -1127,7 +1164,7 @@ object DedupIndex {
   /** Version-keyed CDC maintenance of the gram index. Returns the grams
     * table name. */
   def ensureGramsCdc(s: SparkSession, corpusTable: String,
-      name: String): String = synchronized {
+      name: String): String = CdcIndex.withNameLock(s"dedup-gr:$name") {
     CdcIndex.requireIndexName(name)
     graft.ops.ensureGraftCatalog(s)
     val grams = s"graft_cat.db.dedup_${name}_gr_grams"

@@ -189,28 +189,46 @@ object Pipeline {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
       .writeTo("graft_cat.db.er_vecs").append()
-    DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
-    DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
-    DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er")
-    DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.er_docs", "er")
-    SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
-    AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
-    AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
-    AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er")
-    AnnIndex.ensureGraphCdc(s, "graft_cat.db.er_vecs", "er")
+    // the nine family builds write DISJOINT artifact sets: overlap them
+    // (optimization guide §2.6 — the striped ensure* locks + thread-
+    // scoped txns make concurrent maintenance of different indexes in
+    // one driver safe; measured r15: the builds are many small stages,
+    // so back-filling the stage tails cuts the entry's wall-clock
+    // without changing any artifact). The two label families share the
+    // "label:er" lock and serialize with each other by design.
+    graft.ops.inParallel[Any](Seq(
+      () => DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er"),
+      () => DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er"),
+      () => DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er"),
+      () => DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.er_docs", "er"),
+      () => SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er"),
+      () => AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er"),
+      () => AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er"),
+      () => AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er"),
+      () => AnnIndex.ensureGraphCdc(s, "graft_cat.db.er_vecs", "er")))
     // the erasure request lands on the PRIMARY tables only
     s.sql("DELETE FROM graft_cat.db.er_docs WHERE doc_id % 7 = 2")
     s.sql("DELETE FROM graft_cat.db.er_vecs WHERE vec_id % 7 = 2")
-    // propagation: one change-feed slice per family
-    val td = DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
-    val tgm = DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er")
-    val tl = DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er")
-    val tlc = DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.er_docs", "er")
-    val ts = SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er")
-    val ta = AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er")
-    val tp = AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er")
-    val tq = AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er")
-    val tg = AnnIndex.ensureGraphCdc(s, "graft_cat.db.er_vecs", "er")
+    // propagation: one change-feed slice per family, same overlap
+    val props = graft.ops.inParallel[Any](Seq(
+      () => DedupIndex.ensureCdc(s, "graft_cat.db.er_docs", "er"),
+      () => DedupIndex.ensureGramsCdc(s, "graft_cat.db.er_docs", "er"),
+      () => DedupIndex.ensureLabelsCdc(s, "graft_cat.db.er_docs", "er"),
+      () => DedupIndex.ensureLabelsCappedCdc(s, "graft_cat.db.er_docs", "er"),
+      () => SearchIndex.ensureCdc(s, "graft_cat.db.er_docs", "er"),
+      () => AnnIndex.ensureCdc(s, "graft_cat.db.er_vecs", "er"),
+      () => AnnIndex.ensurePqCdc(s, "graft_cat.db.er_vecs", "er"),
+      () => AnnIndex.ensureSqCdc(s, "graft_cat.db.er_vecs", "er"),
+      () => AnnIndex.ensureGraphCdc(s, "graft_cat.db.er_vecs", "er")))
+    val td = props(0).asInstanceOf[DedupIndex.Tables]
+    val tgm = props(1).asInstanceOf[String]
+    val tl = props(2).asInstanceOf[String]
+    val tlc = props(3).asInstanceOf[String]
+    val ts = props(4).asInstanceOf[SearchIndex.Tables]
+    val ta = props(5).asInstanceOf[AnnIndex.Tables]
+    val tp = props(6).asInstanceOf[AnnIndex.PqTables]
+    val tq = props(7).asInstanceOf[String]
+    val tg = props(8).asInstanceOf[String]
     def leg(family: String, t: String, id: String) =
       s.table(t).agg(
         count(when(col(id) % 7 === 2, 1)).as("n_erased_live"),

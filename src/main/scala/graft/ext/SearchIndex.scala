@@ -91,7 +91,7 @@ object SearchIndex {
     * count+max is NOT detected — use [[ensureCdc]] for mutable
     * catalog corpora. */
   def ensure(s: SparkSession, docs: DataFrame, name: String): Tables =
-    synchronized {
+    CdcIndex.withNameLock(s"search:$name") {
       CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.search_${name}_postings",
@@ -192,7 +192,7 @@ object SearchIndex {
     * land in ONE three-table txn, so a crash between replays the same
     * slice and converges. */
   def ensureCdc(s: SparkSession, corpusTable: String, name: String): Tables =
-    synchronized {
+    CdcIndex.withNameLock(s"search:$name") {
       CdcIndex.requireIndexName(name)
       graft.ops.ensureGraftCatalog(s)
       val t = Tables(s"graft_cat.db.search_${name}_postings",

@@ -1761,17 +1761,21 @@ object SemiStructured {
       "inv_q_vecs", "ann_inv_q_sq_codes", "ann_inv_q_sq_meta").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS graft_cat.db.$t"))
     val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-    graft.ext.DedupIndex.ensure(s, docs, "inv_q")
-    graft.ext.SearchIndex.ensure(s, docs, "inv_q")
-    // a vector family too: the SQ tier (CDC mode — ann metas are
-    // CDC-only), so the inventory row covers `ann_*_sq_meta` discovery
     s.sql("CREATE TABLE graft_cat.db.inv_q_vecs (vec_id BIGINT, " +
       "v ARRAY<DOUBLE>) TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
     table(s, d, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .writeTo("graft_cat.db.inv_q_vecs").append()
-    graft.ext.AnnIndex.ensureSqCdc(s, "graft_cat.db.inv_q_vecs", "inv_q")
+    // the three family builds write DISJOINT artifact sets — overlap
+    // them (optimization guide §2.6; striped ensure* locks). The SQ
+    // tier runs in CDC mode — ann metas are CDC-only — so the inventory
+    // row covers `ann_*_sq_meta` discovery.
+    graft.ops.inParallel[Any](Seq(
+      () => graft.ext.DedupIndex.ensure(s, docs, "inv_q"),
+      () => graft.ext.SearchIndex.ensure(s, docs, "inv_q"),
+      () => graft.ext.AnnIndex.ensureSqCdc(s, "graft_cat.db.inv_q_vecs",
+        "inv_q")))
     s.sql("CALL graft_cat.system.indexes('db')")
       .filter(col("index_name") === "inv_q")
       .select(col("family"), col("index_name"), col("live_rows"))

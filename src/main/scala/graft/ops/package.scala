@@ -132,4 +132,59 @@ package object ops {
   def scratchDir(spark: SparkSession, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
       s"${spark.sparkContext.applicationId}_${sessionToken(spark)}"
+
+  /** Label the Spark jobs a driver-side phase launches (optimization
+    * guide §1.5) so the UI and `graft.ProfMain` can attribute wall time
+    * to index-maintenance phases. Thread-local (safe under the striped
+    * concurrent ensure* paths); restores the enclosing description so
+    * nested phases re-expose their parent on exit. */
+  def withDesc[T](spark: SparkSession, desc: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    val t0 = System.nanoTime()
+    try f
+    finally {
+      sc.setLocalProperty("spark.job.description", old)
+      phaseTimes.merge(desc, (1L, System.nanoTime() - t0),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+    }
+  }
+
+  /** Driver-side wall time per labelled phase (nested phases count in
+    * both labels) — the decomposition `graft.ProfMain` reports. Cheap
+    * enough to record always: one CHM merge per phase exit. */
+  private[graft] val phaseTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Run INDEPENDENT driver-side tasks (index builds over disjoint
+    * artifact sets) as overlapping Spark jobs (optimization guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — a small pool lets the next build's stages back-fill
+    * the task slots the current build's tail leaves idle; FIFO
+    * scheduling gives exactly that back-fill shape). Callers must
+    * guarantee independence: the striped ensure* locks serialize
+    * same-artifact calls, the thread-scoped txn state isolates staging,
+    * and the txn gate queues the metadata-sized publishes. Results come
+    * back in task order; the first failure is rethrown unwrapped. The
+    * pool is per-call and small — enough overlap to fill stage tails,
+    * not so much that fixture-scale stages fight for slots. */
+  def inParallel[T](tasks: Seq[() => T], parallelism: Int = 4): Seq[T] = {
+    if (tasks.size <= 1) tasks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, tasks.size))
+      try {
+        val futs = tasks.map(t =>
+          pool.submit(new java.util.concurrent.Callable[T] {
+            override def call(): T = t()
+          }))
+        try futs.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+  }
 }
