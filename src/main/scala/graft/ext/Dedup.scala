@@ -37,7 +37,11 @@ object Dedup {
     * Shared with [[DedupIndex]] so the persisted signature build cannot
     * drift from the in-query construction. */
   private[graft] def shingles(docs: DataFrame): DataFrame =
-    docs
+    // shingling (and the md5 signing fused into its consumers' stages)
+    // is the CPU-heavy derivation of the text family — widen a
+    // single-task scan first (guide §2.5; no-op when the scan is
+    // already parallel)
+    graft.ops.widenForCompute(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
       .filter(size(col("toks")) >= 3) // sequence() descends for stop<start
       .select(col("doc_id"), explode(expr(

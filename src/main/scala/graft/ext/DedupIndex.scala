@@ -1153,7 +1153,10 @@ object DedupIndex {
 
   /** Distinct (doc_id, gram digest) rows — ext142's gram front-end. */
   private[ext] def gramRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(CorpusOps.toksExpr).as("toks"))
+    // 8-gram md5 digests are CPU-heavy per input byte — widen a
+    // single-task scan first (guide §2.5; no-op on parallel scans)
+    graft.ops.widenForCompute(docs)
+      .select(col("doc_id"), expr(CorpusOps.toksExpr).as("toks"))
       .select(col("doc_id"), explode(expr(
         "if(size(toks) < 8, array()," +
           " transform(sequence(0, size(toks) - 8)," +

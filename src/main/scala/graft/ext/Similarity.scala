@@ -26,18 +26,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  private def vecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings")
+  /** `widen` (round-15, guide §2.5): ONLY the consumers whose map-side
+    * work per reference is expensive (exact crossJoin truth legs, the
+    * in-cell pair join) ask for the single-task fixture scan to be
+    * re-partitioned for compute — measured: the brute-force recall legs
+    * drop ~8x, while widening every consumer REGRESSED the multi-
+    * reference walks (each cheap re-reference pays the exchange) and
+    * the catalog-feed writes (32 tiny segments instead of one). */
+  private def vecs(s: org.apache.spark.sql.SparkSession, d: String,
+      widen: Boolean = false): DataFrame = {
+    val base = table(s, d, "embeddings")
+    (if (widen) graft.ops.widenForCompute(base) else base)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+  }
 
   private val dot =
     "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
   /** Exact top-5 cosine neighbors for every 50th vector. */
   val bruteForceTopK: Q = (s, d) => {
-    val all = vecs(s, d)
+    val all = vecs(s, d, widen = true)
     val queries = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v"), col("norm"))
     val scored = queries.as("q").join(all.as("c"), col("c.vec_id") =!= col("q.q_id"))
@@ -154,10 +164,10 @@ object Similarity {
     * assignment argmin is the semantics), ~10x less CPU than
     * interpreting two lambdas per (vector, centroid). */
   private def kmeansBuild(s: org.apache.spark.sql.SparkSession, d: String,
-      iters: Int = 1): (DataFrame, DataFrame) = {
+      iters: Int = 1, widen: Boolean = false): (DataFrame, DataFrame) = {
     graft.functions.SquaredDistance.register(s)
     graft.functions.CosineSimilarity.register(s)
-    val all = vecs(s, d).drop("label")
+    val all = vecs(s, d, widen).drop("label")
     val sqd = "graft_sqdist(v, e.c)"
     def assign(vs: DataFrame, cents: DataFrame): DataFrame =
       vs.crossJoin(broadcast(cents.groupBy()
@@ -269,7 +279,9 @@ object Similarity {
     * never O(pairs). */
   def semanticDedup(s: org.apache.spark.sql.SparkSession, d: String,
       minCosine: Double): DataFrame = {
-    val (a1, _) = kmeansBuild(s, d)
+    // the self-join's BOTH map sides re-derive the assignment — the one
+    // kmeans consumer where widening the scan pays (measured ~4x)
+    val (a1, _) = kmeansBuild(s, d, widen = true)
     a1.as("u").join(a1.as("w"),
         col("u.cell") === col("w.cell") && col("u.vec_id") < col("w.vec_id"))
       .select(col("w.vec_id").as("vec_id"), col("w.cell").as("cell"),

@@ -157,6 +157,23 @@ package object ops {
   private[graft] val phaseTimes =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
+  /** Widen a CPU-heavy derivation's input when the scan beneath it
+    * cannot parallelize (guide §2.5: one unsplittable input — the
+    * fixture parquet is a single row group, so the scan AND everything
+    * fused into its stage run as ONE task — repartition immediately
+    * after the read). Scale-adaptive and conf-free: on a deployment
+    * whose scan already has >= defaultParallelism partitions this is a
+    * no-op, so a 100 TB corpus is never gratuitously re-shuffled; the
+    * shuffle it inserts locally moves only the fixture-sized payload.
+    * Apply ONLY to derivations whose per-row work dominates the
+    * exchange (md5 signing, shingling, cosine scoring) — a plain
+    * aggregate over the scan is cheaper single-task than shuffled. */
+  def widenForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** Run INDEPENDENT driver-side tasks (index builds over disjoint
     * artifact sets) as overlapping Spark jobs (optimization guide §2.6:
     * actions are only sequential because the driver calls them
