@@ -81,11 +81,21 @@ object Bench {
     * never under-reports; the complete per-query map is written to
     * BENCH_RUN.json alongside. */
   private[graft] def contractLine(results: Map[String, Double], sfTag: String,
-      maxLen: Int = 1900): String = {
+      maxLen: Int = 1900, seedS: Double = -1.0, load1m: Double = -1.0)
+      : String = {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val prefix =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","nq":${results.size},"queries":{"""
-    val suffix = s"""},"sf":"$sfTag"}"""
+    // seed_s + load1m ride the DRIVER-VISIBLE line too (round-16,
+    // VERDICT r15 #7): the warmup seed-build cost and the start-of-run
+    // load were only in the local BENCH_RUN artifact, so cross-round
+    // wall-clock reconstruction from driver artifacts alone could not
+    // see them. Absent (-1) values are omitted — the line stays
+    // backward-parseable and never spends tail budget on non-data.
+    val extras =
+      (if (seedS >= 0) s""","seed_s":${r2(seedS)}""" else "") +
+        (if (load1m >= 0) s""","load1m":${r2(load1m)}""" else "")
+    val suffix = s"""},"sf":"$sfTag"$extras}"""
     val entries = results.toSeq.sortBy { case (n, t) => (-t, n) }
       .map { case (n, t) => "\"" + shortKey(n) + "\":" + r1(t) }
     val sb = new StringBuilder(prefix)
@@ -391,6 +401,6 @@ object Bench {
     spark.stop()
     // sf as basename: the full path cost 15 chars of the ~2000-char tail
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(contractLine(results, sfTag))
+    println(contractLine(results, sfTag, seedS = seedS, load1m = load1m))
   }
 }

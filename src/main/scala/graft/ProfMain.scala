@@ -63,6 +63,20 @@ object ProfMain {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // drain the listener bus before reading the jobs map (round-16,
+        // ADVICE r15): SparkListener events are delivered async — a
+        // late onJobEnd would otherwise be dropped by the end == -1
+        // filter, or land after jobs.clear() and be misattributed to
+        // the next rep. No test-visible waitUntilEmpty hook on a plain
+        // SparkContext, so settle by polling the completed-job count.
+        var settled = 0
+        var prev = -1
+        while (settled < 3) {
+          import scala.jdk.CollectionConverters._
+          val done = jobs.values.asScala.count(_.end >= 0)
+          if (done == prev) settled += 1 else { settled = 0; prev = done }
+          Thread.sleep(100)
+        }
         val t3 = System.nanoTime()
         import scala.jdk.CollectionConverters._
         val done = jobs.values.asScala.filter(_.end >= 0).toSeq

@@ -107,11 +107,31 @@ private[graft] object CdcIndex {
     * or grafting another table's feed slice onto this index. A meta
     * from before the identity column exists is unverifiable and
     * rebuilds once, which self-migrates it. */
+  /** (version, corpus) from one meta read (round-16): storedVersion +
+    * storedCorpus each paid a separate scan job of the same one-row
+    * table — at ~0.1 s scheduler floor per job that was a visible slice
+    * of every ensure* call's fixed cost (ext141 alone makes 18 of
+    * them). Same absent/legacy semantics as the two helpers. */
+  private def storedMeta(s: SparkSession, meta: String)
+      : Option[(Long, Option[String])] =
+    try {
+      val df = s.table(meta)
+      val hasCorpus = df.schema.fieldNames.contains("corpus")
+      val r = graft.ops.withDesc(s, "cdc: watermark")(
+        (if (hasCorpus) df.select(col("version"), col("corpus"))
+         else df.select(col("version"), lit(null).cast("string"))).head())
+      Some((r.getLong(0), Option(r.getString(1))))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: NoSuchElementException => None
+    }
+
   def ensure[T](s: SparkSession, corpusTable: String, meta: String)(
       noOp: => T)(apply: (Long, Long) => T)(rebuild: Long => T): T = {
     val headV = headVersion(s, corpusTable)
-    storedVersion(s, meta) match {
-      case Some(_) if !storedCorpus(s, meta).contains(corpusTable) =>
+    val stored = storedMeta(s, meta)
+    stored.map(_._1) match {
+      case Some(_) if !stored.exists(_._2.contains(corpusTable)) =>
         rebuild(headV)
       case Some(v0) if v0 >= headV => noOp
       case Some(v0) =>

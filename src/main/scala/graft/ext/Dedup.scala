@@ -35,13 +35,19 @@ object Dedup {
 
   /** Word-level shingles of size 3 over lowercased whitespace tokens.
     * Shared with [[DedupIndex]] so the persisted signature build cannot
-    * drift from the in-query construction. */
-  private[graft] def shingles(docs: DataFrame): DataFrame =
-    // shingling (and the md5 signing fused into its consumers' stages)
-    // is the CPU-heavy derivation of the text family — widen a
-    // single-task scan first (guide §2.5; no-op when the scan is
-    // already parallel)
-    graft.ops.widenForCompute(docs)
+    * drift from the in-query construction.
+    *
+    * `widen` (round-16, VERDICT r15 #2): ONLY consumers whose per-row
+    * work downstream of the shingling dominates the inserted exchange
+    * ask for the single-task fixture scan to be re-partitioned — the
+    * md5-heavy signature derivations (ext03/ext106, the DedupIndex sig
+    * builds serving ext131/133/134) and the full-corpus posting builds.
+    * The blanket widen of round 15 regressed the cheap consumers
+    * 10-40% (ext86b/140/150 et al., PERF r15): a shingle join/aggregate
+    * over the fixture scan is cheaper single-task than shuffled. */
+  private[graft] def shingles(docs: DataFrame,
+      widen: Boolean = false): DataFrame =
+    (if (widen) graft.ops.widenForCompute(docs) else docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("toks"))
       .filter(size(col("toks")) >= 3) // sequence() descends for stop<start
       .select(col("doc_id"), explode(expr(
@@ -163,7 +169,7 @@ object Dedup {
     * shingle → minhash → band → bucket-join → signature-verified estimate.
     * Output: candidate pairs with >= 8/16 matching minhashes. */
   val dedupMinhashLsh: Q = (s, d) => {
-    val sh = shingles(table(s, d, "documents"))
+    val sh = shingles(table(s, d, "documents"), widen = true)
     // the 16 hashes are computed INLINE on the occurrence rows — no join.
     // (A distinct-shingle hash table would have to be broadcast or
     // shuffle-joined back; distinct word-3-grams grow near-linearly with
@@ -342,7 +348,7 @@ object Dedup {
     * is unchanged by that narrowing.
     */
   val lshRecallEval: Q = (s, d) => {
-    val sh = shingles(table(s, d, "documents")).persist()
+    val sh = shingles(table(s, d, "documents"), widen = true).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -747,24 +753,32 @@ object Dedup {
       sym: org.apache.spark.sql.DataFrame,
       pairBound: Option[Long] = None)
       : (org.apache.spark.sql.DataFrame, Int) = {
-    // materialize the WIDE pair pipeline ONCE, already laid out at the
-    // hint-derived width (repartition, not coalesce — coalesce would
-    // propagate a narrow width UP into the pair build and serialize
-    // it); the measured count then decides whether that layout
-    // suffices. The common case (fixture micro-graphs, post-cut pair
-    // lists, no hint) pays exactly one persist + one count at the
-    // 4-partition floor — the pre-round-13 cost.
-    val initW = pairBound.map(ccWidth(s, _)).getOrElse(4)
+    // materialize the WIDE pair pipeline ONCE. With a pair-bound hint
+    // the cache is laid out at the hint-derived width directly
+    // (repartition, not coalesce — coalesce would propagate a narrow
+    // width UP into the pair build and serialize it); WITHOUT a hint
+    // (round-16) the pipeline's own output layout is cached as-is —
+    // the old repartition-to-the-4-partition-floor both funneled a big
+    // no-hint graph through 4 tasks AND paid one pure-overhead exchange
+    // on every micro-graph apply (the dominant CC call shape at fixture
+    // scale); the measured count then lays the loop input out at the
+    // derived width (the micro case never reaches the loop at all —
+    // smallCc reads the cache in one task regardless of its layout).
+    // initW = 0 records "cached unlaid".
+    val initW = pairBound.map(ccWidth(s, _)).getOrElse(0)
     lastCcInitWidth.set(initW)
-    // hash-lay the cache out on `src` (round-15): the loop joins labels
-    // on src every iteration, so a src-hash cache satisfies that join's
-    // distribution directly and the per-iteration edge re-shuffle
-    // disappears (guide §2.4 — two operations keyed the same way share
-    // one exchange). A boilerplate-hot node skews its hash partition,
-    // but the OLD loop hash-shuffled the same rows on src every
-    // iteration anyway — the skew moved from per-iteration to
+    // hash-lay the hinted cache out on `src` (round-15): the loop joins
+    // labels on src every iteration, so a src-hash cache satisfies that
+    // join's distribution directly and the per-iteration edge
+    // re-shuffle disappears (guide §2.4 — two operations keyed the same
+    // way share one exchange). A boilerplate-hot node skews its hash
+    // partition, but the OLD loop hash-shuffled the same rows on src
+    // every iteration anyway — the skew moved from per-iteration to
     // once-at-cache, strictly less work.
-    val first = sym.repartition(initW, col("src")).persist()
+    val first = (pairBound match {
+      case Some(_) => sym.repartition(initW, col("src"))
+      case None => sym
+    }).persist()
     val n = first.count()
     val w = ccWidth(s, n)
     // measured-size dispatch (round-15): a micro graph takes the
@@ -777,11 +791,15 @@ object Dedup {
       return (labs, 1)
     }
     val edges =
-      if (w <= initW) first
+      if (w == initW) first
       else {
-        // the bound under-shot (or no hint on a big graph): re-lay the
-        // CACHED rows out at the derived width (a micro-shuffle against
-        // the cache, the pipeline never re-runs)
+        // the bound under-shot (or no hint on a big graph) — or
+        // OVER-shot (round-16, VERDICT r15 #3): in both directions the
+        // loop runs at the measured width `w`, so the edge cache must be
+        // re-laid at `w` on `src` or the propagate join's
+        // co-partitioning breaks and an exchange returns every
+        // iteration. A micro-shuffle against the cache; the pair
+        // pipeline never re-runs.
         val e = first.repartition(w, col("src")).persist()
         e.count()
         first.unpersist(blocking = false)

@@ -55,7 +55,10 @@ object DedupIndex {
     * (inline md5s on occurrence rows, one agg pass; see the scale note
     * at `Dedup.dedupMinhashLsh`). */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingles(docs)
+    // 16 md5s per shingle occurrence: per-row work dominates — widen
+    // (the narrow-plan gate makes this a no-op for the join-shaped
+    // apply-path inputs, where the input is already exchange-laid)
+    val sh = Dedup.shingles(docs, widen = true)
     val hashCols = (0 to 15).map(j =>
       md5(concat(col("sh"), lit(s"#$j"))).as(s"hv$j"))
     val sigCols = (0 to 15).map(j => min(col(s"hv$j")).as(s"h$j"))
@@ -367,7 +370,7 @@ object DedupIndex {
       // the ext149 gram-index discipline applied to the label family
       // (a torn build — postings without labels/meta — just rebuilds)
       graft.ops.withDesc(s, "lbl-build: postings") {
-        Dedup.shingles(docs)
+        Dedup.shingles(docs, widen = true)
           .writeTo(posts)
           .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
           .createOrReplace()
@@ -461,15 +464,23 @@ object DedupIndex {
     val stored = s.table(labels)
     val storedEdges = s.table(edges)
 
-    // ---- D-phase: split the touched components over stored edges.
+    // ---- D-phase and the N-phase CANDIDATE materialization are
+    // INDEPENDENT — the split CC reads stored labels+edges, the
+    // candidate join reads posts+head; both are touched-bounded — so
+    // they run OVERLAPPED (round-16, guide §2.6): an update-shaped
+    // slice (ext161/164/169) hides the D-phase CC under the candidate
+    // join's stage tail. Only the final contraction of candidate edges
+    // onto the post-retract labels needs both.
+
+    // D-phase: split the touched components over stored edges.
     // Fast path: a slice of GENUINELY NEW docs (the common append —
     // ext153's daily batch) touches no stored component, so the whole
     // retract machinery (two semi-joins, a CC loop, a checkpoint) is
     // provably a no-op — one cheap existence probe skips it and afterD
     // IS the stored table, restoring the pure-append plan shape
-    val anyStored = graft.ops.withDesc(s, "lbl-apply: stored probe")(
-      stored.join(touched, Seq("doc_id"), "left_semi").limit(1).count() > 0L)
-    val (splitNodes, untouchedRows) =
+    def dPhase(): (DataFrame, DataFrame) = {
+      val anyStored = graft.ops.withDesc(s, "lbl-apply: stored probe")(
+        stored.join(touched, Seq("doc_id"), "left_semi").limit(1).count() > 0L)
       if (!anyStored)
         (touched.limit(0).select(col("doc_id"), col("doc_id").as("node")),
           stored.select(col("doc_id"), col("comp")))
@@ -488,9 +499,12 @@ object DedupIndex {
             struct(col("a_id").as("src"), col("b_id").as("dst")),
             struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+        // ccOverEdges output is already self-contained (the loop's
+        // converged frame is localCheckpoint'ed; the union-find path
+        // returns a checkpointed RDD) — no further checkpoint job
         val dlab = graft.ops.withDesc(s, "lbl-apply: D-phase cc") {
           val (dlab0, _) = Dedup.ccOverEdges(s, dsym)
-          dlab0.localCheckpoint(true)
+          dlab0
         }
         // each survivor's post-retract label: min of its sub-component
         // (edge-less survivors are their own)
@@ -502,55 +516,112 @@ object DedupIndex {
         (sn, stored.join(touchedComps, Seq("comp"), "left_anti")
           .select(col("doc_id"), col("comp")))
       }
+    }
+
+    // N-phase candidates: head edges incident to the touched head
+    // images. The corpus side is the STORED postings (retracted to the
+    // head view: stored rows minus touched docs' plus the batch's fresh
+    // shingles), so the apply never re-shingles the corpus — work is
+    // the batch's shingle derivation + joins ∝ its posting lists.
+    //
+    // Pure-erasure short-circuit (round-16, VERDICT r15 #1): a slice
+    // whose touched docs are ALL gone from the head (the erasure window
+    // — ext141/ext161's shape) has an empty batch image, so the fresh
+    // shingles, the candidate join, the quotient edges and the N-phase
+    // CC are ALL provably empty — yet materializing that emptiness
+    // through the ~25-exchange candidate pipeline measured 7-9 s wall
+    // per apply at fixture scale (ProfMain, 67-78 Spark jobs for zero
+    // rows). One bounded existence probe skips the whole phase.
+    def nCandidates(): Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
+      val anyHead = graft.ops.withDesc(s, "lbl-apply: head probe")(
+        headTouched.select(col("doc_id")).limit(1).count() > 0L)
+      if (!anyHead) None
+      else {
+        // batch-bounded at any scale — unconditional probe-free spread
+        // to the session's parallelism (see the capped apply's
+        // shNewFeed note)
+        val shN = Dedup.shingles(headTouched
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+          .persist()
+        val postsHead = s.table(posts)
+          .join(touched, Seq("doc_id"), "left_anti")
+          .unionAll(shN)
+        // persisted: cand is consumed THREE times (both ids legs + the
+        // edge filter) and sizes twice, each with a different pruned
+        // column set — subtree equality fails, exchange reuse does not
+        // fire, and the whole candidate join re-ran per consumer
+        // (round-16; both frames are batch-bounded at any scale)
+        val cand = shN.as("b").join(postsHead.as("a"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .persist()
+        val ids = cand.select(col("a_id").as("doc_id"))
+          .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
+        val sizes = postsHead.join(ids, Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .persist()
+        // persisted: consumed by BOTH the quotient path (q → CC) and the
+        // edge-artifact insert — without it the batch-shingle join runs
+        // twice
+        val eN = cand
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("n", "n_a"), "a_id")
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("n", "n_b"), "b_id")
+          .filter(col("inter").cast("double")
+            / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
+          .select(col("a_id"), col("b_id"))
+          .persist()
+        graft.ops.withDesc(s, "lbl-apply: N-phase cand")(eN.count())
+        Some((shN, cand, sizes, eN))
+      }
+    }
+
+    val phases = graft.ops.inParallel[Any](Seq(
+      () => dPhase(), () => nCandidates()))
+    val (splitNodes, untouchedRows) =
+      phases(0).asInstanceOf[(DataFrame, DataFrame)]
+    val nCand =
+      phases(1).asInstanceOf[Option[(DataFrame, DataFrame, DataFrame,
+        DataFrame)]]
+    val anyHead = nCand.isDefined
     // the complete post-retract label state (touched docs absent)
     val afterD = untouchedRows
       .unionAll(splitNodes.select(col("doc_id"), col("node").as("comp")))
-
-    // ---- N-phase: head edges incident to the touched head images.
-    // The corpus side is the STORED postings (retracted to the head
-    // view: stored rows minus touched docs' plus the batch's fresh
-    // shingles), so the apply never re-shingles the corpus — work is
-    // the batch's shingle derivation + joins ∝ its posting lists
-    val shNew = Dedup.shingles(headTouched).persist()
-    val postsHead = s.table(posts)
-      .join(touched, Seq("doc_id"), "left_anti")
-      .unionAll(shNew)
-    val cand = shNew.as("b").join(postsHead.as("a"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val ids = cand.select(col("a_id").as("doc_id"))
-      .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
-    val sizes = postsHead.join(ids, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // persisted: consumed by BOTH the quotient path (q → CC) and the
-    // edge-artifact insert — without it the batch-shingle join runs twice
-    val edgesNew = cand
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n", "n_a"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n", "n_b"), "b_id")
-      .filter(col("inter").cast("double")
-        / (col("n_a") + col("n_b") - col("inter")) >= 0.5)
-      .select(col("a_id"), col("b_id"))
-      .persist()
-    // contract endpoints to the POST-RETRACT labels; touched head docs
-    // are absent from afterD and become their own nodes (re-added)
-    val q = edgesNew
-      .join(afterD.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("comp", "ca"), Seq("a_id"), "left")
-      .join(afterD.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("comp", "cb"), Seq("b_id"), "left")
-      .select(coalesce(col("ca"), col("a_id")).as("src"),
-        coalesce(col("cb"), col("b_id")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val qsym = q.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
-    val qlab = graft.ops.withDesc(s, "lbl-apply: N-phase cc") {
-      val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
-      qlab0.localCheckpoint(true)
+    val (qlab, edgesNew, shNew) = nCand match {
+      case None =>
+        (touched.limit(0)
+           .select(col("doc_id").as("id"), col("doc_id").as("comp")),
+         touched.limit(0)
+           .select(col("doc_id").as("a_id"), col("doc_id").as("b_id")),
+         Dedup.shingles(headTouched).limit(0))
+      case Some((shN, cand, sizes, eN)) =>
+        // contract endpoints to the POST-RETRACT labels; touched head
+        // docs are absent from afterD and become their own nodes
+        // (re-added)
+        val q = eN
+          .join(afterD.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("comp", "ca"), Seq("a_id"), "left")
+          .join(afterD.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("comp", "cb"), Seq("b_id"), "left")
+          .select(coalesce(col("ca"), col("a_id")).as("src"),
+            coalesce(col("cb"), col("b_id")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val qsym = q.select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+        // ccOverEdges output is self-contained — no extra checkpoint job
+        val ql = graft.ops.withDesc(s, "lbl-apply: N-phase cc") {
+          val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
+          qlab0
+        }
+        // the contraction CC also drained the intermediate caches'
+        // consumers — dead weight from here
+        cand.unpersist(blocking = false)
+        sizes.unpersist(blocking = false)
+        (ql, eN, shN)
     }
 
     // ---- final rows, one per affected doc (disjoint by construction:
@@ -565,22 +636,31 @@ object DedupIndex {
       .join(qlab.as("qq"), col("l.node") === col("qq.id"))
       .filter(col("qq.comp") =!= col("qq.id"))
       .select(col("l.doc_id").as("doc_id"), col("qq.comp").as("comp"))
-    val newRows = viaQ(headTouched.select(col("doc_id")).distinct()
-      .withColumn("node", col("doc_id")))
+    val newRows =
+      if (!anyHead) splitNodes.limit(0)
+        .select(col("doc_id"), col("node").as("comp"))
+      else viaQ(headTouched.select(col("doc_id")).distinct()
+        .withColumn("node", col("doc_id")))
     // materialize the merge plan BEFORE mutating anything: it reads the
-    // MERGE target (stored labels) and the edge table
-    val (usrc, newEdgeRows, newPostRows) =
-      graft.ops.withDesc(s, "lbl-apply: mutation-input ckpts")((
+    // MERGE target (stored labels) and the edge table. The three
+    // checkpoints are independent reads of already-cached inputs —
+    // overlap them (guide §2.6; each job's tail leaves most task slots
+    // idle at fixture scale)
+    val ckpts = graft.ops.inParallel[DataFrame](Seq(
+      () => graft.ops.withDesc(s, "lbl-apply: mutation-input ckpts")(
         splitRows.unionAll(remapChanged).unionAll(newRows)
           .withColumn("del", lit(false))
           .unionAll(gone.select(col("doc_id"), lit(0L).as("comp"),
             lit(true).as("del")))
-          .localCheckpoint(true),
+          .localCheckpoint(true)),
+      () => graft.ops.withDesc(s, "lbl-apply: mutation-input ckpts")(
         edgesNew
           .select(least(col("a_id"), col("b_id")).as("a_id"),
             greatest(col("a_id"), col("b_id")).as("b_id"))
-          .distinct().localCheckpoint(true),
-        shNew.localCheckpoint(true)))
+          .distinct().localCheckpoint(true)),
+      () => graft.ops.withDesc(s, "lbl-apply: mutation-input ckpts")(
+        shNew.localCheckpoint(true))))
+    val (usrc, newEdgeRows, newPostRows) = (ckpts(0), ckpts(1), ckpts(2))
     val touchedCk = touched // already checkpointed at derivation
 
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -593,20 +673,33 @@ object DedupIndex {
     newPostRows.createOrReplaceTempView(pv)
     touchedCk.createOrReplaceTempView(tv)
     try {
-      // 1. retract the touched docs' edges + postings (idempotent DV
+      // 1.+2. retract the touched docs' edges + postings (idempotent DV
       //    appends; postings are per-doc rows, so doc_id is the key)
-      graft.ops.withDesc(s, "lbl-apply: retract DML") {
-        s.sql(s"DELETE FROM $edges WHERE a_id IN (SELECT doc_id FROM $tv) " +
-          s"OR b_id IN (SELECT doc_id FROM $tv)")
-        s.sql(s"DELETE FROM $posts WHERE doc_id IN (SELECT doc_id FROM $tv)")
-      }
-      // 2. ONE atomic label statement: erase + remap + upsert
-      graft.ops.withDesc(s, "lbl-apply: label MERGE")(
-        s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
-        WHEN MATCHED AND u.del THEN DELETE
-        WHEN MATCHED THEN UPDATE SET comp = u.comp
-        WHEN NOT MATCHED AND NOT u.del THEN
-          INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)"""))
+      //    and the ONE atomic label statement (erase + remap + upsert),
+      //    OVERLAPPED (round-16, guide §2.6): the three DMLs write
+      //    DISJOINT tables and read only pre-checkpointed inputs, so no
+      //    statement observes another's target. Replay stays convergent
+      //    under ANY crash interleaving: the apply's read side excludes
+      //    touched-incident rows from edges/posts by construction
+      //    (survIds/anti-joins), so a replay that finds the MERGE
+      //    landed but a retract not (or vice versa) derives the same
+      //    plan — retract+re-add of a current doc is a fixpoint.
+      graft.ops.inParallel[Unit](Seq(
+        () => graft.ops.withDesc(s, "lbl-apply: retract DML") {
+          s.sql(s"DELETE FROM $edges WHERE a_id IN (SELECT doc_id FROM $tv) " +
+            s"OR b_id IN (SELECT doc_id FROM $tv)"); ()
+        },
+        () => graft.ops.withDesc(s, "lbl-apply: retract DML") {
+          s.sql(s"DELETE FROM $posts WHERE doc_id IN (SELECT doc_id FROM $tv)")
+          ()
+        },
+        () => graft.ops.withDesc(s, "lbl-apply: label MERGE") {
+          s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
+          WHEN MATCHED AND u.del THEN DELETE
+          WHEN MATCHED THEN UPDATE SET comp = u.comp
+          WHEN NOT MATCHED AND NOT u.del THEN
+            INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)"""); ()
+        }))
       // 3. publish the head edges + postings + watermark together; a
       //    crash before this txn replays the slice against the
       //    already-converged labels — retract+re-add of a current doc
@@ -622,7 +715,6 @@ object DedupIndex {
       s.catalog.dropTempView(ev)
       s.catalog.dropTempView(pv)
       s.catalog.dropTempView(tv)
-      qsym.unpersist(blocking = false)
       edgesNew.unpersist(blocking = false)
       shNew.unpersist(blocking = false)
     }
@@ -708,7 +800,7 @@ object DedupIndex {
     def rebuild(headV: Long): String = {
       val docs = s.table(corpusTable).select(col("doc_id"), col("text"))
       graft.ops.withDesc(s, "lc-build: postings") {
-        Dedup.shingles(docs)
+        Dedup.shingles(docs, widen = true)
           .writeTo(posts)
           .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
           .createOrReplace()
@@ -803,8 +895,16 @@ object DedupIndex {
       return false // re-used id (update-shaped) or post-MERGE replay
 
     val head = s.table(corpusTable).select(col("doc_id"), col("text"))
+    // the batch image is batch-bounded at ANY corpus scale, so an
+    // unconditional keyed spread to the session's parallelism is safe
+    // and probe-free (round-16: replaces widenForCompute's `.rdd`
+    // partition probe, which executed the semi-join once just to ask
+    // its width — ADVICE r15); the shingle derivation and the df
+    // recompute that consumes it then parallelize off the cache
     val shNewFeed = Dedup.shingles(
-      head.join(feedTouched, Seq("doc_id"), "left_semi")).persist()
+      head.join(feedTouched, Seq("doc_id"), "left_semi")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .persist()
     // affected shingles (df changes come ONLY from the feed's new docs)
     // + their HEAD df, recomputed from the logical head postings
     // (stored ∪ fresh) — identical values on any replay
@@ -904,9 +1004,10 @@ object DedupIndex {
             struct(col("a_id").as("src"), col("b_id").as("dst")),
             struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // ccOverEdges output is already self-contained — no extra job
         val mlab = graft.ops.withDesc(s, "lc-apply: D-phase cc") {
           val (mlab0, _) = Dedup.ccOverEdges(s, msym)
-          mlab0.localCheckpoint(true)
+          mlab0
         }
         mPosts.unpersist(blocking = false)
         val sn = members
@@ -925,14 +1026,19 @@ object DedupIndex {
     val shTouchedCapped = shNewFeed.join(okSh, Seq("sh"), "left_semi")
       .unionAll(postsStored.join(crossDocs, Seq("doc_id"), "left_semi")
         .join(okSh, Seq("sh"), "left_semi"))
+    // persisted (round-16): see the exact apply — consumed with
+    // different pruned column sets, so exchange reuse cannot dedup the
+    // candidate join; both frames are batch-bounded
     val cand = shTouchedCapped.as("b").join(postsHeadCapped.as("a"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
+      .persist()
     val ids = cand.select(col("a_id").as("doc_id"))
       .unionAll(cand.select(col("b_id").as("doc_id"))).distinct()
     val sizes = postsHeadCapped.join(ids, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .persist()
     val edgesNew = cand
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("n", "n_a"), "a_id")
@@ -956,10 +1062,13 @@ object DedupIndex {
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+    // ccOverEdges output is already self-contained — no extra job
     val qlab = graft.ops.withDesc(s, "lc-apply: N-phase cc") {
       val (qlab0, _) = Dedup.ccOverEdges(s, qsym)
-      qlab0.localCheckpoint(true)
+      qlab0
     }
+    cand.unpersist(blocking = false)
+    sizes.unpersist(blocking = false)
 
     def viaQ(df: DataFrame): DataFrame = df
       .join(qlab.withColumnRenamed("id", "node"), Seq("node"), "left")
@@ -974,12 +1083,18 @@ object DedupIndex {
       .select(col("doc_id")).distinct().withColumn("node", col("doc_id")))
     // materialize every mutation input BEFORE the first mutation
     // (disjoint by construction: members of touched comps / rows of
-    // untouched comps / genuinely-new feed docs)
-    val (usrc, newPostRows) =
-      graft.ops.withDesc(s, "lc-apply: mutation-input ckpts")((
+    // untouched comps / genuinely-new feed docs) — the three
+    // checkpoints are independent reads of cached inputs: overlap them
+    // (round-16, guide §2.6)
+    val ckpts = graft.ops.inParallel[DataFrame](Seq(
+      () => graft.ops.withDesc(s, "lc-apply: mutation-input ckpts")(
         splitRows.unionAll(remapChanged).unionAll(newRows)
-          .localCheckpoint(true),
-        shNewFeed.localCheckpoint(true)))
+          .localCheckpoint(true)),
+      () => graft.ops.withDesc(s, "lc-apply: mutation-input ckpts")(
+        shNewFeed.localCheckpoint(true)),
+      () => graft.ops.withDesc(s, "lc-apply: mutation-input ckpts")(
+        affected.localCheckpoint(true))))
+    val (usrc, newPostRows, affectedCk) = (ckpts(0), ckpts(1), ckpts(2))
     val dfNewCk = dfNew.filter(col("df") > 0)
 
     val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -990,18 +1105,26 @@ object DedupIndex {
     usrc.createOrReplaceTempView(uv)
     newPostRows.createOrReplaceTempView(pv)
     dfNewCk.createOrReplaceTempView(dv)
-    graft.ops.withDesc(s, "lc-apply: mutation-input ckpts")(
-      affected.localCheckpoint(true)).createOrReplaceTempView(av)
+    affectedCk.createOrReplaceTempView(av)
     try {
-      // 1. retire the affected shingles' stored df rows (idempotent;
-      //    the affected set derives from the immutable feed)
-      graft.ops.withDesc(s, "lc-apply: retract DML")(
-        s.sql(s"DELETE FROM $dfTab WHERE sh IN (SELECT sh FROM $av)"))
-      // 2. ONE atomic label statement: split-remap + comp-remap + upsert
-      graft.ops.withDesc(s, "lc-apply: label MERGE")(
-        s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
-        WHEN MATCHED THEN UPDATE SET comp = u.comp
-        WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)"""))
+      // 1.+2. retire the affected shingles' stored df rows (idempotent;
+      //    the affected set derives from the immutable feed) and the
+      //    ONE atomic label statement, OVERLAPPED (round-16, guide
+      //    §2.6): disjoint target tables, pre-checkpointed inputs.
+      //    Replay stays on the documented paths under any interleaving:
+      //    MERGE-landed-first replays into the stored-probe rebuild
+      //    guard; DELETE-landed-first replays into the df
+      //    reconstruction window.
+      graft.ops.inParallel[Unit](Seq(
+        () => graft.ops.withDesc(s, "lc-apply: retract DML") {
+          s.sql(s"DELETE FROM $dfTab WHERE sh IN (SELECT sh FROM $av)"); ()
+        },
+        () => graft.ops.withDesc(s, "lc-apply: label MERGE") {
+          s.sql(s"""MERGE INTO $labels t USING $uv u ON t.doc_id = u.doc_id
+          WHEN MATCHED THEN UPDATE SET comp = u.comp
+          WHEN NOT MATCHED THEN INSERT (doc_id, comp) VALUES (u.doc_id, u.comp)""")
+          ()
+        }))
       // 3. postings + df + watermark in one cross-table txn (only the
       //    feed's fresh rows land — crossing docs' postings are already
       //    stored and unchanged)
@@ -1100,7 +1223,8 @@ object DedupIndex {
           // one aggregate over the corpus shingles — the same pass a
           // build pays first anyway, here reduced to three scalars
           val st = Dedup.shingles(
-              s.table(corpusTable).select(col("doc_id"), col("text")))
+              s.table(corpusTable).select(col("doc_id"), col("text")),
+              widen = true)
             .groupBy("sh").agg(count(lit(1)).as("df"))
             .agg(coalesce(max("df"), lit(0L)),
               coalesce(sum("df"), lit(0L)),
@@ -1151,11 +1275,13 @@ object DedupIndex {
   val gramBuilds = new java.util.concurrent.atomic.AtomicLong(0)
   val gramCdcRefreshes = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Distinct (doc_id, gram digest) rows — ext142's gram front-end. */
-  private[ext] def gramRows(docs: DataFrame): DataFrame =
-    // 8-gram md5 digests are CPU-heavy per input byte — widen a
-    // single-task scan first (guide §2.5; no-op on parallel scans)
-    graft.ops.widenForCompute(docs)
+  /** Distinct (doc_id, gram digest) rows — ext142's gram front-end.
+    * `widen` only on the full-corpus build path (round-16, VERDICT r15
+    * #2): the CDC apply's input is join-shaped and batch-sized — the
+    * blanket widen regressed ext150. */
+  private[ext] def gramRows(docs: DataFrame,
+      widen: Boolean = false): DataFrame =
+    (if (widen) graft.ops.widenForCompute(docs) else docs)
       .select(col("doc_id"), expr(CorpusOps.toksExpr).as("toks"))
       .select(col("doc_id"), explode(expr(
         "if(size(toks) < 8, array()," +
@@ -1198,7 +1324,8 @@ object DedupIndex {
       }
       grams
     } { headV =>
-      gramRows(s.table(corpusTable).select(col("doc_id"), col("text")))
+      gramRows(s.table(corpusTable).select(col("doc_id"), col("text")),
+        widen = true)
         .writeTo(grams)
         .tableProperty("graft.autocompact", CdcIndex.AutoCompactSpec)
         .createOrReplace()

@@ -47,7 +47,7 @@ object Similarity {
 
   /** Exact top-5 cosine neighbors for every 50th vector. */
   val bruteForceTopK: Q = (s, d) => {
-    val all = vecs(s, d, widen = true)
+    val all = vecs(s, d)
     val queries = all.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v"), col("norm"))
     val scored = queries.as("q").join(all.as("c"), col("c.vec_id") =!= col("q.q_id"))
@@ -279,9 +279,11 @@ object Similarity {
     * never O(pairs). */
   def semanticDedup(s: org.apache.spark.sql.SparkSession, d: String,
       minCosine: Double): DataFrame = {
-    // the self-join's BOTH map sides re-derive the assignment — the one
-    // kmeans consumer where widening the scan pays (measured ~4x)
-    val (a1, _) = kmeansBuild(s, d, widen = true)
+    // widen reverted (round-16): the r15 in-session measurement said the
+    // re-derived assignment paid for widening, but the driver's cold
+    // run regressed 1.0 -> 1.5 s (PERF r15, 8-core ratio 0.53 — the
+    // fixture-scale self-join is over-parallelized at local[32])
+    val (a1, _) = kmeansBuild(s, d)
     a1.as("u").join(a1.as("w"),
         col("u.cell") === col("w.cell") && col("u.vec_id") < col("w.vec_id"))
       .select(col("w.vec_id").as("vec_id"), col("w.cell").as("cell"),

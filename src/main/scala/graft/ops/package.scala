@@ -80,14 +80,25 @@ package object ops {
     */
   def ensureGraftCatalog(spark: SparkSession): Unit = {
     val key = "spark.sql.catalog.graft_cat"
-    val saved = spark.conf.getAll.get(key) // explicit entries only
-    spark.conf.set(key, "graft.sources.GraftCatalog")
-    spark.sessionState.catalogManager.catalog("graft_cat")
-    saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    // serialized (round-16, ADVICE r15): concurrent ensure* builds call
+    // this set/load/restore sequence from pool threads — interleaved,
+    // thread B could snapshot the key AFTER thread A set it and
+    // "restore" the set value after A unset it, leaking the conf entry
+    // the ConfLeakSpec discipline exists to prevent. CatalogManager's
+    // cache-first lookup makes the lock cheap: every call after the
+    // first finds the plugin cached and the critical section is one map
+    // probe.
+    ensureCatalogLock.synchronized {
+      val saved = spark.conf.getAll.get(key) // explicit entries only
+      spark.conf.set(key, "graft.sources.GraftCatalog")
+      spark.sessionState.catalogManager.catalog("graft_cat")
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
+  private val ensureCatalogLock = new Object
 
   /** The events fixture's `ts` physical type has varied across driver
     * testdata generations: TIMESTAMP(NANOS) (no native Spark type — read
@@ -167,11 +178,30 @@ package object ops {
     * shuffle it inserts locally moves only the fixture-sized payload.
     * Apply ONLY to derivations whose per-row work dominates the
     * exchange (md5 signing, shingling, cosine scoring) — a plain
-    * aggregate over the scan is cheaper single-task than shuffled. */
+    * aggregate over the scan is cheaper single-task than shuffled.
+    *
+    * Narrow-plan gate (round-16, ADVICE r15): the `.rdd` partition-count
+    * probe finalizes the adaptive plan, which EXECUTES any upstream
+    * exchange/broadcast stages and then discards them — a join-shaped
+    * input (the label apply's `shingles(headTouched)`) paid its join
+    * twice per call. The probe is therefore restricted to plans with no
+    * shuffle-introducing operator (scan + project/filter/generate only),
+    * where finalizing runs nothing; anything join/agg/window-shaped has
+    * already been laid out by a full-width shuffle and returns
+    * unchanged, without the probe. */
   def widenForCompute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+           _: Repartition | _: RepartitionByExpression | _: Union => true
+      case _ => false
+    }
+    if (wide) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target)
+    }
   }
 
   /** Run INDEPENDENT driver-side tasks (index builds over disjoint
@@ -199,6 +229,14 @@ package object ops {
         try futs.map(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            // first failure: cancel the queued/in-flight siblings so a
+            // failed entry leaves no zombie builds racing subsequent
+            // work (round-16, ADVICE r15) — shutdownNow interrupts, and
+            // the await below bounds how long they can keep mutating
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            pool.awaitTermination(60,
+              java.util.concurrent.TimeUnit.SECONDS)
             throw e.getCause
         }
       } finally pool.shutdown()

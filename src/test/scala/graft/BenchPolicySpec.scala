@@ -128,6 +128,26 @@ class BenchPolicySpec extends AnyFunSuite {
     assert((JsonMethods.parse(d) \ "qround") === JNothing)
   }
 
+  test("contract line carries seed_s and load1m when available") {
+    // VERDICT r15 #7: seed_s landed only in the local BENCH_RUN file —
+    // the driver's captured contract line alone could not reconstruct
+    // true wall-clock. Both extras ride after "sf" (never inside the
+    // length-budgeted queries map) and are omitted when unavailable so
+    // an old-format reader sees an unchanged shape.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = Bench.contractLine(Map("q01_agg" -> 1.0), "sf0.1",
+      seedS = 12.75, load1m = 0.5)
+    val p = JsonMethods.parse(j)
+    assert((p \ "seed_s").extract[Double] === 12.75)
+    assert((p \ "load1m").extract[Double] === 0.5)
+    assert((p \ "sf").extract[String] === "sf0.1")
+    val d = Bench.contractLine(Map("q01_agg" -> 1.0), "sf0.1")
+    assert((JsonMethods.parse(d) \ "seed_s") === JNothing)
+    assert((JsonMethods.parse(d) \ "load1m") === JNothing)
+  }
+
   test("runJson records the warmup seed-build seconds (seed_s)") {
     // VERDICT r14 #3: the ~13 s shared-seed build moved out of the
     // entries and into the warmup phase in round 14 — recorded nowhere,

@@ -48,9 +48,12 @@ class ExtensionsSpec extends SparkTestBase {
     val sym = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
     val (labels, _) = Dedup.ccOverEdges(spark, sym)
     assert(labels.collect().forall(_.getLong(1) == 0L))
-    // VERDICT r13 #1: without a hint the INITIAL materialization keeps
-    // the 4-partition floor (the measured-right fixture choice)...
-    assert(Dedup.lastCcInitWidth.get() === 4)
+    // VERDICT r13 #1 / round-16: without a hint the INITIAL
+    // materialization caches the pair pipeline's own layout unchanged
+    // (recorded as width 0) — no floor repartition: the old
+    // repartition(4) both funneled big no-hint graphs through 4 tasks
+    // and paid a pure-overhead exchange on every micro-graph apply
+    assert(Dedup.lastCcInitWidth.get() === 0)
     // ...but a pre-join pair bound above the floor lays the FIRST cache
     // pass out at the derived width — a billion-edge graph never
     // single-files its materialization through 4 tasks before the
