@@ -28,6 +28,23 @@ object PlanDumpMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // special selector "cc_iteration": dump one executed CC-loop
+    // iteration's final adaptive plan (the plans/r16 evidence for the
+    // 3-exchanges-per-iteration claim; ExtensionsSpec pins the count)
+    if (sel("cc_iteration")) {
+      import spark.implicits._
+      ext.Dedup.ccCapturePlan.set(true)
+      try {
+        val fwd = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+        val sym = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+          .repartition(4, $"src").persist()
+        sym.count()
+        ext.Dedup.connectedComponents(spark, sym, width = 4)._1.count()
+        val w = new java.io.PrintWriter(s"$outDir/cc_iteration$suffix.txt")
+        try w.println(ext.Dedup.lastCcIterPlan.get()) finally w.close()
+        println("[plandump] wrote cc_iteration")
+      } finally ext.Dedup.ccCapturePlan.set(false)
+    }
     val qmap = SparkEntry.queries.filter(kv => only(kv._1))
     if (qmap.keys.exists(n => ext.Dedup.SeedConsumerPrefixes.exists(n.startsWith))) {
       ops.configure(spark)

@@ -686,6 +686,38 @@ object Dedup {
   private[graft] val lastCcInitWidth =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Opt-in capture of one loop iteration's EXECUTED plan (round-16,
+    * VERDICT r15 #1: the 3-exchanges-per-iteration claim must be
+    * checkable — ExtensionsSpec pins the count and PlanDumpMain commits
+    * the text as plans/r16 evidence). Off by default: rendering the
+    * adaptive plan to a string each iteration is pure overhead on a
+    * real run. */
+  private[graft] val ccCapturePlan =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] val lastCcIterPlan =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Shuffle-exchange count of the captured iteration's jump half,
+    * computed on the executed TREE (the toString form nests each cached
+    * subplan's own adaptive echo, so text counting is unreliable).
+    * Query stages are traversed; cached subplans (the stepped frame's
+    * build, whose dst-aggregate exchange is the propagate half's one
+    * shuffle) are not — they are separate materializations. */
+  private[graft] val lastCcIterShuffles =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+  private def countShuffles(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case q: QueryStageExec => countShuffles(q.plan)
+      case _ => 0
+    }
+    self + nested + p.children.map(countShuffles).sum
+  }
+
   /** Symmetric-edge count at or below which [[ccOverEdges]] computes the
     * components in ONE task instead of driving the distributed loop
     * (round-15, guide §1.1 first-principles: for a graph this small the
@@ -906,14 +938,21 @@ object Dedup {
         // post-checkpoint aggregate job was half the loop's fixed cost
         // at micro-graph scale).
         val obs = new org.apache.spark.sql.Observation()
-        val jumped = stepped.repartition(width, col("comp"))
+        val jumpedPlan = stepped.repartition(width, col("comp"))
           .join(parents, col("comp") === col("p_id"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
           .repartition(width, col("id"))
           .observe(obs, coalesce(sum("comp"), lit(0L)).as("sig"))
-          .localCheckpoint(true)
+        val jumped = jumpedPlan.localCheckpoint(true)
         val newSig = obs.get("sig").asInstanceOf[Long]
+        // the checkpoint truncated `jumped` to a leaf — the executed
+        // iteration plan lives on the pre-checkpoint frame
+        if (ccCapturePlan.get()) {
+          lastCcIterPlan.set(jumpedPlan.queryExecution.executedPlan.toString)
+          lastCcIterShuffles.set(
+            countShuffles(jumpedPlan.queryExecution.executedPlan))
+        }
         stepped.unpersist()
         labels.unpersist()
         // jumped is eagerly materialized, so the previous round's
